@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A registered query: (session, scale-factor dir) => lazy DataFrame.
+  * Contract: no eager work at construction (no actions, no .cache) —
+  * graft.Bench times the terminal .count() and graft.Verify writes the
+  * result once (SURVEY.md §3 EP2/EP3).
+  */
+object Q { type Fn = (SparkSession, String) => DataFrame }
+
+/** One module per operator family (SURVEY.md §2). SparkEntry merges them. */
+trait QueryModule {
+  /** query-id -> query fn. Ids are the scoreboard identifiers — stable. */
+  def queries: Map[String, Q.Fn]
+  /** query-id -> equivalent DuckDB SQL over bare table names
+    * (`lineitem`, `orders`, ...). Omit ids that are not SQL-expressible —
+    * the driver then records a weaker rows-only check. */
+  def oracles: Map[String, String]
+}
+
+/** Typed loaders for the driver-generated parquet tables (TESTDATA.md).
+  * Schemas documented in FIXTURES.md; the parquet footer is the source of
+  * truth, so plain spark.read.parquet is correct and keeps predicate
+  * pushdown + column pruning intact (no schema-merge cost).
+  */
+object Tables {
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    * directly (PARQUET_TYPE_ILLEGAL). Read it as a nanos long via the
+    * legacy conf and floor-divide to µs — exactly the ns→µs truncation
+    * DuckDB applies, so oracle comparisons agree (FIXTURES.md events.ts). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events").withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Determinism helpers for oracle-compared queries (SURVEY.md §5.3).
+  *
+  * Raw double SUM/AVG is partial-aggregation-order sensitive, so results
+  * drift in the last ulp between Spark and DuckDB. All generated money /
+  * quantity doubles carry <= 2 decimal digits (FIXTURES.md), so casting to
+  * DECIMAL is lossless; decimal addition is exact and therefore
+  * order-insensitive. The final value is cast back to double so the output
+  * schema matches DuckDB's (whose DECIMAL widths differ from Spark's).
+  *
+  * At 100 TB this stays correct: decimal sums are still exact under
+  * arbitrary partial/final aggregation splits across executors.
+  */
+object Det {
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** products of two 2-dp values are exact at 4 dp */
+  def dec4(c: Column): Column = c.cast(DecimalType(22, 4))
+  /** products of three 2-dp values are exact at 6 dp */
+  def dec6(c: Column): Column = c.cast(DecimalType(26, 6))
+  def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  def dsum4(c: Column): Column = sum(dec4(c)).cast(DoubleType)
+  def dsum6(c: Column): Column = sum(dec6(c)).cast(DoubleType)
+  /** exact decimal sum, divided in double space — bit-identical on both
+    * engines because both divide the same two exactly-determined doubles. */
+  def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 joins.
+  *
+  * Scale notes per operator:
+  *  - dims (region/nation/part/supplier/customer) are broadcast — explicit
+  *    `broadcast()` hints where the join must never degrade to a shuffle.
+  *  - fact⋈fact (orders⋈lineitem) shuffles on the join key; both sides are
+  *    hash-partitioned on the same key, so AQE can coalesce/split skew.
+  *  - as-of is implemented as ONE window pass over a single shuffle by
+  *    user_id — not the naive range join, whose output is O(purchases ×
+  *    prior clicks) and explodes at 100 TB.
+  *  - the interval self-join is an equi-join on user_id with a bounded
+  *    time predicate; per-user cardinality is bounded, so the post-join
+  *    filter cannot explode. (For unbounded keys one would bucket by
+  *    (user_id, time_bucket) instead.)
+  */
+object JoinOps extends QueryModule {
+  import Det._
+
+  override def queries: Map[String, Q.Fn] = Map(
+    "join_broadcast" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")),
+
+    "join_shuffle" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation in ASIA.
+    // Dim chain nation⋈region broadcasts; customer/supplier broadcast
+    // into the orders⋈lineitem shuffle.
+    "join_multiway" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "join_left" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")),
+
+    "join_full" -> ((s, d) => {
+      val cn = Tables.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cust"))
+      val sn = Tables.supplier(s, d).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_supp"))
+      cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    "join_semi" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_quantity") >= 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")),
+
+    // customers with no URGENT order (plain no-orders is empty at sf0.01)
+    "join_anti" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")),
+
+    // non-equi band join → BroadcastNestedLoopJoin with a 4-row build side
+    "join_theta_range" -> ((s, d) => {
+      val bands = s.createDataFrame(Seq(
+        (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+        (3, 200.0, 600.0)))
+        .toDF("band_id", "lo", "hi")
+      Tables.events(s, d)
+        .join(broadcast(bands),
+          col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("band_id")
+    }),
+
+    // as-of: latest click at-or-before each purchase, per user.
+    // Single window pass (events are ts-monotonic in event_id, FIXTURES.md,
+    // so MAX(click event_id) over the preceding frame IS the latest click —
+    // avoids IGNORE NULLS, which DuckDB and Spark spell differently).
+    "join_asof" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          coalesce(col("last_click"), lit(-1L)).as("c_id"))
+        .orderBy("p_id")
+    }),
+
+    // pairs of same-user events within a 5-minute interval
+    "join_interval" -> ((s, d) => {
+      val e1 = Tables.events(s, d)
+        .select(col("event_id").as("id1"), col("user_id").as("u1"),
+          col("ts").as("ts1"))
+      val e2 = Tables.events(s, d)
+        .select(col("event_id").as("id2"), col("user_id").as("u2"),
+          col("ts").as("ts2"))
+      e1.join(e2, col("u1") === col("u2") && col("id2") > col("id1") &&
+          col("ts2") >= col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTE"))
+        .groupBy(col("u1").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT p_brand, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full" ->
+      """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(1) AS n_cust FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey, COUNT(1) AS n_supp FROM supplier GROUP BY s_nationkey) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta_range" ->
+      """SELECT band_id, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 200.0),
+        |             (3, 200.0, 600.0)) AS b(band_id, lo, hi)
+        |  ON value >= lo AND value < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id AS p_id, user_id, COALESCE(last_click, -1) AS c_id
+        |FROM (SELECT event_id, user_id, event_type,
+        |        MAX(CASE WHEN event_type = 'click' THEN event_id END)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        |      FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
+    "join_interval" ->
+      """SELECT e1.user_id AS user_id, COUNT(1) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e2.event_id > e1.event_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 scans, sources, sinks.
+  *
+  * Scale notes: parquet scans rely on Catalyst pushdown — filters land in
+  * `PushedFilters`, projections in `ReadSchema`, so at 100 TB only the
+  * needed row groups / columns are read. The csv/json round-trip queries
+  * materialize a small deterministic extract under java.io.tmpdir purely to
+  * exercise the source-format readers; production-path reads would point at
+  * real csv/json directories with an explicit schema (never inferSchema on
+  * a large lake — that is a full extra pass).
+  */
+object ScanOps extends QueryModule {
+
+  /** Write-once deterministic side files for the csv/json source tests.
+    * Derived from the events table; int/string columns only, so the
+    * text round-trip is value-exact. Idempotent per (sfDir, fmt).
+    */
+  private def sideFile(s: SparkSession, sfDir: String, fmt: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/$fmt"
+    val marker = new java.io.File(s"$dir/_SUCCESS")
+    if (!marker.exists()) {
+      val df = Tables.events(s, sfDir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+      val w = df.coalesce(1).write.mode(SaveMode.Overwrite)
+      fmt match {
+        case "csv"  => w.option("header", "true").csv(dir)
+        case "json" => w.json(dir)
+      }
+    }
+    dir
+  }
+
+  private val sideSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // projection + predicate pushdown reach the parquet reader (verified
+    // via explain: PushedFilters + 3-column ReadSchema).
+    "scan_parquet" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .where(col("l_quantity") < 5)
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "scan_csv" -> ((s, d) =>
+      s.read.schema(sideSchema).option("header", "true")
+        .csv(sideFile(s, d, "csv"))
+        .orderBy("event_id")),
+
+    "scan_json" -> ((s, d) =>
+      s.read.schema(sideSchema).json(sideFile(s, d, "json"))
+        .orderBy("event_id")),
+
+    // partitioned sink + re-read through partition pruning; the re-read
+    // aggregate proves the round trip. Partition column (lang) has 5
+    // values — at 100 TB partitionBy on a low-cardinality column like
+    // this gives prunable directories without small-file explosion.
+    "sink_partitioned" -> ((s, d) => {
+      val sf = new java.io.File(d).getName
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/docs_by_lang"
+      Tables.documents(s, d).write.mode(SaveMode.Overwrite)
+        .partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity < 5 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the csv/json round trips preserve these columns exactly, so the
+    // oracle is the original projection.
+    "scan_csv" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "scan_json" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    // CAST AS BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT, Spark stays long.
+    "sink_partitioned" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

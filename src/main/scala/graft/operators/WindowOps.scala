@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 window functions.
+  *
+  * Determinism: every window orderBy ends in a unique tiebreaker
+  * (o_orderkey / event_id) — rank/lag/frame results would otherwise be
+  * tie-dependent. Row frames (not range) per SURVEY §5.3; running sums use
+  * exact decimals so prefix sums are reproducible.
+  *
+  * Scale notes: a window = one shuffle on partitionBy keys + per-partition
+  * sort. Partition keys here (o_custkey, user_id) are high-cardinality, so
+  * partitions stay small and skew-free at 100 TB. No global windows
+  * (Window.orderBy without partitionBy) — those single-task at scale.
+  */
+object WindowOps extends QueryModule {
+  import Det._
+
+  override def queries: Map[String, Q.Fn] = Map(
+    "win_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          coalesce(lag("event_id", 1).over(w), lit(-1L)).as("prev_id"),
+          coalesce(lead("event_id", 1).over(w), lit(-1L)).as("next_id"),
+          coalesce(
+            unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)),
+            lit(-1L)).as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    "win_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec2(col("o_totalprice"))).over(w).cast("double")
+            .as("run_total"))
+        .orderBy("o_orderkey")
+    }),
+
+    "win_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"),
+          (sum(dec2(col("value"))).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg"))
+        .orderBy("event_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk, NTILE(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "win_topk_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  COALESCE(LAG(event_id, 1) OVER w, -1) AS prev_id,
+        |  COALESCE(LEAD(event_id, 1) OVER w, -1) AS next_id,
+        |  COALESCE(date_diff('second', LAG(ts, 1) OVER w, ts), -1) AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "win_running" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_moving_avg" ->
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / COUNT(1) OVER w AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.WeightedAvg
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed expected values on tiny in-memory frames (SURVEY §5.2.2). */
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("WeightedAvg matches hand computation and handles a single group") {
+    val df = Seq(("a", 2.0, 10.0), ("a", 3.0, 20.0), ("b", 1.0, 5.0))
+      .toDF("k", "w", "x")
+    val got = df.groupBy("k").agg(WeightedAvg(col("w"), col("x")).as("wa"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 16.0), ("b", 5.0)))
+  }
+
+  test("WeightedAvg is exact on decimal-cent inputs (order-insensitive)") {
+    // 0.1-style doubles would drift under naive double summation
+    val rows = (1 to 1000).map(i => ("g", 0.01, 0.01 * (i % 7)))
+    val got = rows.toDF("k", "w", "x").repartition(7)
+      .groupBy("k").agg(WeightedAvg(col("w"), col("x")).as("wa"))
+      .collect().head.getDouble(1)
+    val num = BigDecimal("0.01") *
+      rows.map(r => BigDecimal(r._3.toString)).sum
+    val den = BigDecimal("0.01") * 1000
+    assert(got == (num.doubleValue / den.doubleValue))
+  }
+
+  test("approx_count_distinct within 5% of exact at sf0.001") {
+    val li = Tables.lineitem(spark, sf)
+    val Row(approx: Long, exact: Long) = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02),
+      countDistinct(col("l_partkey"))).collect().head
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("join_asof picks the latest click at-or-before each purchase") {
+    val q = SparkEntry.queries("join_asof")(spark, sf)
+    val asof = q.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // independent oracle: naive per-purchase scan on collected rows
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val naive = ev.filter(_._4 == "purchase").map { case (pid, u, pts, _) =>
+      val clicks = ev.filter(e => e._2 == u && e._4 == "click" &&
+        (e._3.before(pts) || e._3.equals(pts)))
+      pid -> (if (clicks.isEmpty) -1L
+              else clicks.maxBy(e => (e._3.getTime, e._1))._1)
+    }.toMap
+    assert(asof == naive)
+  }
+
+  test("dropDuplicates key set equals SQL DISTINCT") {
+    val got = SparkEntry.queries("distinct_rows")(spark, sf).count()
+    val want = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_linestatus").distinct().count()
+    assert(got == want)
+  }
+}
