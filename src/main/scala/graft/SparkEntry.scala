@@ -15,7 +15,11 @@ object SparkEntry {
     operators.AggOps,
     operators.JoinOps,
     operators.WindowOps,
-    operators.SortSetOps
+    operators.SortSetOps,
+    operators.TextOps,
+    operators.VectorOps,
+    functions.FnOps,
+    streaming.StreamOps
   )
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,201 @@
+package graft.functions
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.8 scalar-function families + §2.11 UDF/UDTF surface.
+  *
+  * One compound query per family. Dialect traps handled here:
+  *  - DuckDB length()/year()/size() return BIGINT where Spark returns int
+  *    → Spark side casts to long so parquet schemas line up.
+  *  - DuckDB regexp_replace needs the 'g' flag to replace-all (Spark's
+  *    default); patterns are kept in the Java∩RE2 common subset.
+  *  - Spark datediff(end,start) vs DuckDB date_diff('day',start,end).
+  *  - No float→string formatting anywhere (engine-specific repr).
+  *
+  * All functions are codegen'd builtins (one Scala UDF in udf_scalar,
+  * intentionally, next to its native rewrite) — whole-stage codegen spans
+  * stay wide, which is what keeps these cheap at 100 TB.
+  */
+object FnOps extends QueryModule {
+
+  private val slugifyUdf = udf { s: String =>
+    if (s == null) null
+    else {
+      val t = s.trim.toLowerCase.replaceAll("[^a-z0-9]+", "-")
+      t.stripPrefix("-").stripSuffix("-")
+    }
+  }
+
+  override def queries: Map[String, Q.Fn] = Map(
+    "fn_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+          substring(col("p_name"), 1, 5).as("sub5"),
+          length(col("p_name")).cast(LongType).as("len"),
+          concat(col("p_brand"), lit(" "), col("p_name")).as("cat"),
+          element_at(split(col("p_name"), " "), 1).as("first_tok"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast(LongType).as("y"),
+          month(col("o_orderdate")).cast(LongType).as("m"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("mon_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("plus_30d"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast(LongType).as("days_since_95"),
+          unix_timestamp(col("o_orderdate")).as("unix_s"),
+          to_date(col("o_orderdate")).as("dt"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice").cast(DecimalType(18, 2)), 1)
+            .cast(DoubleType).as("rounded"),
+          abs(col("l_extendedprice") - lit(50000.0)).as("dist"),
+          sqrt(col("l_extendedprice")).as("sq"),       // sqrt is IEEE-exact
+          (col("l_quantity") * col("l_quantity")).as("qty2"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 25, "mid")
+            .otherwise("high").as("bucket"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("flag_or_none"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "fn_array" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          array_min(col("embedding")).as("mn"),
+          array_max(col("embedding")).as("mx"),
+          element_at(col("embedding"), 3).as("e3"),
+          size(filter(col("embedding"), x => x > 0.2)).cast(LongType)
+            .as("n_big"),
+          // sum of squares in double space, sequential on both engines;
+          // norms are ~1.0, far from the round-4 boundary
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)), 4)
+            .as("ssq"))
+        .orderBy("vec_id")),
+
+    "fn_map" -> ((s, d) => {
+      val m = from_json(col("props"), MapType(StringType, IntegerType))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          element_at(map_keys(m), 1).as("first_key"),
+          element_at(m, "k").as("k_val"),
+          size(map_values(m)).cast(LongType).as("n_vals"))
+        .orderBy("event_id")
+    }),
+
+    "fn_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+          (get_json_object(col("props"), "$.k").cast(IntegerType) % 10)
+            .as("k_mod"))
+        .orderBy("event_id")),
+
+    // the Scala-UDF slug next to its preferred native rewrite — identical
+    // outputs, so one oracle covers both and the plan shows the codegen
+    // difference (UDF = BatchEvalScala, native = whole-stage codegen)
+    "udf_scalar" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          slugifyUdf(col("p_name")).as("slug"),
+          regexp_replace(trim(lower(col("p_name"))), "[^a-z0-9]+", "-")
+            .as("slug_native"))
+        .orderBy("p_partkey")),
+
+    "udtf_gen" -> ((s, d) =>
+      Tables.documents(s, d)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+          col("token"))
+        .orderBy("doc_id", "pos"))
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  trim(' ' || p_name || ' ') AS trimmed,
+        |  substring(p_name, 1, 5) AS sub5,
+        |  length(p_name) AS len,
+        |  p_brand || ' ' || p_name AS cat,
+        |  string_split(p_name, ' ')[1] AS first_tok,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dom,
+        |  date_trunc('month', o_orderdate) AS mon_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus_30d,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+        |  epoch_ms(o_orderdate) // 1000 AS unix_s,
+        |  CAST(o_orderdate AS DATE) AS dt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rounded,
+        |  abs(l_extendedprice - 50000.0) AS dist,
+        |  sqrt(l_extendedprice) AS sq,
+        |  l_quantity * l_quantity AS qty2,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS bucket,
+        |  COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS n_dims,
+        |  list_min(embedding) AS mn, list_max(embedding) AS mx,
+        |  embedding[3] AS e3,
+        |  len(list_filter(embedding, x -> x > 0.2)) AS n_big,
+        |  round(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS ssq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |  json_keys(props)[1] AS first_key,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_vals
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT p_partkey,
+        |  trim(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g'), '-') AS slug,
+        |  regexp_replace(trim(lower(p_name)), '[^a-z0-9]+', '-', 'g') AS slug_native
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "udtf_gen" ->
+      """SELECT doc_id,
+        |  unnest(range(len(string_split(text, ' ')))) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin
+  )
+}

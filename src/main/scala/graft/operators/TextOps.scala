@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.9 LLM-data-pipeline text operators: deduplication + text analysis
+  * over the `documents` corpus.
+  *
+  * Scale notes:
+  *  - dedup_exact groups by a 256-bit content hash, not the text itself —
+  *    the shuffle carries 32-byte keys instead of document bodies. At
+  *    100 TB this is the difference between shuffling hashes and shuffling
+  *    the corpus.
+  *  - token/ngram pipelines are explode → partial-agg → shuffle-by-token;
+  *    token keys are Zipf-skewed, which AQE's skew handling absorbs (and a
+  *    two-stage salt would fix at extreme scale).
+  *  - simhash/fingerprint are single-pass, shuffle-once aggregations.
+  *  - the pairwise n-gram Jaccard is deliberately restricted to same-lang
+  *    candidate buckets + a doc_id bound; the unbounded version is what
+  *    dedup_near (MinHash LSH, VectorOps) exists for.
+  */
+object TextOps extends QueryModule {
+
+  private def toks = array_distinct(split(col("text"), " "))
+
+  /** SimHash bit b of a token's md5 hex: digit = hex char at b/4,
+    * bit = (digit >> (b%4)) & 1. md5 hex is identical on both engines, so
+    * the whole fingerprint is oracle-comparable. 60 bits → fits a long. */
+  private val SimhashBits = 60
+  private def sparkBit(b: Int): String =
+    s"(shiftright(instr('0123456789abcdef', substr(md5(token), ${b / 4 + 1}, 1)) - 1, ${b % 4}) & 1)"
+  private def duckBit(b: Int): String =
+    s"(((instr('0123456789abcdef', substr(md5(tok), ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1)"
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // exact dedup: 32-byte hash shuffle key; survivor = min(doc_id) for
+    // determinism (SURVEY §5.3.4 — never "first row wins")
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")),
+
+    // 60-bit SimHash fingerprint per document. Identical texts get
+    // identical fingerprints; near-identical texts land within a small
+    // hamming distance (asserted in TextSpec at sf0.1 on planted dups).
+    "dedup_simhash" -> ((s, d) => {
+      val tc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      val sums = (0 until SimhashBits).map(b =>
+        sum(expr(s"cnt * (2 * ${sparkBit(b)} - 1)")).as(s"s$b"))
+      val fp = (0 until SimhashBits).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+      tc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id"), expr(fp).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // pairwise n-gram (token-set) Jaccard within same-lang candidate
+    // buckets; the bucket key is what keeps the pair space bounded
+    "dedup_ngram" -> ((s, d) => {
+      val a = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id").as("id1"), col("lang"), toks.as("t1"))
+      val b = Tables.documents(s, d).where(col("doc_id") < 100)
+        .select(col("doc_id").as("id2"), col("lang"), toks.as("t2"))
+      a.join(b, Seq("lang")).where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("t1"), col("t2"))).cast(LongType)
+            .as("n_inter"),
+          size(array_union(col("t1"), col("t2"))).cast(LongType).as("n_union"),
+          (size(array_intersect(col("t1"), col("t2"))).cast(DoubleType) /
+            size(array_union(col("t1"), col("t2")))).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+        .orderBy("id1", "id2")
+    }),
+
+    "text_tokens" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)),
+
+    // whitespace tokens vs BPE-ish regex tokens vs distinct types
+    "text_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+            .cast(LongType).as("n_re"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("n_types"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    "text_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfreq, "token").crossJoin(broadcast(n))
+        .where(col("doc_id") < 20)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tf") *
+            log((col("n").cast(DoubleType) + 1) / (col("df") + 1)), 4)
+            .as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+
+    "text_ngram" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) > 1)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(100)),
+
+    "text_lang_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          (sum("n_chars").cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source")),
+
+    // language-ID mechanism: score fixed marker-token frequencies and take
+    // a deterministic argmax. (The synthetic corpus shares one vocabulary
+    // across langs — FIXTURES.md — so accuracy is meaningless here; the
+    // operator demonstrates the n-gram-profile scoring shape.)
+    "text_langid" -> ((s, d) => {
+      def cnt(t: String) = size(filter(split(col("text"), " "), x => x === t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("actual_lang"),
+          cnt("the").as("c_en"), cnt("data").as("c_de"),
+          cnt("a").as("c_es"), cnt("row").as("c_fr"),
+          cnt("value").as("c_zh"))
+        .select(col("doc_id"), col("actual_lang"),
+          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
+            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
+            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
+              col("c_de") >= col("c_zh"), "de")
+            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"),
+              "es")
+            .when(col("c_fr") >= col("c_zh"), "fr")
+            .otherwise("zh").as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // quality score from exact ratios — pure double arithmetic with
+    // identical op order on both engines, so no rounding is needed
+    "text_quality" -> ((s, d) => {
+      val words = size(split(col("text"), " "))
+      val types = size(array_distinct(split(col("text"), " ")))
+      val stops = size(filter(split(col("text"), " "),
+        x => x === "a" || x === "the"))
+      val avgWlen = (col("n_chars") - (words - 1)).cast(DoubleType) / words
+      val ttr = types.cast(DoubleType) / words
+      val stopRatio = stops.cast(DoubleType) / words
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          words.cast(LongType).as("n_words"),
+          ttr.as("ttr"), stopRatio.as("stop_ratio"), avgWlen.as("avg_wlen"),
+          (lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
+            lit(0.2) * least(avgWlen / 8.0, lit(1.0))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // rolling polynomial content fingerprint (mod large prime), computed
+    // character-by-character — single narrow pass, no shuffle
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("aggregate(sequence(1, length(text)), 0L, " +
+            "(acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)")
+            .as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+
+  private val duckSimhash: String = {
+    val sums = (0 until SimhashBits).map(b =>
+      s"SUM(cnt * (2 * ${duckBit(b)} - 1)) AS s$b").mkString(",\n    ")
+    val fp = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH tc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY doc_id, tok),
+       |s AS (SELECT doc_id,
+       |    $sums
+       |  FROM tc GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_simhash" -> duckSimhash,
+    "dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "text_tokens" ->
+      """SELECT tok AS token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_re,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok AS token, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, token, tf, df,
+        |  round(tf * ln((CAST(n AS DOUBLE) + 1) / (df + 1)), 4) AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |WHERE doc_id < 20 ORDER BY doc_id, token""".stripMargin,
+    "text_ngram" ->
+      """SELECT bigram, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |                i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) > 1)
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
+    "text_lang_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (SELECT doc_id, lang AS actual_lang,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c_en,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'data')) AS c_de,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'a')) AS c_es,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'row')) AS c_fr,
+        |  len(list_filter(string_split(text, ' '), x -> x = 'value')) AS c_zh
+        |FROM documents)
+        |SELECT doc_id, actual_lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+        |       WHEN c_fr >= c_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_wlen,
+        |  0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')))
+        |  + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS DOUBLE)
+        |                 / len(string_split(text, ' ')))
+        |  + 0.2 * least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |                 / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.9 similarity search + near-dup detection + multimodal columns over
+  * the `embeddings` and `documents` tables.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (constant-size) query set and scans
+  *    the corpus once — the right baseline even at 100 TB (one pass, no
+  *    shuffle of the corpus; per-partition partial top-k via the window is
+  *    the only reduce).
+  *  - the LSH variants (`sim_lsh`, `dedup_near`) are the sub-linear scale
+  *    path: hash once, shuffle only bucket-colliding candidates.
+  *  - `sim_ivf_topk` shows the IVF shape: k-means coarse quantizer, search
+  *    only the closest `nprobe` inverted lists — corpus scan shrinks by
+  *    ~k/nprobe. Model fit is the one allowed driver-side step (SURVEY §4).
+  *  - pairwise cosine (`sim_cosine_pairs`) is bounded here; unbounded
+  *    near-dup at scale goes through LSH bucketing instead.
+  */
+object VectorOps extends QueryModule {
+
+  /** cosine ≡ dot product on these unit-norm vectors (FIXTURES.md);
+    * element-wise double products summed left-to-right — same sequential
+    * order DuckDB's list_aggregate uses, so round(.,4) is stable. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def mlVecs(s: SparkSession, d: String): DataFrame = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        toVec(col("embedding")).as("vec"))
+  }
+
+  override def queries: Map[String, Q.Fn] = Map(
+    "sim_bruteforce_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // all pairs above a cosine threshold — embedding-based near-dup.
+    // One side broadcasts (corpus fits at test SF); the 100 TB variant is
+    // sim_lsh/dedup_near bucketing.
+    "sim_cosine_pairs" -> ((s, d) => {
+      val a = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      val b = Tables.embeddings(s, d)
+        .select(col("vec_id").as("id2"), col("embedding").as("e2"))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(dot(col("e1"), col("e2")), 4).as("sim"))
+        .where(col("sim") >= 0.4)
+        .orderBy("id1", "id2")
+    }),
+
+    // random-hyperplane LSH ANN: euclidean dist <= 1.1 on unit vectors
+    // ≡ cosine >= 0.395. No oracle (approximate by construction); recall
+    // vs brute force asserted in VectorSpec.
+    "sim_lsh" -> ((s, d) => {
+      val vecs = mlVecs(s, d)
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("vec").setOutputCol("buckets")
+        .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+      val model = lsh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 1.1, "dist")
+        .select(col("datasetA.vec_id").as("id1"),
+          col("datasetB.vec_id").as("id2"), col("dist"))
+        .where(col("id1") < col("id2"))
+        .orderBy("id1", "id2")
+    }),
+
+    // IVF-style ANN: k-means coarse quantizer → probe the 2 nearest
+    // centroids per query → brute-force only inside probed lists.
+    "sim_ivf_topk" -> ((s, d) => {
+      val vecs = mlVecs(s, d).cache()
+      val km = new KMeans().setK(8).setSeed(42)
+        .setFeaturesCol("vec").setPredictionCol("cluster")
+      val model = km.fit(vecs)
+      val assigned = model.transform(vecs)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      val centroids = model.clusterCenters.zipWithIndex.map {
+        case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+      }.toSeq
+      val cdf = s.createDataFrame(centroids).toDF("cluster", "centroid")
+      // nprobe=2 nearest centroids per query vector
+      val wq = Window.partitionBy("q_id").orderBy(col("cdist").desc)
+      val probes = assigned.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(cdf))
+        .withColumn("cdist", dot(col("q_emb"), col("centroid")))
+        .withColumn("cr", row_number().over(wq))
+        .where(col("cr") <= 2)
+        .select(col("q_id"), col("q_emb"), col("cluster"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+      probes.join(assigned, "cluster")
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // MinHash+LSH near-dup over token sets: CountVectorizer (binary) →
+    // MinHashLSH banding → candidate pairs → exact jaccard filter.
+    "dedup_near" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+      val cv = new CountVectorizer().setInputCol("toks").setOutputCol("vec")
+        .setBinary(true)
+      val vecs = cv.fit(docs).transform(docs)
+      val mh = new MinHashLSH().setInputCol("vec").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42)
+      val model = mh.fit(vecs)
+      model.approxSimilarityJoin(vecs, vecs, 0.5, "jdist")
+        .select(col("datasetA.doc_id").as("id1"),
+          col("datasetB.doc_id").as("id2"),
+          round(lit(1.0) - col("jdist"), 4).as("jaccard"))
+        .where(col("id1") < col("id2"))
+        .orderBy("id1", "id2")
+    }),
+
+    // multimodal columns: opaque binary payload + typed metadata. The
+    // metadata path is oracle-compared; octet_length/sha256 agree with
+    // DuckDB over the same utf8 bytes.
+    "multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"),
+          sha2(col("text").cast(BinaryType), 256).as("sha"),
+          struct(col("lang"), col("n_chars")).getField("lang").as("meta_lang"))
+        .orderBy("doc_id")),
+
+    // decode path: batched per-partition "decode" of the binary payload.
+    // The decode itself is a deterministic STUB (no image/audio libs in
+    // this container — task brief); the Spark plumbing (binary column,
+    // mapPartitions batch shape, typed output schema) is real and what
+    // a pandas_udf/mapInPandas equivalent would use on a cluster.
+    "multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            // stub decode: pretend payload is an image/audio container
+            val width = 64 + (bytes.length % 512)
+            val height = 64 + ((bytes.headOption.getOrElse(0: Byte) & 0xff) % 512)
+            val nFrames = 1 + (bytes.length % 16)
+            val feat = Array.tabulate(8)(i =>
+              (bytes((i * 7) % bytes.length) & 0xff) / 255.0f)
+            (id, width, height, nFrames, feat.sum.toDouble)
+          }
+        }
+        .toDF("doc_id", "width", "height", "n_frames", "feat_sum")
+        .orderBy("doc_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sim_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 3),
+        |j AS (SELECT q_id, vec_id,
+        |        round(list_aggregate(list_transform(list_zip(q_emb, embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |      FROM embeddings CROSS JOIN q WHERE vec_id <> q_id)
+        |SELECT q_id, rank, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rank
+        |  FROM j) t
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "sim_cosine_pairs" ->
+      """WITH j AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  lang AS meta_lang
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.10 streaming operators over the `events` table.
+  *
+  * Every id here ships in two forms (SURVEY §1.2): the batch-equivalent
+  * SQL-expressible form below (oracle-compared — DuckDB replays plain SQL,
+  * so `readStream` plans can't be verified that way) and a genuine
+  * Structured Streaming form exercised by StreamingSpec (`MemoryStream` +
+  * watermarks + `processAllAvailable`). The batch forms are the exact
+  * semantics the streaming forms converge to on a closed input.
+  *
+  * Scale notes:
+  *  - tumbling/sliding windows are plain hash aggregations on
+  *    (window_start, key) — partial agg before the shuffle, O(windows)
+  *    reduce side. A 15-min slide over 1 h fan-outs each row 4× *before*
+  *    partial agg, which is the same cost Structured Streaming pays.
+  *  - sessionization and running state are one shuffle + sort per user_id
+  *    (high cardinality → small skew-free partitions); the streaming
+  *    equivalents keep O(users) state, not O(events).
+  *  - the late-data simulation keeps the watermark *per user* so the
+  *    window stays partitioned — a global arrival-order watermark would
+  *    single-task at 100 TB (the real streaming engine tracks watermarks
+  *    distributed, per-partition; see StreamingSpec's true-watermark test).
+  */
+object StreamOps extends QueryModule {
+  import Det._
+
+  /** 30-minute session gap (seconds). */
+  private val SessionGapS = 1800L
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // 1-hour tumbling windows per event_type. window() starts align to
+    // the epoch hour — identical to date_trunc('hour', ts).
+    "stream_tumbling" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
+    // 1-hour window sliding every 15 min: each event lands in exactly 4
+    // windows whose starts are the 15-min marks in (ts-1h, ts].
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("w_start"), col("n_events"))
+        .orderBy("w_start")),
+
+    // session windows (30-min inactivity gap) per user: lag → new-session
+    // flag → running sum = session ordinal; then one agg per session.
+    "stream_session" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapS = unix_timestamp(col("ts")) -
+        unix_timestamp(lag("ts", 1).over(ord))
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(gapS.isNull || gapS > SessionGapS, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_trunc("second", min(col("ts"))).as("s_start"),
+          date_trunc("second", max(col("ts"))).as("s_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // dedup-within-window: batch equivalent of
+    // dropDuplicatesWithinWatermark on (user_id, event_type) with a 1-hour
+    // horizon — survivor is min(event_id) per (hour-bucket, key), never
+    // "first seen" (SURVEY §5.3.4).
+    "stream_dedup" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"),
+          col("user_id"), col("event_type"))
+        .agg(min("event_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select(col("w.start").as("w_start"), col("user_id"),
+          col("event_type"), col("keep_id"), col("n_dups"))
+        .orderBy("w_start", "user_id", "event_type")),
+
+    // per-user running counters — the state a transformWithState /
+    // mapGroupsWithState handler would keep (exercised for real in
+    // StreamingSpec); batch form is a prefix-window over each user.
+    "stream_stateful" -> ((s, d) => {
+      val run = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(run).as("n_so_far"),
+          sum(dec2(col("value"))).over(run).cast(DoubleType)
+            .as("value_so_far"))
+        .orderBy("event_id")
+    }),
+
+    // late-data flagging: events.ts is monotone in event_id (FIXTURES.md),
+    // so real arrival order has no late rows; simulate out-of-order
+    // arrival deterministically by md5(event_id) and flag rows older than
+    // the per-user high-watermark minus a 10-min allowed delay. All
+    // comparisons at second granularity so ns-vs-µs precision (DuckDB
+    // reads the raw ns parquet) cannot flip a boundary.
+    "late_data" -> ((s, d) => {
+      val arrival = Window.partitionBy("user_id")
+        .orderBy(md5(col("event_id").cast(StringType)))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("ts_s", date_trunc("second", col("ts")))
+        .withColumn("max_prior", max(col("ts_s")).over(arrival))
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("ts_s") <
+              col("max_prior") - expr("INTERVAL 10 MINUTE"),
+            lit(false)).cast(IntegerType).as("is_late"))
+        .orderBy("event_id")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT make_timestamp(((epoch_ms(ts) // 900000) - k) * 900000000) AS w_start,
+        |  COUNT(1) AS n_events
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(k)
+        |GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(1) AS n_events,
+        |  date_trunc('second', MIN(ts)) AS s_start,
+        |  date_trunc('second', MAX(ts)) AS s_end
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT date_trunc('hour', ts) AS w_start, user_id, event_type,
+        |  MIN(event_id) AS keep_id, COUNT(1) AS n_dups
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY w_start, user_id, event_type""".stripMargin,
+    "stream_stateful" ->
+      """SELECT event_id, user_id,
+        |  COUNT(1) OVER w AS n_so_far,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_so_far
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "late_data" ->
+      """SELECT event_id, user_id,
+        |  CAST(COALESCE(ts_s < max_prior - INTERVAL 10 MINUTE, FALSE) AS INT) AS is_late
+        |FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s,
+        |        MAX(date_trunc('second', ts)) OVER (PARTITION BY user_id
+        |          ORDER BY md5(CAST(event_id AS VARCHAR))
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,155 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** True Structured Streaming forms of the §2.10 operators (SURVEY §5.2.4).
+  * The batch-equivalent forms are oracle-compared via StreamOps; these
+  * tests prove the readStream/watermark/state behavior the oracle can't see:
+  * incremental emission, late-row dropping, within-watermark dedup, and
+  * custom per-key state.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(min * 60000L)
+
+  test("tumbling window with watermark drops rows later than the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "etype")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("etype"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("tumble")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(10), "click"), (ts(20), "click"))
+      q.processAllAvailable() // watermark -> 00:10 after this batch
+      in.addData((ts(120), "view"))
+      q.processAllAvailable() // watermark -> 01:50, closes [00:00,01:00)
+      // 00:30 is before the 01:50 watermark -> dropped, not added to the
+      // already-emitted window; 03:30 advances the watermark past 02:00
+      in.addData((ts(30), "click"), (ts(210), "view"))
+      q.processAllAvailable()
+      in.addData((ts(400), "view")) // close [03:00,04:00) too
+      q.processAllAvailable()
+      val got = spark.table("tumble")
+        .select(col("w_start"), col("etype"), col("n"))
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2))).toSet
+      assert(got.contains((0L, "click", 2L)), s"window[00:00) wrong: $got")
+      assert(!got.exists(g => g._1 == 0L && g._3 == 3L),
+        "late 00:30 row must NOT reach the closed [00:00,01:00) window")
+      assert(got.contains((120L, "view", 1L)), s"window[02:00) wrong: $got")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dd = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val q = dd.writeStream.format("memory").queryName("dedupw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts(1), 7L), (ts(2), 7L)) // same key, same batch
+      q.processAllAvailable()
+      in.addData((ts(3), 7L), (ts(4), 8L)) // dup of 7 across batches
+      q.processAllAvailable()
+      val ks = spark.table("dedupw").select("k").as[Long].collect().toSeq
+      assert(ks.sorted == Seq(7L, 8L), s"expected one 7 and one 8, got $ks")
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap, splits beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sess = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: 00:00,00:20,00:40 chain (gaps<30m -> one session of 3);
+      // then 02:00 (gap>30m -> new session)
+      in.addData((ts(0), 1L), (ts(20), 1L), (ts(40), 1L), (ts(120), 1L))
+      q.processAllAvailable()
+      in.addData((ts(600), 9L)) // push watermark far ahead to close all
+      q.processAllAvailable()
+      val got = spark.table("sess").where(col("user") === 1)
+        .select("n").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 3L), s"expected sessions [3,1], got $got")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counters") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, v0 + batch.map(_._2).sum)
+          state.update(next)
+          (user, next._1, next._2)
+      }
+      .toDF("user", "n", "total")
+    val q = counts.writeStream.format("memory").queryName("stateful")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 1.0), (1L, 2.0), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 4.0))
+      q.processAllAvailable()
+      val last = spark.table("stateful").where(col("user") === 1)
+        .orderBy(col("n").desc).limit(1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+      assert(last == (3L, 7.0), s"user 1 final state wrong: $last")
+      val u2 = spark.table("stateful").where(col("user") === 2)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+      assert(u2 == (1L, 10.0))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts converge to the batch-equivalent query") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
+      .select("w_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val ev = Tables.events(spark, sf)
+      .select("ts", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("conv")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("conv")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == batch,
+        s"stream/batch divergence: ${(got diff batch) ++ (batch diff got)}")
+    } finally q.stop()
+  }
+}
