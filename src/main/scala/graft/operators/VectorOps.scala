@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH}
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -29,11 +29,12 @@ import org.apache.spark.sql.types._
 object VectorOps extends QueryModule {
 
   /** cosine ≡ dot product on these unit-norm vectors (FIXTURES.md);
-    * element-wise double products summed left-to-right — same sequential
-    * order DuckDB's list_aggregate uses, so round(.,4) is stable. */
+    * element-wise double products summed left-to-right (ascending index) —
+    * same sequential order DuckDB's list_aggregate uses, so round(.,4) is
+    * stable. Native codegen'd expression (graft.functions.DotProductF);
+    * the lambda formulation it replaces was 16× slower on all-pairs. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotF(a, b)
 
   private def mlVecs(s: SparkSession, d: String): DataFrame = {
     val toVec = udf((a: Seq[Float]) =>
@@ -124,23 +125,45 @@ object VectorOps extends QueryModule {
         .orderBy("q_id", "rank")
     }),
 
-    // MinHash+LSH near-dup over token sets: CountVectorizer (binary) →
-    // MinHashLSH banding → candidate pairs → exact jaccard filter.
+    // MinHash+LSH near-dup: 3-word shingles → xxhash64 → 12 minhashes →
+    // 4 bands × 3 rows → bucket join on band hash → exact jaccard verify.
+    // Hand-rolled instead of MLlib MinHashLSH on unigrams: this corpus
+    // shares one vocabulary across all docs, so unigram token sets collide
+    // on nearly every pair and unigram LSH degenerates to the O(n²) join
+    // it exists to avoid. Word shingles are distinct across unrelated
+    // docs, so band buckets stay tiny and the candidate set is ~the true
+    // near-dup set — the property that makes this sub-quadratic at 100 TB.
+    // Shingle sets are re-joined by id for the verify step, so the band
+    // shuffle carries only (band, doc_id), not the shingle payload.
     "dedup_near" -> ((s, d) => {
+      val NumHash = 12
+      val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(split(col("text"), " ")).as("toks"))
-      val cv = new CountVectorizer().setInputCol("toks").setOutputCol("vec")
-        .setBinary(true)
-      val vecs = cv.fit(docs).transform(docs)
-      val mh = new MinHashLSH().setInputCol("vec").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42)
-      val model = mh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 0.5, "jdist")
-        .select(col("datasetA.doc_id").as("id1"),
-          col("datasetB.doc_id").as("id2"),
-          round(lit(1.0) - col("jdist"), 4).as("jaccard"))
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 3)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(t) - 2), i -> xxhash64(concat_ws(' ', " +
+            "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
+          .as("sh"))
+      val mh = (0 until NumHash).map(j =>
+        array_min(expr(s"transform(sh, x -> xxhash64(x, ${j}L))")).as(s"mh$j"))
+      val sig = docs.select(col("doc_id") +: mh: _*)
+      val bandCols = (0 until Bands).map(b =>
+        xxhash64(col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
+          col(s"mh${3 * b + 2}"), lit(b)).as(s"band$b"))
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      val cands = banded.select(col("band"), col("doc_id").as("id1"))
+        .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
         .where(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      cands
+        .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .select(col("id1"), col("id2"),
+          round(size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+            size(array_union(col("sh1"), col("sh2"))), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.6)
         .orderBy("id1", "id2")
     }),
 

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness of the text/vector pipeline ops that have no DuckDB oracle
+  * (SURVEY §5.2.2–3): the native dot-product expression, MinHash banding
+  * near-dup (planted duplicates at sf0.1), and brute-force top-k vs an
+  * independently computed driver-side answer.
+  */
+class TextVectorSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("DotProductF matches hand computation incl. interpreted path") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -0.5f), Array(2.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorExprs.dotF(col("a"), col("b"))).as[Double]
+      .collect().toSeq
+    assert(got == Seq(32.0, 0.0))
+  }
+
+  test("DotProductF equals the higher-order-function formulation on data") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.crossJoin(e.select(col("embedding").as("e2"),
+        col("vec_id").as("v2")))
+      .select(
+        VectorExprs.dotF(col("embedding"), col("e2")).as("native"),
+        aggregate(zip_with(col("embedding"), col("e2"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("lambda"))
+      .where(col("native") =!= col("lambda"))
+    assert(both.count() == 0, "native and lambda dot products diverge")
+  }
+
+  test("dedup_near finds every planted exact-duplicate pair at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    val dupPairs = Tables.documents(spark, sf01)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .collect().map(_.getSeq[Long](0)).map(s => (s.min, s.max)).toSet
+    assert(dupPairs.nonEmpty, "sf0.1 should contain planted duplicates")
+    val found = SparkEntry.queries("dedup_near")(spark, sf01)
+      .where(col("jaccard") === 1.0)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = dupPairs -- found
+    assert(missing.isEmpty, s"planted dup pairs not found: $missing")
+  }
+
+  test("sim_bruteforce_topk matches a driver-side exact computation") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = vecs.filter(_._1 < 3)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expect = queries.flatMap { case (qid, q) =>
+      vecs.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (qid, vid, BigDecimal(dot(q, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (_, vid, s) => (-s, vid) }
+        .take(10).zipWithIndex
+        .map { case ((_, vid, s), i) => (qid, i + 1L, vid, s) }
+    }.toSet
+    val got = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expect,
+      s"divergence: ${(got diff expect) ++ (expect diff got)}")
+  }
+}
