@@ -70,6 +70,17 @@ object JoinOps extends QueryModule {
         .agg(count(col("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")),
 
+    // right-outer mirror of join_left: orders on the stream side, every
+    // customer preserved from the build side
+    "join_right" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"),
+          "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_custkey")),
+
     "join_full" -> ((s, d) => {
       val cn = Tables.customer(s, d).groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_cust"))
@@ -176,6 +187,11 @@ object JoinOps extends QueryModule {
     "join_left" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_full" ->
       """SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,

@@ -61,6 +61,22 @@ object ScanOps extends QueryModule {
       s.read.schema(sideSchema).json(sideFile(s, d, "json"))
         .orderBy("event_id")),
 
+    // plain parquet sink + re-read; the re-read aggregate proves the
+    // round trip is lossless (same count + exact decimal sum + key range
+    // as computing directly on the source table).
+    "sink_parquet" -> ((s, d) => {
+      val sf = new java.io.File(d).getName
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/orders_sink"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      s.read.parquet(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     // partitioned sink + re-read through partition pruning; the re-read
     // aggregate proves the round trip. Partition column (lang) has 5
     // values — at 100 TB partitionBy on a low-cardinality column like
@@ -87,6 +103,11 @@ object ScanOps extends QueryModule {
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "scan_json" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "sink_parquet" ->
+      """SELECT COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     // CAST AS BIGINT: DuckDB SUM(BIGINT) widens to HUGEINT, Spark stays long.
     "sink_partitioned" ->
       """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars

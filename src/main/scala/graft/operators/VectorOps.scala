@@ -96,7 +96,7 @@ object VectorOps extends QueryModule {
     // centroids per query → brute-force only inside probed lists.
     "sim_ivf_topk" -> ((s, d) => {
       val vecs = mlVecs(s, d).cache()
-      val km = new KMeans().setK(8).setSeed(42)
+      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5)
         .setFeaturesCol("vec").setPredictionCol("cluster")
       val model = km.fit(vecs)
       val assigned = model.transform(vecs)

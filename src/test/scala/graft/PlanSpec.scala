@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits (SURVEY §4): these lock in the properties that
+  * make the queries scale — pushdown reaching the parquet reader, dims
+  * broadcasting instead of shuffling, top-k planning as
+  * TakeOrderedAndProject instead of a global sort, and partial (map-side)
+  * aggregation before the shuffle. A regression here won't change sf0.01
+  * results but would be a 100 TB disaster, which is why it's asserted.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("scan_parquet pushes its predicate and prunes columns") {
+    val p = plan("scan_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,"),
+      s"predicate not pushed to parquet:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin, not a shuffle join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("join_multiway broadcasts every dimension") {
+    val p = plan("join_multiway")
+    // supplier, nation⋈region chain, and (at this size) customer all
+    // broadcast; only fact⋈fact may shuffle
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 3, s"dims not broadcast:\n$p")
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not incremental:\n$p")
+  }
+
+  test("agg_hash partial-aggregates before the shuffle") {
+    val p = plan("agg_hash")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("window queries shuffle exactly once") {
+    for (name <- Seq("win_rank", "win_lag_lead", "win_running")) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      // one hash partitioning for the window; the final orderBy adds a
+      // range partitioning — anything beyond that is a regression
+      assert(exchanges <= 2, s"$name shuffles $exchanges times:\n$p")
+    }
+  }
+
+  test("dedup_exact shuffles hashes, not document bodies") {
+    val p = plan("dedup_exact")
+    // partial aggregation must run before the exchange, keyed on the
+    // sha-256 hash — so the shuffle carries 32-byte keys + counters only
+    assert(p.contains("partial_min(doc_id"),
+      s"no map-side combine before the shuffle:\n$p")
+    val exLine = p.linesIterator
+      .find(l => l.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exLine.contains("_groupingexpression") && !exLine.contains("text#"),
+      s"shuffle not keyed on the content hash:\n$exLine")
+  }
+}
