@@ -105,6 +105,34 @@ object AggOps extends QueryModule {
         .where(col("n_items") >= 550)
         .orderBy("l_suppkey")),
 
+    // two-phase salted aggregation — the skew pattern for 100 TB: phase 1
+    // spreads each hot key over 16 salt shards (shuffle is uniform even if
+    // one key dominates), phase 2 merges the 16 partials per key. Result
+    // is provably identical to the direct groupBy (decimal sums are
+    // associative), which is exactly what the oracle checks.
+    "agg_salted_skew" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(count(lit(1)).as("n0"),
+          sum(dec2(col("l_quantity"))).as("q0"))
+        .groupBy("l_returnflag")
+        .agg(sum("n0").as("n_rows"),
+          sum("q0").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    // exact interpolated percentiles; both engines use the same
+    // (n-1)*p rank + linear interpolation definition, and the inputs are
+    // 2-dp doubles, so the interpolation arithmetic is bit-identical
+    "agg_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy("l_returnflag")),
+
     "agg_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -167,6 +195,16 @@ object AggOps extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey
         |HAVING COUNT(1) >= 550 ORDER BY l_suppkey""".stripMargin,
+    "agg_salted_skew" ->
+      """SELECT l_returnflag, COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -167,6 +167,24 @@ object VectorOps extends QueryModule {
         .orderBy("id1", "id2")
     }),
 
+    // vector-column arithmetic alongside relational cols: L2 norm via the
+    // native dot expression, normalization, element-wise zip_with — all
+    // per-row narrow ops, no shuffle
+    "multimodal_cols" -> ((s, d) => {
+      val e = col("embedding")
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          round(sqrt(dot(e, e)), 4).as("l2"),
+          round(element_at(e, 1).cast(DoubleType) / sqrt(dot(e, e)), 4)
+            .as("e1_norm"),
+          round(lit(2.0) * aggregate(e, lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 4).as("scaled_sum"),
+          round(element_at(zip_with(e, reverse(e),
+            (x, y) => x.cast(DoubleType) + y.cast(DoubleType)), 1), 4)
+            .as("e1_plus_rev"))
+        .orderBy("vec_id")
+    }),
+
     // multimodal columns: opaque binary payload + typed metadata. The
     // metadata path is oracle-compared; octet_length/sha256 agree with
     // DuckDB over the same utf8 bytes.
@@ -224,6 +242,18 @@ object VectorOps extends QueryModule {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "multimodal_cols" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')), 4) AS l2,
+        |  round(CAST(embedding[1] AS DOUBLE)
+        |    / sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')), 4) AS e1_norm,
+        |  round(2.0 * list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 4) AS scaled_sum,
+        |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[-1] AS DOUBLE), 4)
+        |    AS e1_plus_rev
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

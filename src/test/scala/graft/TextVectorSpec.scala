@@ -53,6 +53,23 @@ class TextVectorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted dup pairs not found: $missing")
   }
 
+  test("sim_lsh reaches >=90% recall of the exact neighbor pairs") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val exact = (for {
+      (i, a) <- vecs; (j, b) <- vecs if i < j
+      dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      if math.sqrt(math.max(0.0, 2.0 - 2.0 * dot)) <= 1.1
+    } yield (i, j)).toSet
+    assert(exact.nonEmpty)
+    val got = SparkEntry.queries("sim_lsh")(spark, sf)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- got}")
+  }
+
   test("sim_bruteforce_topk matches a driver-side exact computation") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
