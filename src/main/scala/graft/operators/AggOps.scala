@@ -88,6 +88,17 @@ object AggOps extends QueryModule {
           |ORDER BY rflag, lstatus""".stripMargin)
     }),
 
+    // pivot: one column per l_returnflag value. Values are enumerated
+    // explicitly — at 100 TB an implicit pivot would need an extra
+    // distinct-scan job just to discover the column set.
+    "agg_pivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double"))
+        .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+        .orderBy("l_linestatus")),
+
     // collect_list is unordered across partitions — sort_array before
     // joining makes the value deterministic (SURVEY §5.3.4)
     "agg_collect" -> ((s, d) =>
@@ -186,6 +197,12 @@ object AggOps extends QueryModule {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
         |                        (l_returnflag, l_linestatus))
         |ORDER BY rflag, lstatus""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "agg_collect" ->
       """SELECT l_orderkey,
         |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines

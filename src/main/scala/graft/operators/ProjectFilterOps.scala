@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** §2.2 projection / filter / predicates.
   *
@@ -40,7 +41,51 @@ object ProjectFilterOps extends QueryModule {
           col("p_type").isNotNull)
         .select(col("p_partkey"), col("p_name"), col("p_brand"),
           col("p_size"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // scalar + correlated-IN subqueries; Catalyst decorrelates the IN to
+    // a semi join and the scalar aggregate broadcasts as a single row
+    "filter_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("sq_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("sq_lineitem")
+      // threshold = exact decimal sum / count, divided once in double
+      // space — bit-identical on both engines (same rationale as Det.davg)
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM sq_orders
+          |WHERE o_totalprice >
+          |    (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |            / COUNT(1) FROM sq_orders)
+          |  AND o_orderkey IN (SELECT l_orderkey FROM sq_lineitem
+          |                     WHERE l_quantity >= 45)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // deterministic hash sampling: md5-prefix filter keeps ~1/16 of rows
+    // identically in any engine — unlike rng-based sample(), this is
+    // reproducible across partitionings, retries, and engines, which is
+    // what a 100 TB pipeline needs for stable dev subsets
+    "sample_hash" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(substring(md5(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"))), 1, 1) === "0")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // cast matrix: the type-normalization surface of a schema-cleansing
+    // stage (string↔number, double→decimal quantization, ts→date/epoch)
+    "fn_cast" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_orderkey").cast("string").as("key_str"),
+          (col("o_orderkey").cast("string").cast("long") * 2)
+            .as("key_roundtrip2"),
+          col("o_totalprice").cast(DecimalType(18, 0)).cast("long")
+            .as("price_long"),
+          col("o_totalprice").cast("string").cast("double").as("price_rt"),
+          col("o_orderdate").cast("date").as("odate"),
+          col("o_orderdate").cast("date").cast("string").as("odate_str"),
+          year(col("o_orderdate").cast("date")).cast("long").as("oyear"))
+        .orderBy("o_orderkey"))
   )
 
   override def oracles: Map[String, String] = Map(
@@ -61,6 +106,28 @@ object ProjectFilterOps extends QueryModule {
         |  AND p_name LIKE '%red%'
         |  AND p_size BETWEEN 1 AND 25
         |  AND p_type IS NOT NULL
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "filter_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >
+        |    (SELECT 1.5 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |            / COUNT(1) FROM orders)
+        |  AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     WHERE l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 1) = '0'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_cast" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) * 2 AS key_roundtrip2,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,0)) AS BIGINT) AS price_long,
+        |  CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS price_rt,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate_str,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS oyear
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants on randomized inputs (SURVEY §5.2.3). Each check
+  * runs the real Spark operators on generated frames, so these catch
+  * semantic regressions the fixed-fixture oracle can't (e.g. a dedup that
+  * depends on row order, or a session assignment that shifts under jitter).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val smallInts = Gen.listOfN(40, Gen.chooseNum(0, 12))
+
+  /** scalatestplus isn't resolvable offline, so drive scalacheck Gens
+    * directly: N deterministic draws per property. */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 12)
+      (body: (A, B) => Unit): Unit =
+    for (i <- 1 to n) {
+      val p = Gen.Parameters.default
+      body(ga.pureApply(p, Seed(i)), gb.pureApply(p, Seed(i + 1000)))
+    }
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  test("dedup by key is idempotent and order-insensitive") {
+    forAll(smallInts, Gen.chooseNum(1L, 999999L)) {
+      (xs: List[Int], seed: Long) =>
+        val df = xs.zipWithIndex.toDF("k", "i")
+        val once = df.dropDuplicates("k").select("k").collect().map(_.getInt(0)).sorted.toSeq
+        val twice = df.dropDuplicates("k").dropDuplicates("k")
+          .select("k").collect().map(_.getInt(0)).sorted.toSeq
+        val shuffled = df.orderBy(md5(concat_ws("|", lit(seed), col("i"))))
+          .dropDuplicates("k").select("k").collect().map(_.getInt(0)).sorted.toSeq
+        assert(once == twice && once == shuffled && once == xs.distinct.sorted)
+    }
+  }
+
+  test("union.distinct equals set union; intersect/except match set algebra") {
+    forAll(smallInts, smallInts) { (xs: List[Int], ys: List[Int]) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      def vals(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.collect().map(_.getInt(0)).sorted.toSeq
+      assert(vals(a.union(b).distinct()) == (xs.toSet ++ ys.toSet).toSeq.sorted)
+      assert(vals(a.intersect(b)) == (xs.toSet intersect ys.toSet).toSeq.sorted)
+      assert(vals(a.except(b)) == (xs.toSet -- ys.toSet).toSeq.sorted)
+    }
+  }
+
+  test("lag(lead(x)) is the identity on interior rows") {
+    forAll(Gen.listOfN(30, Gen.chooseNum(0, 1000)), Gen.const(())) { (xs: List[Int], _: Unit) =>
+      whenever(xs.nonEmpty) {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("i")
+        val df = xs.zipWithIndex.map(_.swap).toDF("i", "x")
+          .withColumn("ll", lag(lead("x", 1).over(w), 1).over(w))
+        val bad = df.where(col("ll").isNotNull && col("ll") =!= col("x"))
+        assert(bad.count() == 0)
+      }
+    }
+  }
+
+  test("session assignment is invariant under within-session jitter") {
+    // events at coarse positions (multiples of 2h with <30min jitter) keep
+    // the same session structure no matter the jitter
+    val jitterGen = Gen.listOfN(6, Gen.chooseNum(0, 1700))
+    forAll(jitterGen, jitterGen) { (j1: List[Int], j2: List[Int]) =>
+      def sessions(jit: List[Int]): Seq[Long] = {
+        val rows = jit.zipWithIndex.map { case (j, i) =>
+          (1L, new java.sql.Timestamp((i.toLong * 7200 + j) * 1000), i.toLong)
+        }
+        val df = rows.toDF("user_id", "ts", "event_id")
+        val ord = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val run = ord.rowsBetween(Long.MinValue, 0)
+        df.withColumn("gap",
+            unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(ord)))
+          .withColumn("new_s",
+            when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .withColumn("sid", sum("new_s").over(run))
+          .orderBy("event_id").select("sid").collect().map(_.getLong(0)).toSeq
+      }
+      // every 2h step > 30min gap => each event its own session, for ANY
+      // jitter < 30min; the two jitter draws must agree exactly
+      assert(sessions(j1) == sessions(j2))
+    }
+  }
+
+  test("cosine top-1 finds a planted near-duplicate vector") {
+    forAll(Gen.chooseNum(0, 400), Gen.chooseNum(1, 63)) { (vid: Int, dim: Int) =>
+      val vecs = Tables.embeddings(spark, sf)
+        .select("vec_id", "embedding")
+        .where(col("vec_id") === vid)
+        .collect()
+      whenever(vecs.nonEmpty) {
+        val base = vecs.head.getSeq[Float](1).toArray
+        val planted = base.clone()
+        planted(dim) = planted(dim) + 0.01f // tiny perturbation
+        val all = Tables.embeddings(spark, sf)
+          .select("vec_id", "embedding")
+          .union(Seq((9999L, planted.toSeq)).toDF("vec_id", "embedding"))
+        val top = all.where(col("vec_id") =!= vid)
+          .select(col("vec_id"),
+            functions.VectorExprs.dotF(lit(base).cast("array<float>"),
+              col("embedding")).as("sim"))
+          .orderBy(col("sim").desc).limit(1)
+          .collect().head.getLong(0)
+        assert(top == 9999L, s"planted near-dup not top-1 (got $top)")
+      }
+    }
+  }
+}
