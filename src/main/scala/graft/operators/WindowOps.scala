@@ -66,6 +66,22 @@ object WindowOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // distribution functions + frame-boundary values over one window pass
+    "win_cume" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val frame = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("o_orderkey")).over(frame).as("cheapest_key"),
+          last(col("o_orderkey")).over(frame).as("priciest_key"),
+          nth_value(col("o_orderkey"), 2).over(frame).as("second_key"))
+        .orderBy("o_orderkey")
+    }),
+
     "win_moving_avg" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, Window.currentRow)
@@ -106,6 +122,17 @@ object WindowOps extends QueryModule {
         |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_cume" ->
+      """SELECT o_orderkey, o_custkey,
+        |  PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd,
+        |  FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+        |  LAST_VALUE(o_orderkey) OVER wf AS priciest_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "win_moving_avg" ->
       """SELECT event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -58,6 +58,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed co-located fact join plans with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    // pre-bucketing both facts on the join key is the 100 TB recipe for a
+    // repeated fact⋈fact join: each bucket pair joins in place, no shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.orders(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the

@@ -124,6 +124,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parquet file source streams the documents table (AvailableNow)") {
+    // the file source requires a directory — stage the single-file table
+    val path = s"$sf/documents.parquet"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val sch = spark.read.parquet(path).schema
+    val counts = spark.readStream.schema(sch).parquet(dir)
+      .groupBy("lang").count()
+    val q = counts.writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "file-source stream did not finish")
+      val streamed = spark.table("filesrc")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = spark.read.parquet(path).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts converge to the batch-equivalent query") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
