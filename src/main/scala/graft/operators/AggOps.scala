@@ -144,6 +144,29 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
         .orderBy("l_returnflag")),
 
+    // variance/stddev/correlation derived from EXACT decimal sums via the
+    // textbook formulas — built-in stddev/corr merge Welford partials in
+    // partition order and cannot hash-match another engine; these can,
+    // because every input to the final double arithmetic is
+    // order-insensitive (SURVEY §5.3.1 taken one step further)
+    "agg_stats" -> ((s, d) => {
+      val n = count(lit(1)).cast("double")
+      val sx = sum(dec2(col("l_quantity"))).cast("double")
+      val sxx = sum(dec4(col("l_quantity") * col("l_quantity"))).cast("double")
+      val sy = sum(dec2(col("l_discount"))).cast("double")
+      val syy = sum(dec4(col("l_discount") * col("l_discount"))).cast("double")
+      val sxy = sum(dec4(col("l_quantity") * col("l_discount"))).cast("double")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round((sxx / n) - (sx / n) * (sx / n), 6).as("var_qty"),
+          round(sqrt((sxx / n) - (sx / n) * (sx / n)), 6).as("std_qty"),
+          round(((sxy / n) - (sx / n) * (sy / n)) /
+            (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+              sqrt((syy / n) - (sy / n) * (sy / n))), 6).as("corr_qd"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -222,6 +245,23 @@ object AggOps extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(1) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(22,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(22,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round((sxx / n) - (sx / n) * (sx / n), 6) AS var_qty,
+        |  round(sqrt((sxx / n) - (sx / n) * (sx / n)), 6) AS std_qty,
+        |  round(((sxy / n) - (sx / n) * (sy / n)) /
+        |    (sqrt((sxx / n) - (sx / n) * (sx / n)) *
+        |     sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr_qd
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

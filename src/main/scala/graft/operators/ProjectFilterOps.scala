@@ -71,6 +71,19 @@ object ProjectFilterOps extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // null-cleansing surface: synthesize nulls (the testdata has none),
+    // then na.fill one column and na.drop on the other — the standard
+    // schema-cleansing pair
+    "clean_nulls" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("etype_n", nullif(col("event_type"), lit("error")))
+        .withColumn("val_n",
+          when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+        .na.fill(Map("val_n" -> 0.0))
+        .na.drop(Seq("etype_n"))
+        .select(col("event_id"), col("etype_n"), col("val_n"))
+        .orderBy("event_id")),
+
     // cast matrix: the type-normalization surface of a schema-cleansing
     // stage (string↔number, double→decimal quantization, ts→date/epoch)
     "fn_cast" -> ((s, d) =>
@@ -119,6 +132,11 @@ object ProjectFilterOps extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 1) = '0'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "clean_nulls" ->
+      """SELECT event_id, event_type AS etype_n,
+        |  COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) AS val_n
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
     "fn_cast" ->
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,

@@ -58,6 +58,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned-layout read prunes partitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_plan/docs_by_lang"
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("lang") === "en")
+      .select("doc_id", "n_chars")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate not used for partition pruning:\n$p")
+    // the data filter list must NOT carry the partition predicate — it is
+    // resolved against directories, zero data read from other langs
+    assert(p.contains("PushedFilters: []"), s"unexpected data filters:\n$p")
+  }
+
   test("bucketed co-located fact join plans with zero exchanges") {
     import org.apache.spark.sql.functions.col
     // pre-bucketing both facts on the join key is the 100 TB recipe for a
