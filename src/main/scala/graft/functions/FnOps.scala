@@ -112,6 +112,29 @@ object FnOps extends QueryModule {
             .as("k_mod"))
         .orderBy("event_id")),
 
+    // conditional family: greatest/least/nvl/nvl2/if across columns
+    "fn_cond" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("gmax"),
+          least(col("l_quantity"), col("l_tax") * 100).as("lmin"),
+          expr("if(l_returnflag = 'R', 'returned', 'kept')").as("ret"),
+          expr("nvl2(nullif(l_returnflag, 'N'), 'flagged', 'normal')")
+            .as("flag2"),
+          expr("ifnull(nullif(l_linestatus, 'O'), 'open')").as("status"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // bitwise family over integer keys
+    "fn_bitwise" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(lit(255L))).as("lo8"),
+          (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_bit"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_xor"),
+          shiftleft(col("o_orderkey"), 3).as("shl3"),
+          shiftright(col("o_orderkey"), 2).as("shr2"))
+        .orderBy("o_orderkey")),
+
     // the Scala-UDF slug next to its preferred native rewrite — identical
     // outputs, so one oracle covers both and the plan shows the codegen
     // difference (UDF = BatchEvalScala, native = whole-stage codegen)
@@ -186,6 +209,23 @@ object FnOps extends QueryModule {
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  greatest(l_quantity, l_discount * 100) AS gmax,
+        |  least(l_quantity, l_tax * 100) AS lmin,
+        |  CASE WHEN l_returnflag = 'R' THEN 'returned' ELSE 'kept' END AS ret,
+        |  CASE WHEN NULLIF(l_returnflag, 'N') IS NOT NULL
+        |       THEN 'flagged' ELSE 'normal' END AS flag2,
+        |  COALESCE(NULLIF(l_linestatus, 'O'), 'open') AS status
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS lo8,
+        |  o_orderkey | 4096 AS with_bit,
+        |  xor(o_orderkey, o_custkey) AS key_xor,
+        |  o_orderkey << 3 AS shl3,
+        |  o_orderkey >> 2 AS shr2
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "udf_scalar" ->
       """SELECT p_partkey,
         |  trim(regexp_replace(lower(trim(p_name)), '[^a-z0-9]+', '-', 'g'), '-') AS slug,

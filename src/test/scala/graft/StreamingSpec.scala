@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Spark 4 transformWithState processor: per-user (count, sum) state.
+  * Top-level class — it is serialized into the streaming query. */
+class RunningTotalProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("running",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Double)] = {
+    val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
+    val batch = rows.toSeq
+    val next = (n0 + batch.size, v0 + batch.map(_._2).sum)
+    state.update(next)
+    Iterator.single((key, next._1, next._2))
+  }
+}
+
 /** True Structured Streaming forms of the §2.10 operators (SURVEY §5.2.4).
   * The batch-equivalent forms are oracle-compared via StreamOps; these
   * tests prove the readStream/watermark/state behavior the oracle can't see:
@@ -122,6 +150,40 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(1), r.getDouble(2))).head
       assert(u2 == (1L, 10.0))
     } finally q.stop()
+  }
+
+  test("transformWithState keeps running per-user counters (Spark 4 API)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Long, Double)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF("user", "n", "total")
+    val q = counts.writeStream.format("memory").queryName("tws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, 1.5), (1L, 2.5), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 6.0))
+      q.processAllAvailable()
+      val u1 = spark.table("tws").where(col("user") === 1)
+        .orderBy(col("n").desc).limit(1)
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+      assert(u1 == (3L, 10.0), s"user 1 state wrong: $u1")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("parquet file source streams the documents table (AvailableNow)") {
