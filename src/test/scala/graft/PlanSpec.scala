@@ -58,6 +58,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 90% of the left rows share key 0 — one reducer partition gets ~9×
+      // the median load, which AQE splits. The md5 payload keeps the
+      // shuffle blocks incompressible so the size-based detector sees the
+      // skew. (No aggregation downstream: a consumer requiring hash
+      // distribution on k would legitimately forbid the split.)
+      val left = spark.range(400000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id"))
+          .as("k"), md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"))
+      val j = left.join(right, "k")
+      val aqe = j.queryExecution.executedPlan
+      aqe.execute().count() // drive AQE to the final plan, nothing collected
+      val p = aqe.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partitioned-layout read prunes partitions at planning time") {
     import org.apache.spark.sql.functions.col
     val dir = s"${sys.props("java.io.tmpdir")}/graft_plan/docs_by_lang"
