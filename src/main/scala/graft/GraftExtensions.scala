@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.DotProductF
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Session extension exposing graft's native expressions to SQL.
+  *
+  * Production route (applies at session build):
+  *   spark.sql.extensions=graft.GraftExtensions
+  * Existing-session route: `GraftExtensions.install(spark)`.
+  *
+  * Registered functions:
+  *   dot_f(array<float>, array<float>) -> double  (codegen'd dot product)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotF)
+}
+
+object GraftExtensions {
+  private val dotF: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("dot_f"),
+      new ExpressionInfo(classOf[DotProductF].getName, "dot_f"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "dot_f takes exactly 2 arguments")
+        DotProductF(children.head, children(1))
+      })
+
+  /** Register into an already-running session. */
+  def install(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      "dot_f", dotF._3)
+}

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL-callable function built from raw Catalyst expressions
+    * on an ALREADY-RUNNING session (the extensions config route in
+    * graft.GraftExtensions only applies at session build time). */
+  def registerFunction(spark: org.apache.spark.sql.classic.SparkSession,
+                       name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
 }

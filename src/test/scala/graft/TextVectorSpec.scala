@@ -37,6 +37,40 @@ class TextVectorSpec extends AnyFunSuite {
     assert(both.count() == 0, "native and lambda dot products diverge")
   }
 
+  test("dot_f is SQL-callable after GraftExtensions.install") {
+    GraftExtensions.install(spark)
+    val got = spark.sql(
+      "SELECT dot_f(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("multimodal_decode is deterministic with a stable typed schema") {
+    val q = SparkEntry.queries("multimodal_decode")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.sameElements(b), "decode output not deterministic")
+    val sch = q(spark, sf).schema.map(f => (f.name, f.dataType.typeName))
+    assert(sch == Seq("doc_id" -> "long", "width" -> "integer",
+      "height" -> "integer", "n_frames" -> "integer",
+      "feat_sum" -> "double"), s"schema drifted: $sch")
+  }
+
+  test("dedup_simhash assigns identical fingerprints to exact duplicates") {
+    val sf01 = "/root/testdata/sf0.1"
+    val dupGroups = Tables.documents(spark, sf01)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .collect().map(_.getSeq[Long](1))
+    assert(dupGroups.nonEmpty)
+    val fp = SparkEntry.queries("dedup_simhash")(spark, sf01)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- dupGroups)
+      assert(g.map(fp).distinct.size == 1,
+        s"dup group $g got distinct fingerprints ${g.map(fp)}")
+  }
+
   test("dedup_near finds every planted exact-duplicate pair at sf0.1") {
     val sf01 = "/root/testdata/sf0.1"
     val dupPairs = Tables.documents(spark, sf01)
