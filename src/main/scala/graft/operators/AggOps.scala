@@ -172,7 +172,23 @@ object AggOps extends QueryModule {
         .groupBy("l_returnflag")
         .agg(WeightedAvg(col("l_quantity"), col("l_extendedprice"))
           .as("w_avg_price"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // typed Dataset pipeline: case-class view + typed Aggregators through
+    // KeyValueGroupedDataset.agg (which still partial-aggregates before
+    // the shuffle — the buffer, not the rows, crosses the wire)
+    "typed_agg" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.{LineQty, MaxCharge, QtyCentsSum}
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_quantity", "l_tax")
+        .as[LineQty]
+        .groupByKey(_.l_returnflag)
+        .agg(QtyCentsSum.toColumn.name("sum_qty"),
+          MaxCharge.toColumn.name("max_charge"))
+        .toDF("l_returnflag", "sum_qty", "max_charge")
+        .orderBy("l_returnflag")
+    })
   )
 
   private val q1Sql =
@@ -262,6 +278,11 @@ object AggOps extends QueryModule {
         |    (sqrt((sxx / n) - (sx / n) * (sx / n)) *
         |     sqrt((syy / n) - (sy / n) * (sy / n))), 6) AS corr_qd
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "typed_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MAX(l_quantity * (1.0 + l_tax)) AS max_charge
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
