@@ -144,6 +144,19 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
         .orderBy("l_returnflag")),
 
+    // deterministic mode: most frequent quantity per flag, ties broken by
+    // the larger value — built-in mode() leaves ties engine-defined, the
+    // (count, value) struct-max makes them reproducible anywhere
+    "agg_mode" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), col("l_quantity"))).as("m"))
+        .select(col("l_returnflag"), col("m.l_quantity").as("mode_qty"),
+          col("m.cnt").as("mode_cnt"))
+        .orderBy("l_returnflag")),
+
     // variance/stddev/correlation derived from EXACT decimal sums via the
     // textbook formulas — built-in stddev/corr merge Welford partials in
     // partition order and cannot hash-match another engine; these can,
@@ -261,6 +274,15 @@ object AggOps extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(1) AS cnt
+        |           FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (SELECT l_returnflag, l_quantity, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |          ORDER BY cnt DESC, l_quantity DESC) AS rn
+        |      FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "agg_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag,

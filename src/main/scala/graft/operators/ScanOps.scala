@@ -84,9 +84,12 @@ object ScanOps extends QueryModule {
     "sink_partitioned" -> ((s, d) => {
       val sf = new java.io.File(d).getName
       val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/docs_by_lang"
-      Tables.documents(s, d).write.mode(SaveMode.Overwrite)
+      val src = Tables.documents(s, d)
+      src.write.mode(SaveMode.Overwrite)
         .partitionBy("lang").parquet(dir)
-      s.read.parquet(dir)
+      // explicit schema: an all-empty partitioned dir has no footers to
+      // infer from (lang resolves from directory names when data exists)
+      s.read.schema(src.schema).parquet(dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")

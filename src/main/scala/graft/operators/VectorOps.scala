@@ -78,25 +78,40 @@ object VectorOps extends QueryModule {
 
     // random-hyperplane LSH ANN: euclidean dist <= 1.1 on unit vectors
     // ≡ cosine >= 0.395. No oracle (approximate by construction); recall
-    // vs brute force asserted in VectorSpec.
+    // vs brute force asserted in TextVectorSpec. The fit inspects the
+    // first row for the input dimension, so an empty corpus (routine for
+    // a partition/date-range at scale) needs the explicit empty result.
     "sim_lsh" -> ((s, d) => {
       val vecs = mlVecs(s, d)
-      val lsh = new BucketedRandomProjectionLSH()
-        .setInputCol("vec").setOutputCol("buckets")
-        .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
-      val model = lsh.fit(vecs)
-      model.approxSimilarityJoin(vecs, vecs, 1.1, "dist")
-        .select(col("datasetA.vec_id").as("id1"),
-          col("datasetB.vec_id").as("id2"), col("dist"))
-        .where(col("id1") < col("id2"))
-        .orderBy("id1", "id2")
+      if (vecs.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("id1", "id2", "dist")
+      } else {
+        val lsh = new BucketedRandomProjectionLSH()
+          .setInputCol("vec").setOutputCol("buckets")
+          .setBucketLength(0.5).setNumHashTables(4).setSeed(42)
+        val model = lsh.fit(vecs)
+        model.approxSimilarityJoin(vecs, vecs, 1.1, "dist")
+          .select(col("datasetA.vec_id").as("id1"),
+            col("datasetB.vec_id").as("id2"), col("dist"))
+          .where(col("id1") < col("id2"))
+          .orderBy("id1", "id2")
+      }
     }),
 
     // IVF-style ANN: k-means coarse quantizer → probe the 2 nearest
     // centroids per query → brute-force only inside probed lists.
     "sim_ivf_topk" -> ((s, d) => {
       val vecs = mlVecs(s, d).cache()
-      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5)
+      // k must not exceed the corpus size (tiny/empty partitions happen)
+      val nVecs = vecs.count()
+      if (nVecs == 0) {
+        import s.implicits._
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("q_id", "rank", "vec_id", "sim")
+      } else {
+      val km = new KMeans().setK(math.min(8L, nVecs).toInt).setSeed(42)
+        .setMaxIter(5)
         .setFeaturesCol("vec").setPredictionCol("cluster")
       val model = km.fit(vecs)
       val assigned = model.transform(vecs)
@@ -123,6 +138,7 @@ object VectorOps extends QueryModule {
         .where(col("rank") <= 10)
         .select("q_id", "rank", "vec_id", "sim")
         .orderBy("q_id", "rank")
+      }
     }),
 
     // MinHash+LSH near-dup: 3-word shingles → xxhash64 → 12 minhashes →

@@ -152,6 +152,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases to recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "1 hour")
+    val joined = b.join(c,
+      expr("b_user = c_user AND c_ts <= b_ts AND " +
+        "c_ts >= b_ts - INTERVAL 30 MINUTES"))
+      .select("b_user", "b_ts", "c_ts")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(10), 1L), (ts(50), 1L), (ts(10), 2L))
+      buys.addData((ts(30), 1L), (ts(300), 2L))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000)).toSet
+      // user 1 buys at 00:30 → clicked at 00:10 (within 30 min); the 00:50
+      // click is after the buy; user 2's buy at 05:00 has no recent click
+      assert(got == Set((1L, 30L, 10L)), s"unexpected join rows: $got")
+    } finally q.stop()
+  }
+
   test("transformWithState keeps running per-user counters (Spark 4 API)") {
     implicit val sqlCtx = spark.sqlContext
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
