@@ -145,6 +145,34 @@ object JoinOps extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // the same interval-pair semantics with a time-bucketed equi-key:
+    // events land in 5-min buckets, the probe side also checks the
+    // previous bucket, so the join key is (user_id, bucket) and every
+    // candidate pair is within one bucket width. At 100 TB this bounds
+    // the per-task pair space by bucket population, not by per-user
+    // history — the standard rewrite when single users span years of
+    // events. Output is identical to join_interval (same oracle).
+    "join_interval_bucketed" -> ((s, d) => {
+      val bucket = (unix_timestamp(col("ts")) / lit(300L)).cast("long")
+      val e1 = Tables.events(s, d)
+        .select(col("event_id").as("id1"), col("user_id").as("u"),
+          col("ts").as("ts1"), bucket.as("bkt"))
+      // probe side fans out to its own and the NEXT bucket so pairs that
+      // straddle a boundary are found exactly once from the left row
+      val e2 = Tables.events(s, d)
+        .select(col("event_id").as("id2"), col("user_id").as("u"),
+          col("ts").as("ts2"), bucket.as("b0"))
+        .withColumn("bkt", explode(array(col("b0"), col("b0") - 1)))
+        .drop("b0")
+      e1.join(e2, Seq("u", "bkt"))
+        .where(col("id2") > col("id1") &&
+          col("ts2") >= col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTE"))
+        .groupBy(col("u").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // pairs of same-user events within a 5-minute interval
     "join_interval" -> ((s, d) => {
       val e1 = Tables.events(s, d)
@@ -229,6 +257,12 @@ object JoinOps extends QueryModule {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
         |      FROM events) t
         |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
+    "join_interval_bucketed" ->
+      """SELECT e1.user_id AS user_id, COUNT(1) AS n_pairs
+        |FROM events e1 JOIN events e2
+        |  ON e1.user_id = e2.user_id AND e2.event_id > e1.event_id
+        | AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+        |GROUP BY e1.user_id ORDER BY user_id""".stripMargin,
     "join_interval" ->
       """SELECT e1.user_id AS user_id, COUNT(1) AS n_pairs
         |FROM events e1 JOIN events e2
