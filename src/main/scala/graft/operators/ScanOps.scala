@@ -33,6 +33,7 @@ object ScanOps extends QueryModule {
       fmt match {
         case "csv"  => w.option("header", "true").csv(dir)
         case "json" => w.json(dir)
+        case "orc"  => w.orc(dir)
       }
     }
     dir
@@ -59,6 +60,13 @@ object ScanOps extends QueryModule {
 
     "scan_json" -> ((s, d) =>
       s.read.schema(sideSchema).json(sideFile(s, d, "json"))
+        .orderBy("event_id")),
+
+    // ORC round trip — the other columnar format Spark ships natively;
+    // same pushdown/pruning machinery as parquet
+    "scan_orc" -> ((s, d) =>
+      s.read.schema(sideSchema).orc(sideFile(s, d, "orc"))
+        .where(col("event_id") < 5000)
         .orderBy("event_id")),
 
     // plain parquet sink + re-read; the re-read aggregate proves the
@@ -106,6 +114,9 @@ object ScanOps extends QueryModule {
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "scan_json" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "scan_orc" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
     "sink_parquet" ->
       """SELECT COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -234,6 +234,26 @@ object VectorOps extends QueryModule {
           struct(col("lang"), col("n_chars")).getField("lang").as("meta_lang"))
         .orderBy("doc_id")),
 
+    // frame-sampling shape: one media row fans out to its sampled frames
+    // (every 4th frame of the stubbed container), each with a per-frame
+    // feature — the 1→N batch shape a video pipeline needs. Deterministic
+    // stub for the decode itself (no media libs in this container).
+    "multimodal_frames" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, bytes) =>
+          val nFrames = 1 + (bytes.length % 16)
+          (0 until nFrames by 4).map { f =>
+            val feat = (bytes(f % bytes.length) & 0xff) / 255.0
+            (id, f.toLong, feat)
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_feat")
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // decode path: batched per-partition "decode" of the binary payload.
     // The decode itself is a deterministic STUB (no image/audio libs in
     // this container — task brief); the Spark plumbing (binary column,
@@ -280,6 +300,14 @@ object VectorOps extends QueryModule {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    // the stub decode is pure ASCII arithmetic, so even the 1→N frame
+    // fan-out is oracle-checkable
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  ascii(substr(text, CAST(f % strlen(text) AS INT) + 1, 1)) / 255.0
+        |    AS frame_feat
+        |FROM documents, unnest(range(0, 1 + strlen(text) % 16, 4)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "multimodal_cols" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
