@@ -145,6 +145,29 @@ object JoinOps extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // bucketed co-located join: both facts pre-bucketed on the join key,
+    // so the join itself needs no shuffle (PlanSpec asserts zero
+    // exchanges on this shape). At 100 TB this is the amortize-once
+    // answer for a fact⋈fact join that runs every day.
+    "join_bucketed" -> ((s, d) => {
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+      if (s.catalog.tableExists(s"bk_orders_$sf") == false) {
+        Tables.orders(s, d).write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(s"bk_orders_$sf")
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(s"bk_lineitem_$sf")
+      }
+      s.table(s"bk_orders_$sf")
+        .join(s.table(s"bk_lineitem_$sf"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // the same interval-pair semantics with a time-bucketed equi-key:
     // events land in 5-min buckets, the probe side also checks the
     // previous bucket, so the join key is (user_id, bucket) and every
@@ -257,6 +280,11 @@ object JoinOps extends QueryModule {
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
         |      FROM events) t
         |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
+    "join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(1) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_interval_bucketed" ->
       """SELECT e1.user_id AS user_id, COUNT(1) AS n_pairs
         |FROM events e1 JOIN events e2
