@@ -124,6 +124,17 @@ object FnOps extends QueryModule {
           expr("ifnull(nullif(l_linestatus, 'O'), 'open')").as("status"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // cryptographic/content hash family — cross-engine-identical hex
+    // strings (the primitives behind dedup_exact / sample_hash / simhash)
+    "fn_hash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast(BinaryType)).as("h_md5"),
+          sha2(col("text").cast(BinaryType), 256).as("h_sha256"),
+          substring(md5(concat(col("text"), lit("|salt"))), 1, 8)
+            .as("h_salted8"))
+        .orderBy("doc_id")),
+
     // bitwise family over integer keys
     "fn_bitwise" -> ((s, d) =>
       Tables.orders(s, d)
@@ -218,6 +229,12 @@ object FnOps extends QueryModule {
         |       THEN 'flagged' ELSE 'normal' END AS flag2,
         |  COALESCE(NULLIF(l_linestatus, 'O'), 'open') AS status
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256,
+        |  substring(md5(text || '|salt'), 1, 8) AS h_salted8
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT o_orderkey,
         |  o_orderkey & 255 AS lo8,

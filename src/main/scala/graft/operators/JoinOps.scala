@@ -152,6 +152,21 @@ object JoinOps extends QueryModule {
     "join_bucketed" -> ((s, d) => {
       val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
       if (s.catalog.tableExists(s"bk_orders_$sf") == false) {
+        // the in-memory catalog dies with each JVM but the warehouse dirs
+        // survive — clear leftovers or the managed-table create refuses
+        // (LOCATION_ALREADY_EXISTS)
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        for (t <- Seq(s"bk_orders_$sf", s"bk_lineitem_$sf")) {
+          val dir = new java.io.File(wh, t)
+          if (dir.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(): Unit
+            }
+            rm(dir)
+          }
+        }
         Tables.orders(s, d).write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable(s"bk_orders_$sf")

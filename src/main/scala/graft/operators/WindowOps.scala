@@ -82,6 +82,21 @@ object WindowOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // value-based (RANGE) frame: 30-day trailing spend per customer. A
+    // range frame includes ALL rows in the value band, so it is
+    // deterministic as a set even under order ties — safe to compare
+    // (sums stay exact decimals). Complements the row frames above.
+    "win_range_frame" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("wr_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_custkey ORDER BY o_orderdate
+          |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+          |  ) AS DOUBLE) AS spend_30d
+          |FROM wr_orders ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "win_moving_avg" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         .rowsBetween(-2, Window.currentRow)
@@ -133,6 +148,13 @@ object WindowOps extends QueryModule {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE) AS spend_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "win_moving_avg" ->
       """SELECT event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
