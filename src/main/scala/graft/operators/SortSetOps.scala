@@ -26,6 +26,15 @@ object SortSetOps extends QueryModule {
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    // UNION ALL keeps duplicates — per-nation combined party counts show
+    // the multiplicity is preserved
+    "set_union_all" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy("nationkey").agg(count(lit(1)).as("n_parties"))
+        .orderBy("nationkey")),
+
     "set_union" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
         .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
@@ -61,6 +70,12 @@ object SortSetOps extends QueryModule {
     "topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "set_union_all" ->
+      """SELECT nationkey, COUNT(1) AS n_parties FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
     "set_union" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
