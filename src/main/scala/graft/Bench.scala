@@ -10,6 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: session init, codegen, parquet reader, shuffle and
+    // window machinery all warm once here, so the alphabetically-first
+    // timed query no longer absorbs ~5 s of one-time JVM startup
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(50000)
+      li.groupBy("l_returnflag").agg(count(lit(1))).count()
+      li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("l_orderkey"))).count()
+      System.err.println("[bench] warmup done (untimed)")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -5,9 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** A registered query: (session, scale-factor dir) => lazy DataFrame.
-  * Contract: no eager work at construction (no actions, no .cache) —
-  * graft.Bench times the terminal .count() and graft.Verify writes the
-  * result once (SURVEY.md §3 EP2/EP3).
+  * Contract: no eager work at construction (no actions, no lingering
+  * .cache) — graft.Bench times the terminal .count() and graft.Verify
+  * writes the result once (SURVEY.md §3 EP2/EP3). Sanctioned carve-outs,
+  * each amortized or bounded and documented at the call site:
+  *  - sink_* queries write eagerly — the write IS the operator under test;
+  *  - Fixtures side files / bucketed tables are one-time, fingerprinted
+  *    staging shared across queries (their cost lands on the first query
+  *    that needs them — noted in BASELINE.md);
+  *  - model fits (sim_ivf_topk k-means on a bounded sample) and iterative
+  *    fixpoints (GraphOps connected components, localCheckpoint'ed
+  *    keep-list) are inherently driver-stepped algorithms; neither leaves
+  *    a corpus-sized cache behind.
   */
 object Q { type Fn = (SparkSession, String) => DataFrame }
 

@@ -18,9 +18,19 @@ object SparkEntry {
     operators.SortSetOps,
     operators.TextOps,
     operators.VectorOps,
+    operators.MergeOps,
     functions.FnOps,
     streaming.StreamOps
   )
+
+  /** Merge module maps, failing fast on duplicate ids — a silent
+    * last-entry-wins merge would make a scoreboard query vanish. */
+  private def merged[A](maps: Seq[Map[String, A]], what: String): Map[String, A] = {
+    val all = maps.flatten
+    val dups = all.groupBy(_._1).filter(_._2.sizeIs > 1).keys
+    require(dups.isEmpty, s"duplicate $what ids: ${dups.mkString(", ")}")
+    all.toMap
+  }
 
   /** Flagship query (TPC-H Q1 shape) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -28,10 +38,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+    merged(modules.map(_.queries), "query")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    modules.flatMap(_.oracles).toMap
+    merged(modules.map(_.oracles), "oracle")
 }

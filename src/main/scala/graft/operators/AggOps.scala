@@ -47,7 +47,7 @@ object AggOps extends QueryModule {
         .orderBy("l_returnflag")),
 
     // HLL sketch — no oracle (sketch internals differ across engines);
-    // correctness is bounded-error vs the exact count in AggSpec.
+    // correctness is bounded-error vs the exact count in OperatorSpec.
     "agg_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -142,6 +142,23 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.5)").as("p50"),
           expr("percentile(l_extendedprice, 0.9)").as("p90"),
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        .orderBy("l_returnflag")),
+
+    // KLL/GK-style mergeable percentile sketch — the variant a 100 TB user
+    // actually runs: partials merge associatively across executors instead
+    // of collecting all values per group the way exact percentile must.
+    // No oracle (sketch internals differ across engines); bounded error vs
+    // the exact percentile is asserted in OperatorSpec.
+    "agg_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+            .as("ap"))
+        .select(col("l_returnflag"),
+          col("ap").getItem(0).as("ap50"),
+          col("ap").getItem(1).as("ap90"),
+          col("ap").getItem(2).as("ap99"))
         .orderBy("l_returnflag")),
 
     // deterministic mode: most frequent quantity per flag, ties broken by

@@ -150,37 +150,32 @@ object JoinOps extends QueryModule {
     // exchanges on this shape). At 100 TB this is the amortize-once
     // answer for a fact⋈fact join that runs every day.
     "join_bucketed" -> ((s, d) => {
-      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
-      if (s.catalog.tableExists(s"bk_orders_$sf") == false) {
-        // the in-memory catalog dies with each JVM but the warehouse dirs
-        // survive — clear leftovers or the managed-table create refuses
-        // (LOCATION_ALREADY_EXISTS)
-        val wh = s.conf.get("spark.sql.warehouse.dir")
-          .stripPrefix("file:")
-        for (t <- Seq(s"bk_orders_$sf", s"bk_lineitem_$sf")) {
-          val dir = new java.io.File(wh, t)
-          if (dir.exists()) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(): Unit
-            }
-            rm(dir)
-          }
-        }
-        Tables.orders(s, d).write.mode("overwrite")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable(s"bk_orders_$sf")
-        Tables.lineitem(s, d).write.mode("overwrite")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable(s"bk_lineitem_$sf")
-      }
-      s.table(s"bk_orders_$sf")
-        .join(s.table(s"bk_lineitem_$sf"),
+      val (bkOrders, bkLineitem) = Fixtures.bucketedTables(s, d)
+      s.table(bkOrders)
+        .join(s.table(bkLineitem),
           col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
+    }),
+
+    // dynamic partition pruning: the fact is laid out partitioned by lang
+    // (Fixtures.docsByLang); the dim-side tier filter is only known at run
+    // time, so Catalyst injects a dynamicpruning subquery into the fact
+    // scan's PartitionFilters — at 100 TB the fact reads ONLY the
+    // partitions the filtered dim keeps, without the user hand-writing the
+    // partition predicate. PlanSpec asserts the dynamicpruning expression
+    // is present.
+    "join_dpp" -> ((s, d) => {
+      val fact = s.read.schema(Tables.documents(s, d).schema)
+        .parquet(Fixtures.docsByLang(s, d))
+      val dim = s.read.parquet(Fixtures.langDim(s, d))
+        .where(col("tier") === "hot")
+      fact.join(broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
     }),
 
     // the same interval-pair semantics with a time-bucketed equi-key:
@@ -300,6 +295,13 @@ object JoinOps extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the dim keeps exactly the 'hot' langs (Fixtures.langDim is derived
+    // from the corpus's distinct langs with tier = hot iff lang in de/en)
+    "join_dpp" ->
+      """SELECT lang, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('de', 'en')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "join_interval_bucketed" ->
       """SELECT e1.user_id AS user_id, COUNT(1) AS n_pairs
         |FROM events e1 JOIN events e2

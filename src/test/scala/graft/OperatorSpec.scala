@@ -39,6 +39,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("agg_approx_percentile within 1% of the exact percentile") {
+    val exact = SparkEntry.queries("agg_percentile")(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(exact.keySet == approx.keySet)
+    for ((flag, es) <- exact; (e, a) <- es.zip(approx(flag)))
+      assert(math.abs(a - e) / e < 0.01,
+        s"$flag: approx $a vs exact $e drifts more than 1%")
+  }
+
   test("join_asof picks the latest click at-or-before each purchase") {
     val q = SparkEntry.queries("join_asof")(spark, sf)
     val asof = q.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

@@ -137,6 +137,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_dpp injects a dynamic partition pruning subquery") {
+    // the fact side's PartitionFilters must carry a dynamicpruning
+    // expression fed by the filtered dim — the shape that lets a 100 TB
+    // fact scan skip partitions it can only identify at run time
+    val p = plan("join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+  }
+
+  test("sim_ivf_topk leaves no new cached RDDs behind") {
+    // round-1 wart: an eager .cache() in the query fn squatted executor
+    // memory for the rest of the session. The k-means fit may cache its
+    // bounded sample internally, but MLlib unpersists it after fit (async)
+    // — nothing NEW may remain cached once the query has run.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("sim_ivf_topk")(spark, sf).count()
+    val deadline = System.currentTimeMillis + 10000
+    def leftover = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leftover.nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(200)
+    assert(leftover.isEmpty, s"lingering cached RDD ids: $leftover")
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the

@@ -104,6 +104,58 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall; missed ${exact -- got}")
   }
 
+  test("sim_lsh_topk reaches >=90% recall of the exact top-10") {
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    val got = SparkEntry.queries("sim_lsh_topk")(spark, sf)
+      .select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall; missed ${exact -- got}")
+  }
+
+  test("connectedComponents collapses an A-B, B-C chain to one keeper") {
+    import graft.operators.GraphOps
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val rep = GraphOps.connectedComponents(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 9L -> 9L),
+      s"chain not collapsed to a single representative: $rep")
+  }
+
+  test("connectedComponents converges on a 13-node path graph") {
+    // diameter 12 — needs the compress (pointer-jump) half of each round:
+    // relax alone moves the minimum one hop per round
+    import graft.operators.GraphOps
+    val nodes = (0L until 13L).toDF("doc_id")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val reps = GraphOps.connectedComponents(nodes, pairs).collect()
+      .map(_.getLong(1)).toSet
+    assert(reps == Set(0L), s"path graph did not converge to rep 0: $reps")
+  }
+
+  test("dedup_ngram finds every planted exact-duplicate pair at sf0.1") {
+    // prefix filtering is exact at the declared τ, so every planted dup
+    // (shingle jaccard 1.0) must be present — no MinHash recall caveat
+    val sf01 = "/root/testdata/sf0.1"
+    val dupPairs = Tables.documents(spark, sf01)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .collect().map(_.getSeq[Long](0)).map(s => (s.min, s.max)).toSet
+    assert(dupPairs.nonEmpty)
+    val found = SparkEntry.queries("dedup_ngram")(spark, sf01)
+      .where(col("jaccard") === 1.0)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = dupPairs -- found
+    assert(missing.isEmpty, s"planted dup pairs not found: $missing")
+  }
+
   test("sim_bruteforce_topk matches a driver-side exact computation") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
