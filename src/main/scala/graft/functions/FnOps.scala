@@ -44,6 +44,20 @@ object FnOps extends QueryModule {
           regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"))
         .orderBy("p_partkey")),
 
+    // regexp family beyond fn_string's extract/replace: boolean rlike,
+    // match counting, bounded-quantifier extraction, global replacement.
+    // Patterns are RE2-compatible basics so Java (Spark) and RE2 (DuckDB)
+    // semantics coincide.
+    "fn_regexp" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          col("text").rlike("merge .* window").cast(LongType)
+            .as("has_merge_window"),
+          expr("regexp_count(text, 'ta[a-z]*')").as("n_ta"),
+          regexp_extract(col("text"), "(s[a-z]{3,})", 1).as("first_s_word"),
+          regexp_replace(col("text"), "qu[a-z]+", "Q").as("q_masked"))
+        .orderBy("doc_id")),
+
     "fn_date" -> ((s, d) =>
       Tables.orders(s, d)
         .select(
@@ -180,6 +194,16 @@ object FnOps extends QueryModule {
         |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
         |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // DuckDB regexp_replace needs the 'g' flag to mirror Spark's
+    // replace-all; regexp_count is spelled len(regexp_extract_all)
+    "fn_regexp" ->
+      """SELECT doc_id,
+        |  CAST(regexp_matches(text, 'merge .* window') AS BIGINT)
+        |    AS has_merge_window,
+        |  CAST(len(regexp_extract_all(text, 'ta[a-z]*')) AS INT) AS n_ta,
+        |  regexp_extract(text, '(s[a-z]{3,})', 1) AS first_s_word,
+        |  regexp_replace(text, 'qu[a-z]+', 'Q', 'g') AS q_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,

@@ -197,6 +197,26 @@ object AggOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // conditional / boolean aggregates + deterministic argmax: count_if,
+    // bool_and/bool_or, and max_by expressed as a struct-max so ties break
+    // on the smaller key reproducibly on any engine (built-in max_by
+    // leaves ties engine-defined, same rationale as agg_mode)
+    "agg_conditional" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("count_if(l_quantity >= 25)").as("n_heavy"),
+          expr("bool_and(l_tax >= 0.0)").cast("long").as("all_tax_nonneg"),
+          expr("bool_or(l_discount >= 0.09)").cast("long")
+            .as("any_high_disc"),
+          max(struct(col("l_extendedprice").as("p"),
+            (lit(0L) - col("l_orderkey")).as("nk"))).as("m"))
+        .select(col("l_returnflag"), col("n_heavy"),
+          col("all_tax_nonneg"), col("any_high_disc"),
+          col("m.p").as("max_price"),
+          (lit(0L) - col("m.nk")).as("argmax_key"))
+        .orderBy("l_returnflag")),
+
     "agg_udaf" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -322,6 +342,20 @@ object AggOps extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  MAX(l_quantity * (1.0 + l_tax)) AS max_charge
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_conditional" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey) AS rn
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag,
+        |    count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+        |    CAST(bool_and(l_tax >= 0.0) AS BIGINT) AS all_tax_nonneg,
+        |    CAST(bool_or(l_discount >= 0.09) AS BIGINT) AS any_high_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT a.l_returnflag, n_heavy, all_tax_nonneg, any_high_disc,
+        |  r.l_extendedprice AS max_price, r.l_orderkey AS argmax_key
+        |FROM a JOIN r ON a.l_returnflag = r.l_returnflag AND r.rn = 1
+        |ORDER BY a.l_returnflag""".stripMargin,
     "agg_udaf" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

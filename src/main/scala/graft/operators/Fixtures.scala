@@ -98,6 +98,21 @@ object Fixtures {
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  val keepListSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("rep", LongType)))
+
+  /** Materialized dup-cluster keep-list (doc_id → component
+    * representative). A real pipeline computes connected components over
+    * the near-dup pairs ONCE per corpus snapshot and composes the result
+    * downstream — this fixture is that amortization (same pattern as the
+    * bucketed tables): first consumer pays the build, every later
+    * composition is a cheap keyed read. */
+  def keepList(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =
+    writeOnce(dirFor(sfDir, "documents", "keep_list")) { dir =>
+      build.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** Bucketed fact tables for join_bucketed: both facts pre-bucketed on
     * the join key so the repeated fact⋈fact join plans with zero
     * exchanges. Table build lives here (shared fixture), not inside the

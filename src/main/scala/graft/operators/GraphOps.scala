@@ -9,35 +9,45 @@ import org.apache.spark.sql.functions._
   * the minimum representative among itself and its neighbors — one shuffle
   * keyed by node id) then COMPRESSES (pointer jumping, rep := rep(rep) —
   * one shuffle keyed by rep). Relax moves the minimum one hop; compress
-  * halves remaining path lengths, so `rounds` rounds cover components of
-  * diameter ~2^rounds. Near-dup clusters are shallow in practice (dup
-  * groups, not long chains), so the default 4 rounds is ample; at extreme
-  * diameters this is the standard O(log n)-round large-star/small-star
-  * shape and `rounds` simply grows with log(diameter).
+  * halves remaining path lengths, so convergence takes O(log diameter)
+  * rounds; the loop detects the fixpoint (a round that changes nothing)
+  * and exits — near-dup clusters are shallow in practice (dup groups, not
+  * long chains), so 2 rounds typically suffice, with `rounds` as the
+  * large-star/small-star-style upper bound for pathological diameters.
   *
   * Each round's labels are eagerly localCheckpoint'ed: the lineage would
   * otherwise branch ~3× per round (exponential recompute). This is the
   * same sanctioned driver-side step as a model fit (Core.scala contract);
   * superseded checkpoints are unpersisted immediately, and the final one
-  * backing the returned frame is O(nodes × 16 bytes) — a keep-list, not a
-  * corpus.
+  * backing the returned frame is O(pair-participating nodes × 16 bytes) —
+  * a keep-list for the duplicated subset, not a corpus.
   */
 object GraphOps {
 
   /** @param nodes single column `doc_id` — every node, including isolated
     * @param pairs  undirected edges as columns `id1`, `id2`
+    * @param rounds max relax+compress rounds (covers diameter ~2^rounds);
+    *               the loop exits as soon as a round changes no label, so
+    *               shallow dup-cluster graphs converge in 2 rounds
     * @return (doc_id, rep) with rep = min doc_id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      rounds: Int = 4): DataFrame = {
+      rounds: Int = 8): DataFrame = {
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("rep"))
+    // propagate only over nodes that appear in some pair — isolated nodes
+    // are their own representative by definition and rejoin lazily at the
+    // end, so every fixpoint round runs on O(|edges|) rows, not O(corpus)
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint(true)
     var previous = Seq(edges, labels)
-    for (_ <- 1 to rounds) {
+    var converged = false
+    var round = 0
+    while (!converged && round < rounds) {
+      round += 1
       // relax: rep(x) = min(rep(x), min over neighbors' rep)
       val nbr = edges
         .join(labels.select(col("doc_id").as("b"), col("rep").as("brep")), "b")
@@ -51,11 +61,18 @@ object GraphOps {
           col("rep") === col("rid"))
         .select(col("doc_id"), col("rrep").as("rep"))
         .localCheckpoint(true)
+      // fixpoint test on two truncated-lineage keep-lists — O(pair nodes)
+      converged = compressed
+        .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .where(col("rep") =!= col("prev")).isEmpty
       previous.drop(1).foreach(_.unpersist())
       previous = Seq(edges, compressed)
       labels = compressed
     }
     edges.unpersist()
-    labels
+    nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("doc_id", "pid"),
+        col("doc_id") === col("pid"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 }

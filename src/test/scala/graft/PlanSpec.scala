@@ -160,6 +160,24 @@ class PlanSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"lingering cached RDD ids: $leftover")
   }
 
+  test("dedup_ngram candidate shuffles are keyed on shingle hashes") {
+    // the inverted-index self-join must exchange on the 8-byte shingle
+    // hash (tok); no exchange may be keyed on raw text — at 100 TB the
+    // candidate shuffle carries (hash, doc_id) pairs, not documents.
+    // Broadcast is disabled so the at-scale shuffle shape is the one
+    // planned (at test SF the tiny prefix side would broadcast).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_ngram")
+      val exLines = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exLines.exists(_.contains("tok#")),
+        s"no candidate exchange keyed on the shingle hash:\n$p")
+      assert(!exLines.exists(_.contains("text#")),
+        s"an exchange is keyed on raw text:\n${exLines.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the
