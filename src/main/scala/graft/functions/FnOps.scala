@@ -58,6 +58,26 @@ object FnOps extends QueryModule {
           regexp_replace(col("text"), "qu[a-z]+", "Q").as("q_masked"))
         .orderBy("doc_id")),
 
+    // sub-day timestamp surface on the µs-precision events table:
+    // component extraction, epoch seconds, truncation, interval shift.
+    // All timestamp OUTPUTS are second-truncated so the ns (DuckDB raw
+    // read) vs µs (Spark nanosAsLong conversion) representations cannot
+    // diverge; weekday uses Spark weekday() ↔ DuckDB isodow-1 (both
+    // 0 = Monday).
+    "fn_timestamp" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          hour(col("ts")).cast(LongType).as("h"),
+          minute(col("ts")).cast(LongType).as("mi"),
+          second(col("ts")).cast(LongType).as("sec"),
+          weekday(col("ts")).cast(LongType).as("wd"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          date_trunc("minute", col("ts")).as("min_start"),
+          date_trunc("second", col("ts") + expr("INTERVAL 90 SECOND"))
+            .as("plus_90s"),
+          to_date(col("ts")).as("d"))
+        .orderBy("event_id")),
+
     "fn_date" -> ((s, d) =>
       Tables.orders(s, d)
         .select(
@@ -204,6 +224,17 @@ object FnOps extends QueryModule {
         |  regexp_extract(text, '(s[a-z]{3,})', 1) AS first_s_word,
         |  regexp_replace(text, 'qu[a-z]+', 'Q', 'g') AS q_masked
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "fn_timestamp" ->
+      """SELECT event_id,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(minute(ts) AS BIGINT) AS mi,
+        |  CAST(second(ts) AS BIGINT) AS sec,
+        |  CAST(isodow(ts) - 1 AS BIGINT) AS wd,
+        |  epoch_ms(ts) // 1000 AS epoch_s,
+        |  date_trunc('minute', ts) AS min_start,
+        |  date_trunc('second', ts + INTERVAL 90 SECOND) AS plus_90s,
+        |  CAST(ts AS DATE) AS d
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_date" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,

@@ -84,6 +84,31 @@ object StreamOps extends QueryModule {
           col("event_type"), col("keep_id"), col("n_dups"))
         .orderBy("w_start", "user_id", "event_type")),
 
+    // stream-stream enrichment join: each click joined to the purchases
+    // the same user makes within the following 10 minutes — the
+    // batch-equivalent of the watermarked stream-stream interval join
+    // exercised for real in StreamingSpec. The equi-key (user_id) carries
+    // the shuffle; the time bound is what caps per-key join state in the
+    // streaming form (the watermark's job), so per-task memory stays
+    // O(events-in-window), not O(history).
+    "stream_join" -> ((s, d) => {
+      val clicks = Tables.events(s, d)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("ts").as("c_ts"))
+      val purchases = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      clicks.join(purchases, Seq("user_id"))
+        .where(col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTE"))
+        .select(col("user_id"), col("c_id"), col("p_id"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+            .as("lag_s"))
+        .orderBy("c_id", "p_id")
+    }),
+
     // per-user running counters — the state a transformWithState /
     // mapGroupsWithState handler would keep (exercised for real in
     // StreamingSpec); batch form is a prefix-window over each user.
@@ -155,6 +180,14 @@ object StreamOps extends QueryModule {
         |  MIN(event_id) AS keep_id, COUNT(1) AS n_dups
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY w_start, user_id, event_type""".stripMargin,
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+        |  date_diff('second', c.ts, p.ts) AS lag_s
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+        |ORDER BY c_id, p_id""".stripMargin,
     "stream_stateful" ->
       """SELECT event_id, user_id,
         |  COUNT(1) OVER w AS n_so_far,
