@@ -180,6 +180,27 @@ object TextOps extends QueryModule {
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)),
 
+    // bounded-memory frequent-items: Space-Saving sketch (see
+    // graft.functions.TopKTokens) — the O(Cap)-state mergeable partial
+    // that replaces text_tokens' full groupBy at 100 TB when only heavy
+    // hitters matter. Oracle-exact HERE because the corpus vocabulary
+    // (31) fits the 64-entry buffer, so no eviction/trim ever fires; the
+    // eviction + error-bound behavior on a vocabulary larger than the
+    // buffer is asserted separately in OperatorSpec.
+    "text_approx_topk" -> ((s, d) => {
+      import s.implicits._
+      val sk = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .as[String]
+        .select(graft.functions.TopKTokens.toColumn)
+      sk.select(col("cnts"), posexplode(col("toks")))
+        .select((col("pos") + 1).cast(LongType).as("rank"),
+          col("col").as("token"),
+          element_at(col("cnts"), (col("pos") + 1).cast(IntegerType))
+            .as("approx_cnt"))
+        .orderBy("rank")
+    }),
+
     // whitespace tokens vs BPE-ish regex tokens vs distinct types
     "text_token_stats" -> ((s, d) =>
       Tables.documents(s, d)
@@ -380,6 +401,14 @@ object TextOps extends QueryModule {
       """SELECT tok AS token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "text_approx_topk" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, token, cnt AS approx_cnt
+        |FROM (SELECT tok AS token, COUNT(*) AS cnt,
+        |        ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM documents)
+        |      GROUP BY tok) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,

@@ -39,6 +39,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("space-saving sketch keeps heavy hitters within the N/Cap bound") {
+    import graft.functions.TopKTokens
+    // vocabulary (200 rare + 3 heavy) deliberately exceeds Cap=64 so
+    // eviction and merge-trim actually fire, unlike the oracle-exact
+    // corpus case
+    val heavy = Seq.fill(300)("hh1") ++ Seq.fill(200)("hh2") ++
+      Seq.fill(120)("hh3")
+    val rare = (0 until 1000).map(i => s"rare${i % 200}")
+    val tokens = new scala.util.Random(7).shuffle(heavy ++ rare).toDS()
+      .repartition(7)
+    val n = heavy.size + rare.size
+    val out = tokens.select(TopKTokens.toColumn).collect().head
+    val got = out.toks.zip(out.cnts).toMap
+    val bound = n.toDouble / TopKTokens.Cap // max overestimate per entry
+    for ((tok, trueCnt) <- Seq("hh1" -> 300L, "hh2" -> 200L, "hh3" -> 120L)) {
+      assert(got.contains(tok), s"heavy hitter $tok evicted: $got")
+      assert(got(tok) >= trueCnt && got(tok) <= trueCnt + bound * 7,
+        s"$tok count ${got(tok)} outside [$trueCnt, $trueCnt + 7·N/Cap]")
+    }
+  }
+
   test("agg_approx_percentile within 1% of the exact percentile") {
     val exact = SparkEntry.queries("agg_percentile")(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2),

@@ -90,6 +90,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    import graft.operators.GraphOps
+    val N = 20
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, N - 1L), Gen.chooseNum(0L, N - 1L)))
+    forAll(edgeGen, Gen.const(()), n = 5) { (es: List[(Long, Long)], _: Unit) =>
+      val edges = es.filter { case (a, b) => a != b }
+      val nodes = (0L until N.toLong).toDF("doc_id")
+      val got = GraphOps
+        .connectedComponents(nodes, edges.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: union-find with union-by-min, so the root of every
+      // component is its minimum id — the same representative contract
+      val parent = Array.tabulate(N)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until N).map(i => i.toLong -> find(i).toLong).toMap
+      assert(got == want, s"CC mismatch for edges $edges")
+    }
+  }
+
   test("cosine top-1 finds a planted near-duplicate vector") {
     forAll(Gen.chooseNum(0, 400), Gen.chooseNum(1, 63)) { (vid: Int, dim: Int) =>
       val vecs = Tables.embeddings(spark, sf)
