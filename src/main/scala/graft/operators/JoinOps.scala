@@ -145,6 +145,28 @@ object JoinOps extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // as-of with TOLERANCE: same single window pass as join_asof, but a
+    // match only counts if the latest click is within 30 minutes of the
+    // purchase — the bounded-staleness form every real as-of join API
+    // exposes. events.ts is monotone in event_id (FIXTURES.md), so the
+    // running max of click ts IS the ts of the latest click.
+    "join_asof_tol" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("last_click",
+          max(when(col("event_type") === "click", col("event_id"))).over(w))
+        .withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(col("last_click_ts") >=
+              col("ts") - expr("INTERVAL 30 MINUTE"), col("last_click"))
+            .otherwise(lit(-1L)).as("c_id"))
+        .orderBy("p_id")
+    }),
+
     // bucketed co-located join: both facts pre-bucketed on the join key,
     // so the join itself needs no shuffle (PlanSpec asserts zero
     // exchanges on this shape). At 100 TB this is the amortize-once
@@ -289,6 +311,19 @@ object JoinOps extends QueryModule {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
         |      FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
+    "join_asof_tol" ->
+      """SELECT event_id AS p_id, user_id,
+        |  CASE WHEN last_click_ts >= ts - INTERVAL 30 MINUTE
+        |       THEN last_click ELSE -1 END AS c_id
+        |FROM (SELECT event_id, user_id, ts, event_type,
+        |        MAX(CASE WHEN event_type = 'click' THEN event_id END)
+        |          OVER w AS last_click,
+        |        MAX(CASE WHEN event_type = 'click' THEN ts END)
+        |          OVER w AS last_click_ts
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
         |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
     "join_bucketed" ->
       """SELECT o_orderstatus, COUNT(1) AS n_items,
