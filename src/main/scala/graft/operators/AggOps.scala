@@ -54,6 +54,54 @@ object AggOps extends QueryModule {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // STORABLE mergeable HLL sketches (DataSketches binary) — the shape
+    // agg_approx_distinct can't do: per-group sketches are reusable state
+    // (store per-day, union for any date range without rescanning raw
+    // data — the incremental distinct-count pattern at 100 TB). One pass
+    // builds per-type sketches; the ALL row re-aggregates THOSE sketches
+    // via hll_union_agg, never touching the input again. No oracle
+    // (sketch estimates are engine-specific); ≤5% error vs exact distinct
+    // asserted in OperatorSpec.
+    "agg_hll_sketch" -> ((s, d) => {
+      val perType = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      perType
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").as("approx_users"))
+        .unionAll(perType
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx_users"))
+          .select(lit("ALL").as("event_type"), col("approx_users")))
+        .orderBy("event_type")
+    }),
+
+    // ordered conversion funnel view → click → purchase: stage N counts
+    // users whose earliest stage-N event follows their stage-(N-1) entry
+    // time. Three aggregations all keyed by user_id — at 100 TB the
+    // exchanges reuse one hash partitioning (same key throughout), and
+    // each stage join is keyed, never a cross product. Funnel windows
+    // (e.g. "within 7 days") would add one bounded predicate per stage.
+    "agg_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val t1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = ev.where(col("event_type") === "click")
+        .join(t1, "user_id").where(col("ts") >= col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val t3 = ev.where(col("event_type") === "purchase")
+        .join(t2, "user_id").where(col("ts") >= col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      t1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(t2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(t3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    }),
+
     // subtotal NULLs are projected through COALESCE so both engines emit
     // the same sentinel (data values are single chars, 'ALL' cannot clash)
     "agg_rollup" -> ((s, d) =>
@@ -258,6 +306,21 @@ object AggOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "agg_hash" -> q1Sql,
+    "agg_funnel" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= t1.t1
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |       GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
+        |UNION ALL SELECT '2_click', COUNT(*) FROM t2
+        |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+        |ORDER BY stage""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

@@ -77,6 +77,35 @@ object Fixtures {
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** Schema-evolution fixture: two parquet generations of the events
+    * extract — v1 carries 3 columns, v2 adds `value`. The pair is what a
+    * lake partition written before/after a schema change looks like;
+    * scan_evolving reads them through mergeSchema. */
+  def evolvingDirs(s: SparkSession, sfDir: String): (String, String) = {
+    val v1 = writeOnce(dirFor(sfDir, "events", "evolve_v1")) { dir =>
+      Tables.events(s, sfDir).where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    val v2 = writeOnce(dirFor(sfDir, "events", "evolve_v2")) { dir =>
+      Tables.events(s, sfDir).where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    (v1, v2)
+  }
+
+  /** Deliberately fragmented copy of the events extract (64 small files) —
+    * the small-file problem sink_compacted exists to fix. */
+  def fragmentedEvents(s: SparkSession, sfDir: String): String =
+    writeOnce(dirFor(sfDir, "events", "fragmented")) { dir =>
+      Tables.events(s, sfDir)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** documents partitioned by lang — the prunable-fact layout used by
     * join_dpp (sink_partitioned writes its own copy: there the write is
     * the operator under test). */

@@ -242,10 +242,44 @@ object JoinOps extends QueryModule {
         .groupBy(col("u1").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // salted shuffle join — the join-side twin of agg_salted_skew. The
+    // derived foreign key routes ~70% of lineitem to ONE supplier, the
+    // exact hot-key shape that stalls a shuffle join on a single reducer
+    // at 100 TB. Salting spreads it: the fact adds salt = orderkey mod 8,
+    // the dim replicates ×8 (cheap — dims are small by definition), and
+    // the join key widens to (key, salt), so the hot key occupies 8
+    // reducers instead of 1. The shuffle_hash hint pins the shuffle path
+    // (a broadcast would hide the mechanism at test SF; AQE skew-split is
+    // the runtime alternative, exercised in PlanSpec). Result is provably
+    // identical to the unsalted join — exactly what the oracle checks.
+    "join_skew_salted" -> ((s, d) => {
+      val S = 8
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          when(col("l_orderkey") % 10 < 7, 0L)
+            .otherwise(col("l_suppkey")).as("sk"))
+        .withColumn("salt", pmod(col("l_orderkey"), lit(S)))
+      val dim = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+      fact.join(dim.hint("shuffle_hash"),
+          fact("sk") === dim("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT s_nationkey, COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier
+        |  ON (CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |       ELSE l_suppkey END) = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_broadcast" ->
       """SELECT p_brand, COUNT(1) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -85,6 +85,45 @@ object MergeOps extends QueryModule {
           lit("9999-12-31").as("valid_to"),
           lit(1L).as("is_current"))
       oldRows.unionAll(newRows).orderBy("c_custkey", "valid_from")
+    }),
+
+    // change-data-capture read: diff two snapshot versions into the
+    // change feed a downstream consumer replays — inserts, deletes, and
+    // updates as before/after image pairs (the Delta-CDF row shape).
+    // Version 2 derives deterministically from version 1 (= customer):
+    // keys ≡0 (mod 11) deleted, keys ≡0 (mod 7) rebalanced +100, new
+    // keys +1e6 for keys ≡0 (mod 13). Same scale profile as the merges:
+    // ONE full-outer shuffle on the key, hash-diff change detection, and
+    // the pre/post fan-out is a narrow union on top.
+    "cdc_diff" -> ((s, d) => {
+      val v1 = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val v2 = v1.where(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), col("c_name"),
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")).as("c_acctbal"))
+        .unionAll(v1.where(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            concat(col("c_name"), lit(" (new)")).as("c_name"),
+            col("c_acctbal")))
+      val a = v1.select(col("c_custkey").as("akey"),
+        col("c_name").as("a_name"), col("c_acctbal").as("a_bal"))
+      val b = v2.select(col("c_custkey").as("bkey"),
+        col("c_name").as("b_name"), col("c_acctbal").as("b_bal"))
+      val j = a.join(b, col("akey") === col("bkey"), "full_outer")
+      def dg(n: String, v: String) = md5(concat_ws("|", col(n), col(v)))
+      val upd = j.where(col("akey").isNotNull && col("bkey").isNotNull &&
+        dg("a_name", "a_bal") =!= dg("b_name", "b_bal"))
+      j.where(col("akey").isNull)
+        .select(col("bkey").as("c_custkey"), col("b_name").as("c_name"),
+          col("b_bal").as("c_acctbal"), lit("insert").as("change_type"))
+        .unionAll(j.where(col("bkey").isNull)
+          .select(col("akey"), col("a_name"), col("a_bal"), lit("delete")))
+        .unionAll(upd.select(col("akey"), col("a_name"), col("a_bal"),
+          lit("update_preimage")))
+        .unionAll(upd.select(col("akey"), col("b_name"), col("b_bal"),
+          lit("update_postimage")))
+        .orderBy("c_custkey", "change_type")
     })
   )
 
@@ -140,6 +179,30 @@ object MergeOps extends QueryModule {
         |SELECT d_key, d_c_name, d_c_acctbal, '2024-06-01', '9999-12-31',
         |  CAST(1 AS BIGINT)
         |FROM j WHERE action IN ('insert', 'updated')
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+    "cdc_diff" ->
+      """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM v1 WHERE c_custkey % 11 <> 0
+        |  UNION ALL SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
+        |    FROM v1 WHERE c_custkey % 13 = 0),
+        |j AS (SELECT v1.c_custkey AS akey, v1.c_name AS a_name,
+        |        v1.c_acctbal AS a_bal, v2.c_custkey AS bkey,
+        |        v2.c_name AS b_name, v2.c_acctbal AS b_bal
+        |      FROM v1 FULL JOIN v2 ON v1.c_custkey = v2.c_custkey)
+        |SELECT bkey AS c_custkey, b_name AS c_name, b_bal AS c_acctbal,
+        |  'insert' AS change_type FROM j WHERE akey IS NULL
+        |UNION ALL SELECT akey, a_name, a_bal, 'delete'
+        |  FROM j WHERE bkey IS NULL
+        |UNION ALL SELECT akey, a_name, a_bal, 'update_preimage' FROM j
+        |  WHERE akey IS NOT NULL AND bkey IS NOT NULL
+        |    AND (a_name <> b_name OR a_bal <> b_bal)
+        |UNION ALL SELECT akey, b_name, b_bal, 'update_postimage' FROM j
+        |  WHERE akey IS NOT NULL AND bkey IS NOT NULL
+        |    AND (a_name <> b_name OR a_bal <> b_bal)
+        |ORDER BY c_custkey, change_type""".stripMargin
   )
 }

@@ -77,6 +77,44 @@ object ScanOps extends QueryModule {
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
 
+    // schema-evolution read: two parquet generations (v2 added `value`)
+    // unified by mergeSchema — rows from the old generation surface the
+    // new column as null. mergeSchema costs a footer read per file, so at
+    // 100 TB a production lake pins the merged schema in a catalog; the
+    // read semantics demonstrated here are identical.
+    "scan_evolving" -> ((s, d) => {
+      val (v1, v2) = Fixtures.evolvingDirs(s, d)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    }),
+
+    // small-file compaction: rewrite a 64-fragment dataset into 2 files.
+    // coalesce (not repartition) — compaction is a rewrite, not a
+    // shuffle: input splits merge within tasks and no rows move between
+    // executors. At 100 TB the target file count derives from
+    // total-bytes / target-file-size per partition directory; the re-read
+    // aggregate proves content preservation (file counts are asserted in
+    // OperatorSpec — not SQL-expressible).
+    "sink_compacted" -> ((s, d) => {
+      val frag = Fixtures.fragmentedEvents(s, d)
+      val sf = new java.io.File(d).getName
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/compacted"
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).parquet(frag)
+        .coalesce(2)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      s.read.schema(schema).parquet(dir)
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"))
+    }),
+
     // partitioned sink + re-read through partition pruning; the re-read
     // aggregate proves the round trip. Partition column (lang) has 5
     // values — at 100 TB partitionBy on a low-cardinality column like
@@ -114,6 +152,18 @@ object ScanOps extends QueryModule {
       """SELECT CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
         |    || ',' || event_type AS value
         |FROM events ORDER BY value""".stripMargin,
+    "scan_evolving" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
+    "sink_compacted" ->
+      """SELECT COUNT(1) AS n_rows, MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin,
     "sink_parquet" ->
       """SELECT COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

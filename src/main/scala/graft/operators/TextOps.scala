@@ -303,6 +303,44 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: staged regexp scrub (emails → phones → long digit
+    // runs) with per-category counts — the compliance pass a training
+    // corpus runs before release. The synthetic tables carry no real
+    // contact strings, so the profile synthesizes an email + phone from
+    // the key with identical arithmetic on both engines; the operator
+    // under test is the scrub mechanics. Per-row narrow ops, no shuffle;
+    // ordering matters (emails carry digits, so digit-run redaction runs
+    // last on the already-scrubbed string) and the counts are computed on
+    // the same staged strings so categories never double-count.
+    "text_pii_scrub" -> ((s, d) => {
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+      val phoneRe = "\\d{2}-\\d{3}-\\d{4}"
+      val idRe = "\\d{4,}"
+      val profile = concat(
+        col("c_name"), lit(" <"), lower(col("c_mktsegment")),
+        col("c_custkey"), lit("@example.com> phone "),
+        (col("c_custkey") % 90) + 10, lit("-"),
+        (col("c_custkey") % 900) + 100, lit("-"),
+        ((col("c_custkey") * 7) % 9000) + 1000,
+        when((col("c_custkey") % 3) === 0,
+          concat(lit(" alt "), col("c_custkey"),
+            lit(".backup@mail.example.org"))).otherwise(lit("")))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), profile.as("profile"))
+        .select(col("c_custkey"), col("profile"),
+          regexp_replace(col("profile"), emailRe, "[EMAIL]").as("s1"))
+        .select(col("c_custkey"), col("profile"), col("s1"),
+          regexp_replace(col("s1"), phoneRe, "[PHONE]").as("s2"))
+        .select(col("c_custkey"),
+          regexp_replace(col("s2"), idRe, "[ID]").as("scrubbed"),
+          regexp_count(col("profile"), lit(emailRe)).cast(LongType)
+            .as("n_emails"),
+          regexp_count(col("s1"), lit(phoneRe)).cast(LongType)
+            .as("n_phones"),
+          regexp_count(col("s2"), lit(idRe)).cast(LongType).as("n_ids"))
+        .orderBy("c_custkey")
+    }),
+
     // rolling polynomial content fingerprint (mod large prime), computed
     // character-by-character — single narrow pass, no shuffle
     "text_fingerprint" -> ((s, d) =>
@@ -471,6 +509,32 @@ object TextOps extends QueryModule {
         |  + 0.2 * least((CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
         |                 / len(string_split(text, ' '))) / 8.0, 1.0) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH p AS (SELECT c_custkey,
+        |  c_name || ' <' || lower(c_mktsegment) || CAST(c_custkey AS VARCHAR)
+        |    || '@example.com> phone '
+        |    || CAST((c_custkey % 90) + 10 AS VARCHAR) || '-'
+        |    || CAST((c_custkey % 900) + 100 AS VARCHAR) || '-'
+        |    || CAST(((c_custkey * 7) % 9000) + 1000 AS VARCHAR)
+        |    || CASE WHEN c_custkey % 3 = 0
+        |         THEN ' alt ' || CAST(c_custkey AS VARCHAR)
+        |              || '.backup@mail.example.org'
+        |         ELSE '' END AS profile
+        |  FROM customer),
+        |q1 AS (SELECT c_custkey, profile,
+        |  regexp_replace(profile, '[a-z0-9.]+@[a-z0-9.]+', '[EMAIL]', 'g') AS s1
+        |  FROM p),
+        |q2 AS (SELECT c_custkey, profile, s1,
+        |  regexp_replace(s1, '\d{2}-\d{3}-\d{4}', '[PHONE]', 'g') AS s2
+        |  FROM q1)
+        |SELECT c_custkey,
+        |  regexp_replace(s2, '\d{4,}', '[ID]', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(profile, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(s1, '\d{2}-\d{3}-\d{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  CAST(len(regexp_extract_all(s2, '\d{4,}')) AS BIGINT) AS n_ids
+        |FROM q2 ORDER BY c_custkey""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

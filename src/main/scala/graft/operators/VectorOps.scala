@@ -60,6 +60,19 @@ object VectorOps extends QueryModule {
     floor(dotF(e, typedLit(lshPlanes(t).toSeq)) / 0.5).cast(LongType)
   }
 
+  /** Exact cosine pair mining at τ=0.4 — shared by sim_cosine_pairs and
+    * dedup_embedding so both ids ride one proven oracle predicate. */
+  private def cosinePairs(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = Tables.embeddings(s, d)
+      .select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(dot(col("e1"), col("e2")), 4).as("sim"))
+      .where(col("sim") >= 0.4)
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     "sim_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -83,17 +96,25 @@ object VectorOps extends QueryModule {
     // a partitioned nested-loop instead of OOMing executors on a forced
     // full-corpus broadcast. The 100 TB variant is sim_lsh/dedup_near
     // bucketing, which replaces the quadratic pair space entirely.
-    "sim_cosine_pairs" -> ((s, d) => {
-      val a = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id1"), col("embedding").as("e1"))
-      val b = Tables.embeddings(s, d)
-        .select(col("vec_id").as("id2"), col("embedding").as("e2"))
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(dot(col("e1"), col("e2")), 4).as("sim"))
-        .where(col("sim") >= 0.4)
-        .orderBy("id1", "id2")
-    }),
+    "sim_cosine_pairs" -> ((s, d) =>
+      cosinePairs(s, d).orderBy("id1", "id2")),
+
+    // embedding-cosine near-dup RESOLUTION: the same cosine pair graph,
+    // closed into one canonical survivor per connected component — the
+    // embedding-space twin of dedup_clusters (text-shingle space). Pair
+    // generation here is the exact variant so the recursive-CTE oracle
+    // stays exact; at 100 TB the pair input swaps for sim_lsh's bucketed
+    // candidates (recall-tested) with this resolution step unchanged —
+    // candidate generation and cluster resolution are deliberately
+    // separate stages.
+    "dedup_embedding" -> ((s, d) =>
+      GraphOps.connectedComponents(
+          Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+          cosinePairs(s, d))
+        .select(col("doc_id").as("vec_id"), col("rep").as("rep_id"),
+          when(col("doc_id") === col("rep"), 1L).otherwise(0L)
+            .cast(LongType).as("is_keeper"))
+        .orderBy("vec_id")),
 
     // bucketed-random-projection LSH ANN: euclidean dist <= 1.1 on unit
     // vectors ≡ cosine >= 0.395. Hand-rolled with the codegen'd dot
@@ -368,6 +389,24 @@ object VectorOps extends QueryModule {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    // naive definition of the same clustering: symmetric closure of the
+    // cosine pair relation via a recursive CTE, rep = min reachable id
+    "dedup_embedding" ->
+      """WITH RECURSIVE j AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |p AS (SELECT id1, id2 FROM j WHERE sim >= 0.4),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a)
+        |SELECT v.vec_id, COALESCE(m.rep, v.vec_id) AS rep_id,
+        |  CAST(CASE WHEN COALESCE(m.rep, v.vec_id) = v.vec_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        |FROM embeddings v LEFT JOIN m ON v.vec_id = m.a
+        |ORDER BY vec_id""".stripMargin,
     // the binary payload is unhex(md5-chain), so DuckDB recomputes every
     // byte from the hex string (16*hv(c1)+hv(c2)) and even the 1→N frame
     // fan-out over true binary stays oracle-checkable

@@ -39,6 +39,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("hll sketch estimates within 5% of exact, union matches rebuild") {
+    val ev = Tables.events(spark, sf)
+    val est = SparkEntry.queries("agg_hll_sketch")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = ev.select(countDistinct(col("user_id"))).collect()
+      .head.getLong(0)
+    assert(math.abs(est("ALL") - exactAll).toDouble / exactAll < 0.05)
+    val exactPer = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPer.foreach { case (t, n) =>
+      assert(math.abs(est(t) - n).toDouble / n < 0.05, s"event_type $t")
+    }
+  }
+
+  test("sink_compacted rewrites 64 fragments into at most 2 files") {
+    SparkEntry.queries("sink_compacted")(spark, sf).collect()
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    val frag = graft.operators.Fixtures.fragmentedEvents(spark, sf)
+    assert(parts(frag) == 64)
+    val sfName = new java.io.File(sf).getName
+    val out = s"${sys.props("java.io.tmpdir")}/graft_side/$sfName/compacted"
+    assert(parts(out) <= 2 && parts(out) >= 1)
+  }
+
   test("space-saving sketch keeps heavy hitters within the N/Cap bound") {
     import graft.functions.TopKTokens
     // vocabulary (200 rare + 3 heavy) deliberately exceeds Cap=64 so

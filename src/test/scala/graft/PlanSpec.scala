@@ -137,6 +137,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join_skew_salted takes the shuffle path with the widened key") {
+    val p = plan("join_skew_salted")
+    // the hint must hold — a silent broadcast would make the salt
+    // decorative and hide the hot-key spread the operator exists for
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffle-hash join:\n$p")
+    assert(p.contains("salt"), s"salt column missing from join key:\n$p")
+  }
+
   test("join_dpp injects a dynamic partition pruning subquery") {
     // the fact side's PartitionFilters must carry a dynamicpruning
     // expression fed by the filtered dim — the shape that lets a 100 TB

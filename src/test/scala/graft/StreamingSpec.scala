@@ -264,4 +264,48 @@ class StreamingSpec extends AnyFunSuite {
         s"stream/batch divergence: ${(got diff batch) ++ (batch diff got)}")
     } finally q.stop()
   }
+
+  test("foreachBatch upserts each micro-batch into a versioned snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming form of upsert_snapshot: every micro-batch full-outer
+    // merges into the current snapshot version and commits a NEW version
+    // dir (write-new + pointer-swap — the atomic commit a real lakehouse
+    // sink performs; never read-modify-write one path in place)
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .toString
+    @volatile var current = s"$root/v0"
+    Seq((0L, 0.0), (1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0))
+      .toDF("k", "v").write.parquet(current)
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val snap = spark.read.parquet(current)
+          .select(col("k").as("sk"), col("v").as("sv"))
+        val next = s"$root/v${id + 1}"
+        batch.select(col("k").as("bk"), col("v").as("bv"))
+          .join(snap, col("sk") === col("bk"), "full_outer")
+          .select(coalesce(col("bk"), col("sk")).as("k"),
+            coalesce(col("bv"), col("sv")).as("v"))
+          .write.parquet(next)
+        current = next
+      }
+      .start()
+    try {
+      in.addData((1L, 10.0), (5L, 50.0))
+      q.processAllAvailable()
+      in.addData((1L, 11.0), (6L, 60.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(current)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val expected = Set((0L, 0.0), (1L, 11.0), (2L, 0.0), (3L, 0.0),
+        (4L, 0.0), (5L, 50.0), (6L, 60.0))
+      assert(got == expected, s"snapshot mismatch: $got")
+      // earlier versions remain readable (time travel by version pointer)
+      val v0 = spark.read.parquet(s"$root/v0")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(v0 == Set((0L, 0.0), (1L, 0.0), (2L, 0.0), (3L, 0.0),
+        (4L, 0.0)))
+    } finally q.stop()
+  }
 }
