@@ -126,6 +126,35 @@ object FnOps extends QueryModule {
             .as("ssq"))
         .orderBy("vec_id")),
 
+    // binary↔text encodings: base64 and hex round trips (inputs kept
+    // under 57 bytes — MIME base64 line-wraps at 76 chars and engines
+    // disagree beyond that); rt_ok proves decode∘encode = id in-engine
+    "fn_encode" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          base64(col("c_mktsegment").cast("binary")).as("b64"),
+          hex(col("c_name").cast("binary")).as("hx"),
+          (unbase64(base64(col("c_mktsegment").cast("binary")))
+            .cast("string") === col("c_mktsegment")).cast(LongType)
+            .as("rt_ok"))
+        .orderBy("c_custkey")),
+
+    // struct surface: build, nest, extract, and branch on struct fields —
+    // all narrow per-row ops (the oracle sees the flattened projection;
+    // the struct round-trip is the Spark-side mechanism under test, same
+    // split as fn_map's map side)
+    "fn_struct" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"),
+            struct(col("o_custkey").as("ck")).as("inner")).as("sx"))
+        .select(col("o_orderkey"),
+          col("sx.st").as("status"),
+          col("sx.inner.ck").as("cust"),
+          when(col("sx.st") === "F", col("sx.inner.ck")).otherwise(-1L)
+            .as("cond_cust"))
+        .orderBy("o_orderkey")),
+
     "fn_map" -> ((s, d) => {
       val m = from_json(col("props"), MapType(StringType, IntegerType))
       Tables.events(s, d)
@@ -264,6 +293,18 @@ object FnOps extends QueryModule {
         |  round(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS ssq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_encode" ->
+      """SELECT c_custkey,
+        |  base64(encode(c_mktsegment)) AS b64,
+        |  hex(encode(c_name)) AS hx,
+        |  CAST(decode(from_base64(base64(encode(c_mktsegment))))
+        |       = c_mktsegment AS BIGINT) AS rt_ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_custkey AS cust,
+        |  CASE WHEN o_orderstatus = 'F' THEN o_custkey ELSE -1 END
+        |    AS cond_cust
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
         |  json_keys(props)[1] AS first_key,

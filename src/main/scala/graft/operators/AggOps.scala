@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, Q, QueryModule, Tables}
 import graft.functions.WeightedAvg
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4 aggregations.
@@ -78,29 +79,92 @@ object AggOps extends QueryModule {
 
     // ordered conversion funnel view → click → purchase: stage N counts
     // users whose earliest stage-N event follows their stage-(N-1) entry
-    // time. Three aggregations all keyed by user_id — at 100 TB the
-    // exchanges reuse one hash partitioning (same key throughout), and
-    // each stage join is keyed, never a cross product. Funnel windows
-    // (e.g. "within 7 days") would add one bounded predicate per stage.
+    // time. ONE shuffle of events by user_id total: the three stage
+    // times are conditional window-mins over the same partitioning
+    // (chained selects because t2's predicate needs t1 — Spark stacks
+    // the Window operators on one exchange), the per-user reduction
+    // rides the same partitioning, and only the 3-counter final agg
+    // crosses to a single partition. The staged-join formulation this
+    // replaces rescanned events once per stage. Funnel windows ("within
+    // 7 days") would add one bounded predicate per stage condition.
     "agg_funnel" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id")
+      Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_type"))
-      val t1 = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t1"))
-      val t2 = ev.where(col("event_type") === "click")
-        .join(t1, "user_id").where(col("ts") >= col("t1"))
-        .groupBy("user_id").agg(min("ts").as("t2"))
-      val t3 = ev.where(col("event_type") === "purchase")
-        .join(t2, "user_id").where(col("ts") >= col("t2"))
-        .groupBy("user_id").agg(min("ts").as("t3"))
-      t1.agg(count(lit(1)).as("n_users"))
-        .select(lit("1_view").as("stage"), col("n_users"))
-        .unionAll(t2.agg(count(lit(1)).as("n_users"))
-          .select(lit("2_click").as("stage"), col("n_users")))
-        .unionAll(t3.agg(count(lit(1)).as("n_users"))
-          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") >= col("t2"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"), first("t3").as("t3"))
+        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+          count(col("t3")).as("c3"))
+        .selectExpr("stack(3, '1_view', c1, '2_click', c2, " +
+          "'3_purchase', c3) AS (stage, n_users)")
         .orderBy("stage")
     }),
+
+    // data-quality profiler: per-column null/distinct/min/max stats in
+    // ONE scan — all counters ride a single aggregate (no per-column
+    // rescan), then a narrow stack to one row per column. The profile a
+    // pipeline runs before trusting a new snapshot. min/max surface as
+    // strings so every column fits one output schema (long→string is
+    // engine-identical; doubles/timestamps are profiled by count only).
+    "profile_stats" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderkey")).as("k_nn"),
+          countDistinct(col("o_orderkey")).as("k_nd"),
+          min(col("o_orderkey")).cast("string").as("k_min"),
+          max(col("o_orderkey")).cast("string").as("k_max"),
+          count(col("o_custkey")).as("c_nn"),
+          countDistinct(col("o_custkey")).as("c_nd"),
+          min(col("o_custkey")).cast("string").as("c_min"),
+          max(col("o_custkey")).cast("string").as("c_max"),
+          count(col("o_orderstatus")).as("s_nn"),
+          countDistinct(col("o_orderstatus")).as("s_nd"),
+          min(col("o_orderstatus")).as("s_min"),
+          max(col("o_orderstatus")).as("s_max"),
+          count(col("o_orderpriority")).as("p_nn"),
+          countDistinct(col("o_orderpriority")).as("p_nd"),
+          min(col("o_orderpriority")).as("p_min"),
+          max(col("o_orderpriority")).as("p_max"))
+        .selectExpr("stack(4, " +
+          "'o_orderkey', n, k_nn, k_nd, k_min, k_max, " +
+          "'o_custkey', n, c_nn, c_nd, c_min, c_max, " +
+          "'o_orderstatus', n, s_nn, s_nd, s_min, s_max, " +
+          "'o_orderpriority', n, p_nn, p_nd, p_min, p_max) AS " +
+          "(col_name, n_rows, n_nonnull, n_distinct, min_val, max_val)")
+        .orderBy("col_name")),
+
+    // equal-width histogram binning — the distribution profile over a
+    // measure; floor(x / width) keys partial-aggregate before the
+    // shuffle so the exchange carries O(bins), not O(rows)
+    "agg_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("bigint")
+          .as("bin"))
+        .agg(count(lit(1)).as("n_items"),
+          min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+        .orderBy("bin")),
+
+    // unpivot (melt): wide per-group measures back to long (measure,
+    // value) rows — the inverse of agg_pivot. The fan-out is a narrow
+    // 1→N projection after the aggregation, so the shuffle profile is
+    // the underlying groupBy's; measure name becomes an ordinary column.
+    "agg_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_price"), col("sum_qty")), "measure", "value")
+        .orderBy("l_returnflag", "measure")),
 
     // subtotal NULLs are projected through COALESCE so both engines emit
     // the same sentinel (data values are single chars, 'ALL' cannot clash)
@@ -306,6 +370,41 @@ object AggOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "agg_hash" -> q1Sql,
+    "profile_stats" ->
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |  COUNT(o_orderkey) AS k_nn, COUNT(DISTINCT o_orderkey) AS k_nd,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+        |  COUNT(o_custkey) AS c_nn, COUNT(DISTINCT o_custkey) AS c_nd,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS c_min,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS c_max,
+        |  COUNT(o_orderstatus) AS s_nn, COUNT(DISTINCT o_orderstatus) AS s_nd,
+        |  MIN(o_orderstatus) AS s_min, MAX(o_orderstatus) AS s_max,
+        |  COUNT(o_orderpriority) AS p_nn,
+        |  COUNT(DISTINCT o_orderpriority) AS p_nd,
+        |  MIN(o_orderpriority) AS p_min, MAX(o_orderpriority) AS p_max
+        |FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n AS n_rows, k_nn AS n_nonnull,
+        |  k_nd AS n_distinct, k_min AS min_val, k_max AS max_val FROM a
+        |UNION ALL SELECT 'o_custkey', n, c_nn, c_nd, c_min, c_max FROM a
+        |UNION ALL SELECT 'o_orderstatus', n, s_nn, s_nd, s_min, s_max FROM a
+        |UNION ALL SELECT 'o_orderpriority', n, p_nn, p_nd, p_min, p_max
+        |  FROM a
+        |ORDER BY col_name""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bin,
+        |  COUNT(1) AS n_items, MIN(l_extendedprice) AS lo,
+        |  MAX(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "agg_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty', sum_qty FROM w
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "agg_funnel" ->
       """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

@@ -131,6 +131,50 @@ object Fixtures {
     StructField("doc_id", LongType),
     StructField("rep", LongType)))
 
+  /** One raw .bin object per document (the media-lake layout: one file
+    * per asset), bytes identical to the mediaFile payload column. Written
+    * distributed via foreachPartition — each task writes only its own
+    * partition's files. */
+  def mediaBinDir(s: SparkSession, sfDir: String): String = {
+    val dir = dirFor(sfDir, "documents", "media_bin")
+    val marker = new java.io.File(s"$dir/_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(dir).mkdirs()
+      Tables.documents(s, sfDir)
+        .select(col("doc_id"),
+          unhex(expr("substr(repeat(md5(text), 4), 1, " +
+            "2 * (7 + int(doc_id % 57)))")).as("payload"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val p = java.nio.file.Paths.get(dir, f"${r.getLong(0)}%06d.bin")
+            java.nio.file.Files.write(p, r.getAs[Array[Byte]](1))
+          }
+        }
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  val simhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("simhash", LongType)))
+
+  /** Materialized per-doc simhash fingerprints — a pipeline computes them
+    * once per corpus snapshot (dedup_simhash prices the live computation)
+    * and every banding/pairing pass reads the 16-byte rows instead of
+    * re-aggregating the corpus. */
+  def simhashList(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =
+    writeOnce(dirFor(sfDir, "documents", "simhash_list")) { dir =>
+      build.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+  /** Embedding-space twin of keepList: materialized cosine-cluster map
+    * keyed on the embeddings fingerprint. */
+  def embKeepList(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =
+    writeOnce(dirFor(sfDir, "embeddings", "emb_keep_list")) { dir =>
+      build.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** Materialized dup-cluster keep-list (doc_id → component
     * representative). A real pipeline computes connected components over
     * the near-dup pairs ONCE per corpus snapshot and composes the result

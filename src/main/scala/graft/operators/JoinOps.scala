@@ -244,6 +244,25 @@ object JoinOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // null-safe equality join (<=>): NULL keys MATCH each other instead
+    // of silently dropping — the semantic a key-reconciliation join needs
+    // when "unknown" is itself a join bucket. Plans as an ordinary hash
+    // join (EqualNullSafe is a supported equi-key), so the scale profile
+    // equals join_shuffle. A tenth of customers get a NULL nation to
+    // exercise it; the dim carries an explicit NULL row.
+    "join_null_safe" -> ((s, d) => {
+      val a = Tables.customer(s, d).select(
+        when(col("c_custkey") % 10 === 0, lit(null))
+          .otherwise(col("c_nationkey")).as("nk"))
+      val b = Tables.nation(s, d).select(col("n_nationkey"))
+        .unionAll(Tables.nation(s, d)
+          .select(lit(null).cast("int").as("n_nationkey")).limit(1))
+      a.join(b, col("nk") <=> col("n_nationkey"))
+        .groupBy(coalesce(col("n_nationkey"), lit(-1)).as("key"))
+        .agg(count(lit(1)).as("n_matched"))
+        .orderBy("key")
+    }),
+
     // salted shuffle join — the join-side twin of agg_salted_skew. The
     // derived foreign key routes ~70% of lineitem to ONE supplier, the
     // exact hot-key shape that stalls a shuffle join on a single reducer
@@ -273,6 +292,14 @@ object JoinOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH a AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |       ELSE c_nationkey END AS nk FROM customer),
+        |b AS (SELECT n_nationkey FROM nation
+        |      UNION ALL SELECT CAST(NULL AS INTEGER))
+        |SELECT COALESCE(b.n_nationkey, -1) AS key, COUNT(1) AS n_matched
+        |FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.n_nationkey
+        |GROUP BY 1 ORDER BY key""".stripMargin,
     "join_skew_salted" ->
       """SELECT s_nationkey, COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

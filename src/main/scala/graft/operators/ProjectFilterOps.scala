@@ -71,6 +71,23 @@ object ProjectFilterOps extends QueryModule {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // deterministic 3-way train/val/test assignment (~80/10/10): the
+    // bucket is a pure function of the row key (md5 mod 10), so the
+    // split is reproducible across engines, retries, partitionings and
+    // reruns — one narrow pass, no RNG, no shuffle until the summary agg
+    "sample_split_hash" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast("int") % 10
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
     // stratified deterministic sampling: per-stratum hash rates (the
     // over-represented lang downsamples to ~3/16, the rest keep ~10/16) —
     // the rebalancing primitive of a training-data mix, reproducible
@@ -146,6 +163,19 @@ object ProjectFilterOps extends QueryModule {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substring(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 1) = '0'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "sample_split_hash" ->
+      """WITH b AS (SELECT doc_id,
+        |  ((instr('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 10
+        |    AS bucket
+        |FROM documents)
+        |SELECT CASE WHEN bucket < 8 THEN 'train'
+        |            WHEN bucket = 8 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE (lang = 'en' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -77,6 +77,23 @@ object ScanOps extends QueryModule {
           min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
     }),
 
+    // whole-file binary ingest: Spark's binaryFile source over a
+    // one-object-per-asset media directory (the raw media-lake layout
+    // BEFORE consolidation into parquet binary columns — multimodal_*
+    // operate on the consolidated form). The asset id is parsed from the
+    // path; content hashes/lengths are recomputable from the md5-chain
+    // payload definition, so even raw-file ingest stays oracle-checked.
+    // pathGlobFilter prunes non-asset files at listing time.
+    "scan_binaryfile" -> ((s, d) =>
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(Fixtures.mediaBinDir(s, d))
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1).cast("bigint")
+            .as("doc_id"),
+          col("length").as("n_bytes"),
+          lower(hex(col("content"))).as("content_hex"))
+        .orderBy("doc_id")),
+
     // schema-evolution read: two parquet generations (v2 added `value`)
     // unified by mergeSchema — rows from the old generation surface the
     // new column as null. mergeSchema costs a footer read per file, so at
@@ -152,6 +169,18 @@ object ScanOps extends QueryModule {
       """SELECT CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
         |    || ',' || event_type AS value
         |FROM events ORDER BY value""".stripMargin,
+    // full-byte compare: the file's hex equals the md5-chain definition
+    // (stronger than a digest — every byte is checked; DuckDB 1.0 sha256
+    // is VARCHAR-only so a blob digest can't be used here)
+    "scan_binaryfile" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(unhex(hx)) AS BIGINT) AS n_bytes,
+        |  hx AS content_hex
+        |FROM (SELECT doc_id,
+        |        substr(repeat(md5(text), 4), 1,
+        |               2 * CAST(7 + doc_id % 57 AS INT)) AS hx
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "scan_evolving" ->
       """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
         |FROM events WHERE event_id % 2 = 0

@@ -57,7 +57,7 @@ object TextOps extends QueryModule {
       .cast(DoubleType) / qWords
   private def qAvgWlen =
     (col("n_chars") - (qWords - 1)).cast(DoubleType) / qWords
-  private def qualityScore =
+  private[operators] def qualityScore =
     lit(0.4) * qTtr + lit(0.4) * (lit(1.0) - qStopRatio) +
       lit(0.2) * least(qAvgWlen / 8.0, lit(1.0))
 
@@ -93,7 +93,7 @@ object TextOps extends QueryModule {
   }
 
   /** Builds (or reuses) the materialized keep-list for this corpus. */
-  private def keepListDir(s: SparkSession, d: String): String =
+  private[operators] def keepListDir(s: SparkSession, d: String): String =
     Fixtures.keepList(s, d)(GraphOps.connectedComponents(
       Tables.documents(s, d).select(col("doc_id")), ngramPairs(s, d)))
 
@@ -126,6 +126,20 @@ object TextOps extends QueryModule {
   private def duckBit(b: Int): String =
     s"(((instr('0123456789abcdef', substr(md5(tok), ${b / 4 + 1}, 1)) - 1) >> ${b % 4}) & 1)"
 
+  /** (doc_id, simhash) — one shuffle-once weighted-majority aggregation;
+    * shared by dedup_simhash and dedup_simhash_pairs. */
+  private def simhashFrame(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val sums = (0 until SimhashBits).map(b =>
+      sum(expr(s"cnt * (2 * ${sparkBit(b)} - 1)")).as(s"s$b"))
+    val fp = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+    tc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(fp).as("simhash"))
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     // exact dedup: 32-byte hash shuffle key; survivor = min(doc_id) for
     // determinism (SURVEY §5.3.4 — never "first row wins")
@@ -139,17 +153,42 @@ object TextOps extends QueryModule {
     // 60-bit SimHash fingerprint per document. Identical texts get
     // identical fingerprints; near-identical texts land within a small
     // hamming distance (asserted in TextSpec at sf0.1 on planted dups).
-    "dedup_simhash" -> ((s, d) => {
-      val tc = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
-      val sums = (0 until SimhashBits).map(b =>
-        sum(expr(s"cnt * (2 * ${sparkBit(b)} - 1)")).as(s"s$b"))
-      val fp = (0 until SimhashBits).map(b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
-      tc.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id"), expr(fp).as("simhash"))
-        .orderBy("doc_id")
+    "dedup_simhash" -> ((s, d) =>
+      simhashFrame(s, d).orderBy("doc_id")),
+
+    // simhash near-dup PAIRS with EXACT recall at radius 3: band the
+    // 60-bit fingerprint into 4×15-bit keys — any pair within hamming
+    // distance 3 has at most 3 corrupted bands, so by pigeonhole at
+    // least one band matches exactly and every qualifying pair surfaces
+    // as a candidate (unlike probabilistic MinHash banding). The bucket
+    // join carries only (band-key, doc_id); the xor-popcount verify runs
+    // on candidate pairs only. This closes the simhash loop: fingerprint
+    // (dedup_simhash) → candidate → verified pair, sub-quadratic at
+    // 100 TB because band buckets group only near-identical fingerprints.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      // fingerprints come from the materialized fixture (computed once
+      // per corpus snapshot — the pattern a real pipeline uses; the live
+      // aggregation is priced by dedup_simhash). The 8-byte fingerprint
+      // rides the band shuffle so the xor-popcount verify runs inside
+      // the bucket join itself — a rejoin formulation that re-ran the
+      // 60-sum aggregation per side measured ~10× slower.
+      val fpDir = Fixtures.simhashList(s, d)(simhashFrame(s, d))
+      val banded = s.read.schema(Fixtures.simhashSchema).parquet(fpDir)
+        .select(col("doc_id"), col("simhash"), explode(array(
+          (0 until 4).map(b => struct(lit(b).as("b"),
+            (shiftright(col("simhash"), b * 15) % 32768).as("k"))): _*))
+          .as("band"))
+      banded.select(col("band"), col("doc_id").as("id1"),
+          col("simhash").as("f1"))
+        .join(banded.select(col("band"), col("doc_id").as("id2"),
+          col("simhash").as("f2")), Seq("band"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          bit_count(col("f1").bitwiseXOR(col("f2"))).cast(LongType)
+            .as("hamming"))
+        .where(col("hamming") <= 3)
+        .distinct()
+        .orderBy("id1", "id2")
     }),
 
     // pairwise word-trigram Jaccard over the FULL corpus, prefix-filter
@@ -172,6 +211,24 @@ object TextOps extends QueryModule {
           when(col("doc_id") === col("rep"), 1L).otherwise(0L)
             .cast(LongType).as("is_keeper"))
         .orderBy("doc_id")),
+
+    // overlapping token-window chunking (window 8, stride 6): the shard
+    // shape LLM pre-training and RAG indexing cut documents into. Chunk
+    // count = max(0, ⌈(n-8)/6⌉) + 1 computed in integer arithmetic
+    // ((n-3) div 6) so both engines agree exactly; slice bounds clamp at
+    // the tail identically. Pure narrow 1→N fan-out — no shuffle until
+    // a downstream consumer groups chunks.
+    "text_slice_chunks" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, greatest(0, (size(t) - 3) div 6)), " +
+            "i -> named_struct('ci', i, 'chunk', " +
+            "concat_ws(' ', slice(t, i * 6 + 1, 8))))")).as("c"))
+        .select(col("doc_id"), col("c.ci").cast(LongType).as("chunk_idx"),
+          col("c.chunk"), length(col("c.chunk")).cast(LongType)
+            .as("chunk_chars"))
+        .orderBy("doc_id", "chunk_idx")),
 
     "text_tokens" -> ((s, d) =>
       Tables.documents(s, d)
@@ -353,7 +410,7 @@ object TextOps extends QueryModule {
   )
 
   /** DuckDB mirror of qualityScore — identical double op order. */
-  private val duckQuality: String =
+  private[operators] val duckQuality: String =
     """0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |         / len(string_split(text, ' ')))
       |  + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x = 'a' OR x = 'the')) AS DOUBLE)
@@ -362,13 +419,15 @@ object TextOps extends QueryModule {
       |                 / len(string_split(text, ' '))) / 8.0, 1.0)""".stripMargin
 
   /** DuckDB mirror of shingleSets — identical 3-word shingle strings. */
-  private val duckShingles: String =
+  private[operators] val duckShingles: String =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       |  WHERE len(w) >= 3""".stripMargin
 
-  private val duckSimhash: String = {
+  /** fingerprint subquery shared by the dedup_simhash and
+    * dedup_simhash_pairs oracles */
+  private val duckSimhashCore: String = {
     val sums = (0 until SimhashBits).map(b =>
       s"SUM(cnt * (2 * ${duckBit(b)} - 1)) AS s$b").mkString(",\n    ")
     val fp = (0 until SimhashBits).map(b =>
@@ -381,15 +440,25 @@ object TextOps extends QueryModule {
        |s AS (SELECT doc_id,
        |    $sums
        |  FROM tc GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s
-       |ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
   }
+
+  private val duckSimhash: String =
+    duckSimhashCore + "\nORDER BY doc_id"
 
   override def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_simhash" -> duckSimhash,
+    // the naive all-pairs definition of the same radius-3 join
+    "dedup_simhash_pairs" ->
+      s"""WITH f AS ($duckSimhashCore)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM f a JOIN f b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram" ->
       s"""WITH t AS ($duckShingles)
         |SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -435,6 +504,14 @@ object TextOps extends QueryModule {
         |FROM q LEFT JOIN m ON q.doc_id = m.a
         |WHERE COALESCE(m.rep, q.doc_id) = q.doc_id AND q.quality >= 0.65
         |ORDER BY doc_id""".stripMargin,
+    "text_slice_chunks" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(t[i * 6 + 1 : i * 6 + 8], ' ') AS chunk,
+        |  CAST(length(array_to_string(t[i * 6 + 1 : i * 6 + 8], ' '))
+        |    AS BIGINT) AS chunk_chars
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  unnest(range(0, greatest(0, (len(t) - 3) // 6) + 1)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_tokens" ->
       """SELECT tok AS token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)

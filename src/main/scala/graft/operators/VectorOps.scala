@@ -243,6 +243,36 @@ object VectorOps extends QueryModule {
       }
     }),
 
+    // the cross-modal training-set materialization: keep a document only
+    // if it survives BOTH dedup spaces (text shingle clusters AND
+    // embedding cosine clusters) and passes the quality gate — then
+    // attach its embedding label for downstream sharding. Both cluster
+    // maps are read from materialized fixtures (a real pipeline computes
+    // each cluster map once per corpus snapshot; dedup_clusters /
+    // dedup_embedding price the live computation), so this query is
+    // three keyed joins + a narrow filter: every shuffle is by doc_id.
+    "pipeline_multimodal_set" -> ((s, d) => {
+      val embKeepDir = Fixtures.embKeepList(s, d)(
+        GraphOps.connectedComponents(
+          Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
+          cosinePairs(s, d)))
+      val textKeep = s.read.schema(Fixtures.keepListSchema)
+        .parquet(TextOps.keepListDir(s, d))
+        .where(col("doc_id") === col("rep")).select(col("doc_id"))
+      val embKeep = s.read.schema(Fixtures.keepListSchema)
+        .parquet(embKeepDir)
+        .where(col("doc_id") === col("rep")).select(col("doc_id"))
+      Tables.documents(s, d)
+        .join(textKeep, "doc_id")
+        .join(embKeep, "doc_id")
+        .join(Tables.embeddings(s, d)
+          .select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+        .where(TextOps.qualityScore >= 0.65)
+        .select(col("doc_id"), col("lang"), col("label"),
+          TextOps.qualityScore.as("quality"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup: 3-word shingles → xxhash64 → 12 minhashes →
     // 4 bands × 3 rows → bucket join on band hash → exact jaccard verify.
     // Hand-rolled instead of MLlib MinHashLSH on unigrams: this corpus
@@ -389,6 +419,40 @@ object VectorOps extends QueryModule {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    // both cluster closures + the quality gate, composed — the naive
+    // definition of the whole pipeline (lambda vars renamed z to avoid
+    // shadowing the CTE names)
+    "pipeline_multimodal_set" ->
+      s"""WITH RECURSIVE t AS (${TextOps.duckShingles}),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |cj AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |        round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |cp AS (SELECT id1, id2 FROM cj WHERE sim >= 0.4),
+        |ce AS (SELECT id1 AS a, id2 AS b FROM cp UNION SELECT id2, id1 FROM cp),
+        |creach(a, b) AS (SELECT a, b FROM ce
+        |                 UNION SELECT r.a, ce.b FROM creach r JOIN ce ON r.b = ce.a),
+        |cm AS (SELECT a, least(a, min(b)) AS rep FROM creach GROUP BY a),
+        |q AS (SELECT doc_id, lang,
+        |  ${TextOps.duckQuality} AS quality
+        |FROM documents)
+        |SELECT q.doc_id, q.lang, emb.label, q.quality
+        |FROM q
+        |LEFT JOIN m ON q.doc_id = m.a
+        |LEFT JOIN cm ON q.doc_id = cm.a
+        |JOIN embeddings emb ON q.doc_id = emb.vec_id
+        |WHERE COALESCE(m.rep, q.doc_id) = q.doc_id
+        |  AND COALESCE(cm.rep, q.doc_id) = q.doc_id
+        |  AND q.quality >= 0.65
+        |ORDER BY q.doc_id""".stripMargin,
     // naive definition of the same clustering: symmetric closure of the
     // cosine pair relation via a recursive CTE, rep = min reachable id
     "dedup_embedding" ->

@@ -82,6 +82,18 @@ object WindowOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // ntile bucketing: equal-depth quartiles per language, the shape a
+    // train/val/test split or per-stratum binning uses. Partitioned by
+    // lang so each sort is per-stratum — never a single global order
+    // (the scale-safe form; a global ntile funnels everything through
+    // one partition).
+    "win_ntile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          ntile(4).over(Window.partitionBy("lang").orderBy("doc_id"))
+            .cast("bigint").as("quartile"))
+        .orderBy("doc_id")),
+
     // value-based (RANGE) frame: 30-day trailing spend per customer. A
     // range frame includes ALL rows in the value band, so it is
     // deterministic as a set even under order ties — safe to compare
@@ -148,6 +160,11 @@ object WindowOps extends QueryModule {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_ntile" ->
+      """SELECT doc_id, lang,
+        |  CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+        |    AS quartile
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "win_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -65,6 +65,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(parts(out) <= 2 && parts(out) >= 1)
   }
 
+  test("text_slice_chunks covers every token and respects window/stride") {
+    // hand-checked boundary cases around the w8/s6 chunk-count formula:
+    // n<=8 → 1 chunk; n=9 → 2; n=14 → 2; n=15 → 3
+    val q = SparkEntry.queries("text_slice_chunks")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_chunks")
+      .toString
+    val toks = (n: Int) => (1 to n).map(i => s"w$i").mkString(" ")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings"))
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    Seq((1L, toks(8), 8L), (2L, toks(9), 9L), (3L, toks(14), 14L),
+        (4L, toks(15), 15L), (5L, toks(1), 1L))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = q(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDoc == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3, 5L -> 1),
+      s"chunk counts wrong: $byDoc")
+    // every token of doc 4 appears in some chunk, and chunk 1 starts at
+    // token 7 (stride 6)
+    val d4 = got.filter(_._1 == 4L).sortBy(_._2).map(_._3)
+    assert(d4(1).startsWith("w7 "))
+    val covered = d4.flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 15).map(i => s"w$i").toSet)
+  }
+
   test("space-saving sketch keeps heavy hitters within the N/Cap bound") {
     import graft.functions.TopKTokens
     // vocabulary (200 rare + 3 heavy) deliberately exceeds Cap=64 so

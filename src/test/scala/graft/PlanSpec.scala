@@ -137,6 +137,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions._
+    // the runtime-filter path that replaces broadcast pruning once the
+    // dim outgrows the broadcast threshold: Catalyst injects a
+    // bloom_filter_agg on the filtered dim and a might_contain guard on
+    // the fact scan, so fact rows that cannot join are dropped before
+    // the shuffle. Thresholds are test-lowered (at real scale the
+    // defaults — 10 MB creation side / 10 GB application side — gate it).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${p.take(3000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("join_skew_salted takes the shuffle path with the widened key") {
     val p = plan("join_skew_salted")
     // the hint must hold — a silent broadcast would make the salt

@@ -265,6 +265,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream left outer join emits unmatched rows after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    // clicks left-join purchases within [0, +10 min] per user; a click
+    // with no purchase must surface WITH NULLS once the watermark passes
+    // its join window — the completeness guarantee an enrichment join
+    // needs (an inner join would silently drop the row)
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user_id")
+      .withWatermark("c_ts", "5 minutes")
+    val b = buys.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "5 minutes")
+    val j = c.join(b,
+      expr("user_id = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 10 MINUTES"), "leftOuter")
+    val q = j.writeStream.format("memory").queryName("lsj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData((ts(10), 1L), (ts(10), 2L))
+      buys.addData((ts(12), 1L)) // user 1 converts, user 2 never does
+      q.processAllAvailable()
+      // advance both watermarks far past click+10min so the unmatched
+      // left row is finalized and emitted
+      clicks.addData((ts(120), 9L))
+      buys.addData((ts(120), 9L))
+      q.processAllAvailable()
+      val rows = spark.table("lsj")
+        .select(col("user_id"), col("p_ts").isNull.as("unmatched"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(rows.contains((1L, false)), s"matched row missing: $rows")
+      assert(rows.contains((2L, true)),
+        s"unmatched left row not emitted after watermark: $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch upserts each micro-batch into a versioned snapshot") {
     implicit val sqlCtx = spark.sqlContext
     // the streaming form of upsert_snapshot: every micro-batch full-outer
