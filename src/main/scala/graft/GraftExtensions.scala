@@ -30,9 +30,16 @@ object GraftExtensions {
         DotProductF(children.head, children(1))
       })
 
-  /** Register into an already-running session. */
-  def install(spark: SparkSession): Unit =
+  /** Register into an already-running session. Besides the native
+    * expression, the typed UDAFs are exposed to SQL so a pure-SQL caller
+    * gets the same exact-decimal / bounded-memory aggregation semantics
+    * as the Column API (`weighted_avg(w, x)`, `topk_tokens(tok)`). */
+  def install(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       "dot_f", dotF._3)
+    spark.udf.register("weighted_avg", graft.functions.WeightedAvg.fn)
+    spark.udf.register("topk_tokens",
+      org.apache.spark.sql.functions.udaf(graft.functions.TopKTokens))
+  }
 }

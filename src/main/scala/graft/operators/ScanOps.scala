@@ -132,6 +132,29 @@ object ScanOps extends QueryModule {
             .as("sum_value"))
     }),
 
+    // data-layout sink: sort WITHIN partitions by the filter column
+    // before writing, so parquet row-group min/max statistics become
+    // tight, disjoint ranges — a later `l_quantity < 5` scan skips
+    // nearly every row group (the single-column z-order-lite every lake
+    // maintains). sortWithinPartitions, not orderBy: no global sort, no
+    // range-exchange — each task sorts only its own split. The re-read
+    // runs a pushed-down range filter and aggregates, proving layout +
+    // pushdown compose.
+    "sink_sorted" -> ((s, d) => {
+      val sf = new java.io.File(d).getName
+      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/li_sorted"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .sortWithinPartitions("l_quantity")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      s.read.parquet(dir)
+        .where(col("l_quantity") < 5)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_qty"),
+          min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    }),
+
     // partitioned sink + re-read through partition pruning; the re-read
     // aggregate proves the round trip. Partition column (lang) has 5
     // values — at 100 TB partitionBy on a low-cardinality column like
@@ -193,6 +216,11 @@ object ScanOps extends QueryModule {
         |  MAX(event_id) AS max_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin,
+    "sink_sorted" ->
+      """SELECT COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem WHERE l_quantity < 5""".stripMargin,
     "sink_parquet" ->
       """SELECT COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -286,6 +286,26 @@ object TextOps extends QueryModule {
         .orderBy("doc_id", "token")
     }),
 
+    // windowed token co-occurrence: ordered pairs within 3 positions,
+    // counted corpus-wide — the raw statistic under PMI/embedding-style
+    // corpus analysis. The positional self-join is keyed by doc_id
+    // (co-partitioned, no cross-doc pairs) and bounded by the ±3 window,
+    // so per-doc join fan-out is O(len × window); the pair groupBy then
+    // partial-aggregates before its shuffle.
+    "text_cooccurrence" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "tok")
+      toks.select(col("doc_id"), col("pos").as("p1"), col("tok").as("t1"))
+        .join(toks.select(col("doc_id"), col("pos").as("p2"),
+          col("tok").as("t2")), Seq("doc_id"))
+        .where(col("p2") > col("p1") && col("p2") - col("p1") <= 3 &&
+          col("t1") =!= col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t1"), col("t2"))
+        .limit(100)
+    }),
+
     "text_ngram" -> ((s, d) =>
       Tables.documents(s, d)
         .select(split(col("text"), " ").as("t"))
@@ -542,6 +562,15 @@ object TextOps extends QueryModule {
         |  round(tf * ln((CAST(n AS DOUBLE) + 1) / (df + 1)), 4) AS tfidf
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
         |WHERE doc_id < 20 ORDER BY doc_id, token""".stripMargin,
+    "text_cooccurrence" ->
+      """SELECT t[CAST(i AS INT)] AS t1, t[CAST(j AS INT)] AS t2,
+        |  COUNT(*) AS cnt
+        |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |  unnest(range(1, len(t) + 1)) AS u(i),
+        |  unnest(range(1, len(t) + 1)) AS v(j)
+        |WHERE j > i AND j - i <= 3
+        |  AND t[CAST(i AS INT)] <> t[CAST(j AS INT)]
+        |GROUP BY 1, 2 ORDER BY cnt DESC, t1, t2 LIMIT 100""".stripMargin,
     "text_ngram" ->
       """SELECT bigram, COUNT(*) AS cnt FROM (
         |  SELECT unnest(list_transform(range(1, len(t)),

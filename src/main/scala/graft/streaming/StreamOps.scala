@@ -71,6 +71,31 @@ object StreamOps extends QueryModule {
         .orderBy("user_id", "session_id")
     }),
 
+    // session VALUE attribution: the same gap-based session assignment,
+    // reduced to revenue per session, then each user's top-revenue
+    // session — the "which visit converted" question. All three passes
+    // (session-id window, per-session agg, top-pick window) ride ONE
+    // user_id hash partitioning; nothing reshuffles.
+    "sessionize_revenue" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapS = unix_timestamp(col("ts")) -
+        unix_timestamp(lag("ts", 1).over(ord))
+      val top = Window.partitionBy("user_id")
+        .orderBy(col("revenue").desc, col("session_id"))
+      Tables.events(s, d)
+        .withColumn("new_s",
+          when(gapS.isNull || gapS > SessionGapS, 1L).otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast(DoubleType).as("revenue"))
+        .withColumn("rk", row_number().over(top))
+        .where(col("rk") === 1)
+        .select("user_id", "session_id", "n_events", "revenue")
+        .orderBy("user_id")
+    }),
+
     // dedup-within-window: batch equivalent of
     // dropDuplicatesWithinWatermark on (user_id, event_type) with a 1-hour
     // horizon — survivor is min(event_id) per (hour-bucket, key), never
@@ -156,6 +181,30 @@ object StreamOps extends QueryModule {
         |  COUNT(1) AS n_events
         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(k)
         |GROUP BY 1 ORDER BY w_start""".stripMargin,
+    "sessionize_revenue" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |agged AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    COUNT(1) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  FROM sess GROUP BY user_id, session_id),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY revenue DESC, session_id) AS rk
+        |  FROM agged)
+        |SELECT user_id, session_id, n_events, revenue FROM ranked
+        |WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "stream_session" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

@@ -65,6 +65,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(parts(out) <= 2 && parts(out) >= 1)
   }
 
+  test("cdc_diff change feed applied to v1 reproduces v2 exactly") {
+    // the consumer-side contract of a change feed: v1 minus deletes and
+    // update preimages, plus inserts and update postimages, IS v2
+    val feed = SparkEntry.queries("cdc_diff")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    val v1 = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val removed = feed
+      .filter(c => c._4 == "delete" || c._4 == "update_preimage")
+      .map(c => (c._1, c._2, c._3)).toSet
+    val added = feed
+      .filter(c => c._4 == "insert" || c._4 == "update_postimage")
+      .map(c => (c._1, c._2, c._3)).toSet
+    val applied = (v1 -- removed) ++ added
+    // recompute v2 by the fixture's own derivation rules
+    val v2 = v1.filter(_._1 % 11 != 0)
+      .map { case (k, n, b) =>
+        (k, n, if (k % 7 == 0) b + 100.0 else b) } ++
+      v1.filter(_._1 % 13 == 0)
+        .map { case (k, n, b) => (k + 1000000L, n + " (new)", b) }
+    assert(applied == v2,
+      s"apply(feed) != v2: extra=${applied -- v2} missing=${v2 -- applied}")
+  }
+
   test("text_slice_chunks covers every token and respects window/stride") {
     // hand-checked boundary cases around the w8/s6 chunk-count formula:
     // n<=8 → 1 chunk; n=9 → 2; n=14 → 2; n=15 → 3

@@ -46,6 +46,22 @@ class TextVectorSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("typed UDAFs are SQL-callable after GraftExtensions.install") {
+    GraftExtensions.install(spark)
+    import spark.implicits._
+    Seq(("a", 2.0, 10.0), ("a", 3.0, 20.0)).toDF("k", "w", "x")
+      .createOrReplaceTempView("wa_in")
+    val wa = spark.sql(
+      "SELECT weighted_avg(w, x) AS wa FROM wa_in GROUP BY k")
+      .collect().head.getDouble(0)
+    assert(wa == 16.0)
+    Seq("t1", "t1", "t2").toDF("tok").createOrReplaceTempView("tk_in")
+    val top = spark.sql("SELECT topk_tokens(tok) AS sk FROM tk_in")
+      .select(org.apache.spark.sql.functions.expr("element_at(sk.toks, 1)"))
+      .collect().head.getString(0)
+    assert(top == "t1")
+  }
+
   test("multimodal_decode is deterministic with a stable typed schema") {
     val q = SparkEntry.queries("multimodal_decode")
     val a = q(spark, sf).collect()
