@@ -126,6 +126,21 @@ object FnOps extends QueryModule {
             .as("ssq"))
         .orderBy("vec_id")),
 
+    // VARIANT semi-structured type (Spark 4): parse once into the binary
+    // variant encoding, then typed extraction — the open-schema path for
+    // JSON columns whose shape drifts (vs fn_map/fn_json's fixed-schema
+    // parses). try_variant_get on an absent path yields NULL, not an
+    // error — the tolerant read a drifting feed needs.
+    "fn_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+            .as("missing_val"),
+          (expr("variant_get(parse_json(props), '$.k', 'int')") * 2)
+            .as("k_doubled"))
+        .orderBy("event_id")),
+
     // binary↔text encodings: base64 and hex round trips (inputs kept
     // under 57 bytes — MIME base64 line-wraps at 76 chars and engines
     // disagree beyond that); rt_ok proves decode∘encode = id in-engine
@@ -293,6 +308,12 @@ object FnOps extends QueryModule {
         |  round(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS ssq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS missing_val,
+        |  CAST(json_extract_string(props, '$.k') AS INT) * 2 AS k_doubled
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_encode" ->
       """SELECT c_custkey,
         |  base64(encode(c_mktsegment)) AS b64,

@@ -244,6 +244,45 @@ object JoinOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // correlated LATERAL join (Spark 4 SQL): top-2 highest-value line
+    // items PER ORDER via a per-row subquery with ORDER BY + LIMIT.
+    // Catalyst decorrelates this into a window-rank over one shuffle —
+    // same physical shape as win_topk_group — so the per-row subquery
+    // never executes row-at-a-time; the surface is what SQL-first users
+    // migrate with.
+    "join_lateral" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("lat_orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lat_lineitem")
+      s.sql(
+        """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM lat_orders,
+          |  LATERAL (SELECT l_linenumber, l_extendedprice
+          |           FROM lat_lineitem WHERE l_orderkey = o_orderkey
+          |           ORDER BY l_extendedprice DESC, l_linenumber
+          |           LIMIT 2) t
+          |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)
+    }),
+
+    // recursive CTE (Spark 4 SQL): generate a daily date spine, then
+    // LEFT-join order counts onto it so zero-order days SURFACE as rows —
+    // the gap-filling pattern a reporting pipeline needs (a plain groupBy
+    // silently skips empty days). Day arithmetic stays integer-indexed so
+    // both engines produce identical DATEs; output cast to string to
+    // avoid date-encoding differences in the compare.
+    "sql_recursive" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("rec_orders")
+      s.sql(
+        """WITH RECURSIVE spine(i) AS (
+          |  SELECT 0 UNION ALL SELECT i + 1 FROM spine WHERE i < 58
+          |),
+          |days AS (SELECT date_add(DATE '1995-01-01', i) AS day FROM spine)
+          |SELECT CAST(day AS STRING) AS day,
+          |  COUNT(o_orderkey) AS n_orders
+          |FROM days LEFT JOIN rec_orders
+          |  ON CAST(o_orderdate AS DATE) = day
+          |GROUP BY day ORDER BY day""".stripMargin)
+    }),
+
     // null-safe equality join (<=>): NULL keys MATCH each other instead
     // of silently dropping — the semantic a key-reconciliation join needs
     // when "unknown" is itself a join bucket. Plans as an ordinary hash
@@ -292,6 +331,22 @@ object JoinOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "join_lateral" ->
+      """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
+        |FROM orders,
+        |  LATERAL (SELECT l_linenumber, l_extendedprice
+        |           FROM lineitem WHERE l_orderkey = o_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber
+        |           LIMIT 2) t
+        |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
+    "sql_recursive" ->
+      """WITH RECURSIVE spine(i) AS (
+        |  SELECT 0 UNION ALL SELECT i + 1 FROM spine WHERE i < 58
+        |),
+        |days AS (SELECT (DATE '1995-01-01' + i) AS day FROM spine)
+        |SELECT CAST(day AS VARCHAR) AS day, COUNT(o_orderkey) AS n_orders
+        |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = day
+        |GROUP BY day ORDER BY day""".stripMargin,
     "join_null_safe" ->
       """WITH a AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
         |       ELSE c_nationkey END AS nk FROM customer),

@@ -166,6 +166,15 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("join_lateral decorrelates to a window group-limit, not a loop") {
+    val p = plan("join_lateral")
+    // the LATERAL ... ORDER BY ... LIMIT subquery must become a window
+    // top-k (with map-side WindowGroupLimit pruning), never a per-row
+    // nested-loop re-execution of the inner query
+    assert(p.contains("WindowGroupLimit"), s"no window group-limit:\n$p")
+    assert(!p.contains("NestedLoop"), s"lateral fell back to a loop:\n$p")
+  }
+
   test("join_skew_salted takes the shuffle path with the widened key") {
     val p = plan("join_skew_salted")
     // the hint must hold — a silent broadcast would make the salt
