@@ -126,6 +126,26 @@ object FnOps extends QueryModule {
             .as("ssq"))
         .orderBy("vec_id")),
 
+    // XML ingestion surface (native in Spark 4): structured from_xml
+    // parse plus the xpath_* scalar family — the legacy-feed reader.
+    // The XML payload is synthesized in-engine from relational columns
+    // (the tables carry no XML), so the oracle recomputes the extracted
+    // values from the same source columns directly.
+    "fn_xml" -> ((s, d) => {
+      val payload = concat(lit("<ev><id>"), col("event_id"),
+        lit("</id><type>"), col("event_type"), lit("</type><user>"),
+        col("user_id"), lit("</user></ev>"))
+      Tables.events(s, d)
+        .select(col("event_id"), payload.as("xml"))
+        .select(col("event_id"),
+          expr("from_xml(xml, 'id BIGINT, type STRING, user BIGINT')")
+            .as("p"),
+          expr("xpath_long(xml, '/ev/user/text()')").as("xp_user"))
+        .select(col("event_id"), col("p.type").as("etype"),
+          col("p.user").as("uid"), col("xp_user"))
+        .orderBy("event_id")
+    }),
+
     // VARIANT semi-structured type (Spark 4): parse once into the binary
     // variant encoding, then typed extraction — the open-schema path for
     // JSON columns whose shape drifts (vs fn_map/fn_json's fixed-schema
@@ -308,6 +328,10 @@ object FnOps extends QueryModule {
         |  round(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS ssq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_xml" ->
+      """SELECT event_id, event_type AS etype, user_id AS uid,
+        |  user_id AS xp_user
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_variant" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,

@@ -42,7 +42,8 @@ object Fixtures {
     dir
   }
 
-  /** csv/json/orc extracts of the events table (source-format readers). */
+  /** csv/json/orc/xml extracts of the events table (source-format
+    * readers). */
   def sideFile(s: SparkSession, sfDir: String, fmt: String): String =
     writeOnce(dirFor(sfDir, "events", fmt)) { dir =>
       val df = Tables.events(s, sfDir)
@@ -53,6 +54,7 @@ object Fixtures {
         case "csv"  => w.option("header", "true").csv(dir)
         case "json" => w.json(dir)
         case "orc"  => w.orc(dir)
+        case "xml"  => w.format("xml").option("rowTag", "ev").save(dir)
       }
     }
 

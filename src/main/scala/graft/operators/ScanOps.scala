@@ -54,6 +54,14 @@ object ScanOps extends QueryModule {
         .where(col("event_id") < 5000)
         .orderBy("event_id")),
 
+    // XML source round trip — Spark 4 ships the XML datasource natively;
+    // explicit schema + rowTag, same pushdown-free text-source posture
+    // as csv/json (production reads give the schema, never infer)
+    "scan_xml" -> ((s, d) =>
+      s.read.format("xml").option("rowTag", "ev").schema(sideSchema)
+        .load(sideFile(s, d, "xml"))
+        .orderBy("event_id")),
+
     // line-oriented text source (the log-file reader): each line is one
     // row; the csv side file doubles as the fixture, header filtered out
     "scan_text" -> ((s, d) =>
@@ -187,6 +195,8 @@ object ScanOps extends QueryModule {
     "scan_orc" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id < 5000 ORDER BY event_id""".stripMargin,
+    "scan_xml" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     // the text lines are exactly the csv rows, reconstructable from events
     "scan_text" ->
       """SELECT CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)

@@ -47,6 +47,21 @@ object SortSetOps extends QueryModule {
           .select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
 
+    // bag semantics: INTERSECT ALL keeps min(multiplicity) copies per
+    // value, EXCEPT ALL subtracts occurrence counts — the forms that
+    // answer "how many overlapping rows", not just "which values"
+    "set_intersect_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    "set_except_all" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, d)
+          .select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
     // customers that never placed a high-value order, as a key difference
     "set_except" -> ((s, d) =>
       Tables.customer(s, d).select(col("c_custkey").as("custkey"))
@@ -84,6 +99,16 @@ object SortSetOps extends QueryModule {
     "set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT ALL
         |SELECT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
     "set_except" ->

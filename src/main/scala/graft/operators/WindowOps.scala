@@ -82,6 +82,24 @@ object WindowOps extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // forward fill (last observation carried forward): sparse per-user
+    // measurements (only purchases carry a value here) propagated to
+    // every later event via last(..., ignoreNulls) over an unbounded-
+    // preceding frame — the gap-filling idiom for sensor/price series.
+    // One shuffle by user_id; the frame never looks ahead, so the
+    // streaming analogue is a running value state.
+    "win_fill_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase", col("value")).as("sparse"))
+        .select(col("event_id"), col("user_id"),
+          last(col("sparse"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    }),
+
     // ntile bucketing: equal-depth quartiles per language, the shape a
     // train/val/test split or per-stratum binning uses. Partitioned by
     // lang so each sort is per-stratum — never a single global order
@@ -160,6 +178,13 @@ object WindowOps extends QueryModule {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
+    "win_fill_forward" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin,
     "win_ntile" ->
       """SELECT doc_id, lang,
         |  CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT)

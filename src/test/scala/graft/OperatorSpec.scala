@@ -65,6 +65,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(parts(out) <= 2 && parts(out) >= 1)
   }
 
+  test("Dataset.observe collects quality counters in the same pass") {
+    // the in-flight data-quality pattern: metrics ride the job instead
+    // of a second scan — at 100 TB the difference between free counters
+    // and doubling the read
+    val obs = new org.apache.spark.sql.Observation("qc")
+    val df = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+        sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L))
+          .as("null_price"))
+    val total = df.agg(count(lit(1))).collect().head.getLong(0)
+    val m = obs.get
+    assert(m("n") == total && total > 0)
+    assert(m("bad_qty") == 0L && m("null_price") == 0L, s"quality: $m")
+  }
+
   test("cdc_diff change feed applied to v1 reproduces v2 exactly") {
     // the consumer-side contract of a change feed: v1 minus deletes and
     // update preimages, plus inserts and update postimages, IS v2
