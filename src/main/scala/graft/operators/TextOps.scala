@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -380,6 +381,39 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL dedup: a new batch (doc_id ≡0 mod 10 here) checked
+    // against the stored corpus fingerprints ONLY — new×corpus band
+    // collisions, never corpus×corpus. This is the daily-increment shape
+    // at 100 TB: the corpus is touched through its materialized 16-byte
+    // fingerprint list, not re-read or re-paired, so cost scales with
+    // the increment. Verdict per new doc: nearest corpus match within
+    // hamming ≤ 3 (deterministic argmin by distance then id) or unique.
+    "dedup_incremental" -> ((s, d) => {
+      val fpDir = Fixtures.simhashList(s, d)(simhashFrame(s, d))
+      val fp = s.read.schema(Fixtures.simhashSchema).parquet(fpDir)
+      def bands(idAs: String, fAs: String)(df: DataFrame) =
+        df.select(col("doc_id").as(idAs), col("simhash").as(fAs),
+          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+            (shiftright(col("simhash"), b * 15) % 32768).as("k"))): _*))
+            .as("band"))
+      val newB = fp.where(col("doc_id") % 10 === 0)
+      val corp = fp.where(col("doc_id") % 10 =!= 0)
+      val cands = bands("nid", "f1")(newB)
+        .join(bands("cid", "f2")(corp), Seq("band"))
+        .select(col("nid"), col("cid"),
+          bit_count(col("f1").bitwiseXOR(col("f2"))).as("h"))
+        .where(col("h") <= 3).distinct()
+      val w = Window.partitionBy("nid").orderBy(col("h"), col("cid"))
+      val best = cands.withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+      newB.select(col("doc_id"))
+        .join(best, col("doc_id") === col("nid"), "left")
+        .select(col("doc_id"),
+          when(col("cid").isNull, 0L).otherwise(1L).as("is_dup"),
+          col("cid").as("dup_of"), col("h").cast(LongType).as("hamming"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction: staged regexp scrub (emails → phones → long digit
     // runs) with per-category counts — the compliance pass a training
     // corpus runs before release. The synthetic tables carry no real
@@ -471,6 +505,24 @@ object TextOps extends QueryModule {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_simhash" -> duckSimhash,
+    // the naive new×corpus definition of the same incremental check
+    "dedup_incremental" ->
+      s"""WITH f AS ($duckSimhashCore),
+        |nb AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |corp AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+        |p AS (SELECT nb.doc_id AS nid, corp.doc_id AS cid,
+        |        bit_count(xor(nb.simhash, corp.simhash)) AS h
+        |      FROM nb JOIN corp
+        |        ON bit_count(xor(nb.simhash, corp.simhash)) <= 3),
+        |r AS (SELECT nid, cid, h,
+        |        ROW_NUMBER() OVER (PARTITION BY nid ORDER BY h, cid) AS rk
+        |      FROM p)
+        |SELECT nb.doc_id,
+        |  CAST(CASE WHEN r.cid IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_dup,
+        |  r.cid AS dup_of, CAST(r.h AS BIGINT) AS hamming
+        |FROM nb LEFT JOIN r ON nb.doc_id = r.nid AND r.rk = 1
+        |ORDER BY doc_id""".stripMargin,
     // the naive all-pairs definition of the same radius-3 join
     "dedup_simhash_pairs" ->
       s"""WITH f AS ($duckSimhashCore)
