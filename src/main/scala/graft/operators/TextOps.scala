@@ -141,6 +141,34 @@ object TextOps extends QueryModule {
       .select(col("doc_id"), expr(fp).as("simhash"))
   }
 
+  /** Per-new-doc incremental dedup verdict (see `dedup_incremental`):
+    * nearest corpus fingerprint within hamming ≤ 3 or unique. Shared by
+    * dedup_incremental and pipeline_ingest. */
+  private def incrementalVerdicts(s: SparkSession, d: String): DataFrame = {
+    val fpDir = Fixtures.simhashList(s, d)(simhashFrame(s, d))
+    val fp = s.read.schema(Fixtures.simhashSchema).parquet(fpDir)
+    def bands(idAs: String, fAs: String)(df: DataFrame) =
+      df.select(col("doc_id").as(idAs), col("simhash").as(fAs),
+        explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+          (shiftright(col("simhash"), b * 15) % 32768).as("k"))): _*))
+          .as("band"))
+    val newB = fp.where(col("doc_id") % 10 === 0)
+    val corp = fp.where(col("doc_id") % 10 =!= 0)
+    val cands = bands("nid", "f1")(newB)
+      .join(bands("cid", "f2")(corp), Seq("band"))
+      .select(col("nid"), col("cid"),
+        bit_count(col("f1").bitwiseXOR(col("f2"))).as("h"))
+      .where(col("h") <= 3).distinct()
+    val w = Window.partitionBy("nid").orderBy(col("h"), col("cid"))
+    val best = cands.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+    newB.select(col("doc_id"))
+      .join(best, col("doc_id") === col("nid"), "left")
+      .select(col("doc_id"),
+        when(col("cid").isNull, 0L).otherwise(1L).as("is_dup"),
+        col("cid").as("dup_of"), col("h").cast(LongType).as("hamming"))
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     // exact dedup: 32-byte hash shuffle key; survivor = min(doc_id) for
     // determinism (SURVEY §5.3.4 — never "first row wins")
@@ -388,29 +416,22 @@ object TextOps extends QueryModule {
     // fingerprint list, not re-read or re-paired, so cost scales with
     // the increment. Verdict per new doc: nearest corpus match within
     // hamming ≤ 3 (deterministic argmin by distance then id) or unique.
-    "dedup_incremental" -> ((s, d) => {
-      val fpDir = Fixtures.simhashList(s, d)(simhashFrame(s, d))
-      val fp = s.read.schema(Fixtures.simhashSchema).parquet(fpDir)
-      def bands(idAs: String, fAs: String)(df: DataFrame) =
-        df.select(col("doc_id").as(idAs), col("simhash").as(fAs),
-          explode(array((0 until 4).map(b => struct(lit(b).as("b"),
-            (shiftright(col("simhash"), b * 15) % 32768).as("k"))): _*))
-            .as("band"))
-      val newB = fp.where(col("doc_id") % 10 === 0)
-      val corp = fp.where(col("doc_id") % 10 =!= 0)
-      val cands = bands("nid", "f1")(newB)
-        .join(bands("cid", "f2")(corp), Seq("band"))
-        .select(col("nid"), col("cid"),
-          bit_count(col("f1").bitwiseXOR(col("f2"))).as("h"))
-        .where(col("h") <= 3).distinct()
-      val w = Window.partitionBy("nid").orderBy(col("h"), col("cid"))
-      val best = cands.withColumn("rk", row_number().over(w))
-        .where(col("rk") === 1)
-      newB.select(col("doc_id"))
-        .join(best, col("doc_id") === col("nid"), "left")
-        .select(col("doc_id"),
-          when(col("cid").isNull, 0L).otherwise(1L).as("is_dup"),
-          col("cid").as("dup_of"), col("h").cast(LongType).as("hamming"))
+    "dedup_incremental" -> ((s, d) =>
+      incrementalVerdicts(s, d).orderBy("doc_id")),
+
+    // the full ingest decision for one increment, composed end-to-end:
+    // new batch → incremental dedup verdict (vs stored corpus
+    // fingerprints) → quality gate → the rows that actually enter the
+    // corpus. One declarative plan: Catalyst pushes the quality filter
+    // and doc_id join into the same pass; every shuffle is keyed by
+    // doc_id or the 2-byte band key.
+    "pipeline_ingest" -> ((s, d) => {
+      val unique = incrementalVerdicts(s, d)
+        .where(col("is_dup") === 0).select(col("doc_id"))
+      Tables.documents(s, d)
+        .join(unique, "doc_id")
+        .where(qualityScore >= 0.65)
+        .select(col("doc_id"), col("lang"), qualityScore.as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -523,6 +544,21 @@ object TextOps extends QueryModule {
         |  r.cid AS dup_of, CAST(r.h AS BIGINT) AS hamming
         |FROM nb LEFT JOIN r ON nb.doc_id = r.nid AND r.rk = 1
         |ORDER BY doc_id""".stripMargin,
+    // same verdict CTEs + the quality gate, composed
+    "pipeline_ingest" ->
+      s"""WITH f AS ($duckSimhashCore),
+        |nb AS (SELECT * FROM f WHERE doc_id % 10 = 0),
+        |corp AS (SELECT * FROM f WHERE doc_id % 10 <> 0),
+        |p AS (SELECT nb.doc_id AS nid, corp.doc_id AS cid,
+        |        bit_count(xor(nb.simhash, corp.simhash)) AS h
+        |      FROM nb JOIN corp
+        |        ON bit_count(xor(nb.simhash, corp.simhash)) <= 3),
+        |q AS (SELECT doc_id, lang, $duckQuality AS quality FROM documents)
+        |SELECT q.doc_id, q.lang, q.quality
+        |FROM q JOIN nb ON q.doc_id = nb.doc_id
+        |WHERE q.doc_id NOT IN (SELECT nid FROM p)
+        |  AND q.quality >= 0.65
+        |ORDER BY q.doc_id""".stripMargin,
     // the naive all-pairs definition of the same radius-3 join
     "dedup_simhash_pairs" ->
       s"""WITH f AS ($duckSimhashCore)
