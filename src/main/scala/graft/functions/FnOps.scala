@@ -126,6 +126,23 @@ object FnOps extends QueryModule {
             .as("ssq"))
         .orderBy("vec_id")),
 
+    // URL parsing surface: parse_url component extraction on synthesized
+    // deterministic URLs (tables carry none); the oracle recomputes each
+    // component from the same source columns.
+    "fn_url" -> ((s, d) => {
+      val url = concat(lit("https://data.example.org/"),
+        lower(col("event_type")), lit("/"), col("event_id"),
+        lit("?u="), col("user_id"), lit("&k=v"))
+      Tables.events(s, d)
+        .select(col("event_id"), url.as("url"))
+        .select(col("event_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'u')").as("q_u"))
+        .orderBy("event_id")
+    }),
+
     // XML ingestion surface (native in Spark 4): structured from_xml
     // parse plus the xpath_* scalar family — the legacy-feed reader.
     // The XML payload is synthesized in-engine from relational columns
@@ -328,6 +345,14 @@ object FnOps extends QueryModule {
         |  round(list_aggregate(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS ssq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_url" ->
+      """SELECT event_id,
+        |  'data.example.org' AS host,
+        |  '/' || lower(event_type) || '/' || CAST(event_id AS VARCHAR)
+        |    AS path,
+        |  'u=' || CAST(user_id AS VARCHAR) || '&k=v' AS query,
+        |  CAST(user_id AS VARCHAR) AS q_u
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_xml" ->
       """SELECT event_id, event_type AS etype, user_id AS uid,
         |  user_id AS xp_user

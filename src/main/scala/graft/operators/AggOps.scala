@@ -108,6 +108,21 @@ object AggOps extends QueryModule {
         .orderBy("stage")
     }),
 
+    // argmin/argmax aggregates: WHICH order was each customer's priciest
+    // and cheapest — max_by/min_by with a struct ordering key so ties
+    // break on the unique orderkey (deterministic — never "first row
+    // wins"). One partial-aggregating groupBy.
+    "agg_minmax_by" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .as("priciest_key"),
+          expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+            .as("cheapest_key"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")),
+
     // data-quality profiler: per-column null/distinct/min/max stats in
     // ONE scan — all counters ride a single aggregate (no per-column
     // rescan), then a narrow stack to one row per column. The profile a
@@ -370,6 +385,18 @@ object AggOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "agg_hash" -> q1Sql,
+    "agg_minmax_by" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rd,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice, o_orderkey) AS ra
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  MAX(CASE WHEN rd = 1 THEN o_orderkey END) AS priciest_key,
+        |  MAX(CASE WHEN ra = 1 THEN o_orderkey END) AS cheapest_key,
+        |  COUNT(1) AS n_orders
+        |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "profile_stats" ->
       """WITH a AS (SELECT COUNT(*) AS n,
         |  COUNT(o_orderkey) AS k_nn, COUNT(DISTINCT o_orderkey) AS k_nd,
