@@ -70,6 +70,12 @@ object GraphOps {
       labels = compressed
     }
     edges.unpersist()
+    // an unconverged result must never silently materialize (it would be
+    // persisted into write-once fixtures and reused downstream with no
+    // signal — round-2 advisory); diameters beyond ~2^rounds fail fast
+    require(converged,
+      s"connected components did not converge within $rounds rounds " +
+        "(graph diameter too large — raise `rounds`)")
     nodes.select(col("doc_id"))
       .join(labels.withColumnRenamed("doc_id", "pid"),
         col("doc_id") === col("pid"), "left")

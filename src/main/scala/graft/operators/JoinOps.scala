@@ -303,8 +303,11 @@ object JoinOps extends QueryModule {
     }),
 
     // salted shuffle join — the join-side twin of agg_salted_skew. The
-    // derived foreign key routes ~70% of lineitem to ONE supplier, the
-    // exact hot-key shape that stalls a shuffle join on a single reducer
+    // derived foreign key routes ~70% of lineitem to supplier 1 (a REAL
+    // key, so the hot rows produce matched output spread across reducers
+    // — round-2 advisory: key 0 matched nothing and the skew was only
+    // shuffled, never joined), the exact hot-key shape that stalls a
+    // shuffle join on a single reducer
     // at 100 TB. Salting spreads it: the fact adds salt = orderkey mod 8,
     // the dim replicates ×8 (cheap — dims are small by definition), and
     // the join key widens to (key, salt), so the hot key occupies 8
@@ -316,7 +319,7 @@ object JoinOps extends QueryModule {
       val S = 8
       val fact = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"),
-          when(col("l_orderkey") % 10 < 7, 0L)
+          when(col("l_orderkey") % 10 < 7, 1L)
             .otherwise(col("l_suppkey")).as("sk"))
         .withColumn("salt", pmod(col("l_orderkey"), lit(S)))
       val dim = Tables.supplier(s, d)
@@ -359,7 +362,7 @@ object JoinOps extends QueryModule {
       """SELECT s_nationkey, COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier
-        |  ON (CASE WHEN l_orderkey % 10 < 7 THEN 0
+        |  ON (CASE WHEN l_orderkey % 10 < 7 THEN 1
         |       ELSE l_suppkey END) = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "join_broadcast" ->

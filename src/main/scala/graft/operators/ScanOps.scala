@@ -29,6 +29,16 @@ object ScanOps extends QueryModule {
     StructField("user_id", LongType),
     StructField("event_type", StringType)))
 
+  /** PERMISSIVE typed read of the malformed-CSV fixture: rows whose
+    * user_id fails the LongType parse keep their parseable fields, null
+    * the bad one, and capture the raw line in `_corrupt` — nothing is
+    * silently dropped (asserted row-for-row in OperatorSpec). */
+  private[graft] def malformedFrame(s: SparkSession, d: String): DataFrame =
+    s.read.schema(sideSchema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(Fixtures.malformedCsv(s, d))
+
   override def queries: Map[String, Q.Fn] = Map(
     // projection + predicate pushdown reach the parquet reader (verified
     // via explain: PushedFilters + 3-column ReadSchema).
@@ -69,12 +79,30 @@ object ScanOps extends QueryModule {
         .where(col("value") =!= "event_id,user_id,event_type")
         .orderBy("value")),
 
+    // malformed-input ingestion: a typed PERMISSIVE read over a CSV with
+    // deterministically injected bad rows (non-numeric user_id on
+    // event_id % 97 == 3). Clean rows aggregate normally; corrupt rows
+    // land in quarantine and are COUNTED, never silently dropped — the
+    // error-row story a 100 TB ingest needs (a FAILFAST read would kill
+    // the job on the first bad row; DROPMALFORMED would lie about
+    // totals). The quarantine split is one narrow filter on the captured
+    // corrupt column; the oracle reconstructs the same arithmetic from
+    // the injection rule.
+    "scan_csv_malformed" -> ((s, d) =>
+      malformedFrame(s, d)
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+          count(col("_corrupt")).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("user_id")))
+            .as("sum_clean_uid"),
+          min(when(col("_corrupt").isNotNull, col("event_id")))
+            .as("min_bad_id"))),
+
     // plain parquet sink + re-read; the re-read aggregate proves the
     // round trip is lossless (same count + exact decimal sum + key range
     // as computing directly on the source table).
     "sink_parquet" -> ((s, d) => {
-      val sf = new java.io.File(d).getName
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/orders_sink"
+      val dir = Fixtures.sinkDir(s, d, "orders", "orders_sink")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .write.mode(SaveMode.Overwrite).parquet(dir)
@@ -124,8 +152,7 @@ object ScanOps extends QueryModule {
     // OperatorSpec — not SQL-expressible).
     "sink_compacted" -> ((s, d) => {
       val frag = Fixtures.fragmentedEvents(s, d)
-      val sf = new java.io.File(d).getName
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/compacted"
+      val dir = Fixtures.sinkDir(s, d, "events", "compacted")
       val schema = StructType(Seq(
         StructField("event_id", LongType),
         StructField("user_id", LongType),
@@ -149,8 +176,7 @@ object ScanOps extends QueryModule {
     // runs a pushed-down range filter and aggregates, proving layout +
     // pushdown compose.
     "sink_sorted" -> ((s, d) => {
-      val sf = new java.io.File(d).getName
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/li_sorted"
+      val dir = Fixtures.sinkDir(s, d, "lineitem", "li_sorted")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .sortWithinPartitions("l_quantity")
@@ -168,8 +194,7 @@ object ScanOps extends QueryModule {
     // values — at 100 TB partitionBy on a low-cardinality column like
     // this gives prunable directories without small-file explosion.
     "sink_partitioned" -> ((s, d) => {
-      val sf = new java.io.File(d).getName
-      val dir = s"${sys.props("java.io.tmpdir")}/graft_side/$sf/docs_by_lang"
+      val dir = Fixtures.sinkDir(s, d, "documents", "docs_by_lang_sink")
       val src = Tables.documents(s, d)
       src.write.mode(SaveMode.Overwrite)
         .partitionBy("lang").parquet(dir)
@@ -214,6 +239,17 @@ object ScanOps extends QueryModule {
         |               2 * CAST(7 + doc_id % 57 AS INT)) AS hx
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // reconstructed quarantine arithmetic: the injection rule
+    // (event_id % 97 == 3 → unparseable user_id) is deterministic, so
+    // the oracle recomputes every counter from the clean events table
+    "scan_csv_malformed" ->
+      """SELECT COUNT(1) AS n_total,
+        |  COUNT(1) FILTER (WHERE event_id % 97 <> 3) AS n_clean,
+        |  COUNT(1) FILTER (WHERE event_id % 97 = 3) AS n_quarantined,
+        |  CAST(SUM(user_id) FILTER (WHERE event_id % 97 <> 3) AS BIGINT)
+        |    AS sum_clean_uid,
+        |  MIN(event_id) FILTER (WHERE event_id % 97 = 3) AS min_bad_id
+        |FROM events""".stripMargin,
     "scan_evolving" ->
       """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value
         |FROM events WHERE event_id % 2 = 0

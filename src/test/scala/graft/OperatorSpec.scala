@@ -194,4 +194,61 @@ class OperatorSpec extends AnyFunSuite {
       .select("l_returnflag", "l_linestatus").distinct().count()
     assert(got == want)
   }
+
+  test("scan_csv_malformed quarantines bad rows and drops nothing") {
+    val df = operators.ScanOps.malformedFrame(spark, sf)
+    val nEvents = Tables.events(spark, sf).count()
+    val nBad = Tables.events(spark, sf)
+      .where(col("event_id") % 97 === 3).count()
+    assert(df.count() == nEvents, "PERMISSIVE read dropped rows")
+    val bad = df.where(col("_corrupt").isNotNull)
+    assert(bad.count() == nBad, "quarantine misses injected bad rows")
+    // the corrupt field nulls out; parseable siblings survive per-row
+    assert(bad.where(col("user_id").isNotNull).count() == 0)
+    assert(bad.where(col("event_id").isNull).count() == 0)
+    // and no clean row lost its user_id
+    assert(df.where(col("_corrupt").isNull && col("user_id").isNull)
+      .count() == 0)
+  }
+
+  test("profile_stats_sketch distinct counts within 5% of exact") {
+    def byCol(id: String): Map[String, Long] =
+      SparkEntry.queries(id)(spark, sf).collect()
+        .map(r => r.getAs[String]("col_name") -> r.getAs[Long]("n_distinct"))
+        .toMap
+    val exact = byCol("profile_stats")
+    val approx = byCol("profile_stats_sketch")
+    for ((c, e) <- exact) {
+      val a = approx(c)
+      assert(math.abs(a - e) <= math.max(1L, (0.05 * e).toLong),
+        s"$c: approx $a vs exact $e exceeds 5%")
+    }
+  }
+
+  test("connectedComponents refuses to return an unconverged labeling") {
+    // a 12-hop path cannot converge in one relax+compress round; the
+    // round-2 advisory: an unconverged labeling must fail fast, never
+    // silently materialize into a fixture
+    val nodes = (0L to 12L).toDF("doc_id")
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    assertThrows[IllegalArgumentException] {
+      operators.GraphOps.connectedComponents(nodes, pairs, rounds = 1)
+    }
+    // and with the default budget the same graph converges exactly
+    val labels = operators.GraphOps.connectedComponents(nodes, pairs)
+      .collect()
+    assert(labels.forall(_.getLong(1) == 0L), "path did not collapse to 0")
+  }
+
+  test("join_skew_salted hot key produces matched, spread output") {
+    // round-2 advisory: the hot ~70% previously routed to dead key 0 and
+    // matched nothing. Now every lineitem row must match some supplier,
+    // and the hot nation group must carry the hot mass.
+    val res = SparkEntry.queries("join_skew_salted")(spark, sf).collect()
+    val liCount = Tables.lineitem(spark, sf).count()
+    assert(res.map(_.getAs[Long]("n_rows")).sum == liCount,
+      "salted join lost rows — hot key not matched")
+    assert(res.map(_.getAs[Long]("n_rows")).max >= (0.7 * liCount).toLong,
+      "hot-key mass not visible in matched output")
+  }
 }
