@@ -56,9 +56,16 @@ object Bench {
     // baseline on an unchanged query set mean VM load, not a regression —
     // the artifact says so itself instead of requiring a judge re-run
     val contended = vsBaseline > ContentionRatio
-    // summary fields LAST in the line, so any tail truncation still
-    // carries the machine-readable total + flag
+    // full line (with the per-query map) for humans and full-capture
+    // parsers ...
     println(s"""{"queries":${qjson(results)},"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"value":$total}""")
+    // ... then a COMPACT summary line as the very last stdout line:
+    // round-3's artifact kept only a 2000-char stdout tail, which beheaded
+    // the full line above (parsed:null). This one carries only the 5
+    // slowest queries (schema-compatible with the contract's "queries"
+    // key) and fits entirely inside any tail window (round-3 advisory).
+    val slowest5 = results.sortBy(-_._2).take(5)
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qjson(slowest5)},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"value":$total}""")
     spark.stop()
   }
 }

@@ -56,7 +56,21 @@ object Fixtures {
       write(tmp.getPath)
       // Spark committers create _SUCCESS; raw-file builders need one
       new java.io.File(tmp, "_SUCCESS").createNewFile()
-      if (!tmp.renameTo(target)) rmTree(tmp) // lost the race: winner stands
+      if (!tmp.renameTo(target)) {
+        // rename fails both when a racing winner published first AND when
+        // a stale marker-less target (crashed run) occupies the path
+        // (ENOTEMPTY). Only a _SUCCESS-marked target is a winner; a stale
+        // partial would otherwise block publication forever (round-3
+        // advisory) — clear it and retry once.
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          rmTree(target)
+          if (!tmp.renameTo(target) &&
+              !new java.io.File(target, "_SUCCESS").exists())
+            throw new IllegalStateException(
+              s"fixture publish failed and no winner exists: $dir")
+        }
+        if (tmp.exists()) rmTree(tmp) // lost the race: winner stands
+      }
     }
     dir
   }
@@ -95,11 +109,16 @@ object Fixtures {
   def malformedCsv(s: SparkSession, sfDir: String): String =
     writeOnce(dirFor(sfDir, "events", "csv_malformed")) { dir =>
       val id = col("event_id")
+      // concat_ws silently DROPS null fields — a null user_id/event_type
+      // would emit a short row that turns corrupt outside the % 97 == 3
+      // injection rule and silently skew the oracle arithmetic (round-3
+      // advisory). Coalesce every field to an explicit empty string so
+      // the corrupt set is exactly the injected set.
       Tables.events(s, sfDir)
-        .select(concat_ws(",", id,
-            when(id % 97 === 3, concat(lit("x"), col("user_id")))
-              .otherwise(col("user_id").cast(StringType)),
-            col("event_type")).as("value"))
+        .select(concat_ws(",", coalesce(id.cast(StringType), lit("")),
+            concat(when(id % 97 === 3, "x").otherwise(""),
+              coalesce(col("user_id").cast(StringType), lit(""))),
+            coalesce(col("event_type"), lit(""))).as("value"))
         .coalesce(1).write.mode(SaveMode.Overwrite).text(dir)
     }
 

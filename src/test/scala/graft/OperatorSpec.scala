@@ -196,19 +196,24 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("scan_csv_malformed quarantines bad rows and drops nothing") {
-    val df = operators.ScanOps.malformedFrame(spark, sf)
-    val nEvents = Tables.events(spark, sf).count()
-    val nBad = Tables.events(spark, sf)
-      .where(col("event_id") % 97 === 3).count()
-    assert(df.count() == nEvents, "PERMISSIVE read dropped rows")
-    val bad = df.where(col("_corrupt").isNotNull)
-    assert(bad.count() == nBad, "quarantine misses injected bad rows")
-    // the corrupt field nulls out; parseable siblings survive per-row
-    assert(bad.where(col("user_id").isNotNull).count() == 0)
-    assert(bad.where(col("event_id").isNull).count() == 0)
-    // and no clean row lost its user_id
-    assert(df.where(col("_corrupt").isNull && col("user_id").isNull)
-      .count() == 0)
+    // cache first: filtering a raw CSV read on ONLY the corrupt-record
+    // column is rejected by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    // the documented workaround is to materialize the parsed frame
+    val df = operators.ScanOps.malformedFrame(spark, sf).cache()
+    try {
+      val nEvents = Tables.events(spark, sf).count()
+      val nBad = Tables.events(spark, sf)
+        .where(col("event_id") % 97 === 3).count()
+      assert(df.count() == nEvents, "PERMISSIVE read dropped rows")
+      val bad = df.where(col("_corrupt").isNotNull)
+      assert(bad.count() == nBad, "quarantine misses injected bad rows")
+      // the corrupt field nulls out; parseable siblings survive per-row
+      assert(bad.where(col("user_id").isNotNull).count() == 0)
+      assert(bad.where(col("event_id").isNull).count() == 0)
+      // and no clean row lost its user_id
+      assert(df.where(col("_corrupt").isNull && col("user_id").isNull)
+        .count() == 0)
+    } finally df.unpersist(): Unit
   }
 
   test("profile_stats_sketch distinct counts within 5% of exact") {
