@@ -18,6 +18,7 @@ object SparkEntry {
     operators.SortSetOps,
     operators.TextOps,
     operators.VectorOps,
+    operators.CurationOps,
     operators.MergeOps,
     functions.FnOps,
     streaming.StreamOps

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.13 (round 4) data-curation + storage-layout operators: the pieces a
+  * training-data pipeline needs AROUND the core dedup/similarity loop —
+  * mixture rebalancing, embedding quantization for storage, and Z-order
+  * clustering for multi-dimensional data skipping.
+  *
+  * Scale notes:
+  *  - pipeline_mixture derives per-group sampling rates from a tiny
+  *    map-side-combined count aggregate, broadcasts the 5-row rate table,
+  *    and keeps rows by a pure hash of the key — reproducible across
+  *    engines, retries and repartitionings, no RNG state to coordinate
+  *    across 1000 executors.
+  *  - vec_quantize is a single narrow pass (no shuffle): int8 symmetric
+  *    quantization cuts embedding storage 4× — at 100 TB of vectors this
+  *    is the difference between re-reading 100 TB and 25 TB per ANN
+  *    build. floor(x*s + 0.5) is used instead of round() because its
+  *    double semantics are bit-identical on every engine.
+  *  - fn_zorder / sink_zorder: bit-interleaved Morton codes give files
+  *    that are simultaneously narrow in BOTH dimensions, so a 2-D box
+  *    predicate (user × time) skips most files at the footer level —
+  *    a 1-D sort clusters one dimension and leaves the other unsorted.
+  *    The interleave is a 32-term integer expression (whole-stage
+  *    codegen'd, no UDF); the identical arithmetic is emitted for the
+  *    DuckDB oracle from the same loop, so the two engines cannot drift.
+  */
+object CurationOps extends QueryModule {
+
+  /** 16-bit × 16-bit Morton interleave: bit i of `a` lands at position
+    * 2i, bit i of `b` at 2i+1. Plain integer arithmetic — stays inside
+    * whole-stage codegen. */
+  private def morton16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  /** The same interleave as DuckDB SQL, generated from the same loop. */
+  private def morton16Duck(a: String, b: String): String =
+    (0 until 16).map { i =>
+      s"((($a >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($b >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("\n    + ")
+
+  private def hourBucket: Column = expr("unix_timestamp(ts) div 3600")
+  private val duckHour = "((epoch_ms(ts) // 1000) // 3600)"
+
+  /** events + a `zval` column: both dimensions are first min/max-scaled
+    * to the FULL 16-bit range before interleaving. Without this the dim
+    * with more varying bits owns every high z-bit and the curve
+    * degenerates to a 1-D sort (observed: raw user ids span 8 bits vs 10
+    * for hour buckets — files came out time-sorted). The bounds come
+    * from one map-side-combined min/max agg broadcast back (at 100 TB:
+    * table-stats metadata instead of a scan — same two numbers). */
+  private[operators] def zFrame(s: SparkSession, d: String) = {
+    val ev = Tables.events(s, d).withColumn("hb", hourBucket)
+    val bounds = ev.agg(min("user_id").as("ulo"), max("user_id").as("uhi"),
+      min("hb").as("hlo"), max("hb").as("hhi"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("zval", morton16(
+        expr("((user_id - ulo) * 65535) div greatest(uhi - ulo, 1)"),
+        expr("((hb - hlo) * 65535) div greatest(hhi - hlo, 1)")))
+      .drop("hb", "ulo", "uhi", "hlo", "hhi")
+  }
+
+  /** DuckDB mirror of zFrame's normalize-then-interleave. */
+  private def duckZ: String =
+    s"""WITH bnd AS (SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+      |    min($duckHour) AS hlo, max($duckHour) AS hhi FROM events),
+      |zin AS (SELECT event_id,
+      |    ((user_id - ulo) * 65535) // greatest(uhi - ulo, 1) AS za,
+      |    (($duckHour - hlo) * 65535) // greatest(hhi - hlo, 1) AS zb
+      |  FROM events, bnd)
+      |SELECT event_id, CAST(
+      |    ${morton16Duck("za", "zb")}
+      |  AS BIGINT) AS zval
+      |FROM zin""".stripMargin
+
+  // 2-D query box for the sink round-trip: 128 users × 5 days, in
+  // data-independent literals (epoch hour 473400 = 2024-01-03 00:00 UTC)
+  private val (userLo, userHi) = (64L, 191L)
+  private val (hourLo, hourHi) = (473400L, 473519L)
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // count-driven mixture rebalance: downsample every language to the
+    // rarest language's share (uniform target mixture). The keep rule is
+    // a pure md5 hash of the key against a data-derived rate, so the
+    // sample is deterministic; the rate table is a broadcast of 5 rows.
+    // sample_stratified is the fixed-rate cousin; this one computes the
+    // rates FROM the data, which is what a mixture target actually needs.
+    "pipeline_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min("n").as("mn"))))
+        .select(col("lang"), (col("mn").cast(DoubleType) / col("n"))
+          .as("rate"))
+      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast(IntegerType).cast(DoubleType) / 256.0
+      docs.join(broadcast(rates), "lang")
+        .where(v < col("rate"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 symmetric quantization per vector: scale = 127 / max|x|,
+    // q_i = floor(x_i * scale + 0.5) ∈ [-127, 127]. One narrow pass —
+    // reconstruction error ≤ 0.5/scale is asserted in TextVectorSpec.
+    "vec_quantize" -> ((s, d) => {
+      val mxRaw = array_max(transform(col("embedding"),
+        x => abs(x.cast(DoubleType))))
+      Tables.embeddings(s, d)
+        .withColumn("mx", when(mxRaw === 0.0, 1.0).otherwise(mxRaw))
+        .select(col("vec_id"), (lit(127.0) / col("mx")).as("q_scale"),
+          transform(col("embedding"), x =>
+            floor(x.cast(DoubleType) * (lit(127.0) / col("mx")) + 0.5)
+              .cast(IntegerType)).as("q"))
+        .orderBy("vec_id")
+    }),
+
+    // the Morton code itself as a queryable id — oracle-checked against
+    // the identical generated arithmetic in DuckDB
+    "fn_zorder" -> ((s, d) =>
+      zFrame(s, d)
+        .select(col("event_id"), col("zval"))
+        .orderBy("event_id")),
+
+    // Z-order clustered sink: range-partition + sort by the Morton code,
+    // write 16 files, then answer a 2-D box query from the re-read. Each
+    // file covers a contiguous z-interval ⇒ narrow in user AND time at
+    // once (asserted file-by-file in OperatorSpec); parquet footer
+    // min/max then skips most files for box predicates — the layout a
+    // 100 TB event store wants when queries slice both dimensions.
+    "sink_zorder" -> ((s, d) => {
+      val dir = Fixtures.sinkDir(s, d, "events", "ev_zorder")
+      zFrame(s, d)
+        .repartitionByRange(16, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+      s.read.parquet(dir)
+        .where(col("user_id").between(userLo, userHi) &&
+          hourBucket.between(hourLo, hourHi))
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"),
+          sum("event_id").as("sum_id"))
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "pipeline_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM c, m)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ((instr('0123456789abcdef',
+        |          substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef',
+        |          substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) / 256.0
+        |  < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "vec_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    AS mxr
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, embedding,
+        |  CASE WHEN mxr = 0 THEN 1.0 ELSE mxr END AS mx FROM e)
+        |SELECT vec_id, 127.0 / mx AS q_scale,
+        |  list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER))
+        |    AS q
+        |FROM m ORDER BY vec_id""".stripMargin,
+    "fn_zorder" -> (duckZ + "\nORDER BY event_id"),
+    "sink_zorder" ->
+      s"""SELECT count(*) AS n_rows,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events
+        |WHERE user_id BETWEEN $userLo AND $userHi
+        |  AND $duckHour BETWEEN $hourLo AND $hourHi""".stripMargin
+  )
+}

@@ -532,7 +532,64 @@ object TextOps extends QueryModule {
           expr("aggregate(sequence(1, length(text)), 0L, " +
             "(acc, i) -> (acc * 31 + ascii(substr(text, i, 1))) % 1000000007)")
             .as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // train/test decontamination: flag training docs whose shingles
+    // overlap a benchmark holdout (doc_id % 50 == 0 stands in for the
+    // eval set). The benchmark shingle UNIVERSE is tiny relative to the
+    // corpus — exactly the real-world shape (a few benchmarks vs 100 TB
+    // of training data) — so it broadcasts and the corpus side is one
+    // explode + semi-join + count, shuffled by doc_id only; document
+    // bodies never move. Shingle hashes stand in for strings (64-bit
+    // collisions negligible — same argument as dedup_ngram).
+    "decontaminate" -> ((s, d) => {
+      val sh = shingleHashSets(s, d)
+      val bench = sh.where(col("doc_id") % 50 === 0)
+        .select(explode(col("hs")).as("g")).distinct()
+      val corp = sh.where(col("doc_id") % 50 =!= 0)
+      val hits = corp.select(col("doc_id"), explode(col("hs")).as("g"))
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val frac = col("n_shared").cast(DoubleType) / col("n_shingles")
+      corp.select(col("doc_id"),
+          size(col("hs")).cast(LongType).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+          frac.as("contam_frac"),
+          (frac >= 0.5).cast(LongType).as("is_contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: the share of bigram occurrences
+    // taken by the single most frequent bigram, and the share occurring
+    // 2+ times. Explode → (doc_id, bigram) partial-agg → per-doc agg:
+    // both shuffles are keyed by (doc, bigram) / doc, so at 100 TB this
+    // is two map-side-combining exchanges over 8-byte-ish keys — never a
+    // per-doc quadratic pair space (the text_cooccurrence lesson).
+    "text_rep_stats" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat_ws(' ', " +
+            "element_at(t, i), element_at(t, i + 1)))")).as("bg"))
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bigrams"), max("c").as("top_c"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_c"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("top_c").cast(DoubleType) / col("n_bigrams"))
+            .as("top_bigram_frac"),
+          (col("dup_c").cast(DoubleType) / col("n_bigrams"))
+            .as("dup_bigram_frac"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_frac"),
+          col("dup_bigram_frac"),
+          (col("top_bigram_frac") >= 0.2).cast(LongType)
+            .as("is_repetitive"))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB mirror of qualityScore — identical double op order. */
@@ -797,6 +854,38 @@ object TextOps extends QueryModule {
         |      list_transform(range(1, length(text) + 1),
         |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      s"""WITH t AS ($duckShingles),
+        |b AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, unnest(sh) AS g FROM t WHERE doc_id % 50 <> 0),
+        |h AS (SELECT doc_id, count(*) AS n_shared
+        |      FROM c JOIN b USING (g) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+        |  COALESCE(h.n_shared, 0) AS n_shared,
+        |  CAST(COALESCE(h.n_shared, 0) AS DOUBLE) / len(t.sh)
+        |    AS contam_frac,
+        |  CAST(CASE WHEN CAST(COALESCE(h.n_shared, 0) AS DOUBLE)
+        |         / len(t.sh) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_contaminated
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+        |WHERE t.doc_id % 50 <> 0 ORDER BY t.doc_id""".stripMargin,
+    "text_rep_stats" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  max(c) AS top_c,
+        |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_c
+        |FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+        |  CAST(dup_c AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+        |  CAST(CASE WHEN CAST(top_c AS DOUBLE) / n_bigrams >= 0.2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+        |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -256,4 +256,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(res.map(_.getAs[Long]("n_rows")).max >= (0.7 * liCount).toLong,
       "hot-key mass not visible in matched output")
   }
+
+  test("sink_zorder files are narrow in BOTH dimensions at once") {
+    // the point of z-ordering: each file's footer bounding box covers a
+    // small fraction of user-space AND time-space simultaneously, so a
+    // 2-D box predicate skips most files. A 1-D sort can only deliver
+    // one narrow dimension — asserted as the contrast case below.
+    val d = "/root/testdata/sf0.01"
+    SparkEntry.queries("sink_zorder")(spark, d).count() // triggers write
+    val dir = operators.Fixtures.sinkDir(spark, d, "events", "ev_zorder")
+    val hour = expr("unix_timestamp(ts) div 3600")
+    def bboxFracs(files: Array[String]): (Double, Double) = {
+      val st = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("user_id"), max("user_id"), min(hour), max(hour)).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val uSpan = (st.map(_._2).max - st.map(_._1).min).toDouble
+      val hSpan = (st.map(_._4).max - st.map(_._3).min).toDouble
+      (st.map(s => (s._2 - s._1) / uSpan).sum / st.length,
+        st.map(s => (s._4 - s._3) / hSpan).sum / st.length)
+    }
+    val zFiles = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(zFiles.length >= 8, s"expected >=8 z-ordered files in $dir")
+    val (zUser, zHour) = bboxFracs(zFiles)
+    assert(zUser <= 0.7 && zHour <= 0.7,
+      f"z-order files not 2-D narrow: user=$zUser%.2f hour=$zHour%.2f")
+    // contrast: the same data range-sorted by user_id alone leaves every
+    // file spanning ~the full time range
+    val linDir = java.nio.file.Files
+      .createTempDirectory("zorder_lin").toString
+    Tables.events(spark, d).repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linDir)
+    val linFiles = new java.io.File(linDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val (_, linHour) = bboxFracs(linFiles)
+    assert(linHour >= 0.9,
+      f"contrast layout unexpectedly time-narrow: $linHour%.2f")
+    assert(zHour < 0.8 * linHour,
+      f"z-order no better than 1-D sort on time: $zHour%.2f vs $linHour%.2f")
+  }
 }

@@ -256,6 +256,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("decontaminate broadcasts the benchmark universe") {
+    // the real-world asymmetry: a few benchmarks vs the whole corpus.
+    // The benchmark shingle set must broadcast into a semi-join — a
+    // shuffled semi-join would re-exchange the full corpus's exploded
+    // shingles against a set that fits in memory by construction.
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark side not broadcast into a semi-join:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("LeftSemi")),
+      s"semi-join degraded to a shuffle:\n$p")
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the

@@ -245,4 +245,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(got == expect,
       s"divergence: ${(got diff expect) ++ (expect diff got)}")
   }
+
+  test("vec_quantize reconstruction error is within half a quantum") {
+    // int8 symmetric quantization: |x - q/scale| <= 0.5/scale per
+    // element, i.e. max error scaled by q_scale <= 0.5 — and the code
+    // range must stay inside [-127, 127]
+    val q = SparkEntry.queries("vec_quantize")(spark, sf)
+      .join(Tables.embeddings(spark, sf), "vec_id")
+      .select(
+        array_max(zip_with(col("embedding"), col("q"), (x, qi) =>
+          abs(x.cast("double") - qi.cast("double") / col("q_scale"))))
+          .multiply(col("q_scale")).as("scaled_err"),
+        array_max(transform(col("q"), c => abs(c))).as("max_code"))
+      .agg(max("scaled_err"), max("max_code")).head
+    assert(q.getDouble(0) <= 0.5 + 1e-9,
+      s"quantization error ${q.getDouble(0)} exceeds half a quantum")
+    assert(q.getInt(1) <= 127, s"code ${q.getInt(1)} outside int8 range")
+  }
+
+  test("pipeline_mixture balances language shares to the rarest") {
+    // data-driven rates target a uniform mixture: at sf0.1 every language
+    // should keep ~min-lang-count docs (hash sampling noise aside)
+    val kept = SparkEntry.queries("pipeline_mixture")(spark, "/root/testdata/sf0.1")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.size == 5, s"missing languages: $kept")
+    val (mn, mx) = (kept.values.min.toDouble, kept.values.max.toDouble)
+    assert(mx / mn <= 1.5,
+      s"mixture still skewed after rebalance: $kept")
+  }
 }
