@@ -47,6 +47,20 @@ object CurationOps extends QueryModule {
         s"(($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("\n    + ")
 
+  /** Deterministic uniform-ish value in [0, 1) from a row key: first two
+    * md5 hex digits over 256. Shared by pipeline_mixture and the
+    * curation funnel so both stages sample identically. */
+  private[operators] def hashFrac(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10)
+      .cast(IntegerType).cast(DoubleType) / 256.0
+
+  /** DuckDB mirror of hashFrac. */
+  private[operators] def duckHashFrac(idExpr: String): String =
+    s"""((instr('0123456789abcdef',
+       |          substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1) * 16
+       |     + (instr('0123456789abcdef',
+       |          substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1)) / 256.0""".stripMargin
+
   private def hourBucket: Column = expr("unix_timestamp(ts) div 3600")
   private val duckHour = "((epoch_ms(ts) // 1000) // 3600)"
 
@@ -100,10 +114,8 @@ object CurationOps extends QueryModule {
         .crossJoin(broadcast(counts.agg(min("n").as("mn"))))
         .select(col("lang"), (col("mn").cast(DoubleType) / col("n"))
           .as("rate"))
-      val v = conv(substring(md5(col("doc_id").cast("string")), 1, 2),
-        16, 10).cast(IntegerType).cast(DoubleType) / 256.0
       docs.join(broadcast(rates), "lang")
-        .where(v < col("rate"))
+        .where(hashFrac(col("doc_id")) < col("rate"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
@@ -153,15 +165,12 @@ object CurationOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "pipeline_mixture" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),
         |r AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM c, m)
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN r ON d.lang = r.lang
-        |WHERE ((instr('0123456789abcdef',
-        |          substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |     + (instr('0123456789abcdef',
-        |          substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)) / 256.0
+        |WHERE ${duckHashFrac("d.doc_id")}
         |  < r.rate
         |ORDER BY d.doc_id""".stripMargin,
     "vec_quantize" ->

@@ -107,6 +107,32 @@ object TextOps extends QueryModule {
       .select("id1", "id2").distinct()
   }
 
+  /** Per-doc benchmark-overlap detail behind `decontaminate` (and the
+    * contamination stage of `pipeline_curation`): the benchmark shingle
+    * UNIVERSE (doc_id % 50 == 0 stands in for the eval set) is tiny by
+    * construction, so it broadcasts into a semi-join; the corpus side is
+    * one explode + count shuffled by doc_id only — document bodies never
+    * move. Shingle hashes stand in for strings (64-bit collisions
+    * negligible — same argument as dedup_ngram). */
+  private def decontamDetail(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleHashSets(s, d)
+    val bench = sh.where(col("doc_id") % 50 === 0)
+      .select(explode(col("hs")).as("g")).distinct()
+    val corp = sh.where(col("doc_id") % 50 =!= 0)
+    val hits = corp.select(col("doc_id"), explode(col("hs")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    val frac = col("n_shared").cast(DoubleType) / col("n_shingles")
+    corp.select(col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        frac.as("contam_frac"),
+        (frac >= 0.5).cast(LongType).as("is_contaminated"))
+  }
+
   /** Builds (or reuses) the materialized keep-list for this corpus. */
   private[operators] def keepListDir(s: SparkSession, d: String): String =
     Fixtures.keepList(s, d)(GraphOps.connectedComponents(
@@ -534,33 +560,8 @@ object TextOps extends QueryModule {
             .as("fingerprint"))
         .orderBy("doc_id")),
 
-    // train/test decontamination: flag training docs whose shingles
-    // overlap a benchmark holdout (doc_id % 50 == 0 stands in for the
-    // eval set). The benchmark shingle UNIVERSE is tiny relative to the
-    // corpus — exactly the real-world shape (a few benchmarks vs 100 TB
-    // of training data) — so it broadcasts and the corpus side is one
-    // explode + semi-join + count, shuffled by doc_id only; document
-    // bodies never move. Shingle hashes stand in for strings (64-bit
-    // collisions negligible — same argument as dedup_ngram).
-    "decontaminate" -> ((s, d) => {
-      val sh = shingleHashSets(s, d)
-      val bench = sh.where(col("doc_id") % 50 === 0)
-        .select(explode(col("hs")).as("g")).distinct()
-      val corp = sh.where(col("doc_id") % 50 =!= 0)
-      val hits = corp.select(col("doc_id"), explode(col("hs")).as("g"))
-        .join(broadcast(bench), Seq("g"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      val frac = col("n_shared").cast(DoubleType) / col("n_shingles")
-      corp.select(col("doc_id"),
-          size(col("hs")).cast(LongType).as("n_shingles"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-        .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-          frac.as("contam_frac"),
-          (frac >= 0.5).cast(LongType).as("is_contaminated"))
-        .orderBy("doc_id")
-    }),
+    // train/test decontamination — see decontamDetail for the shape
+    "decontaminate" -> ((s, d) => decontamDetail(s, d).orderBy("doc_id")),
 
     // Gopher-style repetition signals: the share of bigram occurrences
     // taken by the single most frequent bigram, and the share occurring
@@ -589,6 +590,49 @@ object TextOps extends QueryModule {
           (col("top_bigram_frac") >= 0.2).cast(LongType)
             .as("is_repetitive"))
         .orderBy("doc_id")
+    }),
+
+    // the whole curation chain as ONE funnel: raw → exact dedup
+    // (canonicalized) → near-dup cluster survivors → quality gate →
+    // decontamination → mixture rebalance, reporting the doc count at
+    // every stage — the at-a-glance yield report a real corpus build
+    // publishes. Every stage reuses the declared operator's exact logic
+    // (cluster keepers ride the materialized keep-list fixture; the
+    // mixture rates are recomputed FROM the surviving docs, as a real
+    // pipeline would). One declarative plan; counts union at the end.
+    "pipeline_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val s1 = docs
+        .groupBy(sha2(normText(col("text")), 256).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val keepers = s.read.schema(Fixtures.keepListSchema)
+        .parquet(keepListDir(s, d))
+        .where(col("doc_id") === col("rep")).select("doc_id")
+      val s2 = s1.join(keepers, "doc_id")
+      val s3 = s2.join(docs, "doc_id").where(qualityScore >= 0.65)
+        .select("doc_id")
+      val s4 = s3.where(col("doc_id") % 50 =!= 0)
+        .join(decontamDetail(s, d).where(col("is_contaminated") === 1)
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      val s4l = s4.join(docs.select("doc_id", "lang"), "doc_id")
+      val cnts = s4l.groupBy("lang").agg(count(lit(1)).as("n"))
+      val rates = cnts.crossJoin(broadcast(cnts.agg(min("n").as("mn"))))
+        .select(col("lang"),
+          (col("mn").cast(DoubleType) / col("n")).as("rate"))
+      val s5 = s4l.join(broadcast(rates), "lang")
+        .where(CurationOps.hashFrac(col("doc_id")) < col("rate"))
+        .select("doc_id")
+      def stage(i: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"))
+      stage(0, "raw", docs)
+        .unionAll(stage(1, "exact_dedup", s1))
+        .unionAll(stage(2, "near_dedup", s2))
+        .unionAll(stage(3, "quality", s3))
+        .unionAll(stage(4, "decontaminated", s4))
+        .unionAll(stage(5, "mixture", s5))
+        .orderBy("stage")
     })
   )
 
@@ -886,6 +930,55 @@ object TextOps extends QueryModule {
         |  CAST(dup_c AS DOUBLE) / n_bigrams AS dup_bigram_frac,
         |  CAST(CASE WHEN CAST(top_c AS DOUBLE) / n_bigrams >= 0.2
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
-        |FROM a ORDER BY doc_id""".stripMargin
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "pipeline_curation" ->
+      s"""WITH RECURSIVE t AS ($duckShingles),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM documents
+        |       GROUP BY $duckNorm),
+        |s2 AS (SELECT s1.doc_id FROM s1 LEFT JOIN m ON s1.doc_id = m.a
+        |       WHERE COALESCE(m.rep, s1.doc_id) = s1.doc_id),
+        |s3 AS (SELECT s2.doc_id FROM s2 JOIN documents d
+        |         ON s2.doc_id = d.doc_id
+        |       WHERE ($duckQuality) >= 0.65),
+        |bch AS (SELECT DISTINCT unnest(sh) AS g FROM t WHERE doc_id % 50 = 0),
+        |ctm AS (SELECT c.doc_id FROM
+        |          (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g
+        |           FROM t WHERE doc_id % 50 <> 0) c
+        |        JOIN bch USING (g)
+        |        GROUP BY c.doc_id, c.n_sh
+        |        HAVING CAST(count(*) AS DOUBLE) / n_sh >= 0.5),
+        |s4 AS (SELECT doc_id FROM s3 WHERE doc_id % 50 <> 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM ctm)),
+        |lc AS (SELECT d.lang, count(*) AS n FROM s4
+        |       JOIN documents d ON s4.doc_id = d.doc_id GROUP BY d.lang),
+        |mr AS (SELECT min(n) AS mn FROM lc),
+        |rt AS (SELECT lang, CAST(mn AS DOUBLE) / n AS rate FROM lc, mr),
+        |s5 AS (SELECT s4.doc_id FROM s4
+        |       JOIN documents d ON s4.doc_id = d.doc_id
+        |       JOIN rt ON d.lang = rt.lang
+        |       WHERE ${CurationOps.duckHashFrac("s4.doc_id")}
+        |         < rt.rate)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup',
+        |    CAST(count(*) AS BIGINT) FROM s1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'near_dedup',
+        |    CAST(count(*) AS BIGINT) FROM s2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'quality',
+        |    CAST(count(*) AS BIGINT) FROM s3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminated',
+        |    CAST(count(*) AS BIGINT) FROM s4
+        |  UNION ALL SELECT CAST(5 AS BIGINT), 'mixture',
+        |    CAST(count(*) AS BIGINT) FROM s5)
+        |ORDER BY stage""".stripMargin
   )
 }
