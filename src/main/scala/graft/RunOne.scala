@@ -17,10 +17,13 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[runone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    if (args.contains("explain")) df.explain("formatted")
+    val reps = if (args.contains("x3")) 3 else 1
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[runone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
     spark.stop()
   }
 }

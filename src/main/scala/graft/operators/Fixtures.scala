@@ -122,6 +122,24 @@ object Fixtures {
         .coalesce(1).write.mode(SaveMode.Overwrite).text(dir)
     }
 
+  /** JSON-lines twin of malformedCsv: the same deterministic injection
+    * rule (event_id % 97 == 3) drops the closing brace, producing a
+    * SYNTACTICALLY corrupt record — unlike the CSV case (field-level
+    * type failure), a JSON syntax error nulls the whole row, so the two
+    * fixtures exercise both quarantine shapes PERMISSIVE supports. */
+  def malformedJson(s: SparkSession, sfDir: String): String =
+    writeOnce(dirFor(sfDir, "events", "json_malformed")) { dir =>
+      val id = col("event_id")
+      Tables.events(s, sfDir)
+        .select(concat(lit("{\"event_id\":"),
+            coalesce(id.cast(StringType), lit("null")),
+            lit(",\"user_id\":"),
+            coalesce(col("user_id").cast(StringType), lit("null")),
+            lit(",\"event_type\":\""), coalesce(col("event_type"), lit("")),
+            when(id % 97 === 3, "\"").otherwise("\"}")).as("value"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).text(dir)
+    }
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("payload", BinaryType),

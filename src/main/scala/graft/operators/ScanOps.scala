@@ -98,6 +98,24 @@ object ScanOps extends QueryModule {
           min(when(col("_corrupt").isNotNull, col("event_id")))
             .as("min_bad_id"))),
 
+    // the JSON quarantine shape: a syntax-corrupt record (injected
+    // truncation on event_id % 97 == 3) nulls EVERY typed field and
+    // captures the raw line — contrast with CSV, where parseable sibling
+    // fields survive. Both total preservation and the all-null property
+    // are part of the aggregate (n_bad_with_id must be 0).
+    "scan_json_malformed" -> ((s, d) =>
+      s.read.schema(sideSchema.add(StructField("_corrupt", StringType)))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(Fixtures.malformedJson(s, d))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+          count(col("_corrupt")).as("n_quarantined"),
+          sum(when(col("_corrupt").isNull, col("user_id")))
+            .as("sum_clean_uid"),
+          count(when(col("_corrupt").isNotNull &&
+            col("event_id").isNotNull, 1)).as("n_bad_with_id"))),
+
     // plain parquet sink + re-read; the re-read aggregate proves the
     // round trip is lossless (same count + exact decimal sum + key range
     // as computing directly on the source table).
@@ -249,6 +267,14 @@ object ScanOps extends QueryModule {
         |  CAST(SUM(user_id) FILTER (WHERE event_id % 97 <> 3) AS BIGINT)
         |    AS sum_clean_uid,
         |  MIN(event_id) FILTER (WHERE event_id % 97 = 3) AS min_bad_id
+        |FROM events""".stripMargin,
+    "scan_json_malformed" ->
+      """SELECT COUNT(1) AS n_total,
+        |  COUNT(1) FILTER (WHERE event_id % 97 <> 3) AS n_clean,
+        |  COUNT(1) FILTER (WHERE event_id % 97 = 3) AS n_quarantined,
+        |  CAST(SUM(user_id) FILTER (WHERE event_id % 97 <> 3) AS BIGINT)
+        |    AS sum_clean_uid,
+        |  CAST(0 AS BIGINT) AS n_bad_with_id
         |FROM events""".stripMargin,
     "scan_evolving" ->
       """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value

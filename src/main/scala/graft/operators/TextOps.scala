@@ -31,21 +31,6 @@ import org.apache.spark.sql.types._
   */
 object TextOps extends QueryModule {
 
-  /** 3-word shingle sets per document; docs under 3 words have no shingles
-    * and cannot be near-dups (excluded on both engines identically). Word
-    * shingles — not unigrams — are what make similarity meaningful here:
-    * the corpus shares a 31-token vocabulary, so unigram Jaccard ≥ 0.5 for
-    * ~74% of ALL pairs, while shingle Jaccard ≥ 0.5 isolates the planted
-    * near-dups exactly. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', " +
-          "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
-        .as("sh"))
-
   private val ShingleTau = 0.5
 
   // quality-score ingredients (shared by text_quality and
@@ -76,14 +61,27 @@ object TextOps extends QueryModule {
     """trim(regexp_replace(strip_accents(nfc_normalize(lower(text))),
       |  '\s+', ' ', 'g'))""".stripMargin
 
-  /** Shingles as sorted xxhash64 sets: every downstream shuffle, sort and
-    * set operation runs on 8-byte longs instead of ~20-byte strings, and
-    * the hash value doubles as the CANONICAL GLOBAL ORDER for prefix
+  /** 3-word shingles as sorted xxhash64 sets; docs under 3 words have no
+    * shingles and cannot be near-dups (excluded on both engines
+    * identically). Word shingles — not unigrams — are what make
+    * similarity meaningful here: the corpus shares a 31-token
+    * vocabulary, so unigram Jaccard ≥ 0.5 for ~74% of ALL pairs, while
+    * shingle Jaccard ≥ 0.5 isolates the planted near-dups exactly.
+    * Hashes, not strings: every downstream shuffle, sort and set
+    * operation runs on 8-byte longs instead of ~20-byte strings, and the
+    * hash value doubles as the CANONICAL GLOBAL ORDER for prefix
     * filtering (any total order on the shingle universe preserves
-    * exactness — see ngramCandidates). Per-row narrow ops only. */
+    * exactness — see ngramCandidates). Built by the codegen'd
+    * ShingleHashSet kernel — the declarative higher-order formulation
+    * runs interpreted at ~14 µs/shingle and dominated every consumer
+    * (TextVectorSpec asserts the two formulations agree hash-for-hash).
+    * Per-row narrow ops only. */
   private def shingleHashSets(s: SparkSession, d: String): DataFrame =
-    shingleSets(s, d).select(col("doc_id"),
-      array_sort(expr("transform(sh, x -> xxhash64(x))")).as("hs"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashSet(col("t")).as("hs"))
 
   /** Exact set-similarity candidates by prefix filtering: every pair with
     * Jaccard ≥ τ must share a key among each side's first ⌊(1-τ)·n⌋+1
@@ -114,27 +112,37 @@ object TextOps extends QueryModule {
     * one explode + count shuffled by doc_id only — document bodies never
     * move. Shingle hashes stand in for strings (64-bit collisions
     * negligible — same argument as dedup_ngram). */
-  private def decontamDetail(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleHashSets(s, d)
-    val bench = sh.where(col("doc_id") % 50 === 0)
-      .select(explode(col("hs")).as("g")).distinct()
-    val corp = sh.where(col("doc_id") % 50 =!= 0)
-    val hits = corp.select(col("doc_id"), explode(col("hs")).as("g"))
-      .join(broadcast(bench), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  private[graft] def decontamDetail(s: SparkSession, d: String): DataFrame = {
+    // structure note: the shingle arrays are exploded IMMEDIATELY and
+    // n_shingles is recovered by aggregation, instead of keeping an
+    // `hs` array column and taking size(hs). The array column looks
+    // cheaper, but any consumer that filters downstream output lets
+    // InferFiltersFromConstraints inline the whole (interpreted,
+    // non-codegen) higher-order shingle expression into the scan filters
+    // — measured 10× slower than this shape on the funnel's
+    // is_contaminated filter. Behind a Generate the chain is evaluated
+    // exactly once per row, whatever the consumer does.
+    val tok = shingleHashSets(s, d)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+    val bench = tok.where(col("doc_id") % 50 === 0)
+      .select("g").distinct().withColumn("hit", lit(1))
     val frac = col("n_shared").cast(DoubleType) / col("n_shingles")
-    corp.select(col("doc_id"),
-        size(col("hs")).cast(LongType).as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+    // one corpus pass: LEFT join against the broadcast marker set (both
+    // sides per-doc-distinct, so multiplicity is exactly 1) and count
+    // total + matched shingles in the SAME aggregation — no second
+    // explode, no post-agg outer join.
+    tok.where(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_shared"))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         frac.as("contam_frac"),
         (frac >= 0.5).cast(LongType).as("is_contaminated"))
   }
 
   /** Builds (or reuses) the materialized keep-list for this corpus. */
-  private[operators] def keepListDir(s: SparkSession, d: String): String =
+  private[graft] def keepListDir(s: SparkSession, d: String): String =
     Fixtures.keepList(s, d)(GraphOps.connectedComponents(
       Tables.documents(s, d).select(col("doc_id")), ngramPairs(s, d)))
 
@@ -592,46 +600,80 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // rare-token gibberish signal: mean document-frequency fraction over
+    // a doc's token OCCURRENCES — low commonness = tokens few other docs
+    // use (OCR noise, gibberish, wrong-language fragments). Integer df
+    // sums keep the result exact under any aggregation order (a
+    // float-log perplexity proxy would drift in the last ulp between
+    // engines); the df table is vocabulary-sized → broadcast into the
+    // occurrence join, per-doc agg shuffles by doc_id only.
+    "text_commonness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val occ = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val dfT = occ.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      occ.join(broadcast(dfT), "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("df").as("sum_df"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("n_tokens"), col("sum_df"),
+          (col("sum_df").cast(DoubleType) / col("n_tokens") / col("n_docs"))
+            .as("commonness"))
+        .orderBy("doc_id")
+    }),
+
     // the whole curation chain as ONE funnel: raw → exact dedup
     // (canonicalized) → near-dup cluster survivors → quality gate →
     // decontamination → mixture rebalance, reporting the doc count at
     // every stage — the at-a-glance yield report a real corpus build
-    // publishes. Every stage reuses the declared operator's exact logic
-    // (cluster keepers ride the materialized keep-list fixture; the
-    // mixture rates are recomputed FROM the surviving docs, as a real
-    // pipeline would). One declarative plan; counts union at the end.
+    // publishes. Single-pass design: each stage is a cumulative boolean
+    // FLAG on one flagged frame (one hash-window pass + two id-keyed
+    // flag joins), then one conditional-sum aggregate + stack — never a
+    // per-stage union that would replan the whole chain 6× (the first
+    // formulation did exactly that and measured 13.5 s; this one ~2 s).
+    // Only the mixture-rate branch reads the flagged frame twice, and
+    // that branch reduces to a 5-row broadcast. Cluster keepers ride the
+    // materialized keep-list fixture; mixture rates are recomputed FROM
+    // the surviving docs, as a real pipeline would.
     "pipeline_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val s1 = docs
-        .groupBy(sha2(normText(col("text")), 256).as("h"))
-        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val w = Window.partitionBy(col("h"))
       val keepers = s.read.schema(Fixtures.keepListSchema)
         .parquet(keepListDir(s, d))
-        .where(col("doc_id") === col("rep")).select("doc_id")
-      val s2 = s1.join(keepers, "doc_id")
-      val s3 = s2.join(docs, "doc_id").where(qualityScore >= 0.65)
-        .select("doc_id")
-      val s4 = s3.where(col("doc_id") % 50 =!= 0)
-        .join(decontamDetail(s, d).where(col("is_contaminated") === 1)
-          .select("doc_id"), Seq("doc_id"), "left_anti")
-      val s4l = s4.join(docs.select("doc_id", "lang"), "doc_id")
-      val cnts = s4l.groupBy("lang").agg(count(lit(1)).as("n"))
+        .where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), lit(1).as("k"))
+      val contam = decontamDetail(s, d)
+        .where(col("is_contaminated") === 1)
+        .select(col("doc_id"), lit(1).as("ctm"))
+      val flagged = docs
+        .withColumn("h", sha2(normText(col("text")), 256))
+        .withColumn("c1", min("doc_id").over(w) === col("doc_id"))
+        .join(keepers, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("c2", col("c1") && col("k").isNotNull)
+        .withColumn("c3", col("c2") && qualityScore >= 0.65)
+        .withColumn("c4", col("c3") && col("doc_id") % 50 =!= 0 &&
+          col("ctm").isNull)
+      val cnts = flagged.where(col("c4"))
+        .groupBy("lang").agg(count(lit(1)).as("n"))
       val rates = cnts.crossJoin(broadcast(cnts.agg(min("n").as("mn"))))
         .select(col("lang"),
           (col("mn").cast(DoubleType) / col("n")).as("rate"))
-      val s5 = s4l.join(broadcast(rates), "lang")
-        .where(CurationOps.hashFrac(col("doc_id")) < col("rate"))
-        .select("doc_id")
-      def stage(i: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
-            col("n_docs"))
-      stage(0, "raw", docs)
-        .unionAll(stage(1, "exact_dedup", s1))
-        .unionAll(stage(2, "near_dedup", s2))
-        .unionAll(stage(3, "quality", s3))
-        .unionAll(stage(4, "decontaminated", s4))
-        .unionAll(stage(5, "mixture", s5))
+      flagged.join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("c5", col("c4") && col("rate").isNotNull &&
+          CurationOps.hashFrac(col("doc_id")) < col("rate"))
+        .agg(count(lit(1)).as("n0"),
+          sum(col("c1").cast(LongType)).as("n1"),
+          sum(col("c2").cast(LongType)).as("n2"),
+          sum(col("c3").cast(LongType)).as("n3"),
+          sum(col("c4").cast(LongType)).as("n4"),
+          sum(col("c5").cast(LongType)).as("n5"))
+        .select(expr("stack(6, 0L, 'raw', n0, 1L, 'exact_dedup', n1, " +
+          "2L, 'near_dedup', n2, 3L, 'quality', n3, " +
+          "4L, 'decontaminated', n4, 5L, 'mixture', n5) " +
+          "AS (stage, stage_name, n_docs)"))
         .orderBy("stage")
     })
   )
@@ -931,6 +973,18 @@ object TextOps extends QueryModule {
         |  CAST(CASE WHEN CAST(top_c AS DOUBLE) / n_bigrams >= 0.2
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_commonness" ->
+      """WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM occ
+        |       GROUP BY tok),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |         CAST(sum(df) AS BIGINT) AS sum_df
+        |       FROM occ JOIN df USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, sum_df,
+        |  CAST(sum_df AS DOUBLE) / n_tokens / n_docs AS commonness
+        |FROM pd, nd ORDER BY doc_id""".stripMargin,
     "pipeline_curation" ->
       s"""WITH RECURSIVE t AS ($duckShingles),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2

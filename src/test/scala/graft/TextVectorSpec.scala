@@ -246,6 +246,29 @@ class TextVectorSpec extends AnyFunSuite {
       s"divergence: ${(got diff expect) ++ (expect diff got)}")
   }
 
+  test("ShingleHashSet matches the declarative xxhash64 formulation") {
+    // the codegen kernel must be hash-for-hash identical to
+    // array_sort(transform(array_distinct(3-word shingles), xxhash64)) —
+    // otherwise every downstream threshold/recall silently shifts
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+    val both = docs.select(col("doc_id"),
+      graft.functions.ShingleExprs.shingleHashSet(col("t")).as("fast"),
+      array_sort(expr(
+        "transform(array_distinct(transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+          "element_at(t, i + 2)))), x -> xxhash64(x))")).as("slow"))
+    assert(both.where(not(col("fast") === col("slow"))).count() == 0,
+      "kernel diverges from the declarative formulation")
+    // and an empty-ish edge: exactly k tokens → one shingle
+    val one = Seq(Tuple1(Array("a", "b", "c"))).toDF("t")
+      .select(graft.functions.ShingleExprs.shingleHashSet(col("t")).as("h"),
+        expr("xxhash64(concat_ws(' ', 'a', 'b', 'c'))").as("e"))
+      .head
+    assert(one.getSeq[Long](0) == Seq(one.getLong(1)))
+  }
+
   test("vec_quantize reconstruction error is within half a quantum") {
     // int8 symmetric quantization: |x - q/scale| <= 0.5/scale per
     // element, i.e. max error scaled by q_scale <= 0.5 — and the code
