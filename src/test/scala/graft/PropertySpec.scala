@@ -138,4 +138,26 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ShingleUtil.hashes matches a reference model on random token lists") {
+    // reference: hash every k-window's space-joined string with the same
+    // XXH64(seed 42), then distinct + sort — checked across random token
+    // lists including repeats, empty strings and k > n edge cases
+    val words = Gen.listOfN(12,
+      Gen.oneOf("a", "bb", "ccc", "", "dd", "a"))
+    forAll(words, Gen.chooseNum(1, 5), n = 40) { (ws, k) =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ws.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val got = graft.functions.ShingleUtil.hashes(arr, k).toLongArray.toSeq
+      val expect =
+        if (ws.length < k) Seq.empty[Long]
+        else ws.sliding(k).map { win =>
+          val s = org.apache.spark.unsafe.types.UTF8String
+            .fromString(win.mkString(" "))
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        }.toSeq.distinct.sorted
+      assert(got == expect, s"tokens=$ws k=$k")
+    }
+  }
 }
