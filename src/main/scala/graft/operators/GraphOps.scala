@@ -55,19 +55,20 @@ object GraphOps {
       val relaxed = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // compress: rep(x) = rep(rep(x)) — rep is always a live node id
+      // compress: rep(x) = rep(rep(x)) — rep is always a live node id.
+      // The round's PREVIOUS label rides along into the checkpoint so the
+      // fixpoint test below is a filter on already-materialized rows —
+      // not an extra shuffle-join of two checkpointed frames per round.
       val compressed = relaxed.join(
           relaxed.select(col("doc_id").as("rid"), col("rep").as("rrep")),
           col("rep") === col("rid"))
-        .select(col("doc_id"), col("rrep").as("rep"))
-        .localCheckpoint(true)
-      // fixpoint test on two truncated-lineage keep-lists — O(pair nodes)
-      converged = compressed
         .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .where(col("rep") =!= col("prev")).isEmpty
+        .select(col("doc_id"), col("rrep").as("rep"), col("prev"))
+        .localCheckpoint(true)
+      converged = compressed.where(col("rep") =!= col("prev")).isEmpty
       previous.drop(1).foreach(_.unpersist())
       previous = Seq(edges, compressed)
-      labels = compressed
+      labels = compressed.select("doc_id", "rep")
     }
     edges.unpersist()
     // an unconverged result must never silently materialize (it would be
