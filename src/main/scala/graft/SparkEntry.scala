@@ -19,6 +19,7 @@ object SparkEntry {
     operators.TextOps,
     operators.VectorOps,
     operators.CurationOps,
+    operators.QualityOps,
     operators.MergeOps,
     functions.FnOps,
     streaming.StreamOps

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.14 (round 4) data-quality + pipeline-diagnostic operators: the
+  * audits a production ETL runs against every snapshot before and after
+  * the curation loop — constraint validation, cross-table reconciliation,
+  * snapshot-to-snapshot drift, join-key skew diagnosis, and percentile
+  * winsorization.
+  *
+  * Scale notes:
+  *  - every audit here is a one-or-two-pass aggregate: violations are
+  *    counted with conditional aggregates in a SINGLE scan (never one
+  *    scan per rule), reconciliation is one partial-aggregated shuffle on
+  *    the join key, and drift compares two time windows inside one
+  *    grouped aggregate instead of scanning the snapshot twice.
+  *  - result frames are O(groups), not O(rows) — at 100 TB the audit
+  *    output is a handful of rows either way, so nothing here returns a
+  *    corpus-sized frame.
+  *  - exactness discipline matches Core.Det: money sums ride decimal,
+  *    shares/ratios are single IEEE divisions of exact integers — both
+  *    engines perform the identical operation, so oracle hashes match.
+  */
+object QualityOps extends QueryModule {
+
+  /** 2024-01-15 00:00 UTC / 2024-01-01 / 2024-02-01, in epoch seconds.
+    * Second-granularity comparison is ns/µs-truncation safe (SURVEY §5.3:
+    * events.ts is ns in parquet, µs after the Spark-side read). */
+  private val cutMid = 1705276800L
+  private val cutLo = 1704067200L
+  private val cutHi = 1706745600L
+
+  private val knownTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // rule-based constraint audit: six declared invariants counted in ONE
+    // scan via conditional aggregates, stacked to (rule, checked,
+    // violations) rows. A per-rule-scan formulation would read the
+    // snapshot six times; this reads it once — the shape that matters
+    // when the snapshot is 100 TB.
+    "validate_constraints" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("value"), col("event_type"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"),
+          unix_timestamp(col("ts")).as("tsec"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("count_if(value < 0)").as("v_neg"),
+          expr("count_if(value > 500)").as("v_hi"),
+          expr(s"count_if(event_type NOT IN (${knownTypes.map("'" + _ + "'").mkString(",")}))")
+            .as("v_type"),
+          expr("count_if(k IS NULL OR k < 0 OR k > 99)").as("v_props"),
+          expr(s"count_if(tsec < $cutLo OR tsec >= $cutHi)").as("v_window"),
+          expr("count_if(user_id < 0 OR user_id >= 10000)").as("v_user"))
+        .select(expr(
+          """stack(6,
+            |  'props_k_in_0_99',   n, v_props,
+            |  'ts_in_jan_2024',    n, v_window,
+            |  'type_in_vocab',     n, v_type,
+            |  'user_id_in_range',  n, v_user,
+            |  'value_le_500',      n, v_hi,
+            |  'value_nonneg',      n, v_neg) AS (rule, n_checked, n_violations)
+            |""".stripMargin))
+        .orderBy("rule")),
+
+    // cross-table reconciliation: recompute each order's charge from its
+    // line items (decimal-exact sum, one partial-aggregated shuffle on
+    // the natural join key) and classify every order against the stored
+    // total. diff stays DECIMAL end-to-end — exact under any partial/
+    // final aggregation split across 1000 executors.
+    "validate_reconcile" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(Det.dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")))).as("charge"),
+          count(lit(1)).as("n_lines"))
+      Tables.orders(s, d)
+        .join(per, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderstatus"), col("n_lines"),
+          (Det.dec2(col("o_totalprice")) - col("charge")).as("diff"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("count_if(n_lines IS NULL)").as("n_no_lines"),
+          expr("count_if(n_lines IS NOT NULL AND abs(diff) <= 1.0)").as("n_matched"),
+          expr("count_if(n_lines IS NOT NULL AND abs(diff) > 1.0)").as("n_mismatched"),
+          coalesce(sum(abs(col("diff"))), lit(0)).cast(DoubleType).as("total_drift"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // snapshot drift profile: per-category share in the first half of the
+    // month vs the second, |Δshare| as the drift signal. Both windows are
+    // counted in ONE grouped aggregate (count_if on the window predicate);
+    // totals come from an unpartitioned window over the O(categories)
+    // grouped frame — never a second scan of the snapshot.
+    "profile_drift" -> ((s, d) => {
+      val g = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          expr(s"count_if(unix_timestamp(ts) < $cutMid)").as("n_a"),
+          expr(s"count_if(unix_timestamp(ts) >= $cutMid)").as("n_b"))
+      val all = Window.partitionBy(lit(1))
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          (col("n_a").cast(DoubleType) / sum("n_a").over(all)).as("share_a"),
+          (col("n_b").cast(DoubleType) / sum("n_b").over(all)).as("share_b"))
+        .withColumn("drift", abs(col("share_a") - col("share_b")))
+        .orderBy("event_type")
+    }),
+
+    // join-key skew diagnosis — the check that decides whether a join
+    // needs salting (join_skew_salted) BEFORE it runs: per-key counts
+    // (one partial-aggregated shuffle carrying O(distinct keys)), then
+    // top-5 heavy hitters with share-of-total and a skew ratio
+    // (count × n_keys / total; 1.0 = perfectly uniform).
+    "profile_skew" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val all = Window.partitionBy(lit(1))
+      counts.select(
+          col("l_suppkey"), col("cnt"),
+          row_number().over(Window.orderBy(col("cnt").desc, col("l_suppkey")))
+            .cast(LongType).as("rk"),
+          sum("cnt").over(all).as("tot"),
+          count(lit(1)).over(all).as("n_keys"))
+        .where(col("rk") <= 5)
+        .select(col("rk"), col("l_suppkey"), col("cnt"),
+          (col("cnt").cast(DoubleType) / col("tot")).as("share"),
+          ((col("cnt") * col("n_keys")).cast(DoubleType) / col("tot"))
+            .as("skew_ratio"))
+        .orderBy("rk")
+    }),
+
+    // percentile winsorization audit: per-stratum exact p01/p99 bounds
+    // (first pass), then clip classification + inlier sum in a second
+    // pass with the 3-row bounds frame broadcast. Exact percentile is
+    // inherently two-pass; the sketch sibling (agg_approx_percentile)
+    // is the one-pass form at 100 TB.
+    "clean_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bounds = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.01)").as("lo"),
+          expr("percentile(l_extendedprice, 0.99)").as("hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          min("lo").as("p01"), min("hi").as("p99"),
+          count(lit(1)).as("n"),
+          expr("count_if(l_extendedprice < lo)").as("n_lo"),
+          expr("count_if(l_extendedprice > hi)").as("n_hi"),
+          sum(Det.dec2(when(col("l_extendedprice").between(col("lo"), col("hi")),
+            col("l_extendedprice")))).cast(DoubleType).as("inlier_sum"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "validate_constraints" ->
+      s"""WITH a AS (SELECT count(*) AS n,
+        |  COUNT(*) FILTER (WHERE value < 0) AS v_neg,
+        |  COUNT(*) FILTER (WHERE value > 500) AS v_hi,
+        |  COUNT(*) FILTER (WHERE event_type NOT IN
+        |    (${knownTypes.map("'" + _ + "'").mkString(",")})) AS v_type,
+        |  COUNT(*) FILTER (WHERE k IS NULL OR k < 0 OR k > 99) AS v_props,
+        |  COUNT(*) FILTER (WHERE tsec < $cutLo OR tsec >= $cutHi) AS v_window,
+        |  COUNT(*) FILTER (WHERE user_id < 0 OR user_id >= 10000) AS v_user
+        |FROM (SELECT value, event_type, user_id,
+        |        CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+        |        epoch_ms(ts) // 1000 AS tsec
+        |      FROM events))
+        |SELECT rule, n AS n_checked, v AS n_violations FROM (
+        |  SELECT 'props_k_in_0_99' AS rule, n, v_props AS v FROM a
+        |  UNION ALL SELECT 'ts_in_jan_2024', n, v_window FROM a
+        |  UNION ALL SELECT 'type_in_vocab', n, v_type FROM a
+        |  UNION ALL SELECT 'user_id_in_range', n, v_user FROM a
+        |  UNION ALL SELECT 'value_le_500', n, v_hi FROM a
+        |  UNION ALL SELECT 'value_nonneg', n, v_neg FROM a)
+        |ORDER BY rule""".stripMargin,
+    "validate_reconcile" ->
+      """WITH per AS (SELECT l_orderkey,
+        |    SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |        AS DECIMAL(26,6))) AS charge,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY l_orderkey),
+        |j AS (SELECT o_orderstatus, n_lines,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) - charge AS diff
+        |  FROM orders LEFT JOIN per ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  COUNT(*) FILTER (WHERE n_lines IS NULL) AS n_no_lines,
+        |  COUNT(*) FILTER (WHERE n_lines IS NOT NULL AND ABS(diff) <= 1.0)
+        |    AS n_matched,
+        |  COUNT(*) FILTER (WHERE n_lines IS NOT NULL AND ABS(diff) > 1.0)
+        |    AS n_mismatched,
+        |  CAST(COALESCE(SUM(ABS(diff)), 0) AS DOUBLE) AS total_drift
+        |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "profile_drift" ->
+      s"""WITH g AS (SELECT event_type,
+        |    COUNT(*) FILTER (WHERE epoch_ms(ts) // 1000 < $cutMid) AS n_a,
+        |    COUNT(*) FILTER (WHERE epoch_ms(ts) // 1000 >= $cutMid) AS n_b
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS share_a,
+        |  CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS share_b,
+        |  ABS(CAST(n_a AS DOUBLE) / SUM(n_a) OVER ()
+        |    - CAST(n_b AS DOUBLE) / SUM(n_b) OVER ()) AS drift
+        |FROM g ORDER BY event_type""".stripMargin,
+    "profile_skew" ->
+      """WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_suppkey),
+        |r AS (SELECT l_suppkey, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rk,
+        |    SUM(cnt) OVER () AS tot,
+        |    COUNT(*) OVER () AS n_keys
+        |  FROM c)
+        |SELECT CAST(rk AS BIGINT) AS rk, l_suppkey, cnt,
+        |  CAST(cnt AS DOUBLE) / tot AS share,
+        |  CAST(cnt * n_keys AS DOUBLE) / tot AS skew_ratio
+        |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    "clean_outliers" ->
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.01) AS lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  min(lo) AS p01, min(hi) AS p99,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE l_extendedprice < lo) AS n_lo,
+        |  COUNT(*) FILTER (WHERE l_extendedprice > hi) AS n_hi,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_extendedprice BETWEEN lo AND hi) AS DOUBLE)
+        |    AS inlier_sum
+        |FROM lineitem JOIN b ON l_returnflag = rf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

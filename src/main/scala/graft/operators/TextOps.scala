@@ -312,6 +312,25 @@ object TextOps extends QueryModule {
             .cast(LongType).as("is_keeper"))
         .orderBy("doc_id")),
 
+    // leakage-free train/valid/test split: the split key is the doc's
+    // dup-CLUSTER representative (materialized cluster map), not the doc
+    // id — near-duplicate texts can never straddle train and test, the
+    // contamination a doc-keyed split silently creates. The assignment
+    // is a pure hash of the rep (80/10/10), so it is reproducible across
+    // engines, retries and repartitionings; the join is the standard
+    // doc_id-keyed cluster-map join every downstream composition pays.
+    "sample_split_grouped" -> ((s, d) => {
+      val keep = s.read.schema(Fixtures.keepListSchema)
+        .parquet(keepListDir(s, d))
+      val frac = CurationOps.hashFrac(col("rep"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(keep, "doc_id")
+        .select(col("doc_id"), col("lang"), col("rep").as("rep_id"),
+          when(frac < 0.8, "train").when(frac < 0.9, "valid")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // overlapping token-window chunking (window 8, stride 6): the shard
     // shape LLM pre-training and RAG indexing cut documents into. Chunk
     // count = max(0, ⌈(n-8)/6⌉) + 1 computed in integer arithmetic
@@ -789,6 +808,27 @@ object TextOps extends QueryModule {
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
         |FROM documents d LEFT JOIN m ON d.doc_id = m.a
         |ORDER BY doc_id""".stripMargin,
+    // same closure, split assignment hashed from the representative
+    "sample_split_grouped" ->
+      s"""WITH RECURSIVE t AS ($duckShingles),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |r AS (SELECT d.doc_id, d.lang,
+        |        COALESCE(m.rep, d.doc_id) AS rep_id,
+        |        ${CurationOps.duckHashFrac("COALESCE(m.rep, d.doc_id)")}
+        |          AS frac
+        |      FROM documents d LEFT JOIN m ON d.doc_id = m.a)
+        |SELECT doc_id, lang, rep_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < 0.9 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
     "pipeline_training_set" ->
       s"""WITH RECURSIVE t AS ($duckShingles),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2

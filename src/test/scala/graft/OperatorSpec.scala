@@ -298,4 +298,64 @@ class OperatorSpec extends AnyFunSuite {
     assert(zHour < 0.8 * linHour,
       f"z-order no better than 1-D sort on time: $zHour%.2f vs $linHour%.2f")
   }
+
+  test("validate_constraints audits every rule against the full snapshot") {
+    val n = Tables.events(spark, sf).count()
+    val rows = SparkEntry.queries("validate_constraints")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(1) == n), "a rule checked fewer rows than the snapshot")
+    val v = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // generator invariants (FIXTURES.md): these rules must audit clean
+    for (r <- Seq("value_nonneg", "type_in_vocab", "props_k_in_0_99",
+        "ts_in_jan_2024", "user_id_in_range"))
+      assert(v(r) == 0L, s"$r flagged ${v(r)} rows on clean data")
+    assert(v("value_le_500") >= 0L && v("value_le_500") < n)
+  }
+
+  test("validate_reconcile classification partitions the order set") {
+    val rows = SparkEntry.queries("validate_reconcile")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(1),
+        s"classes don't partition orders in $r")
+      assert(r.getDouble(5) >= 0.0)
+    }
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("profile_drift shares sum to 1 in each window") {
+    val rows = SparkEntry.queries("profile_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(5) - math.abs(r.getDouble(3) - r.getDouble(4))) < 1e-15))
+  }
+
+  test("profile_skew ranks heavy hitters with consistent ratios") {
+    val rows = SparkEntry.queries("profile_skew")(spark, sf).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "heavy hitters not count-descending")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 1.0, "a top-5 key cannot be below uniform share")
+    }
+  }
+
+  test("clean_outliers bounds clip ~1% per tail and order correctly") {
+    val rows = SparkEntry.queries("clean_outliers")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p01, p99) = (r.getDouble(1), r.getDouble(2))
+      val (n, nLo, nHi) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p01 <= p99)
+      // exact percentile definition: at most 1% of values strictly below
+      // p01 / strictly above p99 (interpolated bound ⇒ ceil slack of 1)
+      assert(nLo <= n / 100 + 1, s"p01 clips too much: $nLo of $n")
+      assert(nHi <= n / 100 + 1, s"p99 clips too much: $nHi of $n")
+      assert(r.getDouble(6) > 0.0, "inlier sum should be positive")
+    }
+  }
 }

@@ -297,4 +297,23 @@ class TextVectorSpec extends AnyFunSuite {
     assert(mx / mn <= 1.5,
       s"mixture still skewed after rebalance: $kept")
   }
+
+  test("sample_split_grouped never splits a dup cluster across splits") {
+    // sf0.1 has planted duplicate pairs (FIXTURES.md), so some clusters
+    // have >1 member — the leakage property is exercised, not vacuous
+    val d = "/root/testdata/sf0.1"
+    val rows = SparkEntry.queries("sample_split_grouped")(spark, d)
+      .select("doc_id", "rep_id", "split").collect()
+    assert(rows.length == Tables.documents(spark, d).count())
+    val byRep = rows.groupBy(_.getLong(1))
+    assert(byRep.exists(_._2.length > 1), "no multi-doc cluster at sf0.1?")
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_.getString(2)).distinct.length == 1,
+        s"cluster $rep straddles splits")
+    }
+    val shares = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(shares.getOrElse("train", 0) > rows.length / 2,
+      s"train share off: $shares")
+    assert(shares.size >= 2, s"degenerate split: $shares")
+  }
 }
