@@ -20,6 +20,7 @@ object SparkEntry {
     operators.VectorOps,
     operators.CurationOps,
     operators.QualityOps,
+    operators.AnalyticsOps,
     operators.MergeOps,
     functions.FnOps,
     streaming.StreamOps

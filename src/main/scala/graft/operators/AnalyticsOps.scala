@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.15 (round 4, second wave) statistical / graph analytics:
+  * correlation profiling, distribution entropy, embedding centroids,
+  * blocked fuzzy entity resolution, and PageRank over the
+  * customer–supplier interaction graph.
+  *
+  * Determinism notes (SURVEY §5.3 discipline, extended):
+  *  - `profile_corr` reduces Pearson correlation to five decimal-exact
+  *    moment sums (order-insensitive under any partial/final aggregation
+  *    split); the final correlation is ONE double expression over those
+  *    exactly-determined inputs, written with the identical shape in both
+  *    engines, so the IEEE result is bit-equal.
+  *  - `agg_entropy` contains transcendentals (log2), which are NOT
+  *    guaranteed bit-equal across engines (different libm). Every log
+  *    term is quantized with floor(x·1e4 + 0.5) BEFORE summation: the
+  *    sum is then an exact integer, and the ≤2-ulp cross-engine log
+  *    drift (~1e-7 absolute here) cannot move a value across a
+  *    quantization boundary except with probability ~1e-6 per term.
+  *  - `graph_pagerank` keeps per-edge contributions integer-quantized at
+  *    1e-9 resolution each iteration, so the per-node incoming sums are
+  *    exact integers and the iteration is reproducible regardless of
+  *    aggregation order — the same trick that makes the oracle's
+  *    unrolled CTE chain hash-match.
+  *
+  * Scale notes:
+  *  - profile_corr / agg_entropy are single-scan grouped aggregates with
+  *    map-side partial aggregation; output is O(groups).
+  *  - vec_centroid is one explode + one (label, dim)-keyed shuffle of
+  *    integer partial sums — the distributed-centroid step of k-means at
+  *    100 TB, with O(labels × dims) output.
+  *  - join_fuzzy is blocked: the quadratic Levenshtein evaluation is
+  *    confined to ≤100-row blocks (id-prefix blocking), so cost is
+  *    O(blocks × B²), never corpus².
+  *  - graph_pagerank is O(iterations) joins over the edge list, each a
+  *    key-partitioned shuffle; ranks frame is O(nodes). Three unrolled
+  *    iterations keep the lazy plan bounded (no driver fixpoint needed
+  *    for a fixed-step power iteration).
+  */
+object AnalyticsOps extends QueryModule {
+
+  /** scale used to quantize log terms — see determinism notes above */
+  private val EntScale = 1e4
+
+  /** Count-Min probe tokens: four known-present corpus tokens plus one
+    * absent control (its estimate exposes the collision floor). */
+  private val CmProbes = Seq("hash", "join", "scan", "the", "zz_absent")
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // per-group Pearson correlation from decimal-exact moments: one scan,
+    // five exact sums, one double expression. The naive corr() aggregate
+    // is partial-order sensitive in the last ulp; this form is not.
+    "profile_corr" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val m = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(18, 2))).as("sx"),
+          sum(y.cast(DecimalType(18, 2))).as("sy"),
+          // l_quantity is integer-valued → x² exact at 0 dp
+          sum((x * x).cast(DecimalType(18, 2))).as("sxx"),
+          // 2-dp × 2-dp products exact at 4 dp
+          sum((y * y).cast(DecimalType(22, 4))).as("syy"),
+          sum((x * y).cast(DecimalType(22, 4))).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      m.select(col("l_returnflag"), col("n"),
+          ((nD * dbl("sxy") - dbl("sx") * dbl("sy")) /
+            (sqrt(nD * dbl("sxx") - dbl("sx") * dbl("sx")) *
+              sqrt(nD * dbl("syy") - dbl("sy") * dbl("sy"))))
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Shannon entropy of the event-type mix per user bucket — the
+    // mixture-diversity signal a curation pipeline tracks per shard.
+    // entropy = log2(total) - Σ c·log2(c) / total, with each c·log2(c)
+    // term and the final value quantized (determinism notes above).
+    "agg_entropy" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val cD = col("c").cast(DoubleType)
+      val g = counts.groupBy("bucket").agg(
+        sum("c").as("n_events"),
+        count(lit(1)).cast(LongType).as("n_types"),
+        sum(floor(cD * log2(cD) * EntScale + 0.5).cast(LongType)).as("tsum"))
+      val tot = col("n_events").cast(DoubleType)
+      val ent = log2(tot) - (col("tsum").cast(DoubleType) / EntScale) / tot
+      g.select(col("bucket"), col("n_events"), col("n_types"),
+          (floor(ent * EntScale + 0.5) / EntScale).as("entropy"))
+        .orderBy("bucket")
+    }),
+
+    // distributed per-label embedding centroid — the reduce step of
+    // k-means / cluster profiling. Component values are quantized to
+    // exact 1e-6-resolution integers (floats carry ~7 significant
+    // digits, so nothing real is lost), summed exactly, divided once.
+    "vec_centroid" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim").cast(LongType).as("dim"),
+          floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("iv"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("iv").as("s"))
+        .select(col("label"), col("dim"), col("n"),
+          (col("s").cast(DoubleType) / 1e6 / col("n").cast(DoubleType))
+            .as("centroid"))
+        .orderBy("label", "dim")),
+
+    // blocked fuzzy entity resolution: match customer records across two
+    // "systems" (even vs odd keys) whose names differ by ≤1 edit. The
+    // block key (7-digit id prefix) bounds each Levenshtein comparison
+    // set to ≤100 rows — the standard record-linkage shape: candidate
+    // generation by blocking, verification by edit distance.
+    "join_fuzzy" -> ((s, d) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 7).as("blk"))
+      val a = cust.where(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"), col("blk"))
+      val b = cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+          col("blk").as("blk_b"))
+      a.join(b, col("blk") === col("blk_b") &&
+          levenshtein(col("a_name"), col("b_name")) <= 1)
+        .groupBy(col("a_key"))
+        .agg(count(lit(1)).as("n_matches"), min(col("b_key")).as("first_match"))
+        .orderBy("a_key")
+    }),
+
+    // Count-Min point-frequency estimates for the probe set — the
+    // bounded-memory sketch for per-token counts at 100 TB: O(depth ×
+    // width) partials merge cell-wise on the way to ONE reduce, instead
+    // of shuffling the whole token distribution. No SQL oracle (sketch
+    // estimates are not SQL-expressible); AnalyticsSpec pins the
+    // overestimate-only guarantee and the ε·N error bound.
+    "agg_countmin" -> ((s, d) => {
+      import s.implicits._
+      val cm = new graft.functions.CountMin(CmProbes)
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .as[String]
+        .select(cm.toColumn)
+        .select(col("ests"), posexplode(col("toks")))
+        .select(col("col").as("token"),
+          element_at(col("ests"), (col("pos") + 1).cast(IntegerType))
+            .as("est_count"))
+        .orderBy("token")
+    }),
+
+    // EXACT distributed distinct via bitmap partials: bucket the key
+    // space, build one fixed-size bitmap per (group, bucket) map-side,
+    // OR-merge, then sum bit counts. At 100 TB this shuffles O(groups ×
+    // buckets) bounded bitmaps instead of every raw key occurrence —
+    // exactness of count(DISTINCT) without its shuffle, proven by the
+    // count-distinct oracle.
+    "agg_bitmap_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        .orderBy("event_type")),
+
+    // PageRank over the bipartite customer–supplier graph (distinct
+    // order→lineitem pairs, symmetrized so every node has out-edges).
+    // Three power iterations, each: rank/outdeg contribution per edge →
+    // quantized → exact integer sum per destination. N enters the plan
+    // via a broadcast scalar aggregate, never a driver-side count.
+    "graph_pagerank" -> ((s, d) => {
+      val e0 = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node")
+      val nAgg = deg.agg(count(lit(1)).as("nn"))
+      // ranks: (node, outdeg, p, nn) — p0 = 1/N uniformly
+      var ranks = deg.crossJoin(broadcast(nAgg))
+        .select(col("node"), col("outdeg"),
+          (lit(1.0) / col("nn").cast(DoubleType)).as("p"), col("nn"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            floor(lit(0.85) * col("p") / col("outdeg").cast(DoubleType) * 1e9
+              + 0.5).cast(LongType).as("iv"))
+          .groupBy("dst").agg(sum("iv").as("isum"))
+        ranks = deg.crossJoin(broadcast(nAgg))
+          .join(contrib, col("node") === col("dst"))
+          .select(col("node"), col("outdeg"),
+            (lit(0.15) / col("nn").cast(DoubleType) +
+              col("isum").cast(DoubleType) / 1e9).as("p"), col("nn"))
+      }
+      ranks.select(col("node"), col("p").as("pagerank"))
+        .orderBy(col("pagerank").desc, col("node")).limit(20)
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "profile_corr" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(22,4))) AS syy,
+        |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "agg_entropy" ->
+      s"""WITH c AS (SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT bucket, SUM(c) AS n_events, COUNT(*) AS n_types,
+        |    SUM(CAST(floor(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+        |      * $EntScale + 0.5) AS BIGINT)) AS tsum
+        |  FROM c GROUP BY bucket)
+        |SELECT bucket, n_events, n_types,
+        |  floor((log2(CAST(n_events AS DOUBLE))
+        |    - (CAST(tsum AS DOUBLE) / $EntScale) / CAST(n_events AS DOUBLE))
+        |    * $EntScale + 0.5) / $EntScale AS entropy
+        |FROM g ORDER BY bucket""".stripMargin,
+    "vec_centroid" ->
+      """WITH x AS (SELECT label, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |      AS iv
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i))
+        |SELECT label, dim, COUNT(*) AS n,
+        |  CAST(SUM(iv) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS centroid
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "join_fuzzy" ->
+      """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
+        |  FROM customer)
+        |SELECT a.c_custkey AS a_key, COUNT(*) AS n_matches,
+        |  MIN(b.c_custkey) AS first_match
+        |FROM c a JOIN c b
+        |  ON a.blk = b.blk AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+        |GROUP BY a.c_custkey ORDER BY a_key""".stripMargin,
+    "graph_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |    l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS nn FROM deg),
+        |r0 AS (SELECT node, outdeg, CAST(1 AS DOUBLE) / CAST(nn AS DOUBLE) AS p,
+        |    nn FROM deg, nn),
+        |c1 AS (SELECT dst, SUM(CAST(floor(CAST(0.85 AS DOUBLE) * p
+        |      / CAST(outdeg AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS isum
+        |  FROM e JOIN r0 ON e.src = r0.node GROUP BY dst),
+        |r1 AS (SELECT deg.node, deg.outdeg,
+        |    CAST(0.15 AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+        |      + CAST(isum AS DOUBLE) / 1e9 AS p, nn.nn
+        |  FROM deg CROSS JOIN nn JOIN c1 ON deg.node = c1.dst),
+        |c2 AS (SELECT dst, SUM(CAST(floor(CAST(0.85 AS DOUBLE) * p
+        |      / CAST(outdeg AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS isum
+        |  FROM e JOIN r1 ON e.src = r1.node GROUP BY dst),
+        |r2 AS (SELECT deg.node, deg.outdeg,
+        |    CAST(0.15 AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+        |      + CAST(isum AS DOUBLE) / 1e9 AS p, nn.nn
+        |  FROM deg CROSS JOIN nn JOIN c2 ON deg.node = c2.dst),
+        |c3 AS (SELECT dst, SUM(CAST(floor(CAST(0.85 AS DOUBLE) * p
+        |      / CAST(outdeg AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS isum
+        |  FROM e JOIN r2 ON e.src = r2.node GROUP BY dst),
+        |r3 AS (SELECT deg.node, deg.outdeg,
+        |    CAST(0.15 AS DOUBLE) / CAST(nn.nn AS DOUBLE)
+        |      + CAST(isum AS DOUBLE) / 1e9 AS p, nn.nn
+        |  FROM deg, nn JOIN c3 ON deg.node = c3.dst)
+        |SELECT node, p AS pagerank FROM r3
+        |ORDER BY pagerank DESC, node LIMIT 20""".stripMargin
+  )
+}

@@ -149,6 +149,26 @@ object StreamOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // foreachBatch upsert sink — the canonical production streaming
+    // pattern: each microbatch MERGEs last-write-wins state into a keyed
+    // table. Batch-equivalent form: replay everything, keep each user's
+    // latest event (ts desc, event_id desc tiebreak). StreamingSpec
+    // drives the REAL foreachBatch incremental merge over multiple
+    // triggers and asserts it converges to exactly this frame. At scale
+    // the state table is keyed by user_id, each microbatch merge is one
+    // partial-deduped shuffle of the batch (not the table).
+    "stream_upsert_sink" -> ((s, d) => {
+      val latest = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(latest))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+
     // late-data flagging: events.ts is monotone in event_id (FIXTURES.md),
     // so real arrival order has no late rows; simulate out-of-order
     // arrival deterministically by md5(event_id) and flag rows older than
@@ -245,6 +265,13 @@ object StreamOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "stream_upsert_sink" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "late_data" ->
       """SELECT event_id, user_id,
         |  CAST(COALESCE(ts_s < max_prior - INTERVAL 10 MINUTE, FALSE) AS INT) AS is_late

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** §2.15 analytics operators: quantitative invariants beyond the DuckDB
+  * hash oracle (which already pins exact values at sf0.01). */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("profile_corr emits valid correlations for every return flag") {
+    val rows = SparkEntry.queries("profile_corr")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("corr_qty_price")
+      assert(!c.isNaN && math.abs(c) <= 1.0, s"corr out of range: $c")
+    }
+  }
+
+  test("agg_entropy bounded by log2(n_types) and nonnegative") {
+    SparkEntry.queries("agg_entropy")(spark, sf).collect().foreach { r =>
+      val ent = r.getAs[Double]("entropy")
+      val hi = math.log(r.getAs[Long]("n_types").toDouble) / math.log(2.0)
+      // 1e-4 slack: entropy is quantized at 1e-4 by design
+      assert(ent >= -1e-4 && ent <= hi + 1e-4,
+        s"entropy $ent outside [0, log2(n_types)=$hi]")
+    }
+  }
+
+  test("vec_centroid matches a directly computed per-label mean") {
+    val got = SparkEntry.queries("vec_centroid")(spark, sf)
+      .where(col("dim") === 0).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("centroid")).toMap
+    val direct = Tables.embeddings(spark, sf)
+      .select(col("label"), col("embedding").getItem(0).cast("double").as("v"))
+      .groupBy("label").agg(avg("v").as("m")).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Double]("m")).toMap
+    assert(got.keySet == direct.keySet)
+    got.foreach { case (l, c) =>
+      // quantization at 1e-6 per component; n ≤ a few hundred per label
+      assert(math.abs(c - direct(l)) < 1e-4, s"label $l: $c vs ${direct(l)}")
+    }
+  }
+
+  test("join_fuzzy finds the planted one-edit neighbor pair") {
+    // Customer#000000100 vs Customer#000000101 share block "0000010"
+    // and differ by exactly one substitution
+    val m = SparkEntry.queries("join_fuzzy")(spark, sf)
+      .where(col("a_key") === 100).collect()
+    assert(m.nonEmpty, "custkey 100 should match at least custkey 101")
+    assert(m.head.getAs[Long]("n_matches") >= 1)
+  }
+
+  test("join_fuzzy matches all verify at edit distance <= 1") {
+    // re-derive the pair list and recheck the edit distance holds on
+    // every pair the blocked join admitted
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 7).as("blk"))
+    val a = cust.where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        col("blk"))
+    val b = cust.where(col("c_custkey") % 2 === 1)
+      .select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+        col("blk").as("blk_b"))
+    val bad = a.join(b, col("blk") === col("blk_b") &&
+        levenshtein(col("a_name"), col("b_name")) <= 1)
+      .where(levenshtein(col("a_name"), col("b_name")) > 1).count()
+    assert(bad == 0)
+  }
+
+  test("graph_pagerank: 20 rows, positive ranks, descending order") {
+    val rows = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+    assert(rows.length == 20)
+    val ps = rows.map(_.getAs[Double]("pagerank"))
+    assert(ps.forall(p => p > 0.0 && p < 1.0))
+    assert(ps.sameElements(ps.sorted.reverse), "not rank-descending")
+  }
+
+  test("agg_countmin never underestimates and respects the eps*N bound") {
+    val est = SparkEntry.queries("agg_countmin")(spark, sf).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count")).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+    val n = toks.count()
+    val exact = toks.where(col("t").isin(est.keys.toSeq: _*))
+      .groupBy("t").count().collect()
+      .map(r => r.getAs[String]("t") -> r.getAs[Long]("count")).toMap
+    // CMS guarantee: overestimate-only, within eps*N (eps = e/2048)
+    val eps = math.E / 2048
+    est.foreach { case (t, e) =>
+      val tru = exact.getOrElse(t, 0L)
+      assert(e >= tru, s"$t underestimated: $e < $tru")
+      assert(e <= tru + eps * n * 3, s"$t over bound: $e vs $tru (N=$n)")
+    }
+    // the absent control token exposes the collision floor only
+    assert(est("zz_absent") <= (eps * n).toLong)
+  }
+
+  test("agg_countmin is stable under repartitioning (cell-wise merge)") {
+    import spark.implicits._
+    val cm = new graft.functions.CountMin(Seq("hash", "the"))
+    def run(parts: Int): Map[String, Long] = {
+      val o = Tables.documents(spark, sf)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .as[String].repartition(parts)
+        .select(cm.toColumn).collect().head
+      o.toks.zip(o.ests).toMap
+    }
+    assert(run(2) == run(13))
+  }
+
+  test("agg_bitmap_distinct equals exact countDistinct per type") {
+    val got = SparkEntry.queries("agg_bitmap_distinct")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_distinct"))
+      .toMap
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(got == exact)
+  }
+
+  test("graph_pagerank is stable under input repartitioning") {
+    // integer-quantized contributions make the iteration aggregation-
+    // order-free: a 7-partition layout must give bit-equal ranks
+    val base = SparkEntry.queries("graph_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val again = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .repartition(7).collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(x => (-x._2, x._1))
+    assert(base.sameElements(again))
+  }
+}

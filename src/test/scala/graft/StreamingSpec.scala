@@ -380,4 +380,56 @@ class StreamingSpec extends AnyFunSuite {
         (4L, 0.0)))
     } finally q.stop()
   }
+
+  test("foreachBatch last-write-wins sink converges to stream_upsert_sink form") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming form of stream_upsert_sink: per micro-batch, reduce
+    // the batch to its latest row per key, then merge into keyed state —
+    // after all triggers the state must equal the batch-form replay
+    // (latest per key by (ts, event_id) over the whole input)
+    val root = java.nio.file.Files.createTempDirectory("graft_lww").toString
+    @volatile var current = ""
+    val in = MemoryStream[(Long, Long, Double)] // (user, event_id, value)
+    val latestInBatch = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("eid").desc)
+    val q = in.toDF().toDF("u", "eid", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val compact = batch
+          .withColumn("rn", row_number().over(latestInBatch))
+          .where(col("rn") === 1).drop("rn")
+          .select(col("u").as("bu"), col("eid").as("beid"), col("v").as("bv"))
+        val snap =
+          if (current.isEmpty)
+            Seq.empty[(Long, Long, Double)].toDF("su", "seid", "sv")
+          else spark.read.parquet(current)
+            .toDF("su", "seid", "sv")
+        val next = s"$root/v${id + 1}"
+        // true LWW merge: on key conflict the HIGHER event_id wins, so an
+        // old row arriving in a later trigger cannot clobber newer state
+        val batchWins = col("beid").isNotNull &&
+          (col("seid").isNull || col("beid") > col("seid"))
+        compact.join(snap, col("su") === col("bu"), "full_outer")
+          .select(coalesce(col("bu"), col("su")).as("u"),
+            when(batchWins, col("beid")).otherwise(col("seid")).as("eid"),
+            when(batchWins, col("bv")).otherwise(col("sv")).as("v"))
+          .write.parquet(next)
+        current = next
+      }
+      .start()
+    try {
+      // (2L,1L,9.9) arrives in trigger 2 but is OLDER than the held
+      // (2L,2L,2.0) — LWW must keep the newer state
+      in.addData((1L, 1L, 1.0), (1L, 3L, 3.0), (2L, 2L, 2.0))
+      q.processAllAvailable()
+      in.addData((1L, 5L, 5.0), (3L, 4L, 4.0), (2L, 1L, 9.9))
+      q.processAllAvailable()
+      val got = spark.read.parquet(current)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // = batch replay: latest per key over the full input, any order
+      val expected = Set((1L, 5L, 5.0), (2L, 2L, 2.0), (3L, 4L, 4.0))
+      assert(got == expected, s"state mismatch: $got")
+    } finally q.stop()
+  }
 }
