@@ -26,13 +26,17 @@ object GraphOps {
 
   /** @param nodes single column `doc_id` — every node, including isolated
     * @param pairs  undirected edges as columns `id1`, `id2`
-    * @param rounds max relax+compress rounds (covers diameter ~2^rounds);
-    *               the loop exits as soon as a round changes no label, so
-    *               shallow dup-cluster graphs converge in 2 rounds
+    * @param rounds max relax+compress rounds (reach grows ~2^round, so 16
+    *               covers diameter ~10^5 — needed because near-threshold
+    *               similarity graphs degenerate into long chains: the
+    *               sf0.1 cosine graph has a >256-hop component that 8
+    *               rounds provably cannot close). The loop still exits at
+    *               the first no-change round, so shallow dup-cluster
+    *               graphs pay 2-3 rounds regardless of the bound.
     * @return (doc_id, rep) with rep = min doc_id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 16): DataFrame = {
     val edges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -71,6 +75,9 @@ object GraphOps {
       labels = compressed.select("doc_id", "rep")
     }
     edges.unpersist()
+    System.err.println(s"[graft] connectedComponents: " +
+      (if (converged) s"converged in $round rounds"
+       else s"NOT converged after $round rounds"))
     // an unconverged result must never silently materialize (it would be
     // persisted into write-once fixtures and reused downstream with no
     // signal — round-2 advisory); diameters beyond ~2^rounds fail fast
