@@ -183,9 +183,16 @@ object AnalyticsOps extends QueryModule {
         .select((col("o_custkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
-      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      // iterative-algorithm carve-out (Core.scala contract, same as
+      // GraphOps): the edge list feeds every one of the 3 unrolled rounds
+      // plus the degree table — checkpoint it once instead of recomputing
+      // the join+distinct subtree ~8x through the unrolled plan
+      val edges = e0
+        .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node")
+        .localCheckpoint(true)
       val nAgg = deg.agg(count(lit(1)).as("nn"))
       // ranks: (node, outdeg, p, nn) — p0 = 1/N uniformly
       var ranks = deg.crossJoin(broadcast(nAgg))

@@ -60,8 +60,10 @@ class OperatorSpec extends AnyFunSuite {
       .count(f => f.getName.startsWith("part-"))
     val frag = graft.operators.Fixtures.fragmentedEvents(spark, sf)
     assert(parts(frag) == 64)
-    val sfName = new java.io.File(sf).getName
-    val out = s"${sys.props("java.io.tmpdir")}/graft_side/$sfName/compacted"
+    // derive the sink path exactly as the query does (fingerprinted side
+    // dir + this session's applicationId) — a hardcoded path silently
+    // tests a stale directory from a previous naming scheme
+    val out = graft.operators.Fixtures.sinkDir(spark, sf, "events", "compacted")
     assert(parts(out) <= 2 && parts(out) >= 1)
   }
 
