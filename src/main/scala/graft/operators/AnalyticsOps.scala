@@ -134,6 +134,35 @@ object AnalyticsOps extends QueryModule {
         .orderBy("a_key")
     }),
 
+    // pairwise audience overlap between event-type segments with exact
+    // Jaccard: one (user, type)-distinct pass, a user-keyed self-join of
+    // the deduped memberships (never the raw event stream), per-type
+    // audience sizes broadcast back in. Output is O(types²); every
+    // shuffled row is a (user_id, type) pair.
+    "agg_audience_overlap" -> ((s, d) => {
+      val ut = Tables.events(s, d)
+        .select(col("user_id"), col("event_type")).distinct()
+      val sizes = ut.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val both = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          "user_id")
+        .where(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+          .withColumnRenamed("n", "n_a")), "type_a")
+        .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("n", "n_b")), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          (col("n_both").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType))
+            .as("jaccard"))
+        .orderBy("type_a", "type_b")
+    }),
+
     // Count-Min point-frequency estimates for the probe set — the
     // bounded-memory sketch for per-token counts at 100 TB: O(depth ×
     // width) partials merge cell-wise on the way to ONE reduce, instead
@@ -220,6 +249,20 @@ object AnalyticsOps extends QueryModule {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        |b AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |    COUNT(*) AS n_both
+        |  FROM ut a JOIN ut c ON a.user_id = c.user_id
+        |  WHERE a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)
+        |    AS jaccard
+        |FROM b JOIN sz sa ON b.type_a = sa.event_type
+        |       JOIN sz sb ON b.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "profile_corr" ->
       """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,

@@ -135,10 +135,42 @@ object WindowOps extends QueryModule {
           (sum(dec2(col("value"))).over(w).cast("double") /
             count(lit(1)).over(w)).as("mov_avg"))
         .orderBy("event_id")
+    }),
+
+    // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
+    // classic streak computation). day − row_number() is constant within
+    // a run, so one (user, day)-distinct pass + one user-partitioned
+    // window + two keyed aggs do it — no self-join, no sequence explode.
+    // At 100 TB every stage rides the user_id partitioning.
+    "win_gap_islands" -> ((s, d) => {
+      val days = Tables.events(s, d)
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_streaks"), max("len").as("longest_streak"))
+        .orderBy("user_id")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_gap_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |runs AS (SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |islands AS (SELECT user_id, grp, COUNT(*) AS len
+        |  FROM runs GROUP BY user_id, grp)
+        |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin,
     "win_rank" ->
       """SELECT o_orderkey, o_custkey,
         |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk,

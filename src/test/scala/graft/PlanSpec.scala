@@ -270,6 +270,44 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark join degraded to a shuffle:\n$p")
   }
 
+  test("join_fuzzy plans a block-keyed equi-join, never a cartesian") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"fuzzy join degraded to an unblocked product:\n$p")
+    // levenshtein must be a residual join predicate, not a post-filter on
+    // an exploded pair set
+    assert(p.contains("levenshtein"), s"edit-distance not in the join:\n$p")
+  }
+
+  test("profile_corr is a single scan with partial aggregation") {
+    val p = plan("profile_corr")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"moment sums must come from ONE lineitem scan:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("agg_bitmap_distinct aggregates bitmaps in two levels, one scan") {
+    val p = plan("agg_bitmap_distinct")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"bitmap distinct must be one events scan:\n$p")
+    // level 1: (event_type, bucket) bitmap build (bitmap_construct_agg is
+    // not hash-aggregable → SortAggregate); level 2: per-type bit-count
+    // sum with map-side partials
+    assert(p.linesIterator.count(_.contains("Aggregate(")) >= 4,
+      s"expected two partial+final aggregate levels:\n$p")
+    assert(p.contains("bitmap_construct_agg"),
+      s"bitmap partial aggregation missing:\n$p")
+  }
+
+  test("vec_centroid shuffles integer partial sums, not embeddings") {
+    val p = plan("vec_centroid")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty &&
+      !exchanges.exists(_.contains("embedding")),
+      s"an exchange carries raw embedding arrays:\n$p")
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the
