@@ -77,6 +77,29 @@ object AggOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // incremental distinct counting: stored per-day HLL sketches + the
+    // new day's sketch, merged via hll_union_agg — the pattern that
+    // keeps a 100 TB history un-rescanned: daily state is O(types × 4 KB
+    // registers), the increment touches one day, and register-wise max
+    // makes the merge EXACTLY equal a full-history rebuild (asserted in
+    // OperatorSpec alongside the ±5% vs exact bound). The sketch-store
+    // build is the same one-time staging pattern as the fingerprint
+    // fixtures. No SQL oracle (sketch estimates aren't SQL-expressible).
+    "agg_hll_incremental" -> ((s, d) => {
+      val hist = s.read.parquet(Fixtures.hllDaily(s, d))
+        .select(col("event_type"), col("sk"))
+      val inc = Tables.events(s, d)
+        .where(to_date(col("ts")) === lit("2024-01-31").cast("date"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      hist.unionAll(inc)
+        .groupBy("event_type")
+        .agg(expr("cast(hll_sketch_estimate(hll_union_agg(sk)) as bigint)")
+            .as("approx_users"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy("event_type")
+    }),
+
     // ordered conversion funnel view → click → purchase: stage N counts
     // users whose earliest stage-N event follows their stage-(N-1) entry
     // time. ONE shuffle of events by user_id total: the three stage

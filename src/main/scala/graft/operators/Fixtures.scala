@@ -249,6 +249,21 @@ object Fixtures {
       build.write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** Stored per-(event_type, day) HLL sketches of user_id for every day
+    * BEFORE 2024-01-31 — the persisted state an incremental distinct-count
+    * pipeline keeps (lgK 12, matching agg_hll_sketch). agg_hll_incremental
+    * merges these with the new day's sketch, never rescanning history;
+    * HLL union is register-wise max, so the merged estimate is IDENTICAL
+    * to a full-history rebuild (asserted in OperatorSpec). */
+  def hllDaily(s: SparkSession, sfDir: String): String =
+    writeOnce(dirFor(sfDir, "events", "hll_daily")) { dir =>
+      Tables.events(s, sfDir)
+        .where(to_date(col("ts")) < lit("2024-01-31").cast("date"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** Embedding-space twin of keepList: materialized cosine-cluster map
     * keyed on the embeddings fingerprint. */
   def embKeepList(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =

@@ -54,6 +54,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_incremental merge equals full rebuild, within 5% of exact") {
+    val inc = SparkEntry.queries("agg_hll_incremental")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users"))
+      .toMap
+    // register-wise max ⇒ sketch union over day-partitions must equal the
+    // single-pass sketch over the same rows exactly
+    val full = Tables.events(spark, sf)
+      .where(to_date(col("ts")) < lit("2024-02-01").cast("date"))
+      .groupBy("event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as bigint)")
+        .as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(inc == full, s"incremental $inc != full rebuild $full")
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(inc(t) - n).toDouble / n < 0.05, s"type $t: ${inc(t)} vs $n")
+    }
+  }
+
   test("sink_compacted rewrites 64 fragments into at most 2 files") {
     SparkEntry.queries("sink_compacted")(spark, sf).collect()
     def parts(dir: String) = new java.io.File(dir).listFiles()
