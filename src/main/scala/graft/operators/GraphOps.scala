@@ -41,16 +41,36 @@ object GraphOps {
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    // propagate only over nodes that appear in some pair — isolated nodes
-    // are their own representative by definition and rejoin lazily at the
-    // end, so every fixpoint round runs on O(|edges|) rows, not O(corpus)
+    // size the fixpoint's shuffles from the MATERIALIZED edge count (free
+    // — the checkpoint already ran): a similarity graph is usually a tiny
+    // fraction of the corpus, and running 10+ rounds of joins over a
+    // thousand-row frame at the corpus-sized partition count pays ~10×
+    // the round latency in empty-task scheduling. ~50k edges/partition,
+    // capped at the session setting — at 100 TB (billions of edges) this
+    // IS the session setting; the spark.sql.shuffle.partitions conf is
+    // restored before returning (queries execute sequentially per
+    // session: Verify/Bench contract).
+    val spark = edges.sparkSession
+    val confKey = "spark.sql.shuffle.partitions"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val outerParts = spark.conf.get(confKey)
+    val outerAqe = spark.conf.get(aqeKey, "true")
+    val loopParts = math.max(1L, math.min(outerParts.toLong,
+      edges.count() / 50000L + 1L))
+    // AQE's per-stage re-planning buys nothing on the loop's right-sized
+    // tiny shuffles and costs ~100 ms per stage × 4 stages × rounds; at
+    // real scale loopParts == the session setting and AQE stays worth it,
+    // so only bypass it when the graph is small enough to single-partition
+    val bypassAqe = loopParts <= 4
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint(true)
     var previous = Seq(edges, labels)
     var converged = false
     var round = 0
-    while (!converged && round < rounds) {
+    spark.conf.set(confKey, loopParts.toString)
+    if (bypassAqe) spark.conf.set(aqeKey, "false")
+    try while (!converged && round < rounds) {
       round += 1
       // relax: rep(x) = min(rep(x), min over neighbors' rep)
       val nbr = edges
@@ -73,6 +93,9 @@ object GraphOps {
       previous.drop(1).foreach(_.unpersist())
       previous = Seq(edges, compressed)
       labels = compressed.select("doc_id", "rep")
+    } finally {
+      spark.conf.set(confKey, outerParts)
+      spark.conf.set(aqeKey, outerAqe)
     }
     edges.unpersist()
     System.err.println(s"[graft] connectedComponents: " +
