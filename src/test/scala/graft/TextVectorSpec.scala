@@ -221,6 +221,26 @@ class TextVectorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted dup pairs not found: $missing")
   }
 
+  test("LSH candidate mass stays within the documented degradation bound") {
+    // regime diagnostic (VectorOps scaladoc): at τ=0.4 ≈ 3.2σ from random
+    // this corpus admits no sub-quadratic family, so the contract is
+    // graceful degradation — candidates bounded by a small multiple of
+    // brute force (post-distinct ≤ 1.0×) with near-total recall, and
+    // ids-only shuffles. If a fixture change ever introduces a true
+    // near-dup margin, this measurement is what shows the family going
+    // sub-quadratic (candidates ≪ n²/2).
+    val n = Tables.embeddings(spark, sf).count()
+    val cand = operators.VectorOps.lshCandidates(spark, sf).count()
+    val brute = n * (n - 1) / 2
+    assert(cand <= brute, s"post-distinct candidates $cand exceed all-pairs $brute")
+    // and the verified pair set must cover the exact τ=0.4 pairs almost
+    // entirely (the recall the scaled dedup path is tested to downstream)
+    val exact = SparkEntry.queries("sim_cosine_pairs")(spark, sf).count()
+    val verified = operators.VectorOps.scaledPairs(spark, sf).count()
+    assert(verified >= (exact * 95) / 100,
+      s"verified LSH pairs $verified below 95% of exact $exact")
+  }
+
   test("sim_bruteforce_topk matches a driver-side exact computation") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
