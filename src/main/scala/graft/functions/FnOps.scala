@@ -29,6 +29,19 @@ object FnOps extends QueryModule {
   }
 
   override def queries: Map[String, Q.Fn] = Map(
+    // PII-style masking (governance surface): Spark's mask() defaults —
+    // upper→'X', lower→'x', digit→'n', other chars kept — replicated in
+    // the oracle as three global regexp passes, so the redaction rule is
+    // provably identical in both engines. Narrow per-row op, no shuffle.
+    "fn_mask" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("mask(c_name)").as("name_masked"),
+          expr("mask(concat('ACCT-', CAST(c_acctbal AS STRING)))")
+            .as("acct_masked"),
+          expr("mask(c_mktsegment, 'U', 'l', '#')").as("seg_masked"))
+        .orderBy("c_custkey")),
+
     "fn_string" -> ((s, d) =>
       Tables.part(s, d)
         .select(
@@ -284,6 +297,19 @@ object FnOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_mask" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS name_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    'ACCT-' || CAST(c_acctbal AS VARCHAR),
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS acct_masked,
+        |  regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+        |    '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'), '[0-9]', '#', 'g')
+        |    AS seg_masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

@@ -77,6 +77,20 @@ object AggOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // ordered string aggregation (Spark 4 listagg, ISO SQL:2016): the
+    // WITHIN GROUP ordering makes the concatenation deterministic under
+    // any partial-aggregation split — unordered listagg would be
+    // partition-layout-dependent and could never hash-match
+    "agg_listagg" -> ((s, d) =>
+      Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+            .as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
     // incremental distinct counting: stored per-day HLL sketches + the
     // new day's sketch, merged via hll_union_agg — the pattern that
     // keeps a 100 TB history un-rescanned: daily state is O(types × 4 KB
@@ -543,6 +557,12 @@ object AggOps extends QueryModule {
       """SELECT l_orderkey,
         |  string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "agg_having" ->
       """SELECT l_suppkey, COUNT(1) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -107,6 +107,22 @@ object CurationOps extends QueryModule {
     // sample is deterministic; the rate table is a broadcast of 5 rows.
     // sample_stratified is the fixed-rate cousin; this one computes the
     // rates FROM the data, which is what a mixture target actually needs.
+    // training-export sharding manifest: every doc deterministically
+    // assigned to one of 16 shards by pure key hash (reproducible across
+    // engines/retries/layouts — the property that lets a 100 TB export
+    // resume per-shard), manifest = per-shard doc count + char volume +
+    // id range. One narrow pass + one O(shards) agg.
+    "pipeline_shards" -> ((s, d) => {
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 2),
+        16, 10).cast("int") % 16).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), shard.as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")
+    }),
+
     "pipeline_mixture" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -164,6 +180,18 @@ object CurationOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "pipeline_shards" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |  ((instr('0123456789abcdef',
+        |          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |   + instr('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 16
+        |    AS shard
+        |FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "pipeline_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),

@@ -94,6 +94,12 @@ object Fixtures {
       val w = df.coalesce(1).write.mode(SaveMode.Overwrite)
       fmt match {
         case "csv"  => w.option("header", "true").csv(dir)
+        // block-compressed ingest surface: gzip is the common landing
+        // format; at 100 TB one prefers splittable codecs (zstd/bzip2 or
+        // compressed parquet) — scan_csv_gzip documents the read path
+        // either way (codec comes from the file extension)
+        case "csv_gz" => w.option("header", "true")
+          .option("compression", "gzip").csv(dir)
         case "json" => w.json(dir)
         case "orc"  => w.orc(dir)
         case "xml"  => w.format("xml").option("rowTag", "ev").save(dir)

@@ -53,6 +53,16 @@ object ScanOps extends QueryModule {
         .csv(sideFile(s, d, "csv"))
         .orderBy("event_id")),
 
+    // gzip-compressed CSV ingest: same typed read, codec selected by
+    // extension. A single .gz member is unsplittable (one task per file)
+    // — acceptable for landing files; the 100 TB guidance in the fixture
+    // comment is splittable codecs or parquet, and this id proves the
+    // read path is codec-transparent either way.
+    "scan_csv_gzip" -> ((s, d) =>
+      s.read.schema(sideSchema).option("header", "true")
+        .csv(sideFile(s, d, "csv_gz"))
+        .orderBy("event_id")),
+
     "scan_json" -> ((s, d) =>
       s.read.schema(sideSchema).json(sideFile(s, d, "json"))
         .orderBy("event_id")),
@@ -232,6 +242,8 @@ object ScanOps extends QueryModule {
     // the csv/json round trips preserve these columns exactly, so the
     // oracle is the original projection.
     "scan_csv" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "scan_csv_gzip" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "scan_json" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
