@@ -134,6 +134,26 @@ object AnalyticsOps extends QueryModule {
         .orderBy("a_key")
     }),
 
+    // market-basket co-purchase mining: frequent part pairs across
+    // orders. The pair generation is a self-join KEYED ON THE ORDER —
+    // baskets average a handful of items, so the quadratic blow-up is
+    // per-basket (~tens of pairs), never corpus-wide; the pair counts
+    // then partial-aggregate before one (part_a, part_b) shuffle. This
+    // is the a-priori candidate step every recommender ETL runs.
+    "agg_copurchase" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li
+        .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("part_a"), col("pk2").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
     // pairwise audience overlap between event-type segments with exact
     // Jaccard: one (user, type)-distinct pass, a user-keyed self-join of
     // the deduped memberships (never the raw event stream), per-type
@@ -249,6 +269,14 @@ object AnalyticsOps extends QueryModule {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |p AS (SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS n_orders
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, n_orders FROM p
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "agg_audience_overlap" ->
       """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
         |sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
