@@ -134,6 +134,31 @@ object QualityOps extends QueryModule {
         .orderBy("rk")
     }),
 
+    // day-level volume anomaly detection: daily event counts vs the
+    // month's mean/std, |z| >= 2 flags the outlier days — the freshness/
+    // volume monitor every ingest pipeline runs. Moments are exact
+    // integer sums over the O(days) grouped frame (same discipline as
+    // profile_corr), so mean/std/z are shared double expressions and the
+    // flags cannot drift between engines. Day counts come from ONE scan;
+    // the unpartitioned second-level agg runs on 31 rows.
+    "validate_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val m = daily.agg(
+        count(lit(1)).as("nd"),
+        sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      val nd = col("nd").cast(DoubleType)
+      val mean = col("s1").cast(DoubleType) / nd
+      val variance = col("s2").cast(DoubleType) / nd - mean * mean
+      daily.crossJoin(broadcast(m))
+        .select(col("day"), col("n"),
+          ((col("n").cast(DoubleType) - mean) / sqrt(variance)).as("z"))
+        .where(abs((col("n").cast(DoubleType) - mean) / sqrt(variance)) >= 2.0)
+        .orderBy("day")
+    }),
+
     // percentile winsorization audit: per-stratum exact p01/p99 bounds
     // (first pass), then clip classification + inlier sum in a second
     // pass with the 3-row bounds frame broadcast. Exact percentile is
@@ -220,6 +245,22 @@ object QualityOps extends QueryModule {
         |  CAST(cnt AS DOUBLE) / tot AS share,
         |  CAST(cnt * n_keys AS DOUBLE) / tot AS skew_ratio
         |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin,
+    "validate_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT COUNT(*) AS nd, SUM(n) AS s1, SUM(n * n) AS s2
+        |  FROM daily)
+        |SELECT day, n,
+        |  (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+        |    / sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))) AS z
+        |FROM daily, m
+        |WHERE abs((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+        |    / sqrt(CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE)
+        |        - (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+        |          * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))) >= 2.0
+        |ORDER BY day""".stripMargin,
     "clean_outliers" ->
       """WITH b AS (SELECT l_returnflag AS rf,
         |    quantile_cont(l_extendedprice, 0.01) AS lo,
