@@ -115,6 +115,56 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("CountMin never underestimates on random token streams, any layout") {
+    val tokens = Gen.listOfN(300, Gen.oneOf(
+      (1 to 25).map(i => s"tok$i")))
+    forAll(tokens, Gen.chooseNum(1, 7)) { (toks: List[String], parts: Int) =>
+      val probes = toks.distinct.take(6) :+ "tok_absent"
+      val cm = new graft.functions.CountMin(probes, depth = 4, width = 64)
+      val out = toks.toDF("t").repartition(parts)
+        .select(col("t")).as[String]
+        .select(cm.toColumn).collect().head
+      val est = out.toks.zip(out.ests).toMap
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      probes.foreach { p =>
+        val tru = exact.getOrElse(p, 0L)
+        assert(est(p) >= tru, s"underestimate for $p: ${est(p)} < $tru")
+        // width 64 ⇒ eps = e/64; 3x slack for small-stream variance
+        assert(est(p) <= tru + (math.E / 64 * toks.size * 3).toLong + 1,
+          s"gross overestimate for $p: ${est(p)} vs $tru over ${toks.size}")
+      }
+    }
+  }
+
+  test("pagerank-style quantized iteration conserves total mass") {
+    // the quantization used by graph_pagerank must keep Σp ≈ 1 after any
+    // number of rounds: each round redistributes 0.85·p along edges (to
+    // 1e-9 resolution) and injects 0.15 uniformly — on a symmetric graph
+    // with no dangling nodes the mass balance is exact up to quantization
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))
+    forAll(edgeGen, Gen.const(())) { (raw: List[(Long, Long)], _) =>
+      val es = raw.filter(p => p._1 != p._2).distinct
+      whenever(es.nonEmpty) {
+        val sym = (es ++ es.map(_.swap)).distinct
+        val nodes = sym.map(_._1).toSet
+        val outdeg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+        var p = nodes.map(n => n -> 1.0 / nodes.size).toMap
+        for (_ <- 1 to 3) {
+          val contrib = sym.groupBy(_._2).map { case (dst, in) =>
+            dst -> in.map { case (src, _) =>
+              math.floor(0.85 * p(src) / outdeg(src) * 1e9 + 0.5) / 1e9
+            }.sum
+          }
+          p = nodes.map(n => n -> (0.15 / nodes.size + contrib.getOrElse(n, 0.0))).toMap
+        }
+        val mass = p.values.sum
+        assert(math.abs(mass - 1.0) < 1e-6 * nodes.size + 1e-6,
+          s"mass drifted: $mass over ${nodes.size} nodes")
+      }
+    }
+  }
+
   test("cosine top-1 finds a planted near-duplicate vector") {
     forAll(Gen.chooseNum(0, 400), Gen.chooseNum(1, 63)) { (vid: Int, dim: Int) =>
       val vecs = Tables.embeddings(spark, sf)
