@@ -29,6 +29,19 @@ object FnOps extends QueryModule {
   }
 
   override def queries: Map[String, Q.Fn] = Map(
+    // error-safe arithmetic/casts (ANSI-adjacent `try_*` surface): bad
+    // rows become NULL instead of failing the job — the semantics a
+    // 100 TB pipeline needs, where one malformed cell must never kill a
+    // stage. Oracle mirrors with NULLIF-guarded division and TRY_CAST.
+    "fn_try" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("try_divide(value, user_id % 3)").as("div_guarded"),
+          expr("try_cast(event_type AS INT)").as("cast_guarded"),
+          expr("try_cast(get_json_object(props, '$.k') AS INT)")
+            .as("json_int"))
+        .orderBy("event_id")),
+
     // PII-style masking (governance surface): Spark's mask() defaults —
     // upper→'X', lower→'x', digit→'n', other chars kept — replicated in
     // the oracle as three global regexp passes, so the redaction rule is
@@ -297,6 +310,12 @@ object FnOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT event_id,
+        |  value / NULLIF(user_id % 3, 0) AS div_guarded,
+        |  TRY_CAST(event_type AS INT) AS cast_guarded,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS json_int
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_mask" ->
       """SELECT c_custkey,
         |  regexp_replace(regexp_replace(regexp_replace(c_name,

@@ -134,6 +134,26 @@ object AnalyticsOps extends QueryModule {
         .orderBy("a_key")
     }),
 
+    // cohort retention matrix — the product-analytics staple: users
+    // grouped by first-activity week, counted per subsequent active
+    // week offset. Two passes over the SAME user_id partitioning (first
+    // week per user, then distinct active weeks), one broadcast-joined
+    // reduction; all week arithmetic is exact integer division from the
+    // epoch anchor, so the matrix is engine-independent.
+    "agg_retention" -> ((s, d) => {
+      val week = floor(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast(DoubleType) / 7.0)
+        .cast(LongType)
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), week.as("week")).distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // market-basket co-purchase mining: frequent part pairs across
     // orders. The pair generation is a self-join KEYED ON THE ORDER —
     // baskets average a handful of items, so the quadratic blow-up is
@@ -269,6 +289,17 @@ object AnalyticsOps extends QueryModule {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      / 7.0) AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw
+        |  GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "agg_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
