@@ -102,6 +102,91 @@ object VectorOps extends QueryModule {
       .select("id1", "id2").distinct()
   }
 
+  /** Product quantization (Jégou, Douze & Schmid 2011, TPAMI): M=8
+    * subspaces × K=16 centroids → a 32-bit code per 64-float vector, an
+    * 8× storage cut on top of vec_quantize's int8. Codebooks are fit
+    * driver-side with Lloyd's iterations on the deterministic
+    * hash-ordered sample (the sanctioned bounded model fit, same as
+    * sim_ivf_topk): first-K init, fixed 10 iterations, pure double
+    * arithmetic — bit-reproducible under any partition layout. */
+  private val PqM = 8
+  private val PqK = 16
+
+  private[graft] def pqFit(s: SparkSession, d: String)
+      : Option[Array[Array[Array[Double]]]] = {
+    val rows = quantizerSample(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 1024)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    if (rows.length < PqK || rows.head.length % PqM != 0) None
+    else Some {
+      val sub = rows.head.length / PqM
+      def dist2(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+        s
+      }
+      Array.tabulate(PqM) { m =>
+        val xs = rows.map(r =>
+          java.util.Arrays.copyOfRange(r, m * sub, (m + 1) * sub))
+        var cents = xs.take(PqK).map(_.clone)
+        for (_ <- 1 to 10) {
+          val sums = Array.fill(PqK)(new Array[Double](sub))
+          val cnt = new Array[Int](PqK)
+          xs.foreach { x =>
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < PqK) {
+              val dd = dist2(x, cents(c))
+              if (dd < bd) { bd = dd; best = c }
+              c += 1
+            }
+            cnt(best) += 1
+            var i = 0
+            while (i < sub) { sums(best)(i) += x(i); i += 1 }
+          }
+          cents = Array.tabulate(PqK)(c =>
+            if (cnt(c) == 0) cents(c) else sums(c).map(_ / cnt(c)))
+        }
+        cents
+      }
+    }
+  }
+
+  /** Codegen'd PQ encoder: per subspace, score(c) = |c|² − 2·x_m·c (the
+    * argmin-equivalent of squared distance; |x_m|² is constant per row)
+    * over an array of (score, idx) structs — array_min's lexicographic
+    * compare IS the deterministic argmin. Every piece (slice, DotProductF,
+    * CreateArray/CreateStruct, array_min) is whole-stage-codegen — no
+    * interpreted higher-order lambda touches the corpus (the §10 shingle
+    * lesson). */
+  private def pqCodeCol(cb: Array[Array[Array[Double]]], m: Int): Column = {
+    import graft.functions.VectorExprs.dotF
+    val sub = cb(m).head.length
+    val xm = slice(col("embedding"), m * sub + 1, sub)
+    val scored = array(cb(m).zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * dotF(xm, typedLit(c.map(_.toFloat).toSeq)))
+          .as("s"),
+        lit(i).as("i"))
+    }: _*)
+    array_min(scored).getField("i")
+  }
+
+  private def pqScoreCol(cb: Array[Array[Array[Double]]], m: Int): Column = {
+    import graft.functions.VectorExprs.dotF
+    val sub = cb(m).head.length
+    val xm = slice(col("embedding"), m * sub + 1, sub)
+    val scored = array(cb(m).zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct(
+        (lit(c2) - lit(2.0) * dotF(xm, typedLit(c.map(_.toFloat).toSeq)))
+          .as("s"),
+        lit(i).as("i"))
+    }: _*)
+    array_min(scored).getField("s")
+  }
+
   /** LSH candidates verified at τ=0.4 — the sub-quadratic pair feed for
     * dedup_embedding_scaled. Exposed package-private so PlanSpec can
     * audit the pair-stage plan directly (the full query checkpoints the
@@ -306,6 +391,93 @@ object VectorOps extends QueryModule {
         .where(col("rank") <= 10)
         .select("q_id", "rank", "vec_id", "sim")
         .orderBy("q_id", "rank")
+      }
+    }),
+
+    // PQ compression of the corpus: 64 floats → one 32-bit code (8
+    // nibbles) + the per-vector reconstruction error. Encoding is one
+    // narrow codegen'd pass (argmin via |c|²−2x·c struct-min — see
+    // pqCodeCol); at 100 TB the codes table is what an ANN index stores,
+    // 64× smaller than the raw embeddings. Rows-only (k-means codebooks
+    // aren't SQL-expressible); reconstruction-error and layout-invariance
+    // bounds asserted in TextVectorSpec.
+    "vec_pq" -> ((s, d) => {
+      import s.implicits._
+      pqFit(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Double)].toDF("vec_id", "pq_code", "recon_err")
+        case Some(cb) =>
+          val codes = (0 until PqM).map(m =>
+            pqCodeCol(cb, m).cast(LongType).as(s"c$m"))
+          val recon = greatest(lit(0.0),
+            graft.functions.VectorExprs.dotF(col("embedding"), col("embedding"))
+              + (0 until PqM).map(m => pqScoreCol(cb, m)).reduce(_ + _))
+          val packed = (0 until PqM).map(m =>
+            col(s"c$m") * lit(1L << (4 * m))).reduce(_ + _)
+          Tables.embeddings(s, d)
+            .select(Seq(col("vec_id")) ++ codes :+ round(recon, 6)
+              .as("recon_err"): _*)
+            .select(col("vec_id"), packed.as("pq_code"), col("recon_err"))
+            .orderBy("vec_id")
+      }
+    }),
+
+    // ADC retrieval over the PQ codes (asymmetric distance computation):
+    // per query, an 8×16 lookup table of q_m·centroid dots replaces the
+    // 64-float dot — the scan touches only the 4-byte codes. Top-100 by
+    // ADC then exact rerank of that candidate set → top-10; recall vs
+    // the brute-force oracle asserted ≥0.9 in TextVectorSpec. This is
+    // the memory-bound ANN shape: at 100 TB the code scan is 64× less
+    // I/O than sim_bruteforce_topk's.
+    "sim_pq_topk" -> ((s, d) => {
+      import s.implicits._
+      def empty = Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rank", "vec_id", "sim")
+      pqFit(s, d) match {
+        case None => empty
+        case Some(cb) =>
+          val sub = cb(0).head.length
+          val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          val qs = e.where(col("vec_id") < 3).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+            .sortBy(_._1)
+          if (qs.isEmpty) empty
+          else {
+            val codes = (0 until PqM).map(m => pqCodeCol(cb, m).as(s"c$m"))
+            val coded = e.select(Seq(col("vec_id")) ++ codes: _*)
+            val approxCols = qs.map { case (qid, q) =>
+              (0 until PqM).map { m =>
+                val tab = cb(m).map { c =>
+                  var sm = 0.0; var i = 0
+                  while (i < sub) { sm += q(m * sub + i) * c(i); i += 1 }
+                  sm
+                }.toSeq
+                element_at(typedLit(tab), col(s"c$m") + 1)
+              }.reduce(_ + _).as(s"a$qid")
+            }
+            val stacked = coded
+              .select(Seq(col("vec_id")) ++ approxCols: _*)
+              .select(col("vec_id"), expr(
+                s"stack(${qs.length}, " + qs.map { case (qid, _) =>
+                  s"${qid}L, a$qid" }.mkString(", ") + ") AS (q_id, approx)"))
+            val w50 = Window.partitionBy("q_id")
+              .orderBy(col("approx").desc, col("vec_id"))
+            val cand = stacked.where(col("vec_id") =!= col("q_id"))
+              .withColumn("ar", row_number().over(w50))
+              .where(col("ar") <= 100)
+              .select("q_id", "vec_id")
+            val qdf = e.where(col("vec_id") < 3)
+              .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+            val w = Window.partitionBy("q_id")
+              .orderBy(col("sim").desc, col("vec_id"))
+            cand.join(e, "vec_id").join(broadcast(qdf), "q_id")
+              .select(col("q_id"), col("vec_id"),
+                round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+              .withColumn("rank", row_number().over(w).cast(LongType))
+              .where(col("rank") <= 10)
+              .select("q_id", "rank", "vec_id", "sim")
+              .orderBy("q_id", "rank")
+          }
       }
     }),
 
