@@ -137,6 +137,26 @@ object WindowOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // running DISTINCT count per user (how many distinct event types has
+    // this user touched so far): windows don't support DISTINCT
+    // aggregates in either engine, so the composition is the standard
+    // trick — flag each (user, type)'s FIRST occurrence with one
+    // row_number window, then running-sum the flags. Both windows ride
+    // the same user_id exchange.
+    "win_running_distinct" -> ((s, d) => {
+      val firstOcc = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("first_flag",
+          when(row_number().over(firstOcc) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum("first_flag").over(run).as("distinct_types_so_far"))
+        .orderBy("event_id")
+    }),
+
     // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     // classic streak computation). day − row_number() is constant within
     // a run, so one (user, day)-distinct pass + one user-partitioned
@@ -160,6 +180,17 @@ object WindowOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_running_distinct" ->
+      """SELECT event_id, user_id,
+        |  SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS distinct_types_so_far
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END
+        |          AS first_flag
+        |      FROM events) t
+        |ORDER BY event_id""".stripMargin,
     "win_gap_islands" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
