@@ -7,7 +7,7 @@ object Bench {
     * this VM's load spikes have produced 2-7x inflated artifacts
     * (round-2 BENCH file); keep in sync with BASELINE.md after perf
     * changes. */
-  private val BaselineWarmSec = 148.0
+  private val BaselineWarmSec = 120.0
   private val ContentionRatio = 1.5
 
   def main(args: Array[String]): Unit = {

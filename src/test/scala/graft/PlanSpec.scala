@@ -308,6 +308,33 @@ class PlanSpec extends AnyFunSuite {
       s"an exchange carries raw embedding arrays:\n$p")
   }
 
+  test("win_running_distinct stacks both windows on one user_id exchange") {
+    val p = plan("win_running_distinct")
+    // first-occurrence flag window partitions by (user_id, event_type),
+    // the running sum by user_id — Spark may satisfy the second from the
+    // first only via re-sort, so allow the final orderBy range exchange
+    // plus at most two hash exchanges, never one per window per pass
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"window stack shuffles $exchanges times:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"must be a single events scan:\n$p")
+  }
+
+  test("agg_copurchase joins baskets on the order key, never cross") {
+    val p = plan("agg_copurchase")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"basket self-join degraded to a product:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should plan incrementally:\n$p")
+  }
+
+  test("graph_pagerank broadcasts the scalar N, shuffles only edge joins") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"node-count aggregate not broadcast:\n$p")
+  }
+
   test("dedup_exact shuffles hashes, not document bodies") {
     val p = plan("dedup_exact")
     // partial aggregation must run before the exchange, keyed on the
