@@ -1,0 +1,99 @@
+package graft.api
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reusable operator surface: every core algorithm the declared
+  * queries exercise, exposed as DataFrame-generic functions so a user can
+  * run them on THEIR tables, not just the driver fixtures. Each function
+  * is a thin, documented composition over the same primitives the query
+  * map uses (codegen'd expressions, GraphOps, the §5.3 determinism
+  * discipline) — the query ids in `SparkEntry` are these functions bound
+  * to the test corpus.
+  *
+  * All functions are lazy plan builders: no actions, no caching, safe to
+  * compose. Column arguments let callers point the ops at any schema.
+  */
+object GraftApi {
+
+  // ---- text canonicalization & dedup -------------------------------
+
+  /** Stage-0 canonicalization: lower → accent strip (codegen'd NFD fold)
+    * → whitespace collapse → trim. Run before ANY text hashing. */
+  def normalizeText(text: Column): Column =
+    graft.functions.TextNormExprs.stripAccents(
+      regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Sorted distinct k-word shingle hashes of whitespace-tokenized text
+    * (codegen'd single-pass kernel, hash-compatible with
+    * xxhash64(concat_ws(' ', words))). */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    graft.functions.ShingleExprs.shingleHashSet(split(text, " "), k)
+
+  /** Exact dedup: one survivor (minimum `idCol`) per distinct `keyCol`
+    * value, hashed so the shuffle never carries the raw key payload. */
+  def dedupExact(df: DataFrame, keyCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(sha2(keyCol.cast(StringType), 256))
+      .orderBy(idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Resolve a pair graph into components: returns (doc_id, rep) with
+    * rep = the component's minimum id. `pairs` needs columns id1/id2;
+    * `nodes` a single id column named doc_id. Fixpoint shuffles are
+    * sized from the materialized edge count (GraphOps). */
+  def resolveClusters(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    GraphOps.connectedComponents(nodes, pairs)
+
+  // ---- sampling & splits -------------------------------------------
+
+  /** Deterministic hash sample at rate n/256 — a pure function of the
+    * key: stable under relayout, retries and engine swaps (md5 prefix,
+    * the cross-engine-provable form; never `sample()`). */
+  def hashSample(df: DataFrame, key: Column, rate256: Int): DataFrame =
+    df.where(conv(substring(md5(key.cast(StringType)), 1, 2), 16, 10)
+      .cast(IntegerType) < rate256)
+
+  /** Deterministic train/val/test assignment (~80/10/10 by md5 mod 10). */
+  def split3(key: Column): Column = {
+    val b = conv(substring(md5(key.cast(StringType)), 1, 2), 16, 10)
+      .cast(IntegerType) % 10
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
+  // ---- vectors ------------------------------------------------------
+
+  /** Codegen'd float-vector dot product (≡ cosine on unit vectors). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotF(a, b)
+
+  /** Exact top-k neighbors for a bounded query set: broadcast the
+    * queries, one corpus scan, per-query window. `queries` must be
+    * small (it is broadcast); columns q_id/q_emb. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  // ---- quality ------------------------------------------------------
+
+  /** Per-group exact decimal sum cast back to double — the
+    * aggregation-order-proof money/quantity sum (Det discipline). */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Quantize a double expression into exact integer space before
+    * summing (floor(x·scale + 0.5)): makes transcendental-bearing
+    * aggregates reproducible under any aggregation order. */
+  def quantized(c: Column, scale: Double): Column =
+    floor(c * scale + 0.5).cast(LongType)
+}

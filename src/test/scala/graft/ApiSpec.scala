@@ -1,0 +1,72 @@
+package graft
+
+import graft.api.GraftApi
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reusable surface (graft.api.GraftApi) exercised on ad-hoc frames —
+  * NOT the driver fixtures — proving the operators are corpus-agnostic. */
+class ApiSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("normalizeText canonicalizes case, accents and whitespace") {
+    val got = Seq("  Crème   BRÛLÉE  ", "creme brulee")
+      .toDF("t").select(GraftApi.normalizeText(col("t")).as("n"))
+      .collect().map(_.getString(0)).distinct
+    assert(got.length == 1 && got.head == "creme brulee")
+  }
+
+  test("dedupExact keeps exactly the min-id survivor per key") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "k")
+    val kept = GraftApi.dedupExact(df, col("k"), col("id"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("resolveClusters closes an ad-hoc pair graph") {
+    val nodes = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id1", "id2")
+    val reps = GraftApi.resolveClusters(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("hashSample rate and split3 shares are stable and disjoint") {
+    val df = (1L to 2000L).toDF("id")
+    val n = GraftApi.hashSample(df, col("id"), 64).count()
+    // 64/256 = 25% ± a few points on 2000 keys
+    assert(n > 2000 * 0.18 && n < 2000 * 0.32, s"sample rate off: $n")
+    val shares = df.select(GraftApi.split3(col("id")).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shares.values.sum == 2000)
+    assert(shares("train") > 1400 && shares("val") > 100 && shares("test") > 100)
+  }
+
+  test("topK retrieves the planted nearest neighbor on an ad-hoc corpus") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (10L, v(1, 0)), (11L, v(0.9, 0.1)), (12L, v(0, 1)), (13L, v(-1, 0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, v(1, 0))).toDF("q_id", "q_emb")
+    val top = GraftApi.topK(corpus, queries, 2).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    assert(top.toSeq.sorted == Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("shingleHashes matches the SQL-composable xxhash64 form") {
+    val df = Seq("the quick brown fox jumps").toDF("t")
+    val kernel = df.select(GraftApi.shingleHashes(col("t"), 3).as("h"))
+      .collect().head.getSeq[Long](0).toSet
+    val reference = df
+      .select(explode(expr(
+        "transform(sequence(1, size(split(t, ' ')) - 2)," +
+          " i -> xxhash64(concat_ws(' ', slice(split(t, ' '), i, 3))))"))
+        .as("h"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kernel == reference && kernel.size == 3)
+  }
+}
