@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -107,6 +108,28 @@ object CurationOps extends QueryModule {
     // sample is deterministic; the rate table is a broadcast of 5 rows.
     // sample_stratified is the fixed-rate cousin; this one computes the
     // rates FROM the data, which is what a mixture target actually needs.
+    // dataset card: the per-language (plus ALL, via rollup) summary a
+    // training pipeline publishes with every corpus snapshot — doc/char/
+    // token volumes and the exact-duplicate footprint. The dup count
+    // rides a hash-keyed window (sha2, never raw text — dedup_exact's
+    // shuffle rule); one scan, one rollup.
+    "pipeline_dataset_card" -> ((s, d) => {
+      val perText = Window.partitionBy(sha2(col("text"), 256))
+      val dd = Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"),
+          count(lit(1)).over(perText).as("occ"))
+      dd.rollup("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("toks").as("total_tokens"),
+          expr("count_if(occ > 1)").as("n_dup_docs"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"), col("total_chars"), col("total_tokens"),
+          col("n_dup_docs"))
+        .orderBy("lang")
+    }),
+
     // training-export sharding manifest: every doc deterministically
     // assigned to one of 16 shards by pure key hash (reproducible across
     // engines/retries/layouts — the property that lets a 100 TB export
@@ -180,6 +203,15 @@ object CurationOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |    len(string_split(text, ' ')) AS toks,
+        |    COUNT(*) OVER (PARTITION BY md5(text)) AS occ
+        |  FROM documents)
+        |SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars, SUM(toks) AS total_tokens,
+        |  COUNT(*) FILTER (WHERE occ > 1) AS n_dup_docs
+        |FROM d GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
     "pipeline_shards" ->
       """WITH b AS (SELECT doc_id, n_chars,
         |  ((instr('0123456789abcdef',

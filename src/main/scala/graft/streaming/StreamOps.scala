@@ -149,6 +149,24 @@ object StreamOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // per-window top-k: each hour's 3 busiest event types — the
+    // trending/leaderboard shape. Batch form = tumbling counts + one
+    // rank window; the streaming form runs the same count aggregate per
+    // window with the rank applied per emitted window in foreachBatch
+    // (rank-over-stream isn't directly supported in append mode).
+    "stream_windowed_topk" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"))
+      val w = Window.partitionBy("w_start")
+        .orderBy(col("n_events").desc, col("event_type"))
+      counts.withColumn("rk", row_number().over(w).cast(LongType))
+        .where(col("rk") <= 3)
+        .orderBy("w_start", "rk")
+    }),
+
     // foreachBatch upsert sink — the canonical production streaming
     // pattern: each microbatch MERGEs last-write-wins state into a keyed
     // table. Batch-equivalent form: replay everything, keep each user's
@@ -265,6 +283,14 @@ object StreamOps extends QueryModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "stream_windowed_topk" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |    COUNT(1) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, event_type, n_events,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY w_start
+        |    ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        |FROM c QUALIFY rk <= 3 ORDER BY w_start, rk""".stripMargin,
     "stream_upsert_sink" ->
       """SELECT user_id, event_id AS last_event_id,
         |  event_type AS last_type, value AS last_value
