@@ -596,6 +596,36 @@ object TextOps extends QueryModule {
     // both shuffles are keyed by (doc, bigram) / doc, so at 100 TB this
     // is two map-side-combining exchanges over 8-byte-ish keys — never a
     // per-doc quadratic pair space (the text_cooccurrence lesson).
+    // bigram language-model scoring (the CCNet-style LM quality filter,
+    // with the corpus as its own model): per-doc mean of
+    // ln P(w2|w1) = ln c(w1,w2) − ln c(w1·) over the doc's bigrams.
+    // Each log term is quantized to integer 1e-4 space BEFORE the
+    // per-doc sum (§2.15 determinism discipline — libm drift ~1e-15
+    // cannot cross a 1e-4 quantum), so the score hash-matches DuckDB.
+    // Plan: narrow in-array bigram build (no self-join), two count
+    // aggregates, model joined back on the bigram key — at 100 TB the
+    // model tables are the corpus's bigram vocabulary, key-shuffled.
+    "text_lm_score" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1)," +
+            " i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val t = floor((log(col("c2").cast(DoubleType)) -
+        log(col("c1").cast(DoubleType))) * 1e4 + 0.5).cast(LongType)
+      bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .select(col("doc_id"), t.as("t"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum("t").cast(DoubleType) / 1e4 /
+            count(lit(1)).cast(DoubleType)).as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     "text_rep_stats" -> ((s, d) => {
       val bg = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -996,6 +1026,23 @@ object TextOps extends QueryModule {
         |    AS is_contaminated
         |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
         |WHERE t.doc_id % 50 <> 0 ORDER BY t.doc_id""".stripMargin,
+    "text_lm_score" ->
+      """WITH bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+        |t AS (SELECT doc_id,
+        |    CAST(floor((ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1.c1 AS DOUBLE)))
+        |      * 1e4 + 0.5) AS BIGINT) AS t
+        |  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(t) AS DOUBLE) / 1e4 / CAST(COUNT(*) AS DOUBLE)
+        |    AS lm_score
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_rep_stats" ->
       """WITH bg AS (
         |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
