@@ -29,6 +29,17 @@ object FnOps extends QueryModule {
   }
 
   override def queries: Map[String, Q.Fn] = Map(
+    // csv scalar functions: serialize a struct row to a csv line and
+    // parse a csv line against an inline schema — the embedded-csv
+    // column surface (logs carrying csv payloads inside a field)
+    "fn_csv" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("to_csv(struct(event_id, user_id, event_type))").as("as_csv"),
+          expr("from_csv(concat(event_id, ',', event_type)," +
+            " 'id BIGINT, t STRING').t").as("parsed_t"))
+        .orderBy("event_id")),
+
     // error-safe arithmetic/casts (ANSI-adjacent `try_*` surface): bad
     // rows become NULL instead of failing the job — the semantics a
     // 100 TB pipeline needs, where one malformed cell must never kill a
@@ -310,6 +321,12 @@ object FnOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_csv" ->
+      """SELECT event_id,
+        |  CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
+        |    || ',' || event_type AS as_csv,
+        |  event_type AS parsed_t
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_try" ->
       """SELECT event_id,
         |  value / NULLIF(user_id % 3, 0) AS div_guarded,
