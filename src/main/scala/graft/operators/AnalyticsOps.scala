@@ -78,6 +78,71 @@ object AnalyticsOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // per-group simple linear regression (price ~ quantity) from the
+    // same five decimal-exact moments as profile_corr: slope =
+    // (nΣxy−ΣxΣy)/(nΣxx−(Σx)²), intercept = (Σy−b·Σx)/n — one scan,
+    // shared double expressions, no MLlib needed for the 1-feature case.
+    "profile_regression" -> ((s, d) => {
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val m = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x.cast(DecimalType(18, 2))).as("sx"),
+          sum(y.cast(DecimalType(18, 2))).as("sy"),
+          sum((x * x).cast(DecimalType(18, 2))).as("sxx"),
+          sum((x * y).cast(DecimalType(22, 4))).as("sxy"))
+      val nD = col("n").cast(DoubleType)
+      def dbl(c: String) = col(c).cast(DoubleType)
+      val slope = (nD * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (nD * dbl("sxx") - dbl("sx") * dbl("sx"))
+      m.select(col("l_returnflag"), col("n"), slope.as("slope"),
+          ((dbl("sy") - slope * dbl("sx")) / nD).as("intercept"))
+        .orderBy("l_returnflag")
+    }),
+
+    // k-anonymity audit (privacy governance): equivalence classes over
+    // the quasi-identifier tuple, how many rows sit in classes smaller
+    // than k=5 (re-identifiable) and the suppression rate a k-anon
+    // release would need. One grouped count + one O(classes) reduction.
+    "validate_kanon" -> ((s, d) => {
+      val classes = Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("cls"))
+      classes.agg(
+          count(lit(1)).as("n_classes"),
+          expr("count_if(cls < 5)").as("n_small_classes"),
+          sum("cls").as("n_rows"),
+          sum(when(col("cls") < 5, col("cls")).otherwise(0L))
+            .as("n_rows_at_risk"))
+        .select(col("n_classes"), col("n_small_classes"), col("n_rows"),
+          col("n_rows_at_risk"),
+          (col("n_rows_at_risk").cast(DoubleType) /
+            col("n_rows").cast(DoubleType)).as("suppression_rate"))
+    }),
+
+    // triangle counting over the thresholded co-purchase graph (parts
+    // co-ordered ≥2 times): the clustering-coefficient numerator. Edges
+    // are oriented a<b, so each triangle is counted exactly once by the
+    // two-hop join — O(edges^1.5)-ish work on a support-thresholded
+    // (hence bounded) edge set, never the raw pair explosion.
+    "graph_triangles" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li
+        .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select("a", "b")
+      val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+        .select("a", "b", "c")
+      wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // Shannon entropy of the event-type mix per user bucket — the
     // mixture-diversity signal a curation pipeline tracks per shard.
     // entropy = log2(total) - Σ c·log2(c) / total, with each c·log2(c)
@@ -289,6 +354,46 @@ object AnalyticsOps extends QueryModule {
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "profile_regression" ->
+      """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS sxx,
+        |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |     * CAST(sx AS DOUBLE))
+        |  / CAST(n AS DOUBLE) AS intercept
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "validate_kanon" ->
+      """WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cls
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_classes,
+        |  COUNT(*) FILTER (WHERE cls < 5) AS n_small_classes,
+        |  SUM(cls) AS n_rows,
+        |  SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS n_rows_at_risk,
+        |  CAST(SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cls) AS DOUBLE) AS suppression_rate
+        |FROM c""".stripMargin,
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |w AS (SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin,
     "agg_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
