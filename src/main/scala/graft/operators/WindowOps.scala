@@ -137,6 +137,34 @@ object WindowOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // ABC / Pareto classification: per return flag, suppliers ranked by
+    // exact-decimal revenue; running revenue share classifies A (≤80%),
+    // B (≤95%), C (rest). Cumulative sums stay DECIMAL (order-exact)
+    // until the one share division; windows partition by the group so
+    // nothing single-tasks at scale (global Pareto = per-group Pareto
+    // over a coarse stratum + a final merge in practice).
+    "win_abc_pareto" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_suppkey")
+        .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+      val rank = Window.partitionBy("l_returnflag")
+        .orderBy(col("rev").desc, col("l_suppkey"))
+      val cum = rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("l_returnflag")
+      // divide in DOUBLE space: decimal-division scale rules differ
+      // between engines, but both cumulative and total sums are exact
+      // decimals, so casting each to double first gives bit-equal shares
+      val share = sum("rev").over(cum).cast("double") /
+        sum("rev").over(all).cast("double")
+      rev.select(col("l_returnflag"), col("l_suppkey"),
+          col("rev").cast("double").as("revenue"),
+          row_number().over(rank).cast("long").as("rk"),
+          share.as("cum_share"),
+          when(share <= 0.80, "A").when(share <= 0.95, "B")
+            .otherwise("C").as("abc_class"))
+        .orderBy("l_returnflag", "rk")
+    }),
+
     // running DISTINCT count per user (how many distinct event types has
     // this user touched so far): windows don't support DISTINCT
     // aggregates in either engine, so the composition is the standard
@@ -180,6 +208,24 @@ object WindowOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_abc_pareto" ->
+      """WITH rev AS (SELECT l_returnflag, l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_suppkey,
+        |    CAST(rev AS DOUBLE) AS revenue,
+        |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rk,
+        |    CAST(SUM(rev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(SUM(rev) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |      AS cum_share
+        |  FROM rev
+        |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY rev DESC, l_suppkey))
+        |SELECT l_returnflag, l_suppkey, revenue, rk, cum_share,
+        |  CASE WHEN cum_share <= 0.80 THEN 'A'
+        |       WHEN cum_share <= 0.95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r ORDER BY l_returnflag, rk""".stripMargin,
     "win_running_distinct" ->
       """SELECT event_id, user_id,
         |  SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
