@@ -120,6 +120,43 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("agg_retention: offset-0 row equals the cohort size") {
+    // every user is active in their own first week by construction, so
+    // the week_offset=0 count IS the cohort size, and no offset row can
+    // exceed it
+    val rows = SparkEntry.queries("agg_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohortSize = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(cohortSize.nonEmpty)
+    rows.foreach { case (c, _, n) =>
+      assert(n <= cohortSize(c), s"cohort $c retention exceeds its size")
+    }
+  }
+
+  test("validate_kanon accounts for every row with a sane rate") {
+    val r = SparkEntry.queries("validate_kanon")(spark, sf).collect().head
+    assert(r.getAs[Long]("n_rows") == Tables.customer(spark, sf).count())
+    val rate = r.getAs[Double]("suppression_rate")
+    assert(rate >= 0.0 && rate <= 1.0)
+    assert(r.getAs[Long]("n_rows_at_risk") <= r.getAs[Long]("n_rows"))
+  }
+
+  test("win_abc_pareto shares are monotone and end at 1.0 per group") {
+    val byGroup = SparkEntry.queries("win_abc_pareto")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rk"),
+        r.getAs[Double]("cum_share"), r.getAs[String]("abc_class")))
+      .groupBy(_._1)
+    byGroup.foreach { case (g, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val shares = ordered.map(_._3)
+      assert(shares.zip(shares.tail).forall { case (a, b) => b >= a },
+        s"group $g: cum_share not monotone")
+      assert(math.abs(shares.last - 1.0) < 1e-9, s"group $g ends at ${shares.last}")
+      val classes = ordered.map(_._4)
+      assert(classes.mkString.matches("A+B*C*"), s"group $g classes: ${classes.mkString}")
+    }
+  }
+
   test("graph_pagerank is stable under input repartitioning") {
     // integer-quantized contributions make the iteration aggregation-
     // order-free: a 7-partition layout must give bit-equal ranks
