@@ -381,6 +381,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k: append-mode counts + per-batch rank") {
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming form of stream_windowed_topk: watermarked tumbling
+    // counts emit closed windows in append mode; the rank is applied to
+    // each emitted (closed, hence final) window inside foreachBatch —
+    // rank-over-stream isn't expressible directly in append mode
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Timestamp, String, Long, Int)]
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = in.toDF().toDF("ts", "etype")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("etype"), col("n"))
+    val q = counts.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("w_start").orderBy(col("n").desc, col("etype"))
+        batch.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 2).collect().foreach { r =>
+          got += ((r.getTimestamp(0), r.getString(1), r.getLong(2),
+            r.getInt(3)))
+        }
+      }
+      .start()
+    try {
+      in.addData((ts(10), "click"), (ts(20), "click"), (ts(30), "view"),
+        (ts(40), "view"), (ts(45), "view"), (ts(50), "scroll"))
+      q.processAllAvailable()
+      in.addData((ts(130), "view")) // advances watermark, closes hour 0
+      q.processAllAvailable()
+      in.addData((ts(400), "view")) // closes hour 2 as well
+      q.processAllAvailable()
+      // hour 0: view=3, click=2, scroll=1 → top-2 = view, click
+      val hour0 = got.filter(_._1 == ts(0)).map(r => (r._4, r._2, r._3))
+      assert(hour0.sorted.toSeq == Seq((1, "view", 3L), (2, "click", 2L)),
+        s"hour-0 leaderboard wrong: $hour0")
+    } finally q.stop()
+  }
+
   test("foreachBatch last-write-wins sink converges to stream_upsert_sink form") {
     implicit val sqlCtx = spark.sqlContext
     // the streaming form of stream_upsert_sink: per micro-batch, reduce
