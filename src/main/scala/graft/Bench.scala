@@ -10,6 +10,50 @@ object Bench {
   private val BaselineWarmSec = 120.0
   private val ContentionRatio = 1.5
 
+  /** BASELINE.md's per-query warm prices for the known cost centers
+    * (round-4 final + round-4c rows). Queries not listed here are
+    * sub-second in every recorded run and get [[DefaultExpectedSec]].
+    * Keep in sync with BASELINE.md after perf changes. */
+  private[graft] val ExpectedSec: Map[String, Double] = Map(
+    "dedup_embedding_scaled" -> 13.0,
+    "dedup_embedding" -> 9.0,
+    "dedup_clusters" -> 6.0,
+    "dedup_near" -> 4.0,
+    "join_bucketed" -> 5.0,
+    "dedup_ngram" -> 4.0,
+    "sim_cosine_pairs" -> 3.0,
+    "sim_lsh" -> 3.5,
+    "sim_ivf_topk" -> 3.0,
+    "graph_pagerank" -> 4.5,
+    "graph_triangles" -> 3.0,
+    "text_lm_score" -> 4.1,
+    "agg_copurchase" -> 3.0,
+    "text_approx_topk" -> 2.5,
+    "sink_compacted" -> 2.5,
+    "pipeline_multimodal_set" -> 4.0,
+    "pipeline_curation" -> 2.5)
+  private[graft] val DefaultExpectedSec = 1.0
+
+  /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin
+    * silently threw for at least one round — rows=-1 rode a green-looking
+    * total). A query that throws or runs >3× its BASELINE.md price gets a
+    * WARNING the artifact itself carries. Pure function — unit-tested
+    * with an injected throwing query. */
+  private[graft] def tripwires(
+      results: Seq[(String, Double, Long)]): Seq[String] =
+    results.flatMap { case (name, secs, rows) =>
+      val threw =
+        if (rows < 0) Seq(s"TRIPWIRE $name: rows=-1 (query threw)")
+        else Seq.empty
+      val expected = ExpectedSec.getOrElse(name, DefaultExpectedSec)
+      val slow =
+        if (secs > 3.0 * expected)
+          Seq(f"TRIPWIRE $name: $secs%.1fs > 3x BASELINE.md price " +
+            f"$expected%.1fs")
+        else Seq.empty
+      threw ++ slow
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,19 +81,22 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // progress on stderr only — the driver parses the stdout JSON lines
       System.err.println(f"[bench] $name%-24s $secs%8.2fs rows=$n")
-      name -> secs
+      (name, secs, n)
     }
+    val warnings = tripwires(results)
+    warnings.foreach(w => System.err.println(s"[bench] $w"))
+    val timings = results.map { case (name, secs, _) => name -> secs }
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // per-query timings in bounded chunks FIRST: even if only a tail of
     // stdout survives into the bench artifact (round-2: a 2000-char tail
     // truncated the single JSON line), each chunk line is independently
     // machine-readable
-    results.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
+    timings.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
       println(s"""{"bench_chunk":$i,"queries":${qjson(chunk)}}""")
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val sorted = results.map(_._2).sorted
+    val total = if (timings.nonEmpty) timings.map(_._2).sum else 0.0
+    val sorted = timings.map(_._2).sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val vsBaseline = total / BaselineWarmSec
     // contention self-diagnosis: totals far above the recorded warm
@@ -58,14 +105,12 @@ object Bench {
     val contended = vsBaseline > ContentionRatio
     // full line (with the per-query map) for humans and full-capture
     // parsers ...
-    println(s"""{"queries":${qjson(results)},"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"value":$total}""")
-    // ... then a COMPACT summary line as the very last stdout line:
-    // round-3's artifact kept only a 2000-char stdout tail, which beheaded
-    // the full line above (parsed:null). This one carries only the 5
-    // slowest queries (schema-compatible with the contract's "queries"
-    // key) and fits entirely inside any tail window (round-3 advisory).
-    val slowest5 = results.sortBy(-_._2).take(5)
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${qjson(slowest5)},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"value":$total}""")
+    println(s"""{"queries":${qjson(timings)},"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${timings.size},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"n_tripwires":${warnings.size},"value":$total}""")
+    // ... then a SUMMARY-ONLY line as the very last stdout line, with NO
+    // per-query map at all: rounds 3 AND 4 both produced parsed:null
+    // artifacts because the driver's 2000-char stdout tail beheaded a
+    // line carrying query maps. ~220 chars always survives any tail.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${timings.size},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"n_tripwires":${warnings.size},"value":$total}""")
     spark.stop()
   }
 }

@@ -98,10 +98,70 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Imperative kernel for the MinHash signature over a shingle-hash set.
+  *
+  * The declarative form — `array_min(transform(sh, x -> xxhash64(x, j)))`
+  * × numHash columns — runs numHash interpreted lambda passes per row
+  * (higher-order functions have no codegen), re-walking the shingle
+  * array 12× through boxed Longs. This kernel makes ONE pass, updating
+  * all numHash running minima per element with the same XXH64 primitive
+  * Spark's xxhash64 uses. The signature is an internal LSH artifact
+  * (banding keys only, no declared oracle), so hash-compatibility with
+  * the old column formulation is not required; the planted-dup recall
+  * test pins behavior.
+  */
+object MinHashUtil {
+  def sig(arr: ArrayData, numHash: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = Array.fill(numHash)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      var j = 0
+      while (j < numHash) {
+        val h = XXH64.hashLong(v, j.toLong)
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Codegen'd wrapper: min_hash_sig(shingleHashes, numHash) →
+  * array<long> of length numHash. Single static call — stays inside
+  * whole-stage codegen. */
+case class MinHashSig(child: Expression, numHash: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"min_hash_sig requires array<long>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "min_hash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.sig(input.asInstanceOf[ArrayData], numHash)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashUtil.sig($c, $numHash)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object ShingleExprs {
   /** shingle_hash_set(tokens, k): sorted distinct XXH64 hashes of the
     * k-word shingles of `tokens` — hash-compatible with
     * `xxhash64(concat_ws(' ', ...))`. */
   def shingleHashSet(c: Column, k: Int = 3): Column =
     GraftBridge.column(ShingleHashSet(GraftBridge.expression(c), k))
+
+  /** min_hash_sig(shingleHashes, numHash): one-pass MinHash signature. */
+  def minHashSig(c: Column, numHash: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHash))
 }

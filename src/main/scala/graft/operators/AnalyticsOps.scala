@@ -379,8 +379,9 @@ object AnalyticsOps extends QueryModule {
         |  FROM customer GROUP BY 1, 2)
         |SELECT COUNT(*) AS n_classes,
         |  COUNT(*) FILTER (WHERE cls < 5) AS n_small_classes,
-        |  SUM(cls) AS n_rows,
-        |  SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS n_rows_at_risk,
+        |  CAST(SUM(cls) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
         |  CAST(SUM(CASE WHEN cls < 5 THEN cls ELSE 0 END) AS DOUBLE)
         |    / CAST(SUM(cls) AS DOUBLE) AS suppression_rate
         |FROM c""".stripMargin,
@@ -447,7 +448,8 @@ object AnalyticsOps extends QueryModule {
     "agg_entropy" ->
       s"""WITH c AS (SELECT user_id % 10 AS bucket, event_type, COUNT(*) AS c
         |  FROM events GROUP BY 1, 2),
-        |g AS (SELECT bucket, SUM(c) AS n_events, COUNT(*) AS n_types,
+        |g AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    COUNT(*) AS n_types,
         |    SUM(CAST(floor(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
         |      * $EntScale + 0.5) AS BIGINT)) AS tsum
         |  FROM c GROUP BY bucket)
@@ -502,7 +504,7 @@ object AnalyticsOps extends QueryModule {
         |r3 AS (SELECT deg.node, deg.outdeg,
         |    CAST(0.15 AS DOUBLE) / CAST(nn.nn AS DOUBLE)
         |      + CAST(isum AS DOUBLE) / 1e9 AS p, nn.nn
-        |  FROM deg, nn JOIN c3 ON deg.node = c3.dst)
+        |  FROM deg CROSS JOIN nn JOIN c3 ON deg.node = c3.dst)
         |SELECT node, p AS pagerank FROM r3
         |ORDER BY pagerank DESC, node LIMIT 20""".stripMargin
   )

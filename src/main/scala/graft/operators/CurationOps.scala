@@ -62,6 +62,21 @@ object CurationOps extends QueryModule {
        |     + (instr('0123456789abcdef',
        |          substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1)) / 256.0""".stripMargin
 
+  /** Array-shaped int8 quantization (vec_id, q_scale, q array<int>) —
+    * the form a storage pipeline writes. The `vec_quantize` query entry
+    * posexplodes this for the scalar-row oracle compare; TextVectorSpec
+    * asserts the reconstruction-error bound on this array form. */
+  private[graft] def quantized(s: SparkSession, d: String) = {
+    val mxRaw = array_max(transform(col("embedding"),
+      x => abs(x.cast(DoubleType))))
+    Tables.embeddings(s, d)
+      .withColumn("mx", when(mxRaw === 0.0, 1.0).otherwise(mxRaw))
+      .select(col("vec_id"), (lit(127.0) / col("mx")).as("q_scale"),
+        transform(col("embedding"), x =>
+          floor(x.cast(DoubleType) * (lit(127.0) / col("mx")) + 0.5)
+            .cast(IntegerType)).as("q"))
+  }
+
   private def hourBucket: Column = expr("unix_timestamp(ts) div 3600")
   private val duckHour = "((epoch_ms(ts) // 1000) // 3600)"
 
@@ -162,17 +177,17 @@ object CurationOps extends QueryModule {
     // int8 symmetric quantization per vector: scale = 127 / max|x|,
     // q_i = floor(x_i * scale + 0.5) ∈ [-127, 127]. One narrow pass —
     // reconstruction error ≤ 0.5/scale is asserted in TextVectorSpec.
-    "vec_quantize" -> ((s, d) => {
-      val mxRaw = array_max(transform(col("embedding"),
-        x => abs(x.cast(DoubleType))))
-      Tables.embeddings(s, d)
-        .withColumn("mx", when(mxRaw === 0.0, 1.0).otherwise(mxRaw))
-        .select(col("vec_id"), (lit(127.0) / col("mx")).as("q_scale"),
-          transform(col("embedding"), x =>
-            floor(x.cast(DoubleType) * (lit(127.0) / col("mx")) + 0.5)
-              .cast(IntegerType)).as("q"))
-        .orderBy("vec_id")
-    }),
+    // Output is posexploded to scalar rows (vec_id, dim, q_val, q_scale):
+    // the driver's pandas compare cannot sort/hash an array column, and
+    // the long shape hashes every component exactly (vec_centroid's
+    // proven pattern). The array form stays available via quantized().
+    "vec_quantize" -> ((s, d) =>
+      quantized(s, d)
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("dim", "q_val")),
+          col("q_scale"))
+        .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+          col("q_val"), col("q_scale"))
+        .orderBy("vec_id", "dim")),
 
     // the Morton code itself as a queryable id — oracle-checked against
     // the identical generated arithmetic in DuckDB
@@ -209,7 +224,8 @@ object CurationOps extends QueryModule {
         |    COUNT(*) OVER (PARTITION BY md5(text)) AS occ
         |  FROM documents)
         |SELECT COALESCE(lang, 'ALL') AS lang, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars, SUM(toks) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
         |  COUNT(*) FILTER (WHERE occ > 1) AS n_dup_docs
         |FROM d GROUP BY ROLLUP(lang) ORDER BY lang""".stripMargin,
     "pipeline_shards" ->
@@ -221,7 +237,7 @@ object CurationOps extends QueryModule {
         |    AS shard
         |FROM documents)
         |SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS total_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
     "pipeline_mixture" ->
@@ -240,11 +256,12 @@ object CurationOps extends QueryModule {
         |  FROM embeddings),
         |m AS (SELECT vec_id, embedding,
         |  CASE WHEN mxr = 0 THEN 1.0 ELSE mxr END AS mx FROM e)
-        |SELECT vec_id, 127.0 / mx AS q_scale,
-        |  list_transform(embedding, x ->
-        |    CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER))
-        |    AS q
-        |FROM m ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, i AS dim,
+        |  CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * (127.0 / mx) + 0.5)
+        |    AS INTEGER) AS q_val,
+        |  127.0 / mx AS q_scale
+        |FROM m, unnest(range(0, len(embedding))) AS u(i)
+        |ORDER BY vec_id, dim""".stripMargin,
     "fn_zorder" -> (duckZ + "\nORDER BY event_id"),
     "sink_zorder" ->
       s"""SELECT count(*) AS n_rows,

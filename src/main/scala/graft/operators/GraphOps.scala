@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components for dup-cluster resolution.
@@ -10,19 +10,55 @@ import org.apache.spark.sql.functions._
   * keyed by node id) then COMPRESSES (pointer jumping, rep := rep(rep) —
   * one shuffle keyed by rep). Relax moves the minimum one hop; compress
   * halves remaining path lengths, so convergence takes O(log diameter)
-  * rounds; the loop detects the fixpoint (a round that changes nothing)
+  * rounds; the loop detects the fixpoint (a batch that changes nothing)
   * and exits — near-dup clusters are shallow in practice (dup groups, not
   * long chains), so 2 rounds typically suffice, with `rounds` as the
   * large-star/small-star-style upper bound for pathological diameters.
   *
-  * Each round's labels are eagerly localCheckpoint'ed: the lineage would
-  * otherwise branch ~3× per round (exponential recompute). This is the
+  * [[BatchRounds]] relax+compress rounds run between checkpoints —
+  * measured at 1 for this VM (see the constant's scaladoc: batching
+  * trades a halved job count for ~8× recompute of the un-checkpointed
+  * intermediate, and recompute wins here). Convergence is detected at
+  * batch granularity.
+  *
+  * Each batch's labels are eagerly localCheckpoint'ed: the lineage would
+  * otherwise branch exponentially (recompute per reference). This is the
   * same sanctioned driver-side step as a model fit (Core.scala contract);
   * superseded checkpoints are unpersisted immediately, and the final one
   * backing the returned frame is O(pair-participating nodes × 16 bytes) —
   * a keep-list for the duplicated subset, not a corpus.
+  *
+  * The fixpoint runs in a CLONED SparkSession (`spark.newSession()` —
+  * same SparkContext, private SQL conf) with `shuffle.partitions` sized
+  * from the MATERIALIZED edge count: a similarity graph is usually a tiny
+  * fraction of the corpus, and 10+ rounds of joins over a thousand-row
+  * frame at the corpus-sized partition count pay ~10× the round latency
+  * in empty-task scheduling (~50k edges/partition, capped at the session
+  * setting — at 100 TB, billions of edges, the cap binds and the loop
+  * runs at the session setting). The clone keeps the tuning invisible to
+  * the caller's session: no global conf is touched, so a concurrently
+  * planned query can never pick up the loop's reduced partition count
+  * (round-4 advisory — the previous set/restore pattern was safe only by
+  * the sequential-execution contract).
   */
 object GraphOps {
+
+  /** Relax+compress rounds per localCheckpoint. Measured on the sf0.1
+    * 11-round cosine fixpoint (RunOne dedup_embedding ×3, local[32]):
+    * batch=2 halves scheduled jobs but re-evaluates the un-checkpointed
+    * intermediate ~8× through the batch's branching lineage — 16.3 s vs
+    * 12.6 s at batch=1. Job-scheduling latency is NOT the dominant term
+    * on this VM; leave at 1 (the knob stays for cluster profiles where
+    * per-job overhead dominates recompute). */
+  private val BatchRounds = 1
+
+  /** Rebind a materialized (localCheckpoint'ed) frame into another session
+    * of the same SparkContext. Row decode/encode is a narrow map over the
+    * already-materialized RDD — for the (long, long) loop frames this is
+    * noise next to one shuffle. */
+  private def rebind(df: DataFrame,
+      to: org.apache.spark.sql.SparkSession): DataFrame =
+    to.createDataFrame(df.rdd, df.schema)
 
   /** @param nodes single column `doc_id` — every node, including isolated
     * @param pairs  undirected edges as columns `id1`, `id2`
@@ -31,71 +67,64 @@ object GraphOps {
     *               similarity graphs degenerate into long chains: the
     *               sf0.1 cosine graph has a >256-hop component that 8
     *               rounds provably cannot close). The loop still exits at
-    *               the first no-change round, so shallow dup-cluster
-    *               graphs pay 2-3 rounds regardless of the bound.
+    *               the first no-change batch, so shallow dup-cluster
+    *               graphs pay 4-6 rounds regardless of the bound.
     * @return (doc_id, rep) with rep = min doc_id of the component
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       rounds: Int = 16): DataFrame = {
-    val edges = pairs
+    val outerEdges = pairs
       .select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
-    // size the fixpoint's shuffles from the MATERIALIZED edge count (free
-    // — the checkpoint already ran): a similarity graph is usually a tiny
-    // fraction of the corpus, and running 10+ rounds of joins over a
-    // thousand-row frame at the corpus-sized partition count pays ~10×
-    // the round latency in empty-task scheduling. ~50k edges/partition,
-    // capped at the session setting — at 100 TB (billions of edges) this
-    // IS the session setting; the spark.sql.shuffle.partitions conf is
-    // restored before returning (queries execute sequentially per
-    // session: Verify/Bench contract).
-    val spark = edges.sparkSession
-    val confKey = "spark.sql.shuffle.partitions"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val outerParts = spark.conf.get(confKey)
-    val outerAqe = spark.conf.get(aqeKey, "true")
+    val spark = outerEdges.sparkSession
+    val outerParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(outerParts.toLong,
-      edges.count() / 50000L + 1L))
+      outerEdges.count() / 50000L + 1L))
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // AQE's per-stage re-planning buys nothing on the loop's right-sized
     // tiny shuffles and costs ~100 ms per stage × 4 stages × rounds; at
     // real scale loopParts == the session setting and AQE stays worth it,
     // so only bypass it when the graph is small enough to single-partition
-    val bypassAqe = loopParts <= 4
+    if (loopParts <= 4) loop.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges = rebind(outerEdges, loop).localCheckpoint(true)
+    outerEdges.unpersist()
     var labels = edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint(true)
-    var previous = Seq(edges, labels)
+    var checkpoints = Seq(labels)
     var converged = false
     var round = 0
-    spark.conf.set(confKey, loopParts.toString)
-    if (bypassAqe) spark.conf.set(aqeKey, "false")
-    try while (!converged && round < rounds) {
-      round += 1
-      // relax: rep(x) = min(rep(x), min over neighbors' rep)
-      val nbr = edges
-        .join(labels.select(col("doc_id").as("b"), col("rep").as("brep")), "b")
-        .groupBy(col("a").as("doc_id")).agg(min("brep").as("nrep"))
-      val relaxed = labels.join(nbr, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // compress: rep(x) = rep(rep(x)) — rep is always a live node id.
-      // The round's PREVIOUS label rides along into the checkpoint so the
+    while (!converged && round < rounds) {
+      var cur = labels
+      var inBatch = 0
+      while (inBatch < BatchRounds && round < rounds) {
+        round += 1; inBatch += 1
+        // relax: rep(x) = min(rep(x), min over neighbors' rep)
+        val nbr = edges
+          .join(cur.select(col("doc_id").as("b"), col("rep").as("brep")), "b")
+          .groupBy(col("a").as("doc_id")).agg(min("brep").as("nrep"))
+        val relaxed = cur.join(nbr, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        // compress: rep(x) = rep(rep(x)) — rep is always a live node id
+        cur = relaxed.join(
+            relaxed.select(col("doc_id").as("rid"), col("rep").as("rrep")),
+            col("rep") === col("rid"))
+          .select(col("doc_id"), col("rrep").as("rep"))
+      }
+      // the batch's ENTRY label rides along into the checkpoint so the
       // fixpoint test below is a filter on already-materialized rows —
-      // not an extra shuffle-join of two checkpointed frames per round.
-      val compressed = relaxed.join(
-          relaxed.select(col("doc_id").as("rid"), col("rep").as("rrep")),
-          col("rep") === col("rid"))
+      // not an extra shuffle-join of two checkpointed frames per batch
+      val stamped = cur
         .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .select(col("doc_id"), col("rrep").as("rep"), col("prev"))
+        .select(col("doc_id"), col("rep"), col("prev"))
         .localCheckpoint(true)
-      converged = compressed.where(col("rep") =!= col("prev")).isEmpty
-      previous.drop(1).foreach(_.unpersist())
-      previous = Seq(edges, compressed)
-      labels = compressed.select("doc_id", "rep")
-    } finally {
-      spark.conf.set(confKey, outerParts)
-      spark.conf.set(aqeKey, outerAqe)
+      converged = stamped.where(col("rep") =!= col("prev")).isEmpty
+      checkpoints.foreach(_.unpersist())
+      checkpoints = Seq(stamped)
+      labels = stamped.select("doc_id", "rep")
     }
     edges.unpersist()
     System.err.println(s"[graft] connectedComponents: " +
@@ -107,8 +136,11 @@ object GraphOps {
     require(converged,
       s"connected components did not converge within $rounds rounds " +
         "(graph diameter too large — raise `rounds`)")
+    // rebind the final labels back to the caller's session: a narrow
+    // Row decode over the last checkpoint's materialized RDD (the
+    // O(pair-participating nodes) keep-list), recomputed per consumer job
     nodes.select(col("doc_id"))
-      .join(labels.withColumnRenamed("doc_id", "pid"),
+      .join(rebind(labels, spark).withColumnRenamed("doc_id", "pid"),
         col("doc_id") === col("pid"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }

@@ -521,22 +521,25 @@ object VectorOps extends QueryModule {
     // near-dup set — the property that makes this sub-quadratic at 100 TB.
     // Shingle sets are re-joined by id for the verify step, so the band
     // shuffle carries only (band, doc_id), not the shingle payload.
+    // Shingle + signature builds run on the codegen ShingleHashSet /
+    // MinHashSig kernels: the original declarative form left 13
+    // interpreted higher-order lambdas per doc (1 shingle transform
+    // evaluated on 3 plan branches + 12 minhash passes) — the hot spot
+    // behind the 2.5→8.7 s bench growth BASELINE.md round-5 records.
     "dedup_near" -> ((s, d) => {
       val NumHash = 12
       val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= 3)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(1, size(t) - 2), i -> xxhash64(concat_ws(' ', " +
-            "element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))"))
-          .as("sh"))
-      val mh = (0 until NumHash).map(j =>
-        array_min(expr(s"transform(sh, x -> xxhash64(x, ${j}L))")).as(s"mh$j"))
-      val sig = docs.select(col("doc_id") +: mh: _*)
+        .select(col("doc_id"),
+          graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"))
+      val sig = docs.select(col("doc_id"),
+        graft.functions.ShingleExprs.minHashSig(col("sh"), NumHash).as("mh"))
       val bandCols = (0 until Bands).map(b =>
-        xxhash64(col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"),
-          col(s"mh${3 * b + 2}"), lit(b)).as(s"band$b"))
+        xxhash64(element_at(col("mh"), 3 * b + 1),
+          element_at(col("mh"), 3 * b + 2),
+          element_at(col("mh"), 3 * b + 3), lit(b)).as(s"band$b"))
       val banded = sig
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       val cands = banded.select(col("band"), col("doc_id").as("id1"))

@@ -228,8 +228,9 @@ object WindowOps extends QueryModule {
         |FROM r ORDER BY l_returnflag, rk""".stripMargin,
     "win_running_distinct" ->
       """SELECT event_id, user_id,
-        |  SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  CAST(SUM(first_flag) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS distinct_types_so_far
         |FROM (SELECT event_id, user_id, ts,
         |        CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type

@@ -210,4 +210,24 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect, s"tokens=$ws k=$k")
     }
   }
+
+  test("MinHashUtil.sig matches per-element reference; union is elementwise min") {
+    // the banding property MinHash LSH rests on: sig(A ∪ B) = min(sig(A),
+    // sig(B)) elementwise, so equal bands ⇒ shared minima ⇒ candidates
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val sets = Gen.listOfN(20, Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    forAll(sets, sets, n = 20) { (xs, ys) =>
+      def sig(vs: Seq[Long]): Seq[Long] = graft.functions.MinHashUtil
+        .sig(new GenericArrayData(vs.toArray), 12).toLongArray.toSeq
+      val ref = (0 until 12).map { j =>
+        if (xs.isEmpty) Long.MaxValue
+        else xs.map(v => org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(v, j.toLong)).min
+      }
+      assert(sig(xs) == ref, s"sig mismatch on $xs")
+      val merged = sig(xs ++ ys)
+      val mins = sig(xs).zip(sig(ys)).map { case (a, b) => math.min(a, b) }
+      assert(merged == mins, "sig(A ∪ B) != elementwise min")
+    }
+  }
 }

@@ -328,7 +328,7 @@ class TextVectorSpec extends AnyFunSuite {
     // int8 symmetric quantization: |x - q/scale| <= 0.5/scale per
     // element, i.e. max error scaled by q_scale <= 0.5 — and the code
     // range must stay inside [-127, 127]
-    val q = SparkEntry.queries("vec_quantize")(spark, sf)
+    val q = graft.operators.CurationOps.quantized(spark, sf)
       .join(Tables.embeddings(spark, sf), "vec_id")
       .select(
         array_max(zip_with(col("embedding"), col("q"), (x, qi) =>

@@ -8,6 +8,18 @@ For each query: load our parquet (outDir/<name>/*.parquet), run the
 declared oracle SQL in DuckDB against bare-named views over the same
 testdata, canonicalize (columns sorted by name, rows sorted by all
 columns), and diff values exactly.
+
+Driver parity (hardened after round 4, where 6 entries passed here but
+failed the driver): the driver's hash is DTYPE-SENSITIVE, so this gate
+must be too.
+  - int vs float dtype mismatch between our output and the oracle is a
+    FAIL (round 4: DuckDB SUM(BIGINT) -> HUGEINT -> float64 vs Spark
+    int64 — values equal, driver hash red).
+  - a DESCRIBE probe on every declared oracle rejects HUGEINT and
+    LIST/STRUCT/MAP/ARRAY columns at declare time, before any compare.
+  - our own output is probed the same way: an array/struct column in an
+    oracle-declared query crashes the driver's pandas sort (round 4:
+    vec_quantize ERR "unhashable type: numpy.ndarray").
 """
 import glob
 import json
@@ -20,10 +32,50 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB types the driver's pandas bridge mangles or crashes on.
+BAD_ORACLE_TYPES = ("HUGEINT",)
+NESTED_MARKERS = ("[]", "STRUCT", "MAP(", "LIST", "ARRAY")
+
+
+def dtype_kind(dtype) -> str:
+    """Coarse dtype class for driver-parity comparison. int vs float is
+    exactly the distinction the driver's hash is sensitive to; widths
+    within a class (int32 vs int64) survive its pandas round-trip."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
+def probe_types(con, sql: str) -> dict:
+    """name -> DuckDB type string for a query, without running it."""
+    return {r[0]: str(r[1]).upper()
+            for r in con.sql(f"DESCRIBE {sql}").fetchall()}
+
+
+def type_hazards(types: dict, side: str) -> list:
+    out = []
+    for col, t in types.items():
+        if any(m in t for m in NESTED_MARKERS):
+            out.append(f"{side} column {col} has nested type {t} "
+                       "(driver pandas sort crashes: unhashable ndarray)")
+        if side == "oracle" and any(b in t for b in BAD_ORACLE_TYPES):
+            out.append(f"oracle column {col} is {t} "
+                       "(pandas converts to float64; Spark int64 -> "
+                       "driver hash mismatch). CAST(... AS BIGINT).")
+    return out
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all columns. NO dtype
+    normalization — kind mismatches are caught before this runs, and
+    within-kind widths are widened only for the value diff."""
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes so int32 vs int64 etc. don't create false diffs
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
@@ -65,17 +117,40 @@ def main() -> int:
             print(f"FAIL {name}: no spark output (query threw?)")
             fails.append(name)
             continue
+        # static type probes BEFORE any value compare: reject the
+        # round-4 failure class at declare time
         try:
-            ref = canon(con.sql(sql).df())
+            ref_types = probe_types(con, sql)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle SQL error: {e}")
             fails.append(name)
             continue
-        ours = canon(con.sql(
-            f"SELECT * FROM read_parquet({files!r})").df())
+        ours_sql = f"SELECT * FROM read_parquet({files!r})"
+        ours_types = probe_types(con, ours_sql)
+        hazards = (type_hazards(ref_types, "oracle")
+                   + type_hazards(ours_types, "spark"))
+        if hazards:
+            for h in hazards:
+                print(f"FAIL {name}: {h}")
+            fails.append(name)
+            continue
+        ref = canon(con.sql(sql).df())
+        ours = canon(con.sql(ours_sql).df())
         if list(ours.columns) != list(ref.columns):
             print(f"FAIL {name}: schema ours={list(ours.columns)} "
                   f"ref={list(ref.columns)}")
+            fails.append(name)
+            continue
+        # dtype-exact gate (driver parity): int vs float is a hash
+        # mismatch on the driver even when every value is equal
+        kind_diff = [
+            (c, dtype_kind(ours[c].dtype), dtype_kind(ref[c].dtype))
+            for c in ours.columns
+            if dtype_kind(ours[c].dtype) != dtype_kind(ref[c].dtype)]
+        if kind_diff:
+            for c, ok, rk in kind_diff:
+                print(f"FAIL {name}: dtype col={c} ours={ok} ref={rk} "
+                      "(driver hash is dtype-sensitive)")
             fails.append(name)
             continue
         if len(ours) != len(ref):
