@@ -52,6 +52,14 @@ object GraphOps {
     * per-job overhead dominates recompute). */
   private val BatchRounds = 1
 
+  /** Pointer jumps per compress step. A/B'd at 2 (×4 path compression
+    * per round, ~6 rounds instead of 11): the second jump branches the
+    * un-checkpointed lineage once more and the compounded recompute blew
+    * the fixpoint past 10× slower — same verdict as BatchRounds=2, only
+    * stronger. Fewer-but-heavier rounds lose to more-but-checkpointed
+    * rounds everywhere on this VM; keep 1. */
+  private val CompressJumps = 1
+
   /** Rebind a materialized (localCheckpoint'ed) frame into another session
     * of the same SparkContext. Row decode/encode is a narrow map over the
     * already-materialized RDD — for the (long, long) loop frames this is
@@ -113,6 +121,14 @@ object GraphOps {
             relaxed.select(col("doc_id").as("rid"), col("rep").as("rrep")),
             col("rep") === col("rid"))
           .select(col("doc_id"), col("rrep").as("rep"))
+        var jump = 1
+        while (jump < CompressJumps) {
+          jump += 1
+          cur = cur.join(
+              cur.select(col("doc_id").as("rid"), col("rep").as("rrep")),
+              col("rep") === col("rid"))
+            .select(col("doc_id"), col("rrep").as("rep"))
+        }
       }
       // the batch's ENTRY label rides along into the checkpoint so the
       // fixpoint test below is a filter on already-materialized rows —
