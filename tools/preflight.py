@@ -97,7 +97,25 @@ def cells_equal(a, b) -> bool:
     return a == b
 
 
+def selftest() -> int:
+    """Prove the hazard probes catch the round-4 failure classes:
+    `python3 tools/preflight.py --selftest` must print two RED lines and
+    exit 0 only if both classes are flagged."""
+    con = duckdb.connect()
+    hugeint = type_hazards(
+        probe_types(con, "SELECT SUM(CAST(1 AS BIGINT)) AS n"), "oracle")
+    nested = type_hazards(
+        probe_types(con, "SELECT [1, 2, 3] AS q"), "spark")
+    for h in hugeint + nested:
+        print(f"RED (expected): {h}")
+    ok = bool(hugeint) and bool(nested)
+    print("selftest:", "PASS" if ok else "FAIL — a hazard class is NOT caught")
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if "--selftest" in sys.argv:
+        return selftest()
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
