@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -347,10 +348,101 @@ object AnalyticsOps extends QueryModule {
       }
       ranks.select(col("node"), col("p").as("pagerank"))
         .orderBy(col("pagerank").desc, col("node")).limit(20)
+    }),
+
+    // Theta-sketch set algebra (round 5): day-over-day audience retention
+    // from MERGEABLE sketches. Unlike HLL (union-only), theta sketches
+    // support intersection and difference — retained = |day ∩ day+1|,
+    // churned = |day ∖ day+1| — computed from the per-day sketches alone.
+    // At 100 TB the raw (user, day) distinct pass shuffles every
+    // membership; the sketch path keeps O(days × 4 KB) state that a
+    // pipeline stores and re-intersects nightly without rescanning
+    // history (the set-operation twin of agg_hll_incremental). Below
+    // ~4096 uniques per day the sketch is in exact mode, so
+    // AnalyticsSpec pins estimates == exact counts at test SF; at real
+    // scale the estimate carries ~1/√k relative error. No SQL oracle
+    // (sketch internals are not SQL-expressible).
+    "agg_theta_sketch" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+      val nxt = daily.select(date_sub(col("day"), 1).as("day"),
+        col("sk").as("sk_next"))
+      daily.join(nxt, "day")
+        .select(col("day"),
+          expr("theta_sketch_estimate(sk)").as("est_today"),
+          expr("theta_sketch_estimate(sk_next)").as("est_next"),
+          expr("theta_sketch_estimate(theta_intersection(sk, sk_next))")
+            .as("est_retained"),
+          expr("theta_sketch_estimate(theta_difference(sk, sk_next))")
+            .as("est_churned"))
+        .orderBy("day")
+    }),
+
+    // KLL quantile sketches (round 5): mergeable per-group quantile state.
+    // agg_percentile is the exact twin (full sort-based percentile);
+    // approx_percentile is Spark's built-in one-shot sketch. The KLL form
+    // adds what a pipeline actually stores: per-segment sketches that
+    // MERGE — the ALL row is built from the five per-type sketches via
+    // kll_merge_agg_double, never from re-reading the events (the
+    // quantile twin of agg_hll_incremental's union-from-state). Rank
+    // error ≤ ~1.65% at the default k=200 (Karnin-Lang-Liberty 2016),
+    // pinned by AnalyticsSpec. No SQL oracle (sketch estimates).
+    "agg_kll_quantiles" -> ((s, d) => {
+      val sk = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("kll_sketch_agg_double(value)").as("sk"),
+          count(lit(1)).as("n"))
+      def quantiles(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_type"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("p50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.9)").as("p90"),
+          expr("kll_sketch_get_quantile_double(sk, 0.99)").as("p99"),
+          col("n"))
+      val all = sk.agg(expr("kll_merge_agg_double(sk)").as("sk"),
+          sum("n").as("n"))
+        .select(lit("ALL").as("event_type"), col("sk"), col("n"))
+      quantiles(sk.select(col("event_type"), col("sk"), col("n")))
+        .unionByName(quantiles(all))
+        .orderBy("event_type")
+    }),
+
+    // first-order Markov transition matrix over per-user event sequences
+    // — the behavioral-model statistic under next-event prediction and
+    // anomaly scoring. One lag window on the user_id partitioning (the
+    // session/funnel exchange), then a partial-aggregated (prev, next)
+    // count; transition probabilities divide two exact integers in
+    // double space once (engine-identical), with the row-count window
+    // running over the O(types²) aggregate, never the event stream.
+    "agg_transitions" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tot = Window.partitionBy("prev_type")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(ord))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast(DoubleType) /
+            sum("n").over(tot).cast(DoubleType)).as("p"))
+        .orderBy("prev_type", "next_type")
     })
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_transitions" ->
+      """WITH p AS (SELECT event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        |        AS DOUBLE) AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

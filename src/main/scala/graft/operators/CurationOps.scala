@@ -116,6 +116,9 @@ object CurationOps extends QueryModule {
   private val (userLo, userHi) = (64L, 191L)
   private val (hourLo, hourHi) = (473400L, 473519L)
 
+  /** pipeline_pack training-sequence capacity (tokens per packed bin). */
+  private val PackCap = 2048L
+
   override def queries: Map[String, Q.Fn] = Map(
     // count-driven mixture rebalance: downsample every language to the
     // rarest language's share (uniform target mixture). The keep rule is
@@ -159,6 +162,29 @@ object CurationOps extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")
+    }),
+
+    // sequence-packing manifest (round 5): GPT-style pretraining packs
+    // the token stream by concatenating docs in a fixed order and cutting
+    // every PackCap tokens, documents straddling cut points. The manifest
+    // records where each doc lands: shard (deterministic key hash — the
+    // parallelism unit), bin (training sequence index), offset within the
+    // bin. One running-sum window per shard partition; at 100 TB shards
+    // number in the thousands, so the sequential-prefix arithmetic is
+    // per-shard-parallel and each task's window state is O(1). Every
+    // number is exact integer arithmetic — reproducible across engines,
+    // retries and layouts, which is what makes a packed export resumable.
+    "pipeline_pack" -> ((s, d) => {
+      val ord = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .withColumn("cum0", sum("toks").over(ord) - col("toks"))
+        .select(col("doc_id"), col("shard"), col("toks"),
+          expr(s"cum0 div $PackCap").as("bin"),
+          (col("cum0") % lit(PackCap)).as("bin_offset"))
+        .orderBy("doc_id")
     }),
 
     "pipeline_mixture" -> ((s, d) => {
@@ -240,6 +266,18 @@ object CurationOps extends QueryModule {
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+    "pipeline_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, toks,
+        |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - toks AS cum0
+        |  FROM t)
+        |SELECT doc_id, shard, toks,
+        |  cum0 // $PackCap AS bin, cum0 % $PackCap AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "pipeline_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),

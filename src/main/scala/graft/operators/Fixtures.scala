@@ -317,4 +317,30 @@ object Fixtures {
     }
     (to, tl)
   }
+
+  /** ANALYZE'd catalog tables for join_cbo_reorder: CostBasedJoinReorder
+    * only fires when every join input carries rowCount + column stats, and
+    * those live in the catalog, not in a bare parquet read. The one-time
+    * `ANALYZE TABLE ... FOR ALL COLUMNS` scan is exactly what a production
+    * warehouse runs per snapshot; the stats are O(columns) metadata. Same
+    * leftover-dir hygiene as bucketedTables (in-memory catalog dies with
+    * the JVM, warehouse dirs survive). */
+  def statsTables(s: SparkSession, sfDir: String): (String, String, String) = {
+    val sf = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val (tc, to, tl) =
+      (s"cbo_customer_$sf", s"cbo_orders_$sf", s"cbo_lineitem_$sf")
+    if (!s.catalog.tableExists(tc)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      for (t <- Seq(tc, to, tl)) {
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) rmTree(dir)
+      }
+      Tables.customer(s, sfDir).write.mode("overwrite").saveAsTable(tc)
+      Tables.orders(s, sfDir).write.mode("overwrite").saveAsTable(to)
+      Tables.lineitem(s, sfDir).write.mode("overwrite").saveAsTable(tl)
+      for (t <- Seq(tc, to, tl))
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    (tc, to, tl)
+  }
 }

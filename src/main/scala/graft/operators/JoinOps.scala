@@ -182,6 +182,35 @@ object JoinOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // cost-based join reordering: the query is WRITTEN worst-first
+    // (fact ⋈ fact, selective dim last); CostBasedJoinReorder uses the
+    // ANALYZE'd catalog stats (Fixtures.statsTables) to rewrite it
+    // selective-first — orders ⋈ σ(customer) runs before lineitem joins
+    // in, shrinking the big join's probe side ~5× (PlanSpec asserts the
+    // reordered shape). This is the ad-hoc-join answer the hand-ordered
+    // star joins above don't need but a real user writing arbitrary
+    // multiway joins does; at 100 TB per-snapshot ANALYZE is standard
+    // warehouse hygiene and the stats are O(columns) metadata. CBO confs
+    // are session-local, so the query plans in a cloned session (the
+    // GraphOps pattern) — nothing leaks into concurrently planned queries.
+    "join_cbo_reorder" -> ((s, d) => {
+      val (tc, to, tl) = Fixtures.statsTables(s, d)
+      val cbo = s.newSession()
+      cbo.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.sql.shuffle.partitions"))
+      cbo.conf.set("spark.sql.cbo.enabled", "true")
+      cbo.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      cbo.table(tl)
+        .join(cbo.table(to), col("l_orderkey") === col("o_orderkey"))
+        .join(cbo.table(tc).where(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // dynamic partition pruning: the fact is laid out partitioned by lang
     // (Fixtures.docsByLang); the dim-side tier filter is only known at run
     // time, so Catalyst injects a dynamicpruning subquery into the fact
@@ -334,6 +363,16 @@ object JoinOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // reordering is result-invariant, so the oracle is the plain join
+    "join_cbo_reorder" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(22,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_lateral" ->
       """SELECT o_orderkey, t.l_linenumber, t.l_extendedprice
         |FROM orders,

@@ -167,4 +167,66 @@ class AnalyticsSpec extends AnyFunSuite {
       .sortBy(x => (-x._2, x._1))
     assert(base.sameElements(again))
   }
+
+  test("agg_theta_sketch set algebra is exact below sketch capacity") {
+    // per-day uniques at test SF are far under the 4096-entry nominal, so
+    // theta sketches are in exact mode: every estimate (including the
+    // intersection and difference, which HLL cannot express) must equal
+    // the true set cardinality. The ≈1/√k error regime only starts past
+    // capacity — this pins the exact regime; the sketch path's value at
+    // scale is the O(days × 4 KB) mergeable state.
+    val got = SparkEntry.queries("agg_theta_sketch")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val byDay = Tables.events(spark, sf)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .collect().groupBy(_.getDate(0))
+      .map { case (k, v) => k.toLocalDate -> v.map(_.getLong(1)).toSet }
+    got.foreach { r =>
+      val day = r.getDate(0).toLocalDate
+      val today = byDay(day)
+      val next = byDay(day.plusDays(1))
+      assert(r.getAs[Long]("est_today") == today.size.toLong, s"$day today")
+      assert(r.getAs[Long]("est_next") == next.size.toLong, s"$day next")
+      assert(r.getAs[Long]("est_retained") == (today & next).size.toLong,
+        s"$day retained")
+      assert(r.getAs[Long]("est_churned") == (today -- next).size.toLong,
+        s"$day churned")
+    }
+  }
+
+  test("agg_kll_quantiles is monotone and within the KLL rank bound") {
+    val rows = SparkEntry.queries("agg_kll_quantiles")(spark, sf).collect()
+    assert(rows.length == 6) // 5 event types + merged ALL
+    val all = Tables.events(spark, sf)
+      .select(col("value").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99,
+        s"${r.getString(0)}: quantiles not monotone ($p50, $p90, $p99)")
+      if (r.getString(0) == "ALL") {
+        // the ALL row is merged from the five per-type sketches, never
+        // from re-reading events — rank error must still respect the KLL
+        // k=200 bound (~1.65%) plus discreteness slack
+        for ((q, est) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+          val rank = all.count(_ <= est).toDouble / all.length
+          assert(math.abs(rank - q) <= 0.025,
+            s"ALL p$q: est $est has true rank $rank")
+        }
+      }
+    }
+  }
+
+  test("agg_transitions rows form a stochastic matrix that conserves counts") {
+    val rows = SparkEntry.queries("agg_transitions")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (t, rs) =>
+      val total = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$t: probabilities sum to $total")
+    }
+    // every event except each user's first is exactly one transition
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected)
+  }
 }

@@ -381,4 +381,27 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getDouble(6) > 0.0, "inlier sum should be positive")
     }
   }
+
+  test("pipeline_pack tiles each shard's token stream exactly") {
+    val cap = 2048L
+    val rows = SparkEntry.queries("pipeline_pack")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("toks"), r.getAs[Long]("bin"),
+        r.getAs[Long]("bin_offset")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, _, bin, off) =>
+      assert(bin >= 0 && off >= 0 && off < cap, s"doc $id: bin=$bin off=$off")
+    }
+    // concat-and-cut semantics: within a shard, doc_id order tiles the
+    // token stream with no gaps — each doc starts where the previous
+    // ended, bins advance every cap tokens
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (id, _, toks, bin, off) =>
+        assert(bin == cum / cap, s"shard $shard doc $id: bin $bin != ${cum / cap}")
+        assert(off == cum % cap, s"shard $shard doc $id: off $off != ${cum % cap}")
+        cum += toks
+      }
+    }
+  }
 }

@@ -360,4 +360,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("lambdafunction"),
       s"an interpreted higher-order lambda survives in the plan:\n$p")
   }
+
+  test("join_cbo_reorder actually reorders: selective dim joins first") {
+    // the query is WRITTEN (lineitem ⋈ orders) ⋈ σ(customer);
+    // CostBasedJoinReorder must rewrite it to (orders ⋈ σ(customer)) ⋈
+    // lineitem using the ANALYZE'd stats — i.e. in the optimized tree the
+    // big l_orderkey join sits ABOVE the selective o_custkey join, the
+    // reverse of the written nesting
+    val ts = SparkEntry.queries("join_cbo_reorder")(spark, sf)
+      .queryExecution.optimizedPlan.treeString
+    val big = "(?m)Join Inner, \\((l_orderkey|o_orderkey)".r
+      .findFirstMatchIn(ts).map(_.start)
+    val sel = "(?m)Join Inner, \\((o_custkey|c_custkey)".r
+      .findFirstMatchIn(ts).map(_.start)
+    assert(big.isDefined && sel.isDefined, s"joins not found:\n$ts")
+    assert(big.get < sel.get,
+      s"CBO did not reorder — selective join is not innermost:\n$ts")
+  }
 }
