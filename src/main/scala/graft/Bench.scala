@@ -20,6 +20,8 @@ object Bench {
     "dedup_clusters" -> 6.0,
     "dedup_near" -> 1.0, // round-5: codegen kernels, 8.7 → 0.8 s
     "join_bucketed" -> 5.0,
+    "join_cbo_reorder" -> 5.0, // one-time ANALYZE'd-table fixture write
+    "vec_quantize" -> 2.5,
     "dedup_ngram" -> 4.0,
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,

@@ -98,14 +98,14 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("agg_countmin is stable under repartitioning (cell-wise merge)") {
-    import spark.implicits._
-    val cm = new graft.functions.CountMin(Seq("hash", "the"))
     def run(parts: Int): Map[String, Long] = {
-      val o = Tables.documents(spark, sf)
+      val toks = Tables.documents(spark, sf)
         .select(explode(split(lower(col("text")), " ")).as("token"))
-        .as[String].repartition(parts)
-        .select(cm.toColumn).collect().head
-      o.toks.zip(o.ests).toMap
+        .repartition(parts)
+      graft.operators.AnalyticsOps
+        .countMinEstimates(toks, Seq("hash", "the")).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count"))
+        .toMap
     }
     assert(run(2) == run(13))
   }

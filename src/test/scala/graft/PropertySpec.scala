@@ -120,11 +120,11 @@ class PropertySpec extends AnyFunSuite {
       (1 to 25).map(i => s"tok$i")))
     forAll(tokens, Gen.chooseNum(1, 7)) { (toks: List[String], parts: Int) =>
       val probes = toks.distinct.take(6) :+ "tok_absent"
-      val cm = new graft.functions.CountMin(probes, depth = 4, width = 64)
-      val out = toks.toDF("t").repartition(parts)
-        .select(col("t")).as[String]
-        .select(cm.toColumn).collect().head
-      val est = out.toks.zip(out.ests).toMap
+      val est = graft.operators.AnalyticsOps.countMinEstimates(
+          toks.toDF("token").repartition(parts), probes,
+          depth = 4, width = 64).collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Long]("est_count"))
+        .toMap
       val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
       probes.foreach { p =>
         val tru = exact.getOrElse(p, 0L)
