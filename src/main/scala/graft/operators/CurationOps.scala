@@ -187,6 +187,33 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // quality-proportional epoch repetition: upweight docs by emitting
+    // floor(w) copies plus one more with probability frac(w), where
+    // w = min(n_chars/400, 4) — the stochastic-rounding repeat schedule
+    // behind "repeat high-quality data k×" curation (short docs with
+    // w < 1 drop unless their coin lands). Every number is engine-exact:
+    // w is one IEEE-correctly-rounded division + min, the coin u is pure
+    // md5 integer arithmetic on the row key, and copies are integers —
+    // no RNG, no transcendentals, so the manifest is reproducible across
+    // engines, retries and layouts. Scale shape: one narrow scan, the
+    // explode is per-row (×≤4 fan-out) with no shuffle before the output
+    // ordering; the repeat decision never needs global state.
+    "pipeline_upweight" -> ((s, d) => {
+      val w = least(col("n_chars").cast(DoubleType) / lit(400.0), lit(4.0))
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast(DoubleType)
+      val u = (u32 + lit(0.5)) / lit(4294967296.0)
+      val repeats = (floor(w) +
+        when(u < w - floor(w), lit(1.0)).otherwise(lit(0.0)))
+        .cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), repeats.as("repeats"))
+        .where(col("repeats") >= 1)
+        .select(col("doc_id"), col("n_chars"), col("repeats"),
+          explode(sequence(lit(1L), col("repeats"))).as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     "pipeline_mixture" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -278,6 +305,19 @@ object CurationOps extends QueryModule {
         |SELECT doc_id, shard, toks,
         |  cum0 // $PackCap AS bin, cum0 % $PackCap AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "pipeline_upweight" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    least(CAST(n_chars AS DOUBLE) / 400.0, 4.0) AS w,
+        |    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |       AS UBIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars,
+        |    CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END
+        |      AS BIGINT) AS repeats
+        |  FROM t)
+        |SELECT doc_id, n_chars, repeats,
+        |  unnest(generate_series(1, repeats)) AS copy_idx
+        |FROM r WHERE repeats >= 1 ORDER BY doc_id, copy_idx""".stripMargin,
     "pipeline_mixture" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c),

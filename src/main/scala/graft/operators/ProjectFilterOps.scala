@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** §2.2 projection / filter / predicates.
   *
@@ -88,6 +88,29 @@ object ProjectFilterOps extends QueryModule {
         .orderBy("split")
     }),
 
+    // weighted reservoir sampling (Efraimidis–Spirakis 2006): keep the k
+    // docs with the smallest -ln(u)/w keys, u a pure md5-derived uniform
+    // and w = n_chars — P(selected) ∝ weight, the length/token-budget-
+    // aware doc sampler of a curation mix. Deterministic everywhere: u is
+    // exact integer arithmetic on the row key (no RNG), and the one
+    // transcendental (ln) is quantized at 1e9 before comparison/output
+    // (the agg_entropy discipline), with doc_id tiebreak, so selection
+    // and hashes are engine-stable. Scale shape: one narrow scan; the
+    // top-k runs as TakeOrderedAndProject (per-partition k-heaps, merge
+    // of k-row partials) — no full sort, no shuffle of the corpus.
+    "sample_weighted" -> ((s, d) => {
+      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast(DoubleType)
+      val u = (u32 + lit(0.5)) / lit(4294967296.0)
+      val keyQ = floor(-log(u) / col("n_chars").cast(DoubleType) * lit(1e9)
+        + lit(0.5)).cast(LongType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          keyQ.as("key_q"))
+        .orderBy(col("key_q"), col("doc_id"))
+        .limit(200)
+    }),
+
     // stratified deterministic sampling: per-stratum hash rates (the
     // over-represented lang downsamples to ~3/16, the rest keep ~10/16) —
     // the rebalancing primitive of a training-data mix, reproducible
@@ -133,6 +156,15 @@ object ProjectFilterOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      AS UBIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars,
+        |  CAST(floor(-ln((h + 0.5) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS key_q
+        |FROM t ORDER BY key_q, doc_id LIMIT 200""".stripMargin,
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS disc_price,

@@ -382,6 +382,67 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_weighted selects exactly the 200 smallest E-S keys") {
+    // independent reconstruction: recompute every doc's quantized
+    // Efraimidis–Spirakis key (-ln(u)/w at 1e9) from the md5 uniform in
+    // plain Scala, take the 200 smallest with doc_id tiebreak, and
+    // require the query's selection and key values to match exactly
+    def key(docId: Long, nChars: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      math.floor(-math.log(u) / nChars.toDouble * 1e9 + 0.5).toLong
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.map { case (id, n) => (key(id, n), id) }
+      .sorted.take(200).toSeq
+    val got = SparkEntry.queries("sample_weighted")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("key_q"), r.getAs[Long]("doc_id"))).toSeq
+    assert(got == want)
+    // weighting sanity: selected docs skew long — P(selected) ∝ n_chars
+    val byId = docs.toMap
+    val selMean = got.map(g => byId(g._2)).sum.toDouble / got.size
+    val allMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(selMean > allMean,
+      s"weighted sample not length-skewed: $selMean <= $allMean")
+  }
+
+  test("pipeline_upweight emits floor(w)+coin copies, integer-exact") {
+    def coin(docId: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    val rows = SparkEntry.queries("pipeline_upweight")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("repeats"), r.getAs[Long]("copy_idx")))
+    assert(rows.nonEmpty)
+    // per-doc: copy_idx tiles 1..repeats with no gaps or extras
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val reps = rs.head._3
+      assert(rs.map(_._4).sorted.toSeq == (1L to reps),
+        s"doc $id: copies ${rs.map(_._4).sorted.toSeq} != 1..$reps")
+    }
+    // every doc's repeat count matches the w = min(n_chars/400, 4)
+    // stochastic-rounding schedule recomputed independently
+    val emitted = rows.groupBy(_._1).map { case (id, rs) =>
+      id -> rs.head._3
+    }
+    Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+      .collect().foreach { r =>
+        val (id, n) = (r.getLong(0), r.getLong(1))
+        val w = math.min(n.toDouble / 400.0, 4.0)
+        val want = math.floor(w).toLong +
+          (if (coin(id) < w - math.floor(w)) 1L else 0L)
+        assert(emitted.getOrElse(id, 0L) == want,
+          s"doc $id (n_chars=$n): ${emitted.getOrElse(id, 0L)} != $want")
+      }
+  }
+
   test("pipeline_pack tiles each shard's token stream exactly") {
     val cap = 2048L
     val rows = SparkEntry.queries("pipeline_pack")(spark, sf).collect()

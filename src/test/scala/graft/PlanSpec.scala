@@ -361,6 +361,13 @@ class PlanSpec extends AnyFunSuite {
       s"an interpreted higher-order lambda survives in the plan:\n$p")
   }
 
+  test("sample_weighted top-k runs as TakeOrderedAndProject, no full sort") {
+    val p = SparkEntry.queries("sample_weighted")(spark, sf)
+      .queryExecution.executedPlan.treeString
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+    assert(!p.contains("SortExec"), s"full sort in a top-k plan:\n$p")
+  }
+
   test("join_cbo_reorder actually reorders: selective dim joins first") {
     // the query is WRITTEN (lineitem ⋈ orders) ⋈ σ(customer);
     // CostBasedJoinReorder must rewrite it to (orders ⋈ σ(customer)) ⋈
