@@ -23,6 +23,7 @@ object Bench {
     "join_cbo_reorder" -> 5.0, // one-time ANALYZE'd-table fixture write
     "vec_quantize" -> 2.5,
     "dedup_ngram" -> 4.0,
+    "dedup_containment" -> 2.5,
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,
     "sim_ivf_topk" -> 3.0,

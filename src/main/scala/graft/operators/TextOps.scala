@@ -33,6 +33,9 @@ object TextOps extends QueryModule {
 
   private val ShingleTau = 0.5
 
+  /** containment threshold for dedup_containment: |A∩B|/|A| ≥ this */
+  private val ContainTau = 0.9
+
   // quality-score ingredients (shared by text_quality and
   // pipeline_training_set — op order must stay identical to the oracles)
   private def qWords = size(split(col("text"), " "))
@@ -296,6 +299,47 @@ object TextOps extends QueryModule {
     // bound anywhere; the oracle replays the naive all-pairs definition.
     "dedup_ngram" -> ((s, d) =>
       ngramPairs(s, d).orderBy("id1", "id2")),
+
+    // asymmetric CONTAINMENT dedup: |A∩B|/|A| ≥ 0.9 finds docs (nearly)
+    // embedded in a longer doc — quoted passages, boilerplate-wrapped
+    // copies — which symmetric Jaccard misses whenever |B| ≫ |A| (at
+    // |B| = 10|A|, full containment is Jaccard ≈ 0.1). Exact recall via
+    // the asymmetric prefix filter: a qualifying pair must share a
+    // shingle in A's first ⌊(1−t)·|A|⌋+1 hashes (if not, at most
+    // ⌈t·|A|⌉−1 < t·|A| of A can overlap B), while the CONTAINER side
+    // indexes all its shingles — so the inverted-index shuffle carries
+    // O(0.1·Σ|A|) prefix postings against the full posting list, ids
+    // and 8-byte hashes only, never text. Verification is the exact
+    // hashed-set intersection; both directions of a set-equal pair
+    // appear (containment is a directed relation). |A| ≥ 8 floors the
+    // trivially-containable.
+    "dedup_containment" -> ((s, d) => {
+      val docs = shingleHashSets(s, d)
+      val prefixA = docs.select(col("doc_id").as("id_a"),
+        explode(slice(col("hs"), lit(1),
+          (floor(lit(1.0 - ContainTau) * size(col("hs"))) + 1)
+            .cast(IntegerType))).as("tok"))
+      val allB = docs.select(col("doc_id").as("id_b"),
+        explode(col("hs")).as("tok"))
+      val cands = prefixA.join(allB, Seq("tok"))
+        .where(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cands
+        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("sa")),
+          "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("sb")),
+          "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(col("sa")).cast(LongType).as("n_a"),
+          size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+            .as("n_inter"))
+        .where(col("n_a") >= 8 &&
+          col("n_inter").cast(DoubleType) / col("n_a") >= ContainTau)
+        .select(col("id_a").as("contained_id"),
+          col("id_b").as("container_id"), col("n_a"), col("n_inter"),
+          (col("n_inter").cast(DoubleType) / col("n_a")).as("containment"))
+        .orderBy("contained_id", "container_id")
+    }),
 
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
@@ -821,6 +865,19 @@ object TextOps extends QueryModule {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+    // naive all-pairs replay of the directed containment relation
+    "dedup_containment" ->
+      s"""WITH t AS ($duckShingles)
+        |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |  CAST(len(a.sh) AS BIGINT) AS n_a,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh) AS containment
+        |FROM t a JOIN t b ON a.doc_id <> b.doc_id
+        |WHERE len(a.sh) >= 8
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh) >= 0.9
+        |ORDER BY contained_id, container_id""".stripMargin,
     // the naive definition of the same clustering: symmetric edge closure
     // via a recursive CTE, component representative = min reachable id
     "dedup_clusters" ->

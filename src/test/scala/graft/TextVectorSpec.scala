@@ -221,6 +221,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted dup pairs not found: $missing")
   }
 
+  test("dedup_containment matches the brute-force directed relation") {
+    // independent truth: string-shingle sets in plain Scala, all ordered
+    // pairs, C(A,B) = |A∩B|/|A| — the asymmetric prefix filter must have
+    // exact recall, so the query equals this set exactly (hash-set
+    // counts equal string-set counts; 64-bit collisions negligible)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> {
+        val w = r.getString(1).split(" ", -1)
+        (if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+         else Set.empty[String])
+      }).filter(_._2.nonEmpty)
+    val want = (for {
+      (ida, sa) <- docs if sa.size >= 8
+      (idb, sb) <- docs if ida != idb
+      inter = (sa & sb).size
+      if inter.toDouble / sa.size >= 0.9
+    } yield (ida, idb, sa.size.toLong, inter.toLong)).toSet
+    val got = SparkEntry.queries("dedup_containment")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("contained_id"),
+        r.getAs[Long]("container_id"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_inter"))).toSet
+    assert(got == want,
+      s"missing=${want -- got} spurious=${got -- want}")
+    assert(want.nonEmpty, "corpus should contain containment pairs")
+  }
+
   test("LSH candidate mass stays within the documented degradation bound") {
     // regime diagnostic (VectorOps scaladoc): at τ=0.4 ≈ 3.2σ from random
     // this corpus admits no sub-quadratic family, so the contract is
