@@ -83,4 +83,14 @@ object Det {
   /** exact decimal sum, divided in double space — bit-identical on both
     * engines because both divide the same two exactly-determined doubles. */
   def davg(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(lit(1))
+
+  /** deterministic uniform in (0, 1) from a key: the first 32 md5 bits,
+    * centered (+0.5) and scaled — pure integer arithmetic everywhere, no
+    * RNG, so it is identical across engines, retries and layouts. The
+    * DuckDB twin is `(CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)
+    * AS UBIGINT) + 0.5) / 4294967296.0`. Shared by sample_weighted's
+    * reservoir keys and pipeline_upweight's stochastic-rounding coin. */
+  def md5Uniform(key: Column): Column =
+    (conv(substring(md5(key.cast(StringType)), 1, 8), 16, 10)
+      .cast(DoubleType) + lit(0.5)) / lit(4294967296.0)
 }

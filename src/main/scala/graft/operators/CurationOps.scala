@@ -200,9 +200,7 @@ object CurationOps extends QueryModule {
     // ordering; the repeat decision never needs global state.
     "pipeline_upweight" -> ((s, d) => {
       val w = least(col("n_chars").cast(DoubleType) / lit(400.0), lit(4.0))
-      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-        16, 10).cast(DoubleType)
-      val u = (u32 + lit(0.5)) / lit(4294967296.0)
+      val u = graft.Det.md5Uniform(col("doc_id"))
       val repeats = (floor(w) +
         when(u < w - floor(w), lit(1.0)).otherwise(lit(0.0)))
         .cast(LongType)

@@ -99,9 +99,7 @@ object ProjectFilterOps extends QueryModule {
     // top-k runs as TakeOrderedAndProject (per-partition k-heaps, merge
     // of k-row partials) — no full sort, no shuffle of the corpus.
     "sample_weighted" -> ((s, d) => {
-      val u32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-        16, 10).cast(DoubleType)
-      val u = (u32 + lit(0.5)) / lit(4294967296.0)
+      val u = graft.Det.md5Uniform(col("doc_id"))
       val keyQ = floor(-log(u) / col("n_chars").cast(DoubleType) * lit(1e9)
         + lit(0.5)).cast(LongType)
       Tables.documents(s, d)
