@@ -169,6 +169,40 @@ object TextOps extends QueryModule {
       .where(col("jaccard") >= ShingleTau)
   }
 
+  /** The directed containment relation behind `dedup_containment`, over
+    * any (doc_id, hs sorted-distinct shingle-hash array) frame — kept
+    * corpus-agnostic so PropertySpec can replay it against a brute-force
+    * model on random corpora (the prefix-filter exactness argument is
+    * the part worth property-testing, not just spot-checking).
+    * minShingles floors the trivially-containable (8 in the query;
+    * PropertySpec drops it to 1 to exercise tiny docs). */
+  private[graft] def containmentPairs(docs: DataFrame,
+      minShingles: Int = 8): DataFrame = {
+    val prefixA = docs.select(col("doc_id").as("id_a"),
+      explode(slice(col("hs"), lit(1),
+        (floor(lit(1.0 - ContainTau) * size(col("hs"))) + 1)
+          .cast(IntegerType))).as("tok"))
+    val allB = docs.select(col("doc_id").as("id_b"),
+      explode(col("hs")).as("tok"))
+    val cands = prefixA.join(allB, Seq("tok"))
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("sa")),
+        "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("sb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(col("sa")).cast(LongType).as("n_a"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("n_inter"))
+      .where(col("n_a") >= minShingles &&
+        col("n_inter").cast(DoubleType) / col("n_a") >= ContainTau)
+      .select(col("id_a").as("contained_id"),
+        col("id_b").as("container_id"), col("n_a"), col("n_inter"),
+        (col("n_inter").cast(DoubleType) / col("n_a")).as("containment"))
+  }
+
   /** SimHash bit b of a token's md5 hex: digit = hex char at b/4,
     * bit = (digit >> (b%4)) & 1. md5 hex is identical on both engines, so
     * the whole fingerprint is oracle-comparable. 60 bits → fits a long. */
@@ -313,33 +347,9 @@ object TextOps extends QueryModule {
     // hashed-set intersection; both directions of a set-equal pair
     // appear (containment is a directed relation). |A| ≥ 8 floors the
     // trivially-containable.
-    "dedup_containment" -> ((s, d) => {
-      val docs = shingleHashSets(s, d)
-      val prefixA = docs.select(col("doc_id").as("id_a"),
-        explode(slice(col("hs"), lit(1),
-          (floor(lit(1.0 - ContainTau) * size(col("hs"))) + 1)
-            .cast(IntegerType))).as("tok"))
-      val allB = docs.select(col("doc_id").as("id_b"),
-        explode(col("hs")).as("tok"))
-      val cands = prefixA.join(allB, Seq("tok"))
-        .where(col("id_a") =!= col("id_b"))
-        .select("id_a", "id_b").distinct()
-      cands
-        .join(docs.select(col("doc_id").as("id_a"), col("hs").as("sa")),
-          "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("hs").as("sb")),
-          "id_b")
-        .select(col("id_a"), col("id_b"),
-          size(col("sa")).cast(LongType).as("n_a"),
-          size(array_intersect(col("sa"), col("sb"))).cast(LongType)
-            .as("n_inter"))
-        .where(col("n_a") >= 8 &&
-          col("n_inter").cast(DoubleType) / col("n_a") >= ContainTau)
-        .select(col("id_a").as("contained_id"),
-          col("id_b").as("container_id"), col("n_a"), col("n_inter"),
-          (col("n_inter").cast(DoubleType) / col("n_a")).as("containment"))
-        .orderBy("contained_id", "container_id")
-    }),
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(shingleHashSets(s, d))
+        .orderBy("contained_id", "container_id")),
 
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C

@@ -115,6 +115,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs equals the brute-force model on random corpora") {
+    // the asymmetric prefix filter must have EXACT recall: if fewer than
+    // |A| - ceil(0.9|A|) + 1 of A's smallest hashes reach the candidate
+    // join, a qualifying pair could be silently dropped — exactly the
+    // bug class a spot check on one corpus can miss. Small hash universe
+    // forces dense overlap, including subset, set-equal and tiny docs.
+    val docGen = Gen.listOfN(8, Gen.nonEmptyListOf(Gen.chooseNum(1L, 30L)))
+    forAll(docGen, Gen.const(())) { (docs0, _) =>
+      val docs = docs0.zipWithIndex
+        .map { case (hs, i) => (i.toLong, hs.distinct.sorted) }
+      val df = docs.toDF("doc_id", "hs")
+      val got = operators.TextOps.containmentPairs(df, minShingles = 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = (for {
+        (ida, sa) <- docs
+        (idb, sb) <- docs if ida != idb
+        inter = (sa.toSet & sb.toSet).size
+        if inter.toDouble / sa.size >= 0.9
+      } yield (ida, idb, sa.size.toLong, inter.toLong)).toSet
+      assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
   test("CountMin never underestimates on random token streams, any layout") {
     val tokens = Gen.listOfN(300, Gen.oneOf(
       (1 to 25).map(i => s"tok$i")))
