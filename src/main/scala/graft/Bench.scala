@@ -22,6 +22,8 @@ object Bench {
     "join_bucketed" -> 5.0,
     "join_cbo_reorder" -> 5.0, // one-time ANALYZE'd-table fixture write
     "vec_quantize" -> 2.5,
+    "vec_kmeans" -> 1.5, // 3 broadcast-assign rounds, warm ×3 at sf0.1
+    "clean_boilerplate" -> 1.0,
     "dedup_ngram" -> 4.0,
     "dedup_containment" -> 2.5,
     "sim_cosine_pairs" -> 3.0,

@@ -89,6 +89,96 @@ object AnalyticsOps extends QueryModule {
       .orderBy("token")
   }
 
+  /** k-means rounds shared by the Spark plan and the generated oracle
+    * CTE chain (vec_kmeans). */
+  private val KmK = 8
+  private val KmIters = 2
+
+  /** Lloyd's k-means over an embedding frame, fully relational and
+    * collect-free — the iterative twin of vec_centroid's single reduce
+    * step. Every number is integer from quantization onward, so the
+    * assignment is engine-exact:
+    *
+    *  - components quantized `floor(v·1e6 + 0.5)` (the vec_centroid
+    *    discipline); distances are exact integer sums of squares
+    *    (|iv| ≤ ~2e6, 64 dims → dist < 3e14, safely inside Long).
+    *  - init = the embeddings of the k smallest vec_ids (deterministic,
+    *    no RNG to coordinate across engines or executors).
+    *  - centroid update `floor(SUM(iv)/n)` is EXACT through double
+    *    division: |SUM| ≤ 5e8 < 2^53 and the true quotient is a
+    *    rational with denominator n ≤ corpus size, so it is either an
+    *    integer (division exact) or ≥ 1/n from one — both beyond the
+    *    ~1e-7 correctly-rounded error.
+    *  - argmin ties break to the smaller cluster id via min(struct):
+    *    lexicographic (dist, cluster) order, same as the oracle's
+    *    ROW_NUMBER ... ORDER BY dist_q, cluster.
+    *
+    * Scale shape (the MLlib pattern, declaratively): centroids are an
+    * O(k·d) frame broadcast to the assignment join; the fan-out stream
+    * (N·d rows × k) partial-aggregates map-side on (vec_id, cluster), so
+    * the shuffle carries N·k distance rows, never the fan-out; the
+    * update is the vec_centroid reduce keyed by (cluster, dim). Empty
+    * clusters simply drop out of the centroid frame (both engines
+    * agree). Iterations chain lazily — no driver fixpoint, no collect. */
+  private[graft] def kmeansAssign(emb: org.apache.spark.sql.DataFrame,
+      k: Int = KmK, iters: Int = KmIters): org.apache.spark.sql.DataFrame = {
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("iv"))
+    def assign(cent: org.apache.spark.sql.DataFrame) =
+      q.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("iv") - col("civ")) * (col("iv") - col("civ")))
+          .as("dist_q"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist_q"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist_q").as("dist_q"))
+    val init = q.where(col("vec_id") < k)
+      .select(col("vec_id").cast(IntegerType).as("cluster"), col("dim"),
+        col("iv").as("civ"))
+    (1 to iters).foldLeft(assign(init)) { (a, _) =>
+      assign(q.join(a.select("vec_id", "cluster"), "vec_id")
+        .groupBy("cluster", "dim")
+        .agg(sum("iv").as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          floor(col("s").cast(DoubleType) / col("n").cast(DoubleType))
+            .cast(LongType).as("civ")))
+    }
+  }
+
+  /** The same k-means rounds as DuckDB CTEs, generated from the same
+    * iteration count so the two engines cannot drift structurally. */
+  private def kmeansDuck(k: Int = KmK, iters: Int = KmIters): String = {
+    def dist(i: Int, cent: String) =
+      s"""d$i AS (SELECT q.vec_id, c.cluster,
+         |    CAST(SUM((q.iv - c.civ) * (q.iv - c.civ)) AS BIGINT) AS dist_q
+         |  FROM q JOIN $cent c ON q.dim = c.dim
+         |  GROUP BY q.vec_id, c.cluster),
+         |a$i AS (SELECT vec_id, cluster, dist_q FROM (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dist_q, cluster) AS rn FROM d$i) WHERE rn = 1)"""
+        .stripMargin
+    def update(i: Int) =
+      s"""c$i AS (SELECT a.cluster, q.dim,
+         |    CAST(floor(CAST(SUM(q.iv) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS civ
+         |  FROM q JOIN a$i a ON q.vec_id = a.vec_id
+         |  GROUP BY a.cluster, q.dim)""".stripMargin
+    val rounds = (1 to iters).map(i => update(i) + ",\n" + dist(i + 1, s"c$i"))
+    s"""WITH q AS (SELECT vec_id, i AS dim,
+       |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
+       |      AS BIGINT) AS iv
+       |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, iv AS civ
+       |  FROM q WHERE vec_id < $k),
+       |${dist(1, "c0")},
+       |${rounds.mkString(",\n")}
+       |SELECT vec_id, cluster, dist_q FROM a${iters + 1}
+       |ORDER BY vec_id""".stripMargin
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     // per-group Pearson correlation from decimal-exact moments: one scan,
     // five exact sums, one double expression. The naive corr() aggregate
@@ -217,6 +307,15 @@ object AnalyticsOps extends QueryModule {
           (col("s").cast(DoubleType) / 1e6 / col("n").cast(DoubleType))
             .as("centroid"))
         .orderBy("label", "dim")),
+
+    // distributed Lloyd's k-means (the unsupervised twin of
+    // vec_centroid): deterministic init from the k smallest vec_ids, two
+    // broadcast-assign + integer-centroid-update rounds, final exact
+    // argmin assignment per vector. The workhorse behind topic-balanced
+    // mixture sampling over an unlabeled corpus. All arithmetic integer
+    // after 1e6 quantization → oracle-exact (see kmeansAssign).
+    "vec_kmeans" -> ((s, d) =>
+      kmeansAssign(Tables.embeddings(s, d)).orderBy("vec_id")),
 
     // blocked fuzzy entity resolution: match customer records across two
     // "systems" (even vs odd keys) whose names differ by ≤1 edit. The
@@ -593,6 +692,7 @@ object AnalyticsOps extends QueryModule {
         |SELECT label, dim, COUNT(*) AS n,
         |  CAST(SUM(iv) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "vec_kmeans" -> kmeansDuck(),
     "join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
         |  FROM customer)

@@ -274,6 +274,41 @@ object TextOps extends QueryModule {
           length(col("norm_text")).cast(LongType).as("n_chars_norm"))
         .orderBy("doc_id")),
 
+    // cross-document boilerplate removal (the RefinedWeb/C4 line-dedup
+    // stage, over deterministic 5-token chunks since this corpus has no
+    // newlines): a chunk occurring in ≥3 DISTINCT docs is boilerplate —
+    // headers, footers, license blurbs — and is dropped from every doc;
+    // surviving chunks rebuild the text in order. Chunking is a narrow
+    // pass (sequence → slice → concat_ws, no per-token explode); the df
+    // count and the verdict join both ride a 32-hex md5 chunk key, so
+    // neither shuffle carries chunk text bodies. At 100 TB the df frame
+    // is O(unique chunks) — a regular hash join, NOT broadcastable —
+    // and the rebuild's listagg is ordered WITHIN GROUP, so partial
+    // aggregation cannot scramble chunk order.
+    "clean_boilerplate" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0),
+            (ceil(size(col("ts")).cast(DoubleType) / 5.0) - 1)
+              .cast(IntegerType))).as("cidx"),
+          col("ts"))
+        .select(col("doc_id"), col("cidx"),
+          concat_ws(" ", slice(col("ts"), col("cidx") * 5 + 1, lit(5)))
+            .as("ctext"))
+        .withColumn("h", md5(col("ctext")))
+      val df = chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("ndocs"))
+      chunks.join(df, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_removed"),
+          coalesce(
+            expr("listagg(CASE WHEN ndocs < 3 THEN ctext END, ' ') " +
+              "WITHIN GROUP (ORDER BY cidx)"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
     // differ only in case/diacritics/whitespace collapse into one hash
     // group (the planted-pair equivalence is asserted in TextVectorSpec;
@@ -822,6 +857,24 @@ object TextOps extends QueryModule {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "clean_boilerplate" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |chunks AS (SELECT doc_id, i AS cidx,
+        |    array_to_string(list_slice(ts, i * 5 + 1, i * 5 + 5), ' ')
+        |      AS ctext
+        |  FROM d0, unnest(range(0, CAST(ceil(CAST(len(ts) AS DOUBLE)
+        |    / 5.0) AS BIGINT))) AS u(i)),
+        |ch AS (SELECT doc_id, cidx, ctext, md5(ctext) AS h FROM chunks),
+        |df AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs
+        |  FROM ch GROUP BY h)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN ndocs < 3 THEN ctext END, ' '
+        |    ORDER BY cidx), '') AS clean_text
+        |FROM ch JOIN df USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_simhash" -> duckSimhash,
     // the naive new×corpus definition of the same incremental check
     "dedup_incremental" ->

@@ -368,6 +368,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortExec"), s"full sort in a top-k plan:\n$p")
   }
 
+  test("vec_kmeans broadcasts centroids; no shuffle join, partial aggs") {
+    // the assignment join must ship the O(k·d) centroid frame to the
+    // data, never co-shuffle the N·d component stream against it; the
+    // distance/update aggregates must partial-aggregate map-side
+    val p = plan("vec_kmeans")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3,
+      s"centroid joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a kmeans join degraded to SMJ:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 6,
+      s"expected partial+final aggs per round:\n$p")
+  }
+
+  test("clean_boilerplate chunks narrowly; verdict join keys on md5") {
+    // chunk construction is sequence→slice→concat_ws on the token array
+    // (no per-token explode), and both the df count and the verdict join
+    // carry the 32-hex chunk key, not chunk text bodies
+    val p = plan("clean_boilerplate")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(p.contains("md5"), s"chunk key not hashed:\n$p")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      s"interpreted lambda survives in the plan:\n$p")
+  }
+
   test("join_cbo_reorder actually reorders: selective dim joins first") {
     // the query is WRITTEN (lineitem ⋈ orders) ⋈ σ(customer);
     // CostBasedJoinReorder must rewrite it to (orders ⋈ σ(customer)) ⋈

@@ -140,6 +140,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansAssign equals a reference Lloyd model on random vectors") {
+    // the quantize → broadcast-assign → integer-update rounds must land
+    // on EXACTLY the reference assignment (same init, same floor
+    // arithmetic, same (dist, cluster) tie-break) — any drift in the
+    // update division or the argmin order shows up as a differing label.
+    val vecGen = Gen.listOfN(24,
+      Gen.listOfN(4, Gen.chooseNum(-1000, 1000).map(_ / 1000.0)))
+    forAll(vecGen, Gen.const(()), n = 6) { (vs0, _) =>
+      val k = 3
+      val vecs = vs0.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat)) }
+      val df = vecs.toDF("vec_id", "embedding")
+      val got = operators.AnalyticsOps.kmeansAssign(df, k = k, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+
+      // reference model: same quantization, pure Scala
+      val q = vecs.map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong) }.toMap
+      def assign(cent: Map[Int, Seq[Long]]): Map[Long, (Int, Long)] =
+        q.map { case (id, iv) =>
+          id -> cent.toSeq.map { case (c, civ) =>
+            val d = iv.zip(civ).map { case (a, b) => (a - b) * (a - b) }.sum
+            (d, c)
+          }.min.swap
+        }
+      var cent: Map[Int, Seq[Long]] =
+        (0 until k).map(c => c -> q(c.toLong).toSeq).toMap
+      var a = assign(cent)
+      for (_ <- 1 to 2) {
+        cent = a.groupBy(_._2._1).map { case (c, members) =>
+          val ivs = members.keys.toSeq.map(q)
+          c -> (0 until 4).map(dim =>
+            math.floor(ivs.map(_(dim)).sum.toDouble / ivs.size).toLong)
+        }
+        a = assign(cent)
+      }
+      val want = a.toSeq.map { case (id, (c, dq)) => (id, c, dq) }
+        .sortBy(_._1)
+      assert(got == want)
+    }
+  }
+
   test("CountMin never underestimates on random token streams, any layout") {
     val tokens = Gen.listOfN(300, Gen.oneOf(
       (1 to 25).map(i => s"tok$i")))

@@ -248,6 +248,33 @@ class TextVectorSpec extends AnyFunSuite {
     assert(want.nonEmpty, "corpus should contain containment pairs")
   }
 
+  test("clean_boilerplate matches a brute-force chunk-df model") {
+    // independent truth in plain Scala: aligned 5-token chunks, df =
+    // distinct docs per chunk text, drop df≥3, rebuild in chunk order.
+    // The query must reproduce counts AND rebuilt text per doc — an
+    // unordered listagg or an off-by-one slice shows up immediately.
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)
+        .grouped(5).map(_.mkString(" ")).toVector)
+    val df = corpus.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val want = corpus.map { case (id, cs) =>
+      val kept = cs.filter(df(_) < 3)
+      id -> ((id, cs.size.toLong, (cs.size - kept.size).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("clean_boilerplate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_chunks"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+    assert(want.values.map(_._3).sum > 0,
+      "corpus should contain boilerplate chunks")
+  }
+
   test("LSH candidate mass stays within the documented degradation bound") {
     // regime diagnostic (VectorOps scaladoc): at τ=0.4 ≈ 3.2σ from random
     // this corpus admits no sub-quadratic family, so the contract is
