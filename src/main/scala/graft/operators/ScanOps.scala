@@ -217,6 +217,37 @@ object ScanOps extends QueryModule {
           min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
     }),
 
+    // bloom-filter sink: row-group bloom filters on the point-lookup key.
+    // min/max statistics cannot skip on a high-cardinality UNSORTED key
+    // (every row group spans nearly the full key range); a bloom filter
+    // gives each group a probabilistic definitely-not-here test, so an
+    // o_custkey = K probe decodes only the groups that might hold K —
+    // at 100 TB the difference between a full scan and a handful of row
+    // groups for needle lookups. The re-read's point predicate pushes to
+    // the parquet reader (parquet-mr consults the bloom before decoding);
+    // OperatorSpec opens the footer and asserts the filter exists.
+    "sink_bloom" -> ((s, d) => {
+      val dir = Fixtures.sinkDir(s, d, "orders", "orders_bloom")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite)
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        // parquet-mr omits the bloom when a column stays fully
+        // dictionary-encoded (the dictionary already answers membership
+        // exactly). At 100 TB a customer key's NDV blows the dictionary
+        // page and blooms engage naturally; at test scale force plain
+        // encoding so the written structure is the at-scale one.
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(dir)
+      s.read.parquet(dir)
+        .where(col("o_custkey") === 7L)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     // partitioned sink + re-read through partition pruning; the re-read
     // aggregate proves the round trip. Partition column (lang) has 5
     // values — at 100 TB partitionBy on a low-cardinality column like
@@ -305,6 +336,12 @@ object ScanOps extends QueryModule {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
         |FROM lineitem WHERE l_quantity < 5""".stripMargin,
+    "sink_bloom" ->
+      """SELECT COUNT(1) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey = 7""".stripMargin,
     "sink_parquet" ->
       """SELECT COUNT(1) AS n_rows,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -203,6 +203,37 @@ object TextOps extends QueryModule {
         (col("n_inter").cast(DoubleType) / col("n_a")).as("containment"))
   }
 
+  /** The boilerplate-removal transform behind `clean_boilerplate`, over
+    * any (doc_id, text) frame — corpus-agnostic so PropertySpec can
+    * replay it against a brute-force model on random corpora (slice
+    * boundaries, all-chunks-removed docs and single-token texts are the
+    * edge shapes a fixed corpus may never exercise).
+    * @param w     tokens per aligned chunk
+    * @param minDf a chunk in ≥ this many DISTINCT docs is boilerplate */
+  private[graft] def boilerplateClean(docs: DataFrame, w: Int = 5,
+      minDf: Int = 3): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          (ceil(size(col("ts")).cast(DoubleType) / w.toDouble) - 1)
+            .cast(IntegerType))).as("cidx"),
+        col("ts"))
+      .select(col("doc_id"), col("cidx"),
+        concat_ws(" ", slice(col("ts"), col("cidx") * w + 1, lit(w)))
+          .as("ctext"))
+      .withColumn("h", md5(col("ctext")))
+    val df = chunks.groupBy("h")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    chunks.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ndocs") >= minDf, 1L).otherwise(0L)).as("n_removed"),
+        coalesce(
+          expr(s"listagg(CASE WHEN ndocs < $minDf THEN ctext END, ' ') " +
+            "WITHIN GROUP (ORDER BY cidx)"), lit("")).as("clean_text"))
+  }
+
   /** SimHash bit b of a token's md5 hex: digit = hex char at b/4,
     * bit = (digit >> (b%4)) & 1. md5 hex is identical on both engines, so
     * the whole fingerprint is oracle-comparable. 60 bits → fits a long. */
@@ -285,29 +316,8 @@ object TextOps extends QueryModule {
     // is O(unique chunks) — a regular hash join, NOT broadcastable —
     // and the rebuild's listagg is ordered WITHIN GROUP, so partial
     // aggregation cannot scramble chunk order.
-    "clean_boilerplate" -> ((s, d) => {
-      val chunks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        .select(col("doc_id"),
-          explode(sequence(lit(0),
-            (ceil(size(col("ts")).cast(DoubleType) / 5.0) - 1)
-              .cast(IntegerType))).as("cidx"),
-          col("ts"))
-        .select(col("doc_id"), col("cidx"),
-          concat_ws(" ", slice(col("ts"), col("cidx") * 5 + 1, lit(5)))
-            .as("ctext"))
-        .withColumn("h", md5(col("ctext")))
-      val df = chunks.groupBy("h")
-        .agg(countDistinct("doc_id").as("ndocs"))
-      chunks.join(df, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum(when(col("ndocs") >= 3, 1L).otherwise(0L)).as("n_removed"),
-          coalesce(
-            expr("listagg(CASE WHEN ndocs < 3 THEN ctext END, ' ') " +
-              "WITHIN GROUP (ORDER BY cidx)"), lit("")).as("clean_text"))
-        .orderBy("doc_id")
-    }),
+    "clean_boilerplate" -> ((s, d) =>
+      boilerplateClean(Tables.documents(s, d)).orderBy("doc_id")),
 
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
     // differ only in case/diacritics/whitespace collapse into one hash

@@ -5,6 +5,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** Hand-computed expected values on tiny in-memory frames (SURVEY §5.2.2). */
 class OperatorSpec extends AnyFunSuite {
   import TestSpark._
@@ -86,6 +88,32 @@ class OperatorSpec extends AnyFunSuite {
     // tests a stale directory from a previous naming scheme
     val out = graft.operators.Fixtures.sinkDir(spark, sf, "events", "compacted")
     assert(parts(out) <= 2 && parts(out) >= 1)
+  }
+
+  test("sink_bloom writes a real bloom filter and the lookup matches") {
+    val rows = SparkEntry.queries("sink_bloom")(spark, sf).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) > 0)
+    // open the written footer with parquet-mr and assert the o_custkey
+    // column chunk carries a bloom filter — the write option silently
+    // no-ops if misspelled, and min/max stats would still answer the
+    // lookup, so only the footer proves the skipping structure exists
+    val dir = graft.operators.Fixtures.sinkDir(spark, sf, "orders",
+      "orders_bloom")
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getRowGroups
+      assert(!blocks.isEmpty)
+      val cc = blocks.get(0).getColumns.asScala
+        .find(_.getPath.toDotString == "o_custkey").get
+      assert(r.getBloomFilterDataReader(blocks.get(0))
+          .readBloomFilter(cc) != null,
+        "no bloom filter on o_custkey")
+    } finally r.close()
   }
 
   test("Dataset.observe collects quality counters in the same pass") {

@@ -140,6 +140,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplateClean equals the brute-force model on random corpora") {
+    // tiny vocab forces dense chunk collisions; doc lengths straddle the
+    // chunk width so slice boundaries, 1-token tails and fully-removed
+    // docs all occur. The rebuilt text must match token-exactly — an
+    // unordered listagg or an off-by-one slice start cannot hide here.
+    val docGen = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.take(7)))
+    forAll(docGen, Gen.const(()), n = 8) { (docs0, _) =>
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val got = operators.TextOps
+        .boilerplateClean(docs.toDF("doc_id", "text"), w = 2, minDf = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val model = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).grouped(2).map(_.mkString(" ")).toVector }
+      val df = model.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+      val want = model.map { case (id, cs) =>
+        val kept = cs.filter(df(_) < 2)
+        (id, cs.size.toLong, (cs.size - kept.size).toLong,
+          kept.mkString(" "))
+      }.toSet
+      assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
   test("kmeansAssign equals a reference Lloyd model on random vectors") {
     // the quantize → broadcast-assign → integer-update rounds must land
     // on EXACTLY the reference assignment (same init, same floor
