@@ -84,6 +84,30 @@ object GraftApi {
       .where(col("rank") <= k)
   }
 
+  /** Distributed Lloyd's k-means over a (vec_id, embedding) frame:
+    * deterministic init from the k smallest vec_ids, `iters`
+    * broadcast-assign + integer-centroid-update rounds, exact argmin
+    * assignment — collect-free, engine-exact after 1e6 quantization.
+    * Returns (vec_id, cluster, dist_q). */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    graft.operators.AnalyticsOps.kmeansAssign(emb, k, iters)
+
+  // ---- curation -----------------------------------------------------
+
+  /** Cross-document boilerplate removal over aligned w-token chunks of
+    * a (doc_id, text) frame: chunks in ≥ minDf distinct docs are
+    * dropped everywhere; returns (doc_id, n_chunks, n_removed,
+    * clean_text) with text rebuilt in chunk order. */
+  def removeBoilerplate(docs: DataFrame, w: Int = 5,
+      minDf: Int = 3): DataFrame =
+    graft.operators.TextOps.boilerplateClean(docs, w, minDf)
+
+  /** Directed containment pairs over a (doc_id, hs sorted-distinct
+    * shingle-hash array) frame: rows where |A∩B|/|A| ≥ 0.9 — the
+    * doc-embedded-in-doc relation symmetric Jaccard misses. */
+  def containmentPairs(docs: DataFrame, minShingles: Int = 8): DataFrame =
+    graft.operators.TextOps.containmentPairs(docs, minShingles)
+
   // ---- quality ------------------------------------------------------
 
   /** Per-group exact decimal sum cast back to double — the

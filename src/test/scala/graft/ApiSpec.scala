@@ -57,6 +57,31 @@ class ApiSpec extends AnyFunSuite {
     assert(top.toSeq.sorted == Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("kmeans separates two planted clusters on an ad-hoc corpus") {
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // ids 0/1 seed the two true clusters (init = smallest vec_ids)
+    val emb = Seq(
+      (0L, v(1, 0)), (1L, v(-1, 0)), (2L, v(0.9, 0.05)),
+      (3L, v(-0.95, 0.02)), (4L, v(0.8, -0.1)), (5L, v(-0.85, 0.1)))
+      .toDF("vec_id", "embedding")
+    val a = GraftApi.kmeans(emb, k = 2, iters = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(Set(a(0L), a(2L), a(4L)).size == 1, s"right cluster split: $a")
+    assert(Set(a(1L), a(3L), a(5L)).size == 1, s"left cluster split: $a")
+    assert(a(0L) != a(1L), s"clusters merged: $a")
+  }
+
+  test("removeBoilerplate drops the repeated chunk, keeps unique text") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b z w"))
+      .toDF("doc_id", "text")
+    val out = GraftApi.removeBoilerplate(docs, w = 2, minDf = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((1L, "c d")) && out(2L) == ((1L, "x y")) &&
+      out(3L) == ((1L, "z w")), s"got $out")
+  }
+
   test("shingleHashes matches the SQL-composable xxhash64 form") {
     val df = Seq("the quick brown fox jumps").toDF("t")
     val kernel = df.select(GraftApi.shingleHashes(col("t"), 3).as("h"))

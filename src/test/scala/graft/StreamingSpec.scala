@@ -7,34 +7,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Spark 4 transformWithState processor: per-user (count, sum) state.
-  * Top-level class — it is serialized into the streaming query. */
-class RunningTotalProcessor
-    extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Double), (Long, Long, Double)] {
-  @transient private var state:
-    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
-
-  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
-                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-    state = getHandle.getValueState[(Long, Double)]("running",
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.Encoders.scalaDouble),
-      org.apache.spark.sql.streaming.TTLConfig.NONE)
-
-  override def handleInputRows(
-      key: Long, rows: Iterator[(Long, Double)],
-      timerValues: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[(Long, Long, Double)] = {
-    val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
-    val batch = rows.toSeq
-    val next = (n0 + batch.size, v0 + batch.map(_._2).sum)
-    state.update(next)
-    Iterator.single((key, next._1, next._2))
-  }
-}
-
 /** True Structured Streaming forms of the §2.10 operators (SURVEY §5.2.4).
   * The batch-equivalent forms are oracle-compared via StreamOps; these
   * tests prove the readStream/watermark/state behavior the oracle can't see:
@@ -186,7 +158,7 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, Double)]
     val counts = in.toDS()
       .groupByKey(_._1)
-      .transformWithState(new RunningTotalProcessor,
+      .transformWithState(new streaming.RunningTotalProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
       .toDF("user", "n", "total")
