@@ -88,7 +88,10 @@ object GraftApi {
     * deterministic init from the k smallest vec_ids, `iters`
     * broadcast-assign + integer-centroid-update rounds, exact argmin
     * assignment — collect-free, engine-exact after 1e6 quantization.
-    * Returns (vec_id, cluster, dist_q). */
+    * Returns (vec_id, cluster, dist_q). Each round re-derives the
+    * quantized component stream from `emb`; at real scale persist/
+    * checkpoint `emb` before calling (this builder stays action-free
+    * by the API contract, so caching is the caller's choice). */
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     graft.operators.AnalyticsOps.kmeansAssign(emb, k, iters)
 
