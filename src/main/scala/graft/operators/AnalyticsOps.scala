@@ -102,8 +102,10 @@ object AnalyticsOps extends QueryModule {
     *  - components quantized `floor(v·1e6 + 0.5)` (the vec_centroid
     *    discipline); distances are exact integer sums of squares
     *    (|iv| ≤ ~2e6, 64 dims → dist < 3e14, safely inside Long).
-    *  - init = the embeddings of the k smallest vec_ids (deterministic,
-    *    no RNG to coordinate across engines or executors).
+    *  - init = the embeddings of the k SMALLEST vec_ids, labeled by
+    *    their rank 0..k-1 (deterministic, no RNG to coordinate across
+    *    engines or executors; a `vec_id < k` shortcut would silently
+    *    mis-seed any frame whose ids aren't dense 0-based).
     *  - centroid update `floor(SUM(iv)/n)` is EXACT through double
     *    division: |SUM| ≤ 5e8 < 2^53 and the true quotient is a
     *    rational with denominator n ≤ corpus size, so it is either an
@@ -135,9 +137,15 @@ object AnalyticsOps extends QueryModule {
         .agg(min(struct(col("dist_q"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
           col("m.dist_q").as("dist_q"))
-    val init = q.where(col("vec_id") < k)
-      .select(col("vec_id").cast(IntegerType).as("cluster"), col("dim"),
-        col("iv").as("civ"))
+    // init = the k SMALLEST vec_ids (not `vec_id < k`, which silently
+    // returns empty/under-clustered output on frames whose ids aren't
+    // dense 0-based): TakeOrderedAndProject over ids only, broadcast
+    val seeds = emb.select(col("vec_id")).orderBy("vec_id").limit(k)
+      .withColumn("cluster",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).cast(IntegerType))
+    val init = q.join(broadcast(seeds), "vec_id")
+      .select(col("cluster"), col("dim"), col("iv").as("civ"))
     (1 to iters).foldLeft(assign(init)) { (a, _) =>
       assign(q.join(a.select("vec_id", "cluster"), "vec_id")
         .groupBy("cluster", "dim")
@@ -171,8 +179,12 @@ object AnalyticsOps extends QueryModule {
        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
        |      AS BIGINT) AS iv
        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
-       |c0 AS (SELECT CAST(vec_id AS INT) AS cluster, dim, iv AS civ
-       |  FROM q WHERE vec_id < $k),
+       |seeds AS (SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster
+       |  FROM embeddings
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $k),
+       |c0 AS (SELECT s.cluster, q.dim, q.iv AS civ
+       |  FROM q JOIN seeds s ON q.vec_id = s.vec_id),
        |${dist(1, "c0")},
        |${rounds.mkString(",\n")}
        |SELECT vec_id, cluster, dist_q FROM a${iters + 1}

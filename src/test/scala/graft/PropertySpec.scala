@@ -173,12 +173,15 @@ class PropertySpec extends AnyFunSuite {
     // on EXACTLY the reference assignment (same init, same floor
     // arithmetic, same (dist, cluster) tie-break) — any drift in the
     // update division or the argmin order shows up as a differing label.
+    // ids deliberately non-dense and non-zero-based (i*3 + 11): the init
+    // must take the k SMALLEST ids ranked 0..k-1 — a `vec_id < k`
+    // shortcut returns an empty centroid frame here and dies silently
     val vecGen = Gen.listOfN(24,
       Gen.listOfN(4, Gen.chooseNum(-1000, 1000).map(_ / 1000.0)))
     forAll(vecGen, Gen.const(()), n = 6) { (vs0, _) =>
       val k = 3
       val vecs = vs0.zipWithIndex.map { case (v, i) =>
-        (i.toLong, v.map(_.toFloat)) }
+        (i.toLong * 3 + 11, v.map(_.toFloat)) }
       val df = vecs.toDF("vec_id", "embedding")
       val got = operators.AnalyticsOps.kmeansAssign(df, k = k, iters = 2)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
@@ -195,7 +198,8 @@ class PropertySpec extends AnyFunSuite {
           }.min.swap
         }
       var cent: Map[Int, Seq[Long]] =
-        (0 until k).map(c => c -> q(c.toLong).toSeq).toMap
+        q.keys.toSeq.sorted.take(k).zipWithIndex
+          .map { case (id, rank) => rank -> q(id).toSeq }.toMap
       var a = assign(cent)
       for (_ <- 1 to 2) {
         cent = a.groupBy(_._2._1).map { case (c, members) =>
