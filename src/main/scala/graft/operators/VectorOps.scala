@@ -610,6 +610,43 @@ object VectorOps extends QueryModule {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // resize path (closing the decode/feature/resize/frame-sample
+    // quartet): nearest-neighbor 8×8 downsample of the stubbed image —
+    // source dims derived as in multimodal_decode, each grid cell
+    // sampling the payload byte at its mapped source pixel. Unlike the
+    // typed decode stub this one is fully RELATIONAL: hex(payload) +
+    // integer-position arithmetic keeps the whole 64-cell fan-out in
+    // whole-stage codegen (no mapPartitions), and the identical hex
+    // arithmetic makes every sampled byte oracle-recomputable. The mean
+    // rides exact integer sums; /16320.0 is one shared final division.
+    "multimodal_resize" -> ((s, d) => {
+      val m = s.read.schema(Fixtures.mediaSchema)
+        .parquet(Fixtures.mediaFile(s, d))
+        .where(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), hex(col("payload")).as("hx"),
+          octet_length(col("payload")).cast(LongType).as("nb"))
+        .withColumn("src_w", lit(64L) + col("nb") % 512)
+        .withColumn("src_h", lit(64L) +
+          conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % 512)
+      m.select(col("doc_id"), col("src_w"), col("src_h"), col("hx"),
+          col("nb"), explode(sequence(lit(0), lit(63))).as("g"))
+        .withColumn("px",
+          floor((col("g") % 8) * col("src_w") / lit(8.0)).cast(LongType))
+        .withColumn("py",
+          floor(floor(col("g") / 8) * col("src_h") / lit(8.0))
+            .cast(LongType))
+        .withColumn("v", expr("cast(conv(substr(hx, " +
+          "cast(((px * 7 + py * 13) % nb) * 2 + 1 as int), 2), 16, 10) " +
+          "as bigint)"))
+        .groupBy(col("doc_id"), col("src_w"), col("src_h"))
+        .agg((sum("v").cast(DoubleType) / lit(16320.0)).as("resized_mean"))
+        .select(col("doc_id"), col("src_w"), col("src_h"),
+          (col("src_w") / lit(8.0)).as("scale_x"),
+          (col("src_h") / lit(8.0)).as("scale_y"),
+          col("resized_mean"))
+        .orderBy("doc_id")
+    }),
+
     // decode path: batched per-partition "decode" of the binary payload.
     // The decode itself is a deterministic STUB (no image/audio libs in
     // this container — task brief); the Spark plumbing (real binary
@@ -728,6 +765,33 @@ object VectorOps extends QueryModule {
         |    / 255.0 AS frame_feat
         |FROM m, unnest(range(0, 1 + CAST(nb % 16 AS INT), 4)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    substr(repeat(md5(text), 4), 1,
+        |      2 * CAST(7 + doc_id % 57 AS INT)) AS hx,
+        |    (7 + doc_id % 57) AS nb
+        |  FROM documents),
+        |d AS (SELECT doc_id, hx, nb,
+        |    64 + nb % 512 AS src_w,
+        |    64 + (16 * (instr('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |        + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 512
+        |      AS src_h
+        |  FROM m WHERE nb > 0),
+        |s AS (SELECT doc_id, src_w, src_h, hx, nb,
+        |    CAST(floor((g % 8) * src_w / 8.0) AS BIGINT) AS px,
+        |    CAST(floor(floor(g / 8) * src_h / 8.0) AS BIGINT) AS py
+        |  FROM d, unnest(range(0, 64)) AS u(g)),
+        |v AS (SELECT doc_id, src_w, src_h,
+        |    (16 * (instr('0123456789abcdef', substr(hx,
+        |        CAST(((px * 7 + py * 13) % nb) * 2 + 1 AS INT), 1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,
+        |        CAST(((px * 7 + py * 13) % nb) * 2 + 2 AS INT), 1)) - 1))
+        |      AS val
+        |  FROM s)
+        |SELECT doc_id, src_w, src_h,
+        |  src_w / 8.0 AS scale_x, src_h / 8.0 AS scale_y,
+        |  CAST(SUM(val) AS DOUBLE) / 16320.0 AS resized_mean
+        |FROM v GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin,
     "multimodal_cols" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
