@@ -320,6 +320,50 @@ object AnalyticsOps extends QueryModule {
             .as("centroid"))
         .orderBy("label", "dim")),
 
+    // distributed covariance matrix over the embedding corpus (the
+    // second-moment twin of vec_centroid; whitening / PCA-prep input).
+    // Pair products are generated NARROWLY inside each row's array
+    // (explode i, explode j ≥ i — no self-join, no N·d shuffle): the
+    // only shuffle carries O(d²) map-side-combined partials, the Gram
+    // communication lower bound. profile_corr discipline: quantized
+    // integer sums are exact under any aggregation order; cov is ONE
+    // double expression over exactly-determined inputs, so the IEEE
+    // result is bit-equal across engines.
+    "vec_covariance" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast(LongType).as("dim"),
+          floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)
+            .as("iv"))
+      val firsts = q.groupBy("dim").agg(sum("iv").as("s"))
+      val nRow = emb.agg(count(lit(1)).as("n_vecs"))
+      val sij = emb.select(col("embedding").as("em"))
+        .select(col("em"),
+          explode(sequence(lit(0), size(col("em")) - 1)).as("i"))
+        .select(col("em"), col("i"),
+          explode(sequence(col("i"), size(col("em")) - 1)).as("j"))
+        .select(col("i").cast(LongType).as("dim_i"),
+          col("j").cast(LongType).as("dim_j"),
+          (floor(expr("element_at(em, i + 1)").cast(DoubleType) * 1e6 + 0.5)
+            .cast(LongType) *
+           floor(expr("element_at(em, j + 1)").cast(DoubleType) * 1e6 + 0.5)
+            .cast(LongType)).as("p"))
+        .groupBy("dim_i", "dim_j").agg(sum("p").as("sij"))
+      sij
+        .join(broadcast(firsts.select(col("dim").as("dim_i"),
+          col("s").as("si"))), "dim_i")
+        .join(broadcast(firsts.select(col("dim").as("dim_j"),
+          col("s").as("sj"))), "dim_j")
+        .crossJoin(broadcast(nRow))
+        .select(col("dim_i"), col("dim_j"), col("n_vecs"),
+          ((col("sij").cast(DoubleType) -
+            col("si").cast(DoubleType) * col("sj").cast(DoubleType) /
+              col("n_vecs").cast(DoubleType)) /
+            col("n_vecs").cast(DoubleType) / lit(1e12)).as("cov"))
+        .orderBy("dim_i", "dim_j")
+    }),
+
     // distributed Lloyd's k-means (the unsupervised twin of
     // vec_centroid): deterministic init from the k smallest vec_ids, two
     // broadcast-assign + integer-centroid-update rounds, final exact
@@ -705,6 +749,26 @@ object AnalyticsOps extends QueryModule {
         |  CAST(SUM(iv) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS centroid
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "vec_kmeans" -> kmeansDuck(),
+    "vec_covariance" ->
+      """WITH q AS (SELECT vec_id, i AS dim,
+        |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
+        |      AS BIGINT) AS iv
+        |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+        |nn AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        |s1 AS (SELECT dim, CAST(SUM(iv) AS BIGINT) AS s
+        |  FROM q GROUP BY dim),
+        |s2 AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |    CAST(SUM(a.iv * b.iv) AS BIGINT) AS sij
+        |  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY a.dim, b.dim)
+        |SELECT dim_i, dim_j, nn.n_vecs,
+        |  (CAST(sij AS DOUBLE) - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)
+        |     / CAST(nn.n_vecs AS DOUBLE)) / CAST(nn.n_vecs AS DOUBLE) / 1e12
+        |    AS cov
+        |FROM s2 CROSS JOIN nn
+        |JOIN s1 sa ON s2.dim_i = sa.dim
+        |JOIN s1 sb ON s2.dim_j = sb.dim
+        |ORDER BY dim_i, dim_j""".stripMargin,
     "join_fuzzy" ->
       """WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, 7) AS blk
         |  FROM customer)

@@ -42,6 +42,31 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_covariance diagonal matches direct variance; PSD-consistent") {
+    val got = SparkEntry.queries("vec_covariance")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim_i"), r.getAs[Long]("dim_j")) ->
+        r.getAs[Double]("cov")).toMap
+    assert(got.size == 64 * 65 / 2)
+    // every diagonal entry is a population variance → nonnegative, and
+    // |cov(i,j)| ≤ sqrt(var_i · var_j) (Cauchy–Schwarz) up to the 1e-6
+    // quantization slack
+    got.foreach { case ((i, j), c) =>
+      if (i == j) assert(c >= -1e-9, s"var($i) negative: $c")
+      else {
+        val bound = math.sqrt(got((i, i)) * got((j, j))) + 1e-6
+        assert(math.abs(c) <= bound, s"cov($i,$j)=$c exceeds $bound")
+      }
+    }
+    // spot-check dim 0 against a direct driver computation
+    val xs = Tables.embeddings(spark, sf)
+      .select(col("embedding").getItem(0).cast("double")).collect()
+      .map(_.getDouble(0))
+    val m = xs.sum / xs.length
+    val direct = xs.map(x => (x - m) * (x - m)).sum / xs.length
+    assert(math.abs(got((0L, 0L)) - direct) < 1e-4,
+      s"var(0): ${got((0L, 0L))} vs $direct")
+  }
+
   test("join_fuzzy finds the planted one-edit neighbor pair") {
     // Customer#000000100 vs Customer#000000101 share block "0000010"
     // and differ by exactly one substitution
