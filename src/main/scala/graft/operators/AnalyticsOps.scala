@@ -156,6 +156,90 @@ object AnalyticsOps extends QueryModule {
     }
   }
 
+  /** Distributed covariance over a (vec_id, embedding) frame — the
+    * second-moment twin of vec_centroid (vec_covariance scaladoc at the
+    * query site). Upper triangle as (dim_i, dim_j, n_vecs, cov). */
+  private[graft] def covarianceFrame(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast(LongType).as("dim"),
+        floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)
+          .as("iv"))
+    val firsts = q.groupBy("dim").agg(sum("iv").as("s"))
+    val nRow = emb.agg(count(lit(1)).as("n_vecs"))
+    val sij = emb.select(col("embedding").as("em"))
+      .select(col("em"),
+        explode(sequence(lit(0), size(col("em")) - 1)).as("i"))
+      .select(col("em"), col("i"),
+        explode(sequence(col("i"), size(col("em")) - 1)).as("j"))
+      .select(col("i").cast(LongType).as("dim_i"),
+        col("j").cast(LongType).as("dim_j"),
+        (floor(expr("element_at(em, i + 1)").cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType) *
+         floor(expr("element_at(em, j + 1)").cast(DoubleType) * 1e6 + 0.5)
+          .cast(LongType)).as("p"))
+      .groupBy("dim_i", "dim_j").agg(sum("p").as("sij"))
+    sij
+      .join(broadcast(firsts.select(col("dim").as("dim_i"),
+        col("s").as("si"))), "dim_i")
+      .join(broadcast(firsts.select(col("dim").as("dim_j"),
+        col("s").as("sj"))), "dim_j")
+      .crossJoin(broadcast(nRow))
+      .select(col("dim_i"), col("dim_j"), col("n_vecs"),
+        ((col("sij").cast(DoubleType) -
+          col("si").cast(DoubleType) * col("sj").cast(DoubleType) /
+            col("n_vecs").cast(DoubleType)) /
+          col("n_vecs").cast(DoubleType) / lit(1e12)).as("cov"))
+  }
+
+  /** principal components kept by vec_pca_project */
+  private val PcaK = 4
+
+  /** Top-PcaK eigenpairs of the embedding covariance: the distributed
+    * part is covarianceFrame's exact moment aggregation; the collected
+    * O(d²) matrix (64×64, corpus-size-independent — a sanctioned
+    * bounded model) is eigensolved on the driver with deterministic
+    * power iteration: all-ones start, 500 fixed iterations, deflation,
+    * and a largest-|component|-positive sign convention — a pure
+    * function of the corpus, reproducible across layouts and engines.
+    * Returns (axes, eigenvalues) or None on an empty/degenerate corpus. */
+  private[graft] def pcaFit(s: org.apache.spark.sql.SparkSession,
+      d: String): Option[(Array[Array[Double]], Array[Double])] = {
+    val rows = covarianceFrame(Tables.embeddings(s, d)).collect()
+    if (rows.isEmpty) None
+    else {
+      val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+      val cov = Array.ofDim[Double](dim, dim)
+      rows.foreach { r =>
+        val (i, j, c) = (r.getLong(0).toInt, r.getLong(1).toInt,
+          r.getDouble(3))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+      val axes = Array.ofDim[Double](PcaK, dim)
+      val evs = new Array[Double](PcaK)
+      for (k <- 0 until PcaK) {
+        var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+        for (_ <- 1 to 500) {
+          val w = Array.tabulate(dim)(i =>
+            (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+          val n = math.sqrt(w.map(x => x * x).sum)
+          v = if (n > 0) w.map(_ / n) else v
+        }
+        val lambda = (0 until dim).map(i =>
+          v(i) * (0 until dim).map(j => cov(i)(j) * v(j)).sum).sum
+        // sign convention: the largest-magnitude component is positive
+        val pivot = v.indices.maxBy(i => math.abs(v(i)))
+        val sv = if (v(pivot) < 0) v.map(-_) else v
+        axes(k) = sv; evs(k) = lambda
+        // deflate: cov -= lambda·v·vᵀ
+        for (i <- 0 until dim; j <- 0 until dim)
+          cov(i)(j) -= lambda * sv(i) * sv(j)
+      }
+      Some((axes, evs))
+    }
+  }
+
   /** The same k-means rounds as DuckDB CTEs, generated from the same
     * iteration count so the two engines cannot drift structurally. */
   private def kmeansDuck(k: Int = KmK, iters: Int = KmIters): String = {
@@ -329,40 +413,34 @@ object AnalyticsOps extends QueryModule {
     // integer sums are exact under any aggregation order; cov is ONE
     // double expression over exactly-determined inputs, so the IEEE
     // result is bit-equal across engines.
-    "vec_covariance" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val q = emb
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .select(col("dim").cast(LongType).as("dim"),
-          floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)
-            .as("iv"))
-      val firsts = q.groupBy("dim").agg(sum("iv").as("s"))
-      val nRow = emb.agg(count(lit(1)).as("n_vecs"))
-      val sij = emb.select(col("embedding").as("em"))
-        .select(col("em"),
-          explode(sequence(lit(0), size(col("em")) - 1)).as("i"))
-        .select(col("em"), col("i"),
-          explode(sequence(col("i"), size(col("em")) - 1)).as("j"))
-        .select(col("i").cast(LongType).as("dim_i"),
-          col("j").cast(LongType).as("dim_j"),
-          (floor(expr("element_at(em, i + 1)").cast(DoubleType) * 1e6 + 0.5)
-            .cast(LongType) *
-           floor(expr("element_at(em, j + 1)").cast(DoubleType) * 1e6 + 0.5)
-            .cast(LongType)).as("p"))
-        .groupBy("dim_i", "dim_j").agg(sum("p").as("sij"))
-      sij
-        .join(broadcast(firsts.select(col("dim").as("dim_i"),
-          col("s").as("si"))), "dim_i")
-        .join(broadcast(firsts.select(col("dim").as("dim_j"),
-          col("s").as("sj"))), "dim_j")
-        .crossJoin(broadcast(nRow))
-        .select(col("dim_i"), col("dim_j"), col("n_vecs"),
-          ((col("sij").cast(DoubleType) -
-            col("si").cast(DoubleType) * col("sj").cast(DoubleType) /
-              col("n_vecs").cast(DoubleType)) /
-            col("n_vecs").cast(DoubleType) / lit(1e12)).as("cov"))
-        .orderBy("dim_i", "dim_j")
-    }),
+    "vec_covariance" -> ((s, d) =>
+      covarianceFrame(Tables.embeddings(s, d)).orderBy("dim_i", "dim_j")),
+
+    // PCA projection: top-4 principal components per vector. The eigen
+    // step is a driver-side bounded model fit (the sanctioned vec_pq
+    // shape — the covariance matrix is O(d²)=64×64 REGARDLESS of corpus
+    // size; the distributed work is the exact integer moment aggregation
+    // shared with vec_covariance). Deterministic power iteration with
+    // deflation + a sign convention, so the fit is a pure function of
+    // the corpus; the projection itself is one narrow codegen'd dot
+    // pass. Rows-only (eigenvectors aren't SQL-expressible); TextVector-
+    // Spec asserts orthonormal axes, descending eigenvalues, and
+    // projection variance ≈ eigenvalue per component.
+    "vec_pca_project" -> ((s, d) =>
+      pcaFit(s, d) match {
+        case Some((axes, _)) =>
+          val pcols = axes.zipWithIndex.map { case (v, i) =>
+            graft.functions.VectorExprs.dotF(col("embedding"),
+              typedLit(v.map(_.toFloat).toSeq)).as(s"p${i + 1}")
+          }
+          Tables.embeddings(s, d)
+            .select((col("vec_id") +: pcols.toSeq): _*)
+            .orderBy("vec_id")
+        case None =>
+          Tables.embeddings(s, d)
+            .select((col("vec_id") +: (1 to PcaK).map(i =>
+              lit(0.0).as(s"p$i"))): _*).limit(0)
+      }),
 
     // distributed Lloyd's k-means (the unsupervised twin of
     // vec_centroid): deterministic init from the k smallest vec_ids, two

@@ -295,6 +295,36 @@ class TextVectorSpec extends AnyFunSuite {
       s"verified LSH pairs $verified below 95% of exact $exact")
   }
 
+  test("vec_pca_project: orthonormal axes, descending eigenvalues, " +
+      "projection variance matches each eigenvalue") {
+    val fit = operators.AnalyticsOps.pcaFit(spark, sf)
+    assert(fit.isDefined)
+    val (axes, evs) = fit.get
+    // orthonormality of the fitted axes
+    for (i <- axes.indices; j <- axes.indices) {
+      val d = axes(i).zip(axes(j)).map { case (a, b) => a * b }.sum
+      if (i == j) assert(math.abs(d - 1.0) < 1e-9, s"|v$i| = $d")
+      // power iteration converges linearly in the eigengap ratio — 1e-6
+      // is what 500 iterations guarantee on near-degenerate spectra
+      else assert(math.abs(d) < 1e-6, s"v$i . v$j = $d")
+    }
+    // eigenvalues descending and nonnegative (covariance is PSD)
+    evs.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12, s"eigenvalues not descending: $a < $b") }
+    assert(evs.last >= -1e-9)
+    // the population variance of each projected component equals its
+    // eigenvalue (float32 dot + 1e-6 quantization → loose tolerance)
+    val proj = SparkEntry.queries("vec_pca_project")(spark, sf).collect()
+    assert(proj.length == 500)
+    for (k <- 1 to 4) {
+      val xs = proj.map(_.getAs[Double](s"p$k"))
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(v - evs(k - 1)) < 1e-3 * math.max(1.0, evs(k - 1)),
+        s"p$k variance $v vs eigenvalue ${evs(k - 1)}")
+    }
+  }
+
   test("vec_pq codebooks beat the trivial quantizer and are layout-stable") {
     val pq = SparkEntry.queries("vec_pq")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
