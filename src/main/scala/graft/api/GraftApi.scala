@@ -95,6 +95,13 @@ object GraftApi {
   def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     graft.operators.AnalyticsOps.kmeansAssign(emb, k, iters)
 
+  /** Upper-triangle covariance matrix of any frame with an `embedding`
+    * array column, as (dim_i, dim_j, n_vecs, cov) — exact quantized
+    * moments, one O(d²) shuffle (see vec_covariance); null-embedding
+    * rows are excluded from n. Input to whitening / PCA. */
+  def covariance(emb: DataFrame): DataFrame =
+    graft.operators.AnalyticsOps.covarianceFrame(emb)
+
   // ---- curation -----------------------------------------------------
 
   /** Cross-document boilerplate removal over aligned w-token chunks of

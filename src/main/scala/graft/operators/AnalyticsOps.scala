@@ -162,12 +162,15 @@ object AnalyticsOps extends QueryModule {
   private[graft] def covarianceFrame(
       emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val q = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("dim").cast(LongType).as("dim"),
         floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType)
           .as("iv"))
     val firsts = q.groupBy("dim").agg(sum("iv").as("s"))
-    val nRow = emb.agg(count(lit(1)).as("n_vecs"))
+    // count only rows the explodes keep: a null embedding would
+    // otherwise inflate n and silently bias every entry toward zero
+    val nRow = emb.where(col("embedding").isNotNull)
+      .agg(count(lit(1)).as("n_vecs"))
     val sij = emb.select(col("embedding").as("em"))
       .select(col("em"),
         explode(sequence(lit(0), size(col("em")) - 1)).as("i"))
@@ -204,10 +207,15 @@ object AnalyticsOps extends QueryModule {
     * and a largest-|component|-positive sign convention — a pure
     * function of the corpus, reproducible across layouts and engines.
     * Returns (axes, eigenvalues) or None on an empty/degenerate corpus. */
-  private[graft] def pcaFit(s: org.apache.spark.sql.SparkSession,
-      d: String): Option[(Array[Array[Double]], Array[Double])] = {
-    val rows = covarianceFrame(Tables.embeddings(s, d)).collect()
-    if (rows.isEmpty) None
+  private[graft] def pcaFit(emb: org.apache.spark.sql.DataFrame)
+      : Option[(Array[Array[Double]], Array[Double])] = {
+    val rows = covarianceFrame(emb).collect()
+    // degenerate = empty corpus OR zero total variance (constant /
+    // single-row corpus): power iteration cannot normalize the zero
+    // vector and would return four identical non-orthogonal axes
+    if (rows.isEmpty ||
+        rows.filter(r => r.getLong(0) == r.getLong(1))
+          .map(_.getDouble(3)).sum <= 0.0) None
     else {
       val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
       val cov = Array.ofDim[Double](dim, dim)
@@ -427,7 +435,7 @@ object AnalyticsOps extends QueryModule {
     // Spec asserts orthonormal axes, descending eigenvalues, and
     // projection variance ≈ eigenvalue per component.
     "vec_pca_project" -> ((s, d) =>
-      pcaFit(s, d) match {
+      pcaFit(Tables.embeddings(s, d)) match {
         case Some((axes, _)) =>
           val pcols = axes.zipWithIndex.map { case (v, i) =>
             graft.functions.VectorExprs.dotF(col("embedding"),

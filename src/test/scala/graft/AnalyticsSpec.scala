@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * hash oracle (which already pins exact values at sf0.01). */
 class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
+  import spark.implicits._
 
   test("profile_corr emits valid correlations for every return flag") {
     val rows = SparkEntry.queries("profile_corr")(spark, sf).collect()
@@ -65,6 +66,19 @@ class AnalyticsSpec extends AnyFunSuite {
     val direct = xs.map(x => (x - m) * (x - m)).sum / xs.length
     assert(math.abs(got((0L, 0L)) - direct) < 1e-4,
       s"var(0): ${got((0L, 0L))} vs $direct")
+    // null embedding rows must not inflate n (public-API contract):
+    // adding a null row leaves every covariance entry unchanged
+    val base = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+    val clean = operators.AnalyticsOps
+      .covarianceFrame(base.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val withNull = operators.AnalyticsOps
+      .covarianceFrame((base.map { case (id, v) => (id, Some(v)) } :+
+        (4L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(clean == withNull,
+      s"null row changed covariance: $clean vs $withNull")
   }
 
   test("join_fuzzy finds the planted one-edit neighbor pair") {

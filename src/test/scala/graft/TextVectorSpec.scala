@@ -297,8 +297,13 @@ class TextVectorSpec extends AnyFunSuite {
 
   test("vec_pca_project: orthonormal axes, descending eigenvalues, " +
       "projection variance matches each eigenvalue") {
-    val fit = operators.AnalyticsOps.pcaFit(spark, sf)
+    val fit = operators.AnalyticsOps.pcaFit(Tables.embeddings(spark, sf))
     assert(fit.isDefined)
+    // degenerate corpora must be REFUSED, not fitted with identical
+    // axes: constant (zero-variance) and null-bearing single-row inputs
+    val const = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    assert(operators.AnalyticsOps.pcaFit(const).isEmpty)
     val (axes, evs) = fit.get
     // orthonormality of the fitted axes
     for (i <- axes.indices; j <- axes.indices) {
