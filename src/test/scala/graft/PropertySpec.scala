@@ -168,6 +168,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("covarianceFrame matches a direct covariance model on random frames") {
+    // the narrow pair fan-out + split moment sums must reproduce plain
+    // population covariance; 1e-6 component quantization bounds each
+    // entry's error well under 1e-4 at these magnitudes
+    val vecGen = Gen.listOfN(15,
+      Gen.listOfN(3, Gen.chooseNum(-1000, 1000).map(_ / 1000.0)))
+    forAll(vecGen, Gen.const(()), n = 6) { (vs, _) =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val got = operators.AnalyticsOps.covarianceFrame(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val xs = vs.map(_.map(_.toFloat.toDouble))
+      val n = xs.length
+      val mean = (0 until 3).map(d => xs.map(_(d)).sum / n)
+      for (i <- 0 until 3; j <- i until 3) {
+        val want = xs.map(x => (x(i) - mean(i)) * (x(j) - mean(j))).sum / n
+        val (gn, gc) = got((i.toLong, j.toLong))
+        assert(gn == n.toLong)
+        assert(math.abs(gc - want) < 1e-4, s"cov($i,$j): $gc vs $want")
+      }
+    }
+  }
+
   test("kmeansAssign equals a reference Lloyd model on random vectors") {
     // the quantize → broadcast-assign → integer-update rounds must land
     // on EXACTLY the reference assignment (same init, same floor
