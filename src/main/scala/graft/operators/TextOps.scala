@@ -175,13 +175,21 @@ object TextOps extends QueryModule {
     * model on random corpora (the prefix-filter exactness argument is
     * the part worth property-testing, not just spot-checking).
     * minShingles floors the trivially-containable (8 in the query;
-    * PropertySpec drops it to 1 to exercise tiny docs). */
+    * PropertySpec drops it to 1 to exercise tiny docs).
+    *
+    * Prefix length is computed in INTEGER arithmetic as
+    * |A| − ⌈0.9·|A|⌉ + 1 = |A| − ⌊(9·|A| + 9)/10⌋ + 1: the naive
+    * floor((1.0 − 0.9)·|A|) + 1 is one element SHORT for every |A|
+    * divisible by 10 (IEEE 1.0 − 0.9 = 0.0999…8, so ×10k floors to
+    * k−1), silently dropping threshold-containment pairs whose only
+    * shared-prefix element is the one truncated away. */
   private[graft] def containmentPairs(docs: DataFrame,
       minShingles: Int = 8): DataFrame = {
+    val nA = size(col("hs"))
+    val prefixLen = (nA - floor((nA * 9 + 9) / lit(10.0)) + 1)
+      .cast(IntegerType)
     val prefixA = docs.select(col("doc_id").as("id_a"),
-      explode(slice(col("hs"), lit(1),
-        (floor(lit(1.0 - ContainTau) * size(col("hs"))) + 1)
-          .cast(IntegerType))).as("tok"))
+      explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
     val allB = docs.select(col("doc_id").as("id_b"),
       explode(col("hs")).as("tok"))
     val cands = prefixA.join(allB, Seq("tok"))

@@ -410,18 +410,23 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent reconstruction of Det.md5Uniform in plain Scala (shared
+    * by the sample_weighted and pipeline_upweight reconstructions). */
+  private def md5UniformOf(docId: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.toString.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+  }
+
   test("sample_weighted selects exactly the 200 smallest E-S keys") {
     // independent reconstruction: recompute every doc's quantized
     // Efraimidis–Spirakis key (-ln(u)/w at 1e9) from the md5 uniform in
     // plain Scala, take the 200 smallest with doc_id tiebreak, and
     // require the query's selection and key values to match exactly
-    def key(docId: Long, nChars: Long): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(docId.toString.getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
-      math.floor(-math.log(u) / nChars.toDouble * 1e9 + 0.5).toLong
-    }
+    def key(docId: Long, nChars: Long): Long =
+      math.floor(-math.log(md5UniformOf(docId)) / nChars.toDouble * 1e9
+        + 0.5).toLong
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -439,12 +444,7 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("pipeline_upweight emits floor(w)+coin copies, integer-exact") {
-    def coin(docId: Long): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(docId.toString.getBytes("UTF-8"))
-        .take(4).map("%02x".format(_)).mkString
-      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
-    }
+    def coin(docId: Long): Double = md5UniformOf(docId)
     val rows = SparkEntry.queries("pipeline_upweight")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"),
         r.getAs[Long]("repeats"), r.getAs[Long]("copy_idx")))

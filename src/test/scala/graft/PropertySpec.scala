@@ -115,6 +115,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairs keeps the threshold pair at |A| divisible by 10") {
+    // regression: floor((1.0-0.9)*10)+1 = 1 under IEEE doubles (1.0-0.9
+    // = 0.0999…8), one short of the required 2 — with A = {1..10} and B
+    // holding exactly {2..10} (containment 9/10 = τ), A's only prefix
+    // element shared with B is its SECOND-smallest hash, so the
+    // truncated prefix silently dropped this exact-threshold pair
+    val df = Seq(
+      (1L, (1L to 10L).toSeq),
+      (2L, (2L to 10L).toSeq)).toDF("doc_id", "hs")
+    val got = operators.TextOps.containmentPairs(df, minShingles = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      s"threshold containment pair (1,2) missing: $got")
+  }
+
   test("containmentPairs equals the brute-force model on random corpora") {
     // the asymmetric prefix filter must have EXACT recall: if fewer than
     // |A| - ceil(0.9|A|) + 1 of A's smallest hashes reach the candidate
