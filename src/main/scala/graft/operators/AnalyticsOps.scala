@@ -840,7 +840,8 @@ object AnalyticsOps extends QueryModule {
         |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
         |      AS BIGINT) AS iv
         |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
-        |nn AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+        |nn AS (SELECT COUNT(*) AS n_vecs FROM embeddings
+        |  WHERE embedding IS NOT NULL),
         |s1 AS (SELECT dim, CAST(SUM(iv) AS BIGINT) AS s
         |  FROM q GROUP BY dim),
         |s2 AS (SELECT a.dim AS dim_i, b.dim AS dim_j,

@@ -95,12 +95,19 @@ object ProjectFilterOps extends QueryModule {
     // exact integer arithmetic on the row key (no RNG), and the one
     // transcendental (ln) is quantized at 1e9 before comparison/output
     // (the agg_entropy discipline), with doc_id tiebreak, so selection
-    // and hashes are engine-stable. Scale shape: one narrow scan; the
+    // and hashes are engine-stable. Residual risk, accepted: a 1-ulp
+    // libm ln() divergence landing key·1e9 exactly on a half-integer
+    // would flip key_q by 1 between engines; no such boundary exists in
+    // the fixture and the quantum leaves ~8 significant digits of
+    // agreement margin. Weight is greatest(n_chars, 1): an empty doc
+    // must degrade to the minimum weight, not an Infinity key that
+    // breaks the BIGINT cast. Scale shape: one narrow scan; the
     // top-k runs as TakeOrderedAndProject (per-partition k-heaps, merge
     // of k-row partials) — no full sort, no shuffle of the corpus.
     "sample_weighted" -> ((s, d) => {
       val u = graft.Det.md5Uniform(col("doc_id"))
-      val keyQ = floor(-log(u) / col("n_chars").cast(DoubleType) * lit(1e9)
+      val w = greatest(col("n_chars"), lit(1)).cast(DoubleType)
+      val keyQ = floor(-log(u) / w * lit(1e9)
         + lit(0.5)).cast(LongType)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -161,7 +168,8 @@ object ProjectFilterOps extends QueryModule {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars,
         |  CAST(floor(-ln((h + 0.5) / 4294967296.0)
-        |    / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS key_q
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) * 1e9 + 0.5)
+        |    AS BIGINT) AS key_q
         |FROM t ORDER BY key_q, doc_id LIMIT 200""".stripMargin,
     "project_compute" ->
       """SELECT l_orderkey, l_linenumber,

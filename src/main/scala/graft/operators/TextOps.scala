@@ -178,15 +178,18 @@ object TextOps extends QueryModule {
     * PropertySpec drops it to 1 to exercise tiny docs).
     *
     * Prefix length is computed in INTEGER arithmetic as
-    * |A| − ⌈0.9·|A|⌉ + 1 = |A| − ⌊(9·|A| + 9)/10⌋ + 1: the naive
-    * floor((1.0 − 0.9)·|A|) + 1 is one element SHORT for every |A|
-    * divisible by 10 (IEEE 1.0 − 0.9 = 0.0999…8, so ×10k floors to
-    * k−1), silently dropping threshold-containment pairs whose only
-    * shared-prefix element is the one truncated away. */
+    * |A| − ⌈0.9·|A|⌉ + 1 = |A| − (9·|A| + 9) div 10 + 1 (true integral
+    * `div`, no doubles anywhere): the naive floor((1.0 − 0.9)·|A|) + 1
+    * is one element SHORT for every |A| divisible by 10 (IEEE 1.0 − 0.9
+    * = 0.0999…8, so ×10k floors to k−1), silently dropping
+    * threshold-containment pairs whose only shared-prefix element is
+    * the one truncated away — and a double-division form, while
+    * provably exact for τ=0.9, loses that guarantee silently if
+    * ContainTau ever changes. */
   private[graft] def containmentPairs(docs: DataFrame,
       minShingles: Int = 8): DataFrame = {
     val nA = size(col("hs"))
-    val prefixLen = (nA - floor((nA * 9 + 9) / lit(10.0)) + 1)
+    val prefixLen = (nA - expr("(size(hs) * 9 + 9) div 10") + 1)
       .cast(IntegerType)
     val prefixA = docs.select(col("doc_id").as("id_a"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))

@@ -425,8 +425,8 @@ class OperatorSpec extends AnyFunSuite {
     // plain Scala, take the 200 smallest with doc_id tiebreak, and
     // require the query's selection and key values to match exactly
     def key(docId: Long, nChars: Long): Long =
-      math.floor(-math.log(md5UniformOf(docId)) / nChars.toDouble * 1e9
-        + 0.5).toLong
+      math.floor(-math.log(md5UniformOf(docId)) /
+        math.max(nChars, 1L).toDouble * 1e9 + 0.5).toLong
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("n_chars")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -441,6 +441,23 @@ class OperatorSpec extends AnyFunSuite {
     val allMean = docs.map(_._2).sum.toDouble / docs.length
     assert(selMean > allMean,
       s"weighted sample not length-skewed: $selMean <= $allMean")
+  }
+
+  test("sample_weighted survives zero-length docs (weight floors to 1)") {
+    // the fixture has no empty docs; stage one (n_chars = 0) plus a few
+    // real rows and require a finite, non-null key — an unguarded
+    // -ln(u)/0 is an Infinity key that breaks the BIGINT cast
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zero_chars").toString
+    Tables.documents(spark, sf).limit(4)
+      .withColumn("n_chars",
+        when(col("doc_id") === min("doc_id").over(), lit(0L))
+          .otherwise(col("n_chars")))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("sample_weighted")(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("key_q"))))
   }
 
   test("pipeline_upweight emits floor(w)+coin copies, integer-exact") {
