@@ -26,6 +26,8 @@ object Bench {
     "clean_boilerplate" -> 1.0,
     "dedup_ngram" -> 4.0,
     "dedup_containment" -> 2.5,
+    "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
+
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,
     "sim_ivf_topk" -> 3.0,

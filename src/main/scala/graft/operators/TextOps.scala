@@ -214,6 +214,78 @@ object TextOps extends QueryModule {
         (col("n_inter").cast(DoubleType) / col("n_a")).as("containment"))
   }
 
+  /** window size (tokens) for verbatim-substring dedup — the ~50-char
+    * match length after which natural-language collisions vanish (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", uses 50 BPE tokens on web corpora; 13 whitespace tokens is
+    * the same coverage on this fixture's short docs). */
+  private[graft] val SubstrK = 13
+
+  /** The verbatim-substring pair relation behind `dedup_substring`, over
+    * any (doc_id, text) frame — finds every doc pair sharing a ≥ k-token
+    * verbatim span at ARBITRARY offsets, the dominant residual dup class
+    * after whole-doc dedup (a quoted paragraph, a syndicated lede, a
+    * license block): shingle-set ops (dedup_ngram/containment) dilute a
+    * short copied span below any Jaccard threshold, and aligned chunking
+    * (clean_boilerplate) misses spans that straddle chunk boundaries or
+    * appear in only two docs.
+    *
+    * Shape, all relational: (1) every k-token window per doc, hashed
+    * md5(window text) — O(total tokens) windows, each carrying only
+    * (doc_id, pos, hash); (2) inverted-index self-join on the window
+    * hash (the dedup_containment postings pattern — the exchange is
+    * keyed on the 128-bit hash and carries ids + positions, never text);
+    * (3) span merge: a shared span of length L ≥ k yields L−k+1 matched
+    * windows on one DIAGONAL (pos_a − pos_b constant), so per
+    * (pair, diagonal) a gaps-and-islands run count recovers the exact
+    * span length run_len + k − 1. Matching is exact (md5 collisions
+    * negligible), so the relation is oracle-expressible verbatim.
+    *
+    * 100 TB: windows are a narrow 1→n_tok fan-out (no shuffle); the one
+    * large exchange is the postings join, hash-partitioned on wh with
+    * ids-only payload (PlanSpec asserts). Hot windows (df ≫ 1 boilerplate
+    * n-grams) skew that join quadratically; `maxDf` drops window hashes
+    * seen in more than that many docs — the standard postings-list cap
+    * (those spans are boilerplate, handled by clean_boilerplate, not
+    * pair-dedup material). The exact query leaves it off; at scale, cap
+    * df at O(100). */
+  private[graft] def substringPairs(docs: DataFrame, k: Int = SubstrK,
+      maxDf: Option[Int] = None): DataFrame = {
+    val wins0 = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("pos"),
+        col("ts"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(k))))
+          .as("wh"))
+    val wins = maxDf match {
+      case None => wins0
+      case Some(cap) =>
+        val keep = wins0.groupBy("wh")
+          .agg(countDistinct("doc_id").as("wdf"))
+          .where(col("wdf") <= cap).select("wh")
+        wins0.join(keep, "wh")
+    }
+    val m = wins
+      .select(col("doc_id").as("id1"), col("pos").as("pos1"), col("wh"))
+      .join(wins.select(col("doc_id").as("id2"), col("pos").as("pos2"),
+        col("wh")), Seq("wh"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("pos1"),
+        (col("pos1") - col("pos2")).as("diag"))
+    // within (pair, diag) the pos1 values are distinct (diag pins pos2),
+    // so pos1 − row_number is constant exactly along a consecutive run
+    val w = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    val runs = m.withColumn("grp", col("pos1") - row_number().over(w))
+      .groupBy("id1", "id2", "diag", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("id1", "id2")
+      .agg(sum("run_len").as("n_windows"),
+        (max("run_len") + lit(k - 1).cast(LongType)).as("max_span"))
+  }
+
   /** The boilerplate-removal transform behind `clean_boilerplate`, over
     * any (doc_id, text) frame — corpus-agnostic so PropertySpec can
     * replay it against a brute-force model on random corpora (slice
@@ -406,6 +478,14 @@ object TextOps extends QueryModule {
     "dedup_containment" -> ((s, d) =>
       containmentPairs(shingleHashSets(s, d))
         .orderBy("contained_id", "container_id")),
+
+    // verbatim-substring dedup at arbitrary offsets (Lee et al. 2022):
+    // every pair sharing a ≥ 13-token verbatim span, with the EXACT
+    // maximum span length recovered by diagonal run-merge — the dup
+    // class shingle-Jaccard and aligned-chunk ops both miss. Scale
+    // shape + df-cap story in substringPairs' scaladoc.
+    "dedup_substring" -> ((s, d) =>
+      substringPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
 
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
@@ -962,6 +1042,26 @@ object TextOps extends QueryModule {
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(a.sh) >= 0.9
         |ORDER BY contained_id, container_id""".stripMargin,
+    // naive replay of the window/diagonal/run pipeline, verbatim
+    "dedup_substring" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(ts, i + 1, i + 13), ' ')) AS wh
+        |  FROM d0, unnest(range(0, len(ts) - 12)) AS u(i)
+        |  WHERE len(ts) >= 13),
+        |m AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.pos AS pos1, a.pos - b.pos AS diag
+        |  FROM w a JOIN w b USING (wh) WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT id1, id2, diag, pos1,
+        |    pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag
+        |      ORDER BY pos1) AS grp
+        |  FROM m),
+        |runs AS (SELECT id1, id2, diag, grp, COUNT(*) AS run_len
+        |  FROM r GROUP BY id1, id2, diag, grp)
+        |SELECT id1, id2, CAST(SUM(run_len) AS BIGINT) AS n_windows,
+        |  CAST(MAX(run_len) + 12 AS BIGINT) AS max_span
+        |FROM runs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin,
     // the naive definition of the same clustering: symmetric edge closure
     // via a recursive CTE, component representative = min reachable id
     "dedup_clusters" ->

@@ -224,6 +224,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dedup_substring postings shuffle is keyed on window hashes") {
+    // the window inverted-index self-join must exchange on the md5
+    // window hash and carry (doc_id, pos) only — at 100 TB the postings
+    // shuffle moves 128-bit keys + ids, never document text. Broadcast
+    // disabled so the at-scale shuffle shape is the one planned.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("dedup_substring")
+      val exLines = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exLines.exists(_.contains("wh#")),
+        s"no postings exchange keyed on the window hash:\n$p")
+      assert(!exLines.exists(l => l.contains("text#") || l.contains("ts#")),
+        s"an exchange carries raw text:\n${exLines.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("text_cooccurrence generates pairs narrowly — no self-join") {
     // round-2 judge finding: the old doc_id-keyed positional self-join
     // evaluated O(len²) pairs per document before its window filter. The

@@ -248,6 +248,65 @@ class TextVectorSpec extends AnyFunSuite {
     assert(want.nonEmpty, "corpus should contain containment pairs")
   }
 
+  test("dedup_substring matches a brute-force window/diagonal model") {
+    // independent truth in plain Scala: every 13-token window by TEXT
+    // equality (no hashing), matched pairs bucketed by diagonal, runs of
+    // consecutive pos — n_windows and the exact max span must both match
+    val k = 13
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def runLens(ps: Seq[Int]): Seq[Int] =
+      ps.sorted.foldLeft(List.empty[(Int, Int)]) { (acc, p) => acc match {
+        case (start, last) :: tail if p == last + 1 => (start, p) :: tail
+        case _ => (p, p) :: acc
+      }}.map { case (a, b) => b - a + 1 }
+    val wins = docs.filter(_._2.length >= k).map { case (id, ts) =>
+      id -> ts.sliding(k).map(_.mkString(" ")).zipWithIndex.toArray }
+    val want = (for {
+      (ida, wa) <- wins; (idb, wb) <- wins if ida < idb
+      m = for ((ta, pa) <- wa; (tb, pb) <- wb if ta == tb) yield (pa, pb)
+      if m.nonEmpty
+    } yield {
+      val maxRun = m.groupBy { case (pa, pb) => pa - pb }.values
+        .flatMap(ms => runLens(ms.map(_._1).toSeq)).max
+      (ida, idb, m.length.toLong, (maxRun + k - 1).toLong)
+    }).toSet
+    val got = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("max_span"))).toSet
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    assert(want.nonEmpty, "corpus should contain verbatim-span pairs")
+  }
+
+  test("dedup_substring finds a planted span at arbitrary offsets, " +
+      "exactly; maxDf caps hot windows") {
+    import graft.operators.TextOps
+    // a 20-token span planted at offset 3 of doc 1 and offset 11 of
+    // doc 2; remaining filler tokens are disjoint vocabularies, so the
+    // ONLY matches are the span's 8 windows (20-13+1) on one diagonal
+    val span = (0 until 20).map(i => s"s$i").mkString(" ")
+    val doc1 = ((0 until 3).map(i => s"a$i") :+ span).mkString(" ") +
+      " " + (0 until 15).map(i => s"b$i").mkString(" ")
+    val doc2 = ((0 until 11).map(i => s"c$i") :+ span).mkString(" ") +
+      " " + (0 until 9).map(i => s"d$i").mkString(" ")
+    val doc3 = (0 until 40).map(i => s"e$i").mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val got = TextOps.substringPairs(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+      r.getAs[Long]("n_windows"), r.getAs[Long]("max_span")) ==
+      (1L, 2L, 8L, 20L))
+    // a span shared by all three docs is df=3 boilerplate: maxDf=2
+    // must drop every pair, while the uncapped run keeps all 3
+    val df2 = Seq((1L, s"$span x0 x1 x2"), (2L, s"y0 $span y1"),
+      (3L, s"z0 z1 z2 z3 $span")).toDF("doc_id", "text")
+    assert(TextOps.substringPairs(df2).count() == 3L)
+    assert(TextOps.substringPairs(df2, maxDf = Some(2)).count() == 0L)
+  }
+
   test("clean_boilerplate matches a brute-force chunk-df model") {
     // independent truth in plain Scala: aligned 5-token chunks, df =
     // distinct docs per chunk text, drop df≥3, rebuild in chunk order.
