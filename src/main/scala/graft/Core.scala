@@ -71,6 +71,15 @@ object Tables {
   * At 100 TB this stays correct: decimal sums are still exact under
   * arbitrary partial/final aggregation splits across executors.
   */
+/** Context for GENERATED oracles whose SQL embeds corpus-fitted literals
+  * (vec_pca_project's axes). The driver contract compares at one fixed
+  * sf dir; Verify sets this to its actual sfDir before dumping
+  * oracle_sql.json so the fit and the compare always see the same
+  * corpus, even if the driver's sf ever changes. */
+object OracleCtx {
+  @volatile var sfDir: String = "/root/testdata/sf0.01"
+}
+
 object Det {
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
   /** products of two 2-dp values are exact at 4 dp */

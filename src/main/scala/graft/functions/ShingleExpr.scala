@@ -98,59 +98,98 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Imperative kernel for the MinHash signature over a shingle-hash set.
+/** Imperative kernel for the ORACLE-EXPRESSIBLE md5 MinHash signature
+  * over k-word shingles (round 6 — converts dedup_near from rows-only
+  * to the driver's hash-compare signal).
   *
-  * The declarative form — `array_min(transform(sh, x -> xxhash64(x, j)))`
-  * × numHash columns — runs numHash interpreted lambda passes per row
-  * (higher-order functions have no codegen), re-walking the shingle
-  * array 12× through boxed Longs. This kernel makes ONE pass, updating
-  * all numHash running minima per element with the same XXH64 primitive
-  * Spark's xxhash64 uses. The signature is an internal LSH artifact
-  * (banding keys only, no declared oracle), so hash-compatibility with
-  * the old column formulation is not required; the planted-dup recall
-  * test pins behavior.
-  */
-object MinHashUtil {
-  def sig(arr: ArrayData, numHash: Int): ArrayData = {
+  * Hash family: one MD5 per shingle string (k words joined by single
+  * spaces, the ShingleUtil byte layout); h1/h2 = the digest's first /
+  * second 8 bytes big-endian (exactly DuckDB's
+  * `CAST('0x' || substr(md5(s), 1|17, 16) AS UBIGINT)`); the numHash
+  * functions are Kirsch–Mitzenmacher double hashing
+  * h_j = (h1 + j·h2) mod p, p = 2^61 − 1 — so every value is a
+  * POSITIVE 61-bit integer whose signed-BIGINT ordering equals DuckDB's
+  * unsigned ordering, and the whole signature replays verbatim in SQL.
+  * The reduction loop adds h2m once per j with a conditional subtract
+  * (sums stay < 2p < 2^62 — no overflow), identical to the closed form
+  * `(h1 % p + j·(h2 % p)) % p` the oracle computes in HUGEINT space.
+  * Duplicate shingles change no minimum, so no dedup pass is needed.
+  * One MD5 + one running-minima pass per shingle, single static call —
+  * whole-stage codegen, no lambdas (the dedup_near 8.7 s lesson). */
+object MinHashMd5Util {
+  private val P = 2305843009213693951L // 2^61 - 1
+  def sig(arr: ArrayData, k: Int, numHash: Int): ArrayData = {
     val n = arr.numElements()
     val out = Array.fill(numHash)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val v = arr.getLong(i)
-      var j = 0
-      while (j < numHash) {
-        val h = XXH64.hashLong(v, j.toLong)
-        if (h < out(j)) out(j) = h
-        j += 1
+    if (n >= k) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val words = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val w = arr.getUTF8String(i)
+        words(i) = if (w eq null) UTF8String.EMPTY_UTF8 else w
+        i += 1
       }
-      i += 1
+      i = 0
+      while (i <= n - k) {
+        var len = k - 1
+        var j = 0
+        while (j < k) { len += words(i + j).numBytes; j += 1 }
+        val buf = new Array[Byte](len)
+        var off = Platform.BYTE_ARRAY_OFFSET
+        j = 0
+        while (j < k) {
+          if (j > 0) { Platform.putByte(buf, off, ' '.toByte); off += 1 }
+          val w = words(i + j)
+          w.writeToMemory(buf, off)
+          off += w.numBytes
+          j += 1
+        }
+        val dig = md.digest(buf)
+        var h1 = 0L; var h2 = 0L
+        var b = 0
+        while (b < 8) {
+          h1 = (h1 << 8) | (dig(b) & 0xffL)
+          h2 = (h2 << 8) | (dig(b + 8) & 0xffL)
+          b += 1
+        }
+        val h2m = java.lang.Long.remainderUnsigned(h2, P)
+        var m = java.lang.Long.remainderUnsigned(h1, P)
+        j = 0
+        while (j < numHash) {
+          if (m < out(j)) out(j) = m
+          m += h2m
+          if (m >= P) m -= P
+          j += 1
+        }
+        i += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
-/** Codegen'd wrapper: min_hash_sig(shingleHashes, numHash) →
-  * array<long> of length numHash. Single static call — stays inside
-  * whole-stage codegen. */
-case class MinHashSig(child: Expression, numHash: Int)
+/** Codegen'd wrapper: min_hash_sig_md5(tokens, k, numHash) →
+  * array<long> of 61-bit positive minima (see [[MinHashMd5Util]]). */
+case class MinHashSigMd5(child: Expression, k: Int, numHash: Int)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"min_hash_sig requires array<long>, got $t")
+      s"min_hash_sig_md5 requires array<string>, got $t")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "min_hash_sig"
+  override def prettyName: String = "min_hash_sig_md5"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashUtil.sig(input.asInstanceOf[ArrayData], numHash)
+    MinHashMd5Util.sig(input.asInstanceOf[ArrayData], k, numHash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.MinHashUtil.sig($c, $numHash)")
+      c => s"graft.functions.MinHashMd5Util.sig($c, $k, $numHash)")
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigMd5 =
     copy(child = newChild)
 }
 
@@ -161,7 +200,8 @@ object ShingleExprs {
   def shingleHashSet(c: Column, k: Int = 3): Column =
     GraftBridge.column(ShingleHashSet(GraftBridge.expression(c), k))
 
-  /** min_hash_sig(shingleHashes, numHash): one-pass MinHash signature. */
-  def minHashSig(c: Column, numHash: Int): Column =
-    GraftBridge.column(MinHashSig(GraftBridge.expression(c), numHash))
+  /** min_hash_sig_md5(tokens, numHash): oracle-expressible md5 MinHash
+    * over k-word shingles (see [[MinHashMd5Util]]). */
+  def minHashSigMd5(c: Column, numHash: Int, k: Int = 3): Column =
+    GraftBridge.column(MinHashSigMd5(GraftBridge.expression(c), k, numHash))
 }

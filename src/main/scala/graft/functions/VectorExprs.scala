@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the float-vector dot product.
   *
@@ -66,10 +66,73 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer-quantized dot product: Σ floor(vᵢ·1e6 + 0.5) · aqᵢ over an
+  * array<float> vector and a PRE-QUANTIZED array<bigint> axis. Every
+  * term is an exact integer (|iv| ≤ ~2e6, |aq| ≤ ~1e6, d = 64 ⇒
+  * |sum| < 3e14, inside both Long and the 2^53 double-exact range), so
+  * the result is bit-identical on any engine that floors the same way —
+  * the scalar kernel behind vec_pca_project's oracle-exact projection
+  * (the vec_kmeans quantization discipline applied to a dot product).
+  * Codegen'd primitive-long loop; ascending-index order (irrelevant
+  * here: integer addition commutes exactly). */
+case class DotQuantizedFL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_q requires (array<float>, array<bigint>), got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_q"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += math.floor(x.getFloat(i).toDouble * 1e6 + 0.5).toLong *
+        y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) java.lang.Math.floor(
+         |    ((double) $a.getFloat($i)) * 1.0E6 + 0.5) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotQuantizedFL =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object VectorExprs {
   /** dot(a, b) over array<float> columns, codegen'd. */
   def dotF(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductF(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** integer-quantized dot: (array<float> vector, array<bigint>
+    * pre-quantized axis) → exact Long (see [[DotQuantizedFL]]). */
+  def dotQ(v: Column, aq: Column): Column =
+    GraftBridge.column(
+      DotQuantizedFL(GraftBridge.expression(v), GraftBridge.expression(aq)))
 }

@@ -73,9 +73,16 @@ object AnalyticsOps extends QueryModule {
       depth: Int = 4, width: Int = 2048): org.apache.spark.sql.DataFrame = {
     val s = toks.sparkSession
     import s.implicits._
+    // cell hash = first 32 md5 bits of "token:row" mod width — the Det
+    // md5 discipline (Core.scala), NOT murmur: pairwise-independent
+    // enough for the CM guarantee and expressible verbatim in the DuckDB
+    // oracle, which makes the whole sketch oracle-EXACT. Cost is depth
+    // md5 calls per token, all inside whole-stage codegen; at 100 TB
+    // the hash family is a one-line swap if profiling demands murmur.
     def cells(t: org.apache.spark.sql.Column) =
       posexplode(array((0 until depth).map(r =>
-        pmod(hash(t, lit(r)), lit(width))): _*))
+        pmod(conv(substring(md5(concat(t, lit(":" + r))), 1, 8), 16, 10)
+          .cast(LongType), lit(width.toLong))): _*))
     val sketch = toks
       .select(cells(col("token")))
       .toDF("r", "c")
@@ -246,6 +253,56 @@ object AnalyticsOps extends QueryModule {
       }
       Some((axes, evs))
     }
+  }
+
+  /** vec_pca_project's GENERATED oracle: re-runs the same driver-side
+    * pure-function fit on the corpus at [[graft.OracleCtx]].sfDir and
+    * emits the projection as plain SQL with the 1e6-quantized axes as
+    * literals. The FIT is verified by TextVectorSpec (orthonormality,
+    * descending eigenvalues, projection-variance ≈ eigenvalue); the
+    * oracle then proves the DISTRIBUTED projection — per-component
+    * quantization, exact integer dot, one double division — on the
+    * driver's hash-compare signal (the vec_kmeans generated-oracle
+    * precedent). Memoized per sf dir: the fit collects an O(d²)
+    * covariance — bounded, but not free per oracleSql evaluation. */
+  private val pcaOracleCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def pcaDuck(): String = {
+    val dir = graft.OracleCtx.sfDir
+    pcaOracleCache.computeIfAbsent(dir, (d: String) => {
+      val s = org.apache.spark.sql.SparkSession.getActiveSession
+        .getOrElse(org.apache.spark.sql.SparkSession.builder()
+          .master("local[4]").config("spark.ui.enabled", "false")
+          .getOrCreate())
+      pcaFit(Tables.embeddings(s, d)) match {
+        case None =>
+          (1 to PcaK).map(i => s"0.0 AS p$i")
+            .mkString("SELECT vec_id, ", ", ", " FROM embeddings LIMIT 0")
+        case Some((axes, _)) =>
+          val aq = axes.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+          val dims = axes(0).indices
+          val values = dims.map(j =>
+            s"($j, ${(0 until PcaK).map(k => aq(k)(j)).mkString(", ")})")
+            .mkString(",\n  ")
+          val axCols = (1 to PcaK).map(k => s"a$k").mkString(", ")
+          val sums = (1 to PcaK)
+            .map(k => s"CAST(SUM(iv * a$k) AS BIGINT) AS s$k")
+            .mkString(",\n      ")
+          val ps = (1 to PcaK).map(k => s"s$k / 1e12 AS p$k")
+            .mkString(", ")
+          s"""WITH q AS (SELECT vec_id, i AS dim,
+             |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
+             |      AS BIGINT) AS iv
+             |  FROM embeddings, unnest(range(0, len(embedding))) AS u(i)),
+             |ax(dim, $axCols) AS (VALUES
+             |  $values),
+             |s AS (SELECT vec_id,
+             |      $sums
+             |  FROM q JOIN ax USING (dim) GROUP BY vec_id)
+             |SELECT vec_id, $ps
+             |FROM s ORDER BY vec_id""".stripMargin
+      }
+    })
   }
 
   /** The same k-means rounds as DuckDB CTEs, generated from the same
@@ -437,9 +494,15 @@ object AnalyticsOps extends QueryModule {
     "vec_pca_project" -> ((s, d) =>
       pcaFit(Tables.embeddings(s, d)) match {
         case Some((axes, _)) =>
+          // oracle-exact projection (round 6): quantize BOTH the fitted
+          // axis and each embedding component at 1e6, integer dot (the
+          // dot_q kernel — exact, codegen'd), one double division by
+          // 1e12 — the vec_kmeans discipline, so the generated oracle
+          // (pcaDuck) reproduces every p value bit-for-bit
           val pcols = axes.zipWithIndex.map { case (v, i) =>
-            graft.functions.VectorExprs.dotF(col("embedding"),
-              typedLit(v.map(_.toFloat).toSeq)).as(s"p${i + 1}")
+            (graft.functions.VectorExprs.dotQ(col("embedding"),
+              typedLit(v.map(x => math.floor(x * 1e6 + 0.5).toLong).toSeq))
+              .cast(DoubleType) / lit(1e12)).as(s"p${i + 1}")
           }
           Tables.embeddings(s, d)
             .select((col("vec_id") +: pcols.toSeq): _*)
@@ -556,9 +619,10 @@ object AnalyticsOps extends QueryModule {
     // at sf0.1); the groupBy form partial-aggregates the exploded
     // (row, cell) stream to ≤ depth×width rows per task — the identical
     // cell-wise-merge communication — entirely inside whole-stage
-    // codegen. No SQL oracle (sketch estimates are not SQL-expressible);
-    // AnalyticsSpec pins the overestimate-only guarantee and the ε·N
-    // error bound, PropertySpec the layout invariance.
+    // codegen. Oracle-EXACT (round 6): the md5-derived cell hash is
+    // plain SQL in both engines, so sketch + min-lookup replay verbatim;
+    // AnalyticsSpec still pins the overestimate-only guarantee and the
+    // ε·N error bound, PropertySpec the layout invariance.
     "agg_countmin" -> ((s, d) =>
       countMinEstimates(
         Tables.documents(s, d)
@@ -707,6 +771,30 @@ object AnalyticsOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // generated projection CTE with corpus-fitted quantized axes
+    "vec_pca_project" -> pcaDuck(),
+    // verbatim replay of the CM sketch: same md5 cell hashes, same
+    // depth×width groupBy, same min-over-rows probe lookup
+    "agg_countmin" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' '))
+        |    AS token FROM documents),
+        |cells AS (SELECT token, r,
+        |    CAST(CAST('0x' || substr(md5(token || ':' ||
+        |      CAST(r AS VARCHAR)), 1, 8) AS UBIGINT) % 2048 AS BIGINT)
+        |      AS c
+        |  FROM toks, unnest(range(0, 4)) AS u(r)),
+        |sketch AS (SELECT r, c, COUNT(*) AS n FROM cells GROUP BY r, c),
+        |probes(token) AS (VALUES ('hash'), ('join'), ('scan'), ('the'),
+        |  ('zz_absent')),
+        |pc AS (SELECT token, r,
+        |    CAST(CAST('0x' || substr(md5(token || ':' ||
+        |      CAST(r AS VARCHAR)), 1, 8) AS UBIGINT) % 2048 AS BIGINT)
+        |      AS c
+        |  FROM probes, unnest(range(0, 4)) AS u(r))
+        |SELECT pc.token, CAST(MIN(COALESCE(sketch.n, 0)) AS BIGINT)
+        |    AS est_count
+        |FROM pc LEFT JOIN sketch ON pc.r = sketch.r AND pc.c = sketch.c
+        |GROUP BY pc.token ORDER BY pc.token""".stripMargin,
     "agg_transitions" ->
       """WITH p AS (SELECT event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id

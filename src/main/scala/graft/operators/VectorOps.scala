@@ -511,21 +511,27 @@ object VectorOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // MinHash+LSH near-dup: 3-word shingles → xxhash64 → 12 minhashes →
-    // 4 bands × 3 rows → bucket join on band hash → exact jaccard verify.
-    // Hand-rolled instead of MLlib MinHashLSH on unigrams: this corpus
-    // shares one vocabulary across all docs, so unigram token sets collide
-    // on nearly every pair and unigram LSH degenerates to the O(n²) join
-    // it exists to avoid. Word shingles are distinct across unrelated
-    // docs, so band buckets stay tiny and the candidate set is ~the true
-    // near-dup set — the property that makes this sub-quadratic at 100 TB.
-    // Shingle sets are re-joined by id for the verify step, so the band
-    // shuffle carries only (band, doc_id), not the shingle payload.
-    // Shingle + signature builds run on the codegen ShingleHashSet /
-    // MinHashSig kernels: the original declarative form left 13
-    // interpreted higher-order lambdas per doc (1 shingle transform
-    // evaluated on 3 plan branches + 12 minhash passes) — the hot spot
-    // behind the 2.5→8.7 s bench growth BASELINE.md round-5 records.
+    // MinHash+LSH near-dup: 3-word shingles → md5 double-hash → 12
+    // minhashes → 4 bands × 3 rows → bucket join on the band key →
+    // exact jaccard verify. Hand-rolled instead of MLlib MinHashLSH on
+    // unigrams: this corpus shares one vocabulary across all docs, so
+    // unigram token sets collide on nearly every pair and unigram LSH
+    // degenerates to the O(n²) join it exists to avoid. Word shingles
+    // are distinct across unrelated docs, so band buckets stay tiny and
+    // the candidate set is ~the true near-dup set — the property that
+    // makes this sub-quadratic at 100 TB. Shingle sets are re-joined by
+    // id for the verify step, so the band shuffle carries only
+    // (band-key, doc_id), not the shingle payload.
+    // Oracle-EXACT (round 6): the signature hash family is md5-derived
+    // (MinHashMd5Util — one MD5 per shingle, Kirsch–Mitzenmacher
+    // h_j = (h1 + j·h2) mod 2^61−1), the band key is the plain decimal
+    // triple of its minima, and the verify jaccard is one double
+    // division of exact set counts — the whole pipeline replays
+    // verbatim in DuckDB SQL. Shingle + signature builds stay on
+    // codegen kernels (ShingleHashSet / MinHashSigMd5): the original
+    // declarative form left 13 interpreted higher-order lambdas per doc
+    // — the hot spot behind the 2.5→8.7 s bench growth BASELINE.md
+    // round-5 records.
     "dedup_near" -> ((s, d) => {
       val NumHash = 12
       val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
@@ -533,14 +539,14 @@ object VectorOps extends QueryModule {
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .where(size(col("t")) >= 3)
         .select(col("doc_id"),
-          graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"))
-      val sig = docs.select(col("doc_id"),
-        graft.functions.ShingleExprs.minHashSig(col("sh"), NumHash).as("mh"))
+          graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"),
+          graft.functions.ShingleExprs.minHashSigMd5(col("t"), NumHash)
+            .as("mh"))
       val bandCols = (0 until Bands).map(b =>
-        xxhash64(element_at(col("mh"), 3 * b + 1),
+        concat_ws(",", lit(b), element_at(col("mh"), 3 * b + 1),
           element_at(col("mh"), 3 * b + 2),
-          element_at(col("mh"), 3 * b + 3), lit(b)).as(s"band$b"))
-      val banded = sig
+          element_at(col("mh"), 3 * b + 3)).as(s"band$b"))
+      val banded = docs
         .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
       val cands = banded.select(col("band"), col("doc_id").as("id1"))
         .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
@@ -550,8 +556,8 @@ object VectorOps extends QueryModule {
         .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
         .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
         .select(col("id1"), col("id2"),
-          round(size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-            size(array_union(col("sh1"), col("sh2"))), 4).as("jaccard"))
+          (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+            size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
         .where(col("jaccard") >= 0.6)
         .orderBy("id1", "id2")
     }),
@@ -678,6 +684,35 @@ object VectorOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // verbatim replay of the md5 MinHash+LSH pipeline: same shingle
+    // strings, same double-hash minima mod 2^61-1 (HUGEINT
+    // intermediates, BIGINT minima), same decimal band keys, same
+    // exact-jaccard verify
+    "dedup_near" ->
+      s"""WITH t AS (${TextOps.duckShingles}),
+        |sh1 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+        |hh AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)
+        |      % 2305843009213693951 AS HUGEINT) AS h1,
+        |    CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT)
+        |      % 2305843009213693951 AS HUGEINT) AS h2
+        |  FROM sh1),
+        |mh AS (SELECT doc_id, j,
+        |    CAST(MIN((h1 + j * h2) % 2305843009213693951) AS BIGINT) AS m
+        |  FROM hh, unnest(range(0, 12)) AS u(j) GROUP BY doc_id, j),
+        |bnd AS (SELECT doc_id,
+        |    CAST(j // 3 AS VARCHAR) || ',' ||
+        |      string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bk
+        |  FROM mh GROUP BY doc_id, j // 3),
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bnd a JOIN bnd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |v AS (SELECT id1, id2,
+        |    CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta.sh, tb.sh))) AS jaccard
+        |  FROM p JOIN t ta ON p.id1 = ta.doc_id
+        |         JOIN t tb ON p.id2 = tb.doc_id)
+        |SELECT id1, id2, jaccard FROM v
+        |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 3),

@@ -351,23 +351,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("MinHashUtil.sig matches per-element reference; union is elementwise min") {
-    // the banding property MinHash LSH rests on: sig(A ∪ B) = min(sig(A),
-    // sig(B)) elementwise, so equal bands ⇒ shared minima ⇒ candidates
+  test("MinHashMd5Util.sig matches the closed-form md5 reference on " +
+      "random token arrays (the oracle's exact arithmetic)") {
+    // the cross-engine contract dedup_near's oracle rests on: for every
+    // 3-word shingle s, h_j(s) = (h1 % p + j·(h2 % p)) % p with h1/h2
+    // the big-endian first/second 8 digest bytes — recomputed here in
+    // plain Scala BigInt (no wraparound subtleties), minima per j. Also
+    // pins: values are positive 61-bit (signed order = unsigned order)
+    // and duplicate shingles never change the signature.
     import org.apache.spark.sql.catalyst.util.GenericArrayData
-    val sets = Gen.listOfN(20, Gen.chooseNum(Long.MinValue, Long.MaxValue))
-    forAll(sets, sets, n = 20) { (xs, ys) =>
-      def sig(vs: Seq[Long]): Seq[Long] = graft.functions.MinHashUtil
-        .sig(new GenericArrayData(vs.toArray), 12).toLongArray.toSeq
-      val ref = (0 until 12).map { j =>
-        if (xs.isEmpty) Long.MaxValue
-        else xs.map(v => org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(v, j.toLong)).min
+    import org.apache.spark.unsafe.types.UTF8String
+    val P = BigInt("2305843009213693951")
+    val word = Gen.oneOf("a", "bb", "ccc", "déjà", "09", "zz", "é")
+    val toks = Gen.listOfN(9, word)
+    forAll(toks, toks, n = 20) { (xs, ys) =>
+      def sig(ws: Seq[String]): Seq[Long] = graft.functions.MinHashMd5Util
+        .sig(new GenericArrayData(
+          ws.map(UTF8String.fromString).toArray[Any]), 3, 12)
+        .toLongArray.toSeq
+      def ref(ws: Seq[String]): Seq[Long] = {
+        val shingles = if (ws.length < 3) Seq.empty
+          else ws.sliding(3).map(_.mkString(" ")).toSeq
+        (0 until 12).map { j =>
+          if (shingles.isEmpty) Long.MaxValue
+          else shingles.map { s =>
+            val dig = java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8"))
+            val h1 = BigInt(1, dig.take(8))
+            val h2 = BigInt(1, dig.slice(8, 16))
+            ((h1 % P + BigInt(j) * (h2 % P)) % P).toLong
+          }.min
+        }
       }
-      assert(sig(xs) == ref, s"sig mismatch on $xs")
-      val merged = sig(xs ++ ys)
-      val mins = sig(xs).zip(sig(ys)).map { case (a, b) => math.min(a, b) }
-      assert(merged == mins, "sig(A ∪ B) != elementwise min")
+      val got = sig(xs)
+      assert(got == ref(xs), s"sig mismatch on $xs")
+      assert(got.forall(v => v >= 0L), "minima must be positive 61-bit")
+      assert(sig(xs ++ xs.takeRight(2) ++ xs) == ref(xs ++ xs.takeRight(2) ++ xs),
+        "reference must hold on arrays with repeated shingles")
     }
   }
 }
