@@ -16,6 +16,41 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   * input rows only. TTLConfig.NONE keeps totals forever — a production
   * deployment with key churn would set a TTL to bound the store.
   * Top-level class: it is serialized into the streaming query. */
+/** Spark 4 `transformWithState` processor behind the streaming twin of
+  * `stream_ingest_dedup`: keyed by content fingerprint, state = the
+  * first doc_id that claimed it. A micro-batch's rows for a key are
+  * folded in doc_id order (the deterministic arrival proxy the batch
+  * form uses); the first claimer of an unseen fingerprint is admitted,
+  * every later row — same batch, later trigger, or after a
+  * checkpointed restart — is rejected with the keeper's id. Emits one
+  * (doc_id, admitted, first_id) verdict per input row.
+  *
+  * Scale notes: state is O(distinct fingerprints) × 8 bytes — the
+  * streaming analogue of dedup_exact's hash groupBy, and exactly the
+  * fingerprint set sink_bloom materializes; a production ingest fronts
+  * this with that bloom filter so the state store only sees probable
+  * hits. The shuffle carries (fingerprint, doc_id) pairs, never text.
+  * Top-level class: serialized into the streaming query. */
+class IngestDedupProcessor
+    extends StatefulProcessor[String, (Long, String), (Long, Long, Long)] {
+  @transient private var first: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    first = getHandle.getValueState[Long]("first_id",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    val ids = rows.map(_._1).toArray.sorted
+    val prior = if (first.exists()) Some(first.get()) else None
+    val keeper = prior.getOrElse(ids.head)
+    if (prior.isEmpty) first.update(keeper)
+    ids.iterator.map(id =>
+      (id, if (prior.isEmpty && id == keeper) 1L else 0L, keeper))
+  }
+}
+
 class RunningTotalProcessor
     extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
   @transient private var state: ValueState[(Long, Double)] = _

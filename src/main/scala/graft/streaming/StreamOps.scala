@@ -100,6 +100,31 @@ object StreamOps extends QueryModule {
     // dropDuplicatesWithinWatermark on (user_id, event_type) with a 1-hour
     // horizon — survivor is min(event_id) per (hour-bucket, key), never
     // "first seen" (SURVEY §5.3.4).
+    // streaming ingest dedup (the stateful twin of dedup_exact, and the
+    // per-micro-batch admission gate of a streaming pipeline_ingest):
+    // admit a document iff its content fingerprint has never been seen
+    // before in arrival order (doc_id = the deterministic arrival
+    // proxy); later copies are rejected with the keeper's id. This
+    // batch form is the closed-input semantics; the genuine streaming
+    // form — transformWithState keyed by fingerprint, O(distinct) × 8 B
+    // state, exactly-once admission across triggers AND a checkpointed
+    // restart — runs in StreamingSpec (IngestDedupProcessor). The
+    // shuffle carries (32-byte hash, doc_id), never text; at corpus
+    // scale the state store is fronted by the sink_bloom fingerprint
+    // filter so cold keys skip the store entirely.
+    "stream_ingest_dedup" -> ((s, d) => {
+      val h = sha2(col("text").cast(BinaryType), 256)
+      val wOrd = Window.partitionBy("h").orderBy("doc_id")
+      val wAll = Window.partitionBy("h")
+      Tables.documents(s, d)
+        .select(col("doc_id"), h.as("h"))
+        .select(col("doc_id"),
+          when(row_number().over(wOrd) === 1, 1L).otherwise(0L)
+            .as("admitted"),
+          min("doc_id").over(wAll).as("first_id"))
+        .orderBy("doc_id")
+    }),
+
     "stream_dedup" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"),
@@ -209,6 +234,15 @@ object StreamOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // first-occurrence-wins over text equivalence classes (grouping by
+    // raw text = grouping by its sha2, minus negligible collisions)
+    "stream_ingest_dedup" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY text
+        |      ORDER BY doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS admitted,
+        |  MIN(doc_id) OVER (PARTITION BY text) AS first_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  COUNT(1) AS n_events,

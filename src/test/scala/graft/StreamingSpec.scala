@@ -245,6 +245,72 @@ class StreamingSpec extends AnyFunSuite {
       s"state did not resume across restart: $second")
   }
 
+  test("stream_ingest_dedup twin: transformWithState admits each " +
+      "fingerprint exactly once across triggers and a restart") {
+    // the streaming form of the batch id: file-source docs →
+    // fingerprint → IngestDedupProcessor, driven over two AvailableNow
+    // runs sharing one checkpoint. A fingerprint admitted in run 1 must
+    // be REJECTED in run 2 (state survived the restart) with the
+    // original keeper's id; an unseen fingerprint still admits.
+    import spark.implicits._
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ingdedup").toString
+    val (src, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(src).mkdirs()
+    def run(): Unit = {
+      val hashed = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(src)
+        .select(col("doc_id"),
+          sha2(col("text").cast("binary"), 256).as("h"))
+        .as[(Long, String)]
+      val verdicts = hashed.groupByKey(_._2)
+        .transformWithState(new streaming.IngestDedupProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("doc_id", "admitted", "first_id")
+      // file sink: the recoverable sink shape (memory/Update cannot
+      // resume from a checkpoint), so the restart is the real thing
+      val q = verdicts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "ingest-dedup run did not finish")
+      q.stop()
+    }
+    def verdicts(): Set[(Long, Long, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      // run 1: docs 1/3 share a fingerprint — 1 admits, 3 rejects
+      Seq((1L, "aa"), (2L, "bb"), (3L, "aa")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      run()
+      assert(verdicts() == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 1L)),
+        s"run 1 verdicts: ${verdicts()}")
+      // run 2 (restart from the same checkpoint): doc 4 repeats run 1's
+      // "aa" — must reject against the RESTORED state; doc 5 is new
+      Seq((4L, "aa"), (5L, "cc")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      run()
+      assert(verdicts() == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 1L),
+        (4L, 0L, 1L), (5L, 1L, 5L)),
+        s"state did not survive the restart: ${verdicts()}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming tumbling counts converge to the batch-equivalent query") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
