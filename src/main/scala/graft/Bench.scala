@@ -31,6 +31,7 @@ object Bench {
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,
     "sim_ivf_topk" -> 3.0,
+    "sim_ivfpq_topk" -> 2.5, // round-6: warm ×3 2.0-2.1 s (two model fits)
     "graph_pagerank" -> 4.5,
     "graph_triangles" -> 3.0,
     "text_lm_score" -> 4.1,

@@ -42,12 +42,35 @@ object GraftApi {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** MinHash+LSH near-duplicate pairs over a (doc_id, text) frame:
+    * (id1, id2, jaccard) for every pair with 3-word-shingle Jaccard ≥
+    * `tau`. Signatures run on codegen md5 kernels; the candidate
+    * shuffle carries band keys + ids only — sub-quadratic whenever the
+    * corpus has a true near-dup margin (see dedup_near). */
+  def nearDupPairs(docs: DataFrame, tau: Double = 0.6): DataFrame =
+    graft.operators.VectorOps.minhashPairs(docs, tau)
+
+  /** Verbatim-substring dup pairs over a (doc_id, text) frame:
+    * (id1, id2, n_windows, max_span) for every pair sharing a
+    * ≥ k-token verbatim span at ANY offsets — the Lee et al. 2022 dup
+    * class whole-doc measures miss. `maxDf` caps hot boilerplate
+    * window postings at scale (None = exact). */
+  def substringPairs(docs: DataFrame, k: Int = 13,
+      maxDf: Option[Int] = None): DataFrame =
+    graft.operators.TextOps.substringPairs(docs, k, maxDf)
+
   /** Resolve a pair graph into components: returns (doc_id, rep) with
     * rep = the component's minimum id. `pairs` needs columns id1/id2;
     * `nodes` a single id column named doc_id. Fixpoint shuffles are
     * sized from the materialized edge count (GraphOps). */
   def resolveClusters(nodes: DataFrame, pairs: DataFrame): DataFrame =
     GraphOps.connectedComponents(nodes, pairs)
+
+  /** Per-component sizes (rep, n_members) of a resolveClusters result —
+    * the giant-component diagnostic to check BEFORE acting on a
+    * keep-one-per-component policy (playbook in GraphOps scaladoc). */
+  def componentSizes(labels: DataFrame): DataFrame =
+    GraphOps.componentSizes(labels)
 
   // ---- sampling & splits -------------------------------------------
 
@@ -63,6 +86,25 @@ object GraftApi {
     val b = conv(substring(md5(key.cast(StringType)), 1, 2), 16, 10)
       .cast(IntegerType) % 10
     when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
+  /** Weighted reservoir sample (Efraimidis–Spirakis): the k rows with
+    * the smallest −ln(u)/w keys, u a pure md5 uniform of `key` (no
+    * RNG) and w = `weight` floored at 1 (zero/negative weights degrade
+    * to minimum weight instead of producing an Infinity key).
+    * P(selected) ∝ weight; the ln is 1e9-quantized with a `key`
+    * tiebreak so selection is engine- and layout-stable; the top-k
+    * runs as per-partition heaps (TakeOrderedAndProject), no full
+    * sort. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    val u = graft.Det.md5Uniform(key)
+    val w = greatest(weight, lit(1)).cast(DoubleType)
+    df.withColumn("__kq",
+        floor(-log(u) / w * lit(1e9) + lit(0.5)).cast(LongType))
+      .orderBy(col("__kq"), key)
+      .limit(k)
+      .drop("__kq")
   }
 
   // ---- vectors ------------------------------------------------------
@@ -101,6 +143,42 @@ object GraftApi {
     * rows are excluded from n. Input to whitening / PCA. */
   def covariance(emb: DataFrame): DataFrame =
     graft.operators.AnalyticsOps.covarianceFrame(emb)
+
+  /** Top-4 PCA eigenpairs of an embedding frame: (axes, eigenvalues),
+    * or None on an empty / zero-variance corpus. The covariance is the
+    * distributed exact-moment aggregation; the O(d²) eigen step is a
+    * deterministic driver-side power iteration — a pure function of
+    * the corpus (see vec_pca_project). */
+  def pcaFit(emb: DataFrame): Option[(Array[Array[Double]], Array[Double])] =
+    graft.operators.AnalyticsOps.pcaFit(emb)
+
+  /** Project an embedding frame onto fitted axes: appends p1..pK
+    * columns, each an exact integer dot of the 1e6-quantized embedding
+    * and axis divided once in double space — bit-stable across
+    * engines and layouts (the dot_q kernel). */
+  def pcaProject(emb: DataFrame, axes: Array[Array[Double]]): DataFrame = {
+    val pcols = axes.zipWithIndex.map { case (v, i) =>
+      (graft.functions.VectorExprs.dotQ(col("embedding"),
+        typedLit(v.map(x => math.floor(x * 1e6 + 0.5).toLong).toSeq))
+        .cast(DoubleType) / lit(1e12)).as(s"p${i + 1}")
+    }
+    emb.select(emb.columns.map(col).toSeq ++ pcols: _*)
+  }
+
+  /** Fit 8×16 product-quantization codebooks on a bounded
+    * deterministic sample of a (vec_id, embedding) frame (Jégou et
+    * al. 2011), or None when the corpus is too small / the dimension
+    * doesn't split. */
+  def pqFit(emb: DataFrame): Option[Array[Array[Array[Double]]]] =
+    graft.operators.VectorOps.pqFit(emb)
+
+  /** PQ-encode an embedding frame with fitted codebooks: appends one
+    * small-int code column per subspace (c0..c7) in a single narrow
+    * codegen'd pass — the 64×-smaller representation an ANN index
+    * stores at 100 TB. */
+  def pqEncode(emb: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    graft.operators.VectorOps.pqEncode(emb, codebooks)
 
   // ---- curation -----------------------------------------------------
 

@@ -68,6 +68,40 @@ object GraphOps {
       to: org.apache.spark.sql.SparkSession): DataFrame =
     to.createDataFrame(df.rdd, df.schema)
 
+  /** Per-component size frame (rep, n_members) from a (doc_id, rep)
+    * labels frame — the O(components) diagnostic a 100 TB dedup run
+    * must emit BEFORE acting on its clusters: a boilerplate-heavy
+    * corpus (shared headers, templated pages) glues near-dup edges
+    * into one GIANT component, and a keep-one-per-component policy
+    * would then silently drop most of the corpus as "duplicates".
+    * Cost: one groupBy over the labels keep-list (already
+    * O(pair-participating nodes), not corpus-sized).
+    *
+    * Giant-component playbook at scale, in order:
+    *  1. DETECT — this frame: assert max(n_members)/Σ before trusting
+    *     any keep-list (TextVectorSpec plants the hub shape and pins
+    *     the diagnostic).
+    *  2. PREVENT — degree-cap exemption: drop nodes with similarity
+    *     degree > cap before CC. Hub degrees are template-driven;
+    *     clean_boilerplate removes the template text itself, and a
+    *     degree cap removes the spurious bridges it creates, while
+    *     true dup groups (bounded size) are untouched — the standard
+    *     similarity-graph practice.
+    *  3. SURVIVE — the relax `groupBy(a).min` is partial-aggregated
+    *     (map-side combine absorbs reduce-key skew toward the giant's
+    *     rep), and the edges⋈labels join under a hot hub key is AQE
+    *     skew-join territory; salt the hub's join key explicitly only
+    *     if AQE's split is insufficient. */
+  def componentSizes(labels: DataFrame): DataFrame =
+    labels.groupBy("rep").agg(count(lit(1)).as("n_members"))
+
+  /** (n_members, n_components) histogram — the one-screen summary of
+    * [[componentSizes]], descending so the giant (if any) leads. */
+  def componentSizeHistogram(labels: DataFrame): DataFrame =
+    componentSizes(labels).groupBy("n_members")
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("n_members").desc)
+
   /** @param nodes single column `doc_id` — every node, including isolated
     * @param pairs  undirected edges as columns `id1`, `id2`
     * @param rounds max relax+compress rounds (reach grows ~2^round, so 16

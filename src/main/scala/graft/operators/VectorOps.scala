@@ -113,9 +113,15 @@ object VectorOps extends QueryModule {
   private val PqK = 16
 
   private[graft] def pqFit(s: SparkSession, d: String)
+      : Option[Array[Array[Array[Double]]]] =
+    pqFit(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** Frame-generic PQ codebook fit over any (vec_id, embedding) frame
+    * (GraftApi.pqFit) — same bounded deterministic sample + Lloyd's
+    * iterations as the fixture-bound overload. */
+  private[graft] def pqFit(emb: DataFrame)
       : Option[Array[Array[Array[Double]]]] = {
-    val rows = quantizerSample(
-      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), 1024)
+    val rows = quantizerSample(emb, 1024)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     if (rows.length < PqK || rows.head.length % PqM != 0) None
     else Some {
@@ -185,6 +191,121 @@ object VectorOps extends QueryModule {
         lit(i).as("i"))
     }: _*)
     array_min(scored).getField("s")
+  }
+
+  /** The MinHash+LSH near-dup pair relation behind `dedup_near`, over
+    * any (doc_id, text) frame — kept corpus-agnostic for GraftApi. The
+    * full scale rationale lives at the query declaration; in short:
+    * md5-double-hash signatures on codegen kernels (one MD5 per
+    * shingle), 4 bands × 3 rows with decimal-triple band keys, an
+    * ids-only candidate shuffle, and an exact-jaccard verify at
+    * `tau`. */
+  private[graft] def minhashPairs(docsIn: DataFrame,
+      tau: Double = 0.6): DataFrame = {
+    val NumHash = 12
+    val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
+    val docs = docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"),
+        graft.functions.ShingleExprs.minHashSigMd5(col("t"), NumHash)
+          .as("mh"))
+    val bandCols = (0 until Bands).map(b =>
+      concat_ws(",", lit(b), element_at(col("mh"), 3 * b + 1),
+        element_at(col("mh"), 3 * b + 2),
+        element_at(col("mh"), 3 * b + 3)).as(s"band$b"))
+    val banded = docs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+    val cands = banded.select(col("band"), col("doc_id").as("id1"))
+      .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
+          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+      .where(col("jaccard") >= tau)
+  }
+
+  /** PQ-encode an embedding frame: appends code columns c0..c{M−1}
+    * (one nibble-range int per subspace) computed by the codegen'd
+    * argmin expression — the narrow pass that turns 64 floats into a
+    * 32-bit code at 100 TB (GraftApi.pqEncode). */
+  private[graft] def pqEncode(emb: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(emb.columns.map(col).toSeq ++
+      cb.indices.map(m => pqCodeCol(cb, m).as(s"c$m")): _*)
+
+  /** The IVF-PQ ADC scan behind sim_ivfpq_topk: (q_id, vec_id, approx)
+    * for every corpus vector in a PROBED cell of each query — the set a
+    * real IVF-PQ index reads per query. Cell restriction comes first
+    * (broadcast of ≤ queries×nprobe (q_id, cluster) probe rows into the
+    * coded corpus), the ADC expression evaluates only on survivors, and
+    * the whole scan touches codes, never raw embeddings. Exposed
+    * package-private so TextVectorSpec can assert the scan bound
+    * directly (the full query's top-100/rerank hides it). None when
+    * either bounded fit refuses (tiny/empty corpus). */
+  private[graft] def ivfpqScan(s: SparkSession, d: String)
+      : Option[DataFrame] = {
+    val vecs = mlVecs(s, d)
+    val fitted = try Some(new KMeans().setK(8).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("vec").setPredictionCol("cluster")
+      .fit(quantizerSample(vecs, 1024).select(col("vec")))) catch {
+      case _: Exception => None
+    }
+    (fitted, pqFit(s, d)) match {
+      case (Some(model), Some(cb)) =>
+        val sub = cb(0).head.length
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+        val qs = e.where(col("vec_id") < 3).collect()
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray))
+          .sortBy(_._1)
+        if (qs.isEmpty) None
+        else {
+          val assigned = model.transform(vecs)
+            .select(col("vec_id"), col("cluster"))
+          val codes = (0 until PqM).map(m => pqCodeCol(cb, m).as(s"c$m"))
+          val coded = e.select(Seq(col("vec_id")) ++ codes: _*)
+            .join(assigned, "vec_id")
+          val centroids = model.clusterCenters.zipWithIndex.map {
+            case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+          }.toSeq
+          val cdf = s.createDataFrame(centroids).toDF("cluster", "centroid")
+          val wq = Window.partitionBy("q_id").orderBy(col("cdist").desc)
+          val probes = e.where(col("vec_id") < 3)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+            .crossJoin(broadcast(cdf))
+            .withColumn("cdist", dot(col("q_emb"), col("centroid")))
+            .withColumn("cr", row_number().over(wq))
+            .where(col("cr") <= 2)
+            .select(col("q_id"), col("cluster"))
+          // per-query ADC lookup tables (PqM × PqK doubles, precomputed
+          // from the collected query vectors), dispatched by q_id
+          val adc = qs.map { case (qid, q) =>
+            ((0 until PqM).map { m =>
+              val tab = cb(m).map { c =>
+                var sm = 0.0; var i = 0
+                while (i < sub) { sm += q(m * sub + i) * c(i); i += 1 }
+                sm
+              }.toSeq
+              element_at(typedLit(tab), col(s"c$m") + 1)
+            }.reduce(_ + _), qid)
+          }
+          val approxCol = adc.tail.foldLeft(
+            when(col("q_id") === adc.head._2, adc.head._1)) {
+            case (acc, (ex, qid)) => acc.when(col("q_id") === qid, ex)
+          }
+          Some(coded.join(broadcast(probes), "cluster")
+            .where(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"), approxCol.as("approx")))
+        }
+      case _ => None
+    }
   }
 
   /** LSH candidates verified at τ=0.4 — the sub-quadratic pair feed for
@@ -429,6 +550,42 @@ object VectorOps extends QueryModule {
     // the brute-force oracle asserted ≥0.9 in TextVectorSpec. This is
     // the memory-bound ANN shape: at 100 TB the code scan is 64× less
     // I/O than sim_bruteforce_topk's.
+    // IVF-PQ composition (Jégou, Douze & Schmid 2011 §IV — the
+    // production ANN index shape): coarse k-means cells bound the scan
+    // to nprobe/k of the corpus per query; inside probed cells the PQ
+    // ADC approximation ranks 32-bit codes (raw vectors untouched);
+    // only the top-100 survivors pay an exact float rerank. At 100 TB
+    // the stored index is (cluster, code) — 64× smaller than raw — and
+    // the rerank reads O(queries × 100) vectors by id. Rows-only (two
+    // chained bounded k-means fits); scan-bound + sim-mass-vs-IVF
+    // assertions in TextVectorSpec.
+    "sim_ivfpq_topk" -> ((s, d) => {
+      import s.implicits._
+      def empty = Seq.empty[(Long, Long, Long, Double)]
+        .toDF("q_id", "rank", "vec_id", "sim")
+      ivfpqScan(s, d) match {
+        case None => empty
+        case Some(scan) =>
+          val e = Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding"))
+          val wa = Window.partitionBy("q_id")
+            .orderBy(col("approx").desc, col("vec_id"))
+          val cand = scan.withColumn("ar", row_number().over(wa))
+            .where(col("ar") <= 100).select("q_id", "vec_id")
+          val qdf = e.where(col("vec_id") < 3)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("vec_id"))
+          cand.join(e, "vec_id").join(broadcast(qdf), "q_id")
+            .select(col("q_id"), col("vec_id"),
+              round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+            .withColumn("rank", row_number().over(w).cast(LongType))
+            .where(col("rank") <= 10)
+            .select("q_id", "rank", "vec_id", "sim")
+            .orderBy("q_id", "rank")
+      }
+    }),
+
     "sim_pq_topk" -> ((s, d) => {
       import s.implicits._
       def empty = Seq.empty[(Long, Long, Long, Double)]
@@ -532,35 +689,8 @@ object VectorOps extends QueryModule {
     // declarative form left 13 interpreted higher-order lambdas per doc
     // — the hot spot behind the 2.5→8.7 s bench growth BASELINE.md
     // round-5 records.
-    "dedup_near" -> ((s, d) => {
-      val NumHash = 12
-      val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .where(size(col("t")) >= 3)
-        .select(col("doc_id"),
-          graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"),
-          graft.functions.ShingleExprs.minHashSigMd5(col("t"), NumHash)
-            .as("mh"))
-      val bandCols = (0 until Bands).map(b =>
-        concat_ws(",", lit(b), element_at(col("mh"), 3 * b + 1),
-          element_at(col("mh"), 3 * b + 2),
-          element_at(col("mh"), 3 * b + 3)).as(s"band$b"))
-      val banded = docs
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      val cands = banded.select(col("band"), col("doc_id").as("id1"))
-        .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
-        .where(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      cands
-        .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-        .select(col("id1"), col("id2"),
-          (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-            size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
-        .where(col("jaccard") >= 0.6)
-        .orderBy("id1", "id2")
-    }),
+    "dedup_near" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
 
     // vector-column arithmetic alongside relational cols: L2 norm via the
     // native dot expression, normalization, element-wise zip_with — all

@@ -71,6 +71,89 @@ class ApiSpec extends AnyFunSuite {
     assert(a(0L) != a(1L), s"clusters merged: $a")
   }
 
+  test("nearDupPairs finds a planted near-dup on non-dense ids") {
+    // 21-token docs differing by one token: jaccard over 3-shingles =
+    // 16/22 ≈ 0.727 ≥ 0.6; ids deliberately non-dense, non-0-based
+    val base = (0 until 21).map(i => s"w$i")
+    val variant = base.updated(10, "CHANGED")
+    val other = (0 until 21).map(i => s"z$i")
+    val docs = Seq((901L, base.mkString(" ")),
+      (77L, variant.mkString(" ")), (503L, other.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = GraftApi.nearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((77L, 901L)), s"pairs: ${pairs.toSeq}")
+  }
+
+  test("substringPairs finds a planted span through the API") {
+    val span = (0 until 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq((11L, s"a0 a1 $span a2"), (42L, s"b0 $span b1 b2"),
+      (99L, (0 until 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = GraftApi.substringPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("max_span")))
+    assert(got.toSeq == Seq((11L, 42L, 15L)), s"got: ${got.toSeq}")
+  }
+
+  test("componentSizes reports the ad-hoc component sizes") {
+    val nodes = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id1", "id2")
+    val sizes = GraftApi.componentSizes(
+        GraftApi.resolveClusters(nodes, pairs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0L -> 3L, 3L -> 1L, 4L -> 2L, 6L -> 1L))
+  }
+
+  test("weightedSample prefers heavy rows, survives zero weights, " +
+      "and is layout-stable") {
+    val df = (1L to 400L).map(i => (i, if (i <= 40) 1000L else 1L))
+      .toDF("id", "w")
+    val picked = GraftApi.weightedSample(df, col("id"), col("w"), 30)
+      .collect().map(_.getLong(0)).toSet
+    // heavy rows are 1000× likelier — expect the sample dominated by them
+    assert(picked.count(_ <= 40) >= 20, s"heavy rows underrepresented")
+    // zero/negative weights degrade to weight 1 instead of crashing
+    val z = Seq((1L, 0L), (2L, -5L), (3L, 7L)).toDF("id", "w")
+    assert(GraftApi.weightedSample(z, col("id"), col("w"), 3).count() == 3)
+    // layout-stability: repartitioned input selects the identical set
+    val again = GraftApi.weightedSample(df.repartition(7), col("id"),
+      col("w"), 30).collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+  }
+
+  test("pcaFit + pcaProject recover a planted dominant axis") {
+    // 40 vectors spread along e1 with small e2 jitter: the top axis
+    // must align with e1 (|a1·e1| ≈ 1) and p1 must order like x
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Seq((i - 20).toFloat, ((i % 3) - 1) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val Some((axes, evs)) = GraftApi.pcaFit(docs)
+    assert(math.abs(math.abs(axes(0)(0)) - 1.0) < 1e-3,
+      s"top axis not e1: ${axes(0).toSeq}")
+    assert(evs(0) > 100 * evs(1), s"eigengap missing: ${evs.toSeq}")
+    val proj = GraftApi.pcaProject(docs, axes)
+      .orderBy("vec_id").collect().map(_.getAs[Double]("p1"))
+    val diffs = proj.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    assert(diffs.forall(d => d > 0) || diffs.forall(d => d < 0),
+      "p1 not monotone along the planted axis")
+  }
+
+  test("pqFit + pqEncode emit in-range codes on an ad-hoc frame") {
+    val docs = (1 to 64).map { i =>
+      (i.toLong, (0 until 16).map(j =>
+        math.sin(i * 0.37 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val Some(cb) = GraftApi.pqFit(docs)
+    assert(cb.length == 8 && cb(0).length == 16)
+    val coded = GraftApi.pqEncode(docs, cb)
+    assert(coded.columns.count(_.startsWith("c")) >= 8)
+    val codes = coded.select((0 until 8).map(m => col(s"c$m")): _*)
+      .collect()
+    assert(codes.forall(r => (0 until 8).forall { m =>
+      val c = r.getInt(m); c >= 0 && c < 16
+    }), "codes out of nibble range")
+  }
+
   test("removeBoilerplate drops the repeated chunk, keeps unique text") {
     val docs = Seq(
       (1L, "a b c d"), (2L, "a b x y"), (3L, "a b z w"))

@@ -192,6 +192,30 @@ class TextVectorSpec extends AnyFunSuite {
       s"chain not collapsed to a single representative: $rep")
   }
 
+  test("componentSizes flags a planted boilerplate hub component") {
+    import graft.operators.GraphOps
+    // the hub shape boilerplate corpora produce: doc 0 near-dups 50
+    // otherwise-unrelated docs (template glue), next to 5 honest dup
+    // pairs — the histogram must surface the giant before any
+    // keep-one-per-component policy acts on it
+    val pairs = ((1 to 50).map(i => (0L, i.toLong)) ++
+      (0 until 5).map(i => (100L + 2 * i, 101L + 2 * i)))
+      .toDF("id1", "id2")
+    val nodes = ((0 to 50).map(_.toLong) ++ (100 to 109).map(_.toLong))
+      .toDF("doc_id")
+    val labels = GraphOps.connectedComponents(nodes, pairs)
+    val sizes = GraphOps.componentSizes(labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes(0L) == 51L, s"hub component size: $sizes")
+    val hist = GraphOps.componentSizeHistogram(labels).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hist == Set((51L, 1L), (2L, 5L)), s"histogram: $hist")
+    // the detect rule: the giant holds >50% of nodes → degree-cap /
+    // boilerplate-clean before trusting the keep-list
+    val maxShare = sizes.values.max.toDouble / labels.count()
+    assert(maxShare > 0.5, s"planted giant not dominant: $maxShare")
+  }
+
   test("connectedComponents converges on a 13-node path graph") {
     // diameter 12 — needs the compress (pointer-jump) half of each round:
     // relax alone moves the minimum one hop per round
@@ -422,6 +446,31 @@ class TextVectorSpec extends AnyFunSuite {
     assert(mass >= 0.95, s"ADC sim mass $mass")
     val recall = exact.count(e => pq.contains(e._1)).toDouble / exact.length
     assert(recall >= 0.7, s"ADC set recall $recall")
+  }
+
+  test("sim_ivfpq_topk: scan bounded by probed cells, retrieval quality " +
+      "matches the uncompressed IVF path") {
+    // scan bound: each of the 3 queries probes nprobe=2 of 8 cells, so
+    // the ADC scan must touch well under 3× the corpus (the unrestricted
+    // PQ scan's size) — cells are uneven, so assert < 1.5× corpus
+    val scan = operators.VectorOps.ivfpqScan(spark, sf).get
+    val n = Tables.embeddings(spark, sf).count()
+    val scanned = scan.count()
+    assert(scanned < (3 * n * 3) / 6,
+      s"ADC scan $scanned not bounded by probed cells (corpus $n)")
+    // quality: PQ compression inside the probed cells must preserve the
+    // similarity mass the uncompressed IVF retrieval achieves (rank-10
+    // near-ties make set recall ill-conditioned — the sim_pq_topk
+    // argument), with set agreement as a looser floor
+    def top(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val ivf = top("sim_ivf_topk")
+    val ivfpq = top("sim_ivfpq_topk").toMap
+    val mass = ivfpq.values.sum / ivf.map(_._2).sum
+    assert(mass >= 0.95, s"IVF-PQ sim mass $mass vs IVF")
+    val agree = ivf.count(e => ivfpq.contains(e._1)).toDouble / ivf.length
+    assert(agree >= 0.7, s"IVF-PQ set agreement $agree vs IVF")
   }
 
   test("sim_bruteforce_topk matches a driver-side exact computation") {
