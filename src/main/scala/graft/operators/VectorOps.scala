@@ -84,6 +84,33 @@ object VectorOps extends QueryModule {
     floor(dotF(e, typedLit(lshPlanes(t).toSeq)) / 0.5).cast(LongType)
   }
 
+  /** DuckDB replay of the bucket stage (round 6): the planes are a pure
+    * function of the fixed seed, so their exact float values are emitted
+    * as double literals (Float→Double widening is exact; shortest-repr
+    * decimal round-trips to the same double) and this keyed CTE
+    * reproduces [[lshBucket]] bit-for-bit — DuckDB's list_aggregate
+    * 'sum' folds in index order exactly like the dotF kernel loop (the
+    * proven dedup_embedding / sim_cosine_pairs oracle discipline), and
+    * floor-of-identical-doubles is engine-independent. Turns the whole
+    * LSH family from "approximate, rows-only" into deterministic,
+    * hash-comparable relations: approximate vs the EXACT pair set, but
+    * an exact function of (corpus, seed). */
+  private[graft] def duckLshKeyed: String =
+    (0 until 4).map { t =>
+      val plane =
+        lshPlanes(t).map(_.toDouble.toString).mkString("[", ", ", "]")
+      s"""SELECT vec_id, $t AS t,
+         |    CAST(floor(list_aggregate(list_transform(
+         |        list_zip(embedding, $plane),
+         |        z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum') / 0.5)
+         |      AS BIGINT) AS h
+         |  FROM embeddings""".stripMargin
+    }.mkString("keyed AS (\n", "\n  UNION ALL\n  ", "),\n") +
+      """cand AS (SELECT DISTINCT k1.vec_id AS id1, k2.vec_id AS id2
+        |  FROM keyed k1 JOIN keyed k2
+        |    ON k1.t = k2.t AND k1.h = k2.h AND k1.vec_id < k2.vec_id)"""
+        .stripMargin
+
   /** Bucket-colliding candidate pairs from the 4-table BRP LSH family:
     * hash each vector once, explode its 4 (table, bucket) keys, self-join
     * on the key. The exchange carries only (key, vec_id) — embeddings
@@ -388,8 +415,12 @@ object VectorOps extends QueryModule {
     // hash is whole-stage codegen instead of a Vector-typed UDF, and the
     // bucket shuffle carries only (key, vec_id) — the same ids-only
     // candidate pattern that makes dedup_near sub-quadratic at 100 TB.
-    // No oracle (approximate by construction); recall >= 0.9 vs the exact
-    // pair set is asserted in TextVectorSpec.
+    // Oracle-EXACT (round 6): approximate vs the true pair set, but a
+    // deterministic pure function of (corpus, seed-42 planes) — the
+    // bucket stage replays in SQL from plane double-literals
+    // (duckLshKeyed) and the unrounded dist doubles match bit-for-bit;
+    // recall >= 0.9 vs the exact pair set stays asserted in
+    // TextVectorSpec.
     "sim_lsh" -> ((s, d) => {
       import graft.functions.VectorExprs.dotF
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -411,8 +442,11 @@ object VectorOps extends QueryModule {
     // shuffle) → exact-dot verify at the same τ=0.4 → the SAME component
     // resolution as dedup_embedding. Replaces the O(n²) cosinePairs feed
     // with the sub-quadratic candidate join — the plan that survives a
-    // 100× corpus. Approximate by construction (no oracle): keeper-set
-    // recall ≥ 0.95 vs dedup_embedding's exact keepers is asserted in
+    // 100× corpus. Oracle-EXACT (round 6): the LSH candidate relation
+    // replays in SQL (duckLshKeyed) and the resolution reuses
+    // dedup_embedding's recursive-CTE closure, so the whole scaled path
+    // is hash-compared against its naive definition; keeper-set recall
+    // ≥ 0.95 vs dedup_embedding's exact keepers stays asserted in
     // TextVectorSpec, and PlanSpec asserts no exchange carries embeddings
     // into the candidate join.
     "dedup_embedding_scaled" -> ((s, d) =>
@@ -431,9 +465,10 @@ object VectorOps extends QueryModule {
     // recall lever that costs probes instead of extra tables); candidates
     // are ids-only, then one exact-dot rerank + per-query top-k window.
     // At 100 TB the corpus is hashed once and only colliding ids shuffle —
-    // same sub-linear shape as sim_lsh. No oracle (approximate); recall
-    // ≥ 0.9 vs sim_bruteforce_topk's exact top-10 asserted in
-    // TextVectorSpec.
+    // same sub-linear shape as sim_lsh. Oracle-EXACT (round 6, the
+    // duckLshKeyed replay): probes/candidates/rerank are all
+    // deterministic SQL; recall ≥ 0.9 vs sim_bruteforce_topk's exact
+    // top-10 stays asserted in TextVectorSpec.
     "sim_lsh_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val corpusKeys = e.select(col("vec_id"),
@@ -862,6 +897,68 @@ object VectorOps extends QueryModule {
         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM j WHERE sim >= 0.4 ORDER BY id1, id2""".stripMargin,
+    // LSH pair mining replayed exactly (round 6): generated keyed CTE
+    // (plane double-literals, duckLshKeyed) + the distance verify with
+    // d2 composed ((d11 + d22) - 2*d12) exactly as the Spark column
+    // expression, so even the unrounded dist doubles are bit-identical
+    "sim_lsh" ->
+      s"""WITH $duckLshKeyed,
+        |n2 AS (SELECT vec_id, list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS d2
+        |  FROM embeddings),
+        |d AS (SELECT c.id1, c.id2,
+        |    sqrt(greatest(0.0, (na.d2 + nb.d2) - 2.0 *
+        |      list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')))
+        |      AS dist
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.id1
+        |  JOIN embeddings b ON b.vec_id = c.id2
+        |  JOIN n2 na ON na.vec_id = c.id1
+        |  JOIN n2 nb ON nb.vec_id = c.id2)
+        |SELECT id1, id2, dist FROM d WHERE dist <= 1.1
+        |ORDER BY id1, id2""".stripMargin,
+    // multi-probe retrieval replayed exactly: probes = the query's own
+    // keyed rows fanned to h-1/h/h+1 per table, then the identical
+    // exact-dot rerank + top-10 window
+    "sim_lsh_topk" ->
+      s"""WITH $duckLshKeyed,
+        |probe AS (SELECT vec_id AS q_id, t, h + dlt AS h
+        |  FROM keyed, (VALUES (-1), (0), (1)) AS dv(dlt)
+        |  WHERE vec_id < 3),
+        |cd AS (SELECT DISTINCT p.q_id, k.vec_id
+        |  FROM probe p JOIN keyed k ON p.t = k.t AND p.h = k.h
+        |  WHERE k.vec_id <> p.q_id),
+        |r AS (SELECT cd.q_id, cd.vec_id,
+        |    round(list_aggregate(list_transform(list_zip(q.embedding, v.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4) AS sim
+        |  FROM cd JOIN embeddings q ON q.vec_id = cd.q_id
+        |  JOIN embeddings v ON v.vec_id = cd.vec_id)
+        |SELECT q_id, rank, vec_id, sim FROM (
+        |  SELECT q_id, vec_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |  FROM r) ranked
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // the scaled dedup's naive twin: LSH candidates (exact replay) +
+    // cosine verify at the same τ, closed by the dedup_embedding
+    // recursive-CTE component resolution
+    "dedup_embedding_scaled" ->
+      s"""WITH RECURSIVE $duckLshKeyed,
+        |p AS (SELECT c.id1, c.id2 FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.id1
+        |  JOIN embeddings b ON b.vec_id = c.id2
+        |  WHERE round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4) >= 0.4),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a)
+        |SELECT v.vec_id, COALESCE(m.rep, v.vec_id) AS rep_id,
+        |  CAST(CASE WHEN COALESCE(m.rep, v.vec_id) = v.vec_id
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+        |FROM embeddings v LEFT JOIN m ON v.vec_id = m.a
+        |ORDER BY vec_id""".stripMargin,
     // both cluster closures + the quality gate, composed — the naive
     // definition of the whole pipeline (lambda vars renamed z to avoid
     // shadowing the CTE names)
