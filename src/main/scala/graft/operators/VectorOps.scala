@@ -51,6 +51,49 @@ object VectorOps extends QueryModule {
         toVec(col("embedding")).as("vec"))
   }
 
+  /** Memoized coarse-quantizer centroids per sf dir (round 6): ONE
+    * KMeans fit (k=8, seed 42, deterministic hash-ordered sample)
+    * shared by sim_ivf_topk, sim_ivfpq_topk AND their generated
+    * oracles. The seed makes the fit reproducible in kind, but
+    * distributed double summation is layout-sensitive at the ulp level
+    * — sharing the fitted object removes the hazard entirely, so the
+    * query plans and the oracle SQL embed bit-identical centroids. The
+    * first caller pays the fit (the join_bucketed / keepList
+    * amortization); at 100 TB a coarse quantizer is fit once and
+    * reused by every retrieval query anyway. None when the corpus is
+    * too small (< k sample points) — the ids degrade to empty frames. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[Array[Double]]]]()
+  private[graft] def ivfCentroids(s: SparkSession, d: String)
+      : Option[Array[Array[Double]]] =
+    ivfCache.computeIfAbsent(d, (_: String) =>
+      try {
+        val m = new KMeans().setK(8).setSeed(42).setMaxIter(5)
+          .setFeaturesCol("vec").setPredictionCol("cluster")
+          .fit(quantizerSample(mlVecs(s, d), 1024).select(col("vec")))
+        Some(m.clusterCenters.map(_.toArray))
+      } catch { case _: Exception => None })
+
+  /** Codegen argmin assignment to the nearest centroid — euclidean
+    * order via score(c) = |c|² − 2·x·c (|x|² is row-constant) over a
+    * (score, idx) struct array, array_min's lexicographic compare being
+    * the deterministic argmin: the pqCodeCol kernel applied to the full
+    * embedding. Replaces MLlib's model.transform row path (round 6):
+    * stays in whole-stage codegen (no Vector UDF per row), and because
+    * the centroids enter as float literals and the dot is the in-order
+    * dotF kernel, the assignment replays bit-for-bit in the generated
+    * DuckDB oracles. */
+  private def assignCol(cents: Array[Array[Double]]): Column = {
+    import graft.functions.VectorExprs.dotF
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      val cf = c.map(_.toFloat)
+      val c2 = cf.map(x => x.toDouble * x.toDouble).sum
+      struct((lit(c2) - lit(2.0) * dotF(col("embedding"),
+        typedLit(cf.toSeq))).as("s"), lit(i).as("i"))
+    }: _*)
+    array_min(scored).getField("i")
+  }
+
   /** Shared bucketed-random-projection hash family (sim_lsh, sim_lsh_topk):
     * 4 unit-norm Gaussian planes, bucket = floor(x·r / 0.5). Unit
     * projections of unit data land in [-1, 1] — coarse buckets are what
@@ -206,6 +249,20 @@ object VectorOps extends QueryModule {
     array_min(scored).getField("i")
   }
 
+  /** Per-(query, subspace) ADC lookup table: tab(k) = q_m · c_k in
+    * ascending-index double arithmetic. ONE implementation shared by
+    * sim_pq_topk, ivfpqScan and the generated oracles, so the literal
+    * tables in the plans and in the SQL are bit-identical. */
+  private[graft] def adcTab(q: Array[Double],
+      cb: Array[Array[Array[Double]]], m: Int): Array[Double] = {
+    val sub = cb(m).head.length
+    cb(m).map { c =>
+      var sm = 0.0; var i = 0
+      while (i < sub) { sm += q(m * sub + i) * c(i); i += 1 }
+      sm
+    }
+  }
+
   private def pqScoreCol(cb: Array[Array[Array[Double]]], m: Int): Column = {
     import graft.functions.VectorExprs.dotF
     val sub = cb(m).head.length
@@ -277,15 +334,8 @@ object VectorOps extends QueryModule {
     * either bounded fit refuses (tiny/empty corpus). */
   private[graft] def ivfpqScan(s: SparkSession, d: String)
       : Option[DataFrame] = {
-    val vecs = mlVecs(s, d)
-    val fitted = try Some(new KMeans().setK(8).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("vec").setPredictionCol("cluster")
-      .fit(quantizerSample(vecs, 1024).select(col("vec")))) catch {
-      case _: Exception => None
-    }
-    (fitted, pqFit(s, d)) match {
-      case (Some(model), Some(cb)) =>
-        val sub = cb(0).head.length
+    (ivfCentroids(s, d), pqFit(s, d)) match {
+      case (Some(cents), Some(cb)) =>
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"))
         val qs = e.where(col("vec_id") < 3).collect()
@@ -294,16 +344,15 @@ object VectorOps extends QueryModule {
           .sortBy(_._1)
         if (qs.isEmpty) None
         else {
-          val assigned = model.transform(vecs)
-            .select(col("vec_id"), col("cluster"))
           val codes = (0 until PqM).map(m => pqCodeCol(cb, m).as(s"c$m"))
-          val coded = e.select(Seq(col("vec_id")) ++ codes: _*)
-            .join(assigned, "vec_id")
-          val centroids = model.clusterCenters.zipWithIndex.map {
-            case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+          val coded = e.select(
+            Seq(col("vec_id"), assignCol(cents).as("cluster")) ++ codes: _*)
+          val centroids = cents.zipWithIndex.map {
+            case (c, i) => (i, c.map(_.toFloat).toSeq)
           }.toSeq
           val cdf = s.createDataFrame(centroids).toDF("cluster", "centroid")
-          val wq = Window.partitionBy("q_id").orderBy(col("cdist").desc)
+          val wq = Window.partitionBy("q_id")
+            .orderBy(col("cdist").desc, col("cluster"))
           val probes = e.where(col("vec_id") < 3)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
             .crossJoin(broadcast(cdf))
@@ -315,12 +364,7 @@ object VectorOps extends QueryModule {
           // from the collected query vectors), dispatched by q_id
           val adc = qs.map { case (qid, q) =>
             ((0 until PqM).map { m =>
-              val tab = cb(m).map { c =>
-                var sm = 0.0; var i = 0
-                while (i < sub) { sm += q(m * sub + i) * c(i); i += 1 }
-                sm
-              }.toSeq
-              element_at(typedLit(tab), col(s"c$m") + 1)
+              element_at(typedLit(adcTab(q, cb, m).toSeq), col(s"c$m") + 1)
             }.reduce(_ + _), qid)
           }
           val approxCol = adc.tail.foldLeft(
@@ -505,33 +549,36 @@ object VectorOps extends QueryModule {
     // representative sample — at 100 TB a full-corpus fit would be an
     // extra full pass); no cache is taken and none outlives the query
     // (asserted in PlanSpec). The fit itself is the sanctioned driver-side
-    // model step (Core.scala contract).
+    // model step (Core.scala contract), memoized per dir (ivfCentroids)
+    // so the query and the generated oracle share one set of centroids.
+    // Oracle-EXACT (round 6): assignment runs on the codegen argmin
+    // kernel over literal centroids (assignCol) instead of MLlib's
+    // per-row transform, so the full cascade replays in SQL.
     "sim_ivf_topk" -> ((s, d) => {
-      val vecs = mlVecs(s, d)
-      val sample = quantizerSample(vecs, 1024).select(col("vec"))
-      val km = new KMeans().setK(8).setSeed(42).setMaxIter(5)
-        .setFeaturesCol("vec").setPredictionCol("cluster")
-      // tiny/empty corpora: KMeans refuses (< k points / empty input) —
-      // the degenerate answer is the empty result, same as the oracle-less
-      // rows-only contract expects
-      val fitted = try Some(km.fit(sample)) catch {
-        case _: Exception => None
-      }
-      fitted match {
+      // tiny/empty corpora: the fit refuses (< k sample points) — the
+      // degenerate answer is the empty result
+      ivfCentroids(s, d) match {
         case None =>
           import s.implicits._
           Seq.empty[(Long, Long, Long, Double)]
             .toDF("q_id", "rank", "vec_id", "sim")
-        case Some(model) =>
-      val assigned = model.transform(vecs)
-        .select(col("vec_id"), col("embedding"), col("cluster"))
-      val centroids = model.clusterCenters.zipWithIndex.map {
-        case (c, i) => (i, c.toArray.map(_.toFloat).toSeq)
+        case Some(cents) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // corpus assignment on the codegen argmin kernel (assignCol) —
+      // no Vector UDF, no MLlib row path; the fitted centroids enter
+      // the plan as literals
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        assignCol(cents).as("cluster"))
+      val centroids = cents.zipWithIndex.map {
+        case (c, i) => (i, c.map(_.toFloat).toSeq)
       }.toSeq
       val cdf = s.createDataFrame(centroids).toDF("cluster", "centroid")
-      // nprobe=2 nearest centroids per query vector
-      val wq = Window.partitionBy("q_id").orderBy(col("cdist").desc)
-      val probes = assigned.where(col("vec_id") < 3)
+      // nprobe=2 nearest centroids per query vector (cluster tiebreak:
+      // deterministic under exact cdist ties, layout-independent)
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("cdist").desc, col("cluster"))
+      val probes = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .crossJoin(broadcast(cdf))
         .withColumn("cdist", dot(col("q_emb"), col("centroid")))
@@ -554,9 +601,11 @@ object VectorOps extends QueryModule {
     // nibbles) + the per-vector reconstruction error. Encoding is one
     // narrow codegen'd pass (argmin via |c|²−2x·c struct-min — see
     // pqCodeCol); at 100 TB the codes table is what an ANN index stores,
-    // 64× smaller than the raw embeddings. Rows-only (k-means codebooks
-    // aren't SQL-expressible); reconstruction-error and layout-invariance
-    // bounds asserted in TextVectorSpec.
+    // 64× smaller than the raw embeddings. Oracle-EXACT (round 6): the
+    // fitted codebooks are emitted as literals and the argmin encode +
+    // packing + reconstruction replay verbatim (pqIvfOracles);
+    // reconstruction-error and layout-invariance bounds stay asserted
+    // in TextVectorSpec.
     "vec_pq" -> ((s, d) => {
       import s.implicits._
       pqFit(s, d) match {
@@ -591,9 +640,11 @@ object VectorOps extends QueryModule {
     // ADC approximation ranks 32-bit codes (raw vectors untouched);
     // only the top-100 survivors pay an exact float rerank. At 100 TB
     // the stored index is (cluster, code) — 64× smaller than raw — and
-    // the rerank reads O(queries × 100) vectors by id. Rows-only (two
-    // chained bounded k-means fits); scan-bound + sim-mass-vs-IVF
-    // assertions in TextVectorSpec.
+    // the rerank reads O(queries × 100) vectors by id. Oracle-EXACT
+    // (round 6): both fits emit as literals and the whole
+    // assignment/probe/ADC/rerank cascade replays in SQL
+    // (pqIvfOracles); scan-bound + sim-mass-vs-IVF assertions stay in
+    // TextVectorSpec.
     "sim_ivfpq_topk" -> ((s, d) => {
       import s.implicits._
       def empty = Seq.empty[(Long, Long, Long, Double)]
@@ -628,7 +679,6 @@ object VectorOps extends QueryModule {
       pqFit(s, d) match {
         case None => empty
         case Some(cb) =>
-          val sub = cb(0).head.length
           val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
           val qs = e.where(col("vec_id") < 3).collect()
             .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -639,12 +689,7 @@ object VectorOps extends QueryModule {
             val coded = e.select(Seq(col("vec_id")) ++ codes: _*)
             val approxCols = qs.map { case (qid, q) =>
               (0 until PqM).map { m =>
-                val tab = cb(m).map { c =>
-                  var sm = 0.0; var i = 0
-                  while (i < sub) { sm += q(m * sub + i) * c(i); i += 1 }
-                  sm
-                }.toSeq
-                element_at(typedLit(tab), col(s"c$m") + 1)
+                element_at(typedLit(adcTab(q, cb, m).toSeq), col(s"c$m") + 1)
               }.reduce(_ + _).as(s"a$qid")
             }
             val stacked = coded
@@ -1072,5 +1117,196 @@ object VectorOps extends QueryModule {
         |  sha256(text) AS sha,
         |  lang AS meta_lang
         |FROM documents ORDER BY doc_id""".stripMargin
-  )
+  ) ++ pqIvfOracles()
+
+  /** GENERATED oracles for the PQ / IVF retrieval family (round 6, the
+    * vec_pca_project precedent): the bounded fits — pqFit codebooks,
+    * ivfCentroids — are pure functions of the corpus at
+    * [[graft.OracleCtx]].sfDir; their values are emitted as literals and
+    * every DISTRIBUTED stage (argmin encode, cell assignment, probe
+    * selection, ADC scan, exact rerank) replays as plain SQL in the
+    * same arithmetic order the codegen kernels use. Every literal list
+    * is CAST to DOUBLE[]: a bare decimal literal types as DECIMAL in
+    * DuckDB and would silently change the arithmetic. Memoized per sf
+    * dir (the fits collect bounded samples — not free per evaluation);
+    * sharing pqFit/ivfCentroids with the queries guarantees the plan
+    * and the SQL embed bit-identical model values. */
+  private val pqOracleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, String]]()
+  private def pqIvfOracles(): Map[String, String] = {
+    val dir = graft.OracleCtx.sfDir
+    pqOracleCache.computeIfAbsent(dir, (d: String) => {
+      val s = SparkSession.getActiveSession
+        .getOrElse(SparkSession.builder()
+          .master("local[4]").config("spark.ui.enabled", "false")
+          .getOrCreate())
+      def dlit(x: Double): String = x.toString
+      def dlist(v: Array[Double]): String =
+        v.map(dlit).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      def dotLit(arr: String, v: Array[Double]): String =
+        s"list_aggregate(list_transform(list_zip($arr, ${dlist(v)}), " +
+          "z -> CAST(z[1] AS DOUBLE) * z[2]), 'sum')"
+      val selfDot = "list_aggregate(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')"
+      def pairDot(a: String, b: String): String =
+        s"round(list_aggregate(list_transform(list_zip($a, $b), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4)"
+      val topkTail =
+        """SELECT q_id, rank, vec_id, sim FROM (
+          |  SELECT q_id, vec_id, sim, CAST(ROW_NUMBER() OVER (
+          |      PARTITION BY q_id ORDER BY sim DESC, vec_id) AS BIGINT)
+          |    AS rank FROM r) ranked
+          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      val emptyTopk =
+        "SELECT CAST(0 AS BIGINT) AS q_id, CAST(0 AS BIGINT) AS rank, " +
+          "CAST(0 AS BIGINT) AS vec_id, CAST(0.0 AS DOUBLE) AS sim " +
+          "WHERE 1 = 0"
+      val cb = pqFit(s, d)
+      val cents = ivfCentroids(s, d)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .where(col("vec_id") < 3).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+
+      // per-subspace argmin winner struct — mirrors pqCodeCol exactly:
+      // score = |c|² (full-double centroid) − 2 · dot(x_m, float-cast c)
+      def encW(codebooks: Array[Array[Array[Double]]], m: Int): String = {
+        val sub = codebooks(m).head.length
+        val sl = s"embedding[${m * sub + 1}:${(m + 1) * sub}]"
+        val items = codebooks(m).zipWithIndex.map { case (c, i) =>
+          val c2 = c.map(x => x * x).sum
+          val cf = c.map(x => x.toFloat.toDouble)
+          s"{'s': CAST(${dlit(c2)} AS DOUBLE) - 2.0 * ${dotLit(sl, cf)}," +
+            s" 'i': $i}"
+        }
+        s"list_sort([${items.mkString(", ")}])[1]"
+      }
+      // IVF assignment — mirrors assignCol (float-cast centroid in BOTH
+      // the norm and the dot)
+      def asgList(cs: Array[Array[Double]]): String = {
+        val items = cs.zipWithIndex.map { case (c, i) =>
+          val cf = c.map(x => x.toFloat.toDouble)
+          val c2 = cf.map(x => x * x).sum
+          s"{'s': CAST(${dlit(c2)} AS DOUBLE) - 2.0 * " +
+            s"${dotLit("embedding", cf)}, 'i': $i}"
+        }
+        s"list_sort([${items.mkString(", ")}])[1].i"
+      }
+      def cdBranches(cs: Array[Array[Double]]): String =
+        cs.zipWithIndex.map { case (c, i) =>
+          val cf = c.map(x => x.toFloat.toDouble)
+          s"SELECT vec_id AS q_id, $i AS cluster, " +
+            s"${dotLit("embedding", cf)} AS cdist " +
+            "FROM embeddings WHERE vec_id < 3"
+        }.mkString("\n  UNION ALL\n  ")
+      val probesCte =
+        """probes AS (SELECT q_id, cluster FROM (
+          |    SELECT q_id, cluster, ROW_NUMBER() OVER (PARTITION BY q_id
+          |      ORDER BY cdist DESC, cluster) AS cr FROM cd) p
+          |  WHERE cr <= 2)""".stripMargin
+
+      val vecPqSql = cb match {
+        case None =>
+          "SELECT CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS " +
+            "pq_code, CAST(0.0 AS DOUBLE) AS recon_err WHERE 1 = 0"
+        case Some(codebooks) =>
+          val ws = (0 until PqM).map(m => s"${encW(codebooks, m)} AS w$m")
+            .mkString(",\n    ")
+          val packed = (0 until PqM)
+            .map(m => s"w$m.i * CAST(${1L << (4 * m)} AS BIGINT)")
+            .mkString(" + ")
+          val ssum = (0 until PqM).map(m => s"w$m.s").mkString(" + ")
+          s"""WITH enc AS (SELECT vec_id, embedding,
+             |    $ws
+             |  FROM embeddings)
+             |SELECT vec_id, CAST($packed AS BIGINT) AS pq_code,
+             |  round(greatest(0.0, $selfDot + ($ssum)), 6) AS recon_err
+             |FROM enc ORDER BY vec_id""".stripMargin
+      }
+
+      val simPqSql = (cb, qs.nonEmpty) match {
+        case (Some(codebooks), true) =>
+          val codes = (0 until PqM)
+            .map(m => s"${encW(codebooks, m)}.i AS c$m").mkString(",\n    ")
+          val branches = qs.map { case (qid, q) =>
+            val ap = (0 until PqM)
+              .map(m => s"(${dlist(adcTab(q, codebooks, m))})[c$m + 1]")
+              .mkString(" + ")
+            s"SELECT CAST($qid AS BIGINT) AS q_id, vec_id, $ap AS approx" +
+              " FROM enc"
+          }.mkString("\n  UNION ALL\n  ")
+          s"""WITH enc AS (SELECT vec_id,
+             |    $codes
+             |  FROM embeddings),
+             |ap AS (
+             |  $branches),
+             |cand AS (SELECT q_id, vec_id FROM (
+             |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY approx DESC, vec_id) AS ar
+             |    FROM ap WHERE vec_id <> q_id) c
+             |  WHERE ar <= 100),
+             |r AS (SELECT cand.q_id, cand.vec_id,
+             |    ${pairDot("q.embedding", "v.embedding")} AS sim
+             |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+             |  JOIN embeddings v ON v.vec_id = cand.vec_id)
+             |$topkTail""".stripMargin
+        case _ => emptyTopk
+      }
+
+      val simIvfSql = (cents, qs.nonEmpty) match {
+        case (Some(cs), true) =>
+          s"""WITH asg AS (SELECT vec_id, embedding,
+             |    ${asgList(cs)} AS cluster
+             |  FROM embeddings),
+             |cd AS (
+             |  ${cdBranches(cs)}),
+             |$probesCte,
+             |r AS (SELECT p.q_id, a.vec_id,
+             |    ${pairDot("q.embedding", "a.embedding")} AS sim
+             |  FROM probes p JOIN asg a ON a.cluster = p.cluster
+             |  JOIN embeddings q ON q.vec_id = p.q_id
+             |  WHERE a.vec_id <> p.q_id)
+             |$topkTail""".stripMargin
+        case _ => emptyTopk
+      }
+
+      val simIvfPqSql = (cents, cb, qs.nonEmpty) match {
+        case (Some(cs), Some(codebooks), true) =>
+          val codes = (0 until PqM)
+            .map(m => s"${encW(codebooks, m)}.i AS c$m").mkString(",\n    ")
+          val apBranches = qs.map { case (qid, q) =>
+            val ap = (0 until PqM)
+              .map(m => s"(${dlist(adcTab(q, codebooks, m))})[coded.c$m + 1]")
+              .mkString(" + ")
+            s"""SELECT CAST($qid AS BIGINT) AS q_id, coded.vec_id,
+               |    $ap AS approx
+               |  FROM coded JOIN probes p ON p.q_id = $qid
+               |    AND p.cluster = coded.cluster
+               |  WHERE coded.vec_id <> $qid""".stripMargin
+          }.mkString("\n  UNION ALL\n  ")
+          s"""WITH coded AS (SELECT vec_id, ${asgList(cs)} AS cluster,
+             |    $codes
+             |  FROM embeddings),
+             |cd AS (
+             |  ${cdBranches(cs)}),
+             |$probesCte,
+             |ap AS (
+             |  $apBranches),
+             |cand AS (SELECT q_id, vec_id FROM (
+             |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+             |      ORDER BY approx DESC, vec_id) AS ar FROM ap) c
+             |  WHERE ar <= 100),
+             |r AS (SELECT cand.q_id, cand.vec_id,
+             |    ${pairDot("q.embedding", "v.embedding")} AS sim
+             |  FROM cand JOIN embeddings q ON q.vec_id = cand.q_id
+             |  JOIN embeddings v ON v.vec_id = cand.vec_id)
+             |$topkTail""".stripMargin
+        case _ => emptyTopk
+      }
+
+      Map("vec_pq" -> vecPqSql, "sim_pq_topk" -> simPqSql,
+        "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql)
+    })
+  }
 }
