@@ -90,18 +90,20 @@ object GraftApi {
 
   /** Weighted reservoir sample (Efraimidis–Spirakis): the k rows with
     * the smallest −ln(u)/w keys, u a pure md5 uniform of `key` (no
-    * RNG) and w = `weight` floored at 1 (zero/negative weights degrade
-    * to minimum weight instead of producing an Infinity key).
-    * P(selected) ∝ weight; the ln is 1e9-quantized with a `key`
-    * tiebreak so selection is engine- and layout-stable; the top-k
-    * runs as per-partition heaps (TakeOrderedAndProject), no full
-    * sort. */
+    * RNG). P(selected) ∝ weight for ANY positive weight — fractional
+    * weights included (a floor-at-1 clamp here would silently flatten
+    * sub-unit weights into a uniform sample); rows with NULL or
+    * non-positive weight are excluded, their selection probability
+    * being 0. Selection uses the raw double key with a `key` tiebreak
+    * (layout-stable: both are pure row functions); the top-k runs as
+    * per-partition heaps (TakeOrderedAndProject), no full sort. The
+    * fixture query `sample_weighted` keeps its integer-weight
+    * quantized-key form for cross-engine oracle hash-stability. */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
       k: Int): DataFrame = {
-    val u = graft.Det.md5Uniform(key)
-    val w = greatest(weight, lit(1)).cast(DoubleType)
-    df.withColumn("__kq",
-        floor(-log(u) / w * lit(1e9) + lit(0.5)).cast(LongType))
+    val w = weight.cast(DoubleType)
+    df.where(w.isNotNull && w > 0.0)
+      .withColumn("__kq", -log(graft.Det.md5Uniform(key)) / w)
       .orderBy(col("__kq"), key)
       .limit(k)
       .drop("__kq")

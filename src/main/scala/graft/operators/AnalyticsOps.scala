@@ -288,8 +288,16 @@ object AnalyticsOps extends QueryModule {
           val sums = (1 to PcaK)
             .map(k => s"CAST(SUM(iv * a$k) AS BIGINT) AS s$k")
             .mkString(",\n      ")
-          val ps = (1 to PcaK).map(k => s"s$k / 1e12 AS p$k")
-            .mkString(", ")
+          // LEFT JOIN from embeddings so NULL/empty-embedding rows are
+          // kept with the projection Spark's dot_q kernel gives them
+          // (NULL for a NULL array, 0.0 for an empty one) — the q CTE
+          // unnests nothing for such rows and an inner-join tail would
+          // silently drop them (round-6 review finding; the null-safe
+          // covariance sibling set the precedent)
+          val ps = (1 to PcaK).map(k =>
+            s"CASE WHEN e.embedding IS NULL THEN NULL ELSE " +
+              s"COALESCE(s.s$k / 1e12, 0.0e0) END AS p$k")
+            .mkString(",\n  ")
           s"""WITH q AS (SELECT vec_id, i AS dim,
              |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1e6 + 0.5)
              |      AS BIGINT) AS iv
@@ -299,8 +307,10 @@ object AnalyticsOps extends QueryModule {
              |s AS (SELECT vec_id,
              |      $sums
              |  FROM q JOIN ax USING (dim) GROUP BY vec_id)
-             |SELECT vec_id, $ps
-             |FROM s ORDER BY vec_id""".stripMargin
+             |SELECT e.vec_id,
+             |  $ps
+             |FROM embeddings e LEFT JOIN s ON s.vec_id = e.vec_id
+             |ORDER BY e.vec_id""".stripMargin
       }
     })
   }

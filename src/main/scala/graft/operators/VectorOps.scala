@@ -61,7 +61,13 @@ object VectorOps extends QueryModule {
     * first caller pays the fit (the join_bucketed / keepList
     * amortization); at 100 TB a coarse quantizer is fit once and
     * reused by every retrieval query anyway. None when the corpus is
-    * too small (< k sample points) — the ids degrade to empty frames. */
+    * too small (< k sample points) — the ids degrade to empty frames.
+    * Boundary: the cache (like pqOracleCache / pcaOracleCache) is
+    * per-JVM and keyed by PATH — regenerating the data under an
+    * already-fitted dir inside one JVM would serve a stale fit. The
+    * harness regenerates testdata only between JVMs, and tests use
+    * fresh temp dirs; a production deployment would key by snapshot
+    * version. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[Array[Array[Double]]]]()
   private[graft] def ivfCentroids(s: SparkSession, d: String)
@@ -127,10 +133,23 @@ object VectorOps extends QueryModule {
     floor(dotF(e, typedLit(lshPlanes(t).toSeq)) / 0.5).cast(LongType)
   }
 
+  /** Double literal that DuckDB types as DOUBLE, not DECIMAL: a bare
+    * decimal literal parses as DECIMAL and the IN-ENGINE
+    * DECIMAL→DOUBLE conversion is off by 1 ulp for ~11% of values
+    * (measured on this container's DuckDB, round 6) — enough to flip a
+    * bucket/argmin at an exact boundary. An exponent suffix forces
+    * direct DOUBLE parsing with correct rounding (0/1500 mismatches
+    * measured). */
+  private def dE(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   /** DuckDB replay of the bucket stage (round 6): the planes are a pure
     * function of the fixed seed, so their exact float values are emitted
-    * as double literals (Float→Double widening is exact; shortest-repr
-    * decimal round-trips to the same double) and this keyed CTE
+    * as double literals (Float→Double widening is exact; the exponent
+    * suffix [[dE]] forces DOUBLE parsing — correctly-rounded shortest
+    * repr round-trips to the same double) and this keyed CTE
     * reproduces [[lshBucket]] bit-for-bit — DuckDB's list_aggregate
     * 'sum' folds in index order exactly like the dotF kernel loop (the
     * proven dedup_embedding / sim_cosine_pairs oracle discipline), and
@@ -141,7 +160,7 @@ object VectorOps extends QueryModule {
   private[graft] def duckLshKeyed: String =
     (0 until 4).map { t =>
       val plane =
-        lshPlanes(t).map(_.toDouble.toString).mkString("[", ", ", "]")
+        lshPlanes(t).map(f => dE(f.toDouble)).mkString("[", ", ", "]")
       s"""SELECT vec_id, $t AS t,
          |    CAST(floor(list_aggregate(list_transform(
          |        list_zip(embedding, $plane),
@@ -1140,7 +1159,7 @@ object VectorOps extends QueryModule {
         .getOrElse(SparkSession.builder()
           .master("local[4]").config("spark.ui.enabled", "false")
           .getOrCreate())
-      def dlit(x: Double): String = x.toString
+      def dlit(x: Double): String = dE(x)
       def dlist(v: Array[Double]): String =
         v.map(dlit).mkString("CAST([", ", ", "] AS DOUBLE[])")
       def dotLit(arr: String, v: Array[Double]): String =

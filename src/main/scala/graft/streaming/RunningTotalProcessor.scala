@@ -46,8 +46,12 @@ class IngestDedupProcessor
     val prior = if (first.exists()) Some(first.get()) else None
     val keeper = prior.getOrElse(ids.head)
     if (prior.isEmpty) first.update(keeper)
-    ids.iterator.map(id =>
-      (id, if (prior.isEmpty && id == keeper) 1L else 0L, keeper))
+    // admit by POSITION, not value: an at-least-once source can replay
+    // the keeper row within one micro-batch (ids = [5, 5]) and a
+    // value-based test would emit TWO admission verdicts for one
+    // fingerprint — exactly-once admission means index 0 only
+    ids.iterator.zipWithIndex.map { case (id, ix) =>
+      (id, if (prior.isEmpty && ix == 0) 1L else 0L, keeper) }
   }
 }
 

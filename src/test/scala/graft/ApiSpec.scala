@@ -112,9 +112,18 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     // heavy rows are 1000× likelier — expect the sample dominated by them
     assert(picked.count(_ <= 40) >= 20, s"heavy rows underrepresented")
-    // zero/negative weights degrade to weight 1 instead of crashing
+    // zero/negative weights are excluded (P ∝ 0), not clamped up
     val z = Seq((1L, 0L), (2L, -5L), (3L, 7L)).toDF("id", "w")
-    assert(GraftApi.weightedSample(z, col("id"), col("w"), 3).count() == 3)
+    assert(GraftApi.weightedSample(z, col("id"), col("w"), 3)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // FRACTIONAL weights are honored, not flattened: 0.9 vs 0.001 must
+    // select overwhelmingly from the heavy fraction
+    val frac = (1L to 300L).map(i =>
+      (i, if (i <= 30) 0.9 else 0.001)).toDF("id", "w")
+    val fp = GraftApi.weightedSample(frac, col("id"), col("w"), 20)
+      .collect().map(_.getLong(0))
+    assert(fp.count(_ <= 30) >= 15,
+      s"fractional heavy rows underrepresented: ${fp.toSeq}")
     // layout-stability: repartitioned input selects the identical set
     val again = GraftApi.weightedSample(df.repartition(7), col("id"),
       col("w"), 30).collect().map(_.getLong(0)).toSet

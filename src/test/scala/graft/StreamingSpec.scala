@@ -294,13 +294,19 @@ class StreamingSpec extends AnyFunSuite {
       assert(verdicts() == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 1L)),
         s"run 1 verdicts: ${verdicts()}")
       // run 2 (restart from the same checkpoint): doc 4 repeats run 1's
-      // "aa" — must reject against the RESTORED state; doc 5 is new
-      Seq((4L, "aa"), (5L, "cc")).toDF("doc_id", "text")
-        .write.mode("append").parquet(src)
+      // "aa" — must reject against the RESTORED state; doc 5 is new;
+      // doc 6 arrives TWICE in one batch (at-least-once replay) —
+      // exactly ONE copy may carry the admission verdict
+      Seq((4L, "aa"), (5L, "cc"), (6L, "dd"), (6L, "dd"))
+        .toDF("doc_id", "text").write.mode("append").parquet(src)
       run()
-      assert(verdicts() == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 1L),
-        (4L, 0L, 1L), (5L, 1L, 5L)),
-        s"state did not survive the restart: ${verdicts()}")
+      val all = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(all.toSet == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 0L, 1L),
+        (4L, 0L, 1L), (5L, 1L, 5L), (6L, 1L, 6L), (6L, 0L, 6L)),
+        s"state did not survive the restart: ${all.sorted}")
+      assert(all.count(v => v._1 == 6L && v._2 == 1L) == 1,
+        s"replayed row double-admitted: ${all.sorted}")
     } finally {
       prior match {
         case Some(v) => spark.conf.set(
