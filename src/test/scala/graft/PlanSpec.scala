@@ -206,6 +206,21 @@ class PlanSpec extends AnyFunSuite {
     assert(leftover.isEmpty, s"lingering cached RDD ids: $leftover")
   }
 
+  test("sim_ivf_topk and sim_ivfpq_topk plans carry no UDF") {
+    // round 6: corpus cluster assignment moved off MLlib's per-row
+    // transform (a Vector-typed ScalaUDF) onto the codegen argmin
+    // kernel over literal centroids (assignCol) — the whole retrieval
+    // cascade must stay inside whole-stage codegen. The fit itself is
+    // driver-side and never appears in the query plan.
+    for (id <- Seq("sim_ivf_topk", "sim_ivfpq_topk")) {
+      val df = SparkEntry.queries(id)(spark, sf)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString.toLowerCase
+      assert(!p.contains("scalaudf") && !p.contains("batchevalpython"),
+        s"$id plan fell off codegen onto a UDF:\n$p")
+    }
+  }
+
   test("dedup_ngram candidate shuffles are keyed on shingle hashes") {
     // the inverted-index self-join must exchange on the 8-byte shingle
     // hash (tok); no exchange may be keyed on raw text — at 100 TB the
