@@ -30,6 +30,9 @@ object Bench {
     "dedup_ngram" -> 4.0,
     "dedup_containment" -> 2.5,
     "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
+    "clean_substring" -> 2.5, // dedup_substring's postings + token rebuild
+    "clean_repetition" -> 2.5, // 7× n-gram fan-out, two groupBys
+    "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells
 
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,

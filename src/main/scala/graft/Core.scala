@@ -36,8 +36,21 @@ trait QueryModule {
   * pushdown + column pruning intact (no schema-merge cost).
   */
 object Tables {
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read a corpus table, normalizing every TIMESTAMP_NTZ column to the
+    * session-TZ TimestampType. The testdata generator has shipped
+    * timestamps both as isAdjustedToUTC=true (round ≤ 5) and as
+    * NTZ micros (round 6 regeneration); the engine standardizes on
+    * TimestampType so plans, function semantics (unix_timestamp, window
+    * range frames) and Verify's written schemas stay identical across
+    * generations. Value-preserving: every session pins
+    * spark.sql.session.timeZone=UTC. */
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, col(c).cast(TimestampType)))
+  }
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
@@ -46,14 +59,20 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * directly (PARQUET_TYPE_ILLEGAL). Read it as a nanos long via the
-    * legacy conf and floor-divide to µs — exactly the ns→µs truncation
-    * DuckDB applies, so oracle comparisons agree (FIXTURES.md events.ts). */
+  /** events.ts additionally shipped once as parquet TIMESTAMP(NANOS),
+    * which Spark 4 refuses to read directly (PARQUET_TYPE_ILLEGAL): the
+    * legacy conf surfaces it as a nanos long, floor-divided here to µs —
+    * exactly the ns→µs truncation DuckDB applies (FIXTURES.md
+    * events.ts). Micros generations pass through `t`'s NTZ
+    * normalization untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

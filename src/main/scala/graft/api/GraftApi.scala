@@ -198,6 +198,30 @@ object GraftApi {
   def containmentPairs(docs: DataFrame, minShingles: Int = 8): DataFrame =
     graft.operators.TextOps.containmentPairs(docs, minShingles)
 
+  /** Remove every cross-doc duplicated ≥ k-token verbatim span from all
+    * but its lowest-doc_id occurrence (the removal half of Lee et al.
+    * 2022 — substringPairs detects, this rewrites): returns (doc_id,
+    * n_tokens, n_removed, text_clean) over a (doc_id, text) frame. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 13): DataFrame =
+    graft.operators.TextOps.substringClean(docs, k)
+
+  /** Gopher repetition filter (Rae et al. 2021 A1.1) over a (doc_id,
+    * text) frame: char-mass fractions of the dominant {2,3,4}-grams and
+    * duplicated {5..8}-grams plus the paper-threshold is_clean verdict —
+    * catches degenerate repetition-loop docs that duplicate nothing
+    * cross-doc and therefore pass every dedup op. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.repetitionStats(docs)
+
+  /** SemDeDup (Abbas et al. 2023) over a (vec_id, embedding) frame:
+    * cell-bounded semantic dedup against the given k-means centroids —
+    * (vec_id, cluster, is_kept), keeping the centroid-nearest member of
+    * every same-cell dup group at dot ≥ tau. Fit centroids once (e.g.
+    * on a bounded sample) and reuse across snapshots. */
+  def semanticDedup(emb: DataFrame, centroids: Array[Array[Double]],
+      tau: Double = 0.4): DataFrame =
+    graft.operators.VectorOps.semanticDedup(emb, centroids, tau)
+
   // ---- quality ------------------------------------------------------
 
   /** Per-group exact decimal sum cast back to double — the

@@ -286,6 +286,130 @@ object TextOps extends QueryModule {
         (max("run_len") + lit(k - 1).cast(LongType)).as("max_span"))
   }
 
+  /** The span-REMOVAL transform behind `clean_substring` — the second
+    * half of Lee et al. 2022 (dedup_substring DETECTS cross-doc verbatim
+    * spans; this one rewrites the corpus with them removed). Contract:
+    * first-occurrence-wins at window granularity — a k-token window
+    * whose hash also appears in a LOWER doc_id is a duplicated window;
+    * every token position covered by at least one duplicated window is
+    * dropped from the HIGHER doc, and the surviving tokens are re-joined
+    * in order. The lowest doc carrying a span keeps all of its
+    * occurrences (including internal repeats — cross-doc removal only,
+    * intra-doc repetition is clean_repetition's concern), so exactly one
+    * copy of every duplicated span survives corpus-wide.
+    *
+    * Wholly integer/md5/string arithmetic → oracle-EXACT as plain SQL.
+    *
+    * 100 TB: the only wide exchange is the window-hash aggregation
+    * (32-byte keys + ids, never text — the dedup_substring postings
+    * shape); coverage fan-out is a narrow per-dup-window k-row explode;
+    * the rebuild groups by doc_id, the corpus's natural partition key.
+    * Hot boilerplate windows skew the hash groupBy; AQE absorbs it, and
+    * the substringPairs df-cap note applies verbatim. */
+  private[graft] def substringClean(docs: DataFrame, k: Int = SubstrK)
+      : DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("idx", "tok")))
+    val wins = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("pos"),
+        col("ts"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("ts"), col("pos") + 1, lit(k))))
+          .as("wh"))
+    val firstDoc = wins.groupBy("wh").agg(min("doc_id").as("first_doc"))
+    val covered = wins.join(firstDoc, "wh")
+      .where(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Gopher-style intra-document repetition metrics + verdict behind
+    * `clean_repetition` (Rae et al. 2021, appendix A1.1) — the filter
+    * that catches degenerate generation-loop / template docs which are
+    * NOT duplicates of anything (every dedup op passes them). Adapted to
+    * this corpus's flat token streams (no newlines — measured, so the
+    * paper's duplicate-LINE fractions are degenerate here): per doc,
+    *   top_frac_n  (n = 2,3,4): char mass of the dominant n-gram —
+    *     occurrences × n-gram char length, dominant = argmax of that
+    *     mass — over the doc's char length;
+    *   dup_frac_n  (n = 5,…,8): summed char mass of every n-gram
+    *     occurring ≥ 2 times, over the doc's char length.
+    * Masses double-count overlapping occurrences (can exceed 1), exactly
+    * as the published reproductions do. is_clean applies the paper's
+    * thresholds (0.20/0.18/0.16, 0.15/0.14/0.13/0.12) — compared in
+    * INTEGER cross-multiplied form (mass·denominator ≤ num·chars), so
+    * the verdict is exact at threshold boundaries in both engines; the
+    * reported fractions are single integer-integer divisions
+    * (deterministic one-rounding, the text_rep_stats discipline).
+    *
+    * 100 TB: one narrow ~7× token fan-out (no shuffle), one groupBy on
+    * (doc_id, n, gram) — Zipf-skewed gram keys partial-aggregate
+    * map-side — then a doc_id-keyed conditional agg. No joins. */
+  private val RepThresholds: Map[Int, (Int, Int)] = Map(
+    // n -> (num, den): frac ≤ num/den
+    2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25),
+    5 -> (3, 20), 6 -> (7, 50), 7 -> (13, 100), 8 -> (3, 25))
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("tc"),
+        split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("tc"), col("ts"),
+        explode(array((2 to 8).map(lit): _*)).as("n"))
+      .where(size(col("ts")) >= col("n"))
+      .select(col("doc_id"), col("tc"), col("n"),
+        explode(sequence(lit(0), size(col("ts")) - col("n"))).as("pos"),
+        col("ts"))
+      .select(col("doc_id"), col("tc"), col("n"),
+        concat_ws(" ", slice(col("ts"), col("pos") + 1, col("n")))
+          .as("gram"))
+    val mass = grams
+      .groupBy("doc_id", "tc", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "tc", "n")
+      .agg(max(col("cnt") * length(col("gram"))).as("top_mass"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+          .otherwise(0L)).as("dup_mass"))
+    def m(n: Int, c: String): org.apache.spark.sql.Column =
+      coalesce(max(when(col("n") === n, col(c))), lit(0L))
+    val fracs = (2 to 4).map(n =>
+      (m(n, "top_mass").cast(DoubleType) / col("tc").cast(DoubleType))
+        .as(s"top_frac_$n")) ++
+      (5 to 8).map(n =>
+        (m(n, "dup_mass").cast(DoubleType) / col("tc").cast(DoubleType))
+          .as(s"dup_frac_$n"))
+    val clean = ((2 to 4).map(n => (n, "top_mass")) ++
+      (5 to 8).map(n => (n, "dup_mass"))).map { case (n, c) =>
+        val (num, den) = RepThresholds(n)
+        m(n, c) * den <= col("tc") * num
+      }.reduce(_ && _)
+    mass.groupBy("doc_id", "tc")
+      .agg(fracs.head, (fracs.tail :+
+        clean.cast(LongType).as("is_clean")): _*)
+      .select((col("doc_id") +: col("tc").as("n_chars") +:
+        (2 to 4).map(n => col(s"top_frac_$n")) ++:
+        (5 to 8).map(n => col(s"dup_frac_$n")) :+
+        col("is_clean")): _*)
+  }
+
   /** The boilerplate-removal transform behind `clean_boilerplate`, over
     * any (doc_id, text) frame — corpus-agnostic so PropertySpec can
     * replay it against a brute-force model on random corpora (slice
@@ -486,6 +610,20 @@ object TextOps extends QueryModule {
     // shape + df-cap story in substringPairs' scaladoc.
     "dedup_substring" -> ((s, d) =>
       substringPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
+
+    // the REMOVAL half of Lee et al. 2022: rewrite the corpus with every
+    // cross-doc duplicated ≥13-token span removed from all but its
+    // lowest-doc_id occurrence (first-occurrence-wins at window
+    // granularity — contract + scale shape in substringClean's scaladoc).
+    "clean_substring" -> ((s, d) =>
+      substringClean(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // Gopher repetition filter (Rae et al. 2021 A1.1): char-mass
+    // fractions of dominant {2,3,4}-grams and duplicated {5..8}-grams +
+    // the paper-threshold verdict, catching degenerate repetition-loop
+    // docs no dedup op can (they duplicate nothing cross-doc).
+    "clean_repetition" -> ((s, d) =>
+      repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
 
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
@@ -1062,6 +1200,68 @@ object TextOps extends QueryModule {
         |SELECT id1, id2, CAST(SUM(run_len) AS BIGINT) AS n_windows,
         |  CAST(MAX(run_len) + 12 AS BIGINT) AS max_span
         |FROM runs GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin,
+    "clean_substring" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(ts, i + 1, i + 13), ' ')) AS wh
+        |  FROM d0, unnest(range(0, len(ts) - 12)) AS u(i)
+        |  WHERE len(ts) >= 13),
+        |fd AS (SELECT wh, MIN(doc_id) AS first_doc FROM w GROUP BY wh),
+        |cov AS (SELECT DISTINCT w.doc_id, w.pos + j AS idx
+        |  FROM w JOIN fd USING (wh), unnest(range(0, 13)) AS u(j)
+        |  WHERE w.doc_id > fd.first_doc),
+        |tok AS (SELECT doc_id, i AS idx, ts[i + 1] AS tok
+        |  FROM d0, unnest(range(0, len(ts))) AS u(i)),
+        |keep AS (SELECT t.doc_id, t.idx, t.tok FROM tok t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+        |  WHERE c.idx IS NULL),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text_clean
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d0.doc_id, CAST(len(d0.ts) AS BIGINT) AS n_tokens,
+        |  CAST(len(d0.ts) - COALESCE(agg.n_kept, 0) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(agg.text_clean, '') AS text_clean
+        |FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "clean_repetition" ->
+      """WITH d0 AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS tc,
+        |    string_split(text, ' ') AS ts FROM documents),
+        |g AS (SELECT doc_id, tc, n,
+        |    array_to_string(list_slice(ts, p + 1, p + n), ' ') AS gram
+        |  FROM d0, unnest(range(2, 9)) AS un(n),
+        |    unnest(range(0, len(ts) - n + 1)) AS up(p)
+        |  WHERE len(ts) >= n),
+        |c AS (SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
+        |  FROM g GROUP BY doc_id, tc, n, gram),
+        |mass AS (SELECT doc_id, tc, n,
+        |    MAX(cnt * length(gram)) AS top_mass,
+        |    SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+        |        ELSE 0 END) AS dup_mass
+        |  FROM c GROUP BY doc_id, tc, n),
+        |p AS (SELECT doc_id, tc,
+        |    COALESCE(MAX(CASE WHEN n = 2 THEN top_mass END), 0) AS t2,
+        |    COALESCE(MAX(CASE WHEN n = 3 THEN top_mass END), 0) AS t3,
+        |    COALESCE(MAX(CASE WHEN n = 4 THEN top_mass END), 0) AS t4,
+        |    COALESCE(MAX(CASE WHEN n = 5 THEN dup_mass END), 0) AS d5,
+        |    COALESCE(MAX(CASE WHEN n = 6 THEN dup_mass END), 0) AS d6,
+        |    COALESCE(MAX(CASE WHEN n = 7 THEN dup_mass END), 0) AS d7,
+        |    COALESCE(MAX(CASE WHEN n = 8 THEN dup_mass END), 0) AS d8
+        |  FROM mass GROUP BY doc_id, tc)
+        |SELECT doc_id, tc AS n_chars,
+        |  CAST(t2 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_2,
+        |  CAST(t3 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_3,
+        |  CAST(t4 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_4,
+        |  CAST(d5 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_5,
+        |  CAST(d6 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_6,
+        |  CAST(d7 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_7,
+        |  CAST(d8 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_8,
+        |  CAST(CASE WHEN t2 * 5 <= tc * 1 AND t3 * 50 <= tc * 9
+        |    AND t4 * 25 <= tc * 4 AND d5 * 20 <= tc * 3
+        |    AND d6 * 50 <= tc * 7 AND d7 * 100 <= tc * 13
+        |    AND d8 * 25 <= tc * 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_clean
+        |FROM p ORDER BY doc_id""".stripMargin,
     // the naive definition of the same clustering: symmetric edge closure
     // via a recursive CTE, component representative = min reachable id
     "dedup_clusters" ->

@@ -89,7 +89,7 @@ object VectorOps extends QueryModule {
     * the centroids enter as float literals and the dot is the in-order
     * dotF kernel, the assignment replays bit-for-bit in the generated
     * DuckDB oracles. */
-  private def assignCol(cents: Array[Array[Double]]): Column = {
+  private def assignWin(cents: Array[Array[Double]]): Column = {
     import graft.functions.VectorExprs.dotF
     val scored = array(cents.zipWithIndex.map { case (c, i) =>
       val cf = c.map(_.toFloat)
@@ -97,7 +97,40 @@ object VectorOps extends QueryModule {
       struct((lit(c2) - lit(2.0) * dotF(col("embedding"),
         typedLit(cf.toSeq))).as("s"), lit(i).as("i"))
     }: _*)
-    array_min(scored).getField("i")
+    array_min(scored)
+  }
+  private def assignCol(cents: Array[Array[Double]]): Column =
+    assignWin(cents).getField("i")
+
+  /** SemDeDup (Abbas et al. 2023) over any (vec_id, embedding) frame
+    * given fitted cell centroids: a member is dropped iff some same-cell
+    * neighbor at dot ≥ tau sits strictly closer to the shared centroid
+    * (tie → lower vec_id), so the centroid-nearest member of every dup
+    * group survives. d2 is the exact squared distance
+    * |x|² + (|c|² − 2x·c), all codegen dotF terms — the dedup_semantic
+    * query's generated oracle replays the comparison bit-for-bit.
+    * NULL embeddings are excluded (the covarianceFrame null contract). */
+  private[graft] def semanticDedup(emb: DataFrame,
+      cents: Array[Array[Double]], tau: Double = 0.4): DataFrame = {
+    import graft.functions.VectorExprs.dotF
+    val w = assignWin(cents)
+    val a = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        w.getField("i").as("cluster"),
+        (dotF(col("embedding"), col("embedding")) + w.getField("s"))
+          .as("d2"))
+    val dropped = a
+      .join(a.select(col("vec_id").as("y_id"), col("cluster"),
+        col("embedding").as("ey"), col("d2").as("y_d2")),
+        Seq("cluster"))
+      .where(col("vec_id") =!= col("y_id") &&
+        dotF(col("embedding"), col("ey")) >= lit(tau) &&
+        (col("y_d2") < col("d2") ||
+          (col("y_d2") === col("d2") && col("y_id") < col("vec_id"))))
+      .select("vec_id").distinct()
+    a.join(dropped.withColumn("dr", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster").cast(LongType).as("cluster"),
+        when(col("dr").isNull, 1L).otherwise(0L).as("is_kept"))
   }
 
   /** Shared bucketed-random-projection hash family (sim_lsh, sim_lsh_topk):
@@ -520,6 +553,35 @@ object VectorOps extends QueryModule {
           when(col("doc_id") === col("rep"), 1L).otherwise(0L)
             .cast(LongType).as("is_keeper"))
         .orderBy("vec_id")),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cell-bounded semantic dedup —
+    // the literal published algorithm, distinct from the CC-resolution
+    // family above. Cells come from the memoized coarse quantizer
+    // (ivfCentroids — the fit every retrieval query already shares);
+    // candidates are WITHIN-CELL pairs only (the paper's point: the pair
+    // space shrinks n² → Σ|cell|², and the cell count scales with the
+    // corpus); a member is dropped iff some same-cell neighbor at
+    // dot ≥ 0.4 sits strictly closer to the shared centroid (tie → lower
+    // vec_id wins), so the centroid-nearest member of every dup group
+    // survives — per-pair pruning, not transitive-closure clustering
+    // (that is dedup_embedding's contract). d2 ranks by the exact
+    // squared distance |x|² + (|c|² − 2x·c), all three terms codegen
+    // dotF — the comparison replays bit-for-bit in the generated oracle
+    // (literal centroids, in-order list sums). 100 TB: the only wide
+    // exchange is the self-join keyed on cluster; payload is
+    // (id, embedding, d2) and AQE's skew handling absorbs hot cells —
+    // the giant-cell guard is raising k, exactly the SemDeDup recipe.
+    "dedup_semantic" -> ((s, d) => {
+      import s.implicits._
+      ivfCentroids(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long)].toDF("vec_id", "cluster", "is_kept")
+        case Some(cents) =>
+          semanticDedup(Tables.embeddings(s, d)
+            .select(col("vec_id"), col("embedding")), cents)
+            .orderBy("vec_id")
+      }
+    }),
 
     // per-query ANN top-k via multi-probe LSH — the retrieval shape (k
     // nearest for each query vector), not pair mining. Each query probes
@@ -1324,8 +1386,45 @@ object VectorOps extends QueryModule {
         case _ => emptyTopk
       }
 
+      // SemDeDup: same literal-centroid replay as simIvfSql, but keeping
+      // the whole argmin winner struct (cluster AND its score) so the
+      // exact d2 = |x|² + (|c|²−2x·c) ranking reproduces bit-for-bit.
+      val dedupSemSql = cents match {
+        case Some(cs) =>
+          def pairDotU(a: String, b: String): String =
+            s"list_aggregate(list_transform(list_zip($a, $b), " +
+              "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+          val winItems = cs.zipWithIndex.map { case (c, i) =>
+            val cf = c.map(_.toFloat.toDouble)
+            val c2 = cf.map(x => x * x).sum
+            s"{'s': CAST(${dlit(c2)} AS DOUBLE) - 2.0 * " +
+              s"${dotLit("embedding", cf)}, 'i': $i}"
+          }
+          val winList = s"list_sort([${winItems.mkString(", ")}])[1]"
+          s"""WITH a AS (SELECT vec_id, embedding, $winList AS w
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |b AS (SELECT vec_id, embedding, w.i AS cluster,
+             |    $selfDot + w.s AS d2 FROM a),
+             |dr AS (SELECT DISTINCT x.vec_id
+             |  FROM b x JOIN b y ON x.cluster = y.cluster
+             |    AND x.vec_id <> y.vec_id
+             |    AND ${pairDotU("x.embedding", "y.embedding")}
+             |      >= CAST(0.4 AS DOUBLE)
+             |    AND (y.d2 < x.d2
+             |      OR (y.d2 = x.d2 AND y.vec_id < x.vec_id)))
+             |SELECT b.vec_id, CAST(b.cluster AS BIGINT) AS cluster,
+             |  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END
+             |    AS BIGINT) AS is_kept
+             |FROM b LEFT JOIN dr ON b.vec_id = dr.vec_id
+             |ORDER BY b.vec_id""".stripMargin
+        case None =>
+          "SELECT CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS " +
+            "cluster, CAST(0 AS BIGINT) AS is_kept WHERE 1 = 0"
+      }
+
       Map("vec_pq" -> vecPqSql, "sim_pq_topk" -> simPqSql,
-        "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql)
+        "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql,
+        "dedup_semantic" -> dedupSemSql)
     })
   }
 }

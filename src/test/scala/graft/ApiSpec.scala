@@ -174,6 +174,45 @@ class ApiSpec extends AnyFunSuite {
       out(3L) == ((1L, "z w")), s"got $out")
   }
 
+  test("removeDuplicateSpans strips a planted span from the higher doc") {
+    val span = (0 until 15).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"u0 u1 $span u2"), (20L, s"v0 $span v1 v2 v3"))
+      .toDF("doc_id", "text")
+    val out = GraftApi.removeDuplicateSpans(docs, k = 13).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))))
+      .toMap
+    assert(out(10L) == ((0L, s"u0 u1 $span u2")), s"got $out")
+    assert(out(20L) == ((15L, "v0 v1 v2 v3")), s"got $out")
+  }
+
+  test("repetitionStats flags a loop doc through the API") {
+    val docs = Seq((1L, (0 until 30).map(_ => "ab cd").mkString(" ")),
+      (2L, (0 until 40).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = GraftApi.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_clean")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L), s"got $out")
+  }
+
+  test("semanticDedup keeps the centroid-nearest of a planted dup pair") {
+    // one cell at e1, one at e2; vecs 1/2 are near-identical in cell 0
+    // (dot = 0.99 ≥ 0.4), vec 2 slightly farther from the centroid →
+    // dropped; vec 3 alone in cell 1 survives.
+    val e = Array.fill(4)(0.0f)
+    def v(i: Int, x: Float): Array[Float] =
+      { val a = e.clone(); a(i) = x; a }
+    val emb = Seq((1L, v(0, 1.0f)), (2L, v(0, 0.99f)), (3L, v(1, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0))
+    val out = GraftApi.semanticDedup(emb, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("is_kept")))).toMap
+    assert(out == Map(1L -> ((0L, 1L)), 2L -> ((0L, 0L)),
+      3L -> ((1L, 1L))), s"got $out")
+  }
+
   test("shingleHashes matches the SQL-composable xxhash64 form") {
     val df = Seq("the quick brown fox jumps").toDF("t")
     val kernel = df.select(GraftApi.shingleHashes(col("t"), 3).as("h"))

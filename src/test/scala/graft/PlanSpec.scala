@@ -256,6 +256,54 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("clean_substring window-hash shuffles never carry document text") {
+    // the removal op shares dedup_substring's postings shape: the
+    // first-occurrence aggregation and the coverage join exchange on
+    // the md5 window hash with ids+positions; document text only rides
+    // the doc_id-keyed token rebuild. Broadcast disabled so the
+    // at-scale shuffle shape is the one planned.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("clean_substring")
+      val exLines = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exLines.exists(_.contains("wh#")),
+        s"no exchange keyed on the window hash:\n$p")
+      assert(!exLines.exists(l => l.contains("text#") || l.contains("ts#")),
+        s"an exchange carries raw text:\n${exLines.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("clean_repetition is join-free and partial-aggregates the gram " +
+      "counts") {
+    // the Gopher filter is two groupBys over a narrow fan-out — any
+    // join in this plan is a regression (the metrics are all per-doc),
+    // and the (doc_id, n, gram) count must partial-aggregate map-side
+    // so the Zipf-skewed gram keys shuffle combined counts, not rows.
+    val p = plan("clean_repetition")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
+  }
+
+  test("dedup_semantic stays codegen and shuffles on the cell key") {
+    // SemDeDup's candidate join must exchange on the k-means cell id
+    // (the SemDeDup point: pair space bounded per cell) and the argmin
+    // assignment must stay inside codegen — no ScalaUDF row path.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+      df.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("scalaudf") &&
+        !p.toLowerCase.contains("batchevalpython"),
+        s"assignment fell off codegen:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("cluster#")),
+        s"candidate join not keyed on the cell id:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("text_cooccurrence generates pairs narrowly — no self-join") {
     // round-2 judge finding: the old doc_id-keyed positional self-join
     // evaluated O(len²) pairs per document before its window filter. The

@@ -568,4 +568,158 @@ class TextVectorSpec extends AnyFunSuite {
       s"train share off: $shares")
     assert(shares.size >= 2, s"degenerate split: $shares")
   }
+
+  test("clean_substring removes a planted span from the higher doc only") {
+    import graft.operators.TextOps
+    // same plant as the dedup_substring test: a 20-token span at offset
+    // 3 of doc 1 and offset 11 of doc 2. First-occurrence-wins → doc 1
+    // keeps everything; doc 2 loses exactly the 20 span tokens
+    // (positions 11..30 = the union of its 8 matched windows).
+    val span = (0 until 20).map(i => s"s$i").mkString(" ")
+    val doc1 = ((0 until 3).map(i => s"a$i") :+ span).mkString(" ") +
+      " " + (0 until 15).map(i => s"b$i").mkString(" ")
+    val doc2 = ((0 until 11).map(i => s"c$i") :+ span).mkString(" ") +
+      " " + (0 until 9).map(i => s"d$i").mkString(" ")
+    val doc3 = (0 until 40).map(i => s"e$i").mkString(" ")
+    val df = Seq((1L, doc1), (2L, doc2), (3L, doc3)).toDF("doc_id", "text")
+    val got = TextOps.substringClean(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))).toMap
+    assert(got(1L) == ((38L, 0L, doc1)), "first doc must keep its span")
+    val want2 = ((0 until 11).map(i => s"c$i") ++
+      (0 until 9).map(i => s"d$i")).mkString(" ")
+    assert(got(2L) == ((40L, 20L, want2)), s"got ${got(2L)}")
+    assert(got(3L) == ((40L, 0L, doc3)), "disjoint doc must be untouched")
+  }
+
+  test("clean_substring matches a brute-force first-occurrence model") {
+    // independent truth in plain Scala over the corpus: min doc_id per
+    // k-token window text, coverage union per higher doc, rebuild in
+    // token order. Window-hash (md5) vs window-text keying is the only
+    // representational difference — a collision would show here.
+    val k = 13
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).sortBy(_._1)
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, ts) <- corpus; if ts.length >= k; p <- 0 to ts.length - k) {
+      val w = ts.slice(p, p + k).mkString(" ")
+      if (!first.contains(w)) first(w) = id // ids ascending → min doc
+    }
+    val want = corpus.map { case (id, ts) =>
+      val cov = Array.fill(ts.length)(false)
+      if (ts.length >= k)
+        for (p <- 0 to ts.length - k
+             if first(ts.slice(p, p + k).mkString(" ")) < id;
+             j <- p until p + k) cov(j) = true
+      val kept = ts.indices.filterNot(cov).map(ts)
+      id -> ((ts.length.toLong, (ts.length - kept.size).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("clean_substring")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("text_clean")))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+    assert(want.values.exists(_._2 > 0),
+      "corpus should contain cross-doc verbatim spans")
+  }
+
+  test("clean_repetition flags a degenerate loop doc and matches a " +
+      "brute-force n-gram mass model") {
+    import graft.operators.TextOps
+    // staged verdicts: a 2-token generation loop must flag (its top
+    // 2-gram "ab cd" covers ~every char), a fully-diverse doc must pass
+    val rep = (0 until 30).map(_ => "ab cd").mkString(" ")
+    val div = (0 until 60).map(i => s"t$i").mkString(" ")
+    val staged = TextOps.repetitionStats(
+        Seq((1L, rep), (2L, div)).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_clean")).toMap
+    assert(staged(1L) == 0L, "loop doc not flagged")
+    assert(staged(2L) == 1L, "diverse doc flagged")
+    // brute model over the corpus: per (doc, n) gram counts in plain
+    // Scala, char masses, integer cross-multiplied verdict
+    val thr = Map(2 -> (1, 5), 3 -> (9, 50), 4 -> (4, 25), 5 -> (3, 20),
+      6 -> (7, 50), 7 -> (13, 100), 8 -> (3, 25))
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = corpus.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val tc = text.length.toLong
+      val mass = (2 to 8).map { n =>
+        val counts = ts.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq.groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val top = if (counts.isEmpty) 0L
+          else counts.map { case (g, c) => c * g.length }.max
+        val dup = counts.collect {
+          case (g, c) if c >= 2 => c * g.length }.sum
+        n -> ((top, dup))
+      }.toMap
+      val fr = (2 to 4).map(n => mass(n)._1.toDouble / tc) ++
+        (5 to 8).map(n => mass(n)._2.toDouble / tc)
+      val clean = (2 to 4).forall(n =>
+          mass(n)._1 * thr(n)._2 <= tc * thr(n)._1) &&
+        (5 to 8).forall(n => mass(n)._2 * thr(n)._2 <= tc * thr(n)._1)
+      id -> ((tc, fr, if (clean) 1L else 0L))
+    }.toMap
+    val got = SparkEntry.queries("clean_repetition")(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (tc, fr, clean) = want(id)
+      assert(r.getAs[Long]("n_chars") == tc, s"n_chars $id")
+      val cols = (2 to 4).map(n => s"top_frac_$n") ++
+        (5 to 8).map(n => s"dup_frac_$n")
+      cols.zip(fr).foreach { case (c, v) =>
+        assert(r.getAs[Double](c) == v, s"$c of doc $id") }
+      assert(r.getAs[Long]("is_clean") == clean, s"verdict $id")
+    }
+  }
+
+  test("dedup_semantic matches a brute-force SemDeDup model and always " +
+      "keeps the centroid-nearest member of a cell") {
+    import graft.operators.VectorOps
+    val cents = VectorOps.ivfCentroids(spark, sf)
+      .getOrElse(fail("quantizer refused on test corpus"))
+    // plain-Scala replay of the exact arithmetic: float-cast centroids,
+    // score = |c|²−2x·c (products in double, summed left-to-right =
+    // dotF's order), argmin by (score, idx), d2 = |x|² + score
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val cf = cents.map(_.map(_.toFloat))
+    val c2 = cf.map(_.map(x => x.toDouble * x.toDouble).sum)
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = rows.map { case (id, e) =>
+      val (s, i) = cf.indices.map(i => (c2(i) - 2.0 * dot(e, cf(i)), i)).min
+      (id, e, i, dot(e, e) + s)
+    }
+    val byCell = assigned.groupBy(_._3)
+    val dropped = assigned.filter { case (id, e, c, d2) =>
+      byCell(c).exists { case (yid, ye, _, yd2) =>
+        yid != id && dot(e, ye) >= 0.4 &&
+          (yd2 < d2 || (yd2 == d2 && yid < id)) }
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("is_kept")))
+    assert(got.length == rows.length)
+    val cellOf = assigned.map(a => a._1 -> a._3.toLong).toMap
+    got.foreach { case (id, c, kept) =>
+      assert(c == cellOf(id), s"cluster of $id")
+      assert(kept == (if (dropped(id)) 0L else 1L), s"verdict of $id")
+    }
+    byCell.values.foreach { cell =>
+      val best = cell.minBy { case (id, _, _, d2) => (d2, id) }._1
+      assert(!dropped(best), s"centroid-nearest member $best dropped")
+    }
+    assert(dropped.nonEmpty,
+      "corpus should contain same-cell semantic dups at τ=0.4")
+  }
 }
