@@ -33,6 +33,7 @@ object Bench {
     "clean_substring" -> 2.5, // dedup_substring's postings + token rebuild
     "clean_repetition" -> 2.5, // 7× n-gram fan-out, two groupBys
     "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells
+    "pipeline_dedup_card" -> 3.5, // exact+substring+repetition flags live
 
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,

@@ -213,6 +213,15 @@ object GraftApi {
   def repetitionStats(docs: DataFrame): DataFrame =
     graft.operators.TextOps.repetitionStats(docs)
 
+  /** Temperature-scaled mixture sampling (α = 0.5, the multilingual-LM
+    * recipe) over any frame: budget = half the input, per-group rate
+    * ∝ √n/n, admission decided in exact integer arithmetic (md5-byte
+    * cross-multiplication — no RNG, no float boundary). Returns the
+    * admitted rows plus the group's `rate`. */
+  def temperatureSample(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame =
+    graft.operators.CurationOps.temperatureSample(df, groupCol, idCol)
+
   /** SemDeDup (Abbas et al. 2023) over a (vec_id, embedding) frame:
     * cell-bounded semantic dedup against the given k-means centroids —
     * (vec_id, cluster, is_kept), keeping the centroid-nearest member of

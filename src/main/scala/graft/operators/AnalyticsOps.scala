@@ -401,6 +401,45 @@ object AnalyticsOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // A/B experiment readout (Welch's unequal-variance t, the standard
+    // two-cohort test): cohort = user_id parity (the deterministic
+    // stand-in for an assignment column), per event_type the cohort
+    // means, Welch t and the |t| > 1.96 verdict. The profile_regression
+    // discipline end-to-end: 2-decimal values sum EXACTLY as
+    // DECIMAL(18,2) (squares as (18,4) — products of 2-decimal doubles
+    // ≤ 2⁵³ are exact), so every moment is aggregation-order-free; the
+    // t statistic is then ONE fixed chain of correctly-rounded double
+    // ops (+ an IEEE-exact sqrt) over those exact moments — bit-equal
+    // across engines, hence the unrounded t and the threshold verdict
+    // both hash-match. One groupBy on event_type; 100 TB: partial
+    // aggregation reduces each task to |types| rows before the
+    // |types|-row shuffle.
+    "profile_ab_test" -> ((s, d) => {
+      val isA = col("user_id") % 2 === 0
+      val v = col("value")
+      val m = Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          sum(when(isA, v).cast(DecimalType(18, 2))).as("s_a"),
+          sum(when(!isA, v).cast(DecimalType(18, 2))).as("s_b"),
+          sum(when(isA, v * v).cast(DecimalType(18, 4))).as("q_a"),
+          sum(when(!isA, v * v).cast(DecimalType(18, 4))).as("q_b"))
+      def dbl(c: String) = col(c).cast(DoubleType)
+      val (na, nb) = (dbl("n_a"), dbl("n_b"))
+      val meanA = dbl("s_a") / na
+      val meanB = dbl("s_b") / nb
+      val varA = (dbl("q_a") - dbl("s_a") * dbl("s_a") / na) / (na - 1.0)
+      val varB = (dbl("q_b") - dbl("s_b") * dbl("s_b") / nb) / (nb - 1.0)
+      val t = (meanA - meanB) / sqrt(varA / na + varB / nb)
+      m.where(col("n_a") > 1 && col("n_b") > 1)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          meanA.as("mean_a"), meanB.as("mean_b"), t.as("t_stat"),
+          (abs(t) > 1.96).cast(LongType).as("is_significant"))
+        .orderBy("event_type")
+    }),
+
     // k-anonymity audit (privacy governance): equivalence classes over
     // the quasi-identifier tuple, how many rows sit in classes smaller
     // than k=5 (re-identifiable) and the suppression rate a k-anon
@@ -840,6 +879,39 @@ object AnalyticsOps extends QueryModule {
         |     * CAST(sx AS DOUBLE))
         |  / CAST(n AS DOUBLE) AS intercept
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // exact decimal moments, then the identical double chain — see the
+    // query's scaladoc for the determinism argument
+    "profile_ab_test" ->
+      """WITH a AS (SELECT event_type,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_b,
+        |  SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS s_a,
+        |  SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS s_b,
+        |  SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(value * value AS DECIMAL(18,4)) END) AS q_a,
+        |  SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(value * value AS DECIMAL(18,4)) END) AS q_b
+        | FROM events GROUP BY event_type),
+        |b AS (SELECT event_type, n_a, n_b,
+        |  CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |  CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |  (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+        |     / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS v_a,
+        |  (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+        |     / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS v_b
+        | FROM a WHERE n_a > 1 AND n_b > 1)
+        |SELECT event_type, n_a, n_b, mean_a, mean_b,
+        |  (mean_a - mean_b) / sqrt(v_a / CAST(n_a AS DOUBLE)
+        |    + v_b / CAST(n_b AS DOUBLE)) AS t_stat,
+        |  CAST(CASE WHEN abs((mean_a - mean_b)
+        |      / sqrt(v_a / CAST(n_a AS DOUBLE)
+        |        + v_b / CAST(n_b AS DOUBLE))) > 1.96
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_significant
+        |FROM b ORDER BY event_type""".stripMargin,
     "validate_kanon" ->
       """WITH c AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cls
         |  FROM customer GROUP BY 1, 2)

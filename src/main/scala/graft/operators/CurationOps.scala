@@ -48,19 +48,53 @@ object CurationOps extends QueryModule {
         s"(($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("\n    + ")
 
+  /** First two md5 hex digits of a row key as an integer 0..255 — the
+    * raw byte behind hashFrac, used directly where the admission test
+    * can stay in exact integer arithmetic (sample_temperature). */
+  private[operators] def hashByte(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10)
+      .cast(IntegerType)
+
   /** Deterministic uniform-ish value in [0, 1) from a row key: first two
     * md5 hex digits over 256. Shared by pipeline_mixture and the
     * curation funnel so both stages sample identically. */
   private[operators] def hashFrac(idCol: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 2), 16, 10)
-      .cast(IntegerType).cast(DoubleType) / 256.0
+    hashByte(idCol).cast(DoubleType) / 256.0
 
-  /** DuckDB mirror of hashFrac. */
-  private[operators] def duckHashFrac(idExpr: String): String =
+  /** The frame-parametric core behind `sample_temperature` (and
+    * GraftApi.temperatureSample): α = 0.5 temperature sampling over any
+    * frame with a group column and an id column — budget = half the
+    * input, per-group rate ∝ √n/n, admission decided in exact integer
+    * space (see the query's scaladoc for the full argument). Returns
+    * the admitted rows plus the group's `rate`. */
+  private[graft] def temperatureSample(df: org.apache.spark.sql.DataFrame,
+      groupCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val wq = counts.select(col(groupCol), col("n"),
+      floor(sqrt(col("n").cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType).as("wq"))
+    val tot = wq.agg(sum("wq").as("swq"), sum("n").as("tot"))
+    val rates = wq.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n"), col("wq"), col("swq"),
+        expr("tot div 2").as("b"))
+    df.join(broadcast(rates), groupCol)
+      .where(hashByte(col(idCol)).cast(LongType) * col("swq") *
+        col("n") < lit(256L) * col("b") * col("wq"))
+      .withColumn("rate", (col("b") * col("wq")).cast(DoubleType) /
+        (col("swq") * col("n")).cast(DoubleType))
+      .drop("n", "wq", "swq", "b")
+  }
+
+  /** DuckDB mirror of hashByte (integer 0..255, no division). */
+  private[operators] def duckHashByte(idExpr: String): String =
     s"""((instr('0123456789abcdef',
        |          substr(md5(CAST($idExpr AS VARCHAR)), 1, 1)) - 1) * 16
        |     + (instr('0123456789abcdef',
-       |          substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1)) / 256.0""".stripMargin
+       |          substr(md5(CAST($idExpr AS VARCHAR)), 2, 1)) - 1))""".stripMargin
+
+  /** DuckDB mirror of hashFrac. */
+  private[operators] def duckHashFrac(idExpr: String): String =
+    s"${duckHashByte(idExpr)} / 256.0"
 
   /** Array-shaped int8 quantization (vec_id, q_scale, q array<int>) —
     * the form a storage pipeline writes. The `vec_quantize` query entry
@@ -225,6 +259,29 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // temperature-scaled mixture sampling (the multilingual-LM data
+    // recipe, e.g. XLM-R / mT5: domain share ∝ n^α with α = 0.5) —
+    // between pipeline_mixture's full rebalance (α = 0) and natural
+    // sampling (α = 1): heads are damped, tails are boosted but never
+    // oversampled past their size. Budget = half the corpus; per-lang
+    // rate = B·w_l / (Σw·n_l) with w_l = √n_l. The admission test runs
+    // ENTIRELY in exact integer space: w is quantized to wq =
+    // ⌊√n·10⁶+½⌋ once (one IEEE-exact sqrt of an integer-valued
+    // double), and "hashFrac < rate" cross-multiplies to
+    // byte·Σwq·n < 256·B·wq — no float compare anywhere, so the
+    // boundary can never flip between engines. (Long headroom: the
+    // product tops out ~2⁶² at n ≈ 10⁹/lang; beyond that drop the
+    // quantum to 10³ — documented, not hit at any test SF.) The rate
+    // column is one exact-integer division, reported for observability.
+    // 100 TB: counts/weights are a ≤|langs|-row broadcast; admission is
+    // a narrow scan predicate — no shuffle beyond the count.
+    "sample_temperature" -> ((s, d) =>
+      temperatureSample(Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source")),
+          "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("rate"))
+        .orderBy("doc_id")),
+
     // int8 symmetric quantization per vector: scale = 127 / max|x|,
     // q_i = floor(x_i * scale + 0.5) ∈ [-127, 127]. One narrow pass —
     // reconstruction error ≤ 0.5/scale is asserted in TextVectorSpec.
@@ -324,6 +381,22 @@ object CurationOps extends QueryModule {
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE ${duckHashFrac("d.doc_id")}
         |  < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    // exact integer cross-multiplied admission — see the query's scaladoc
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS wq FROM c),
+        |t AS (SELECT CAST(SUM(wq) AS BIGINT) AS swq,
+        |    CAST(SUM(n) AS BIGINT) AS tot FROM w),
+        |r AS (SELECT lang, n, wq, swq, tot // 2 AS b FROM w, t)
+        |SELECT d.doc_id, d.lang, d.source,
+        |  CAST(r.b * r.wq AS DOUBLE) / CAST(r.swq * r.n AS DOUBLE)
+        |    AS rate
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE ${duckHashByte("d.doc_id")}
+        |  * r.swq * r.n < 256 * r.b * r.wq
         |ORDER BY d.doc_id""".stripMargin,
     "vec_quantize" ->
       """WITH e AS (SELECT vec_id, embedding,

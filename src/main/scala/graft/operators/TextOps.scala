@@ -625,6 +625,58 @@ object TextOps extends QueryModule {
     "clean_repetition" -> ((s, d) =>
       repetitionStats(Tables.documents(s, d)).orderBy("doc_id")),
 
+    // the dedup FUNNEL CARD: the whole curation-dedup family composed
+    // in production order with per-stage attribution — (stage_idx,
+    // stage, n_flagged, n_survivors), where n_flagged counts docs whose
+    // FIRST failing stage is this one (min-stage attribution, so the
+    // stages partition the removed set) and n_survivors is the running
+    // corpus size. Stages: exact (sha2 twin of a lower doc) →
+    // substring (shares a ≥13-token verbatim span with a lower doc) →
+    // repetition (Gopher is_clean = 0) → near_cluster (ngram-CC
+    // non-keeper, read from the materialized Fixtures.keepList — the
+    // composition pattern pipeline_training_set established; the live
+    // fixpoint is priced by dedup_clusters itself). This is the
+    // number-one table of a dataset card: what each dedup class would
+    // remove, in order, before training. 100 TB: each flag relation is
+    // the already-audited operator shuffle; the funnel itself reduces
+    // to a ≤4-row aggregation + a 4-row window.
+    "pipeline_dedup_card" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val ex = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val exFlag = ex
+        .join(ex.groupBy("h").agg(min("doc_id").as("m")), "h")
+        .where(col("doc_id") > col("m"))
+        .select(col("doc_id"), lit(1L).as("stg"))
+      val subFlag = substringPairs(docs)
+        .select(col("id2").as("doc_id")).distinct()
+        .select(col("doc_id"), lit(2L).as("stg"))
+      val repFlag = repetitionStats(docs)
+        .where(col("is_clean") === 0L)
+        .select(col("doc_id"), lit(3L).as("stg"))
+      val nearFlag = s.read.schema(Fixtures.keepListSchema)
+        .parquet(keepListDir(s, d))
+        .where(col("doc_id") =!= col("rep"))
+        .select(col("doc_id"), lit(4L).as("stg"))
+      val perStage = exFlag.union(subFlag).union(repFlag).union(nearFlag)
+        .groupBy("doc_id").agg(min("stg").as("mstg"))
+        .groupBy("mstg").agg(count(lit(1)).as("c"))
+      val stages = Seq((1L, "exact"), (2L, "substring"),
+        (3L, "repetition"), (4L, "near_cluster"))
+        .toDF("stage_idx", "stage")
+      val w = Window.orderBy("stage_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      stages
+        .join(perStage, col("stage_idx") === col("mstg"), "left")
+        .select(col("stage_idx"), col("stage"),
+          coalesce(col("c"), lit(0L)).as("n_flagged"))
+        .withColumn("cum", sum("n_flagged").over(w))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+        .select(col("stage_idx"), col("stage"), col("n_flagged"),
+          (col("n_total") - col("cum")).as("n_survivors"))
+        .orderBy("stage_idx")
+    }),
+
     // dup-cluster resolution: connected components over the near-dup pair
     // graph → one canonical survivor (min doc_id) per cluster. A–B, B–C
     // chains collapse to a single keeper; singletons keep themselves.
@@ -1262,6 +1314,79 @@ object TextOps extends QueryModule {
         |    AND d8 * 25 <= tc * 3 THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_clean
         |FROM p ORDER BY doc_id""".stripMargin,
+    // the four flag relations re-derived verbatim (sha256 twins, window
+    // first-occurrence, Gopher thresholds, recursive-CTE closure), then
+    // min-stage attribution + a 4-row cumulative window
+    "pipeline_dedup_card" ->
+      s"""WITH RECURSIVE t AS ($duckShingles),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
+        |hh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |exf AS (SELECT hh.doc_id, 1 AS stg FROM hh
+        |  JOIN (SELECT h, MIN(doc_id) AS mh FROM hh GROUP BY h) g
+        |    ON hh.h = g.h WHERE hh.doc_id > g.mh),
+        |d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |w AS (SELECT doc_id, i AS pos,
+        |    md5(array_to_string(list_slice(ts, i + 1, i + 13), ' ')) AS wh
+        |  FROM d0, unnest(range(0, len(ts) - 12)) AS u(i)
+        |  WHERE len(ts) >= 13),
+        |fd AS (SELECT wh, MIN(doc_id) AS first_doc FROM w GROUP BY wh),
+        |subf AS (SELECT DISTINCT w.doc_id, 2 AS stg
+        |  FROM w JOIN fd USING (wh) WHERE w.doc_id > fd.first_doc),
+        |dg AS (SELECT d0.doc_id,
+        |    CAST(length(dd.text) AS BIGINT) AS tc, n,
+        |    array_to_string(list_slice(d0.ts, q + 1, q + n), ' ') AS gram
+        |  FROM d0 JOIN documents dd ON d0.doc_id = dd.doc_id,
+        |    unnest(range(2, 9)) AS un(n),
+        |    unnest(range(0, len(d0.ts) - n + 1)) AS uq(q)
+        |  WHERE len(d0.ts) >= n),
+        |dc AS (SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
+        |  FROM dg GROUP BY doc_id, tc, n, gram),
+        |dm AS (SELECT doc_id, tc, n,
+        |    MAX(cnt * length(gram)) AS top_mass,
+        |    SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+        |        ELSE 0 END) AS dup_mass
+        |  FROM dc GROUP BY doc_id, tc, n),
+        |dp AS (SELECT doc_id, tc,
+        |    COALESCE(MAX(CASE WHEN n = 2 THEN top_mass END), 0) AS t2,
+        |    COALESCE(MAX(CASE WHEN n = 3 THEN top_mass END), 0) AS t3,
+        |    COALESCE(MAX(CASE WHEN n = 4 THEN top_mass END), 0) AS t4,
+        |    COALESCE(MAX(CASE WHEN n = 5 THEN dup_mass END), 0) AS d5,
+        |    COALESCE(MAX(CASE WHEN n = 6 THEN dup_mass END), 0) AS d6,
+        |    COALESCE(MAX(CASE WHEN n = 7 THEN dup_mass END), 0) AS d7,
+        |    COALESCE(MAX(CASE WHEN n = 8 THEN dup_mass END), 0) AS d8
+        |  FROM dm GROUP BY doc_id, tc),
+        |repf AS (SELECT doc_id, 3 AS stg FROM dp
+        |  WHERE NOT (t2 * 5 <= tc * 1 AND t3 * 50 <= tc * 9
+        |    AND t4 * 25 <= tc * 4 AND d5 * 20 <= tc * 3
+        |    AND d6 * 50 <= tc * 7 AND d7 * 100 <= tc * 13
+        |    AND d8 * 25 <= tc * 3)),
+        |nearf AS (SELECT a AS doc_id, 4 AS stg FROM m WHERE rep <> a),
+        |fl AS (SELECT doc_id, MIN(stg) AS mstg FROM (
+        |    SELECT * FROM exf UNION ALL SELECT * FROM subf
+        |    UNION ALL SELECT * FROM repf UNION ALL SELECT * FROM nearf) u
+        |  GROUP BY doc_id),
+        |ps AS (SELECT mstg, COUNT(*) AS c FROM fl GROUP BY mstg),
+        |st AS (SELECT * FROM (VALUES (1, 'exact'), (2, 'substring'),
+        |    (3, 'repetition'), (4, 'near_cluster'))
+        |  AS v(stage_idx, stage)),
+        |card AS (SELECT st.stage_idx, st.stage,
+        |    COALESCE(ps.c, 0) AS n_flagged
+        |  FROM st LEFT JOIN ps ON st.stage_idx = ps.mstg)
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        |  CAST(n_flagged AS BIGINT) AS n_flagged,
+        |  CAST((SELECT COUNT(*) FROM documents)
+        |    - SUM(n_flagged) OVER (ORDER BY stage_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_survivors
+        |FROM card ORDER BY stage_idx""".stripMargin,
     // the naive definition of the same clustering: symmetric edge closure
     // via a recursive CTE, component representative = min reachable id
     "dedup_clusters" ->

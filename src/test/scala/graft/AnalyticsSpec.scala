@@ -268,4 +268,43 @@ class AnalyticsSpec extends AnyFunSuite {
     val expected = ev.count() - ev.select("user_id").distinct().count()
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
+
+  test("profile_ab_test matches a brute-force Welch model bit-for-bit") {
+    // independent truth: exact BigDecimal moments (the DECIMAL
+    // discipline the query uses), then the IDENTICAL double chain —
+    // any reassociation or a lost cast in the query shows as a
+    // last-ulp mismatch here.
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def d2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    def d4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val want = rows.groupBy(_._1).map { case (et, xs) =>
+      val (a, b) = xs.partition(_._2 % 2 == 0)
+      val (na, nb) = (a.size.toDouble, b.size.toDouble)
+      val sa = a.map(x => d2(x._3)).sum.toDouble
+      val sb = b.map(x => d2(x._3)).sum.toDouble
+      val qa = a.map(x => d4(x._3 * x._3)).sum.toDouble
+      val qb = b.map(x => d4(x._3 * x._3)).sum.toDouble
+      val (ma, mb) = (sa / na, sb / nb)
+      val va = (qa - sa * sa / na) / (na - 1.0)
+      val vb = (qb - sb * sb / nb) / (nb - 1.0)
+      val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+      et -> ((a.size.toLong, b.size.toLong, ma, mb, t,
+        if (math.abs(t) > 1.96) 1L else 0L))
+    }
+    val got = SparkEntry.queries("profile_ab_test")(spark, sf).collect()
+    assert(got.length == want.size && got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getString(0)
+      val (na, nb, ma, mb, t, sig) = want(et)
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb, et)
+      assert(r.getAs[Double]("mean_a") == ma &&
+        r.getAs[Double]("mean_b") == mb, s"$et means")
+      assert(r.getAs[Double]("t_stat") == t, s"$et t-stat")
+      assert(r.getAs[Long]("is_significant") == sig, s"$et verdict")
+    }
+  }
 }

@@ -678,6 +678,80 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_temperature admits by the exact integer rule and boosts " +
+      "tails over heads") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wq = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e6 + 0.5).toLong).toMap
+    val swq = wq.values.sum
+    val b = counts.values.sum / 2
+    def byte256(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (md(0) & 0xff).toLong
+    }
+    val want = docs.filter { case (id, l) =>
+      byte256(id) * swq * counts(l) < 256L * b * wq(l) }.map(_._1).toSet
+    val got = SparkEntry.queries("sample_temperature")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == want)
+    assert(want.nonEmpty && want.size < docs.length)
+    // temperature ordering: sampling rate is ∝ 1/√n, so the rarest
+    // lang gets the highest rate and the head lang the lowest
+    val rates = got.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    val head = counts.maxBy(_._2)._1
+    val tail = counts.minBy(_._2)._1
+    assert(rates(tail) > rates(head),
+      s"tail $tail not boosted over head $head: $rates")
+  }
+
+  test("pipeline_dedup_card partitions the removed set by first failing " +
+      "stage and tracks survivors") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, sf)
+    val card = SparkEntry.queries("pipeline_dedup_card")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("stage_idx"),
+        r.getAs[String]("stage"), r.getAs[Long]("n_flagged"),
+        r.getAs[Long]("n_survivors")))
+    assert(card.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "exact"), (2L, "substring"), (3L, "repetition"),
+        (4L, "near_cluster")))
+    val total = docs.count()
+    var cum = 0L
+    card.foreach { case (_, _, f, s2) =>
+      cum += f; assert(s2 == total - cum, "survivor accounting broke") }
+    // independent flag models: exact by text equality; substring /
+    // repetition / near via their own (separately model-tested)
+    // relations — what THIS test pins is the min-stage attribution
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firstByText = texts.groupBy(_._2).map {
+      case (t, xs) => t -> xs.map(_._1).min }
+    val exD = texts.collect {
+      case (id, t) if firstByText(t) < id => id }.toSet
+    val subD = TextOps.substringPairs(
+        docs.select(col("doc_id"), col("text")))
+      .select("id2").collect().map(_.getLong(0)).toSet
+    val repD = TextOps.repetitionStats(docs)
+      .where(col("is_clean") === 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearD = spark.read
+      .schema(graft.operators.Fixtures.keepListSchema)
+      .parquet(TextOps.keepListDir(spark, sf))
+      .where(col("doc_id") =!= col("rep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def stageCount(k: Int): Long = {
+      val prior = Seq(exD, subD, repD, nearD).take(k - 1)
+        .foldLeft(Set.empty[Long])(_ ++ _)
+      (Seq(exD, subD, repD, nearD)(k - 1) -- prior).size.toLong
+    }
+    (1 to 4).foreach { k =>
+      assert(card(k - 1)._3 == stageCount(k), s"stage $k attribution") }
+    assert(card.map(_._3).sum == (exD ++ subD ++ repD ++ nearD).size.toLong)
+  }
+
   test("dedup_semantic matches a brute-force SemDeDup model and always " +
       "keeps the centroid-nearest member of a cell") {
     import graft.operators.VectorOps
