@@ -44,7 +44,7 @@ object Tables {
     * range frames) and Verify's written schemas stay identical across
     * generations. Value-preserving: every session pins
     * spark.sql.session.timeZone=UTC. */
-  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  private[graft] def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.collect {
       case f if f.dataType == TimestampNTZType => f.name

@@ -401,6 +401,39 @@ object AnalyticsOps extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // time-decayed aggregation (the leaderboard / trending-score shape:
+    // recent activity counts more): per event_type the raw sum and the
+    // half-life-decayed sum, half-life = 7 days anchored at the
+    // corpus's max event date. THE DETERMINISM TRICK: the decay factor
+    // is 2^-k with k = whole half-lives elapsed (integer datediff div
+    // 7, capped 62) — a POWER OF TWO, so value·10⁶/2^k is one exact
+    // halving chain on the stored double (bit-identical in any IEEE
+    // engine, no pow/exp transcendental drift), and the per-event
+    // floor(·+0.5) quantization makes the decayed sum an exact integer
+    // aggregation — order-free under any partial-agg split (the
+    // agg_entropy discipline). One groupBy; anchor is a broadcast
+    // 1-row cross join. 100 TB: partial aggregation reduces each task
+    // to |types| rows.
+    "agg_decay" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("dt"),
+          col("value"))
+      val anchor = ev.agg(max("dt").as("adt"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("event_type"), col("value"),
+          expr("shiftleft(cast(1 as bigint), " +
+            "cast(least(datediff(adt, dt) div 7, 62) as int))").as("p2"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("raw_sum"),
+          sum(floor(col("value") * 1e6 / col("p2").cast(DoubleType)
+            + 0.5).cast(LongType)).as("dq"))
+        .select(col("event_type"), col("n"), col("raw_sum"),
+          (col("dq").cast(DoubleType) / 1e6).as("decayed_sum"))
+        .orderBy("event_type")
+    }),
+
     // A/B experiment readout (Welch's unequal-variance t, the standard
     // two-cohort test): cohort = user_id parity (the deterministic
     // stand-in for an assignment column), per event_type the cohort
@@ -879,6 +912,19 @@ object AnalyticsOps extends QueryModule {
         |     * CAST(sx AS DOUBLE))
         |  / CAST(n AS DOUBLE) AS intercept
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    // power-of-two decay: value·10⁶/2^k is an exact halving chain,
+    // floor-quantized per event → order-free integer sum (see query)
+    "agg_decay" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS adt FROM events),
+        |e AS (SELECT event_type, value,
+        |    (CAST(1 AS BIGINT) << least(
+        |      date_diff('day', CAST(ts AS DATE), adt) // 7, 62)) AS p2
+        |  FROM events, a)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS raw_sum,
+        |  CAST(SUM(CAST(floor(value * 1000000.0 / CAST(p2 AS DOUBLE)
+        |      + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS decayed_sum
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     // exact decimal moments, then the identical double chain — see the
     // query's scaladoc for the determinism argument
     "profile_ab_test" ->

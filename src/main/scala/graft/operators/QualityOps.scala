@@ -35,7 +35,58 @@ object QualityOps extends QueryModule {
 
   private val knownTypes = Seq("click", "error", "purchase", "signup", "view")
 
+  /** The star schema's FK edges: (edge label, child table, fk col,
+    * parent table, pk col). Shared by the query and the generated
+    * oracle so both audit the identical edge list. */
+  private val FkEdges = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+      "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+      "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+      "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+      "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+      "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+      "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+      "region", "r_regionkey"))
+
   override def queries: Map[String, Q.Fn] = Map(
+    // referential-integrity audit over every FK edge of the star schema
+    // (the snapshot gate a warehouse load runs before publishing): per
+    // edge, child cardinality, orphan FKs (left_anti against the
+    // parent), NULL FKs, parent-PK duplicates, and the pass verdict.
+    // One anti-join + one distinct-count per edge — each is a
+    // broadcast-sized parent at any realistic dimension scale, and the
+    // verdict frame is O(edges). 100 TB: the fact-side anti-joins are
+    // the only wide work; they shuffle fk hashes only.
+    "validate_pk_fk" -> ((s, d) => {
+      import s.implicits._
+      val per = FkEdges.map { case (label, child, fk, parent, pk) =>
+        val c = Tables.t(s, d, child)
+        val p = Tables.t(s, d, parent)
+        val orphans = c.select(col(fk)).where(col(fk).isNotNull)
+          .join(p.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(label).as("edge"), col("n_orphans"))
+        val stats = c.agg(count(lit(1)).as("n_child"),
+            sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+          .select(lit(label).as("edge"), col("n_child"), col("n_null_fk"))
+        val pdups = p.agg((count(lit(1)) - countDistinct(col(pk)))
+            .as("n_pk_dups"))
+          .select(lit(label).as("edge"), col("n_pk_dups"))
+        stats.join(orphans, "edge").join(pdups, "edge")
+      }
+      per.reduce(_.unionByName(_))
+        .select(col("edge"), col("n_child"), col("n_null_fk"),
+          col("n_orphans"), col("n_pk_dups"),
+          (col("n_null_fk") === 0L && col("n_orphans") === 0L &&
+            col("n_pk_dups") === 0L).cast(LongType).as("is_valid"))
+        .orderBy("edge")
+    }),
     // rule-based constraint audit: six declared invariants counted in ONE
     // scan via conditional aggregates, stacked to (rule, checked,
     // violations) rows. A per-rule-scan formulation would read the
@@ -183,6 +234,26 @@ object QualityOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // generated from the SAME FkEdges list the query audits
+    "validate_pk_fk" -> {
+      val branches = FkEdges.map { case (label, child, fk, parent, pk) =>
+        s"""SELECT '$label' AS edge,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  (SELECT COUNT(*) FROM $child WHERE $fk IS NULL)
+           |    AS n_null_fk,
+           |  (SELECT COUNT(*) FROM $child c WHERE c.$fk IS NOT NULL
+           |    AND NOT EXISTS (SELECT 1 FROM $parent p
+           |      WHERE p.$pk = c.$fk)) AS n_orphans,
+           |  (SELECT COUNT(*) - COUNT(DISTINCT $pk) FROM $parent)
+           |    AS n_pk_dups""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT edge, n_child, n_null_fk, n_orphans, n_pk_dups,
+         |  CAST(CASE WHEN n_null_fk = 0 AND n_orphans = 0
+         |    AND n_pk_dups = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_valid
+         |FROM (
+         |$branches
+         |) ORDER BY edge""".stripMargin
+    },
     "validate_constraints" ->
       s"""WITH a AS (SELECT count(*) AS n,
         |  COUNT(*) FILTER (WHERE value < 0) AS v_neg,
