@@ -35,6 +35,7 @@ object Bench {
     "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells
     "pipeline_dedup_card" -> 3.5, // exact+substring+repetition flags live
     "validate_pk_fk" -> 2.5, // 7 FK edges: 3 fact-side anti-joins
+    "vec_mmr_rerank" -> 5.0, // 10 unrolled greedy steps, checkpoint each
 
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,

@@ -34,6 +34,10 @@ object VectorOps extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotF(a, b)
 
+  /** vec_mmr_rerank shape: candidate pool size and picks per query. */
+  private val MmrPool = 20
+  private val MmrK = 10
+
   /** Deterministic quantizer sample: hash-ordered TakeOrdered, so the
     * sampled rows are a pure function of vec_id — independent of file
     * layout or repartitioning (a bare limit(n) picks partition-order-
@@ -462,6 +466,77 @@ object VectorOps extends QueryModule {
   }
 
   override def queries: Map[String, Q.Fn] = Map(
+    // MMR diversity reranking (Carbonell & Goldstein 1998): rerank each
+    // query's top-20 exact-dot candidate pool into a top-10 that trades
+    // relevance against redundancy — next pick = argmax over remaining
+    // of λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s), λ = 0.7. The
+    // canonical retrieval-diversity op (RAG context assembly, dataset
+    // example selection): plain top-k happily returns 10 near-copies;
+    // MMR returns one per redundancy cluster. The greedy loop is 10
+    // UNROLLED relational steps — ONE Scala loop emits both the Spark
+    // chain and the oracle's CTE chain (the vec_kmeans discipline), so
+    // the selection replays exactly: all sims are codegen dotF doubles
+    // (bit-equal to DuckDB's in-order list sums), the λ blend is a
+    // fixed double expression, ties break by vec_id, and the output
+    // carries only integers (q_id, rank, vec_id). Candidate pools and
+    // the selection frames are O(queries·20) — broadcast-tiny at any
+    // corpus size; the only wide work is the one top-20 scan any
+    // retrieval query already pays. 100 TB: pool generation swaps for
+    // the IVF/PQ shortlist (sim_ivfpq_topk); the rerank is unchanged.
+    "vec_mmr_rerank" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("qs").desc, col("vec_id"))
+      // pool and pairs are O(queries·20²) — localCheckpoint once so the
+      // 10 unrolled steps reference materialized frames, and checkpoint
+      // the growing selection each step: selected_t names selected_{t-1}
+      // three times (max-sim join, anti-join, union), so an unbroken
+      // lineage is 3^10 plan nodes — the GraphOps fixpoint lesson.
+      val pool = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("qs"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= MmrPool).drop("rn")
+        .localCheckpoint()
+      val pe = pool.join(e, "vec_id")
+      val pairs = pe.select(col("q_id"), col("vec_id").as("c1"),
+          col("embedding").as("e1"))
+        .join(pe.select(col("q_id"), col("vec_id").as("c2"),
+          col("embedding").as("e2")), Seq("q_id"))
+        .where(col("c1") =!= col("c2"))
+        .select(col("q_id"), col("c1"), col("c2"),
+          dot(col("e1"), col("e2")).as("cs"))
+        .localCheckpoint()
+      var selected = pool
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("rank"))
+        .localCheckpoint()
+      for (step <- 2 to MmrK) {
+        val selKeys = selected.select(col("q_id"), col("vec_id"))
+        val ms = pairs
+          .join(selKeys.withColumnRenamed("vec_id", "c2"),
+            Seq("q_id", "c2"))
+          .groupBy("q_id", "c1").agg(max("cs").as("ms"))
+          .withColumnRenamed("c1", "vec_id")
+        val next = pool
+          .join(selKeys, Seq("q_id", "vec_id"), "left_anti")
+          .join(ms, Seq("q_id", "vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (lit(0.7) * col("qs") - lit(0.3) * col("ms")).as("score"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("vec_id"))))
+          .where(col("rn") === 1)
+          .select(col("q_id"), col("vec_id"),
+            lit(step.toLong).as("rank"))
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected.orderBy("q_id", "rank")
+    }),
+
     "sim_bruteforce_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") < 3)
@@ -974,7 +1049,64 @@ object VectorOps extends QueryModule {
     })
   )
 
+  /** Unrolled-CTE replay of the MMR greedy loop — generated by the same
+    * step structure the Spark chain uses, so every selection decision
+    * (dotF doubles, the fixed 0.7/0.3 blend, vec_id tie-break)
+    * reproduces bit-for-bit. Static SQL: no corpus-fitted literals.
+    * Every loop-referenced CTE is MATERIALIZED — DuckDB inlines plain
+    * CTEs, so an unmaterialized sel-chain explodes 3^10 exactly like
+    * the unchecked Spark lineage did (measured: "Too many open files"
+    * from exponential parquet re-opens). */
+  private def mmrOracle(): String = {
+    def dotE(a: String, b: String): String =
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+    val steps = (2 to MmrK).map { t =>
+      s"""ms$t AS MATERIALIZED (SELECT pr.q_id, pr.c1 AS vec_id,
+         |    MAX(pr.cs) AS ms
+         |  FROM pr JOIN sel${t - 1} s
+         |    ON s.q_id = pr.q_id AND s.vec_id = pr.c2
+         |  GROUP BY pr.q_id, pr.c1),
+         |st$t AS MATERIALIZED (SELECT q_id, vec_id,
+         |    CAST($t AS BIGINT) AS rank FROM (
+         |  SELECT p.q_id, p.vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY p.q_id
+         |      ORDER BY CAST(0.7 AS DOUBLE) * p.qs
+         |        - CAST(0.3 AS DOUBLE) * m.ms DESC, p.vec_id) AS rn
+         |  FROM pool p JOIN ms$t m
+         |    ON m.q_id = p.q_id AND m.vec_id = p.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |    WHERE s.q_id = p.q_id AND s.vec_id = p.vec_id)) x
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+         |  UNION ALL SELECT * FROM st$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < 3),
+       |p0 AS (SELECT q.q_id, e.vec_id,
+       |    ${dotE("q.q_emb", "e.embedding")} AS qs
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |pool AS MATERIALIZED (SELECT q_id, vec_id, qs FROM (
+       |  SELECT q_id, vec_id, qs, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, vec_id) AS rn FROM p0) x
+       |  WHERE rn <= $MmrPool),
+       |pr AS MATERIALIZED (SELECT a.q_id, a.vec_id AS c1,
+       |    b.vec_id AS c2,
+       |    ${dotE("ea.embedding", "eb.embedding")} AS cs
+       |  FROM pool a JOIN pool b
+       |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |sel1 AS MATERIALIZED (SELECT q_id, vec_id,
+       |    CAST(1 AS BIGINT) AS rank FROM (
+       |  SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, vec_id) AS rn FROM pool) x WHERE rn = 1),
+       |$steps
+       |SELECT q_id, vec_id, rank FROM sel$MmrK ORDER BY q_id, rank""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "vec_mmr_rerank" -> mmrOracle(),
     // verbatim replay of the md5 MinHash+LSH pipeline: same shingle
     // strings, same double-hash minima mod 2^61-1 (HUGEINT
     // intermediates, BIGINT minima), same decimal band keys, same

@@ -678,6 +678,49 @@ class TextVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_mmr_rerank matches a brute-force greedy MMR model and " +
+      "diversifies against plain top-k") {
+    // independent truth: driver-side greedy over the same top-20 pools
+    // with the same double arithmetic (in-order dot, 0.7/0.3 blend,
+    // vec_id tie-break)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val byId = rows.toMap
+    val want = rows.filter(_._1 < 3).flatMap { case (qid, qe) =>
+      val pool = rows.filter(_._1 != qid)
+        .map { case (id, e) => (id, dot(qe, e)) }
+        .sortBy { case (id, s2) => (-s2, id) }.take(20)
+      val sel = scala.collection.mutable.ArrayBuffer(pool.head._1)
+      while (sel.size < 10) {
+        val next = pool.filterNot(c => sel.contains(c._1))
+          .map { case (id, qs) =>
+            val ms = sel.map(s2 => dot(byId(id), byId(s2))).max
+            (id, 0.7 * qs - 0.3 * ms)
+          }.minBy { case (id, sc) => (-sc, id) }._1
+        sel += next
+      }
+      sel.zipWithIndex.map { case (id, i) => (qid, id, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("vec_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    // diversity: MMR must depart from relevance order for some query
+    // (otherwise the op is vacuous on this corpus)
+    val plainTop = rows.filter(_._1 < 3).flatMap { case (qid, qe) =>
+      rows.filter(_._1 != qid).map { case (id, e) => (qid, id, dot(qe, e)) }
+        .sortBy { case (_, id, s2) => (-s2, id) }.take(10)
+        .zipWithIndex.map { case ((_, id, _), i) => (qid, id, i + 1L) }
+    }.toSet
+    assert(got != plainTop, "MMR never reordered — degenerate test corpus")
+  }
+
   test("sample_temperature admits by the exact integer rule and boosts " +
       "tails over heads") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang")
