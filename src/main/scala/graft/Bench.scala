@@ -33,12 +33,12 @@ object Bench {
     "dedup_ngram" -> 4.0,
     "dedup_containment" -> 2.5,
     "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
-    "clean_substring" -> 2.5, // dedup_substring's postings + token rebuild
-    "clean_repetition" -> 2.5, // 7× n-gram fan-out, two groupBys
-    "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells
-    "pipeline_dedup_card" -> 3.5, // exact+substring+repetition flags live
-    "validate_pk_fk" -> 2.5, // 7 FK edges: 3 fact-side anti-joins
-    "vec_mmr_rerank" -> 5.0, // 10 unrolled greedy steps, checkpoint each
+    // round-6b: clean_substring / clean_repetition / pipeline_dedup_card
+    // measured sub-second warm (0.25/0.47/0.39 s, BASELINE round-6b) —
+    // per this map's contract they ride DefaultExpectedSec
+    "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells; warm 1.75
+    "validate_pk_fk" -> 1.5, // 7 FK edges: 3 fact-side anti-joins; warm 1.42
+    "vec_mmr_rerank" -> 3.0, // 10 checkpointed greedy steps; warm 2.6
 
     "sim_cosine_pairs" -> 3.0,
     "sim_lsh" -> 3.5,
@@ -80,6 +80,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -66,23 +66,28 @@ object CurationOps extends QueryModule {
     * frame with a group column and an id column — budget = half the
     * input, per-group rate ∝ √n/n, admission decided in exact integer
     * space (see the query's scaladoc for the full argument). Returns
-    * the admitted rows plus the group's `rate`. */
+    * the admitted rows plus the group's `rate` (which OVERWRITES any
+    * existing `rate` column — the one reserved output name). Helper
+    * columns are `_ts_`-prefixed so an input frame with ordinary names
+    * like `n` or `b` joins cleanly. */
   private[graft] def temperatureSample(df: org.apache.spark.sql.DataFrame,
       groupCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("n"))
-    val wq = counts.select(col(groupCol), col("n"),
-      floor(sqrt(col("n").cast(DoubleType)) * 1e6 + 0.5)
-        .cast(LongType).as("wq"))
-    val tot = wq.agg(sum("wq").as("swq"), sum("n").as("tot"))
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_ts_n"))
+    val wq = counts.select(col(groupCol), col("_ts_n"),
+      floor(sqrt(col("_ts_n").cast(DoubleType)) * 1e6 + 0.5)
+        .cast(LongType).as("_ts_wq"))
+    val tot = wq.agg(sum("_ts_wq").as("_ts_swq"),
+      sum("_ts_n").as("_ts_tot"))
     val rates = wq.crossJoin(broadcast(tot))
-      .select(col(groupCol), col("n"), col("wq"), col("swq"),
-        expr("tot div 2").as("b"))
+      .select(col(groupCol), col("_ts_n"), col("_ts_wq"),
+        col("_ts_swq"), expr("_ts_tot div 2").as("_ts_b"))
     df.join(broadcast(rates), groupCol)
-      .where(hashByte(col(idCol)).cast(LongType) * col("swq") *
-        col("n") < lit(256L) * col("b") * col("wq"))
-      .withColumn("rate", (col("b") * col("wq")).cast(DoubleType) /
-        (col("swq") * col("n")).cast(DoubleType))
-      .drop("n", "wq", "swq", "b")
+      .where(hashByte(col(idCol)).cast(LongType) * col("_ts_swq") *
+        col("_ts_n") < lit(256L) * col("_ts_b") * col("_ts_wq"))
+      .withColumn("rate",
+        (col("_ts_b") * col("_ts_wq")).cast(DoubleType) /
+          (col("_ts_swq") * col("_ts_n")).cast(DoubleType))
+      .drop("_ts_n", "_ts_wq", "_ts_swq", "_ts_b")
   }
 
   /** DuckDB mirror of hashByte (integer 0..255, no division). */

@@ -72,8 +72,12 @@ object QualityOps extends QueryModule {
           .join(p.select(col(pk)), col(fk) === col(pk), "left_anti")
           .agg(count(lit(1)).as("n_orphans"))
           .select(lit(label).as("edge"), col("n_orphans"))
+        // coalesce: sum over an EMPTY child is NULL in Spark while the
+        // oracle's COUNT(*) WHERE is 0 — an empty table must read as a
+        // passing edge, not a NULL verdict
         val stats = c.agg(count(lit(1)).as("n_child"),
-            sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+            coalesce(sum(when(col(fk).isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_null_fk"))
           .select(lit(label).as("edge"), col("n_child"), col("n_null_fk"))
         val pdups = p.agg((count(lit(1)) - countDistinct(col(pk)))
             .as("n_pk_dups"))

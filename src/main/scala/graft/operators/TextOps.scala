@@ -401,13 +401,25 @@ object TextOps extends QueryModule {
         val (num, den) = RepThresholds(n)
         m(n, c) * den <= col("tc") * num
       }.reduce(_ && _)
-    mass.groupBy("doc_id", "tc")
+    val scored = mass.groupBy("doc_id", "tc")
       .agg(fracs.head, (fracs.tail :+
         clean.cast(LongType).as("is_clean")): _*)
       .select((col("doc_id") +: col("tc").as("n_chars") +:
         (2 to 4).map(n => col(s"top_frac_$n")) ++:
         (5 to 8).map(n => col(s"dup_frac_$n")) :+
         col("is_clean")): _*)
+    // docs with < 2 tokens produce no gram rows at all — they are
+    // trivially clean (zero masses), NOT absent: a pipeline keeping
+    // `is_clean = 1` docs must not silently delete short docs
+    docs.select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"))
+      .join(scored.drop("n_chars"), Seq("doc_id"), "left")
+      .select((col("doc_id") +: col("n_chars") +:
+        (2 to 4).map(n =>
+          coalesce(col(s"top_frac_$n"), lit(0.0)).as(s"top_frac_$n")) ++:
+        (5 to 8).map(n =>
+          coalesce(col(s"dup_frac_$n"), lit(0.0)).as(s"dup_frac_$n")) :+
+        coalesce(col("is_clean"), lit(1L)).as("is_clean")): _*)
   }
 
   /** The boilerplate-removal transform behind `clean_boilerplate`, over
@@ -1300,20 +1312,29 @@ object TextOps extends QueryModule {
         |    COALESCE(MAX(CASE WHEN n = 7 THEN dup_mass END), 0) AS d7,
         |    COALESCE(MAX(CASE WHEN n = 8 THEN dup_mass END), 0) AS d8
         |  FROM mass GROUP BY doc_id, tc)
-        |SELECT doc_id, tc AS n_chars,
-        |  CAST(t2 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_2,
-        |  CAST(t3 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_3,
-        |  CAST(t4 AS DOUBLE) / CAST(tc AS DOUBLE) AS top_frac_4,
-        |  CAST(d5 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_5,
-        |  CAST(d6 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_6,
-        |  CAST(d7 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_7,
-        |  CAST(d8 AS DOUBLE) / CAST(tc AS DOUBLE) AS dup_frac_8,
-        |  CAST(CASE WHEN t2 * 5 <= tc * 1 AND t3 * 50 <= tc * 9
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+        |  COALESCE(CAST(t2 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS top_frac_2,
+        |  COALESCE(CAST(t3 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS top_frac_3,
+        |  COALESCE(CAST(t4 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS top_frac_4,
+        |  COALESCE(CAST(d5 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS dup_frac_5,
+        |  COALESCE(CAST(d6 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS dup_frac_6,
+        |  COALESCE(CAST(d7 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS dup_frac_7,
+        |  COALESCE(CAST(d8 AS DOUBLE) / CAST(tc AS DOUBLE), 0.0)
+        |    AS dup_frac_8,
+        |  CAST(CASE WHEN p.doc_id IS NULL
+        |    OR (t2 * 5 <= tc * 1 AND t3 * 50 <= tc * 9
         |    AND t4 * 25 <= tc * 4 AND d5 * 20 <= tc * 3
         |    AND d6 * 50 <= tc * 7 AND d7 * 100 <= tc * 13
-        |    AND d8 * 25 <= tc * 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AND d8 * 25 <= tc * 3) THEN 1 ELSE 0 END AS BIGINT)
         |    AS is_clean
-        |FROM p ORDER BY doc_id""".stripMargin,
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the four flag relations re-derived verbatim (sha256 twins, window
     // first-occurrence, Gopher thresholds, recursive-CTE closure), then
     // min-stage attribution + a 4-row cumulative window

@@ -38,6 +38,15 @@ object VectorOps extends QueryModule {
   private val MmrPool = 20
   private val MmrK = 10
 
+  /** The load-bearing bit-exactness kernel in SQL form: DuckDB's
+    * in-order list sum of double products ≡ the codegen dotF — the
+    * UNROUNDED pair-dot every generated oracle that replays a dotF
+    * comparison must use (one definition; dedup_semantic and
+    * vec_mmr_rerank both build on it). */
+  private def duckDotU(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), " +
+      "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+
   /** Deterministic quantizer sample: hash-ordered TakeOrdered, so the
     * sampled rows are a pure function of vec_id — independent of file
     * layout or repartitioning (a bare limit(n) picks partition-order-
@@ -1058,9 +1067,7 @@ object VectorOps extends QueryModule {
     * the unchecked Spark lineage did (measured: "Too many open files"
     * from exponential parquet re-opens). */
   private def mmrOracle(): String = {
-    def dotE(a: String, b: String): String =
-      s"list_aggregate(list_transform(list_zip($a, $b), " +
-        "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+    def dotE(a: String, b: String): String = duckDotU(a, b)
     val steps = (2 to MmrK).map { t =>
       s"""ms$t AS MATERIALIZED (SELECT pr.q_id, pr.c1 AS vec_id,
          |    MAX(pr.cs) AS ms
@@ -1523,9 +1530,7 @@ object VectorOps extends QueryModule {
       // exact d2 = |x|² + (|c|²−2x·c) ranking reproduces bit-for-bit.
       val dedupSemSql = cents match {
         case Some(cs) =>
-          def pairDotU(a: String, b: String): String =
-            s"list_aggregate(list_transform(list_zip($a, $b), " +
-              "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')"
+          def pairDotU(a: String, b: String): String = duckDotU(a, b)
           val winItems = cs.zipWithIndex.map { case (c, i) =>
             val cf = c.map(_.toFloat.toDouble)
             val c2 = cf.map(x => x * x).sum

@@ -187,13 +187,19 @@ class ApiSpec extends AnyFunSuite {
     assert(out(20L) == ((15L, "v0 v1 v2 v3")), s"got $out")
   }
 
-  test("repetitionStats flags a loop doc through the API") {
+  test("repetitionStats flags a loop doc through the API and keeps " +
+      "short docs as trivially clean rows") {
     val docs = Seq((1L, (0 until 30).map(_ => "ab cd").mkString(" ")),
-      (2L, (0 until 40).map(i => s"q$i").mkString(" ")))
+      (2L, (0 until 40).map(i => s"q$i").mkString(" ")),
+      (3L, "solo")) // < 2 tokens: no grams, must still get a clean row
       .toDF("doc_id", "text")
     val out = GraftApi.repetitionStats(docs).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("is_clean")).toMap
-    assert(out == Map(1L -> 0L, 2L -> 1L), s"got $out")
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("is_clean"), r.getAs[Double]("top_frac_2"))))
+      .toMap
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $out")
+    assert(out(3L)._2 == 0.0, "short doc fracs must be zero, not null")
   }
 
   test("semanticDedup keeps the centroid-nearest of a planted dup pair") {
