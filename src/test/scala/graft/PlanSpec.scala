@@ -274,14 +274,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
-  test("clean_repetition is join-free and partial-aggregates the gram " +
-      "counts") {
-    // the Gopher filter is two groupBys over a narrow fan-out — any
-    // join in this plan is a regression (the metrics are all per-doc),
-    // and the (doc_id, n, gram) count must partial-aggregate map-side
-    // so the Zipf-skewed gram keys shuffle combined counts, not rows.
+  test("clean_repetition joins only for the short-doc restore and " +
+      "partial-aggregates the gram counts") {
+    // the Gopher filter is two groupBys over a narrow fan-out plus ONE
+    // doc_id-keyed left join (the trivially-clean restore of <2-token
+    // docs — round-6b review finding); any second join is a
+    // regression, and the (doc_id, n, gram) count must
+    // partial-aggregate map-side so the Zipf-skewed gram keys shuffle
+    // combined counts, not rows.
     val p = plan("clean_repetition")
-    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val joins = p.linesIterator.count(l =>
+      l.contains("Join") && !l.contains("BroadcastExchange"))
+    assert(joins <= 1, s"more than the one restore join:\n$p")
+    assert(p.contains("LeftOuter"), s"short-doc restore join missing:\n$p")
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 2, s"expected partial+final HashAggregate:\n$p")
   }

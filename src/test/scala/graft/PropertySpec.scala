@@ -155,6 +155,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("substringClean equals the brute-force model on random corpora") {
+    // tiny vocab + k=3 windows force dense cross-doc window collisions,
+    // overlapping spans, spans at doc boundaries and fully-erased docs —
+    // the edge shapes a fixed corpus never exercises. First-occurrence-
+    // wins must hold at WINDOW granularity and the rebuild must be
+    // token-exact in order.
+    val k = 3
+    val docGen = Gen.listOfN(8,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.take(10)))
+    forAll(docGen, Gen.const(()), n = 8) { (docs0, _) =>
+      val docs = docs0.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val first = scala.collection.mutable.Map.empty[String, Long]
+      for ((id, ts) <- docs; if ts.length >= k; p <- 0 to ts.length - k)
+        first.getOrElseUpdate(ts.slice(p, p + k).mkString(" "), id)
+      val want = docs.map { case (id, ts) =>
+        val cov = Array.fill(ts.length)(false)
+        if (ts.length >= k)
+          for (p <- 0 to ts.length - k
+               if first(ts.slice(p, p + k).mkString(" ")) < id;
+               j <- p until p + k) cov(j) = true
+        val kept = ts.indices.filterNot(cov).map(ts)
+        id -> ((ts.length.toLong, (ts.length - kept.size).toLong,
+          kept.mkString(" ")))
+      }.toMap
+      val got = operators.TextOps.substringClean(df, k).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("text_clean"))))
+        .toMap
+      assert(got.size == want.size)
+      want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+    }
+  }
+
   test("boilerplateClean equals the brute-force model on random corpora") {
     // tiny vocab forces dense chunk collisions; doc lengths straddle the
     // chunk width so slice boundaries, 1-token tails and fully-removed
