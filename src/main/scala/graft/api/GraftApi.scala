@@ -222,6 +222,15 @@ object GraftApi {
       idCol: String): DataFrame =
     graft.operators.CurationOps.temperatureSample(df, groupCol, idCol)
 
+  /** MMR diversity reranking (Carbonell & Goldstein 1998) over a
+    * (vec_id, embedding) corpus and a (q_id, q_emb) query frame: each
+    * query's top-20 pool greedily reranked into a top-10 by
+    * 0.7·sim(q,c) − 0.3·max sim-to-selected (ties by vec_id) —
+    * (q_id, vec_id, rank). The standard diversity pass for RAG context
+    * assembly and training-example selection. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame): DataFrame =
+    graft.operators.VectorOps.mmrRerank(corpus, queries)
+
   /** SemDeDup (Abbas et al. 2023) over a (vec_id, embedding) frame:
     * cell-bounded semantic dedup against the given k-means centroids —
     * (vec_id, cluster, is_kept), keeping the centroid-nearest member of

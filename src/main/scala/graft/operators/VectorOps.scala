@@ -34,6 +34,62 @@ object VectorOps extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotF(a, b)
 
+  /** The frame-parametric MMR core behind `vec_mmr_rerank` (and
+    * GraftApi.mmrRerank): greedy Maximal Marginal Relevance over any
+    * (vec_id, embedding) corpus and (q_id, q_emb) query frame —
+    * pool-size/k/λ fixed by the query contract (MmrPool/MmrK/0.7).
+    * Returns (q_id, vec_id, rank). Lineage notes in the body. */
+  private[graft] def mmrRerank(e: DataFrame, q: DataFrame): DataFrame = {
+      val wq = Window.partitionBy("q_id")
+        .orderBy(col("qs").desc, col("vec_id"))
+      // pool and pairs are O(queries·20²) — localCheckpoint once so the
+      // 10 unrolled steps reference materialized frames, and checkpoint
+      // the growing selection each step: selected_t names selected_{t-1}
+      // three times (max-sim join, anti-join, union), so an unbroken
+      // lineage is 3^10 plan nodes — the GraphOps fixpoint lesson.
+      val pool = e.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dot(col("q_emb"), col("embedding")).as("qs"))
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= MmrPool).drop("rn")
+        .localCheckpoint()
+      val pe = pool.join(e, "vec_id")
+      val pairs = pe.select(col("q_id"), col("vec_id").as("c1"),
+          col("embedding").as("e1"))
+        .join(pe.select(col("q_id"), col("vec_id").as("c2"),
+          col("embedding").as("e2")), Seq("q_id"))
+        .where(col("c1") =!= col("c2"))
+        .select(col("q_id"), col("c1"), col("c2"),
+          dot(col("e1"), col("e2")).as("cs"))
+        .localCheckpoint()
+      var selected = pool
+        .withColumn("rn", row_number().over(wq))
+        .where(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("rank"))
+        .localCheckpoint()
+      for (step <- 2 to MmrK) {
+        val selKeys = selected.select(col("q_id"), col("vec_id"))
+        val ms = pairs
+          .join(selKeys.withColumnRenamed("vec_id", "c2"),
+            Seq("q_id", "c2"))
+          .groupBy("q_id", "c1").agg(max("cs").as("ms"))
+          .withColumnRenamed("c1", "vec_id")
+        val next = pool
+          .join(selKeys, Seq("q_id", "vec_id"), "left_anti")
+          .join(ms, Seq("q_id", "vec_id"))
+          .select(col("q_id"), col("vec_id"),
+            (lit(0.7) * col("qs") - lit(0.3) * col("ms")).as("score"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("vec_id"))))
+          .where(col("rn") === 1)
+          .select(col("q_id"), col("vec_id"),
+            lit(step.toLong).as("rank"))
+        selected = selected.unionByName(next).localCheckpoint()
+      }
+      selected
+  }
+
   /** vec_mmr_rerank shape: candidate pool size and picks per query. */
   private val MmrPool = 20
   private val MmrK = 10
@@ -496,54 +552,7 @@ object VectorOps extends QueryModule {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val q = e.where(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val wq = Window.partitionBy("q_id")
-        .orderBy(col("qs").desc, col("vec_id"))
-      // pool and pairs are O(queries·20²) — localCheckpoint once so the
-      // 10 unrolled steps reference materialized frames, and checkpoint
-      // the growing selection each step: selected_t names selected_{t-1}
-      // three times (max-sim join, anti-join, union), so an unbroken
-      // lineage is 3^10 plan nodes — the GraphOps fixpoint lesson.
-      val pool = e.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          dot(col("q_emb"), col("embedding")).as("qs"))
-        .withColumn("rn", row_number().over(wq))
-        .where(col("rn") <= MmrPool).drop("rn")
-        .localCheckpoint()
-      val pe = pool.join(e, "vec_id")
-      val pairs = pe.select(col("q_id"), col("vec_id").as("c1"),
-          col("embedding").as("e1"))
-        .join(pe.select(col("q_id"), col("vec_id").as("c2"),
-          col("embedding").as("e2")), Seq("q_id"))
-        .where(col("c1") =!= col("c2"))
-        .select(col("q_id"), col("c1"), col("c2"),
-          dot(col("e1"), col("e2")).as("cs"))
-        .localCheckpoint()
-      var selected = pool
-        .withColumn("rn", row_number().over(wq))
-        .where(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), lit(1L).as("rank"))
-        .localCheckpoint()
-      for (step <- 2 to MmrK) {
-        val selKeys = selected.select(col("q_id"), col("vec_id"))
-        val ms = pairs
-          .join(selKeys.withColumnRenamed("vec_id", "c2"),
-            Seq("q_id", "c2"))
-          .groupBy("q_id", "c1").agg(max("cs").as("ms"))
-          .withColumnRenamed("c1", "vec_id")
-        val next = pool
-          .join(selKeys, Seq("q_id", "vec_id"), "left_anti")
-          .join(ms, Seq("q_id", "vec_id"))
-          .select(col("q_id"), col("vec_id"),
-            (lit(0.7) * col("qs") - lit(0.3) * col("ms")).as("score"))
-          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-            .orderBy(col("score").desc, col("vec_id"))))
-          .where(col("rn") === 1)
-          .select(col("q_id"), col("vec_id"),
-            lit(step.toLong).as("rank"))
-        selected = selected.unionByName(next).localCheckpoint()
-      }
-      selected.orderBy("q_id", "rank")
+      mmrRerank(e, q).orderBy("q_id", "rank")
     }),
 
     "sim_bruteforce_topk" -> ((s, d) => {

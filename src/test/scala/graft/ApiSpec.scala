@@ -219,6 +219,26 @@ class ApiSpec extends AnyFunSuite {
       3L -> ((1L, 1L))), s"got $out")
   }
 
+  test("mmrRerank picks one of a redundant pair, then the diverse vector") {
+    // q = (0.8, 0.6): candidates 10/11 near-identical along e0
+    // (sim 0.792/0.784 — redundant pair), 12 = e1 (sim 0.6, orthogonal
+    // to the pair). Plain top-2 = (10, 11); at rank 2 MMR scores
+    // 11: 0.7·0.784 − 0.3·0.970 = 0.258 vs 12: 0.7·0.6 − 0 = 0.42 —
+    // the diverse vector must displace the redundant twin.
+    def v(i: Int, x: Float): Array[Float] =
+      { val a = Array.fill(4)(0.0f); a(i) = x; a }
+    val corpus = Seq((10L, v(0, 0.99f)), (11L, v(0, 0.98f)),
+      (12L, v(1, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(0.8f, 0.6f, 0.0f, 0.0f)))
+      .toDF("q_id", "q_emb")
+    val got = GraftApi.mmrRerank(corpus, queries).collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("vec_id")).toMap
+    assert(got(1L) == 10L, s"rank 1 must be the most relevant: $got")
+    assert(got(2L) == 12L,
+      s"rank 2 must be the diverse vector, not the redundant twin: $got")
+    assert(got(3L) == 11L, s"redundant twin comes last: $got")
+  }
+
   test("shingleHashes matches the SQL-composable xxhash64 form") {
     val df = Seq("the quick brown fox jumps").toDF("t")
     val kernel = df.select(GraftApi.shingleHashes(col("t"), 3).as("h"))
