@@ -145,6 +145,46 @@ object JoinOps extends QueryModule {
         .orderBy("p_id")
     }),
 
+    // as-of NEAREST (round 6b): the bidirectional variant — for each
+    // purchase the closest click in EITHER direction by |Δts|, ties to
+    // the backward match (the pandas merge_asof direction='nearest'
+    // semantics time-series alignment needs when events interleave).
+    // Same two-window single-pass shape as join_asof (backward running
+    // max + forward running min, both (ts, event_id)-ordered; events.ts
+    // is monotone in event_id per FIXTURES.md so the id extrema carry
+    // their timestamps), and the Δ comparison runs in exact integer
+    // MICROSECONDS (unix_micros both engines) — no float boundary.
+    // 100 TB: one user_id-partitioned window pass, no join at all.
+    "join_asof_nearest" -> ((s, d) => {
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val clickId = when(col("event_type") === "click", col("event_id"))
+      val clickUs = when(col("event_type") === "click",
+        unix_micros(col("ts")))
+      Tables.events(s, d)
+        .withColumn("b_id", max(clickId).over(wb))
+        .withColumn("b_us", max(clickUs).over(wb))
+        .withColumn("f_id", min(clickId).over(wf))
+        .withColumn("f_us", min(clickUs).over(wf))
+        .where(col("event_type") === "purchase")
+        .withColumn("p_us", unix_micros(col("ts")))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(-1L))
+            .when(col("f_id").isNull, col("b_id"))
+            .when(col("b_id").isNull, col("f_id"))
+            .when(col("p_us") - col("b_us") <= col("f_us") - col("p_us"),
+              col("b_id"))
+            .otherwise(col("f_id")).as("c_id"),
+          when(col("b_id").isNull && col("f_id").isNull, lit(-1L))
+            .when(col("f_id").isNull, col("p_us") - col("b_us"))
+            .when(col("b_id").isNull, col("f_us") - col("p_us"))
+            .otherwise(least(col("p_us") - col("b_us"),
+              col("f_us") - col("p_us"))).as("delta_us"))
+        .orderBy("p_id")
+    }),
+
     // as-of with TOLERANCE: same single window pass as join_asof, but a
     // match only counts if the latest click is within 30 minutes of the
     // purchase — the bounded-staleness form every real as-of join API
@@ -469,6 +509,33 @@ object JoinOps extends QueryModule {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
         |      FROM events) t
+        |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
+    // identical two-window pass + exact integer-µs nearest rule
+    "join_asof_nearest" ->
+      """SELECT event_id AS p_id, user_id,
+        |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN -1
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN b_id IS NULL THEN f_id
+        |       WHEN p_us - b_us <= f_us - p_us THEN b_id
+        |       ELSE f_id END AS c_id,
+        |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN -1
+        |       WHEN f_id IS NULL THEN p_us - b_us
+        |       WHEN b_id IS NULL THEN f_us - p_us
+        |       ELSE least(p_us - b_us, f_us - p_us) END AS delta_us
+        |FROM (SELECT event_id, user_id, event_type, epoch_us(ts) AS p_us,
+        |        MAX(CASE WHEN event_type = 'click' THEN event_id END)
+        |          OVER wb AS b_id,
+        |        MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |          OVER wb AS b_us,
+        |        MIN(CASE WHEN event_type = 'click' THEN event_id END)
+        |          OVER wf AS f_id,
+        |        MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |          OVER wf AS f_us
+        |      FROM events
+        |      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) t
         |WHERE event_type = 'purchase' ORDER BY p_id""".stripMargin,
     "join_asof_tol" ->
       """SELECT event_id AS p_id, user_id,

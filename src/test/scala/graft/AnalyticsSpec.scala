@@ -269,6 +269,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == expected)
   }
 
+  test("join_asof_nearest matches a brute-force nearest-click model") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = rows.filter(_._3 == "click")
+      .groupBy(_._2).view.mapValues(_.map(e => (e._4, e._1))).toMap
+    val want = rows.filter(_._3 == "purchase").map {
+      case (pid, uid, _, pus) =>
+        val cs = clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+        // backward = latest (ts, id) ≤ purchase position in the
+        // (ts, id) order; forward = earliest after it
+        val back = cs.filter(c => c._1 < pus ||
+          (c._1 == pus && c._2 < pid)).sorted.lastOption
+        val fwd = cs.filter(c => c._1 > pus ||
+          (c._1 == pus && c._2 > pid)).sorted.headOption
+        val (cid, delta) = (back, fwd) match {
+          case (None, None) => (-1L, -1L)
+          case (Some(b), None) => (b._2, pus - b._1)
+          case (None, Some(f)) => (f._2, f._1 - pus)
+          case (Some(b), Some(f)) =>
+            if (pus - b._1 <= f._1 - pus) (b._2, pus - b._1)
+            else (f._2, f._1 - pus)
+        }
+        pid -> ((uid, cid, delta))
+    }.toMap
+    val got = SparkEntry.queries("join_asof_nearest")(spark, sf).collect()
+      .map(r => r.getAs[Long]("p_id") -> ((r.getAs[Long]("user_id"),
+        r.getAs[Long]("c_id"), r.getAs[Long]("delta_us")))).toMap
+    assert(got.size == want.size && got.nonEmpty)
+    want.foreach { case (pid, w) => assert(got(pid) == w, s"purchase $pid") }
+    // the nearest rule must actually use both directions on this corpus
+    val backOnly = rows.filter(_._3 == "purchase").map {
+      case (pid, uid, _, pus) =>
+        clicksByUser.getOrElse(uid, Array.empty[(Long, Long)])
+          .filter(c => c._1 < pus || (c._1 == pus && c._2 < pid))
+          .sorted.lastOption.map(_._2).getOrElse(-1L)
+    }
+    assert(want.values.map(_._2).toSeq.sorted !=
+      backOnly.sorted, "forward matches never chosen — vacuous corpus")
+  }
+
   test("agg_decay matches a brute-force half-life model bit-for-bit " +
       "and decays strictly below the raw sum") {
     val rows = Tables.events(spark, sf)
