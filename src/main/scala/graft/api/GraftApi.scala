@@ -224,12 +224,28 @@ object GraftApi {
 
   /** MMR diversity reranking (Carbonell & Goldstein 1998) over a
     * (vec_id, embedding) corpus and a (q_id, q_emb) query frame: each
-    * query's top-20 pool greedily reranked into a top-10 by
-    * 0.7·sim(q,c) − 0.3·max sim-to-selected (ties by vec_id) —
+    * query's top-`poolSize` pool greedily reranked into a top-`k` by
+    * λ·sim(q,c) − λC·max sim-to-selected (ties by vec_id) —
     * (q_id, vec_id, rank). The standard diversity pass for RAG context
-    * assembly and training-example selection. */
-  def mmrRerank(corpus: DataFrame, queries: DataFrame): DataFrame =
-    graft.operators.VectorOps.mmrRerank(corpus, queries)
+    * assembly and training-example selection.
+    *
+    * Semantics to know before calling with external frames:
+    *  - NULL embeddings (corpus or query side) are excluded from the
+    *    pool — they can never be selected.
+    *  - `excludeSelf` (default true) drops any candidate whose vec_id
+    *    NUMERICALLY equals the query's q_id. That is correct when the
+    *    queries are corpus members (self-retrieval is vacuous); for an
+    *    external query frame whose q_id space is unrelated to corpus
+    *    vec_ids, pass false — otherwise an id collision silently drops
+    *    that candidate from that query's pool.
+    *  - λ and its complement are separate parameters (not derived as
+    *    1 − λ): the defaults must stay the bit-exact 0.7/0.3 doubles
+    *    the engine's oracle replays; pass both when overriding. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame,
+      poolSize: Int = 20, k: Int = 10, lambda: Double = 0.7,
+      lambdaC: Double = 0.3, excludeSelf: Boolean = true): DataFrame =
+    graft.operators.VectorOps.mmrRerank(corpus, queries, poolSize, k,
+      lambda, lambdaC, excludeSelf)
 
   /** SemDeDup (Abbas et al. 2023) over a (vec_id, embedding) frame:
     * cell-bounded semantic dedup against the given k-means centroids —

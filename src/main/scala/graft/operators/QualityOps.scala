@@ -171,17 +171,28 @@ object QualityOps extends QueryModule {
     // (one partial-aggregated shuffle carrying O(distinct keys)), then
     // top-5 heavy hitters with share-of-total and a skew ratio
     // (count × n_keys / total; 1.0 = perfectly uniform).
+    // Scale shape (round 7, VERDICT r6 #1): the diagnostic itself must
+    // not be the bottleneck on the high-cardinality keys it exists to
+    // check. Totals ride a 1-row aggregate crossJoined back broadcast;
+    // the top-5 plans as TakeOrderedAndProject (per-partition partial
+    // top-k, no global sort); the rank is a 5×5 broadcast
+    // predecessor-count self-join. The previous form put the WHOLE
+    // per-key count frame through single-partition windows — O(keys)
+    // on one task. The per-key count subtree appears three times but
+    // is one physical scan (ReuseExchange; PlanSpec asserts this and
+    // that the plan is Window-free).
     "profile_skew" -> ((s, d) => {
       val counts = Tables.lineitem(s, d)
         .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
-      val all = Window.partitionBy(lit(1))
-      counts.select(
-          col("l_suppkey"), col("cnt"),
-          row_number().over(Window.orderBy(col("cnt").desc, col("l_suppkey")))
-            .cast(LongType).as("rk"),
-          sum("cnt").over(all).as("tot"),
-          count(lit(1)).over(all).as("n_keys"))
-        .where(col("rk") <= 5)
+      val tot = counts.agg(sum("cnt").as("tot"), count(lit(1)).as("n_keys"))
+      val top5 = counts.orderBy(col("cnt").desc, col("l_suppkey")).limit(5)
+      top5.join(broadcast(top5.select(col("l_suppkey").as("b_key"),
+            col("cnt").as("b_cnt"))),
+          col("b_cnt") > col("cnt") ||
+            (col("b_cnt") === col("cnt") && col("b_key") <= col("l_suppkey")))
+        .groupBy("l_suppkey", "cnt")
+        .agg(count(lit(1)).as("rk"))
+        .crossJoin(broadcast(tot))
         .select(col("rk"), col("l_suppkey"), col("cnt"),
           (col("cnt").cast(DoubleType) / col("tot")).as("share"),
           ((col("cnt") * col("n_keys")).cast(DoubleType) / col("tot"))

@@ -62,15 +62,35 @@ class TextVectorSpec extends AnyFunSuite {
     assert(top == "t1")
   }
 
-  test("multimodal_decode is deterministic with a stable typed schema") {
+  test("multimodal_decode is deterministic, relational, and byte-exact " +
+      "vs the raw payload") {
     val q = SparkEntry.queries("multimodal_decode")
     val a = q(spark, sf).collect()
     val b = q(spark, sf).collect()
     assert(a.sameElements(b), "decode output not deterministic")
     val sch = q(spark, sf).schema.map(f => (f.name, f.dataType.typeName))
-    assert(sch == Seq("doc_id" -> "long", "width" -> "integer",
-      "height" -> "integer", "n_frames" -> "integer",
+    assert(sch == Seq("doc_id" -> "long", "width" -> "long",
+      "height" -> "long", "n_frames" -> "long",
       "feat_sum" -> "double"), s"schema drifted: $sch")
+    // round 7: the decode left the typed mapPartitions row path for
+    // relational hex arithmetic — no object serialization may survive
+    val p = q(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("MapPartitions") && !p.contains("DeserializeToObject"),
+      s"decode fell back onto the object row path:\n$p")
+    // byte-exact parity against a brute-force model over the raw bytes
+    val payloads = spark.read.schema(operators.Fixtures.mediaSchema)
+      .parquet(operators.Fixtures.mediaFile(spark, sf))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(a.nonEmpty)
+    for (r <- a) {
+      val bytes = payloads(r.getLong(0))
+      assert(r.getLong(1) == 64 + bytes.length % 512, s"width ${r}")
+      assert(r.getLong(2) == 64 + (bytes(0) & 0xff) % 512, s"height ${r}")
+      assert(r.getLong(3) == 1 + bytes.length % 16, s"n_frames ${r}")
+      val fs = (0 until 8).map(i =>
+        (bytes((i * 7) % bytes.length) & 0xff).toLong).sum
+      assert(r.getDouble(4) == fs.toDouble / 255.0, s"feat_sum ${r}")
+    }
   }
 
   test("dedup_simhash assigns identical fingerprints to exact duplicates") {
