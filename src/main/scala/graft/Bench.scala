@@ -74,6 +74,24 @@ object Bench {
       threw ++ slow
     }
 
+  /** The tripwires as a machine-readable JSON array
+    * (["name:actual/expected", "name:threw"]) for the bench ARTIFACT
+    * itself — round-7, VERDICT r6 #8: the driver captures stdout only,
+    * so a loaded run's tripwire count used to reach the artifact while
+    * the query NAMES stayed on stderr, and identifying the tripped
+    * query meant diffing per-query maps across runs. */
+  private[graft] def tripwireJson(
+      results: Seq[(String, Double, Long)]): String =
+    results.flatMap { case (name, secs, rows) =>
+      val expected = ExpectedSec.getOrElse(name, DefaultExpectedSec)
+      val threw = if (rows < 0) Seq(s""""$name:threw"""") else Seq.empty
+      val slow =
+        if (secs > 3.0 * expected)
+          Seq(f""""$name:$secs%.1f/$expected%.1f"""")
+        else Seq.empty
+      threw ++ slow
+    }.mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -127,6 +145,10 @@ object Bench {
     // full line (with the per-query map) for humans and full-capture
     // parsers ...
     println(s"""{"queries":${qjson(timings)},"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${timings.size},"median_sec":$median,"baseline_warm_sec":$BaselineWarmSec,"vs_baseline":${math.round(vsBaseline * 100) / 100.0},"contention_flag":$contended,"n_tripwires":${warnings.size},"value":$total}""")
+    // ... then the tripwire NAMES as their own short line (they fit any
+    // stdout tail), so a loaded run's artifact says which query tripped
+    // without a cross-run diff
+    println(s"""{"tripwire_detail":${tripwireJson(results)}}""")
     // ... then a SUMMARY-ONLY line as the very last stdout line, with NO
     // per-query map at all: rounds 3 AND 4 both produced parsed:null
     // artifacts because the driver's 2000-char stdout tail beheaded a

@@ -184,6 +184,25 @@ object GraftApi {
 
   // ---- curation -----------------------------------------------------
 
+  /** Greedy longest-match subword (WordPiece-style) tokenization of a
+    * (doc_id, text) frame: one row per word — (doc_id, word_idx, toks
+    * array<string> with ## continuation markers, unk). Runs on the
+    * codegen word_piece kernel over the fixed WordPieceUtil vocab
+    * (single-char fallback ⇒ [UNK] only on out-of-alphabet words); a
+    * production deployment swaps the vocab, the algorithm is the
+    * standard WordPiece inference rule. Sum size(toks) per doc for
+    * subword budgeting (pipeline_pack_subword's unit). */
+  def subwordTokens(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.subwordPerWord(docs)
+
+  /** Per-document MinHash LSH band keys of a (doc_id, text) frame —
+    * (doc_id, band), 4 decimal-triple keys per doc (dedup_near's exact
+    * family). The keyed unit for band-bucketed near-dup joins and the
+    * streaming admission gate (NearDupBandProcessor). Docs under 3
+    * words have no shingles hence no keys — they cannot near-collide. */
+  def minhashBandKeys(docs: DataFrame): DataFrame =
+    graft.operators.VectorOps.minhashBandKeys(docs)
+
   /** Cross-document boilerplate removal over aligned w-token chunks of
     * a (doc_id, text) frame: chunks in ≥ minDf distinct docs are
     * dropped everywhere; returns (doc_id, n_chunks, n_removed,

@@ -226,6 +226,32 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // pipeline_pack with the bins budgeted in SUBWORD tokens (round 7):
+    // identical concat-and-cut manifest arithmetic, but `toks` is the
+    // doc's WordPiece piece count (TextOps.subwordPerWord — the unit a
+    // real pretraining pack run budgets; whitespace counts under-fill
+    // bins by the subword fan-out, here ~1.3×). Wordless docs pack as
+    // 0-token entries. Scale adds one doc_id-keyed count agg (ints
+    // only) before the same per-shard-parallel running-sum window;
+    // exact integer arithmetic end-to-end, so the manifest stays
+    // resumable and engine-reproducible.
+    "pipeline_pack_subword" -> ((s, d) => {
+      val ord = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val toks = TextOps.subwordPerWord(Tables.documents(s, d))
+        .groupBy("doc_id")
+        .agg(sum(size(col("toks")).cast(LongType)).as("stoks"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(toks, Seq("doc_id"), "left")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          coalesce(col("stoks"), lit(0L)).as("toks"))
+        .withColumn("cum0", sum("toks").over(ord) - col("toks"))
+        .select(col("doc_id"), col("shard"), col("toks"),
+          expr(s"cum0 div $PackCap").as("bin"),
+          (col("cum0") % lit(PackCap)).as("bin_offset"))
+        .orderBy("doc_id")
+    }),
+
     // quality-proportional epoch repetition: upweight docs by emitting
     // floor(w) copies plus one more with probability frac(w), where
     // w = min(n_chars/400, 4) — the stochastic-rounding repeat schedule
@@ -357,6 +383,24 @@ object CurationOps extends QueryModule {
       s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
         |  FROM documents),
+        |c AS (SELECT doc_id, shard, toks,
+        |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - toks AS cum0
+        |  FROM t)
+        |SELECT doc_id, shard, toks,
+        |  cum0 // $PackCap AS bin, cum0 % $PackCap AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the pack manifest re-derived over the recursive WordPiece replay
+    // (TextOps.duckSubwordDone) — piece counts, then the identical
+    // running-sum window
+    "pipeline_pack_subword" ->
+      s"""WITH RECURSIVE ${TextOps.duckSubwordDone},
+        |pc AS (SELECT doc_id, CAST(SUM(len(pieces)) AS BIGINT) AS toks
+        |  FROM done GROUP BY doc_id),
+        |t AS (SELECT d.doc_id, d.doc_id % 8 AS shard,
+        |    COALESCE(pc.toks, 0) AS toks
+        |  FROM documents d LEFT JOIN pc ON d.doc_id = pc.doc_id),
         |c AS (SELECT doc_id, shard, toks,
         |    CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -348,9 +348,12 @@ object TextOps extends QueryModule {
     * NOT duplicates of anything (every dedup op passes them). Adapted to
     * this corpus's flat token streams (no newlines — measured, so the
     * paper's duplicate-LINE fractions are degenerate here): per doc,
-    *   top_frac_n  (n = 2,3,4): char mass of the dominant n-gram —
-    *     occurrences × n-gram char length, dominant = argmax of that
-    *     mass — over the doc's char length;
+    *   top_frac_n  (n = 2,3,4): char mass (occurrences × gram char
+    *     length) of the dominant n-gram over the doc's char length,
+    *     dominant = the MOST-FREQUENT n-gram exactly as the paper
+    *     ranks it (round-7 advisory fix: the previous argmax-by-mass
+    *     could crown a longer but rarer gram and flip the verdict vs
+    *     published reproductions; count ties break to larger mass);
     *   dup_frac_n  (n = 5,…,8): summed char mass of every n-gram
     *     occurring ≥ 2 times, over the doc's char length.
     * Masses double-count overlapping occurrences (can exceed 1), exactly
@@ -385,7 +388,15 @@ object TextOps extends QueryModule {
       .groupBy("doc_id", "tc", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "tc", "n")
-      .agg(max(col("cnt") * length(col("gram"))).as("top_mass"),
+      // dominant = the MOST-FREQUENT n-gram (the paper's ranking; a
+      // round-7 advisory fix — argmax by char mass could let a longer
+      // but rarer gram flip the verdict vs published reproductions),
+      // whose char mass is then reported. Tie on count → larger mass;
+      // a (count, mass) tie yields the same mass either way, so the
+      // struct-max is value-deterministic without a gram tiebreak.
+      .agg(max(struct(col("cnt"),
+          (col("cnt") * length(col("gram"))).as("mass")))
+          .getField("mass").as("top_mass"),
         sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
           .otherwise(0L)).as("dup_mass"))
     def m(n: Int, c: String): org.apache.spark.sql.Column =
@@ -502,6 +513,69 @@ object TextOps extends QueryModule {
       .select(col("doc_id"),
         when(col("cid").isNull, 0L).otherwise(1L).as("is_dup"),
         col("cid").as("dup_of"), col("h").cast(LongType).as("hamming"))
+  }
+
+  /** Per-word subword tokenization frame behind `text_subword` and
+    * `pipeline_pack_subword` (round 7 — VERDICT r6 next-step #1):
+    * (doc_id, word_idx, toks array<string>, unk) via the codegen'd
+    * greedy longest-match WordPiece kernel
+    * (graft.functions.WordPieceUtil — algorithm, vocab contract and
+    * oracle-expressibility argument live there). Scale shape: one
+    * narrow posexplode (≤ words-per-doc fan-out) + one static-call
+    * kernel per word — no shuffle at all until a consumer aggregates,
+    * and what ever shuffles afterwards is (doc_id, counts), never
+    * text. */
+  private[graft] def subwordPerWord(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .where(length(col("word")) > 0)
+      .select(col("doc_id"), col("pos").cast(LongType).as("word_idx"),
+        graft.functions.SubwordExprs.wordPiece(col("word")).as("toks"))
+      .withColumn("unk",
+        element_at(col("toks"), 1) === graft.functions.WordPieceUtil.Unk)
+
+  /** DuckDB list literal of a vocab, in the kernel's exact scan order
+    * (longest-first — the order IS the greedy-match semantics). */
+  private def duckVocab(ps: Seq[String]): String =
+    ps.map(p => s"'$p'").mkString("[", ", ", "]")
+
+  /** The WordPiece replay as DuckDB CTEs (sp, words, tok, done) — a
+    * recursive CTE peeling one greedy longest-match piece per step from
+    * the SAME longest-first vocab literals the kernel scans, so every
+    * piece boundary, ## continuation marker and [UNK] verdict is
+    * bit-identical. Callers prepend WITH RECURSIVE. Termination: each
+    * step consumes ≥ 1 char or sets the [UNK] terminal, so `done`
+    * (rem = '') holds exactly one row per word. */
+  private[operators] def duckSubwordDone: String = {
+    import graft.functions.WordPieceUtil.{ContPieces, InitPieces, Unk}
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |  FROM documents),
+       |words AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_idx,
+       |    ts[CAST(i AS INT)] AS word
+       |  FROM sp, unnest(range(1, len(ts) + 1)) AS u(i)
+       |  WHERE length(ts[CAST(i AS INT)]) > 0),
+       |tok(doc_id, word_idx, rem, ini, unk, pieces) AS (
+       |  SELECT doc_id, word_idx, word, true, false,
+       |    CAST([] AS VARCHAR[])
+       |  FROM words
+       |  UNION ALL
+       |  SELECT doc_id, word_idx,
+       |    CASE WHEN m IS NULL THEN '' ELSE substr(rem, length(m) + 1)
+       |      END,
+       |    false,
+       |    m IS NULL,
+       |    CASE WHEN m IS NULL THEN ['$Unk']
+       |      WHEN ini THEN list_append(pieces, m)
+       |      ELSE list_append(pieces, '##' || m) END
+       |  FROM (
+       |    SELECT doc_id, word_idx, rem, ini, unk, pieces,
+       |      list_filter(CASE WHEN ini THEN ${duckVocab(InitPieces)}
+       |          ELSE ${duckVocab(ContPieces)} END,
+       |        p -> starts_with(rem, p))[1] AS m
+       |    FROM tok WHERE rem <> '' AND NOT unk) t),
+       |done AS (SELECT doc_id, word_idx, unk, pieces FROM tok
+       |  WHERE rem = '')""".stripMargin
   }
 
   override def queries: Map[String, Q.Fn] = Map(
@@ -780,6 +854,39 @@ object TextOps extends QueryModule {
             .as("n_types"),
           col("n_chars"))
         .orderBy("doc_id")),
+
+    // subword (WordPiece-style) tokenization — the unit every real LLM
+    // curation op budgets in, vs the whitespace tokens everything above
+    // counts (round 7, VERDICT r6 next-step #1; Wu et al. 2016 / Devlin
+    // et al. 2019 greedy longest-match inference). Per doc: word count,
+    // SUBWORD piece count, [UNK]'d word count, and an md5 fingerprint
+    // of the full in-order piece sequence — so the oracle compare
+    // certifies every piece boundary and ## marker of every document,
+    // not just the counts. Wordless docs read as (0, 0, 0, md5(''))
+    // instead of vanishing (the clean_repetition restore rule). Scale:
+    // the kernel runs inside whole-stage codegen per word (no
+    // interpreted fold — the §10 shingle lesson); the only shuffle is
+    // the doc_id-keyed agg, carrying pieces-per-word ints, never text;
+    // the fingerprint's sort is per-doc O(words log words).
+    "text_subword" -> ((s, d) => {
+      val pw = subwordPerWord(Tables.documents(s, d))
+        .withColumn("wstr", array_join(col("toks"), " "))
+      val agg = pw.groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("toks")).cast(LongType)).as("n_pieces"),
+        expr("count_if(unk)").as("n_unk_words"),
+        md5(concat_ws(" ", expr("transform(" +
+          "array_sort(collect_list(struct(word_idx, wstr))), " +
+          "x -> x.wstr)"))).as("tok_md5"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+          coalesce(col("n_unk_words"), lit(0L)).as("n_unk_words"),
+          coalesce(col("tok_md5"), md5(lit(""))).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
 
     // tf-idf over the FULL corpus, top-5 terms per document (the form a
     // corpus user materializes: each doc's most characteristic terms).
@@ -1299,7 +1406,8 @@ object TextOps extends QueryModule {
         |c AS (SELECT doc_id, tc, n, gram, COUNT(*) AS cnt
         |  FROM g GROUP BY doc_id, tc, n, gram),
         |mass AS (SELECT doc_id, tc, n,
-        |    MAX(cnt * length(gram)) AS top_mass,
+        |    (MAX(struct_pack(c := cnt, m := cnt * length(gram)))).m
+        |      AS top_mass,
         |    SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
         |        ELSE 0 END) AS dup_mass
         |  FROM c GROUP BY doc_id, tc, n),
@@ -1490,6 +1598,23 @@ object TextOps extends QueryModule {
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // greedy longest-match replay — see duckSubwordDone; the md5 rides
+    // the ORDER BY word_idx string_agg, mirroring the Spark side's
+    // array_sort(collect_list(struct(word_idx, wstr)))
+    "text_subword" ->
+      s"""WITH RECURSIVE $duckSubwordDone,
+        |agg AS (SELECT doc_id, COUNT(*) AS n_words,
+        |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+        |    COUNT(*) FILTER (WHERE unk) AS n_unk_words,
+        |    md5(string_agg(array_to_string(pieces, ' '), ' '
+        |      ORDER BY word_idx)) AS tok_md5
+        |  FROM done GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(n_words, 0) AS n_words,
+        |  COALESCE(n_pieces, 0) AS n_pieces,
+        |  COALESCE(n_unk_words, 0) AS n_unk_words,
+        |  COALESCE(tok_md5, md5('')) AS tok_md5
+        |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tf AS (
         |  SELECT doc_id, tok AS token, COUNT(*) AS tf

@@ -462,23 +462,71 @@ object VectorOps extends QueryModule {
     * shingle), 4 bands × 3 rows with decimal-triple band keys, an
     * ids-only candidate shuffle, and an exact-jaccard verify at
     * `tau`. */
+  /** 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81. Shared by
+    * dedup_near's pair join, stream_ingest_neardup's admission gate and
+    * the generated band-replay oracles (duckMinhashBands) — one
+    * definition so the three can never drift. */
+  private val MhNumHash = 12
+  private val MhBands = 4
+
+  /** The MhBands decimal-triple band-key columns of a minhash signature
+    * column (band index prefixed, so keys never collide across
+    * bands). */
+  private[graft] def bandKeyCols(mh: Column): Seq[Column] =
+    (0 until MhBands).map(b =>
+      concat_ws(",", lit(b), element_at(mh, 3 * b + 1),
+        element_at(mh, 3 * b + 2), element_at(mh, 3 * b + 3)))
+
+  /** (doc_id, band) MinHash band keys of any (doc_id, text) frame —
+    * the per-document LSH keys themselves, exposed for the streaming
+    * admission gate (band-keyed state) and GraftApi. Docs under 3
+    * words have no shingles, hence NO band keys — they cannot
+    * near-collide and bypass any band-keyed consumer (the dedup_near
+    * exclusion rule). Narrow per-row ops on the codegen kernels; works
+    * on streaming frames unchanged. */
+  private[graft] def minhashBandKeys(docsIn: DataFrame): DataFrame =
+    docsIn
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.minHashSigMd5(col("t"), MhNumHash)
+          .as("mh"))
+      .select(col("doc_id"),
+        explode(array(bandKeyCols(col("mh")): _*)).as("band"))
+
+  /** The band-replay CTE chain (t → sh1 → hh → mh → bnd) every
+    * band-consuming oracle opens with: the md5 double-hash signature
+    * (HUGEINT intermediates, BIGINT minima) and decimal band keys,
+    * verbatim as MinHashMd5Util computes them. */
+  private[graft] def duckMinhashBands: String =
+    s"""t AS (${TextOps.duckShingles}),
+      |sh1 AS (SELECT doc_id, unnest(sh) AS s FROM t),
+      |hh AS (SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)
+      |      % 2305843009213693951 AS HUGEINT) AS h1,
+      |    CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT)
+      |      % 2305843009213693951 AS HUGEINT) AS h2
+      |  FROM sh1),
+      |mh AS (SELECT doc_id, j,
+      |    CAST(MIN((h1 + j * h2) % 2305843009213693951) AS BIGINT) AS m
+      |  FROM hh, unnest(range(0, $MhNumHash)) AS u(j) GROUP BY doc_id, j),
+      |bnd AS (SELECT doc_id,
+      |    CAST(j // 3 AS VARCHAR) || ',' ||
+      |      string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bk
+      |  FROM mh GROUP BY doc_id, j // 3)""".stripMargin
+
   private[graft] def minhashPairs(docsIn: DataFrame,
       tau: Double = 0.6): DataFrame = {
-    val NumHash = 12
-    val Bands = 4 // 4 bands × 3 rows: P(candidate | j=0.7) ≈ 0.81
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"),
         graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"),
-        graft.functions.ShingleExprs.minHashSigMd5(col("t"), NumHash)
+        graft.functions.ShingleExprs.minHashSigMd5(col("t"), MhNumHash)
           .as("mh"))
-    val bandCols = (0 until Bands).map(b =>
-      concat_ws(",", lit(b), element_at(col("mh"), 3 * b + 1),
-        element_at(col("mh"), 3 * b + 2),
-        element_at(col("mh"), 3 * b + 3)).as(s"band$b"))
     val banded = docs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), explode(array(bandKeyCols(col("mh")): _*))
+        .as("band"))
     val cands = banded.select(col("band"), col("doc_id").as("id1"))
       .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
       .where(col("id1") < col("id2"))
@@ -1193,21 +1241,7 @@ object VectorOps extends QueryModule {
     // intermediates, BIGINT minima), same decimal band keys, same
     // exact-jaccard verify
     "dedup_near" ->
-      s"""WITH t AS (${TextOps.duckShingles}),
-        |sh1 AS (SELECT doc_id, unnest(sh) AS s FROM t),
-        |hh AS (SELECT doc_id,
-        |    CAST(CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)
-        |      % 2305843009213693951 AS HUGEINT) AS h1,
-        |    CAST(CAST('0x' || substr(md5(s), 17, 16) AS UBIGINT)
-        |      % 2305843009213693951 AS HUGEINT) AS h2
-        |  FROM sh1),
-        |mh AS (SELECT doc_id, j,
-        |    CAST(MIN((h1 + j * h2) % 2305843009213693951) AS BIGINT) AS m
-        |  FROM hh, unnest(range(0, 12)) AS u(j) GROUP BY doc_id, j),
-        |bnd AS (SELECT doc_id,
-        |    CAST(j // 3 AS VARCHAR) || ',' ||
-        |      string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bk
-        |  FROM mh GROUP BY doc_id, j // 3),
+      s"""WITH $duckMinhashBands,
         |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |  FROM bnd a JOIN bnd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
         |v AS (SELECT id1, id2,

@@ -55,6 +55,41 @@ class IngestDedupProcessor
   }
 }
 
+/** Spark 4 `transformWithState` processor behind the streaming twin of
+  * `stream_ingest_neardup`: keyed by MinHash BAND key, state = the
+  * first doc_id that arrived in this band bucket (admitted or not —
+  * the observed-set semantics the batch form documents). A
+  * micro-batch's rows for a bucket fold in doc_id order (the
+  * deterministic arrival proxy); every distinct doc in the batch gets
+  * one (doc_id, bucket_first_id) verdict, and the per-document
+  * admit/reject combine — admitted iff first_id = doc_id in ALL 4 of
+  * its buckets — runs as a doc_id groupBy on the processor's output
+  * WITHIN each micro-batch (every band row of a doc rides the same
+  * input row, so the combine never needs cross-batch state; the
+  * groupBy also collapses at-least-once replays of the same doc).
+  *
+  * Scale notes: state is O(observed docs × bands) × 8 bytes keyed by
+  * band — the shuffle carries (band-key, doc_id), never text; each
+  * bucket's state is updated at most once per micro-batch. Top-level
+  * class: serialized into the streaming query. */
+class NearDupBandProcessor
+    extends StatefulProcessor[String, (Long, String), (Long, Long)] {
+  @transient private var first: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    first = getHandle.getValueState[Long]("first_id",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String, rows: Iterator[(Long, String)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val ids = rows.map(_._1).toArray.sorted.distinct
+    val keeper = if (first.exists()) first.get() else ids.head
+    if (!first.exists()) first.update(keeper)
+    ids.iterator.map(id => (id, keeper))
+  }
+}
+
 class RunningTotalProcessor
     extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
   @transient private var state: ValueState[(Long, Double)] = _

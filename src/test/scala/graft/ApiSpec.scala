@@ -239,6 +239,33 @@ class ApiSpec extends AnyFunSuite {
     assert(got(3L) == 11L, s"redundant twin comes last: $got")
   }
 
+  test("subwordTokens splits, marks continuations, and UNKs out-of-vocab") {
+    val docs = Seq((1L, "customer window a"), (2L, "Zebra!"))
+      .toDF("doc_id", "text")
+    val got = GraftApi.subwordTokens(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("word_idx")) ->
+        ((r.getSeq[String](2).toList, r.getAs[Boolean]("unk")))).toMap
+    assert(got((1L, 0L)) == ((List("cust", "##omer"), false)), s"$got")
+    assert(got((1L, 1L)) == ((List("win", "##dow"), false)), s"$got")
+    assert(got((1L, 2L)) == ((List("a"), false)), s"$got")
+    assert(got((2L, 0L)) == ((List("[UNK]"), true)), s"$got")
+  }
+
+  test("minhashBandKeys: 4 keys per doc, equal texts collide, short " +
+      "docs emit none") {
+    val docs = Seq((1L, "join hash row scan"), (2L, "join hash row scan"),
+      (3L, "filter small slow merge"), (4L, "too short"))
+      .toDF("doc_id", "text")
+    val keys = GraftApi.minhashBandKeys(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(keys(1L).size == 4 && keys(1L) == keys(2L),
+      "identical docs must share all band keys")
+    assert((keys(1L) intersect keys(3L)).isEmpty,
+      "unrelated docs must not collide")
+    assert(!keys.contains(4L), "sub-3-word docs have no band keys")
+  }
+
   test("shingleHashes matches the SQL-composable xxhash64 form") {
     val df = Seq("the quick brown fox jumps").toDF("t")
     val kernel = df.select(GraftApi.shingleHashes(col("t"), 3).as("h"))

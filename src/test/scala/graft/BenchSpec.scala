@@ -24,6 +24,15 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.tripwires(Seq(("agg_hash", 2.5, 6L))).isEmpty)
   }
 
+  test("tripwire_detail names the tripped query machine-readably") {
+    val j = Bench.tripwireJson(Seq(
+      ("dedup_clusters", 19.0, 500L), ("dedup_embedding", 0.1, -1L),
+      ("agg_hash", 0.3, 6L)))
+    assert(j == """["dedup_clusters:19.0/6.0","dedup_embedding:threw"]""",
+      s"got $j")
+    assert(Bench.tripwireJson(Seq(("agg_hash", 0.3, 6L))) == "[]")
+  }
+
   test("tripwire stays silent on a clean run") {
     val ws = Bench.tripwires(Seq(
       ("agg_hash", 0.3, 6L),

@@ -446,6 +446,19 @@ class PlanSpec extends AnyFunSuite {
       s"an interpreted higher-order lambda survives in the plan:\n$p")
   }
 
+  test("text_subword tokenizes on the codegen kernel; only the doc agg " +
+      "shuffles") {
+    // the greedy fold must be the word_piece static kernel, not an
+    // interpreted aggregate(sequence(...)) HOF over the vocab (the
+    // dedup_near 8.7 s lesson); the per-word stage is narrow — the
+    // first exchange is the doc_id-keyed count aggregation
+    val p = plan("text_subword")
+    assert(p.contains("word_piece"),
+      s"tokenization not on the codegen kernel:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"more than the two documents scans (agg + restore join):\n$p")
+  }
+
   test("sample_weighted top-k runs as TakeOrderedAndProject, no full sort") {
     val p = SparkEntry.queries("sample_weighted")(spark, sf)
       .queryExecution.executedPlan.treeString

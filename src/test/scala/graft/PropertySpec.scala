@@ -27,6 +27,45 @@ class PropertySpec extends AnyFunSuite {
   private def whenever(cond: Boolean)(body: => Unit): Unit =
     if (cond) body
 
+  test("WordPiece kernel matches the reference tokenizer on random words " +
+      "and reconstructs every non-UNK word") {
+    import graft.functions.WordPieceUtil
+    // random lowercase-alnum words (always tokenizable via the letter
+    // fallback) plus words with planted out-of-vocab chars (must
+    // collapse to a single [UNK])
+    val alnumWord = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 1 -> Gen.numChar)).map(_.mkString))
+    val dirtyWord = for {
+      w <- alnumWord
+      pos <- Gen.chooseNum(0, w.length)
+      c <- Gen.oneOf('!', '.', 'É', 'Z', '_')
+    } yield w.substring(0, pos) + c + w.substring(pos)
+    forAll(Gen.listOfN(30, alnumWord), Gen.listOfN(10, dirtyWord)) {
+      (clean: List[String], dirty: List[String]) =>
+        val words = clean ++ dirty
+        val got = words.zipWithIndex.map(_.swap).toDF("i", "w")
+          .select(col("i"),
+            graft.functions.SubwordExprs.wordPiece(col("w")).as("t"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[String](1).toList)
+          .toMap
+        words.zipWithIndex.foreach { case (w, i) =>
+          val ref = WordPieceUtil.tokenizeRef(w).toList
+          assert(got(i) == ref, s"kernel != reference for '$w'")
+          // round-trip: stripping ## markers re-concatenates to the word
+          if (ref != List(WordPieceUtil.Unk))
+            assert(ref.map(_.stripPrefix("##")).mkString == w,
+              s"pieces don't reconstruct '$w': $ref")
+        }
+        // every planted dirty word must UNK (its extra char is not in
+        // any vocab piece)
+        dirty.zipWithIndex.foreach { case (w, j) =>
+          assert(got(clean.size + j) == List(WordPieceUtil.Unk),
+            s"'$w' should be [UNK]")
+        }
+    }
+  }
+
   test("dedup by key is idempotent and order-insensitive") {
     forAll(smallInts, Gen.chooseNum(1L, 999999L)) {
       (xs: List[Int], seed: Long) =>

@@ -317,6 +317,90 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_ingest_neardup twin: band-keyed transformWithState blocks " +
+      "near-dups across triggers and a restart") {
+    // the streaming form of the batch id: file-source docs → MinHash
+    // band keys (the dedup_near family) → NearDupBandProcessor keyed by
+    // BAND → per-batch doc-level combine in foreachBatch, two
+    // AvailableNow runs sharing one checkpoint. A doc whose bands were
+    // observed in run 1 must be REJECTED in run 2 (band state survived
+    // the restart) with the original blocker's id; fresh content still
+    // admits; an at-least-once replay within one batch collapses to
+    // one verdict row.
+    import org.apache.spark.sql.DataFrame
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_neardup").toString
+    val (src, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(src).mkdirs()
+    val combine: (DataFrame, Long) => Unit = (b: DataFrame, _: Long) =>
+      b.groupBy("doc_id").agg(
+          max(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+            .as("collides"),
+          min(when(col("first_id") < col("doc_id"), col("first_id")))
+            .as("blocked_by"))
+        .select(col("doc_id"),
+          when(col("collides") === 1L, 0L).otherwise(1L).as("admitted"),
+          coalesce(col("blocked_by"), lit(-1L)).as("blocked_by"))
+        .write.mode("append").parquet(out)
+    def run(): Unit = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(src)
+      val verdicts = graft.operators.VectorOps.minhashBandKeys(docs)
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .transformWithState(new streaming.NearDupBandProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .toDF("doc_id", "first_id")
+      val q = verdicts.writeStream
+        .foreachBatch(combine)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "neardup run did not finish")
+      q.stop()
+    }
+    def verdicts(): Seq[(Long, Long, Long)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    try {
+      // run 1: docs 1/3 are identical (same bands) — 1 admits, 3 is
+      // blocked by 1; doc 2's content is unrelated — admits
+      Seq((1L, "join hash row scan batch"),
+        (2L, "filter small slow merge order"),
+        (3L, "join hash row scan batch")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      run()
+      assert(verdicts() == Seq((1L, 1L, -1L), (2L, 1L, -1L), (3L, 0L, 1L)),
+        s"run 1 verdicts: ${verdicts()}")
+      // run 2 (restart from the same checkpoint): doc 4 repeats run 1's
+      // content — must reject against the RESTORED band state with the
+      // ORIGINAL blocker; doc 5 is fresh; doc 6 is fresh and arrives
+      // TWICE in one batch (at-least-once replay) — one verdict row
+      Seq((4L, "join hash row scan batch"),
+        (5L, "vector line data table agg"),
+        (6L, "value key stream window spark"),
+        (6L, "value key stream window spark")).toDF("doc_id", "text")
+        .write.mode("append").parquet(src)
+      run()
+      assert(verdicts() == Seq((1L, 1L, -1L), (2L, 1L, -1L), (3L, 0L, 1L),
+        (4L, 0L, 1L), (5L, 1L, -1L), (6L, 1L, -1L)),
+        s"band state did not survive the restart: ${verdicts()}")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming tumbling counts converge to the batch-equivalent query") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)

@@ -671,8 +671,12 @@ class TextVectorSpec extends AnyFunSuite {
         val counts = ts.sliding(n).filter(_.length == n)
           .map(_.mkString(" ")).toSeq.groupBy(identity)
           .view.mapValues(_.size.toLong).toMap
+        // dominant = most-frequent gram (paper ranking), tie → larger
+        // mass; report its char mass. iterator, NOT Map.map — mapping a
+        // Map to (c, mass) pairs would re-key by c and dedup the masses
         val top = if (counts.isEmpty) 0L
-          else counts.map { case (g, c) => c * g.length }.max
+          else counts.iterator.map { case (g, c) => (c, c * g.length) }
+            .max._2
         val dup = counts.collect {
           case (g, c) if c >= 2 => c * g.length }.sum
         n -> ((top, dup))
