@@ -2,18 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   /** BASELINE.md's recorded warm-run total at the driver's config
-    * (local[32], sf0.1) — re-anchored round 6 to the measured clean
-    * 210-query envelope (128.8/128.9/126.7 s, three consecutive idle
-    * drives, ±1%; the prior 120 s was the round-2 ~108-query gate and
-    * had gone stale as the set grew), then bumped additively to 136
-    * for the nine round-6b ids (their summed clean-drive cost measured
-    * 8.3 s — BASELINE.md round-6b; re-measure the full idle envelope
-    * next round). The bench compares its own total against this and
-    * flags contention, because this VM's load spikes have produced
+    * (local[32], sf0.1) — re-anchored round 7 from measured idle
+    * 223-query drives (183.6 / 167.3 s warm; a fixture-cold first
+    * drive reads ~236 s — the one-time join_cbo_reorder / join_bucketed
+    * / keep-list builds) plus the round-6 judge's independent idle
+    * 165.2 s at 220 queries. The prior 136 was the additive round-6b
+    * estimate and measured ~20% low, so the 1.5× contention flag only
+    * fired above ~204 s. The bench compares its own total against this
+    * and flags contention, because this VM's load spikes have produced
     * 2-7x inflated artifacts (round-2 BENCH file); keep in sync with
     * BASELINE.md after perf changes or query-set growth, or the flag
     * loses its sensitivity. */
-  private val BaselineWarmSec = 136.0
+  private val BaselineWarmSec = 165.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -33,6 +33,7 @@ object Bench {
     "dedup_ngram" -> 4.0,
     "dedup_containment" -> 2.5,
     "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
+    "text_winnow" -> 1.5, // round-7: warm ×2 1.5-1.7 s (4× window fan-out)
     // round-6b: clean_substring / clean_repetition / pipeline_dedup_card
     // measured sub-second warm (0.25/0.47/0.39 s, BASELINE round-6b) —
     // per this map's contract they ride DefaultExpectedSec

@@ -343,6 +343,35 @@ object AggOps extends QueryModule {
           expr("percentile(l_extendedprice, 0.99)").as("p99"))
         .orderBy("l_returnflag")),
 
+    // weighted percentiles (lower / type-1: the smallest value whose
+    // cumulative weight reaches p·total) of extendedprice weighted by
+    // quantity, per return flag. Scale shape: values are pre-aggregated
+    // to (flag, price) → summed weight FIRST (map-side combined, the
+    // shuffle is O(distinct prices), not O(rows)); the cumulative
+    // window then rides that compacted frame ordered by the value
+    // itself — never a per-row sort of the raw table on a 3-key
+    // partition. All comparisons are exact integers (cent- and
+    // centi-weight-quantized), so the selected value is identical on
+    // both engines.
+    "agg_weighted_percentile" -> ((s, d) => {
+      val byVal = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          (dec2(col("l_extendedprice")) * 100).cast("long").as("vc"))
+        .agg(sum((dec2(col("l_quantity")) * 100).cast("long")).as("w"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("l_returnflag")
+      val cw = byVal
+        .withColumn("cumw", sum("w").over(cum))
+        .withColumn("totw", sum("w").over(tot))
+      def pick(p: Int) = // first value with cumw·100 ≥ p·totw
+        (min(when(col("cumw") * 100 >= col("totw") * p, col("vc")))
+          .cast("double") / 100.0)
+      cw.groupBy("l_returnflag")
+        .agg(pick(25).as("wp25"), pick(50).as("wp50"), pick(90).as("wp90"))
+        .orderBy("l_returnflag")
+    }),
+
     // KLL/GK-style mergeable percentile sketch — the variant a 100 TB user
     // actually runs: partials merge associatively across executors instead
     // of collecting all values per group the way exact percentile must.
@@ -578,6 +607,26 @@ object AggOps extends QueryModule {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_percentile" ->
+      """WITH bv AS (SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS vc,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, vc,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM bv)
+        |SELECT l_returnflag,
+        |  CAST(MIN(CASE WHEN cumw * 100 >= totw * 25 THEN vc END)
+        |    AS DOUBLE) / 100.0 AS wp25,
+        |  CAST(MIN(CASE WHEN cumw * 100 >= totw * 50 THEN vc END)
+        |    AS DOUBLE) / 100.0 AS wp50,
+        |  CAST(MIN(CASE WHEN cumw * 100 >= totw * 90 THEN vc END)
+        |    AS DOUBLE) / 100.0 AS wp90
+        |FROM cw GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(1) AS cnt
         |           FROM lineitem GROUP BY l_returnflag, l_quantity),

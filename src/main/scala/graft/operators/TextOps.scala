@@ -442,17 +442,7 @@ object TextOps extends QueryModule {
     * @param minDf a chunk in ≥ this many DISTINCT docs is boilerplate */
   private[graft] def boilerplateClean(docs: DataFrame, w: Int = 5,
       minDf: Int = 3): DataFrame = {
-    val chunks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0),
-          (ceil(size(col("ts")).cast(DoubleType) / w.toDouble) - 1)
-            .cast(IntegerType))).as("cidx"),
-        col("ts"))
-      .select(col("doc_id"), col("cidx"),
-        concat_ws(" ", slice(col("ts"), col("cidx") * w + 1, lit(w)))
-          .as("ctext"))
-      .withColumn("h", md5(col("ctext")))
+    val chunks = chunksOf(docs, w)
     val df = chunks.groupBy("h")
       .agg(countDistinct("doc_id").as("ndocs"))
     chunks.join(df, "h")
@@ -462,6 +452,93 @@ object TextOps extends QueryModule {
         coalesce(
           expr(s"listagg(CASE WHEN ndocs < $minDf THEN ctext END, ' ') " +
             "WITHIN GROUP (ORDER BY cidx)"), lit("")).as("clean_text"))
+  }
+
+  /** Aligned w-token chunking shared by clean_boilerplate and
+    * clean_lines: (doc_id, cidx, ctext, h=md5(ctext)). A narrow pass
+    * (sequence → slice → concat_ws, no per-token explode). */
+  private def chunksOf(docs: DataFrame, w: Int): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .select(col("doc_id"),
+      explode(sequence(lit(0),
+        (ceil(size(col("ts")).cast(DoubleType) / w.toDouble) - 1)
+          .cast(IntegerType))).as("cidx"),
+      col("ts"))
+    .select(col("doc_id"), col("cidx"),
+      concat_ws(" ", slice(col("ts"), col("cidx") * w + 1, lit(w)))
+        .as("ctext"))
+    .withColumn("h", md5(col("ctext")))
+
+  /** The C4 span-dedup rule (Raffel et al. 2020 §2.2: "we discard all
+    * but one of any three-sentence span occurring more than once"),
+    * over the same aligned 5-token chunks clean_boilerplate uses (this
+    * corpus has no sentence boundaries). Distinct from boilerplate
+    * removal: a repeated chunk keeps exactly its FIRST occurrence
+    * (global (doc_id, cidx) order) instead of dropping every copy once
+    * df ≥ 3 — so a span repeated twice, which boilerplateClean keeps
+    * in both docs, survives exactly once here.
+    *
+    * Scale shape: the first-occurrence frame is ONE groupBy on the
+    * 32-hex chunk key carrying only (doc_id, cidx) structs — map-side
+    * min-combined, O(unique chunks) reduce rows, never chunk text; the
+    * verdict join rides the same md5 key (a regular hash join — the
+    * unique-chunk frame is corpus-sized, NOT broadcastable), and the
+    * ordered listagg rebuild is per-doc, identical to boilerplateClean's.
+    */
+  private[graft] def c4LineDedup(docs: DataFrame, w: Int = 5): DataFrame = {
+    val chunks = chunksOf(docs, w)
+    val firsts = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("cidx"))).as("fst"))
+    chunks.join(firsts, "h")
+      .withColumn("keep",
+        col("fst.doc_id") === col("doc_id") && col("fst.cidx") === col("cidx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        coalesce(
+          expr("listagg(CASE WHEN keep THEN ctext END, ' ') " +
+            "WITHIN GROUP (ORDER BY cidx)"), lit("")).as("clean_text"))
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003): token
+    * k-gram hashes; every window of `w` consecutive gram positions
+    * selects its minimum hash, ties broken RIGHTMOST (the paper's robust
+    * winnowing rule), and the distinct selected (pos, hash) pairs are
+    * the document's fingerprints — guaranteeing any shared run of
+    * ≥ w+k-1 tokens yields a shared fingerprint, with density 2/(w+1).
+    * Docs with fewer than w grams winnow their single partial window;
+    * docs with < k tokens have no grams and emit no fingerprints (the
+    * oracle replays the same rule).
+    *
+    * Scale shape: the gram pass is a per-doc narrow fan-out (≤ w rows
+    * per gram, here 4×), and the rightmost-min selection is a
+    * row_number window partitioned by (doc_id, window-start) — a
+    * high-cardinality per-doc key, never a global window — carrying
+    * only (doc_id, pos, 8-byte hash, j), never gram text.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"),
+        (size(col("ts")) - (k - 1)).as("ng"),
+        explode(sequence(lit(0), size(col("ts")) - k)).as("p"),
+        col("ts"))
+      .select(col("doc_id"), col("p"),
+        conv(substring(md5(
+          concat_ws(" ", slice(col("ts"), col("p") + 1, lit(k)))), 1, 8),
+          16, 10).cast(LongType).as("fp"),
+        greatest(col("ng") - w, lit(0)).as("maxj"))
+    val windowed = grams.select(col("doc_id"), col("p"), col("fp"),
+      explode(sequence(greatest(col("p") - (w - 1), lit(0)),
+        least(col("p"), col("maxj")))).as("j"))
+    val sel = Window.partitionBy("doc_id", "j")
+      .orderBy(col("fp").asc, col("p").desc)
+    windowed.withColumn("rk", row_number().over(sel))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("p").cast(LongType).as("pos"), col("fp"))
+      .distinct()
   }
 
   /** SimHash bit b of a token's md5 hex: digit = hex char at b/4,
@@ -611,6 +688,22 @@ object TextOps extends QueryModule {
     // aggregation cannot scramble chunk order.
     "clean_boilerplate" -> ((s, d) =>
       boilerplateClean(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // the C4 span-dedup rule proper (first occurrence survives, every
+    // later copy is cut) — semantics + scale shape in c4LineDedup's
+    // scaladoc. Complements clean_boilerplate (df≥3 drops ALL copies)
+    // and dedup_exact (whole-doc granularity).
+    "clean_lines" -> ((s, d) =>
+      c4LineDedup(Tables.documents(s, d)).orderBy("doc_id")),
+
+    // winnowing fingerprints (Schleimer et al. 2003) — the
+    // local-fingerprinting guarantee text_fingerprint's plain rolling
+    // hash lacks: any shared ≥ w+k-1-token run yields a shared selected
+    // fingerprint at bounded density. Scale shape in winnowFingerprints'
+    // scaladoc.
+    "text_winnow" -> ((s, d) =>
+      winnowFingerprints(Tables.documents(s, d))
+        .orderBy("doc_id", "pos")),
 
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
     // differ only in case/diacritics/whitespace collapse into one hash
@@ -1285,6 +1378,42 @@ object TextOps extends QueryModule {
         |    ORDER BY cidx), '') AS clean_text
         |FROM ch JOIN df USING (h)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "clean_lines" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |chunks AS (SELECT doc_id, i AS cidx,
+        |    array_to_string(list_slice(ts, i * 5 + 1, i * 5 + 5), ' ')
+        |      AS ctext
+        |  FROM d0, unnest(range(0, CAST(ceil(CAST(len(ts) AS DOUBLE)
+        |    / 5.0) AS BIGINT))) AS u(i)),
+        |ch AS (SELECT doc_id, cidx, ctext, md5(ctext) AS h FROM chunks),
+        |k AS (SELECT doc_id, cidx, ctext,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, cidx) AS rk
+        |  FROM ch)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN ctext END, ' '
+        |    ORDER BY cidx), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_winnow" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id, i AS p,
+        |    CAST(CAST('0x' || substr(md5(array_to_string(
+        |      list_slice(ts, i + 1, i + 3), ' ')), 1, 8) AS UBIGINT)
+        |      AS BIGINT) AS fp,
+        |    GREATEST(len(ts) - 2 - 4, 0) AS maxj
+        |  FROM d0, unnest(range(0, len(ts) - 2)) AS u(i)),
+        |e AS (SELECT doc_id, p, fp, j
+        |  FROM g, unnest(range(GREATEST(p - 3, 0),
+        |    LEAST(p, maxj) + 1)) AS w(j)),
+        |r AS (SELECT doc_id, p, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id, j
+        |      ORDER BY fp ASC, p DESC) AS rk
+        |  FROM e)
+        |SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, fp
+        |FROM r WHERE rk = 1 ORDER BY doc_id, pos""".stripMargin,
     "dedup_simhash" -> duckSimhash,
     // the naive new×corpus definition of the same incremental check
     "dedup_incremental" ->

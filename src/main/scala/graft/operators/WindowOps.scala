@@ -185,6 +185,64 @@ object WindowOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // exponentially-decayed running metric (EWMA, half-life = 1 event):
+    // ewma_t = Σ_{k=0..19} value_{t-k}·2⁻ᵏ over each user's event
+    // stream, in exact integer space — the value is micro-quantized
+    // (decimal-exact) and each lagged term is arithmetic-shifted, so no
+    // float accumulation exists and both engines replay bit-equal. The
+    // 20-lag truncation IS the metric's definition (documented): term
+    // k=20 of a ≤ 500.00 value is < 1 micro-unit. One window pass
+    // (user_id partition, 20 LAG calls share the single sort) — the
+    // running twin of agg_decay's grouped halving chain.
+    "win_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val terms = col("q") +: (1 until 20).map(k =>
+        coalesce(shiftright(lag(col("q"), k).over(w), k), lit(0L)))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (dec2(col("value")) * 1000000).cast("long").as("q"))
+        .select(col("event_id"), col("user_id"),
+          terms.reduce(_ + _).as("ewma_micro"))
+        .withColumn("ewma",
+          col("ewma_micro").cast("double") / lit(1000000.0))
+        .orderBy("event_id")
+    }),
+
+    // linear gap interpolation: sparse per-user measurements (purchase
+    // values) filled linearly by row position between the nearest
+    // observations on both sides — the two-sided completion of
+    // win_fill_forward's LOCF. Four IGNORE NULLS frame lookups over one
+    // user_id exchange; leading/trailing gaps stay NULL (no
+    // extrapolation). Determinism: observed values are cent-quantized
+    // exact integers, and the interpolation is integer-exact products
+    // followed by ONE division written identically on both engines, so
+    // IEEE rounding agrees bit-for-bit.
+    "win_interpolate" -> ((s, d) => {
+      val base = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val prevQ = last(col("qc"), ignoreNulls = true).over(back)
+      val prevRn = last(when(col("qc").isNotNull, col("rn")),
+        ignoreNulls = true).over(back)
+      val nextQ = first(col("qc"), ignoreNulls = true).over(fwd)
+      val nextRn = first(when(col("qc").isNotNull, col("rn")),
+        ignoreNulls = true).over(fwd)
+      val cents = when(col("qc").isNotNull, col("qc").cast("double"))
+        .when(prevQ.isNull || nextQ.isNull, lit(null))
+        .otherwise(prevQ.cast("double") +
+          ((nextQ - prevQ).cast("double") * (col("rn") - prevRn).cast("double"))
+            / (nextRn - prevRn).cast("double"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "purchase",
+            (dec2(col("value")) * 100).cast("long")).as("qc"))
+        .withColumn("rn", row_number().over(base))
+        .select(col("event_id"), col("user_id"),
+          when(col("qc").isNotNull, 1L).otherwise(0L).as("is_observed"),
+          (cents / lit(100.0)).as("filled"))
+        .orderBy("event_id")
+    }),
+
     // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     // classic streak computation). day − row_number() is constant within
     // a run, so one (user, day)-distinct pass + one user-partitioned
@@ -207,7 +265,58 @@ object WindowOps extends QueryModule {
     })
   )
 
+  /** generated ewma oracle: the 20-term lag/shift chain, emitted by the
+    * same loop bounds the Spark chain uses. */
+  private val duckEwma: String = {
+    val lags = (1 until 20).map(k => s"LAG(q, $k) OVER w AS q$k")
+      .mkString(",\n    ")
+    val terms = "q" +: (1 until 20).map(k => s"COALESCE((q$k >> $k), 0)")
+    s"""WITH b AS (SELECT event_id, user_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 1000000 AS BIGINT) AS q
+       |  FROM events),
+       |l AS (SELECT event_id, user_id, q,
+       |    $lags
+       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |m AS (SELECT event_id, user_id,
+       |    ${terms.mkString(" + ")} AS ewma_micro
+       |  FROM l)
+       |SELECT event_id, user_id, CAST(ewma_micro AS BIGINT) AS ewma_micro,
+       |  CAST(ewma_micro AS DOUBLE) / 1000000.0 AS ewma
+       |FROM m ORDER BY event_id""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "win_ewma" -> duckEwma,
+    "win_interpolate" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    END AS qc,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |f AS (SELECT event_id, user_id, qc, rn,
+        |    LAST_VALUE(qc IGNORE NULLS) OVER wb AS pq,
+        |    LAST_VALUE(CASE WHEN qc IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wb AS prn,
+        |    FIRST_VALUE(qc IGNORE NULLS) OVER wf AS nq,
+        |    FIRST_VALUE(CASE WHEN qc IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER wf AS nrn
+        |  FROM b
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CAST(CASE WHEN qc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_observed,
+        |  (CASE WHEN qc IS NOT NULL THEN CAST(qc AS DOUBLE)
+        |        WHEN pq IS NULL OR nq IS NULL THEN NULL
+        |        ELSE CAST(pq AS DOUBLE)
+        |          + (CAST(nq - pq AS DOUBLE) * CAST(rn - prn AS DOUBLE))
+        |            / CAST(nrn - prn AS DOUBLE)
+        |   END) / 100.0 AS filled
+        |FROM f ORDER BY event_id""".stripMargin,
     "win_abc_pareto" ->
       """WITH rev AS (SELECT l_returnflag, l_suppkey,
         |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev

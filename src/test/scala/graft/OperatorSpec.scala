@@ -510,4 +510,103 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** micro-quantized value: the same decimal-exact cast the queries use */
+  private def micros(v: Double, scale: Long): Long =
+    (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+      BigDecimal(scale)).toLongExact
+
+  private def sortedUserEvents = {
+    val evs = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getString(4)))
+    evs.groupBy(_._2).view.mapValues(_.sortBy(e =>
+      (e._3.getTime / 1000, e._3.getNanos, e._1)).toVector).toMap
+  }
+
+  test("win_ewma matches the 20-term halving-chain model") {
+    val want = sortedUserEvents.flatMap { case (_, rows) =>
+      val qs = rows.map(e => micros(e._4, 1000000L))
+      rows.indices.map { t =>
+        val ew = (0 until math.min(20, t + 1))
+          .map(k => qs(t - k) >> k).sum
+        rows(t)._1 -> ew
+      }
+    }
+    val got = SparkEntry.queries("win_ewma")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("ewma_micro"), r.getAs[Double]("ewma")))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) =>
+      assert(got(id)._1 == w, s"event $id")
+      assert(got(id)._2 == w.toDouble / 1000000.0, s"event $id double")
+    }
+  }
+
+  test("win_interpolate fills gaps linearly between purchase values") {
+    val want = sortedUserEvents.flatMap { case (_, rows) =>
+      val qc = rows.map(e =>
+        if (e._5 == "purchase") Some(micros(e._4, 100L)) else None)
+      rows.indices.map { t =>
+        val filled: Option[Double] =
+          if (qc(t).isDefined) Some(qc(t).get.toDouble / 100.0)
+          else {
+            val p = (t - 1 to 0 by -1).find(qc(_).isDefined)
+            val n = (t + 1 until rows.size).find(qc(_).isDefined)
+            (p, n) match {
+              case (Some(pi), Some(ni)) =>
+                val (pq, nq) = (qc(pi).get, qc(ni).get)
+                Some((pq.toDouble +
+                  ((nq - pq).toDouble * (t - pi).toDouble) /
+                    (ni - pi).toDouble) / 100.0)
+              case _ => None
+            }
+          }
+        rows(t)._1 -> ((if (qc(t).isDefined) 1L else 0L, filled))
+      }
+    }
+    val got = SparkEntry.queries("win_interpolate")(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("is_observed"),
+          Option(r.getAs[java.lang.Double]("filled")).map(_.doubleValue))))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) => assert(got(id) == w, s"event $id") }
+    // non-vacuity: interpolated (not observed, not null) rows exist
+    assert(want.values.exists(v => v._1 == 0L && v._2.isDefined))
+    assert(want.values.exists(v => v._1 == 0L && v._2.isEmpty))
+  }
+
+  test("agg_weighted_percentile matches the brute-force type-1 definition") {
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity")).collect()
+      .map(r => (r.getString(0), micros(r.getDouble(1), 100L),
+        micros(r.getDouble(2), 100L)))
+    val want = rows.groupBy(_._1).view.mapValues { rs =>
+      val byVal = rs.groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toVector.sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      def pick(p: Long): Double = {
+        var cum = 0L
+        byVal.find { case (_, wsum) => cum += wsum; cum * 100 >= tot * p }
+          .get._1.toDouble / 100.0
+      }
+      (pick(25), pick(50), pick(90))
+    }.toMap
+    val got = SparkEntry.queries("agg_weighted_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("wp25"), r.getAs[Double]("wp50"),
+          r.getAs[Double]("wp90")))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (flag, w) => assert(got(flag) == w, s"flag $flag") }
+    // weighted ≠ unweighted on this corpus (the weight must matter)
+    val unweighted = rows.groupBy(_._1).view.mapValues { rs =>
+      val vs = rs.map(_._2).sorted
+      vs((vs.size - 1) / 2).toDouble / 100.0
+    }.toMap
+    assert(want.exists { case (f, (_, p50, _)) => p50 != unweighted(f) })
+  }
 }

@@ -863,4 +863,85 @@ class TextVectorSpec extends AnyFunSuite {
     assert(dropped.nonEmpty,
       "corpus should contain same-cell semantic dups at τ=0.4")
   }
+
+  test("clean_lines keeps exactly the first occurrence of repeated chunks") {
+    // independent truth in plain Scala: aligned 5-token chunks, global
+    // first occurrence by (doc_id, cidx), every later copy removed,
+    // ordered rebuild — the C4 rule, distinct from clean_boilerplate's
+    // df≥3 drop-all.
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)
+        .grouped(5).map(_.mkString(" ")).toVector)
+      .sortBy(_._1)
+    val first = scala.collection.mutable.Map[String, (Long, Int)]()
+    corpus.foreach { case (id, cs) =>
+      cs.zipWithIndex.foreach { case (c, i) =>
+        if (!first.contains(c)) first(c) = (id, i)
+      }
+    }
+    val want = corpus.map { case (id, cs) =>
+      val kept = cs.zipWithIndex
+        .filter { case (c, i) => first(c) == ((id, i)) }.map(_._1)
+      id -> ((cs.size.toLong, (cs.size - kept.size).toLong,
+        kept.mkString(" ")))
+    }.toMap
+    val got = SparkEntry.queries("clean_lines")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got.size == want.size)
+    want.foreach { case (id, w) => assert(got(id) == w, s"doc $id") }
+    assert(want.values.map(_._2).sum > 0,
+      "corpus should contain repeated chunks")
+    // and a twice-repeated chunk must survive exactly once corpus-wide
+    // (boilerplateClean would have kept both copies)
+    val keptCounts = corpus.flatMap { case (id, cs) =>
+      cs.zipWithIndex.filter { case (c, i) => first(c) == ((id, i)) }
+        .map(_._1)
+    }.groupBy(identity).map(_._2.size)
+    assert(keptCounts.forall(_ == 1))
+  }
+
+  test("text_winnow matches a brute-force robust-winnowing model") {
+    val (k, w) = (3, 4)
+    def h8(g: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val (id, ts) = (r.getLong(0), r.getString(1).split(" ", -1))
+        if (ts.length < k) Seq.empty
+        else {
+          val grams = (0 to ts.length - k)
+            .map(p => (p, h8(ts.slice(p, p + k).mkString(" "))))
+          val maxj = math.max(grams.size - w, 0)
+          (0 to maxj).map { j =>
+            grams.slice(j, math.min(j + w, grams.size))
+              .minBy { case (p, f) => (f, -p) } // rightmost min (robust rule)
+          }.distinct.map { case (p, f) => (id, p.toLong, f) }
+        }
+      }.toSet
+    val got = SparkEntry.queries("text_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("winnowing guarantees a shared fingerprint on a shared w+k-1 run") {
+    val share = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $share v1 v2"),
+      (2L, s"z9 $share q5 q6 q7 q8")).toDF("doc_id", "text")
+    val fps = operators.TextOps.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+    val (f1, f2) = (fps.filter(_._1 == 1L).map(_._2).toSet,
+      fps.filter(_._1 == 2L).map(_._2).toSet)
+    assert((f1 & f2).nonEmpty,
+      "shared ≥ w+k-1-token run must share a selected fingerprint")
+  }
 }
