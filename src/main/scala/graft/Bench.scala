@@ -34,6 +34,11 @@ object Bench {
     "dedup_containment" -> 2.5,
     "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
     "text_winnow" -> 1.5, // round-7: warm ×2 1.5-1.7 s (4× window fan-out)
+    // round-7: the 8-round chain is local job latency (CC-fixpoint
+    // class), priced on whichever bpe query runs first (the per-dir
+    // memo makes the second ~free); generous static prices for both
+    "text_bpe_apply" -> 8.0,
+    "text_bpe_train" -> 6.0,
     // round-6b: clean_substring / clean_repetition / pipeline_dedup_card
     // measured sub-second warm (0.25/0.47/0.39 s, BASELINE round-6b) —
     // per this map's contract they ride DefaultExpectedSec

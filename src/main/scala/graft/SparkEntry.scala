@@ -17,6 +17,7 @@ object SparkEntry {
     operators.WindowOps,
     operators.SortSetOps,
     operators.TextOps,
+    operators.BpeOps,
     operators.VectorOps,
     operators.CurationOps,
     operators.QualityOps,
