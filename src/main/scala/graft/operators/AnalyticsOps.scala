@@ -644,6 +644,41 @@ object AnalyticsOps extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // multi-touch revenue attribution — the marketing-analytics staple:
+    // each purchase's revenue credited to the FIRST and to the LAST
+    // non-purchase touchpoint (channel = event_type) in the user's
+    // preceding history; purchases with no prior touch credit 'direct'.
+    // Two IGNORE NULLS frame lookups over ONE user_id window sort, then
+    // a single unioned channel aggregation (exact decimal sums) — never
+    // a per-purchase self-join. At 100 TB: one user-keyed exchange +
+    // one O(channels) reduce.
+    "agg_attribution" -> ((s, d) => {
+      val base = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val before = base.rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val p = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          first(touch, ignoreNulls = true).over(before).as("first_ch"),
+          last(touch, ignoreNulls = true).over(before).as("last_ch"))
+        .where(col("event_type") === "purchase")
+        .select(col("value"),
+          coalesce(col("first_ch"), lit("direct")).as("first_ch"),
+          coalesce(col("last_ch"), lit("direct")).as("last_ch"))
+      val dv = col("value").cast(DecimalType(18, 2))
+      p.select(col("first_ch").as("channel"), lit("f").as("m"), dv.as("v"))
+        .unionAll(p.select(col("last_ch").as("channel"),
+          lit("l").as("m"), dv.as("v")))
+        .groupBy("channel")
+        .agg(
+          sum(when(col("m") === "f", col("v"))).cast(DoubleType)
+            .as("first_touch_rev"),
+          sum(when(col("m") === "l", col("v"))).cast(DoubleType)
+            .as("last_touch_rev"),
+          sum(when(col("m") === "f", 1L).otherwise(0L)).as("n_purchases"))
+        .orderBy("channel")
+    }),
+
     // market-basket co-purchase mining: frequent part pairs across
     // orders. The pair generation is a self-join KEYED ON THE ORDER —
     // baskets average a handful of items, so the quadratic blow-up is
@@ -990,6 +1025,29 @@ object AnalyticsOps extends QueryModule {
         |  COUNT(*) AS n_users
         |FROM uw JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "agg_attribution" ->
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |    FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER wb AS first_ch,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER wb AS last_ch
+        |  FROM events
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    COALESCE(first_ch, 'direct') AS first_ch,
+        |    COALESCE(last_ch, 'direct') AS last_ch
+        |  FROM t WHERE event_type = 'purchase'),
+        |u AS (SELECT first_ch AS channel, 'f' AS m, v FROM p
+        |  UNION ALL SELECT last_ch AS channel, 'l' AS m, v FROM p)
+        |SELECT channel,
+        |  CAST(SUM(CASE WHEN m = 'f' THEN v END) AS DOUBLE)
+        |    AS first_touch_rev,
+        |  CAST(SUM(CASE WHEN m = 'l' THEN v END) AS DOUBLE)
+        |    AS last_touch_rev,
+        |  CAST(SUM(CASE WHEN m = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_purchases
+        |FROM u GROUP BY channel ORDER BY channel""".stripMargin,
     "agg_copurchase" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

@@ -33,6 +33,18 @@ object TextOps extends QueryModule {
 
   private val ShingleTau = 0.5
 
+  /** text_bm25's fixed query terms and its per-(doc, term) scoring
+    * expression — ONE string parsed by both engines (Spark expr and the
+    * DuckDB oracle), so the double expression tree is identical and the
+    * only cross-engine risk is ln()'s documented ≤2-ulp libm drift,
+    * absorbed by the 1e4 quantization (text_lm_score discipline). */
+  private val Bm25Terms = Seq("spark", "join", "table")
+  private val bm25Expr =
+    "ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+      "(CAST(df AS DOUBLE) + 0.5) + 1.0) * (CAST(tf AS DOUBLE) * 2.2) / " +
+      "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / " +
+      "(CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE))))"
+
   /** containment threshold for dedup_containment: |A∩B|/|A| ≥ this */
   private val ContainTau = 0.9
 
@@ -704,6 +716,36 @@ object TextOps extends QueryModule {
     "text_winnow" -> ((s, d) =>
       winnowFingerprints(Tables.documents(s, d))
         .orderBy("doc_id", "pos")),
+
+    // BM25 ranked retrieval (Robertson et al., Okapi; k1=1.2, b=0.75)
+    // for a fixed 3-term query — the production ranking function
+    // text_tfidf's raw tf·idf approximates. Determinism follows the
+    // text_lm_score discipline: the per-(doc, term) score is ONE double
+    // expression over exactly-determined integers (tf, df, dl, corpus
+    // totals), shared VERBATIM between engines (bm25Expr), quantized
+    // floor(s·1e4 + 0.5) BEFORE the per-doc sum, so the sum is an exact
+    // integer and aggregation order cannot drift it. Top-20 via
+    // orderBy().limit() → TakeOrderedAndProject — no global window.
+    "text_bm25" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+      val tf = toks.where(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(dfr, "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("q",
+          expr(s"CAST(floor(($bm25Expr) * 1e4 + 0.5) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(sum("q").as("score_q"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_q").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"),
+          (col("score_q").cast(DoubleType) / 1e4).as("score"),
+          col("n_terms"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
 
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
     // differ only in case/diacritics/whitespace collapse into one hash
@@ -1414,6 +1456,27 @@ object TextOps extends QueryModule {
         |  FROM e)
         |SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, fp
         |FROM r WHERE rk = 1 ORDER BY doc_id, pos""".stripMargin,
+    "text_bm25" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS nd
+        |  FROM dls),
+        |tfs AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+        |dfs AS (SELECT tok, COUNT(*) AS df FROM tfs GROUP BY tok),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(($bm25Expr) * 1e4 + 0.5) AS BIGINT) AS q
+        |  FROM tfs JOIN dfs USING (tok) JOIN dls USING (doc_id)
+        |    CROSS JOIN st),
+        |agg AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS score_q,
+        |    COUNT(*) AS n_terms
+        |  FROM sc GROUP BY doc_id
+        |  ORDER BY score_q DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(score_q AS DOUBLE) / 1e4 AS score, n_terms
+        |FROM agg ORDER BY score DESC, doc_id""".stripMargin
+    },
     "dedup_simhash" -> duckSimhash,
     // the naive new×corpus definition of the same incremental check
     "dedup_incremental" ->

@@ -676,6 +676,51 @@ object VectorOps extends QueryModule {
         .orderBy("q_id", "rank")
     }),
 
+    // binary (sign) quantization retrieval — the 1-bit-per-dim ANN trick
+    // production systems use when even PQ codes are too fat: each vector
+    // compresses to TWO 32-bit sign words (64 dims), the scan ranks by
+    // hamming distance over xor+popcount (integer-exact on both
+    // engines), and only the top-200 shortlist fetches raw vectors for
+    // the exact-dot rerank. Scale shape: the scan shuffles (vec_id,
+    // 8 bytes of words) — a 32× reduction over raw float32 vectors and
+    // 4× over PQ's 32-byte codes; the rerank join touches 200 rows per
+    // query. Complements the PQ (trained codebook) and IVF (partitioned
+    // scan) paths: sign quantization needs NO training, so it works on
+    // day-0 corpora and never drifts from its codebook.
+    "sim_binary_topk" -> ((s, d) => {
+      def signWord(base: Int): Column =
+        (base until base + 32).map(j =>
+          when(element_at(col("embedding"), j + 1) > lit(0f),
+            lit(1L << (j - base))).otherwise(lit(0L))).reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+      val words = e.select(col("vec_id"),
+        signWord(0).as("w0"), signWord(32).as("w1"))
+      val q = words.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val wh = Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("vec_id"))
+      val shortlist = words.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+            bit_count(col("w1").bitwiseXOR(col("qw1"))))
+            .cast(LongType).as("hamming"))
+        .withColumn("crk", row_number().over(wh))
+        .where(col("crk") <= 200)
+      val qe = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wr = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      shortlist.join(e, "vec_id").join(broadcast(qe), "q_id")
+        .select(col("q_id"), col("vec_id"), col("hamming"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .where(col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "hamming", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // all pairs above a cosine threshold — embedding-based near-dup, the
     // bounded EXACT baseline (O(n²) by definition). No broadcast hint: at
     // test SF the optimizer broadcasts on its own; at scale it degrades to
@@ -1251,6 +1296,40 @@ object VectorOps extends QueryModule {
         |         JOIN t tb ON p.id2 = tb.doc_id)
         |SELECT id1, id2, jaccard FROM v
         |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin,
+    "sim_binary_topk" -> {
+      def word(base: Int) = (base until base + 32).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << (j - base)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT vec_id,
+        |    ${word(0)} AS w0,
+        |    ${word(32)} AS w1
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM w
+        |  WHERE vec_id < 3),
+        |h AS (SELECT q_id, vec_id,
+        |    CAST(bit_count(xor(w0, qw0)) + bit_count(xor(w1, qw1))
+        |      AS BIGINT) AS hamming
+        |  FROM w CROSS JOIN q WHERE vec_id <> q_id),
+        |c AS (SELECT q_id, vec_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY hamming, vec_id) AS crk FROM h),
+        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 3),
+        |r AS (SELECT c.q_id, c.vec_id, c.hamming,
+        |    round(list_aggregate(list_transform(
+        |      list_zip(qe.q_emb, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4)
+        |      AS sim
+        |  FROM c JOIN embeddings e ON e.vec_id = c.vec_id
+        |         JOIN qe ON qe.q_id = c.q_id
+        |  WHERE c.crk <= 200)
+        |SELECT q_id, rank, vec_id, hamming, sim FROM (
+        |  SELECT q_id, vec_id, hamming, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rank
+        |  FROM r) t
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 3),

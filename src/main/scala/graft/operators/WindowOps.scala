@@ -243,6 +243,40 @@ object WindowOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // time-series resampling to a fixed daily grid: one row per (user,
+    // calendar day) between the user's first and last activity — gap
+    // days materialized with n_events = 0 — with the day's exact
+    // purchase revenue and its LOCF carry-forward. The grid generation
+    // is a per-user sequence() explode (bounded by each user's own
+    // span, never a global calendar crossJoin); the daily rollup
+    // map-side combines before its (user, day) shuffle; the LOCF rides
+    // the same user partitioning. Completes the series toolkit:
+    // win_fill_forward (sparse LOCF), win_interpolate (two-sided
+    // linear), ts_resample (grid + fill).
+    "ts_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val daily = ev.groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", dec2(col("value"))))
+            .as("rev_d"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          col("day").cast("timestamp").as("day_ts"),
+          coalesce(col("n_ev"), lit(0L)).as("n_events"),
+          col("rev_d").cast("double").as("day_rev"),
+          last(col("rev_d"), ignoreNulls = true).over(w).cast("double")
+            .as("rev_locf"))
+        .orderBy("user_id", "day_ts")
+    }),
+
     // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     // classic streak computation). day − row_number() is constant within
     // a run, so one (user, day)-distinct pass + one user-partitioned
@@ -286,6 +320,27 @@ object WindowOps extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "ts_resample" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    value FROM events),
+        |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM ev
+        |  GROUP BY user_id),
+        |g AS (SELECT user_id, CAST(gs AS DATE) AS day
+        |  FROM b, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(gs)),
+        |dly AS (SELECT user_id, day, COUNT(*) AS n_ev,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,2)) END) AS rev_d
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day_ts,
+        |  COALESCE(n_ev, 0) AS n_events,
+        |  CAST(rev_d AS DOUBLE) AS day_rev,
+        |  CAST(LAST_VALUE(rev_d IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rev_locf
+        |FROM g LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day
+        |ORDER BY g.user_id, day_ts""".stripMargin,
     "win_ewma" -> duckEwma,
     "win_interpolate" ->
       """WITH b AS (SELECT event_id, user_id, ts,

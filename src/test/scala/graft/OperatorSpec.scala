@@ -579,6 +579,81 @@ class OperatorSpec extends AnyFunSuite {
     assert(want.values.exists(v => v._1 == 0L && v._2.isEmpty))
   }
 
+  test("agg_attribution matches a brute-force first/last-touch model") {
+    val byUser = sortedUserEvents
+    val first = scala.collection.mutable.Map[String, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    val last = scala.collection.mutable.Map[String, BigDecimal]()
+      .withDefaultValue(BigDecimal(0))
+    val nP = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      rows.indices.foreach { t =>
+        if (rows(t)._5 == "purchase") {
+          val touches = (0 until t).map(rows(_)._5).filter(_ != "purchase")
+          val (f, l) = (touches.headOption.getOrElse("direct"),
+            touches.lastOption.getOrElse("direct"))
+          val v = BigDecimal(rows(t)._4.toString).setScale(2)
+          first(f) += v; last(l) += v; nP(f) += 1L
+        }
+      }
+    }
+    val got = SparkEntry.queries("agg_attribution")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Double]("first_touch_rev"),
+        r.getAs[Double]("last_touch_rev"), r.getAs[Long]("n_purchases"))))
+      .toMap
+    val channels = (first.keySet ++ last.keySet)
+    assert(got.keySet == channels)
+    channels.foreach { ch =>
+      val (gf, gl, gn) = got(ch)
+      // our double is the exact decimal cast; model mirrors it
+      assert(gf == first(ch).doubleValue || (gf.isNaN && first(ch) == 0),
+        s"first $ch")
+      assert(gl == last(ch).doubleValue || (gl.isNaN && last(ch) == 0),
+        s"last $ch")
+      assert(gn == nP(ch), s"n $ch")
+    }
+    assert(channels.contains("direct"),
+      "some purchase should have no prior touch")
+  }
+
+  test("ts_resample materializes gap days and carries revenue forward") {
+    val byUser = sortedUserEvents
+    val want = byUser.flatMap { case (uid, rows) =>
+      def day(e: (Long, Long, java.sql.Timestamp, Double, String)) =
+        java.time.LocalDate.ofEpochDay( // UTC day — session TZ is UTC
+          Math.floorDiv(e._3.getTime, 86400000L))
+      val (d0, d1) = (rows.map(day).min(Ordering.by((d: java.time.LocalDate) =>
+        d.toEpochDay)), rows.map(day).max(Ordering.by(
+        (d: java.time.LocalDate) => d.toEpochDay)))
+      var locf: Option[BigDecimal] = None
+      Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).map { dd =>
+        val evs = rows.filter(day(_) == dd)
+        val rev = {
+          val ps = evs.filter(_._5 == "purchase")
+          if (ps.isEmpty) None
+          else Some(ps.map(e => BigDecimal(e._4.toString).setScale(2)).sum)
+        }
+        if (rev.isDefined) locf = rev
+        (uid, dd.toString) -> ((evs.size.toLong,
+          rev.map(_.doubleValue), locf.map(_.doubleValue)))
+      }.toVector
+    }
+    val got = SparkEntry.queries("ts_resample")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        java.time.LocalDate.ofEpochDay(Math.floorDiv(
+          r.getAs[java.sql.Timestamp]("day_ts").getTime, 86400000L))
+          .toString) ->
+        ((r.getAs[Long]("n_events"),
+          Option(r.getAs[java.lang.Double]("day_rev")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("rev_locf")).map(_.doubleValue))))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (k, w) => assert(got(k) == w, s"grid cell $k") }
+    // non-vacuity: gap days (0 events) exist and carry forward revenue
+    assert(want.exists { case (_, (n, r, f)) =>
+      n == 0L && r.isEmpty && f.isDefined })
+  }
+
   test("agg_weighted_percentile matches the brute-force type-1 definition") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"),

@@ -932,6 +932,80 @@ class TextVectorSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("sim_binary_topk matches a brute-force sign-word model") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def words(e: Array[Float]): (Long, Long) = {
+      var (w0, w1) = (0L, 0L)
+      for (j <- 0 until 32) if (e(j) > 0f) w0 |= 1L << j
+      for (j <- 32 until 64) if (e(j) > 0f) w1 |= 1L << (j - 32)
+      (w0, w1)
+    }
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (j <- a.indices) s += a(j).toDouble * b(j).toDouble
+      s
+    }
+    val bw = rows.map { case (id, e) => id -> words(e) }.toMap
+    val emb = rows.toMap
+    val want = rows.filter(_._1 < 3).flatMap { case (qid, qe) =>
+      val (q0, q1) = bw(qid)
+      val short = rows.filter(_._1 != qid).map { case (id, _) =>
+        val (a0, a1) = bw(id)
+        (id, (java.lang.Long.bitCount(a0 ^ q0) +
+          java.lang.Long.bitCount(a1 ^ q1)).toLong)
+      }.sortBy { case (id, h) => (h, id) }.take(200)
+      short.map { case (id, h) =>
+        (id, h, BigDecimal(dot(qe, emb(id)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, _, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, h, s), i) => (qid, (i + 1).toLong, id, h, s) }
+    }.toSet
+    val got = SparkEntry.queries("sim_binary_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("hamming"),
+        r.getAs[Double]("sim"))).toSet
+    assert(got == want)
+    // retrieval quality: the hamming shortlist must recover most of the
+    // exact top-10 (at this sf the 200-candidate pool is a large corpus
+    // fraction, so recall should be high)
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val ours = got.map(g => (g._1, g._3))
+    assert((exact & ours).size >= (exact.size * 6) / 10,
+      s"binary recall ${(exact & ours).size}/${exact.size} below 60%")
+  }
+
+  test("text_bm25 matches a brute-force Okapi model") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val terms = Seq("spark", "join", "table")
+    val dl = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val (tot, nd) = (dl.values.sum.toDouble, docs.length.toDouble)
+    val avgdl = tot / nd
+    val tf = docs.flatMap { case (id, ts) =>
+      terms.map(t => (id, t, ts.count(_ == t).toLong)).filter(_._3 > 0)
+    }
+    val dfm = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val scored = tf.map { case (id, t, f) =>
+      val idf = math.log((nd - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+      val s = idf * (f.toDouble * 2.2) /
+        (f.toDouble + 1.2 * (0.25 + 0.75 * dl(id).toDouble / avgdl))
+      (id, math.floor(s * 1e4 + 0.5).toLong)
+    }
+    val byDoc = scored.groupBy(_._1).map { case (id, xs) =>
+      (id, xs.map(_._2).sum, xs.size.toLong)
+    }.toVector.sortBy { case (id, sq, _) => (-sq, id) }.take(20)
+    val want = byDoc.map { case (id, sq, n) =>
+      (id, sq.toDouble / 1e4, n) }.toSet
+    val got = SparkEntry.queries("text_bm25")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_terms"))).toSet
+    assert(got == want)
+    assert(want.exists(_._3 > 1), "some top doc should match several terms")
+  }
+
   test("winnowing guarantees a shared fingerprint on a shared w+k-1 run") {
     val share = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
     val docs = Seq(
