@@ -224,6 +224,32 @@ object GraftApi {
   def removeDuplicateSpans(docs: DataFrame, k: Int = 13): DataFrame =
     graft.operators.TextOps.substringClean(docs, k)
 
+  /** The C4 span-dedup rule (Raffel et al. 2020 §2.2) over a (doc_id,
+    * text) frame: every repeated aligned w-token chunk keeps exactly its
+    * FIRST corpus-wide occurrence; later copies are cut and the text
+    * rebuilt in order. Distinct from removeBoilerplate (df-threshold
+    * drops ALL copies). Returns (doc_id, n_chunks, n_removed,
+    * clean_text). */
+  def dedupSpansKeepFirst(docs: DataFrame, w: Int = 5): DataFrame =
+    graft.operators.TextOps.c4LineDedup(docs, w)
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, robust rule) over a
+    * (doc_id, text) frame: token k-gram hashes, rightmost-minimum
+    * selection per w-window — any shared ≥ w+k-1-token run between two
+    * docs is guaranteed a shared fingerprint, at density 2/(w+1).
+    * Returns (doc_id, pos, fp). */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame =
+    graft.operators.TextOps.winnowFingerprints(docs, k, w)
+
+  /** BPE merge learning (Sennrich et al. 2016) over a (doc_id, text)
+    * frame: returns (merge table (rnd, p1, p2, pair_count), final
+    * (w, cnt, pos, piece) segmentation state). Frequency-weighted over
+    * the distinct-word frame, `</w>` terminal, lexicographic tiebreak,
+    * greedy non-overlapping re-segmentation; rounds after pair
+    * exhaustion are no-ops. */
+  def bpeTrain(docs: DataFrame): (DataFrame, DataFrame) =
+    graft.operators.BpeOps.trainChain(docs)
+
   /** Gopher repetition filter (Rae et al. 2021 A1.1) over a (doc_id,
     * text) frame: char-mass fractions of the dominant {2,3,4}-grams and
     * duplicated {5..8}-grams plus the paper-threshold is_clean verdict —

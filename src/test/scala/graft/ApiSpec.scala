@@ -278,4 +278,44 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kernel == reference && kernel.size == 3)
   }
+
+  test("dedupSpansKeepFirst keeps one copy of a repeated span; " +
+      "removeBoilerplate would keep both") {
+    // "x y" repeats across docs 1 and 2 (df = 2, below the df>=3
+    // boilerplate bar): C4 keeps doc 1's copy and cuts doc 2's
+    val docs = Seq((1L, "x y a b"), (2L, "x y c d")).toDF("doc_id", "text")
+    val c4 = GraftApi.dedupSpansKeepFirst(docs, w = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(c4(1L) == "x y a b" && c4(2L) == "c d")
+    val bp = GraftApi.removeBoilerplate(docs, w = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(bp(1L) == "x y a b" && bp(2L) == "x y c d")
+  }
+
+  test("winnowFingerprints: identical docs share all fingerprints, " +
+      "disjoint docs share none") {
+    val docs = Seq((1L, "p q r s t u"), (2L, "p q r s t u"),
+      (3L, "m n o k l j")).toDF("doc_id", "text")
+    val fps = GraftApi.winnowFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    def of(id: Long) = fps.filter(_._1 == id).map(_._2).toSet
+    assert(of(1L) == of(2L) && of(1L).nonEmpty)
+    assert((of(1L).map(_._2) & of(3L).map(_._2)).isEmpty)
+  }
+
+  test("bpeTrain learns the dominant pair first on an ad-hoc corpus") {
+    val docs = Seq((1L, "low low low lower")).toDF("doc_id", "text")
+    val (table, fin) = GraftApi.bpeTrain(docs)
+    val first = table.orderBy("rnd").collect().head
+    // (l,o) appears in all 4 words; (o,w) likewise — tie broken
+    // lexicographically to (l,o)
+    assert((first.getString(1), first.getString(2)) == (("l", "o")))
+    // every word still reconstructs from its final pieces
+    val rebuilt = fin.collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Int]("pos"),
+        r.getAs[String]("piece")))
+      .groupBy(_._1).map { case (w, ps) =>
+        w -> ps.sortBy(_._2).map(_._3).mkString("") }
+    assert(rebuilt == Map("low" -> "low</w>", "lower" -> "lower</w>"))
+  }
 }

@@ -510,6 +510,50 @@ class PlanSpec extends AnyFunSuite {
       s"per-key count frame computed more than once:\n$p")
   }
 
+  test("text_bm25 plans incremental top-k and broadcasts corpus stats") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 not incremental:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"1-row stats frame not broadcast:\n$p")
+  }
+
+  test("win_ewma plans ONE window over one user_id exchange") {
+    // 20 LAG calls must share a single Window operator and sort — a
+    // regression to one-window-per-lag would sort 20× at scale
+    val p = plan("win_ewma")
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"lags not fused into one window pass:\n$p")
+    assert(p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(user_id")) == 1,
+      s"expected exactly one user_id exchange:\n$p")
+  }
+
+  test("sim_binary_topk scan shuffles sign words, not embeddings") {
+    // the hamming-ranked shortlist stage must not carry the float
+    // vectors — only (vec_id, w0, w1, hamming) reach its window sort;
+    // embeddings enter at the 200-row rerank join only
+    val p = plan("sim_binary_topk")
+    val sortLine = p.linesIterator
+      .find(l => l.contains("Sort") && l.contains("hamming"))
+    assert(sortLine.isDefined, s"hamming shortlist sort missing:\n$p")
+    assert(!sortLine.get.contains("embedding"),
+      s"shortlist sort carries raw vectors:\n$sortLine")
+  }
+
+  test("clean_lines first-occurrence shuffle carries id structs, not text") {
+    // the groupBy(h).min(struct(doc_id, cidx)) partial-aggregates before
+    // its exchange and its shuffle rows are (md5-hash, id-struct) only
+    val p = plan("clean_lines")
+    val aggs = p.linesIterator
+      .filter(l => l.contains("Aggregate") && l.contains("min("))
+      .toList
+    assert(aggs.size >= 2, s"first-occurrence agg not partial+final:\n$p")
+    assert(aggs.forall(!_.contains("ctext")),
+      s"first-occurrence agg carries chunk text:\n${aggs.mkString("\n")}")
+  }
+
   test("join_cbo_reorder actually reorders: selective dim joins first") {
     // the query is WRITTEN (lineitem ⋈ orders) ⋈ σ(customer);
     // CostBasedJoinReorder must rewrite it to (orders ⋈ σ(customer)) ⋈

@@ -257,6 +257,124 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("c4LineDedup equals the brute-force first-occurrence model on " +
+      "random corpora") {
+    // same dense-collision regime as the boilerplate property; here the
+    // invariant is C4's: every distinct chunk survives EXACTLY once
+    // corpus-wide, at its first (doc_id, cidx) occurrence.
+    val docGen = Gen.listOfN(10,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c")).map(_.take(7)))
+    forAll(docGen, Gen.const(()), n = 8) { (docs0, _) =>
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val got = operators.TextOps
+        .c4LineDedup(docs.toDF("doc_id", "text"), w = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val model = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).grouped(2).map(_.mkString(" ")).toVector }
+      val firsts = scala.collection.mutable.Map[String, (Long, Int)]()
+      model.foreach { case (id, cs) => cs.zipWithIndex.foreach {
+        case (c, i) => if (!firsts.contains(c)) firsts(c) = (id, i) } }
+      val want = model.map { case (id, cs) =>
+        val kept = cs.zipWithIndex
+          .filter { case (c, i) => firsts(c) == ((id, i)) }.map(_._1)
+        (id, cs.size.toLong, (cs.size - kept.size).toLong,
+          kept.mkString(" "))
+      }.toSet
+      assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+      // the C4 invariant itself: each distinct chunk kept exactly once
+      val keptAll = model.flatMap { case (id, cs) =>
+        cs.zipWithIndex.filter { case (c, i) => firsts(c) == ((id, i)) }
+          .map(_._1) }
+      assert(keptAll.groupBy(identity).values.forall(_.size == 1))
+    }
+  }
+
+  test("winnowFingerprints equals the brute-force robust-winnowing model " +
+      "on random corpora") {
+    val docGen = Gen.listOfN(8,
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(9)))
+    val (k, w) = (2, 3)
+    def h8(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    forAll(docGen, Gen.const(()), n = 8) { (docs0, _) =>
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val got = operators.TextOps
+        .winnowFingerprints(docs.toDF("doc_id", "text"), k = k, w = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val want = docs.flatMap { case (id, t) =>
+        val ts = t.split(" ", -1)
+        if (ts.length < k) Seq.empty
+        else {
+          val grams = (0 to ts.length - k)
+            .map(p => (p, h8(ts.slice(p, p + k).mkString(" "))))
+          val maxj = math.max(grams.size - w, 0)
+          (0 to maxj).map { j =>
+            grams.slice(j, math.min(j + w, grams.size))
+              .minBy { case (p, f) => (f, -p) }
+          }.distinct.map { case (p, f) => (id, p.toLong, f) }
+        }
+      }.toSet
+      assert(got == want, s"missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
+  test("BPE chain equals the brute-force trainer on random corpora incl. " +
+      "merge exhaustion") {
+    // 2-letter vocab words exhaust merges within 8 rounds on small
+    // corpora, exercising the no-op-round path; larger draws keep
+    // merging — both must match the sequential reference exactly.
+    val docGen = Gen.listOfN(4, Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 4).flatMap(m =>
+        Gen.listOfN(m, Gen.oneOf("a", "b")).map(_.mkString)))
+        .map(_.mkString(" "))))
+    forAll(docGen, Gen.const(()), n = 6) { (texts, _) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val words = docs.flatMap(_._2.split(" ", -1))
+        .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+      // sequential reference (same as BpeSpec's, inlined for locality)
+      var segs: Map[String, Vector[String]] = words.keys.map(x =>
+        x -> (x.map(_.toString).toVector :+ "</w>")).toMap
+      val wantMerges = Vector.newBuilder[(String, String, Long)]
+      for (_ <- 1 to operators.BpeOps.Rounds) {
+        val counts = scala.collection.mutable
+          .Map[(String, String), Long]().withDefaultValue(0L)
+        for ((x, ps) <- segs; i <- 0 until ps.size - 1)
+          counts((ps(i), ps(i + 1))) += words(x)
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.minBy { case ((p, q), n) => (-n, p, q) }
+          wantMerges += ((a, b, c))
+          segs = segs.map { case (x, ps) =>
+            val out = Vector.newBuilder[String]; var i = 0
+            while (i < ps.size) {
+              if (i + 1 < ps.size && ps(i) == a && ps(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += ps(i); i += 1 }
+            }
+            x -> out.result()
+          }
+        }
+      }
+      val (table, fin) = operators.BpeOps.trainChain(docs.toDF("doc_id", "text"))
+      val gotMerges = table.orderBy("rnd").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toVector
+      assert(gotMerges == wantMerges.result())
+      val gotSegs = fin.collect()
+        .map(r => (r.getAs[String]("w"), r.getAs[Int]("pos"),
+          r.getAs[String]("piece")))
+        .groupBy(_._1).map { case (x, ps) =>
+          x -> ps.sortBy(_._2).map(_._3).toVector }
+      assert(gotSegs == segs)
+    }
+  }
+
   test("covarianceFrame matches a direct covariance model on random frames") {
     // the narrow pair fan-out + split moment sums must reproduce plain
     // population covariance; 1e-6 component quantization bounds each
