@@ -166,6 +166,50 @@ object QualityOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // two-sample Kolmogorov–Smirnov test: is the purchase-value
+    // distribution the same as the view-value distribution? The classic
+    // nonparametric drift test complementing profile_drift's share
+    // deltas (which only see category frequencies, not value shapes).
+    // Exactness: values compact to cents; the ECDF difference is kept
+    // as the INTEGER cross-product |n1cum·N2 − n2cum·N1| (no division
+    // until the final row), so the supremum is chosen in exact integer
+    // space and only the reported statistic performs one IEEE division.
+    // The α=0.05 decision compares D against c(α)·√((N1+N2)/(N1·N2)),
+    // c = 1.358 — sqrt is correctly-rounded IEEE, identical on both
+    // engines. Scale shape: value compaction is a map-side-combined
+    // groupBy to O(distinct cents) rows; the cumulative window rides
+    // that compacted frame (the agg_weighted_percentile discipline),
+    // never a per-row sort.
+    "profile_ks_test" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "view"))
+        .select((Det.dec2(col("value")) * 100).cast(LongType).as("vc"),
+          col("event_type"))
+      val byVal = ev.groupBy("vc")
+        .agg(count(when(col("event_type") === "purchase", 1)).as("c1"),
+          count(when(col("event_type") === "view", 1)).as("c2"))
+      val cum = Window.orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(lit(1))
+      // the global cumulative window is over O(distinct cents) rows —
+      // bounded by the value domain (~49k here), not the corpus
+      val cw = byVal
+        .withColumn("n1c", sum("c1").over(cum))
+        .withColumn("n2c", sum("c2").over(cum))
+        .withColumn("n1", sum("c1").over(tot))
+        .withColumn("n2", sum("c2").over(tot))
+        .withColumn("dnum", abs(col("n1c") * col("n2") - col("n2c") * col("n1")))
+      cw.groupBy("n1", "n2").agg(max("dnum").as("dn"))
+        .select(col("n1"), col("n2"),
+          (col("dn").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType)).as("ks_stat"),
+          when(col("dn").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType) >
+            lit(1.358) * sqrt((col("n1") + col("n2")).cast(DoubleType) /
+              (col("n1") * col("n2")).cast(DoubleType)), 1L)
+            .otherwise(0L).as("reject_h0"))
+    }),
+
     // join-key skew diagnosis — the check that decides whether a join
     // needs salting (join_skew_salted) BEFORE it runs: per-key counts
     // (one partial-aggregated shuffle carrying O(distinct keys)), then
@@ -308,6 +352,30 @@ object QualityOps extends QueryModule {
         |    AS n_mismatched,
         |  CAST(COALESCE(SUM(ABS(diff)), 0) AS DOUBLE) AS total_drift
         |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "profile_ks_test" ->
+      """WITH ev AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc,
+        |    event_type
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |bv AS (SELECT vc,
+        |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+        |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS c2
+        |  FROM ev GROUP BY vc),
+        |cw AS (SELECT vc,
+        |    SUM(c1) OVER w AS n1c, SUM(c2) OVER w AS n2c,
+        |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+        |  FROM bv WINDOW w AS (ORDER BY vc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |    CAST(MAX(abs(n1c * n2 - n2c * n1)) AS BIGINT) AS dn
+        |  FROM cw GROUP BY n1, n2)
+        |SELECT n1, n2,
+        |  CAST(dn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS ks_stat,
+        |  CAST(CASE WHEN CAST(dn AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) >
+        |      1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+        |        / CAST(n1 * n2 AS DOUBLE))
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+        |FROM m""".stripMargin,
     "profile_drift" ->
       s"""WITH g AS (SELECT event_type,
         |    COUNT(*) FILTER (WHERE epoch_ms(ts) // 1000 < $cutMid) AS n_a,

@@ -676,6 +676,42 @@ object VectorOps extends QueryModule {
         .orderBy("q_id", "rank")
     }),
 
+    // Matryoshka (truncated-dimension) retrieval (Kusupati et al. 2022):
+    // coarse-rank on the FIRST 16 of 64 dims — MRL-trained embeddings
+    // front-load information, so the prefix dot orders candidates well —
+    // then exact full-dot rerank of the top-200 shortlist. Scale shape:
+    // the scan reads/ships 16-dim prefixes (4× under the full vectors —
+    // at 100 TB the prefix lives as its own column so the scan prunes
+    // the other 48 dims at the reader); rerank touches 200 rows/query.
+    // The training-free complement to sim_binary_topk's 1-bit path.
+    "sim_matryoshka_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pre = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("p16"))
+      val q = pre.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("p16").as("q16"))
+      val wc = Window.partitionBy("q_id")
+        .orderBy(col("sim16").desc, col("vec_id"))
+      val shortlist = pre.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          dot(col("q16"), col("p16")).as("sim16"))
+        .withColumn("crk", row_number().over(wc))
+        .where(col("crk") <= 200)
+      val qe = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wr = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      shortlist.join(e, "vec_id").join(broadcast(qe), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          round(col("sim16"), 4).as("sim16"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .where(col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "sim16", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
     // binary (sign) quantization retrieval — the 1-bit-per-dim ANN trick
     // production systems use when even PQ codes are too fat: each vector
     // compresses to TWO 32-bit sign words (64 dims), the scan ranks by
@@ -1296,6 +1332,34 @@ object VectorOps extends QueryModule {
         |         JOIN t tb ON p.id2 = tb.doc_id)
         |SELECT id1, id2, jaccard FROM v
         |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin,
+    "sim_matryoshka_topk" ->
+      """WITH pre AS (SELECT vec_id, list_slice(embedding, 1, 16) AS p16
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, p16 AS q16 FROM pre WHERE vec_id < 3),
+        |h AS (SELECT q_id, vec_id,
+        |    list_aggregate(list_transform(list_zip(q16, p16),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+        |      AS sim16
+        |  FROM pre CROSS JOIN q WHERE vec_id <> q_id),
+        |c AS (SELECT q_id, vec_id, sim16,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim16 DESC, vec_id) AS crk FROM h),
+        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 3),
+        |r AS (SELECT c.q_id, c.vec_id, round(c.sim16, 4) AS sim16,
+        |    round(list_aggregate(list_transform(
+        |      list_zip(qe.q_emb, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4)
+        |      AS sim
+        |  FROM c JOIN embeddings e ON e.vec_id = c.vec_id
+        |         JOIN qe ON qe.q_id = c.q_id
+        |  WHERE c.crk <= 200)
+        |SELECT q_id, rank, vec_id, sim16, sim FROM (
+        |  SELECT q_id, vec_id, sim16, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rank
+        |  FROM r) t
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "sim_binary_topk" -> {
       def word(base: Int) = (base until base + 32).map(j =>
         s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << (j - base)} ELSE 0 END)")

@@ -243,6 +243,33 @@ object WindowOps extends QueryModule {
         .orderBy("event_id")
     }),
 
+    // maximum drawdown per user — the risk-metric window composition:
+    // running balance (exact decimal cumulative purchase revenue),
+    // running peak (cumulative MAX of that), drawdown = peak − balance,
+    // then one keyed reduce for the per-user maximum. Both windows and
+    // the final agg ride ONE user_id exchange; all arithmetic stays
+    // DECIMAL until the output cast, so the result is aggregation-order
+    // independent.
+    "win_drawdown" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // signed P&L series: purchases credit, errors debit (a refund
+      // proxy) — a monotone series would have zero drawdown everywhere
+      val bal = sum(when(col("event_type") === "purchase", dec2(col("value")))
+        .when(col("event_type") === "error", -dec2(col("value")))
+        .otherwise(dec2(lit(0.0)))).over(w)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .withColumn("bal", bal)
+        .withColumn("peak", max(col("bal")).over(w))
+        .groupBy("user_id")
+        .agg(max(col("bal")).cast("double").as("peak_balance"),
+          max(col("peak") - col("bal")).cast("double").as("max_drawdown"))
+        .orderBy("user_id")
+    }),
+
     // time-series resampling to a fixed daily grid: one row per (user,
     // calendar day) between the user's first and last activity — gap
     // days materialized with n_events = 0 — with the day's exact
@@ -320,6 +347,23 @@ object WindowOps extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "win_drawdown" ->
+      """WITH b AS (SELECT event_id, user_id, ts,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |          THEN CAST(value AS DECIMAL(18,2))
+        |        WHEN event_type = 'error'
+        |          THEN -CAST(value AS DECIMAL(18,2))
+        |        ELSE CAST(0.0 AS DECIMAL(18,2)) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        |  FROM events),
+        |p AS (SELECT user_id, bal,
+        |    MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM b)
+        |SELECT user_id, CAST(MAX(bal) AS DOUBLE) AS peak_balance,
+        |  CAST(MAX(peak - bal) AS DOUBLE) AS max_drawdown
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_resample" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, event_type,
         |    value FROM events),

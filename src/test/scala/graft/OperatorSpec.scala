@@ -654,6 +654,52 @@ class OperatorSpec extends AnyFunSuite {
       n == 0L && r.isEmpty && f.isDefined })
   }
 
+  test("win_drawdown matches a brute-force running-peak model") {
+    val want = sortedUserEvents.map { case (uid, rows) =>
+      var bal = BigDecimal(0); var peak = BigDecimal(0)
+      var maxBal = BigDecimal(0); var maxDd = BigDecimal(0)
+      var started = false
+      rows.foreach { e =>
+        val v = BigDecimal(e._4.toString).setScale(2)
+        if (e._5 == "purchase") bal += v
+        else if (e._5 == "error") bal -= v
+        if (!started) { peak = bal; maxBal = bal; started = true }
+        if (bal > peak) peak = bal
+        if (bal > maxBal) maxBal = bal
+        if (peak - bal > maxDd) maxDd = peak - bal
+      }
+      uid -> ((maxBal.doubleValue, maxDd.doubleValue))
+    }
+    val got = SparkEntry.queries("win_drawdown")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("peak_balance"), r.getAs[Double]("max_drawdown"))))
+      .toMap
+    assert(got.size == want.size)
+    want.foreach { case (uid, w) => assert(got(uid) == w, s"user $uid") }
+    assert(want.values.exists(_._2 > 0), "some user must have a drawdown")
+  }
+
+  test("profile_ks_test matches a brute-force ECDF-supremum model") {
+    val vals = Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), micros(r.getDouble(1), 100L)))
+    val s1 = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val s2 = vals.filter(_._1 == "view").map(_._2).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val dn = (s1 ++ s2).distinct.map { v =>
+      val c1 = s1.count(_ <= v).toLong
+      val c2 = s2.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    val ks = dn.toDouble / (n1 * n2).toDouble
+    val crit = 1.358 * math.sqrt((n1 + n2).toDouble / (n1 * n2).toDouble)
+    val row = SparkEntry.queries("profile_ks_test")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(row.getAs[Double]("ks_stat") == ks)
+    assert(row.getAs[Long]("reject_h0") == (if (ks > crit) 1L else 0L))
+  }
+
   test("agg_weighted_percentile matches the brute-force type-1 definition") {
     val rows = Tables.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_extendedprice"),

@@ -977,6 +977,41 @@ class TextVectorSpec extends AnyFunSuite {
       s"binary recall ${(exact & ours).size}/${exact.size} below 60%")
   }
 
+  test("sim_matryoshka_topk matches a brute-force prefix-rank model") {
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var s = 0.0
+      for (j <- 0 until n) s += a(j).toDouble * b(j).toDouble
+      s
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val emb = rows.toMap
+    val want = rows.filter(_._1 < 3).flatMap { case (qid, qe) =>
+      val short = rows.filter(_._1 != qid)
+        .map { case (id, e) => (id, dot(qe, e, 16)) }
+        .sortBy { case (id, s16) => (-s16, id) }.take(200)
+      short.map { case (id, s16) =>
+        (id, r4(s16), r4(dot(qe, emb(id), 64))) }
+        .sortBy { case (id, _, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, s16, s), i) =>
+          (qid, (i + 1).toLong, id, s16, s) }
+    }.toSet
+    val got = SparkEntry.queries("sim_matryoshka_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("sim16"),
+        r.getAs[Double]("sim"))).toSet
+    assert(got == want)
+    // the 16-dim prefix shortlist must recover most of the exact top-10
+    val exact = SparkEntry.queries("sim_bruteforce_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val ours = got.map(g => (g._1, g._3))
+    assert((exact & ours).size >= (exact.size * 6) / 10,
+      s"matryoshka recall ${(exact & ours).size}/${exact.size} below 60%")
+  }
+
   test("text_bm25 matches a brute-force Okapi model") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
