@@ -34,6 +34,7 @@ object Bench {
     "dedup_containment" -> 2.5,
     "dedup_substring" -> 1.5, // round-6: warm ×3 1.3-1.5 s at sf0.1
     "text_winnow" -> 1.5, // round-7: warm ×2 1.5-1.7 s (4× window fan-out)
+    "profile_bootstrap_ci" -> 1.5, // round-7: warm 1.3-1.4 s (32× fan-out)
     // round-7: the 8-round chain is local job latency (CC-fixpoint
     // class), priced on whichever bpe query runs first (the per-dir
     // memo makes the second ~free); generous static prices for both

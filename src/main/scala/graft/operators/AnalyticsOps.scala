@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Det, Q, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -644,6 +644,47 @@ object AnalyticsOps extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // (poissonThresholds / poissonCase defined below the queries map)
+    // Poisson bootstrap confidence interval for the mean purchase value
+    // (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+    // Streams" — THE scale-native resampling scheme: classical
+    // bootstrap needs n draws WITH replacement per replicate, impossible
+    // distributed; Poisson(1) weights are independent per row, so all
+    // 32 replicates compute in ONE pass with a 32× keyed fan-out and
+    // map-side partial aggregation down to 32 rows). Determinism: the
+    // per-(row, replicate) weight is the Poisson(1) inverse CDF of the
+    // md5-derived uniform (Det.md5Uniform — no RNG), with the CDF
+    // thresholds emitted ONCE as shared double literals; replicate sums
+    // stay exact decimal/integer, each mean is one IEEE division, and
+    // the CI bounds are order statistics (2nd/31st of 32) chosen by
+    // integer rank — no quantile interpolation to drift.
+    "profile_bootstrap_ci" -> ((s, d) => {
+      val reps = 32
+      val ev = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("value"))
+      val fan = ev.select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+        .withColumn("u", Det.md5Uniform(
+          concat(col("event_id").cast(StringType), lit("_"),
+            col("rep").cast(StringType))))
+        .withColumn("w", expr(poissonCase("u")))
+      val repMeans = fan.groupBy("rep")
+        .agg((sum(Det.dec2(col("value")) * col("w")).cast(DoubleType) /
+          sum(col("w")).cast(DoubleType)).as("m"))
+      val ranked = repMeans.withColumn("rn",
+        row_number().over(Window.orderBy(col("m"), col("rep"))))
+      val point = ev.agg(
+        count(lit(1)).as("n_purchases"),
+        (sum(Det.dec2(col("value"))).cast(DoubleType) /
+          count(lit(1))).as("point_mean"))
+      point.crossJoin(broadcast(
+          ranked.where(col("rn") === 2).select(col("m").as("ci_lo"))))
+        .crossJoin(broadcast(
+          ranked.where(col("rn") === reps - 1).select(col("m").as("ci_hi"))))
+        .select("n_purchases", "point_mean", "ci_lo", "ci_hi")
+    }),
+
     // multi-touch revenue attribution — the marketing-analytics staple:
     // each purchase's revenue credited to the FIRST and to the LAST
     // non-purchase touchpoint (channel = event_type) in the user's
@@ -887,7 +928,49 @@ object AnalyticsOps extends QueryModule {
     })
   )
 
+  /** Poisson(1) CDF thresholds, computed once and emitted as the SAME
+    * double literals into the Spark expression and the oracle SQL —
+    * Double.toString is the shortest round-tripping decimal, and both
+    * engines parse it back to the identical bit pattern. */
+  private[graft] val poissonThresholds: Seq[Double] = {
+    var fact = 1.0
+    var cum = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cum += math.exp(-1.0) / fact
+      cum
+    }
+  }
+
+  /** inverse-CDF weight: the first k whose threshold exceeds u, else 8 */
+  private[graft] def poissonCase(u: String): String =
+    "CASE " + poissonThresholds.zipWithIndex.map { case (t, k) =>
+      s"WHEN $u < $t THEN $k" }.mkString(" ") + " ELSE 8 END"
+
   override def oracles: Map[String, String] = Map(
+    "profile_bootstrap_ci" -> {
+      val u = "(CAST('0x' || substr(md5(event_id || '_' || r), 1, 8) " +
+        "AS UBIGINT) + 0.5) / 4294967296.0"
+      s"""WITH ev AS (SELECT event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |fan AS (SELECT event_id, value, r AS rep,
+        |    ${poissonCase(u)} AS w
+        |  FROM ev, unnest(range(0, 32)) AS t(r)),
+        |rm AS (SELECT rep,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE)
+        |      / CAST(SUM(w) AS DOUBLE) AS m
+        |  FROM fan GROUP BY rep),
+        |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m, rep) AS rn
+        |  FROM rm),
+        |pt AS (SELECT COUNT(*) AS n_purchases,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |      AS point_mean
+        |  FROM ev)
+        |SELECT n_purchases, point_mean,
+        |  (SELECT m FROM rk WHERE rn = 2) AS ci_lo,
+        |  (SELECT m FROM rk WHERE rn = 31) AS ci_hi
+        |FROM pt""".stripMargin
+    },
     // generated projection CTE with corpus-fitted quantized axes
     "vec_pca_project" -> pcaDuck(),
     // verbatim replay of the CM sketch: same md5 cell hashes, same

@@ -654,6 +654,39 @@ class OperatorSpec extends AnyFunSuite {
       n == 0L && r.isEmpty && f.isDefined })
   }
 
+  test("profile_bootstrap_ci matches a brute-force Poisson-bootstrap model") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").collect()
+      .filter(_.getString(1) == "purchase")
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(2).toString).setScale(2)))
+    def u(key: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) + 0.5) / 4294967296.0
+    }
+    val th = operators.AnalyticsOps.poissonThresholds
+    def w(uu: Double): Int = th.indexWhere(uu < _) match {
+      case -1 => 8; case k => k
+    }
+    val means = (0 until 32).map { rep =>
+      var num = BigDecimal(0); var den = 0L
+      ev.foreach { case (id, v) =>
+        val k = w(u(s"${id}_$rep")); num += v * k; den += k
+      }
+      (rep, num.doubleValue / den.toDouble)
+    }
+    val ranked = means.sortBy { case (rep, m) => (m, rep) }.map(_._2)
+    val point = ev.map(_._2).sum.doubleValue / ev.length
+    val row = SparkEntry.queries("profile_bootstrap_ci")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_purchases") == ev.length.toLong)
+    assert(row.getAs[Double]("point_mean") == point)
+    assert(row.getAs[Double]("ci_lo") == ranked(1))
+    assert(row.getAs[Double]("ci_hi") == ranked(30))
+    // the interval must bracket the point estimate and be non-degenerate
+    assert(ranked(1) < point && point < ranked(30))
+  }
+
   test("win_drawdown matches a brute-force running-peak model") {
     val want = sortedUserEvents.map { case (uid, rows) =>
       var bal = BigDecimal(0); var peak = BigDecimal(0)
