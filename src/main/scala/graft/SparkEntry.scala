@@ -22,6 +22,7 @@ object SparkEntry {
     operators.CurationOps,
     operators.QualityOps,
     operators.AnalyticsOps,
+    operators.StatsOps,
     operators.MergeOps,
     functions.FnOps,
     streaming.StreamOps

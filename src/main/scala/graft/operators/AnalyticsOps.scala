@@ -515,6 +515,50 @@ object AnalyticsOps extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Jaccard link prediction over the co-purchase graph — "which part
+    // pairs SHOULD be related?": for every distance-2 pair, the overlap
+    // of their neighbor sets. Candidate pairs come from the same
+    // support-filtered wedge join graph_triangles uses (never the raw
+    // pair explosion — the candidate space is bounded by Σ deg², the
+    // published common-neighbors bound), common counts are one groupBy
+    // over wedges, and |N(a)∪N(c)| = deg(a)+deg(c)−common needs only a
+    // broadcast-sized degree table. Top-20 by (jaccard, pair) — exact
+    // integer ratio, deterministic ties.
+    "graph_jaccard" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = li
+        .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select("a", "b")
+      // symmetric neighbor list + degrees
+      val n = e.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+      val deg = n.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val common = n.select(col("x").as("u"), col("y").as("via"))
+        .join(n.select(col("x").as("via"), col("y").as("v")), "via")
+        .where(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("common"))
+      val j = common
+        .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), "u")
+        .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))), "v")
+        .select(col("u"), col("v"), col("common"),
+          (col("du") + col("dv") - col("common")).as("uni"))
+        .withColumn("jaccard",
+          col("common").cast(DoubleType) / col("uni").cast(DoubleType))
+      // top-20 via TakeOrderedAndProject (distributed partial top-k);
+      // the rank window then touches 20 rows, not the candidate frame
+      val top = j.orderBy(col("jaccard").desc, col("u"), col("v")).limit(20)
+      val w = Window.orderBy(col("jaccard").desc, col("u"), col("v"))
+      top.withColumn("rank", row_number().over(w).cast(LongType))
+        .select("rank", "u", "v", "common", "uni", "jaccard")
+        .orderBy("rank")
+    }),
+
     // Shannon entropy of the event-type mix per user bucket — the
     // mixture-diversity signal a curation pipeline tracks per shard.
     // entropy = log2(total) - Σ c·log2(c) / total, with each c·log2(c)
@@ -1097,6 +1141,27 @@ object AnalyticsOps extends QueryModule {
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
         |SELECT COUNT(*) AS n_triangles
         |FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin,
+    "graph_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |n AS (SELECT a AS x, b AS y FROM e
+        |  UNION ALL SELECT b AS x, a AS y FROM e),
+        |deg AS (SELECT x, COUNT(*) AS deg FROM n GROUP BY x),
+        |cm AS (SELECT n1.x AS u, n2.y AS v, COUNT(*) AS common
+        |  FROM n n1 JOIN n n2 ON n1.y = n2.x AND n1.x < n2.y
+        |  GROUP BY 1, 2),
+        |j AS (SELECT cm.u, cm.v, cm.common,
+        |    du.deg + dv.deg - cm.common AS uni,
+        |    CAST(cm.common AS DOUBLE)
+        |      / CAST(du.deg + dv.deg - cm.common AS DOUBLE) AS jaccard
+        |  FROM cm JOIN deg du ON du.x = cm.u JOIN deg dv ON dv.x = cm.v)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY jaccard DESC, u, v)
+        |    AS BIGINT) AS rank,
+        |  u, v, common, uni, jaccard
+        |FROM j ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
     "agg_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

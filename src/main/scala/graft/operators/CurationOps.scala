@@ -290,6 +290,26 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // per-source document cap — the domain-cap rule every web-scale
+    // recipe applies (C4 caps per-URL, Dolma caps per-domain, RefinedWeb
+    // per-registrar): no single source may contribute more than K docs,
+    // and when a source exceeds K, keep its LONGEST documents (chars as
+    // the cheap quality proxy; ties → doc_id). One window partitioned by
+    // source — at 100 TB this is a per-domain shuffle whose partitions
+    // are bounded by the cap's rank cutoff, with AQE skew-split handling
+    // the megadomains; no global ordering anywhere.
+    "pipeline_source_cap" -> ((s, d) => {
+      val cap = 20
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= cap)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    }),
+
     // temperature-scaled mixture sampling (the multilingual-LM data
     // recipe, e.g. XLM-R / mT5: domain share ∝ n^α with α = 0.5) —
     // between pipeline_mixture's full rebalance (α = 0) and natural
@@ -431,6 +451,13 @@ object CurationOps extends QueryModule {
         |WHERE ${duckHashFrac("d.doc_id")}
         |  < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_source_cap" ->
+      """SELECT source, rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
     // exact integer cross-multiplied admission — see the query's scaladoc
     "sample_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

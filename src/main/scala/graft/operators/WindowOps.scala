@@ -304,6 +304,35 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day_ts")
     }),
 
+    // forecasting feature matrix: per-user daily revenue with calendar
+    // lag-1d / lag-7d and a rolling-7-day sum/mean — the standard
+    // feature block in front of any demand model. RANGE frames over the
+    // integer day number make every feature CALENDAR-correct under gaps
+    // (a ROWS frame would silently read "7 observations" as "7 days");
+    // no grid explode is needed, so sparse users cost only their
+    // observed rows. Revenue sums ride the dec2 exactness discipline;
+    // every window shares ONE user_id partitioning — a single shuffle
+    // at any scale.
+    "ts_lag_features" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(sum(dec2(col("value"))).as("rev"), count(lit(1)).as("n_ev"))
+      def rng(lo: Long, hi: Long) = Window.partitionBy("user_id")
+        .orderBy("day").rangeBetween(lo, hi)
+      daily.select(col("user_id"), col("day"),
+          col("rev").cast("double").as("rev"),
+          col("n_ev"),
+          sum("rev").over(rng(-1, -1)).cast("double").as("lag1_rev"),
+          sum("rev").over(rng(-7, -7)).cast("double").as("lag7_rev"),
+          sum("rev").over(rng(-6, 0)).cast("double").as("roll7_rev"),
+          (sum("rev").over(rng(-6, 0)).cast("double") /
+            count(lit(1)).over(rng(-6, 0)).cast("double"))
+            .as("roll7_mean"))
+        .orderBy("user_id", "day")
+    }),
+
     // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     // classic streak computation). day − row_number() is constant within
     // a run, so one (user, day)-distinct pass + one user-partitioned
@@ -385,6 +414,29 @@ object WindowOps extends QueryModule {
         |    AS rev_locf
         |FROM g LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day
         |ORDER BY g.user_id, day_ts""".stripMargin,
+    "ts_lag_features" ->
+      """WITH dly AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS rev,
+        |    COUNT(*) AS n_ev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, day, CAST(rev AS DOUBLE) AS rev, n_ev,
+        |  CAST(SUM(rev) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+        |    AS lag1_rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS DOUBLE)
+        |    AS lag7_rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS roll7_rev,
+        |  CAST(SUM(rev) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS roll7_mean
+        |FROM dly ORDER BY user_id, day""".stripMargin,
     "win_ewma" -> duckEwma,
     "win_interpolate" ->
       """WITH b AS (SELECT event_id, user_id, ts,

@@ -1,0 +1,255 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7b wave: brute-force model parity for the statistics /
+  * evaluation / feature operators (the DuckDB hash oracle pins exact
+  * values at sf0.01; these pin the MATH against independent driver-side
+  * reimplementations at sf0.001). */
+class StatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // ── shared collected fixtures (sf0.001: tiny) ──────────────────────
+  private lazy val eventsRows: Seq[(Long, String, Double, Int)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        dayofmonth(col("ts")).as("dom"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+
+  private lazy val embs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("profile_mannwhitney matches a direct rank-sum computation") {
+    val got = SparkEntry.queries("profile_mannwhitney")(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // direct: average ranks over the quantized pooled sample
+    val xs = eventsRows.filter(t => t._2 == "purchase" || t._2 == "click")
+      .map(t => (t._2, math.floor(t._3 * 100 + 0.5).toLong))
+    val n1 = xs.count(_._1 == "purchase").toLong
+    val n2 = xs.size - n1
+    val byV = xs.groupBy(_._2).toSeq.sortBy(_._1)
+    var before = 0L
+    var r1 = 0.0
+    var ties = 0.0
+    for ((_, grp) <- byV) {
+      val t = grp.size.toLong
+      val t1 = grp.count(_._1 == "purchase")
+      val avgRank = before + (t + 1) / 2.0
+      r1 += t1 * avgRank
+      ties += t.toDouble * t * t - t
+      before += t
+    }
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val n = (n1 + n2).toDouble
+    val varU = n1.toDouble * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(varU)
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(math.abs(r.getAs[Double]("u1") - u1) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") - z) < 2e-4,
+      s"z ${r.getAs[Double]("z")} vs direct $z")
+  }
+
+  test("profile_psi matches a direct PSI computation") {
+    val rows = SparkEntry.queries("profile_psi")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val binned = eventsRows.map(t =>
+      (math.min(math.floor(t._3 / 56.1), 9).toInt, t._4 <= 15))
+    val present = binned.map(_._1).distinct.sorted
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == present)
+    val ta = binned.count(_._2).toLong
+    val tb = binned.size - ta
+    var psi = 0.0
+    val terms = present.map { b =>
+      val na = binned.count(t => t._1 == b && t._2).toLong
+      val nb = binned.count(t => t._1 == b && !t._2).toLong
+      val p = (na + 1).toDouble / (ta + 10)
+      val q = (nb + 1).toDouble / (tb + 10)
+      val term = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+      psi += term
+      b -> (na, nb, term)
+    }.toMap
+    rows.foreach { r =>
+      val (na, nb, term) = terms(r.getAs[Int]("bin"))
+      assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+      assert(math.abs(r.getAs[Double]("term") - term) < 1e-9)
+      assert(math.abs(r.getAs[Double]("psi") - psi) < 1e-9)
+    }
+  }
+
+  test("agg_gini matches a direct Gini computation and stays in [0,1)") {
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val segOf = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spend = orders.groupBy(_._1).map { case (ck, os) =>
+      (ck, segOf(ck), (os.map(_._2).sum * 100).toLongExact)
+    }.toSeq
+    val direct = spend.groupBy(_._2).map { case (seg, cs) =>
+      val sorted = cs.sortBy(c => (c._3, c._1))
+      val nC = sorted.size.toLong
+      val s = sorted.map(_._3).sum
+      val s1 = sorted.zipWithIndex.map { case (c, i) => (i + 1) * c._3 }.sum
+      seg -> ((2.0 * s1 - (nC + 1) * s) / (nC.toDouble * s), nC)
+    }
+    val got = SparkEntry.queries("agg_gini")(spark, sf).collect()
+    assert(got.length == direct.size)
+    got.foreach { r =>
+      val (g, nC) = direct(r.getAs[String]("segment"))
+      val gg = r.getAs[Double]("gini")
+      assert(r.getAs[Long]("n_customers") == nC)
+      assert(gg >= 0.0 && gg < 1.0, s"gini out of range: $gg")
+      assert(math.abs(gg - g) < 2e-6, s"gini $gg vs direct $g")
+    }
+  }
+
+  test("text_zipf slope is negative and matches a direct OLS fit") {
+    val got = SparkEntry.queries("text_zipf")(spark, sf).collect().head
+    val freqs = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+      .map { case ((_, f), i) => (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+    val n = ranked.size.toDouble
+    val sx = ranked.map(_._1).sum
+    val sy = ranked.map(_._2).sum
+    val sxy = ranked.map(p => p._1 * p._2).sum
+    val sxx = ranked.map(p => p._1 * p._1).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got.getAs[Long]("n_vocab") == ranked.size)
+    val gs = got.getAs[Double]("zipf_slope")
+    assert(gs < 0.0, s"zipf slope should be negative: $gs")
+    assert(math.abs(gs - slope) < 1e-3, s"slope $gs vs direct $slope")
+  }
+
+  test("sim_sq8_topk: valid ranks, sims descending, high overlap with exact") {
+    val rows = SparkEntry.queries("sim_sq8_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      // exact top-10 via collected embeddings
+      val qv = embs(q)
+      val exact = embs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val dot = v.indices.foldLeft(0.0)((acc, i) => acc + qv(i) * v(i))
+          (id, math.rint(dot * 1e4) / 1e4)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val gotIds = rs.map(_.getAs[Long]("vec_id")).toSet
+      assert(exact.intersect(gotIds).size >= 8,
+        s"q=$q SQ8 overlap with exact top-10 too low: " +
+          s"${exact.intersect(gotIds).size}")
+    }
+  }
+
+  test("sim_recall_eval matches a direct recall computation") {
+    val rows = SparkEntry.queries("sim_recall_eval")(spark, sf).collect()
+    assert(rows.length == 3)
+    def words(v: Array[Double]): (Long, Long) = {
+      def w(base: Int) = (base until base + 32).foldLeft(0L)((acc, j) =>
+        if (v(j) > 0) acc | (1L << (j - base)) else acc)
+      (w(0), w(32))
+    }
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val qv = embs(q)
+      val exact = embs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val dot = v.indices.foldLeft(0.0)((acc, i) => acc + qv(i) * v(i))
+          (id, math.rint(dot * 1e4) / 1e4)
+        }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val (qw0, qw1) = words(qv)
+      val short = embs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val (w0, w1) = words(v)
+          (id, java.lang.Long.bitCount(w0 ^ qw0) +
+            java.lang.Long.bitCount(w1 ^ qw1))
+        }
+        .sortBy { case (id, h) => (h, id) }.take(200).map(_._1).toSet
+      val hits = exact.intersect(short).size
+      assert(r.getAs[Long]("hits") == hits.toLong,
+        s"q=$q hits ${r.getAs[Long]("hits")} vs direct $hits")
+      assert(math.abs(r.getAs[Double]("recall") - hits / 10.0) < 1e-12)
+    }
+  }
+
+  test("graph_jaccard matches a direct neighbor-overlap computation") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val cand = (for {
+      (u, nu) <- nbrs.toSeq; via <- nu; v <- nbrs(via) if u < v
+    } yield (u, v)).distinct
+    val direct = cand.map { case (u, v) =>
+      val c = nbrs(u).intersect(nbrs(v)).size
+      val uni = nbrs(u).size + nbrs(v).size - c
+      (u, v, c.toLong, uni.toLong, c.toDouble / uni)
+    }.sortBy(t => (-t._5, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("graph_jaccard")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+        r.getAs[Long]("common"), r.getAs[Long]("uni"),
+        r.getAs[Double]("jaccard")))
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._3 == e._3 && g._4 == e._4,
+        s"pair mismatch: $g vs $e")
+      assert(math.abs(g._5 - e._5) < 1e-12)
+    }
+  }
+
+  test("pipeline_source_cap keeps exactly the longest docs per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val direct = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (-d._3, d._1)).take(20).zipWithIndex
+        .map { case (d, i) => (src, (i + 1).toLong, d._1, d._3) }
+    }.toSet
+    val got = SparkEntry.queries("pipeline_source_cap")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars"))).toSet
+    assert(got == direct)
+  }
+
+  test("ts_lag_features: calendar lags line up with the daily series") {
+    val daily = eventsRows.isEmpty // force fixture init (unused marker)
+    assert(!daily)
+    val got = SparkEntry.queries("ts_lag_features")(spark, sf).collect()
+    val rev = got.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"))
+      -> r.getAs[Double]("rev")).toMap
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val day = r.getAs[Long]("day")
+      def check(colName: String, delta: Long): Unit = {
+        val expect = rev.get((u, day - delta))
+        val v = Option(r.getAs[java.lang.Double](colName)).map(_.toDouble)
+        assert(v == expect, s"user=$u day=$day $colName: $v vs $expect")
+      }
+      check("lag1_rev", 1)
+      check("lag7_rev", 7)
+      // rolling mean is the 7-day-window average of observed days
+      val window = (day - 6 to day).flatMap(dd => rev.get((u, dd)))
+      val mean = window.sum / window.size
+      assert(math.abs(r.getAs[Double]("roll7_mean") - mean) < 1e-6)
+    }
+  }
+}
