@@ -251,6 +251,32 @@ object QualityOps extends QueryModule {
     // profile_corr), so mean/std/z are shared double expressions and the
     // flags cannot drift between engines. Day counts come from ONE scan;
     // the unpartitioned second-level agg runs on 31 rows.
+    // partition-freshness / completeness audit: "did every expected
+    // daily partition land, and did any land suspiciously thin?" — the
+    // first check a 100 TB ingest runs each morning. The expected grid
+    // comes from the observed [min,max] day span (one 1-row broadcast
+    // aggregate + a sequence explode over DAYS — grid size is calendar-
+    // bounded, never row-bounded); each day reports its row count, a
+    // missing flag, and a thin flag against half the overall daily mean
+    // (exact integer cross-multiply 2·n·days < N — no float boundary).
+    "validate_freshness" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val span = daily.agg(min("day").as("d0"), max("day").as("d1"),
+        sum("n_events").as("total"), count(lit(1)).as("n_days"))
+      val grid = span.select(
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"),
+        col("total"), col("n_days"))
+      grid.join(daily, Seq("day"), "left")
+        .select(col("day").cast("timestamp").as("day_ts"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          when(col("n_events").isNull, 1L).otherwise(0L).as("is_missing"),
+          when(coalesce(col("n_events"), lit(0L)) * col("n_days") * 2
+            < col("total"), 1L).otherwise(0L).as("is_thin"))
+        .orderBy("day_ts")
+    }),
+
     "validate_anomaly" -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
@@ -313,6 +339,23 @@ object QualityOps extends QueryModule {
          |$branches
          |) ORDER BY edge""".stripMargin
     },
+    "validate_freshness" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |sp AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+        |    CAST(SUM(n_events) AS BIGINT) AS total,
+        |    COUNT(*) AS n_days FROM dly),
+        |g AS (SELECT CAST(gs AS DATE) AS day, total, n_days
+        |  FROM sp, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(gs))
+        |SELECT CAST(g.day AS TIMESTAMP) AS day_ts,
+        |  COALESCE(dly.n_events, 0) AS n_events,
+        |  CAST(CASE WHEN dly.n_events IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_missing,
+        |  CAST(CASE WHEN COALESCE(dly.n_events, 0) * g.n_days * 2
+        |    < g.total THEN 1 ELSE 0 END AS BIGINT) AS is_thin
+        |FROM g LEFT JOIN dly ON g.day = dly.day
+        |ORDER BY day_ts""".stripMargin,
     "validate_constraints" ->
       s"""WITH a AS (SELECT count(*) AS n,
         |  COUNT(*) FILTER (WHERE value < 0) AS v_neg,

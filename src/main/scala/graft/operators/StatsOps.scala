@@ -101,6 +101,53 @@ object StatsOps extends QueryModule {
         .orderBy("bin")
     }),
 
+    // ── Chi-squared independence, event mix × user cohort ──
+    // "Did the event-type mix shift between cohorts?" — the categorical
+    // drift gate (PSI's numeric twin). Pearson χ² over the 5×5
+    // contingency table INCLUDING empty cells (absent combos contribute
+    // E, not 0 — dropping them understates χ²): the full grid is the
+    // cross of two tiny distinct frames, margins are broadcast 1-row /
+    // 5-row aggregates, and each cell term uses the integer-exact form
+    // (O·N − R·C)²/(N·R·C) with the squaring in double space (the
+    // squared numerator would overflow BIGINT at ~10⁵ rows; the
+    // pre-square difference holds to ~10¹⁸ events). Effect size ships
+    // alongside as Cramér's V — χ² alone always "significises" at
+    // 100 TB row counts.
+    "profile_chisq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 5).as("bucket"))
+      val o = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
+      val types = ev.select("event_type").distinct()
+      val buckets = ev.select("bucket").distinct()
+      val grid = types.crossJoin(buckets)
+        .join(o, Seq("event_type", "bucket"), "left")
+        .select(col("event_type"), col("bucket"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val rt = ev.groupBy("event_type").agg(count(lit(1)).as("r"))
+      val ct = ev.groupBy("bucket").agg(count(lit(1)).as("c"))
+      val tot = ev.agg(count(lit(1)).as("n"))
+      val cells = grid
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "bucket")
+        .crossJoin(broadcast(tot))
+      val diff = (col("o") * col("n") - col("r") * col("c")).cast(DoubleType)
+      val den = (col("n") * col("r") * col("c")).cast(DoubleType)
+      val iterm = floor(diff * diff / den * LnScale + 0.5).cast(LongType)
+      val g = cells.agg(
+        sum(iterm).as("tsum"),
+        countDistinct("event_type").as("nr"),
+        countDistinct("bucket").as("nc"),
+        max("n").as("n"))
+      val chi2 = col("tsum").cast(DoubleType) / LnScale
+      val mindf = least(col("nr") - 1, col("nc") - 1).cast(DoubleType)
+      g.select(
+        (floor(chi2 * StatScale + 0.5) / StatScale).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        col("n"),
+        (floor(sqrt(chi2 / (col("n").cast(DoubleType) * mindf))
+          * StatScale + 0.5) / StatScale).as("cramers_v"))
+    }),
+
     // ── Gini concentration of customer spend per market segment ──
     // "How concentrated is this segment's revenue?" — the inequality
     // readout a mixture designer runs per source/domain. Closed form on
@@ -222,6 +269,39 @@ object StatsOps extends QueryModule {
         |  CAST(iterm AS DOUBLE) / $LnScale AS term,
         |  CAST(SUM(iterm) OVER () AS DOUBLE) / $LnScale AS psi
         |FROM pb ORDER BY bin""".stripMargin,
+    "profile_chisq" ->
+      s"""WITH ev AS (SELECT event_type, user_id % 5 AS bucket FROM events),
+        |o AS (SELECT event_type, bucket, COUNT(*) AS o FROM ev
+        |  GROUP BY 1, 2),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |buckets AS (SELECT DISTINCT bucket FROM ev),
+        |grid AS (SELECT t.event_type, b.bucket, COALESCE(o.o, 0) AS o
+        |  FROM types t CROSS JOIN buckets b
+        |  LEFT JOIN o ON o.event_type = t.event_type
+        |    AND o.bucket = b.bucket),
+        |rt AS (SELECT event_type, COUNT(*) AS r FROM ev GROUP BY 1),
+        |ct AS (SELECT bucket, COUNT(*) AS c FROM ev GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM ev),
+        |cells AS (SELECT g.o, rt.r, ct.c, tot.n,
+        |    CAST(floor(CAST(g.o * tot.n - rt.r * ct.c AS DOUBLE)
+        |      * CAST(g.o * tot.n - rt.r * ct.c AS DOUBLE)
+        |      / CAST(tot.n * rt.r * ct.c AS DOUBLE) * $LnScale + 0.5)
+        |      AS BIGINT) AS iterm,
+        |    g.event_type, g.bucket
+        |  FROM grid g JOIN rt ON rt.event_type = g.event_type
+        |    JOIN ct ON ct.bucket = g.bucket, tot),
+        |s AS (SELECT CAST(SUM(iterm) AS BIGINT) AS tsum,
+        |    COUNT(DISTINCT event_type) AS nr,
+        |    COUNT(DISTINCT bucket) AS nc, MAX(n) AS n
+        |  FROM cells)
+        |SELECT
+        |  floor(CAST(tsum AS DOUBLE) / $LnScale * $StatScale + 0.5)
+        |    / $StatScale AS chi2,
+        |  (nr - 1) * (nc - 1) AS df, n,
+        |  floor(sqrt((CAST(tsum AS DOUBLE) / $LnScale)
+        |      / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+        |    * $StatScale + 0.5) / $StatScale AS cramers_v
+        |FROM s""".stripMargin,
     "agg_gini" ->
       s"""WITH spend AS (SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)

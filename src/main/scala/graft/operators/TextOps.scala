@@ -48,6 +48,23 @@ object TextOps extends QueryModule {
   /** containment threshold for dedup_containment: |A∩B|/|A| ≥ this */
   private val ContainTau = 0.9
 
+  /** nDCG position discounts 1/log2(pos+1) for pos 1..10, emitted ONCE
+    * as shortest-round-trip double literals into BOTH engines' CASE
+    * expressions (the bm25Expr shared-string discipline): each engine
+    * parses the identical literal, so the discount doubles are
+    * bit-identical and the only arithmetic is int-gain × literal,
+    * quantized per term. */
+  private def ndcgDiscountCase(posVar: String): String =
+    (1 to 10).map(p =>
+      s"WHEN $p THEN ${1.0 / (math.log(p + 1.0) / math.log(2.0))}")
+      .mkString(s"CASE $posVar ", " ", " ELSE 0.0 END")
+
+  /** quantized DCG term: (2^grade−1) · discount(pos), as a shared SQL
+    * string — `gain` and `pos` are integer column names. */
+  private def ndcgTermSql(gain: String, pos: String): String =
+    s"CAST(floor(CAST($gain AS DOUBLE) * (${ndcgDiscountCase(pos)}) " +
+      "* 1e6 + 0.5) AS BIGINT)"
+
   // quality-score ingredients (shared by text_quality and
   // pipeline_training_set — op order must stay identical to the oracles)
   private def qWords = size(split(col("text"), " "))
@@ -745,6 +762,82 @@ object TextOps extends QueryModule {
           (col("score_q").cast(DoubleType) / 1e4).as("score"),
           col("n_terms"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // ranking-quality evaluation as a first-class op: nDCG@10 of the
+    // per-term BM25 ranking against TF-graded relevance (grade 2: tf≥3,
+    // grade 1: tf≥1 — the judgment a search team derives when no human
+    // labels exist yet). DCG discounts are shared round-trip double
+    // literals (see ndcgDiscountCase), gains integer, every term
+    // quantized — so the DuckDB replay is bit-exact. The ideal ranking
+    // needs only per-term GRADE COUNTS (n₂, n₁), not a second sort:
+    // IDCG unrolls 10 fixed positions against those two numbers. At
+    // 100 TB the eval cost is per-query top-k + two counts — the same
+    // panel-sized shape as sim_recall_eval.
+    "rank_ndcg" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(sum("dl").as("tot"), count(lit(1)).as("nd"))
+      val tf = toks.where(col("tok").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfr, "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("q",
+          expr(s"CAST(floor(($bm25Expr) * 1e4 + 0.5) AS BIGINT)"))
+        .withColumn("grade",
+          when(col("tf") >= 3, 2L).when(col("tf") >= 1, 1L).otherwise(0L))
+      val wq = Window.partitionBy("tok")
+        .orderBy(col("q").desc, col("doc_id"))
+      val dcg = scored.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= 10)
+        .withColumn("gain", when(col("grade") === 2, 3L).otherwise(1L))
+        .withColumn("dterm", expr(ndcgTermSql("gain", "rn")))
+        .groupBy("tok").agg(sum("dterm").as("dcg_q"))
+      val gradeCounts = scored.groupBy("tok").agg(
+        sum(when(col("grade") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("grade") === 1, 1L).otherwise(0L)).as("n1"))
+      val ideal = gradeCounts
+        .select(col("tok"), col("n2"), col("n1"),
+          explode(sequence(lit(1), lit(10))).as("p"))
+        .withColumn("igain",
+          when(col("p") <= col("n2"), 3L)
+            .when(col("p") <= col("n2") + col("n1"), 1L).otherwise(0L))
+        .withColumn("iterm", expr(ndcgTermSql("igain", "p")))
+        .groupBy("tok").agg(sum("iterm").as("idcg_q"))
+      dcg.join(ideal, "tok")
+        .select(col("tok"),
+          (col("dcg_q").cast(DoubleType) / 1e6).as("dcg"),
+          (col("idcg_q").cast(DoubleType) / 1e6).as("idcg"),
+          (floor(col("dcg_q").cast(DoubleType) / col("idcg_q").cast(DoubleType)
+            * 1e6 + 0.5) / 1e6).as("ndcg"))
+        .orderBy("tok")
+    }),
+
+    // the hashing trick (feature hashing, Weinberger et al. 2009 /
+    // sklearn HashingVectorizer): tokens map to a FIXED 256-dim space
+    // through a hash, with a second hash bit choosing ±1 so collisions
+    // cancel in expectation — the stateless vectorizer a streaming
+    // pipeline uses because it needs NO vocabulary broadcast and never
+    // grows. Both hashes derive from md5 (the engine-portable Det
+    // discipline), so dims and signs replay exactly in DuckDB. Output is
+    // the sparse (doc_id, dim, weight) long form; the shuffle carries
+    // only those triples — at 100 TB this is a narrow map + one
+    // (doc_id, dim) combine, no corpus-wide state anywhere.
+    "text_hash_embed" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val hashed = toks.select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType) % 256).as("dim"),
+        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+          .cast(LongType) % 2 === 0, 1L).otherwise(-1L).as("sign"))
+      hashed.groupBy("doc_id", "dim")
+        .agg(sum("sign").as("weight"))
+        .where(col("weight") =!= 0)
+        .orderBy("doc_id", "dim")
     }),
 
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
@@ -1477,6 +1570,59 @@ object TextOps extends QueryModule {
         |SELECT doc_id, CAST(score_q AS DOUBLE) / 1e4 AS score, n_terms
         |FROM agg ORDER BY score DESC, doc_id""".stripMargin
     },
+    "rank_ndcg" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |dls AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS nd
+        |  FROM dls),
+        |tfs AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ($termList) GROUP BY doc_id, tok),
+        |dfs AS (SELECT tok, COUNT(*) AS df FROM tfs GROUP BY tok),
+        |sc AS (SELECT tfs.doc_id, tfs.tok, tf,
+        |    CAST(floor(($bm25Expr) * 1e4 + 0.5) AS BIGINT) AS q,
+        |    CASE WHEN tf >= 3 THEN 2 WHEN tf >= 1 THEN 1 ELSE 0 END
+        |      AS grade
+        |  FROM tfs JOIN dfs USING (tok) JOIN dls USING (doc_id)
+        |    CROSS JOIN st),
+        |rk AS (SELECT tok, grade,
+        |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY q DESC, doc_id)
+        |      AS rn
+        |  FROM sc),
+        |dcg AS (SELECT tok,
+        |    CAST(SUM(${ndcgTermSql("(CASE grade WHEN 2 THEN 3 ELSE 1 END)", "rn")})
+        |      AS BIGINT) AS dcg_q
+        |  FROM rk WHERE rn <= 10 GROUP BY tok),
+        |gc AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN grade = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2,
+        |    CAST(SUM(CASE WHEN grade = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM sc GROUP BY tok),
+        |ideal AS (SELECT tok,
+        |    CAST(SUM(${ndcgTermSql(
+          "(CASE WHEN p <= n2 THEN 3 WHEN p <= n2 + n1 THEN 1 ELSE 0 END)",
+          "p")}) AS BIGINT) AS idcg_q
+        |  FROM gc, unnest(range(1, 11)) AS u(p) GROUP BY tok)
+        |SELECT d.tok, CAST(dcg_q AS DOUBLE) / 1e6 AS dcg,
+        |  CAST(idcg_q AS DOUBLE) / 1e6 AS idcg,
+        |  floor(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS ndcg
+        |FROM dcg d JOIN ideal USING (tok) ORDER BY tok""".stripMargin
+    },
+    "text_hash_embed" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) % 256
+        |      AS BIGINT) AS dim,
+        |    CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS UBIGINT) % 2
+        |      = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM toks WHERE length(tok) > 0)
+        |SELECT doc_id, dim, CAST(SUM(sign) AS BIGINT) AS weight
+        |FROM h GROUP BY doc_id, dim HAVING SUM(sign) <> 0
+        |ORDER BY doc_id, dim""".stripMargin,
     "dedup_simhash" -> duckSimhash,
     // the naive new×corpus definition of the same incremental check
     "dedup_incremental" ->

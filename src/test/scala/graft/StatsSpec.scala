@@ -230,6 +230,102 @@ class StatsSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("profile_chisq matches a direct Pearson computation") {
+    val got = SparkEntry.queries("profile_chisq")(spark, sf).collect().head
+    val cells = eventsRows.map(t => (t._2, t._1 % 5))
+    val types = cells.map(_._1).distinct
+    val buckets = cells.map(_._2).distinct
+    val n = cells.size.toDouble
+    var chi2 = 0.0
+    for (t <- types; b <- buckets) {
+      val o = cells.count(c => c._1 == t && c._2 == b).toDouble
+      val e = cells.count(_._1 == t) * cells.count(_._2 == b) / n
+      chi2 += (o - e) * (o - e) / e
+    }
+    assert(got.getAs[Long]("df") ==
+      (types.size - 1).toLong * (buckets.size - 1))
+    assert(got.getAs[Long]("n") == cells.size.toLong)
+    assert(math.abs(got.getAs[Double]("chi2") - chi2) < 2e-3,
+      s"chi2 ${got.getAs[Double]("chi2")} vs direct $chi2")
+    val v = got.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0, s"cramers_v out of range: $v")
+    assert(math.abs(v - math.sqrt(chi2 /
+      (n * (math.min(types.size, buckets.size) - 1)))) < 2e-4)
+  }
+
+  test("rank_ndcg: ndcg in (0,1], dcg <= idcg, matches direct math") {
+    val rows = SparkEntry.queries("rank_ndcg")(spark, sf).collect()
+    assert(rows.length == 3)
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val dls = texts.map { case (id, t) => id -> t.split(" ").length }.toMap
+    val tot = dls.values.map(_.toLong).sum
+    val nd = dls.size
+    rows.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      val tfs = texts.map { case (id, t) =>
+        id -> t.split(" ").count(_ == tok) }.filter(_._2 >= 1)
+      val df = tfs.length
+      def bm25(tf: Int, dl: Int): Double =
+        math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+          (tf + 1.2 * (0.25 + 0.75 * dl / (tot.toDouble / nd)))
+      val ranked = tfs.map { case (id, tf) =>
+        (id, math.floor(bm25(tf, dls(id)) * 1e4 + 0.5), tf) }
+        .sortBy(t => (-t._2, t._1)).take(10)
+      def w(p: Int) = 1.0 / (math.log(p + 1.0) / math.log(2.0))
+      val dcg = ranked.zipWithIndex.map { case ((_, _, tf), i) =>
+        (if (tf >= 3) 3.0 else 1.0) * w(i + 1) }.sum
+      val grades = tfs.map(t => if (t._2 >= 3) 3.0 else 1.0)
+        .sortBy(-_).padTo(10, 0.0).take(10)
+      val idcg = grades.zipWithIndex.map { case (g, i) => g * w(i + 1) }.sum
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg > 0.0 && ndcg <= 1.0)
+      assert(r.getAs[Double]("dcg") <= r.getAs[Double]("idcg") + 1e-9)
+      assert(math.abs(r.getAs[Double]("dcg") - dcg) < 1e-3)
+      assert(math.abs(r.getAs[Double]("idcg") - idcg) < 1e-3)
+      assert(math.abs(ndcg - dcg / idcg) < 1e-3)
+    }
+  }
+
+  test("text_hash_embed matches a direct md5 hashing-trick computation") {
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val direct = texts.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map { tok =>
+        val h = md5hex(tok)
+        val dim = java.lang.Long.parseLong(h.substring(0, 8), 16) % 256
+        val sign = if (java.lang.Long.parseLong(h.substring(8, 9), 16) % 2 == 0)
+          1L else -1L
+        ((id, dim), sign)
+      }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      .filter(_._2 != 0)
+    val got = SparkEntry.queries("text_hash_embed")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dim"))
+        -> r.getAs[Long]("weight")).toMap
+    assert(got == direct)
+  }
+
+  test("validate_freshness covers the full day grid consistently") {
+    val rows = SparkEntry.queries("validate_freshness")(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+    // contiguous daily grid
+    val days = rows.map(_.getAs[java.sql.Timestamp]("day_ts").getTime)
+    days.zip(days.tail).foreach { case (a, b) =>
+      assert(b - a == 86400000L, "grid gap")
+    }
+    val nDays = rows.count(_.getAs[Long]("n_events") > 0).toLong
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert((r.getAs[Long]("is_missing") == 1L) == (n == 0L))
+      assert((r.getAs[Long]("is_thin") == 1L) == (n * nDays * 2 < total))
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
