@@ -1354,6 +1354,66 @@ object VectorOps extends QueryModule {
             .otherwise(lit(1L) + col("nb") % 16).as("n_frames"),
           when(col("nb") === 0, 0.0).otherwise(featSum).as("feat_sum"))
         .orderBy("doc_id")
+    }),
+
+    // perceptual-hash near-dup over the media payloads — the image-space
+    // twin of dedup_simhash_pairs: a 64-bit dHash-style fingerprint from
+    // the SAME deterministic 8×8 sampled grid multimodal_resize defines
+    // (bit g = cell g brighter than the cell one grid-row below,
+    // wrapping), banded into 4×16-bit keys so near-identical hashes
+    // collide in ≥1 band (pigeonhole at radius 3; wider radii surface
+    // through the hamming column), and candidate pairs verified by
+    // xor+popcount. Rationale: re-encoded/resized copies of one image
+    // keep their gradient structure, so their dHashes sit within a few
+    // bits — THE standard pre-codec image dedup (pHash/dHash family)
+    // and, like the text twin, sub-quadratic at 100 TB because only
+    // band-bucket collisions generate candidates. The hex arithmetic is
+    // multimodal_resize's, so DuckDB replays every sampled byte, bit,
+    // band and hamming distance exactly.
+    "multimodal_phash" -> ((s, d) => {
+      val m = s.read.schema(Fixtures.mediaSchema)
+        .parquet(Fixtures.mediaFile(s, d))
+        .where(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), hex(col("payload")).as("hx"),
+          octet_length(col("payload")).cast(LongType).as("nb"))
+        .withColumn("src_w", lit(64L) + col("nb") % 512)
+        .withColumn("src_h", lit(64L) +
+          conv(substring(col("hx"), 1, 2), 16, 10).cast(LongType) % 512)
+      def cellVal(gCol: String): String =
+        s"cast(conv(substr(hx, cast(((cast(floor(($gCol % 8) * src_w / 8.0) as bigint) * 7 " +
+          s"+ cast(floor(floor($gCol / 8) * src_h / 8.0) as bigint) * 13) % nb) * 2 + 1 as int), 2), 16, 10) as bigint)"
+      // two 32-bit sign words, never bit 63 of a BIGINT — the
+      // sim_binary_topk packing, portable across both engines' shifts
+      val hashes = m
+        .select(col("doc_id"), col("hx"), col("nb"), col("src_w"),
+          col("src_h"), explode(sequence(lit(0), lit(63))).as("g"))
+        .withColumn("v", expr(cellVal("g")))
+        .withColumn("vn", expr(cellVal("((g + 8) % 64)")))
+        .groupBy("doc_id")
+        .agg(
+          sum(expr("case when g < 32 and v > vn then " +
+            "shiftleft(cast(1 as bigint), g) else 0 end")).as("ph0"),
+          sum(expr("case when g >= 32 and v > vn then " +
+            "shiftleft(cast(1 as bigint), g - 32) else 0 end")).as("ph1"))
+      val banded = hashes.select(col("doc_id"), col("ph0"), col("ph1"),
+        explode(array(
+          struct(lit(0).as("b"), expr("ph0 & 65535").as("k")),
+          struct(lit(1).as("b"), expr("shiftright(ph0, 16) & 65535").as("k")),
+          struct(lit(2).as("b"), expr("ph1 & 65535").as("k")),
+          struct(lit(3).as("b"), expr("shiftright(ph1, 16) & 65535").as("k"))))
+          .as("band"))
+      banded.select(col("band"), col("doc_id").as("id1"),
+          col("ph0").as("a0"), col("ph1").as("a1"))
+        .join(banded.select(col("band"), col("doc_id").as("id2"),
+          col("ph0").as("b0"), col("ph1").as("b1")), Seq("band"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+            bit_count(col("a1").bitwiseXOR(col("b1"))))
+            .cast(LongType).as("hamming"))
+        .distinct()
+        .where(col("hamming") <= 10)
+        .orderBy("id1", "id2")
     })
   )
 
@@ -1736,6 +1796,56 @@ object VectorOps extends QueryModule {
         |  src_w / 8.0 AS scale_x, src_h / 8.0 AS scale_y,
         |  CAST(SUM(val) AS DOUBLE) / 16320.0 AS resized_mean
         |FROM v GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin,
+    // dHash bits from the same sampled grid as multimodal_resize;
+    // neighbor cell value via self-join on (g+8)%64, word packing and
+    // banding as in sim_binary_topk
+    "multimodal_phash" ->
+      """WITH m AS (SELECT doc_id,
+        |    substr(repeat(md5(text), 4), 1,
+        |      2 * CAST(7 + doc_id % 57 AS INT)) AS hx,
+        |    (7 + doc_id % 57) AS nb
+        |  FROM documents),
+        |d AS (SELECT doc_id, hx, nb,
+        |    64 + nb % 512 AS src_w,
+        |    64 + (16 * (instr('0123456789abcdef', substr(hx, 1, 1)) - 1)
+        |        + (instr('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 512
+        |      AS src_h
+        |  FROM m WHERE nb > 0),
+        |s AS (SELECT doc_id, g,
+        |    CAST(floor((g % 8) * src_w / 8.0) AS BIGINT) AS px,
+        |    CAST(floor(floor(g / 8) * src_h / 8.0) AS BIGINT) AS py,
+        |    hx, nb
+        |  FROM d, unnest(range(0, 64)) AS u(g)),
+        |v AS (SELECT doc_id, g,
+        |    (16 * (instr('0123456789abcdef', substr(hx,
+        |        CAST(((px * 7 + py * 13) % nb) * 2 + 1 AS INT), 1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,
+        |        CAST(((px * 7 + py * 13) % nb) * 2 + 2 AS INT), 1)) - 1))
+        |      AS val
+        |  FROM s),
+        |h AS (SELECT a.doc_id,
+        |    CAST(SUM(CASE WHEN a.g < 32 AND a.val > b.val
+        |      THEN CAST(1 AS BIGINT) << a.g ELSE 0 END) AS BIGINT) AS ph0,
+        |    CAST(SUM(CASE WHEN a.g >= 32 AND a.val > b.val
+        |      THEN CAST(1 AS BIGINT) << (a.g - 32) ELSE 0 END) AS BIGINT)
+        |      AS ph1
+        |  FROM v a JOIN v b ON b.doc_id = a.doc_id
+        |    AND b.g = (a.g + 8) % 64
+        |  GROUP BY a.doc_id),
+        |bd AS (SELECT doc_id, ph0, ph1, b,
+        |    CASE b WHEN 0 THEN ph0 & 65535
+        |           WHEN 1 THEN (ph0 >> 16) & 65535
+        |           WHEN 2 THEN ph1 & 65535
+        |           ELSE (ph1 >> 16) & 65535 END AS k
+        |  FROM h, unnest(range(0, 4)) AS u(b))
+        |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+        |  CAST(bit_count(xor(x.ph0, y.ph0)) + bit_count(xor(x.ph1, y.ph1))
+        |    AS BIGINT) AS hamming
+        |FROM bd x JOIN bd y ON x.b = y.b AND x.k = y.k
+        |  AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.ph0, y.ph0)) + bit_count(xor(x.ph1, y.ph1))
+        |  <= 10
+        |ORDER BY id1, id2""".stripMargin,
     "multimodal_cols" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),

@@ -168,6 +168,45 @@ object StreamOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // streaming distribution-drift monitor: per 6-hour tumbling window,
+    // the PSI of that window's value histogram against the corpus
+    // baseline — the live twin of profile_psi, i.e. the alert a serving
+    // pipeline raises when today's traffic stops looking like the
+    // training distribution. Fixed bins (no quantile fit), Laplace
+    // smoothing so thin windows are well-defined, per-bin ln terms
+    // integer-quantized (the PSI discipline) so the replay is exact.
+    // Batch form = closed-input semantics over the same windows; the
+    // genuine streaming form (watermarked windowed counts converging to
+    // this) runs in StreamingSpec. Scale: window×bin counts are the only
+    // state — 10 integers per window key, map-side combined; the
+    // baseline is a broadcast 10-row aggregate.
+    "stream_drift" -> ((s, d) => {
+      val binned = Tables.events(s, d).select(col("ts"),
+        least(floor(col("value") / lit(56.1)), lit(9)).cast(IntegerType)
+          .as("bin"))
+      val wb = binned
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("bin"), col("n"))
+      val base = binned.groupBy("bin").agg(count(lit(1)).as("nb"))
+      val baseTot = base.agg(sum("nb").as("tb"))
+      val wTot = wb.groupBy("w_start").agg(sum("n").as("tw"))
+      val grid = wTot
+        .crossJoin(broadcast(base))
+        .crossJoin(broadcast(baseTot))
+        .join(wb, Seq("w_start", "bin"), "left")
+      val p = (coalesce(col("n"), lit(0L)) + 1).cast(DoubleType) /
+        (col("tw") + 10).cast(DoubleType)
+      val q = (col("nb") + 1).cast(DoubleType) /
+        (col("tb") + 10).cast(DoubleType)
+      val iterm = floor((p - q) * log(p / q) * 1e6 + 0.5).cast(LongType)
+      grid.groupBy("w_start", "tw")
+        .agg(sum(iterm).as("tsum"))
+        .select(col("w_start"), col("tw").as("n_events"),
+          (col("tsum").cast(DoubleType) / 1e6).as("psi"))
+        .orderBy("w_start")
+    }),
+
     "stream_dedup" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"),
@@ -358,6 +397,31 @@ object StreamOps extends QueryModule {
         |  date_trunc('second', MAX(ts)) AS s_end
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "stream_drift" ->
+      """WITH b AS (SELECT
+        |    make_timestamp((epoch_ms(ts) // 21600000) * 21600000000)
+        |      AS w_start,
+        |    CAST(least(floor(value / 56.1), 9) AS INTEGER) AS bin
+        |  FROM events),
+        |wb AS (SELECT w_start, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |base AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY 1),
+        |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb FROM base),
+        |wt AS (SELECT w_start, CAST(SUM(n) AS BIGINT) AS tw FROM wb
+        |  GROUP BY 1),
+        |g AS (SELECT wt.w_start, wt.tw, base.bin, base.nb, bt.tb,
+        |    COALESCE(wb.n, 0) AS n
+        |  FROM wt CROSS JOIN base CROSS JOIN bt
+        |  LEFT JOIN wb ON wb.w_start = wt.w_start AND wb.bin = base.bin),
+        |t AS (SELECT w_start, tw,
+        |    CAST(floor((CAST(n + 1 AS DOUBLE) / CAST(tw + 10 AS DOUBLE)
+        |        - CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
+        |      * ln((CAST(n + 1 AS DOUBLE) / CAST(tw + 10 AS DOUBLE))
+        |          / (CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
+        |      * 1e6 + 0.5) AS BIGINT) AS iterm
+        |  FROM g)
+        |SELECT w_start, tw AS n_events,
+        |  CAST(SUM(iterm) AS DOUBLE) / 1e6 AS psi
+        |FROM t GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
     "stream_dedup" ->
       """SELECT date_trunc('hour', ts) AS w_start, user_id, event_type,
         |  MIN(event_id) AS keep_id, COUNT(1) AS n_dups

@@ -326,6 +326,79 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_phash matches a direct dHash-band computation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val hashes = texts.map { case (id, t) =>
+      val nb = (7 + id % 57).toInt
+      val hx = (md5hex(t) * 4).substring(0, 2 * nb)
+      val srcW = 64 + nb % 512
+      val srcH = 64 + Integer.parseInt(hx.substring(0, 2), 16) % 512
+      def cell(g: Int): Int = {
+        val px = math.floor((g % 8) * srcW / 8.0).toLong
+        val py = math.floor(math.floor(g / 8.0) * srcH / 8.0).toLong
+        val pos = (((px * 7 + py * 13) % nb) * 2).toInt
+        Integer.parseInt(hx.substring(pos, pos + 2), 16)
+      }
+      var ph0 = 0L
+      var ph1 = 0L
+      for (g <- 0 until 64 if cell(g) > cell((g + 8) % 64)) {
+        if (g < 32) ph0 |= 1L << g else ph1 |= 1L << (g - 32)
+      }
+      id -> (ph0, ph1)
+    }
+    def bands(p: (Long, Long)) = Seq(
+      (0, p._1 & 65535), (1, (p._1 >> 16) & 65535),
+      (2, p._2 & 65535), (3, (p._2 >> 16) & 65535))
+    val direct = (for {
+      (i1, p1) <- hashes; (i2, p2) <- hashes if i1 < i2
+      if bands(p1).intersect(bands(p2)).nonEmpty
+      h = java.lang.Long.bitCount(p1._1 ^ p2._1) +
+        java.lang.Long.bitCount(p1._2 ^ p2._2)
+      if h <= 10
+    } yield (i1, i2, h.toLong)).toSet
+    val got = SparkEntry.queries("multimodal_phash")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("hamming"))).toSet
+    assert(got == direct, s"phash pair divergence: " +
+      s"extra=${got diff direct} missing=${direct diff got}")
+  }
+
+  test("stream_drift matches a direct per-window PSI computation") {
+    val ev = Tables.events(spark, sf).select(col("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getDouble(1)))
+    def binOf(v: Double) = math.min(math.floor(v / 56.1), 9).toInt
+    val byW = ev.groupBy(t => t._1 / 21600000L * 21600000L)
+    val baseCnt = ev.groupBy(t => binOf(t._2)).map { case (b, xs) =>
+      b -> xs.length.toLong }
+    val tb = ev.length.toLong
+    val direct = byW.map { case (w, xs) =>
+      val tw = xs.length.toLong
+      val psi = baseCnt.keys.toSeq.sorted.map { b =>
+        val n = xs.count(t => binOf(t._2) == b).toLong
+        val p = (n + 1).toDouble / (tw + 10)
+        val q = (baseCnt(b) + 1).toDouble / (tb + 10)
+        math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
+      }.sum
+      w -> (tw, psi)
+    }
+    val rows = SparkEntry.queries("stream_drift")(spark, sf).collect()
+    assert(rows.length == direct.size)
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == ev.length.toLong)
+    rows.foreach { r =>
+      val w = r.getAs[java.sql.Timestamp]("w_start").getTime
+      val (tw, psi) = direct(w)
+      assert(r.getAs[Long]("n_events") == tw)
+      val got = r.getAs[Double]("psi")
+      assert(got >= -1e-4, s"negative psi: $got") // terms are >= 0 - quant
+      assert(math.abs(got - psi) < 1e-9, s"window $w psi $got vs $psi")
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)

@@ -430,6 +430,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: windowed bin counts + static baseline " +
+    "converge to stream_drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("stream_drift")(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Long]("n_events"),
+        r.getAs[Double]("psi"))).toSet
+    val ev = Tables.events(spark, sf).select("ts", "value")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    val in = MemoryStream[(Timestamp, Double)]
+    // streaming leg: watermarked windowed bin counts (the only stateful
+    // part — the PSI arithmetic is a stateless per-batch join against a
+    // static broadcast baseline, done below on the converged counts)
+    val counts = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours").as("w"),
+        least(floor(col("value") / lit(56.1)), lit(9)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("bin"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("driftc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(ev.toSeq)
+      q.processAllAvailable()
+      // re-materialize the converged counts: a MemoryPlan view joined
+      // against itself (wTot ⋈ wb) trips conflicting-reference
+      // resolution, and the counts are tiny (windows × 10 bins)
+      val wb = spark.table("driftc").collect()
+        .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSeq
+        .toDF("w_start", "bin", "n")
+      val base = Tables.events(spark, sf)
+        .groupBy(least(floor(col("value") / lit(56.1)), lit(9)).cast("int")
+          .as("bin"))
+        .agg(count(lit(1)).as("nb"))
+      val baseTot = base.agg(sum("nb").as("tb"))
+      val wTot = wb.groupBy("w_start").agg(sum("n").as("tw"))
+      val p = (coalesce(col("n"), lit(0L)) + 1).cast("double") /
+        (col("tw") + 10).cast("double")
+      val qq = (col("nb") + 1).cast("double") /
+        (col("tb") + 10).cast("double")
+      val got = wTot.crossJoin(broadcast(base)).crossJoin(broadcast(baseTot))
+        .join(wb, Seq("w_start", "bin"), "left")
+        .groupBy("w_start", "tw")
+        .agg(sum(floor((p - qq) * log(p / qq) * 1e6 + 0.5).cast("long"))
+          .as("tsum"))
+        .select(col("w_start"), col("tw").as("n_events"),
+          (col("tsum").cast("double") / 1e6).as("psi"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getAs[Long]("n_events"),
+          r.getAs[Double]("psi"))).toSet
+      assert(got == batch,
+        s"stream/batch drift divergence: ${(got diff batch) ++ (batch diff got)}")
+    } finally q.stop()
+  }
+
   test("stream-stream left outer join emits unmatched rows after watermark") {
     implicit val sqlCtx = spark.sqlContext
     // clicks left-join purchases within [0, +10 min] per user; a click
