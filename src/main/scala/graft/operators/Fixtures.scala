@@ -255,6 +255,23 @@ object Fixtures {
       build.write.mode(SaveMode.Overwrite).parquet(dir)
     }
 
+  /** Materialized support-≥2 co-purchase edge list (a < b over partkeys)
+    * — a pipeline computes the graph once per snapshot and runs many
+    * analytics over it; the live edge aggregation stays priced by
+    * graph_triangles (the dedup_simhash_pairs precedent: fingerprinted,
+    * computed once per lineitem snapshot, shared by every graph query
+    * that follows). */
+  val copurchaseSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType)))
+  def copurchaseEdges(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =
+    writeOnce(dirFor(sfDir, "lineitem", "copurchase_edges")) { dir =>
+      build.write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
   /** Stored per-(event_type, day) HLL sketches of user_id for every day
     * BEFORE 2024-01-31 — the persisted state an incremental distinct-count
     * pipeline keeps (lgK 12, matching agg_hll_sketch). agg_hll_incremental

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Det, Q, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -33,6 +33,16 @@ object StatsOps extends QueryModule {
   /** per-term ln quantization (1e-6 keeps 6 significant decimals; terms
     * are summed exactly as integers afterwards). */
   private val LnScale = 1e6
+
+  /** Benford expected shares log10(1+1/d) as ONE shared CASE string of
+    * round-trip double literals (the bm25Expr discipline). The E0
+    * suffix matters: a bare decimal literal parses as DECIMAL in both
+    * engines and the two DECIMAL→DOUBLE casts disagreed in the last ulp
+    * (measured: digit 3, …93 vs …92); an exponent literal parses as
+    * DOUBLE directly, so both engines hold the bit-identical value. */
+  private val benfordCase: String = (1 to 9).map(dd =>
+    s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}E0")
+    .mkString("CASE digit ", " ", " ELSE 0.0E0 END")
 
   def queries: Map[String, Q.Fn] = Map(
     // ── Mann–Whitney U (Wilcoxon rank-sum), purchase vs click values ──
@@ -180,6 +190,81 @@ object StatsOps extends QueryModule {
         .orderBy("segment")
     }),
 
+    // ── lag-1 / lag-7 autocorrelation of the daily revenue series ──
+    // The forecasting pre-check: is there day-to-day momentum and a
+    // weekly cycle worth modeling? Pearson autocorrelation on the
+    // deviation-scaled series dev_t = x_t·D − T (exact integer cents —
+    // win_cusum's trick: the common D scale cancels in the ratio, so NO
+    // division happens before the final one). Lead pairs come from two
+    // RANGE day-frames on ONE calendar-bounded ordering; output is a
+    // single row. Long headroom: dev² sums top out ~2⁶² at ~10⁷
+    // cents·days of daily variance — decimal is the documented fallback.
+    "agg_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg((sum(Det.dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val tot = daily.agg(count(lit(1)).as("dd"), sum("cents").as("t"))
+      val j = daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("cents") * col("dd") - col("t"))
+      def atLag(lag: Long) = Window.orderBy("day").rangeBetween(lag, lag)
+      val paired = j
+        .withColumn("dev1", sum("dev").over(atLag(1)))
+        .withColumn("dev7", sum("dev").over(atLag(7)))
+      val g = paired.agg(
+        max("dd").as("n_days"),
+        sum(col("dev") * col("dev")).as("s0"),
+        sum(col("dev") * col("dev1")).as("s1"),
+        sum(col("dev") * col("dev7")).as("s7"))
+      g.select(col("n_days"),
+        (floor(col("s1").cast(DoubleType) / col("s0").cast(DoubleType)
+          * LnScale + 0.5) / LnScale).as("acf1"),
+        (floor(col("s7").cast(DoubleType) / col("s0").cast(DoubleType)
+          * LnScale + 0.5) / LnScale).as("acf7"))
+    }),
+
+    // ── Benford first-digit audit over order totals ──
+    // The classic fabricated-data screen: naturally-occurring amounts
+    // put digit d first with probability log10(1+1/d); synthetic or
+    // tampered feeds flatten toward 1/9. The first digit comes from the
+    // INTEGER cents rendered as a string (both engines print integers
+    // identically — no double-formatting hazard, no log10 boundary),
+    // expected shares are shared round-trip literals, and the summary
+    // MAD (mean |share−expected|, the Nigrini statistic) rides one
+    // 9-row window. One scan, 9-row output at any corpus size.
+    "profile_benford" -> ((s, d) => {
+      val c = Tables.orders(s, d)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast(LongType)
+          .as("cents"))
+        .where(col("cents") > 0)
+        .select(substring(col("cents").cast(StringType), 1, 1)
+          .cast(IntegerType).as("digit"))
+      val byD = c.groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = byD.agg(sum("n").as("nn"))
+      // full 1..9 grid: an ABSENT digit is the strongest Benford
+      // violation and must contribute |0 − expected| to the MAD
+      val grid = tot.select(col("nn"),
+          explode(sequence(lit(1), lit(9))).as("digit"))
+        .join(byD, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+          col("nn"))
+      val g = grid
+        .select(col("digit"), col("n"),
+          (col("n").cast(DoubleType) / col("nn").cast(DoubleType))
+            .as("share"),
+          expr(s"CAST(($benfordCase) AS DOUBLE)").as("expected"))
+        .withColumn("adev",
+          floor(abs(col("share") - col("expected")) * LnScale + 0.5)
+            .cast(LongType))
+      g.withColumn("mad",
+          (sum("adev").over(Window.partitionBy()).cast(DoubleType) /
+            LnScale / count(lit(1)).over(Window.partitionBy())
+              .cast(DoubleType)))
+        .select(col("digit"), col("n"), col("share"), col("expected"),
+          (floor(col("mad") * StatScale + 0.5) / StatScale).as("mad"))
+        .orderBy("digit")
+    }),
+
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
@@ -320,6 +405,57 @@ object StatsOps extends QueryModule {
         |      / CAST(n_customers * s AS DOUBLE) * $LnScale + 0.5) / $LnScale
         |    AS gini
         |FROM g ORDER BY segment""".stripMargin,
+    "agg_autocorr" ->
+      s"""WITH dly AS (SELECT
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS dd, CAST(SUM(cents) AS BIGINT) AS t
+        |  FROM dly),
+        |j AS (SELECT day, cents, dd, cents * dd - t AS dev FROM dly, tot),
+        |p AS (SELECT *,
+        |    CAST(SUM(dev) OVER (ORDER BY day
+        |      RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS BIGINT)
+        |      AS dev1,
+        |    CAST(SUM(dev) OVER (ORDER BY day
+        |      RANGE BETWEEN 7 FOLLOWING AND 7 FOLLOWING) AS BIGINT)
+        |      AS dev7
+        |  FROM j),
+        |g AS (SELECT MAX(dd) AS n_days,
+        |    CAST(SUM(dev * dev) AS BIGINT) AS s0,
+        |    CAST(SUM(dev * dev1) AS BIGINT) AS s1,
+        |    CAST(SUM(dev * dev7) AS BIGINT) AS s7
+        |  FROM p)
+        |SELECT n_days,
+        |  floor(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
+        |    / $LnScale AS acf1,
+        |  floor(CAST(s7 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
+        |    / $LnScale AS acf7
+        |FROM g""".stripMargin,
+    "profile_benford" ->
+      s"""WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+        |      AS INTEGER) AS digit
+        |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |          AS cents FROM orders) WHERE cents > 0),
+        |byd AS (SELECT digit, COUNT(*) AS n FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM byd),
+        |grid AS (SELECT g.digit, COALESCE(byd.n, 0) AS n, tot.nn
+        |  FROM (SELECT CAST(d AS INTEGER) AS digit
+        |        FROM unnest(range(1, 10)) AS u(d)) g
+        |  CROSS JOIN tot LEFT JOIN byd ON byd.digit = g.digit),
+        |t AS (SELECT digit, n,
+        |    CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+        |    CAST(($benfordCase) AS DOUBLE) AS expected
+        |  FROM grid),
+        |a AS (SELECT *, CAST(floor(abs(share - expected) * $LnScale + 0.5)
+        |    AS BIGINT) AS adev FROM t)
+        |SELECT digit, n, share, expected,
+        |  floor(CAST(SUM(adev) OVER () AS DOUBLE) / $LnScale
+        |    / CAST(COUNT(*) OVER () AS DOUBLE) * $StatScale + 0.5)
+        |    / $StatScale AS mad
+        |FROM a ORDER BY digit""".stripMargin,
     "text_zipf" ->
       s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok

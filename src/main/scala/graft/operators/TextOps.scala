@@ -55,9 +55,12 @@ object TextOps extends QueryModule {
     * bit-identical and the only arithmetic is int-gain × literal,
     * quantized per term. */
   private def ndcgDiscountCase(posVar: String): String =
+    // E0 suffix: forces a true DOUBLE literal in both engines — a bare
+    // decimal literal parses as DECIMAL, and DECIMAL→DOUBLE casts can
+    // disagree in the last ulp between engines (profile_benford lesson)
     (1 to 10).map(p =>
-      s"WHEN $p THEN ${1.0 / (math.log(p + 1.0) / math.log(2.0))}")
-      .mkString(s"CASE $posVar ", " ", " ELSE 0.0 END")
+      s"WHEN $p THEN ${1.0 / (math.log(p + 1.0) / math.log(2.0))}E0")
+      .mkString(s"CASE $posVar ", " ", " ELSE 0.0E0 END")
 
   /** quantized DCG term: (2^grade−1) · discount(pos), as a shared SQL
     * string — `gain` and `pos` are integer column names. */

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, Q, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** §2.5 window functions.
   *
@@ -333,6 +334,44 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // CUSUM change-point chart over the daily revenue series — "WHEN did
+    // the level shift?" (the sequel to stream_drift's "did it shift?").
+    // The textbook recurrence s_t = max(0, s_{t-1} + dev_t) is NOT
+    // window-expressible, but its closed form is: s_t = P_t − min_{j≤t}
+    // P_j with P the prefix sum of deviations — two frames over ONE
+    // ordering. Everything runs ×D (day count) in exact integer cents:
+    // dev_t = x_t·D − T needs no division, and the 2σ alarm threshold
+    // compares integers against ⌊2·√(sx2·D − T²)⌋ (= 2Dσ scaled), ONE
+    // sqrt of an exactly-determined integer — no float boundary can
+    // disagree between engines. The windows run on the calendar-bounded
+    // daily frame (30 rows here, ≤ 36 525/century anywhere) — the
+    // validate_anomaly second-level precedent, never a row-scale sort.
+    // Long headroom: sx2·D tops out ~2⁶² at ~10⁹ cents/day × 10⁴ days.
+    "win_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val tot = daily.agg(count(lit(1)).as("dd"), sum("cents").as("t"),
+        sum(col("cents") * col("cents")).as("sx2"))
+      val j = daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("cents") * col("dd") - col("t"))
+      val wp = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = j
+        .withColumn("p", sum("dev").over(wp))
+        .withColumn("cusum_s", col("p") - least(min("p").over(wp), lit(0L)))
+        .withColumn("thr", floor(
+          sqrt((col("sx2") * col("dd") - col("t") * col("t"))
+            .cast(DoubleType)) * 2.0 + 0.5).cast(LongType))
+      scored.select(col("day").cast("timestamp").as("day_ts"),
+          (col("cents").cast(DoubleType) / 100.0).as("rev"),
+          (col("cusum_s").cast(DoubleType) / col("dd").cast(DoubleType)
+            / 100.0).as("cusum"),
+          when(col("cusum_s") > col("thr"), 1L).otherwise(0L)
+            .as("is_alarm"))
+        .orderBy("day_ts")
+    }),
+
     // gaps-and-islands: per-user runs of CONSECUTIVE active days (the
     // classic streak computation). day − row_number() is constant within
     // a run, so one (user, day)-distinct pass + one user-partitioned
@@ -437,6 +476,30 @@ object WindowOps extends QueryModule {
         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS roll7_mean
         |FROM dly ORDER BY user_id, day""".stripMargin,
+    "win_cusum" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS dd, CAST(SUM(cents) AS BIGINT) AS t,
+        |    CAST(SUM(cents * cents) AS BIGINT) AS sx2 FROM dly),
+        |j AS (SELECT day, cents, dd, t, sx2,
+        |    cents * dd - t AS dev FROM dly, tot),
+        |p AS (SELECT *, CAST(SUM(dev) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS pf FROM j),
+        |c AS (SELECT *, pf - least(CAST(MIN(pf) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+        |      0) AS cusum_s,
+        |    CAST(floor(sqrt(CAST(sx2 * dd - t * t AS DOUBLE)) * 2.0 + 0.5)
+        |      AS BIGINT) AS thr
+        |  FROM p)
+        |SELECT CAST(day AS TIMESTAMP) AS day_ts,
+        |  CAST(cents AS DOUBLE) / 100.0 AS rev,
+        |  CAST(cusum_s AS DOUBLE) / CAST(dd AS DOUBLE) / 100.0 AS cusum,
+        |  CAST(CASE WHEN cusum_s > thr THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_alarm
+        |FROM c ORDER BY day_ts""".stripMargin,
     "win_ewma" -> duckEwma,
     "win_interpolate" ->
       """WITH b AS (SELECT event_id, user_id, ts,

@@ -326,6 +326,74 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_cusum matches the textbook max(0, s+dev) recurrence") {
+    val rows = SparkEntry.queries("win_cusum")(spark, sf).collect()
+    val daily = rows.map(r => (r.getAs[java.sql.Timestamp]("day_ts"),
+      BigDecimal(r.getAs[Double]("rev")).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)))
+    val cents = daily.map(d => (d._2 * 100).toLongExact)
+    val dd = cents.length.toLong
+    val t = cents.sum
+    var s = 0L
+    val expect = cents.map { c =>
+      s = math.max(0L, s + (c * dd - t))
+      s
+    }
+    val sx2 = cents.map(c => c * c).sum
+    val thr = math.floor(math.sqrt((sx2 * dd - t * t).toDouble) * 2.0 + 0.5)
+      .toLong
+    rows.zip(expect).foreach { case (r, e) =>
+      val got = r.getAs[Double]("cusum")
+      val direct = e.toDouble / dd / 100.0
+      assert(got >= 0.0)
+      assert(math.abs(got - direct) < 1e-9,
+        s"${r.getAs[java.sql.Timestamp]("day_ts")}: $got vs $direct")
+      assert((r.getAs[Long]("is_alarm") == 1L) == (e > thr))
+    }
+  }
+
+  test("agg_autocorr matches a direct consecutive-day Pearson ratio") {
+    val got = SparkEntry.queries("agg_autocorr")(spark, sf).collect().head
+    // day-of-month is the query's datediff day + 1 — a constant shift,
+    // which changes neither the lag pairing nor the deviations
+    val daily = eventsRows
+      .groupBy(_._4).map { case (day, xs) =>
+        day.toLong -> xs.map(t => BigDecimal(t._3).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+      }.map { case (day, rev) => day -> (rev * 100).toLongExact }
+    val dd = daily.size.toLong
+    val t = daily.values.sum
+    val dev = daily.map { case (day, c) => day -> (c * dd - t) }
+    def acf(lag: Long): Double = {
+      val s0 = dev.values.map(v => v * v).sum
+      val sl = dev.toSeq.flatMap { case (day, v) =>
+        dev.get(day + lag).map(v2 => v * v2) }.sum
+      math.floor(sl.toDouble / s0.toDouble * 1e6 + 0.5) / 1e6
+    }
+    assert(got.getAs[Long]("n_days") == dd)
+    val a1 = got.getAs[Double]("acf1")
+    val a7 = got.getAs[Double]("acf7")
+    assert(math.abs(a1) <= 1.0 && math.abs(a7) <= 1.0)
+    assert(math.abs(a1 - acf(1)) < 1e-9, s"acf1 $a1 vs ${acf(1)}")
+    assert(math.abs(a7 - acf(7)) < 1e-9, s"acf7 $a7 vs ${acf(7)}")
+  }
+
+  test("profile_benford: shares sum to 1, expected is log10(1+1/d), MAD direct") {
+    val rows = SparkEntry.queries("profile_benford")(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val madDirect = rows.map { r =>
+      val d = r.getAs[Int]("digit")
+      val exp = math.log10(1.0 + 1.0 / d)
+      assert(math.abs(r.getAs[Double]("expected") - exp) < 1e-15)
+      math.floor(math.abs(r.getAs[Double]("share") - exp) * 1e6 + 0.5) / 1e6
+    }.sum / 9.0
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("mad") -
+        math.floor(madDirect * 1e4 + 0.5) / 1e4) < 1e-12)
+    }
+  }
+
   test("multimodal_phash matches a direct dHash-band computation") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
