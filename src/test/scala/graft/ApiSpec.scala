@@ -318,4 +318,91 @@ class ApiSpec extends AnyFunSuite {
         w -> ps.sortBy(_._2).map(_._3).mkString("") }
     assert(rebuilt == Map("low" -> "low</w>", "lower" -> "lower</w>"))
   }
+
+  test("psi is exactly zero for identical halves, positive under shift") {
+    // same bin profile on both sides → every term quantizes to 0
+    val same = (1 to 100).flatMap(i =>
+      Seq((i % 5, true), (i % 5, false))).toDF("bin", "isa")
+    val z = GraftApi.psi(same, col("bin"), col("isa"), nBins = 5)
+      .collect()
+    assert(z.forall(_.getAs[Double]("psi") == 0.0))
+    // shifted: side A all in bin 0, side B all in bin 4
+    val shifted = ((1 to 100).map(_ => (0, true)) ++
+      (1 to 100).map(_ => (4, false))).toDF("bin", "isa")
+    val p = GraftApi.psi(shifted, col("bin"), col("isa"), nBins = 5)
+      .collect().head.getAs[Double]("psi")
+    assert(p > 1.0, s"shifted psi should be large: $p")
+  }
+
+  test("mannWhitney: identical samples give z=0, separated samples |z|>2") {
+    val same = ((1 to 50).map(v => (true, v.toLong)) ++
+      (1 to 50).map(v => (false, v.toLong))).toDF("t", "v")
+    val r0 = GraftApi.mannWhitney(same, col("t"), col("v")).collect().head
+    assert(r0.getAs[Double]("z") == 0.0)
+    assert(r0.getAs[Double]("u1") == 50.0 * 50 / 2)
+    val apart = ((1 to 50).map(v => (true, v + 1000L)) ++
+      (1 to 50).map(v => (false, v.toLong))).toDF("t", "v")
+    val r1 = GraftApi.mannWhitney(apart, col("t"), col("v")).collect().head
+    assert(r1.getAs[Double]("z") > 2.0)
+  }
+
+  test("gini: equal amounts 0, single-holder (n-1)/n") {
+    val eq = (1L to 10L).map(i => ("g", 500L, i)).toDF("g", "c", "i")
+    val g0 = GraftApi.gini(eq, col("g"), col("c"), col("i"))
+      .collect().head.getAs[Double]("gini")
+    assert(g0 == 0.0)
+    val one = ((1L to 9L).map(i => ("g", 0L, i)) :+ (("g", 1000L, 10L)))
+      .toDF("g", "c", "i")
+    val g1 = GraftApi.gini(one, col("g"), col("c"), col("i"))
+      .collect().head.getAs[Double]("gini")
+    assert(math.abs(g1 - 0.9) < 1e-9, s"single-holder gini: $g1")
+  }
+
+  test("recallAtK counts surviving ids per query") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L),
+      (2L, 22L)).toDF("q_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 7L))
+      .toDF("q_id", "vec_id")
+    val got = GraftApi.recallAtK(exact, approx, 3).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("hits"), r.getAs[Double]("recall")))).toMap
+    assert(got(1L) == ((2L, 2.0 / 3)) && got(2L) == ((0L, 0.0)))
+  }
+
+  test("hashEmbed: same token accumulates, weights are signed counts") {
+    val docs = Seq((1L, "a a b"), (2L, "a")).toDF("id", "t")
+    val got = GraftApi.hashEmbed(docs, col("id"), col("t")).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("dim"))
+        -> r.getAs[Long]("weight")).toMap
+    val aDim = got.keys.filter(_._1 == 2L).head._2
+    assert(math.abs(got((2L, aDim))) == 1L)
+    assert(math.abs(got((1L, aDim))) == 2L) // 'a' twice, same sign
+    assert(got.size == 3) // (1,a-dim), (1,b-dim), (2,a-dim)
+  }
+
+  test("capPerGroup keeps the top-scored rows with dense ranks") {
+    val df = Seq(("s", 5L, 1L), ("s", 9L, 2L), ("s", 7L, 3L),
+      ("t", 1L, 4L)).toDF("g", "score", "id")
+    val got = GraftApi.capPerGroup(df, col("g"), col("score"), col("id"), 2)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id"),
+        r.getAs[Long]("rank"))).toSet
+    assert(got == Set(("s", 2L, 1L), ("s", 3L, 2L), ("t", 4L, 1L)))
+  }
+
+  test("cusum matches the direct max(0, s+dev) recurrence on a shift") {
+    val xs = Seq(10L, 10L, 10L, 10L, 20L, 20L, 20L, 20L)
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("ord", "x")
+    val got = GraftApi.cusum(df, col("ord"), col("x"))
+      .orderBy("ord").collect().map(_.getAs[Long]("cusum_scaled"))
+    val n = xs.length
+    val t = xs.sum
+    var s = 0L
+    val direct = xs.map { x =>
+      s = math.max(0L, s + (x * n - t)); s
+    }
+    assert(got.toSeq == direct)
+    // the statistic peaks inside the shifted regime
+    assert(got.max == direct.max && direct.max > 0)
+  }
 }

@@ -570,4 +570,48 @@ class PlanSpec extends AnyFunSuite {
     assert(big.get < sel.get,
       s"CBO did not reorder — selective join is not innermost:\n$ts")
   }
+
+  test("sim_sq8_topk scan shuffles integer codes, not embeddings; no UDF") {
+    // the code-dot shortlist sort must rank (vec_id, codes, score) only;
+    // raw vectors enter at the 200-row rerank join. Scoring is built-in
+    // higher-order functions + codegen — no UDF anywhere.
+    val p = plan("sim_sq8_topk")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"sq8 plan fell off codegen:\n$p")
+    val sortLine = p.linesIterator
+      .find(l => l.contains("Sort") && l.contains("score"))
+    assert(sortLine.isDefined, s"score shortlist sort missing:\n$p")
+    assert(!sortLine.get.contains("embedding"),
+      s"shortlist sort carries raw vectors:\n$sortLine")
+  }
+
+  test("stream_drift aggregates window×bin counts map-side, broadcasts " +
+    "the baseline") {
+    // the only row-scale work is the (window, bin) count — it must
+    // partial-aggregate before its exchange; the baseline and totals
+    // join the 120-row window frame via broadcast
+    val p = plan("stream_drift")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"window×bin count not map-side combined:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"baseline not broadcast:\n$p")
+  }
+
+  test("graph_jaccard degree joins broadcast; top-20 is TakeOrdered") {
+    val p = plan("graph_jaccard")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"degree join not broadcast:\n$p")
+  }
+
+  test("ts_lag_features stacks all four frames on one user_id exchange") {
+    val p = plan("ts_lag_features")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one exchange for the daily groupBy; the windows reuse it (the
+    // final orderBy adds its range exchange)
+    assert(exchanges <= 2, s"lag-feature windows re-shuffled:\n$p")
+    val windows = p.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2, s"window frames did not fuse:\n$p")
+  }
 }
