@@ -240,6 +240,31 @@ object AggOps extends QueryModule {
           max("l_extendedprice").as("hi"))
         .orderBy("bin")),
 
+    // log₂-bucketed histogram (the HdrHistogram/observability shape:
+    // exponential buckets give constant RELATIVE resolution, so one
+    // table spans cents→millions where agg_histogram's linear bins
+    // can't). The bucket is floor(log2(cents)) computed WITHOUT log2:
+    // length(bin(x))−1 — pure integer/string ops that both engines
+    // evaluate identically (no transcendental to quantize). One
+    // map-side-combined groupBy to ≤64 rows at any scale.
+    "agg_log_histogram" -> ((s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("bigint")
+      val b = Tables.orders(s, d)
+        .select(cents.as("cents")).where(col("cents") > 0)
+        .groupBy((length(bin(col("cents"))) - 1).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val tot = b.agg(sum("n").as("nn"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (expr("shiftleft(cast(1 as bigint), bucket)").cast("double")
+            / 100.0).as("lo"),
+          (expr("shiftleft(cast(1 as bigint), bucket + 1)").cast("double")
+            / 100.0).as("hi"),
+          col("n"),
+          (col("n").cast("double") / col("nn").cast("double")).as("share"))
+        .orderBy("bucket")
+    }),
+
     // unpivot (melt): wide per-group measures back to long (measure,
     // value) rows — the inverse of agg_pivot. The fan-out is a narrow
     // 1→N projection after the aggregation, so the shuffle profile is
@@ -524,6 +549,18 @@ object AggOps extends QueryModule {
         |  COUNT(1) AS n_items, MIN(l_extendedprice) AS lo,
         |  MAX(l_extendedprice) AS hi
         |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin,
+    "agg_log_histogram" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS cents FROM orders),
+        |b AS (SELECT CAST(length(bin(cents)) - 1 AS INTEGER) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM c WHERE cents > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM b)
+        |SELECT bucket,
+        |  CAST(CAST(1 AS BIGINT) << bucket AS DOUBLE) / 100.0 AS lo,
+        |  CAST(CAST(1 AS BIGINT) << (bucket + 1) AS DOUBLE) / 100.0 AS hi,
+        |  n, CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share
+        |FROM b, t ORDER BY bucket""".stripMargin,
     "agg_unpivot" ->
       """WITH w AS (SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

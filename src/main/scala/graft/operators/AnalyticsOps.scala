@@ -563,6 +563,47 @@ object AnalyticsOps extends QueryModule {
         .orderBy("rank")
     }),
 
+    // bounded-depth BFS hop distances from the minimum part in the
+    // co-purchase graph — "how close is everything to this product?"
+    // (the reachability/radius primitive under recommendation blast-
+    // radius and recall-expansion queries). Level-synchronous relax
+    // rounds (the sanctioned iterative-fixpoint shape: GraphOps CC
+    // precedent, localCheckpoint per round so lineage stays flat); at
+    // depth 6 on a support-filtered graph the frontier is edge-bounded
+    // per round, and the shuffle carries (node, dist) pairs only. The
+    // round cap is part of the op's CONTRACT (dist ≤ 6 — "within six
+    // hops"), which is what makes the DuckDB recursive replay finite.
+    "graph_bfs" -> ((s, d) => {
+      val eDir = Fixtures.copurchaseEdges(s, d) {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+          .where(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("a"), col("pk2").as("b"))
+          .agg(count(lit(1)).as("sup"))
+          .where(col("sup") >= 2)
+          .select("a", "b")
+      }
+      val e = s.read.schema(Fixtures.copurchaseSchema).parquet(eDir)
+      val n = e.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+      // source = the max-degree hub (ties → min id): the support-filtered
+      // graph is sparse at larger SF and an arbitrary minimum node sits
+      // in a 2-node component — the hub's ball is the informative one
+      var dist = n.groupBy("x").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("x")).limit(1)
+        .select(col("x").as("node"), lit(0L).as("dist")).localCheckpoint()
+      for (_ <- 1 to 6) {
+        val next = dist.join(n, col("node") === col("x"))
+          .select(col("y").as("node"), (col("dist") + 1).as("dist"))
+        dist = dist.unionByName(next)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+      }
+      dist.orderBy("node")
+    }),
+
     // Shannon entropy of the event-type mix per user bucket — the
     // mixture-diversity signal a curation pipeline tracks per shard.
     // entropy = log2(total) - Σ c·log2(c) / total, with each c·log2(c)
@@ -1145,6 +1186,26 @@ object AnalyticsOps extends QueryModule {
         |  FROM e e1 JOIN e e2 ON e1.b = e2.a)
         |SELECT COUNT(*) AS n_triangles
         |FROM w JOIN e e3 ON w.a = e3.a AND w.c = e3.b""".stripMargin,
+    // bounded-depth recursive replay: UNION (distinct) recursion over
+    // (node, dist) states with the same dist < 6 contract keeps the
+    // state space finite; MIN(dist) per node = the BFS level
+    "graph_bfs" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |n AS (SELECT a AS x, b AS y FROM e
+        |  UNION ALL SELECT b AS x, a AS y FROM e),
+        |src AS (SELECT x AS node FROM (SELECT x, COUNT(*) AS deg
+        |  FROM n GROUP BY x ORDER BY deg DESC, x LIMIT 1)),
+        |bfs AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist FROM src
+        |  UNION
+        |  SELECT n.y AS node, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN n ON n.x = bfs.node WHERE bfs.dist < 6)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
     "graph_jaccard" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

@@ -290,6 +290,36 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // deterministic training-order shuffle: within each source, docs
+    // are ordered by a pure hash (md5 of doc_id — reproducible across
+    // engines, retries and relayouts, no RNG state across 1000
+    // executors); sources are then STRIPED round-robin into one global
+    // position sequence, so a sequential trainer sees all sources
+    // interleaved instead of source-sorted — the data-ordering step
+    // every epoch pipeline needs (a source-clustered order biases early
+    // training). pos = (rank−1)·n_sources + source_index is collision-
+    // free by construction. Scale: one source-partitioned window + a
+    // broadcast ≤|sources|-row index — the output order is carried by
+    // the pos COLUMN, no global sort materializes it.
+    "pipeline_interleave" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      val srcs = docs.select("source").distinct()
+      val srcIdx = srcs
+        .withColumn("src_idx",
+          row_number().over(Window.orderBy("source")).cast(LongType) - 1)
+        .withColumn("n_src",
+          count(lit(1)).over(Window.partitionBy()).cast(LongType))
+      val wSrc = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      docs.join(broadcast(srcIdx), "source")
+        .withColumn("rk", row_number().over(wSrc).cast(LongType) - 1)
+        .select(
+          (col("rk") * col("n_src") + col("src_idx")).as("pos"),
+          col("doc_id"), col("source"))
+        .orderBy("pos")
+    }),
+
     // per-source document cap — the domain-cap rule every web-scale
     // recipe applies (C4 caps per-URL, Dolma caps per-domain, RefinedWeb
     // per-registrar): no single source may contribute more than K docs,
@@ -451,6 +481,19 @@ object CurationOps extends QueryModule {
         |WHERE ${duckHashFrac("d.doc_id")}
         |  < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "pipeline_interleave" ->
+      """WITH srcs AS (SELECT source,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1
+        |      AS src_idx,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n_src
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |r AS (SELECT d.doc_id, d.source, s.src_idx, s.n_src,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+        |      AS BIGINT) - 1 AS rk
+        |  FROM documents d JOIN srcs s ON s.source = d.source)
+        |SELECT rk * n_src + src_idx AS pos, doc_id, source
+        |FROM r ORDER BY pos""".stripMargin,
     "pipeline_source_cap" ->
       """SELECT source, rank, doc_id, n_chars FROM (
         |  SELECT source, doc_id, n_chars,

@@ -467,6 +467,74 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_log_histogram buckets are powers of two and cover all orders") {
+    val rows = SparkEntry.queries("agg_log_histogram")(spark, sf).collect()
+    val orders = Tables.orders(spark, sf).select(col("o_totalprice"))
+      .collect().map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+      .filter(_ > 0)
+    val direct = orders.groupBy(c => 63 - java.lang.Long.numberOfLeadingZeros(c))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq ==
+      direct.keys.toSeq.sorted)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(r.getAs[Long]("n") == direct(b))
+      assert(r.getAs[Double]("lo") == (1L << b).toDouble / 100.0)
+      assert(r.getAs[Double]("hi") == (1L << (b + 1)).toDouble / 100.0)
+    }
+  }
+
+  test("pipeline_interleave stripes sources round-robin, no pos collisions") {
+    val rows = SparkEntry.queries("pipeline_interleave")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // positions are unique
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // consecutive positions within one stripe hit distinct sources: the
+    // first |sources| positions are one doc from each source in order
+    val srcs = rows.map(_._3).distinct.sorted
+    val firstStripe = rows.sortBy(_._1).take(srcs.length).map(_._3)
+    assert(firstStripe.toSeq == srcs.toSeq,
+      s"first stripe not round-robin: ${firstStripe.toSeq} vs ${srcs.toSeq}")
+    // within a source, order follows md5(doc_id)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.groupBy(_._3).foreach { case (_, rs) =>
+      val byPos = rs.sortBy(_._1).map(_._2)
+      val byHash = rs.map(_._2).sortBy(id => (md5hex(id.toString), id))
+      assert(byPos.toSeq == byHash.toSeq)
+    }
+  }
+
+  test("graph_bfs matches a direct bounded BFS from the max-degree hub") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = nbrs.map { case (k, vs) => k -> vs.length }
+    val maxDeg = deg.values.max
+    val src = deg.filter(_._2 == maxDeg).keys.min
+    var dist = Map(src -> 0L)
+    var frontier = Set(src)
+    for (r <- 1 to 6) {
+      val next = frontier.flatMap(n => nbrs.getOrElse(n, Seq()))
+        .filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> r.toLong)
+      frontier = next
+    }
+    val got = SparkEntry.queries("graph_bfs")(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == dist, s"bfs divergence: extra=${got.toSet diff dist.toSet} " +
+      s"missing=${dist.toSet diff got.toSet}")
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
