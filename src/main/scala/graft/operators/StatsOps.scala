@@ -265,6 +265,85 @@ object StatsOps extends QueryModule {
         .orderBy("digit")
     }),
 
+    // ── A/B power analysis: required n per arm for the observed gap ──
+    // The question every experiment review asks FIRST: "could this test
+    // even have detected the effect?" n = 2s²(z_α/2+z_β)²/δ² at α=0.05,
+    // power 0.8 — z constants as E0 round-trip literals, pooled sample
+    // variance and mean gap from exact integer cent sums (one scan,
+    // map-side combined), every division in a fixed shared association.
+    "profile_power" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("purchase", "click"))
+        .select(when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("g"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("iv"))
+      val g = ev.agg(
+        sum("g").as("n1"), (count(lit(1)) - sum("g")).as("n2"),
+        sum(when(col("g") === 1, col("iv"))).as("s1"),
+        sum(when(col("g") === 0, col("iv"))).as("s2"),
+        sum(when(col("g") === 1, col("iv") * col("iv"))).as("q1"),
+        sum(when(col("g") === 0, col("iv") * col("iv"))).as("q2"))
+      val n1 = col("n1").cast(DoubleType)
+      val n2 = col("n2").cast(DoubleType)
+      // ss = Σx² − (Σx)²/n, in cents²; δ in cents
+      val ss1 = col("q1").cast(DoubleType) -
+        col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / n1
+      val ss2 = col("q2").cast(DoubleType) -
+        col("s2").cast(DoubleType) * col("s2").cast(DoubleType) / n2
+      val s2p = (ss1 + ss2) / (n1 + n2 - 2.0)
+      val delta = col("s1").cast(DoubleType) / n1 -
+        col("s2").cast(DoubleType) / n2
+      val zsum = expr("1.959963984540054E0 + 0.8416212335729143E0")
+      val nReq = ceil(lit(2.0) * s2p * zsum * zsum / (delta * delta))
+      g.select(col("n1"), col("n2"),
+        (floor(delta * StatScale + 0.5) / StatScale / 100.0).as("delta"),
+        (floor(s2p * StatScale + 0.5) / StatScale / 10000.0).as("s2_pooled"),
+        nReq.cast(LongType).as("n_required"))
+    }),
+
+    // ── ratio metric with delta-method variance, per user cohort ──
+    // Revenue-per-event is a RATIO of sums whose unit of randomization
+    // is the user — naive row-level variance is wrong (Deng et al.
+    // 2018's ratio-metric correction, the experimentation-platform
+    // standard): R = Σx/Σy, se² = Σ(x_u − R·y_u)² / (Σy)² over user
+    // aggregates. Everything is exact integer cents until the two
+    // divisions; the linearized residual uses quantized R so both
+    // engines square the identical double. 95% CI via E0 z literal.
+    "agg_ratio_metrics" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy((col("user_id") % 5).as("bucket"), col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            floor(col("value") * 100 + 0.5).cast(LongType))
+            .otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+      val g = perUser.groupBy("bucket").agg(
+        count(lit(1)).as("n_users"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val r = col("sx").cast(DoubleType) / col("sy").cast(DoubleType)
+      // Σ(x−Ry)² = Σx² − 2RΣxy + R²Σy², with R quantized once so the
+      // expansion is a fixed double expression on both engines
+      val rq = floor(r * 1e9 + 0.5) / 1e9
+      val ssr = col("sxx").cast(DoubleType) -
+        lit(2.0) * rq * col("sxy").cast(DoubleType) +
+        rq * rq * col("syy").cast(DoubleType)
+      val se = sqrt(greatest(ssr, lit(0.0))) /
+        col("sy").cast(DoubleType)
+      val z = expr("1.959963984540054E0")
+      g.select(col("bucket"), col("n_users"),
+          (floor(r * StatScale + 0.5) / StatScale / 100.0)
+            .as("rev_per_event"),
+          (floor(se * LnScale + 0.5) / LnScale / 100.0).as("se"),
+          (floor((r - z * se) * StatScale + 0.5) / StatScale / 100.0)
+            .as("ci_lo"),
+          (floor((r + z * se) * StatScale + 0.5) / StatScale / 100.0)
+            .as("ci_hi"))
+        .orderBy("bucket")
+    }),
+
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
@@ -456,6 +535,72 @@ object StatsOps extends QueryModule {
         |    / CAST(COUNT(*) OVER () AS DOUBLE) * $StatScale + 0.5)
         |    / $StatScale AS mad
         |FROM a ORDER BY digit""".stripMargin,
+    "profile_power" ->
+      s"""WITH ev AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |a AS (SELECT CAST(SUM(g) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(g) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g = 1 THEN iv END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN g = 0 THEN iv END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN g = 1 THEN iv * iv END) AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN g = 0 THEN iv * iv END) AS BIGINT) AS q2
+        |  FROM ev),
+        |b AS (SELECT n1, n2,
+        |    CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE) AS ss1,
+        |    CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE) AS ss2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS delta
+        |  FROM a),
+        |c AS (SELECT n1, n2, delta,
+        |    (ss1 + ss2) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)
+        |      AS s2p
+        |  FROM b)
+        |SELECT n1, n2,
+        |  floor(delta * $StatScale + 0.5) / $StatScale / 100.0 AS delta,
+        |  floor(s2p * $StatScale + 0.5) / $StatScale / 10000.0
+        |    AS s2_pooled,
+        |  CAST(ceil(2.0 * s2p
+        |      * (1.959963984540054E0 + 0.8416212335729143E0)
+        |      * (1.959963984540054E0 + 0.8416212335729143E0)
+        |      / (delta * delta)) AS BIGINT) AS n_required
+        |FROM c""".stripMargin,
+    "agg_ratio_metrics" ->
+      s"""WITH pu AS (SELECT user_id % 5 AS bucket, user_id,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT bucket, COUNT(*) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pu GROUP BY bucket),
+        |h AS (SELECT bucket, n_users, sy,
+        |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+        |    floor(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) * 1e9 + 0.5)
+        |      / 1e9 AS rq,
+        |    CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy,
+        |    CAST(syy AS DOUBLE) AS dyy
+        |  FROM g),
+        |k AS (SELECT bucket, n_users, r,
+        |    sqrt(greatest(dxx - 2.0 * rq * dxy + rq * rq * dyy, 0.0))
+        |      / CAST(sy AS DOUBLE) AS se
+        |  FROM h)
+        |SELECT bucket, n_users,
+        |  floor(r * $StatScale + 0.5) / $StatScale / 100.0
+        |    AS rev_per_event,
+        |  floor(se * $LnScale + 0.5) / $LnScale / 100.0 AS se,
+        |  floor((r - 1.959963984540054E0 * se) * $StatScale + 0.5)
+        |    / $StatScale / 100.0 AS ci_lo,
+        |  floor((r + 1.959963984540054E0 * se) * $StatScale + 0.5)
+        |    / $StatScale / 100.0 AS ci_hi
+        |FROM k ORDER BY bucket""".stripMargin,
     "text_zipf" ->
       s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok

@@ -334,6 +334,39 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // rolling 7-day OLS trend per user: the slope of daily revenue on
+    // the day index inside a calendar RANGE frame — the per-entity
+    // trend detector a monitoring pipeline runs (positive slope =
+    // growing spend). All five OLS moments (n, Σd, Σy, Σdy, Σd²) are
+    // exact integer sums over ONE shared user_id+day frame; the slope
+    // is a single closed-form division, null when the window holds one
+    // day (denominator 0 — no trend from one point). Cents ride the
+    // dec2 discipline.
+    "win_rolling_slope" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rangeBetween(-6, 0)
+      val m = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sd", sum("day").over(w))
+        .withColumn("sy", sum("cents").over(w))
+        .withColumn("sdy", sum(col("day") * col("cents")).over(w))
+        .withColumn("sdd", sum(col("day") * col("day")).over(w))
+      val den = col("n") * col("sdd") - col("sd") * col("sd")
+      val slope = (col("n") * col("sdy") - col("sd") * col("sy"))
+        .cast(DoubleType) / den.cast(DoubleType)
+      m.select(col("user_id"), col("day"),
+          (col("cents").cast(DoubleType) / 100.0).as("rev"),
+          col("n").as("n_days"),
+          when(den =!= 0,
+            floor(slope * 1e6 + 0.5) / 1e6 / 100.0).as("slope"))
+        .orderBy("user_id", "day")
+    }),
+
     // CUSUM change-point chart over the daily revenue series — "WHEN did
     // the level shift?" (the sequel to stream_drift's "did it shift?").
     // The textbook recurrence s_t = max(0, s_{t-1} + dev_t) is NOT
@@ -476,6 +509,31 @@ object WindowOps extends QueryModule {
         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS roll7_mean
         |FROM dly ORDER BY user_id, day""".stripMargin,
+    "win_rolling_slope" ->
+      """WITH dly AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, day, cents,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(day) OVER w AS BIGINT) AS sd,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS sy,
+        |    CAST(SUM(day * cents) OVER w AS BIGINT) AS sdy,
+        |    CAST(SUM(day * day) OVER w AS BIGINT) AS sdd
+        |  FROM dly
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS rev,
+        |  n AS n_days,
+        |  CASE WHEN n * sdd - sd * sd <> 0 THEN
+        |    floor(CAST(n * sdy - sd * sy AS DOUBLE)
+        |      / CAST(n * sdd - sd * sd AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |      / 100.0
+        |  END AS slope
+        |FROM m ORDER BY user_id, day""".stripMargin,
     "win_cusum" ->
       """WITH dly AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)

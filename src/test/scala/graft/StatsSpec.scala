@@ -467,6 +467,82 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("profile_power matches a direct pooled-variance sample-size calc") {
+    val got = SparkEntry.queries("profile_power")(spark, sf).collect().head
+    val xs = eventsRows.filter(t => t._2 == "purchase" || t._2 == "click")
+      .map(t => (t._2 == "purchase", math.floor(t._3 * 100 + 0.5).toLong))
+    val (a, b) = xs.partition(_._1)
+    def ss(v: Seq[Long]) = {
+      val s = v.sum.toDouble
+      v.map(x => x.toDouble * x).sum - s * s / v.length
+    }
+    val s2p = (ss(a.map(_._2)) + ss(b.map(_._2))) / (a.length + b.length - 2)
+    val delta = a.map(_._2).sum.toDouble / a.length -
+      b.map(_._2).sum.toDouble / b.length
+    val z = 1.959963984540054 + 0.8416212335729143
+    val nReq = math.ceil(2.0 * s2p * z * z / (delta * delta)).toLong
+    assert(got.getAs[Long]("n1") == a.length.toLong)
+    assert(got.getAs[Long]("n2") == b.length.toLong)
+    assert(math.abs(got.getAs[Double]("delta") - delta / 100.0) < 1e-4)
+    assert(got.getAs[Long]("n_required") == nReq,
+      s"n_required ${got.getAs[Long]("n_required")} vs $nReq")
+  }
+
+  test("agg_ratio_metrics: CI brackets the ratio, matches direct math") {
+    val rows = SparkEntry.queries("agg_ratio_metrics")(spark, sf).collect()
+    val perUser = eventsRows.groupBy(_._1).map { case (u, es) =>
+      (u % 5, u,
+        es.filter(_._2 == "purchase")
+          .map(t => math.floor(t._3 * 100 + 0.5).toLong).sum,
+        es.length.toLong)
+    }.toSeq
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val us = perUser.filter(_._1 == b)
+      val sx = us.map(_._3).sum.toDouble
+      val sy = us.map(_._4).sum.toDouble
+      val ratio = sx / sy
+      val rq = math.floor(ratio * 1e9 + 0.5) / 1e9
+      val ssr = us.map { u =>
+        val d = u._3 - rq * u._4; d * d }.sum
+      val se = math.sqrt(math.max(ssr, 0.0)) / sy
+      assert(r.getAs[Long]("n_users") == us.length.toLong)
+      assert(math.abs(r.getAs[Double]("rev_per_event") - ratio / 100.0)
+        < 1e-4)
+      assert(math.abs(r.getAs[Double]("se") - se / 100.0) < 1e-6)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("rev_per_event"))
+      assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("rev_per_event"))
+    }
+  }
+
+  test("win_rolling_slope matches a direct windowed OLS") {
+    val rows = SparkEntry.queries("win_rolling_slope")(spark, sf).collect()
+    val daily = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"))
+      -> (BigDecimal(r.getAs[Double]("rev")).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val day = r.getAs[Long]("day")
+      val win = (day - 6 to day).flatMap(dd =>
+        daily.get((u, dd)).map(c => (dd, c)))
+      assert(r.getAs[Long]("n_days") == win.length.toLong)
+      val n = win.length.toLong
+      val sd = win.map(_._1).sum
+      val sy = win.map(_._2).sum
+      val sdy = win.map(p => p._1 * p._2).sum
+      val sdd = win.map(p => p._1 * p._1).sum
+      val den = n * sdd - sd * sd
+      val got = Option(r.getAs[java.lang.Double]("slope")).map(_.toDouble)
+      if (den == 0) assert(got.isEmpty)
+      else {
+        val direct = math.floor((n * sdy - sd * sy).toDouble / den
+          * 1e6 + 0.5) / 1e6 / 100.0
+        assert(math.abs(got.get - direct) < 1e-12,
+          s"u=$u day=$day slope ${got.get} vs $direct")
+      }
+    }
+  }
+
   test("agg_log_histogram buckets are powers of two and cover all orders") {
     val rows = SparkEntry.queries("agg_log_histogram")(spark, sf).collect()
     val orders = Tables.orders(spark, sf).select(col("o_totalprice"))
