@@ -344,6 +344,50 @@ object StatsOps extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // ── Kaplan–Meier survival over user activity lifetimes ──
+    // "How long do users stay active?" with right-censoring done
+    // PROPERLY (agg_retention's cohort grid can't say — users still
+    // active at the observation edge aren't churned, just unobserved):
+    // duration = last−first active day; users whose last activity is
+    // within 2 days of the corpus edge are censored. S(t) = Π(1−dᵢ/nᵢ)
+    // via the log trick: per-step ln terms quantized 1e-6 (exact
+    // integer cumulative sum — the PSI discipline), survival = exp of
+    // the exact log, quantized 1e-4 on output (agg_entropy's
+    // transcendental-tail risk profile). At-risk counts come from ONE
+    // reverse cumulative window over the duration-compacted frame
+    // (≤ calendar-bounded distinct durations, never user-scale rows).
+    "agg_survival" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+      val edge = perUser.agg(max("d1").as("maxd"))
+      val subj = perUser.crossJoin(broadcast(edge))
+        .select(datediff(col("d1"), col("d0")).cast(LongType).as("t"),
+          when(datediff(col("maxd"), col("d1")) > 2, 1L).otherwise(0L)
+            .as("dead"))
+      val byT = subj.groupBy("t").agg(
+        sum("dead").as("d"), (count(lit(1)) - sum("dead")).as("c"))
+      val wRev = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val atRisk = byT
+        .withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
+      val lnTerm = when(col("d") > 0,
+        floor(log(lit(1.0) - col("d").cast(DoubleType) /
+          col("n_risk").cast(DoubleType)) * LnScale + 0.5).cast(LongType))
+        .otherwise(0L)
+      atRisk.withColumn("iln", lnTerm)
+        .withColumn("log_surv",
+          sum("iln").over(wFwd).cast(DoubleType) / LnScale)
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          col("log_surv"),
+          (floor(exp(col("log_surv")) * StatScale + 0.5) / StatScale)
+            .as("survival"))
+        .orderBy("t")
+    }),
+
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
@@ -535,6 +579,35 @@ object StatsOps extends QueryModule {
         |    / CAST(COUNT(*) OVER () AS DOUBLE) * $StatScale + 0.5)
         |    / $StatScale AS mad
         |FROM a ORDER BY digit""".stripMargin,
+    "agg_survival" ->
+      s"""WITH pu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS d0,
+        |    MAX(CAST(ts AS DATE)) AS d1
+        |  FROM events GROUP BY user_id),
+        |edge AS (SELECT MAX(d1) AS maxd FROM pu),
+        |subj AS (SELECT
+        |    CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+        |    CASE WHEN date_diff('day', d1, maxd) > 2 THEN 1 ELSE 0 END
+        |      AS dead
+        |  FROM pu, edge),
+        |byt AS (SELECT t, CAST(SUM(dead) AS BIGINT) AS d,
+        |    CAST(COUNT(*) - SUM(dead) AS BIGINT) AS c
+        |  FROM subj GROUP BY t),
+        |ar AS (SELECT *, CAST(SUM(d + c) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk FROM byt),
+        |ln_t AS (SELECT *,
+        |    CASE WHEN d > 0 THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)) * $LnScale + 0.5) AS BIGINT)
+        |    ELSE 0 END AS iln
+        |  FROM ar),
+        |cum AS (SELECT *, CAST(SUM(iln) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cln FROM ln_t)
+        |SELECT t, n_risk, d, c,
+        |  CAST(cln AS DOUBLE) / $LnScale AS log_surv,
+        |  floor(exp(CAST(cln AS DOUBLE) / $LnScale) * $StatScale + 0.5)
+        |    / $StatScale AS survival
+        |FROM cum ORDER BY t""".stripMargin,
     "profile_power" ->
       s"""WITH ev AS (SELECT
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,

@@ -467,6 +467,39 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_survival matches a direct Kaplan-Meier estimate") {
+    val rows = SparkEntry.queries("agg_survival")(spark, sf).collect()
+    // day-of-month stands in for the calendar day: all events are in
+    // one month, so durations and censor gaps are unchanged
+    val perUser = eventsRows.groupBy(_._1).toSeq.map { case (_, es) =>
+      (es.map(_._4).min, es.map(_._4).max) }
+    val maxd = perUser.map(_._2).max
+    val subj = perUser.map { case (d0, d1) =>
+      ((d1 - d0).toLong, maxd - d1 > 2) }
+    val byT = subj.groupBy(_._1).map { case (t, xs) =>
+      t -> (xs.count(_._2).toLong, xs.size.toLong - xs.count(_._2)) }
+    val ts = byT.keys.toSeq.sorted
+    var logS = 0.0
+    val direct = ts.map { t =>
+      val nRisk = byT.filterKeys(_ >= t).values.map(v => v._1 + v._2).sum
+      val (dd, cc) = byT(t)
+      if (dd > 0)
+        logS += math.floor(math.log(1.0 - dd.toDouble / nRisk) * 1e6 + 0.5) / 1e6
+      t -> (nRisk, dd, cc, math.exp(logS))
+    }.toMap
+    assert(rows.map(_.getAs[Long]("t")).toSeq == ts)
+    var prev = 1.0
+    rows.foreach { r =>
+      val (nRisk, dd, cc, s) = direct(r.getAs[Long]("t"))
+      assert(r.getAs[Long]("n_risk") == nRisk)
+      assert(r.getAs[Long]("d") == dd && r.getAs[Long]("c") == cc)
+      val surv = r.getAs[Double]("survival")
+      assert(surv <= prev + 1e-9 && surv >= 0.0 && surv <= 1.0)
+      prev = surv
+      assert(math.abs(surv - s) < 1e-3, s"t=${r.getAs[Long]("t")}: $surv vs $s")
+    }
+  }
+
   test("profile_power matches a direct pooled-variance sample-size calc") {
     val got = SparkEntry.queries("profile_power")(spark, sf).collect().head
     val xs = eventsRows.filter(t => t._2 == "purchase" || t._2 == "click")
