@@ -304,10 +304,11 @@ object GraftApi {
   // ---- statistics & evaluation (round 7b) ---------------------------
 
   /** Population Stability Index between the `isA` and !`isA` halves of
-    * `df`, over a precomputed integer `bin` column: (bin, n_a, n_b,
-    * term, psi). Laplace smoothing over `nBins` virtual bins; ln terms
-    * quantized at 1e-6 (the engine-wide PSI discipline — identical
-    * arithmetic to the `profile_psi` / `stream_drift` queries). */
+    * `df`, over a precomputed integer `bin` column taking values in
+    * [0, nBins): (bin, n_a, n_b, term, psi) over the FULL bin grid — a
+    * bin empty on both sides still carries its nonzero smoothed term
+    * (the profile_psi contract). Laplace smoothing; ln terms quantized
+    * at 1e-6 via the shared StatsOps.psiTerm kernel. */
   def psi(df: DataFrame, bin: Column, isA: Column,
       nBins: Int = 10): DataFrame = {
     val ev = df.select(bin.as("bin"),
@@ -315,13 +316,15 @@ object GraftApi {
     val bins = ev.groupBy("bin").agg(
       sum("isa").as("n_a"), (count(lit(1)) - sum("isa")).as("n_b"))
     val tot = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-    val j = bins.crossJoin(broadcast(tot))
-    val p = (col("n_a") + 1).cast(DoubleType) /
-      (col("ta") + nBins).cast(DoubleType)
-    val q = (col("n_b") + 1).cast(DoubleType) /
-      (col("tb") + nBins).cast(DoubleType)
-    val term = floor((p - q) * log(p / q) * 1e6 + 0.5).cast(LongType)
-    j.select(col("bin"), col("n_a"), col("n_b"), term.as("iterm"))
+    val grid = tot
+      .select(col("ta"), col("tb"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+      .join(bins, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"), col("ta"), col("tb"))
+    grid
+      .withColumn("iterm", graft.operators.StatsOps.psiTerm(
+        col("n_a"), col("ta"), col("n_b"), col("tb"), nBins))
       .withColumn("psi",
         sum("iterm").over(Window.partitionBy()).cast(DoubleType) / 1e6)
       .select(col("bin"), col("n_a"), col("n_b"),
@@ -330,108 +333,64 @@ object GraftApi {
 
   /** Mann–Whitney U (rank-sum) z-statistic between the `isTreatment`
     * and control rows of `df`, over an integer-quantized `value`
-    * column: one row (n1, n2, u1, z). Rank arithmetic is exact on the
-    * value-compacted frame (ranks ×2 stay integral); z is quantized at
-    * 1e-4. Compact the values FIRST (e.g. floor(x·100+0.5)) — the
-    * ranking window runs over distinct values, never raw rows. */
+    * column: one row (n1, n2, u1, z); z is NULL when the variance is 0
+    * (all values tied or an empty arm). Delegates to the operator core
+    * the `profile_mannwhitney` oracle verifies. Compact the values
+    * FIRST (e.g. floor(x·100+0.5)) — the ranking window runs over
+    * distinct values, never raw rows. */
   def mannWhitney(df: DataFrame, isTreatment: Column,
-      value: Column): DataFrame = {
-    val ev = df.select(when(isTreatment, 1L).otherwise(0L).as("g"),
-      value.cast(LongType).as("iv"))
-    val byV = ev.groupBy("iv").agg(sum("g").as("t1"), count(lit(1)).as("t"))
-    val w = Window.orderBy("iv")
-    val ranked = byV.withColumn("before", coalesce(
-      sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    val g = ranked.agg(
-      sum("t1").as("n1"), (sum("t") - sum("t1")).as("n2"),
-      sum(col("t1") * (col("before") * 2 + col("t") + 1)).as("r1x2"),
-      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-    val n1 = col("n1").cast(DoubleType)
-    val n2 = col("n2").cast(DoubleType)
-    val n = n1 + n2
-    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
-    val varU = n1 * n2 / 12.0 *
-      ((n + 1) - col("ties").cast(DoubleType) / (n * (n - 1)))
-    val z = (u1x2.cast(DoubleType) - n1 * n2) / (sqrt(varU) * 2.0)
-    g.select(col("n1"), col("n2"),
-      (u1x2.cast(DoubleType) / 2.0).as("u1"),
-      (floor(z * 1e4 + 0.5) / 1e4).as("z"))
-  }
+      value: Column): DataFrame =
+    graft.operators.StatsOps.mannWhitneyCore(df, isTreatment, value)
 
   /** Per-group Gini concentration over integer amounts (cents):
-    * (group, n, gini). Closed form on the ascending sort; the rank
-    * window is partitioned per group, sums go decimal (overflow-proof
-    * at any n). `id` breaks amount ties deterministically. */
+    * (g, n, s, gini) — gini NULL when the group total is 0. Delegates
+    * to the operator core the `agg_gini` oracle verifies; decimal sums
+    * are overflow-proof at any n. `id` breaks ties deterministically. */
   def gini(df: DataFrame, group: Column, cents: Column,
-      id: Column): DataFrame = {
-    val x = df.select(group.as("g"), cents.as("c"), id.as("i"))
-    val w = Window.partitionBy("g").orderBy("c", "i")
-    x.withColumn("r", row_number().over(w).cast(LongType))
-      .groupBy("g").agg(count(lit(1)).as("n"),
-        sum(col("c").cast(DecimalType(38, 0))).as("s"),
-        sum((col("r") * col("c")).cast(DecimalType(38, 0))).as("s1"))
-      .select(col("g"), col("n"),
-        (floor((col("s1") * 2 - (col("n") + 1) * col("s")).cast(DoubleType)
-          / (col("n") * col("s")).cast(DoubleType) * 1e6 + 0.5) / 1e6)
-          .as("gini"))
-  }
+      id: Column): DataFrame =
+    graft.operators.StatsOps.giniCore(df, group, cents, id)
+
+  /** Kaplan–Meier survival over a (t, dead) subject frame: per distinct
+    * duration, (t, n_risk, d, c, log_surv, survival) — with exact-zero
+    * survival (and NULL log_surv) once a step kills every at-risk
+    * subject. Delegates to the core the `agg_survival` oracle
+    * verifies. */
+  def kaplanMeier(subjects: DataFrame): DataFrame =
+    graft.operators.StatsOps.kaplanMeierCore(subjects)
 
   /** Shortlist recall@k: how many ids of each query's `exact` top-k
     * survive in `approx` — (q_id, hits, recall). Both inputs are
     * (q_id, vec_id) frames; the metric that qualifies a cheap ANN index
-    * before it replaces the exact path. */
+    * before it replaces the exact path (sim_recall_eval's core). */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
-    exact.join(approx.withColumn("__hit", lit(1L)),
-        Seq("q_id", "vec_id"), "left")
-      .groupBy("q_id")
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
-      .select(col("q_id"), col("hits"),
-        (col("hits").cast(DoubleType) / k.toDouble).as("recall"))
+    graft.operators.VectorOps.recallJoin(exact, approx, k)
 
   /** The signed hashing trick over a (id, text) frame: sparse
     * (id, dim, weight) rows in a fixed `dims`-dimensional space, md5
-    * dims and ±1 signs (engine-portable, no vocabulary state). */
+    * dims and ±1 signs (engine-portable, no vocabulary state) —
+    * text_hash_embed's core. */
   def hashEmbed(docs: DataFrame, id: Column, text: Column,
       dims: Int = 256): DataFrame =
-    docs.select(id.as("id"), explode(split(text, " ")).as("tok"))
-      .where(length(col("tok")) > 0)
-      .select(col("id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
-          .cast(LongType) % dims).as("dim"),
-        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
-          .cast(LongType) % 2 === 0, 1L).otherwise(-1L).as("sign"))
-      .groupBy("id", "dim").agg(sum("sign").as("weight"))
-      .where(col("weight") =!= 0)
+    graft.operators.TextOps.hashEmbedCore(docs, id, text, dims)
 
   /** Per-group cap: keep at most `cap` rows per `group`, preferring
     * the largest `score` (ties → smallest `id`) — the C4/Dolma
-    * domain-cap rule, frame-generic. Adds a `rank` column. */
+    * domain-cap rule, frame-generic (pipeline_source_cap's core).
+    * Appends a `rank` column, REPLACING any existing column of that
+    * name on the input frame. */
   def capPerGroup(df: DataFrame, group: Column, score: Column,
-      id: Column, cap: Int): DataFrame = {
-    val w = Window.partitionBy(group).orderBy(score.desc, id)
-    df.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= cap)
-  }
+      id: Column, cap: Int): DataFrame =
+    graft.operators.CurationOps.capPerGroupCore(df, group, score, id, cap)
 
   /** One-sided CUSUM over an ordered integer series (ord, x): adds the
     * running change-point statistic via the closed form P_t − min P_j
     * (two frames, one ordering — the recurrence itself is not
     * window-expressible). Deviations are vs the series' own mean,
-    * scaled ×n to stay integral. Output: (ord, x, cusum_scaled) with
-    * cusum_scaled in x·n units — divide by n to read in x units. */
-  def cusum(series: DataFrame, ord: Column, x: Column): DataFrame = {
-    val s = series.select(ord.as("ord"), x.cast(LongType).as("x"))
-    val tot = s.agg(count(lit(1)).as("nn"), sum("x").as("t"))
-    val wp = Window.orderBy("ord")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    s.crossJoin(broadcast(tot))
-      .withColumn("__dev", col("x") * col("nn") - col("t"))
-      .withColumn("__p", sum("__dev").over(wp))
-      .select(col("ord"), col("x"),
-        (col("__p") - least(min("__p").over(wp), lit(0L)))
-          .as("cusum_scaled"),
-        col("nn"))
-  }
+    * scaled ×n to stay integral. Output: (ord, x, nn, cusum_scaled)
+    * with cusum_scaled in x·n units — divide by the `nn` column to
+    * read in x units (win_cusum's core). */
+  def cusum(series: DataFrame, ord: Column, x: Column): DataFrame =
+    graft.operators.StatsOps.cusumCore(series, ord, x)
 
   // ---- quality ------------------------------------------------------
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -43,6 +44,26 @@ import org.apache.spark.sql.types._
   *    for a fixed-step power iteration).
   */
 object AnalyticsOps extends QueryModule {
+
+  /** The ONE support-≥2 co-purchase edge list (a < b over partkeys),
+    * materialized once per lineitem snapshot through the fingerprinted
+    * fixture and shared by graph_jaccard and graph_bfs (a per-op copy
+    * of the builder lambda could silently diverge while both read the
+    * same writeOnce path — round-7b review finding). */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val dir = Fixtures.copurchaseEdges(s, d) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 2)
+        .select("a", "b")
+    }
+    s.read.schema(Fixtures.copurchaseSchema).parquet(dir)
+  }
 
   /** scale used to quantize log terms — see determinism notes above */
   private val EntScale = 1e4
@@ -527,18 +548,7 @@ object AnalyticsOps extends QueryModule {
     "graph_jaccard" -> ((s, d) => {
       // edges come from the fingerprinted fixture (computed once per
       // lineitem snapshot; live aggregation priced by graph_triangles)
-      val eDir = Fixtures.copurchaseEdges(s, d) {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
-          .where(col("pk") < col("pk2"))
-          .groupBy(col("pk").as("a"), col("pk2").as("b"))
-          .agg(count(lit(1)).as("sup"))
-          .where(col("sup") >= 2)
-          .select("a", "b")
-      }
-      val e = s.read.schema(Fixtures.copurchaseSchema).parquet(eDir)
+      val e = copurchaseEdges(s, d)
       // symmetric neighbor list + degrees
       val n = e.select(col("a").as("x"), col("b").as("y"))
         .unionByName(e.select(col("b").as("x"), col("a").as("y")))
@@ -574,18 +584,7 @@ object AnalyticsOps extends QueryModule {
     // round cap is part of the op's CONTRACT (dist ≤ 6 — "within six
     // hops"), which is what makes the DuckDB recursive replay finite.
     "graph_bfs" -> ((s, d) => {
-      val eDir = Fixtures.copurchaseEdges(s, d) {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        li.join(li.select(col("ok"), col("pk").as("pk2")), "ok")
-          .where(col("pk") < col("pk2"))
-          .groupBy(col("pk").as("a"), col("pk2").as("b"))
-          .agg(count(lit(1)).as("sup"))
-          .where(col("sup") >= 2)
-          .select("a", "b")
-      }
-      val e = s.read.schema(Fixtures.copurchaseSchema).parquet(eDir)
+      val e = copurchaseEdges(s, d)
       val n = e.select(col("a").as("x"), col("b").as("y"))
         .unionByName(e.select(col("b").as("x"), col("a").as("y")))
       // source = the max-degree hub (ties → min id): the support-filtered

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{Column, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -31,6 +31,17 @@ import org.apache.spark.sql.types._
   *    DuckDB oracle from the same loop, so the two engines cannot drift.
   */
 object CurationOps extends QueryModule {
+
+  /** Frame-parametric per-group cap core (bound by pipeline_source_cap,
+    * re-exposed by GraftApi.capPerGroup): keep ≤ cap rows per group,
+    * largest `score` first (ties → smallest `id`). Appends `rank` —
+    * REPLACING any pre-existing column of that name. */
+  private[graft] def capPerGroupCore(df: DataFrame, group: Column,
+      score: Column, id: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(score.desc, id)
+    df.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= cap)
+  }
 
   /** 16-bit × 16-bit Morton interleave: bit i of `a` lands at position
     * 2i, bit i of `b` at 2i+1. Plain integer arithmetic — stays inside
@@ -328,17 +339,13 @@ object CurationOps extends QueryModule {
     // source — at 100 TB this is a per-domain shuffle whose partitions
     // are bounded by the cap's rank cutoff, with AQE skew-split handling
     // the megadomains; no global ordering anywhere.
-    "pipeline_source_cap" -> ((s, d) => {
-      val cap = 20
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-        .withColumn("rank", row_number().over(w).cast(LongType))
-        .where(col("rank") <= cap)
+    "pipeline_source_cap" -> ((s, d) =>
+      capPerGroupCore(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), col("n_chars"), col("doc_id"), 20)
         .select("source", "rank", "doc_id", "n_chars")
-        .orderBy("source", "rank")
-    }),
+        .orderBy("source", "rank")),
 
     // temperature-scaled mixture sampling (the multilingual-LM data
     // recipe, e.g. XLM-R / mT5: domain share ∝ n^α with α = 0.5) —

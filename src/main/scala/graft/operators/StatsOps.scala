@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -34,6 +35,121 @@ object StatsOps extends QueryModule {
     * are summed exactly as integers afterwards). */
   private val LnScale = 1e6
 
+  /** Shared Laplace-smoothed PSI term, quantized (the ONE definition —
+    * profile_psi, stream_drift and GraftApi.psi all replay it):
+    * ⌊(p−q)·ln(p/q)·10⁶+½⌋ with p=(n+1)/(tot+nBins), q=(nb+1)/(tb+nBins).
+    * Callers must feed the FULL bin grid (bins empty on both sides
+    * still contribute a nonzero term whenever tot ≠ tb — dropping them
+    * understates PSI; round-7b review finding). */
+  private[graft] def psiTerm(n: Column, tot: Column, nb: Column,
+      tb: Column, nBins: Int): Column = {
+    val p = (n + 1).cast(DoubleType) / (tot + nBins).cast(DoubleType)
+    val q = (nb + 1).cast(DoubleType) / (tb + nBins).cast(DoubleType)
+    floor((p - q) * log(p / q) * LnScale + 0.5).cast(LongType)
+  }
+
+  /** Frame-parametric Mann–Whitney core (bound by profile_mannwhitney,
+    * re-exposed by GraftApi.mannWhitney): value-compacted exact rank
+    * algebra; z is NULL when varU = 0 (all values tied, or an empty
+    * arm) — Spark would emit NaN where DuckDB NULLs, so the guard IS
+    * the cross-engine contract. `value` must already be integer-
+    * quantized. */
+  private[graft] def mannWhitneyCore(df: DataFrame, isTreatment: Column,
+      value: Column): DataFrame = {
+    val ev = df.select(when(isTreatment, 1L).otherwise(0L).as("g"),
+      value.cast(LongType).as("iv"))
+    val byV = ev.groupBy("iv").agg(sum("g").as("t1"), count(lit(1)).as("t"))
+    val w = Window.orderBy("iv")
+    val ranked = byV.withColumn("before", coalesce(
+      sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val g = ranked.agg(
+      sum("t1").as("n1"), (sum("t") - sum("t1")).as("n2"),
+      sum(col("t1") * (col("before") * 2 + col("t") + 1)).as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val n1 = col("n1").cast(DoubleType)
+    val n2 = col("n2").cast(DoubleType)
+    val n = n1 + n2
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
+    val varU = n1 * n2 / 12.0 *
+      ((n + 1) - col("ties").cast(DoubleType) / (n * (n - 1)))
+    val z = (u1x2.cast(DoubleType) - n1 * n2) / (sqrt(varU) * 2.0)
+    g.select(col("n1"), col("n2"),
+      (u1x2.cast(DoubleType) / 2.0).as("u1"),
+      when(varU > 0, floor(z * StatScale + 0.5) / StatScale).as("z"))
+  }
+
+  /** Frame-parametric Gini core (bound by agg_gini, re-exposed by
+    * GraftApi.gini): closed form on the ascending per-entity sort;
+    * decimal sums (Σi·cents overflows BIGINT near 10⁹ entities/group);
+    * NULL when the group's total is 0 (Gini of nothing is undefined —
+    * Spark NaN vs DuckDB NULL otherwise). Output: (g, n, s, gini). */
+  private[graft] def giniCore(df: DataFrame, group: Column, cents: Column,
+      id: Column): DataFrame = {
+    val x = df.select(group.as("g"), cents.as("c"), id.as("i"))
+    val w = Window.partitionBy("g").orderBy("c", "i")
+    x.withColumn("r", row_number().over(w).cast(LongType))
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("c").cast(DecimalType(38, 0))).as("s"),
+        sum((col("r") * col("c")).cast(DecimalType(38, 0))).as("s1"))
+      .select(col("g"), col("n"), col("s"),
+        when(col("s") =!= 0,
+          floor((col("s1") * 2 - (col("n") + 1) * col("s")).cast(DoubleType)
+            / (col("n") * col("s")).cast(DoubleType) * LnScale + 0.5)
+            / LnScale).as("gini"))
+  }
+
+  /** Frame-parametric Kaplan–Meier core over a (t, dead) subject frame
+    * (bound by agg_survival, re-exposed by GraftApi.kaplanMeier).
+    * Extinction is handled explicitly: a step where EVERY at-risk
+    * subject dies (d = n) sends S to exactly 0 — ln(1−d/n) would be
+    * ln(0), which Spark NULLs (silently dropping the −∞ term) and
+    * DuckDB hard-errors on; the `extinct` running flag is the shared
+    * contract (survival 0.0, log_surv NULL from that step on). */
+  private[graft] def kaplanMeierCore(subj: DataFrame): DataFrame = {
+    val byT = subj.groupBy("t").agg(
+      sum("dead").as("d"), (count(lit(1)) - sum("dead")).as("c"))
+    val wRev = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT
+      .withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
+    val lnTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      floor(log(lit(1.0) - col("d").cast(DoubleType) /
+        col("n_risk").cast(DoubleType)) * LnScale + 0.5).cast(LongType))
+      .otherwise(0L)
+    atRisk.withColumn("iln", lnTerm)
+      .withColumn("extinct",
+        max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+          .over(wFwd))
+      .withColumn("log_surv", when(col("extinct") === 0,
+        sum("iln").over(wFwd).cast(DoubleType) / LnScale))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        col("log_surv"),
+        when(col("extinct") === 1, 0.0)
+          .otherwise(floor(exp(col("log_surv")) * StatScale + 0.5)
+            / StatScale).as("survival"))
+  }
+
+  /** Frame-parametric one-sided CUSUM core (bound by win_cusum's chart,
+    * re-exposed by GraftApi.cusum): closed form s_t = P_t − min(0, min
+    * P_j) over deviation-scaled integers (dev = x·n − T — stays
+    * integral, no division). Output: (ord, x, nn, cusum_scaled) with
+    * cusum_scaled in x·n units. */
+  private[graft] def cusumCore(series: DataFrame, ord: Column,
+      x: Column): DataFrame = {
+    val s = series.select(ord.as("ord"), x.cast(LongType).as("x"))
+    val tot = s.agg(count(lit(1)).as("nn"), sum("x").as("t"))
+    val wp = Window.orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s.crossJoin(broadcast(tot))
+      .withColumn("__dev", col("x") * col("nn") - col("t"))
+      .withColumn("__p", sum("__dev").over(wp))
+      .select(col("ord"), col("x"), col("nn"),
+        (col("__p") - least(min("__p").over(wp), lit(0L)))
+          .as("cusum_scaled"))
+  }
+
   /** Benford expected shares log10(1+1/d) as ONE shared CASE string of
     * round-trip double literals (the bm25Expr discipline). The E0
     * suffix matters: a bare decimal literal parses as DECIMAL in both
@@ -52,36 +168,12 @@ object StatsOps extends QueryModule {
     // z. All rank arithmetic is exact integers on the value-compacted
     // frame: avg rank of tied value v = before(v) + (t_v + 1)/2, kept
     // ×2 to stay integral.
-    "profile_mannwhitney" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .where(col("event_type").isin("purchase", "click"))
-        .select(col("event_type"),
-          floor(col("value") * 100 + 0.5).cast(LongType).as("iv"))
-      val byV = ev.groupBy("iv").agg(
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("t1"),
-        count(lit(1)).as("t"))
-      val w = Window.orderBy("iv")
-      val ranked = byV.withColumn("before", coalesce(
-        sum("t").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      // 2·R1 = Σ_v t1_v · (2·before_v + t_v + 1); tie term Σ (t³ − t)
-      val g = ranked.agg(
-        sum("t1").as("n1"),
-        (sum("t") - sum("t1")).as("n2"),
-        sum(col("t1") * (col("before") * 2 + col("t") + 1)).as("r1x2"),
-        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-      val n1 = col("n1").cast(DoubleType)
-      val n2 = col("n2").cast(DoubleType)
-      val n = n1 + n2
-      // U1 = R1 − n1(n1+1)/2, computed ×2 to stay integer-exact
-      val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
-      val mu1x2 = n1 * n2 // = 2 · n1·n2/2
-      val varU = n1 * n2 / 12.0 *
-        ((n + 1) - col("ties").cast(DoubleType) / (n * (n - 1)))
-      val z = (u1x2.cast(DoubleType) - mu1x2) / (sqrt(varU) * 2.0)
-      g.select(col("n1"), col("n2"),
-        (u1x2.cast(DoubleType) / 2.0).as("u1"),
-        (floor(z * StatScale + 0.5) / StatScale).as("z"))
-    }),
+    "profile_mannwhitney" -> ((s, d) =>
+      mannWhitneyCore(
+        Tables.events(s, d)
+          .where(col("event_type").isin("purchase", "click")),
+        col("event_type") === "purchase",
+        floor(col("value") * 100 + 0.5))),
 
     // ── Population Stability Index, first vs second half of the month ──
     // The deployed-model drift gate: PSI = Σ (p−q)·ln(p/q) over fixed
@@ -89,6 +181,10 @@ object StatsOps extends QueryModule {
     // quantile fit precedes the scan; Laplace-smoothed shares make empty
     // bins well-defined. Each bin term is ln-quantized then summed —
     // 10 rows, so the "window" total is trivially cheap at any scale.
+    // The FULL fixed 0..9 grid is part of the contract: a bin empty in
+    // BOTH halves still carries a nonzero smoothed term whenever
+    // ta ≠ tb (round-7b review: dropping such bins understated PSI and
+    // broke the smoothed-shares-sum-to-1 property).
     "profile_psi" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
         least(floor(col("value") / lit(56.1)), lit(9)).cast(IntegerType)
@@ -97,13 +193,15 @@ object StatsOps extends QueryModule {
       val bins = ev.groupBy("bin").agg(
         sum("isA").as("n_a"), (count(lit(1)) - sum("isA")).as("n_b"))
       val tot = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-      val j = bins.crossJoin(broadcast(tot))
-      val p = (col("n_a") + 1).cast(DoubleType) / (col("ta") + 10).cast(DoubleType)
-      val q = (col("n_b") + 1).cast(DoubleType) / (col("tb") + 10).cast(DoubleType)
-      val term = floor((p - q) * log(p / q) * LnScale + 0.5).cast(LongType)
-      val perBin = j.select(col("bin"), col("n_a"), col("n_b"),
-        term.as("iterm"))
-      perBin
+      val grid = tot
+        .select(col("ta"), col("tb"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+        .join(bins, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"), col("ta"), col("tb"))
+      grid
+        .withColumn("iterm",
+          psiTerm(col("n_a"), col("ta"), col("n_b"), col("tb"), 10))
         .withColumn("psi",
           sum("iterm").over(Window.partitionBy()).cast(DoubleType) / LnScale)
         .select(col("bin"), col("n_a"), col("n_b"),
@@ -172,21 +270,11 @@ object StatsOps extends QueryModule {
           (col("spend") * 100).cast(LongType).as("cents"))
       val seg = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment").as("segment"))
-      val x = spend.join(seg, col("o_custkey") === col("c_custkey"))
-      val w = Window.partitionBy("segment").orderBy("cents", "o_custkey")
-      val ranked = x.withColumn("i", row_number().over(w).cast(LongType))
-      // rank-weighted sums go decimal: Σ i·cents grows ~ n²·spend and
-      // would overflow BIGINT near ~10⁹ customers/segment (DuckDB's
-      // HUGEINT widens automatically; Spark must opt in)
-      val g = ranked.groupBy("segment").agg(
-        count(lit(1)).as("n_customers"),
-        sum(col("cents").cast(DecimalType(38, 0))).as("s"),
-        sum((col("i") * col("cents")).cast(DecimalType(38, 0))).as("s1"))
-      val gini = (col("s1") * 2 - (col("n_customers") + 1) * col("s"))
-        .cast(DoubleType) / (col("n_customers") * col("s")).cast(DoubleType)
-      g.select(col("segment"), col("n_customers"),
+      giniCore(spend.join(seg, col("o_custkey") === col("c_custkey")),
+          col("segment"), col("cents"), col("o_custkey"))
+        .select(col("g").as("segment"), col("n").as("n_customers"),
           (col("s").cast(DoubleType) / 100.0).as("total_spend"),
-          (floor(gini * LnScale + 0.5) / LnScale).as("gini"))
+          col("gini"))
         .orderBy("segment")
     }),
 
@@ -216,11 +304,15 @@ object StatsOps extends QueryModule {
         sum(col("dev") * col("dev")).as("s0"),
         sum(col("dev") * col("dev1")).as("s1"),
         sum(col("dev") * col("dev7")).as("s7"))
+      // s0 = 0 ⟺ every day has identical revenue: autocorrelation is
+      // undefined (Spark NaN vs DuckDB NULL — the guard is the contract)
       g.select(col("n_days"),
-        (floor(col("s1").cast(DoubleType) / col("s0").cast(DoubleType)
-          * LnScale + 0.5) / LnScale).as("acf1"),
-        (floor(col("s7").cast(DoubleType) / col("s0").cast(DoubleType)
-          * LnScale + 0.5) / LnScale).as("acf7"))
+        when(col("s0") =!= 0,
+          floor(col("s1").cast(DoubleType) / col("s0").cast(DoubleType)
+            * LnScale + 0.5) / LnScale).as("acf1"),
+        when(col("s0") =!= 0,
+          floor(col("s7").cast(DoubleType) / col("s0").cast(DoubleType)
+            * LnScale + 0.5) / LnScale).as("acf7"))
     }),
 
     // ── Benford first-digit audit over order totals ──
@@ -295,10 +387,12 @@ object StatsOps extends QueryModule {
         col("s2").cast(DoubleType) / n2
       val zsum = expr("1.959963984540054E0 + 0.8416212335729143E0")
       val nReq = ceil(lit(2.0) * s2p * zsum * zsum / (delta * delta))
+      // δ = 0 (identical arm means): no finite n detects a zero effect —
+      // NULL, not Spark's ceil(Inf) vs DuckDB's NULL divergence
       g.select(col("n1"), col("n2"),
         (floor(delta * StatScale + 0.5) / StatScale / 100.0).as("delta"),
         (floor(s2p * StatScale + 0.5) / StatScale / 10000.0).as("s2_pooled"),
-        nReq.cast(LongType).as("n_required"))
+        when(delta =!= 0, nReq.cast(LongType)).as("n_required"))
     }),
 
     // ── ratio metric with delta-method variance, per user cohort ──
@@ -317,12 +411,15 @@ object StatsOps extends QueryModule {
             floor(col("value") * 100 + 0.5).cast(LongType))
             .otherwise(0L)).as("x"),
           count(lit(1)).as("y"))
+      // second moments go decimal: Σx² over user cent totals passes
+      // BIGINT range near 10⁸ heavy users (the agg_gini overflow rule;
+      // DuckDB widens to HUGEINT automatically, Spark must opt in)
       val g = perUser.groupBy("bucket").agg(
         count(lit(1)).as("n_users"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
+        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
       val r = col("sx").cast(DoubleType) / col("sy").cast(DoubleType)
       // Σ(x−Ry)² = Σx² − 2RΣxy + R²Σy², with R quantized once so the
       // expansion is a fixed double expression on both engines
@@ -366,26 +463,7 @@ object StatsOps extends QueryModule {
         .select(datediff(col("d1"), col("d0")).cast(LongType).as("t"),
           when(datediff(col("maxd"), col("d1")) > 2, 1L).otherwise(0L)
             .as("dead"))
-      val byT = subj.groupBy("t").agg(
-        sum("dead").as("d"), (count(lit(1)) - sum("dead")).as("c"))
-      val wRev = Window.orderBy(col("t").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wFwd = Window.orderBy(col("t"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val atRisk = byT
-        .withColumn("n_risk", sum(col("d") + col("c")).over(wRev))
-      val lnTerm = when(col("d") > 0,
-        floor(log(lit(1.0) - col("d").cast(DoubleType) /
-          col("n_risk").cast(DoubleType)) * LnScale + 0.5).cast(LongType))
-        .otherwise(0L)
-      atRisk.withColumn("iln", lnTerm)
-        .withColumn("log_surv",
-          sum("iln").over(wFwd).cast(DoubleType) / LnScale)
-        .select(col("t"), col("n_risk"), col("d"), col("c"),
-          col("log_surv"),
-          (floor(exp(col("log_surv")) * StatScale + 0.5) / StatScale)
-            .as("survival"))
-        .orderBy("t")
+      kaplanMeierCore(subj).orderBy("t")
     }),
 
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
@@ -419,9 +497,12 @@ object StatsOps extends QueryModule {
         (col("sy").cast(DoubleType) / LnScale).as("b"),
         (col("sxy").cast(DoubleType) / lit(LnScale * LnScale)).as("c"),
         (col("sxx").cast(DoubleType) / lit(LnScale * LnScale)).as("e"))
+      // a 1-token vocabulary has zero x-variance: no line to fit (the
+      // NULL guard keeps Spark NaN and DuckDB NULL from diverging)
       val fitted = moments.select(col("nd"), col("a"), col("b"),
-        ((col("nd") * col("c") - col("a") * col("b")) /
-          (col("nd") * col("e") - col("a") * col("a"))).as("slope"))
+        when(col("nd") * col("e") - col("a") * col("a") =!= 0.0,
+          (col("nd") * col("c") - col("a") * col("b")) /
+            (col("nd") * col("e") - col("a") * col("a"))).as("slope"))
       fitted.select(col("nd").cast(LongType).as("n_vocab"),
         (floor(col("slope") * StatScale + 0.5) / StatScale).as("zipf_slope"),
         (floor((col("b") - col("slope") * col("a")) / col("nd")
@@ -445,17 +526,22 @@ object StatsOps extends QueryModule {
         |    CAST(SUM(t) - SUM(t1) AS BIGINT) AS n2,
         |    CAST(SUM(t1 * (bef * 2 + t + 1)) AS BIGINT) AS r1x2,
         |    CAST(SUM(t * t * t - t) AS BIGINT) AS ties
-        |  FROM rk)
+        |  FROM rk),
+        |v AS (SELECT n1, n2, r1x2,
+        |    CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |      * ((CAST(n1 + n2 AS DOUBLE) + 1)
+        |        - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
+        |          * (CAST(n1 + n2 AS DOUBLE) - 1))) AS varu
+        |  FROM g)
         |SELECT n1, n2,
         |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-        |  floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
-        |      - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
-        |    / (sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
-        |        * ((CAST(n1 + n2 AS DOUBLE) + 1)
-        |          - CAST(ties AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE)
-        |            * (CAST(n1 + n2 AS DOUBLE) - 1)))) * 2.0)
-        |    * $StatScale + 0.5) / $StatScale AS z
-        |FROM g""".stripMargin,
+        |  CASE WHEN varu > 0 THEN
+        |    floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+        |        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |      / (sqrt(varu) * 2.0)
+        |      * $StatScale + 0.5) / $StatScale
+        |  END AS z
+        |FROM v""".stripMargin,
     "profile_psi" ->
       s"""WITH ev AS (SELECT CAST(least(floor(value / 56.1), 9) AS INTEGER)
         |    AS bin,
@@ -466,13 +552,18 @@ object StatsOps extends QueryModule {
         |  FROM ev GROUP BY bin),
         |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
         |    CAST(SUM(n_b) AS BIGINT) AS tb FROM bins),
+        |grid AS (SELECT CAST(g.b AS INTEGER) AS bin,
+        |    COALESCE(bins.n_a, 0) AS n_a, COALESCE(bins.n_b, 0) AS n_b,
+        |    tot.ta, tot.tb
+        |  FROM unnest(range(0, 10)) AS g(b) CROSS JOIN tot
+        |  LEFT JOIN bins ON bins.bin = g.b),
         |pb AS (SELECT bin, n_a, n_b,
         |    CAST(floor((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE)
         |        - CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))
         |      * ln((CAST(n_a + 1 AS DOUBLE) / CAST(ta + 10 AS DOUBLE))
         |          / (CAST(n_b + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE)))
         |      * $LnScale + 0.5) AS BIGINT) AS iterm
-        |  FROM bins, tot)
+        |  FROM grid)
         |SELECT bin, n_a, n_b,
         |  CAST(iterm AS DOUBLE) / $LnScale AS term,
         |  CAST(SUM(iterm) OVER () AS DOUBLE) / $LnScale AS psi
@@ -524,9 +615,10 @@ object StatsOps extends QueryModule {
         |  FROM x GROUP BY segment)
         |SELECT segment, n_customers,
         |  CAST(s AS DOUBLE) / 100.0 AS total_spend,
-        |  floor(CAST(s1 * 2 - (n_customers + 1) * s AS DOUBLE)
-        |      / CAST(n_customers * s AS DOUBLE) * $LnScale + 0.5) / $LnScale
-        |    AS gini
+        |  CASE WHEN s <> 0 THEN
+        |    floor(CAST(s1 * 2 - (n_customers + 1) * s AS DOUBLE)
+        |        / CAST(n_customers * s AS DOUBLE) * $LnScale + 0.5)
+        |      / $LnScale END AS gini
         |FROM g ORDER BY segment""".stripMargin,
     "agg_autocorr" ->
       s"""WITH dly AS (SELECT
@@ -552,10 +644,12 @@ object StatsOps extends QueryModule {
         |    CAST(SUM(dev * dev7) AS BIGINT) AS s7
         |  FROM p)
         |SELECT n_days,
-        |  floor(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
-        |    / $LnScale AS acf1,
-        |  floor(CAST(s7 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
-        |    / $LnScale AS acf7
+        |  CASE WHEN s0 <> 0 THEN
+        |    floor(CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
+        |      / $LnScale END AS acf1,
+        |  CASE WHEN s0 <> 0 THEN
+        |    floor(CAST(s7 AS DOUBLE) / CAST(s0 AS DOUBLE) * $LnScale + 0.5)
+        |      / $LnScale END AS acf7
         |FROM g""".stripMargin,
     "profile_benford" ->
       s"""WITH c AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
@@ -596,17 +690,25 @@ object StatsOps extends QueryModule {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS n_risk FROM byt),
         |ln_t AS (SELECT *,
-        |    CASE WHEN d > 0 THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
-        |      / CAST(n_risk AS DOUBLE)) * $LnScale + 0.5) AS BIGINT)
+        |    CASE WHEN d > 0 AND d < n_risk
+        |      THEN CAST(floor(ln(1.0 - CAST(d AS DOUBLE)
+        |        / CAST(n_risk AS DOUBLE)) * $LnScale + 0.5) AS BIGINT)
         |    ELSE 0 END AS iln
         |  FROM ar),
         |cum AS (SELECT *, CAST(SUM(iln) OVER (ORDER BY t
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |    AS cln FROM ln_t)
+        |    AS cln,
+        |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS extinct
+        |  FROM ln_t)
         |SELECT t, n_risk, d, c,
-        |  CAST(cln AS DOUBLE) / $LnScale AS log_surv,
-        |  floor(exp(CAST(cln AS DOUBLE) / $LnScale) * $StatScale + 0.5)
-        |    / $StatScale AS survival
+        |  CASE WHEN extinct = 0 THEN CAST(cln AS DOUBLE) / $LnScale END
+        |    AS log_surv,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |    ELSE floor(exp(CAST(cln AS DOUBLE) / $LnScale)
+        |      * $StatScale + 0.5) / $StatScale
+        |  END AS survival
         |FROM cum ORDER BY t""".stripMargin,
     "profile_power" ->
       s"""WITH ev AS (SELECT
@@ -636,10 +738,12 @@ object StatsOps extends QueryModule {
         |  floor(delta * $StatScale + 0.5) / $StatScale / 100.0 AS delta,
         |  floor(s2p * $StatScale + 0.5) / $StatScale / 10000.0
         |    AS s2_pooled,
-        |  CAST(ceil(2.0 * s2p
-        |      * (1.959963984540054E0 + 0.8416212335729143E0)
-        |      * (1.959963984540054E0 + 0.8416212335729143E0)
-        |      / (delta * delta)) AS BIGINT) AS n_required
+        |  CASE WHEN delta <> 0 THEN
+        |    CAST(ceil(2.0 * s2p
+        |        * (1.959963984540054E0 + 0.8416212335729143E0)
+        |        * (1.959963984540054E0 + 0.8416212335729143E0)
+        |        / (delta * delta)) AS BIGINT)
+        |  END AS n_required
         |FROM c""".stripMargin,
     "agg_ratio_metrics" ->
       s"""WITH pu AS (SELECT user_id % 5 AS bucket, user_id,
@@ -694,7 +798,8 @@ object StatsOps extends QueryModule {
         |    CAST(sxx AS DOUBLE) / ${LnScale * LnScale} AS e
         |  FROM g),
         |f AS (SELECT nd, a, b,
-        |    (nd * c - a * b) / (nd * e - a * a) AS slope
+        |    CASE WHEN nd * e - a * a <> 0.0 THEN
+        |      (nd * c - a * b) / (nd * e - a * a) END AS slope
         |  FROM m)
         |SELECT CAST(nd AS BIGINT) AS n_vocab,
         |  floor(slope * $StatScale + 0.5) / $StatScale AS zipf_slope,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -67,6 +67,22 @@ object TextOps extends QueryModule {
   private def ndcgTermSql(gain: String, pos: String): String =
     s"CAST(floor(CAST($gain AS DOUBLE) * (${ndcgDiscountCase(pos)}) " +
       "* 1e6 + 0.5) AS BIGINT)"
+
+  /** Frame-parametric signed-hashing-trick core (bound by
+    * text_hash_embed, re-exposed by GraftApi.hashEmbed): md5 dims +
+    * ±1 signs, sparse (id, dim, weight) rows, exact-zero weights
+    * dropped. */
+  private[graft] def hashEmbedCore(docs: DataFrame, id: Column,
+      text: Column, dims: Int): DataFrame =
+    docs.select(id.as("id"), explode(split(text, " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast(LongType) % dims).as("dim"),
+        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+          .cast(LongType) % 2 === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy("id", "dim").agg(sum("sign").as("weight"))
+      .where(col("weight") =!= 0)
 
   // quality-score ingredients (shared by text_quality and
   // pipeline_training_set — op order must stay identical to the oracles)
@@ -828,20 +844,11 @@ object TextOps extends QueryModule {
     // the sparse (doc_id, dim, weight) long form; the shuffle carries
     // only those triples — at 100 TB this is a narrow map + one
     // (doc_id, dim) combine, no corpus-wide state anywhere.
-    "text_hash_embed" -> ((s, d) => {
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .where(length(col("tok")) > 0)
-      val hashed = toks.select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10)
-          .cast(LongType) % 256).as("dim"),
-        when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
-          .cast(LongType) % 2 === 0, 1L).otherwise(-1L).as("sign"))
-      hashed.groupBy("doc_id", "dim")
-        .agg(sum("sign").as("weight"))
-        .where(col("weight") =!= 0)
-        .orderBy("doc_id", "dim")
-    }),
+    "text_hash_embed" -> ((s, d) =>
+      hashEmbedCore(Tables.documents(s, d), col("doc_id"), col("text"),
+          256)
+        .select(col("id").as("doc_id"), col("dim"), col("weight"))
+        .orderBy("doc_id", "dim")),
 
     // exact dedup over the CANONICALIZED text: near-miss duplicates that
     // differ only in case/diacritics/whitespace collapse into one hash

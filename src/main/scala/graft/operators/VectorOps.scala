@@ -32,6 +32,18 @@ object VectorOps extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotF(a, b)
 
+  /** Frame-parametric recall@k join (bound by sim_recall_eval,
+    * re-exposed by GraftApi.recallAtK): per q_id, how many `exact`
+    * (q_id, vec_id) rows survive in `approx`. */
+  private[graft] def recallJoin(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame =
+    exact.join(approx.withColumn("__hit", lit(1L)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        (col("hits").cast(DoubleType) / k.toDouble).as("recall"))
+
   /** 32 sign bits of `embedding` dims [base, base+32) packed into one
     * integer word — the 1-bit quantizer shared by sim_binary_topk's
     * scan and sim_recall_eval's replay of it. */
@@ -845,13 +857,8 @@ object VectorOps extends QueryModule {
             .cast(LongType).as("hamming"))
         .withColumn("crk", row_number().over(wh))
         .where(col("crk") <= 200)
-        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-      exact.join(short, Seq("q_id", "vec_id"), "left")
-        .groupBy("q_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-        .select(col("q_id"), col("hits"),
-          (col("hits").cast(DoubleType) / 10.0).as("recall"))
-        .orderBy("q_id")
+        .select("q_id", "vec_id")
+      recallJoin(exact, short, 10).orderBy("q_id")
     }),
 
     // all pairs above a cosine threshold — embedding-based near-dup, the

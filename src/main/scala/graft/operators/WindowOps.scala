@@ -384,23 +384,22 @@ object WindowOps extends QueryModule {
       val daily = Tables.events(s, d)
         .groupBy(to_date(col("ts")).as("day"))
         .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
-      val tot = daily.agg(count(lit(1)).as("dd"), sum("cents").as("t"),
-        sum(col("cents") * col("cents")).as("sx2"))
-      val j = daily.crossJoin(broadcast(tot))
-        .withColumn("dev", col("cents") * col("dd") - col("t"))
-      val wp = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val scored = j
-        .withColumn("p", sum("dev").over(wp))
-        .withColumn("cusum_s", col("p") - least(min("p").over(wp), lit(0L)))
-        .withColumn("thr", floor(
+      // the closed-form statistic comes from the shared core
+      // (StatsOps.cusumCore — also GraftApi.cusum); the chart adds the
+      // 2σ alarm threshold from one extra broadcast moment aggregate
+      val scored = graft.operators.StatsOps
+        .cusumCore(daily, col("day"), col("cents"))
+      val thr = daily.agg(count(lit(1)).as("dd"), sum("cents").as("t"),
+          sum(col("cents") * col("cents")).as("sx2"))
+        .select(floor(
           sqrt((col("sx2") * col("dd") - col("t") * col("t"))
-            .cast(DoubleType)) * 2.0 + 0.5).cast(LongType))
-      scored.select(col("day").cast("timestamp").as("day_ts"),
-          (col("cents").cast(DoubleType) / 100.0).as("rev"),
-          (col("cusum_s").cast(DoubleType) / col("dd").cast(DoubleType)
+            .cast(DoubleType)) * 2.0 + 0.5).cast(LongType).as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .select(col("ord").cast("timestamp").as("day_ts"),
+          (col("x").cast(DoubleType) / 100.0).as("rev"),
+          (col("cusum_scaled").cast(DoubleType) / col("nn").cast(DoubleType)
             / 100.0).as("cusum"),
-          when(col("cusum_s") > col("thr"), 1L).otherwise(0L)
+          when(col("cusum_scaled") > col("thr"), 1L).otherwise(0L)
             .as("is_alarm"))
         .orderBy("day_ts")
     }),

@@ -190,16 +190,19 @@ object StreamOps extends QueryModule {
         .select(col("w.start").as("w_start"), col("bin"), col("n"))
       val base = binned.groupBy("bin").agg(count(lit(1)).as("nb"))
       val baseTot = base.agg(sum("nb").as("tb"))
+      // FULL fixed 0..9 grid per window (the profile_psi contract: a
+      // bin empty in both the window and the baseline still carries a
+      // nonzero smoothed term whenever tw ≠ tb)
       val wTot = wb.groupBy("w_start").agg(sum("n").as("tw"))
       val grid = wTot
-        .crossJoin(broadcast(base))
+        .select(col("w_start"), col("tw"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+        .join(broadcast(base), Seq("bin"), "left")
         .crossJoin(broadcast(baseTot))
         .join(wb, Seq("w_start", "bin"), "left")
-      val p = (coalesce(col("n"), lit(0L)) + 1).cast(DoubleType) /
-        (col("tw") + 10).cast(DoubleType)
-      val q = (col("nb") + 1).cast(DoubleType) /
-        (col("tb") + 10).cast(DoubleType)
-      val iterm = floor((p - q) * log(p / q) * 1e6 + 0.5).cast(LongType)
+      val iterm = graft.operators.StatsOps.psiTerm(
+        coalesce(col("n"), lit(0L)), col("tw"),
+        coalesce(col("nb"), lit(0L)), col("tb"), 10)
       grid.groupBy("w_start", "tw")
         .agg(sum(iterm).as("tsum"))
         .select(col("w_start"), col("tw").as("n_events"),
@@ -408,10 +411,12 @@ object StreamOps extends QueryModule {
         |bt AS (SELECT CAST(SUM(nb) AS BIGINT) AS tb FROM base),
         |wt AS (SELECT w_start, CAST(SUM(n) AS BIGINT) AS tw FROM wb
         |  GROUP BY 1),
-        |g AS (SELECT wt.w_start, wt.tw, base.bin, base.nb, bt.tb,
+        |g AS (SELECT wt.w_start, wt.tw, gb.b AS bin,
+        |    COALESCE(base.nb, 0) AS nb, bt.tb,
         |    COALESCE(wb.n, 0) AS n
-        |  FROM wt CROSS JOIN base CROSS JOIN bt
-        |  LEFT JOIN wb ON wb.w_start = wt.w_start AND wb.bin = base.bin),
+        |  FROM wt CROSS JOIN unnest(range(0, 10)) AS gb(b) CROSS JOIN bt
+        |  LEFT JOIN base ON base.bin = gb.b
+        |  LEFT JOIN wb ON wb.w_start = wt.w_start AND wb.bin = gb.b),
         |t AS (SELECT w_start, tw,
         |    CAST(floor((CAST(n + 1 AS DOUBLE) / CAST(tw + 10 AS DOUBLE)
         |        - CAST(nb + 1 AS DOUBLE) / CAST(tb + 10 AS DOUBLE))

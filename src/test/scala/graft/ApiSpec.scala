@@ -389,6 +389,27 @@ class ApiSpec extends AnyFunSuite {
     assert(got == Set(("s", 2L, 1L), ("s", 3L, 2L), ("t", 4L, 1L)))
   }
 
+  test("kaplanMeier hits exactly zero survival at an extinction step") {
+    // 4 subjects, all dead: t=1 (2 deaths of 4 at risk), t=2 (2 of 2 —
+    // extinction). survival must be EXACTLY 0.0 there, not exp(ln(0))
+    // artifacts; log_surv NULL from the extinction step on.
+    val subj = Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L))
+      .toDF("t", "dead")
+    val rows = GraftApi.kaplanMeier(subj).orderBy("t").collect()
+    assert(rows.length == 2)
+    val first = rows(0)
+    assert(first.getAs[Long]("n_risk") == 4L)
+    assert(math.abs(first.getAs[Double]("survival") - 0.5) < 1e-3)
+    val last = rows(1)
+    assert(last.getAs[Long]("n_risk") == 2L && last.getAs[Long]("d") == 2L)
+    assert(last.getAs[Double]("survival") == 0.0)
+    assert(last.isNullAt(last.fieldIndex("log_surv")))
+    // censored-at-the-end variant: no extinction, survival stays > 0
+    val cens = Seq((1L, 1L), (1L, 0L), (2L, 0L)).toDF("t", "dead")
+    val s2 = GraftApi.kaplanMeier(cens).orderBy("t").collect()
+    assert(s2.forall(_.getAs[Double]("survival") > 0.0))
+  }
+
   test("cusum matches the direct max(0, s+dev) recurrence on a shift") {
     val xs = Seq(10L, 10L, 10L, 10L, 20L, 20L, 20L, 20L)
     val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }

@@ -56,17 +56,18 @@ class StatsSpec extends AnyFunSuite {
       s"z ${r.getAs[Double]("z")} vs direct $z")
   }
 
-  test("profile_psi matches a direct PSI computation") {
+  test("profile_psi matches a direct PSI computation over the full grid") {
     val rows = SparkEntry.queries("profile_psi")(spark, sf).collect()
-    assert(rows.nonEmpty && rows.length <= 10)
+    // the FULL fixed 0..9 grid is the contract — bins empty in both
+    // halves still carry their smoothed term
+    assert(rows.length == 10)
     val binned = eventsRows.map(t =>
       (math.min(math.floor(t._3 / 56.1), 9).toInt, t._4 <= 15))
-    val present = binned.map(_._1).distinct.sorted
-    assert(rows.map(_.getAs[Int]("bin")).toSeq == present)
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == (0 to 9))
     val ta = binned.count(_._2).toLong
     val tb = binned.size - ta
     var psi = 0.0
-    val terms = present.map { b =>
+    val terms = (0 to 9).map { b =>
       val na = binned.count(t => t._1 == b && t._2).toLong
       val nb = binned.count(t => t._1 == b && !t._2).toLong
       val p = (na + 1).toDouble / (ta + 10)
@@ -445,10 +446,12 @@ class StatsSpec extends AnyFunSuite {
     val tb = ev.length.toLong
     val direct = byW.map { case (w, xs) =>
       val tw = xs.length.toLong
-      val psi = baseCnt.keys.toSeq.sorted.map { b =>
+      // full 0..9 grid: bins empty in both the window and the baseline
+      // still carry their smoothed term (the profile_psi contract)
+      val psi = (0 to 9).map { b =>
         val n = xs.count(t => binOf(t._2) == b).toLong
         val p = (n + 1).toDouble / (tw + 10)
-        val q = (baseCnt(b) + 1).toDouble / (tb + 10)
+        val q = (baseCnt.getOrElse(b, 0L) + 1).toDouble / (tb + 10)
         math.floor((p - q) * math.log(p / q) * 1e6 + 0.5) / 1e6
       }.sum
       w -> (tw, psi)

@@ -468,9 +468,14 @@ class StreamingSpec extends AnyFunSuite {
       val wTot = wb.groupBy("w_start").agg(sum("n").as("tw"))
       val p = (coalesce(col("n"), lit(0L)) + 1).cast("double") /
         (col("tw") + 10).cast("double")
-      val qq = (col("nb") + 1).cast("double") /
+      val qq = (coalesce(col("nb"), lit(0L)) + 1).cast("double") /
         (col("tb") + 10).cast("double")
-      val got = wTot.crossJoin(broadcast(base)).crossJoin(broadcast(baseTot))
+      // full 0..9 grid per window (the batch op's contract)
+      val got = wTot
+        .select(col("w_start"), col("tw"),
+          explode(sequence(lit(0), lit(9))).as("bin"))
+        .join(broadcast(base), Seq("bin"), "left")
+        .crossJoin(broadcast(baseTot))
         .join(wb, Seq("w_start", "bin"), "left")
         .groupBy("w_start", "tw")
         .agg(sum(floor((p - qq) * log(p / qq) * 1e6 + 0.5).cast("long"))
