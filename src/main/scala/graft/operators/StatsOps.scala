@@ -466,6 +466,41 @@ object StatsOps extends QueryModule {
       kaplanMeierCore(subj).orderBy("t")
     }),
 
+    // ── Lorenz curve deciles per market segment ──
+    // Gini's graphical twin: "the bottom 50% of customers carry X% of
+    // revenue" — the readout that makes concentration actionable. Each
+    // segment's customers split into 10 equal-count deciles (NTILE over
+    // the same per-segment ordering agg_gini ranks — both engines give
+    // the remainder to the FIRST buckets), decile spends sum exactly in
+    // decimal, cumulative shares ride a 10-row window. Same scale shape
+    // as agg_gini: per-segment windows over per-customer aggregates.
+    "profile_lorenz" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+        .select(col("o_custkey"),
+          (col("spend") * 100).cast(LongType).as("cents"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val x = spend.join(seg, col("o_custkey") === col("c_custkey"))
+      val wOrd = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+      val byDecile = x.withColumn("decile", ntile(10).over(wOrd))
+        .groupBy("segment", "decile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("dsum"))
+      val wCum = Window.partitionBy("segment").orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("segment")
+      byDecile
+        .withColumn("cum", sum("dsum").over(wCum))
+        .withColumn("tot", sum("dsum").over(wAll))
+        .select(col("segment"), col("decile"), col("n"),
+          when(col("tot") =!= 0,
+            floor(col("cum").cast(DoubleType) / col("tot").cast(DoubleType)
+              * LnScale + 0.5) / LnScale).as("cum_share"))
+        .orderBy("segment", "decile")
+    }),
+
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
@@ -778,6 +813,28 @@ object StatsOps extends QueryModule {
         |  floor((r + 1.959963984540054E0 * se) * $StatScale + 0.5)
         |    / $StatScale / 100.0 AS ci_hi
         |FROM k ORDER BY bucket""".stripMargin,
+    "profile_lorenz" ->
+      s"""WITH spend AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |x AS (SELECT c.c_mktsegment AS segment, s.o_custkey, s.cents,
+        |    CAST(NTILE(10) OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY s.cents, s.o_custkey) AS INTEGER) AS decile
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |bd AS (SELECT segment, decile, COUNT(*) AS n,
+        |    CAST(SUM(cents) AS HUGEINT) AS dsum
+        |  FROM x GROUP BY 1, 2),
+        |cm AS (SELECT *, SUM(dsum) OVER (PARTITION BY segment
+        |      ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(dsum) OVER (PARTITION BY segment) AS tot
+        |  FROM bd)
+        |SELECT segment, decile, n,
+        |  CASE WHEN tot <> 0 THEN
+        |    floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+        |      * $LnScale + 0.5) / $LnScale END AS cum_share
+        |FROM cm ORDER BY segment, decile""".stripMargin,
     "text_zipf" ->
       s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok

@@ -202,7 +202,7 @@ object TextOps extends QueryModule {
     * shingles equal set sizes over the strings (64-bit collisions across a
     * ~30 k-shingle universe are negligible), so the counts match the
     * string-based oracle. */
-  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val docs = shingleHashSets(s, d)
     ngramCandidates(s, d)
       .join(docs.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")

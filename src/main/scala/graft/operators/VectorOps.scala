@@ -535,22 +535,33 @@ object VectorOps extends QueryModule {
       |      string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bk
       |  FROM mh GROUP BY doc_id, j // 3)""".stripMargin
 
-  private[graft] def minhashPairs(docsIn: DataFrame,
-      tau: Double = 0.6): DataFrame = {
-    val docs = docsIn
+  /** (doc_id, sh shingle set, mh minhash sig) frame shared by the
+    * near-dup pipeline and its evaluation twin. */
+  private[graft] def minhashDocFrame(docsIn: DataFrame): DataFrame =
+    docsIn
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 3)
       .select(col("doc_id"),
         graft.functions.ShingleExprs.shingleHashSet(col("t")).as("sh"),
         graft.functions.ShingleExprs.minHashSigMd5(col("t"), MhNumHash)
           .as("mh"))
+
+  /** The banded CANDIDATE pair set (before any verify) — what the LSH
+    * stage proposes; dedup_pair_eval scores it against exact truth. */
+  private[graft] def minhashCandidatePairs(docs: DataFrame): DataFrame = {
     val banded = docs
       .select(col("doc_id"), explode(array(bandKeyCols(col("mh")): _*))
         .as("band"))
-    val cands = banded.select(col("band"), col("doc_id").as("id1"))
+    banded.select(col("band"), col("doc_id").as("id1"))
       .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  private[graft] def minhashPairs(docsIn: DataFrame,
+      tau: Double = 0.6): DataFrame = {
+    val docs = minhashDocFrame(docsIn)
+    val cands = minhashCandidatePairs(docs)
     cands
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
@@ -1236,6 +1247,33 @@ object VectorOps extends QueryModule {
     "dedup_near" -> ((s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")),
 
+    // dedup-index quality evaluation (the near-dup twin of
+    // sim_recall_eval): precision/recall of the MinHash BAND candidate
+    // set against exact τ=0.6 Jaccard truth. Recall is the number the
+    // banding parameters (12 hashes × 4 bands) must defend — a missed
+    // band collision is a duplicate that SURVIVES dedup; precision
+    // prices the wasted verify work. Truth comes from the exact
+    // inverted-index pair miner (ngramPairs — any J>0 pair shares a
+    // shingle, so recall is exact); at 100 TB the eval runs on a
+    // hash-sampled panel, same as every eval op here.
+    "dedup_pair_eval" -> ((s, d) => {
+      val truth = graft.operators.TextOps.ngramPairs(s, d)
+        .where(col("jaccard") >= 0.6).select("id1", "id2")
+      val cand = minhashCandidatePairs(
+        minhashDocFrame(Tables.documents(s, d)))
+      val hit = truth.join(cand, Seq("id1", "id2"))
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_cand") > 0,
+            col("n_hit").cast(DoubleType) / col("n_cand").cast(DoubleType))
+            .as("prec"),
+          when(col("n_truth") > 0,
+            col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+            .as("recall"))
+    }),
+
     // vector-column arithmetic alongside relational cols: L2 norm via the
     // native dot expression, normalization, element-wise zip_with — all
     // per-row narrow ops, no shuffle
@@ -1496,6 +1534,23 @@ object VectorOps extends QueryModule {
         |         JOIN t tb ON p.id2 = tb.doc_id)
         |SELECT id1, id2, jaccard FROM v
         |WHERE jaccard >= 0.6 ORDER BY id1, id2""".stripMargin,
+    "dedup_pair_eval" ->
+      s"""WITH $duckMinhashBands,
+        |p AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bnd a JOIN bnd b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        |tr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+        |c1 AS (SELECT COUNT(*) AS n_truth FROM tr),
+        |c2 AS (SELECT COUNT(*) AS n_cand FROM p),
+        |c3 AS (SELECT COUNT(*) AS n_hit FROM tr JOIN p USING (id1, id2))
+        |SELECT n_truth, n_cand, n_hit,
+        |  CASE WHEN n_cand > 0 THEN
+        |    CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec,
+        |  CASE WHEN n_truth > 0 THEN
+        |    CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall
+        |FROM c1, c2, c3""".stripMargin,
     "sim_matryoshka_topk" ->
       """WITH pre AS (SELECT vec_id, list_slice(embedding, 1, 16) AS p16
         |  FROM embeddings),

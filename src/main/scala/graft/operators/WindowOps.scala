@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, Q, QueryModule, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** §2.5 window functions.
@@ -334,6 +335,41 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // forecast backtest: MAE/MAPE of the naive (yesterday) and
+    // seasonal-naive (last week) forecasters on the daily revenue
+    // series — the baseline every forecasting model must beat before it
+    // ships, and the health check that catches a silently-degrading
+    // model (its error creeping toward naive's). Forecasts come from
+    // the same calendar RANGE frames ts_lag_features uses; errors are
+    // exact integer cents, MAPE terms quantized per day (PSI
+    // discipline). Output: one row per method.
+    "ts_backtest_naive" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      def rng(lag: Long) = Window.orderBy("day").rangeBetween(lag, lag)
+      val f = daily
+        .withColumn("f1", sum("cents").over(rng(-1)))
+        .withColumn("f7", sum("cents").over(rng(-7)))
+      def metrics(fc: Column, label: String) = {
+        val err = abs(col("cents") - fc)
+        val mapeT = floor(err.cast(DoubleType) /
+          col("cents").cast(DoubleType) * 1e6 + 0.5).cast(LongType)
+        f.where(fc.isNotNull && col("cents") > 0)
+          .agg(count(lit(1)).as("n_days"),
+            sum(err).as("sae"), sum(mapeT).as("smape"))
+          .select(lit(label).as("method"), col("n_days"),
+            (col("sae").cast(DoubleType) / col("n_days").cast(DoubleType)
+              / 100.0).as("mae"),
+            (col("smape").cast(DoubleType) / col("n_days").cast(DoubleType)
+              / 1e6).as("mape"))
+      }
+      metrics(col("f1"), "naive")
+        .unionByName(metrics(col("f7"), "seasonal_naive"))
+        .orderBy("method")
+    }),
+
     // rolling 7-day OLS trend per user: the slope of daily revenue on
     // the day index inside a calendar RANGE frame — the per-entity
     // trend detector a monitoring pipeline runs (positive slope =
@@ -508,6 +544,36 @@ object WindowOps extends QueryModule {
         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS roll7_mean
         |FROM dly ORDER BY user_id, day""".stripMargin,
+    "ts_backtest_naive" ->
+      """WITH dly AS (SELECT
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT day, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY day
+        |      RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING) AS BIGINT) AS f1,
+        |    CAST(SUM(cents) OVER (ORDER BY day
+        |      RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING) AS BIGINT) AS f7
+        |  FROM dly),
+        |m1 AS (SELECT 'naive' AS method, COUNT(*) AS n_days,
+        |    CAST(SUM(abs(cents - f1)) AS BIGINT) AS sae,
+        |    CAST(SUM(CAST(floor(CAST(abs(cents - f1) AS DOUBLE)
+        |      / CAST(cents AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS smape
+        |  FROM f WHERE f1 IS NOT NULL AND cents > 0),
+        |m7 AS (SELECT 'seasonal_naive' AS method, COUNT(*) AS n_days,
+        |    CAST(SUM(abs(cents - f7)) AS BIGINT) AS sae,
+        |    CAST(SUM(CAST(floor(CAST(abs(cents - f7) AS DOUBLE)
+        |      / CAST(cents AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS smape
+        |  FROM f WHERE f7 IS NOT NULL AND cents > 0),
+        |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m7)
+        |SELECT method, n_days,
+        |  CAST(sae AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mae,
+        |  CAST(smape AS DOUBLE) / CAST(n_days AS DOUBLE) / 1e6 AS mape
+        |FROM u ORDER BY method""".stripMargin,
     "win_rolling_slope" ->
       """WITH dly AS (SELECT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

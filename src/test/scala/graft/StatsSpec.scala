@@ -647,6 +647,70 @@ class StatsSpec extends AnyFunSuite {
       s"missing=${dist.toSet diff got.toSet}")
   }
 
+  test("dedup_pair_eval: hits equal the verified near-dup pair count") {
+    val r = SparkEntry.queries("dedup_pair_eval")(spark, sf).collect().head
+    val nTruth = r.getAs[Long]("n_truth")
+    val nCand = r.getAs[Long]("n_cand")
+    val nHit = r.getAs[Long]("n_hit")
+    assert(nHit <= math.min(nTruth, nCand))
+    // a verified dedup_near pair is exactly a candidate with exact
+    // jaccard >= 0.6 — i.e. truth ∩ candidates — so the hit count must
+    // equal the (oracle-verified) dedup_near row count
+    val nearPairs = SparkEntry.queries("dedup_near")(spark, sf).count()
+    assert(nHit == nearPairs, s"hits $nHit vs dedup_near rows $nearPairs")
+    if (nCand > 0)
+      assert(math.abs(r.getAs[Double]("prec") - nHit.toDouble / nCand)
+        < 1e-12)
+    if (nTruth > 0)
+      assert(math.abs(r.getAs[Double]("recall") - nHit.toDouble / nTruth)
+        < 1e-12)
+  }
+
+  test("profile_lorenz: cumulative shares are monotone and end at 1") {
+    val rows = SparkEntry.queries("profile_lorenz")(spark, sf).collect()
+    val bySeg = rows.groupBy(_.getAs[String]("segment"))
+    bySeg.foreach { case (seg, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("decile"))
+      assert(sorted.map(_.getAs[Int]("decile")).toSeq ==
+        (1 to sorted.length))
+      val shares = sorted.map(_.getAs[Double]("cum_share"))
+      shares.zip(shares.tail).foreach { case (a, b) =>
+        assert(b >= a - 1e-9, s"$seg: cum_share not monotone") }
+      assert(math.abs(shares.last - 1.0) < 1e-5, s"$seg ends at ${shares.last}")
+      // equal-count deciles: sizes differ by at most 1, NTILE order
+      val ns = sorted.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ts_backtest_naive matches a direct lag-forecast error computation") {
+    val daily = eventsRows.groupBy(_._4).toSeq.map { case (dom, es) =>
+      dom.toLong -> (es.map(t => BigDecimal(t._3).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum * 100).toLongExact
+    }.toMap
+    def direct(lag: Long): (Long, Double, Double) = {
+      val pairs = daily.toSeq.flatMap { case (day, a) =>
+        daily.get(day - lag).map(f => (a, f)) }.filter(_._1 > 0)
+      val n = pairs.length.toLong
+      val mae = pairs.map(p => math.abs(p._1 - p._2)).sum.toDouble / n / 100.0
+      val mape = pairs.map(p => math.floor(
+        math.abs(p._1 - p._2).toDouble / p._1 * 1e6 + 0.5)).sum / n / 1e6
+      (n, mae, mape)
+    }
+    val rows = SparkEntry.queries("ts_backtest_naive")(spark, sf).collect()
+      .map(r => r.getAs[String]("method") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("mae"),
+          r.getAs[Double]("mape")))).toMap
+    Seq("naive" -> 1L, "seasonal_naive" -> 7L).foreach { case (m, lag) =>
+      val (n, mae, mape) = direct(lag)
+      val (gn, gmae, gmape) = rows(m)
+      assert(gn == n, s"$m n_days $gn vs $n")
+      assert(math.abs(gmae - mae) < 1e-9, s"$m mae $gmae vs $mae")
+      assert(math.abs(gmape - mape) < 1e-9, s"$m mape $gmape vs $mape")
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
