@@ -582,4 +582,69 @@ class PropertySpec extends AnyFunSuite {
         "reference must hold on arrays with repeated shingles")
     }
   }
+
+  test("cusum closed form equals the max(0, s+dev) recurrence on " +
+      "random series") {
+    val series = Gen.chooseNum(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 5000L)))
+    forAll(series, Gen.const(()), n = 10) { (xs: List[Long], _: Unit) =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("ord", "x")
+      val got = graft.api.GraftApi.cusum(df, col("ord"), col("x"))
+        .orderBy("ord").collect().map(_.getAs[Long]("cusum_scaled"))
+      val nN = xs.length
+      val t = xs.sum
+      var s = 0L
+      val direct = xs.map { x => s = math.max(0L, s + (x * nN - t)); s }
+      assert(got.toSeq == direct, s"cusum divergence on $xs")
+      assert(got.forall(_ >= 0L))
+    }
+  }
+
+  test("kaplanMeier: survival is monotone nonincreasing in [0,1] and " +
+      "all-censored frames stay at 1 on random subjects") {
+    val subjects = Gen.chooseNum(2, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 10L), Gen.oneOf(0L, 1L))))
+    forAll(subjects, Gen.const(()), n = 10) {
+      (subj: List[(Long, Long)], _: Unit) =>
+      val df = subj.toDF("t", "dead")
+      val rows = graft.api.GraftApi.kaplanMeier(df).orderBy("t").collect()
+      var prev = 1.0
+      rows.foreach { r =>
+        val sv = r.getAs[Double]("survival")
+        assert(sv >= 0.0 && sv <= prev + 1e-9,
+          s"survival not monotone on $subj")
+        prev = sv
+        assert(r.getAs[Long]("n_risk") >=
+          r.getAs[Long]("d") + r.getAs[Long]("c"))
+      }
+      // at-risk counts telescope: first row covers every subject
+      assert(rows.head.getAs[Long]("n_risk") == subj.length.toLong)
+      // all-censored variant: nobody dies, survival stays exactly 1
+      val cens = subj.map { case (t, _) => (t, 0L) }.toDF("t", "dead")
+      graft.api.GraftApi.kaplanMeier(cens).collect().foreach { r =>
+        assert(r.getAs[Double]("survival") == 1.0)
+      }
+    }
+  }
+
+  test("psi is nonnegative up to quantization and zero on identical " +
+      "halves for random binned frames") {
+    val bins = Gen.chooseNum(10, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 4)))
+    forAll(bins, bins, n = 10) { (as: List[Int], bs: List[Int]) =>
+      val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("bin", "isa")
+      val rows = graft.api.GraftApi
+        .psi(df, col("bin"), col("isa"), nBins = 5).collect()
+      assert(rows.length == 5, "full grid contract")
+      val psi = rows.head.getAs[Double]("psi")
+      // each term is >= 0 mathematically; quantization can dip 5e-7/term
+      assert(psi >= -5e-6, s"negative psi $psi on $as vs $bs")
+      // identical halves → exact zero
+      val same = (as.map((_, true)) ++ as.map((_, false)))
+        .toDF("bin", "isa")
+      graft.api.GraftApi.psi(same, col("bin"), col("isa"), nBins = 5)
+        .collect().foreach(r => assert(r.getAs[Double]("psi") == 0.0))
+    }
+  }
 }
