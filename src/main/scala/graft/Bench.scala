@@ -48,6 +48,9 @@ object Bench {
     // measured sub-second warm (0.25/0.47/0.39 s, BASELINE round-6b) —
     // per this map's contract they ride DefaultExpectedSec
     "dedup_semantic" -> 2.0, // within-cell pair join at 8 cells; warm 1.75
+    // round-7b: runs the EXACT truth miner (dedup_ngram-class inverted
+    // index) + the minhash band chain; 3.1-3.4 s warm, ~7 s cold
+    "dedup_pair_eval" -> 4.0,
     "validate_pk_fk" -> 1.5, // 7 FK edges: 3 fact-side anti-joins; warm 1.42
     "vec_mmr_rerank" -> 3.0, // 10 checkpointed greedy steps; warm 2.6
 
