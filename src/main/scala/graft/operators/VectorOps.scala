@@ -1401,6 +1401,39 @@ object VectorOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // scene-cut detection over the stubbed video frames — keyframe
+    // selection, the step that decides WHICH frames of a clip become
+    // training images (adjacent near-identical frames are redundant;
+    // cuts carry the new content). Per-frame luma comes from the same
+    // deterministic payload-byte arithmetic multimodal_frames samples;
+    // a cut is a frame-to-frame luma jump > 64 (quarter range, integer-
+    // exact). One narrow ≤16× fan-out + a doc-partitioned lag window —
+    // at 100 TB the real decoder swaps in for the byte stub, the
+    // plumbing (fan-out shape, window, threshold) is the product.
+    "multimodal_scenecut" -> ((s, d) => {
+      val m = s.read.schema(Fixtures.mediaSchema)
+        .parquet(Fixtures.mediaFile(s, d))
+        .where(octet_length(col("payload")) > 0)
+        .select(col("doc_id"), hex(col("payload")).as("hx"),
+          octet_length(col("payload")).cast(LongType).as("nb"))
+        .withColumn("nf", lit(1L) + col("nb") % 16)
+      val frames = m
+        .select(col("doc_id"), col("hx"), col("nb"), col("nf"),
+          explode(sequence(lit(0L), lit(15L))).as("f"))
+        .where(col("f") < col("nf"))
+        .withColumn("luma", expr(
+          "cast(conv(substr(hx, cast((f % nb) * 2 + 1 as int), 2), " +
+            "16, 10) as bigint)"))
+      val w = Window.partitionBy("doc_id").orderBy("f")
+      frames
+        .withColumn("diff", col("luma") - lag("luma", 1).over(w))
+        .select(col("doc_id"), col("f").as("frame_idx"), col("luma"),
+          col("diff"),
+          when(col("diff").isNotNull && abs(col("diff")) > 64, 1L)
+            .otherwise(0L).as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // perceptual-hash near-dup over the media payloads — the image-space
     // twin of dedup_simhash_pairs: a 64-bit dHash-style fingerprint from
     // the SAME deterministic 8×8 sampled grid multimodal_resize defines
@@ -1858,6 +1891,29 @@ object VectorOps extends QueryModule {
         |  src_w / 8.0 AS scale_x, src_h / 8.0 AS scale_y,
         |  CAST(SUM(val) AS DOUBLE) / 16320.0 AS resized_mean
         |FROM v GROUP BY doc_id, src_w, src_h ORDER BY doc_id""".stripMargin,
+    "multimodal_scenecut" ->
+      """WITH m AS (SELECT doc_id,
+        |    substr(repeat(md5(text), 4), 1,
+        |      2 * CAST(7 + doc_id % 57 AS INT)) AS hx,
+        |    (7 + doc_id % 57) AS nb
+        |  FROM documents),
+        |d AS (SELECT doc_id, hx, nb, 1 + nb % 16 AS nf FROM m
+        |  WHERE nb > 0),
+        |fr AS (SELECT doc_id, f,
+        |    (16 * (instr('0123456789abcdef', substr(hx,
+        |        CAST((f % nb) * 2 + 1 AS INT), 1)) - 1)
+        |     + (instr('0123456789abcdef', substr(hx,
+        |        CAST((f % nb) * 2 + 2 AS INT), 1)) - 1)) AS luma
+        |  FROM d, unnest(range(0, 16)) AS u(f) WHERE f < nf),
+        |lg AS (SELECT doc_id, f, luma,
+        |    luma - LAG(luma) OVER (PARTITION BY doc_id ORDER BY f)
+        |      AS diff
+        |  FROM fr)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(luma AS BIGINT) AS luma, CAST(diff AS BIGINT) AS diff,
+        |  CAST(CASE WHEN diff IS NOT NULL AND abs(diff) > 64
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+        |FROM lg ORDER BY doc_id, frame_idx""".stripMargin,
     // dHash bits from the same sampled grid as multimodal_resize;
     // neighbor cell value via self-join on (g+8)%64, word packing and
     // banding as in sim_binary_topk

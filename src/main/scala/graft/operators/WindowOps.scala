@@ -335,6 +335,40 @@ object WindowOps extends QueryModule {
         .orderBy("user_id", "day")
     }),
 
+    // Bollinger-style volatility bands per user: rolling 7-day mean ±2σ
+    // of daily revenue with a breakout flag — the anomaly gate that
+    // adapts to each entity's own volatility (validate_anomaly's global
+    // z-score can't). The breakout decision is EXACT-INTEGER: x > μ+2σ
+    // ⟺ d > 0 ∧ d² > 4M with d = x·n−Σx and M = n·Σx²−(Σx)² (both
+    // integers) — no float boundary can flip between engines; the
+    // reported mean/sd are quantized doubles for reading. Moments ride
+    // the same single user_id RANGE frame family as ts_lag_features.
+    "win_bollinger" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rangeBetween(-6, 0)
+      val m = daily
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum("cents").over(w))
+        .withColumn("sxx", sum(col("cents") * col("cents")).over(w))
+      val dDev = col("cents") * col("n") - col("sx")
+      val mBig = col("n") * col("sxx") - col("sx") * col("sx")
+      m.select(col("user_id"), col("day"),
+          (col("cents").cast(DoubleType) / 100.0).as("rev"),
+          col("n").as("n_days"),
+          (floor(col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+            + 0.5) / 100.0).as("mean"),
+          (floor(sqrt(mBig.cast(DoubleType)) / col("n").cast(DoubleType)
+            * 100.0 + 0.5) / 10000.0).as("sd"),
+          when(dDev > 0 && dDev * dDev > mBig * 4, 1L).otherwise(0L)
+            .as("is_breakout"))
+        .orderBy("user_id", "day")
+    }),
+
     // forecast backtest: MAE/MAPE of the naive (yesterday) and
     // seasonal-naive (last week) forecasters on the daily revenue
     // series — the baseline every forecasting model must beat before it
@@ -544,6 +578,32 @@ object WindowOps extends QueryModule {
         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS roll7_mean
         |FROM dly ORDER BY user_id, day""".stripMargin,
+    "win_bollinger" ->
+      """WITH dly AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, day, cents,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS sx,
+        |    CAST(SUM(cents * cents) OVER w AS BIGINT) AS sxx
+        |  FROM dly
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day,
+        |  CAST(cents AS DOUBLE) / 100.0 AS rev,
+        |  n AS n_days,
+        |  floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) / 100.0
+        |    AS mean,
+        |  floor(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    * 100.0 + 0.5) / 10000.0 AS sd,
+        |  CAST(CASE WHEN cents * n - sx > 0
+        |    AND (cents * n - sx) * (cents * n - sx)
+        |      > (n * sxx - sx * sx) * 4
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_breakout
+        |FROM m ORDER BY user_id, day""".stripMargin,
     "ts_backtest_naive" ->
       """WITH dly AS (SELECT
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

@@ -711,6 +711,67 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_bollinger: breakout flag matches the exact integer rule") {
+    val rows = SparkEntry.queries("win_bollinger")(spark, sf).collect()
+    val daily = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day"))
+      -> (BigDecimal(r.getAs[Double]("rev")).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).toMap
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val day = r.getAs[Long]("day")
+      val win = (day - 6 to day).flatMap(dd => daily.get((u, dd)))
+      val x = daily((u, day))
+      val n = win.length.toLong
+      val sx = win.sum
+      val sxx = win.map(v => v * v).sum
+      val d = x * n - sx
+      val mBig = n * sxx - sx * sx
+      assert(r.getAs[Long]("n_days") == n)
+      val expect = if (d > 0 && d * d > 4 * mBig) 1L else 0L
+      assert(r.getAs[Long]("is_breakout") == expect,
+        s"u=$u day=$day breakout ${r.getAs[Long]("is_breakout")} vs $expect")
+      // mean/sd read coherently: |x - mean| <= 2sd + slack iff no breakout
+      val mean = r.getAs[Double]("mean")
+      val sd = r.getAs[Double]("sd")
+      if (expect == 0)
+        assert(x / 100.0 <= mean + 2 * sd + 0.02)
+    }
+  }
+
+  test("multimodal_scenecut matches a direct frame-luma computation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val direct = texts.flatMap { case (id, t) =>
+      val nb = (7 + id % 57).toInt
+      val hx = (md5hex(t) * 4).substring(0, 2 * nb)
+      val nf = (1 + nb % 16)
+      (0 until nf).map { f =>
+        val pos = (f % nb) * 2
+        val luma = Integer.parseInt(hx.substring(pos, pos + 2), 16).toLong
+        (id, f.toLong, luma)
+      }
+    }
+    val withDiff = direct.groupBy(_._1).toSeq.flatMap { case (_, fs) =>
+      val sorted = fs.sortBy(_._2)
+      sorted.zipWithIndex.map { case ((id, f, l), i) =>
+        val diff = if (i == 0) None else Some(l - sorted(i - 1)._3)
+        (id, f, l, diff, diff.exists(dd => math.abs(dd) > 64))
+      }
+    }.map(t => (t._1, t._2) -> ((t._3, t._4, if (t._5) 1L else 0L))).toMap
+    val got = SparkEntry.queries("multimodal_scenecut")(spark, sf).collect()
+    assert(got.length == withDiff.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx"))
+      val (luma, diff, cut) = withDiff(k)
+      assert(r.getAs[Long]("luma") == luma)
+      assert(Option(r.getAs[java.lang.Long]("diff")).map(_.toLong) == diff)
+      assert(r.getAs[Long]("is_cut") == cut)
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
