@@ -732,6 +732,41 @@ object AnalyticsOps extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // cumulative LTV curve per signup cohort — agg_retention's revenue
+    // twin: "how much has the week-w cohort spent per member by offset
+    // k?" (the growth readout that decides payback windows). Revenue
+    // sums are exact cents; the per-member division happens once per
+    // output row against a broadcast cohort-size table; the cohort
+    // assignment join is keyed on user_id (never broadcast — cohorts
+    // are user-scale); cumulation rides a per-cohort window over the
+    // week-offset-compacted frame.
+    "agg_cohort_ltv" -> ((s, d) => {
+      val week = floor(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")).cast(DoubleType) / 7.0)
+        .cast(LongType)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), week.as("week"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("cents"))
+      val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val sizes = cohort.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      val byOff = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(sum("cents").as("rev"),
+          countDistinct("user_id").as("n_active"))
+      val wCum = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byOff.join(broadcast(sizes), "cohort_week")
+        .withColumn("cum_rev", sum("rev").over(wCum))
+        .select(col("cohort_week"), col("week_offset"),
+          col("cohort_size"), col("n_active"),
+          (col("cum_rev").cast(DoubleType)
+            / col("cohort_size").cast(DoubleType) / 100.0)
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // (poissonThresholds / poissonCase defined below the queries map)
     // Poisson bootstrap confidence interval for the mean purchase value
     // (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
@@ -1226,6 +1261,31 @@ object AnalyticsOps extends QueryModule {
         |    AS BIGINT) AS rank,
         |  u, v, common, uni, jaccard
         |FROM j ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    "agg_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      / 7.0) AS BIGINT) AS week,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev
+        |  GROUP BY user_id),
+        |sz AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c
+        |  GROUP BY cohort_week),
+        |o AS (SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+        |    CAST(SUM(ev.cents) AS BIGINT) AS rev,
+        |    COUNT(DISTINCT ev.user_id) AS n_active
+        |  FROM ev JOIN c ON ev.user_id = c.user_id
+        |  GROUP BY 1, 2),
+        |w AS (SELECT o.*, sz.cohort_size,
+        |    CAST(SUM(rev) OVER (PARTITION BY o.cohort_week
+        |      ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_rev
+        |  FROM o JOIN sz ON sz.cohort_week = o.cohort_week)
+        |SELECT cohort_week, week_offset, cohort_size, n_active,
+        |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) / 100.0
+        |    AS ltv_per_user
+        |FROM w ORDER BY cohort_week, week_offset""".stripMargin,
     "agg_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

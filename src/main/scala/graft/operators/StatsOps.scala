@@ -466,6 +466,42 @@ object StatsOps extends QueryModule {
       kaplanMeierCore(subj).orderBy("t")
     }),
 
+    // ── MAD robust outlier flags over the daily revenue series ──
+    // validate_anomaly's z-scores break exactly when needed most: a fat
+    // outlier inflates the mean AND the σ it is judged against
+    // (masking). Median/MAD have a 50% breakdown point. Both medians
+    // are LOWER medians (rank ⌈n/2⌉ — pure integer rank picks, no
+    // interpolation to diverge between engines), and the 3σ-equivalent
+    // flag |x−med|·10⁴ > 44478·MAD (3·1.4826 scaled integer) is an
+    // exact integer inequality — no float boundary anywhere in the
+    // whole op. Windows ride the calendar-bounded daily frame.
+    "profile_outlier_mad" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg((sum(Det.dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      def lowerMedian(df: DataFrame, c: String): DataFrame = {
+        val w = Window.orderBy(col(c), col("day"))
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+          .where(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col(c).as("med"))
+      }
+      val med = lowerMedian(daily, "cents")
+      val withDev = daily.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = lowerMedian(withDev.select(col("day"),
+        col("dev").as("cents")), "cents")
+        .select(col("med").as("mad"))
+      withDev.crossJoin(broadcast(mad))
+        .select(col("day").cast("timestamp").as("day_ts"),
+          (col("cents").cast(DoubleType) / 100.0).as("rev"),
+          (col("med").cast(DoubleType) / 100.0).as("median"),
+          (col("mad").cast(DoubleType) / 100.0).as("mad"),
+          when(col("dev") * 10000 > col("mad") * 44478, 1L)
+            .otherwise(0L).as("is_outlier"))
+        .orderBy("day_ts")
+    }),
+
     // ── Lorenz curve deciles per market segment ──
     // Gini's graphical twin: "the bottom 50% of customers carry X% of
     // revenue" — the readout that makes concentration actionable. Each
@@ -813,6 +849,26 @@ object StatsOps extends QueryModule {
         |  floor((r + 1.959963984540054E0 * se) * $StatScale + 0.5)
         |    / $StatScale / 100.0 AS ci_hi
         |FROM k ORDER BY bucket""".stripMargin,
+    "profile_outlier_mad" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |r1 AS (SELECT cents AS med FROM (
+        |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+        |    COUNT(*) OVER () AS n FROM dly) t WHERE rn = (n + 1) // 2),
+        |dv AS (SELECT dly.day, dly.cents, r1.med,
+        |    abs(dly.cents - r1.med) AS dev FROM dly, r1),
+        |r2 AS (SELECT dev AS mad FROM (
+        |  SELECT dev, day, ROW_NUMBER() OVER (ORDER BY dev, day) AS rn,
+        |    COUNT(*) OVER () AS n FROM dv) t WHERE rn = (n + 1) // 2)
+        |SELECT CAST(dv.day AS TIMESTAMP) AS day_ts,
+        |  CAST(dv.cents AS DOUBLE) / 100.0 AS rev,
+        |  CAST(dv.med AS DOUBLE) / 100.0 AS median,
+        |  CAST(r2.mad AS DOUBLE) / 100.0 AS mad,
+        |  CAST(CASE WHEN dv.dev * 10000 > r2.mad * 44478 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_outlier
+        |FROM dv, r2 ORDER BY day_ts""".stripMargin,
     "profile_lorenz" ->
       s"""WITH spend AS (SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)

@@ -772,6 +772,53 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cohort_ltv matches a direct cohort-cumulation computation") {
+    val rows = SparkEntry.queries("agg_cohort_ltv")(spark, sf).collect()
+    val ev = eventsRows.map(t =>
+      (t._1, (t._4 - 1) / 7, math.floor(t._3 * 100 + 0.5).toLong))
+    val cohortOf = ev.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).min }
+    val sizes = cohortOf.values.groupBy(identity)
+      .map { case (c, xs) => c -> xs.size.toLong }
+    rows.foreach { r =>
+      val cw = r.getAs[Long]("cohort_week").toInt
+      val off = r.getAs[Long]("week_offset").toInt
+      assert(r.getAs[Long]("cohort_size") == sizes(cw))
+      val inWin = ev.filter(t =>
+        cohortOf(t._1) == cw && t._2 - cw <= off && t._2 - cw >= 0)
+      val cum = inWin.map(_._3).sum
+      assert(math.abs(r.getAs[Double]("ltv_per_user") -
+        cum.toDouble / sizes(cw) / 100.0) < 1e-9)
+      val active = ev.filter(t => cohortOf(t._1) == cw && t._2 - cw == off)
+        .map(_._1).distinct.size.toLong
+      assert(r.getAs[Long]("n_active") == active)
+    }
+    // LTV is nondecreasing in offset within a cohort
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rs) =>
+      val ltv = rs.sortBy(_.getAs[Long]("week_offset"))
+        .map(_.getAs[Double]("ltv_per_user"))
+      ltv.zip(ltv.tail).foreach { case (a, b) => assert(b >= a - 1e-9) }
+    }
+  }
+
+  test("profile_outlier_mad matches a direct lower-median/MAD computation") {
+    val rows = SparkEntry.queries("profile_outlier_mad")(spark, sf).collect()
+    val cents = rows.map(r => (BigDecimal(r.getAs[Double]("rev")).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((sorted.length + 1) / 2 - 1)
+    }
+    val med = lowerMedian(cents)
+    val mad = lowerMedian(cents.map(c => math.abs(c - med)))
+    rows.zip(cents).foreach { case (r, c) =>
+      assert(math.abs(r.getAs[Double]("median") - med / 100.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mad") - mad / 100.0) < 1e-9)
+      val expect = if (math.abs(c - med) * 10000 > mad * 44478) 1L else 0L
+      assert(r.getAs[Long]("is_outlier") == expect)
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
