@@ -304,11 +304,16 @@ object GraftApi {
   // ---- statistics & evaluation (round 7b) ---------------------------
 
   /** Population Stability Index between the `isA` and !`isA` halves of
-    * `df`, over a precomputed integer `bin` column taking values in
-    * [0, nBins): (bin, n_a, n_b, term, psi) over the FULL bin grid — a
-    * bin empty on both sides still carries its nonzero smoothed term
-    * (the profile_psi contract). Laplace smoothing; ln terms quantized
-    * at 1e-6 via the shared StatsOps.psiTerm kernel. */
+    * `df`, over a precomputed integer `bin` column: (bin, n_a, n_b,
+    * term, psi) over the UNION of the fixed [0, nBins) grid and every
+    * OBSERVED bin label — a fixed bin empty on both sides still carries
+    * its nonzero smoothed term (the profile_psi contract), and a caller
+    * whose labels stray outside [0, nBins) keeps those rows in both the
+    * term sum and the totals instead of having them silently dropped
+    * (round-7b review: a dropped out-of-range bin deflated every
+    * remaining share with no warning). `nBins` is also the Laplace
+    * smoothing mass; ln terms quantized at 1e-6 via the shared
+    * StatsOps.psiTerm kernel. */
   def psi(df: DataFrame, bin: Column, isA: Column,
       nBins: Int = 10): DataFrame = {
     val ev = df.select(bin.as("bin"),
@@ -316,9 +321,12 @@ object GraftApi {
     val bins = ev.groupBy("bin").agg(
       sum("isa").as("n_a"), (count(lit(1)) - sum("isa")).as("n_b"))
     val tot = bins.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
-    val grid = tot
-      .select(col("ta"), col("tb"),
-        explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val gridBins = tot
+      .select(explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+      .unionByName(bins.select(col("bin").cast("int").as("bin")))
+      .distinct()
+    val grid = gridBins
+      .crossJoin(broadcast(tot))
       .join(bins, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"), col("ta"), col("tb"))

@@ -73,9 +73,14 @@ object StatsOps extends QueryModule {
     val varU = n1 * n2 / 12.0 *
       ((n + 1) - col("ties").cast(DoubleType) / (n * (n - 1)))
     val z = (u1x2.cast(DoubleType) - n1 * n2) / (sqrt(varU) * 2.0)
+    // n1 > 0 ∧ n2 > 0 first: with a single pooled row varU is 0/0 →
+    // Spark NaN, and NaN > 0 is TRUE in Spark (z would read 0.0) while
+    // DuckDB's NULL comparison stays NULL — the extra conjuncts make
+    // the NULL contract hold on both engines for every degenerate input
     g.select(col("n1"), col("n2"),
       (u1x2.cast(DoubleType) / 2.0).as("u1"),
-      when(varU > 0, floor(z * StatScale + 0.5) / StatScale).as("z"))
+      when(col("n1") > 0 && col("n2") > 0 && varU > 0,
+        floor(z * StatScale + 0.5) / StatScale).as("z"))
   }
 
   /** Frame-parametric Gini core (bound by agg_gini, re-exposed by
@@ -148,6 +153,23 @@ object StatsOps extends QueryModule {
       .select(col("ord"), col("x"), col("nn"),
         (col("__p") - least(min("__p").over(wp), lit(0L)))
           .as("cusum_scaled"))
+  }
+
+  /** The ONE per-customer spend frame (segment, o_custkey, cents) both
+    * concentration readouts rank — agg_gini and profile_lorenz must
+    * measure the same quantity or the curve stops explaining the
+    * coefficient (round-7b review #6: the two copies could drift). */
+  private def segmentSpend(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      .select(col("o_custkey"),
+        (col("spend") * 100).cast(LongType).as("cents"))
+    spend.join(
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+      col("o_custkey") === col("c_custkey"))
   }
 
   /** Benford expected shares log10(1+1/d) as ONE shared CASE string of
@@ -262,21 +284,13 @@ object StatsOps extends QueryModule {
     // ascending-sorted x (cents, exact): G = (2·Σ i·x_i − (n+1)·Σx) /
     // (n·Σx). The rank window is PARTITIONED by segment over
     // per-customer aggregates — no global sort, no raw-order rows.
-    "agg_gini" -> ((s, d) => {
-      val spend = Tables.orders(s, d)
-        .groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
-        .select(col("o_custkey"),
-          (col("spend") * 100).cast(LongType).as("cents"))
-      val seg = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
-      giniCore(spend.join(seg, col("o_custkey") === col("c_custkey")),
+    "agg_gini" -> ((s, d) =>
+      giniCore(segmentSpend(s, d),
           col("segment"), col("cents"), col("o_custkey"))
         .select(col("g").as("segment"), col("n").as("n_customers"),
           (col("s").cast(DoubleType) / 100.0).as("total_spend"),
           col("gini"))
-        .orderBy("segment")
-    }),
+        .orderBy("segment")),
 
     // ── lag-1 / lag-7 autocorrelation of the daily revenue series ──
     // The forecasting pre-check: is there day-to-day momentum and a
@@ -388,11 +402,16 @@ object StatsOps extends QueryModule {
       val zsum = expr("1.959963984540054E0 + 0.8416212335729143E0")
       val nReq = ceil(lit(2.0) * s2p * zsum * zsum / (delta * delta))
       // δ = 0 (identical arm means): no finite n detects a zero effect —
-      // NULL, not Spark's ceil(Inf) vs DuckDB's NULL divergence
+      // NULL, not Spark's ceil(Inf) vs DuckDB's NULL divergence. The
+      // pooled variance needs df = n1+n2−2 > 0 too: at one row per arm
+      // s2p is 0/0 (Spark NaN → floor 0.0 vs DuckDB NULL) — both
+      // s2_pooled and n_required go NULL below the minimum sample.
+      val hasDf = col("n1") + col("n2") > 2
       g.select(col("n1"), col("n2"),
         (floor(delta * StatScale + 0.5) / StatScale / 100.0).as("delta"),
-        (floor(s2p * StatScale + 0.5) / StatScale / 10000.0).as("s2_pooled"),
-        when(delta =!= 0, nReq.cast(LongType)).as("n_required"))
+        when(hasDf, floor(s2p * StatScale + 0.5) / StatScale / 10000.0)
+          .as("s2_pooled"),
+        when(hasDf && delta =!= 0, nReq.cast(LongType)).as("n_required"))
     }),
 
     // ── ratio metric with delta-method variance, per user cohort ──
@@ -411,15 +430,18 @@ object StatsOps extends QueryModule {
             floor(col("value") * 100 + 0.5).cast(LongType))
             .otherwise(0L)).as("x"),
           count(lit(1)).as("y"))
-      // second moments go decimal: Σx² over user cent totals passes
-      // BIGINT range near 10⁸ heavy users (the agg_gini overflow rule;
-      // DuckDB widens to HUGEINT automatically, Spark must opt in)
+      // second moments go decimal with the FIRST OPERAND widened (the
+      // agg_gini overflow rule, applied before the multiply: a single
+      // x > ~3·10⁹ cents would overflow the Long product before any
+      // cast; the oracle widens to HUGEINT the same way — casting its
+      // SUM back to BIGINT would error at exactly the scale this
+      // protects, round-7b review #2)
       val g = perUser.groupBy("bucket").agg(
         count(lit(1)).as("n_users"),
         sum("x").as("sx"), sum("y").as("sy"),
-        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
-        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy"),
-        sum((col("y") * col("y")).cast(DecimalType(38, 0))).as("syy"))
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
       val r = col("sx").cast(DoubleType) / col("sy").cast(DoubleType)
       // Σ(x−Ry)² = Σx² − 2RΣxy + R²Σy², with R quantized once so the
       // expansion is a fixed double expression on both engines
@@ -511,14 +533,7 @@ object StatsOps extends QueryModule {
     // decimal, cumulative shares ride a 10-row window. Same scale shape
     // as agg_gini: per-segment windows over per-customer aggregates.
     "profile_lorenz" -> ((s, d) => {
-      val spend = Tables.orders(s, d)
-        .groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
-        .select(col("o_custkey"),
-          (col("spend") * 100).cast(LongType).as("cents"))
-      val seg = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
-      val x = spend.join(seg, col("o_custkey") === col("c_custkey"))
+      val x = segmentSpend(s, d)
       val wOrd = Window.partitionBy("segment").orderBy("cents", "o_custkey")
       val byDecile = x.withColumn("decile", ntile(10).over(wOrd))
         .groupBy("segment", "decile")
@@ -606,7 +621,7 @@ object StatsOps extends QueryModule {
         |  FROM g)
         |SELECT n1, n2,
         |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
-        |  CASE WHEN varu > 0 THEN
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND varu > 0 THEN
         |    floor((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
         |        - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
         |      / (sqrt(varu) * 2.0)
@@ -807,9 +822,10 @@ object StatsOps extends QueryModule {
         |  FROM b)
         |SELECT n1, n2,
         |  floor(delta * $StatScale + 0.5) / $StatScale / 100.0 AS delta,
-        |  floor(s2p * $StatScale + 0.5) / $StatScale / 10000.0
-        |    AS s2_pooled,
-        |  CASE WHEN delta <> 0 THEN
+        |  CASE WHEN n1 + n2 > 2 THEN
+        |    floor(s2p * $StatScale + 0.5) / $StatScale / 10000.0
+        |  END AS s2_pooled,
+        |  CASE WHEN n1 + n2 > 2 AND delta <> 0 THEN
         |    CAST(ceil(2.0 * s2p
         |        * (1.959963984540054E0 + 0.8416212335729143E0)
         |        * (1.959963984540054E0 + 0.8416212335729143E0)
@@ -825,9 +841,9 @@ object StatsOps extends QueryModule {
         |  FROM events GROUP BY 1, 2),
         |g AS (SELECT bucket, COUNT(*) AS n_users,
         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
-        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(y AS HUGEINT) * y) AS syy
         |  FROM pu GROUP BY bucket),
         |h AS (SELECT bucket, n_users, sy,
         |    CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,

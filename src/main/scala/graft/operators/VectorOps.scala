@@ -1261,10 +1261,17 @@ object VectorOps extends QueryModule {
         .where(col("jaccard") >= 0.6).select("id1", "id2")
       val cand = minhashCandidatePairs(
         minhashDocFrame(Tables.documents(s, d)))
-      val hit = truth.join(cand, Seq("id1", "id2"))
-      truth.agg(count(lit(1)).as("n_truth"))
-        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
-        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      // ONE full-outer join + ONE aggregate: the truth miner and the
+      // band chain are the op's whole cost, and the count-them-
+      // separately formulation evaluated each pipeline twice (round-7b
+      // review #5 — the 4 s price was paying double)
+      val joined = truth.withColumn("t", lit(1L))
+        .join(cand.withColumn("c", lit(1L)), Seq("id1", "id2"), "full")
+      joined.agg(
+          sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+          sum(when(col("t").isNotNull && col("c").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           when(col("n_cand") > 0,
             col("n_hit").cast(DoubleType) / col("n_cand").cast(DoubleType))
