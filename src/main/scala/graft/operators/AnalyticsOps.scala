@@ -732,6 +732,50 @@ object AnalyticsOps extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // time-to-convert distribution: per user, the delay from FIRST
+    // signup to FIRST subsequent purchase — the latency half of the
+    // funnel story (agg_funnel counts who converts; this says how
+    // long conversion takes, which is what staged nudge campaigns key
+    // on). p50/p90 are LOWER percentiles (integer rank picks on the
+    // second-compacted delay frame — profile_outlier_mad's
+    // no-interpolation rule), conversion share is an exact integer
+    // ratio. One user-keyed agg + two rank windows over O(converted
+    // users) rows.
+    "agg_time_to_convert" -> ((s, d) => {
+      val firsts = Tables.events(s, d)
+        .where(col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t1"))
+        .where(col("t0").isNotNull)
+      // exact microsecond difference floored to whole seconds — the
+      // engines' second-level epoch functions disagree on sub-second
+      // handling (Spark truncates, DuckDB keeps the fraction)
+      val conv = firsts
+        .select(col("user_id"),
+          when(col("t1") > col("t0"),
+            expr("(unix_micros(t1) - unix_micros(t0)) div 1000000"))
+            .as("delay_s"))
+      val counts = conv.agg(count(lit(1)).as("n_signup"),
+        count(col("delay_s")).as("n_converted"))
+      def rankPick(q: Int): DataFrame = {
+        val w = Window.orderBy(col("delay_s"), col("user_id"))
+        conv.where(col("delay_s").isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+          .where(col("__rn") === expr(s"greatest((__n * $q + 99) div 100, 1)"))
+          .select(col("delay_s").as(s"p$q" + "_s"))
+      }
+      counts
+        .crossJoin(broadcast(rankPick(50)))
+        .crossJoin(broadcast(rankPick(90)))
+        .select(col("n_signup"), col("n_converted"),
+          (col("n_converted").cast(DoubleType) /
+            col("n_signup").cast(DoubleType)).as("conversion"),
+          col("p50_s"), col("p90_s"))
+    }),
+
     // cumulative LTV curve per signup cohort — agg_retention's revenue
     // twin: "how much has the week-w cohort spent per member by offset
     // k?" (the growth readout that decides payback windows). Revenue
@@ -1261,6 +1305,33 @@ object AnalyticsOps extends QueryModule {
         |    AS BIGINT) AS rank,
         |  u, v, common, uni, jaccard
         |FROM j ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    "agg_time_to_convert" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t1
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY user_id
+        |  HAVING MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |    IS NOT NULL),
+        |conv AS (SELECT user_id,
+        |    CASE WHEN t1 > t0
+        |      THEN (epoch_us(t1) - epoch_us(t0)) // 1000000 END AS delay_s
+        |  FROM f),
+        |c AS (SELECT COUNT(*) AS n_signup, COUNT(delay_s) AS n_converted
+        |  FROM conv),
+        |rk AS (SELECT delay_s, user_id,
+        |    ROW_NUMBER() OVER (ORDER BY delay_s, user_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM conv WHERE delay_s IS NOT NULL),
+        |p50 AS (SELECT delay_s AS p50_s FROM rk
+        |  WHERE rn = greatest((n * 50 + 99) // 100, 1)),
+        |p90 AS (SELECT delay_s AS p90_s FROM rk
+        |  WHERE rn = greatest((n * 90 + 99) // 100, 1))
+        |SELECT n_signup, n_converted,
+        |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)
+        |    AS conversion,
+        |  p50_s, p90_s
+        |FROM c, p50, p90""".stripMargin,
     "agg_cohort_ltv" ->
       """WITH ev AS (SELECT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

@@ -819,6 +819,39 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_time_to_convert matches a direct first-signup/first-purchase calc") {
+    val got = SparkEntry.queries("agg_time_to_convert")(spark, sf)
+      .collect().head
+    val ev = Tables.events(spark, sf)
+      .where(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val s0 = es.filter(_._2 == "signup").map(_._3)
+      if (s0.isEmpty) None
+      else {
+        val t0 = s0.min
+        val p = es.filter(t => t._2 == "purchase").map(_._3)
+        val t1 = if (p.isEmpty) None else Some(p.min)
+        Some((u, t1.filter(_ > t0).map(t => (t - t0) / 1000000L)))
+      }
+    }
+    val nSignup = byUser.length.toLong
+    val delays = byUser.flatMap(_._2)
+    assert(got.getAs[Long]("n_signup") == nSignup)
+    assert(got.getAs[Long]("n_converted") == delays.length.toLong)
+    assert(math.abs(got.getAs[Double]("conversion") -
+      delays.length.toDouble / nSignup) < 1e-12)
+    def pick(q: Int): Long = {
+      val sorted = delays.sorted
+      sorted(math.max((sorted.length * q + 99) / 100, 1) - 1)
+    }
+    assert(got.getAs[Long]("p50_s") == pick(50))
+    assert(got.getAs[Long]("p90_s") == pick(90))
+    assert(got.getAs[Long]("p50_s") <= got.getAs[Long]("p90_s"))
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
