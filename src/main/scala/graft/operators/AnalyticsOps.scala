@@ -732,6 +732,48 @@ object AnalyticsOps extends QueryModule {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // association-rule mining over co-purchase pairs: lift =
+    // P(a,b)/(P(a)·P(b)) and confidence = P(b|a) — agg_copurchase
+    // counts pairs, this SCORES them (a high-count pair of two
+    // bestsellers is uninteresting; lift > 1 is actual affinity, the
+    // recommender-bootstrap signal). Exact integer counts everywhere;
+    // lift's final ratio is one double division of exactly-determined
+    // operands, quantized. Top-20 by (lift, pair) via
+    // TakeOrderedAndProject; item supports join the pair frame
+    // broadcast (items ≪ pairs).
+    "agg_basket_lift" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n"))
+      val item = li.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
+      val pair = li
+        .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
+        .where(col("pk") < col("pk2"))
+        .groupBy(col("pk").as("a"), col("pk2").as("b"))
+        .agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 2)
+      val scored = pair
+        .join(broadcast(item.select(col("pk").as("a"), col("ci").as("ca"))),
+          "a")
+        .join(broadcast(item.select(col("pk").as("b"), col("ci").as("cb"))),
+          "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+          (floor(col("cab").cast(DoubleType) * col("n").cast(DoubleType)
+            / (col("ca") * col("cb")).cast(DoubleType) * 1e6 + 0.5) / 1e6)
+            .as("lift"),
+          (floor(col("cab").cast(DoubleType) / col("ca").cast(DoubleType)
+            * 1e6 + 0.5) / 1e6).as("confidence"))
+      val top = scored.orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+      top.withColumn("rank", row_number()
+          .over(Window.orderBy(col("lift").desc, col("a"), col("b")))
+          .cast(LongType))
+        .select("rank", "a", "b", "cab", "lift", "confidence")
+        .orderBy("rank")
+    }),
+
     // time-to-convert distribution: per user, the delay from FIRST
     // signup to FIRST subsequent purchase — the latency half of the
     // funnel story (agg_funnel counts who converts; this says how
@@ -1305,6 +1347,25 @@ object AnalyticsOps extends QueryModule {
         |    AS BIGINT) AS rank,
         |  u, v, common, uni, jaccard
         |FROM j ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin,
+    "agg_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |no AS (SELECT COUNT(DISTINCT ok) AS n FROM li),
+        |it AS (SELECT pk, COUNT(*) AS ci FROM li GROUP BY pk),
+        |pr AS (SELECT a.pk AS a, b.pk AS b, COUNT(*) AS cab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sc AS (SELECT pr.a, pr.b, pr.cab, ia.ci AS ca, ib.ci AS cb,
+        |    floor(CAST(pr.cab AS DOUBLE) * CAST(no.n AS DOUBLE)
+        |      / CAST(ia.ci * ib.ci AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift,
+        |    floor(CAST(pr.cab AS DOUBLE) / CAST(ia.ci AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 AS confidence
+        |  FROM pr JOIN it ia ON ia.pk = pr.a JOIN it ib ON ib.pk = pr.b,
+        |    no)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, a, b)
+        |    AS BIGINT) AS rank,
+        |  a, b, cab, lift, confidence
+        |FROM sc ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
     "agg_time_to_convert" ->
       """WITH f AS (SELECT user_id,
         |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,

@@ -301,6 +301,36 @@ object CurationOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // deterministic negative sampling — the contrastive-training staple
+    // (word2vec/recsys): for every user, up to 2 event types they have
+    // NEVER triggered, picked by a pure hash order (md5 of user:type —
+    // reproducible across engines/retries/relayouts, the
+    // pipeline_interleave discipline; an RNG-based pick cannot be
+    // coordinated across 1000 executors or replayed by an oracle).
+    // Scale: users × |universe| candidates via a broadcast ≤|types|-row
+    // universe, positives removed by an anti-join keyed on the user —
+    // never a row-scale shuffle beyond the distinct.
+    "sample_negatives" -> ((s, d) => {
+      // "item" = event type × value quintile (25 compound items — a
+      // plain 5-type universe is saturated by every active user,
+      // leaving nothing to sample)
+      val item = concat_ws(":", col("event_type"),
+        least(floor(col("value") / lit(112.1)), lit(4)).cast(IntegerType))
+      val pos = Tables.events(s, d)
+        .select(col("user_id"), item.as("item")).distinct()
+      val universe = pos.select("item").distinct()
+      val cand = pos.select("user_id").distinct()
+        .crossJoin(broadcast(universe))
+        .join(pos, Seq("user_id", "item"), "left_anti")
+      val w = Window.partitionBy("user_id").orderBy(
+        md5(concat_ws(":", col("user_id"), col("item"))), col("item"))
+      cand.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 2)
+        .select(col("user_id"), col("rank"),
+          col("item").as("negative_item"))
+        .orderBy("user_id", "rank")
+    }),
+
     // deterministic training-order shuffle: within each source, docs
     // are ordered by a pure hash (md5 of doc_id — reproducible across
     // engines, retries and relayouts, no RNG state across 1000
@@ -488,6 +518,23 @@ object CurationOps extends QueryModule {
         |WHERE ${duckHashFrac("d.doc_id")}
         |  < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "sample_negatives" ->
+      """WITH pos AS (SELECT DISTINCT user_id,
+        |    event_type || ':' || CAST(CAST(least(floor(value / 112.1), 4)
+        |      AS INTEGER) AS VARCHAR) AS item
+        |  FROM events),
+        |uni AS (SELECT DISTINCT item FROM pos),
+        |cand AS (SELECT u.user_id, uni.item
+        |  FROM (SELECT DISTINCT user_id FROM pos) u CROSS JOIN uni
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.user_id = u.user_id AND p.item = uni.item)),
+        |rk AS (SELECT user_id, item,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+        |      md5(CAST(user_id AS VARCHAR) || ':' || item),
+        |      item) AS BIGINT) AS rank
+        |  FROM cand)
+        |SELECT user_id, rank, item AS negative_item
+        |FROM rk WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
     "pipeline_interleave" ->
       """WITH srcs AS (SELECT source,
         |    CAST(ROW_NUMBER() OVER (ORDER BY source) AS BIGINT) - 1

@@ -552,6 +552,43 @@ object StatsOps extends QueryModule {
         .orderBy("segment", "decile")
     }),
 
+    // ── Jensen–Shannon divergence between two languages' token mixes ──
+    // The symmetric, bounded (≤ ln 2) corpus-comparison measure — what
+    // PSI is to a score column, JS is to a VOCABULARY: "how differently
+    // do these two sources use words?" (domain-shift detection before
+    // mixing corpora). Laplace smoothing over the UNION vocabulary (so
+    // both distributions live on the same support — KL would be ∞ on
+    // disjoint tokens, JS's midpoint keeps every term finite), one
+    // quantized term per token (PSI discipline), vocab-bounded frames
+    // (Heaps-sublinear — never corpus-row-scale).
+    "text_js_divergence" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .where(col("lang").isin("en", "de"))
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      val byT = toks.groupBy("tok").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cen"),
+        (count(lit(1)) - sum(when(col("lang") === "en", 1L).otherwise(0L)))
+          .as("cde"))
+      val tot = byT.agg(sum("cen").as("na"), sum("cde").as("nb"),
+        count(lit(1)).as("v"))
+      val j = byT.crossJoin(broadcast(tot))
+      val p = (col("cen") + 1).cast(DoubleType) /
+        (col("na") + col("v")).cast(DoubleType)
+      val q = (col("cde") + 1).cast(DoubleType) /
+        (col("nb") + col("v")).cast(DoubleType)
+      val m = (p + q) / 2.0
+      val iterm = floor(
+        (lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))
+          * LnScale + 0.5).cast(LongType)
+      j.select(col("na"), col("nb"), col("v"), iterm.as("iterm"))
+        .groupBy("na", "nb", "v")
+        .agg(sum("iterm").as("tsum"))
+        .select(col("na").as("n_en"), col("nb").as("n_de"),
+          col("v").as("vocab"),
+          (col("tsum").cast(DoubleType) / LnScale).as("js_nats"))
+    }),
+
     // ── Zipf-law fit over the corpus token-frequency spectrum ──
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
@@ -907,6 +944,35 @@ object StatsOps extends QueryModule {
         |    floor(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
         |      * $LnScale + 0.5) / $LnScale END AS cum_share
         |FROM cm ORDER BY segment, decile""".stripMargin,
+    "text_js_divergence" ->
+      s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |ft AS (SELECT lang, tok FROM toks WHERE length(tok) > 0),
+        |byt AS (SELECT tok,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cen,
+        |    CAST(COUNT(*) - SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cde
+        |  FROM ft GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cen) AS BIGINT) AS na,
+        |    CAST(SUM(cde) AS BIGINT) AS nb, COUNT(*) AS v FROM byt),
+        |t AS (SELECT na, nb, v,
+        |    CAST(floor((0.5 * (CAST(cen + 1 AS DOUBLE)
+        |          / CAST(na + v AS DOUBLE))
+        |        * ln((CAST(cen + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |          / ((CAST(cen + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+        |            + CAST(cde + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |            / 2.0))
+        |      + 0.5 * (CAST(cde + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |        * ln((CAST(cde + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |          / ((CAST(cen + 1 AS DOUBLE) / CAST(na + v AS DOUBLE)
+        |            + CAST(cde + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |            / 2.0)))
+        |      * $LnScale + 0.5) AS BIGINT) AS iterm
+        |  FROM byt, tot)
+        |SELECT na AS n_en, nb AS n_de, v AS vocab,
+        |  CAST(SUM(iterm) AS DOUBLE) / $LnScale AS js_nats
+        |FROM t GROUP BY na, nb, v""".stripMargin,
     "text_zipf" ->
       s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok

@@ -852,6 +852,82 @@ class StatsSpec extends AnyFunSuite {
     assert(got.getAs[Long]("p50_s") <= got.getAs[Long]("p90_s"))
   }
 
+  test("agg_basket_lift matches a direct lift/confidence computation") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = li.map(_._1).distinct.length.toLong
+    val itemC = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairC = li.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSeq.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .filter(_._2 >= 2)
+    val direct = pairC.toSeq.map { case ((a, b), cab) =>
+      val lift = math.floor(cab.toDouble * nOrders /
+        (itemC(a) * itemC(b)) * 1e6 + 0.5) / 1e6
+      val conf = math.floor(cab.toDouble / itemC(a) * 1e6 + 0.5) / 1e6
+      (a, b, cab, lift, conf)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(20)
+    val got = SparkEntry.queries("agg_basket_lift")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("cab"), r.getAs[Double]("lift"),
+        r.getAs[Double]("confidence")))
+    assert(got.length == direct.length)
+    got.zip(direct).foreach { case (g, e) => assert(g == e, s"$g vs $e") }
+  }
+
+  test("text_js_divergence is within [0, ln 2] and matches direct math") {
+    val got = SparkEntry.queries("text_js_divergence")(spark, sf)
+      .collect().head
+    val toks = Tables.documents(spark, sf)
+      .where(col("lang").isin("en", "de"))
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+        .map(t => (r.getString(0), t)))
+    val byT = toks.groupBy(_._2).map { case (t, xs) =>
+      t -> (xs.count(_._1 == "en").toLong,
+        xs.count(_._1 != "en").toLong) }
+    val na = byT.values.map(_._1).sum
+    val nb = byT.values.map(_._2).sum
+    val v = byT.size.toLong
+    val js = byT.values.map { case (cen, cde) =>
+      val p = (cen + 1).toDouble / (na + v)
+      val q = (cde + 1).toDouble / (nb + v)
+      val m = (p + q) / 2.0
+      math.floor((0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m))
+        * 1e6 + 0.5) / 1e6
+    }.sum
+    assert(got.getAs[Long]("n_en") == na && got.getAs[Long]("n_de") == nb)
+    assert(got.getAs[Long]("vocab") == v)
+    val gjs = got.getAs[Double]("js_nats")
+    assert(gjs >= -1e-4 && gjs <= math.log(2.0) + 1e-4)
+    assert(math.abs(gjs - js) < 1e-9, s"js $gjs vs $js")
+  }
+
+  test("sample_negatives never emits a positive and picks by hash order") {
+    val rows = SparkEntry.queries("sample_negatives")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("negative_item")))
+    val pos = eventsRows.map(t => (t._1,
+      s"${t._2}:${math.min(math.floor(t._3 / 112.1), 4).toInt}")).toSet
+    rows.foreach { case (u, _, item) =>
+      assert(!pos.contains((u, item)), s"negative ($u, $item) is a positive")
+    }
+    // per user: at most 2, ranks 1..k, and the hash order is respected
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val universe = pos.map(_._2)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      assert(rs.length <= 2)
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length))
+      val expect = universe.filterNot(i => pos.contains((u, i))).toSeq
+        .sortBy(i => (md5hex(s"$u:$i"), i)).take(2)
+      assert(rs.sortBy(_._2).map(_._3).toSeq == expect)
+    }
+  }
+
   test("ts_lag_features: calendar lags line up with the daily series") {
     val daily = eventsRows.isEmpty // force fixture init (unused marker)
     assert(!daily)
