@@ -64,6 +64,10 @@ object Bench {
     // 1.3 s fixture-cold / 0.7 s warm (the pre-fixture form recomputed
     // the edge aggregation once per union branch: 7.1-7.3 s)
     "graph_jaccard" -> 2.0,
+    // round-7b: the raw co-purchase pair aggregation (triangles-class;
+    // no support fixture — the scoring needs sub-support pairs too);
+    // measured 3.1 s in-bench
+    "agg_basket_lift" -> 3.0,
     "text_lm_score" -> 4.1,
     "agg_copurchase" -> 3.0,
     "text_approx_topk" -> 2.5,
