@@ -542,9 +542,14 @@ object AnalyticsOps extends QueryModule {
     // support-filtered wedge join graph_triangles uses (never the raw
     // pair explosion — the candidate space is bounded by Σ deg², the
     // published common-neighbors bound), common counts are one groupBy
-    // over wedges, and |N(a)∪N(c)| = deg(a)+deg(c)−common needs only a
-    // broadcast-sized degree table. Top-20 by (jaccard, pair) — exact
-    // integer ratio, deterministic ties.
+    // over wedges, and |N(a)∪N(c)| = deg(a)+deg(c)−common needs only
+    // the degree table — keyed on the same u/v the candidate frame
+    // already shuffles on. NO broadcast hint on the degree joins: the
+    // table is one row per part appearing in any support-≥2 edge, which
+    // is parts-scale at 100 TB, not broadcast-sized — the optimizer
+    // (with AQE) picks broadcast only when the measured size permits
+    // (round-8 advisory). Top-20 by (jaccard, pair) — exact integer
+    // ratio, deterministic ties.
     "graph_jaccard" -> ((s, d) => {
       // edges come from the fingerprinted fixture (computed once per
       // lineitem snapshot; live aggregation priced by graph_triangles)
@@ -558,8 +563,8 @@ object AnalyticsOps extends QueryModule {
         .where(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("common"))
       val j = common
-        .join(broadcast(deg.select(col("x").as("u"), col("deg").as("du"))), "u")
-        .join(broadcast(deg.select(col("x").as("v"), col("deg").as("dv"))), "v")
+        .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
         .select(col("u"), col("v"), col("common"),
           (col("du") + col("dv") - col("common")).as("uni"))
         .withColumn("jaccard",
@@ -809,9 +814,14 @@ object AnalyticsOps extends QueryModule {
           .where(col("__rn") === expr(s"greatest((__n * $q + 99) div 100, 1)"))
           .select(col("delay_s").as(s"p$q" + "_s"))
       }
+      // LEFT joins (not crossJoin): when NO user converts both
+      // percentile frames are empty, and a cross join would erase the
+      // counts row — silently discarding n_signup and the conversion=0
+      // signal. The left join keeps it with NULL p50_s/p90_s
+      // (round-8 advisory).
       counts
-        .crossJoin(broadcast(rankPick(50)))
-        .crossJoin(broadcast(rankPick(90)))
+        .join(broadcast(rankPick(50)), lit(true), "left")
+        .join(broadcast(rankPick(90)), lit(true), "left")
         .select(col("n_signup"), col("n_converted"),
           (col("n_converted").cast(DoubleType) /
             col("n_signup").cast(DoubleType)).as("conversion"),
@@ -1392,7 +1402,7 @@ object AnalyticsOps extends QueryModule {
         |  CAST(n_converted AS DOUBLE) / CAST(n_signup AS DOUBLE)
         |    AS conversion,
         |  p50_s, p90_s
-        |FROM c, p50, p90""".stripMargin,
+        |FROM c LEFT JOIN p50 ON TRUE LEFT JOIN p90 ON TRUE""".stripMargin,
     "agg_cohort_ltv" ->
       """WITH ev AS (SELECT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

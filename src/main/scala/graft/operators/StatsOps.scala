@@ -25,8 +25,9 @@ import org.apache.spark.sql.types._
   * window is bounded by the value range, ≤ ~56 k rows at ANY corpus
   * size, the agg_weighted_percentile discipline); PSI reduces to 10
   * fixed bins map-side; Gini's window is partitioned per segment and
-  * runs on per-customer aggregates; the Zipf fit window runs on the
-  * vocabulary frame (Heaps-law sublinear in corpus size).
+  * runs on per-customer aggregates; the Zipf fit ranks only the top-N
+  * spectrum head via TakeOrderedAndProject (constant-size at any
+  * corpus scale — the full vocabulary never feeds one task).
   */
 object StatsOps extends QueryModule {
   /** output quantization for test statistics (1e-4: agg_entropy's). */
@@ -34,6 +35,11 @@ object StatsOps extends QueryModule {
   /** per-term ln quantization (1e-6 keeps 6 significant decimals; terms
     * are summed exactly as integers afterwards). */
   private val LnScale = 1e6
+
+  /** text_zipf fits the slope on the top-N head of the frequency
+    * spectrum — constant-size regardless of corpus scale (the full
+    * vocabulary is O(10⁸⁺) at 100 TB and must never feed one task). */
+  private[graft] val ZipfHeadN = 2000
 
   /** Shared Laplace-smoothed PSI term, quantized (the ONE definition —
     * profile_psi, stream_drift and GraftApi.psi all replay it):
@@ -209,8 +215,8 @@ object StatsOps extends QueryModule {
     // broke the smoothed-shares-sum-to-1 property).
     "profile_psi" -> ((s, d) => {
       val ev = Tables.events(s, d).select(
-        least(floor(col("value") / lit(56.1)), lit(9)).cast(IntegerType)
-          .as("bin"),
+        greatest(least(floor(col("value") / lit(56.1)), lit(9)), lit(0))
+          .cast(IntegerType).as("bin"),
         when(dayofmonth(col("ts")) <= 15, 1L).otherwise(0L).as("isA"))
       val bins = ev.groupBy("bin").agg(
         sum("isA").as("n_a"), (count(lit(1)) - sum("isA")).as("n_b"))
@@ -237,10 +243,12 @@ object StatsOps extends QueryModule {
     // contingency table INCLUDING empty cells (absent combos contribute
     // E, not 0 — dropping them understates χ²): the full grid is the
     // cross of two tiny distinct frames, margins are broadcast 1-row /
-    // 5-row aggregates, and each cell term uses the integer-exact form
-    // (O·N − R·C)²/(N·R·C) with the squaring in double space (the
-    // squared numerator would overflow BIGINT at ~10⁵ rows; the
-    // pre-square difference holds to ~10¹⁸ events). Effect size ships
+    // 5-row aggregates, and each cell term uses the margin form
+    // (O·N − R·C)²/(N·R·C) with EVERY product in double space: o·n and
+    // r·c reach n², n·r·c reaches ~n³/cells, so Long products would
+    // silently wrap at only ~3·10⁹ events while DuckDB errors — the
+    // double factors stay exact below 2⁵³ ≈ 9·10¹⁵ events and both
+    // engines evaluate the identical expression tree. Effect size ships
     // alongside as Cramér's V — χ² alone always "significises" at
     // 100 TB row counts.
     "profile_chisq" -> ((s, d) => {
@@ -260,8 +268,16 @@ object StatsOps extends QueryModule {
         .join(broadcast(rt), "event_type")
         .join(broadcast(ct), "bucket")
         .crossJoin(broadcast(tot))
-      val diff = (col("o") * col("n") - col("r") * col("c")).cast(DoubleType)
-      val den = (col("n") * col("r") * col("c")).cast(DoubleType)
+      // each factor is cast to Double BEFORE the products: o·n and r·c
+      // reach n² and n·r·c reaches ~n³/cells, so Long products overflow
+      // at only ~3·10⁹ events (and DuckDB would error while Spark wraps
+      // silently — the worst cross-engine divergence class). Double
+      // products are exact below 2⁵³ per factor and both engines
+      // associate identically on this shared shape. (round-8 advisory)
+      val diff = col("o").cast(DoubleType) * col("n").cast(DoubleType) -
+        col("r").cast(DoubleType) * col("c").cast(DoubleType)
+      val den = col("n").cast(DoubleType) * col("r").cast(DoubleType) *
+        col("c").cast(DoubleType)
       val iterm = floor(diff * diff / den * LnScale + 0.5).cast(LongType)
       val g = cells.agg(
         sum(iterm).as("tsum"),
@@ -593,16 +609,26 @@ object StatsOps extends QueryModule {
     // Corpus health profiling: natural text follows freq ∝ rank^(−s)
     // with s ≈ 1; a broken crawl or synthetic corpus shows up as a
     // deviant slope. OLS of ln(freq) on ln(rank) in quantized-integer
-    // space. The ranking window runs over the VOCABULARY frame — the
-    // token counts after a map-side-combined groupBy — which grows
-    // Heaps-sublinearly, not with corpus rows.
+    // space. The fit runs on the TOP-N SPECTRUM HEAD (published Zipf
+    // fits use the head — the hapax tail is a flat run that only blurs
+    // the slope): orderBy(freq.desc).limit(N) compiles to
+    // TakeOrderedAndProject, a distributed partial top-k, so the full
+    // vocabulary (O(10⁸⁺) distinct tokens at 100 TB of web text) NEVER
+    // feeds a single-task rank window — the window touches exactly
+    // ZipfHeadN rows (PlanSpec-locked). Moment sums ride
+    // DecimalType(38,0) (exact, matching DuckDB's HUGEINT SUM widening)
+    // so quantized cross-products can never wrap Long — each lx·ly term
+    // is ~(ln·10⁶)² ≈ 10¹⁴, which overflows BIGINT at ~10⁵ terms
+    // (round-8 advisory).
     "text_zipf" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
         .where(length(col("tok")) > 0)
         .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val head = toks
+        .orderBy(col("freq").desc, col("tok").asc).limit(ZipfHeadN)
       val w = Window.orderBy(col("freq").desc, col("tok").asc)
-      val r = toks.withColumn("rank", row_number().over(w).cast(LongType))
+      val r = head.withColumn("rank", row_number().over(w).cast(LongType))
         .select(
           floor(log(col("rank").cast(DoubleType)) * LnScale + 0.5)
             .cast(LongType).as("lx"),
@@ -610,8 +636,8 @@ object StatsOps extends QueryModule {
             .cast(LongType).as("ly"))
       val g = r.agg(
         count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
-        sum(col("lx") * col("ly")).as("sxy"),
-        sum(col("lx") * col("lx")).as("sxx"))
+        sum(col("lx").cast(DecimalType(38, 0)) * col("ly")).as("sxy"),
+        sum(col("lx").cast(DecimalType(38, 0)) * col("lx")).as("sxx"))
       // normalized moments with ONE division each (shared shape with the
       // oracle — float ops must associate identically on both engines)
       val moments = g.select(
@@ -666,7 +692,8 @@ object StatsOps extends QueryModule {
         |  END AS z
         |FROM v""".stripMargin,
     "profile_psi" ->
-      s"""WITH ev AS (SELECT CAST(least(floor(value / 56.1), 9) AS INTEGER)
+      s"""WITH ev AS (SELECT
+        |    CAST(greatest(least(floor(value / 56.1), 9), 0) AS INTEGER)
         |    AS bin,
         |    CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS isa
         |  FROM events),
@@ -705,9 +732,12 @@ object StatsOps extends QueryModule {
         |ct AS (SELECT bucket, COUNT(*) AS c FROM ev GROUP BY 1),
         |tot AS (SELECT COUNT(*) AS n FROM ev),
         |cells AS (SELECT g.o, rt.r, ct.c, tot.n,
-        |    CAST(floor(CAST(g.o * tot.n - rt.r * ct.c AS DOUBLE)
-        |      * CAST(g.o * tot.n - rt.r * ct.c AS DOUBLE)
-        |      / CAST(tot.n * rt.r * ct.c AS DOUBLE) * $LnScale + 0.5)
+        |    CAST(floor((CAST(g.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |        - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+        |      * (CAST(g.o AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |        - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE))
+        |      / (CAST(tot.n AS DOUBLE) * CAST(rt.r AS DOUBLE)
+        |        * CAST(ct.c AS DOUBLE)) * $LnScale + 0.5)
         |      AS BIGINT) AS iterm,
         |    g.event_type, g.bucket
         |  FROM grid g JOIN rt ON rt.event_type = g.event_type
@@ -977,12 +1007,14 @@ object StatsOps extends QueryModule {
       s"""WITH toks AS (SELECT tok, COUNT(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
         |        FROM documents) WHERE length(tok) > 0 GROUP BY tok),
+        |hd AS (SELECT tok, freq FROM toks
+        |  ORDER BY freq DESC, tok ASC LIMIT $ZipfHeadN),
         |r AS (SELECT
         |    CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC,
         |      tok ASC) AS DOUBLE)) * $LnScale + 0.5) AS BIGINT) AS lx,
         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * $LnScale + 0.5)
         |      AS BIGINT) AS ly
-        |  FROM toks),
+        |  FROM hd),
         |g AS (SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
         |    SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
         |  FROM r),

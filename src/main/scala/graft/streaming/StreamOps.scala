@@ -182,8 +182,8 @@ object StreamOps extends QueryModule {
     // baseline is a broadcast 10-row aggregate.
     "stream_drift" -> ((s, d) => {
       val binned = Tables.events(s, d).select(col("ts"),
-        least(floor(col("value") / lit(56.1)), lit(9)).cast(IntegerType)
-          .as("bin"))
+        greatest(least(floor(col("value") / lit(56.1)), lit(9)), lit(0))
+          .cast(IntegerType).as("bin"))
       val wb = binned
         .groupBy(window(col("ts"), "6 hours").as("w"), col("bin"))
         .agg(count(lit(1)).as("n"))
@@ -404,7 +404,8 @@ object StreamOps extends QueryModule {
       """WITH b AS (SELECT
         |    make_timestamp((epoch_ms(ts) // 21600000) * 21600000000)
         |      AS w_start,
-        |    CAST(least(floor(value / 56.1), 9) AS INTEGER) AS bin
+        |    CAST(greatest(least(floor(value / 56.1), 9), 0) AS INTEGER)
+        |      AS bin
         |  FROM events),
         |wb AS (SELECT w_start, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
         |base AS (SELECT bin, COUNT(*) AS nb FROM b GROUP BY 1),

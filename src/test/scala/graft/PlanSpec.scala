@@ -597,12 +597,41 @@ class PlanSpec extends AnyFunSuite {
       s"baseline not broadcast:\n$p")
   }
 
-  test("graph_jaccard degree joins broadcast; top-20 is TakeOrdered") {
-    val p = plan("graph_jaccard")
+  test("graph_jaccard leaves degree-join strategy to the optimizer; " +
+    "top-20 is TakeOrdered") {
+    // ADVICE r8: the degree table is one row per part in any support-≥2
+    // edge — parts-scale at 100 TB, NOT broadcast-sized. A broadcast
+    // HINT would force an OOM there; without it the optimizer still
+    // broadcasts at test scale (size-based) and degrades to a keyed
+    // shuffle join at scale. Assert the hint is gone and top-k stays
+    // incremental.
+    val df = SparkEntry.queries("graph_jaccard")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.treeString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"broadcast hint forced on a parts-scale frame:\n$analyzed")
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 fell back to a global sort:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"degree join not broadcast:\n$p")
+  }
+
+  test("text_zipf ranks only the top-N spectrum head (TakeOrdered below " +
+    "the window)") {
+    // VERDICT r7 #1: the old form ranked the FULL vocabulary in one
+    // unpartitioned window — O(10⁸⁺) rows on a single task at 100 TB.
+    // Now the head is selected by orderBy(freq.desc).limit(ZipfHeadN)
+    // → TakeOrderedAndProject (distributed partial top-k), and the only
+    // single-partition exchange in the plan feeds on that bounded head:
+    // in the plan tree the TakeOrdered must sit BELOW (deeper than)
+    // every single-partition exchange.
+    val p = plan("text_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"spectrum head not planned as distributed top-k:\n$p")
+    val lines = p.linesIterator.toVector
+    val topIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    val spIdxs = lines.zipWithIndex
+      .filter(_._1.contains("Exchange SinglePartition")).map(_._2)
+    assert(spIdxs.forall(_ < topIdx),
+      s"a single-partition exchange feeds on more than the head:\n$p")
   }
 
   test("ts_lag_features stacks all four frames on one user_id exchange") {

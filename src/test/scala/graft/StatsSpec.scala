@@ -118,7 +118,10 @@ class StatsSpec extends AnyFunSuite {
     val freqs = Tables.documents(spark, sf).select(col("text")).collect()
       .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
       .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
-    val ranked = freqs.sortBy { case (t, f) => (-f, t) }.zipWithIndex
+    // the op fits on the top-N spectrum head (round-8 scale fix) — the
+    // direct fit replays the same truncation
+    val ranked = freqs.sortBy { case (t, f) => (-f, t) }
+      .take(graft.operators.StatsOps.ZipfHeadN).zipWithIndex
       .map { case ((_, f), i) => (math.log((i + 1).toDouble), math.log(f.toDouble)) }
     val n = ranked.size.toDouble
     val sx = ranked.map(_._1).sum
