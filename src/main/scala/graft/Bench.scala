@@ -73,7 +73,23 @@ object Bench {
     "text_approx_topk" -> 2.5,
     "sink_compacted" -> 2.5,
     "pipeline_multimodal_set" -> 4.0,
-    "pipeline_curation" -> 2.5)
+    "pipeline_curation" -> 2.5,
+    // round-8 (VERDICT r7 #3): every id measured >1 s in an idle sf0.1
+    // drive gets its own price so a moderately loaded run (~2×) cannot
+    // trip the 3× wire on a non-regression — the decontaminate-class
+    // false alarm both round-7 driver artifacts carried. Prices are the
+    // measured idle warm seconds rounded up to the next 0.5.
+    "profile_stats" -> 2.0, // 16-metric profile: 2 scans + approx sketch
+    "agg_attribution" -> 2.0, // per-user path windows over events
+    "dedup_exact_normalized" -> 2.0, // normalization chain before hash
+    "multimodal_phash" -> 2.0, // dHash band join on binary payloads
+    "sim_pq_topk" -> 2.0, // PQ codebook fit + ADC scan
+    "join_fuzzy" -> 1.5, // blocked Levenshtein (≤100-row blocks)
+    "text_cooccurrence" -> 1.5, // windowed token-pair explode
+    "graph_bfs" -> 1.5, // 6 relax rounds, localCheckpoint each
+    "sink_zorder" -> 1.5, // interleaved-bit sort + parquet write
+    "join_lateral" -> 1.5, // per-order top-2 lateral
+    "text_tfidf" -> 1.5) // two-level token agg + idf join
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin

@@ -18,16 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object MergeOps extends QueryModule {
 
-  /** Snapshot ⟗ delta with per-row action classification — shared core of
-    * the SCD1 and SCD2 queries. The delta batch is derived
-    * deterministically from the snapshot (= customer): +100.00 balance
+  /** The ONE deterministic delta batch (shared by the relational merges
+    * AND the native MERGE INTO path — divergent copies would let the
+    * two forms silently answer different questions): +100.00 balance
     * for keys ≡0 (mod 7) (updates), untouched rows for keys ≡0 (mod 5)
     * (no-op upserts), and brand-new keys +1e6 for keys ≡0 (mod 13)
     * (inserts). */
-  private def classified(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val snap = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
-    val delta = snap.where(col("c_custkey") % 7 === 0)
+  private def deltaOf(snap: org.apache.spark.sql.DataFrame) =
+    snap.where(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"), col("c_name"),
         (col("c_acctbal") + 100.0).as("c_acctbal"))
       .unionAll(snap.where(col("c_custkey") % 5 === 0 &&
@@ -36,6 +34,13 @@ object MergeOps extends QueryModule {
         .select((col("c_custkey") + 1000000L).as("c_custkey"),
           concat(col("c_name"), lit(" (new)")).as("c_name"),
           col("c_acctbal")))
+
+  /** Snapshot ⟗ delta with per-row action classification — shared core of
+    * the SCD1 and SCD2 queries. */
+  private def classified(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val delta = deltaOf(snap)
     def digest(prefix: String) =
       md5(concat_ws("|", col(s"${prefix}c_name"), col(s"${prefix}c_acctbal")))
     val sSide = snap.select(col("c_custkey").as("s_key"),
@@ -50,7 +55,60 @@ object MergeOps extends QueryModule {
           .otherwise("updated"))
   }
 
+  /** physical plan of the last executed MERGE INTO statement —
+    * PlanSpec asserts the group-based ReplaceData rewrite appears
+    * (i.e. the statement really went through Spark's native row-level
+    * planner, not a relational re-expression). */
+  @volatile private[graft] var lastMergePlan: String = ""
+
+  /** Executable `MERGE INTO` through Spark's native row-level planner
+    * against the in-repo DSv2 catalog
+    * ([[graft.sources.GraftMergeCatalog]], copy-on-write): seed the
+    * target with the snapshot + action='carried', then run the real
+    * statement — matched-and-changed rows UPDATE (action='updated'),
+    * matched-unchanged rows mark themselves, unmatched source rows
+    * INSERT — and read the table back. Result = upsert_snapshot's
+    * proven output exactly, so its oracle carries over verbatim; what
+    * this id adds is the API surface (analysis, the MERGE cardinality
+    * check, Catalyst's group-based ReplaceData rewrite + clause
+    * projections — the plan shape Delta/Iceberg copy-on-write tables
+    * produce at 100 TB). */
+  private def mergeInto(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    snap.createOrReplaceTempView("graft_merge_base")
+    deltaOf(snap).createOrReplaceTempView("graft_merge_delta")
+    s.sql("DROP TABLE IF EXISTS graft.merge_target")
+    s.sql("CREATE TABLE graft.merge_target (c_custkey BIGINT, " +
+      "c_name STRING, c_acctbal DOUBLE, action STRING)")
+    s.sql("INSERT INTO graft.merge_target " +
+      "SELECT c_custkey, c_name, c_acctbal, 'carried' " +
+      "FROM graft_merge_base")
+    val m = s.sql(
+      """MERGE INTO graft.merge_target t
+        |USING graft_merge_delta s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND (t.c_name <> s.c_name
+        |    OR t.c_acctbal <> s.c_acctbal) THEN
+        |  UPDATE SET c_name = s.c_name, c_acctbal = s.c_acctbal,
+        |    action = 'updated'
+        |WHEN MATCHED THEN UPDATE SET action = 'unchanged'
+        |WHEN NOT MATCHED THEN
+        |  INSERT (c_custkey, c_name, c_acctbal, action)
+        |  VALUES (s.c_custkey, s.c_name, s.c_acctbal, 'insert')
+        |""".stripMargin)
+    lastMergePlan = m.queryExecution.executedPlan.toString
+    s.table("graft.merge_target").orderBy("c_custkey")
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
+    // native MERGE INTO (DSv2 SupportsRowLevelOperations) — see
+    // mergeInto above; oracle = upsert_snapshot's, carried verbatim
+    "merge_into" -> ((s, d) => mergeInto(s, d)),
+
     // SCD1: last-write-wins flat snapshot + action audit column
     "upsert_snapshot" -> ((s, d) =>
       classified(s, d)
@@ -127,29 +185,35 @@ object MergeOps extends QueryModule {
     })
   )
 
+  /** upsert_snapshot's relational merge SQL — ALSO the merge_into
+    * oracle: the native MERGE path must land on the identical final
+    * snapshot (same rows, same action classification). */
+  private val upsertSnapshotSql: String =
+    """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      |delta AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
+      |  FROM snap WHERE c_custkey % 7 = 0
+      |  UNION ALL SELECT * FROM snap
+      |    WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+      |  UNION ALL SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
+      |    FROM snap WHERE c_custkey % 13 = 0)
+      |SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
+      |  COALESCE(d.c_name, s.c_name) AS c_name,
+      |  COALESCE(d.c_acctbal, s.c_acctbal) AS c_acctbal,
+      |  CASE WHEN s.c_custkey IS NULL THEN 'insert'
+      |       WHEN d.c_custkey IS NULL THEN 'carried'
+      |       WHEN d.c_name = s.c_name AND d.c_acctbal = s.c_acctbal
+      |         THEN 'unchanged'
+      |       ELSE 'updated' END AS action
+      |FROM snap s FULL JOIN delta d ON s.c_custkey = d.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "merge_into" -> upsertSnapshotSql,
     // same merge in plain relational SQL; DuckDB compares columns directly
     // where Spark compares digests — equivalent because digest equality ⟺
     // payload equality (both digests computed in-engine on the same rows)
-    "upsert_snapshot" ->
-      """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-        |delta AS (
-        |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal
-        |  FROM snap WHERE c_custkey % 7 = 0
-        |  UNION ALL SELECT * FROM snap
-        |    WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
-        |  UNION ALL SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
-        |    FROM snap WHERE c_custkey % 13 = 0)
-        |SELECT COALESCE(d.c_custkey, s.c_custkey) AS c_custkey,
-        |  COALESCE(d.c_name, s.c_name) AS c_name,
-        |  COALESCE(d.c_acctbal, s.c_acctbal) AS c_acctbal,
-        |  CASE WHEN s.c_custkey IS NULL THEN 'insert'
-        |       WHEN d.c_custkey IS NULL THEN 'carried'
-        |       WHEN d.c_name = s.c_name AND d.c_acctbal = s.c_acctbal
-        |         THEN 'unchanged'
-        |       ELSE 'updated' END AS action
-        |FROM snap s FULL JOIN delta d ON s.c_custkey = d.c_custkey
-        |ORDER BY c_custkey""".stripMargin,
+    "upsert_snapshot" -> upsertSnapshotSql,
     "upsert_scd2" ->
       """WITH snap AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |delta AS (

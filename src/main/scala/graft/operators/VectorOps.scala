@@ -213,6 +213,10 @@ object VectorOps extends QueryModule {
     * harness regenerates testdata only between JVMs, and tests use
     * fresh temp dirs; a production deployment would key by snapshot
     * version. */
+  /** id offset for sim_ivf_append's synthetic appended batch — far
+    * above any test-corpus vec_id so provenance stays recoverable. */
+  private[graft] val IvfAppendOffset = 1000000L
+
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[
     String, Option[Array[Array[Double]]]]()
   private[graft] def ivfCentroids(s: SparkSession, d: String)
@@ -1069,6 +1073,70 @@ object VectorOps extends QueryModule {
         .where(col("rank") <= 10)
         .select("q_id", "rank", "vec_id", "sim")
         .orderBy("q_id", "rank")
+      }
+    }),
+
+    // Incremental ANN index maintenance: a production vector store
+    // APPENDS — the coarse quantizer is fit once (ivfCentroids) and
+    // stays FIXED until a refit, so the operational readout is "how is
+    // the frozen index absorbing the new batch?". The appended batch
+    // here is the deterministic dim-rotation of the corpus (the
+    // tools/gen_scale.py discipline: L2 norm preserved exactly, cosine
+    // alignment with the source broken — a distribution-shifted batch
+    // with no RNG), assigned to the EXISTING centroids via the same
+    // codegen argmin kernel every search query uses. Output per cell:
+    // occupancy (base vs appended) and each population's mean
+    // quantization similarity x·c, recovered from the argmin score
+    // (x·c_f = (|c_f|² − s)/2 — no second dot pass), ln-quantized then
+    // exactly summed (the StatsOps discipline). Falling qsim_new means
+    // the new data sits far from every centroid — degrading recall,
+    // time to refit; the recall drift itself is measured in
+    // TextVectorSpec with sim_recall_eval's machinery. Scale shape:
+    // one narrow union + one 8-cell groupBy with map-side partials;
+    // appended rows never join base rows.
+    "sim_ivf_append" -> ((s, d) => {
+      import s.implicits._
+      ivfCentroids(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Double, Double)]
+            .toDF("cluster", "n_base", "n_new", "qsim_base", "qsim_new")
+        case Some(cents) =>
+          val e = Tables.embeddings(s, d)
+            .where(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding"))
+          val appended = e.select(
+            (col("vec_id") + lit(IvfAppendOffset)).as("vec_id"),
+            expr("concat(slice(embedding, 2, size(embedding) - 1), " +
+              "slice(embedding, 1, 1))").as("embedding"))
+          val both = e.withColumn("is_new", lit(0L))
+            .unionByName(appended.withColumn("is_new", lit(1L)))
+          // float-cast centroid norms, exactly assignWin's |c_f|² terms
+          val c2 = array(cents.map { c =>
+            lit(c.map { x => val f = x.toFloat.toDouble; f * f }.sum)
+          }: _*)
+          val asg = both.select(col("is_new"), assignWin(cents).as("w"))
+          val t = asg.select(col("is_new"),
+            col("w").getField("i").as("cluster"),
+            floor((element_at(c2, col("w").getField("i") + 1) -
+              col("w").getField("s")) / lit(2.0) * lit(1e6) + lit(0.5))
+              .cast(LongType).as("iterm"))
+          t.groupBy(col("cluster").cast(LongType).as("cluster"))
+            .agg(
+              sum(when(col("is_new") === 0L, 1L).otherwise(0L))
+                .as("n_base"),
+              sum(col("is_new")).as("n_new"),
+              sum(when(col("is_new") === 0L, col("iterm")).otherwise(0L))
+                .as("sb"),
+              sum(when(col("is_new") === 1L, col("iterm")).otherwise(0L))
+                .as("sn"))
+            .select(col("cluster"), col("n_base"), col("n_new"),
+              when(col("n_base") > 0,
+                col("sb").cast(DoubleType) / col("n_base").cast(DoubleType)
+                  / 1e6).as("qsim_base"),
+              when(col("n_new") > 0,
+                col("sn").cast(DoubleType) / col("n_new").cast(DoubleType)
+                  / 1e6).as("qsim_new"))
+            .orderBy("cluster")
       }
     }),
 
@@ -2238,9 +2306,62 @@ object VectorOps extends QueryModule {
             "cluster, CAST(0 AS BIGINT) AS is_kept WHERE 1 = 0"
       }
 
+      // sim_ivf_append: fixed-centroid assignment of base ∪ rotated
+      // batch, same literal-centroid argmin replay as dedupSemSql, with
+      // the mean quantization similarity recovered from the winner
+      // score ((|c_f|²)[i] − s)/2 and ln-quantized before the exact
+      // integer sum (the profile_psi discipline).
+      val simIvfAppendSql = cents match {
+        case Some(cs) =>
+          val winItems = cs.zipWithIndex.map { case (c, i) =>
+            val cf = c.map(_.toFloat.toDouble)
+            val c2 = cf.map(x => x * x).sum
+            s"{'s': CAST(${dlit(c2)} AS DOUBLE) - 2.0 * " +
+              s"${dotLit("embedding", cf)}, 'i': $i}"
+          }
+          val winList = s"list_sort([${winItems.mkString(", ")}])[1]"
+          val c2list = cs
+            .map(c => c.map { x => val f = x.toFloat.toDouble; f * f }.sum)
+            .map(dlit).mkString("CAST([", ", ", "] AS DOUBLE[])")
+          s"""WITH base AS (SELECT vec_id, embedding, 0 AS is_new
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |app AS (SELECT vec_id + $IvfAppendOffset AS vec_id,
+             |    list_concat(embedding[2:], embedding[:1]) AS embedding,
+             |    1 AS is_new
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |u AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+             |asg AS (SELECT is_new, $winList AS w FROM u),
+             |t AS (SELECT is_new, w.i AS cluster,
+             |    CAST(floor((($c2list)[w.i + 1] - w.s) / 2.0 * 1000000.0
+             |      + 0.5) AS BIGINT) AS iterm
+             |  FROM asg),
+             |g AS (SELECT cluster,
+             |    CAST(SUM(CASE WHEN is_new = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_base,
+             |    CAST(SUM(is_new) AS BIGINT) AS n_new,
+             |    CAST(SUM(CASE WHEN is_new = 0 THEN iterm ELSE 0 END)
+             |      AS BIGINT) AS sb,
+             |    CAST(SUM(CASE WHEN is_new = 1 THEN iterm ELSE 0 END)
+             |      AS BIGINT) AS sn
+             |  FROM t GROUP BY cluster)
+             |SELECT CAST(cluster AS BIGINT) AS cluster, n_base, n_new,
+             |  CASE WHEN n_base > 0 THEN
+             |    CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE) / 1000000.0
+             |  END AS qsim_base,
+             |  CASE WHEN n_new > 0 THEN
+             |    CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE) / 1000000.0
+             |  END AS qsim_new
+             |FROM g ORDER BY cluster""".stripMargin
+        case None =>
+          "SELECT CAST(0 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS " +
+            "n_base, CAST(0 AS BIGINT) AS n_new, CAST(0.0 AS DOUBLE) " +
+            "AS qsim_base, CAST(0.0 AS DOUBLE) AS qsim_new WHERE 1 = 0"
+      }
+
       Map("vec_pq" -> vecPqSql, "sim_pq_topk" -> simPqSql,
         "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql,
-        "dedup_semantic" -> dedupSemSql)
+        "dedup_semantic" -> dedupSemSql,
+        "sim_ivf_append" -> simIvfAppendSql)
     })
   }
 }

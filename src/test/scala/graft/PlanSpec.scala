@@ -634,6 +634,20 @@ class PlanSpec extends AnyFunSuite {
       s"a single-partition exchange feeds on more than the head:\n$p")
   }
 
+  test("merge_into goes through Spark's native row-level MERGE planner") {
+    // the id must exercise the REAL MERGE INTO path — analysis, the
+    // cardinality check, and Catalyst's group-based copy-on-write
+    // rewrite — not a relational re-expression: the executed plan of
+    // the statement must carry ReplaceData (the row-level write node)
+    // over a MergeRows operator joining the v2 target relation.
+    SparkEntry.queries("merge_into")(spark, sf).count()
+    val p = operators.MergeOps.lastMergePlan
+    assert(p.contains("ReplaceData"),
+      s"merge did not plan as a row-level ReplaceData write:\n$p")
+    assert(p.contains("MergeRows"),
+      s"merge did not go through MergeRows clause projection:\n$p")
+  }
+
   test("ts_lag_features stacks all four frames on one user_id exchange") {
     val p = plan("ts_lag_features")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

@@ -493,6 +493,64 @@ class TextVectorSpec extends AnyFunSuite {
     assert(agree >= 0.7, s"IVF-PQ set agreement $agree vs IVF")
   }
 
+  test("sim_ivf_append: batch absorbed by the frozen quantizer with " +
+    "bounded recall drift") {
+    import operators.VectorOps
+    val cents = VectorOps.ivfCentroids(spark, sf)
+      .getOrElse(fail("no centroids at test sf"))
+    val base = Tables.embeddings(spark, sf)
+      .where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    val appended = base.map { case (id, v) =>
+      (id + VectorOps.IvfAppendOffset, v.drop(1) :+ v.head) }
+    // the op's own occupancy/qsim readout: appended batch is a 1:1 copy
+    // so totals must match, and every qsim is a mean cosine in [-1, 1]
+    val rows = SparkEntry.queries("sim_ivf_append")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_base")).sum == base.length)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == base.length)
+    rows.foreach { r =>
+      Seq("qsim_base", "qsim_new").foreach { c =>
+        val v = r.getAs[Double](c)
+        if (!r.isNullAt(r.fieldIndex(c)))
+          assert(v >= -1.0 && v <= 1.0, s"$c out of range: $v")
+      }
+    }
+    // recall drift, sim_recall_eval's definition driver-side: an exact
+    // top-10 neighbor is retrievable iff its cell is among the query's
+    // 2 probed cells (the IVF search brute-forces within probes). The
+    // FROZEN quantizer must absorb the shifted batch without collapsing
+    // panel recall.
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def assign(v: Array[Double]): Int =
+      cents.indices.minBy { i =>
+        val cf = cents(i).map(_.toFloat.toDouble)
+        (cf.map(x => x * x).sum - 2.0 * dotd(v, cf), i)
+      }
+    def cellRecall(corpus: Array[(Long, Array[Double])]): Double = {
+      val cellOf = corpus.map { case (id, v) => id -> assign(v) }.toMap
+      val qs = base.filter(_._1 < 3)
+      val per = qs.map { case (qid, q) =>
+        val probes = cents.indices
+          .sortBy(i => (-dotd(q, cents(i)), i)).take(2).toSet
+        val exact = corpus.filter(_._1 != qid)
+          .map { case (id, v) => (id, dotd(q, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1)
+        exact.count(id => probes.contains(cellOf(id))) / 10.0
+      }
+      per.sum / per.length
+    }
+    val rBase = cellRecall(base)
+    val rMerged = cellRecall(base ++ appended)
+    assert(rMerged >= rBase - 0.35,
+      f"merged-index recall collapsed: base $rBase%.2f -> $rMerged%.2f")
+    assert(rMerged > 0.0, "merged index retrieves nothing from the panel")
+  }
+
   test("sim_bruteforce_topk matches a driver-side exact computation") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
