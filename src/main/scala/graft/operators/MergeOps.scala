@@ -61,6 +61,28 @@ object MergeOps extends QueryModule {
     * planner, not a relational re-expression). */
   @volatile private[graft] var lastMergePlan: String = ""
 
+  /** id -> physical plan of its last row-level statement (sql_delete /
+    * sql_update) — same PlanSpec contract as [[lastMergePlan]]. */
+  private[graft] val lastRowLevelPlans =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Seed a fresh 3-column DSv2 table under the graft catalog with the
+    * customer snapshot — the shared setup of the native DELETE/UPDATE
+    * ids (idempotent per invocation: drop + create + insert). */
+  private def seedSnapshotTable(s: org.apache.spark.sql.SparkSession,
+      d: String, table: String): Unit = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .createOrReplaceTempView("graft_rowlevel_base")
+    s.sql(s"DROP TABLE IF EXISTS graft.$table")
+    s.sql(s"CREATE TABLE graft.$table (c_custkey BIGINT, " +
+      "c_name STRING, c_acctbal DOUBLE)")
+    s.sql(s"INSERT INTO graft.$table " +
+      "SELECT c_custkey, c_name, c_acctbal FROM graft_rowlevel_base")
+  }
+
   /** Executable `MERGE INTO` through Spark's native row-level planner
     * against the in-repo DSv2 catalog
     * ([[graft.sources.GraftMergeCatalog]], copy-on-write): seed the
@@ -108,6 +130,35 @@ object MergeOps extends QueryModule {
     // native MERGE INTO (DSv2 SupportsRowLevelOperations) — see
     // mergeInto above; oracle = upsert_snapshot's, carried verbatim
     "merge_into" -> ((s, d) => mergeInto(s, d)),
+
+    // native `DELETE FROM ... WHERE` through the same row-level
+    // planner (RewriteDeleteFromTable → group-based ReplaceData:
+    // surviving rows re-written, deleted rows simply not emitted —
+    // the copy-on-write delete every lake format plans). Predicate =
+    // cdc_diff's delete rule, so the post-state is independently
+    // pinned by that id's oracle family.
+    "sql_delete" -> ((s, d) => {
+      seedSnapshotTable(s, d, "del_target")
+      val st = s.sql(
+        "DELETE FROM graft.del_target WHERE c_custkey % 11 = 0")
+      lastRowLevelPlans.put("sql_delete",
+        st.queryExecution.executedPlan.toString)
+      s.table("graft.del_target").orderBy("c_custkey")
+    }),
+
+    // native `UPDATE ... SET ... WHERE` through the row-level planner
+    // (RewriteUpdateTable → ReplaceData: carried rows pass through,
+    // matched rows re-project). Assignment = the merge delta's
+    // rebalance rule.
+    "sql_update" -> ((s, d) => {
+      seedSnapshotTable(s, d, "upd_target")
+      val st = s.sql(
+        "UPDATE graft.upd_target SET c_acctbal = c_acctbal + 100.0 " +
+          "WHERE c_custkey % 7 = 0")
+      lastRowLevelPlans.put("sql_update",
+        st.queryExecution.executedPlan.toString)
+      s.table("graft.upd_target").orderBy("c_custkey")
+    }),
 
     // SCD1: last-write-wins flat snapshot + action audit column
     "upsert_snapshot" -> ((s, d) =>
@@ -210,6 +261,14 @@ object MergeOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "merge_into" -> upsertSnapshotSql,
+    "sql_delete" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 11 <> 0 ORDER BY c_custkey""".stripMargin,
+    "sql_update" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // same merge in plain relational SQL; DuckDB compares columns directly
     // where Spark compares digests — equivalent because digest equality ⟺
     // payload equality (both digests computed in-engine on the same rows)

@@ -648,6 +648,19 @@ class PlanSpec extends AnyFunSuite {
       s"merge did not go through MergeRows clause projection:\n$p")
   }
 
+  test("sql_delete / sql_update go through the row-level ReplaceData " +
+    "planner") {
+    // DELETE FROM and UPDATE must hit the same native copy-on-write
+    // rewrite as MERGE — not fall back to an error or a relational
+    // re-expression
+    for (id <- Seq("sql_delete", "sql_update")) {
+      SparkEntry.queries(id)(spark, sf).count()
+      val p = operators.MergeOps.lastRowLevelPlans(id)
+      assert(p.contains("ReplaceData"),
+        s"$id did not plan as a row-level ReplaceData write:\n$p")
+    }
+  }
+
   test("ts_lag_features stacks all four frames on one user_id exchange") {
     val p = plan("ts_lag_features")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
