@@ -17,7 +17,10 @@ object Bench {
   // of the 9 new ids (graph_jaccard 7.1 s dominates); the first 247-id
   // drive read 198.8 s with one transient contention spike
   // (pipeline_multimodal_set 12.6 s vs 0.9-3.4 s isolated)
-  private val BaselineWarmSec = 175.0
+  // round-8: 175 + ~2.6 s summed warm cost of the 4 new ids
+  // (merge_into 0.75, sim_ivf_append 0.65, sql_delete/sql_update ~0.6
+  // each); clean 276/278-id drives read 178.2 / 189.4 s idle
+  private val BaselineWarmSec = 178.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers

@@ -863,6 +863,58 @@ object TextOps extends QueryModule {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")),
 
+    // URL-canonicalization dedup — the FIRST pass every web-corpus
+    // pipeline runs (C4 dedups per URL, CommonCrawl dedups fetches of
+    // the same page): the same page is crawled as hundreds of URL
+    // spellings (host case, www., default ports, tracking params,
+    // param order, fragments, trailing slash) and must collapse BEFORE
+    // any content pass pays to read the bodies. The corpus has no URL
+    // column, so each doc gets a deterministic messy URL (4 spelling
+    // variants per page id — mixed-case host, :443, utm_*/#fragment,
+    // trailing slash); the canonicalizer is the product: lowercase
+    // scheme+host, strip default port / www. / fragment, drop
+    // tracking params (utm_*/fbclid/gclid via exact prefix tests —
+    // identical on both engines), SORT the surviving params (order
+    // normalization), strip the trailing slash. Dedup is then
+    // dedup_exact's shape: one hash groupBy on the canonical string —
+    // ids-only shuffle, no bodies move, at any corpus size. All string
+    // surgery is anchored regexps + array builtins in whole-stage
+    // codegen; the oracle replays the identical chain.
+    "dedup_url" -> ((s, d) => {
+      val gid = expr("doc_id div 4")
+      val gm = expr("(doc_id div 4) % 20")
+      val (gS, mS) = (gid.cast(StringType), gm.cast(StringType))
+      val v = pmod(col("doc_id"), lit(4L))
+      val url = when(v === 0, concat(lit("https://WWW.Src"), mS,
+          lit(".Example.COM:443/docs/"), gS, lit("?utm_source=feed&id="), gS))
+        .when(v === 1, concat(lit("https://www.src"), mS,
+          lit(".example.com/docs/"), gS, lit("?id="), gS))
+        .when(v === 2, concat(lit("https://www.src"), mS,
+          lit(".example.com:443/docs/"), gS, lit("?utm_campaign=x&id="), gS,
+          lit("#section")))
+        .otherwise(concat(lit("https://www.src"), mS,
+          lit(".example.com/docs/"), gS, lit("/?id="), gS))
+      val u = Tables.documents(s, d).select(col("doc_id"), url.as("url"))
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)),
+        ":443$", ""), "^www\\.", "")
+      val rest = regexp_extract(col("url"), "^https?://[^/?#]+([^#]*)", 1)
+      val c = u.select(col("doc_id"), host.as("host"), rest.as("rest"))
+      val path = regexp_replace(
+        regexp_extract(col("rest"), "^([^?]*)", 1), "/$", "")
+      val q = regexp_extract(col("rest"), "\\?(.*)$", 1)
+      val params = filter(split(q, "&"), p =>
+        not(substring(p, 1, 4) === "utm_" ||
+          substring(p, 1, 7) === "fbclid=" ||
+          substring(p, 1, 6) === "gclid="))
+      val cq = array_join(array_sort(params), "&")
+      val canon = concat(lit("https://"), col("host"), path,
+        when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
+      c.groupBy(canon.as("canon_url"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
+        .orderBy("keep_id")
+    }),
+
     // 60-bit SimHash fingerprint per document. Identical texts get
     // identical fingerprints; near-identical texts land within a small
     // hamming distance (asserted in TextSpec at sf0.1 on planted dups).
@@ -1984,6 +2036,49 @@ object TextOps extends QueryModule {
     "dedup_exact_normalized" ->
       s"""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY $duckNorm ORDER BY keep_id""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |    doc_id // 4 AS gid, (doc_id // 4) % 20 AS gm,
+        |    doc_id % 4 AS v
+        |  FROM documents),
+        |urls AS (SELECT doc_id, CASE v
+        |    WHEN 0 THEN 'https://WWW.Src' || CAST(gm AS VARCHAR)
+        |      || '.Example.COM:443/docs/' || CAST(gid AS VARCHAR)
+        |      || '?utm_source=feed&id=' || CAST(gid AS VARCHAR)
+        |    WHEN 1 THEN 'https://www.src' || CAST(gm AS VARCHAR)
+        |      || '.example.com/docs/' || CAST(gid AS VARCHAR)
+        |      || '?id=' || CAST(gid AS VARCHAR)
+        |    WHEN 2 THEN 'https://www.src' || CAST(gm AS VARCHAR)
+        |      || '.example.com:443/docs/' || CAST(gid AS VARCHAR)
+        |      || '?utm_campaign=x&id=' || CAST(gid AS VARCHAR)
+        |      || '#section'
+        |    ELSE 'https://www.src' || CAST(gm AS VARCHAR)
+        |      || '.example.com/docs/' || CAST(gid AS VARCHAR)
+        |      || '/?id=' || CAST(gid AS VARCHAR) END AS url
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+        |      ':443$', ''), '^www\.', '') AS host,
+        |    regexp_extract(url, '^https?://[^/?#]+([^#]*)', 1) AS rest
+        |  FROM urls),
+        |pq AS (SELECT doc_id, host,
+        |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '')
+        |      AS path,
+        |    regexp_extract(rest, '\?(.*)$', 1) AS q
+        |  FROM c),
+        |canon AS (SELECT doc_id,
+        |    'https://' || host || path ||
+        |      CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url
+        |  FROM (SELECT doc_id, host, path,
+        |      array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |        p -> NOT (substr(p, 1, 4) = 'utm_'
+        |          OR substr(p, 1, 7) = 'fbclid='
+        |          OR substr(p, 1, 6) = 'gclid='))), '&') AS cq
+        |    FROM pq))
+        |SELECT canon_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  COUNT(*) AS n_variants
+        |FROM canon GROUP BY canon_url ORDER BY keep_id""".stripMargin,
     "text_cooccurrence" ->
       """SELECT t[CAST(i AS INT)] AS t1, t[CAST(j AS INT)] AS t2,
         |  COUNT(*) AS cnt

@@ -551,6 +551,25 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rMerged > 0.0, "merged index retrieves nothing from the panel")
   }
 
+  test("dedup_url collapses all four URL spellings of every page") {
+    // the canonicalizer must fold host case, :443, www., tracking
+    // params, fragments and trailing slashes — every synthetic page id
+    // has exactly 4 messy spellings, so every canonical group must hold
+    // exactly 4 variants (a missed rule leaves singleton groups)
+    val rows = SparkEntry.queries("dedup_url")(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_variants")).sum == total)
+    val bad = rows.filter(_.getAs[Long]("n_variants") != 4L)
+    assert(bad.length <= 1, // only a truncated final page id may be short
+      s"canonicalizer missed a rule: ${bad.map(_.toString).toSeq}")
+    rows.foreach { r =>
+      val cu = r.getAs[String]("canon_url")
+      assert(cu == cu.toLowerCase && !cu.contains("www.") &&
+        !cu.contains(":443") && !cu.contains("utm_") &&
+        !cu.contains("#") && !cu.endsWith("/"), s"uncanonical: $cu")
+    }
+  }
+
   test("sim_bruteforce_topk matches a driver-side exact computation") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding")
