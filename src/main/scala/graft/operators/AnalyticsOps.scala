@@ -1131,6 +1131,31 @@ object AnalyticsOps extends QueryModule {
     // count; transition probabilities divide two exact integers in
     // double space once (engine-identical), with the row-count window
     // running over the O(types²) aggregate, never the event stream.
+    // top-k full user journeys: the most common ordered event-type
+    // PATHS (agg_transitions gives the one-step Markov view; this is
+    // the "what do users actually do, start to finish" readout product
+    // flow analysis keys on). Each user's path is their ts-ordered
+    // event sequence truncated to the first 8 steps (path analysis
+    // always truncates — unbounded paths are all unique). Determinism:
+    // the sequence is materialized by array_sort over (ts, event_id,
+    // type) structs — order-insensitive under any partial-agg split,
+    // and the (ts, event_id) tiebreak is total. Scale: one user-keyed
+    // agg carrying ≤8 small structs per user, one path-keyed count
+    // with map-side partials, top-20 via TakeOrderedAndProject.
+    "agg_top_paths" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_join(transform(slice(array_sort(collect_list(struct(
+          col("ts"), col("event_id"), col("event_type")))), 1, 8),
+          x => x.getField("event_type")), ">").as("path"))
+      val c = p.groupBy("path").agg(count(lit(1)).as("n_users"))
+      val top = c.orderBy(col("n_users").desc, col("path")).limit(20)
+      val w = Window.orderBy(col("n_users").desc, col("path"))
+      top.withColumn("rank", row_number().over(w).cast(LongType))
+        .select("rank", "path", "n_users")
+        .orderBy("rank")
+    }),
+
     "agg_transitions" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val tot = Window.partitionBy("prev_type")
@@ -1214,6 +1239,18 @@ object AnalyticsOps extends QueryModule {
         |    AS est_count
         |FROM pc LEFT JOIN sketch ON pc.r = sketch.r AND pc.c = sketch.c
         |GROUP BY pc.token ORDER BY pc.token""".stripMargin,
+    "agg_top_paths" ->
+      """WITH p AS (SELECT user_id,
+        |    array_to_string(
+        |      (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY path),
+        |top AS (SELECT path, n_users FROM c
+        |  ORDER BY n_users DESC, path LIMIT 20)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+        |    AS BIGINT) AS rank,
+        |  path, n_users
+        |FROM top ORDER BY rank""".stripMargin,
     "agg_transitions" ->
       """WITH p AS (SELECT event_type,
         |    LAG(event_type) OVER (PARTITION BY user_id

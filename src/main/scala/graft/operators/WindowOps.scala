@@ -404,6 +404,48 @@ object WindowOps extends QueryModule {
         .orderBy("method")
     }),
 
+    // classical additive seasonal decomposition of the daily revenue
+    // series: x = trend + seasonal + residual — the readout that
+    // separates "we grew" from "it was Saturday" before any forecast
+    // or anomaly judgment. Trend = centered 7-day rolling mean
+    // (defined only where the calendar RANGE frame holds all 7 days —
+    // edges NULL, never a partial-window lie); seasonal = per-weekday
+    // mean of the detrended series; residual = what neither explains.
+    // Determinism: the detrended value dev7 = x·7 − Σ7 stays an EXACT
+    // integer (no division until the final readouts, the win_cusum
+    // deviation trick); weekday = day-number % 7 (both engines'
+    // dayofweek() disagree on week start — the modulo is portable).
+    // Scale: the frame is the calendar-bounded daily series (O(days)
+    // at any corpus size); seasonal is a broadcast ≤7-row join.
+    "ts_seasonal_decompose" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")).cast("long").as("day"))
+        .agg((sum(dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val w7 = Window.orderBy("day").rangeBetween(-3, 3)
+      val t = daily
+        .withColumn("s7", sum("cents").over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .withColumn("dev7",
+          when(col("c7") === 7, col("cents") * 7 - col("s7")))
+        .withColumn("wd", pmod(col("day"), lit(7L)))
+      val seas = t.where(col("dev7").isNotNull)
+        .groupBy("wd").agg(sum("dev7").as("sd"), count(lit(1)).as("nd"))
+        .select(col("wd"),
+          (floor(col("sd").cast(DoubleType) / col("nd").cast(DoubleType)
+            / 700.0 * 1e4 + 0.5) / 1e4).as("seasonal"))
+      t.join(broadcast(seas), Seq("wd"), "left")
+        .select(col("day"),
+          (col("cents").cast(DoubleType) / 100.0).as("revenue"),
+          when(col("c7") === 7, col("s7").cast(DoubleType) / 700.0)
+            .as("trend"),
+          col("seasonal"),
+          when(col("dev7").isNotNull && col("seasonal").isNotNull,
+            floor((col("dev7").cast(DoubleType) / 700.0 - col("seasonal"))
+              * 1e4 + 0.5) / 1e4).as("residual"))
+        .orderBy("day")
+    }),
+
     // rolling 7-day OLS trend per user: the slope of daily revenue on
     // the day index inside a calendar RANGE frame — the per-entity
     // trend detector a monitoring pipeline runs (positive slope =
@@ -604,6 +646,34 @@ object WindowOps extends QueryModule {
         |      > (n * sxx - sx * sx) * 4
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_breakout
         |FROM m ORDER BY user_id, day""".stripMargin,
+    "ts_seasonal_decompose" ->
+      """WITH dly AS (SELECT
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT day, cents,
+        |    CAST(SUM(cents) OVER w AS BIGINT) AS s7,
+        |    COUNT(*) OVER w AS c7,
+        |    day % 7 AS wd
+        |  FROM dly
+        |  WINDOW w AS (ORDER BY day
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *,
+        |    CASE WHEN c7 = 7 THEN cents * 7 - s7 END AS dev7 FROM t),
+        |seas AS (SELECT wd,
+        |    floor(CAST(SUM(dev7) AS DOUBLE) / CAST(COUNT(dev7) AS DOUBLE)
+        |      / 700.0 * 10000 + 0.5) / 10000 AS seasonal
+        |  FROM t2 WHERE dev7 IS NOT NULL GROUP BY wd)
+        |SELECT t2.day, CAST(t2.cents AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 700.0 END AS trend,
+        |  seas.seasonal,
+        |  CASE WHEN dev7 IS NOT NULL AND seas.seasonal IS NOT NULL THEN
+        |    floor((CAST(dev7 AS DOUBLE) / 700.0 - seas.seasonal)
+        |      * 10000 + 0.5) / 10000 END AS residual
+        |FROM t2 LEFT JOIN seas ON seas.wd = t2.wd
+        |ORDER BY day""".stripMargin,
     "ts_backtest_naive" ->
       """WITH dly AS (SELECT
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))

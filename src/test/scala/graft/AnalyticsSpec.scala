@@ -399,4 +399,22 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("is_significant") == sig, s"$et verdict")
     }
   }
+
+  test("agg_top_paths matches a driver-side path computation") {
+    val got = SparkEntry.queries("agg_top_paths")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"),
+        r.getAs[Long]("n_users"))).toSeq
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val paths = ev.groupBy(_._1).values.map { es =>
+      es.sortBy(e => (e._2, e._3)).take(8).map(_._4).mkString(">")
+    }.toSeq
+    val expect = paths.groupBy(identity)
+      .map { case (p, g) => (p, g.size.toLong) }.toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20).zipWithIndex
+      .map { case ((p, n), i) => (i + 1L, p, n) }
+    assert(got == expect, s"paths diverge:\ngot    $got\nexpect $expect")
+  }
 }

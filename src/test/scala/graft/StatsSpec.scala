@@ -544,6 +544,34 @@ class StatsSpec extends AnyFunSuite {
       s"survival durations exceed the calendar-span bound: $tCard vs $span")
   }
 
+  test("ts_seasonal_decompose: additive identity holds and trend is " +
+    "the centered 7-day mean") {
+    val rows = SparkEntry.queries("ts_seasonal_decompose")(spark, sf)
+      .collect()
+    val byDay = rows.map(r => r.getAs[Long]("day") -> r).toMap
+    var checked = 0
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("residual"))) {
+        // x = trend + seasonal + residual (within the 1e-4 output
+        // quantization of the two quantized components)
+        val recon = r.getAs[Double]("trend") +
+          r.getAs[Double]("seasonal") + r.getAs[Double]("residual")
+        assert(math.abs(r.getAs[Double]("revenue") - recon) < 2e-4,
+          s"additivity broken at day ${r.getAs[Long]("day")}")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no fully-defined interior day decomposed")
+    rows.filter(r => !r.isNullAt(r.fieldIndex("trend"))).foreach { r =>
+      val d = r.getAs[Long]("day")
+      val win = (d - 3 to d + 3).flatMap(byDay.get)
+        .map(_.getAs[Double]("revenue"))
+      assert(win.size == 7, s"trend defined on a partial window at $d")
+      assert(math.abs(r.getAs[Double]("trend") - win.sum / 7) < 1e-6,
+        s"trend is not the centered mean at day $d")
+    }
+  }
+
   test("profile_power matches a direct pooled-variance sample-size calc") {
     val got = SparkEntry.queries("profile_power")(spark, sf).collect().head
     val xs = eventsRows.filter(t => t._2 == "purchase" || t._2 == "click")
