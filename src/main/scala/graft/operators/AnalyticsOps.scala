@@ -723,6 +723,68 @@ object AnalyticsOps extends QueryModule {
     // week per user, then distinct active weeks), one broadcast-joined
     // reduction; all week arithmetic is exact integer division from the
     // epoch anchor, so the matrix is engine-independent.
+    // daily active users split new vs returning — the growth readout
+    // every product dashboard leads with ("are we acquiring or just
+    // retaining?"). One distinct (user, day) frame, first-seen day per
+    // user, day-keyed counts. Scale: the first-seen join is keyed on
+    // user_id (user-scale, never broadcast); output is O(days).
+    "agg_new_vs_returning" -> ((s, d) => {
+      val byDay = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = byDay.groupBy("user_id").agg(min("day").as("d0"))
+      byDay.join(first, "user_id")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("d0"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("day"), col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"))
+        .orderBy("day")
+    }),
+
+    // RFM segmentation (recency / frequency / monetary quintiles) —
+    // the classic customer-value grid every CRM runs. Scores come from
+    // BROADCAST percentile thresholds + comparisons, NOT a global
+    // NTILE window (which would single-task the whole user frame at
+    // 100 TB — the profile_skew lesson): the exact percentile fit is
+    // the agg_percentile class (one aggregate; the KLL sketch twin is
+    // the shipped approximate path at extreme scale), and the
+    // per-user scoring is a narrow broadcast map. Recency is inverted
+    // (most recent = 5, the RFM convention); ties at a threshold score
+    // LOW on both engines (strict >). Output: the ≤125-cell segment
+    // grid with occupancy and spend.
+    "agg_rfm" -> ((s, d) => {
+      val edge = Tables.events(s, d)
+        .agg(max(to_date(col("ts"))).as("maxd"))
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("lastd"),
+          count(lit(1)).as("freq"),
+          (sum(Det.dec2(col("value"))) * 100).cast(LongType).as("cents"))
+        .crossJoin(broadcast(edge))
+        .select(col("user_id"),
+          datediff(col("maxd"), col("lastd")).cast(LongType).as("rec"),
+          col("freq"), col("cents"))
+      val th = perUser.agg(
+        expr("percentile(rec, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tr"),
+        expr("percentile(freq, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tf"),
+        expr("percentile(cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("tm"))
+      def score(m: org.apache.spark.sql.Column,
+          t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (1 to 4).map(i =>
+          when(m > element_at(t, i), 1L).otherwise(0L)).reduce(_ + _) + 1L
+      perUser.crossJoin(broadcast(th))
+        .select(
+          (lit(6L) - score(col("rec").cast(DoubleType), col("tr"))).as("r"),
+          score(col("freq").cast(DoubleType), col("tf")).as("f"),
+          score(col("cents").cast(DoubleType), col("tm")).as("m"),
+          col("cents"))
+        .groupBy("r", "f", "m")
+        .agg(count(lit(1)).as("n_users"),
+          (sum("cents").cast(DoubleType) / 100.0).as("total_spend"))
+        .orderBy("r", "f", "m")
+    }),
+
     "agg_retention" -> ((s, d) => {
       val week = floor(datediff(to_date(col("ts")),
         lit("2024-01-01").cast("date")).cast(DoubleType) / 7.0)
@@ -1465,8 +1527,56 @@ object AnalyticsOps extends QueryModule {
         |  CAST(cum_rev AS DOUBLE) / CAST(cohort_size AS DOUBLE) / 100.0
         |    AS ltv_per_user
         |FROM w ORDER BY cohort_week, week_offset""".stripMargin,
+    "agg_new_vs_returning" ->
+      """WITH bd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS d0 FROM bd GROUP BY user_id)
+        |SELECT bd.day, COUNT(*) AS n_active,
+        |  CAST(SUM(CASE WHEN bd.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  COUNT(*) - CAST(SUM(CASE WHEN bd.day = f.d0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM bd JOIN f USING (user_id)
+        |GROUP BY bd.day ORDER BY day""".stripMargin,
+    "agg_rfm" ->
+      """WITH edge AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+        |pu AS (SELECT user_id,
+        |    CAST(date_diff('day', MAX(CAST(ts AS DATE)),
+        |      (SELECT maxd FROM edge)) AS BIGINT) AS rec,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY user_id),
+        |th AS (SELECT
+        |    quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS tr,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,
+        |    quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS tm
+        |  FROM pu),
+        |sc AS (SELECT
+        |    6 - (1
+        |      + CASE WHEN CAST(rec AS DOUBLE) > tr[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(rec AS DOUBLE) > tr[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(rec AS DOUBLE) > tr[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(rec AS DOUBLE) > tr[4] THEN 1 ELSE 0 END)
+        |      AS r,
+        |    1 + CASE WHEN CAST(freq AS DOUBLE) > tf[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(freq AS DOUBLE) > tf[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(freq AS DOUBLE) > tf[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(freq AS DOUBLE) > tf[4] THEN 1 ELSE 0 END
+        |      AS f,
+        |    1 + CASE WHEN CAST(cents AS DOUBLE) > tm[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(cents AS DOUBLE) > tm[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(cents AS DOUBLE) > tm[3] THEN 1 ELSE 0 END
+        |      + CASE WHEN CAST(cents AS DOUBLE) > tm[4] THEN 1 ELSE 0 END
+        |      AS m,
+        |    cents
+        |  FROM pu, th)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, COUNT(*) AS n_users,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_spend
+        |FROM sc GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
     "agg_retention" ->
-      """WITH uw AS (SELECT DISTINCT user_id,
+"""WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
         |      / 7.0) AS BIGINT) AS week
         |  FROM events),

@@ -400,6 +400,48 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_rfm: scores in 1..5, users conserved, quintiles roughly " +
+    "balanced") {
+    val rows = SparkEntry.queries("agg_rfm")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("f"),
+        r.getAs[Long]("m"), r.getAs[Long]("n_users")))
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._4).sum == nUsers, "users not conserved")
+    assert(rows.forall(t => t._1 >= 1 && t._1 <= 5 &&
+      t._2 >= 1 && t._2 <= 5 && t._3 >= 1 && t._3 <= 5))
+    // a broken threshold chain collapses an axis into ONE bucket; ties
+    // legitimately merge buckets (at this sf most users' last event is
+    // in the corpus tail, so recency thresholds tie at 0 and r is
+    // {1, 5} by the strict-> convention) — require ≥2 buckets per axis
+    // and no bucket holding everyone
+    for ((axis, idx) <- Seq("r" -> 0, "f" -> 1, "m" -> 2)) {
+      val marg = rows.groupBy(t => t.productElement(idx))
+        .view.mapValues(_.map(_._4).sum).toMap
+      assert(marg.size >= 2, s"$axis collapsed to ${marg.keySet}")
+      marg.foreach { case (s5, n) =>
+        assert(n < nUsers, s"$axis=$s5 holds every user")
+      }
+    }
+  }
+
+  test("agg_new_vs_returning: day one is all-new and actives add up") {
+    val rows = SparkEntry.queries("agg_new_vs_returning")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val first = rows.head
+    assert(first.getAs[Long]("n_returning") == 0L,
+      "someone returned on the first day of the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+    val nUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nUsers,
+      "every user must be new exactly once")
+  }
+
   test("agg_top_paths matches a driver-side path computation") {
     val got = SparkEntry.queries("agg_top_paths")(spark, sf).collect()
       .map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"),
