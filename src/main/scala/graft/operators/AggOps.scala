@@ -131,8 +131,8 @@ object AggOps extends QueryModule {
     // the Window operators on one exchange), the per-user reduction
     // rides the same partitioning, and only the 3-counter final agg
     // crosses to a single partition. The staged-join formulation this
-    // replaces rescanned events once per stage. Funnel windows ("within
-    // 7 days") would add one bounded predicate per stage condition.
+    // replaces rescanned events once per stage. agg_funnel_window below
+    // adds the bounded-delay predicates.
     "agg_funnel" -> ((s, d) => {
       val w = Window.partitionBy("user_id")
       Tables.events(s, d)
@@ -151,6 +151,50 @@ object AggOps extends QueryModule {
           count(col("t3")).as("c3"))
         .selectExpr("stack(3, '1_view', c1, '2_click', c2, " +
           "'3_purchase', c3) AS (stage, n_users)")
+        .orderBy("stage")
+    }),
+
+    // funnel with CONVERSION WINDOWS — agg_funnel counts strict-order
+    // progression; real funnels also bound the delay ("a click three
+    // weeks after the view is not the same journey"): each step must
+    // land within 3 days of the previous one. Same single-pass
+    // window-chained conditional mins (t1/t2 are per-user constants,
+    // so the chain resolves in one user partition); the delay guard is
+    // EXACT integer microseconds (epoch_us difference — the
+    // agg_time_to_convert discipline; an INTERVAL comparison would
+    // ride each engine's own timestamp arithmetic). Per-stage
+    // conversion is one quantized division.
+    "agg_funnel_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val cap = lit(3L * 86400L * 1000000L) // 3 days in microseconds
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") >= col("t1")
+            && expr("unix_micros(ts) - unix_micros(t1)") <= cap,
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase"
+            && col("ts") >= col("t2")
+            && expr("unix_micros(ts) - unix_micros(t2)") <= cap,
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(first("t1").as("t1"), first("t2").as("t2"),
+          first("t3").as("t3"))
+        .agg(count(col("t1")).as("c1"), count(col("t2")).as("c2"),
+          count(col("t3")).as("c3"))
+        .select(col("c1"), col("c2"), col("c3"),
+          when(col("c1") > 0, 1.0).as("v1"),
+          when(col("c1") > 0,
+            floor(col("c2").cast("double") / col("c1").cast("double")
+              * 1e4 + 0.5) / 1e4).as("v2"),
+          when(col("c2") > 0,
+            floor(col("c3").cast("double") / col("c2").cast("double")
+              * 1e4 + 0.5) / 1e4).as("v3"))
+        .selectExpr("stack(3, '1_view', c1, v1, '2_click', c2, v2, " +
+          "'3_purchase', c3, v3) AS (stage, n_users, conv_from_prev)")
         .orderBy("stage")
     }),
 
@@ -592,6 +636,32 @@ object AggOps extends QueryModule {
         |SELECT '1_view' AS stage, COUNT(*) AS n_users FROM t1
         |UNION ALL SELECT '2_click', COUNT(*) FROM t2
         |UNION ALL SELECT '3_purchase', COUNT(*) FROM t3
+        |ORDER BY stage""".stripMargin,
+    "agg_funnel_window" ->
+      """WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= t1.t1
+        |         AND epoch_us(e.ts) - epoch_us(t1.t1) <= 259200000000
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+        |         AND epoch_us(e.ts) - epoch_us(t2.t2) <= 259200000000
+        |       GROUP BY e.user_id),
+        |g AS (SELECT (SELECT COUNT(*) FROM t1) AS c1,
+        |             (SELECT COUNT(*) FROM t2) AS c2,
+        |             (SELECT COUNT(*) FROM t3) AS c3)
+        |SELECT '1_view' AS stage, CAST(c1 AS BIGINT) AS n_users,
+        |  CASE WHEN c1 > 0 THEN CAST(1.0 AS DOUBLE) END AS conv_from_prev
+        |FROM g
+        |UNION ALL SELECT '2_click', CAST(c2 AS BIGINT),
+        |  CASE WHEN c1 > 0 THEN floor(CAST(c2 AS DOUBLE)
+        |    / CAST(c1 AS DOUBLE) * 10000 + 0.5) / 10000 END FROM g
+        |UNION ALL SELECT '3_purchase', CAST(c3 AS BIGINT),
+        |  CASE WHEN c2 > 0 THEN floor(CAST(c3 AS DOUBLE)
+        |    / CAST(c2 AS DOUBLE) * 10000 + 0.5) / 10000 END FROM g
         |ORDER BY stage""".stripMargin,
     "agg_distinct" ->
       """SELECT l_returnflag,

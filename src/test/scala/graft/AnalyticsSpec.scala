@@ -442,6 +442,24 @@ class AnalyticsSpec extends AnyFunSuite {
       "every user must be new exactly once")
   }
 
+  test("agg_funnel_window is dominated by the unwindowed funnel") {
+    def stages(id: String): Map[String, Long] =
+      SparkEntry.queries(id)(spark, sf).collect()
+        .map(r => r.getAs[String]("stage") -> r.getAs[Long]("n_users"))
+        .toMap
+    val open = stages("agg_funnel")
+    val win = stages("agg_funnel_window")
+    assert(win.keySet == open.keySet)
+    // stage 1 has no delay constraint; later stages can only LOSE users
+    assert(win("1_view") == open("1_view"))
+    assert(win("2_click") <= open("2_click"))
+    assert(win("3_purchase") <= open("3_purchase"))
+    val convs = SparkEntry.queries("agg_funnel_window")(spark, sf)
+      .collect().filter(r => !r.isNullAt(r.fieldIndex("conv_from_prev")))
+      .map(_.getAs[Double]("conv_from_prev"))
+    assert(convs.forall(c => c >= 0.0 && c <= 1.0), convs.toSeq)
+  }
+
   test("agg_top_paths matches a driver-side path computation") {
     val got = SparkEntry.queries("agg_top_paths")(spark, sf).collect()
       .map(r => (r.getAs[Long]("rank"), r.getAs[String]("path"),
