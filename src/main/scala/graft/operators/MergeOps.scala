@@ -146,6 +146,25 @@ object MergeOps extends QueryModule {
       s.table("graft.del_target").orderBy("c_custkey")
     }),
 
+    // `VERSION AS OF` time travel over the versioned DSv2 store: every
+    // commit materializes a full snapshot (copy-on-write), so a
+    // version resolves like a lake format resolves a snapshot id to
+    // its manifest list. Seed (commit → version 0), run a native
+    // UPDATE (commit → version 1), then read BOTH versions back
+    // through the real `SELECT ... VERSION AS OF n` syntax — the
+    // pre-image must stay intact (exact decimal cent totals prove it;
+    // a raw double SUM would be association-dependent).
+    "sql_time_travel" -> ((s, d) => {
+      seedSnapshotTable(s, d, "tt_target")
+      s.sql("UPDATE graft.tt_target SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 7 = 0")
+      def snap(v: Int) = s.sql(
+        s"SELECT CAST($v AS BIGINT) AS version, COUNT(*) AS n_rows, " +
+          "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) " +
+          s"AS total_cents FROM graft.tt_target VERSION AS OF $v")
+      snap(0).unionAll(snap(1)).orderBy("version")
+    }),
+
     // native `UPDATE ... SET ... WHERE` through the row-level planner
     // (RewriteUpdateTable → ReplaceData: carried rows pass through,
     // matched rows re-project). Assignment = the merge delta's
@@ -264,6 +283,18 @@ object MergeOps extends QueryModule {
     "sql_delete" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey % 11 <> 0 ORDER BY c_custkey""".stripMargin,
+    "sql_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM customer
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*),
+        |  CAST(SUM(CAST(CASE WHEN c_custkey % 7 = 0
+        |      THEN c_acctbal + 100.0 ELSE c_acctbal END
+        |    AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |FROM customer
+        |ORDER BY version""".stripMargin,
     "sql_update" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0

@@ -41,10 +41,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftTableStore {
   /** table name -> committed rows (UnsafeRow copies). */
   private[sources] val rows = new TrieMap[String, Array[InternalRow]]()
-  def reset(name: String): Unit = rows.remove(name)
+  /** table name -> full snapshot per commit (version 0 = first commit)
+    * — the copy-on-write history that makes `VERSION AS OF` exact:
+    * every commit already materializes the whole table, so time travel
+    * is a vector index, the same way a lake format resolves a snapshot
+    * id to its manifest list. */
+  private[sources] val versions =
+    new TrieMap[String, Vector[Array[InternalRow]]]()
+  def reset(name: String): Unit = { rows.remove(name); versions.remove(name) }
   def get(name: String): Array[InternalRow] =
     rows.getOrElse(name, Array.empty)
-  def put(name: String, rs: Array[InternalRow]): Unit = rows.put(name, rs)
+  def getVersion(name: String, v: Int): Array[InternalRow] = {
+    val h = versions.getOrElse(name, Vector.empty)
+    if (v < 0 || v >= h.size)
+      throw new IllegalArgumentException(
+        s"version $v of $name does not exist (${h.size} commits)")
+    h(v)
+  }
+  def put(name: String, rs: Array[InternalRow]): Unit = {
+    rows.put(name, rs)
+    versions.put(name, versions.getOrElse(name, Vector.empty) :+ rs)
+  }
 }
 
 class GraftMergeCatalog extends TableCatalog {
@@ -61,6 +78,14 @@ class GraftMergeCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     tables.getOrElse(ident, throw new NoSuchTableException(ident))
+
+  // `SELECT ... FROM t VERSION AS OF n` — the analyzer resolves the
+  // versioned relation through this overload; a pinned table reads the
+  // n-th committed snapshot
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = tables.getOrElse(ident, throw new NoSuchTableException(ident))
+    new GraftMergeTable(t.name(), t.schema(), Some(version.toInt))
+  }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val t = new GraftMergeTable(s"$catalogName.${ident.name}",
@@ -90,7 +115,8 @@ class GraftMergeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
-class GraftMergeTable(tableName: String, tableSchema: StructType)
+class GraftMergeTable(tableName: String, tableSchema: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
 
@@ -101,7 +127,8 @@ class GraftMergeTable(tableName: String, tableSchema: StructType)
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = () => new GraftScan(tableName, tableSchema)
+      : ScanBuilder =
+    () => new GraftScan(tableName, tableSchema, pinnedVersion)
 
   // plain writes (INSERT INTO seeds the table; TRUNCATE for resets)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -130,15 +157,19 @@ class GraftRowLevelOperation(table: GraftMergeTable,
     s"GraftCopyOnWrite[${table.name()}]"
 }
 
-class GraftScan(tableName: String, tableSchema: StructType)
+class GraftScan(tableName: String, tableSchema: StructType,
+    pinnedVersion: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftScan[$tableName]"
+  override def description(): String =
+    s"GraftScan[$tableName${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
   override def planInputPartitions(): Array[InputPartition] =
     // committed rows ride INSIDE the partition (UnsafeRow serializes),
     // so the reader works wherever the task lands
-    Array(GraftInputPartition(GraftTableStore.get(tableName)))
+    Array(GraftInputPartition(pinnedVersion
+      .map(GraftTableStore.getVersion(tableName, _))
+      .getOrElse(GraftTableStore.get(tableName))))
   override def createReaderFactory(): PartitionReaderFactory =
     (p: InputPartition) => {
       val rows = p.asInstanceOf[GraftInputPartition].rows
