@@ -87,16 +87,17 @@ class GraftMergeCatalog extends TableCatalog {
     new GraftMergeTable(t.name(), t.schema(), Some(version.toInt))
   }
 
-  override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val t = new GraftMergeTable(s"$catalogName.${ident.name}",
-      info.schema())
-    tables.put(ident, t)
-    t
-  }
-  // route the deprecated StructType path through the TableInfo one
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    if (tables.contains(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
     val t = new GraftMergeTable(s"$catalogName.${ident.name}", schema)
     tables.put(ident, t)
     t
@@ -106,10 +107,11 @@ class GraftMergeCatalog extends TableCatalog {
       changes: TableChange*): Table =
     throw new UnsupportedOperationException("ALTER not supported")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    tables.remove(ident).foreach(t => GraftTableStore.reset(t.name()))
-    true
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    tables.remove(ident) match {
+      case Some(t) => GraftTableStore.reset(t.name()); true
+      case None => false
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")

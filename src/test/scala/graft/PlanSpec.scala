@@ -661,6 +661,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_top_paths plans incremental top-20, no global path sort") {
+    val p = plan("agg_top_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 paths fell back to a global sort:\n$p")
+  }
+
+  test("agg_rfm scores via broadcast thresholds — no global NTILE window") {
+    // the whole point of the threshold formulation: a global NTILE
+    // would move the user frame onto one task at 100 TB
+    val p = plan("agg_rfm")
+    assert(!p.contains("Window"), s"global window crept into RFM:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"thresholds not broadcast:\n$p")
+  }
+
+  test("dedup_url canonicalization stays codegen; dedup is one hash agg") {
+    val p = plan("dedup_url")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"canonicalizer fell off codegen:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"url dedup shuffles more than the canonical-key agg:\n$p")
+  }
+
   test("ts_lag_features stacks all four frames on one user_id exchange") {
     val p = plan("ts_lag_features")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
