@@ -27,6 +27,14 @@ object GraftApi {
     graft.functions.TextNormExprs.stripAccents(
       regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** URL canonicalization (the dedup_url core — run before URL-keyed
+    * dedup/joins): lowercase scheme+host, strip default :443 port /
+    * www. / fragment, drop tracking params (utm_*, fbclid, gclid),
+    * sort surviving params, strip the trailing slash. Pure anchored
+    * regexps + array builtins — whole-stage codegen. */
+  def canonicalUrl(url: Column): Column =
+    graft.operators.TextOps.canonicalUrl(url)
+
   /** Sorted distinct k-word shingle hashes of whitespace-tokenized text
     * (codegen'd single-pass kernel, hash-compatible with
     * xxhash64(concat_ws(' ', words))). */

@@ -112,6 +112,31 @@ object TextOps extends QueryModule {
     """trim(regexp_replace(strip_accents(nfc_normalize(lower(text))),
       |  '\s+', ' ', 'g'))""".stripMargin
 
+  /** URL canonicalizer (the dedup_url core, re-exposed by
+    * GraftApi.canonicalUrl — normText's URL-space twin): lowercase
+    * scheme+host, strip the default :443 port / www. prefix /
+    * fragment, drop tracking params (utm_* / fbclid / gclid by exact
+    * prefix test), SORT the surviving params (order normalization),
+    * strip the trailing slash. Anchored regexps + array builtins only
+    * — whole-stage codegen, replayable verbatim in SQL (the oracle
+    * mirrors each stage). */
+  private[graft] def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
+      ":443$", ""), "^www\\.", "")
+    val rest = regexp_extract(url, "^https?://[^/?#]+([^#]*)", 1)
+    val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
+    val q = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(q, "&"), p =>
+      not(substring(p, 1, 4) === "utm_" ||
+        substring(p, 1, 7) === "fbclid=" ||
+        substring(p, 1, 6) === "gclid="))
+    val cq = array_join(array_sort(params), "&")
+    concat(lit("https://"), host, path,
+      when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
+  }
+
   /** 3-word shingles as sorted xxhash64 sets; docs under 3 words have no
     * shingles and cannot be near-dups (excluded on both engines
     * identically). Word shingles — not unigrams — are what make
@@ -894,23 +919,9 @@ object TextOps extends QueryModule {
           lit("#section")))
         .otherwise(concat(lit("https://www.src"), mS,
           lit(".example.com/docs/"), gS, lit("/?id="), gS))
-      val u = Tables.documents(s, d).select(col("doc_id"), url.as("url"))
-      val host = regexp_replace(regexp_replace(
-        lower(regexp_extract(col("url"), "^https?://([^/?#]+)", 1)),
-        ":443$", ""), "^www\\.", "")
-      val rest = regexp_extract(col("url"), "^https?://[^/?#]+([^#]*)", 1)
-      val c = u.select(col("doc_id"), host.as("host"), rest.as("rest"))
-      val path = regexp_replace(
-        regexp_extract(col("rest"), "^([^?]*)", 1), "/$", "")
-      val q = regexp_extract(col("rest"), "\\?(.*)$", 1)
-      val params = filter(split(q, "&"), p =>
-        not(substring(p, 1, 4) === "utm_" ||
-          substring(p, 1, 7) === "fbclid=" ||
-          substring(p, 1, 6) === "gclid="))
-      val cq = array_join(array_sort(params), "&")
-      val canon = concat(lit("https://"), col("host"), path,
-        when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
-      c.groupBy(canon.as("canon_url"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("url"))
+        .groupBy(canonicalUrl(col("url")).as("canon_url"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_variants"))
         .orderBy("keep_id")
     }),

@@ -17,6 +17,25 @@ class ApiSpec extends AnyFunSuite {
     assert(got.length == 1 && got.head == "creme brulee")
   }
 
+  test("canonicalUrl folds every spelling class to one canonical form") {
+    val variants = Seq(
+      "https://WWW.News.Example.COM:443/a/b?utm_source=x&id=7",
+      "https://www.news.example.com/a/b?id=7",
+      "https://www.news.example.com:443/a/b?utm_campaign=y&id=7#frag",
+      "https://www.news.example.com/a/b/?id=7",
+      "https://news.example.com/a/b?id=7&utm_medium=z")
+    val got = variants.toDF("u")
+      .select(GraftApi.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(got == Seq("https://news.example.com/a/b?id=7"), got)
+    // param ORDER normalizes; non-tracking params survive sorted
+    val two = Seq("https://a.example.com/p?b=2&a=1",
+      "https://a.example.com/p?a=1&b=2")
+      .toDF("u").select(GraftApi.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).distinct.toSeq
+    assert(two == Seq("https://a.example.com/p?a=1&b=2"), two)
+  }
+
   test("dedupExact keeps exactly the min-id survivor per key") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
       .toDF("id", "k")

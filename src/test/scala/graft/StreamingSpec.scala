@@ -520,6 +520,70 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_session twin: session-window merge state survives a " +
+      "checkpoint restart") {
+    // the MERGING-state class (session windows grow/merge, unlike the
+    // fixed tumbling grid): a session left open at shutdown must close
+    // correctly from restored state, and a post-restart event beyond
+    // the gap must open a NEW session, never resurrect the closed one.
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sessrestart").toString
+    val (src, ckpt, out) = (s"$root/in", s"$root/ck", s"$root/out")
+    new java.io.File(src).mkdirs()
+    def run(): Unit = {
+      val sess = spark.readStream
+        .schema("ts TIMESTAMP, user BIGINT").parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("session_window.start").as("s_start"), col("user"),
+          col("n"))
+      val q = sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "session run did not finish")
+      q.stop()
+    }
+    try {
+      // run 1: user 1's two events chain into ONE open session
+      // [0, 50); user 9 at minute 100 drives the watermark to 90,
+      // which closes it (emitted this run or at run-2 startup)
+      Seq((ts(0), 1L), (ts(20), 1L), (ts(100), 9L))
+        .toDF("ts", "user").coalesce(1).write.mode("append").parquet(src)
+      run()
+      // run 2 (restart): user 1 at minute 200 is beyond the 30-minute
+      // gap of the RESTORED session — a NEW session, not a merge
+      Seq((ts(200), 1L), (ts(600), 9L))
+        .toDF("ts", "user").coalesce(1).write.mode("append").parquet(src)
+      run()
+      // run 3: flush every remaining open window
+      Seq((ts(1200), 9L))
+        .toDF("ts", "user").coalesce(1).write.mode("append").parquet(src)
+      run()
+      val u1 = spark.read
+        .schema("s_start TIMESTAMP, user BIGINT, n LONG").parquet(out)
+        .where(col("user") === 1L).collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(2)))
+        .toSeq.sorted
+      assert(u1 == Seq((0L, 2L), (200L, 1L)),
+        s"session state did not survive the restart: $u1")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming tumbling counts converge to the batch-equivalent query") {
     implicit val sqlCtx = spark.sqlContext
     val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
