@@ -64,26 +64,41 @@ object GraftTableStore {
   }
 }
 
+object GraftMergeCatalog {
+  /** JVM-shared table registry keyed by (catalog name, identifier):
+    * Spark instantiates one catalog object PER SESSION (including the
+    * per-micro-batch session clones foreachBatch runs statements in),
+    * so an instance-local map would make tables invisible across
+    * sessions — a streaming foreachBatch MERGE into a table created on
+    * the outer session is the canonical case (measured; StreamingSpec
+    * pins it). */
+  private val registry =
+    new TrieMap[(String, Identifier), GraftMergeTable]()
+}
+
 class GraftMergeCatalog extends TableCatalog {
+  import GraftMergeCatalog.registry
   private var catalogName: String = _
-  private val tables = new TrieMap[Identifier, GraftMergeTable]()
+  private def key(ident: Identifier) = (catalogName, ident)
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
   override def name(): String = catalogName
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) tables.keys.toArray
+    if (namespace.isEmpty)
+      registry.keys.filter(_._1 == catalogName).map(_._2).toArray
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadTable(ident: Identifier): Table =
-    tables.getOrElse(ident, throw new NoSuchTableException(ident))
+    registry.getOrElse(key(ident), throw new NoSuchTableException(ident))
 
   // `SELECT ... FROM t VERSION AS OF n` — the analyzer resolves the
   // versioned relation through this overload; a pinned table reads the
   // n-th committed snapshot
   override def loadTable(ident: Identifier, version: String): Table = {
-    val t = tables.getOrElse(ident, throw new NoSuchTableException(ident))
+    val t = registry.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
     new GraftMergeTable(t.name(), t.schema(), Some(version.toInt))
   }
 
@@ -94,12 +109,12 @@ class GraftMergeCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (tables.contains(ident))
+    if (registry.contains(key(ident)))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toSeq)
     val t = new GraftMergeTable(s"$catalogName.${ident.name}", schema)
-    tables.put(ident, t)
+    registry.put(key(ident), t)
     t
   }
 
@@ -108,7 +123,7 @@ class GraftMergeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("ALTER not supported")
 
   override def dropTable(ident: Identifier): Boolean =
-    tables.remove(ident) match {
+    registry.remove(key(ident)) match {
       case Some(t) => GraftTableStore.reset(t.name()); true
       case None => false
     }

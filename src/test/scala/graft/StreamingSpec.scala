@@ -752,6 +752,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch drives NATIVE MERGE INTO against the DSv2 catalog") {
+    implicit val sqlCtx = spark.sqlContext
+    // the production streaming-upsert shape: every micro-batch runs a
+    // real MERGE INTO statement through Spark's row-level planner
+    // (graft.sources.GraftMergeCatalog) — the same statement text a
+    // Delta/Iceberg streaming sink executes; last-write-wins per key,
+    // and the versioned store keeps one snapshot per batch commit
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.stream_tgt")
+    spark.sql("CREATE TABLE graft.stream_tgt (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.stream_tgt VALUES (0, 0.0), (1, 0.0)")
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          // the batch frame is bound to the micro-batch's session clone
+          // — register the view and run the statement THERE
+          batch.createOrReplaceTempView("graft_stream_batch")
+          batch.sparkSession.sql(
+            """MERGE INTO graft.stream_tgt t
+              |USING graft_stream_batch s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET v = s.v
+              |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+              |""".stripMargin)
+          ()
+      }
+      .start()
+    try {
+      in.addData((1L, 10.0), (5L, 50.0))
+      q.processAllAvailable()
+      in.addData((1L, 11.0), (6L, 60.0))
+      q.processAllAvailable()
+      val got = spark.table("graft.stream_tgt")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((0L, 0.0), (1L, 11.0), (5L, 50.0), (6L, 60.0)),
+        s"merged state mismatch: $got")
+      // the versioned store time-travels to the pre-stream seed
+      val v0 = spark.sql(
+        "SELECT * FROM graft.stream_tgt VERSION AS OF 0")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(v0 == Set((0L, 0.0), (1L, 0.0)),
+        s"seed snapshot not preserved: $v0")
+    } finally q.stop()
+  }
+
   test("streaming windowed top-k: append-mode counts + per-batch rank") {
     implicit val sqlCtx = spark.sqlContext
     // the streaming form of stream_windowed_topk: watermarked tumbling
