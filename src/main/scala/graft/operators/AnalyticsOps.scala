@@ -717,12 +717,6 @@ object AnalyticsOps extends QueryModule {
         .orderBy("a_key")
     }),
 
-    // cohort retention matrix — the product-analytics staple: users
-    // grouped by first-activity week, counted per subsequent active
-    // week offset. Two passes over the SAME user_id partitioning (first
-    // week per user, then distinct active weeks), one broadcast-joined
-    // reduction; all week arithmetic is exact integer division from the
-    // epoch anchor, so the matrix is engine-independent.
     // daily active users split new vs returning — the growth readout
     // every product dashboard leads with ("are we acquiring or just
     // retaining?"). One distinct (user, day) frame, first-seen day per
@@ -785,6 +779,12 @@ object AnalyticsOps extends QueryModule {
         .orderBy("r", "f", "m")
     }),
 
+    // cohort retention matrix — the product-analytics staple: users
+    // grouped by first-activity week, counted per subsequent active
+    // week offset. Two passes over the SAME user_id partitioning (first
+    // week per user, then distinct active weeks), one broadcast-joined
+    // reduction; all week arithmetic is exact integer division from the
+    // epoch anchor, so the matrix is engine-independent.
     "agg_retention" -> ((s, d) => {
       val week = floor(datediff(to_date(col("ts")),
         lit("2024-01-01").cast("date")).cast(DoubleType) / 7.0)
@@ -1186,13 +1186,6 @@ object AnalyticsOps extends QueryModule {
         .orderBy("event_type")
     }),
 
-    // first-order Markov transition matrix over per-user event sequences
-    // — the behavioral-model statistic under next-event prediction and
-    // anomaly scoring. One lag window on the user_id partitioning (the
-    // session/funnel exchange), then a partial-aggregated (prev, next)
-    // count; transition probabilities divide two exact integers in
-    // double space once (engine-identical), with the row-count window
-    // running over the O(types²) aggregate, never the event stream.
     // top-k full user journeys: the most common ordered event-type
     // PATHS (agg_transitions gives the one-step Markov view; this is
     // the "what do users actually do, start to finish" readout product
@@ -1218,6 +1211,13 @@ object AnalyticsOps extends QueryModule {
         .orderBy("rank")
     }),
 
+    // first-order Markov transition matrix over per-user event sequences
+    // — the behavioral-model statistic under next-event prediction and
+    // anomaly scoring. One lag window on the user_id partitioning (the
+    // session/funnel exchange), then a partial-aggregated (prev, next)
+    // count; transition probabilities divide two exact integers in
+    // double space once (engine-identical), with the row-count window
+    // running over the O(types²) aggregate, never the event stream.
     "agg_transitions" -> ((s, d) => {
       val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val tot = Window.partitionBy("prev_type")
