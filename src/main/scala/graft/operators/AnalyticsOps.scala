@@ -748,13 +748,16 @@ object AnalyticsOps extends QueryModule {
     // LOW on both engines (strict >). Output: the ≤125-cell segment
     // grid with occupancy and spend.
     "agg_rfm" -> ((s, d) => {
-      val edge = Tables.events(s, d)
-        .agg(max(to_date(col("ts"))).as("maxd"))
-      val perUser = Tables.events(s, d)
+      // ONE events scan: the corpus edge (max date) is the max of the
+      // per-user last dates, so it derives from the user aggregate
+      // instead of a second full pass (round-8 self-review)
+      val byUser = Tables.events(s, d)
         .groupBy("user_id")
         .agg(max(to_date(col("ts"))).as("lastd"),
           count(lit(1)).as("freq"),
           (sum(Det.dec2(col("value"))) * 100).cast(LongType).as("cents"))
+      val edge = byUser.agg(max("lastd").as("maxd"))
+      val perUser = byUser
         .crossJoin(broadcast(edge))
         .select(col("user_id"),
           datediff(col("maxd"), col("lastd")).cast(LongType).as("rec"),
@@ -1539,14 +1542,17 @@ object AnalyticsOps extends QueryModule {
         |FROM bd JOIN f USING (user_id)
         |GROUP BY bd.day ORDER BY day""".stripMargin,
     "agg_rfm" ->
-      """WITH edge AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
-        |pu AS (SELECT user_id,
-        |    CAST(date_diff('day', MAX(CAST(ts AS DATE)),
-        |      (SELECT maxd FROM edge)) AS BIGINT) AS rec,
+      """WITH bu AS (SELECT user_id, MAX(CAST(ts AS DATE)) AS lastd,
         |    COUNT(*) AS freq,
         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
         |      AS cents
         |  FROM events GROUP BY user_id),
+        |edge AS (SELECT MAX(lastd) AS maxd FROM bu),
+        |pu AS (SELECT user_id,
+        |    CAST(date_diff('day', lastd, (SELECT maxd FROM edge))
+        |      AS BIGINT) AS rec,
+        |    freq, cents
+        |  FROM bu),
         |th AS (SELECT
         |    quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS tr,
         |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS tf,

@@ -264,16 +264,21 @@ object StatsOps extends QueryModule {
     "profile_chisq" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), (col("user_id") % 5).as("bucket"))
+      // ONE events scan: margins and totals all derive from the cell
+      // counts `o` (sums of counts), and the repeated `o` subtree
+      // collapses to one physical aggregation via exchange reuse —
+      // the old form re-scanned events for each margin (round-8
+      // self-review)
       val o = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
-      val types = ev.select("event_type").distinct()
-      val buckets = ev.select("bucket").distinct()
+      val types = o.select("event_type").distinct()
+      val buckets = o.select("bucket").distinct()
       val grid = types.crossJoin(buckets)
         .join(o, Seq("event_type", "bucket"), "left")
         .select(col("event_type"), col("bucket"),
           coalesce(col("o"), lit(0L)).as("o"))
-      val rt = ev.groupBy("event_type").agg(count(lit(1)).as("r"))
-      val ct = ev.groupBy("bucket").agg(count(lit(1)).as("c"))
-      val tot = ev.agg(count(lit(1)).as("n"))
+      val rt = o.groupBy("event_type").agg(sum("o").as("r"))
+      val ct = o.groupBy("bucket").agg(sum("o").as("c"))
+      val tot = o.agg(sum("o").as("n"))
       val cells = grid
         .join(broadcast(rt), "event_type")
         .join(broadcast(ct), "bucket")
