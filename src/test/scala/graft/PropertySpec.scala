@@ -647,4 +647,45 @@ class PropertySpec extends AnyFunSuite {
         .collect().foreach(r => assert(r.getAs[Double]("psi") == 0.0))
     }
   }
+
+  test("canonicalUrl is idempotent and spelling-invariant on generated " +
+      "URLs") {
+    // canonical forms must be FIXED POINTS (a second pass changes
+    // nothing — otherwise "canonical" keys drift between pipeline
+    // stages), and every generated spelling of the same logical URL
+    // must land on one form
+    val host = Gen.listOfN(2, Gen.identifier.map(_.take(6)))
+      .map(_.mkString("."))
+    val path = Gen.listOfN(2, Gen.identifier.map(_.take(5)))
+      .map(ps => "/" + ps.mkString("/"))
+    forAll(host, path, n = 10) { (h: String, p: String) =>
+      val spellings = Seq(
+        s"https://$h$p?id=1",
+        s"https://WWW.${h.toUpperCase}$p?utm_source=a&id=1",
+        s"https://$h:443$p/?id=1&utm_medium=b",
+        s"https://www.$h$p?id=1#frag")
+      val canon = spellings.toDF("u")
+        .select(graft.api.GraftApi.canonicalUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).distinct.toSeq
+      assert(canon.size == 1, s"spellings diverged: $canon")
+      val twice = canon.toDF("u")
+        .select(graft.api.GraftApi.canonicalUrl(col("u")).as("c"))
+        .collect().map(_.getString(0)).toSeq
+      assert(twice == canon, s"not a fixed point: $canon -> $twice")
+    }
+  }
+
+  test("agg_top_paths is invariant under input relayout") {
+    // the struct-sorted path materialization must not depend on
+    // partitioning or row order — repartitioned input gives the
+    // byte-identical ranking
+    val base = SparkEntry.queries("agg_top_paths")(spark, sf)
+      .collect().map(_.toString).toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val again = SparkEntry.queries("agg_top_paths")(spark, sf)
+        .collect().map(_.toString).toSeq
+      assert(again == base, "path ranking shifted under relayout")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
 }
