@@ -150,6 +150,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join buffers survive a checkpoint restart") {
+    // the last stateful class in the restart matrix: interval-join
+    // BUFFERS. A click arriving before shutdown must still match a
+    // purchase that only arrives in the next incarnation — the buffered
+    // side is restored from the checkpoint, not rebuilt from input.
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ssjrestart").toString
+    val (srcC, srcB, ckpt, out) =
+      (s"$root/clicks", s"$root/buys", s"$root/ck", s"$root/out")
+    new java.io.File(srcC).mkdirs(); new java.io.File(srcB).mkdirs()
+    def run(): Unit = {
+      val c = spark.readStream.schema("c_ts TIMESTAMP, c_user BIGINT")
+        .parquet(srcC).withWatermark("c_ts", "1 hour")
+      val b = spark.readStream.schema("b_ts TIMESTAMP, b_user BIGINT")
+        .parquet(srcB).withWatermark("b_ts", "1 hour")
+      val joined = b.join(c,
+        expr("b_user = c_user AND c_ts <= b_ts AND " +
+          "c_ts >= b_ts - INTERVAL 30 MINUTES"))
+        .select("b_user", "b_ts", "c_ts")
+      val q = joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "ss-join run did not finish")
+      q.stop()
+    }
+    try {
+      // run 1: user 1 clicks; a decoy unmatched buy keeps both sources
+      // non-empty. No matches yet — the click is BUFFERED state.
+      Seq((ts(10), 1L)).toDF("c_ts", "c_user")
+        .coalesce(1).write.mode("append").parquet(srcC)
+      Seq((ts(5), 9L)).toDF("b_ts", "b_user")
+        .coalesce(1).write.mode("append").parquet(srcB)
+      run()
+      // run 2 (restart): the purchase 20 minutes after the PRE-RESTART
+      // click must join against restored buffer state
+      Seq((ts(30), 1L)).toDF("b_ts", "b_user")
+        .coalesce(1).write.mode("append").parquet(srcB)
+      run()
+      val got = spark.read
+        .schema("b_user BIGINT, b_ts TIMESTAMP, c_ts TIMESTAMP")
+        .parquet(out).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+          r.getTimestamp(2).getTime / 60000)).toSet
+      assert(got == Set((1L, 30L, 10L)),
+        s"join buffer did not survive the restart: $got")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState keeps running per-user counters (Spark 4 API)") {
     implicit val sqlCtx = spark.sqlContext
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
