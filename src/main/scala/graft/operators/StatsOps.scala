@@ -264,11 +264,14 @@ object StatsOps extends QueryModule {
     "profile_chisq" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), (col("user_id") % 5).as("bucket"))
-      // ONE events scan: margins and totals all derive from the cell
-      // counts `o` (sums of counts), and the repeated `o` subtree
-      // collapses to one physical aggregation via exchange reuse —
-      // the old form re-scanned events for each margin (round-8
-      // self-review)
+      // margins and the total are WINDOW sums over the completed grid
+      // (≤ |types|·|buckets| ≈ 25 rows at ANY corpus size — both keys
+      // are low-cardinality by construction, so the unpartitioned
+      // window is bounded): the old form aggregated a separate branch
+      // per margin, and Spark INLINES shared subtrees, so each margin
+      // re-scanned events (6 pruned scans; measured in the formatted
+      // plan — round-8 self-review). Now only the cell counts and the
+      // two distinct frames touch events.
       val o = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("o"))
       val types = o.select("event_type").distinct()
       val buckets = o.select("bucket").distinct()
@@ -276,13 +279,10 @@ object StatsOps extends QueryModule {
         .join(o, Seq("event_type", "bucket"), "left")
         .select(col("event_type"), col("bucket"),
           coalesce(col("o"), lit(0L)).as("o"))
-      val rt = o.groupBy("event_type").agg(sum("o").as("r"))
-      val ct = o.groupBy("bucket").agg(sum("o").as("c"))
-      val tot = o.agg(sum("o").as("n"))
       val cells = grid
-        .join(broadcast(rt), "event_type")
-        .join(broadcast(ct), "bucket")
-        .crossJoin(broadcast(tot))
+        .withColumn("r", sum("o").over(Window.partitionBy("event_type")))
+        .withColumn("c", sum("o").over(Window.partitionBy("bucket")))
+        .withColumn("n", sum("o").over(Window.partitionBy()))
       // each factor is cast to Double BEFORE the products: o·n and r·c
       // reach n² and n·r·c reaches ~n³/cells, so Long products overflow
       // at only ~3·10⁹ events (and DuckDB would error while Spark wraps
