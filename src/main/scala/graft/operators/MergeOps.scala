@@ -68,17 +68,24 @@ object MergeOps extends QueryModule {
 
   /** Seed a fresh 3-column DSv2 table under the graft catalog with the
     * customer snapshot — the shared setup of the native DELETE/UPDATE
-    * ids (idempotent per invocation: drop + create + insert). */
+    * ids (idempotent per invocation: drop + create + insert). With
+    * `mor = true` the table opts into the merge-on-read
+    * (`SupportsDelta` / WriteDelta) row-level plan shape, keyed by
+    * c_custkey as the stable row id. */
   private def seedSnapshotTable(s: org.apache.spark.sql.SparkSession,
-      d: String, table: String): Unit = {
+      d: String, table: String, mor: Boolean = false): Unit = {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .createOrReplaceTempView("graft_rowlevel_base")
+    val props =
+      if (mor) " TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+        "'graft.row-id'='c_custkey')"
+      else ""
     s.sql(s"DROP TABLE IF EXISTS graft.$table")
     s.sql(s"CREATE TABLE graft.$table (c_custkey BIGINT, " +
-      "c_name STRING, c_acctbal DOUBLE)")
+      s"c_name STRING, c_acctbal DOUBLE)$props")
     s.sql(s"INSERT INTO graft.$table " +
       "SELECT c_custkey, c_name, c_acctbal FROM graft_rowlevel_base")
   }
@@ -126,10 +133,68 @@ object MergeOps extends QueryModule {
     s.table("graft.merge_target").orderBy("c_custkey")
   }
 
+  /** merge_into against a MERGE-ON-READ target: the same three-clause
+    * statement text, but the table declares `SupportsDelta` so Catalyst
+    * plans the delta-based `WriteDelta` rewrite — the writer receives
+    * row-level ops (delete-by-row-id / update / insert) instead of the
+    * re-written group, the plan shape Delta deletion vectors / Iceberg
+    * MoR produce, and the right one for small mutations against 100 TB
+    * tables (write cost O(changed rows), not O(group)). The final
+    * snapshot must be IDENTICAL to the copy-on-write path's, so
+    * upsert_snapshot's oracle carries verbatim — what changes is the
+    * plan, and PlanSpec pins WriteDelta here vs ReplaceData there. */
+  private def mergeIntoMor(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    seedSnapshotTable(s, d, "merge_mor_target", mor = true)
+    val snap = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    deltaOf(snap).createOrReplaceTempView("graft_merge_delta_mor")
+    val m = s.sql(
+      """MERGE INTO graft.merge_mor_target t
+        |USING graft_merge_delta_mor s
+        |ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED AND (t.c_name <> s.c_name
+        |    OR t.c_acctbal <> s.c_acctbal) THEN
+        |  UPDATE SET c_name = s.c_name, c_acctbal = s.c_acctbal
+        |WHEN NOT MATCHED THEN
+        |  INSERT (c_custkey, c_name, c_acctbal)
+        |  VALUES (s.c_custkey, s.c_name, s.c_acctbal)
+        |""".stripMargin)
+    lastRowLevelPlans.put("merge_into_mor",
+      m.queryExecution.executedPlan.toString)
+    // re-derive the action audit relationally (the MoR table carries
+    // no action column — the classification is what upsert_snapshot's
+    // oracle checks, so join it back from the shared classifier)
+    val acts = classified(s, d).select(
+      coalesce(col("d_key"), col("s_key")).as("c_custkey"),
+      col("action"))
+    s.table("graft.merge_mor_target")
+      .join(acts, "c_custkey")
+      .orderBy("c_custkey")
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     // native MERGE INTO (DSv2 SupportsRowLevelOperations) — see
     // mergeInto above; oracle = upsert_snapshot's, carried verbatim
     "merge_into" -> ((s, d) => mergeInto(s, d)),
+
+    // the merge-on-read twin (SupportsDelta → WriteDelta plan shape);
+    // identical final snapshot, delta-based write — see mergeIntoMor
+    "merge_into_mor" -> ((s, d) => mergeIntoMor(s, d)),
+
+    // native DELETE against the merge-on-read table: RewriteDeleteFrom
+    // Table plans WriteDelta with delete-by-row-id ops — the deletion-
+    // vector shape (O(deleted) write) — where sql_delete's copy-on-
+    // write twin re-writes the surviving group. Same predicate, same
+    // post-state oracle.
+    "sql_delete_mor" -> ((s, d) => {
+      seedSnapshotTable(s, d, "del_mor_target", mor = true)
+      val st = s.sql(
+        "DELETE FROM graft.del_mor_target WHERE c_custkey % 11 = 0")
+      lastRowLevelPlans.put("sql_delete_mor",
+        st.queryExecution.executedPlan.toString)
+      s.table("graft.del_mor_target").orderBy("c_custkey")
+    }),
 
     // native `DELETE FROM ... WHERE` through the same row-level
     // planner (RewriteDeleteFromTable → group-based ReplaceData:
@@ -278,11 +343,16 @@ object MergeOps extends QueryModule {
       |FROM snap s FULL JOIN delta d ON s.c_custkey = d.c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  private val deleteSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey % 11 <> 0 ORDER BY c_custkey""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "merge_into" -> upsertSnapshotSql,
-    "sql_delete" ->
-      """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE c_custkey % 11 <> 0 ORDER BY c_custkey""".stripMargin,
+    // the MoR path must land on the identical snapshot + action audit
+    "merge_into_mor" -> upsertSnapshotSql,
+    "sql_delete" -> deleteSql,
+    "sql_delete_mor" -> deleteSql,
     "sql_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)

@@ -22,10 +22,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `MERGE INTO target USING source ON ...`, and with Delta/Iceberg
   * jars unavailable offline nothing on the classpath could accept that
   * statement. This catalog closes the gap through the PUBLIC connector
-  * API only: a copy-on-write [[RowLevelOperation]] (no `SupportsDelta`,
+  * API only, and covers BOTH lake-format row-level plan shapes:
+  * by default a copy-on-write [[RowLevelOperation]] (no `SupportsDelta`,
   * so Catalyst plans the group-based `ReplaceData` rewrite — scan the
-  * table, join with the source, re-write surviving rows), which is
-  * exactly the plan shape Delta/Iceberg copy-on-write tables produce.
+  * table, join with the source, re-write surviving rows), exactly the
+  * plan shape Delta/Iceberg copy-on-write tables produce; with
+  * TBLPROPERTIES ('graft.row-level'='merge-on-read',
+  * 'graft.row-id'='<col>') a merge-on-read [[GraftDeltaOperation]]
+  * (`SupportsDelta`, so Catalyst plans the delta-based `WriteDelta`
+  * rewrite — the writer receives delete/update/insert ops keyed by the
+  * stable row id), the deletion-vector/MoR shape whose write cost is
+  * O(changed rows) — the right one for small mutations at 100 TB.
   *
   * Storage is an in-JVM row store (UnsafeRow copies behind a TrieMap):
   * the catalog demonstrates and TESTS the planner path, it is not a
@@ -39,29 +46,71 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * harness runs local-mode.
   */
 object GraftTableStore {
-  /** table name -> committed rows (UnsafeRow copies). */
-  private[sources] val rows = new TrieMap[String, Array[InternalRow]]()
-  /** table name -> full snapshot per commit (version 0 = first commit)
-    * — the copy-on-write history that makes `VERSION AS OF` exact:
-    * every commit already materializes the whole table, so time travel
-    * is a vector index, the same way a lake format resolves a snapshot
-    * id to its manifest list. */
-  private[sources] val versions =
-    new TrieMap[String, Vector[Array[InternalRow]]]()
-  def reset(name: String): Unit = { rows.remove(name); versions.remove(name) }
+  /** Retention cap on the snapshot history: only the most recent
+    * [[RetainedVersions]] snapshots stay materialized (absolute version
+    * NUMBERS keep counting up — `firstRetained` records how many were
+    * expired), so a long commit stream (e.g. a streaming soak test
+    * driving thousands of micro-batch commits) cannot grow the in-JVM
+    * store without bound. A `VERSION AS OF` inside the window is exact;
+    * one before it fails loudly as expired — the same contract a lake
+    * format's VACUUM/retention window gives. */
+  private[graft] val RetainedVersions = 64
+
+  /** Retained history of one table: `firstRetained` = absolute version
+    * number of `snaps.head`; `current` == `snaps.last` when non-empty. */
+  private[sources] final case class History(
+      firstRetained: Int, snaps: Vector[Array[InternalRow]]) {
+    def commitCount: Int = firstRetained + snaps.size
+  }
+
+  /** table name -> retained history. All mutation goes through
+    * [[put]]/[[mutate]] under [[lock]], so `current snapshot` and
+    * `version history` can never disagree (two concurrent commits — two
+    * streaming queries merging into one table — serialize; each commit
+    * is last-write-wins over the PREVIOUS committed state, atomically). */
+  private[sources] val versions = new TrieMap[String, History]()
+  private val lock = new Object
+
+  def reset(name: String): Unit = lock.synchronized {
+    versions.remove(name); ()
+  }
   def get(name: String): Array[InternalRow] =
-    rows.getOrElse(name, Array.empty)
+    versions.get(name).flatMap(_.snaps.lastOption).getOrElse(Array.empty)
+  def commitCount(name: String): Int =
+    versions.get(name).map(_.commitCount).getOrElse(0)
   def getVersion(name: String, v: Int): Array[InternalRow] = {
-    val h = versions.getOrElse(name, Vector.empty)
-    if (v < 0 || v >= h.size)
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    if (v < 0 || v >= h.commitCount)
       throw new IllegalArgumentException(
-        s"version $v of $name does not exist (${h.size} commits)")
-    h(v)
+        s"version $v of $name does not exist (${h.commitCount} commits)")
+    if (v < h.firstRetained)
+      throw new IllegalArgumentException(
+        s"version $v of $name has expired (retention keeps the last " +
+          s"$RetainedVersions versions; earliest retained: " +
+          s"${h.firstRetained})")
+    h.snaps(v - h.firstRetained)
   }
-  def put(name: String, rs: Array[InternalRow]): Unit = {
-    rows.put(name, rs)
-    versions.put(name, versions.getOrElse(name, Vector.empty) :+ rs)
-  }
+  def put(name: String, rs: Array[InternalRow]): Unit =
+    mutate(name)(_ => rs)
+
+  /** Atomic read-modify-write commit: `f` maps the current committed
+    * rows to the next snapshot; the swap of (current, history) is one
+    * synchronized step, so no concurrent commit can interleave between
+    * the read and the write, and the history always ends in the row set
+    * `get` serves. */
+  private[graft] def mutate(name: String)(
+      f: Array[InternalRow] => Array[InternalRow]): Unit =
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val next = f(h.snaps.lastOption.getOrElse(Array.empty))
+      val appended = h.snaps :+ next
+      val trimmed =
+        if (appended.size > RetainedVersions)
+          History(h.firstRetained + (appended.size - RetainedVersions),
+            appended.takeRight(RetainedVersions))
+        else History(h.firstRetained, appended)
+      versions.put(name, trimmed)
+    }
 }
 
 object GraftMergeCatalog {
@@ -95,11 +144,24 @@ class GraftMergeCatalog extends TableCatalog {
 
   // `SELECT ... FROM t VERSION AS OF n` — the analyzer resolves the
   // versioned relation through this overload; a pinned table reads the
-  // n-th committed snapshot
+  // n-th committed snapshot. Only integer snapshot numbers exist here
+  // (no timestamp travel); a non-integer version fails with a
+  // descriptive error instead of a raw NumberFormatException, and the
+  // pinned table is READ-ONLY (a write through a time-travel reference
+  // must not silently mutate the current store).
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    new GraftMergeTable(t.name(), t.schema(), Some(version.toInt))
+    val v =
+      try version.trim.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new UnsupportedOperationException(
+            s"unsupported version '$version' for table ${t.name()}: " +
+              "this catalog supports integer snapshot versions only " +
+              "(TIMESTAMP AS OF / named snapshots are not available)")
+      }
+    new GraftMergeTable(t.name(), t.schema(), Some(v))
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -113,7 +175,37 @@ class GraftMergeCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toSeq)
-    val t = new GraftMergeTable(s"$catalogName.${ident.name}", schema)
+    // store key carries the FULL identifier (namespace included) so
+    // graft.ns1.t and graft.ns2.t can never share a row store
+    val storeName =
+      (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+    // TBLPROPERTIES ('graft.row-level'='merge-on-read',
+    // 'graft.row-id'='<col>') opts the table into the delta-based
+    // (WriteDelta) row-level plan shape; default is copy-on-write
+    val morRowId = Option(properties.get("graft.row-level")) match {
+      case Some("merge-on-read") =>
+        val c = Option(properties.get("graft.row-id")).getOrElse(
+          throw new IllegalArgumentException(
+            "merge-on-read tables require TBLPROPERTIES " +
+              "('graft.row-id'='<column>')"))
+        require(schema.fieldNames.contains(c),
+          s"graft.row-id column '$c' is not in the table schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        Some(c)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.row-level mode '$other' " +
+          "(supported: merge-on-read)")
+      case None => None
+    }
+    // the row-id column is forced NOT NULL: Spark's delta rewrite
+    // rejects nullable row-id attributes (NULLABLE_ROW_ID_ATTRIBUTES),
+    // and a null row id could never key a delete/update anyway
+    val tblSchema = morRowId match {
+      case Some(c) => StructType(schema.fields.map(f =>
+        if (f.name == c) f.copy(nullable = false) else f))
+      case None => schema
+    }
+    val t = new GraftMergeTable(storeName, tblSchema, None, morRowId)
     registry.put(key(ident), t)
     t
   }
@@ -133,7 +225,8 @@ class GraftMergeCatalog extends TableCatalog {
 }
 
 class GraftMergeTable(tableName: String, tableSchema: StructType,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None,
+    private[sources] val morRowId: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
 
@@ -147,13 +240,29 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       : ScanBuilder =
     () => new GraftScan(tableName, tableSchema, pinnedVersion)
 
-  // plain writes (INSERT INTO seeds the table; TRUNCATE for resets)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  // plain writes (INSERT INTO seeds the table; TRUNCATE for resets).
+  // A version-pinned reference is READ-ONLY: writing "to the past"
+  // would silently mutate the CURRENT store (the pinned scan and the
+  // write target would disagree), so both write surfaces refuse.
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only — " +
+        "write to the current table instead")
     new GraftWriteBuilder(tableName, info.schema(), replace = false)
+  }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
-      : RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info.command())
+      : RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only — " +
+        "row-level operations must target the current table")
+    morRowId match {
+      case Some(idCol) =>
+        () => new GraftDeltaOperation(this, info.command(), idCol)
+      case None =>
+        () => new GraftRowLevelOperation(this, info.command())
+    }
+  }
 }
 
 /** Copy-on-write row-level operation: ONE group = the whole table (no
@@ -211,14 +320,17 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
-          : DataWriterFactory = GraftWriterFactory(writeSchema)
+          : DataWriterFactory = GraftWriterFactory(writeSchema, replace)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val incoming = messages
           .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
-        val base =
-          if (replace || doTruncate) Array.empty[InternalRow]
-          else GraftTableStore.get(tableName)
-        GraftTableStore.put(tableName, base ++ incoming)
+        // atomic read-modify-write: the base read and the snapshot swap
+        // are one GraftTableStore.mutate step, so a concurrent commit
+        // cannot interleave between them
+        GraftTableStore.mutate(tableName) { base =>
+          (if (replace || doTruncate) Array.empty[InternalRow] else base) ++
+            incoming
+        }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -228,7 +340,131 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
 case class GraftRowsMessage(rows: Array[InternalRow])
     extends WriterCommitMessage
 
-case class GraftWriterFactory(schema: StructType)
+/** Merge-on-read row-level operation (`SupportsDelta`): Catalyst plans
+  * MERGE/DELETE/UPDATE as the delta-based `WriteDelta` rewrite — the
+  * writer receives a STREAM OF ROW-LEVEL OPERATIONS (delete-by-row-id /
+  * update / insert) instead of the re-written table, which is the plan
+  * shape Delta deletion vectors and Iceberg merge-on-read tables
+  * produce: for a small mutation against a 100 TB table, the write
+  * cost is O(changed rows), not O(group). Rows are keyed by a STABLE
+  * ROW ID (a designated unique column — real lake formats use
+  * file/position lineage; the id contract is the same), and the store
+  * applies the op log to the previous snapshot atomically at commit
+  * (the analogue of writing a delete-vector/delta file; a reader-side
+  * merge would resolve it at scan time). */
+class GraftDeltaOperation(table: GraftMergeTable,
+    cmd: RowLevelOperation.Command, rowIdCol: String)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = table.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(table, rowIdCol, info)
+    }
+  override def rowId(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(rowIdCol))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+  override def description(): String =
+    s"GraftMergeOnRead[${table.name()}, rowId=$rowIdCol]"
+}
+
+/** One buffered row-level op: op ∈ D/U/I; `id` is the projected row-id
+  * row (null for inserts), `row` the projected data row (null for
+  * deletes). UnsafeRow copies — serializable across the task boundary. */
+case class GraftDeltaOp(op: Byte, id: InternalRow, row: InternalRow)
+
+case class GraftDeltaMessage(ops: Array[GraftDeltaOp])
+    extends WriterCommitMessage
+
+class GraftDeltaWrite(table: GraftMergeTable, rowIdCol: String,
+    info: LogicalWriteInfo) extends DeltaWrite {
+  private val writeSchema = info.schema()
+  private val idSchema = {
+    val o = info.rowIdSchema()
+    require(o.isPresent,
+      "WriteDelta did not supply a row-id schema — the delta write " +
+        "path requires it")
+    o.get()
+  }
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
+        : DeltaWriterFactory = GraftDeltaWriterFactory(writeSchema, idSchema)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ops = messages.flatMap(_.asInstanceOf[GraftDeltaMessage].ops)
+      val schema = table.schema()
+      val idOrd = schema.fieldIndex(rowIdCol)
+      val idType = schema(idOrd).dataType
+      // one atomic read-modify-write: resolve the op log against the
+      // PREVIOUS committed snapshot (delete/update keyed by row id,
+      // inserts appended) — the compaction a merge-on-read reader
+      // performs at scan time, applied here at commit because the
+      // in-JVM store keeps materialized snapshots
+      GraftTableStore.mutate(table.name()) { base =>
+        val deletes = scala.collection.mutable.HashSet[Any]()
+        val updates = scala.collection.mutable.HashMap[Any, InternalRow]()
+        val inserts = scala.collection.mutable.ArrayBuffer[InternalRow]()
+        ops.foreach { o =>
+          (o.op: @unchecked) match {
+            case 'D' => deletes += o.id.get(0, idType)
+            case 'U' => updates.put(o.id.get(0, idType), o.row)
+            case 'I' => inserts += o.row
+          }
+        }
+        base.iterator.flatMap { r =>
+          val k = r.get(idOrd, idType)
+          if (deletes.contains(k)) Iterator.empty
+          else Iterator.single(updates.getOrElse(k, r))
+        }.toArray ++ inserts
+      }
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+case class GraftDeltaWriterFactory(rowSchema: StructType,
+    idSchema: StructType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    // same materialization discipline as GraftWriterFactory: incoming
+    // rows can be recycled views — project to fresh UnsafeRows before
+    // buffering. WriteDeltaExec (unlike the quirky ReplaceDataExec
+    // path) applies its declared projections itself, so widths must
+    // match the declared schemas exactly; anything else fails loudly.
+    private lazy val idProj = UnsafeProjection.create(idSchema)
+    private lazy val rowProj = UnsafeProjection.create(rowSchema)
+    private val buf = scala.collection.mutable.ArrayBuffer[GraftDeltaOp]()
+    private def checked(row: InternalRow, schema: StructType,
+        what: String): InternalRow = {
+      if (row.numFields != schema.length)
+        throw new IllegalStateException(
+          s"$what row has ${row.numFields} fields, schema has " +
+            s"${schema.length} — unknown delta write layout")
+      row
+    }
+    override def delete(meta: InternalRow, id: InternalRow): Unit =
+      buf += GraftDeltaOp('D',
+        idProj(checked(id, idSchema, "row-id")).copy(), null)
+    override def update(meta: InternalRow, id: InternalRow,
+        row: InternalRow): Unit =
+      buf += GraftDeltaOp('U',
+        idProj(checked(id, idSchema, "row-id")).copy(),
+        rowProj(checked(row, rowSchema, "data")).copy())
+    override def insert(row: InternalRow): Unit =
+      buf += GraftDeltaOp('I', null,
+        rowProj(checked(row, rowSchema, "data")).copy())
+    override def commit(): WriterCommitMessage =
+      GraftDeltaMessage(buf.toArray)
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = ()
+  }
+}
+
+case class GraftWriterFactory(schema: StructType, replace: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
@@ -248,9 +484,12 @@ case class GraftWriterFactory(schema: StructType)
     // LogicalWriteInfo.schema() (the projection-applying task only
     // runs when a metadataProjection exists, i.e. for
     // file/position-metadata connectors like the lake formats). Skip
-    // the leading operation column in that shape; any other width is
-    // a layout this bridge does not know and must FAIL LOUDLY rather
-    // than write shifted garbage.
+    // the leading operation column in that shape — but ONLY on the
+    // row-level (replace) path where MergeRows can appear upstream: a
+    // plain append arriving one field wide is schema drift, not the
+    // quirk, and silently dropping its first column would write
+    // shifted data. Any other width is a layout this bridge does not
+    // know and must FAIL LOUDLY rather than write shifted garbage.
     private var proj: UnsafeProjection = _
     private val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
     override def write(row: InternalRow): Unit = {
@@ -258,7 +497,7 @@ case class GraftWriterFactory(schema: StructType)
         proj =
           if (row.numFields == schema.length)
             UnsafeProjection.create(schema)
-          else if (row.numFields == schema.length + 1)
+          else if (replace && row.numFields == schema.length + 1)
             UnsafeProjection.create(schema.fields.zipWithIndex.map {
               case (f, i) =>
                 BoundReference(i + 1, f.dataType, f.nullable)
@@ -266,7 +505,8 @@ case class GraftWriterFactory(schema: StructType)
             }.toSeq)
           else throw new IllegalStateException(
             s"row has ${row.numFields} fields, write schema has " +
-              s"${schema.length} — unknown row-level write layout")
+              s"${schema.length} (replace=$replace) — unknown " +
+              "row-level write layout")
       }
       buf += proj(row).copy()
     }

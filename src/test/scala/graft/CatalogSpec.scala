@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftMergeCatalog, GraftTableStore, GraftWriterFactory}
+
+/** Unit tests for the DSv2 catalog's hardening contracts (round 9):
+  * retention-capped version history, atomic commits, namespace-distinct
+  * stores, read-only time-travel references, descriptive version-parse
+  * errors, and the replace-gated row-level write layout.
+  */
+class CatalogSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMergeCatalog].getName)
+
+  test("version history is retention-capped with stable absolute numbers") {
+    val name = "graft.cap_test_store"
+    GraftTableStore.reset(name)
+    val total = GraftTableStore.RetainedVersions + 6
+    (0 until total).foreach { i =>
+      GraftTableStore.put(name, Array.fill[InternalRow](i)(null))
+    }
+    assert(GraftTableStore.commitCount(name) == total)
+    // the latest and the earliest RETAINED snapshot resolve by their
+    // ABSOLUTE version numbers (sizes encode which commit we read)
+    assert(GraftTableStore.getVersion(name, total - 1).length == total - 1)
+    val firstRetained = total - GraftTableStore.RetainedVersions
+    assert(GraftTableStore.getVersion(name, firstRetained).length
+      == firstRetained)
+    // one before the window: expired, loudly
+    val ex = intercept[IllegalArgumentException] {
+      GraftTableStore.getVersion(name, firstRetained - 1)
+    }
+    assert(ex.getMessage.contains("expired"), ex.getMessage)
+    // beyond the history: does not exist
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftTableStore.getVersion(name, total)
+    }
+    assert(ex2.getMessage.contains("does not exist"), ex2.getMessage)
+    GraftTableStore.reset(name)
+  }
+
+  test("concurrent commits serialize: no lost update, history consistent") {
+    val name = "graft.concurrency_test_store"
+    GraftTableStore.reset(name)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        (0 until 25).foreach { _ =>
+          // read-modify-write: grow the snapshot by one row — a lost
+          // update would leave the final size below 100
+          GraftTableStore.mutate(name)(base =>
+            base :+ (null: InternalRow))
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(GraftTableStore.commitCount(name) == 100)
+    assert(GraftTableStore.get(name).length == 100)
+    // the history tail must END in the served current snapshot
+    assert(GraftTableStore.getVersion(name, 99).length == 100)
+    GraftTableStore.reset(name)
+  }
+
+  test("namespaced tables get distinct row stores") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.ns1.t")
+    spark.sql("DROP TABLE IF EXISTS graft.ns2.t")
+    spark.sql("CREATE TABLE graft.ns1.t (k BIGINT)")
+    spark.sql("CREATE TABLE graft.ns2.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.ns1.t VALUES (1)")
+    spark.sql("INSERT INTO graft.ns2.t VALUES (2), (3)")
+    assert(spark.table("graft.ns1.t").count() == 1)
+    assert(spark.table("graft.ns2.t").count() == 2)
+    // dropping one namespace's table must not wipe the other's data
+    spark.sql("DROP TABLE graft.ns1.t")
+    assert(spark.table("graft.ns2.t").count() == 2)
+    spark.sql("DROP TABLE graft.ns2.t")
+  }
+
+  test("non-integer VERSION AS OF fails with a descriptive error") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.vparse_t")
+    spark.sql("CREATE TABLE graft.vparse_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vparse_t VALUES (1)")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vparse_t VERSION AS OF 'abc'")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("integer snapshot versions")),
+      s"expected a descriptive version error, got: $ex")
+    spark.sql("DROP TABLE graft.vparse_t")
+  }
+
+  test("a version-pinned table reference is read-only") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pin_t")
+    spark.sql("CREATE TABLE graft.pin_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.pin_t VALUES (1)")
+    // SQL offers no write-to-version syntax, so exercise the guard at
+    // the connector surface the planner would use
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val pinned = cat.loadTable(Identifier.of(Array.empty, "pin_t"), "0")
+      .asInstanceOf[graft.sources.GraftMergeTable]
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def options() =
+        new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap())
+      override def queryId(): String = "test"
+      override def schema(): StructType =
+        StructType(Seq(StructField("k", LongType)))
+    }
+    val e1 = intercept[IllegalArgumentException] {
+      pinned.newWriteBuilder(info)
+    }
+    assert(e1.getMessage.contains("read-only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      pinned.newRowLevelOperationBuilder(
+        new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+          override def options() =
+            new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+              java.util.Collections.emptyMap())
+          override def command() =
+            org.apache.spark.sql.connector.write.RowLevelOperation
+              .Command.DELETE
+        })
+    }
+    assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    spark.sql("DROP TABLE graft.pin_t")
+  }
+
+  test("merge-on-read table: delta ops land exactly; history versions " +
+      "stay intact") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mor_unit")
+    spark.sql("CREATE TABLE graft.mor_unit (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.mor_unit VALUES (1, 1.0), (2, 2.0), " +
+      "(3, 3.0)") // version 0
+    spark.sql("DELETE FROM graft.mor_unit WHERE k = 2") // version 1
+    spark.sql("UPDATE graft.mor_unit SET v = 30.0 WHERE k = 3") // v2
+    spark.createDataFrame(Seq((3L, 300.0), (4L, 4.0))).toDF("k", "v")
+      .createOrReplaceTempView("mor_unit_delta")
+    spark.sql(
+      """MERGE INTO graft.mor_unit t USING mor_unit_delta s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin) // version 3
+    def snap(q: String) = spark.sql(q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(snap("SELECT * FROM graft.mor_unit")
+      == Set((1L, 1.0), (3L, 300.0), (4L, 4.0)))
+    // every delta commit appended one exact full snapshot
+    assert(snap("SELECT * FROM graft.mor_unit VERSION AS OF 0")
+      == Set((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+    assert(snap("SELECT * FROM graft.mor_unit VERSION AS OF 1")
+      == Set((1L, 1.0), (3L, 3.0)))
+    assert(snap("SELECT * FROM graft.mor_unit VERSION AS OF 2")
+      == Set((1L, 1.0), (3L, 30.0)))
+    spark.sql("DROP TABLE graft.mor_unit")
+  }
+
+  test("plain-append writer REJECTS a one-wider row; replace path skips " +
+      "the operation column") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    // a [op, k, v] row as the ReplaceData quirk delivers it
+    val wide = UnsafeProjection.create(
+      Array[DataType](IntegerType, LongType, DoubleType))(
+      InternalRow(1, 7L, 2.5))
+    val append = GraftWriterFactory(schema, replace = false)
+      .createWriter(0, 0L)
+    val ex = intercept[IllegalStateException] { append.write(wide) }
+    assert(ex.getMessage.contains("unknown"), ex.getMessage)
+    val replace = GraftWriterFactory(schema, replace = true)
+      .createWriter(0, 0L)
+    replace.write(wide)
+    val out = replace.commit()
+      .asInstanceOf[graft.sources.GraftRowsMessage].rows
+    assert(out.length == 1 && out(0).getLong(0) == 7L &&
+      out(0).getDouble(1) == 2.5)
+  }
+}

@@ -661,6 +661,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("merge_into_mor / sql_delete_mor plan the DELTA-BASED WriteDelta " +
+    "rewrite (merge-on-read), not ReplaceData") {
+    // a SupportsDelta table must flip the row-level plan shape from the
+    // group-based copy-on-write re-write to the delta op stream —
+    // delete/update/insert keyed by row id (the deletion-vector/MoR
+    // plan Delta and Iceberg produce); both lake-format shapes are now
+    // covered and pinned: ReplaceData above, WriteDelta here
+    for (id <- Seq("merge_into_mor", "sql_delete_mor")) {
+      SparkEntry.queries(id)(spark, sf).count()
+      val p = operators.MergeOps.lastRowLevelPlans(id)
+      assert(p.contains("WriteDelta"),
+        s"$id did not plan as a delta-based WriteDelta write:\n$p")
+      assert(!p.contains("ReplaceData"),
+        s"$id fell back to the copy-on-write ReplaceData shape:\n$p")
+    }
+  }
+
   test("agg_top_paths plans incremental top-20, no global path sort") {
     val p = plan("agg_top_paths")
     assert(p.contains("TakeOrderedAndProject"),
