@@ -232,9 +232,14 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  // a version-pinned reference is a fixed snapshot — it cannot be a
+  // stream (nothing ever arrives); only the live table advertises
+  // MICRO_BATCH_READ
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+    (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE) ++
+      (if (pinnedVersion.isEmpty) Set(TableCapability.MICRO_BATCH_READ)
+       else Set.empty)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -288,6 +293,9 @@ class GraftScan(tableName: String, tableSchema: StructType,
     extends Scan with Batch {
   override def readSchema(): StructType = tableSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableName)
   override def description(): String =
     s"GraftScan[$tableName${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
   override def planInputPartitions(): Array[InputPartition] =
@@ -310,6 +318,70 @@ class GraftScan(tableName: String, tableSchema: StructType,
 
 case class GraftInputPartition(rows: Array[InternalRow])
     extends InputPartition
+
+/** Stream offset = number of commits consumed (absolute, monotone —
+  * exactly a lake format's "snapshot id as offset"). */
+case class GraftStreamOffset(commits: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = commits.toString
+}
+
+/** Streaming read FROM the governed table: every commit is an offset,
+  * a micro-batch (start, end] delivers the rows those commits APPENDED
+  * — the same contract a Delta/Iceberg streaming read gives an
+  * append-only table (reading a table mutated by MERGE/DELETE requires
+  * a change feed; see GraftApi.tableChanges). Append-only is VERIFIED,
+  * not assumed: each planned range checks the start snapshot is a
+  * positional prefix of the end snapshot (reference identity — commits
+  * share the prefix arrays) and fails loudly otherwise. Offsets are
+  * absolute commit counts, so a checkpointed restart resumes mid-
+  * version-history as long as the range is inside the retention
+  * window (StreamingSpec pins both). */
+class GraftMicroBatchStream(tableName: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def snapAt(commits: Int): Array[InternalRow] =
+    if (commits == 0) Array.empty
+    else GraftTableStore.getVersion(tableName, commits - 1)
+
+  override def initialOffset(): Offset = GraftStreamOffset(0)
+  override def latestOffset(): Offset =
+    GraftStreamOffset(GraftTableStore.commitCount(tableName))
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].commits
+    val e = end.asInstanceOf[GraftStreamOffset].commits
+    if (e <= s) return Array.empty
+    val base = snapAt(s)
+    val cur = snapAt(e)
+    val appendOnly = cur.length >= base.length &&
+      (base.isEmpty ||
+        ((cur(0) eq base(0)) && (cur(base.length - 1) eq base(base.length - 1))))
+    if (!appendOnly)
+      throw new IllegalStateException(
+        s"streaming read of $tableName: commits ${s + 1}..$e are not " +
+          "append-only (a MERGE/DELETE/UPDATE rewrote earlier rows) — " +
+          "stream the change feed instead")
+    Array(GraftInputPartition(cur.drop(base.length)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val rows = p.asInstanceOf[GraftInputPartition].rows
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
+        override def get(): InternalRow = rows(i)
+        override def close(): Unit = ()
+      }
+    }
+}
 
 /** `replace = false`: append (INSERT INTO). `replace = true`: the
   * ReplaceData commit — surviving + new rows swap the whole store. */

@@ -862,6 +862,103 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream over the governed DSv2 table: commits become " +
+      "micro-batches; a checkpointed restart resumes MID-version-history") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.feed")
+    spark.sql("CREATE TABLE graft.feed (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.feed VALUES (1, 1.0), (2, 2.0)") // v0
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_feed_ckpt").toString
+    // foreachBatch sink (memory sinks refuse checkpoint recovery): each
+    // query instance collects what IT consumed, so a restart's buffer
+    // holds exactly the resumed range
+    def start(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)]) =
+      spark.readStream.table("graft.feed")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            buf.synchronized {
+              buf ++= b.collect().map(r => (r.getLong(0), r.getDouble(1)))
+            }
+            ()
+        }
+        .start()
+    val buf1 = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q1 = start(buf1)
+    try {
+      q1.processAllAvailable()
+      assert(buf1.sorted.toSeq == Seq((1L, 1.0), (2L, 2.0)),
+        s"first batch wrong: $buf1")
+      // a LATER commit arrives while the query runs → exactly the new
+      // rows are delivered, once
+      spark.sql("INSERT INTO graft.feed VALUES (3, 3.0)") // v1
+      q1.processAllAvailable()
+      assert(buf1.sorted.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        s"incremental batch wrong: $buf1")
+    } finally q1.stop()
+    // a commit lands while the query is DOWN; the restarted query must
+    // resume from the checkpointed offset (consume ONLY commit v2, not
+    // re-read history)
+    spark.sql("INSERT INTO graft.feed VALUES (4, 4.0), (5, 5.0)") // v2
+    val buf2 = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q2 = start(buf2)
+    try {
+      q2.processAllAvailable()
+      assert(buf2.sorted.toSeq == Seq((4L, 4.0), (5L, 5.0)),
+        s"restart did not resume mid-history: $buf2")
+    } finally q2.stop()
+    // a row-level rewrite breaks the append-only stream contract —
+    // the NEXT micro-batch must fail loudly, not emit garbage
+    spark.sql("DELETE FROM graft.feed WHERE k = 1") // v3: rewrite
+    val q3 = start(scala.collection.mutable.ArrayBuffer[(Long, Double)]())
+    try {
+      val ex = intercept[Exception] { q3.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert((msgs(ex) ++ Option(q3.exception.map(_.toString()).orNull))
+        .exists(_.contains("append-only")),
+        s"non-append commit not rejected: $ex")
+    } finally q3.stop()
+    spark.sql("DROP TABLE graft.feed")
+  }
+
+  test("readStream.table feeds a watermarked windowed aggregation") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.feed_win")
+    spark.sql("CREATE TABLE graft.feed_win (ts TIMESTAMP, etype STRING)")
+    def ins(minute: Int, etype: String): Unit =
+      spark.sql("INSERT INTO graft.feed_win VALUES " +
+        s"(timestamp'1970-01-01 ${"%02d:%02d".format(minute / 60, minute % 60)}:00', '$etype')")
+    ins(10, "click"); ins(20, "click")
+    val agg = spark.readStream.table("graft.feed_win")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("etype"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("feed_win_sink")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      ins(130, "view") // separate commit advances the watermark past 01:00
+      q.processAllAvailable()
+      ins(400, "view") // close [02:00,03:00) as well
+      q.processAllAvailable()
+      val got = spark.table("feed_win_sink").collect()
+        .map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+          r.getLong(2))).toSet
+      assert(got.contains((0L, "click", 2L)),
+        s"closed window [00:00) missing from append output: $got")
+      assert(got.contains((120L, "view", 1L)), s"window [02:00) wrong: $got")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.feed_win")
+  }
+
   test("streaming windowed top-k: append-mode counts + per-batch rank") {
     implicit val sqlCtx = spark.sqlContext
     // the streaming form of stream_windowed_topk: watermarked tumbling
