@@ -80,6 +80,51 @@ object GraftApi {
   def componentSizes(labels: DataFrame): DataFrame =
     GraphOps.componentSizes(labels)
 
+  // ---- warehouse surface -------------------------------------------
+
+  /** Native change feed over a governed table's own version history —
+    * the `table_changes(t, v0, v1)` readout every lake format exposes:
+    * the row-level delta between snapshot `fromV` and snapshot `toV`
+    * of a versioned catalog table, as (key, payload..., change_type)
+    * with change_type ∈ insert / delete / update_preimage /
+    * update_postimage (the Delta-CDF row shape). Both snapshots are
+    * read through the REAL `VERSION AS OF` syntax, so this works on
+    * any table the graft catalog governs, whatever statements (MERGE /
+    * DELETE / UPDATE / INSERT, copy-on-write or merge-on-read)
+    * produced the versions. Update detection hash-diffs the payload
+    * (md5 over concat_ws — one 128-bit digest per row, not N column
+    * comparisons). Scale: ONE full-outer shuffle on `keyCol` between
+    * two snapshot scans — cdc_diff's exact cost profile; a lake format
+    * with per-commit row-level manifests can serve the same feed
+    * without the join, which is why this is the fallback readout, but
+    * the output contract is identical. */
+  def tableChanges(spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCol: String, fromV: Int, toV: Int): DataFrame = {
+    val pre = spark.sql(s"SELECT * FROM $table VERSION AS OF $fromV")
+    val post = spark.sql(s"SELECT * FROM $table VERSION AS OF $toV")
+    val payload = pre.columns.filterNot(_ == keyCol).toSeq
+    val a = pre.select(col(keyCol).as("__akey") +:
+      payload.map(c => col(c).as(s"__a_$c")): _*)
+    val b = post.select(col(keyCol).as("__bkey") +:
+      payload.map(c => col(c).as(s"__b_$c")): _*)
+    val j = a.join(b, col("__akey") === col("__bkey"), "full_outer")
+    def dg(p: String) =
+      md5(concat_ws("|", payload.map(c => col(s"$p$c")): _*))
+    val changed = col("__akey").isNotNull && col("__bkey").isNotNull &&
+      dg("__a_") =!= dg("__b_")
+    def img(keyC: String, p: String, ct: String) =
+      col(keyC).as(keyCol) +: payload.map(c => col(s"$p$c").as(c)) :+
+        lit(ct).as("change_type")
+    j.where(col("__akey").isNull)
+      .select(img("__bkey", "__b_", "insert"): _*)
+      .unionAll(j.where(col("__bkey").isNull)
+        .select(img("__akey", "__a_", "delete"): _*))
+      .unionAll(j.where(changed)
+        .select(img("__akey", "__a_", "update_preimage"): _*))
+      .unionAll(j.where(changed)
+        .select(img("__akey", "__b_", "update_postimage"): _*))
+  }
+
   // ---- sampling & splits -------------------------------------------
 
   /** Deterministic hash sample at rate n/256 — a pure function of the

@@ -170,6 +170,17 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mor_unit")
   }
 
+  test("cdc_table_changes (feed over real history) equals cdc_diff " +
+      "(relational) row for row") {
+    // the native change feed derives the SAME delta from the store's
+    // own version vector that cdc_diff re-derives relationally — on
+    // one corpus they must agree exactly, or one of them lies
+    def rows(id: String) = SparkEntry.queries(id)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSeq
+    assert(rows("cdc_table_changes") == rows("cdc_diff"))
+  }
+
   test("plain-append writer REJECTS a one-wider row; replace path skips " +
       "the operation column") {
     val schema = StructType(Seq(
