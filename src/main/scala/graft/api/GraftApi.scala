@@ -31,7 +31,15 @@ object GraftApi {
     * dedup/joins): lowercase scheme+host, strip default :443 port /
     * www. / fragment, drop tracking params (utm_*, fbclid, gclid),
     * sort surviving params, strip the trailing slash. Pure anchored
-    * regexps + array builtins — whole-stage codegen. */
+    * regexps + array builtins — whole-stage codegen.
+    *
+    * Contract notes: (a) anything that is not an `http(s)://host...`
+    * URL (other schemes, relative paths, empty strings) canonicalizes
+    * to NULL — malformed rows never share a canonical key; filter
+    * `IS NOT NULL` before keying a dedup on the result. (b) http and
+    * https spellings FOLD to one https key on purpose (page-level
+    * dedup semantics); key on the raw URL where origin exactness
+    * matters. */
   def canonicalUrl(url: Column): Column =
     graft.operators.TextOps.canonicalUrl(url)
 

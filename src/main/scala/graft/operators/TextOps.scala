@@ -119,12 +119,23 @@ object TextOps extends QueryModule {
     * prefix test), SORT the surviving params (order normalization),
     * strip the trailing slash. Anchored regexps + array builtins only
     * — whole-stage codegen, replayable verbatim in SQL (the oracle
-    * mirrors each stage). */
+    * mirrors each stage).
+    *
+    * Inputs that are NOT an http(s) URL with a host (other schemes,
+    * relative paths, empty/garbage strings) canonicalize to NULL — in
+    * a URL-keyed dedup they must never share a canonical key with
+    * each other (pre-fix they all collapsed to "https://" and a
+    * groupBy would have discarded all but one malformed row; SQL
+    * GROUP BY treats each NULL row as its own non-mergeable key only
+    * after the caller filters, so filter `IS NOT NULL` before keying).
+    * The scheme folds http→https deliberately: for page-level dedup
+    * the two origins serve the same document; callers needing
+    * origin-exact keys should key on the raw URL instead. */
   private[graft] def canonicalUrl(url: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
+    val rawHost = regexp_extract(url, "^https?://([^/?#]+)", 1)
     val host = regexp_replace(regexp_replace(
-      lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
-      ":443$", ""), "^www\\.", "")
+      lower(rawHost), ":443$", ""), "^www\\.", "")
     val rest = regexp_extract(url, "^https?://[^/?#]+([^#]*)", 1)
     val path = regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "/$", "")
     val q = regexp_extract(rest, "\\?(.*)$", 1)
@@ -133,8 +144,9 @@ object TextOps extends QueryModule {
         substring(p, 1, 7) === "fbclid=" ||
         substring(p, 1, 6) === "gclid="))
     val cq = array_join(array_sort(params), "&")
-    concat(lit("https://"), host, path,
-      when(cq === "", lit("")).otherwise(concat(lit("?"), cq)))
+    when(host === "", lit(null).cast(org.apache.spark.sql.types.StringType))
+      .otherwise(concat(lit("https://"), host, path,
+        when(cq === "", lit("")).otherwise(concat(lit("?"), cq))))
   }
 
   /** 3-word shingles as sorted xxhash64 sets; docs under 3 words have no

@@ -36,6 +36,24 @@ class ApiSpec extends AnyFunSuite {
     assert(two == Seq("https://a.example.com/p?a=1&b=2"), two)
   }
 
+  test("canonicalUrl maps non-http(s) inputs to NULL, never a shared key") {
+    // pre-fix these all collapsed to the same "https://" key — a
+    // URL-keyed dedup would have merged every malformed row into one
+    // group and discarded all but one
+    val bad = Seq("", "not a url", "ftp://files.example.com/a",
+      "/relative/path?id=1", "mailto:x@example.com", "https://")
+    val got = bad.toDF("u")
+      .select(GraftApi.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.forall(_.isEmpty), s"malformed urls must canonicalize " +
+      s"to NULL: ${bad.zip(got)}")
+    // and a well-formed URL is unaffected by the null branch
+    val ok = Seq("https://www.ok.example.com/a/?id=1#f").toDF("u")
+      .select(GraftApi.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(ok == Seq("https://ok.example.com/a?id=1"), ok)
+  }
+
   test("dedupExact keeps exactly the min-id survivor per key") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
       .toDF("id", "k")
