@@ -530,6 +530,17 @@ class StatsSpec extends AnyFunSuite {
       .distinct.count()
     assert(centCard <= 10001L,
       s"weighted-percentile quantizer no longer range-bounded: $centCard")
+    // agg_rfm's monetary percentile fit (round 9, VERDICT r8 #1): the
+    // raw per-user cent totals are the ONE RFM domain that grows with
+    // the corpus — the $10-grid bucketing must cap the distinct values
+    // the exact percentile buffers at 10 001, including an arbitrary
+    // heavy tail (values far past the $100k cap share bucket 10 000)
+    val rfmCard = spark.range(200000)
+      .select((col("id") * 977L + 13L).as("cents")) // 200k distinct cents
+      .select(operators.AnalyticsOps.rfmMonetaryBucket(col("cents")).as("q"))
+      .distinct.count()
+    assert(rfmCard <= 10001L,
+      s"rfm monetary bucketing no longer range-bounded: $rfmCard")
     // survival's compaction is the whole-day duration: the frame is
     // bounded by the corpus CALENDAR SPAN, asserted on the real input
     val sub = Tables.events(spark, sf)
