@@ -92,7 +92,18 @@ object Bench {
     "graph_bfs" -> 1.5, // 6 relax rounds, localCheckpoint each
     "sink_zorder" -> 1.5, // interleaved-bit sort + parquet write
     "join_lateral" -> 1.5, // per-order top-2 lateral
-    "text_tfidf" -> 1.5) // two-level token agg + idf join
+    "text_tfidf" -> 1.5, // two-level token agg + idf join
+    // round-9: carries the one-time refit k-means fit (the frozen fit
+    // is paid by sim_ivf_append, alphabetically earlier) + the 6-query
+    // exact-truth pass; 3.0 s fit-cold / ~1.0 s warm at sf0.1
+    "sim_ivf_refit" -> 3.5,
+    // round-9: three INSERT commits seed the in-JVM governed table
+    // (20k purchase rows) before the windowed agg; measured ~1.2 s
+    "stream_table_read" -> 2.0,
+    // round-9: seed + 3-clause MERGE through WriteDelta; 2.0 s cold
+    "merge_into_mor" -> 1.5,
+    // round-9: seed + 3 native row-level commits + the versioned diff
+    "cdc_table_changes" -> 1.5)
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin

@@ -230,6 +230,44 @@ object VectorOps extends QueryModule {
         else Some(kmeansFit(rows, k = 8, iters = 5, seed = 42))
       } catch { case _: Exception => None })
 
+  /** base ∪ deterministically dim-rotated appended batch — the ONE
+    * post-append corpus shared by sim_ivf_append, sim_ivf_refit and
+    * their oracles/specs (divergent copies would let the occupancy
+    * readout and the refit decision describe different corpora).
+    * Rotation preserves the L2 norm exactly and breaks cosine
+    * alignment (gen_scale.py discipline, no RNG); appended ids ride
+    * [[IvfAppendOffset]] above the corpus. */
+  private[graft] def ivfAppendUnion(s: SparkSession, d: String)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    e.withColumn("is_new", lit(0L))
+      .unionByName(e.select(
+        (col("vec_id") + lit(IvfAppendOffset)).as("vec_id"),
+        expr("concat(slice(embedding, 2, size(embedding) - 1), " +
+          "slice(embedding, 1, 1))").as("embedding"))
+        .withColumn("is_new", lit(1L)))
+  }
+
+  /** Memoized REFIT centroids: the same k-means fit as [[ivfCentroids]]
+    * but sampled from the post-append corpus ([[ivfAppendUnion]]) — the
+    * index the refit decision op compares against the frozen one. Same
+    * k/iters/seed, so any recall difference is attributable to the
+    * sample distribution, not fit hyperparameters. */
+  private val ivfRefitCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[Array[Double]]]]()
+  private[graft] def ivfRefitCentroids(s: SparkSession, d: String)
+      : Option[Array[Array[Double]]] =
+    ivfRefitCache.computeIfAbsent(d, (_: String) =>
+      try {
+        val rows = quantizerSample(ivfAppendUnion(s, d)
+            .select(col("vec_id"), col("embedding")), 1024)
+          .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        if (rows.length < 8) None
+        else Some(kmeansFit(rows, k = 8, iters = 5, seed = 42))
+      } catch { case _: Exception => None })
+
   /** Codegen argmin assignment to the nearest centroid — euclidean
     * order via score(c) = |c|² − 2·x·c (|x|² is row-constant) over a
     * (score, idx) struct array, array_min's lexicographic compare being
@@ -1101,15 +1139,7 @@ object VectorOps extends QueryModule {
           Seq.empty[(Long, Long, Long, Double, Double)]
             .toDF("cluster", "n_base", "n_new", "qsim_base", "qsim_new")
         case Some(cents) =>
-          val e = Tables.embeddings(s, d)
-            .where(col("embedding").isNotNull)
-            .select(col("vec_id"), col("embedding"))
-          val appended = e.select(
-            (col("vec_id") + lit(IvfAppendOffset)).as("vec_id"),
-            expr("concat(slice(embedding, 2, size(embedding) - 1), " +
-              "slice(embedding, 1, 1))").as("embedding"))
-          val both = e.withColumn("is_new", lit(0L))
-            .unionByName(appended.withColumn("is_new", lit(1L)))
+          val both = ivfAppendUnion(s, d)
           // float-cast centroid norms, exactly assignWin's |c_f|² terms
           val c2 = array(cents.map { c =>
             lit(c.map { x => val f = x.toFloat.toDouble; f * f }.sum)
@@ -1137,6 +1167,78 @@ object VectorOps extends QueryModule {
                 col("sn").cast(DoubleType) / col("n_new").cast(DoubleType)
                   / 1e6).as("qsim_new"))
             .orderBy("cluster")
+      }
+    }),
+
+    // The REFIT DECISION op (round 9, VERDICT r8 #5) — closes the loop
+    // sim_ivf_append's drift readout opens: when qsim_new falls, is a
+    // refit actually worth it? Measure recall@10 over the POST-APPEND
+    // corpus (base ∪ rotated batch) for BOTH indexes — the FROZEN
+    // quantizer (fit on base only, what production is serving) and a
+    // REFIT quantizer (same fit on a post-append sample) — against the
+    // exact brute-force truth, on a 6-query panel (the 3 standard base
+    // queries + their 3 rotated twins, the drifted population the
+    // frozen index mis-serves). recall(refit) − recall(frozen) on the
+    // rotated half IS the refit decision number: spend the re-index
+    // cost iff the recovered recall justifies it (TextVectorSpec
+    // asserts the rotated-half recovery is real on this corpus).
+    // Scale shape: the exact-truth pass is panel-sized (6 queries ×
+    // one corpus scan — sim_recall_eval's contract); both assignments
+    // ride the codegen argmin kernel; probes are top-2 windows over a
+    // broadcast 8-row centroid frame. Oracle: the full cascade replays
+    // with BOTH centroid sets as literals (pqIvfOracles).
+    "sim_ivf_refit" -> ((s, d) => {
+      import s.implicits._
+      (ivfCentroids(s, d), ivfRefitCentroids(s, d)) match {
+        case (Some(frozen), Some(refit)) =>
+          val u = ivfAppendUnion(s, d)
+            .select(col("vec_id"), col("embedding"))
+          val panel = u.where(col("vec_id") < 3 ||
+              (col("vec_id") >= IvfAppendOffset &&
+                col("vec_id") < IvfAppendOffset + 3))
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          // exact truth: index-independent, computed once
+          val wx = Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("vec_id"))
+          val exact = u.crossJoin(broadcast(panel))
+            .where(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id"),
+              round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+            .withColumn("rk", row_number().over(wx))
+            .where(col("rk") <= 10)
+            .select("q_id", "vec_id")
+          def retrieval(cents: Array[Array[Double]]): DataFrame = {
+            val assigned = u.select(col("vec_id"), col("embedding"),
+              assignCol(cents).as("cluster"))
+            val cdf = s.createDataFrame(cents.zipWithIndex.map {
+              case (c, i) => (i, c.map(_.toFloat).toSeq)
+            }.toSeq).toDF("cluster", "centroid")
+            val wq = Window.partitionBy("q_id")
+              .orderBy(col("cdist").desc, col("cluster"))
+            val probes = panel.crossJoin(broadcast(cdf))
+              .withColumn("cdist", dot(col("q_emb"), col("centroid")))
+              .withColumn("cr", row_number().over(wq))
+              .where(col("cr") <= 2)
+              .select(col("q_id"), col("q_emb"), col("cluster"))
+            val wr = Window.partitionBy("q_id")
+              .orderBy(col("sim").desc, col("vec_id"))
+            probes.join(assigned, "cluster")
+              .where(col("vec_id") =!= col("q_id"))
+              .select(col("q_id"), col("vec_id"),
+                round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+              .withColumn("rk", row_number().over(wr))
+              .where(col("rk") <= 10)
+              .select("q_id", "vec_id")
+          }
+          recallJoin(exact, retrieval(frozen), 10)
+            .withColumn("index_tag", lit("frozen"))
+            .unionByName(recallJoin(exact, retrieval(refit), 10)
+              .withColumn("index_tag", lit("refit")))
+            .select("index_tag", "q_id", "hits", "recall")
+            .orderBy("index_tag", "q_id")
+        case _ =>
+          Seq.empty[(String, Long, Long, Double)]
+            .toDF("index_tag", "q_id", "hits", "recall")
       }
     }),
 
@@ -2358,10 +2460,82 @@ object VectorOps extends QueryModule {
             "AS qsim_base, CAST(0.0 AS DOUBLE) AS qsim_new WHERE 1 = 0"
       }
 
+      // sim_ivf_refit: BOTH centroid sets replay as literals — frozen
+      // (the base fit every sim_* oracle embeds) and refit (the
+      // post-append-sample fit) — over the union corpus; exact truth,
+      // 2-probe retrieval per index, and the recall join all replay
+      // relationally (the sim_recall_eval oracle family).
+      val refitCents = ivfRefitCentroids(s, d)
+      val simIvfRefitSql = (cents, refitCents) match {
+        case (Some(frozen), Some(refit)) =>
+          def cdBranchesQ(cs: Array[Array[Double]]): String =
+            cs.zipWithIndex.map { case (c, i) =>
+              val cf = c.map(_.toFloat.toDouble)
+              s"SELECT q_id, $i AS cluster, " +
+                s"${dotLit("q_emb", cf)} AS cdist FROM q"
+            }.mkString("\n  UNION ALL\n  ")
+          def indexCtes(cs: Array[Array[Double]], sfx: String): String =
+            s"""asg$sfx AS (SELECT vec_id, embedding,
+               |    ${asgList(cs)} AS cluster
+               |  FROM u),
+               |cd$sfx AS (
+               |  ${cdBranchesQ(cs)}),
+               |p$sfx AS (SELECT q_id, cluster FROM (
+               |    SELECT q_id, cluster, ROW_NUMBER() OVER (
+               |      PARTITION BY q_id ORDER BY cdist DESC, cluster)
+               |      AS cr FROM cd$sfx) x
+               |  WHERE cr <= 2),
+               |r$sfx AS (SELECT q_id, vec_id FROM (
+               |    SELECT p.q_id, a.vec_id, ROW_NUMBER() OVER (
+               |      PARTITION BY p.q_id
+               |      ORDER BY ${pairDot("q.q_emb", "a.embedding")} DESC,
+               |        a.vec_id) AS rk
+               |    FROM p$sfx p JOIN asg$sfx a ON a.cluster = p.cluster
+               |    JOIN q ON q.q_id = p.q_id
+               |    WHERE a.vec_id <> p.q_id) t
+               |  WHERE rk <= 10),
+               |h$sfx AS (SELECT e.q_id,
+               |    CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1
+               |      ELSE 0 END) AS BIGINT) AS hits
+               |  FROM ex e LEFT JOIN r$sfx r
+               |    ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+               |  GROUP BY e.q_id)""".stripMargin
+          s"""WITH u AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  WHERE embedding IS NOT NULL
+             |  UNION ALL
+             |  SELECT vec_id + $IvfAppendOffset,
+             |    list_concat(embedding[2:], embedding[:1])
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM u
+             |  WHERE vec_id < 3 OR (vec_id >= $IvfAppendOffset
+             |    AND vec_id < ${IvfAppendOffset + 3})),
+             |ex AS (SELECT q_id, vec_id FROM (
+             |    SELECT q.q_id, u.vec_id, ROW_NUMBER() OVER (
+             |      PARTITION BY q.q_id
+             |      ORDER BY ${pairDot("q.q_emb", "u.embedding")} DESC,
+             |        u.vec_id) AS rk
+             |    FROM u CROSS JOIN q WHERE u.vec_id <> q.q_id) t
+             |  WHERE rk <= 10),
+             |${indexCtes(frozen, "f")},
+             |${indexCtes(refit, "r")}
+             |SELECT 'frozen' AS index_tag, q_id, hits,
+             |  CAST(hits AS DOUBLE) / 10.0 AS recall FROM hf
+             |UNION ALL
+             |SELECT 'refit', q_id, hits, CAST(hits AS DOUBLE) / 10.0
+             |FROM hr
+             |ORDER BY index_tag, q_id""".stripMargin
+        case _ =>
+          "SELECT CAST('' AS VARCHAR) AS index_tag, CAST(0 AS BIGINT) " +
+            "AS q_id, CAST(0 AS BIGINT) AS hits, CAST(0.0 AS DOUBLE) " +
+            "AS recall WHERE 1 = 0"
+      }
+
       Map("vec_pq" -> vecPqSql, "sim_pq_topk" -> simPqSql,
         "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql,
         "dedup_semantic" -> dedupSemSql,
-        "sim_ivf_append" -> simIvfAppendSql)
+        "sim_ivf_append" -> simIvfAppendSql,
+        "sim_ivf_refit" -> simIvfRefitSql)
     })
   }
 }

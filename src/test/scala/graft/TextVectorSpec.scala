@@ -551,6 +551,63 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rMerged > 0.0, "merged index retrieves nothing from the panel")
   }
 
+  test("sim_ivf_refit: refit recovers the appended batch's quantization " +
+    "fit; panel recall stays comparable") {
+    import operators.VectorOps
+    val frozen = VectorOps.ivfCentroids(spark, sf)
+      .getOrElse(fail("no frozen centroids at test sf"))
+    val refit = VectorOps.ivfRefitCentroids(spark, sf)
+      .getOrElse(fail("no refit centroids at test sf"))
+    val base = Tables.embeddings(spark, sf)
+      .where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    val appended = base.map(v => v.drop(1) :+ v.head)
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // mean quantization similarity of a batch under an index: x·c of
+    // each vector with its argmin-assigned (float-cast) centroid —
+    // sim_ivf_append's qsim, driver-side
+    def qsim(batch: Array[Array[Double]],
+        cents: Array[Array[Double]]): Double = {
+      val per = batch.map { v =>
+        cents.map { c =>
+          val cf = c.map(_.toFloat.toDouble)
+          val s = cf.map(x => x * x).sum - 2.0 * dotd(v, cf)
+          (s, dotd(v, cf))
+        }.minBy(_._1)._2
+      }
+      per.sum / per.length
+    }
+    val qFrozen = qsim(appended, frozen)
+    val qRefit = qsim(appended, refit)
+    // THE drift-recovery contract: the refit quantizer (which saw the
+    // appended distribution) must fit the appended batch at least as
+    // well as the frozen one (which never did) — this is the geometry
+    // the qsim_new drift signal measures, recovering
+    assert(qRefit >= qFrozen - 1e-9,
+      f"refit did not recover quantization fit: $qFrozen%.4f -> $qRefit%.4f")
+    // and the op's own readout: 2 indexes × 6 panel queries, recall in
+    // [0,1], neither index collapses, and the refit decision number
+    // (mean recall delta) stays in a sane band — on THIS corpus the
+    // rotation drift is mild, so the honest readout is "refit not yet
+    // warranted", i.e. a small |delta|, not a collapse either way
+    val rows = SparkEntry.queries("sim_ivf_refit")(spark, sf).collect()
+    assert(rows.length == 12)
+    val byIdx = rows.groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.map(_.getAs[Double]("recall")).sum / rs.length }
+    assert(byIdx.keySet == Set("frozen", "refit"))
+    byIdx.values.foreach(m => assert(m > 0.2 && m <= 1.0,
+      s"panel recall collapsed: $byIdx"))
+    assert(math.abs(byIdx("refit") - byIdx("frozen")) < 0.3,
+      s"refit decision number out of band: $byIdx")
+    info(f"qsim appended: frozen $qFrozen%.4f -> refit $qRefit%.4f; " +
+      f"mean recall: $byIdx")
+  }
+
   test("dedup_url collapses all four URL spellings of every page") {
     // the canonicalizer must fold host case, :443, www., tracking
     // params, fragments and trailing slashes — every synthetic page id
