@@ -20,7 +20,11 @@ object Bench {
   // round-8: 175 + ~2.6 s summed warm cost of the 4 new ids
   // (merge_into 0.75, sim_ivf_append 0.65, sql_delete/sql_update ~0.6
   // each); clean 276/278-id drives read 178.2 / 189.4 s idle
-  private val BaselineWarmSec = 178.0
+  // round-9: 178 + ~3.5 s summed in-bench cost of the 5 new ids
+  // (sim_ivf_refit 1.03, cdc_table_changes 1.17, merge_into_mor 0.83,
+  // stream_table_read 0.47, sql_delete_mor 0.20); the 290-id closing
+  // drives read 192.6 s fixture-cold / 168.5 s warm idle
+  private val BaselineWarmSec = 181.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
