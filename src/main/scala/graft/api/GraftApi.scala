@@ -116,8 +116,13 @@ object GraftApi {
     val b = post.select(col(keyCol).as("__bkey") +:
       payload.map(c => col(c).as(s"__b_$c")): _*)
     val j = a.join(b, col("__akey") === col("__bkey"), "full_outer")
+    // digest over to_json(struct(...)): field-delimited and null-safe,
+    // so neither a NULL shifting between columns nor a payload value
+    // containing the would-be separator can alias two different rows
+    // (concat_ws would conflate (NULL,'x') with ('x',NULL) and
+    // ('a|b','c') with ('a','b|c'))
     def dg(p: String) =
-      md5(concat_ws("|", payload.map(c => col(s"$p$c")): _*))
+      md5(to_json(struct(payload.map(c => col(s"$p$c").as(c)): _*)))
     val changed = col("__akey").isNotNull && col("__bkey").isNotNull &&
       dg("__a_") =!= dg("__b_")
     def img(keyC: String, p: String, ct: String) =

@@ -360,9 +360,15 @@ class GraftMicroBatchStream(tableName: String)
     if (e <= s) return Array.empty
     val base = snapAt(s)
     val cur = snapAt(e)
+    // FULL prefix identity, not endpoint sampling: append commits share
+    // the prefix row OBJECTS (base ++ incoming), while every rewritten
+    // row — including a merge-on-read UPDATE of a middle row that
+    // leaves length and endpoints untouched — is a fresh UnsafeRow
+    // copy, so `eq` over the whole prefix catches exactly the rewrites
+    // endpoint checks would miss. Driver-side reference compares over
+    // the in-JVM arrays — O(prefix), no data reads.
     val appendOnly = cur.length >= base.length &&
-      (base.isEmpty ||
-        ((cur(0) eq base(0)) && (cur(base.length - 1) eq base(base.length - 1))))
+      base.indices.forall(i => cur(i) eq base(i))
     if (!appendOnly)
       throw new IllegalStateException(
         s"streaming read of $tableName: commits ${s + 1}..$e are not " +

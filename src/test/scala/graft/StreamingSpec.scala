@@ -927,6 +927,49 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.feed")
   }
 
+  test("append-only stream check catches a MID-ROW merge-on-read UPDATE " +
+      "(length and endpoints unchanged)") {
+    // the hole an endpoint-sampled prefix check would leave: a MoR
+    // UPDATE of a middle row keeps the snapshot length AND the first/
+    // last row objects identical — only full prefix identity sees the
+    // replaced middle row; silently emitting an empty batch here would
+    // drop the change from every downstream consumer
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.feed_mid")
+    spark.sql("CREATE TABLE graft.feed_mid (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.feed_mid VALUES (1, 1.0), (2, 2.0), " +
+      "(3, 3.0)")
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = spark.readStream.table("graft.feed_mid").writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_feed_mid_ckpt").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          buf.synchronized {
+            buf ++= b.collect().map(r => (r.getLong(0), r.getDouble(1)))
+          }
+          ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(buf.sorted.toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+      spark.sql("UPDATE graft.feed_mid SET v = 20.0 WHERE k = 2")
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert((msgs(ex) ++ Option(q.exception.map(_.toString()).orNull))
+        .exists(_.contains("append-only")),
+        s"mid-row rewrite not rejected: $ex")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.feed_mid")
+  }
+
   test("readStream.table feeds a watermarked windowed aggregation") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)
