@@ -305,6 +305,37 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // the SCAN-LEVEL change feed (the third CDC form, completing the
+    // family): cdc_diff re-derives changes relationally from two
+    // states; cdc_table_changes diffs two VERSION AS OF snapshots via
+    // the API; THIS id reads the feed through a catalog-resolved
+    // `graft.<table>.changes` relation (the Iceberg metadata-table
+    // naming pattern, carrying Delta-CDF row semantics) — rows tagged
+    // with _change_type AND _commit_version, so a consumer sees WHICH
+    // commit made each change (the statement attribution the
+    // two-snapshot diffs cannot give: delete=v1, update=v2, insert=v3
+    // here). Same seed + native statements as cdc_table_changes;
+    // startingVersion=1 skips the seed commit's inserts. The same
+    // relation STREAMS (StreamingSpec): each commit's changes arrive
+    // as a micro-batch, REWRITE commits included — the principled
+    // consumer for mutating tables the content stream's append-only
+    // contract refuses.
+    "cdc_feed_scan" -> ((s, d) => {
+      seedSnapshotTable(s, d, "cdc_scan_feed", mor = true) // v0
+      s.sql("DELETE FROM graft.cdc_scan_feed WHERE c_custkey % 11 = 0") // v1
+      s.sql("UPDATE graft.cdc_scan_feed SET c_acctbal = c_acctbal " +
+        "+ 100.0 WHERE c_custkey % 7 = 0") // v2
+      s.sql("INSERT INTO graft.cdc_scan_feed " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v3
+      s.read.option("startingVersion", "1")
+        .table("graft.cdc_scan_feed.changes")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version"))
+        .orderBy("c_custkey", "change_type")
+    }),
+
     // change-data-capture read: diff two snapshot versions into the
     // change feed a downstream consumer replays — inserts, deletes, and
     // updates as before/after image pairs (the Delta-CDF row shape).
@@ -431,7 +462,17 @@ object MergeOps extends QueryModule {
         |ORDER BY c_custkey, valid_from""".stripMargin,
     // the native feed must equal the relational diff on the same delta
     "cdc_table_changes" -> cdcSql,
-    "cdc_diff" -> cdcSql
+    "cdc_diff" -> cdcSql,
+    // the scan-level feed adds commit attribution on top of the same
+    // change rows: each change class maps to exactly the statement
+    // (commit) that produced it
+    "cdc_feed_scan" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, change_type,
+         |  CAST(CASE change_type WHEN 'delete' THEN 1
+         |    WHEN 'insert' THEN 3 ELSE 2 END AS BIGINT)
+         |    AS commit_version
+         |FROM ($cdcSql) t
+         |ORDER BY c_custkey, change_type""".stripMargin
   )
 
   private val cdcSql: String =

@@ -139,8 +139,24 @@ class GraftMergeCatalog extends TableCatalog {
       registry.keys.filter(_._1 == catalogName).map(_._2).toArray
     else throw new NoSuchNamespaceException(namespace)
 
+  // `graft.<table>.changes` resolves to the table's CHANGE FEED (the
+  // Iceberg-metadata-table naming pattern): a read-only relation whose
+  // schema is the base schema + (_change_type, _commit_version) and
+  // whose scan walks the version history — Delta-CDF through a
+  // catalog-resolved identifier, so the analyzer sees the feed schema
+  // (scan options cannot widen a table's resolved schema).
   override def loadTable(ident: Identifier): Table =
-    registry.getOrElse(key(ident), throw new NoSuchTableException(ident))
+    registry.get(key(ident)) match {
+      case Some(t) => t
+      case None if ident.name() == "changes" &&
+          ident.namespace().nonEmpty =>
+        val baseIdent = Identifier.of(ident.namespace().dropRight(1),
+          ident.namespace().last)
+        val base = registry.getOrElse(key(baseIdent),
+          throw new NoSuchTableException(ident))
+        new GraftCdfTable(base)
+      case None => throw new NoSuchTableException(ident)
+    }
 
   // `SELECT ... FROM t VERSION AS OF n` — the analyzer resolves the
   // versioned relation through this overload; a pinned table reads the
@@ -305,19 +321,160 @@ class GraftScan(tableName: String, tableSchema: StructType,
       .map(GraftTableStore.getVersion(tableName, _))
       .getOrElse(GraftTableStore.get(tableName))))
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => {
-      val rows = p.asInstanceOf[GraftInputPartition].rows
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < rows.length }
-        override def get(): InternalRow = rows(i)
-        override def close(): Unit = ()
-      }
-    }
+    GraftRowsReaderFactory
 }
 
 case class GraftInputPartition(rows: Array[InternalRow])
     extends InputPartition
+
+/** The one row reader all store-backed scans share: rows ride inside
+  * the partition (already materialized, serializable), the reader just
+  * walks them. */
+object GraftRowsReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[GraftInputPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Change-feed derivation over the store's version history: the
+  * row-level delta OF each commit (diff of its snapshot against the
+  * previous one, keyed by the merge-on-read row id), as table rows
+  * extended with `_change_type` (insert / delete / update_preimage /
+  * update_postimage) and `_commit_version` — the Delta-CDF row shape.
+  * Equality is exact: untouched rows share the same UnsafeRow object
+  * across commits (the store's mutate reuses references) and rewritten
+  * rows compare by bytes under the shared projection layout. */
+object GraftChangeFeed {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private[sources] def cdfSchema(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+
+  /** change rows of commit indexes [fromCommit, toCommit). */
+  private[sources] def changesFor(table: String, schema: StructType,
+      idOrd: Int, fromCommit: Int, toCommit: Int): Array[InternalRow] = {
+    val idType = schema(idOrd).dataType
+    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    def emit(r: InternalRow, ct: String, v: Int): Unit = {
+      val vals = new Array[Any](schema.length + 2)
+      var i = 0
+      while (i < schema.length) {
+        vals(i) = r.get(i, schema(i).dataType); i += 1
+      }
+      vals(schema.length) = UTF8String.fromString(ct)
+      vals(schema.length + 1) = v.toLong
+      out += new GenericInternalRow(vals)
+    }
+    var v = fromCommit
+    while (v < toCommit) {
+      val prev =
+        if (v == 0) Array.empty[InternalRow]
+        else GraftTableStore.getVersion(table, v - 1)
+      val next = GraftTableStore.getVersion(table, v)
+      val prevKeys = prev.map(_.get(idOrd, idType)).toSet
+      val nextMap = next.map(r => r.get(idOrd, idType) -> r).toMap
+      prev.foreach { r =>
+        nextMap.get(r.get(idOrd, idType)) match {
+          case None => emit(r, "delete", v)
+          case Some(nr) =>
+            if (!((nr eq r) || nr == r)) {
+              emit(r, "update_preimage", v)
+              emit(nr, "update_postimage", v)
+            }
+        }
+      }
+      next.foreach { r =>
+        if (!prevKeys.contains(r.get(idOrd, idType))) emit(r, "insert", v)
+      }
+      v += 1
+    }
+    out.toArray
+  }
+}
+
+/** The `graft.<table>.changes` relation: read-only view of a
+  * merge-on-read table's change feed (the row id keys the diff, so
+  * copy-on-write tables refuse). `option("startingVersion", n)` bounds
+  * the feed; default 0 = the full retained history. */
+class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
+  override def name(): String = s"${base.name()}.changes"
+  override def schema(): StructType =
+    GraftChangeFeed.cdfSchema(base.schema())
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    require(base.morRowId.isDefined,
+      s"${name()}: the change feed requires a merge-on-read table " +
+        "with a row id (copy-on-write commits carry no per-row " +
+        "lineage to diff by)")
+    val from = options.getInt("startingVersion", 0)
+    () => new GraftCdfScan(base.name(), base.schema(),
+      base.schema().fieldIndex(base.morRowId.get), from)
+  }
+}
+
+/** Batch + streaming scan of the change feed: batch reads the whole
+  * [startingVersion, latest) change history at once; the streaming
+  * form delivers each commit's changes as micro-batches — unlike the
+  * content stream ([[GraftMicroBatchStream]]), REWRITE commits are
+  * first-class here (a DELETE arrives as delete rows instead of
+  * breaking the append-only contract), which is exactly why lake
+  * formats point mutating-table consumers at the change feed. */
+class GraftCdfScan(tableName: String, tableSchema: StructType,
+    idOrd: Int, startingVersion: Int) extends Scan with Batch {
+  override def readSchema(): StructType =
+    GraftChangeFeed.cdfSchema(tableSchema)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCdfScan[$tableName@v$startingVersion+]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftInputPartition(GraftChangeFeed.changesFor(tableName,
+      tableSchema, idOrd, startingVersion,
+      GraftTableStore.commitCount(tableName))))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRowsReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCdfMicroBatchStream(tableName, tableSchema, idOrd,
+      startingVersion)
+}
+
+class GraftCdfMicroBatchStream(tableName: String,
+    tableSchema: StructType, idOrd: Int, startingVersion: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
+  override def latestOffset(): Offset =
+    GraftStreamOffset(GraftTableStore.commitCount(tableName))
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].commits
+    val e = end.asInstanceOf[GraftStreamOffset].commits
+    if (e <= s) Array.empty
+    else Array(GraftInputPartition(GraftChangeFeed.changesFor(tableName,
+      tableSchema, idOrd, s, e)))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRowsReaderFactory
+}
 
 /** Stream offset = number of commits consumed (absolute, monotone —
   * exactly a lake format's "snapshot id as offset"). */
@@ -378,15 +535,7 @@ class GraftMicroBatchStream(tableName: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    (p: InputPartition) => {
-      val rows = p.asInstanceOf[GraftInputPartition].rows
-      new PartitionReader[InternalRow] {
-        private var i = -1
-        override def next(): Boolean = { i += 1; i < rows.length }
-        override def get(): InternalRow = rows(i)
-        override def close(): Unit = ()
-      }
-    }
+    GraftRowsReaderFactory
 }
 
 /** `replace = false`: append (INSERT INTO). `replace = true`: the

@@ -970,6 +970,68 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.feed_mid")
   }
 
+  test("streaming the change feed delivers REWRITE commits the content " +
+      "stream refuses, and resumes from a checkpoint") {
+    // graft.<t>.changes as a STREAM: each commit's change rows arrive
+    // as one micro-batch — deletes and updates included, which is the
+    // principled consumer for a mutating table (the content stream
+    // rejects those commits by design)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.cdf_src")
+    spark.sql("CREATE TABLE graft.cdf_src (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.cdf_src VALUES (1, 1.0), (2, 2.0)") // v0
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdf_ckpt").toString
+    def start(buf: scala.collection.mutable
+        .ArrayBuffer[(Long, Double, String, Long)]) =
+      spark.readStream.table("graft.cdf_src.changes")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            buf.synchronized {
+              buf ++= b.collect().map(r => (r.getLong(0), r.getDouble(1),
+                r.getString(2), r.getLong(3)))
+            }
+            ()
+        }
+        .start()
+    val buf1 = scala.collection.mutable
+      .ArrayBuffer[(Long, Double, String, Long)]()
+    val q1 = start(buf1)
+    try {
+      q1.processAllAvailable()
+      assert(buf1.sorted.toSeq == Seq((1L, 1.0, "insert", 0L),
+        (2L, 2.0, "insert", 0L)), s"seed changes wrong: $buf1")
+      // a DELETE commit — the content stream throws on this; the feed
+      // delivers it as a delete row
+      spark.sql("DELETE FROM graft.cdf_src WHERE k = 1") // v1
+      q1.processAllAvailable()
+      assert(buf1.sorted.toSeq.contains((1L, 1.0, "delete", 1L)),
+        s"delete change missing: $buf1")
+      // an UPDATE commit arrives as pre+post images
+      spark.sql("UPDATE graft.cdf_src SET v = 20.0 WHERE k = 2") // v2
+      q1.processAllAvailable()
+      assert(buf1.contains((2L, 2.0, "update_preimage", 2L)) &&
+        buf1.contains((2L, 20.0, "update_postimage", 2L)),
+        s"update images missing: $buf1")
+    } finally q1.stop()
+    // restart mid-history: only the missed commit's changes arrive
+    spark.sql("INSERT INTO graft.cdf_src VALUES (3, 3.0)") // v3
+    val buf2 = scala.collection.mutable
+      .ArrayBuffer[(Long, Double, String, Long)]()
+    val q2 = start(buf2)
+    try {
+      q2.processAllAvailable()
+      assert(buf2.sorted.toSeq == Seq((3L, 3.0, "insert", 3L)),
+        s"restart did not resume mid-history: $buf2")
+    } finally q2.stop()
+    spark.sql("DROP TABLE graft.cdf_src")
+  }
+
   test("readStream.table feeds a watermarked windowed aggregation") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)
