@@ -93,6 +93,20 @@ object GraftTableStore {
   def put(name: String, rs: Array[InternalRow]): Unit =
     mutate(name)(_ => rs)
 
+  /** (table, queryId) -> highest committed streaming epoch. A
+    * restarted streaming query RE-COMMITS its last epoch from the WAL;
+    * an idempotent sink must detect the replay or double-append —
+    * markEpoch returns false for an epoch at or below the last
+    * committed one (per query), and the caller skips the commit.
+    * O(active queries) state, not O(epochs). */
+  private val lastEpochs = new TrieMap[(String, String), Long]()
+  private[sources] def markEpoch(name: String, queryId: String,
+      epochId: Long): Boolean = lock.synchronized {
+    val k = (name, queryId)
+    if (lastEpochs.get(k).exists(_ >= epochId)) false
+    else { lastEpochs.put(k, epochId); true }
+  }
+
   /** Atomic read-modify-write commit: `f` maps the current committed
     * rows to the next snapshot; the swap of (current, history) is one
     * synchronized step, so no concurrent commit can interleave between
@@ -254,7 +268,9 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE) ++
-      (if (pinnedVersion.isEmpty) Set(TableCapability.MICRO_BATCH_READ)
+      (if (pinnedVersion.isEmpty)
+        Set(TableCapability.MICRO_BATCH_READ,
+          TableCapability.STREAMING_WRITE)
        else Set.empty)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -269,7 +285,8 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     require(pinnedVersion.isEmpty,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only — " +
         "write to the current table instead")
-    new GraftWriteBuilder(tableName, info.schema(), replace = false)
+    new GraftWriteBuilder(tableName, info.schema(), replace = false,
+      queryId = info.queryId())
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
@@ -539,9 +556,15 @@ class GraftMicroBatchStream(tableName: String)
 }
 
 /** `replace = false`: append (INSERT INTO). `replace = true`: the
-  * ReplaceData commit — surviving + new rows swap the whole store. */
+  * ReplaceData commit — surviving + new rows swap the whole store.
+  * The streaming form (`writeStream.toTable`) appends one commit per
+  * EPOCH, idempotently: a restarted query re-commits its last epoch
+  * from the WAL, and [[GraftTableStore.markEpoch]] detects the replay
+  * so the sink stays exactly-once (Complete mode truncates per epoch
+  * through the same SupportsTruncate flag). */
 class GraftWriteBuilder(tableName: String, writeSchema: StructType,
-    replace: Boolean) extends WriteBuilder with SupportsTruncate {
+    replace: Boolean, queryId: String = "")
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
@@ -561,7 +584,41 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming
+              .StreamingDataWriterFactory =
+          GraftStreamingWriterFactory(writeSchema)
+        override def commit(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = {
+          if (!GraftTableStore.markEpoch(tableName, queryId, epochId))
+            return // WAL replay of an already-committed epoch
+          val incoming = messages
+            .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
+          GraftTableStore.mutate(tableName) { base =>
+            (if (doTruncate) Array.empty[InternalRow] else base) ++
+              incoming
+          }
+        }
+        override def abort(epochId: Long,
+            messages: Array[WriterCommitMessage]): Unit = ()
+      }
   }
+}
+
+/** Streaming writer factory: per-epoch tasks reuse the batch writer's
+  * materialization discipline (append shape — replace never appears on
+  * the streaming path). */
+case class GraftStreamingWriterFactory(schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    GraftWriterFactory(schema, replace = false)
+      .createWriter(partitionId, taskId)
 }
 
 case class GraftRowsMessage(rows: Array[InternalRow])
