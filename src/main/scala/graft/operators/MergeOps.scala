@@ -305,6 +305,36 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // METADATA-ONLY schema evolution through native DDL: ADD COLUMN
+    // appends a nullable field without touching stored rows (old rows
+    // read the new column as NULL — evolution on read, exactly
+    // parquet's missing-column semantics, so time travel across the
+    // evolution stays correct: CatalogSpec pins v0 reads), and RENAME
+    // COLUMN rewrites only the schema (storage is positional). The id
+    // seeds narrow rows (v0), ALTERs the schema, inserts WIDE rows
+    // (v1), renames, and reads the union back — old rows NULL-padded,
+    // new rows carrying balances, under the renamed column.
+    "sql_alter_evolve" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_rowlevel_base")
+      s.sql("DROP TABLE IF EXISTS graft.evolve_t")
+      s.sql("CREATE TABLE graft.evolve_t (c_custkey BIGINT, " +
+        "c_name STRING)")
+      s.sql("INSERT INTO graft.evolve_t " +
+        "SELECT c_custkey, c_name FROM graft_rowlevel_base") // v0
+      s.sql("ALTER TABLE graft.evolve_t ADD COLUMN c_acctbal DOUBLE")
+      s.sql("INSERT INTO graft.evolve_t " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v1
+      s.sql("ALTER TABLE graft.evolve_t RENAME COLUMN c_name TO c_label")
+      s.table("graft.evolve_t")
+        .select("c_custkey", "c_label", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     // the SCAN-LEVEL change feed (the third CDC form, completing the
     // family): cdc_diff re-derives changes relationally from two
     // states; cdc_table_changes diffs two VERSION AS OF snapshots via
@@ -463,6 +493,14 @@ object MergeOps extends QueryModule {
     // the native feed must equal the relational diff on the same delta
     "cdc_table_changes" -> cdcSql,
     "cdc_diff" -> cdcSql,
+    "sql_alter_evolve" ->
+      """SELECT c_custkey, c_name AS c_label,
+        |  CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
     // the scan-level feed adds commit attribution on top of the same
     // change rows: each change class maps to exactly the statement
     // (commit) that produced it

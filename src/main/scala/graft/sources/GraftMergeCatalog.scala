@@ -240,9 +240,53 @@ class GraftMergeCatalog extends TableCatalog {
     t
   }
 
+  // METADATA-ONLY schema evolution (the lake-format shape): ADD COLUMN
+  // appends a nullable field to the schema without touching stored
+  // rows — old snapshots keep their narrow layout and every scan pads
+  // missing trailing fields with NULL at read time (exactly how
+  // parquet serves a column absent from an old file), so time travel
+  // across the evolution stays correct. RENAME rewrites only the
+  // schema (storage is positional); the merge-on-read row id follows
+  // a rename of its column.
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER not supported")
+      changes: TableChange*): Table = {
+    val t = registry.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    val newSchema = changes.foldLeft(t.schema()) { (sch, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "nested ADD COLUMN not supported")
+          require(add.position() == null,
+            "ADD COLUMN ... FIRST/AFTER not supported — columns " +
+              "append at the end (storage is positional)")
+          require(add.isNullable,
+            "added columns must be nullable: existing rows read as NULL")
+          StructType(sch.fields :+ org.apache.spark.sql.types
+            .StructField(add.fieldNames()(0), add.dataType(),
+              nullable = true))
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames().length == 1,
+            "nested RENAME COLUMN not supported")
+          require(sch.fieldNames.contains(rn.fieldNames()(0)),
+            s"no such column: ${rn.fieldNames()(0)}")
+          StructType(sch.fields.map(f =>
+            if (f.name == rn.fieldNames()(0)) f.copy(name = rn.newName())
+            else f))
+        case other => throw new UnsupportedOperationException(
+          s"ALTER change not supported: $other")
+      }
+    }
+    val newRowId = t.morRowId.map { id =>
+      changes.collectFirst {
+        case rn: TableChange.RenameColumn if rn.fieldNames()(0) == id =>
+          rn.newName()
+      }.getOrElse(id)
+    }
+    val nt = new GraftMergeTable(t.name(), newSchema, None, newRowId)
+    registry.put(key(ident), nt)
+    nt
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     registry.remove(key(ident)) match {
@@ -328,15 +372,21 @@ class GraftScan(tableName: String, tableSchema: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableName)
+    new GraftMicroBatchStream(tableName, tableSchema)
   override def description(): String =
     s"GraftScan[$tableName${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    // committed rows ride INSIDE the partition (UnsafeRow serializes),
-    // so the reader works wherever the task lands
-    Array(GraftInputPartition(pinnedVersion
+  override def planInputPartitions(): Array[InputPartition] = {
+    val raw = pinnedVersion
       .map(GraftTableStore.getVersion(tableName, _))
-      .getOrElse(GraftTableStore.get(tableName))))
+      .getOrElse(GraftTableStore.get(tableName))
+    // committed rows ride INSIDE the partition (UnsafeRow serializes),
+    // so the reader works wherever the task lands; rows written before
+    // an ADD COLUMN are narrower than the current schema and get their
+    // missing trailing fields padded with NULL here (schema evolution
+    // on read — JoinedRow with an all-null tail)
+    Array(GraftInputPartition(
+      GraftChangeFeed.padTo(raw, tableSchema.length)))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftRowsReaderFactory
 }
@@ -378,6 +428,19 @@ object GraftChangeFeed {
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
 
+  /** Schema-evolution-on-read padding: rows narrower than `arity`
+    * (written before an ADD COLUMN) read their missing trailing fields
+    * as NULL via a JoinedRow with an all-null tail — full-width rows
+    * pass through untouched (same objects, so the streaming prefix
+    * identity check is unaffected for unevolved tables). */
+  private[sources] def padTo(rows: Array[InternalRow],
+      arity: Int): Array[InternalRow] =
+    rows.map { r =>
+      if (r.numFields >= arity) r
+      else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        r, new GenericInternalRow(arity - r.numFields))
+    }
+
   /** change rows of commit indexes [fromCommit, toCommit). */
   private[sources] def changesFor(table: String, schema: StructType,
       idOrd: Int, fromCommit: Int, toCommit: Int): Array[InternalRow] = {
@@ -387,7 +450,11 @@ object GraftChangeFeed {
       val vals = new Array[Any](schema.length + 2)
       var i = 0
       while (i < schema.length) {
-        vals(i) = r.get(i, schema(i).dataType); i += 1
+        // rows written before an ADD COLUMN are narrower — their
+        // missing trailing fields read as NULL (evolution on read)
+        vals(i) =
+          if (i < r.numFields) r.get(i, schema(i).dataType) else null
+        i += 1
       }
       vals(schema.length) = UTF8String.fromString(ct)
       vals(schema.length + 1) = v.toLong
@@ -511,7 +578,8 @@ case class GraftStreamOffset(commits: Int)
   * absolute commit counts, so a checkpointed restart resumes mid-
   * version-history as long as the range is inside the retention
   * window (StreamingSpec pins both). */
-class GraftMicroBatchStream(tableName: String)
+class GraftMicroBatchStream(tableName: String,
+    tableSchema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -548,7 +616,8 @@ class GraftMicroBatchStream(tableName: String)
         s"streaming read of $tableName: commits ${s + 1}..$e are not " +
           "append-only (a MERGE/DELETE/UPDATE rewrote earlier rows) — " +
           "stream the change feed instead")
-    Array(GraftInputPartition(cur.drop(base.length)))
+    Array(GraftInputPartition(GraftChangeFeed.padTo(
+      cur.drop(base.length), tableSchema.length)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

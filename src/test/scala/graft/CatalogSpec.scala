@@ -181,6 +181,44 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows("cdc_table_changes") == rows("cdc_diff"))
   }
 
+  test("schema evolution: old snapshots read the added column as NULL; " +
+      "a renamed row id still keys delta ops") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.evo_unit")
+    spark.sql("CREATE TABLE graft.evo_unit (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.evo_unit VALUES (1, 1.0), (2, 2.0)") // v0
+    spark.sql("ALTER TABLE graft.evo_unit ADD COLUMN tag STRING")
+    spark.sql("INSERT INTO graft.evo_unit VALUES (3, 3.0, 'wide')") // v1
+    // current read: narrow rows NULL-padded, wide row intact
+    val cur = spark.table("graft.evo_unit").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)))).toSet
+    assert(cur == Set((1L, 1.0, None), (2L, 2.0, None),
+      (3L, 3.0, Some("wide"))), s"evolved read wrong: $cur")
+    // time travel to the PRE-evolution snapshot through the evolved
+    // schema: the old rows pad, no rewrite of history happened
+    val v0 = spark.sql("SELECT * FROM graft.evo_unit VERSION AS OF 0")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(v0 == Set((1L, None), (2L, None)),
+      s"pre-evolution snapshot wrong: $v0")
+    // renaming the ROW ID column: subsequent row-level ops key by the
+    // new name (the MoR rowId follows the rename)
+    spark.sql("ALTER TABLE graft.evo_unit RENAME COLUMN k TO id")
+    spark.sql("DELETE FROM graft.evo_unit WHERE id = 2")
+    val afterDel = spark.table("graft.evo_unit").collect()
+      .map(_.getLong(0)).toSet
+    assert(afterDel == Set(1L, 3L), s"delete after rename wrong: $afterDel")
+    // and the change feed serves evolution-spanning history with the
+    // narrow pre-images NULL-padded
+    val feed = spark.table("graft.evo_unit.changes").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSeq
+    assert(feed.contains((2L, "delete", 2L)), s"feed wrong: $feed")
+    assert(feed.count(_._2 == "insert") == 3)
+    spark.sql("DROP TABLE graft.evo_unit")
+  }
+
   test("plain-append writer REJECTS a one-wider row; replace path skips " +
       "the operation column") {
     val schema = StructType(Seq(
