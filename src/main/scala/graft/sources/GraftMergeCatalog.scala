@@ -318,8 +318,8 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
        else Set.empty)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    () => new GraftScan(tableName, tableSchema, pinnedVersion)
+      : ScanBuilder = new GraftScanBuilder(tableName, tableSchema,
+    pinnedVersion)
 
   // plain writes (INSERT INTO seeds the table; TRUNCATE for resets).
   // A version-pinned reference is READ-ONLY: writing "to the past"
@@ -365,16 +365,42 @@ class GraftRowLevelOperation(table: GraftMergeTable,
     s"GraftCopyOnWrite[${table.name()}]"
 }
 
+/** Scan builder with COLUMN PRUNING pushdown: the required-columns
+  * projection Catalyst pushes reaches the store scan, so a 2-column
+  * readout of a wide governed table moves 2 columns — on the in-JVM
+  * vehicle that's an executor-side narrow projection; on a columnar
+  * format the same pushdown skips the unread column chunks entirely.
+  * The scan description carries the pruned column list (PlanSpec
+  * asserts it). Streaming reads keep the full schema (the stream's
+  * consumers re-project per micro-batch). */
+class GraftScanBuilder(tableName: String, tableSchema: StructType,
+    pinnedVersion: Option[Int])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the TABLE's column order (Catalyst may reorder; the
+    // positional row projection must not)
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan =
+    new GraftScan(tableName, tableSchema, pinnedVersion, required)
+}
+
 class GraftScan(tableName: String, tableSchema: StructType,
-    pinnedVersion: Option[Int] = None)
+    pinnedVersion: Option[Int] = None,
+    requiredSchema: StructType = null)
     extends Scan with Batch {
-  override def readSchema(): StructType = tableSchema
+  private val outSchema =
+    Option(requiredSchema).getOrElse(tableSchema)
+  override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableName, tableSchema)
-  override def description(): String =
-    s"GraftScan[$tableName${pinnedVersion.map(v => s"@v$v").getOrElse("")}]"
+    new GraftMicroBatchStream(tableName, tableSchema, outSchema)
+  override def description(): String = {
+    val at = pinnedVersion.map(v => s"@v$v").getOrElse("")
+    s"GraftScan[$tableName$at, cols=[${outSchema.fieldNames.mkString(",")}]]"
+  }
   override def planInputPartitions(): Array[InputPartition] = {
     val raw = pinnedVersion
       .map(GraftTableStore.getVersion(tableName, _))
@@ -384,11 +410,41 @@ class GraftScan(tableName: String, tableSchema: StructType,
     // an ADD COLUMN are narrower than the current schema and get their
     // missing trailing fields padded with NULL here (schema evolution
     // on read — JoinedRow with an all-null tail)
-    Array(GraftInputPartition(
-      GraftChangeFeed.padTo(raw, tableSchema.length)))
+    Array(GraftProjectedPartition(
+      GraftChangeFeed.padTo(raw, tableSchema.length),
+      outSchema.fieldNames.map(tableSchema.fieldIndex),
+      outSchema.fields.map(_.dataType)))
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftRowsReaderFactory
+    GraftProjectedReaderFactory
+}
+
+/** Partition carrying the pruned-column ordinals alongside the rows;
+  * the reader applies the narrow projection executor-side. */
+case class GraftProjectedPartition(rows: Array[InternalRow],
+    ordinals: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType])
+    extends InputPartition
+
+object GraftProjectedReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftProjectedPartition]
+    new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(
+        part.ordinals.zip(part.types).map { case (ord, dt) =>
+          BoundReference(ord, dt, nullable = true)
+            : org.apache.spark.sql.catalyst.expressions.Expression
+        }.toSeq)
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < part.rows.length }
+      // the projection's output buffer is REUSED across rows — the
+      // DSv2 contract allows it (consumers copy when they buffer)
+      override def get(): InternalRow = proj(part.rows(i))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class GraftInputPartition(rows: Array[InternalRow])
@@ -579,7 +635,7 @@ case class GraftStreamOffset(commits: Int)
   * version-history as long as the range is inside the retention
   * window (StreamingSpec pins both). */
 class GraftMicroBatchStream(tableName: String,
-    tableSchema: StructType)
+    tableSchema: StructType, outSchema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -616,12 +672,17 @@ class GraftMicroBatchStream(tableName: String,
         s"streaming read of $tableName: commits ${s + 1}..$e are not " +
           "append-only (a MERGE/DELETE/UPDATE rewrote earlier rows) — " +
           "stream the change feed instead")
-    Array(GraftInputPartition(GraftChangeFeed.padTo(
-      cur.drop(base.length), tableSchema.length)))
+    // the stream honors the same pruned projection as the batch scan
+    // (Catalyst prunes streaming relations too — delivering full rows
+    // under a pruned readSchema would misread columns)
+    Array(GraftProjectedPartition(GraftChangeFeed.padTo(
+      cur.drop(base.length), tableSchema.length),
+      outSchema.fieldNames.map(tableSchema.fieldIndex),
+      outSchema.fields.map(_.dataType)))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftRowsReaderFactory
+    GraftProjectedReaderFactory
 }
 
 /** `replace = false`: append (INSERT INTO). `replace = true`: the

@@ -219,6 +219,32 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.evo_unit")
   }
 
+  test("column pruning reaches the governed scan") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.prune_t")
+    spark.sql("CREATE TABLE graft.prune_t (k BIGINT, a STRING, " +
+      "b DOUBLE, c STRING)")
+    spark.sql("INSERT INTO graft.prune_t VALUES (1, 'x', 1.5, 'p'), " +
+      "(2, 'y', 2.5, 'q')")
+    val df = spark.table("graft.prune_t").select("k", "b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[k,b]"),
+      s"projection did not reach the scan:\n$plan")
+    assert(!plan.contains("cols=[k,a,b,c]"),
+      s"scan still reads all columns:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.5), (2L, 2.5)), s"pruned read wrong: $got")
+    // pruning composes with schema evolution: prune to a column pair
+    // that straddles the evolution boundary
+    spark.sql("ALTER TABLE graft.prune_t ADD COLUMN d STRING")
+    spark.sql("INSERT INTO graft.prune_t VALUES (3, 'z', 3.5, 'r', 'w')")
+    val evolved = spark.table("graft.prune_t").select("k", "d").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(evolved == Set((1L, None), (2L, None), (3L, Some("w"))),
+      s"pruned evolved read wrong: $evolved")
+    spark.sql("DROP TABLE graft.prune_t")
+  }
+
   test("plain-append writer REJECTS a one-wider row; replace path skips " +
       "the operation column") {
     val schema = StructType(Seq(
