@@ -57,9 +57,13 @@ object GraftTableStore {
   private[graft] val RetainedVersions = 64
 
   /** Retained history of one table: `firstRetained` = absolute version
-    * number of `snaps.head`; `current` == `snaps.last` when non-empty. */
+    * number of `snaps.head`; `current` == `snaps.last` when non-empty;
+    * `times(i)` = commit wall-clock of `snaps(i)` in epoch millis,
+    * strictly increasing (same-milli commits are nudged +1 ms so a
+    * timestamp resolves to exactly one version). */
   private[sources] final case class History(
-      firstRetained: Int, snaps: Vector[Array[InternalRow]]) {
+      firstRetained: Int, snaps: Vector[Array[InternalRow]],
+      times: Vector[Long] = Vector.empty) {
     def commitCount: Int = firstRetained + snaps.size
   }
 
@@ -117,14 +121,38 @@ object GraftTableStore {
     lock.synchronized {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val next = f(h.snaps.lastOption.getOrElse(Array.empty))
+      val now = math.max(System.currentTimeMillis(),
+        h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
       val appended = h.snaps :+ next
+      val appendedTimes = h.times :+ now
       val trimmed =
         if (appended.size > RetainedVersions)
           History(h.firstRetained + (appended.size - RetainedVersions),
-            appended.takeRight(RetainedVersions))
-        else History(h.firstRetained, appended)
+            appended.takeRight(RetainedVersions),
+            appendedTimes.takeRight(RetainedVersions))
+        else History(h.firstRetained, appended, appendedTimes)
       versions.put(name, trimmed)
     }
+
+  /** `TIMESTAMP AS OF` resolution: the latest RETAINED version whose
+    * commit time is at or before `tsMicros` (epoch micros, how Spark
+    * hands the analyzed timestamp over). Errors on a timestamp before
+    * the earliest retained commit — same contract as an expired
+    * integer version. */
+  private[sources] def resolveTimestamp(name: String,
+      tsMicros: Long): Int = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    if (h.snaps.isEmpty)
+      throw new IllegalArgumentException(
+        s"$name has no commits to time-travel to")
+    val idx = h.times.lastIndexWhere(_ * 1000L <= tsMicros)
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMicros is before the earliest retained commit " +
+          s"of $name (${h.times.head} ms; retention keeps the last " +
+          s"$RetainedVersions versions)")
+    h.firstRetained + idx
+  }
 }
 
 object GraftMergeCatalog {
@@ -174,11 +202,11 @@ class GraftMergeCatalog extends TableCatalog {
 
   // `SELECT ... FROM t VERSION AS OF n` — the analyzer resolves the
   // versioned relation through this overload; a pinned table reads the
-  // n-th committed snapshot. Only integer snapshot numbers exist here
-  // (no timestamp travel); a non-integer version fails with a
-  // descriptive error instead of a raw NumberFormatException, and the
-  // pinned table is READ-ONLY (a write through a time-travel reference
-  // must not silently mutate the current store).
+  // n-th committed snapshot. A non-integer version fails with a
+  // descriptive error instead of a raw NumberFormatException (use
+  // TIMESTAMP AS OF for time-based travel), and the pinned table is
+  // READ-ONLY (a write through a time-travel reference must not
+  // silently mutate the current store).
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
@@ -188,10 +216,21 @@ class GraftMergeCatalog extends TableCatalog {
         case _: NumberFormatException =>
           throw new UnsupportedOperationException(
             s"unsupported version '$version' for table ${t.name()}: " +
-              "this catalog supports integer snapshot versions only " +
-              "(TIMESTAMP AS OF / named snapshots are not available)")
+              "VERSION AS OF takes integer snapshot numbers " +
+              "(use TIMESTAMP AS OF for time-based travel)")
       }
     new GraftMergeTable(t.name(), t.schema(), Some(v))
+  }
+
+  // `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands the analyzed
+  // timestamp over as epoch MICROS; it resolves to the latest retained
+  // commit at or before that instant (commit wall-clocks are recorded
+  // strictly increasing at commit time).
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = registry.getOrElse(key(ident),
+      throw new NoSuchTableException(ident))
+    new GraftMergeTable(t.name(), t.schema(),
+      Some(GraftTableStore.resolveTimestamp(t.name(), timestamp)))
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =

@@ -95,7 +95,7 @@ class CatalogSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("integer snapshot versions")),
+    assert(messages(ex).exists(_.contains("integer snapshot numbers")),
       s"expected a descriptive version error, got: $ex")
     spark.sql("DROP TABLE graft.vparse_t")
   }
@@ -217,6 +217,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(feed.contains((2L, "delete", 2L)), s"feed wrong: $feed")
     assert(feed.count(_._2 == "insert") == 3)
     spark.sql("DROP TABLE graft.evo_unit")
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest commit at or before the " +
+      "instant") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.ts_t")
+    spark.sql("CREATE TABLE graft.ts_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.ts_t VALUES (1)") // v0
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.ts_t VALUES (2)") // v1
+    def fmt(ms: Long) = new java.sql.Timestamp(ms).toInstant
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val atBetween = spark.sql("SELECT * FROM graft.ts_t " +
+      s"TIMESTAMP AS OF '${fmt(between)}'").collect().map(_.getLong(0))
+    assert(atBetween.toSeq == Seq(1L),
+      s"between-commits travel wrong: ${atBetween.toSeq}")
+    val atNow = spark.sql("SELECT * FROM graft.ts_t " +
+      s"TIMESTAMP AS OF '${fmt(System.currentTimeMillis())}'")
+      .collect().map(_.getLong(0)).sorted
+    assert(atNow.toSeq == Seq(1L, 2L), s"now travel wrong: ${atNow.toSeq}")
+    // before the first commit: loud error, same contract as an
+    // expired version
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ts_t " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("before the earliest")),
+      s"pre-history timestamp not rejected: $ex")
+    spark.sql("DROP TABLE graft.ts_t")
   }
 
   test("column pruning reaches the governed scan") {
