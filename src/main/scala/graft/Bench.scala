@@ -107,7 +107,11 @@ object Bench {
     // round-9: seed + 3-clause MERGE through WriteDelta; 2.0 s cold
     "merge_into_mor" -> 1.5,
     // round-9: seed + 3 native row-level commits + the versioned diff
-    "cdc_table_changes" -> 1.5)
+    "cdc_table_changes" -> 1.5,
+    // round-9: seed + 3 commits + the change-feed scan; ~1.2 s cold
+    "cdc_feed_scan" -> 1.5,
+    // round-9: seed + ALTER + wide insert + read-back; ~1.1 s cold
+    "sql_alter_evolve" -> 1.5)
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin
