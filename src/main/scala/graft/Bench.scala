@@ -111,7 +111,10 @@ object Bench {
     // round-9: seed + 3 commits + the change-feed scan; ~1.2 s cold
     "cdc_feed_scan" -> 1.5,
     // round-9: seed + ALTER + wide insert + read-back; ~1.1 s cold
-    "sql_alter_evolve" -> 1.5)
+    "sql_alter_evolve" -> 1.5,
+    // round-9: seed + 3 commits + feed replay / signed-delta agg
+    "cdc_apply_feed" -> 1.5,
+    "cdc_incremental_agg" -> 1.5)
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin

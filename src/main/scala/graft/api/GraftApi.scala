@@ -138,6 +138,31 @@ object GraftApi {
         .select(img("__akey", "__b_", "update_postimage"): _*))
   }
 
+  /** Consumer-side CHANGE FEED REPLAY — the other half of CDC: apply a
+    * feed (rows with `change_type` ∈ insert / delete / update_preimage
+    * / update_postimage and a monotone `versionCol`) to a base
+    * snapshot and return the resulting state. No per-commit loop: for
+    * each key the LAST effective change wins (window by `versionCol`),
+    * so replaying an N-commit feed is ONE shuffle over the feed plus
+    * one anti-join against the base — at 100 TB the feed is tiny next
+    * to the base, and the anti-join is the only base-scale exchange.
+    * Correct because a key has at most one effective (non-preimage)
+    * change per commit — the shape every CDF producer (including
+    * `graft.<t>.changes`) emits. Columns: `base` carries the payload
+    * schema; `changes` the same columns + change_type + versionCol. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCol: String,
+      versionCol: String, changeTypeCol: String = "change_type")
+      : DataFrame = {
+    val payload = base.columns.toSeq
+    val eff = changes.where(col(changeTypeCol) =!= "update_preimage")
+    val w = Window.partitionBy(keyCol).orderBy(col(versionCol).desc)
+    val last = eff.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    base.join(last.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(last.where(col(changeTypeCol) =!= "delete")
+        .select(payload.map(col): _*))
+  }
+
   // ---- sampling & splits -------------------------------------------
 
   /** Deterministic hash sample at rate n/256 — a pure function of the

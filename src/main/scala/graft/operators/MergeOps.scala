@@ -305,6 +305,70 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // CONSUMER-side CDC: replay the change feed onto the pre-change
+    // snapshot and land on the post-change state — the other half of
+    // the feed story (producing changes is useless if a downstream
+    // can't apply them), and the correctness property every CDC
+    // consumer must satisfy: base ⊕ feed = final state. Base = the v0
+    // snapshot via VERSION AS OF; feed = the graft.<t>.changes
+    // relation from startingVersion=1; replay = GraftApi.applyChanges
+    // (last-effective-change-wins window — ONE feed shuffle + one
+    // base anti-join, no per-commit loop). Oracle = the final state
+    // derived independently in SQL.
+    "cdc_apply_feed" -> ((s, d) => {
+      seedSnapshotTable(s, d, "cdc_replay", mor = true) // v0
+      s.sql("DELETE FROM graft.cdc_replay WHERE c_custkey % 11 = 0") // v1
+      s.sql("UPDATE graft.cdc_replay SET c_acctbal = c_acctbal " +
+        "+ 100.0 WHERE c_custkey % 7 = 0") // v2
+      s.sql("INSERT INTO graft.cdc_replay " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v3
+      val base = s.sql("SELECT * FROM graft.cdc_replay VERSION AS OF 0")
+      val feed = s.read.option("startingVersion", "1")
+        .table("graft.cdc_replay.changes")
+      graft.api.GraftApi.applyChanges(base, feed, "c_custkey",
+        "_commit_version", "_change_type")
+        .orderBy("c_custkey")
+    }),
+
+    // INCREMENTAL AGGREGATE MAINTENANCE over the change feed — the
+    // materialized-view pattern: a grouped aggregate table is kept
+    // current by applying signed feed deltas (insert → +value/+1 row,
+    // delete → −value/−1, update → post − pre) instead of rescanning
+    // the base — at 100 TB the maintenance cost is O(changes), and
+    // the invariant this id PROVES via its oracle is the MV
+    // correctness property: incrementally-maintained == recomputed
+    // from the final state. Exact decimal cents throughout (signed
+    // sums are order-insensitive only in exact arithmetic).
+    "cdc_incremental_agg" -> ((s, d) => {
+      seedSnapshotTable(s, d, "cdc_mv", mor = true) // v0
+      s.sql("DELETE FROM graft.cdc_mv WHERE c_custkey % 11 = 0") // v1
+      s.sql("UPDATE graft.cdc_mv SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 7 = 0") // v2
+      s.sql("INSERT INTO graft.cdc_mv " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v3
+      val grp = (col("c_custkey") % 10).as("grp")
+      val cents = (graft.Det.dec2(col("c_acctbal")) * 100).cast("long")
+      val agg0 = s.sql("SELECT * FROM graft.cdc_mv VERSION AS OF 0")
+        .groupBy(grp)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
+      val sign = when(col("_change_type").isin("insert",
+        "update_postimage"), 1L).otherwise(-1L)
+      val rowDelta = when(col("_change_type") === "insert", 1L)
+        .when(col("_change_type") === "delete", -1L).otherwise(0L)
+      val deltas = s.read.option("startingVersion", "1")
+        .table("graft.cdc_mv.changes")
+        .groupBy(grp)
+        .agg(sum(rowDelta).as("n_rows"),
+          sum(sign * cents).as("cents"))
+      agg0.unionByName(deltas)
+        .groupBy("grp")
+        .agg(sum("n_rows").as("n_rows"),
+          (sum("cents").cast("double") / 100.0).as("total_bal"))
+        .orderBy("grp")
+    }),
+
     // METADATA-ONLY schema evolution through native DDL: ADD COLUMN
     // appends a nullable field without touching stored rows (old rows
     // read the new column as NULL — evolution on read, exactly
@@ -493,6 +557,14 @@ object MergeOps extends QueryModule {
     // the native feed must equal the relational diff on the same delta
     "cdc_table_changes" -> cdcSql,
     "cdc_diff" -> cdcSql,
+    // base ⊕ feed must equal the final state, derived independently
+    "cdc_apply_feed" -> finalStateSql,
+    "cdc_incremental_agg" ->
+      s"""SELECT c_custkey % 10 AS grp, COUNT(*) AS n_rows,
+         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS total_bal
+         |FROM ($finalStateSql) fin
+         |GROUP BY 1 ORDER BY grp""".stripMargin,
     "sql_alter_evolve" ->
       """SELECT c_custkey, c_name AS c_label,
         |  CAST(NULL AS DOUBLE) AS c_acctbal
@@ -512,6 +584,18 @@ object MergeOps extends QueryModule {
          |FROM ($cdcSql) t
          |ORDER BY c_custkey, change_type""".stripMargin
   )
+
+  /** the post-change state the cdc delta statements land on (delete
+    * %11 → rebalance %7 on survivors → insert %13 new keys). */
+  private val finalStateSql: String =
+    """SELECT c_custkey, c_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer WHERE c_custkey % 11 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
+      |FROM customer WHERE c_custkey % 13 = 0
+      |ORDER BY c_custkey""".stripMargin
 
   private val cdcSql: String =
       """WITH v1 AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
