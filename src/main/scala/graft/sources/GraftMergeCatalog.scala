@@ -404,30 +404,107 @@ class GraftRowLevelOperation(table: GraftMergeTable,
     s"GraftCopyOnWrite[${table.name()}]"
 }
 
-/** Scan builder with COLUMN PRUNING pushdown: the required-columns
-  * projection Catalyst pushes reaches the store scan, so a 2-column
-  * readout of a wide governed table moves 2 columns — on the in-JVM
-  * vehicle that's an executor-side narrow projection; on a columnar
-  * format the same pushdown skips the unread column chunks entirely.
-  * The scan description carries the pruned column list (PlanSpec
-  * asserts it). Streaming reads keep the full schema (the stream's
-  * consumers re-project per micro-batch). */
+/** Scan builder with COLUMN PRUNING and FILTER pushdown: Catalyst's
+  * pruned projection and (simple, flat-column) predicates reach the
+  * store scan, so a filtered 2-column readout of a wide governed table
+  * moves 2 columns of the matching rows only — the analogue of a
+  * columnar format skipping unread chunks and data-skipping row
+  * groups. Pushed filters are evaluated CONSERVATIVELY: every filter
+  * is also returned as a post-scan residual (exactly parquet's
+  * contract), so Spark re-applies them above the scan and a subtle
+  * evaluator bug can shrink performance, never correctness. The scan
+  * description carries both lists (tests assert them). */
 class GraftScanBuilder(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the TABLE's column order (Catalyst may reorder; the
     // positional row projection must not)
     required = StructType(tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftFilterEval.compile(f, tableSchema).isDefined)
+    filters // ALL filters stay residual — the conservative contract
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftScan(tableName, tableSchema, pinnedVersion, required)
+    new GraftScan(tableName, tableSchema, pinnedVersion, required, pushed)
+}
+
+/** Best-effort row-predicate compiler for the v1 Filter algebra over
+  * flat columns of primitive/string type — `None` marks a filter the
+  * store cannot evaluate (it simply stays un-pushed). SQL three-valued
+  * semantics: a comparison on a NULL field is NOT satisfied. */
+object GraftFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def cmp(schema: StructType, attr: String, value: Any)
+      : Option[InternalRow => Option[Int]] = {
+    val ord = schema.fieldNames.indexOf(attr)
+    if (ord < 0 || value == null) return None
+    schema(ord).dataType match {
+      case LongType => Some(r => if (r.isNullAt(ord)) None
+        else Some(java.lang.Long.compare(r.getLong(ord),
+          value.asInstanceOf[Number].longValue())))
+      case IntegerType => Some(r => if (r.isNullAt(ord)) None
+        else Some(java.lang.Integer.compare(r.getInt(ord),
+          value.asInstanceOf[Number].intValue())))
+      case DoubleType => Some(r => if (r.isNullAt(ord)) None
+        else Some(java.lang.Double.compare(r.getDouble(ord),
+          value.asInstanceOf[Number].doubleValue())))
+      case StringType => Some(r => if (r.isNullAt(ord)) None
+        else Some(r.getUTF8String(ord).toString
+          .compareTo(value.toString)))
+      case _ => None
+    }
+  }
+
+  def compile(f: Filter, schema: StructType)
+      : Option[InternalRow => Boolean] = f match {
+    case EqualTo(a, v) => cmp(schema, a, v).map(c => r => c(r).contains(0))
+    case GreaterThan(a, v) =>
+      cmp(schema, a, v).map(c => r => c(r).exists(_ > 0))
+    case GreaterThanOrEqual(a, v) =>
+      cmp(schema, a, v).map(c => r => c(r).exists(_ >= 0))
+    case LessThan(a, v) =>
+      cmp(schema, a, v).map(c => r => c(r).exists(_ < 0))
+    case LessThanOrEqual(a, v) =>
+      cmp(schema, a, v).map(c => r => c(r).exists(_ <= 0))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+      val cs = vs.toSeq.map(v => cmp(schema, a, v))
+      if (cs.exists(_.isEmpty)) None
+      else Some(r => cs.flatten.exists(c => c(r).contains(0)))
+    case IsNull(a) =>
+      val ord = schema.fieldNames.indexOf(a)
+      if (ord < 0) None else Some(r => r.isNullAt(ord))
+    case IsNotNull(a) =>
+      val ord = schema.fieldNames.indexOf(a)
+      if (ord < 0) None else Some(r => !r.isNullAt(ord))
+    case And(l, rr) => for {
+      cl <- compile(l, schema); cr <- compile(rr, schema)
+    } yield (r: InternalRow) => cl(r) && cr(r)
+    case Or(l, rr) => for {
+      cl <- compile(l, schema); cr <- compile(rr, schema)
+    } yield (r: InternalRow) => cl(r) || cr(r)
+    case Not(inner) =>
+      // NOT over three-valued logic is not expressible on a boolean
+      // evaluator that folds NULL to false — leave it un-pushed
+      None
+    case _ => None
+  }
 }
 
 class GraftScan(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int] = None,
-    requiredSchema: StructType = null)
+    requiredSchema: StructType = null,
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty)
     extends Scan with Batch {
   private val outSchema =
     Option(requiredSchema).getOrElse(tableSchema)
@@ -438,7 +515,11 @@ class GraftScan(tableName: String, tableSchema: StructType,
     new GraftMicroBatchStream(tableName, tableSchema, outSchema)
   override def description(): String = {
     val at = pinnedVersion.map(v => s"@v$v").getOrElse("")
-    s"GraftScan[$tableName$at, cols=[${outSchema.fieldNames.mkString(",")}]]"
+    val fs =
+      if (pushedFilters.isEmpty) ""
+      else s", pushed=[${pushedFilters.mkString(",")}]"
+    s"GraftScan[$tableName$at, " +
+      s"cols=[${outSchema.fieldNames.mkString(",")}]$fs]"
   }
   override def planInputPartitions(): Array[InputPartition] = {
     val raw = pinnedVersion
@@ -448,9 +529,17 @@ class GraftScan(tableName: String, tableSchema: StructType,
     // so the reader works wherever the task lands; rows written before
     // an ADD COLUMN are narrower than the current schema and get their
     // missing trailing fields padded with NULL here (schema evolution
-    // on read — JoinedRow with an all-null tail)
-    Array(GraftProjectedPartition(
-      GraftChangeFeed.padTo(raw, tableSchema.length),
+    // on read — JoinedRow with an all-null tail). Pushed filters run
+    // against the PADDED full-schema rows before anything ships —
+    // non-matching rows never leave the store (data skipping); Spark
+    // re-applies the same filters above the scan (residual contract).
+    val padded = GraftChangeFeed.padTo(raw, tableSchema.length)
+    val preds = pushedFilters.flatMap(
+      GraftFilterEval.compile(_, tableSchema))
+    val kept =
+      if (preds.isEmpty) padded
+      else padded.filter(r => preds.forall(_(r)))
+    Array(GraftProjectedPartition(kept,
       outSchema.fieldNames.map(tableSchema.fieldIndex),
       outSchema.fields.map(_.dataType)))
   }

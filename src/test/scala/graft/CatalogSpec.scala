@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -279,6 +280,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(evolved == Set((1L, None), (2L, None), (3L, Some("w"))),
       s"pruned evolved read wrong: $evolved")
     spark.sql("DROP TABLE graft.prune_t")
+  }
+
+  test("filter pushdown reaches the governed scan and skips rows at " +
+      "the store") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.fpush_t")
+    spark.sql("CREATE TABLE graft.fpush_t (k BIGINT, s STRING, " +
+      "v DOUBLE)")
+    spark.sql("INSERT INTO graft.fpush_t VALUES (1, 'a', 1.0), " +
+      "(2, 'b', 2.0), (3, NULL, 3.0), (4, 'b', 4.0)")
+    val df = spark.table("graft.fpush_t")
+      .where(col("s") === "b" && col("v") > 2.5).select("k")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=["),
+      s"no filters reached the scan:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // NULL semantics: an equality filter must not match the NULL row,
+    // and IsNull must
+    assert(spark.table("graft.fpush_t").where(col("s").isNull)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.table("graft.fpush_t").where(col("s") =!= "a")
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(2L, 4L))
+    // IN + range + string comparisons
+    assert(spark.table("graft.fpush_t")
+      .where(col("k").isin(2L, 3L) && col("s") >= "b")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    spark.sql("DROP TABLE graft.fpush_t")
   }
 
   test("plain-append writer REJECTS a one-wider row; replace path skips " +
