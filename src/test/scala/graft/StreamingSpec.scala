@@ -1109,6 +1109,79 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pipe_dst")
   }
 
+  test("the full incremental warehouse loop: stream the change feed " +
+      "into a MERGE-maintained aggregate table") {
+    // cdc_incremental_agg's STREAMING twin, composed entirely from the
+    // catalog's own surfaces: native statements mutate the source MoR
+    // table → its graft.<t>.changes stream delivers each commit's
+    // deltas → foreachBatch MERGEs the signed per-group deltas into an
+    // aggregate table — after every trigger the aggregate equals a
+    // direct recompute of the source (the MV invariant, live)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mv_src")
+    spark.sql("DROP TABLE IF EXISTS graft.mv_agg")
+    spark.sql("CREATE TABLE graft.mv_src (k BIGINT, grp BIGINT, " +
+      "v DOUBLE) TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("CREATE TABLE graft.mv_agg (grp BIGINT, n BIGINT, " +
+      "total DOUBLE) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='grp')")
+    spark.sql("INSERT INTO graft.mv_src VALUES (1, 0, 10.0), " +
+      "(2, 1, 20.0), (3, 0, 30.0)") // v0
+    val q = spark.readStream.table("graft.mv_src.changes")
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_mv_ckpt").toString)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          val deltas = b
+            .withColumn("sgn", when(col("_change_type")
+              .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+            .withColumn("rd", when(col("_change_type") === "insert", 1L)
+              .when(col("_change_type") === "delete", -1L)
+              .otherwise(0L))
+            .groupBy("grp")
+            .agg(sum(col("rd")).as("dn"),
+              sum(col("sgn") * col("v")).as("dv"))
+          deltas.createOrReplaceTempView("graft_mv_deltas")
+          b.sparkSession.sql(
+            """MERGE INTO graft.mv_agg t USING graft_mv_deltas s
+              |ON t.grp = s.grp
+              |WHEN MATCHED THEN UPDATE SET n = t.n + s.dn,
+              |  total = t.total + s.dv
+              |WHEN NOT MATCHED THEN
+              |  INSERT (grp, n, total) VALUES (s.grp, s.dn, s.dv)
+              |""".stripMargin)
+          ()
+      }
+      .start()
+    def aggNow() = spark.table("graft.mv_agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._2 != 0L).toSet
+    def recompute() = spark.table("graft.mv_src")
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    try {
+      q.processAllAvailable()
+      assert(aggNow() == recompute(), s"${aggNow()} vs ${recompute()}")
+      spark.sql("UPDATE graft.mv_src SET v = 15.0 WHERE k = 1") // v1
+      spark.sql("DELETE FROM graft.mv_src WHERE k = 2") // v2
+      q.processAllAvailable()
+      assert(aggNow() == recompute(), s"${aggNow()} vs ${recompute()}")
+      spark.sql("INSERT INTO graft.mv_src VALUES (4, 1, 40.0), " +
+        "(5, 2, 50.0)") // v3
+      q.processAllAvailable()
+      assert(aggNow() == recompute(), s"${aggNow()} vs ${recompute()}")
+      assert(aggNow() == Set((0L, 2L, 45.0), (1L, 1L, 40.0),
+        (2L, 1L, 50.0)), s"final aggregate wrong: ${aggNow()}")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.mv_src")
+    spark.sql("DROP TABLE graft.mv_agg")
+  }
+
   test("readStream.table feeds a watermarked windowed aggregation") {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)
