@@ -1364,16 +1364,16 @@ object AnalyticsOps extends QueryModule {
         |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
-        |  (CAST(sy AS DOUBLE)
-        |   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |     * CAST(sx AS DOUBLE))
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) AS slope,
+        |  (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+        |   - (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |        - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
         |  / CAST(n AS DOUBLE) AS intercept
         |FROM a ORDER BY l_returnflag""".stripMargin,
     // power-of-two decay: value·10⁶/2^k is an exact halving chain,
@@ -1663,6 +1663,13 @@ object AnalyticsOps extends QueryModule {
         |FROM b JOIN sz sa ON b.type_a = sa.event_type
         |       JOIN sz sb ON b.type_b = sb.event_type
         |ORDER BY type_a, type_b""".stripMargin,
+    // decimal moments reach double space through a VARCHAR round-trip
+    // on the DuckDB side (round-9 cross-SF sweep): DuckDB's direct
+    // decimal→double is unscaled/10^scale — TWO roundings once the
+    // unscaled value tops 2^53 (syy ≈ 7e13 at scale 4 does), which
+    // drifted 1 ulp from Spark's correctly-rounded BigDecimal cast at
+    // sf0.001; strtod is correctly rounded, so the string path always
+    // agrees with Spark
     "profile_corr" ->
       """WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
         |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
@@ -1672,12 +1679,12 @@ object AnalyticsOps extends QueryModule {
         |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
         | FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
-        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+        |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+        |       - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)))
         |  AS corr_qty_price
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_entropy" ->
