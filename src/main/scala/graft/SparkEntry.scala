@@ -24,6 +24,7 @@ object SparkEntry {
     operators.AnalyticsOps,
     operators.StatsOps,
     operators.MergeOps,
+    operators.LakeOps,
     functions.FnOps,
     streaming.StreamOps
   )

@@ -163,6 +163,22 @@ object GraftApi {
         .select(payload.map(col): _*))
   }
 
+  /** The governed table's COMMIT LOG — the `DESCRIBE HISTORY` readout:
+    * one row per retained commit with its absolute version, the
+    * operation that produced it (append / replace / truncate / delta /
+    * stream-append / stream-complete), and the row count after the
+    * commit. Reads the catalog-resolved `<table>.history` metadata
+    * relation (the Iceberg metadata-table pattern; DESCRIBE HISTORY's
+    * answer shape) — O(retained versions ≤ 64) metadata served from
+    * the transaction log, no row data touched. The relation also
+    * carries `commit_ts`; it is projected away here so readouts stay
+    * deterministic. `table` is the catalog-qualified name, e.g.
+    * "graft.events_t". */
+  def tableHistory(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    spark.table(s"$table.history")
+      .select(col("version"), col("operation"), col("n_rows"))
+
   // ---- sampling & splits -------------------------------------------
 
   /** Deterministic hash sample at rate n/256 — a pure function of the

@@ -1,0 +1,318 @@
+package graft.operators
+
+import graft.{Det, Q, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Scan-side SCALE surface of the governed DSv2 catalog — the round-9
+  * second-wave completions turned the catalog into a full lake-format
+  * API; this module makes its SCANS behave like a lake format at
+  * 100 TB: partitioned tables whose partition values prune statically
+  * (manifest pruning) and at runtime (dynamic partition pruning),
+  * scan-reported statistics that let Catalyst auto-broadcast small
+  * governed tables, co-partitioned tables that join WITHOUT a shuffle
+  * (storage-partitioned join), aggregates answered from store metadata
+  * without shipping a data row, and the DESCRIBE HISTORY commit-log
+  * readout. Every id's final result is plain relational output with a
+  * DuckDB oracle over the same parquet corpus; the scan behavior each
+  * id exists to exercise is pinned separately in CatalogSpec/PlanSpec
+  * (partition counts via GraftScanMetrics, plan shapes via
+  * executedPlan).
+  *
+  * Scale notes (the point of the module):
+  *  - partition pruning: partition-only predicates drop whole
+  *    partitions BEFORE any row is touched — at 100 TB this is the
+  *    difference between scanning 2/5 of the table and all of it;
+  *  - reported statistics: a governed dimension joins broadcast with
+  *    NO hint, because the scan tells Catalyst how big it really is
+  *    after pushdown — the property that makes star joins plan right;
+  *  - storage-partitioned join: two fact tables co-partitioned on the
+  *    join key skip BOTH shuffle exchanges — the single biggest
+  *    exchange in a fact-fact join disappears;
+  *  - runtime filtering: the observed join-key values of a selective
+  *    dimension empty the fact partitions they exclude at execution
+  *    time (DSv2 dynamic partition pruning);
+  *  - aggregate pushdown: COUNT/MIN/MAX readouts ship one row per
+  *    group, not the table (parquet-footer-stats answering).
+  */
+object LakeOps extends QueryModule {
+
+  private def useCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+
+  /** drop + create + insert a governed copy of an orders slice,
+    * optionally partitioned — each id seeds its own table so ids stay
+    * order-independent. */
+  private def seedOrders(s: org.apache.spark.sql.SparkSession, d: String,
+      table: String, partitioned: Boolean): Unit = {
+    useCatalog(s)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .createOrReplaceTempView(s"${table}_src")
+    s.sql(s"DROP TABLE IF EXISTS graft.$table")
+    val part = if (partitioned) " PARTITIONED BY (o_orderpriority)" else ""
+    s.sql(s"CREATE TABLE graft.$table (o_orderkey BIGINT, " +
+      s"o_orderpriority STRING, o_orderstatus STRING, " +
+      s"o_totalprice DOUBLE)$part")
+    s.sql(s"INSERT INTO graft.$table SELECT o_orderkey, " +
+      s"o_orderpriority, o_orderstatus, o_totalprice FROM ${table}_src")
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (sum(Det.dec2(c)) * 100).cast("long")
+
+  override def queries: Map[String, Q.Fn] = Map(
+    // PARTITION PRUNING on the governed scan: the table is partitioned
+    // by o_orderpriority (5 values → 5 input partitions, one per
+    // partition VALUE), and the pushed IN-predicate references only
+    // the partition column, so 3 of the 5 partitions drop at plan time
+    // without touching a row — the manifest-level pruning a lake
+    // format does from partition stats. CatalogSpec reads
+    // GraftScanMetrics and pins total=5 / kept=2; the aggregate on top
+    // is the oracle-checked readout.
+    "scan_partitioned_prune" -> ((s, d) => {
+      seedOrders(s, d, "lake_orders", partitioned = true)
+      s.table("graft.lake_orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
+    // REPORTED STATISTICS → AUTO-BROADCAST: the governed dimension
+    // (25 nations) reports its true post-pushdown size through
+    // SupportsReportStatistics, so Catalyst broadcasts it under the
+    // default 10 MB threshold with NO hint in the query — the property
+    // that makes star-schema joins plan correctly when the dimension
+    // lives in the warehouse rather than in files. PlanSpec executes
+    // this join and asserts a BroadcastHashJoin with the GraftScan on
+    // the broadcast side and zero explicit hints in the plan.
+    "join_governed_broadcast" -> ((s, d) => {
+      useCatalog(s)
+      Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+        .createOrReplaceTempView("dim_nation_src")
+      s.sql("DROP TABLE IF EXISTS graft.dim_nation")
+      s.sql("CREATE TABLE graft.dim_nation (n_nationkey INT, " +
+        "n_name STRING)")
+      s.sql("INSERT INTO graft.dim_nation " +
+        "SELECT n_nationkey, n_name FROM dim_nation_src")
+      Tables.customer(s, d)
+        .join(s.table("graft.dim_nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"),
+          cents(col("c_acctbal")).as("total_cents"))
+        .orderBy("n_name")
+    }),
+
+    // STORAGE-PARTITIONED JOIN: customer and supplier copies both
+    // partitioned by nation key report KeyGroupedPartitioning, so with
+    // v2 bucketing enabled the equi-join on the partition key aligns
+    // partitions by KEY VALUE and needs NO shuffle on either side —
+    // at 100 TB the biggest exchange of a fact-fact join simply
+    // disappears (this is Iceberg's SPJ shape). The merge hint keeps
+    // the demonstration honest: without it the stats-driven broadcast
+    // would win on this corpus; at real scale neither side broadcasts.
+    // PlanSpec asserts ZERO shuffle exchanges in the executed plan.
+    "join_storage_partitioned" -> ((s, d) => {
+      useCatalog(s)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .createOrReplaceTempView("spj_customer_src")
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .createOrReplaceTempView("spj_supplier_src")
+      s.sql("DROP TABLE IF EXISTS graft.spj_customer")
+      s.sql("CREATE TABLE graft.spj_customer (c_custkey BIGINT, " +
+        "c_nationkey INT, c_acctbal DOUBLE) PARTITIONED BY (c_nationkey)")
+      s.sql("INSERT INTO graft.spj_customer " +
+        "SELECT * FROM spj_customer_src")
+      s.sql("DROP TABLE IF EXISTS graft.spj_supplier")
+      s.sql("CREATE TABLE graft.spj_supplier (s_suppkey BIGINT, " +
+        "s_nationkey INT) PARTITIONED BY (s_nationkey)")
+      s.sql("INSERT INTO graft.spj_supplier " +
+        "SELECT * FROM spj_supplier_src")
+      s.table("graft.spj_customer").hint("merge")
+        .join(s.table("graft.spj_supplier"),
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_pairs"),
+          cents(col("c_acctbal")).as("total_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    // BUCKETED storage-partitioned join — the HIGH-CARDINALITY form:
+    // identity partitioning cannot key 100 TB by a surrogate id, so
+    // both sides bucket by the join key (`bucket(8, custkey)`) with
+    // the bucket function the catalog itself publishes through
+    // FunctionCatalog; Spark resolves both transforms to the SAME
+    // bound function (canonicalName + bucket count) and proves the
+    // tables co-partitioned — the customer⋈orders join runs with no
+    // shuffle on either side, only the final segment aggregate
+    // exchanges. This is the Iceberg bucket-SPJ shape.
+    "join_bucketed_spj" -> ((s, d) => {
+      useCatalog(s)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .createOrReplaceTempView("bspj_customer_src")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("bspj_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.bspj_customer")
+      s.sql("CREATE TABLE graft.bspj_customer (c_custkey BIGINT, " +
+        "c_mktsegment STRING, c_acctbal DOUBLE) " +
+        "PARTITIONED BY (bucket(8, c_custkey))")
+      s.sql("INSERT INTO graft.bspj_customer " +
+        "SELECT * FROM bspj_customer_src")
+      s.sql("DROP TABLE IF EXISTS graft.bspj_orders")
+      s.sql("CREATE TABLE graft.bspj_orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (bucket(8, o_custkey))")
+      s.sql("INSERT INTO graft.bspj_orders " +
+        "SELECT * FROM bspj_orders_src")
+      s.table("graft.bspj_customer").hint("merge")
+        .join(s.table("graft.bspj_orders"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // RUNTIME (dynamic) PARTITION PRUNING: the fact side is
+    // partitioned by o_orderpriority; the 5-row dimension filters to
+    // its two 'hot' priorities, and at execution Spark hands the scan
+    // the OBSERVED join-key values through SupportsRuntimeV2Filtering
+    // — the three excluded partitions are emptied before a row ships
+    // (they stay present so HasPartitionKey identity survives, the
+    // contract KeyGroupedPartitioning requires). CatalogSpec pins
+    // runtimeEmptied=3 via GraftScanMetrics.
+    "join_runtime_prune" -> ((s, d) => {
+      seedOrders(s, d, "dpp_orders", partitioned = true)
+      // the dim derives from parquet (NOT a local Seq: Catalyst folds
+      // a Filter over a LocalRelation into the relation itself, and
+      // with no selective predicate left in the dim subtree the
+      // PartitionPruning rule never fires) — 5 priority rows with a
+      // derived temperature tier, filtered to 'hot' at run time
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("p")).distinct()
+        .withColumn("temp",
+          when(substring(col("p"), 1, 1).isin("1", "2"), "hot")
+            .otherwise("cold"))
+        .where(col("temp") === "hot")
+      s.table("graft.dpp_orders")
+        .join(broadcast(dim), col("o_orderpriority") === col("p"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // AGGREGATE PUSHDOWN (complete): COUNT/MIN/MAX grouped by a flat
+    // column push through SupportsPushDownAggregates and are answered
+    // from the store — the scan emits ONE final row per group and
+    // Spark replaces the whole Aggregate, so zero data rows ship (the
+    // parquet-footer / metadata-table answer shape). PlanSpec asserts
+    // the executed plan reads from GraftAggScan.
+    "agg_pushdown_scan" -> ((s, d) => {
+      seedOrders(s, d, "aggp_orders", partitioned = false)
+      s.table("graft.aggp_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // the `.partitions` METADATA TABLE (Iceberg's shape): per-partition
+    // row counts of the current snapshot, answered from the store's
+    // partition grouping — no data scan. This is the readout partition
+    // layout decisions (skew checks, compaction targets) come from;
+    // its oracle is the corpus-level GROUP BY it replaces.
+    "table_partitions" -> ((s, d) => {
+      seedOrders(s, d, "pmeta_orders", partitioned = true)
+      s.table("graft.pmeta_orders.partitions")
+        .orderBy("o_orderpriority")
+    }),
+
+    // DESCRIBE HISTORY: the commit log of a governed table — version,
+    // operation kind, row count after each commit — served from the
+    // store's transaction history (O(retained versions) metadata, no
+    // row data). The sequence is cdc's canonical seed + three native
+    // statements, so every (version, operation, n_rows) row is exactly
+    // derivable from the corpus: append(v0) → MoR DELETE delta(v1) →
+    // MoR UPDATE delta(v2) → append(v3).
+    "table_history" -> ((s, d) => {
+      MergeOps.seedSnapshotTable(s, d, "hist_t", mor = true) // v0
+      s.sql("DELETE FROM graft.hist_t WHERE c_custkey % 11 = 0") // v1
+      s.sql("UPDATE graft.hist_t SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 7 = 0") // v2
+      s.sql("INSERT INTO graft.hist_t " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v3
+      graft.api.GraftApi.tableHistory(s, "graft.hist_t")
+        .orderBy("version")
+    })
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "scan_partitioned_prune" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_governed_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_storage_partitioned" ->
+      """SELECT c_nationkey, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+    "join_bucketed_spj" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "join_runtime_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_pushdown_scan" ->
+      """SELECT o_orderstatus, COUNT(o_orderkey) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_partitions" ->
+      """SELECT o_orderpriority, COUNT(*) AS row_count
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_history" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+        |  COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'delta', COUNT(*)
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'delta', COUNT(*)
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'append',
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 11 <> 0)
+        |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
+        |ORDER BY version""".stripMargin
+  )
+}

@@ -72,7 +72,8 @@ object MergeOps extends QueryModule {
     * `mor = true` the table opts into the merge-on-read
     * (`SupportsDelta` / WriteDelta) row-level plan shape, keyed by
     * c_custkey as the stable row id. */
-  private def seedSnapshotTable(s: org.apache.spark.sql.SparkSession,
+  private[operators] def seedSnapshotTable(
+      s: org.apache.spark.sql.SparkSession,
       d: String, table: String, mor: Boolean = false): Unit = {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)

@@ -60,10 +60,14 @@ object GraftTableStore {
     * number of `snaps.head`; `current` == `snaps.last` when non-empty;
     * `times(i)` = commit wall-clock of `snaps(i)` in epoch millis,
     * strictly increasing (same-milli commits are nudged +1 ms so a
-    * timestamp resolves to exactly one version). */
+    * timestamp resolves to exactly one version); `ops(i)` = the kind of
+    * commit that produced `snaps(i)` (append / replace / truncate /
+    * delta / stream-append — the operation column a lake format's
+    * DESCRIBE HISTORY shows). */
   private[sources] final case class History(
       firstRetained: Int, snaps: Vector[Array[InternalRow]],
-      times: Vector[Long] = Vector.empty) {
+      times: Vector[Long] = Vector.empty,
+      ops: Vector[String] = Vector.empty) {
     def commitCount: Int = firstRetained + snaps.size
   }
 
@@ -116,7 +120,7 @@ object GraftTableStore {
     * synchronized step, so no concurrent commit can interleave between
     * the read and the write, and the history always ends in the row set
     * `get` serves. */
-  private[graft] def mutate(name: String)(
+  private[graft] def mutate(name: String, op: String = "append")(
       f: Array[InternalRow] => Array[InternalRow]): Unit =
     lock.synchronized {
       val h = versions.getOrElse(name, History(0, Vector.empty))
@@ -125,14 +129,30 @@ object GraftTableStore {
         h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
       val appended = h.snaps :+ next
       val appendedTimes = h.times :+ now
+      val appendedOps = h.ops :+ op
       val trimmed =
         if (appended.size > RetainedVersions)
           History(h.firstRetained + (appended.size - RetainedVersions),
             appended.takeRight(RetainedVersions),
-            appendedTimes.takeRight(RetainedVersions))
-        else History(h.firstRetained, appended, appendedTimes)
+            appendedTimes.takeRight(RetainedVersions),
+            appendedOps.takeRight(RetainedVersions))
+        else History(h.firstRetained, appended, appendedTimes, appendedOps)
       versions.put(name, trimmed)
     }
+
+  /** The retained commit log, oldest first: (absolute version,
+    * operation, row count after the commit, commit wall-clock ms) —
+    * the readout a lake format's DESCRIBE HISTORY serves from its
+    * transaction log. O(retained versions), no row data copied. */
+  private[graft] def history(name: String): Vector[(Int, String, Int, Long)] = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    h.snaps.indices.toVector.map { i =>
+      (h.firstRetained + i,
+        if (i < h.ops.length) h.ops(i) else "append",
+        h.snaps(i).length,
+        if (i < h.times.length) h.times(i) else 0L)
+    }
+  }
 
   /** `TIMESTAMP AS OF` resolution: the latest RETAINED version whose
     * commit time is at or before `tsMicros` (epoch micros, how Spark
@@ -167,7 +187,7 @@ object GraftMergeCatalog {
     new TrieMap[(String, Identifier), GraftMergeTable]()
 }
 
-class GraftMergeCatalog extends TableCatalog {
+class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   import GraftMergeCatalog.registry
   private var catalogName: String = _
   private def key(ident: Identifier) = (catalogName, ident)
@@ -181,22 +201,47 @@ class GraftMergeCatalog extends TableCatalog {
       registry.keys.filter(_._1 == catalogName).map(_._2).toArray
     else throw new NoSuchNamespaceException(namespace)
 
-  // `graft.<table>.changes` resolves to the table's CHANGE FEED (the
-  // Iceberg-metadata-table naming pattern): a read-only relation whose
-  // schema is the base schema + (_change_type, _commit_version) and
-  // whose scan walks the version history — Delta-CDF through a
-  // catalog-resolved identifier, so the analyzer sees the feed schema
-  // (scan options cannot widen a table's resolved schema).
+  // the catalog PUBLISHES its partition-transform functions (here:
+  // bucket) so Spark can resolve `bucket(n, col)` to a concrete bound
+  // function and PROVE two bucketed tables co-partitioned — the
+  // storage-partitioned-join handshake (what Iceberg's system-function
+  // catalog does). Resolution is namespace-free: `bucket` only.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  // `graft.<table>.<meta>` resolves to a METADATA TABLE of the base
+  // table (the Iceberg naming pattern) — read-only relations the
+  // analyzer can see the schema of (scan options cannot widen a
+  // table's resolved schema):
+  //   .changes    — the change feed (Delta-CDF row shape: base schema
+  //                 + _change_type + _commit_version), batch+streaming;
+  //   .history    — the commit log (DESCRIBE HISTORY: version,
+  //                 operation, n_rows, commit_ts);
+  //   .partitions — per-partition row counts of the CURRENT snapshot
+  //                 (partition value columns + row_count).
   override def loadTable(ident: Identifier): Table =
     registry.get(key(ident)) match {
       case Some(t) => t
-      case None if ident.name() == "changes" &&
-          ident.namespace().nonEmpty =>
+      case None if ident.namespace().nonEmpty &&
+          Set("changes", "history", "partitions")(ident.name()) =>
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val base = registry.getOrElse(key(baseIdent),
           throw new NoSuchTableException(ident))
-        new GraftCdfTable(base)
+        ident.name() match {
+          case "changes" => new GraftCdfTable(base)
+          case "history" => new GraftHistoryTable(base)
+          case "partitions" => new GraftPartitionsTable(base)
+        }
       case None => throw new NoSuchTableException(ident)
     }
 
@@ -219,7 +264,8 @@ class GraftMergeCatalog extends TableCatalog {
               "VERSION AS OF takes integer snapshot numbers " +
               "(use TIMESTAMP AS OF for time-based travel)")
       }
-    new GraftMergeTable(t.name(), t.schema(), Some(v))
+    new GraftMergeTable(t.name(), t.schema(), Some(v),
+      partFields = t.partFields)
   }
 
   // `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands the analyzed
@@ -230,7 +276,8 @@ class GraftMergeCatalog extends TableCatalog {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
     new GraftMergeTable(t.name(), t.schema(),
-      Some(GraftTableStore.resolveTimestamp(t.name(), timestamp)))
+      Some(GraftTableStore.resolveTimestamp(t.name(), timestamp)),
+      partFields = t.partFields)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -274,7 +321,59 @@ class GraftMergeCatalog extends TableCatalog {
         if (f.name == c) f.copy(nullable = false) else f))
       case None => schema
     }
-    val t = new GraftMergeTable(storeName, tblSchema, None, morRowId)
+    // PARTITIONED BY (col, ...) and/or (bucket(n, col), ...):
+    // partitioning is a LOGICAL property of the store (snapshots stay
+    // one array — a lake format's manifest plays this role); the scan
+    // turns it physical: one input partition per partition VALUE,
+    // identity-partition predicates prune whole partitions before any
+    // row is touched, and co-partitioned tables report
+    // KeyGroupedPartitioning so equi-joins on the partition key skip
+    // the shuffle entirely (storage-partitioned join). `bucket(n, c)`
+    // is the HIGH-CARDINALITY form (you cannot identity-partition
+    // 100 TB by a surrogate key): rows hash into n stable buckets via
+    // the catalog-published bucket function (FunctionCatalog), and two
+    // tables bucketed the same way on their join keys SPJ exactly like
+    // identity-partitioned ones.
+    val partFields = partitions.map { tr =>
+      require(tr.references().length == 1 &&
+        tr.references()(0).fieldNames().length == 1,
+        s"only single-column partition transforms are supported, got: $tr")
+      val c = tr.references()(0).fieldNames()(0)
+      require(tblSchema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema " +
+          s"(${tblSchema.fieldNames.mkString(", ")})")
+      import org.apache.spark.sql.types._
+      tr.name() match {
+        case "identity" =>
+          tblSchema(c).dataType match {
+            case LongType | IntegerType | StringType | DateType =>
+            case dt => throw new IllegalArgumentException(
+              s"partition column '$c' has unsupported type $dt " +
+                "(supported: BIGINT, INT, STRING, DATE)")
+          }
+          GraftIdentityPart(c): GraftPartField
+        case "bucket" =>
+          tblSchema(c).dataType match {
+            case LongType | IntegerType =>
+            case dt => throw new IllegalArgumentException(
+              s"bucket column '$c' has unsupported type $dt " +
+                "(supported: BIGINT, INT)")
+          }
+          val n = tr.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a numeric bucket count: $tr"))
+          require(n > 0, s"bucket count must be positive, got $n")
+          GraftBucketPart(c, n): GraftPartField
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform '$other' " +
+            "(supported: identity, bucket)")
+      }
+    }
+    val t = new GraftMergeTable(storeName, tblSchema, None, morRowId,
+      partFields)
     registry.put(key(ident), t)
     t
   }
@@ -316,13 +415,17 @@ class GraftMergeCatalog extends TableCatalog {
           s"ALTER change not supported: $other")
       }
     }
-    val newRowId = t.morRowId.map { id =>
-      changes.collectFirst {
-        case rn: TableChange.RenameColumn if rn.fieldNames()(0) == id =>
-          rn.newName()
-      }.getOrElse(id)
-    }
-    val nt = new GraftMergeTable(t.name(), newSchema, None, newRowId)
+    def renamed(c: String): String = changes.collectFirst {
+      case rn: TableChange.RenameColumn if rn.fieldNames()(0) == c =>
+        rn.newName()
+    }.getOrElse(c)
+    val newRowId = t.morRowId.map(renamed)
+    // partition columns are schema references too — they follow renames
+    val nt = new GraftMergeTable(t.name(), newSchema, None, newRowId,
+      t.partFields.map {
+        case GraftIdentityPart(c) => GraftIdentityPart(renamed(c))
+        case GraftBucketPart(c, n) => GraftBucketPart(renamed(c), n)
+      })
     registry.put(key(ident), nt)
     nt
   }
@@ -337,14 +440,144 @@ class GraftMergeCatalog extends TableCatalog {
     throw new UnsupportedOperationException("RENAME not supported")
 }
 
+/** The catalog's published `bucket(numBuckets, key)` function —
+  * `floorMod(key, numBuckets)` over integral keys. Spark resolves the
+  * `bucket(n, col)` partition transform against this through
+  * FunctionCatalog; the BOUND function's `canonicalName` is what two
+  * scans' partitionings are compared by, so customer bucketed by
+  * bucket(8, c_custkey) and orders by bucket(8, o_custkey) are provably
+  * co-partitioned (same function, same bucket count) and
+  * storage-partition-join. The store-side grouping uses catalyst
+  * `Pmod`, which equals floorMod for positive counts — the two
+  * evaluation paths cannot disagree. */
+object GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, key): floorMod(key, numBuckets) — the graft " +
+      "catalog's partition-transform hash"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket takes (numBuckets, key), got ${inputType.length} args")
+    inputType(1).dataType match {
+      case LongType => BoundLong
+      case IntegerType => BoundInt
+      case dt => throw new UnsupportedOperationException(
+        s"bucket key must be integral, got $dt")
+    }
+  }
+
+  object BoundLong extends ScalarFunction[Integer] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(long)"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else Math.floorMod(input.getLong(1), input.getInt(0).toLong).toInt
+    // codegen magic method (ScalarFunction.MAGIC_METHOD_NAME)
+    def invoke(numBuckets: Int, key: Long): Int =
+      Math.floorMod(key, numBuckets.toLong).toInt
+  }
+
+  object BoundInt extends ScalarFunction[Integer] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket(int)"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else Math.floorMod(input.getInt(1).toLong,
+        input.getInt(0).toLong).toInt
+    def invoke(numBuckets: Int, key: Int): Int =
+      Math.floorMod(key.toLong, numBuckets.toLong).toInt
+  }
+}
+
+/** One partition field of a governed table: identity(col) — one
+  * partition per VALUE (low-cardinality layout keys) — or
+  * bucket(n, col) — `floorMod(key, n)` into n stable buckets, the
+  * high-cardinality form whose function the catalog publishes through
+  * FunctionCatalog so Spark can prove two bucketed tables
+  * co-partitioned (storage-partitioned joins). */
+sealed trait GraftPartField { def col: String }
+case class GraftIdentityPart(col: String) extends GraftPartField
+case class GraftBucketPart(col: String, n: Int) extends GraftPartField
+
+object GraftPartField {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, Pmod}
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.types._
+
+  def toTransform(p: GraftPartField): Transform = p match {
+    case GraftIdentityPart(c) => Expressions.identity(c)
+    case GraftBucketPart(c, n) => Expressions.bucket(n, c)
+  }
+
+  /** this field's slot type in the HasPartitionKey row. */
+  def keyType(p: GraftPartField, schema: StructType)
+      : org.apache.spark.sql.types.DataType = p match {
+    case GraftIdentityPart(c) => schema(c).dataType
+    case GraftBucketPart(_, _) => IntegerType
+  }
+
+  /** catalyst expression computing this field's key value from a
+    * full-schema row. Pmod == Math.floorMod for positive n, so the
+    * store-side grouping and [[GraftBucketFunction]] (what Spark
+    * evaluates) can never disagree. */
+  def keyExpr(p: GraftPartField, schema: StructType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    val ord = schema.fieldIndex(p.col)
+    val ref = BoundReference(ord, schema(ord).dataType, nullable = true)
+    p match {
+      case GraftIdentityPart(_) => ref
+      case GraftBucketPart(_, n) =>
+        Cast(Pmod(Cast(ref, LongType), Literal(n.toLong)), IntegerType)
+    }
+  }
+
+  /** the bucket id of a raw key value (runtime-filter path). */
+  def bucketOf(v: Any, n: Int): Int = v match {
+    case l: java.lang.Long => Math.floorMod(l.longValue(), n.toLong).toInt
+    case i: java.lang.Integer =>
+      Math.floorMod(i.intValue().toLong, n.toLong).toInt
+    case other => throw new IllegalArgumentException(
+      s"bucket key must be integral, got: $other")
+  }
+}
+
 class GraftMergeTable(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int] = None,
-    private[sources] val morRowId: Option[String] = None)
+    private[sources] val morRowId: Option[String] = None,
+    private[sources] val partFields: Array[GraftPartField] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  // the SQL `TRUNCATE TABLE` statement (metadata-only delete-all: one
+  // empty-snapshot commit, history preserved — time travel to the
+  // pre-truncate version still works)
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only")
+    GraftTableStore.mutate(tableName, "truncate")(_ =>
+      Array.empty[InternalRow])
+    true
+  }
+  override def partitioning(): Array[Transform] =
+    partFields.map(GraftPartField.toTransform)
   // a version-pinned reference is a fixed snapshot — it cannot be a
   // stream (nothing ever arrives); only the live table advertises
   // MICRO_BATCH_READ
@@ -358,7 +591,7 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(tableName, tableSchema,
-    pinnedVersion)
+    pinnedVersion, partFields)
 
   // plain writes (INSERT INTO seeds the table; TRUNCATE for resets).
   // A version-pinned reference is READ-ONLY: writing "to the past"
@@ -369,7 +602,7 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only — " +
         "write to the current table instead")
     new GraftWriteBuilder(tableName, info.schema(), replace = false,
-      queryId = info.queryId())
+      queryId = info.queryId(), clusterFields = partFields)
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
@@ -415,26 +648,130 @@ class GraftRowLevelOperation(table: GraftMergeTable,
   * evaluator bug can shrink performance, never correctness. The scan
   * description carries both lists (tests assert them). */
 class GraftScanBuilder(tableName: String, tableSchema: StructType,
-    pinnedVersion: Option[Int])
+    pinnedVersion: Option[Int],
+    partFields: Array[GraftPartField] = Array.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.sources._
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  private var limit: Option[Int] = None
+  private var agg: Option[Aggregation] = None
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve the TABLE's column order (Catalyst may reorder; the
-    // positional row projection must not)
-    required = StructType(tableSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+    // positional row projection must not). After an aggregate pushdown
+    // the required schema names the AGGREGATED columns, not table
+    // columns — the agg scan's output is already minimal, skip.
+    if (agg.isEmpty)
+      required = StructType(tableSchema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+  }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f =>
       GraftFilterEval.compile(f, tableSchema).isDefined)
     filters // ALL filters stay residual — the conservative contract
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
-    new GraftScan(tableName, tableSchema, pinnedVersion, required, pushed)
+  // LIMIT pushdown: the store stops emitting after `n` surviving rows
+  // per partition. Partial contract (isPartiallyPushed true for both
+  // the limit and top-N forms — Scala requires one explicit override
+  // where the two interfaces' default methods meet): Spark re-applies
+  // the global limit/sort above, the pushdown only bounds what ships
+  // out of the scan.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
+  // ORDER BY ... LIMIT n pushdown (top-N): the store sorts surviving
+  // rows per partition and ships only the first n of each — Spark's
+  // TakeOrderedAndProject above merges them, so the global result is
+  // exact while the scan ships O(n × partitions) rows instead of the
+  // table. Supported for flat comparable sort columns; declines
+  // otherwise (expression keys, complex types).
+  private var topN: Option[(Array[GraftSortKey], Int)] = None
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    val keys = orders.map { so =>
+      so.expression() match {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          val ord = tableSchema.fieldNames.indexOf(r.fieldNames()(0))
+          if (ord < 0) return false
+          tableSchema(ord).dataType match {
+            case LongType | IntegerType | DoubleType | StringType |
+                DateType =>
+            case _ => return false
+          }
+          GraftSortKey(ord,
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST)
+        case _ => return false
+      }
+    }
+    topN = Some((keys, n))
+    true
+  }
+
+  /** AGGREGATE pushdown (complete): COUNT(*) / COUNT(col) / MIN / MAX,
+    * optionally grouped by flat columns, are answered from the store
+    * without shipping a single data row — the analogue of serving
+    * MIN/MAX/COUNT from parquet footer statistics or a metadata table.
+    * Complete-pushdown contract: the scan emits exactly one final row
+    * per group (single input partition), and Spark replaces the whole
+    * Aggregate with a scan readout. Anything outside the supported
+    * shape (SUM/AVG/DISTINCT, expression-valued group keys) declines
+    * and takes the normal aggregation path. */
+  private def aggSupported(a: Aggregation): Boolean = {
+    import org.apache.spark.sql.types._
+    def flatCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val i = tableSchema.fieldNames.indexOf(r.fieldNames()(0))
+        if (i < 0) None else Some(i)
+      case _ => None
+    }
+    def comparable(i: Int): Boolean = tableSchema(i).dataType match {
+      case LongType | IntegerType | DoubleType | StringType | DateType =>
+        true
+      case _ => false
+    }
+    a.groupByExpressions().forall(flatCol(_).isDefined) &&
+      a.aggregateExpressions().nonEmpty &&
+      a.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && flatCol(c.column()).isDefined
+        case m: Min => flatCol(m.column()).exists(comparable)
+        case m: Max => flatCol(m.column()).exists(comparable)
+        case _ => false
+      }
+  }
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    aggSupported(a)
+  override def pushAggregation(a: Aggregation): Boolean = {
+    // complete-or-nothing: when supportCompletePushDown said no, this
+    // must decline too — the scan does not implement the partial
+    // (per-input-partition intermediate rows) contract
+    if (!aggSupported(a)) return false
+    agg = Some(a)
+    true
+  }
+
+  override def build(): Scan = agg match {
+    case Some(a) =>
+      new GraftAggScan(tableName, tableSchema, pinnedVersion, a)
+    case None =>
+      new GraftScan(tableName, tableSchema, pinnedVersion, required,
+        pushed, partFields, limit, topN)
+  }
 }
+
+/** One pushed sort key: column ordinal in the TABLE schema, direction,
+  * and null placement — the store-evaluable form of a v2 SortOrder. */
+case class GraftSortKey(ord: Int, asc: Boolean, nullsFirst: Boolean)
 
 /** Best-effort row-predicate compiler for the v1 Filter algebra over
   * flat columns of primitive/string type — `None` marks a filter the
@@ -500,14 +837,42 @@ object GraftFilterEval {
   }
 }
 
+/** Per-table scan telemetry for the spec suite: how many partitions
+  * the table had, how many survived STATIC partition pruning (pushed
+  * partition-column predicates), and how many were emptied by a
+  * RUNTIME filter (join-key pruning at execution). Overwritten per
+  * planInputPartitions call — a test reads it right after an action. */
+object GraftScanMetrics {
+  final case class Report(totalPartitions: Int, keptPartitions: Int,
+      runtimeEmptied: Int)
+  private[graft] val lastScan = new TrieMap[String, Report]()
+}
+
 class GraftScan(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int] = None,
     requiredSchema: StructType = null,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter] =
-      Array.empty)
-    extends Scan with Batch {
+      Array.empty,
+    partFields: Array[GraftPartField] = Array.empty,
+    limit: Option[Int] = None,
+    topN: Option[(Array[GraftSortKey], Int)] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+
   private val outSchema =
     Option(requiredSchema).getOrElse(tableSchema)
+  private val partitionCols = partFields.map(_.col)
+  private val partTypes =
+    partFields.map(GraftPartField.keyType(_, tableSchema))
+  // identity partition values are constant within a partition, so
+  // predicates over ONLY these columns prune whole partitions; bucket
+  // columns vary within their bucket and stay row-level
+  private val identityCols = partFields.collect {
+    case GraftIdentityPart(c) => c
+  }
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -518,47 +883,351 @@ class GraftScan(tableName: String, tableSchema: StructType,
     val fs =
       if (pushedFilters.isEmpty) ""
       else s", pushed=[${pushedFilters.mkString(",")}]"
+    val pb =
+      if (partitionCols.isEmpty) ""
+      else s", partitionedBy=[${partitionCols.mkString(",")}]"
+    val lm = limit.map(n => s", limit=$n").getOrElse("")
+    val tn = topN.map { case (keys, n) =>
+      s", pushedTopN=[${keys.map(k =>
+        tableSchema.fieldNames(k.ord) +
+          (if (k.asc) " ASC" else " DESC")).mkString(",")} LIMIT $n]"
+    }.getOrElse("")
     s"GraftScan[$tableName$at, " +
-      s"cols=[${outSchema.fieldNames.mkString(",")}]$fs]"
+      s"cols=[${outSchema.fieldNames.mkString(",")}]$fs$pb$lm$tn]"
   }
-  override def planInputPartitions(): Array[InputPartition] = {
+
+  /** store-side comparator for the pushed top-N sort keys. */
+  private def rowOrdering(keys: Array[GraftSortKey])
+      : Ordering[InternalRow] = new Ordering[InternalRow] {
+    import org.apache.spark.sql.types._
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      var i = 0
+      while (i < keys.length) {
+        val k = keys(i)
+        val an = a.isNullAt(k.ord); val bn = b.isNullAt(k.ord)
+        val c =
+          if (an && bn) 0
+          else if (an) { if (k.nullsFirst) -1 else 1 }
+          else if (bn) { if (k.nullsFirst) 1 else -1 }
+          else {
+            val raw = tableSchema(k.ord).dataType match {
+              case LongType =>
+                java.lang.Long.compare(a.getLong(k.ord), b.getLong(k.ord))
+              case IntegerType | DateType =>
+                Integer.compare(a.getInt(k.ord), b.getInt(k.ord))
+              case DoubleType => java.lang.Double.compare(
+                a.getDouble(k.ord), b.getDouble(k.ord))
+              case StringType =>
+                a.getUTF8String(k.ord).compareTo(b.getUTF8String(k.ord))
+              case other => throw new IllegalStateException(
+                s"unsupported pushed top-N column type: $other")
+            }
+            if (k.asc) raw else -raw
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  // ---- partition grouping + static pruning (computed once) ----------
+  //
+  // Committed rows ride INSIDE the partitions (UnsafeRow serializes),
+  // so the reader works wherever the task lands; rows written before
+  // an ADD COLUMN are narrower than the current schema and get their
+  // missing trailing fields padded with NULL here (schema evolution on
+  // read). Pushed filters run against the PADDED full-schema rows
+  // before anything ships — non-matching rows never leave the store
+  // (data skipping); Spark re-applies the same filters above the scan
+  // (residual contract). On a PARTITIONED table the rows group into
+  // one input partition per partition VALUE (sorted by key for
+  // deterministic planning), and partition-column-only predicates
+  // evaluate ONCE per group against its first row — whole partitions
+  // drop without touching their rows, the manifest-level pruning a
+  // lake format does from partition stats.
+  private lazy val grouped: (Int, Array[(InternalRow, Array[InternalRow])]) = {
     val raw = pinnedVersion
       .map(GraftTableStore.getVersion(tableName, _))
       .getOrElse(GraftTableStore.get(tableName))
-    // committed rows ride INSIDE the partition (UnsafeRow serializes),
-    // so the reader works wherever the task lands; rows written before
-    // an ADD COLUMN are narrower than the current schema and get their
-    // missing trailing fields padded with NULL here (schema evolution
-    // on read — JoinedRow with an all-null tail). Pushed filters run
-    // against the PADDED full-schema rows before anything ships —
-    // non-matching rows never leave the store (data skipping); Spark
-    // re-applies the same filters above the scan (residual contract).
     val padded = GraftChangeFeed.padTo(raw, tableSchema.length)
-    val preds = pushedFilters.flatMap(
+    val partOnly = pushedFilters.filter(
+      _.references.forall(identityCols.contains))
+    val partPreds = partOnly.flatMap(
       GraftFilterEval.compile(_, tableSchema))
-    val kept =
-      if (preds.isEmpty) padded
-      else padded.filter(r => preds.forall(_(r)))
-    Array(GraftProjectedPartition(kept,
-      outSchema.fieldNames.map(tableSchema.fieldIndex),
-      outSchema.fields.map(_.dataType)))
+    val rowPreds = pushedFilters.diff(partOnly).flatMap(
+      GraftFilterEval.compile(_, tableSchema))
+    if (partFields.isEmpty) {
+      val kept =
+        if (rowPreds.isEmpty && partPreds.isEmpty) padded
+        else padded.filter(r =>
+          partPreds.forall(_(r)) && rowPreds.forall(_(r)))
+      (1, Array((InternalRow.empty: InternalRow, kept)))
+    } else {
+      val keyProj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(partFields.map(
+          GraftPartField.keyExpr(_, tableSchema)).toIndexedSeq)
+      val groups = padded.groupBy(r => keyProj(r).copy())
+      val total = groups.size
+      val kept = groups.toArray
+        .sortBy(_._1.toString)
+        .collect { case (k, rs) if partPreds.forall(_(rs.head)) =>
+          (k: InternalRow,
+            if (rowPreds.isEmpty) rs else rs.filter(r => rowPreds.forall(_(r))))
+        }
+      (total, kept)
+    }
+  }
+
+  // ---- statistics (SupportsReportStatistics) ------------------------
+  //
+  // Post-pushdown estimates from the store itself: exact surviving row
+  // count and a byte size scaled by the pruned column ratio — what a
+  // lake format derives from manifest/footer stats. This is what lets
+  // Catalyst AUTO-broadcast a small governed table in a join (no hint):
+  // DataSourceV2ScanRelation.computeStats reads it at plan time.
+  override def estimateStatistics(): Statistics = {
+    val rows = grouped._2.iterator.map(_._2.length.toLong).sum
+    val limited = limit.map(n => math.min(rows,
+      n.toLong * math.max(grouped._2.length, 1))).getOrElse(rows)
+    val colRatio =
+      math.max(1, outSchema.length).toDouble / math.max(1, tableSchema.length)
+    val bytes = grouped._2.iterator.flatMap(_._2.iterator).map {
+      case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+        u.getSizeInBytes.toLong
+      case r => 16L * math.max(1, r.numFields)
+    }.sum
+    val scaled = math.max(1L, (bytes * colRatio).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(limited)
+    }
+  }
+
+  // ---- storage partitioning (SupportsReportPartitioning) ------------
+  //
+  // A partitioned table whose partition columns survive projection
+  // reports KeyGroupedPartitioning over identity transforms: with
+  // spark.sql.sources.v2.bucketing.enabled, two tables co-partitioned
+  // on the join key hash-join WITHOUT a shuffle on either side (the
+  // storage-partitioned join — at 100 TB the single biggest exchange
+  // in a fact-fact join simply disappears). Input partitions carry
+  // their key via HasPartitionKey; Spark groups and aligns them.
+  override def outputPartitioning(): Partitioning =
+    if (partFields.nonEmpty &&
+        partitionCols.forall(outSchema.fieldNames.contains))
+      new KeyGroupedPartitioning(
+        partFields.map(GraftPartField.toTransform(_)
+          : org.apache.spark.sql.connector.expressions.Expression),
+        grouped._2.length)
+    else new UnknownPartitioning(grouped._2.length)
+
+  // ---- runtime filtering (SupportsRuntimeV2Filtering) ---------------
+  //
+  // At execution, a selective join hands the scan the observed join-key
+  // values (dynamic partition pruning, DSv2 form). Pruned partitions
+  // are EMPTIED, never removed: HasPartitionKey partition identity must
+  // survive runtime filtering when KeyGroupedPartitioning was reported
+  // (Spark requires the partition-value set to stay stable), and an
+  // empty partition ships zero rows — the full data-skipping win with
+  // none of the re-planning hazard.
+  @volatile private var runtimeKeep: Option[Map[Int, Set[Any]]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    partitionCols.map(Expressions.column)
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keep = scala.collection.mutable.HashMap[Int, Set[Any]]()
+    predicates.foreach { p =>
+      if (p.name() == "IN" || p.name() == "=") {
+        val refs = p.children().collect { case r: NamedReference => r }
+        val lits = p.children().collect { case l: Literal[_] => l }
+        if (refs.length == 1 && refs(0).fieldNames().length == 1 &&
+            lits.length == p.children().length - 1) {
+          val keyPos = partitionCols.indexOf(refs(0).fieldNames()(0))
+          if (keyPos >= 0) {
+            // runtime filters arrive as RAW column values; a bucket
+            // partition keeps the buckets those values land in. A NULL
+            // literal (nullable dim join key) is dropped — null never
+            // equi-joins, so it selects no partition.
+            val nonNull = lits.filter(_.value() != null)
+            val vals = partFields(keyPos) match {
+              case GraftIdentityPart(_) =>
+                nonNull.map(_.value(): Any).toSet
+              case GraftBucketPart(_, n) =>
+                nonNull.map(l =>
+                  GraftPartField.bucketOf(l.value(), n): Any).toSet
+            }
+            keep.updateWith(keyPos) {
+              case Some(prev) => Some(prev.intersect(vals))
+              case None => Some(vals)
+            }
+          }
+        }
+      }
+    }
+    if (keep.nonEmpty) runtimeKeep = Some(keep.toMap)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (total, kept) = grouped
+    val ordinals = outSchema.fieldNames.map(tableSchema.fieldIndex)
+    val types = outSchema.fields.map(_.dataType)
+    var emptied = 0
+    val parts: Array[InputPartition] = kept.map { case (key, rows) =>
+      val keepRows = runtimeKeep match {
+        case Some(byPos) =>
+          val in = byPos.forall { case (pos, vals) =>
+            vals.contains(key.get(pos, partTypes(pos)))
+          }
+          if (in) rows else { emptied += 1; Array.empty[InternalRow] }
+        case None => rows
+      }
+      val topped = topN match {
+        case Some((keys, n)) if keepRows.length > n =>
+          keepRows.sorted(rowOrdering(keys)).take(n)
+        case _ => keepRows
+      }
+      val limited = limit.map(topped.take).getOrElse(topped)
+      if (partFields.isEmpty)
+        GraftProjectedPartition(limited, ordinals, types)
+      else GraftKeyedPartition(limited, ordinals, types, key)
+    }
+    GraftScanMetrics.lastScan.put(tableName,
+      GraftScanMetrics.Report(total, kept.length, emptied))
+    parts
   }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftProjectedReaderFactory
 }
 
-/** Partition carrying the pruned-column ordinals alongside the rows;
-  * the reader applies the narrow projection executor-side. */
+/** Complete-pushdown aggregate scan: one input partition holding the
+  * FINAL aggregate rows (group keys + COUNT/MIN/MAX values), computed
+  * store-side — Spark replaces the whole Aggregate node with this
+  * readout, so zero data rows ship (the parquet-footer-stats answer
+  * shape). Output rows sort by group key for deterministic planning. */
+class GraftAggScan(tableName: String, tableSchema: StructType,
+    pinnedVersion: Option[Int],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private def ordOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Int = tableSchema.fieldNames.indexOf(
+    e.asInstanceOf[NamedReference].fieldNames()(0))
+  private val groupOrds = agg.groupByExpressions().map(ordOf)
+
+  override def readSchema(): StructType = StructType(
+    groupOrds.map(tableSchema(_)) ++
+      agg.aggregateExpressions().zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (c: Count, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (m: Min, i) =>
+          StructField(s"agg_$i", tableSchema(ordOf(m.column())).dataType)
+        case (m: Max, i) =>
+          StructField(s"agg_$i", tableSchema(ordOf(m.column())).dataType)
+        case (other, _) => throw new IllegalStateException(
+          s"unsupported pushed aggregate: $other")
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan[$tableName, pushedAggregates=[" +
+      s"${agg.aggregateExpressions().mkString(",")}], groupBy=[" +
+      s"${agg.groupByExpressions().mkString(",")}]]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val raw = pinnedVersion
+      .map(GraftTableStore.getVersion(tableName, _))
+      .getOrElse(GraftTableStore.get(tableName))
+    val rows = GraftChangeFeed.padTo(raw, tableSchema.length)
+    val groupTypes = groupOrds.map(tableSchema(_).dataType)
+    def ordering(dt: DataType): Ordering[Any] = (dt match {
+      case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType | DateType =>
+        Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case DoubleType => Ordering.Double.TotalOrdering
+        .on[Any](_.asInstanceOf[Double])
+      case StringType => Ordering.by[Any, String](_.toString)
+      case other => throw new IllegalStateException(
+        s"unsupported pushed-aggregate column type: $other")
+    })
+    // a GLOBAL aggregate (no group keys) over an empty table still
+    // returns exactly one row — COUNT 0, MIN/MAX NULL (SQL semantics;
+    // without this a pushed `SELECT count(*)` on a fresh/truncated
+    // table would return no rows at all). Grouped aggregates correctly
+    // return zero rows on empty input.
+    val groups =
+      if (groupOrds.isEmpty && rows.isEmpty)
+        Map(IndexedSeq.empty[Any] -> Array.empty[InternalRow])
+      else rows.groupBy(r =>
+        groupOrds.indices.map(i =>
+          r.get(groupOrds(i), groupTypes(i))).toIndexedSeq)
+    val out = groups.toArray.sortBy(_._1.toString).map { case (k, rs) =>
+      val vals = new Array[Any](groupOrds.length +
+        agg.aggregateExpressions().length)
+      k.indices.foreach(i => vals(i) = k(i))
+      agg.aggregateExpressions().zipWithIndex.foreach { case (fn, i) =>
+        val slot = groupOrds.length + i
+        vals(slot) = fn match {
+          case _: CountStar => rs.length.toLong
+          case c: Count =>
+            val o = ordOf(c.column())
+            rs.count(!_.isNullAt(o)).toLong
+          case m: Min =>
+            val o = ordOf(m.column()); val dt = tableSchema(o).dataType
+            val nn = rs.iterator.filter(!_.isNullAt(o)).map(_.get(o, dt))
+            if (nn.isEmpty) null else nn.min(ordering(dt))
+          case m: Max =>
+            val o = ordOf(m.column()); val dt = tableSchema(o).dataType
+            val nn = rs.iterator.filter(!_.isNullAt(o)).map(_.get(o, dt))
+            if (nn.isEmpty) null else nn.max(ordering(dt))
+          case other => throw new IllegalStateException(
+            s"unsupported pushed aggregate: $other")
+        }
+      }
+      new GenericInternalRow(vals): InternalRow
+    }
+    Array(GraftInputPartition(out))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRowsReaderFactory
+}
+
+/** Shared shape of the projected store partitions: rows + the
+  * pruned-column ordinals; the reader applies the narrow projection
+  * executor-side. */
+sealed trait GraftProjectedRows {
+  def rows: Array[InternalRow]
+  def ordinals: Array[Int]
+  def types: Array[org.apache.spark.sql.types.DataType]
+}
+
 case class GraftProjectedPartition(rows: Array[InternalRow],
     ordinals: Array[Int],
     types: Array[org.apache.spark.sql.types.DataType])
-    extends InputPartition
+    extends InputPartition with GraftProjectedRows
+
+/** One partition VALUE of a partitioned governed table; the key rides
+  * along (HasPartitionKey) so Spark can group and align partitions for
+  * storage-partitioned joins. */
+case class GraftKeyedPartition(rows: Array[InternalRow],
+    ordinals: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    key: InternalRow)
+    extends InputPartition with GraftProjectedRows with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 object GraftProjectedReaderFactory extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[GraftProjectedPartition]
+    val part = p.asInstanceOf[GraftProjectedRows]
     new PartitionReader[InternalRow] {
       private val proj = UnsafeProjection.create(
         part.ordinals.zip(part.types).map { case (ord, dt) =>
@@ -744,6 +1413,97 @@ class GraftCdfMicroBatchStream(tableName: String,
     GraftRowsReaderFactory
 }
 
+/** The `graft.<table>.history` metadata relation — DESCRIBE HISTORY as
+  * a queryable table: one row per RETAINED commit (version, operation,
+  * n_rows, commit_ts), served from the store's transaction log.
+  * O(retained versions ≤ 64) metadata; no row data is touched, which
+  * is exactly how a lake format answers this from its log. */
+class GraftHistoryTable(base: GraftMergeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+  override def name(): String = s"${base.name()}.history"
+  override def schema(): StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("commit_ts", TimestampType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan with Batch {
+    override def readSchema(): StructType = GraftHistoryTable.this.schema()
+    override def toBatch: Batch = this
+    override def description(): String = s"GraftHistoryScan[${base.name()}]"
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val rows = GraftTableStore.history(base.name()).map {
+        case (v, op, n, tMs) =>
+          new GenericInternalRow(Array[Any](v.toLong,
+            UTF8String.fromString(op), n.toLong,
+            tMs * 1000L)): InternalRow
+      }
+      Array(GraftInputPartition(rows.toArray))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftRowsReaderFactory
+  }
+}
+
+/** The `graft.<table>.partitions` metadata relation (Iceberg's
+  * `.partitions` shape): per-partition row counts of the CURRENT
+  * snapshot — the readout that drives partition-layout decisions
+  * (skew checks, compaction targets) without scanning data. Requires
+  * a partitioned base table. */
+class GraftPartitionsTable(base: GraftMergeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{LongType, StructField}
+  override def name(): String = s"${base.name()}.partitions"
+  override def schema(): StructType = StructType(
+    base.partFields.map {
+      case GraftIdentityPart(c) => base.schema()(c)
+      case GraftBucketPart(c, _) => StructField(s"${c}_bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = true)
+    } :+ StructField("row_count", LongType, nullable = false))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    require(base.partFields.nonEmpty,
+      s"${name()}: the partitions metadata table requires a " +
+        "partitioned base table")
+    () => new Scan with Batch {
+      override def readSchema(): StructType =
+        GraftPartitionsTable.this.schema()
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"GraftPartitionsScan[${base.name()}]"
+      override def planInputPartitions(): Array[InputPartition] = {
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        val sch = base.schema()
+        val keyTypes = base.partFields.map(
+          GraftPartField.keyType(_, sch))
+        val keyProj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(base.partFields.map(
+            GraftPartField.keyExpr(_, sch)).toIndexedSeq)
+        val padded = GraftChangeFeed.padTo(
+          GraftTableStore.get(base.name()), sch.length)
+        val rows = padded
+          .groupBy(r => keyProj(r).copy())
+          .toArray.sortBy(_._1.toString)
+          .map { case (k, rs) =>
+            new GenericInternalRow(
+              (keyTypes.indices.map(i => k.get(i, keyTypes(i))) :+
+                rs.length.toLong).toArray[Any]): InternalRow
+          }
+        Array(GraftInputPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        GraftRowsReaderFactory
+    }
+  }
+}
+
 /** Stream offset = number of commits consumed (absolute, monotone —
   * exactly a lake format's "snapshot id as offset"). */
 case class GraftStreamOffset(commits: Int)
@@ -821,11 +1581,38 @@ class GraftMicroBatchStream(tableName: String,
   * so the sink stays exactly-once (Complete mode truncates per epoch
   * through the same SupportsTruncate flag). */
 class GraftWriteBuilder(tableName: String, writeSchema: StructType,
-    replace: Boolean, queryId: String = "")
+    replace: Boolean, queryId: String = "",
+    clusterFields: Array[GraftPartField] = Array.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
+
+  /** Append into a PARTITIONED table requests clustering by the
+    * partition columns (`RequiresDistributionAndOrdering`): Spark
+    * inserts the exchange so each write task holds whole partitions —
+    * the optimized-write shape real formats use to avoid emitting one
+    * small file per (task × partition). Not strictly required: tiny
+    * inserts may skip the shuffle (AQE's call), which is also the
+    * production behavior. */
+  override def build(): Write =
+    if (clusterFields.isEmpty) baseWrite
+    else new Write with RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(clusterFields.map(
+          GraftPartField.toTransform(_)
+            : org.apache.spark.sql.connector.expressions.Expression))
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def distributionStrictlyRequired(): Boolean = false
+      override def toBatch: BatchWrite = baseWrite.toBatch
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        baseWrite.toStreaming
+    }
+
+  private lazy val baseWrite: Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
           : DataWriterFactory = GraftWriterFactory(writeSchema, replace)
@@ -835,7 +1622,9 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
         // atomic read-modify-write: the base read and the snapshot swap
         // are one GraftTableStore.mutate step, so a concurrent commit
         // cannot interleave between them
-        GraftTableStore.mutate(tableName) { base =>
+        GraftTableStore.mutate(tableName,
+          if (replace) "replace"
+          else if (doTruncate) "truncate" else "append") { base =>
           (if (replace || doTruncate) Array.empty[InternalRow] else base) ++
             incoming
         }
@@ -856,7 +1645,8 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
             return // WAL replay of an already-committed epoch
           val incoming = messages
             .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
-          GraftTableStore.mutate(tableName) { base =>
+          GraftTableStore.mutate(tableName,
+            if (doTruncate) "stream-complete" else "stream-append") { base =>
             (if (doTruncate) Array.empty[InternalRow] else base) ++
               incoming
           }
@@ -945,7 +1735,7 @@ class GraftDeltaWrite(table: GraftMergeTable, rowIdCol: String,
       // inserts appended) — the compaction a merge-on-read reader
       // performs at scan time, applied here at commit because the
       // in-JVM store keeps materialized snapshots
-      GraftTableStore.mutate(table.name()) { base =>
+      GraftTableStore.mutate(table.name(), "delta") { base =>
         val deletes = scala.collection.mutable.HashSet[Any]()
         val updates = scala.collection.mutable.HashMap[Any, InternalRow]()
         val inserts = scala.collection.mutable.ArrayBuffer[InternalRow]()

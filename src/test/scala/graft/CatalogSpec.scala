@@ -309,6 +309,118 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.fpush_t")
   }
 
+  test("partitioned scan: one input partition per value, partition-only " +
+      "predicates prune partitions statically") {
+    SparkEntry.queries("scan_partitioned_prune")(spark, sf).count()
+    val r = graft.sources.GraftScanMetrics.lastScan("graft.lake_orders")
+    assert(r.totalPartitions == 5 && r.keptPartitions == 2,
+      s"expected 2/5 partitions kept after static pruning, got $r")
+    assert(r.runtimeEmptied == 0, s"no runtime filter in this query: $r")
+  }
+
+  test("runtime (dynamic) partition pruning empties the partitions a " +
+      "selective join excludes — without changing partition identity") {
+    SparkEntry.queries("join_runtime_prune")(spark, sf).count()
+    val r = graft.sources.GraftScanMetrics.lastScan("graft.dpp_orders")
+    assert(r.totalPartitions == 5 && r.keptPartitions == 5,
+      s"static pruning must not fire (no pushable partition filter): $r")
+    assert(r.runtimeEmptied == 3,
+      s"expected the 3 cold partitions emptied at runtime, got $r")
+  }
+
+  test("governed scan reports post-pushdown statistics (row count + " +
+      "bytes) to the optimizer") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.stats_t")
+    spark.sql("CREATE TABLE graft.stats_t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.stats_t VALUES (1, 'a'), (2, 'b'), " +
+      "(3, 'c'), (4, 'd')")
+    val full = spark.table("graft.stats_t")
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.contains(BigInt(4)),
+      s"expected rowCount=4, got $fullStats")
+    assert(fullStats.sizeInBytes > 0 && fullStats.sizeInBytes < 10000,
+      s"expected a small exact size, got $fullStats")
+    // the estimate is filter-aware: a pushed predicate shrinks the
+    // relation's size estimate (the Filter node above the scan
+    // propagates size-only stats, so compare sizeInBytes)
+    val filtered = spark.table("graft.stats_t").where(col("k") > 2L)
+    val fStats = filtered.queryExecution.optimizedPlan.stats
+    assert(fStats.sizeInBytes < fullStats.sizeInBytes,
+      s"pushed-filter stats not applied: $fStats vs full $fullStats")
+    spark.sql("DROP TABLE graft.stats_t")
+  }
+
+  test("the .partitions metadata table serves per-partition counts; " +
+      "unpartitioned tables refuse it") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pm_t")
+    spark.sql("CREATE TABLE graft.pm_t (k BIGINT, b BIGINT) " +
+      "PARTITIONED BY (bucket(4, b))")
+    spark.sql("INSERT INTO graft.pm_t " +
+      "SELECT id, id FROM range(10)")
+    val rows = spark.table("graft.pm_t.partitions")
+      .orderBy("b_bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    // ids 0..9 floorMod 4 → buckets 0,1 hold 3 rows; 2,3 hold 2
+    assert(rows.toSeq == Seq((0, 3L), (1, 3L), (2, 2L), (3, 2L)),
+      s"bucketed partition counts wrong: ${rows.mkString(", ")}")
+    spark.sql("DROP TABLE IF EXISTS graft.pm_flat")
+    spark.sql("CREATE TABLE graft.pm_flat (k BIGINT)")
+    val ex = intercept[Exception] {
+      spark.table("graft.pm_flat.partitions").collect()
+    }
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pm_t")
+    spark.sql("DROP TABLE graft.pm_flat")
+  }
+
+  test("pushed GLOBAL aggregate over an empty table returns one row: " +
+      "COUNT 0, MIN/MAX NULL") {
+    freshCatalog()
+    import org.apache.spark.sql.functions.{count, max, min}
+    spark.sql("DROP TABLE IF EXISTS graft.agge_t")
+    spark.sql("CREATE TABLE graft.agge_t (k BIGINT, v DOUBLE)")
+    val df = spark.table("graft.agge_t")
+      .agg(count(col("k")), min(col("v")), max(col("v")))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"), "aggregate not pushed")
+    val rows = df.collect()
+    assert(rows.length == 1, s"global agg must return ONE row, " +
+      s"got ${rows.length} (SQL empty-aggregate semantics)")
+    assert(rows(0).getLong(0) == 0L && rows(0).isNullAt(1) &&
+      rows(0).isNullAt(2), s"wrong empty-aggregate row: ${rows(0)}")
+    spark.sql("DROP TABLE graft.agge_t")
+  }
+
+  test("TRUNCATE TABLE is a metadata-only empty commit; time travel " +
+      "to the pre-truncate version survives") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.trunc_t")
+    spark.sql("CREATE TABLE graft.trunc_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.trunc_t SELECT id FROM range(7)") // v0
+    spark.sql("TRUNCATE TABLE graft.trunc_t") // v1
+    assert(spark.table("graft.trunc_t").count() == 0)
+    assert(spark.sql(
+      "SELECT * FROM graft.trunc_t VERSION AS OF 0").count() == 7)
+    val ops = graft.sources.GraftTableStore.history("graft.trunc_t")
+      .map(_._2)
+    assert(ops == Vector("append", "truncate"), s"op log: $ops")
+    spark.sql("DROP TABLE graft.trunc_t")
+  }
+
+  test("table_history reads the commit log: operation kinds + row " +
+      "counts per version") {
+    val rows = SparkEntry.queries("table_history")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("append", "delta", "delta", "append"),
+      s"operation log wrong: ${rows.mkString(", ")}")
+    // v1 (MoR DELETE) must shrink the count; v3 (INSERT) must grow it
+    assert(rows(1)._3 < rows(0)._3 && rows(3)._3 > rows(2)._3,
+      s"row counts inconsistent with the statements: ${rows.mkString(", ")}")
+  }
+
   test("plain-append writer REJECTS a one-wider row; replace path skips " +
       "the operation column") {
     val schema = StructType(Seq(

@@ -702,6 +702,100 @@ class PlanSpec extends AnyFunSuite {
       s"url dedup shuffles more than the canonical-key agg:\n$p")
   }
 
+  test("join_governed_broadcast: reported scan statistics drive a " +
+      "STATIC broadcast plan, no hint") {
+    // the point of SupportsReportStatistics: Catalyst's INITIAL plan
+    // (pre-AQE — sparkPlan, not executedPlan) must already choose the
+    // broadcast join from the scan's own size estimate. An AQE runtime
+    // conversion would also end at BroadcastHashJoin, so asserting the
+    // executed plan would prove nothing about stats.
+    val df = SparkEntry.queries("join_governed_broadcast")(spark, sf)
+    val analyzed = df.queryExecution.analyzed.treeString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"the query must not hint the broadcast:\n$analyzed")
+    val initial = df.queryExecution.sparkPlan.toString
+    assert(initial.contains("BroadcastHashJoin"),
+      s"governed dim not statically broadcast from scan stats:\n$initial")
+    assert(!initial.contains("SortMergeJoin"),
+      s"dim join degraded to SMJ:\n$initial")
+  }
+
+  test("join_storage_partitioned: co-partitioned governed tables join " +
+      "with ZERO shuffle exchanges") {
+    val df = SparkEntry.queries("join_storage_partitioned")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"expected the (hinted) sort-merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"storage-partitioned join still shuffled a side:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"a side was broadcast — SPJ not exercised:\n$p")
+  }
+
+  test("join_bucketed_spj: bucket-transform co-partitioning joins " +
+      "with no join-side shuffle") {
+    val df = SparkEntry.queries("join_bucketed_spj")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"expected the (hinted) sort-merge join:\n$p")
+    // the ONLY hash exchange allowed is the post-join segment
+    // aggregate; a second one would mean a join side shuffled
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"bucketed SPJ still shuffled a join side ($exchanges hash " +
+        s"exchanges):\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"a side was broadcast — SPJ not exercised:\n$p")
+  }
+
+  test("governed top-N pushdown: ORDER BY + LIMIT reaches the scan, " +
+      "TakeOrdered merges above") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.topn_t")
+    spark.sql("CREATE TABLE graft.topn_t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.topn_t VALUES (1, 1.0), (2, 4.0), " +
+      "(3, 2.0), (4, 3.0)")
+    val df = spark.table("graft.topn_t")
+      .orderBy(org.apache.spark.sql.functions.col("v").desc).limit(2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedTopN=[v DESC LIMIT 2]"),
+      s"top-N did not reach the scan:\n$p")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L),
+      "pushed top-N returned wrong rows")
+    spark.sql("DROP TABLE graft.topn_t")
+  }
+
+  test("append into a partitioned governed table requests clustering " +
+      "by the partition columns") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.wc_t")
+    spark.sql("CREATE TABLE graft.wc_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    val cmd = spark.sql("INSERT INTO graft.wc_t " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS p FROM range(100)")
+    val p = cmd.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange"),
+      s"partitioned append did not request a write distribution:\n$p")
+    assert(spark.table("graft.wc_t").count() == 100)
+    spark.sql("DROP TABLE graft.wc_t")
+  }
+
+  test("agg_pushdown_scan: COUNT/MIN/MAX answered by the store, no " +
+      "data rows shipped") {
+    val df = SparkEntry.queries("agg_pushdown_scan")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAggScan"),
+      s"aggregate did not push into the governed scan:\n$p")
+    assert(p.contains("pushedAggregates="),
+      s"scan description missing the pushed aggregate list:\n$p")
+  }
+
   test("ts_lag_features stacks all four frames on one user_id exchange") {
     val p = plan("ts_lag_features")
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
