@@ -24,7 +24,14 @@ object Bench {
   // (sim_ivf_refit 1.03, cdc_table_changes 1.17, merge_into_mor 0.83,
   // stream_table_read 0.47, sql_delete_mor 0.20); the 290-id closing
   // drives read 192.6 s fixture-cold / 168.5 s warm idle
-  private val BaselineWarmSec = 181.0
+  // round-9 third wave: 181 + ~6 s for the 9 lake-scan ids (measured
+  // in-bench: join_runtime_prune 1.03, join_bucketed_spj 0.96,
+  // join_storage_partitioned 0.79, agg_pushdown_scan 0.75,
+  // scan_partitioned_prune 0.67, table_partitions 0.52,
+  // join_governed_broadcast 0.32, table_history 0.30, plus
+  // sink_partition_overwrite ~0.7 est — each seeds its own governed
+  // orders/customer copy, which is the bulk of its cost)
+  private val BaselineWarmSec = 187.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -114,7 +121,10 @@ object Bench {
     "sql_alter_evolve" -> 1.5,
     // round-9: seed + 3 commits + feed replay / signed-delta agg
     "cdc_apply_feed" -> 1.5,
-    "cdc_incremental_agg" -> 1.5)
+    "cdc_incremental_agg" -> 1.5,
+    // round-9 third wave: seeds a 150k-row governed orders copy, then
+    // the DPP-filtered join; measured 1.03 s in-bench
+    "join_runtime_prune" -> 1.5)
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin

@@ -232,6 +232,27 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // DYNAMIC PARTITION OVERWRITE — the idempotent backfill primitive:
+    // `INSERT OVERWRITE` under partitionOverwriteMode=dynamic replaces
+    // ONLY the partitions the incoming batch contains (here: the
+    // 1-URGENT partition gets re-priced rows), never touching the
+    // rest — re-running a day's backfill job replaces that day,
+    // exactly-once by construction. The static-predicate overwrite
+    // twin and the commit-log op kinds are pinned in CatalogSpec.
+    "sink_partition_overwrite" -> ((s, d) => {
+      seedOrders(s, d, "ovw_orders", partitioned = true)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s.sql("INSERT OVERWRITE graft.ovw_orders " +
+        "SELECT o_orderkey, o_orderpriority, o_orderstatus, " +
+        "o_totalprice + 1.0 FROM ovw_orders_src " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      s.table("graft.ovw_orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
     // the `.partitions` METADATA TABLE (Iceberg's shape): per-partition
     // row counts of the current snapshot, answered from the store's
     // partition grouping — no data scan. This is the readout partition
@@ -300,6 +321,12 @@ object LakeOps extends QueryModule {
       """SELECT o_orderstatus, COUNT(o_orderkey) AS n_orders,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sink_partition_overwrite" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |      THEN o_totalprice + 1.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "table_partitions" ->
       """SELECT o_orderpriority, COUNT(*) AS row_count
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

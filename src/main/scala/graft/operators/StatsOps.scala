@@ -402,6 +402,51 @@ object StatsOps extends QueryModule {
         .orderBy("digit")
     }),
 
+    // ── Welch two-sample t-test (unequal variances) ──
+    // The parametric complement of profile_mannwhitney: does mean
+    // purchase value differ between the even and odd user cohorts?
+    // Welch's form with the Satterthwaite df is the correct default —
+    // pooled-variance Student's t silently assumes homoscedasticity,
+    // which real metric pairs rarely satisfy. Moments are exact
+    // integer cents (Σx, Σx² — profile_power's discipline), so the
+    // divisions/sqrt run once on exactly-determined doubles and both
+    // engines evaluate the identical IEEE tree; t and df are
+    // quantized at StatScale for the hash compare. Scale: ONE
+    // map-side-combined global aggregate — the shuffle carries six
+    // numbers regardless of corpus size.
+    "profile_ttest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("g"),
+          floor(col("value") * 100 + 0.5).cast(LongType).as("iv"))
+      val a = ev.agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") =!= 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 0, col("iv"))).as("s1"),
+        sum(when(col("g") =!= 0, col("iv"))).as("s2"),
+        sum(when(col("g") === 0, col("iv") * col("iv"))).as("q1"),
+        sum(when(col("g") =!= 0, col("iv") * col("iv"))).as("q2"))
+      def dd(c: String) = col(c).cast(DoubleType)
+      val n1 = dd("n1"); val n2 = dd("n2")
+      // sample variances from the exact moment sums, cents²
+      val v1 = (dd("q1") - dd("s1") * dd("s1") / n1) / (n1 - 1.0)
+      val v2 = (dd("q2") - dd("s2") * dd("s2") / n2) / (n2 - 1.0)
+      val se2 = v1 / n1 + v2 / n2
+      val delta = dd("s1") / n1 - dd("s2") / n2
+      val t = delta / sqrt(se2)
+      val df = se2 * se2 /
+        ((v1 / n1) * (v1 / n1) / (n1 - 1.0) +
+          (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+      // both variances need df ≥ 1; a zero standard error (constant
+      // values both cohorts) has no finite t — NULL, not ±Inf, so the
+      // engines cannot diverge on the degenerate shape
+      val ok = col("n1") > 1 && col("n2") > 1 && se2 > 0
+      a.select(col("n1"), col("n2"),
+        (floor(delta * StatScale + 0.5) / StatScale / 100.0).as("delta"),
+        when(ok, floor(t * StatScale + 0.5) / StatScale).as("t_stat"),
+        when(ok, floor(df * StatScale + 0.5) / StatScale).as("df"))
+    }),
+
     // ── A/B power analysis: required n per arm for the observed gap ──
     // The question every experiment review asks FIRST: "could this test
     // even have detected the effect?" n = 2s²(z_α/2+z_β)²/δ² at α=0.05,
@@ -878,6 +923,43 @@ object StatsOps extends QueryModule {
         |      * $StatScale + 0.5) / $StatScale
         |  END AS survival
         |FROM cum ORDER BY t""".stripMargin,
+    "profile_ttest" ->
+      s"""WITH ev AS (SELECT user_id % 2 AS g,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS iv
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN g <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g = 0 THEN iv END) AS BIGINT) AS s1,
+        |    CAST(SUM(CASE WHEN g <> 0 THEN iv END) AS BIGINT) AS s2,
+        |    CAST(SUM(CASE WHEN g = 0 THEN iv * iv END) AS BIGINT) AS q1,
+        |    CAST(SUM(CASE WHEN g <> 0 THEN iv * iv END) AS BIGINT) AS q2
+        |  FROM ev),
+        |b AS (SELECT n1, n2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS delta
+        |  FROM a),
+        |c AS (SELECT n1, n2, delta, v1, v2,
+        |    v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        |  FROM b)
+        |SELECT n1, n2,
+        |  floor(delta * $StatScale + 0.5) / $StatScale / 100.0 AS delta,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0 THEN
+        |    floor(delta / sqrt(se2) * $StatScale + 0.5) / $StatScale
+        |  END AS t_stat,
+        |  CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0 THEN
+        |    floor(se2 * se2
+        |      / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+        |          / (CAST(n1 AS DOUBLE) - 1.0)
+        |        + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+        |          / (CAST(n2 AS DOUBLE) - 1.0))
+        |      * $StatScale + 0.5) / $StatScale
+        |  END AS df
+        |FROM c""".stripMargin,
     "profile_power" ->
       s"""WITH ev AS (SELECT
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,

@@ -583,7 +583,8 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
   // MICRO_BATCH_READ
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE) ++
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC) ++
       (if (pinnedVersion.isEmpty)
         Set(TableCapability.MICRO_BATCH_READ,
           TableCapability.STREAMING_WRITE)
@@ -805,6 +806,13 @@ object GraftFilterEval {
   def compile(f: Filter, schema: StructType)
       : Option[InternalRow => Boolean] = f match {
     case EqualTo(a, v) => cmp(schema, a, v).map(c => r => c(r).contains(0))
+    // null-safe equality (how INSERT OVERWRITE partition specs arrive):
+    // NULL <=> NULL is true, NULL <=> value is false
+    case EqualNullSafe(a, null) =>
+      val ord = schema.fieldNames.indexOf(a)
+      if (ord < 0) None else Some(r => r.isNullAt(ord))
+    case EqualNullSafe(a, v) =>
+      cmp(schema, a, v).map(c => r => c(r).contains(0))
     case GreaterThan(a, v) =>
       cmp(schema, a, v).map(c => r => c(r).exists(_ > 0))
     case GreaterThanOrEqual(a, v) =>
@@ -1583,9 +1591,41 @@ class GraftMicroBatchStream(tableName: String,
 class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     replace: Boolean, queryId: String = "",
     clusterFields: Array[GraftPartField] = Array.empty)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+    with SupportsDynamicOverwrite {
+  import org.apache.spark.sql.sources.Filter
   private var doTruncate = false
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  // `INSERT OVERWRITE` — both lake overwrite modes:
+  //  - STATIC (the default `partitionOverwriteMode`): Spark hands the
+  //    partition-spec predicate over; committed rows matching it are
+  //    replaced by the incoming batch (a full overwrite arrives as
+  //    truncate() via SupportsTruncate). canOverwrite accepts only
+  //    predicates the store can evaluate — anything else falls back to
+  //    Spark's error rather than silently deleting the wrong rows.
+  //  - DYNAMIC: only the partitions the incoming batch actually
+  //    CONTAINS are replaced (Hive/Delta dynamic partition overwrite —
+  //    the idempotent backfill primitive: re-running a day's job
+  //    replaces that day, never touching the rest).
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case f => GraftFilterEval.compile(f, writeSchema).isDefined
+    }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteFilters = Some(filters)
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(clusterFields.nonEmpty,
+      s"$tableName: dynamic partition overwrite requires a " +
+        "partitioned table")
+    dynamicOverwrite = true
+    this
+  }
 
   /** Append into a PARTITIONED table requests clustering by the
     * partition columns (`RequiresDistributionAndOrdering`): Spark
@@ -1619,14 +1659,55 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         val incoming = messages
           .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
+        val op =
+          if (replace) "replace"
+          else if (doTruncate) "truncate"
+          else if (dynamicOverwrite) "dynamic-overwrite"
+          else if (overwriteFilters.isDefined) "overwrite"
+          else "append"
         // atomic read-modify-write: the base read and the snapshot swap
         // are one GraftTableStore.mutate step, so a concurrent commit
         // cannot interleave between them
-        GraftTableStore.mutate(tableName,
-          if (replace) "replace"
-          else if (doTruncate) "truncate" else "append") { base =>
-          (if (replace || doTruncate) Array.empty[InternalRow] else base) ++
-            incoming
+        GraftTableStore.mutate(tableName, op) { base =>
+          // pre-evolution rows are narrower than the current schema —
+          // overwrite predicates and partition keys evaluate against
+          // the padded full-schema view, originals are what survive
+          val padded = GraftChangeFeed.padTo(base, writeSchema.length)
+          val kept: Array[InternalRow] =
+            if (replace || doTruncate) Array.empty[InternalRow]
+            else if (dynamicOverwrite) {
+              val keyProj = org.apache.spark.sql.catalyst.expressions
+                .UnsafeProjection.create(clusterFields.map(
+                  GraftPartField.keyExpr(_, writeSchema)).toIndexedSeq)
+              val incomingKeys =
+                incoming.map(r => keyProj(r).copy()).toSet
+              // lookup-only projection: contains() reads the reused
+              // buffer in place, no copy needed
+              base.indices.collect {
+                case i if !incomingKeys.contains(keyProj(padded(i)))
+                  => base(i)
+              }.toArray
+            } else overwriteFilters match {
+              case Some(fs) =>
+                // canOverwrite gated acceptance; recheck so an
+                // unevaluable filter can never silently widen the
+                // delete set (an uncompiled filter would read as TRUE)
+                require(fs.forall {
+                  case _: org.apache.spark.sql.sources.AlwaysTrue => true
+                  case f =>
+                    GraftFilterEval.compile(f, writeSchema).isDefined
+                }, s"unevaluable overwrite predicate: ${fs.mkString(",")}")
+                val preds = fs.flatMap(
+                  GraftFilterEval.compile(_, writeSchema))
+                val hasAll = fs.exists(
+                  _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+                base.indices.collect {
+                  case i if !(hasAll || preds.forall(_(padded(i))))
+                    => base(i)
+                }.toArray
+              case None => base
+            }
+          kept ++ incoming
         }
       }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()

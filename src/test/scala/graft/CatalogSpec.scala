@@ -375,6 +375,35 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pm_flat")
   }
 
+  test("INSERT OVERWRITE: static predicate replaces matching rows, " +
+      "dynamic mode replaces only written partitions; ops logged") {
+    freshCatalog()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.sql("DROP TABLE IF EXISTS graft.ovw_t")
+    spark.sql("CREATE TABLE graft.ovw_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.ovw_t VALUES (1, 'a'), (2, 'b'), " +
+      "(3, 'c')") // v0
+    // STATIC: the partition-spec predicate scopes the replacement
+    spark.sql("INSERT OVERWRITE graft.ovw_t PARTITION (p = 'a') " +
+      "SELECT 10") // v1
+    def state() = spark.table("graft.ovw_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() == Set((10L, "a"), (2L, "b"), (3L, "c")),
+      s"static overwrite wrong: ${state()}")
+    // DYNAMIC: only partitions present in the batch are replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT OVERWRITE graft.ovw_t VALUES (20, 'b')") // v2
+    assert(state() == Set((10L, "a"), (20L, "b"), (3L, "c")),
+      s"dynamic overwrite wrong: ${state()}")
+    val ops = graft.sources.GraftTableStore.history("graft.ovw_t")
+      .map(_._2)
+    assert(ops == Vector("append", "overwrite", "dynamic-overwrite"),
+      s"op log: $ops")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.sql("DROP TABLE graft.ovw_t")
+  }
+
   test("pushed GLOBAL aggregate over an empty table returns one row: " +
       "COUNT 0, MIN/MAX NULL") {
     freshCatalog()

@@ -1030,4 +1030,33 @@ class StatsSpec extends AnyFunSuite {
       assert(math.abs(r.getAs[Double]("roll7_mean") - mean) < 1e-6)
     }
   }
+
+  test("profile_ttest matches a direct Welch computation") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("profile_ttest")(spark, sf).collect()(0)
+    // re-derive from the raw events in plain Scala
+    val vals = Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("g"),
+        floor(col("value") * 100 + 0.5).cast("long").as("iv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val a = vals.filter(_._1 == 0L).map(_._2.toDouble)
+    val b = vals.filter(_._1 != 0L).map(_._2.toDouble)
+    def sampleVar(xs: Array[Double]): Double = {
+      val n = xs.length.toDouble
+      (xs.map(x => x * x).sum - xs.sum * xs.sum / n) / (n - 1.0)
+    }
+    val se2 = sampleVar(a) / a.length + sampleVar(b) / b.length
+    val tExp = (a.sum / a.length - b.sum / b.length) / math.sqrt(se2)
+    val dfExp = se2 * se2 /
+      (math.pow(sampleVar(a) / a.length, 2) / (a.length - 1) +
+        math.pow(sampleVar(b) / b.length, 2) / (b.length - 1))
+    assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
+    assert(math.abs(row.getAs[Double]("t_stat") - tExp) < 1e-3,
+      s"t=${row.getAs[Double]("t_stat")} vs direct $tExp")
+    assert(math.abs(row.getAs[Double]("df") - dfExp) < 1e-2,
+      s"df=${row.getAs[Double]("df")} vs direct $dfExp")
+    // Satterthwaite df can never exceed the pooled df
+    assert(row.getAs[Double]("df") <= a.length + b.length - 2.0)
+  }
 }
