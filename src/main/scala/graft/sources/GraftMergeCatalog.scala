@@ -682,7 +682,8 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   // where the two interfaces' default methods meet): Spark re-applies
   // the global limit/sort above, the pushdown only bounds what ships
   // out of the scan.
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (agg.isDefined) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   // ORDER BY ... LIMIT n pushdown (top-N): the store sorts surviving
@@ -697,6 +698,7 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
+    if (agg.isDefined) return false
     val keys = orders.map { so =>
       so.expression() match {
         case r: NamedReference if r.fieldNames().length == 1 =>
@@ -750,13 +752,21 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
         case _ => false
       }
   }
+  // the aggregate scan ignores filters and limits by construction, so
+  // it must never coexist with them: today Spark only pushes
+  // aggregates when no post-scan filter remains (and ours are all
+  // residual), but that is SPARK's invariant — this guard makes it
+  // OURS, so a future planner change could only cost the pushdown,
+  // never correctness
+  private def aggCompatible: Boolean =
+    pushed.isEmpty && limit.isEmpty && topN.isEmpty
   override def supportCompletePushDown(a: Aggregation): Boolean =
-    aggSupported(a)
+    aggCompatible && aggSupported(a)
   override def pushAggregation(a: Aggregation): Boolean = {
     // complete-or-nothing: when supportCompletePushDown said no, this
     // must decline too — the scan does not implement the partial
     // (per-input-partition intermediate rows) contract
-    if (!aggSupported(a)) return false
+    if (!aggCompatible || !aggSupported(a)) return false
     agg = Some(a)
     true
   }
@@ -1011,7 +1021,76 @@ class GraftScan(tableName: String, tableSchema: StructType,
         java.util.OptionalLong.of(scaled)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(limited)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        graftColumnStats
     }
+  }
+
+  /** Per-column CBO statistics (ndv / nullCount / numeric min+max) for
+    * the surviving projected columns — `transformV2Stats` translates
+    * these into catalyst ColumnStat under spark.sql.cbo.enabled, which
+    * is what lets join reordering and selectivity estimation treat a
+    * governed table like an ANALYZE'd one (a lake format serves the
+    * same numbers from manifest/footer stats; the store computes them
+    * exactly). Lazy: only a CBO-enabled plan pays the pass. */
+  private lazy val graftColumnStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import org.apache.spark.sql.types._
+    val m = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    outSchema.fields.foreach { f =>
+      val ord = tableSchema.fieldIndex(f.name)
+      val dt = f.dataType
+      val numeric = dt match {
+        case LongType | IntegerType | DoubleType | DateType => true
+        case _ => false
+      }
+      dt match {
+        case LongType | IntegerType | DoubleType | DateType | StringType =>
+          val seen = new java.util.HashSet[Any]()
+          var nulls = 0L
+          var minV: Any = null
+          var maxV: Any = null
+          val ordering = dt match {
+            case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
+            case IntegerType | DateType =>
+              Ordering.Int.on[Any](_.asInstanceOf[Int])
+            case _ => Ordering.Double.TotalOrdering
+              .on[Any](_.asInstanceOf[Double])
+          }
+          grouped._2.iterator.flatMap(_._2.iterator).foreach { r =>
+            if (r.isNullAt(ord)) nulls += 1
+            else {
+              val v = r.get(ord, dt)
+              seen.add(v match {
+                case u: org.apache.spark.unsafe.types.UTF8String =>
+                  u.toString
+                case other => other
+              })
+              if (numeric) {
+                if (minV == null || ordering.lt(v, minV)) minV = v
+                if (maxV == null || ordering.gt(v, maxV)) maxV = v
+              }
+            }
+          }
+          val (mn, mx, nd, nc) = (minV, maxV, seen.size.toLong, nulls)
+          m.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nd)
+            override def nullCount(): java.util.OptionalLong =
+              java.util.OptionalLong.of(nc)
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(mn.asInstanceOf[Object])
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(mx.asInstanceOf[Object])
+          })
+        case _ => // complex / binary columns carry no column stats
+      }
+    }
+    m
   }
 
   // ---- storage partitioning (SupportsReportPartitioning) ------------

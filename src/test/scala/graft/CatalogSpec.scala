@@ -351,6 +351,76 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("composition: a PARTITIONED merge-on-read table — native MERGE " +
+      "plans WriteDelta, .partitions tracks the change, time travel " +
+      "and the change feed span it") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pmor_t")
+    spark.sql("CREATE TABLE graft.pmor_t (k BIGINT, seg STRING, " +
+      "v DOUBLE) PARTITIONED BY (seg) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pmor_t " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, " +
+      "CAST(id AS DOUBLE) FROM range(10)") // v0: a=5 rows, b=5 rows
+    spark.sql("SELECT 7 AS k UNION ALL SELECT 9")
+      .createOrReplaceTempView("pmor_del")
+    val m = spark.sql(
+      """MERGE INTO graft.pmor_t t USING pmor_del s ON t.k = s.k
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 0 THEN
+        |  UPDATE SET v = t.v + 100.0
+        |""".stripMargin)
+    assert(m.queryExecution.executedPlan.toString.contains("WriteDelta"),
+      "partitioned MoR MERGE did not plan as WriteDelta")
+    // partition metadata reflects the delta commit: b lost rows 7 and 9
+    val parts = spark.table("graft.pmor_t.partitions")
+      .orderBy("seg").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.toSeq == Seq(("a", 5L), ("b", 3L)),
+      s"partition counts after MoR delete wrong: ${parts.mkString(", ")}")
+    // the updated row landed; time travel still serves v0 intact
+    assert(spark.sql("SELECT v FROM graft.pmor_t WHERE k = 0")
+      .collect()(0).getDouble(0) == 100.0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.pmor_t VERSION AS OF 0")
+      .collect()(0).getLong(0) == 10L)
+    // the change feed attributes the delta commit's rows
+    val changes = spark.read.option("startingVersion", "1")
+      .table("graft.pmor_t.changes")
+      .select("k", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((7L, "delete"), (9L, "delete"),
+      (0L, "update_preimage"), (0L, "update_postimage")),
+      s"change feed across the partitioned MoR commit wrong: $changes")
+    spark.sql("DROP TABLE graft.pmor_t")
+  }
+
+  test("governed scan serves per-column CBO statistics: ndv, nulls, " +
+      "numeric min/max") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cbo_t")
+    spark.sql("CREATE TABLE graft.cbo_t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.cbo_t VALUES (1, 'a'), (2, 'a'), " +
+      "(2, 'b'), (9, NULL)")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("graft.cbo_t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.attributeStats.nonEmpty,
+        s"no column stats surfaced to the optimizer: $stats")
+      val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+      val k = byName("k")
+      assert(k.distinctCount.contains(BigInt(3)) &&
+        k.nullCount.contains(BigInt(0)) &&
+        k.min.contains(1L) && k.max.contains(9L),
+        s"k column stats wrong: $k")
+      val s2 = byName("s")
+      assert(s2.distinctCount.contains(BigInt(2)) &&
+        s2.nullCount.contains(BigInt(1)),
+        s"s column stats wrong: $s2")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.sql("DROP TABLE graft.cbo_t")
+  }
+
   test("the .partitions metadata table serves per-partition counts; " +
       "unpartitioned tables refuse it") {
     freshCatalog()
