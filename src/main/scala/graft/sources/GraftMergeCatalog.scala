@@ -592,7 +592,7 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(tableName, tableSchema,
-    pinnedVersion, partFields)
+    pinnedVersion, partFields, options)
 
   // plain writes (INSERT INTO seeds the table; TRUNCATE for resets).
   // A version-pinned reference is READ-ONLY: writing "to the past"
@@ -650,7 +650,8 @@ class GraftRowLevelOperation(table: GraftMergeTable,
   * description carries both lists (tests assert them). */
 class GraftScanBuilder(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int],
-    partFields: Array[GraftPartField] = Array.empty)
+    partFields: Array[GraftPartField] = Array.empty,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -776,7 +777,7 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
       new GraftAggScan(tableName, tableSchema, pinnedVersion, a)
     case None =>
       new GraftScan(tableName, tableSchema, pinnedVersion, required,
-        pushed, partFields, limit, topN)
+        pushed, partFields, limit, topN, options)
   }
 }
 
@@ -873,7 +874,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
       Array.empty,
     partFields: Array[GraftPartField] = Array.empty,
     limit: Option[Int] = None,
-    topN: Option[(Array[GraftSortKey], Int)] = None)
+    topN: Option[(Array[GraftSortKey], Int)] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
@@ -895,7 +897,9 @@ class GraftScan(tableName: String, tableSchema: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(tableName, tableSchema, outSchema)
+    new GraftMicroBatchStream(tableName, tableSchema, outSchema,
+      maxRowsPerTrigger = options.getLong("maxRowsPerTrigger", -1L),
+      maxCommitsPerTrigger = options.getLong("maxCommitsPerTrigger", -1L))
   override def description(): String = {
     val at = pinnedVersion.map(v => s"@v$v").getOrElse("")
     val fs =
@@ -1445,8 +1449,9 @@ class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
         "with a row id (copy-on-write commits carry no per-row " +
         "lineage to diff by)")
     val from = options.getInt("startingVersion", 0)
+    val maxCommits = options.getLong("maxCommitsPerTrigger", -1L)
     () => new GraftCdfScan(base.name(), base.schema(),
-      base.schema().fieldIndex(base.morRowId.get), from)
+      base.schema().fieldIndex(base.morRowId.get), from, maxCommits)
   }
 }
 
@@ -1458,7 +1463,8 @@ class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
   * breaking the append-only contract), which is exactly why lake
   * formats point mutating-table consumers at the change feed. */
 class GraftCdfScan(tableName: String, tableSchema: StructType,
-    idOrd: Int, startingVersion: Int) extends Scan with Batch {
+    idOrd: Int, startingVersion: Int, maxCommitsPerTrigger: Long = -1L)
+    extends Scan with Batch {
   override def readSchema(): StructType =
     GraftChangeFeed.cdfSchema(tableSchema)
   override def toBatch: Batch = this
@@ -1473,13 +1479,42 @@ class GraftCdfScan(tableName: String, tableSchema: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftCdfMicroBatchStream(tableName, tableSchema, idOrd,
-      startingVersion)
+      startingVersion, maxCommitsPerTrigger)
 }
 
 class GraftCdfMicroBatchStream(tableName: String,
-    tableSchema: StructType, idOrd: Int, startingVersion: Int)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    tableSchema: StructType, idOrd: Int, startingVersion: Int,
+    maxCommitsPerTrigger: Long = -1L)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // same admission-control contract as the content stream
+  // ([[GraftMicroBatchStream]]): maxCommitsPerTrigger bounds commits
+  // per micro-batch (the CDF's natural unit — each commit's change
+  // rows arrive together), AvailableNow freezes the drain target.
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftTableStore.commitCount(tableName))
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxCommitsPerTrigger > 0)
+      ReadLimit.maxFiles(maxCommitsPerTrigger.toInt)
+    else ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
+    val s = start.asInstanceOf[GraftStreamOffset].commits
+    val latest = availableNowCap
+      .map(math.min(_, GraftTableStore.commitCount(tableName)))
+      .getOrElse(GraftTableStore.commitCount(tableName))
+    def applyOne(l: ReadLimit, cap: Int): Int = l match {
+      case f: ReadMaxFiles => math.min(cap, s + f.maxFiles())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(cap)((acc, one) => applyOne(one, acc))
+      case _ => cap
+    }
+    GraftStreamOffset(applyOne(limit, latest))
+  }
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
   override def latestOffset(): Offset =
@@ -1610,9 +1645,12 @@ case class GraftStreamOffset(commits: Int)
   * version-history as long as the range is inside the retention
   * window (StreamingSpec pins both). */
 class GraftMicroBatchStream(tableName: String,
-    tableSchema: StructType, outSchema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    tableSchema: StructType, outSchema: StructType,
+    maxRowsPerTrigger: Long = -1L, maxCommitsPerTrigger: Long = -1L)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def snapAt(commits: Int): Array[InternalRow] =
     if (commits == 0) Array.empty
@@ -1625,6 +1663,66 @@ class GraftMicroBatchStream(tableName: String,
     GraftStreamOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control (SupportsAdmissionControl) -----------------
+  //
+  // The source PACES itself instead of delivering everything that
+  // arrived since the last trigger: `option("maxCommitsPerTrigger")`
+  // bounds commits per micro-batch (the natural unit here — Delta's
+  // maxFilesPerTrigger shape) and `option("maxRowsPerTrigger")` bounds
+  // appended rows (commits admit until the budget is REACHED, always
+  // at least one — a single commit larger than the budget must still
+  // make progress). Without backpressure, a stream restarted after a
+  // backlog gets the whole backlog as ONE micro-batch — the state
+  // store and shuffle of that trigger then size with the OUTAGE, not
+  // with the steady state; admission control is what makes recovery
+  // incremental. Trigger.AvailableNow freezes the target offset at
+  // query start (prepareForTriggerAvailableNow) and drains up to it in
+  // bounded batches, then stops — the batch-backfill-through-the-
+  // streaming-path mode.
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(GraftTableStore.commitCount(tableName))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
+    else if (maxCommitsPerTrigger > 0)
+      ReadLimit.maxFiles(maxCommitsPerTrigger.toInt) // unit: commits
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
+    val s = start.asInstanceOf[GraftStreamOffset].commits
+    val latest = availableNowCap
+      .map(math.min(_, GraftTableStore.commitCount(tableName)))
+      .getOrElse(GraftTableStore.commitCount(tableName))
+    def rowsAfter(v: Int): Long =
+      GraftTableStore.history(tableName)
+        .collectFirst { case (ver, _, n, _) if ver == v - 1 => n.toLong }
+        .getOrElse(0L)
+    def applyOne(l: ReadLimit, cap: Int): Int = l match {
+      case _: ReadAllAvailable => cap
+      case f: ReadMaxFiles => math.min(cap, s + f.maxFiles())
+      case r: ReadMaxRows =>
+        // admit commits while the appended-row total is below budget;
+        // guarantee ≥1 commit of progress when anything is available
+        var end = s
+        var rows = 0L
+        val base = rowsAfter(s)
+        var prev = base
+        while (end < cap && rows < r.maxRows()) {
+          val next = rowsAfter(end + 1)
+          rows += math.max(0L, next - prev)
+          prev = next
+          end += 1
+        }
+        end
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(cap)((acc, one) => applyOne(one, acc))
+      case _ => cap
+    }
+    GraftStreamOffset(applyOne(limit, latest))
+  }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {

@@ -927,6 +927,72 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.feed")
   }
 
+  test("admission control on the governed stream: maxCommitsPerTrigger " +
+      "paces batches; Trigger.AvailableNow drains a frozen target in " +
+      "row-bounded batches and stops") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.paced")
+    spark.sql("CREATE TABLE graft.paced (k BIGINT)")
+    spark.sql("INSERT INTO graft.paced SELECT id FROM range(2)") // v0: 2
+    spark.sql("INSERT INTO graft.paced SELECT id FROM range(3)") // v1: 3
+    spark.sql("INSERT INTO graft.paced SELECT id FROM range(4)") // v2: 4
+    def drive(reader: org.apache.spark.sql.DataFrame,
+        availableNow: Boolean): Seq[Long] = {
+      val sizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_paced_ckpt").toString
+      val w = reader.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val n = b.count()
+            if (n > 0) sizes.synchronized { sizes += n }
+            ()
+        }
+      val q = (if (availableNow) w.trigger(org.apache.spark.sql
+        .streaming.Trigger.AvailableNow()) else w).start()
+      try {
+        if (availableNow) assert(q.awaitTermination(60000),
+          "AvailableNow query did not terminate")
+        else q.processAllAvailable()
+      } finally q.stop()
+      sizes.toSeq
+    }
+    // one commit per trigger → the three commits arrive as 2, 3, 4
+    val paced = drive(spark.readStream
+      .option("maxCommitsPerTrigger", "1").table("graft.paced"),
+      availableNow = false)
+    assert(paced == Seq(2L, 3L, 4L),
+      s"maxCommitsPerTrigger did not pace per-commit: $paced")
+    // row budget 5: commits admit until the budget is reached →
+    // (2+3)=5, then 4; AvailableNow drains to the frozen target and
+    // terminates on its own
+    val drained = drive(spark.readStream
+      .option("maxRowsPerTrigger", "5").table("graft.paced"),
+      availableNow = true)
+    assert(drained == Seq(5L, 4L),
+      s"row-budget admission wrong: $drained")
+    spark.sql("DROP TABLE graft.paced")
+    // the CHANGE FEED stream paces the same way: one commit's change
+    // rows per trigger (seed=2 inserts, then 1 delete, then 1 insert
+    // → batch sizes 2, 1, 1 with AvailableNow terminating on its own)
+    spark.sql("DROP TABLE IF EXISTS graft.paced_cdf")
+    spark.sql("CREATE TABLE graft.paced_cdf (k BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.paced_cdf VALUES (1), (2)") // v0
+    spark.sql("DELETE FROM graft.paced_cdf WHERE k = 1") // v1
+    spark.sql("INSERT INTO graft.paced_cdf VALUES (3)") // v2
+    val cdf = drive(spark.readStream
+      .option("maxCommitsPerTrigger", "1")
+      .table("graft.paced_cdf.changes"),
+      availableNow = true)
+    assert(cdf == Seq(2L, 1L, 1L),
+      s"CDF stream did not pace per-commit: $cdf")
+    spark.sql("DROP TABLE graft.paced_cdf")
+  }
+
   test("append-only stream check catches a MID-ROW merge-on-read UPDATE " +
       "(length and endpoints unchanged)") {
     // the hole an endpoint-sampled prefix check would leave: a MoR
