@@ -351,6 +351,35 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("the catalog's bucket function is SQL-callable and agrees with " +
+      "the store's partition grouping") {
+    freshCatalog()
+    // Iceberg-system-function parity: the SAME function the bucket
+    // transform resolves to is directly callable as graft.bucket(n, k)
+    val r = spark.sql("SELECT graft.bucket(8, CAST(13 AS BIGINT)), " +
+      "graft.bucket(8, CAST(-3 AS BIGINT)), " +
+      "graft.bucket(8, CAST(NULL AS BIGINT))").collect()(0)
+    assert(r.getInt(0) == 5 && r.getInt(1) == 5,
+      s"bucket values wrong: $r") // floorMod semantics incl. negatives
+    assert(r.isNullAt(2), "bucket(NULL) must be NULL")
+    // SQL evaluation and store-side grouping must agree: derive the
+    // expected per-bucket counts WITH the SQL function, compare to the
+    // .partitions readout of a bucketed table
+    spark.sql("DROP TABLE IF EXISTS graft.bfn_t")
+    spark.sql("CREATE TABLE graft.bfn_t (k BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO graft.bfn_t SELECT id * 7 FROM range(20)")
+    val viaFn = spark.sql("SELECT graft.bucket(4, id * 7) AS b, " +
+      "COUNT(*) AS n FROM range(20) GROUP BY 1 ORDER BY 1").collect()
+      .map(row => (row.getInt(0), row.getLong(1))).toSeq
+    val viaMeta = spark.table("graft.bfn_t.partitions")
+      .orderBy("k_bucket").collect()
+      .map(row => (row.getInt(0), row.getLong(1))).toSeq
+    assert(viaFn == viaMeta,
+      s"SQL bucket and store grouping disagree: $viaFn vs $viaMeta")
+    spark.sql("DROP TABLE graft.bfn_t")
+  }
+
   test("composition: a PARTITIONED merge-on-read table — native MERGE " +
       "plans WriteDelta, .partitions tracks the change, time travel " +
       "and the change feed span it") {
