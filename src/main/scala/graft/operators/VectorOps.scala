@@ -1242,6 +1242,62 @@ object VectorOps extends QueryModule {
       }
     }),
 
+    // The DELETE half of index maintenance — completing the trilogy
+    // beside sim_ivf_append (occupancy + drift on arrival) and
+    // sim_ivf_refit (the refit decision): a vector store also REMOVES
+    // vectors (takedowns, dedup survivors, retention), and an IVF
+    // index deletes by TOMBSTONE — the centroids stay frozen, cells
+    // just lose members. The operational readout per cell: how many
+    // members were tombstoned (n_deleted vs n_total), the surviving
+    // share (live_share — a cell drained far below its siblings is the
+    // refit/compaction trigger), and the surviving members' mean
+    // quantization similarity (qsim_live — deletions that cull a
+    // cell's best-quantized members degrade its recall even at stable
+    // occupancy). Deleted set is deterministic (vec_id % 9 = 0, ~11%);
+    // assignment is the shared codegen argmin (assignWin), qsim the
+    // same winner-score recovery and exact integer quantization as the
+    // append readout, so the oracle replays bit-for-bit with literal
+    // centroids. Scale: one narrow assignment pass + an 8-cell
+    // map-side-combined groupBy; tombstones shuffle as (cluster,
+    // flag, iterm) triples, never vectors.
+    "sim_ivf_delete" -> ((s, d) => {
+      import s.implicits._
+      ivfCentroids(s, d) match {
+        case None =>
+          Seq.empty[(Long, Long, Long, Double, Double)]
+            .toDF("cluster", "n_total", "n_deleted", "live_share",
+              "qsim_live")
+        case Some(cents) =>
+          val e = Tables.embeddings(s, d)
+            .where(col("embedding").isNotNull)
+            .select(col("vec_id"), col("embedding"),
+              when(col("vec_id") % 9 === 0, 1L).otherwise(0L)
+                .as("is_del"))
+          val c2 = array(cents.map { c =>
+            lit(c.map { x => val f = x.toFloat.toDouble; f * f }.sum)
+          }: _*)
+          val asg = e.select(col("is_del"), assignWin(cents).as("w"))
+          val t = asg.select(col("is_del"),
+            col("w").getField("i").as("cluster"),
+            floor((element_at(c2, col("w").getField("i") + 1) -
+              col("w").getField("s")) / lit(2.0) * lit(1e6) + lit(0.5))
+              .cast(LongType).as("iterm"))
+          t.groupBy(col("cluster").cast(LongType).as("cluster"))
+            .agg(count(lit(1)).as("n_total"),
+              sum(col("is_del")).as("n_deleted"),
+              sum(when(col("is_del") === 0L, col("iterm")).otherwise(0L))
+                .as("sl"))
+            .select(col("cluster"), col("n_total"), col("n_deleted"),
+              ((col("n_total") - col("n_deleted")).cast(DoubleType) /
+                col("n_total").cast(DoubleType)).as("live_share"),
+              when(col("n_total") - col("n_deleted") > 0,
+                col("sl").cast(DoubleType) /
+                  (col("n_total") - col("n_deleted")).cast(DoubleType)
+                  / 1e6).as("qsim_live"))
+            .orderBy("cluster")
+      }
+    }),
+
     // PQ compression of the corpus: 64 floats → one 32-bit code (8
     // nibbles) + the per-vector reconstruction error. Encoding is one
     // narrow codegen'd pass (argmin via |c|²−2x·c struct-min — see
@@ -2460,6 +2516,52 @@ object VectorOps extends QueryModule {
             "AS qsim_base, CAST(0.0 AS DOUBLE) AS qsim_new WHERE 1 = 0"
       }
 
+      // sim_ivf_delete: tombstone accounting over the BASE corpus with
+      // the same literal-centroid argmin replay — per-cell totals,
+      // deleted counts, surviving share and the survivors' mean
+      // quantization similarity (winner-score recovery, ln-free exact
+      // integer quantization — the append readout's discipline).
+      val simIvfDeleteSql = cents match {
+        case Some(cs) =>
+          val winItems = cs.zipWithIndex.map { case (c, i) =>
+            val cf = c.map(_.toFloat.toDouble)
+            val c2 = cf.map(x => x * x).sum
+            s"{'s': CAST(${dlit(c2)} AS DOUBLE) - 2.0 * " +
+              s"${dotLit("embedding", cf)}, 'i': $i}"
+          }
+          val winList = s"list_sort([${winItems.mkString(", ")}])[1]"
+          val c2list = cs
+            .map(c => c.map { x => val f = x.toFloat.toDouble; f * f }.sum)
+            .map(dlit).mkString("CAST([", ", ", "] AS DOUBLE[])")
+          s"""WITH base AS (SELECT vec_id, embedding,
+             |    CASE WHEN vec_id % 9 = 0 THEN 1 ELSE 0 END AS is_del
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |asg AS (SELECT is_del, $winList AS w FROM base),
+             |t AS (SELECT is_del, w.i AS cluster,
+             |    CAST(floor((($c2list)[w.i + 1] - w.s) / 2.0 * 1000000.0
+             |      + 0.5) AS BIGINT) AS iterm
+             |  FROM asg),
+             |g AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_total,
+             |    CAST(SUM(is_del) AS BIGINT) AS n_deleted,
+             |    CAST(SUM(CASE WHEN is_del = 0 THEN iterm ELSE 0 END)
+             |      AS BIGINT) AS sl
+             |  FROM t GROUP BY cluster)
+             |SELECT CAST(cluster AS BIGINT) AS cluster, n_total,
+             |  n_deleted,
+             |  CAST(n_total - n_deleted AS DOUBLE)
+             |    / CAST(n_total AS DOUBLE) AS live_share,
+             |  CASE WHEN n_total - n_deleted > 0 THEN
+             |    CAST(sl AS DOUBLE) / CAST(n_total - n_deleted AS DOUBLE)
+             |      / 1000000.0
+             |  END AS qsim_live
+             |FROM g ORDER BY cluster""".stripMargin
+        case None =>
+          "SELECT CAST(0 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS " +
+            "n_total, CAST(0 AS BIGINT) AS n_deleted, CAST(0.0 AS " +
+            "DOUBLE) AS live_share, CAST(0.0 AS DOUBLE) AS qsim_live " +
+            "WHERE 1 = 0"
+      }
+
       // sim_ivf_refit: BOTH centroid sets replay as literals — frozen
       // (the base fit every sim_* oracle embeds) and refit (the
       // post-append-sample fit) — over the union corpus; exact truth,
@@ -2535,6 +2637,7 @@ object VectorOps extends QueryModule {
         "sim_ivf_topk" -> simIvfSql, "sim_ivfpq_topk" -> simIvfPqSql,
         "dedup_semantic" -> dedupSemSql,
         "sim_ivf_append" -> simIvfAppendSql,
+        "sim_ivf_delete" -> simIvfDeleteSql,
         "sim_ivf_refit" -> simIvfRefitSql)
     })
   }

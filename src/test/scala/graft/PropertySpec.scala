@@ -688,4 +688,37 @@ class PropertySpec extends AnyFunSuite {
       assert(again == base, "path ranking shifted under relayout")
     } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
   }
+
+  test("catalog bucket function: SQL evaluation == floorMod for random " +
+    "keys and counts; partition grouping is total and in range") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    forAll(Gen.listOfN(25, Gen.chooseNum(Long.MinValue + 1,
+        Long.MaxValue)), Gen.chooseNum(1, 32), n = 6) { (keys, nb) =>
+      keys.toDF("k").createOrReplaceTempView("bprop_src")
+      val got = spark.sql(
+        s"SELECT k, graft.bucket($nb, k) AS b FROM bprop_src")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      keys.foreach { k =>
+        val expect = java.lang.Math.floorMod(k, nb.toLong).toInt
+        assert(got(k) == expect,
+          s"bucket($nb, $k) = ${got(k)}, expected $expect")
+        assert(got(k) >= 0 && got(k) < nb, s"bucket out of range: $k")
+      }
+      // the store groups by the SAME function: a bucketed table's
+      // .partitions readout must tally exactly the SQL-side histogram
+      spark.sql("DROP TABLE IF EXISTS graft.bprop_t")
+      spark.sql(s"CREATE TABLE graft.bprop_t (k BIGINT) " +
+        s"PARTITIONED BY (bucket($nb, k))")
+      spark.sql("INSERT INTO graft.bprop_t SELECT k FROM bprop_src")
+      val viaMeta = spark.table("graft.bprop_t.partitions").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val viaSql = keys.groupBy(k =>
+        java.lang.Math.floorMod(k, nb.toLong).toInt)
+        .map { case (b, ks) => b -> ks.length.toLong }
+      assert(viaMeta == viaSql,
+        s"store grouping disagrees with floorMod: $viaMeta vs $viaSql")
+      spark.sql("DROP TABLE graft.bprop_t")
+    }
+  }
 }

@@ -551,6 +551,39 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rMerged > 0.0, "merged index retrieves nothing from the panel")
   }
 
+  test("sim_ivf_delete: tombstone accounting is exact and consistent " +
+    "with the append readout's per-cell population") {
+    val base = Tables.embeddings(spark, sf)
+      .where(col("embedding").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0))
+    val rows = SparkEntry.queries("sim_ivf_delete")(spark, sf).collect()
+    // totals: every member accounted for, deletions exactly %9
+    assert(rows.map(_.getAs[Long]("n_total")).sum == base.length)
+    assert(rows.map(_.getAs[Long]("n_deleted")).sum ==
+      base.count(_ % 9 == 0))
+    rows.foreach { r =>
+      val (t, del) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_deleted"))
+      assert(del >= 0 && del <= t, s"tombstones out of range: $r")
+      assert(math.abs(r.getAs[Double]("live_share") -
+        (t - del).toDouble / t) < 1e-12, s"live_share wrong: $r")
+      if (t > del) {
+        val q = r.getAs[Double]("qsim_live")
+        assert(q >= -1.0 - 1e-6 && q <= 1.0 + 1e-6,
+          s"qsim_live out of cosine range: $r")
+      }
+    }
+    // the delete readout's per-cell totals must equal the append
+    // readout's base population — same corpus, same frozen centroids
+    val appendBase = SparkEntry.queries("sim_ivf_append")(spark, sf)
+      .collect().map(r =>
+        r.getAs[Long]("cluster") -> r.getAs[Long]("n_base")).toMap
+    rows.foreach { r =>
+      assert(appendBase(r.getAs[Long]("cluster")) ==
+        r.getAs[Long]("n_total"),
+        s"cell population disagrees with sim_ivf_append: $r")
+    }
+  }
+
   test("sim_ivf_refit: refit recovers the appended batch's quantization " +
     "fit; panel recall stays comparable") {
     import operators.VectorOps
