@@ -124,7 +124,11 @@ object Bench {
     "cdc_incremental_agg" -> 1.5,
     // round-9 third wave: seeds a 150k-row governed orders copy, then
     // the DPP-filtered join; measured 1.03 s in-bench
-    "join_runtime_prune" -> 1.5)
+    "join_runtime_prune" -> 1.5,
+    // round-9 third wave: two panel-window passes over the embeddings
+    // (exact top-1 + hamming top-10); 1.15-1.42 s warm, and it can be
+    // the alphabetically-first embeddings reader in a drive
+    "rank_mrr" -> 2.0)
   private[graft] val DefaultExpectedSec = 1.0
 
   /** Bench-artifact tripwires (round-4b lesson: dedup_embedding and kin

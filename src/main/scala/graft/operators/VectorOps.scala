@@ -914,6 +914,58 @@ object VectorOps extends QueryModule {
       recallJoin(exact, short, 10).orderBy("q_id")
     }),
 
+    // MEAN-RECIPROCAL-RANK eval of the binary-sketch retriever — the
+    // second standard retrieval metric beside recall (sim_recall_eval)
+    // and NDCG (rank_ndcg): recall@k asks "did the truth make the
+    // list", MRR asks "how high" — the metric that matters when a
+    // downstream reads only the first hit. Truth = the exact cosine
+    // top-1 per panel query; candidate list = the HAMMING-ordered
+    // sign-sketch top-10 (deliberately NOT re-ranked by exact sim — a
+    // re-ranked list would put any contained truth at rank 1 and
+    // collapse MRR into hit@10; the hamming ordering is what the
+    // sketch retriever actually serves). rr = 1/rank when the true NN
+    // appears, 0 when it missed the list (nn_rank NULL). Scale: the
+    // panel is 3 broadcast query rows — both passes are narrow linear
+    // scans with incremental top-k windows over the panel partition.
+    "rank_mrr" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qe = e.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wx = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exact1 = e.crossJoin(broadcast(qe))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot(col("q_emb"), col("embedding")), 4).as("sim"))
+        .withColumn("rank", row_number().over(wx))
+        .where(col("rank") === 1)
+        .select(col("q_id"), col("vec_id").as("nn_id"))
+      val words = e.select(col("vec_id"),
+        signWord64(0).as("w0"), signWord64(32).as("w1"))
+      val qw = words.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"),
+          col("w0").as("qw0"), col("w1").as("qw1"))
+      val wh = Window.partitionBy("q_id")
+        .orderBy(col("hamming"), col("vec_id"))
+      val ham10 = words.crossJoin(broadcast(qw))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+            bit_count(col("w1").bitwiseXOR(col("qw1"))))
+            .cast(LongType).as("hamming"))
+        .withColumn("hrk", row_number().over(wh).cast(LongType))
+        .where(col("hrk") <= 10)
+        .select(col("q_id"), col("vec_id"), col("hrk"))
+      exact1.join(ham10,
+          exact1("q_id") === ham10("q_id") &&
+            col("nn_id") === ham10("vec_id"), "left")
+        .select(exact1("q_id"), col("nn_id"),
+          col("hrk").as("nn_rank"),
+          coalesce(lit(1.0) / col("hrk").cast(DoubleType), lit(0.0))
+            .as("rr"))
+        .orderBy("q_id")
+    }),
+
     // all pairs above a cosine threshold — embedding-based near-dup, the
     // bounded EXACT baseline (O(n²) by definition). No broadcast hint: at
     // test SF the optimizer broadcasts on its own; at scale it degrades to
@@ -1947,6 +1999,38 @@ object VectorOps extends QueryModule {
         |    AS DOUBLE) / 10.0 AS recall
         |FROM ex LEFT JOIN sl ON sl.q_id = ex.q_id AND sl.vec_id = ex.vec_id
         |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin
+    },
+    "rank_mrr" -> {
+      def word(base: Int) = (base until base + 32).map(j =>
+        s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << (j - base)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 3),
+        |ex1 AS (SELECT q_id, vec_id AS nn_id FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_aggregate(list_transform(
+        |        list_zip(q.q_emb, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'), 4)
+        |        DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id) t
+        |  WHERE rank = 1),
+        |w AS (SELECT vec_id, ${word(0)} AS w0, ${word(32)} AS w1
+        |  FROM embeddings),
+        |qw AS (SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM w
+        |  WHERE vec_id < 3),
+        |h10 AS (SELECT q_id, vec_id, hrk FROM (
+        |  SELECT qw.q_id, w.vec_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY qw.q_id ORDER BY
+        |      bit_count(xor(w.w0, qw.qw0)) + bit_count(xor(w.w1, qw.qw1)),
+        |      w.vec_id) AS BIGINT) AS hrk
+        |  FROM w CROSS JOIN qw WHERE w.vec_id <> qw.q_id) t
+        |  WHERE hrk <= 10)
+        |SELECT ex1.q_id, ex1.nn_id, h10.hrk AS nn_rank,
+        |  COALESCE(1.0 / CAST(h10.hrk AS DOUBLE), 0.0) AS rr
+        |FROM ex1 LEFT JOIN h10
+        |  ON h10.q_id = ex1.q_id AND h10.vec_id = ex1.nn_id
+        |ORDER BY ex1.q_id""".stripMargin
     },
     "sim_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

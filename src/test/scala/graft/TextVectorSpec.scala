@@ -551,6 +551,54 @@ class TextVectorSpec extends AnyFunSuite {
     assert(rMerged > 0.0, "merged index retrieves nothing from the panel")
   }
 
+  test("rank_mrr matches a direct reciprocal-rank computation over the " +
+    "hamming ordering") {
+    val vecs = Tables.embeddings(spark, sf)
+      .where(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def sketch(v: Array[Float]): (Long, Long) = {
+      def word(base: Int) = (0 until 32).foldLeft(0L) { (acc, j) =>
+        if (v(base + j) > 0) acc | (1L << j) else acc
+      }
+      (word(0), word(32))
+    }
+    val rows = SparkEntry.queries("rank_mrr")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val qv = vecs(q)
+      // direct truth: exact top-1 on the rounded dot, vec_id tiebreak
+      val nnExp = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, BigDecimal(dotd(qv, v)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.minBy { case (id, s) => (-s, id) }._1
+      assert(r.getLong(1) == nnExp, s"true NN wrong for q=$q: $r")
+      // direct hamming rank of that NN
+      val (qw0, qw1) = sketch(qv)
+      val ranked = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          val (w0, w1) = sketch(v)
+          (id, java.lang.Long.bitCount(w0 ^ qw0) +
+            java.lang.Long.bitCount(w1 ^ qw1))
+        }.sortBy { case (id, h) => (h, id) }
+      val pos = ranked.indexWhere(_._1 == nnExp) + 1
+      if (pos >= 1 && pos <= 10) {
+        assert(r.getLong(2) == pos.toLong && math.abs(
+          r.getDouble(3) - 1.0 / pos) < 1e-12, s"rank/rr wrong: $r")
+      } else {
+        assert(r.isNullAt(2) && r.getDouble(3) == 0.0,
+          s"missed NN must read rank NULL / rr 0: $r")
+      }
+    }
+  }
+
   test("sim_ivf_delete: tombstone accounting is exact and consistent " +
     "with the append readout's per-cell population") {
     val base = Tables.embeddings(spark, sf)
