@@ -1449,9 +1449,13 @@ class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
         "with a row id (copy-on-write commits carry no per-row " +
         "lineage to diff by)")
     val from = options.getInt("startingVersion", 0)
+    // endingVersion bounds the batch read INCLUSIVELY (Delta-CDF's
+    // option pair): the feed covers commits [startingVersion,
+    // endingVersion]. Streaming reads ignore it (a stream has no end).
+    val to = options.getInt("endingVersion", -1)
     val maxCommits = options.getLong("maxCommitsPerTrigger", -1L)
     () => new GraftCdfScan(base.name(), base.schema(),
-      base.schema().fieldIndex(base.morRowId.get), from, maxCommits)
+      base.schema().fieldIndex(base.morRowId.get), from, maxCommits, to)
   }
 }
 
@@ -1463,17 +1467,23 @@ class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
   * breaking the append-only contract), which is exactly why lake
   * formats point mutating-table consumers at the change feed. */
 class GraftCdfScan(tableName: String, tableSchema: StructType,
-    idOrd: Int, startingVersion: Int, maxCommitsPerTrigger: Long = -1L)
+    idOrd: Int, startingVersion: Int, maxCommitsPerTrigger: Long = -1L,
+    endingVersion: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType =
     GraftChangeFeed.cdfSchema(tableSchema)
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCdfScan[$tableName@v$startingVersion+]"
-  override def planInputPartitions(): Array[InputPartition] =
+    s"GraftCdfScan[$tableName@v$startingVersion" +
+      (if (endingVersion < 0) "+]" else s"..v$endingVersion]")
+  override def planInputPartitions(): Array[InputPartition] = {
+    val latest = GraftTableStore.commitCount(tableName)
+    val to =
+      if (endingVersion < 0) latest
+      else math.min(latest, endingVersion + 1) // inclusive bound
     Array(GraftInputPartition(GraftChangeFeed.changesFor(tableName,
-      tableSchema, idOrd, startingVersion,
-      GraftTableStore.commitCount(tableName))))
+      tableSchema, idOrd, startingVersion, to)))
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     GraftRowsReaderFactory
   override def toMicroBatchStream(checkpointLocation: String)

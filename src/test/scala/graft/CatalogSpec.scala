@@ -351,6 +351,56 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("change feed endingVersion bounds the batch read inclusively") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cdfrange_t")
+    spark.sql("CREATE TABLE graft.cdfrange_t (k BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.cdfrange_t VALUES (1), (2)") // v0
+    spark.sql("DELETE FROM graft.cdfrange_t WHERE k = 1") // v1
+    spark.sql("INSERT INTO graft.cdfrange_t VALUES (3)") // v2
+    def feed(opts: (String, String)*): Set[(Long, String, Long)] = {
+      val r = opts.foldLeft(spark.read)((acc, o) =>
+        acc.option(o._1, o._2))
+      r.table("graft.cdfrange_t.changes").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    }
+    // [1, 1]: exactly the delete commit
+    assert(feed("startingVersion" -> "1", "endingVersion" -> "1") ==
+      Set((1L, "delete", 1L)))
+    // [0, 1]: seed inserts + the delete, nothing from v2
+    assert(feed("startingVersion" -> "0", "endingVersion" -> "1") ==
+      Set((1L, "insert", 0L), (2L, "insert", 0L), (1L, "delete", 1L)))
+    // an endingVersion past the history clamps to latest
+    assert(feed("startingVersion" -> "2", "endingVersion" -> "99") ==
+      Set((3L, "insert", 2L)))
+    spark.sql("DROP TABLE graft.cdfrange_t")
+  }
+
+  test("mixed identity + bucket partitioning: grouping, metadata and " +
+      "static pruning compose") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mixp_t")
+    spark.sql("CREATE TABLE graft.mixp_t (k BIGINT, seg STRING) " +
+      "PARTITIONED BY (seg, bucket(2, k))")
+    spark.sql("INSERT INTO graft.mixp_t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(8)")
+    // 2 segments × 2 buckets; parity couples seg and bucket here so
+    // only ('a',0) and ('b',1) are populated
+    val parts = spark.table("graft.mixp_t.partitions")
+      .orderBy("seg", "k_bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(parts.toSeq == Seq(("a", 0, 4L), ("b", 1, 4L)),
+      s"mixed partition metadata wrong: ${parts.mkString(", ")}")
+    // a predicate on the IDENTITY field statically prunes; the bucket
+    // field stays row-level
+    spark.table("graft.mixp_t").where(col("seg") === "a").count()
+    val m = graft.sources.GraftScanMetrics.lastScan("graft.mixp_t")
+    assert(m.totalPartitions == 2 && m.keptPartitions == 1,
+      s"identity-field pruning over mixed partitioning wrong: $m")
+    spark.sql("DROP TABLE graft.mixp_t")
+  }
+
   test("the catalog's bucket function is SQL-callable and agrees with " +
       "the store's partition grouping") {
     freshCatalog()

@@ -1036,6 +1036,45 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.feed_mid")
   }
 
+  test("writeStream.toTable into a PARTITIONED governed table: epoch " +
+      "commits land, partition metadata tracks them") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.spart_sink")
+    spark.sql("CREATE TABLE graft.spart_sink (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_spart_ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "p").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .toTable("graft.spart_sink")
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "a"))
+      q.processAllAvailable()
+      in.addData((4L, "b"))
+      q.processAllAvailable()
+      // partition metadata reflects the streamed content
+      val parts = spark.table("graft.spart_sink.partitions")
+        .orderBy("p").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(parts == Seq(("a", 2L), ("b", 2L)),
+        s"streamed partition counts wrong: $parts")
+      // the partitioned scan of the streamed table still prunes
+      spark.table("graft.spart_sink").where(col("p") === "a").count()
+      val m = graft.sources.GraftScanMetrics.lastScan("graft.spart_sink")
+      assert(m.totalPartitions == 2 && m.keptPartitions == 1,
+        s"pruning over the streamed table wrong: $m")
+      // each epoch was one stream-append commit
+      val ops = graft.sources.GraftTableStore
+        .history("graft.spart_sink").map(_._2).distinct
+      assert(ops == Vector("stream-append"), s"op log: $ops")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.spart_sink")
+  }
+
   test("streaming the change feed delivers REWRITE commits the content " +
       "stream refuses, and resumes from a checkpoint") {
     // graft.<t>.changes as a STREAM: each commit's change rows arrive
