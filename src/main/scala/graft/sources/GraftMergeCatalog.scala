@@ -411,6 +411,17 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
           StructType(sch.fields.map(f =>
             if (f.name == rn.fieldNames()(0)) f.copy(name = rn.newName())
             else f))
+        case del: TableChange.DeleteColumn =>
+          // storage is positional (no column-id indirection): dropping
+          // a middle column would shift every later field under old
+          // rows. Fail with the reason rather than a generic message —
+          // a lake format supports this via column mapping (field ids),
+          // which is exactly the indirection this store trades away.
+          throw new UnsupportedOperationException(
+            s"DROP COLUMN ${del.fieldNames().mkString(".")}: storage " +
+              "is positional — dropping a column would misalign rows " +
+              "written before the drop (lake formats support this via " +
+              "column-mapping/field-id indirection)")
         case other => throw new UnsupportedOperationException(
           s"ALTER change not supported: $other")
       }

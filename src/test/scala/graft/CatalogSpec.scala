@@ -351,6 +351,30 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("time travel composes with partition pruning; DROP COLUMN " +
+      "fails with the positional-storage reason") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.ttp_t")
+    spark.sql("CREATE TABLE graft.ttp_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.ttp_t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(6)") // v0
+    spark.sql("INSERT INTO graft.ttp_t VALUES (100, 'c')") // v1
+    // a pinned (VERSION AS OF) scan of the partitioned table still
+    // prunes: v0 has partitions a,b only; the filter keeps one
+    val n = spark.sql("SELECT * FROM graft.ttp_t VERSION AS OF 0")
+      .where(col("p") === "a").count()
+    assert(n == 3, s"pinned partitioned read wrong: $n")
+    val m = graft.sources.GraftScanMetrics.lastScan("graft.ttp_t")
+    assert(m.totalPartitions == 2 && m.keptPartitions == 1,
+      s"pruning did not apply to the pinned scan: $m")
+    val ex = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ttp_t DROP COLUMN k")
+    }
+    assert(ex.getMessage.contains("positional"), ex.getMessage)
+    spark.sql("DROP TABLE graft.ttp_t")
+  }
+
   test("change feed endingVersion bounds the batch read inclusively") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS graft.cdfrange_t")
