@@ -351,6 +351,31 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("CTAS, partitioned CTAS and REPLACE TABLE AS SELECT work " +
+      "against the catalog") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.ctas_t")
+    spark.sql("CREATE TABLE graft.ctas_t AS SELECT id AS k, " +
+      "CAST(id * 1.5 AS DOUBLE) AS v FROM range(5)")
+    assert(spark.table("graft.ctas_t").count() == 5)
+    // RTAS swaps schema and content in one statement
+    spark.sql("REPLACE TABLE graft.ctas_t AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS s FROM range(3)")
+    val replaced = spark.table("graft.ctas_t")
+    assert(replaced.schema.fieldNames.toSeq == Seq("k", "s") &&
+      replaced.count() == 3, s"RTAS result wrong: ${replaced.schema}")
+    // CTAS with PARTITIONED BY carries the transform through
+    spark.sql("DROP TABLE IF EXISTS graft.ctas_p")
+    spark.sql("CREATE TABLE graft.ctas_p PARTITIONED BY (p) AS " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS p FROM range(9)")
+    val parts = spark.table("graft.ctas_p.partitions")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts == Map("0" -> 3L, "1" -> 3L, "2" -> 3L),
+      s"partitioned CTAS layout wrong: $parts")
+    spark.sql("DROP TABLE graft.ctas_t")
+    spark.sql("DROP TABLE graft.ctas_p")
+  }
+
   test("time travel composes with partition pruning; DROP COLUMN " +
       "fails with the positional-storage reason") {
     freshCatalog()
