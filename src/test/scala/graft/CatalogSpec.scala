@@ -351,6 +351,35 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stats_t")
   }
 
+  test("MISMATCHED bucket counts do NOT silently co-partition: the " +
+      "join shuffles and the result stays correct") {
+    // the negative half of the SPJ handshake — bucket(4) and bucket(8)
+    // share the bound function's canonicalName but differ in count, so
+    // Spark must treat the partitionings as INCOMPATIBLE and insert
+    // exchanges; a false-positive match here would produce a silently
+    // WRONG join (rows meeting only within misaligned buckets)
+    freshCatalog()
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS graft.bm_a")
+    spark.sql("DROP TABLE IF EXISTS graft.bm_b")
+    spark.sql("CREATE TABLE graft.bm_a (k BIGINT, va BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE graft.bm_b (k2 BIGINT, vb BIGINT) " +
+      "PARTITIONED BY (bucket(8, k2))")
+    spark.sql("INSERT INTO graft.bm_a SELECT id, id * 10 FROM range(40)")
+    spark.sql("INSERT INTO graft.bm_b SELECT id, id * 100 FROM range(40)")
+    val j = spark.table("graft.bm_a").hint("merge")
+      .join(spark.table("graft.bm_b"), col("k") === col("k2"))
+    val n = j.count()
+    assert(n == 40, s"mismatched-bucket join lost rows: $n of 40 " +
+      "(buckets treated as compatible?)")
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning"),
+      s"no shuffle inserted for incompatible bucket counts:\n$p")
+    spark.sql("DROP TABLE graft.bm_a")
+    spark.sql("DROP TABLE graft.bm_b")
+  }
+
   test("CTAS, partitioned CTAS and REPLACE TABLE AS SELECT work " +
       "against the catalog") {
     freshCatalog()

@@ -1036,6 +1036,47 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.feed_mid")
   }
 
+  test("two concurrent streaming writers into ONE governed table: " +
+      "commits serialize, no lost rows, epochs dedup per query") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.cw_t")
+    spark.sql("CREATE TABLE graft.cw_t (k BIGINT, src STRING)")
+    val inA = MemoryStream[(Long, String)]
+    val inB = MemoryStream[(Long, String)]
+    def start(in: MemoryStream[(Long, String)]) = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cw_ckpt").toString
+      in.toDF().toDF("k", "src").writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .toTable("graft.cw_t")
+    }
+    val qA = start(inA); val qB = start(inB)
+    try {
+      // interleaved epochs from two independent queries — the store's
+      // atomic mutate serializes them, and the per-(table, queryId)
+      // epoch ledger means neither query's WAL replay can dedup the
+      // OTHER query's commits
+      inA.addData((1L, "a"), (2L, "a"))
+      inB.addData((10L, "b"))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      inA.addData((3L, "a"))
+      inB.addData((11L, "b"), (12L, "b"))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      val got = spark.table("graft.cw_t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "a"), (3L, "a"),
+        (10L, "b"), (11L, "b"), (12L, "b")),
+        s"concurrent writers lost or duplicated rows: $got")
+      val ops = graft.sources.GraftTableStore.history("graft.cw_t")
+        .map(_._2).distinct
+      assert(ops == Vector("stream-append"), s"op log: $ops")
+    } finally { qA.stop(); qB.stop() }
+    spark.sql("DROP TABLE graft.cw_t")
+  }
+
   test("writeStream.toTable into a PARTITIONED governed table: epoch " +
       "commits land, partition metadata tracks them") {
     implicit val sqlCtx = spark.sqlContext
