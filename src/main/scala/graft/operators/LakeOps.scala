@@ -36,9 +36,21 @@ import org.apache.spark.sql.functions._
   */
 object LakeOps extends QueryModule {
 
-  private def useCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+  private def useCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftMergeCatalog].getName)
+    // v2 bucketing is a plan-shape flag (enables storage-partitioned
+    // joins for DSv2 scans that report KeyGroupedPartitioning — only
+    // graft tables here); it never changes query SEMANTICS. Set it for
+    // EVERY LakeOps id, not just the SPJ ones, so session state is
+    // identical whatever subset/order of ids ran before — the module's
+    // order-independence promise (restoring it per-id is impossible:
+    // the returned plans are lazy and must still see the flag at
+    // action time).
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+  }
 
   /** drop + create + insert a governed copy of an orders slice,
     * optionally partitioned — each id seeds its own table so ids stay
@@ -117,10 +129,7 @@ object LakeOps extends QueryModule {
     // would win on this corpus; at real scale neither side broadcasts.
     // PlanSpec asserts ZERO shuffle exchanges in the executed plan.
     "join_storage_partitioned" -> ((s, d) => {
-      useCatalog(s)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-        "true")
+      useCatalog(s) // sets the v2 bucketing flags (module-wide)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
         .createOrReplaceTempView("spj_customer_src")
@@ -156,10 +165,7 @@ object LakeOps extends QueryModule {
     // shuffle on either side, only the final segment aggregate
     // exchanges. This is the Iceberg bucket-SPJ shape.
     "join_bucketed_spj" -> ((s, d) => {
-      useCatalog(s)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
-        "true")
+      useCatalog(s) // sets the v2 bucketing flags (module-wide)
       Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .createOrReplaceTempView("bspj_customer_src")
@@ -241,11 +247,19 @@ object LakeOps extends QueryModule {
     // twin and the commit-log op kinds are pinned in CatalogSpec.
     "sink_partition_overwrite" -> ((s, d) => {
       seedOrders(s, d, "ovw_orders", partitioned = true)
+      // partitionOverwriteMode DOES change INSERT OVERWRITE semantics —
+      // scope it to this one eager statement and restore, so a later
+      // id's INSERT OVERWRITE never silently inherits dynamic mode
+      val prevMode =
+        s.conf.get("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      s.sql("INSERT OVERWRITE graft.ovw_orders " +
-        "SELECT o_orderkey, o_orderpriority, o_orderstatus, " +
-        "o_totalprice + 1.0 FROM ovw_orders_src " +
-        "WHERE o_orderpriority = '1-URGENT'")
+      try
+        s.sql("INSERT OVERWRITE graft.ovw_orders " +
+          "SELECT o_orderkey, o_orderpriority, o_orderstatus, " +
+          "o_totalprice + 1.0 FROM ovw_orders_src " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode",
+        prevMode)
       s.table("graft.ovw_orders")
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),

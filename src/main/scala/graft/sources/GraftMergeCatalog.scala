@@ -80,7 +80,12 @@ object GraftTableStore {
   private val lock = new Object
 
   def reset(name: String): Unit = lock.synchronized {
-    versions.remove(name); ()
+    versions.remove(name)
+    // a dropped/reset table's epoch ledger entries can never be
+    // consulted again (its store is gone) — evict them, so create/drop
+    // churn cannot grow the ledger without bound
+    lastEpochs.keySet().removeIf(_._1 == name)
+    ()
   }
   def get(name: String): Array[InternalRow] =
     versions.get(name).flatMap(_.snaps.lastOption).getOrElse(Array.empty)
@@ -106,14 +111,28 @@ object GraftTableStore {
     * an idempotent sink must detect the replay or double-append —
     * markEpoch returns false for an epoch at or below the last
     * committed one (per query), and the caller skips the commit.
-    * O(active queries) state, not O(epochs). */
-  private val lastEpochs = new TrieMap[(String, String), Long]()
-  private[sources] def markEpoch(name: String, queryId: String,
+    * O(active queries) state, not O(epochs): entries die with their
+    * table ([[reset]] evicts them), and a hard LRU cap bounds the
+    * ledger even under unbounded distinct-query churn against
+    * long-lived tables — evicting the least-recently-committing query
+    * is safe because the entry only matters for WAL replay at restart,
+    * which re-commits immediately (the entry is then at the MRU end). */
+  private val MaxEpochEntries = 1024
+  private val lastEpochs = new java.util.LinkedHashMap[
+      (String, String), java.lang.Long](64, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String), java.lang.Long])
+        : Boolean = size() > MaxEpochEntries
+  }
+  private[graft] def markEpoch(name: String, queryId: String,
       epochId: Long): Boolean = lock.synchronized {
     val k = (name, queryId)
-    if (lastEpochs.get(k).exists(_ >= epochId)) false
+    val prev = lastEpochs.get(k) // null when absent — never unbox blindly
+    if (prev != null && prev.longValue() >= epochId) false
     else { lastEpochs.put(k, epochId); true }
   }
+  private[graft] def epochLedgerSize: Int =
+    lock.synchronized(lastEpochs.size())
 
   /** Atomic read-modify-write commit: `f` maps the current committed
     * rows to the next snapshot; the swap of (current, history) is one
@@ -818,9 +837,18 @@ object GraftFilterEval {
       case DoubleType => Some(r => if (r.isNullAt(ord)) None
         else Some(java.lang.Double.compare(r.getDouble(ord),
           value.asInstanceOf[Number].doubleValue())))
-      case StringType => Some(r => if (r.isNullAt(ord)) None
-        else Some(r.getUTF8String(ord).toString
-          .compareTo(value.toString)))
+      case StringType =>
+        // compare in UTF8String BINARY order (Spark's string collation),
+        // not java.lang.String UTF-16 code-unit order: for supplementary
+        // (non-BMP) characters the two orders DISAGREE (a 4-byte UTF-8
+        // sequence starts F0.. and sorts above every BMP string, while
+        // its UTF-16 surrogates D800..DFFF sort below ..￿),
+        // and this evaluator also drives INSERT OVERWRITE delete sets
+        // and partition pruning where a residual cannot repair a skip
+        val that = org.apache.spark.unsafe.types.UTF8String
+          .fromString(value.toString)
+        Some(r => if (r.isNullAt(ord)) None
+          else Some(r.getUTF8String(ord).compareTo(that)))
       case _ => None
     }
   }
@@ -1254,7 +1282,16 @@ class GraftAggScan(tableName: String, tableSchema: StructType,
         Ordering.Int.on[Any](_.asInstanceOf[Int])
       case DoubleType => Ordering.Double.TotalOrdering
         .on[Any](_.asInstanceOf[Double])
-      case StringType => Ordering.by[Any, String](_.toString)
+      case StringType =>
+        // MIN/MAX over strings must use UTF8String BINARY order (what
+        // Spark's Min/Max compute) — this is a COMPLETE pushdown, so a
+        // UTF-16-ordered answer for non-BMP data would ship as final
+        new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .compareTo(
+                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        }
       case other => throw new IllegalStateException(
         s"unsupported pushed-aggregate column type: $other")
     })
@@ -1423,6 +1460,15 @@ object GraftChangeFeed {
       val next = GraftTableStore.getVersion(table, v)
       val prevKeys = prev.map(_.get(idOrd, idType)).toSet
       val nextMap = next.map(r => r.get(idOrd, idType) -> r).toMap
+      // the diff is keyed by the row id — duplicate ids in a snapshot
+      // would silently collapse into one map entry and under-report the
+      // feed; plain INSERT never validates uniqueness, so check here,
+      // loudly, before serving a wrong feed
+      if (nextMap.size != next.length)
+        throw new IllegalStateException(
+          s"change feed of $table: snapshot v$v contains duplicate row " +
+            s"ids (${next.length} rows, ${nextMap.size} distinct ids) — " +
+            "the merge-on-read row id must be unique per snapshot")
       prev.foreach { r =>
         nextMap.get(r.get(idOrd, idType)) match {
           case None => emit(r, "delete", v)

@@ -697,4 +697,65 @@ class CatalogSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getLong(0) == 7L &&
       out(0).getDouble(1) == 2.5)
   }
+
+  test("pushed string comparisons use UTF8String BINARY order: a " +
+      "supplementary-plane string sorts ABOVE every BMP string") {
+    freshCatalog()
+    // U+1F600 (😀) is 4-byte UTF-8 (F0 9F 98 80) — binary-above the
+    // 3-byte U+FFFD (EF BF BD); in UTF-16 code units its surrogates
+    // (D83D DE00) sort BELOW U+FFFD, so the two orders DISAGREE on
+    // exactly this pair. The pushed filter skips rows store-side
+    // (data skipping), so a UTF-16 comparator would DROP the emoji
+    // row before the residual could restore it.
+    spark.sql("DROP TABLE IF EXISTS graft.utf8_t")
+    spark.sql("CREATE TABLE graft.utf8_t (k BIGINT, s STRING)")
+    spark.sql("INSERT INTO graft.utf8_t VALUES " +
+      "(1, 'abc'), (2, '�'), (3, '😀')")
+    val above = spark.table("graft.utf8_t")
+      .where(col("s") > "�").collect()
+    assert(above.map(_.getLong(0)).toSeq == Seq(3L),
+      s"binary order puts only the emoji above U+FFFD: " +
+        above.mkString(", "))
+    // and the COMPLETE MIN/MAX pushdown must agree with Spark's
+    // binary-collation Min/Max: max is the emoji, not U+FFFD
+    val agg = spark.table("graft.utf8_t")
+      .agg(org.apache.spark.sql.functions.max(col("s")))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("GraftAggScan"), "aggregate not pushed")
+    assert(agg.collect()(0).getString(0) == "😀",
+      "pushed MAX must use UTF8String binary order")
+    spark.sql("DROP TABLE graft.utf8_t")
+  }
+
+  test("the change feed fails loudly on duplicate row ids instead of " +
+      "silently under-reporting") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.dupid_t")
+    spark.sql("CREATE TABLE graft.dupid_t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    // plain INSERT never validates uniqueness — seed a duplicate id
+    spark.sql("INSERT INTO graft.dupid_t VALUES (1, 'a'), (1, 'b')")
+    val ex = intercept[Exception] {
+      spark.table("graft.dupid_t.changes").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate row")),
+      s"expected a loud duplicate-row-id error, got: $ex")
+    spark.sql("DROP TABLE graft.dupid_t")
+  }
+
+  test("epoch ledger stays bounded: reset evicts a table's entries") {
+    val name = "graft.epoch_evict_t"
+    GraftTableStore.reset(name)
+    val before = GraftTableStore.epochLedgerSize
+    (0 until 8).foreach(i =>
+      GraftTableStore.markEpoch(name, s"q$i", 0L))
+    assert(GraftTableStore.epochLedgerSize == before + 8)
+    GraftTableStore.reset(name)
+    assert(GraftTableStore.epochLedgerSize == before,
+      "reset must evict the table's epoch entries")
+  }
 }
