@@ -179,6 +179,36 @@ object GraftApi {
     spark.table(s"$table.history")
       .select(col("version"), col("operation"), col("n_rows"))
 
+  /** OPTIMIZE — table maintenance for the merge-on-read path: compact
+    * the base + delta-commit chain into ONE full snapshot commit
+    * (operation 'compact' in the history). Reads are unchanged —
+    * identical rows before and after (the id's oracle proves it) —
+    * but subsequent scans resolve from the compacted head instead of
+    * re-merging the op-log chain, and snapshot expiry past the
+    * compaction point no longer strands a delta's base. Idempotent:
+    * with no retained delta commits nothing is written and 0 is
+    * returned; otherwise returns the number of delta commits the
+    * compaction subsumed. Delta/Iceberg surface this as
+    * OPTIMIZE / rewrite_data_files; Spark's parser has no OPTIMIZE
+    * statement for third-party catalogs, so the library verb IS the
+    * operator surface. `table` is catalog-qualified ("graft.t"). */
+  def optimizeTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    graft.sources.GraftTableStore.compact(table)
+
+  /** VACUUM / expire_snapshots — explicit retention: drop all but the
+    * newest `keep` retained versions NOW (the store's rolling 64-
+    * version cap keeps applying on top). Version numbers stay ABSOLUTE
+    * — expired versions fail loudly on `VERSION AS OF` with the
+    * retention reason, exactly like versions aged out by the cap; if
+    * the new earliest retained version is a delta commit it is
+    * materialized first (checkpoint-before-expire), so every retained
+    * version stays resolvable. Returns the number of versions
+    * expired. */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+      table: String, keep: Int): Int =
+    graft.sources.GraftTableStore.expireSnapshots(table, keep)
+
   // ---- sampling & splits -------------------------------------------
 
   /** Deterministic hash sample at rate n/256 — a pure function of the

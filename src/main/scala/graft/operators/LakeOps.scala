@@ -295,6 +295,44 @@ object LakeOps extends QueryModule {
         "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v3
       graft.api.GraftApi.tableHistory(s, "graft.hist_t")
         .orderBy("version")
+    }),
+
+    // OPTIMIZE (table maintenance): after two merge-on-read delta
+    // commits — stored as op logs, merged into the base at SCAN time —
+    // compaction materializes the chain into one full 'compact' commit.
+    // Reads are unchanged (CatalogSpec pins row-for-row identity and
+    // that the op-log commits really stored no snapshot); what the
+    // history readout proves here is the op kind AND that the compacted
+    // commit carries exactly the pre-compaction row count. At 100 TB
+    // this is the rewrite_data_files pass that keeps read amplification
+    // bounded as the delta chain grows.
+    "table_optimize" -> ((s, d) => {
+      MergeOps.seedSnapshotTable(s, d, "optm_t", mor = true) // v0 append
+      s.sql("DELETE FROM graft.optm_t WHERE c_custkey % 11 = 0") // v1
+      s.sql("UPDATE graft.optm_t SET c_acctbal = c_acctbal + 100.0 " +
+        "WHERE c_custkey % 7 = 0") // v2 delta
+      graft.api.GraftApi.optimizeTable(s, "graft.optm_t") // v3 compact
+      graft.api.GraftApi.tableHistory(s, "graft.optm_t")
+        .orderBy("version")
+    }),
+
+    // VACUUM / expire_snapshots: explicit retention — keep the last 2
+    // versions NOW; v0 expires, version NUMBERS stay absolute (the
+    // readout starts at 1), and the new earliest retained version — a
+    // delta whose base just expired — was materialized first
+    // (checkpoint-before-expire; CatalogSpec pins it and the loud
+    // expired-version error). The operation labels keep describing what
+    // PRODUCED each commit, so the post-vacuum history is exactly the
+    // corpus-derivable tail of the original log.
+    "table_vacuum" -> ((s, d) => {
+      MergeOps.seedSnapshotTable(s, d, "vacm_t", mor = true) // v0 append
+      s.sql("DELETE FROM graft.vacm_t WHERE c_custkey % 11 = 0") // v1
+      s.sql("INSERT INTO graft.vacm_t " +
+        "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // v2
+      graft.api.GraftApi.expireSnapshots(s, "graft.vacm_t", keep = 2)
+      graft.api.GraftApi.tableHistory(s, "graft.vacm_t")
+        .orderBy("version")
     })
   )
 
@@ -352,6 +390,23 @@ object LakeOps extends QueryModule {
         |UNION ALL SELECT CAST(2 AS BIGINT), 'delta', COUNT(*)
         |  FROM customer WHERE c_custkey % 11 <> 0
         |UNION ALL SELECT CAST(3 AS BIGINT), 'append',
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 11 <> 0)
+        |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
+        |ORDER BY version""".stripMargin,
+    "table_optimize" ->
+      """SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+        |  COUNT(*) AS n_rows FROM customer
+        |UNION ALL SELECT CAST(1 AS BIGINT), 'delta', COUNT(*)
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'delta', COUNT(*)
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'compact', COUNT(*)
+        |  FROM customer WHERE c_custkey % 11 <> 0
+        |ORDER BY version""".stripMargin,
+    "table_vacuum" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'delta' AS operation,
+        |  COUNT(*) AS n_rows FROM customer WHERE c_custkey % 11 <> 0
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'append',
         |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 11 <> 0)
         |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
         |ORDER BY version""".stripMargin

@@ -56,19 +56,38 @@ object GraftTableStore {
     * format's VACUUM/retention window gives. */
   private[graft] val RetainedVersions = 64
 
+  /** What one commit STORES — the merge-on-read distinction made real:
+    * a full commit materializes its snapshot (append / replace /
+    * overwrite paths, where the writer produced the rows anyway); a
+    * DELTA commit stores only the row-level op log (`WriteDelta`'s
+    * delete/update/insert stream) — O(changed rows), never the table.
+    * The snapshot a delta commit denotes is MERGED AT READ TIME
+    * ([[GraftTableStore.resolveRel]]): base(v-1) + op log, exactly the
+    * scan-side base+delta merge a deletion-vector/MoR reader performs.
+    * `count` is the post-commit row count, carried so DESCRIBE HISTORY
+    * and streaming admission control stay O(metadata): for a delta it
+    * is prevCount − |distinct delete ids| + |inserts|, exact under the
+    * MoR unique-row-id contract (WriteDelta only deletes/updates rows
+    * its scan matched, one op per matched row). */
+  private[sources] sealed trait GraftCommitData { def count: Int }
+  private[sources] final case class GraftFullData(rows: Array[InternalRow])
+      extends GraftCommitData { def count: Int = rows.length }
+  private[sources] final case class GraftDeltaData(ops: Array[GraftDeltaOp],
+      idOrd: Int, idType: org.apache.spark.sql.types.DataType,
+      count: Int) extends GraftCommitData
+
   /** Retained history of one table: `firstRetained` = absolute version
-    * number of `snaps.head`; `current` == `snaps.last` when non-empty;
-    * `times(i)` = commit wall-clock of `snaps(i)` in epoch millis,
-    * strictly increasing (same-milli commits are nudged +1 ms so a
-    * timestamp resolves to exactly one version); `ops(i)` = the kind of
-    * commit that produced `snaps(i)` (append / replace / truncate /
-    * delta / stream-append — the operation column a lake format's
-    * DESCRIBE HISTORY shows). */
+    * number of `commits.head`; `times(i)` = commit wall-clock of
+    * `commits(i)` in epoch millis, strictly increasing (same-milli
+    * commits are nudged +1 ms so a timestamp resolves to exactly one
+    * version); `ops(i)` = the kind of commit that produced `commits(i)`
+    * (append / replace / truncate / delta / compact / stream-append —
+    * the operation column a lake format's DESCRIBE HISTORY shows). */
   private[sources] final case class History(
-      firstRetained: Int, snaps: Vector[Array[InternalRow]],
+      firstRetained: Int, commits: Vector[GraftCommitData],
       times: Vector[Long] = Vector.empty,
       ops: Vector[String] = Vector.empty) {
-    def commitCount: Int = firstRetained + snaps.size
+    def commitCount: Int = firstRetained + commits.size
   }
 
   /** table name -> retained history. All mutation goes through
@@ -79,16 +98,74 @@ object GraftTableStore {
   private[sources] val versions = new TrieMap[String, History]()
   private val lock = new Object
 
+  /** Memoized read-time resolutions of DELTA commits, keyed by
+    * (table, absolute version): a committed version's content never
+    * changes (the chain is append-only), so a cached merge stays valid
+    * forever; entries die with their versions (retention trim) or their
+    * table (reset), bounding the cache at O(retained ≤ 64) per table.
+    * Unchanged rows keep their base row OBJECTS through the merge, so
+    * reference-identity invariants (streaming prefix check, change-feed
+    * update detection) see through delta commits unchanged. */
+  private val resolvedCache =
+    new TrieMap[(String, Int), Array[InternalRow]]()
+
   def reset(name: String): Unit = lock.synchronized {
     versions.remove(name)
+    resolvedCache.keysIterator.filter(_._1 == name)
+      .foreach(resolvedCache.remove)
     // a dropped/reset table's epoch ledger entries can never be
     // consulted again (its store is gone) — evict them, so create/drop
     // churn cannot grow the ledger without bound
     lastEpochs.keySet().removeIf(_._1 == name)
     ()
   }
+
+  /** apply one op log to its base snapshot — the scan-side MoR merge.
+    * Deletes/updates key by the stable row id; untouched rows pass
+    * through BY REFERENCE (same objects), inserts append in op order. */
+  private def applyDelta(base: Array[InternalRow],
+      d: GraftDeltaData): Array[InternalRow] = {
+    val deletes = scala.collection.mutable.HashSet[Any]()
+    val updates = scala.collection.mutable.HashMap[Any, InternalRow]()
+    val inserts = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    d.ops.foreach { o =>
+      (o.op: @unchecked) match {
+        case 'D' => deletes += o.id.get(0, d.idType)
+        case 'U' => updates.put(o.id.get(0, d.idType), o.row)
+        case 'I' => inserts += o.row
+      }
+    }
+    base.iterator.flatMap { r =>
+      val k = r.get(d.idOrd, d.idType)
+      if (deletes.contains(k)) Iterator.empty
+      else Iterator.single(updates.getOrElse(k, r))
+    }.toArray ++ inserts
+  }
+
+  /** rows of the commit at RELATIVE index `rel` in `h`: a full commit
+    * answers directly; a delta commit merges base + op log, memoized by
+    * absolute version. Recursion depth ≤ RetainedVersions (retention
+    * trim materializes the head, so a chain never walks off the retained
+    * window). */
+  private def resolveRel(name: String, h: History, rel: Int)
+      : Array[InternalRow] =
+    h.commits(rel) match {
+      case GraftFullData(rows) => rows
+      case d: GraftDeltaData =>
+        resolvedCache.getOrElseUpdate((name, h.firstRetained + rel), {
+          val base =
+            if (rel == 0) Array.empty[InternalRow] // delta on empty table
+            else resolveRel(name, h, rel - 1)
+          applyDelta(base, d)
+        })
+    }
+
   def get(name: String): Array[InternalRow] =
-    versions.get(name).flatMap(_.snaps.lastOption).getOrElse(Array.empty)
+    versions.get(name) match {
+      case Some(h) if h.commits.nonEmpty =>
+        resolveRel(name, h, h.commits.size - 1)
+      case _ => Array.empty
+    }
   def commitCount(name: String): Int =
     versions.get(name).map(_.commitCount).getOrElse(0)
   def getVersion(name: String, v: Int): Array[InternalRow] = {
@@ -101,7 +178,18 @@ object GraftTableStore {
         s"version $v of $name has expired (retention keeps the last " +
           s"$RetainedVersions versions; earliest retained: " +
           s"${h.firstRetained})")
-    h.snaps(v - h.firstRetained)
+    resolveRel(name, h, v - h.firstRetained)
+  }
+  /** the STORED form of a commit — "full" or "delta" — so tests can pin
+    * that a delta commit really persisted only its op log. */
+  private[graft] def commitKind(name: String, v: Int): String = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    require(v >= h.firstRetained && v < h.commitCount,
+      s"version $v of $name is not retained")
+    h.commits(v - h.firstRetained) match {
+      case _: GraftFullData => "full"
+      case _: GraftDeltaData => "delta"
+    }
   }
   def put(name: String, rs: Array[InternalRow]): Unit =
     mutate(name)(_ => rs)
@@ -134,6 +222,46 @@ object GraftTableStore {
   private[graft] def epochLedgerSize: Int =
     lock.synchronized(lastEpochs.size())
 
+  /** Append one commit and apply retention — MUST run under [[lock]].
+    * When the trim drops versions, the commit that becomes the new
+    * retained HEAD is materialized first (a delta head would otherwise
+    * need its expired predecessor to resolve) — the checkpoint a lake
+    * format writes before expiring snapshots; dropped versions' cached
+    * resolutions are evicted with them. */
+  private def appendLocked(name: String, op: String,
+      data: GraftCommitData): Unit = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    val now = math.max(System.currentTimeMillis(),
+      h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
+    val appended = History(h.firstRetained, h.commits :+ data,
+      h.times :+ now, h.ops :+ op)
+    versions.put(name, trimLocked(name, appended, RetainedVersions))
+  }
+
+  /** retention trim to the last `keep` versions of `appended` — MUST
+    * run under [[lock]]. Shared by the per-commit cap and the explicit
+    * expire-snapshots command. */
+  private def trimLocked(name: String, appended: History,
+      keep: Int): History =
+    if (appended.commits.size <= keep) appended
+    else {
+      val dropN = appended.commits.size - keep
+      val headRel = dropN // relative index of the new head, pre-trim
+      val headData = appended.commits(headRel) match {
+        case f: GraftFullData => f
+        case _: GraftDeltaData =>
+          GraftFullData(resolveRel(name, appended, headRel))
+      }
+      val newFirst = appended.firstRetained + dropN
+      resolvedCache.keysIterator
+        .filter(k => k._1 == name && k._2 < newFirst)
+        .foreach(resolvedCache.remove)
+      History(newFirst,
+        appended.commits.drop(dropN).updated(0, headData),
+        appended.times.drop(dropN),
+        appended.ops.drop(dropN))
+    }
+
   /** Atomic read-modify-write commit: `f` maps the current committed
     * rows to the next snapshot; the swap of (current, history) is one
     * synchronized step, so no concurrent commit can interleave between
@@ -143,32 +271,89 @@ object GraftTableStore {
       f: Array[InternalRow] => Array[InternalRow]): Unit =
     lock.synchronized {
       val h = versions.getOrElse(name, History(0, Vector.empty))
-      val next = f(h.snaps.lastOption.getOrElse(Array.empty))
-      val now = math.max(System.currentTimeMillis(),
-        h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
-      val appended = h.snaps :+ next
-      val appendedTimes = h.times :+ now
-      val appendedOps = h.ops :+ op
-      val trimmed =
-        if (appended.size > RetainedVersions)
-          History(h.firstRetained + (appended.size - RetainedVersions),
-            appended.takeRight(RetainedVersions),
-            appendedTimes.takeRight(RetainedVersions),
-            appendedOps.takeRight(RetainedVersions))
-        else History(h.firstRetained, appended, appendedTimes, appendedOps)
-      versions.put(name, trimmed)
+      val base =
+        if (h.commits.isEmpty) Array.empty[InternalRow]
+        else resolveRel(name, h, h.commits.size - 1)
+      appendLocked(name, op, GraftFullData(f(base)))
+    }
+
+  /** Commit a WriteDelta op log AS an op log — O(changed rows), the
+    * merge-on-read write: the base snapshot is untouched (no
+    * materialization, no row copies) and every read of this version
+    * merges base + ops at scan time ([[resolveRel]]). The post-commit
+    * count is derived arithmetically from the op log (see
+    * [[GraftDeltaData]] for the uniqueness contract that makes it
+    * exact). */
+  private[sources] def commitDelta(name: String, ops: Array[GraftDeltaOp],
+      idOrd: Int, idType: org.apache.spark.sql.types.DataType): Unit =
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val prevCount = h.commits.lastOption.map(_.count).getOrElse(0)
+      val deleteIds = scala.collection.mutable.HashSet[Any]()
+      var inserts = 0
+      ops.foreach { o =>
+        (o.op: @unchecked) match {
+          case 'D' => deleteIds += o.id.get(0, idType)
+          case 'U' =>
+          case 'I' => inserts += 1
+        }
+      }
+      appendLocked(name, "delta",
+        GraftDeltaData(ops, idOrd, idType,
+          prevCount - deleteIds.size + inserts))
+    }
+
+  /** Compaction (OPTIMIZE): materialize the current base+op-log chain
+    * into ONE full snapshot commit — reads are unchanged (same rows,
+    * same objects), but the read path stops walking the delta chain
+    * (subsequent scans resolve O(1) from the compacted head) and
+    * expiring the pre-compaction versions no longer loses anything a
+    * reader needs. Returns the number of RETAINED delta commits the
+    * compaction subsumed — 0 means there was nothing to compact and NO
+    * commit is made (idempotent, like OPTIMIZE on an already-compacted
+    * table). */
+  private[graft] def compact(name: String): Int = lock.synchronized {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    // what the CURRENT read path walks: the delta suffix after the
+    // last full commit (earlier deltas sit under a full snapshot
+    // already and cost nothing at read) — zero suffix = nothing to
+    // compact, and a just-compacted table reports exactly that
+    val lastFull = h.commits.lastIndexWhere(_.isInstanceOf[GraftFullData])
+    val deltas = h.commits.size - 1 - lastFull
+    if (deltas == 0) return 0
+    val current = resolveRel(name, h, h.commits.size - 1)
+    appendLocked(name, "compact", GraftFullData(current))
+    deltas
+  }
+
+  /** Explicit snapshot expiry (VACUUM / expire_snapshots): drop all but
+    * the last `keep` retained versions NOW instead of waiting for the
+    * rolling [[RetainedVersions]] cap — version numbers stay absolute,
+    * expired versions fail loudly on time travel (same contract as the
+    * cap). Returns the number of versions expired. */
+  private[graft] def expireSnapshots(name: String, keep: Int): Int =
+    lock.synchronized {
+      require(keep >= 1, s"expireSnapshots: keep must be >= 1, got $keep")
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val before = h.commits.size
+      if (before <= keep) 0
+      else {
+        versions.put(name, trimLocked(name, h, keep))
+        before - keep
+      }
     }
 
   /** The retained commit log, oldest first: (absolute version,
     * operation, row count after the commit, commit wall-clock ms) —
     * the readout a lake format's DESCRIBE HISTORY serves from its
-    * transaction log. O(retained versions), no row data copied. */
+    * transaction log. O(retained versions), no row data copied (delta
+    * commits carry their count; nothing resolves). */
   private[graft] def history(name: String): Vector[(Int, String, Int, Long)] = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
-    h.snaps.indices.toVector.map { i =>
+    h.commits.indices.toVector.map { i =>
       (h.firstRetained + i,
         if (i < h.ops.length) h.ops(i) else "append",
-        h.snaps(i).length,
+        h.commits(i).count,
         if (i < h.times.length) h.times(i) else 0L)
     }
   }
@@ -181,7 +366,7 @@ object GraftTableStore {
   private[sources] def resolveTimestamp(name: String,
       tsMicros: Long): Int = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
-    if (h.snaps.isEmpty)
+    if (h.commits.isEmpty)
       throw new IllegalArgumentException(
         s"$name has no commits to time-travel to")
     val idx = h.times.lastIndexWhere(_ * 1000L <= tsMicros)
@@ -2055,28 +2240,13 @@ class GraftDeltaWrite(table: GraftMergeTable, rowIdCol: String,
       val schema = table.schema()
       val idOrd = schema.fieldIndex(rowIdCol)
       val idType = schema(idOrd).dataType
-      // one atomic read-modify-write: resolve the op log against the
-      // PREVIOUS committed snapshot (delete/update keyed by row id,
-      // inserts appended) — the compaction a merge-on-read reader
-      // performs at scan time, applied here at commit because the
-      // in-JVM store keeps materialized snapshots
-      GraftTableStore.mutate(table.name(), "delta") { base =>
-        val deletes = scala.collection.mutable.HashSet[Any]()
-        val updates = scala.collection.mutable.HashMap[Any, InternalRow]()
-        val inserts = scala.collection.mutable.ArrayBuffer[InternalRow]()
-        ops.foreach { o =>
-          (o.op: @unchecked) match {
-            case 'D' => deletes += o.id.get(0, idType)
-            case 'U' => updates.put(o.id.get(0, idType), o.row)
-            case 'I' => inserts += o.row
-          }
-        }
-        base.iterator.flatMap { r =>
-          val k = r.get(idOrd, idType)
-          if (deletes.contains(k)) Iterator.empty
-          else Iterator.single(updates.getOrElse(k, r))
-        }.toArray ++ inserts
-      }
+      // TRUE merge-on-read commit: persist the op log AS the commit —
+      // O(changed rows), the base snapshot untouched (no full-table
+      // materialization; CatalogSpec pins reference identity of the
+      // base array across this commit). Every read of the new version
+      // merges base + ops at SCAN time (GraftTableStore.resolveRel),
+      // the deletion-vector/delta-file reader's job.
+      GraftTableStore.commitDelta(table.name(), ops, idOrd, idType)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }

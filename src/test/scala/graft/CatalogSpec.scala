@@ -747,6 +747,125 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.dupid_t")
   }
 
+  test("a MoR delta commit persists ONLY its op log: the base snapshot " +
+      "array is reference-identical afterwards; reads merge at scan time") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.morlog_t")
+    spark.sql("CREATE TABLE graft.morlog_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.morlog_t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val base = GraftTableStore.getVersion("graft.morlog_t", 0)
+    spark.sql("DELETE FROM graft.morlog_t WHERE k % 10 = 0")
+    // the commit stored an op log, not a snapshot — and v0's array is
+    // the SAME object, untouched by the delta commit
+    assert(GraftTableStore.commitKind("graft.morlog_t", 0) == "full")
+    assert(GraftTableStore.commitKind("graft.morlog_t", 1) == "delta")
+    assert(GraftTableStore.getVersion("graft.morlog_t", 0) eq base,
+      "a delta commit must not rewrite or copy the base snapshot")
+    // read-time merge: current = base minus the 10 deleted rows;
+    // time travel to v0 still serves the pre-delete snapshot
+    assert(spark.table("graft.morlog_t").count() == 90)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.morlog_t VERSION AS OF 0")
+      .collect()(0).getLong(0) == 100)
+    // history reports the delta's count WITHOUT resolving (arithmetic
+    // from the op log)
+    val hist = GraftTableStore.history("graft.morlog_t")
+    assert(hist.map(h => (h._1, h._2, h._3)) ==
+      Vector((0, "append", 100), (1, "delta", 90)))
+    spark.sql("DROP TABLE graft.morlog_t")
+  }
+
+  test("mixed full/delta history resolves at every version: append and " +
+      "update stack on the op-log chain, counts exact") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.morchain_t")
+    spark.sql("CREATE TABLE graft.morchain_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.morchain_t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(50)") // v0 full, 50
+    spark.sql("DELETE FROM graft.morchain_t WHERE k < 10") // v1 delta, 40
+    spark.sql("INSERT INTO graft.morchain_t " +
+      "SELECT id + 100, -1.0 FROM range(5)") // v2 full append, 45
+    spark.sql("UPDATE graft.morchain_t SET v = v + 1000.0 " +
+      "WHERE k >= 100") // v3 delta, 45
+    assert((0 to 3).map(v =>
+      GraftTableStore.commitKind("graft.morchain_t", v)) ==
+      Seq("full", "delta", "full", "delta"))
+    assert((0 to 3).map(v => spark.sql(
+      s"SELECT COUNT(*) FROM graft.morchain_t VERSION AS OF $v")
+      .collect()(0).getLong(0)) == Seq(50L, 40L, 45L, 45L))
+    // v3's update really applied, v2's view really doesn't see it
+    assert(spark.sql("SELECT SUM(v) FROM graft.morchain_t VERSION AS " +
+      "OF 3 WHERE k >= 100").collect()(0).getDouble(0) == 5 * 1000.0 - 5)
+    assert(spark.sql("SELECT SUM(v) FROM graft.morchain_t VERSION AS " +
+      "OF 2 WHERE k >= 100").collect()(0).getDouble(0) == -5.0)
+    spark.sql("DROP TABLE graft.morchain_t")
+  }
+
+  test("OPTIMIZE compacts the delta chain: reads unchanged, 'compact' " +
+      "commit stored full, idempotent when nothing to compact") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.opt_t")
+    spark.sql("CREATE TABLE graft.opt_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.opt_t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(60)")
+    spark.sql("DELETE FROM graft.opt_t WHERE k % 3 = 0")
+    spark.sql("UPDATE graft.opt_t SET v = -v WHERE k % 3 = 1")
+    val before = spark.table("graft.opt_t").orderBy("k").collect().toSeq
+    val subsumed = graft.api.GraftApi.optimizeTable(spark, "graft.opt_t")
+    assert(subsumed == 2, s"expected 2 delta commits subsumed: $subsumed")
+    // reads unchanged; the compacted head is a FULL commit; history
+    // records the maintenance op
+    assert(spark.table("graft.opt_t").orderBy("k").collect().toSeq
+      == before)
+    val hist = GraftTableStore.history("graft.opt_t")
+    assert(hist.last._2 == "compact" && hist.last._3 == 40)
+    assert(GraftTableStore.commitKind("graft.opt_t", hist.last._1)
+      == "full")
+    // idempotent: a second OPTIMIZE finds no deltas and commits nothing
+    val n = GraftTableStore.commitCount("graft.opt_t")
+    assert(graft.api.GraftApi.optimizeTable(spark, "graft.opt_t") == 0)
+    assert(GraftTableStore.commitCount("graft.opt_t") == n)
+    spark.sql("DROP TABLE graft.opt_t")
+  }
+
+  test("expire_snapshots drops versions loudly with absolute numbers; " +
+      "a delta at the new head is materialized before its base expires") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.vac_t")
+    spark.sql("CREATE TABLE graft.vac_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.vac_t " +
+      "SELECT id, CAST(id AS DOUBLE) FROM range(30)") // v0
+    spark.sql("DELETE FROM graft.vac_t WHERE k < 5") // v1 delta
+    spark.sql("DELETE FROM graft.vac_t WHERE k < 10") // v2 delta
+    // keep the last 2 → v0 expires; v1 (a delta whose base just
+    // expired) must still resolve — checkpoint-before-expire
+    assert(graft.api.GraftApi.expireSnapshots(spark, "graft.vac_t", 2)
+      == 1)
+    assert(GraftTableStore.commitKind("graft.vac_t", 1) == "full",
+      "the new earliest retained version must be materialized")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.vac_t VERSION AS OF 1")
+      .collect()(0).getLong(0) == 25)
+    assert(spark.table("graft.vac_t").count() == 20)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vac_t VERSION AS OF 0").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("expired")), s"got: $ex")
+    spark.sql("DROP TABLE graft.vac_t")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
