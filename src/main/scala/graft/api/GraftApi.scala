@@ -209,6 +209,34 @@ object GraftApi {
       table: String, keep: Int): Int =
     graft.sources.GraftTableStore.expireSnapshots(table, keep)
 
+  /** Create a BRANCH — a writable named ref over the version chain —
+    * at the current published (main) head. With the session conf
+    * `graft.wap.branch` set to its name, every batch commit lands on
+    * the branch while main stays put: the WRITE-AUDIT-PUBLISH pattern
+    * (Iceberg's spark.wap.branch). Read it with
+    * `VERSION AS OF '<branch>'`; publish with [[publishBranch]].
+    * Unqualified reads, streaming reads and the change feed serve
+    * ONLY published (main) commits throughout. */
+  def createBranch(spark: org.apache.spark.sql.SparkSession,
+      table: String, branch: String): Unit =
+    graft.sources.GraftTableStore.createRef(table, branch, isTag = false)
+
+  /** Create a TAG — an immutable named ref — at the current published
+    * head (e.g. 'v2024-audit'); readable forever within retention via
+    * `VERSION AS OF '<tag>'`, never writable. */
+  def createTag(spark: org.apache.spark.sql.SparkSession,
+      table: String, tag: String): Unit =
+    graft.sources.GraftTableStore.createRef(table, tag, isTag = true)
+
+  /** PUBLISH (WAP step 3): fast-forward main to the branch head — one
+    * atomic pointer move, nothing rewritten; audit-approved staged
+    * commits become visible to every reader at this instant. Forward-
+    * only (a branch behind main refuses — publishing it would roll
+    * the table back). Returns the newly published version. */
+  def publishBranch(spark: org.apache.spark.sql.SparkSession,
+      table: String, branch: String): Int =
+    graft.sources.GraftTableStore.fastForward(table, branch)
+
   // ---- sampling & splits -------------------------------------------
 
   /** Deterministic hash sample at rate n/256 — a pure function of the

@@ -400,6 +400,74 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // DROP COLUMN through COLUMN MAPPING (the last unsupported ALTER,
+    // closed): the dropped column's physical slot is tombstoned —
+    // position reserved forever, no stored row touched — so rows
+    // written before the drop keep their layout and the LATER column
+    // provably does NOT shift left (c_balance below reads balances,
+    // never names; a positional drop would misalign every pre-drop
+    // row). The id composes the full ALTER family: DROP c_name, ADD
+    // c_tier (a fresh slot — values for old rows are NULL, never the
+    // dead slot's), wide insert, RENAME c_acctbal → c_balance.
+    // CatalogSpec pins the rest of the contract (re-add same name,
+    // row-id/partition/last-column guards, MoR deletes after a drop,
+    // change-feed visibility).
+    "sql_alter_drop" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_rowlevel_base")
+      s.sql("DROP TABLE IF EXISTS graft.colmap_t")
+      s.sql("CREATE TABLE graft.colmap_t (c_custkey BIGINT, " +
+        "c_name STRING, c_acctbal DOUBLE)")
+      s.sql("INSERT INTO graft.colmap_t " +
+        "SELECT c_custkey, c_name, c_acctbal FROM graft_rowlevel_base")
+      s.sql("ALTER TABLE graft.colmap_t DROP COLUMN c_name")
+      s.sql("ALTER TABLE graft.colmap_t ADD COLUMN c_tier STRING")
+      s.sql("INSERT INTO graft.colmap_t " +
+        "SELECT c_custkey + 1000000, c_acctbal, 'gold' " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0")
+      s.sql("ALTER TABLE graft.colmap_t " +
+        "RENAME COLUMN c_acctbal TO c_balance")
+      s.table("graft.colmap_t")
+        .select("c_custkey", "c_balance", "c_tier")
+        .orderBy("c_custkey")
+    }),
+
+    // WRITE-AUDIT-PUBLISH over branch refs: stage a write on an
+    // 'audit' branch (session conf graft.wap.branch — the
+    // spark.wap.branch pattern), verify main readers DON'T see it,
+    // audit-read the branch via `VERSION AS OF 'audit'`, then publish
+    // (one atomic fast-forward of the main pointer) and verify main
+    // DOES. The three counts are collected EAGERLY at each stage (a
+    // lazy plan would read post-publish state for all three) — three
+    // 1-row driver reads, the sanctioned bounded-metadata class. At
+    // 100 TB the pattern is what it is here: staging costs one commit,
+    // audit is a pinned read, publish is a pointer move — no data is
+    // ever rewritten. CatalogSpec pins isolation, tag immutability,
+    // forward-only publish and the dangling-branch write guard.
+    "sql_branch_wap" -> ((s, d) => {
+      import s.implicits._
+      seedSnapshotTable(s, d, "wap_t") // v0, main=v0
+      graft.api.GraftApi.createBranch(s, "graft.wap_t", "audit")
+      s.conf.set("graft.wap.branch", "audit")
+      try
+        s.sql("INSERT INTO graft.wap_t " +
+          "SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal " +
+          "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0") // staged
+      finally s.conf.unset("graft.wap.branch")
+      def n(df: org.apache.spark.sql.DataFrame): Long = df.count()
+      val preMain = n(s.table("graft.wap_t"))
+      val branch = n(s.sql(
+        "SELECT * FROM graft.wap_t VERSION AS OF 'audit'"))
+      graft.api.GraftApi.publishBranch(s, "graft.wap_t", "audit")
+      val postMain = n(s.table("graft.wap_t"))
+      Seq(("audit-branch", branch), ("post-publish-main", postMain),
+        ("pre-publish-main", preMain))
+        .toDF("stage", "n_rows").orderBy("stage")
+    }),
+
     // the SCAN-LEVEL change feed (the third CDC form, completing the
     // family): cdc_diff re-derives changes relationally from two
     // states; cdc_table_changes diffs two VERSION AS OF snapshots via
@@ -574,6 +642,29 @@ object MergeOps extends QueryModule {
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // pre-drop rows keep their balances under the renamed column (a
+    // positional drop would have shifted names into it), post-drop
+    // rows carry the fresh c_tier slot
+    "sql_alter_drop" ->
+      """SELECT c_custkey, c_acctbal AS c_balance,
+        |  CAST(NULL AS VARCHAR) AS c_tier
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_acctbal, 'gold'
+        |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    // staged rows visible on the branch and after publish, never before
+    "sql_branch_wap" ->
+      """SELECT 'audit-branch' AS stage,
+        |  (SELECT COUNT(*) FROM customer)
+        |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
+        |    AS n_rows
+        |UNION ALL SELECT 'post-publish-main',
+        |  (SELECT COUNT(*) FROM customer)
+        |    + (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0)
+        |UNION ALL SELECT 'pre-publish-main',
+        |  (SELECT COUNT(*) FROM customer)
+        |ORDER BY stage""".stripMargin,
     // the scan-level feed adds commit attribution on top of the same
     // change rows: each change class maps to exactly the statement
     // (commit) that produced it

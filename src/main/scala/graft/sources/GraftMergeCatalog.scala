@@ -83,11 +83,23 @@ object GraftTableStore {
     * version); `ops(i)` = the kind of commit that produced `commits(i)`
     * (append / replace / truncate / delta / compact / stream-append —
     * the operation column a lake format's DESCRIBE HISTORY shows). */
+  /** `branches`/`tags` are NAMED REFS over the version chain (absolute
+    * version numbers — the Iceberg branch/tag surface): `branches` are
+    * mutable pointers ("main" is the published state every unqualified
+    * read serves; absent = the chain head), `tags` immutable. The
+    * chain itself stays LINEAR: a branch write must extend the chain
+    * head (enforced loudly), so "write to a branch" means main LAGS
+    * while staged commits append — the write-audit-publish shape —
+    * and publish is one fast-forward pointer move. */
   private[sources] final case class History(
       firstRetained: Int, commits: Vector[GraftCommitData],
       times: Vector[Long] = Vector.empty,
-      ops: Vector[String] = Vector.empty) {
+      ops: Vector[String] = Vector.empty,
+      branches: Map[String, Int] = Map.empty,
+      tags: Map[String, Int] = Map.empty) {
     def commitCount: Int = firstRetained + commits.size
+    /** the published head: what unqualified reads serve. */
+    def mainHead: Int = branches.getOrElse("main", commitCount - 1)
   }
 
   /** table name -> retained history. All mutation goes through
@@ -163,11 +175,24 @@ object GraftTableStore {
   def get(name: String): Array[InternalRow] =
     versions.get(name) match {
       case Some(h) if h.commits.nonEmpty =>
-        resolveRel(name, h, h.commits.size - 1)
+        // unqualified reads serve MAIN — staged (unpublished) branch
+        // commits beyond it are invisible until fast-forward
+        val rel = h.mainHead - h.firstRetained
+        if (rel < 0)
+          throw new IllegalStateException(
+            s"$name: the published (main) version ${h.mainHead} has " +
+              "expired under retention while branch commits piled up — " +
+              "publish or expire the branch")
+        resolveRel(name, h, rel)
       case _ => Array.empty
     }
   def commitCount(name: String): Int =
     versions.get(name).map(_.commitCount).getOrElse(0)
+  /** commits visible to unqualified/streaming/CDF readers: up to and
+    * including MAIN — a WAP branch's staged commits don't stream or
+    * feed until published. */
+  private[sources] def publishedCount(name: String): Int =
+    versions.get(name).map(_.mainHead + 1).getOrElse(0)
   def getVersion(name: String, v: Int): Array[InternalRow] = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
     if (v < 0 || v >= h.commitCount)
@@ -229,12 +254,42 @@ object GraftTableStore {
     * format writes before expiring snapshots; dropped versions' cached
     * resolutions are evicted with them. */
   private def appendLocked(name: String, op: String,
-      data: GraftCommitData): Unit = {
+      data: GraftCommitData, branch: Option[String] = None): Unit = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
+    val head = h.commitCount - 1
+    // linear-chain discipline: every commit extends the chain head.
+    // A main write with staged branch commits dangling above main, or
+    // a write to a branch that is not at the head, would need a DAG —
+    // refuse loudly instead of silently basing on the wrong snapshot.
+    branch match {
+      case None =>
+        if (h.commits.nonEmpty && h.mainHead != head)
+          throw new IllegalStateException(
+            s"$name has unpublished branch commits (main at " +
+              s"v${h.mainHead}, chain head at v$head) — publish " +
+              "(fast-forward) the branch or keep writing to it")
+      case Some(b) =>
+        require(!h.tags.contains(b),
+          s"'$b' is a tag of $name — tags are immutable")
+        require(h.branches.contains(b),
+          s"no such branch '$b' of $name — create it first")
+        if (h.branches(b) != head)
+          throw new IllegalStateException(
+            s"branch '$b' of $name is at v${h.branches(b)}, not the " +
+              s"chain head v$head — only the head branch can be written")
+    }
+    val newV = head + 1
+    val newBranches = branch match {
+      case None => h.branches + ("main" -> newV)
+      // a branch write advances ITS pointer and pins main explicitly
+      // where it was (main must not follow staged commits)
+      case Some(b) =>
+        h.branches + ("main" -> h.mainHead) + (b -> newV)
+    }
     val now = math.max(System.currentTimeMillis(),
       h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
     val appended = History(h.firstRetained, h.commits :+ data,
-      h.times :+ now, h.ops :+ op)
+      h.times :+ now, h.ops :+ op, newBranches, h.tags)
     versions.put(name, trimLocked(name, appended, RetainedVersions))
   }
 
@@ -256,10 +311,57 @@ object GraftTableStore {
       resolvedCache.keysIterator
         .filter(k => k._1 == name && k._2 < newFirst)
         .foreach(resolvedCache.remove)
+      // refs survive the trim untouched: one pointing below the new
+      // window resolves loudly as expired (same contract as an integer
+      // VERSION AS OF), it is not silently moved
       History(newFirst,
         appended.commits.drop(dropN).updated(0, headData),
         appended.times.drop(dropN),
-        appended.ops.drop(dropN))
+        appended.ops.drop(dropN),
+        appended.branches, appended.tags)
+    }
+
+  /** Create a named ref (branch or tag) at `at` (default: the current
+    * published main head). Branches are writable pointers (a WAP write
+    * targets one via the `graft.wap.branch` session conf), tags are
+    * immutable. */
+  private[graft] def createRef(name: String, ref: String,
+      isTag: Boolean, at: Option[Int] = None): Unit = lock.synchronized {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    require(h.commits.nonEmpty, s"$name has no commits to ref")
+    require(ref != "main", "'main' is the implicit published branch")
+    require(!h.branches.contains(ref) && !h.tags.contains(ref),
+      s"ref '$ref' of $name already exists")
+    val v = at.getOrElse(h.mainHead)
+    require(v >= h.firstRetained && v < h.commitCount,
+      s"version $v of $name is not retained")
+    versions.put(name,
+      if (isTag) h.copy(tags = h.tags + (ref -> v))
+      else h.copy(branches = h.branches + (ref -> v)))
+  }
+
+  /** resolve a named ref to its absolute version. */
+  private[sources] def refVersion(name: String, ref: String): Option[Int] = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    h.branches.get(ref).orElse(h.tags.get(ref))
+  }
+
+  /** PUBLISH (WAP's third step): fast-forward main to `ref`'s version —
+    * one atomic pointer move, nothing rewritten; every unqualified
+    * reader sees the staged commits from this instant. Fast-forward
+    * only: a ref behind main refuses (publishing it would silently
+    * roll the table back). */
+  private[graft] def fastForward(name: String, ref: String): Int =
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val to = h.branches.get(ref).orElse(h.tags.get(ref)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no such ref '$ref' of $name"))
+      require(to >= h.mainHead,
+        s"cannot fast-forward main of $name from v${h.mainHead} back " +
+          s"to v$to ('$ref') — publish is forward-only")
+      versions.put(name, h.copy(branches = h.branches + ("main" -> to)))
+      to
     }
 
   /** Atomic read-modify-write commit: `f` maps the current committed
@@ -267,14 +369,18 @@ object GraftTableStore {
     * synchronized step, so no concurrent commit can interleave between
     * the read and the write, and the history always ends in the row set
     * `get` serves. */
-  private[graft] def mutate(name: String, op: String = "append")(
+  private[graft] def mutate(name: String, op: String = "append",
+      branch: Option[String] = None)(
       f: Array[InternalRow] => Array[InternalRow]): Unit =
     lock.synchronized {
       val h = versions.getOrElse(name, History(0, Vector.empty))
+      // base = the chain head; appendLocked enforces that the write
+      // target (main or the branch) IS the head, so this is always the
+      // right parent snapshot
       val base =
         if (h.commits.isEmpty) Array.empty[InternalRow]
         else resolveRel(name, h, h.commits.size - 1)
-      appendLocked(name, op, GraftFullData(f(base)))
+      appendLocked(name, op, GraftFullData(f(base)), branch)
     }
 
   /** Commit a WriteDelta op log AS an op log — O(changed rows), the
@@ -285,7 +391,8 @@ object GraftTableStore {
     * [[GraftDeltaData]] for the uniqueness contract that makes it
     * exact). */
   private[sources] def commitDelta(name: String, ops: Array[GraftDeltaOp],
-      idOrd: Int, idType: org.apache.spark.sql.types.DataType): Unit =
+      idOrd: Int, idType: org.apache.spark.sql.types.DataType,
+      branch: Option[String] = None): Unit =
     lock.synchronized {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val prevCount = h.commits.lastOption.map(_.count).getOrElse(0)
@@ -300,8 +407,17 @@ object GraftTableStore {
       }
       appendLocked(name, "delta",
         GraftDeltaData(ops, idOrd, idType,
-          prevCount - deleteIds.size + inserts))
+          prevCount - deleteIds.size + inserts), branch)
     }
+
+  /** the WAP target branch of the active session, if any — the
+    * `graft.wap.branch` session conf (the spark.wap.branch pattern):
+    * while set, batch commits land on that branch and main stays
+    * where it is until publish. Read DRIVER-SIDE at commit time. */
+  private[sources] def sessionWapBranch: Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("graft.wap.branch", null)))
+      .filter(_.nonEmpty)
 
   /** Compaction (OPTIMIZE): materialize the current base+op-log chain
     * into ONE full snapshot commit — reads are unchanged (same rows,
@@ -459,16 +575,20 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
+    // integer snapshot number, or a NAMED REF (branch/tag): `VERSION
+    // AS OF 'audit'` reads the branch head — the WAP audit read
     val v =
       try version.trim.toInt
       catch {
         case _: NumberFormatException =>
-          throw new UnsupportedOperationException(
-            s"unsupported version '$version' for table ${t.name()}: " +
-              "VERSION AS OF takes integer snapshot numbers " +
-              "(use TIMESTAMP AS OF for time-based travel)")
+          GraftTableStore.refVersion(t.name(), version.trim).getOrElse(
+            throw new UnsupportedOperationException(
+              s"unsupported version '$version' for table ${t.name()}: " +
+                "VERSION AS OF takes integer snapshot numbers or a " +
+                "named branch/tag ref (use TIMESTAMP AS OF for " +
+                "time-based travel)"))
       }
-    new GraftMergeTable(t.name(), t.schema(), Some(v),
+    new GraftMergeTable(t.name(), t.physicalSchema, Some(v),
       partFields = t.partFields)
   }
 
@@ -479,7 +599,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    new GraftMergeTable(t.name(), t.schema(),
+    new GraftMergeTable(t.name(), t.physicalSchema,
       Some(GraftTableStore.resolveTimestamp(t.name(), timestamp)),
       partFields = t.partFields)
   }
@@ -495,6 +615,12 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toSeq)
+    // the column-mapping tombstone namespace is reserved — a user
+    // column named like one would alias into a dead slot
+    schema.fieldNames.find(_.startsWith(GraftColumnMap.DroppedPrefix))
+      .foreach(c => throw new IllegalArgumentException(
+        s"column name '$c' uses the reserved " +
+          s"'${GraftColumnMap.DroppedPrefix}' prefix"))
     // store key carries the FULL identifier (namespace included) so
     // graft.ns1.t and graft.ns2.t can never share a row store
     val storeName =
@@ -588,20 +714,24 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   // missing trailing fields with NULL at read time (exactly how
   // parquet serves a column absent from an old file), so time travel
   // across the evolution stays correct. RENAME rewrites only the
-  // schema (storage is positional); the merge-on-read row id follows
-  // a rename of its column.
+  // schema; the merge-on-read row id follows a rename of its column.
+  // DROP COLUMN tombstones the column's PHYSICAL slot (column mapping,
+  // [[GraftColumnMap]]): no stored row is touched, the slot's position
+  // stays reserved so rows written before the drop keep their layout,
+  // and the column simply leaves the visible schema — re-adding the
+  // name later allocates a fresh slot (old values stay dead).
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(t.schema()) { (sch, ch) =>
+    val newSchema = changes.foldLeft(t.physicalSchema) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
             "nested ADD COLUMN not supported")
           require(add.position() == null,
             "ADD COLUMN ... FIRST/AFTER not supported — columns " +
-              "append at the end (storage is positional)")
+              "append at the end (slot position is the field id)")
           require(add.isNullable,
             "added columns must be nullable: existing rows read as NULL")
           StructType(sch.fields :+ org.apache.spark.sql.types
@@ -616,16 +746,23 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
             if (f.name == rn.fieldNames()(0)) f.copy(name = rn.newName())
             else f))
         case del: TableChange.DeleteColumn =>
-          // storage is positional (no column-id indirection): dropping
-          // a middle column would shift every later field under old
-          // rows. Fail with the reason rather than a generic message —
-          // a lake format supports this via column mapping (field ids),
-          // which is exactly the indirection this store trades away.
-          throw new UnsupportedOperationException(
-            s"DROP COLUMN ${del.fieldNames().mkString(".")}: storage " +
-              "is positional — dropping a column would misalign rows " +
-              "written before the drop (lake formats support this via " +
-              "column-mapping/field-id indirection)")
+          require(del.fieldNames().length == 1,
+            "nested DROP COLUMN not supported")
+          val c = del.fieldNames()(0)
+          val ord = sch.fieldNames.indexOf(c)
+          require(ord >= 0, s"no such column: $c")
+          require(!t.morRowId.contains(c),
+            s"cannot drop '$c': it is the merge-on-read row id")
+          require(!t.partFields.exists(_.col == c),
+            s"cannot drop '$c': it is a partition column")
+          require(GraftColumnMap.visible(sch).length > 1,
+            s"cannot drop '$c': it is the table's last visible column")
+          StructType(sch.fields.zipWithIndex.map { case (f, i) =>
+            if (i == ord)
+              f.copy(name = s"${GraftColumnMap.DroppedPrefix}$i",
+                nullable = true)
+            else f
+          })
         case other => throw new UnsupportedOperationException(
           s"ALTER change not supported: $other")
       }
@@ -718,6 +855,51 @@ object GraftBucketFunction
   }
 }
 
+/** COLUMN MAPPING — the field-id indirection that makes DROP COLUMN
+  * (and RENAME) safe on positional storage, the round-9 verdict's
+  * missing ALTER: the table keeps a PHYSICAL schema in which every
+  * slot ever created stays at its position forever (a slot's position
+  * IS its field id), and dropping a column only TOMBSTONES its slot
+  * (renamed to a reserved `__graft_dropped_<pos>` placeholder) — no
+  * stored row is touched, rows written before the drop keep their
+  * layout, and later rows write NULL into the dead slot. The VISIBLE
+  * schema — what `Table.schema()` exposes, what scans output by
+  * default, what writes arrive in — is the physical schema minus
+  * tombstoned slots, in physical order. Re-adding a dropped column's
+  * name allocates a NEW slot: old values are not resurrected, exactly
+  * the lake-format column-mapping semantics (Delta `columnMapping`,
+  * Iceberg field ids). */
+object GraftColumnMap {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal}
+
+  val DroppedPrefix = "__graft_dropped_"
+  def isDropped(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.name.startsWith(DroppedPrefix)
+  def visible(physical: StructType): StructType =
+    StructType(physical.fields.filterNot(isDropped))
+  /** physical ordinal of each VISIBLE column, in visible order. */
+  def physOrds(physical: StructType): Array[Int] =
+    physical.fields.zipWithIndex.collect {
+      case (f, i) if !isDropped(f) => i
+    }
+  /** expressions projecting a VISIBLE-layout row into the PHYSICAL
+    * layout: live slots read their visible position (shifted by
+    * `offset` — the ReplaceData op-column skip), tombstoned slots
+    * write NULL of the slot's type. Identity when nothing was ever
+    * dropped. */
+  def toPhysical(physical: StructType, offset: Int = 0): Seq[Expression] = {
+    var vi = 0
+    physical.fields.map { f =>
+      if (isDropped(f)) Literal(null, f.dataType): Expression
+      else {
+        val e = BoundReference(vi + offset, f.dataType, nullable = true)
+        vi += 1
+        e: Expression
+      }
+    }.toSeq
+  }
+}
+
 /** One partition field of a governed table: identity(col) — one
   * partition per VALUE (low-cardinality layout keys) — or
   * bucket(n, col) — `floorMod(key, n)` into n stable buckets, the
@@ -778,8 +960,14 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
+  /** `tableSchema` is the PHYSICAL schema (column mapping — tombstoned
+    * slots included); everything row-layout-facing (scans, filter
+    * ordinals, the store) works in it. [[schema]] serves the VISIBLE
+    * view. Identical until the first DROP COLUMN. */
+  private[sources] def physicalSchema: StructType = tableSchema
+
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = GraftColumnMap.visible(tableSchema)
 
   // the SQL `TRUNCATE TABLE` statement (metadata-only delete-all: one
   // empty-snapshot commit, history preserved — time travel to the
@@ -818,7 +1006,8 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       s"$tableName VERSION AS OF ${pinnedVersion.get} is read-only — " +
         "write to the current table instead")
     new GraftWriteBuilder(tableName, info.schema(), replace = false,
-      queryId = info.queryId(), clusterFields = partFields)
+      queryId = info.queryId(), clusterFields = partFields,
+      physicalSchema = tableSchema)
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
@@ -846,7 +1035,8 @@ class GraftRowLevelOperation(table: GraftMergeTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = table.newScanBuilder(options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(table.name(), info.schema(), replace = true)
+    new GraftWriteBuilder(table.name(), info.schema(), replace = true,
+      physicalSchema = table.physicalSchema)
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
   override def description(): String =
@@ -873,7 +1063,9 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.sources._
-  private var required: StructType = tableSchema
+  // default output = the VISIBLE schema (tombstoned column-mapping
+  // slots never leave the store even when Spark skips pruning)
+  private var required: StructType = GraftColumnMap.visible(tableSchema)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var agg: Option[Aggregation] = None
@@ -1618,23 +1810,29 @@ object GraftChangeFeed {
         r, new GenericInternalRow(arity - r.numFields))
     }
 
-  /** change rows of commit indexes [fromCommit, toCommit). */
+  /** change rows of commit indexes [fromCommit, toCommit). `schema` is
+    * the PHYSICAL schema; feed rows carry the VISIBLE columns (+ the
+    * two CDF columns) — dropped slots never leave the store, the row
+    * id keys by its physical ordinal. */
   private[sources] def changesFor(table: String, schema: StructType,
       idOrd: Int, fromCommit: Int, toCommit: Int): Array[InternalRow] = {
     val idType = schema(idOrd).dataType
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
     val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
     def emit(r: InternalRow, ct: String, v: Int): Unit = {
-      val vals = new Array[Any](schema.length + 2)
+      val vals = new Array[Any](vis.length + 2)
       var i = 0
-      while (i < schema.length) {
+      while (i < vis.length) {
         // rows written before an ADD COLUMN are narrower — their
         // missing trailing fields read as NULL (evolution on read)
         vals(i) =
-          if (i < r.numFields) r.get(i, schema(i).dataType) else null
+          if (ords(i) < r.numFields) r.get(ords(i), vis(i).dataType)
+          else null
         i += 1
       }
-      vals(schema.length) = UTF8String.fromString(ct)
-      vals(schema.length + 1) = v.toLong
+      vals(vis.length) = UTF8String.fromString(ct)
+      vals(vis.length + 1) = v.toLong
       out += new GenericInternalRow(vals)
     }
     var v = fromCommit
@@ -1696,8 +1894,9 @@ class GraftCdfTable(base: GraftMergeTable) extends Table with SupportsRead {
     // endingVersion]. Streaming reads ignore it (a stream has no end).
     val to = options.getInt("endingVersion", -1)
     val maxCommits = options.getLong("maxCommitsPerTrigger", -1L)
-    () => new GraftCdfScan(base.name(), base.schema(),
-      base.schema().fieldIndex(base.morRowId.get), from, maxCommits, to)
+    () => new GraftCdfScan(base.name(), base.physicalSchema,
+      base.physicalSchema.fieldIndex(base.morRowId.get), from,
+      maxCommits, to)
   }
 }
 
@@ -1712,14 +1911,15 @@ class GraftCdfScan(tableName: String, tableSchema: StructType,
     idOrd: Int, startingVersion: Int, maxCommitsPerTrigger: Long = -1L,
     endingVersion: Int = -1)
     extends Scan with Batch {
+  // tableSchema is PHYSICAL (idOrd with it); the feed exposes visible
   override def readSchema(): StructType =
-    GraftChangeFeed.cdfSchema(tableSchema)
+    GraftChangeFeed.cdfSchema(GraftColumnMap.visible(tableSchema))
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCdfScan[$tableName@v$startingVersion" +
       (if (endingVersion < 0) "+]" else s"..v$endingVersion]")
   override def planInputPartitions(): Array[InputPartition] = {
-    val latest = GraftTableStore.commitCount(tableName)
+    val latest = GraftTableStore.publishedCount(tableName)
     val to =
       if (endingVersion < 0) latest
       else math.min(latest, endingVersion + 1) // inclusive bound
@@ -1748,7 +1948,7 @@ class GraftCdfMicroBatchStream(tableName: String,
   // rows arrive together), AvailableNow freezes the drain target.
   @volatile private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(GraftTableStore.commitCount(tableName))
+    availableNowCap = Some(GraftTableStore.publishedCount(tableName))
   override def getDefaultReadLimit: ReadLimit =
     if (maxCommitsPerTrigger > 0)
       ReadLimit.maxFiles(maxCommitsPerTrigger.toInt)
@@ -1757,8 +1957,8 @@ class GraftCdfMicroBatchStream(tableName: String,
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles}
     val s = start.asInstanceOf[GraftStreamOffset].commits
     val latest = availableNowCap
-      .map(math.min(_, GraftTableStore.commitCount(tableName)))
-      .getOrElse(GraftTableStore.commitCount(tableName))
+      .map(math.min(_, GraftTableStore.publishedCount(tableName)))
+      .getOrElse(GraftTableStore.publishedCount(tableName))
     def applyOne(l: ReadLimit, cap: Int): Int = l match {
       case f: ReadMaxFiles => math.min(cap, s + f.maxFiles())
       case c: CompositeReadLimit =>
@@ -1770,7 +1970,7 @@ class GraftCdfMicroBatchStream(tableName: String,
 
   override def initialOffset(): Offset = GraftStreamOffset(startingVersion)
   override def latestOffset(): Offset =
-    GraftStreamOffset(GraftTableStore.commitCount(tableName))
+    GraftStreamOffset(GraftTableStore.publishedCount(tableName))
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
@@ -1854,7 +2054,7 @@ class GraftPartitionsTable(base: GraftMergeTable)
         s"GraftPartitionsScan[${base.name()}]"
       override def planInputPartitions(): Array[InputPartition] = {
         import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-        val sch = base.schema()
+        val sch = base.physicalSchema // stored-row layout
         val keyTypes = base.partFields.map(
           GraftPartField.keyType(_, sch))
         val keyProj = org.apache.spark.sql.catalyst.expressions
@@ -1910,7 +2110,7 @@ class GraftMicroBatchStream(tableName: String,
 
   override def initialOffset(): Offset = GraftStreamOffset(0)
   override def latestOffset(): Offset =
-    GraftStreamOffset(GraftTableStore.commitCount(tableName))
+    GraftStreamOffset(GraftTableStore.publishedCount(tableName))
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
@@ -1934,7 +2134,7 @@ class GraftMicroBatchStream(tableName: String,
   // streaming-path mode.
   @volatile private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(GraftTableStore.commitCount(tableName))
+    availableNowCap = Some(GraftTableStore.publishedCount(tableName))
 
   override def getDefaultReadLimit: ReadLimit =
     if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
@@ -1946,8 +2146,8 @@ class GraftMicroBatchStream(tableName: String,
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
     val s = start.asInstanceOf[GraftStreamOffset].commits
     val latest = availableNowCap
-      .map(math.min(_, GraftTableStore.commitCount(tableName)))
-      .getOrElse(GraftTableStore.commitCount(tableName))
+      .map(math.min(_, GraftTableStore.publishedCount(tableName)))
+      .getOrElse(GraftTableStore.publishedCount(tableName))
     def rowsAfter(v: Int): Long =
       GraftTableStore.history(tableName)
         .collectFirst { case (ver, _, n, _) if ver == v - 1 => n.toLong }
@@ -2019,10 +2219,19 @@ class GraftMicroBatchStream(tableName: String,
   * through the same SupportsTruncate flag). */
 class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     replace: Boolean, queryId: String = "",
-    clusterFields: Array[GraftPartField] = Array.empty)
+    clusterFields: Array[GraftPartField] = Array.empty,
+    physicalSchema: StructType = null)
     extends WriteBuilder with SupportsTruncate with SupportsOverwrite
     with SupportsDynamicOverwrite {
   import org.apache.spark.sql.sources.Filter
+  /** the STORE-side row layout (column mapping): incoming rows arrive
+    * in the visible `writeSchema` and are projected physical at the
+    * write task; everything evaluated against STORED rows — overwrite
+    * predicates, partition keys, padding width — uses this. Equal to
+    * writeSchema when no column was ever dropped (and on the internal
+    * callers that never see a drop). */
+  private val physSchema: StructType =
+    Option(physicalSchema).getOrElse(writeSchema)
   private var doTruncate = false
   private var overwriteFilters: Option[Array[Filter]] = None
   private var dynamicOverwrite = false
@@ -2042,7 +2251,7 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
   override def canOverwrite(filters: Array[Filter]): Boolean =
     filters.forall {
       case _: org.apache.spark.sql.sources.AlwaysTrue => true
-      case f => GraftFilterEval.compile(f, writeSchema).isDefined
+      case f => GraftFilterEval.compile(f, physSchema).isDefined
     }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwriteFilters = Some(filters)
@@ -2084,8 +2293,11 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
   private lazy val baseWrite: Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
-          : DataWriterFactory = GraftWriterFactory(writeSchema, replace)
+          : DataWriterFactory =
+        GraftWriterFactory(writeSchema, physSchema, replace)
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        // incoming rows were projected into the PHYSICAL layout at the
+        // write task — every row below is physical
         val incoming = messages
           .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
         val op =
@@ -2096,18 +2308,20 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           else "append"
         // atomic read-modify-write: the base read and the snapshot swap
         // are one GraftTableStore.mutate step, so a concurrent commit
-        // cannot interleave between them
-        GraftTableStore.mutate(tableName, op) { base =>
+        // cannot interleave between them. Under graft.wap.branch the
+        // commit lands on the branch (main unchanged until publish).
+        GraftTableStore.mutate(tableName, op,
+            GraftTableStore.sessionWapBranch) { base =>
           // pre-evolution rows are narrower than the current schema —
           // overwrite predicates and partition keys evaluate against
           // the padded full-schema view, originals are what survive
-          val padded = GraftChangeFeed.padTo(base, writeSchema.length)
+          val padded = GraftChangeFeed.padTo(base, physSchema.length)
           val kept: Array[InternalRow] =
             if (replace || doTruncate) Array.empty[InternalRow]
             else if (dynamicOverwrite) {
               val keyProj = org.apache.spark.sql.catalyst.expressions
                 .UnsafeProjection.create(clusterFields.map(
-                  GraftPartField.keyExpr(_, writeSchema)).toIndexedSeq)
+                  GraftPartField.keyExpr(_, physSchema)).toIndexedSeq)
               val incomingKeys =
                 incoming.map(r => keyProj(r).copy()).toSet
               // lookup-only projection: contains() reads the reused
@@ -2124,10 +2338,10 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
                 require(fs.forall {
                   case _: org.apache.spark.sql.sources.AlwaysTrue => true
                   case f =>
-                    GraftFilterEval.compile(f, writeSchema).isDefined
+                    GraftFilterEval.compile(f, physSchema).isDefined
                 }, s"unevaluable overwrite predicate: ${fs.mkString(",")}")
                 val preds = fs.flatMap(
-                  GraftFilterEval.compile(_, writeSchema))
+                  GraftFilterEval.compile(_, physSchema))
                 val hasAll = fs.exists(
                   _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
                 base.indices.collect {
@@ -2148,7 +2362,7 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
         override def createStreamingWriterFactory(info: PhysicalWriteInfo)
             : org.apache.spark.sql.connector.write.streaming
               .StreamingDataWriterFactory =
-          GraftStreamingWriterFactory(writeSchema)
+          GraftStreamingWriterFactory(writeSchema, physSchema)
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
           if (!GraftTableStore.markEpoch(tableName, queryId, epochId))
@@ -2170,12 +2384,13 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
 /** Streaming writer factory: per-epoch tasks reuse the batch writer's
   * materialization discipline (append shape — replace never appears on
   * the streaming path). */
-case class GraftStreamingWriterFactory(schema: StructType)
+case class GraftStreamingWriterFactory(schema: StructType,
+    physical: StructType)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory(schema, replace = false)
+    GraftWriterFactory(schema, physical, replace = false)
       .createWriter(partitionId, taskId)
 }
 
@@ -2234,10 +2449,13 @@ class GraftDeltaWrite(table: GraftMergeTable, rowIdCol: String,
   }
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     override def createBatchWriterFactory(pInfo: PhysicalWriteInfo)
-        : DeltaWriterFactory = GraftDeltaWriterFactory(writeSchema, idSchema)
+        : DeltaWriterFactory = GraftDeltaWriterFactory(writeSchema,
+      idSchema, table.physicalSchema)
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val ops = messages.flatMap(_.asInstanceOf[GraftDeltaMessage].ops)
-      val schema = table.schema()
+      // the op log's rows were projected PHYSICAL at the write task;
+      // the row id keys by its physical ordinal (column mapping)
+      val schema = table.physicalSchema
       val idOrd = schema.fieldIndex(rowIdCol)
       val idType = schema(idOrd).dataType
       // TRUE merge-on-read commit: persist the op log AS the commit —
@@ -2245,15 +2463,18 @@ class GraftDeltaWrite(table: GraftMergeTable, rowIdCol: String,
       // materialization; CatalogSpec pins reference identity of the
       // base array across this commit). Every read of the new version
       // merges base + ops at SCAN time (GraftTableStore.resolveRel),
-      // the deletion-vector/delta-file reader's job.
-      GraftTableStore.commitDelta(table.name(), ops, idOrd, idType)
+      // the deletion-vector/delta-file reader's job. WAP-aware like
+      // the plain batch path.
+      GraftTableStore.commitDelta(table.name(), ops, idOrd, idType,
+        GraftTableStore.sessionWapBranch)
     }
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
 }
 
 case class GraftDeltaWriterFactory(rowSchema: StructType,
-    idSchema: StructType) extends DeltaWriterFactory {
+    idSchema: StructType, physical: StructType)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DeltaWriter[InternalRow] = new DeltaWriter[InternalRow] {
     import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
@@ -2262,8 +2483,11 @@ case class GraftDeltaWriterFactory(rowSchema: StructType,
     // buffering. WriteDeltaExec (unlike the quirky ReplaceDataExec
     // path) applies its declared projections itself, so widths must
     // match the declared schemas exactly; anything else fails loudly.
+    // Data rows arrive VISIBLE and are stored PHYSICAL (column
+    // mapping); the 1-column row id is a live column, no mapping.
     private lazy val idProj = UnsafeProjection.create(idSchema)
-    private lazy val rowProj = UnsafeProjection.create(rowSchema)
+    private lazy val rowProj =
+      UnsafeProjection.create(GraftColumnMap.toPhysical(physical))
     private val buf = scala.collection.mutable.ArrayBuffer[GraftDeltaOp]()
     private def checked(row: InternalRow, schema: StructType,
         what: String): InternalRow = {
@@ -2291,11 +2515,12 @@ case class GraftDeltaWriterFactory(rowSchema: StructType,
   }
 }
 
-case class GraftWriterFactory(schema: StructType, replace: Boolean)
+case class GraftWriterFactory(schema: StructType,
+    physical: StructType, replace: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
     // Incoming rows may be columnar-batch or projection views whose
     // buffers the upstream operator REUSES across rows — materialize
     // each into a fresh on-heap UnsafeRow before buffering (a bare
@@ -2317,19 +2542,20 @@ case class GraftWriterFactory(schema: StructType, replace: Boolean)
     // quirk, and silently dropping its first column would write
     // shifted data. Any other width is a layout this bridge does not
     // know and must FAIL LOUDLY rather than write shifted garbage.
+    // rows arrive in the VISIBLE write schema's layout and are stored
+    // in the PHYSICAL one (column mapping): live slots read their
+    // visible position, tombstoned slots write NULL — identity when no
+    // column was ever dropped
     private var proj: UnsafeProjection = _
     private val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
     override def write(row: InternalRow): Unit = {
       if (proj == null) {
         proj =
           if (row.numFields == schema.length)
-            UnsafeProjection.create(schema)
+            UnsafeProjection.create(GraftColumnMap.toPhysical(physical))
           else if (replace && row.numFields == schema.length + 1)
-            UnsafeProjection.create(schema.fields.zipWithIndex.map {
-              case (f, i) =>
-                BoundReference(i + 1, f.dataType, f.nullable)
-                  : org.apache.spark.sql.catalyst.expressions.Expression
-            }.toSeq)
+            UnsafeProjection.create(
+              GraftColumnMap.toPhysical(physical, offset = 1))
           else throw new IllegalStateException(
             s"row has ${row.numFields} fields, write schema has " +
               s"${schema.length} (replace=$replace) — unknown " +

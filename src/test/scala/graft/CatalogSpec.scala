@@ -405,8 +405,8 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ctas_p")
   }
 
-  test("time travel composes with partition pruning; DROP COLUMN " +
-      "fails with the positional-storage reason") {
+  test("time travel composes with partition pruning; DROP COLUMN of a " +
+      "partition column is refused") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS graft.ttp_t")
     spark.sql("CREATE TABLE graft.ttp_t (k BIGINT, p STRING) " +
@@ -423,10 +423,87 @@ class CatalogSpec extends AnyFunSuite {
     assert(m.totalPartitions == 2 && m.keptPartitions == 1,
       s"pruning did not apply to the pinned scan: $m")
     val ex = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.ttp_t DROP COLUMN k")
+      spark.sql("ALTER TABLE graft.ttp_t DROP COLUMN p")
     }
-    assert(ex.getMessage.contains("positional"), ex.getMessage)
+    assert(ex.getMessage.contains("partition column"), ex.getMessage)
     spark.sql("DROP TABLE graft.ttp_t")
+  }
+
+  test("DROP COLUMN is metadata-only via column mapping: rows keep " +
+      "their layout, later columns do NOT shift, re-adding the name " +
+      "does not resurrect old values") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cmap_t")
+    spark.sql("CREATE TABLE graft.cmap_t " +
+      "(a BIGINT, b STRING, c DOUBLE)")
+    spark.sql("INSERT INTO graft.cmap_t VALUES " +
+      "(1, 'x', 1.5), (2, 'y', 2.5)")
+    spark.sql("ALTER TABLE graft.cmap_t DROP COLUMN b")
+    // visible schema shrank; c reads ITS values, not b's (the shifted-
+    // rows bug class the physical slot reservation exists to prevent)
+    assert(spark.table("graft.cmap_t").columns.toSeq == Seq("a", "c"))
+    assert(spark.table("graft.cmap_t").orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // filters and writes keep working against the mapped layout
+    assert(spark.table("graft.cmap_t").where(col("c") > 2.0).count() == 1)
+    spark.sql("INSERT INTO graft.cmap_t VALUES (3, 3.5)")
+    // re-ADD a column named b: a FRESH slot — old b values stay dead
+    spark.sql("ALTER TABLE graft.cmap_t ADD COLUMN b STRING")
+    val rows = spark.table("graft.cmap_t").orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(rows == Seq((1L, 1.5, null), (2L, 2.5, null), (3L, 3.5, null)),
+      s"re-added column must not resurrect dropped values: $rows")
+    spark.sql("INSERT INTO graft.cmap_t VALUES (4, 4.5, 'fresh')")
+    assert(spark.table("graft.cmap_t").where(col("b") === "fresh")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // rows keep their WRITE-TIME physical layout untouched: the v0
+    // rows still carry 3 slots (a, tombstoned-b, c) while the newest
+    // row has 4 (…, re-added b) — nothing was rewritten by the drop
+    val stored = graft.sources.GraftTableStore.get("graft.cmap_t")
+    assert(stored.head.numFields == 3 && stored.last.numFields == 4,
+      stored.map(_.numFields).mkString(","))
+    spark.sql("DROP TABLE graft.cmap_t")
+  }
+
+  test("column-mapping guards: the MoR row id and the last visible " +
+      "column refuse to drop; row-level ops still key correctly after " +
+      "a drop; the change feed serves visible columns only") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cmapg_t")
+    spark.sql("CREATE TABLE graft.cmapg_t (k BIGINT, u STRING, " +
+      "v DOUBLE) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.cmapg_t VALUES " +
+      "(1, 'p', 1.0), (2, 'q', 2.0), (3, 'r', 3.0)")
+    val exId = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cmapg_t DROP COLUMN k")
+    }
+    assert(exId.getMessage.contains("row id"), exId.getMessage)
+    spark.sql("ALTER TABLE graft.cmapg_t DROP COLUMN u")
+    // a MoR DELETE after the drop: the row id keys by its PHYSICAL
+    // ordinal, the delta applies against physical rows
+    spark.sql("DELETE FROM graft.cmapg_t WHERE k = 2")
+    assert(spark.table("graft.cmapg_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 1.0), (3L, 3.0)))
+    // the change feed exposes the current VISIBLE columns (+ CDF cols)
+    val feed = spark.table("graft.cmapg_t.changes")
+    assert(feed.columns.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version"))
+    assert(feed.where(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // last-visible-column guard
+    spark.sql("DROP TABLE IF EXISTS graft.cmapl_t")
+    spark.sql("CREATE TABLE graft.cmapl_t (x BIGINT, y BIGINT)")
+    spark.sql("ALTER TABLE graft.cmapl_t DROP COLUMN y")
+    val exLast = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cmapl_t DROP COLUMN x")
+    }
+    assert(exLast.getMessage.contains("last visible"), exLast.getMessage)
+    spark.sql("DROP TABLE graft.cmapg_t")
+    spark.sql("DROP TABLE graft.cmapl_t")
   }
 
   test("change feed endingVersion bounds the batch read inclusively") {
@@ -685,11 +762,11 @@ class CatalogSpec extends AnyFunSuite {
     val wide = UnsafeProjection.create(
       Array[DataType](IntegerType, LongType, DoubleType))(
       InternalRow(1, 7L, 2.5))
-    val append = GraftWriterFactory(schema, replace = false)
+    val append = GraftWriterFactory(schema, schema, replace = false)
       .createWriter(0, 0L)
     val ex = intercept[IllegalStateException] { append.write(wide) }
     assert(ex.getMessage.contains("unknown"), ex.getMessage)
-    val replace = GraftWriterFactory(schema, replace = true)
+    val replace = GraftWriterFactory(schema, schema, replace = true)
       .createWriter(0, 0L)
     replace.write(wide)
     val out = replace.commit()
@@ -864,6 +941,105 @@ class CatalogSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("expired")), s"got: $ex")
     spark.sql("DROP TABLE graft.vac_t")
+  }
+
+  test("WAP: a branch write stages commits invisibly to main; publish " +
+      "is one forward-only pointer move; dangling-branch main writes " +
+      "refuse") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.wapspec_t")
+    spark.sql("CREATE TABLE graft.wapspec_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.wapspec_t SELECT id FROM range(10)")
+    graft.api.GraftApi.createBranch(spark, "graft.wapspec_t", "audit")
+    spark.conf.set("graft.wap.branch", "audit")
+    try spark.sql(
+      "INSERT INTO graft.wapspec_t SELECT id + 100 FROM range(3)")
+    finally spark.conf.unset("graft.wap.branch")
+    // isolation: main still serves v0; the branch serves the staged
+    // commit; history shows BOTH chain commits
+    assert(spark.table("graft.wapspec_t").count() == 10)
+    assert(spark.sql(
+      "SELECT * FROM graft.wapspec_t VERSION AS OF 'audit'")
+      .count() == 13)
+    assert(GraftTableStore.history("graft.wapspec_t").length == 2)
+    // a MAIN write while staged commits dangle must refuse (the chain
+    // is linear — basing main on the staged head would leak the stage)
+    val exDangle = intercept[Exception] {
+      spark.sql("INSERT INTO graft.wapspec_t VALUES (999)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(exDangle).exists(_.contains("unpublished branch")),
+      s"got: $exDangle")
+    // publish: atomic fast-forward; main sees the staged rows
+    assert(graft.api.GraftApi.publishBranch(spark,
+      "graft.wapspec_t", "audit") == 1)
+    assert(spark.table("graft.wapspec_t").count() == 13)
+    // forward-only: a ref behind main refuses to publish
+    val exBack = intercept[Exception] {
+      graft.sources.GraftTableStore.fastForward("graft.wapspec_t",
+        "audit") // audit == main now, ok — so pin with a v0 tag instead
+      graft.api.GraftApi.createTag(spark, "graft.wapspec_t", "seed")
+      graft.sources.GraftTableStore.createRef("graft.wapspec_t",
+        "old", isTag = true, at = Some(0))
+      graft.sources.GraftTableStore.fastForward("graft.wapspec_t", "old")
+    }
+    assert(msgs(exBack).exists(_.contains("forward-only")), s"$exBack")
+    spark.sql("DROP TABLE graft.wapspec_t")
+  }
+
+  test("tags are immutable refs: readable via VERSION AS OF, never " +
+      "writable; unknown refs fail descriptively") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.tagspec_t")
+    spark.sql("CREATE TABLE graft.tagspec_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.tagspec_t SELECT id FROM range(5)")
+    graft.api.GraftApi.createTag(spark, "graft.tagspec_t", "release")
+    spark.sql("INSERT INTO graft.tagspec_t VALUES (99)")
+    // the tag still reads the version it pinned
+    assert(spark.sql(
+      "SELECT * FROM graft.tagspec_t VERSION AS OF 'release'")
+      .count() == 5)
+    assert(spark.table("graft.tagspec_t").count() == 6)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // a WAP write targeting the tag refuses
+    spark.conf.set("graft.wap.branch", "release")
+    val exTag = intercept[Exception] {
+      try spark.sql("INSERT INTO graft.tagspec_t VALUES (100)")
+      finally spark.conf.unset("graft.wap.branch")
+    }
+    assert(msgs(exTag).exists(_.contains("immutable")), s"$exTag")
+    // unknown ref: descriptive, mentions both travel forms
+    val exRef = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tagspec_t VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(msgs(exRef).exists(m => m.contains("branch/tag") &&
+      m.contains("TIMESTAMP AS OF")), s"$exRef")
+    spark.sql("DROP TABLE graft.tagspec_t")
+  }
+
+  test("streaming and the change feed serve PUBLISHED commits only " +
+      "while a WAP branch is staged") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.wapfeed_t")
+    spark.sql("CREATE TABLE graft.wapfeed_t (k BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.wapfeed_t VALUES (1), (2)") // v0
+    graft.api.GraftApi.createBranch(spark, "graft.wapfeed_t", "audit")
+    spark.conf.set("graft.wap.branch", "audit")
+    try spark.sql("INSERT INTO graft.wapfeed_t VALUES (3)") // staged v1
+    finally spark.conf.unset("graft.wap.branch")
+    // the batch change feed stops at main (v0's inserts only)
+    assert(spark.table("graft.wapfeed_t.changes")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    graft.api.GraftApi.publishBranch(spark, "graft.wapfeed_t", "audit")
+    assert(spark.table("graft.wapfeed_t.changes")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    spark.sql("DROP TABLE graft.wapfeed_t")
   }
 
   test("epoch ledger stays bounded: reset evicts a table's entries") {
