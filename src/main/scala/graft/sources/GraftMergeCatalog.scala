@@ -75,6 +75,12 @@ object GraftTableStore {
   private[sources] final case class GraftDeltaData(ops: Array[GraftDeltaOp],
       idOrd: Int, idType: org.apache.spark.sql.types.DataType,
       count: Int) extends GraftCommitData
+  /** a full commit of a PARQUET-BACKED table ([[GraftParquetStore]]):
+    * the manifest — file list + count — IS the commit; rows live in the
+    * files and scans ship paths, not rows. A plain append re-references
+    * every prior file and adds only the new rows' files. */
+  private[sources] final case class GraftParquetData(
+      files: Vector[GraftFileInfo], count: Int) extends GraftCommitData
 
   /** Retained history of one table: `firstRetained` = absolute version
     * number of `commits.head`; `times(i)` = commit wall-clock of
@@ -123,6 +129,7 @@ object GraftTableStore {
 
   def reset(name: String): Unit = lock.synchronized {
     versions.remove(name)
+    GraftParquetStore.drop(name) // file-backed tables drop their dir
     resolvedCache.keysIterator.filter(_._1 == name)
       .foreach(resolvedCache.remove)
     // a dropped/reset table's epoch ledger entries can never be
@@ -170,6 +177,34 @@ object GraftTableStore {
             else resolveRel(name, h, rel - 1)
           applyDelta(base, d)
         })
+      case p: GraftParquetData =>
+        // driver-side materialization of a file-backed commit (the
+        // base of a row-level op, the change feed, CBO stats — the
+        // SCAN path never comes here, it ships the files). Resolution
+        // is INCREMENTAL: when the previous commit's files are a
+        // prefix of this one's (the append shape), its resolved rows
+        // are reused BY REFERENCE and only the new files are read —
+        // so reference-identity invariants (streaming prefix check,
+        // change-feed equality) see through the file round-trip
+        // exactly as they do in memory.
+        resolvedCache.getOrElseUpdate((name, h.firstRetained + rel), {
+          val schema = GraftParquetStore.meta(name).map(_.schema)
+            .getOrElse(throw new IllegalStateException(
+              s"$name has parquet commits but no parquet registration"))
+          val prevShared: Option[(Int, Array[InternalRow])] =
+            if (rel == 0) None
+            else h.commits(rel - 1) match {
+              case pp: GraftParquetData
+                if p.files.startsWith(pp.files) =>
+                Some((pp.files.length, resolveRel(name, h, rel - 1)))
+              case _ => None
+            }
+          prevShared match {
+            case Some((nPrevFiles, prev)) => prev ++
+              GraftParquetStore.readAll(p.files.drop(nPrevFiles), schema)
+            case None => GraftParquetStore.readAll(p.files, schema)
+          }
+        })
     }
 
   def get(name: String): Array[InternalRow] =
@@ -214,6 +249,19 @@ object GraftTableStore {
     h.commits(v - h.firstRetained) match {
       case _: GraftFullData => "full"
       case _: GraftDeltaData => "delta"
+      case _: GraftParquetData => "parquet"
+    }
+  }
+  /** the file manifest of a parquet-backed commit — what tests pin to
+    * prove appends re-reference prior files instead of rewriting. */
+  private[graft] def commitFiles(name: String, v: Int)
+      : Vector[GraftFileInfo] = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    require(v >= h.firstRetained && v < h.commitCount,
+      s"version $v of $name is not retained")
+    h.commits(v - h.firstRetained) match {
+      case p: GraftParquetData => p.files
+      case _ => Vector.empty
     }
   }
   def put(name: String, rs: Array[InternalRow]): Unit =
@@ -279,6 +327,27 @@ object GraftTableStore {
               s"chain head v$head — only the head branch can be written")
     }
     val newV = head + 1
+    // parquet-backed table: a full commit PERSISTS as files (append
+    // re-references the previous manifest and writes only the suffix);
+    // delta commits stay op logs merged at read, exactly as in memory.
+    // The just-committed rows seed the resolution cache so the first
+    // driver-side materialization never re-reads what it just wrote.
+    val stored: GraftCommitData = data match {
+      case f: GraftFullData =>
+        GraftParquetStore.meta(name) match {
+          case Some(m) =>
+            val prev = h.commits.lastOption.collect {
+              case p: GraftParquetData =>
+                (p, resolveRel(name, h, h.commits.size - 1))
+            }
+            val pq = GraftParquetStore.persistFull(
+              name, m, newV, f.rows, prev)
+            resolvedCache.put((name, newV), f.rows)
+            pq
+          case None => f
+        }
+      case other => other
+    }
     val newBranches = branch match {
       case None => h.branches + ("main" -> newV)
       // a branch write advances ITS pointer and pins main explicitly
@@ -288,7 +357,7 @@ object GraftTableStore {
     }
     val now = math.max(System.currentTimeMillis(),
       h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
-    val appended = History(h.firstRetained, h.commits :+ data,
+    val appended = History(h.firstRetained, h.commits :+ stored,
       h.times :+ now, h.ops :+ op, newBranches, h.tags)
     versions.put(name, trimLocked(name, appended, RetainedVersions))
   }
@@ -302,10 +371,22 @@ object GraftTableStore {
     else {
       val dropN = appended.commits.size - keep
       val headRel = dropN // relative index of the new head, pre-trim
-      val headData = appended.commits(headRel) match {
+      val headData: GraftCommitData = appended.commits(headRel) match {
         case f: GraftFullData => f
+        case p: GraftParquetData => p
         case _: GraftDeltaData =>
-          GraftFullData(resolveRel(name, appended, headRel))
+          val rows = resolveRel(name, appended, headRel)
+          // a parquet-backed delta head checkpoints AS FILES, so the
+          // table never silently degrades to in-memory snapshots
+          GraftParquetStore.meta(name) match {
+            case Some(m) =>
+              val v = appended.firstRetained + headRel
+              val pq = GraftParquetStore.persistFull(
+                name, m, v, rows, None)
+              resolvedCache.put((name, v), rows)
+              pq
+            case None => GraftFullData(rows)
+          }
       }
       val newFirst = appended.firstRetained + dropN
       resolvedCache.keysIterator
@@ -314,11 +395,22 @@ object GraftTableStore {
       // refs survive the trim untouched: one pointing below the new
       // window resolves loudly as expired (same contract as an integer
       // VERSION AS OF), it is not silently moved
-      History(newFirst,
+      val trimmed = History(newFirst,
         appended.commits.drop(dropN).updated(0, headData),
         appended.times.drop(dropN),
         appended.ops.drop(dropN),
         appended.branches, appended.tags)
+      // retention GC (VACUUM): files no RETAINED manifest references
+      // are deleted; append-shared files survive as long as any
+      // retained commit still lists them
+      if (GraftParquetStore.isBacked(name)) {
+        val referenced = trimmed.commits.iterator.flatMap {
+          case p: GraftParquetData => p.files.iterator.map(_.path)
+          case _ => Iterator.empty
+        }.toSet
+        GraftParquetStore.gcUnreferenced(name, referenced)
+      }
+      trimmed
     }
 
   /** Create a named ref (branch or tag) at `at` (default: the current
@@ -434,7 +526,8 @@ object GraftTableStore {
     // last full commit (earlier deltas sit under a full snapshot
     // already and cost nothing at read) — zero suffix = nothing to
     // compact, and a just-compacted table reports exactly that
-    val lastFull = h.commits.lastIndexWhere(_.isInstanceOf[GraftFullData])
+    val lastFull =
+      h.commits.lastIndexWhere(!_.isInstanceOf[GraftDeltaData])
     val deltas = h.commits.size - 1 - lastFull
     if (deltas == 0) return 0
     val current = resolveRel(name, h, h.commits.size - 1)
@@ -492,6 +585,69 @@ object GraftTableStore {
           s"of $name (${h.times.head} ms; retention keeps the last " +
           s"$RetainedVersions versions)")
     h.firstRetained + idx
+  }
+
+  /** The FILE-GRANULAR view of a version of a parquet-backed table —
+    * what the scan plans from WITHOUT materializing a row: the last
+    * full commit's file manifest, plus the delta suffix folded into
+    * (deleted row ids, extra rows). Folding preserves sequential
+    * [[applyDelta]] semantics under the MoR unique-row-id contract:
+    * an UPDATE of a base row becomes delete-from-files + extra row
+    * (the row may change partition), an op chain on one id collapses
+    * to its net effect. `None` = not file-backed at this version (the
+    * scan falls back to the row path, which also owns the loud
+    * invalid-version errors). */
+  private[sources] final case class GraftFileView(
+      files: Vector[GraftFileInfo], extras: Array[InternalRow],
+      deletedIds: Array[Any], idOrd: Int,
+      idType: org.apache.spark.sql.types.DataType)
+  private[sources] def fileView(name: String,
+      pinned: Option[Int]): Option[GraftFileView] = {
+    val h = versions.getOrElse(name, return None)
+    if (h.commits.isEmpty) return None
+    val v = pinned.getOrElse(h.mainHead)
+    if (v < h.firstRetained || v >= h.commitCount) return None
+    val rel = v - h.firstRetained
+    val lastFull = h.commits.lastIndexWhere(
+      !_.isInstanceOf[GraftDeltaData], rel)
+    val base = if (lastFull < 0) {
+      // delta chain on an empty table: file-backed iff registered
+      if (!GraftParquetStore.isBacked(name)) return None
+      GraftParquetData(Vector.empty, 0)
+    } else h.commits(lastFull) match {
+      case p: GraftParquetData => p
+      case _ => return None
+    }
+    val deltas = ((lastFull max 0) + (if (lastFull < 0) 0 else 1) to rel)
+      .map(h.commits(_).asInstanceOf[GraftDeltaData])
+    if (deltas.isEmpty)
+      return Some(GraftFileView(base.files, Array.empty, Array.empty,
+        -1, org.apache.spark.sql.types.NullType))
+    val idOrd = deltas.head.idOrd
+    val idType = deltas.head.idType
+    if (!deltas.forall(d => d.idOrd == idOrd && d.idType == idType))
+      return None // row-id moved across the chain — let the row path merge
+    val deleted = scala.collection.mutable.LinkedHashSet[Any]()
+    val extras = scala.collection.mutable.LinkedHashMap[Any, InternalRow]()
+    deltas.iterator.flatMap(_.ops.iterator).foreach { o =>
+      (o.op: @unchecked) match {
+        case 'D' =>
+          val k = o.id.get(0, idType)
+          extras.remove(k)
+          deleted += k // no-op against files that never held k
+        case 'U' =>
+          val k = o.id.get(0, idType)
+          if (extras.contains(k)) extras.put(k, o.row)
+          else if (!deleted.contains(k)) {
+            deleted += k // the pre-image leaves its file…
+            extras.put(k, o.row) // …and the post-image re-enters
+          } // else: update of a non-existent row — applyDelta's no-op
+        case 'I' => // inserts carry no op id — key by the row's id slot
+          extras.put(o.row.get(idOrd, idType), o.row)
+      }
+    }
+    Some(GraftFileView(base.files, extras.values.toArray,
+      deleted.toArray, idOrd, idType))
   }
 }
 
@@ -702,6 +858,21 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
             "(supported: identity, bucket)")
       }
     }
+    // TBLPROPERTIES ('graft.store'='parquet') — or the session default
+    // `graft.store.default=parquet` — opts the table into FILE-BACKED
+    // storage: commits persist as parquet files and scans ship paths,
+    // not rows ([[GraftParquetStore]]). Default stays the in-memory
+    // store (the test vehicle's fastest correctness loop).
+    val storeMode = Option(properties.get("graft.store")).orElse(
+      org.apache.spark.sql.SparkSession.getActiveSession.flatMap(s =>
+        Option(s.conf.get("graft.store.default", null))))
+    storeMode match {
+      case Some("parquet") =>
+        GraftParquetStore.register(storeName, tblSchema, partFields)
+      case Some("memory") | None => ()
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.store mode '$other' (supported: parquet, memory)")
+    }
     val t = new GraftMergeTable(storeName, tblSchema, None, morRowId,
       partFields)
     registry.put(key(ident), t)
@@ -778,6 +949,16 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
         case GraftIdentityPart(c) => GraftIdentityPart(renamed(c))
         case GraftBucketPart(c, n) => GraftBucketPart(renamed(c), n)
       })
+    // a file-backed table's writer registration follows the evolution;
+    // files already on disk never change (position-named columns make
+    // them rename- and drop-proof)
+    changes.collectFirst { case a: TableChange.AddColumn => a }.foreach {
+      a => require(GraftParquetStore.meta(t.name()).isEmpty ||
+        GraftParquetStore.supported(a.dataType()),
+        s"graft.store=parquet table ${t.name()}: added column has " +
+          s"unsupported type ${a.dataType().sql}")
+    }
+    GraftParquetStore.updateSchema(t.name(), newSchema)
     registry.put(key(ident), nt)
     nt
   }
@@ -1107,6 +1288,10 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
     if (agg.isDefined) return false
+    // a file-backed scan would have to sort inside the reader to honor
+    // this — decline and let TakeOrdered do its job (filters, column
+    // projection and the per-partition LIMIT bound still push)
+    if (GraftParquetStore.isBacked(tableName)) return false
     val keys = orders.map { so =>
       so.expression() match {
         case r: NamedReference if r.fieldNames().length == 1 =>
@@ -1167,7 +1352,11 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   // OURS, so a future planner change could only cost the pushdown,
   // never correctness
   private def aggCompatible: Boolean =
-    pushed.isEmpty && limit.isEmpty && topN.isEmpty
+    pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
+      // a file-backed table answers aggregates from its files like any
+      // scan — the store-side readout would materialize rows at the
+      // driver, the exact funnel the parquet store exists to remove
+      !GraftParquetStore.isBacked(tableName)
   override def supportCompletePushDown(a: Aggregation): Boolean =
     aggCompatible && aggSupported(a)
   override def pushAggregation(a: Aggregation): Boolean = {
@@ -1278,8 +1467,13 @@ object GraftFilterEval {
   * RUNTIME filter (join-key pruning at execution). Overwritten per
   * planInputPartitions call — a test reads it right after an action. */
 object GraftScanMetrics {
+  /** `files*`/`bytes*` are MEASURED I/O consequences on a
+    * parquet-backed table (zero on the in-memory store): of the
+    * version's manifest, how many files / bytes the planned scan
+    * actually opens after static pruning and runtime emptying. */
   final case class Report(totalPartitions: Int, keptPartitions: Int,
-      runtimeEmptied: Int)
+      runtimeEmptied: Int, filesTotal: Int = 0, filesRead: Int = 0,
+      bytesTotal: Long = 0L, bytesRead: Long = 0L)
   private[graft] val lastScan = new TrieMap[String, Report]()
 }
 
@@ -1417,6 +1611,125 @@ class GraftScan(tableName: String, tableSchema: StructType,
     }
   }
 
+  // ---- the FILE-GRANULAR plan (parquet-backed tables) ----------------
+  //
+  // When the version is file-backed, the scan never materializes a data
+  // row at the driver: static pruning drops whole FILES by the manifest
+  // key, each surviving partition ships (paths, residual filters,
+  // deletion ids) and the task opens its own files where it runs — the
+  // manifest-pruned file scan a lake format plans at 100 TB. Extras =
+  // delta-commit inserts/updates (O(changes), driver-held op logs)
+  // ride pre-projected in their key's partition.
+  private final case class GraftFileGroup(key: InternalRow,
+      files: Vector[GraftFileInfo], extras: Array[InternalRow])
+  private lazy val filePlan
+      : Option[(Int, Array[GraftFileGroup],
+        GraftTableStore.GraftFileView)] =
+    GraftTableStore.fileView(tableName, pinnedVersion).map { fv =>
+      val partOnly = pushedFilters.filter(
+        _.references.forall(identityCols.contains))
+      val partPreds = partOnly.flatMap(
+        GraftFilterEval.compile(_, tableSchema))
+      val rowPreds = pushedFilters.diff(partOnly).flatMap(
+        GraftFilterEval.compile(_, tableSchema))
+      val paddedExtras = GraftChangeFeed.padTo(fv.extras,
+        tableSchema.length).filter(r => rowPreds.forall(_(r)))
+      if (partFields.isEmpty) {
+        // one input partition PER FILE — the parallel read the
+        // in-memory store cannot give — plus one for the extras
+        val fileGroups = fv.files.map(f =>
+          GraftFileGroup(null, Vector(f), Array.empty))
+        val groups =
+          if (paddedExtras.isEmpty) fileGroups
+          else fileGroups :+
+            GraftFileGroup(null, Vector.empty, paddedExtras)
+        (math.max(groups.length, 1), groups.toArray, fv)
+      } else {
+        // one input partition per partition VALUE (key-grouped, SPJ-
+        // aligned); identity-only predicates evaluate against a
+        // synthetic row carrying the manifest key — no file opened
+        val extrasByKey = {
+          val keyProj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(partFields.map(
+              GraftPartField.keyExpr(_, tableSchema)).toIndexedSeq)
+          paddedExtras.groupBy(r => keyProj(r).copy(): InternalRow)
+        }
+        val filesByKey = fv.files.groupBy(_.key)
+        val allKeys = (filesByKey.keySet ++ extrasByKey.keySet).toArray
+          .sortBy(_.toString)
+        def keyRow(key: InternalRow): InternalRow = {
+          val synth = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(tableSchema.length)
+          partFields.zipWithIndex.foreach {
+            case (GraftIdentityPart(c), i) =>
+              synth.update(tableSchema.fieldIndex(c),
+                key.get(i, partTypes(i)))
+            case _ => () // bucket slots vary within the file — preds
+              // over them are never partition-only
+          }
+          synth
+        }
+        val kept = allKeys.collect {
+          case k if partPreds.forall(_(keyRow(k))) => GraftFileGroup(k,
+            filesByKey.getOrElse(k, Vector.empty),
+            extrasByKey.getOrElse(k, Array.empty))
+        }
+        (allKeys.length, kept, fv)
+      }
+    }
+
+  private def planFileModePartitions(total: Int,
+      groups: Array[GraftFileGroup],
+      fv: GraftTableStore.GraftFileView): Array[InputPartition] = {
+    val outOrds = outSchema.fieldNames.map(tableSchema.fieldIndex)
+    val shipFilters = pushedFilters.filter(
+      !_.references.forall(identityCols.contains))
+    val filterOrds = shipFilters.flatMap(_.references)
+      .distinct.map(n => tableSchema.fieldNames.indexOf(n))
+      .filter(_ >= 0)
+    val readOrds = (outOrds ++ filterOrds ++
+      (if (fv.deletedIds.nonEmpty) Array(fv.idOrd) else Array.empty[Int]))
+      .distinct.sorted
+    val extraProj = org.apache.spark.sql.catalyst.expressions
+      .UnsafeProjection.create(outOrds.map(o =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(o,
+          tableSchema(o).dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression)
+        .toIndexedSeq)
+    var emptied = 0
+    val lim = limit.getOrElse(-1)
+    val parts: Array[InputPartition] = groups.map { g =>
+      val keepIt = (g.key == null) || (runtimeKeep match {
+        case Some(byPos) => byPos.forall { case (pos, vals) =>
+          vals.contains(g.key.get(pos, partTypes(pos)))
+        }
+        case None => true
+      })
+      if (!keepIt) emptied += 1
+      val files = if (keepIt) g.files else Vector.empty
+      val extras =
+        if (keepIt) g.extras.map(r => extraProj(r).copy(): InternalRow)
+        else Array.empty[InternalRow]
+      if (g.key == null)
+        GraftFileScanPartition(files, extras, tableSchema, readOrds,
+          outOrds, shipFilters, fv.deletedIds, fv.idOrd, fv.idType, lim)
+      else
+        GraftKeyedFileScanPartition(files, extras, tableSchema,
+          readOrds, outOrds, shipFilters, fv.deletedIds, fv.idOrd,
+          fv.idType, lim, g.key)
+    }
+    val readFiles = parts.collect {
+      case p: GraftFileScanPartition => p.files
+      case p: GraftKeyedFileScanPartition => p.files
+    }.flatten
+    GraftScanMetrics.lastScan.put(tableName, GraftScanMetrics.Report(
+      total, groups.length, emptied,
+      filesTotal = fv.files.length, filesRead = readFiles.length,
+      bytesTotal = fv.files.map(_.bytes).sum,
+      bytesRead = readFiles.map(_.bytes).sum))
+    parts
+  }
+
   // ---- statistics (SupportsReportStatistics) ------------------------
   //
   // Post-pushdown estimates from the store itself: exact surviving row
@@ -1425,11 +1738,31 @@ class GraftScan(tableName: String, tableSchema: StructType,
   // Catalyst AUTO-broadcast a small governed table in a join (no hint):
   // DataSourceV2ScanRelation.computeStats reads it at plan time.
   override def estimateStatistics(): Statistics = {
+    val colRatio =
+      math.max(1, outSchema.length).toDouble / math.max(1, tableSchema.length)
+    // file mode: MANIFEST-ONLY statistics (file row counts and sizes
+    // after static pruning, delta adjustments from op-log counts) — no
+    // row materializes for a stats probe, exactly the numbers a lake
+    // format serves from its manifests. Post-pushdown row filters are
+    // not discounted (estimates, conservatively high).
+    filePlan.foreach { case (_, groups, fv) =>
+      val fileRows = groups.iterator.flatMap(_.files).map(_.rows.toLong).sum
+      val extras = groups.iterator.map(_.extras.length.toLong).sum
+      val rows = math.max(0L, fileRows - fv.deletedIds.length + extras)
+      val limited = limit.map(n => math.min(rows,
+        n.toLong * math.max(groups.length, 1))).getOrElse(rows)
+      val fb = groups.iterator.flatMap(_.files).map(_.bytes).sum
+      val scaledF = math.max(1L, (fb * colRatio).toLong)
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(scaledF)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(limited)
+      }
+    }
     val rows = grouped._2.iterator.map(_._2.length.toLong).sum
     val limited = limit.map(n => math.min(rows,
       n.toLong * math.max(grouped._2.length, 1))).getOrElse(rows)
-    val colRatio =
-      math.max(1, outSchema.length).toDouble / math.max(1, tableSchema.length)
     val bytes = grouped._2.iterator.flatMap(_._2.iterator).map {
       case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
         u.getSizeInBytes.toLong
@@ -1522,14 +1855,18 @@ class GraftScan(tableName: String, tableSchema: StructType,
   // storage-partitioned join — at 100 TB the single biggest exchange
   // in a fact-fact join simply disappears). Input partitions carry
   // their key via HasPartitionKey; Spark groups and aligns them.
+  private def numPlannedPartitions: Int = filePlan match {
+    case Some((_, groups, _)) => groups.length
+    case None => grouped._2.length
+  }
   override def outputPartitioning(): Partitioning =
     if (partFields.nonEmpty &&
         partitionCols.forall(outSchema.fieldNames.contains))
       new KeyGroupedPartitioning(
         partFields.map(GraftPartField.toTransform(_)
           : org.apache.spark.sql.connector.expressions.Expression),
-        grouped._2.length)
-    else new UnknownPartitioning(grouped._2.length)
+        numPlannedPartitions)
+    else new UnknownPartitioning(numPlannedPartitions)
 
   // ---- runtime filtering (SupportsRuntimeV2Filtering) ---------------
   //
@@ -1577,6 +1914,9 @@ class GraftScan(tableName: String, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    filePlan.foreach { case (total, groups, fv) =>
+      return planFileModePartitions(total, groups, fv)
+    }
     val (total, kept) = grouped
     val ordinals = outSchema.fieldNames.map(tableSchema.fieldIndex)
     val types = outSchema.fields.map(_.dataType)
@@ -1605,7 +1945,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
     parts
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftProjectedReaderFactory
+    if (filePlan.isDefined) GraftFileReaderFactory
+    else GraftProjectedReaderFactory
 }
 
 /** Complete-pushdown aggregate scan: one input partition holding the
@@ -1737,6 +2078,77 @@ case class GraftKeyedPartition(rows: Array[InternalRow],
     key: InternalRow)
     extends InputPartition with GraftProjectedRows with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** A FILE-granular scan partition of a parquet-backed table: paths and
+  * metadata ride to the task, the ROWS never touch the driver. The
+  * reader opens each file where it runs, decodes only `readOrds`,
+  * drops MoR-deleted ids, applies the pushed residual filters, and
+  * projects `outOrds`; `extras` (delta inserts/updates, O(changes))
+  * arrive pre-projected. `limitPerPart` < 0 = unbounded. */
+sealed trait GraftFileScanPart {
+  def files: Vector[GraftFileInfo]
+  def extras: Array[InternalRow]
+  def physSchema: StructType
+  def readOrds: Array[Int]
+  def outOrds: Array[Int]
+  def filters: Array[org.apache.spark.sql.sources.Filter]
+  def deletedIds: Array[Any]
+  def idOrd: Int
+  def idType: org.apache.spark.sql.types.DataType
+  def limitPerPart: Int
+}
+case class GraftFileScanPartition(files: Vector[GraftFileInfo],
+    extras: Array[InternalRow], physSchema: StructType,
+    readOrds: Array[Int], outOrds: Array[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    deletedIds: Array[Any], idOrd: Int,
+    idType: org.apache.spark.sql.types.DataType, limitPerPart: Int)
+    extends InputPartition with GraftFileScanPart
+case class GraftKeyedFileScanPartition(files: Vector[GraftFileInfo],
+    extras: Array[InternalRow], physSchema: StructType,
+    readOrds: Array[Int], outOrds: Array[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    deletedIds: Array[Any], idOrd: Int,
+    idType: org.apache.spark.sql.types.DataType, limitPerPart: Int,
+    key: InternalRow)
+    extends InputPartition with GraftFileScanPart with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+object GraftFileReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GraftFileScanPart]
+    new PartitionReader[InternalRow] {
+      // compiled HERE, task-side: the v1 Filters are what serializes
+      private val preds = part.filters.flatMap(
+        GraftFilterEval.compile(_, part.physSchema))
+      private val deleted: Set[Any] = part.deletedIds.toSet
+      private val proj = UnsafeProjection.create(
+        part.outOrds.map(o => BoundReference(o,
+          part.physSchema(o).dataType, nullable = true)
+          : org.apache.spark.sql.catalyst.expressions.Expression)
+          .toIndexedSeq)
+      private val it: Iterator[InternalRow] = {
+        val fileRows = part.files.iterator.flatMap { f =>
+          GraftParquetStore.readFile(f, part.physSchema, part.readOrds)
+            .filter(r => (deleted.isEmpty ||
+              !deleted.contains(r.get(part.idOrd, part.idType))) &&
+              preds.forall(_(r)))
+            .map(proj(_): InternalRow) // reused buffer — DSv2 contract
+        } ++ part.extras.iterator
+        if (part.limitPerPart >= 0) fileRows.take(part.limitPerPart)
+        else fileRows
+      }
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
 }
 
 object GraftProjectedReaderFactory extends PartitionReaderFactory {

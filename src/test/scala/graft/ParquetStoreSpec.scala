@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftMergeCatalog, GraftParquetStore, GraftScanMetrics, GraftTableStore}
+
+/** The parquet-backed store (round 10): file-granular commits, scans
+  * that ship paths instead of rows, measured pruning, append manifest
+  * reuse, MoR deltas merged per-file, retention GC, and — the flagship
+  * pin — RESULT EQUIVALENCE of the governed-catalog query battery
+  * between the in-memory and parquet backends. */
+class ParquetStoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def freshCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMergeCatalog].getName)
+
+  test("the governed-catalog id battery is backend-equivalent: " +
+      "graft.store.default=parquet reproduces every in-memory result") {
+    // every id whose tables live in the governed catalog — the verdict's
+    // "LakeOps ids re-run green against a parquet-backed table", widened
+    // to the row-level/CDC/evolution/WAP surface
+    val battery = Seq(
+      "scan_partitioned_prune", "join_governed_broadcast",
+      "join_storage_partitioned", "join_bucketed_spj",
+      "join_runtime_prune", "agg_pushdown_scan", "table_partitions",
+      "table_history", "table_optimize", "table_vacuum",
+      "sink_partition_overwrite", "merge_into", "sql_delete",
+      "sql_update", "merge_into_mor", "sql_delete_mor",
+      "sql_time_travel", "sql_alter_evolve", "sql_alter_drop",
+      "sql_branch_wap", "cdc_feed_scan", "cdc_table_changes")
+    battery.foreach { id =>
+      assert(SparkEntry.queries.contains(id), s"unknown battery id: $id")
+      freshCatalog()
+      val mem = SparkEntry.queries(id)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      spark.conf.set("graft.store.default", "parquet")
+      val pq =
+        try SparkEntry.queries(id)(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+        finally spark.conf.unset("graft.store.default")
+      assert(pq == mem, s"$id diverges on the parquet backend: " +
+        s"mem=${mem.take(3)}… pq=${pq.take(3)}…")
+    }
+  }
+
+  test("appends re-reference prior files: the new commit's manifest " +
+      "extends the old one and only the new rows' files are written") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqa_t")
+    spark.sql("CREATE TABLE graft.pqa_t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqa_t SELECT id, concat('v', id) " +
+      "FROM range(100)")
+    val v0 = GraftTableStore.commitFiles("graft.pqa_t", 0)
+    assert(v0.nonEmpty && v0.forall(f =>
+      new java.io.File(f.path).isFile && f.bytes > 0))
+    spark.sql("INSERT INTO graft.pqa_t SELECT id + 100, 'x' " +
+      "FROM range(10)")
+    val v1 = GraftTableStore.commitFiles("graft.pqa_t", 1)
+    assert(v1.startsWith(v0),
+      "append must re-reference the previous manifest")
+    assert(v1.length > v0.length, "append must add its own files")
+    assert(v1.drop(v0.length).map(_.rows).sum == 10)
+    // both versions stay readable (time travel over shared files)
+    assert(spark.sql("SELECT * FROM graft.pqa_t VERSION AS OF 0")
+      .count() == 100)
+    assert(spark.table("graft.pqa_t").count() == 110)
+    assert(GraftTableStore.commitKind("graft.pqa_t", 0) == "parquet")
+    spark.sql("DROP TABLE graft.pqa_t")
+  }
+
+  test("partition pruning is MEASURED on the parquet store: a " +
+      "partition-only predicate opens fewer files and fewer bytes") {
+    freshCatalog()
+    SparkEntry.queries("store_parquet_prune")(spark, sf).collect()
+    val m = GraftScanMetrics.lastScan("graft.pqp_orders")
+    assert(m.filesTotal > 0 && m.bytesTotal > 0, s"no files measured: $m")
+    assert(m.filesRead < m.filesTotal,
+      s"pruning opened every file: $m")
+    assert(m.bytesRead < m.bytesTotal && m.bytesRead > 0,
+      s"pruned bytes not measured: $m")
+    // the unfiltered scan reads the whole manifest
+    spark.table("graft.pqp_orders").count()
+    val full = GraftScanMetrics.lastScan("graft.pqp_orders")
+    assert(full.filesRead == full.filesTotal &&
+      full.bytesRead == full.bytesTotal, s"$full")
+    spark.sql("DROP TABLE graft.pqp_orders")
+  }
+
+  test("MoR on parquet: a DELETE commits an op log (no file rewritten), " +
+      "the scan merges base files + deletions executor-side") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqmor_t")
+    spark.sql("CREATE TABLE graft.pqmor_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pqmor_t SELECT id, id * 1.5 " +
+      "FROM range(50)")
+    val baseFiles = GraftTableStore.commitFiles("graft.pqmor_t", 0)
+    val baseMtimes = baseFiles.map(f =>
+      (f.path, new java.io.File(f.path).length()))
+    spark.sql("DELETE FROM graft.pqmor_t WHERE k % 5 = 0")
+    assert(GraftTableStore.commitKind("graft.pqmor_t", 1) == "delta",
+      "MoR delete must stay an op-log commit on the parquet store")
+    // no base file was touched or replaced
+    baseMtimes.foreach { case (p, len) =>
+      assert(new java.io.File(p).length() == len, s"file rewritten: $p")
+    }
+    assert(spark.table("graft.pqmor_t").count() == 40)
+    // an UPDATE may move a row across partitions — merged correctly
+    spark.sql("UPDATE graft.pqmor_t SET v = -1.0 WHERE k = 7")
+    val r = spark.table("graft.pqmor_t").where(col("k") === 7)
+      .collect()
+    assert(r.length == 1 && r(0).getDouble(1) == -1.0)
+    assert(spark.table("graft.pqmor_t").count() == 40)
+    // the change feed still derives (driver-side materialization path)
+    val del = spark.table("graft.pqmor_t.changes")
+      .where(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSet
+    assert(del == (0L until 50L by 5).toSet)
+    // OPTIMIZE compacts the op-log chain into fresh files
+    assert(graft.api.GraftApi.optimizeTable(spark, "graft.pqmor_t") > 0)
+    val head = GraftTableStore.commitCount("graft.pqmor_t") - 1
+    assert(GraftTableStore.commitKind("graft.pqmor_t", head) == "parquet")
+    assert(spark.table("graft.pqmor_t").count() == 40)
+    spark.sql("DROP TABLE graft.pqmor_t")
+  }
+
+  test("schema evolution on files: pre-ADD files stay narrow and read " +
+      "as NULL; DROP COLUMN leaves every file untouched (position-" +
+      "named columns)") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqe_t")
+    spark.sql("CREATE TABLE graft.pqe_t (a BIGINT, b STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqe_t VALUES (1, 'x'), (2, 'y')")
+    spark.sql("ALTER TABLE graft.pqe_t ADD COLUMN c DOUBLE")
+    spark.sql("INSERT INTO graft.pqe_t VALUES (3, 'z', 3.5)")
+    val files = GraftTableStore.commitFiles("graft.pqe_t", 1)
+    assert(files.map(_.numCols).toSet == Set(2, 3),
+      s"expected a narrow pre-evolution file and a wide new one: " +
+        s"${files.map(_.numCols)}")
+    val rows = spark.table("graft.pqe_t").orderBy("a").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(rows == Seq((1L, "x", null), (2L, "y", null),
+      (3L, "z", 3.5)))
+    // DROP b through column mapping: no file changes, c keeps ITS data
+    val lens = files.map(f =>
+      (f.path, new java.io.File(f.path).length()))
+    spark.sql("ALTER TABLE graft.pqe_t DROP COLUMN b")
+    lens.foreach { case (p, len) =>
+      assert(new java.io.File(p).length() == len, s"file rewritten: $p")
+    }
+    assert(spark.table("graft.pqe_t").columns.toSeq == Seq("a", "c"))
+    assert(spark.table("graft.pqe_t").where(col("c") === 3.5)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    spark.sql("DROP TABLE graft.pqe_t")
+  }
+
+  test("retention GC: expiring snapshots deletes files no retained " +
+      "manifest references and keeps every file still shared") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqgc_t")
+    spark.sql("CREATE TABLE graft.pqgc_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqgc_t SELECT id FROM range(20)") // v0: A
+    spark.sql("INSERT INTO graft.pqgc_t SELECT id + 20 FROM range(5)") // v1: A+B
+    spark.sql("INSERT OVERWRITE graft.pqgc_t SELECT id FROM range(3)") // v2: C
+    val v1Files = GraftTableStore.commitFiles("graft.pqgc_t", 1)
+    val v2Files = GraftTableStore.commitFiles("graft.pqgc_t", 2)
+    assert(v1Files.nonEmpty && v2Files.nonEmpty &&
+      v1Files.map(_.path).toSet.intersect(v2Files.map(_.path).toSet)
+        .isEmpty)
+    // keep only the overwrite: the shared A+B chain is unreferenced
+    assert(graft.api.GraftApi.expireSnapshots(spark,
+      "graft.pqgc_t", 1) == 2)
+    v1Files.foreach(f => assert(!new java.io.File(f.path).exists(),
+      s"unreferenced file survived GC: ${f.path}"))
+    v2Files.foreach(f => assert(new java.io.File(f.path).exists(),
+      s"retained file deleted: ${f.path}"))
+    assert(spark.table("graft.pqgc_t").count() == 3)
+    spark.sql("DROP TABLE graft.pqgc_t")
+    assert(GraftParquetStore.meta("graft.pqgc_t").isEmpty,
+      "DROP TABLE must unregister and remove the table directory")
+  }
+
+  test("guards: unsupported column types and unknown store modes " +
+      "refuse at CREATE") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqbad_t")
+    val exType = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pqbad_t (k BIGINT, " +
+        "e ARRAY<DOUBLE>) TBLPROPERTIES ('graft.store'='parquet')")
+    }
+    assert(exType.getMessage.contains("unsupported type"),
+      exType.getMessage)
+    val exMode = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pqbad_t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='orc')")
+    }
+    assert(exMode.getMessage.contains("unknown graft.store"),
+      exMode.getMessage)
+  }
+
+  test("streaming reads a parquet-backed table per commit: the " +
+      "append-only prefix identity survives the file round-trip") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqstream_t")
+    spark.sql("CREATE TABLE graft.pqstream_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqstream_t SELECT id FROM range(10)")
+    spark.sql("INSERT INTO graft.pqstream_t SELECT id + 10 FROM range(5)")
+    val out = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.table("graft.pqstream_t")
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.addAndGet(df.count()); ()
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(out.get() == 15,
+      s"streamed ${out.get()} rows from the parquet-backed table")
+    spark.sql("DROP TABLE graft.pqstream_t")
+  }
+}
