@@ -57,7 +57,8 @@ object LakeOps extends QueryModule {
     * order-independent. */
   private def seedOrders(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, partitioned: Boolean,
-      parquetStore: Boolean = false): Unit = {
+      parquetStore: Boolean = false,
+      sortBy: Option[String] = None): Unit = {
     useCatalog(s)
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"),
@@ -70,8 +71,21 @@ object LakeOps extends QueryModule {
     s.sql(s"CREATE TABLE graft.$table (o_orderkey BIGINT, " +
       s"o_orderpriority STRING, o_orderstatus STRING, " +
       s"o_totalprice DOUBLE)$part$props")
-    s.sql(s"INSERT INTO graft.$table SELECT o_orderkey, " +
-      s"o_orderpriority, o_orderstatus, o_totalprice FROM ${table}_src")
+    sortBy match {
+      // range-partition the write on the sort column (explicit task
+      // count — AQE would coalesce a small sort to one task), so each
+      // task's file holds a contiguous disjoint key range: the layout
+      // that gives zone maps their skip power, and the same
+      // write-ordering choice a real ingest pipeline makes
+      case Some(c) =>
+        s.table(s"${table}_src")
+          .repartitionByRange(4, col(c)).sortWithinPartitions(c)
+          .writeTo(s"graft.$table").append()
+      case None =>
+        s.sql(s"INSERT INTO graft.$table SELECT o_orderkey, " +
+          s"o_orderpriority, o_orderstatus, o_totalprice " +
+          s"FROM ${table}_src")
+    }
   }
 
   private def cents(c: org.apache.spark.sql.Column) =
@@ -136,6 +150,29 @@ object LakeOps extends QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           cents(col("o_totalprice")).as("total_cents"))
         .orderBy("o_orderpriority", "o_orderstatus")
+    }),
+
+    // ZONE-MAP FILE SKIPPING on the parquet store: every file's
+    // manifest entry carries per-column min/max/null-count collected
+    // AS THE FILE WAS WRITTEN (parquet footer stats, lifted into the
+    // manifest like Delta/Iceberg per-file stats), and a pushed row
+    // predicate the stats prove unsatisfiable drops the file at plan
+    // time — data skipping BEYOND partition pruning, on a column the
+    // table is not partitioned by. The INSERT arrives ordered by
+    // o_orderkey, so the task-written files hold disjoint key ranges
+    // and the range predicate proves most of them empty without
+    // opening one (ParquetStoreSpec pins filesRead < filesTotal).
+    // At 100 TB this is the difference between "prune to the
+    // partition" and "open only the files that can match".
+    "store_parquet_skip" -> ((s, d) => {
+      seedOrders(s, d, "pqs_orders", partitioned = false,
+        parquetStore = true, sortBy = Some("o_orderkey"))
+      s.table("graft.pqs_orders")
+        .where(col("o_orderkey") < 600L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")
     }),
 
     // REPORTED STATISTICS → AUTO-BROADCAST: the governed dimension
@@ -407,6 +444,12 @@ object LakeOps extends QueryModule {
         |FROM orders
         |WHERE o_orderpriority = '3-MEDIUM'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "store_parquet_skip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey < 600
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_governed_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)

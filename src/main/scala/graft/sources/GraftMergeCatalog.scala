@@ -502,6 +502,43 @@ object GraftTableStore {
           prevCount - deleteIds.size + inserts), branch)
     }
 
+  /** Commit a TASK-WRITTEN parquet append: the write tasks streamed
+    * rows straight into staged files and shipped only metadata — this
+    * adopts the staged files into the new version's directory (one
+    * rename each, under the lock, once the version number is known)
+    * and extends the previous manifest. The driver never sees a row:
+    * a manifest-only commit, the lake-format append. Falls back to a
+    * materializing commit only when the chain head is a delta op log
+    * (the new content must append AFTER the merged state). */
+  private[sources] def commitParquetAppend(name: String,
+      staged: Vector[GraftFileInfo], branch: Option[String]): Unit =
+    lock.synchronized {
+      val m = GraftParquetStore.meta(name).getOrElse(
+        throw new IllegalStateException(
+          s"$name is not parquet-backed — no staged commit possible"))
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val newV = h.commitCount
+      h.commits.lastOption match {
+        case None =>
+          val files = GraftParquetStore.adoptStaged(m, newV, staged)
+          appendLocked(name, "append",
+            GraftParquetData(files, files.map(_.rows).sum), branch)
+        case Some(p: GraftParquetData) =>
+          val files = GraftParquetStore.adoptStaged(m, newV, staged)
+          appendLocked(name, "append",
+            GraftParquetData(p.files ++ files,
+              p.count + files.map(_.rows).sum), branch)
+        case Some(_) =>
+          // delta (or legacy in-memory) head: materialize base + the
+          // staged rows and let the full-persist path lay out files
+          val base = resolveRel(name, h, h.commits.size - 1)
+          val incoming = GraftParquetStore.readAll(staged, m.schema)
+          staged.foreach(f => new java.io.File(f.path).delete())
+          appendLocked(name, "append",
+            GraftFullData(base ++ incoming), branch)
+      }
+    }
+
   /** the WAP target branch of the active session, if any — the
     * `graft.wap.branch` session conf (the spark.wap.branch pattern):
     * while set, batch commits land on that branch and main stays
@@ -1630,14 +1667,21 @@ class GraftScan(tableName: String, tableSchema: StructType,
         _.references.forall(identityCols.contains))
       val partPreds = partOnly.flatMap(
         GraftFilterEval.compile(_, tableSchema))
-      val rowPreds = pushedFilters.diff(partOnly).flatMap(
+      val rowFilters = pushedFilters.diff(partOnly)
+      val rowPreds = rowFilters.flatMap(
         GraftFilterEval.compile(_, tableSchema))
       val paddedExtras = GraftChangeFeed.padTo(fv.extras,
         tableSchema.length).filter(r => rowPreds.forall(_(r)))
+      // ZONE-MAP FILE SKIPPING: a pushed row predicate that the
+      // manifest's per-file min/max/nulls PROVE unsatisfiable drops
+      // the file before any partition forms — data skipping beyond
+      // partition pruning (parquet footer stats, served manifest-side)
+      val liveFiles = fv.files.filterNot(f =>
+        rowFilters.exists(GraftZoneMap.skips(_, f, tableSchema)))
       if (partFields.isEmpty) {
         // one input partition PER FILE — the parallel read the
         // in-memory store cannot give — plus one for the extras
-        val fileGroups = fv.files.map(f =>
+        val fileGroups = liveFiles.map(f =>
           GraftFileGroup(null, Vector(f), Array.empty))
         val groups =
           if (paddedExtras.isEmpty) fileGroups
@@ -1654,7 +1698,7 @@ class GraftScan(tableName: String, tableSchema: StructType,
               GraftPartField.keyExpr(_, tableSchema)).toIndexedSeq)
           paddedExtras.groupBy(r => keyProj(r).copy(): InternalRow)
         }
-        val filesByKey = fv.files.groupBy(_.key)
+        val filesByKey = liveFiles.groupBy(_.key)
         val allKeys = (filesByKey.keySet ++ extrasByKey.keySet).toArray
           .sortBy(_.toString)
         def keyRow(key: InternalRow): InternalRow = {
@@ -2703,11 +2747,31 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     }
 
   private lazy val baseWrite: Write = new Write {
+    /** plain appends to a parquet-backed table write FILES in the
+      * tasks (the driver sees only metadata); every rewriting shape —
+      * and every in-memory table — keeps the row-message path, whose
+      * commit must evaluate predicates against base rows anyway. */
+    private def taskFileAppend: Option[GraftParquetStore.Meta] =
+      if (replace || doTruncate || dynamicOverwrite ||
+          overwriteFilters.isDefined) None
+      else GraftParquetStore.meta(tableName)
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
-          : DataWriterFactory =
-        GraftWriterFactory(writeSchema, physSchema, replace)
+          : DataWriterFactory = taskFileAppend match {
+        case Some(m) =>
+          GraftParquetAppendWriterFactory(m, writeSchema.length)
+        case None => GraftWriterFactory(writeSchema, physSchema, replace)
+      }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        if (taskFileAppend.isDefined) {
+          // manifest-only commit: adopt the task-staged files
+          val staged = messages
+            .flatMap(_.asInstanceOf[GraftFilesMessage].files)
+            .sortBy(_.path).toVector
+          GraftTableStore.commitParquetAppend(tableName, staged,
+            GraftTableStore.sessionWapBranch)
+          return
+        }
         // incoming rows were projected into the PHYSICAL layout at the
         // write task — every row below is physical
         val incoming = messages

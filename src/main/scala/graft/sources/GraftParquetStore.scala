@@ -27,7 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * narrower and their missing slots read as NULL (parquet's own
   * missing-column semantics, which this store mirrors deliberately). */
 final case class GraftFileInfo(path: String, key: InternalRow,
-    rows: Int, bytes: Long, numCols: Int)
+    rows: Int, bytes: Long, numCols: Int,
+    stats: Map[Int, GraftColStats] = Map.empty)
+
+/** Zone-map statistics of one column of one file (physical ordinal →
+  * stats in the manifest): min/max over non-null values in the
+  * column's InternalRow representation (Long / Int / Double / Float /
+  * UTF8String — strings compare in UTF8 binary order, Spark's string
+  * collation) plus the null count. What lets a pushed row predicate
+  * prove a file empty WITHOUT opening it — parquet footer min/max,
+  * lifted into the manifest the way Delta/Iceberg keep per-file stats. */
+final case class GraftColStats(min: Any, max: Any, nulls: Int)
 
 /** PARQUET-BACKED STORE (the round-10 verdict ask): a governed table
   * created with `TBLPROPERTIES ('graft.store'='parquet')` PERSISTS
@@ -177,9 +187,12 @@ object GraftParquetStore {
     true
   }
 
-  /** Write `rows` under `<dir>/v<version>/`, one file per
-    * (partition key, row width) group — the key rides into the
-    * manifest so scans prune files without opening them. */
+  /** Write `rows` under `<dir>/v<version>/`, one-or-more files per
+    * (partition key, row width) group — the key and the per-column
+    * zone-map stats ride into the manifest so scans prune and skip
+    * files without opening them. Large groups CHUNK into up to 8
+    * files so an unpartitioned scan still parallelizes per file and
+    * zone maps get range granularity. */
   private def writeFiles(m: Meta, version: Int,
       rows: Array[InternalRow]): Vector[GraftFileInfo] = {
     if (rows.isEmpty) return Vector.empty
@@ -196,26 +209,82 @@ object GraftParquetStore {
         else keyProj(r).copy(): InternalRow
       (k, r.numFields)
     }.toArray.sortBy { case ((k, w), _) => (k.toString, w) }
-    groups.zipWithIndex.map { case (((key, width), rs), seq) =>
-      val f = new java.io.File(vdir, f"f$seq%04d.parquet")
-      val mt = messageType(m.schema, width)
-      val conf = new Configuration(false)
-      val w = ExampleParquetWriter.builder(new HPath(f.getAbsolutePath))
-        .withConf(conf).withType(mt)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
-        .build()
-      val gf = new SimpleGroupFactory(mt)
-      try rs.foreach { r =>
-        val g = gf.newGroup()
-        var i = 0
-        while (i < width) {
-          if (!r.isNullAt(i)) addValue(g, i, m.schema(i).dataType, r)
-          i += 1
-        }
-        w.write(g)
-      } finally w.close()
-      GraftFileInfo(f.getAbsolutePath, key, rs.length, f.length(), width)
+    groups.zipWithIndex.flatMap { case (((key, width), rs), seq) =>
+      val chunks = math.max(1, math.min(8, (rs.length + 1023) / 1024))
+      val per = (rs.length + chunks - 1) / chunks
+      rs.grouped(per).zipWithIndex.map { case (chunk, ci) =>
+        val f = new java.io.File(vdir, f"f$seq%04d-c$ci%02d.parquet")
+        val h = new GraftFileHandle(m.schema, width,
+          f.getAbsolutePath, key)
+        chunk.foreach(h.add)
+        h.close()
+      }
     }.toVector
+  }
+
+  /** Incremental writer of ONE parquet file: rows stream in (the
+    * task-side append writer feeds straight from the DataWriter, no
+    * buffering), zone-map statistics accumulate as they pass. */
+  private[sources] final class GraftFileHandle(schema: StructType,
+      width: Int, path: String, key: InternalRow) {
+    private val mt = messageType(schema, width)
+    private val w = ExampleParquetWriter.builder(new HPath(path))
+      .withConf(new Configuration(false)).withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+    private val gf = new SimpleGroupFactory(mt)
+    private var n = 0
+    private val mins = new Array[Any](width)
+    private val maxs = new Array[Any](width)
+    private val nulls = new Array[Int](width)
+
+    def add(r: InternalRow): Unit = {
+      val g = gf.newGroup()
+      var i = 0
+      while (i < width) {
+        if (r.isNullAt(i)) nulls(i) += 1
+        else {
+          val dt = schema(i).dataType
+          addValue(g, i, dt, r)
+          trackStats(i, dt, r)
+        }
+        i += 1
+      }
+      w.write(g)
+      n += 1
+    }
+    private def trackStats(i: Int, dt: DataType, r: InternalRow): Unit = {
+      val v: Any = dt match {
+        case LongType | TimestampType => r.getLong(i)
+        case IntegerType | DateType => r.getInt(i)
+        case DoubleType => r.getDouble(i)
+        case FloatType => r.getFloat(i)
+        // copy OUT of the row buffer — task-side rows are transient
+        case StringType =>
+          UTF8String.fromBytes(r.getUTF8String(i).getBytes)
+        case _ => return // no zone map for this type
+      }
+      if (mins(i) == null || GraftZoneMap.cmpStat(dt, v, mins(i)) < 0)
+        mins(i) = v
+      if (maxs(i) == null || GraftZoneMap.cmpStat(dt, v, maxs(i)) > 0)
+        maxs(i) = v
+    }
+    def close(): GraftFileInfo = {
+      w.close()
+      val st = (0 until width).flatMap { i =>
+        schema(i).dataType match {
+          case LongType | IntegerType | DoubleType | FloatType |
+              StringType | DateType | TimestampType =>
+            Some(i -> GraftColStats(mins(i), maxs(i), nulls(i)))
+          case _ => None
+        }
+      }.toMap
+      GraftFileInfo(path, key, n,
+        new java.io.File(path).length(), width, st)
+    }
+    def abort(): Unit = {
+      try w.close() catch { case _: Throwable => () }
+      new java.io.File(path).delete(); ()
+    }
   }
 
   private def addValue(g: Group, i: Int, dt: DataType,
@@ -327,6 +396,25 @@ object GraftParquetStore {
       }
     }.toArray
 
+  /** MOVE task-staged files under the committed version's directory —
+    * runs driver-side under the store lock when the version number is
+    * known; rename on the same filesystem, no data copied. Keeps the
+    * table directory free of uncommitted files, so retention GC can
+    * never race an in-flight write. */
+  private[sources] def adoptStaged(m: Meta, version: Int,
+      staged: Vector[GraftFileInfo]): Vector[GraftFileInfo] = {
+    val vdir = new java.io.File(m.dir, f"v$version%05d")
+    vdir.mkdirs()
+    staged.zipWithIndex.map { case (f, i) =>
+      val target = new java.io.File(vdir, f"t$i%04d.parquet")
+      val src = new java.io.File(f.path)
+      if (!src.renameTo(target))
+        throw new IllegalStateException(
+          s"could not adopt staged file ${f.path} into $target")
+      f.copy(path = target.getAbsolutePath)
+    }
+  }
+
   /** retention GC (VACUUM): delete every file under the table dir that
     * no RETAINED commit references — shared (append-reused) files
     * survive for as long as any retained manifest lists them. Returns
@@ -346,3 +434,152 @@ object GraftParquetStore {
     deleted
   }.getOrElse(0)
 }
+
+/** Manifest ZONE-MAP evaluation: can a pushed v1 row filter PROVE a
+  * file holds no matching row, from its per-column min/max/nulls
+  * alone? Conservative by construction — `false` ("cannot skip") is
+  * always safe, and Spark re-applies every pushed filter above the
+  * scan anyway (the residual contract), so a mistake here could only
+  * cost I/O, never correctness. Strings compare in UTF8String binary
+  * order (Spark's collation), mirroring GraftFilterEval. */
+object GraftZoneMap {
+  import org.apache.spark.sql.sources._
+
+  private[sources] def cmpStat(dt: DataType, a: Any, b: Any): Int =
+    dt match {
+      case LongType | TimestampType => java.lang.Long.compare(
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case IntegerType | DateType => Integer.compare(
+        a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+      case FloatType => java.lang.Float.compare(
+        a.asInstanceOf[Float], b.asInstanceOf[Float])
+      case StringType => a.asInstanceOf[UTF8String]
+        .compareTo(b.asInstanceOf[UTF8String])
+      case other => throw new IllegalStateException(
+        s"no zone-map ordering for $other")
+    }
+
+  /** a v1 filter literal lifted into the stat value domain. */
+  private def statValue(dt: DataType, v: Any): Option[Any] = dt match {
+    case LongType => Some(v.asInstanceOf[Number].longValue())
+    case IntegerType => Some(v.asInstanceOf[Number].intValue())
+    case DoubleType => Some(v.asInstanceOf[Number].doubleValue())
+    case FloatType => Some(v.asInstanceOf[Number].floatValue())
+    case StringType => Some(UTF8String.fromString(v.toString))
+    case _ => None
+  }
+
+  def skips(f: Filter, file: GraftFileInfo,
+      schema: StructType): Boolean = {
+    // comparison-style check: Some(skip?) when the column+value are
+    // zone-map evaluable; None → cannot reason, never skip
+    def bound(attr: String, v: Any)(
+        prove: (GraftColStats, Any, DataType) => Boolean): Boolean = {
+      if (v == null) return false
+      val ord = schema.fieldNames.indexOf(attr)
+      if (ord < 0) return false
+      // a slot beyond the file's width reads NULL everywhere: no
+      // comparison can match
+      if (ord >= file.numCols) return true
+      file.stats.get(ord) match {
+        case None => false
+        case Some(s) =>
+          if (s.min == null) s.nulls == file.rows // all-null column
+          else statValue(schema(ord).dataType, v) match {
+            case Some(sv) => prove(s, sv, schema(ord).dataType)
+            case None => false
+          }
+      }
+    }
+    f match {
+      case EqualTo(a, v) => bound(a, v)((s, sv, dt) =>
+        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0)
+      case EqualNullSafe(a, null) =>
+        val ord = schema.fieldNames.indexOf(a)
+        ord >= 0 && ord < file.numCols &&
+          file.stats.get(ord).exists(_.nulls == 0)
+      case EqualNullSafe(a, v) => bound(a, v)((s, sv, dt) =>
+        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0)
+      case GreaterThan(a, v) =>
+        bound(a, v)((s, sv, dt) => cmpStat(dt, s.max, sv) <= 0)
+      case GreaterThanOrEqual(a, v) =>
+        bound(a, v)((s, sv, dt) => cmpStat(dt, s.max, sv) < 0)
+      case LessThan(a, v) =>
+        bound(a, v)((s, sv, dt) => cmpStat(dt, s.min, sv) >= 0)
+      case LessThanOrEqual(a, v) =>
+        bound(a, v)((s, sv, dt) => cmpStat(dt, s.min, sv) > 0)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        vs.forall(v => bound(a, v)((s, sv, dt) =>
+          cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0))
+      case IsNull(a) =>
+        val ord = schema.fieldNames.indexOf(a)
+        ord >= 0 && ord < file.numCols &&
+          file.stats.get(ord).exists(_.nulls == 0)
+      case IsNotNull(a) =>
+        val ord = schema.fieldNames.indexOf(a)
+        ord >= 0 && (ord >= file.numCols ||
+          file.stats.get(ord).exists(s =>
+            s.nulls == file.rows && file.rows > 0))
+      case And(l, r) => skips(l, file, schema) || skips(r, file, schema)
+      case Or(l, r) => skips(l, file, schema) && skips(r, file, schema)
+      case _ => false
+    }
+  }
+}
+
+/** TASK-SIDE append writes (the write half of the file-backed scale
+  * story): a plain INSERT INTO a parquet-backed table streams rows
+  * from each write task STRAIGHT into staged parquet files — the
+  * driver sees only FILE METADATA in the commit messages, never a
+  * row, and the commit adopts the staged files into the new version's
+  * directory with one rename each (manifest-only commit, the
+  * lake-format write path). Rewriting writes (overwrite / truncate /
+  * replace) keep the row-message path: their commit must evaluate
+  * predicates against the BASE rows anyway. */
+case class GraftParquetAppendWriterFactory(
+    meta: GraftParquetStore.Meta, visibleWidth: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val physProj = UnsafeProjection.create(
+      GraftColumnMap.toPhysical(meta.schema))
+    private val keyProj = UnsafeProjection.create(meta.partFields.map(
+      GraftPartField.keyExpr(_, meta.schema)).toIndexedSeq)
+    private val width = meta.schema.length
+    // one open file per partition key this task observes (Spark
+    // already requested clustering by the partition columns, so most
+    // tasks see one key)
+    private val open = scala.collection.mutable.LinkedHashMap[
+      InternalRow, GraftParquetStore.GraftFileHandle]()
+    private val stageDir = {
+      val d = java.nio.file.Files.createTempDirectory("graft-stage-")
+      d.toFile.getAbsolutePath
+    }
+    override def write(row: InternalRow): Unit = {
+      if (row.numFields != visibleWidth)
+        throw new IllegalStateException(
+          s"append row has ${row.numFields} fields, write schema has " +
+            s"$visibleWidth — unknown layout, refusing to write")
+      val phys = physProj(row)
+      val key = keyProj(phys).copy(): InternalRow
+      val h = open.getOrElseUpdate(key,
+        new GraftParquetStore.GraftFileHandle(meta.schema, width,
+          new java.io.File(stageDir,
+            f"p$partitionId%05d-k${open.size}%03d.parquet")
+            .getAbsolutePath, key))
+      h.add(phys)
+    }
+    override def commit(): WriterCommitMessage =
+      GraftFilesMessage(open.values.map(_.close()).toVector)
+    override def abort(): Unit = open.values.foreach(_.abort())
+    override def close(): Unit = ()
+  }
+}
+
+/** Commit message of a task-side parquet append: file metadata only. */
+case class GraftFilesMessage(files: Vector[GraftFileInfo])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage

@@ -188,6 +188,53 @@ class ParquetStoreSpec extends AnyFunSuite {
       "DROP TABLE must unregister and remove the table directory")
   }
 
+  test("plain appends are TASK-written and manifest-committed: a " +
+      "multi-partition insert lands one staged file per task, adopted " +
+      "under the version directory — the driver never buffers a row") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqtask_t")
+    spark.sql("CREATE TABLE graft.pqtask_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    // 4 upstream partitions → 4 write tasks → 4 files in ONE commit
+    spark.range(0, 4000).selectExpr("id AS k", "id * 0.5 AS v")
+      .repartition(4).createOrReplaceTempView("pqtask_src")
+    spark.sql("INSERT INTO graft.pqtask_t SELECT * FROM pqtask_src")
+    val files = GraftTableStore.commitFiles("graft.pqtask_t", 0)
+    assert(files.length == 4, s"expected one file per write task: " +
+      s"${files.length}")
+    assert(files.map(_.rows).sum == 4000)
+    val meta = GraftParquetStore.meta("graft.pqtask_t").get
+    files.foreach { f =>
+      assert(f.path.startsWith(meta.dir),
+        s"staged file not adopted into the table dir: ${f.path}")
+      assert(new java.io.File(f.path).isFile)
+      // zone maps were collected as the tasks wrote
+      val kStats = f.stats(0)
+      assert(kStats.nulls == 0 &&
+        kStats.min.asInstanceOf[Long] <= kStats.max.asInstanceOf[Long])
+    }
+    assert(spark.table("graft.pqtask_t").count() == 4000)
+    spark.sql("DROP TABLE graft.pqtask_t")
+  }
+
+  test("zone-map file skipping is MEASURED: a range predicate on an " +
+      "unpartitioned column opens only the files whose min/max can " +
+      "match") {
+    freshCatalog()
+    SparkEntry.queries("store_parquet_skip")(spark, sf).collect()
+    val m = GraftScanMetrics.lastScan("graft.pqs_orders")
+    assert(m.filesTotal > 1,
+      s"need multiple files for a skipping readout: $m")
+    assert(m.filesRead < m.filesTotal, s"zone maps skipped nothing: $m")
+    assert(m.bytesRead < m.bytesTotal && m.bytesRead > 0, s"$m")
+    // a predicate outside every file's range opens NOTHING
+    assert(spark.table("graft.pqs_orders")
+      .where(col("o_orderkey") < -1L).count() == 0)
+    val none = GraftScanMetrics.lastScan("graft.pqs_orders")
+    assert(none.filesRead == 0, s"impossible range still read: $none")
+    spark.sql("DROP TABLE graft.pqs_orders")
+  }
+
   test("guards: unsupported column types and unknown store modes " +
       "refuse at CREATE") {
     freshCatalog()
