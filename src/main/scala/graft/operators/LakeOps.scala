@@ -175,6 +175,46 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // MANIFEST-ANSWERED AGGREGATE PUSHDOWN: on a parquet-backed table
+    // a pushed COUNT(*)/COUNT(col)/MIN/MAX grouped by the partition
+    // column is answered from the MANIFEST alone — COUNT(*) sums file
+    // row counts, COUNT(col) sums (rows − nulls), MIN/MAX fold the
+    // exact per-file zone maps — ZERO files opened, zero rows read
+    // (Iceberg answering COUNT from manifests; parquet footer stats).
+    // Gated hard: only delta-free versions, identity-partition group
+    // keys, stats-typed columns; anything else takes the normal
+    // file-scan path. ParquetStoreSpec pins filesRead == 0 and the
+    // GraftManifestAggScan plan shape. At 100 TB this is a metadata
+    // pass instead of a table scan.
+    "store_parquet_agg" -> ((s, d) => {
+      seedOrders(s, d, "pqagg_orders", partitioned = true,
+        parquetStore = true)
+      s.table("graft.pqagg_orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("o_orderkey")).as("n_keys"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // the `.files` METADATA TABLE (Iceberg's shape): the current
+    // manifest as a queryable relation — one row per data file with
+    // partition key, row count, size, physical width, stats coverage;
+    // O(files) metadata, no data file opened. The readout aggregates
+    // per-partition row totals (file COUNTS vary with write
+    // parallelism, so the oracle pins the invariant that doesn't:
+    // manifest row counts sum to the table's rows per partition).
+    "table_files" -> ((s, d) => {
+      seedOrders(s, d, "pqf_orders", partitioned = true,
+        parquetStore = true)
+      s.table("graft.pqf_orders.files")
+        .groupBy("o_orderpriority")
+        .agg(sum(col("row_count")).cast("long").as("n_rows"),
+          (sum(col("size_bytes")) > 0L).as("has_bytes"))
+        .orderBy("o_orderpriority")
+    }),
+
     // REPORTED STATISTICS → AUTO-BROADCAST: the governed dimension
     // (25 nations) reports its true post-pushdown size through
     // SupportsReportStatistics, so Catalyst broadcasts it under the
@@ -450,6 +490,15 @@ object LakeOps extends QueryModule {
         |    AS total_cents
         |FROM orders WHERE o_orderkey < 600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_parquet_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  COUNT(o_orderkey) AS n_keys,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_files" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  TRUE AS has_bytes
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_governed_broadcast" ->
       """SELECT n_name, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)

@@ -741,11 +741,14 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   //                 operation, n_rows, commit_ts);
   //   .partitions — per-partition row counts of the CURRENT snapshot
   //                 (partition value columns + row_count).
+  //   .files      — the CURRENT manifest of a parquet-backed table
+  //                 (Iceberg's `.files` shape): one row per data file
+  //                 with partition key, rows, bytes, width, stats.
   override def loadTable(ident: Identifier): Table =
     registry.get(key(ident)) match {
       case Some(t) => t
       case None if ident.namespace().nonEmpty &&
-          Set("changes", "history", "partitions")(ident.name()) =>
+          Set("changes", "history", "partitions", "files")(ident.name()) =>
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val base = registry.getOrElse(key(baseIdent),
@@ -754,6 +757,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
           case "changes" => new GraftCdfTable(base)
           case "history" => new GraftHistoryTable(base)
           case "partitions" => new GraftPartitionsTable(base)
+          case "files" => new GraftFilesTable(base)
         }
       case None => throw new NoSuchTableException(ident)
     }
@@ -1389,23 +1393,62 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   // OURS, so a future planner change could only cost the pushdown,
   // never correctness
   private def aggCompatible: Boolean =
-    pushed.isEmpty && limit.isEmpty && topN.isEmpty &&
-      // a file-backed table answers aggregates from its files like any
-      // scan — the store-side readout would materialize rows at the
-      // driver, the exact funnel the parquet store exists to remove
-      !GraftParquetStore.isBacked(tableName)
+    pushed.isEmpty && limit.isEmpty && topN.isEmpty
+
+  /** On a PARQUET-BACKED table an aggregate only pushes when the
+    * MANIFEST alone can answer it exactly — zero files opened, zero
+    * rows materialized (Iceberg answering COUNT(*) from manifests;
+    * parquet footer stats): the version must be delta-free (a pending
+    * delete would falsify counts), group keys must be identity
+    * partition columns (the manifest key), and every aggregated column
+    * must carry zone-map stats. Anything else declines and takes the
+    * normal file-scan aggregation path. */
+  private def manifestAggSupported(a: Aggregation): Boolean = {
+    import org.apache.spark.sql.types._
+    def flatOrd(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        val i = tableSchema.fieldNames.indexOf(r.fieldNames()(0))
+        if (i < 0) None else Some(i)
+      case _ => None
+    }
+    def statTyped(i: Int): Boolean = tableSchema(i).dataType match {
+      case LongType | IntegerType | DoubleType | FloatType |
+          StringType | DateType | TimestampType => true
+      case _ => false
+    }
+    val identCols = partFields.collect { case GraftIdentityPart(c) => c }
+    GraftTableStore.fileView(tableName, pinnedVersion).exists { fv =>
+      fv.deletedIds.isEmpty && fv.extras.isEmpty &&
+        a.groupByExpressions().forall(flatOrd(_).exists(i =>
+          identCols.contains(tableSchema.fieldNames(i)))) &&
+        a.aggregateExpressions().forall {
+          case _: CountStar => true
+          case c: Count => flatOrd(c.column()).exists(statTyped)
+          case m: Min => flatOrd(m.column()).exists(statTyped)
+          case m: Max => flatOrd(m.column()).exists(statTyped)
+          case _ => true // shape already gated by aggSupported
+        }
+    }
+  }
+  private def aggAcceptable(a: Aggregation): Boolean =
+    aggCompatible && aggSupported(a) &&
+      (!GraftParquetStore.isBacked(tableName) || manifestAggSupported(a))
   override def supportCompletePushDown(a: Aggregation): Boolean =
-    aggCompatible && aggSupported(a)
+    aggAcceptable(a)
   override def pushAggregation(a: Aggregation): Boolean = {
     // complete-or-nothing: when supportCompletePushDown said no, this
     // must decline too — the scan does not implement the partial
     // (per-input-partition intermediate rows) contract
-    if (!aggCompatible || !aggSupported(a)) return false
+    if (!aggAcceptable(a)) return false
     agg = Some(a)
     true
   }
 
   override def build(): Scan = agg match {
+    case Some(a) if GraftParquetStore.isBacked(tableName) =>
+      new GraftManifestAggScan(tableName, tableSchema, pinnedVersion,
+        partFields, a)
     case Some(a) =>
       new GraftAggScan(tableName, tableSchema, pinnedVersion, a)
     case None =>
@@ -1437,9 +1480,20 @@ object GraftFilterEval {
       case IntegerType => Some(r => if (r.isNullAt(ord)) None
         else Some(java.lang.Integer.compare(r.getInt(ord),
           value.asInstanceOf[Number].intValue())))
-      case DoubleType => Some(r => if (r.isNullAt(ord)) None
-        else Some(java.lang.Double.compare(r.getDouble(ord),
-          value.asInstanceOf[Number].doubleValue())))
+      case DoubleType =>
+        // ±0.0 normalize BOTH sides: Spark's `=` says -0.0 = 0.0 is
+        // TRUE (SQL equality), java.lang.Double.compare says -0.0 <
+        // 0.0 — and this evaluator SKIPS rows (overwrite delete sets,
+        // partition pruning), where a residual cannot repair a wrong
+        // drop. NaN stays compare-consistent with catalyst (> all).
+        val dv0 = value.asInstanceOf[Number].doubleValue()
+        val dv = if (dv0 == 0.0d) 0.0d else dv0
+        Some(r => if (r.isNullAt(ord)) None
+          else {
+            val rv0 = r.getDouble(ord)
+            val rv = if (rv0 == 0.0d) 0.0d else rv0
+            Some(java.lang.Double.compare(rv, dv))
+          })
       case StringType =>
         // compare in UTF8String BINARY order (Spark's string collation),
         // not java.lang.String UTF-16 code-unit order: for supplementary
@@ -2099,6 +2153,137 @@ class GraftAggScan(tableName: String, tableSchema: StructType,
     GraftRowsReaderFactory
 }
 
+/** Aggregate pushdown answered FROM THE MANIFEST of a parquet-backed
+  * table — ZERO files opened, zero rows materialized: COUNT(*) sums
+  * file row counts, COUNT(col) sums (rows − nulls), MIN/MAX fold the
+  * per-file zone maps (EXACT by construction — collected from every
+  * value as the file was written, never truncated). Group keys are
+  * identity partition columns, read off the manifest key. This is
+  * Iceberg answering COUNT(*) from manifests / parquet footer stats,
+  * and it is why a 100 TB `SELECT count(*) ... GROUP BY partition`
+  * costs one metadata pass. Planned only for delta-free versions
+  * (checked at push time); if a delta lands between push and plan,
+  * planning falls back to the exact row computation rather than serve
+  * a stale manifest answer. */
+class GraftManifestAggScan(tableName: String, tableSchema: StructType,
+    pinnedVersion: Option[Int], partFields: Array[GraftPartField],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  private def ordOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Int = tableSchema.fieldNames.indexOf(
+    e.asInstanceOf[NamedReference].fieldNames()(0))
+  private val groupOrds = agg.groupByExpressions().map(ordOf)
+
+  override def readSchema(): StructType = StructType(
+    groupOrds.map(tableSchema(_)) ++
+      agg.aggregateExpressions().zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (_: Count, i) =>
+          StructField(s"agg_$i", LongType, nullable = false)
+        case (m: Min, i) =>
+          StructField(s"agg_$i", tableSchema(ordOf(m.column())).dataType)
+        case (m: Max, i) =>
+          StructField(s"agg_$i", tableSchema(ordOf(m.column())).dataType)
+        case (other, _) => throw new IllegalStateException(
+          s"unsupported pushed aggregate: $other")
+      })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftManifestAggScan[$tableName, pushedAggregates=[" +
+      s"${agg.aggregateExpressions().mkString(",")}], groupBy=[" +
+      s"${agg.groupByExpressions().mkString(",")}], manifest-only]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fv = GraftTableStore.fileView(tableName, pinnedVersion)
+      .filter(v => v.deletedIds.isEmpty && v.extras.isEmpty)
+    fv match {
+      case None =>
+        // a delta landed after push — compute exactly instead
+        new GraftAggScan(tableName, tableSchema, pinnedVersion, agg)
+          .planInputPartitions()
+      case Some(v) => planFromManifest(v.files)
+    }
+  }
+
+  private def planFromManifest(files: Vector[GraftFileInfo])
+      : Array[InputPartition] = {
+    // group-key slot in the manifest key for each group column
+    val keySlots = groupOrds.map { o =>
+      val c = tableSchema.fieldNames(o)
+      partFields.indexWhere {
+        case GraftIdentityPart(pc) => pc == c
+        case _ => false
+      }
+    }
+    val keyTypes = partFields.map(GraftPartField.keyType(_, tableSchema))
+    val groups =
+      if (groupOrds.isEmpty)
+        Map(IndexedSeq.empty[Any] -> files) // global: empty set → 1 row
+      else files.groupBy(f =>
+        keySlots.indices.map(i =>
+          f.key.get(keySlots(i), keyTypes(keySlots(i)))).toIndexedSeq)
+    val out = groups.toArray.sortBy(_._1.toString).map { case (k, fs) =>
+      val vals = new Array[Any](groupOrds.length +
+        agg.aggregateExpressions().length)
+      k.indices.foreach(i => vals(i) = k(i))
+      agg.aggregateExpressions().zipWithIndex.foreach { case (fn, i) =>
+        val slot = groupOrds.length + i
+        vals(slot) = fn match {
+          case _: CountStar => fs.iterator.map(_.rows.toLong).sum
+          case c: Count =>
+            val o = ordOf(c.column())
+            fs.iterator.map { f =>
+              if (o >= f.numCols) 0L // slot absent: all-null in file
+              else f.stats.get(o) match {
+                case Some(s) => (f.rows - s.nulls).toLong
+                case None => throw new IllegalStateException(
+                  s"manifest of $tableName lacks stats for pushed " +
+                    s"COUNT column ordinal $o — push gate out of sync")
+              }
+            }.sum
+          case m: Min => foldStat(fs, ordOf(m.column()), want = -1)
+          case m: Max => foldStat(fs, ordOf(m.column()), want = 1)
+          case other => throw new IllegalStateException(
+            s"unsupported pushed aggregate: $other")
+        }
+      }
+      new GenericInternalRow(vals): InternalRow
+    }
+    // the readout the spec pins: the whole manifest was "scanned",
+    // ZERO files opened, zero bytes read
+    GraftScanMetrics.lastScan.put(tableName, GraftScanMetrics.Report(
+      1, 1, 0, filesTotal = files.length, filesRead = 0,
+      bytesTotal = files.map(_.bytes).sum, bytesRead = 0L))
+    Array(GraftInputPartition(out))
+  }
+
+  /** fold per-file exact min/max; `want` = −1 for MIN, +1 for MAX.
+    * Files where the slot is absent or all-null contribute nothing;
+    * NULL when no file holds a value (SQL MIN/MAX-over-nulls). */
+  private def foldStat(fs: Vector[GraftFileInfo], o: Int,
+      want: Int): Any = {
+    val dt = tableSchema(o).dataType
+    var best: Any = null
+    fs.foreach { f =>
+      if (o < f.numCols) f.stats.get(o).foreach { s =>
+        val cand = if (want < 0) s.min else s.max
+        if (cand != null && (best == null ||
+            Integer.signum(GraftZoneMap.cmpStat(dt, cand, best)) == want))
+          best = cand
+      }
+    }
+    best
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRowsReaderFactory
+}
+
 /** Shared shape of the projected store partitions: rows + the
   * pruned-column ordinals; the reader applies the narrow projection
   * executor-side. */
@@ -2526,6 +2711,67 @@ class GraftPartitionsTable(base: GraftMergeTable)
               (keyTypes.indices.map(i => k.get(i, keyTypes(i))) :+
                 rs.length.toLong).toArray[Any]): InternalRow
           }
+        Array(GraftInputPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        GraftRowsReaderFactory
+    }
+  }
+}
+
+/** The `graft.<table>.files` metadata relation (Iceberg's `.files`
+  * shape): the CURRENT manifest of a parquet-backed table — one row
+  * per data file with its partition key, row count, size, physical
+  * width and stats coverage. O(files) metadata, no data file opened;
+  * the readout compaction/layout decisions come from (small-file
+  * counts, per-partition file spread, stats coverage). */
+class GraftFilesTable(base: GraftMergeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+  override def name(): String = s"${base.name()}.files"
+  override def schema(): StructType = StructType(
+    base.partFields.map {
+      case GraftIdentityPart(c) => base.schema()(c)
+      case GraftBucketPart(c, _) =>
+        StructField(s"${c}_bucket", IntegerType, nullable = true)
+    } ++ Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false),
+      StructField("num_cols", IntegerType, nullable = false),
+      StructField("stats_cols", IntegerType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    require(GraftParquetStore.isBacked(base.name()),
+      s"${name()}: the files metadata table requires a parquet-backed " +
+        "base table (TBLPROPERTIES 'graft.store'='parquet')")
+    () => new Scan with Batch {
+      override def readSchema(): StructType = GraftFilesTable.this.schema()
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"GraftFilesScan[${base.name()}]"
+      override def planInputPartitions(): Array[InputPartition] = {
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        import org.apache.spark.unsafe.types.UTF8String
+        val fv = GraftTableStore.fileView(base.name(), None).getOrElse(
+          throw new IllegalStateException(
+            s"${name()}: no file view — was the table written through " +
+              "a non-parquet path?"))
+        val keyTypes = base.partFields.map(
+          GraftPartField.keyType(_, base.physicalSchema))
+        val rows = fv.files.sortBy(_.path).map { f =>
+          val vals = new Array[Any](keyTypes.length + 5)
+          keyTypes.indices.foreach(i =>
+            vals(i) = f.key.get(i, keyTypes(i)))
+          vals(keyTypes.length) = UTF8String.fromString(f.path)
+          vals(keyTypes.length + 1) = f.rows.toLong
+          vals(keyTypes.length + 2) = f.bytes
+          vals(keyTypes.length + 3) = f.numCols
+          vals(keyTypes.length + 4) = f.stats.size
+          new GenericInternalRow(vals): InternalRow
+        }.toArray
         Array(GraftInputPartition(rows))
       }
       override def createReaderFactory(): PartitionReaderFactory =

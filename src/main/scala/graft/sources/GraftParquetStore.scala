@@ -451,10 +451,19 @@ object GraftZoneMap {
         a.asInstanceOf[Long], b.asInstanceOf[Long])
       case IntegerType | DateType => Integer.compare(
         a.asInstanceOf[Int], b.asInstanceOf[Int])
-      case DoubleType => java.lang.Double.compare(
-        a.asInstanceOf[Double], b.asInstanceOf[Double])
-      case FloatType => java.lang.Float.compare(
-        a.asInstanceOf[Float], b.asInstanceOf[Float])
+      // ±0.0 normalized on both sides: SQL equality says -0.0 = 0.0,
+      // java compare disagrees — a zone map must never skip a file
+      // holding -0.0 for an EqualTo(0.0) probe (or vice versa)
+      case DoubleType =>
+        def n(x: Any): Double = {
+          val d = x.asInstanceOf[Double]; if (d == 0.0d) 0.0d else d
+        }
+        java.lang.Double.compare(n(a), n(b))
+      case FloatType =>
+        def n(x: Any): Float = {
+          val f = x.asInstanceOf[Float]; if (f == 0.0f) 0.0f else f
+        }
+        java.lang.Float.compare(n(a), n(b))
       case StringType => a.asInstanceOf[UTF8String]
         .compareTo(b.asInstanceOf[UTF8String])
       case other => throw new IllegalStateException(

@@ -82,11 +82,14 @@ class ParquetStoreSpec extends AnyFunSuite {
       s"pruning opened every file: $m")
     assert(m.bytesRead < m.bytesTotal && m.bytesRead > 0,
       s"pruned bytes not measured: $m")
-    // the unfiltered scan reads the whole manifest
-    spark.table("graft.pqp_orders").count()
+    // an unfiltered UNPUSHABLE aggregate reads the whole manifest
+    // (plain count() would be answered from the manifest with zero
+    // files opened — the manifest-agg test pins that separately)
+    spark.table("graft.pqp_orders")
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice")).collect()
     val full = GraftScanMetrics.lastScan("graft.pqp_orders")
     assert(full.filesRead == full.filesTotal &&
-      full.bytesRead == full.bytesTotal, s"$full")
+      full.bytesRead == full.bytesTotal && full.filesRead > 0, s"$full")
     spark.sql("DROP TABLE graft.pqp_orders")
   }
 
@@ -233,6 +236,102 @@ class ParquetStoreSpec extends AnyFunSuite {
     val none = GraftScanMetrics.lastScan("graft.pqs_orders")
     assert(none.filesRead == 0, s"impossible range still read: $none")
     spark.sql("DROP TABLE graft.pqs_orders")
+  }
+
+  test("manifest-answered aggregates: the pushed COUNT/MIN/MAX plan " +
+      "is a GraftManifestAggScan that opens ZERO files; a delta " +
+      "commit makes the pushdown decline (stale manifests never ship)") {
+    freshCatalog()
+    val df = SparkEntry.queries("store_parquet_agg")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftManifestAggScan"),
+      s"expected the manifest agg scan in:\n$plan")
+    df.collect()
+    val m = GraftScanMetrics.lastScan("graft.pqagg_orders")
+    assert(m.filesTotal > 0 && m.filesRead == 0 && m.bytesRead == 0L,
+      s"manifest aggregate opened files: $m")
+    // correctness cross-check against the unpushed computation
+    val direct = spark.table("graft.pqagg_orders")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_orders"),
+        org.apache.spark.sql.functions.min("o_totalprice"),
+        org.apache.spark.sql.functions.max("o_totalprice"))
+      .orderBy("o_orderpriority").collect().map(_.toString).toSeq
+    val pushed = df.orderBy("o_orderpriority")
+      .drop("n_keys").collect().map(_.toString).toSeq
+    assert(pushed == direct)
+    // a MoR table with a pending delta refuses the manifest answer
+    spark.sql("DROP TABLE IF EXISTS graft.pqaggd_t")
+    spark.sql("CREATE TABLE graft.pqaggd_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pqaggd_t SELECT id, id * 2.0 " +
+      "FROM range(100)")
+    spark.sql("DELETE FROM graft.pqaggd_t WHERE k < 10")
+    val afterDelta = spark.table("graft.pqaggd_t")
+      .groupBy().agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(!afterDelta.queryExecution.executedPlan.toString
+      .contains("GraftManifestAggScan"),
+      "a delta-bearing version must not answer from the manifest")
+    assert(afterDelta.collect()(0).getLong(0) == 90)
+    spark.sql("DROP TABLE graft.pqagg_orders")
+    spark.sql("DROP TABLE graft.pqaggd_t")
+  }
+
+  test(".files metadata table serves the manifest: per-file rows/" +
+      "bytes/width/stats with partition keys, no data file opened") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqfm_t")
+    spark.sql("CREATE TABLE graft.pqfm_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqfm_t " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END " +
+      "FROM range(100)")
+    val files = spark.table("graft.pqfm_t.files").collect()
+    assert(files.nonEmpty)
+    assert(files.map(r =>
+      r.getAs[Long]("row_count")).sum == 100L)
+    assert(files.forall(r => r.getAs[Long]("size_bytes") > 0 &&
+      r.getAs[Int]("num_cols") == 2 && r.getAs[Int]("stats_cols") == 2))
+    assert(files.map(_.getAs[String]("p")).toSet == Set("even", "odd"))
+    // the relation refuses on an in-memory table
+    spark.sql("DROP TABLE IF EXISTS graft.memf_t")
+    spark.sql("CREATE TABLE graft.memf_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.memf_t VALUES (1)")
+    val ex = intercept[Exception] {
+      spark.table("graft.memf_t.files").collect()
+    }
+    assert(ex.getMessage.contains("parquet-backed"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pqfm_t")
+    spark.sql("DROP TABLE graft.memf_t")
+  }
+
+  test("SQL equality of ±0.0 survives store-side filter evaluation " +
+      "and zone maps on both backends (-0.0 = 0.0 is TRUE in Spark; " +
+      "java.lang.Double.compare disagrees)") {
+    freshCatalog()
+    for ((t, props) <- Seq(
+        ("zeropq_t", " TBLPROPERTIES ('graft.store'='parquet')"),
+        ("zeromem_t", ""))) {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, v DOUBLE)$props")
+      spark.sql(s"INSERT INTO graft.$t " +
+        "SELECT 1L, CAST('-0.0' AS DOUBLE)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (2, CAST(0.0 AS DOUBLE))")
+      // pushed EqualTo must not drop the -0.0 row for a 0.0 probe (or
+      // vice versa): the store evaluator SKIPS rows, no residual can
+      // restore them — and on the parquet backend the zone map must
+      // not skip the file either
+      assert(spark.table(s"graft.$t")
+        .where(col("v") === 0.0).count() == 2, s"$t: 0.0 probe")
+      assert(spark.table(s"graft.$t")
+        .where(col("v") === -0.0).count() == 2, s"$t: -0.0 probe")
+      assert(spark.table(s"graft.$t")
+        .where(col("v") >= 0.0).count() == 2, s"$t: >= 0.0")
+      spark.sql(s"DROP TABLE graft.$t")
+    }
   }
 
   test("guards: unsupported column types and unknown store modes " +
