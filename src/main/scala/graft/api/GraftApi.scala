@@ -209,6 +209,29 @@ object GraftApi {
       table: String, keep: Int): Int =
     graft.sources.GraftTableStore.expireSnapshots(table, keep)
 
+  /** RESTORE the table to version `v` (rollback): appends a commit
+    * that REFERENCES the old content — history preserved, and on a
+    * parquet-backed table the restore is METADATA-ONLY (the new
+    * commit re-references version v's file manifest; no data moves —
+    * Delta's RESTORE TABLE shape). Returns the new version. */
+  def restoreTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, version: Int): Int =
+    graft.sources.GraftTableStore.restore(table, version)
+
+  /** OPTIMIZE ZORDER BY (colA, colB): rewrite the current snapshot of
+    * a parquet-backed table sorted by the Morton interleave of the two
+    * (integral) columns, so the output files hold z-contiguous ranges
+    * and zone maps skip files for predicates on EITHER column — the
+    * multi-dimensional layout rewrite. Returns the new version. */
+  def optimizeZorder(spark: org.apache.spark.sql.SparkSession,
+      table: String, colA: String, colB: String): Int = {
+    val m = graft.sources.GraftParquetStore.meta(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE ZORDER requires a parquet-backed table: $table"))
+    graft.sources.GraftTableStore.zorder(table, m.schema,
+      m.schema.fieldIndex(colA), m.schema.fieldIndex(colB))
+  }
+
   /** Create a BRANCH — a writable named ref over the version chain —
     * at the current published (main) head. With the session conf
     * `graft.wap.branch` set to its name, every batch commit lands on

@@ -215,6 +215,60 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // RESTORE (rollback): a bad batch lands (doubled rows), RESTORE
+    // TO VERSION 0 appends a commit REFERENCING v0's content — history
+    // preserved (the bad commit stays time-travelable), and on the
+    // parquet store the restore is METADATA-ONLY: the new commit
+    // re-references v0's file manifest, zero data moved (Delta's
+    // RESTORE TABLE; ParquetStoreSpec pins manifest identity). The
+    // readout proves current == pre-incident content while the bad
+    // version is still readable.
+    "table_restore" -> ((s, d) => {
+      seedOrders(s, d, "pqr_orders", partitioned = false,
+        parquetStore = true)
+      s.sql("INSERT INTO graft.pqr_orders " + // the bad batch
+        "SELECT o_orderkey + 90000000, o_orderpriority, o_orderstatus, " +
+        "o_totalprice FROM pqr_orders_src")
+      graft.api.GraftApi.restoreTable(s, "graft.pqr_orders", 0)
+      val badRows = s.sql(
+        "SELECT COUNT(*) AS c FROM graft.pqr_orders VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      val nowRows = s.table("graft.pqr_orders").count()
+      s.table("graft.pqr_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("bad_was_double", lit(badRows == 2 * nowRows))
+        .orderBy("o_orderstatus")
+    }),
+
+    // OPTIMIZE ZORDER BY (o_orderkey, o_custkey): rewrite the file
+    // layout sorted by the Morton interleave of BOTH columns, so the
+    // chunked output files hold z-contiguous ranges and zone maps now
+    // skip files for predicates on EITHER column — multi-dimensional
+    // data skipping where a plain sort serves only its leading column
+    // (Delta's OPTIMIZE ZORDER). Layout-only: the oracle proves the
+    // content unchanged; ParquetStoreSpec measures the two-dimensional
+    // skipping (filesRead < filesTotal for each single-column range).
+    "store_parquet_zorder" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("pqz_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.pqz_orders")
+      s.sql("CREATE TABLE graft.pqz_orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.pqz_orders SELECT * FROM pqz_orders_src")
+      graft.api.GraftApi.optimizeZorder(s, "graft.pqz_orders",
+        "o_orderkey", "o_custkey")
+      s.table("graft.pqz_orders")
+        .where(col("o_custkey") < 300L) // the NON-leading dimension
+        .groupBy()
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+    }),
+
     // REPORTED STATISTICS → AUTO-BROADCAST: the governed dimension
     // (25 nations) reports its true post-pushdown size through
     // SupportsReportStatistics, so Catalyst broadcasts it under the
@@ -490,6 +544,17 @@ object LakeOps extends QueryModule {
         |    AS total_cents
         |FROM orders WHERE o_orderkey < 600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_restore" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  TRUE AS bad_was_double
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_parquet_zorder" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_custkey < 300""".stripMargin,
     "store_parquet_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  COUNT(o_orderkey) AS n_keys,

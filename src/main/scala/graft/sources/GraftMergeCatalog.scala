@@ -70,7 +70,8 @@ object GraftTableStore {
     * MoR unique-row-id contract (WriteDelta only deletes/updates rows
     * its scan matched, one op per matched row). */
   private[sources] sealed trait GraftCommitData { def count: Int }
-  private[sources] final case class GraftFullData(rows: Array[InternalRow])
+  private[sources] final case class GraftFullData(rows: Array[InternalRow],
+      fineLayout: Boolean = false)
       extends GraftCommitData { def count: Int = rows.length }
   private[sources] final case class GraftDeltaData(ops: Array[GraftDeltaOp],
       idOrd: Int, idType: org.apache.spark.sql.types.DataType,
@@ -169,7 +170,7 @@ object GraftTableStore {
   private def resolveRel(name: String, h: History, rel: Int)
       : Array[InternalRow] =
     h.commits(rel) match {
-      case GraftFullData(rows) => rows
+      case f: GraftFullData => f.rows
       case d: GraftDeltaData =>
         resolvedCache.getOrElseUpdate((name, h.firstRetained + rel), {
           val base =
@@ -341,7 +342,7 @@ object GraftTableStore {
                 (p, resolveRel(name, h, h.commits.size - 1))
             }
             val pq = GraftParquetStore.persistFull(
-              name, m, newV, f.rows, prev)
+              name, m, newV, f.rows, prev, f.fineLayout)
             resolvedCache.put((name, newV), f.rows)
             pq
           case None => f
@@ -570,6 +571,91 @@ object GraftTableStore {
     val current = resolveRel(name, h, h.commits.size - 1)
     appendLocked(name, "compact", GraftFullData(current))
     deltas
+  }
+
+  /** RESTORE (rollback): make version `v`'s content the CURRENT state
+    * by appending a new commit that REFERENCES it — history is
+    * preserved (the bad commits stay time-travelable inside retention)
+    * and on a parquet-backed table the restore is METADATA-ONLY: the
+    * new commit re-references version v's file manifest, no data
+    * moves (Delta's RESTORE TABLE ... TO VERSION shape). Returns the
+    * new version number. */
+  private[graft] def restore(name: String, v: Int): Int =
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      require(v >= 0 && v < h.commitCount,
+        s"version $v of $name does not exist (${h.commitCount} commits)")
+      require(v >= h.firstRetained,
+        s"version $v of $name has expired — cannot restore to it")
+      val data: GraftCommitData = h.commits(v - h.firstRetained) match {
+        case p: GraftParquetData => p // manifest re-reference, no I/O
+        case f: GraftFullData => f // shared row references, no copy
+          case _: GraftDeltaData => // materialize the merged state once
+          GraftFullData(resolveRel(name, h, v - h.firstRetained))
+      }
+      appendLocked(name, "restore", data)
+      h.commitCount
+    }
+
+  /** OPTIMIZE ZORDER BY (colA, colB): rewrite the current snapshot
+    * sorted by the Morton interleave of the two columns' min/max-
+    * normalized values, so the chunked output files hold z-contiguous
+    * ranges and ZONE MAPS skip files for predicates on EITHER column
+    * — the multi-dimensional layout optimization (Delta's OPTIMIZE
+    * ZORDER). Only meaningful on a parquet-backed table (the
+    * in-memory store has no files to lay out); integral columns.
+    * Returns the new version number. */
+  private[graft] def zorder(name: String, schema: StructType,
+      ordA: Int, ordB: Int): Int = lock.synchronized {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    require(GraftParquetStore.isBacked(name),
+      s"OPTIMIZE ZORDER requires a parquet-backed table: $name")
+    def longAt(r: InternalRow, o: Int): Long = schema(o).dataType match {
+      case LongType => r.getLong(o)
+      case IntegerType => r.getInt(o).toLong
+      case other => throw new IllegalArgumentException(
+        s"ZORDER column must be integral, got $other")
+    }
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    require(h.commits.nonEmpty, s"$name has no snapshot to rewrite")
+    val rows = resolveRel(name, h, h.commits.size - 1)
+    if (rows.isEmpty) return h.commitCount - 1 // nothing to lay out
+    // min/max scale each dimension to the full 16-bit range first —
+    // without it the wider dimension owns every high z-bit and the
+    // curve degenerates to a 1-D sort (the fn_zorder lesson)
+    val width = schema.length
+    def boundsOf(o: Int): (Long, Long) = {
+      var lo = Long.MaxValue; var hi = Long.MinValue
+      rows.foreach { r =>
+        if (o < r.numFields && !r.isNullAt(o)) {
+          val x = longAt(r, o); if (x < lo) lo = x; if (x > hi) hi = x
+        }
+      }
+      if (lo > hi) (0L, 0L) else (lo, hi)
+    }
+    val (alo, ahi) = boundsOf(ordA)
+    val (blo, bhi) = boundsOf(ordB)
+    def z(r: InternalRow): Long = {
+      def norm(o: Int, lo: Long, hi: Long): Long =
+        if (o >= r.numFields || r.isNullAt(o)) 0L
+        else (longAt(r, o) - lo) * 65535L / math.max(hi - lo, 1L)
+      val a = norm(ordA, alo, ahi); val b = norm(ordB, blo, bhi)
+      var out = 0L; var i = 0
+      while (i < 16) {
+        out |= ((a >> i) & 1L) << (2 * i)
+        out |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      out
+    }
+    // rows keep their identity (zone maps/feeds unaffected) — only the
+    // FILE LAYOUT changes; chunking inside persistFull gives the
+    // z-contiguous files their disjoint min/max ranges
+    val sorted = rows.sortBy(z)
+    // fine chunking: many z-contiguous files is the POINT of the
+    // layout rewrite — zone maps only skip at file granularity
+    appendLocked(name, "zorder", GraftFullData(sorted, fineLayout = true))
+    h.commitCount
   }
 
   /** Explicit snapshot expiry (VACUUM / expire_snapshots): drop all but

@@ -164,7 +164,8 @@ object GraftParquetStore {
   private[sources] def persistFull(name: String, m: Meta, version: Int,
       rows: Array[InternalRow],
       prev: Option[(GraftTableStore.GraftParquetData,
-        Array[InternalRow])])
+        Array[InternalRow])],
+      fineLayout: Boolean = false)
       : GraftTableStore.GraftParquetData = {
     val (reusedFiles, suffixFrom) = prev match {
       case Some((p, prevRows)) if rows.length >= prevRows.length &&
@@ -174,7 +175,8 @@ object GraftParquetStore {
     }
     val suffix = if (suffixFrom == 0) rows else rows.drop(suffixFrom)
     GraftTableStore.GraftParquetData(
-      reusedFiles ++ writeFiles(m, version, suffix), rows.length)
+      reusedFiles ++ writeFiles(m, version, suffix, fineLayout),
+      rows.length)
   }
 
   private def sharesPrefix(rows: Array[InternalRow],
@@ -194,7 +196,8 @@ object GraftParquetStore {
     * files so an unpartitioned scan still parallelizes per file and
     * zone maps get range granularity. */
   private def writeFiles(m: Meta, version: Int,
-      rows: Array[InternalRow]): Vector[GraftFileInfo] = {
+      rows: Array[InternalRow], fineLayout: Boolean = false)
+      : Vector[GraftFileInfo] = {
     if (rows.isEmpty) return Vector.empty
     val vdir = new java.io.File(m.dir, f"v$version%05d")
     vdir.mkdirs()
@@ -210,7 +213,12 @@ object GraftParquetStore {
       (k, r.numFields)
     }.toArray.sortBy { case ((k, w), _) => (k.toString, w) }
     groups.zipWithIndex.flatMap { case (((key, width), rs), seq) =>
-      val chunks = math.max(1, math.min(8, (rs.length + 1023) / 1024))
+      // a layout rewrite (ZORDER) chunks FINE: skipping works at file
+      // granularity, so the curve needs enough files for a z-range to
+      // exclude whole quadrants of either dimension
+      val chunks =
+        if (fineLayout) math.max(1, math.min(16, (rs.length + 63) / 64))
+        else math.max(1, math.min(8, (rs.length + 1023) / 1024))
       val per = (rs.length + chunks - 1) / chunks
       rs.grouped(per).zipWithIndex.map { case (chunk, ci) =>
         val f = new java.io.File(vdir, f"f$seq%04d-c$ci%02d.parquet")

@@ -334,6 +334,71 @@ class ParquetStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE is metadata-only on the parquet store: the restore " +
+      "commit re-references the target version's manifest verbatim " +
+      "and GC keeps the shared files") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqres_t")
+    spark.sql("CREATE TABLE graft.pqres_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqres_t SELECT id FROM range(50)") // v0
+    spark.sql("INSERT INTO graft.pqres_t SELECT id + 50 FROM range(50)")
+    assert(graft.api.GraftApi.restoreTable(spark,
+      "graft.pqres_t", 0) == 2)
+    assert(GraftTableStore.commitFiles("graft.pqres_t", 2) ==
+      GraftTableStore.commitFiles("graft.pqres_t", 0),
+      "restore must re-reference the manifest, not rewrite files")
+    assert(spark.table("graft.pqres_t").count() == 50)
+    assert(spark.sql("SELECT * FROM graft.pqres_t VERSION AS OF 1")
+      .count() == 100, "the rolled-back version stays time-travelable")
+    assert(GraftTableStore.history("graft.pqres_t")
+      .map(_._2) == Vector("append", "append", "restore"))
+    // restoring to an expired version refuses
+    val ex = intercept[Exception] {
+      graft.api.GraftApi.restoreTable(spark, "graft.pqres_t", 99)
+    }
+    assert(ex.getMessage.contains("does not exist"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pqres_t")
+  }
+
+  test("OPTIMIZE ZORDER gives MEASURED two-dimensional file skipping: " +
+      "after the rewrite, single-column range predicates on EITHER " +
+      "column open fewer files than the manifest total") {
+    freshCatalog()
+    SparkEntry.queries("store_parquet_zorder")(spark, sf).collect()
+    def skipped(c: String): (Int, Int) = {
+      spark.table("graft.pqz_orders")
+        .where(col(c) < 100L)
+        .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+        .collect()
+      val m = GraftScanMetrics.lastScan("graft.pqz_orders")
+      (m.filesRead, m.filesTotal)
+    }
+    val (ra, ta) = skipped("o_orderkey")
+    val (rb, tb) = skipped("o_custkey")
+    assert(ta > 1 && tb > 1, s"need chunked files: $ta/$tb")
+    assert(ra < ta, s"o_orderkey range read all files: $ra/$ta")
+    assert(rb < tb, s"o_custkey range read all files: $rb/$tb")
+    // layout-only: content identical to the pre-zorder version
+    assert(spark.sql(
+      "SELECT * FROM graft.pqz_orders VERSION AS OF 0 ORDER BY 1,2,3")
+      .collect().toSeq ==
+      spark.table("graft.pqz_orders").orderBy("o_orderkey",
+        "o_custkey", "o_totalprice").collect().toSeq)
+    assert(GraftTableStore.history("graft.pqz_orders")
+      .map(_._2).contains("zorder"))
+    // the in-memory store has no files to lay out — loud refusal
+    spark.sql("DROP TABLE IF EXISTS graft.memz_t")
+    spark.sql("CREATE TABLE graft.memz_t (a BIGINT, b BIGINT)")
+    spark.sql("INSERT INTO graft.memz_t VALUES (1, 2)")
+    val ex = intercept[Exception] {
+      graft.api.GraftApi.optimizeZorder(spark, "graft.memz_t", "a", "b")
+    }
+    assert(ex.getMessage.contains("parquet-backed"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pqz_orders")
+    spark.sql("DROP TABLE graft.memz_t")
+  }
+
   test("guards: unsupported column types and unknown store modes " +
       "refuse at CREATE") {
     freshCatalog()
