@@ -215,6 +215,100 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // BLOOM-FILTER FILE INDEX (Delta's bloom filter index, Iceberg
+    // puffin): a POINT LOOKUP on a high-cardinality key SCATTERED
+    // across files is the case zone maps cannot skip — every file's
+    // min/max spans the whole key domain. A per-file bloom filter in
+    // the manifest proves the key absent from non-matching files, so
+    // the probe opens ~1 file instead of all of them (ParquetStoreSpec
+    // measures filesRead < filesTotal AND pins the no-bloom control
+    // reading everything). The insert arrives ordered by o_custkey,
+    // deliberately scattering o_orderkey. At 100 TB: a primary-key
+    // lookup touches one file, not one partition.
+    "store_parquet_bloom" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("pqb_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.pqb_orders")
+      s.sql("CREATE TABLE graft.pqb_orders (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.bloom.columns'='o_orderkey')")
+      s.table("pqb_orders_src")
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .writeTo("graft.pqb_orders").append()
+      // bounded 1-row collect: the two probe keys (min and max exist
+      // by construction; the point of the id is the pushed literal)
+      val mm = s.table("pqb_orders_src")
+        .agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      // empty corpus → NULL min/max: probe keys that match nothing,
+      // mirroring the oracle's IN (NULL, NULL) empty result
+      val (loK, hiK) =
+        if (mm.isNullAt(0)) (-1L, -1L) else (mm.getLong(0), mm.getLong(1))
+      s.table("graft.pqb_orders")
+        .where(col("o_orderkey").isin(loK, hiK))
+        .groupBy()
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"),
+          cents(col("o_totalprice")).as("total_cents"))
+    }),
+
+    // HIDDEN PARTITIONING, days(ts) (Iceberg's transform
+    // partitioning): the table partitions by the DAY of a timestamp
+    // the user never materializes, and a raw predicate on ts still
+    // prunes partitions — ts >= T implies days(ts) >= days(T) for the
+    // monotone transform, so the scan lifts the pushed literal into
+    // the key domain and drops whole day-partitions from the manifest
+    // (GraftScanMetrics-pinned in ParquetStoreSpec; the raw predicate
+    // stays row-level residual, so pruning is a conservative superset,
+    // never wrong). At 100 TB: time-range queries touch only their
+    // days without anyone remembering to filter a partition column.
+    "scan_hidden_days" -> ((s, d) => {
+      useCatalog(s)
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .createOrReplaceTempView("hpd_events_src")
+      s.sql("DROP TABLE IF EXISTS graft.hpd_events")
+      s.sql("CREATE TABLE graft.hpd_events (event_id BIGINT, " +
+        "ts TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+        "PARTITIONED BY (days(ts)) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.hpd_events SELECT * FROM hpd_events_src")
+      s.table("graft.hpd_events")
+        .where(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).cast("long").as("sum_users"),
+          cents(col("value")).as("value_cents"))
+    }),
+
+    // HIDDEN PARTITIONING, truncate(w, k): high-cardinality integral
+    // key bucketed into ORDERED ranges of width w (unlike hash
+    // buckets, truncate keeps range predicates prunable: k < v
+    // implies trunc(k) <= trunc(v)). A raw range predicate on the
+    // key prunes whole truncation-range partitions from the manifest.
+    "scan_hidden_trunc" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("hpt_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.hpt_orders")
+      s.sql("CREATE TABLE graft.hpt_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (truncate(256, o_orderkey)) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.hpt_orders SELECT * FROM hpt_orders_src")
+      s.table("graft.hpt_orders")
+        .where(col("o_orderkey") < 9000L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // RESTORE (rollback): a bad batch lands (doubled rows), RESTORE
     // TO VERSION 0 appends a commit REFERENCING v0's content — history
     // preserved (the bad commit stays time-travelable), and on the
@@ -544,6 +638,28 @@ object LakeOps extends QueryModule {
         |    AS total_cents
         |FROM orders WHERE o_orderkey < 600
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scan_hidden_days" ->
+      """SELECT COUNT(*) AS n_events,
+        |  CAST(SUM(user_id) AS BIGINT) AS sum_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS value_cents
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'"""
+        .stripMargin,
+    "scan_hidden_trunc" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey < 9000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "store_parquet_bloom" ->
+      """SELECT COUNT(*) AS n_orders,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
+        |                     (SELECT MAX(o_orderkey) FROM orders))"""
+        .stripMargin,
     "table_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)

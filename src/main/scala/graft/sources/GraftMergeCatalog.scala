@@ -980,9 +980,32 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
             s"bucket transform needs a numeric bucket count: $tr"))
           require(n > 0, s"bucket count must be positive, got $n")
           GraftBucketPart(c, n): GraftPartField
+        case "days" =>
+          tblSchema(c).dataType match {
+            case TimestampType | DateType =>
+            case dt => throw new IllegalArgumentException(
+              s"days column '$c' has unsupported type $dt " +
+                "(supported: TIMESTAMP, DATE)")
+          }
+          GraftDaysPart(c): GraftPartField
+        case "truncate" =>
+          tblSchema(c).dataType match {
+            case LongType | IntegerType | StringType =>
+            case dt => throw new IllegalArgumentException(
+              s"truncate column '$c' has unsupported type $dt " +
+                "(supported: BIGINT, INT, STRING)")
+          }
+          val w = tr.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"truncate transform needs a numeric width: $tr"))
+          require(w > 0, s"truncate width must be positive, got $w")
+          GraftTruncatePart(c, w): GraftPartField
         case other => throw new IllegalArgumentException(
           s"unsupported partition transform '$other' " +
-            "(supported: identity, bucket)")
+            "(supported: identity, bucket, days, truncate)")
       }
     }
     // TBLPROPERTIES ('graft.store'='parquet') — or the session default
@@ -993,10 +1016,21 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
     val storeMode = Option(properties.get("graft.store")).orElse(
       org.apache.spark.sql.SparkSession.getActiveSession.flatMap(s =>
         Option(s.conf.get("graft.store.default", null))))
+    // TBLPROPERTIES ('graft.bloom.columns'='k1,k2'): per-file bloom
+    // filter index on the named columns ([[GraftBloom]]) — point-probe
+    // file skipping where zone maps cannot help. File-backed only: the
+    // in-memory store has no files to skip.
+    val bloomCols = Option(properties.get("graft.bloom.columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
     storeMode match {
       case Some("parquet") =>
-        GraftParquetStore.register(storeName, tblSchema, partFields)
-      case Some("memory") | None => ()
+        GraftParquetStore.register(storeName, tblSchema, partFields,
+          bloomCols)
+      case Some("memory") | None =>
+        require(bloomCols.isEmpty,
+          "graft.bloom.columns requires graft.store=parquet " +
+            "(the in-memory store has no files to skip)")
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft.store mode '$other' (supported: parquet, memory)")
     }
@@ -1075,6 +1109,8 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       t.partFields.map {
         case GraftIdentityPart(c) => GraftIdentityPart(renamed(c))
         case GraftBucketPart(c, n) => GraftBucketPart(renamed(c), n)
+        case GraftDaysPart(c) => GraftDaysPart(renamed(c))
+        case GraftTruncatePart(c, w) => GraftTruncatePart(renamed(c), w)
       })
     // a file-backed table's writer registration follows the evolution;
     // files already on disk never change (position-named columns make
@@ -1217,6 +1253,17 @@ object GraftColumnMap {
 sealed trait GraftPartField { def col: String }
 case class GraftIdentityPart(col: String) extends GraftPartField
 case class GraftBucketPart(col: String, n: Int) extends GraftPartField
+/** HIDDEN PARTITIONING (Iceberg's transform partitioning): the table
+  * partitions by a MONOTONE transform of a source column — days(ts)
+  * (key = day-start micros for timestamps, the day itself for dates)
+  * or truncate(w, col) (key = v − floorMod(v, w) for integrals, the
+  * w-char prefix for strings) — and a pushed predicate on the RAW
+  * column still prunes partitions: x ≥ v implies T(x) ≥ T(v) for
+  * monotone T. The raw filter stays row-level residual, so pruning is
+  * conservative-superset, never wrong. */
+case class GraftDaysPart(col: String) extends GraftPartField
+case class GraftTruncatePart(col: String, width: Int)
+    extends GraftPartField
 
 object GraftPartField {
   import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Literal, Pmod}
@@ -1226,6 +1273,9 @@ object GraftPartField {
   def toTransform(p: GraftPartField): Transform = p match {
     case GraftIdentityPart(c) => Expressions.identity(c)
     case GraftBucketPart(c, n) => Expressions.bucket(n, c)
+    case GraftDaysPart(c) => Expressions.days(c)
+    case GraftTruncatePart(c, w) => Expressions.apply("truncate",
+      Expressions.literal(w), Expressions.column(c))
   }
 
   /** this field's slot type in the HasPartitionKey row. */
@@ -1233,6 +1283,14 @@ object GraftPartField {
       : org.apache.spark.sql.types.DataType = p match {
     case GraftIdentityPart(c) => schema(c).dataType
     case GraftBucketPart(_, _) => IntegerType
+    // day-start epoch SECONDS (Long) for timestamps (monotone,
+    // division-free in the micros domain); the date IS its day for
+    // DateType
+    case GraftDaysPart(c) => schema(c).dataType match {
+      case DateType => DateType
+      case _ => LongType
+    }
+    case GraftTruncatePart(c, _) => schema(c).dataType
   }
 
   /** catalyst expression computing this field's key value from a
@@ -1247,6 +1305,141 @@ object GraftPartField {
       case GraftIdentityPart(_) => ref
       case GraftBucketPart(_, n) =>
         Cast(Pmod(Cast(ref, LongType), Literal(n.toLong)), IntegerType)
+      case GraftDaysPart(_) => schema(ord).dataType match {
+        case DateType => ref // already whole days
+        case _ =>
+          // Cast(ts, LONG) floors micros to epoch seconds; Pmod is
+          // floorMod, so pre-epoch values still floor to THEIR day
+          val secs = Cast(ref, LongType)
+          org.apache.spark.sql.catalyst.expressions.Subtract(secs,
+            Pmod(secs, Literal(SecondsPerDay)))
+      }
+      case GraftTruncatePart(_, w) => schema(ord).dataType match {
+        case LongType =>
+          org.apache.spark.sql.catalyst.expressions.Subtract(ref,
+            Pmod(ref, Literal(w.toLong)))
+        case IntegerType =>
+          org.apache.spark.sql.catalyst.expressions.Subtract(ref,
+            Pmod(ref, Literal(w)))
+        case StringType =>
+          org.apache.spark.sql.catalyst.expressions.Substring(ref,
+            Literal(1), Literal(w))
+        case other => throw new IllegalStateException(
+          s"truncate on unsupported type $other")
+      }
+    }
+  }
+
+  private[sources] val SecondsPerDay: Long = 86400L
+
+  /** a RAW literal (v1 filter domain: java.sql / java.time / Number /
+    * String) lifted into the transform's KEY domain, or None when the
+    * shape is not liftable. */
+  private def liftLiteral(p: GraftPartField, schema: StructType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    p match {
+      case GraftDaysPart(c) => schema(c).dataType match {
+        case DateType => v match {
+          case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d))
+          case d: java.time.LocalDate =>
+            Some(DateTimeUtils.localDateToDays(d))
+          case _ => None
+        }
+        case _ => (v match {
+          case t: java.sql.Timestamp =>
+            Some(DateTimeUtils.fromJavaTimestamp(t))
+          case t: java.time.Instant =>
+            Some(DateTimeUtils.instantToMicros(t))
+          case _ => None
+        }).map { us =>
+          val secs = Math.floorDiv(us, 1000000L)
+          secs - Math.floorMod(secs, SecondsPerDay)
+        }
+      }
+      case GraftTruncatePart(c, w) => schema(c).dataType match {
+        case LongType => v match {
+          case n: Number =>
+            val x = n.longValue()
+            Some(x - Math.floorMod(x, w.toLong))
+          case _ => None
+        }
+        case IntegerType => v match {
+          case n: Number =>
+            val x = n.intValue()
+            Some(x - Math.floorMod(x, w))
+          case _ => None
+        }
+        case StringType =>
+          val u = org.apache.spark.unsafe.types.UTF8String
+            .fromString(v.toString)
+          Some(if (u.numChars() <= w) u else u.substring(0, w))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** HIDDEN-PARTITION PRUNING: derive a predicate over the PARTITION
+    * KEY ROW from a pushed filter on a transform field's SOURCE
+    * column. Monotone transforms admit every comparison shape
+    * (equality keeps T(v)'s partition; x > v can only live where
+    * T(x) ≥ T(v)). Conservative superset — the raw filter still
+    * applies to rows — so a None here never loses pruning
+    * correctness, only opportunity. */
+  def hiddenPrune(partFields: Array[GraftPartField],
+      schema: StructType, f: org.apache.spark.sql.sources.Filter)
+      : Option[InternalRow => Boolean] = {
+    import org.apache.spark.sql.sources._
+    def fieldAt(c: String): Option[(Int, GraftPartField)] =
+      partFields.zipWithIndex.collectFirst {
+        case (p, i) if p.col == c &&
+            (p.isInstanceOf[GraftDaysPart] ||
+             p.isInstanceOf[GraftTruncatePart]) => (i, p)
+      }
+    def derive(c: String, v: Any)(
+        keep: (Int, Any) => Boolean): Option[InternalRow => Boolean] =
+      if (v == null) None
+      else fieldAt(c).flatMap { case (i, p) =>
+        val kt = keyType(p, schema)
+        liftLiteral(p, schema, v).map { t =>
+          (r: InternalRow) =>
+            !r.isNullAt(i) &&
+              keep(GraftZoneMap.cmpStat(kt, r.get(i, kt), t), 0)
+        }
+      }
+    f match {
+      case EqualTo(c, v) => derive(c, v)((cmp, _) => cmp == 0)
+      case EqualNullSafe(c, v) if v != null =>
+        derive(c, v)((cmp, _) => cmp == 0)
+      case GreaterThan(c, v) => derive(c, v)((cmp, _) => cmp >= 0)
+      case GreaterThanOrEqual(c, v) =>
+        derive(c, v)((cmp, _) => cmp >= 0)
+      case LessThan(c, v) => derive(c, v)((cmp, _) => cmp <= 0)
+      case LessThanOrEqual(c, v) => derive(c, v)((cmp, _) => cmp <= 0)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
+        val preds = vs.map(v => derive(c, v)((cmp, _) => cmp == 0))
+        if (preds.exists(_.isEmpty)) None
+        else Some(r => preds.exists(_.get(r)))
+      case IsNull(c) => fieldAt(c).map { case (i, _) =>
+        (r: InternalRow) => r.isNullAt(i)
+      }
+      case IsNotNull(c) => fieldAt(c).map { case (i, _) =>
+        (r: InternalRow) => !r.isNullAt(i)
+      }
+      case And(l, r) =>
+        (hiddenPrune(partFields, schema, l),
+          hiddenPrune(partFields, schema, r)) match {
+          case (Some(a), Some(b)) => Some(x => a(x) && b(x))
+          case (a @ Some(_), None) => a
+          case (None, b) => b
+        }
+      case Or(l, r) =>
+        for {
+          a <- hiddenPrune(partFields, schema, l)
+          b <- hiddenPrune(partFields, schema, r)
+        } yield (x: InternalRow) => a(x) || b(x)
+      case _ => None
     }
   }
 
@@ -1592,8 +1785,36 @@ object GraftFilterEval {
           .fromString(value.toString)
         Some(r => if (r.isNullAt(ord)) None
           else Some(r.getUTF8String(ord).compareTo(that)))
+      case TimestampType =>
+        // literals arrive as java.sql.Timestamp (or Instant under the
+        // java8 API conf); rows hold epoch micros
+        GraftFilterEval.tsMicros(value).map { that =>
+          r => if (r.isNullAt(ord)) None
+            else Some(java.lang.Long.compare(r.getLong(ord), that))
+        }
+      case DateType =>
+        GraftFilterEval.dateDays(value).map { that =>
+          r => if (r.isNullAt(ord)) None
+            else Some(java.lang.Integer.compare(r.getInt(ord), that))
+        }
       case _ => None
     }
+  }
+
+  /** a datetime filter literal lowered into the internal row domain. */
+  private[sources] def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(org.apache.spark.sql.catalyst
+      .util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant => Some(org.apache.spark.sql.catalyst
+      .util.DateTimeUtils.instantToMicros(t))
+    case _ => None
+  }
+  private[sources] def dateDays(v: Any): Option[Int] = v match {
+    case d: java.sql.Date => Some(org.apache.spark.sql.catalyst
+      .util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Some(org.apache.spark.sql.catalyst
+      .util.DateTimeUtils.localDateToDays(d))
+    case _ => None
   }
 
   def compile(f: Filter, schema: StructType)
@@ -1766,6 +1987,11 @@ class GraftScan(tableName: String, tableSchema: StructType,
       GraftFilterEval.compile(_, tableSchema))
     val rowPreds = pushedFilters.diff(partOnly).flatMap(
       GraftFilterEval.compile(_, tableSchema))
+    // hidden partitioning: raw-column predicates lifted into the
+    // transform-key domain prune groups; the raw predicate stays in
+    // rowPreds (exactness is row-level, pruning is a superset)
+    val hiddenPreds = pushedFilters.flatMap(
+      GraftPartField.hiddenPrune(partFields, tableSchema, _))
     if (partFields.isEmpty) {
       val kept =
         if (rowPreds.isEmpty && partPreds.isEmpty) padded
@@ -1780,7 +2006,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
       val total = groups.size
       val kept = groups.toArray
         .sortBy(_._1.toString)
-        .collect { case (k, rs) if partPreds.forall(_(rs.head)) =>
+        .collect { case (k, rs) if partPreds.forall(_(rs.head)) &&
+            hiddenPreds.forall(_(k)) =>
           (k: InternalRow,
             if (rowPreds.isEmpty) rs else rs.filter(r => rowPreds.forall(_(r))))
         }
@@ -1807,6 +2034,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
         _.references.forall(identityCols.contains))
       val partPreds = partOnly.flatMap(
         GraftFilterEval.compile(_, tableSchema))
+      val hiddenPreds = pushedFilters.flatMap(
+        GraftPartField.hiddenPrune(partFields, tableSchema, _))
       val rowFilters = pushedFilters.diff(partOnly)
       val rowPreds = rowFilters.flatMap(
         GraftFilterEval.compile(_, tableSchema))
@@ -1854,7 +2083,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
           synth
         }
         val kept = allKeys.collect {
-          case k if partPreds.forall(_(keyRow(k))) => GraftFileGroup(k,
+          case k if partPreds.forall(_(keyRow(k))) &&
+              hiddenPreds.forall(_(k)) => GraftFileGroup(k,
             filesByKey.getOrElse(k, Vector.empty),
             extrasByKey.getOrElse(k, Array.empty))
         }
@@ -2044,7 +2274,13 @@ class GraftScan(tableName: String, tableSchema: StructType,
     case None => grouped._2.length
   }
   override def outputPartitioning(): Partitioning =
+    // days/truncate keys live in OUR transform domain (day-start
+    // micros; truncated values) — Spark's native days() yields day
+    // NUMBERS, so reporting KeyGroupedPartitioning would let SPJ
+    // compare incompatible domains. Identity/bucket only.
     if (partFields.nonEmpty &&
+        partFields.forall(p => p.isInstanceOf[GraftIdentityPart] ||
+          p.isInstanceOf[GraftBucketPart]) &&
         partitionCols.forall(outSchema.fieldNames.contains))
       new KeyGroupedPartitioning(
         partFields.map(GraftPartField.toTransform(_)
@@ -2079,12 +2315,35 @@ class GraftScan(tableName: String, tableSchema: StructType,
             // literal (nullable dim join key) is dropped — null never
             // equi-joins, so it selects no partition.
             val nonNull = lits.filter(_.value() != null)
+            // V2 literals carry INTERNAL Catalyst values (micros for
+            // timestamps, UTF8String for strings) — the transform
+            // arithmetic applies directly
             val vals = partFields(keyPos) match {
               case GraftIdentityPart(_) =>
                 nonNull.map(_.value(): Any).toSet
               case GraftBucketPart(_, n) =>
                 nonNull.map(l =>
                   GraftPartField.bucketOf(l.value(), n): Any).toSet
+              case GraftDaysPart(c) =>
+                nonNull.map(l => (l.value() match {
+                  case us: java.lang.Long
+                    if tableSchema(c).dataType == org.apache.spark.sql
+                      .types.TimestampType =>
+                    val secs = Math.floorDiv(us.longValue(), 1000000L)
+                    secs - Math.floorMod(secs,
+                      GraftPartField.SecondsPerDay)
+                  case other => other
+                }): Any).toSet
+              case GraftTruncatePart(c, w) =>
+                nonNull.map(l => (l.value() match {
+                  case n: java.lang.Long =>
+                    n - Math.floorMod(n.longValue(), w.toLong)
+                  case n: java.lang.Integer =>
+                    n - Math.floorMod(n.intValue(), w)
+                  case u: org.apache.spark.unsafe.types.UTF8String =>
+                    if (u.numChars() <= w) u else u.substring(0, w)
+                  case other => other
+                }): Any).toSet
             }
             keep.updateWith(keyPos) {
               case Some(prev) => Some(prev.intersect(vals))
@@ -2765,6 +3024,10 @@ class GraftPartitionsTable(base: GraftMergeTable)
       case GraftIdentityPart(c) => base.schema()(c)
       case GraftBucketPart(c, _) => StructField(s"${c}_bucket",
         org.apache.spark.sql.types.IntegerType, nullable = true)
+      case p @ GraftDaysPart(c) => StructField(s"${c}_day",
+        GraftPartField.keyType(p, base.physicalSchema), nullable = true)
+      case p @ GraftTruncatePart(c, _) => StructField(s"${c}_trunc",
+        GraftPartField.keyType(p, base.physicalSchema), nullable = true)
     } :+ StructField("row_count", LongType, nullable = false))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
@@ -2820,6 +3083,10 @@ class GraftFilesTable(base: GraftMergeTable)
       case GraftIdentityPart(c) => base.schema()(c)
       case GraftBucketPart(c, _) =>
         StructField(s"${c}_bucket", IntegerType, nullable = true)
+      case p @ GraftDaysPart(c) => StructField(s"${c}_day",
+        GraftPartField.keyType(p, base.physicalSchema), nullable = true)
+      case p @ GraftTruncatePart(c, _) => StructField(s"${c}_trunc",
+        GraftPartField.keyType(p, base.physicalSchema), nullable = true)
     } ++ Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("row_count", LongType, nullable = false),
@@ -3065,9 +3332,20 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     else new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       override def requiredDistribution(): Distribution =
-        Distributions.clustered(clusterFields.map(
-          GraftPartField.toTransform(_)
-            : org.apache.spark.sql.connector.expressions.Expression))
+        Distributions.clustered(clusterFields.map {
+          // days/truncate cluster by their SOURCE column: the raw
+          // value determines the transform value, so the clustering
+          // is finer-but-correct — and always resolvable (Spark
+          // evaluates identity without a FunctionCatalog handshake)
+          case GraftDaysPart(c) => org.apache.spark.sql.connector
+            .expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression
+          case GraftTruncatePart(c, _) => org.apache.spark.sql.connector
+            .expressions.Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression
+          case p => GraftPartField.toTransform(p)
+            : org.apache.spark.sql.connector.expressions.Expression
+        })
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty

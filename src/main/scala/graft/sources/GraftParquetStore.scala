@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * missing-column semantics, which this store mirrors deliberately). */
 final case class GraftFileInfo(path: String, key: InternalRow,
     rows: Int, bytes: Long, numCols: Int,
-    stats: Map[Int, GraftColStats] = Map.empty)
+    stats: Map[Int, GraftColStats] = Map.empty,
+    blooms: Map[Int, GraftBloom] = Map.empty)
 
 /** Zone-map statistics of one column of one file (physical ordinal →
   * stats in the manifest): min/max over non-null values in the
@@ -38,6 +39,72 @@ final case class GraftFileInfo(path: String, key: InternalRow,
   * prove a file empty WITHOUT opening it — parquet footer min/max,
   * lifted into the manifest the way Delta/Iceberg keep per-file stats. */
 final case class GraftColStats(min: Any, max: Any, nulls: Int)
+
+/** Per-file BLOOM FILTER of one indexed column (Delta's bloom filter
+  * index / Iceberg puffin blobs): zone maps cannot skip a point lookup
+  * when a high-cardinality key is SCATTERED across files (every file's
+  * min/max spans the domain) — the bloom filter can, with a bounded
+  * false-positive rate and never a false negative. Built at write from
+  * the file's distinct hashes (~12 bits per distinct value, k=6 →
+  * ~0.3% FP); consulted by [[GraftZoneMap.skips]] for pushed
+  * EqualTo/In probes. Rides in the manifest like the zone maps, so the
+  * probe opens ZERO non-matching files. */
+final case class GraftBloom(bits: Array[Long], k: Int) {
+  def mightContain(h: Long): Boolean = {
+    val m = bits.length.toLong * 64L
+    val h2 = (h >>> 33) | (h << 31) | 1L // odd second hash
+    var i = 0
+    while (i < k) {
+      val idx = (((h + i.toLong * h2) % m + m) % m).toInt
+      if ((bits(idx >> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+}
+
+object GraftBloom {
+  /** splitmix64 finalizer: spreads consecutive keys over the space. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private def fnv(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= b(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+  /** hash of a value in the ZONE-MAP STAT DOMAIN (Long / Int /
+    * UTF8String) — both the writer and the filter probe funnel through
+    * this, so the domains cannot drift. */
+  def hashOf(dt: DataType, v: Any): Long = dt match {
+    case LongType => mix(v.asInstanceOf[Long])
+    case IntegerType => mix(v.asInstanceOf[Int].toLong)
+    case StringType => mix(fnv(v.asInstanceOf[UTF8String].getBytes))
+    case other => throw new IllegalStateException(
+      s"no bloom hash for $other")
+  }
+  def build(hashes: scala.collection.Set[Long]): GraftBloom = {
+    var m = 64
+    while (m < hashes.size * 12 && m < (1 << 22)) m <<= 1
+    val bits = new Array[Long](m / 64)
+    val bf = GraftBloom(bits, 6)
+    hashes.foreach { h =>
+      val mm = m.toLong
+      val h2 = (h >>> 33) | (h << 31) | 1L
+      var i = 0
+      while (i < bf.k) {
+        val idx = (((h + i.toLong * h2) % mm + mm) % mm).toInt
+        bits(idx >> 6) |= 1L << (idx & 63)
+        i += 1
+      }
+    }
+    bf
+  }
+}
 
 /** PARQUET-BACKED STORE (the round-10 verdict ask): a governed table
   * created with `TBLPROPERTIES ('graft.store'='parquet')` PERSISTS
@@ -70,7 +137,8 @@ object GraftParquetStore {
     * CURRENT physical schema / partition fields (updated on ALTER) —
     * what the commit-time writer needs to lay out files. */
   final case class Meta(dir: String, schema: StructType,
-      partFields: Array[GraftPartField])
+      partFields: Array[GraftPartField],
+      bloomOrds: Array[Int] = Array.empty)
 
   private val metas = new TrieMap[String, Meta]()
 
@@ -84,13 +152,25 @@ object GraftParquetStore {
   }
 
   def register(name: String, schema: StructType,
-      partFields: Array[GraftPartField]): Unit = {
+      partFields: Array[GraftPartField],
+      bloomCols: Array[String] = Array.empty): Unit = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft.store=parquet table $name: column '${f.name}' has " +
         s"unsupported type ${f.dataType.sql} (flat atomic types only)"))
+    val bloomOrds = bloomCols.map { c =>
+      val ord = schema.fieldNames.indexOf(c)
+      require(ord >= 0, s"graft.bloom.columns: no such column '$c'")
+      schema(ord).dataType match {
+        case LongType | IntegerType | StringType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft.bloom.columns: column '$c' has type ${dt.sql} " +
+            "(supported: BIGINT, INT, STRING)")
+      }
+      ord
+    }
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
       .toFile.getAbsolutePath
-    metas.put(name, Meta(dir, schema, partFields))
+    metas.put(name, Meta(dir, schema, partFields, bloomOrds))
   }
 
   def isBacked(name: String): Boolean = metas.contains(name)
@@ -99,7 +179,12 @@ object GraftParquetStore {
   /** ALTER keeps the registration current (the physical schema grows
     * slots / tombstones them; files already written never change). */
   def updateSchema(name: String, schema: StructType): Unit =
-    metas.get(name).foreach(m => metas.put(name, m.copy(schema = schema)))
+    metas.get(name).foreach { m =>
+      // a DROP COLUMN tombstones its slot — its bloom index dies with it
+      val keep = m.bloomOrds.filter(o =>
+        !schema(o).name.startsWith(GraftColumnMap.DroppedPrefix))
+      metas.put(name, m.copy(schema = schema, bloomOrds = keep))
+    }
 
   /** drop the table's directory with it (DROP TABLE / reset). */
   def drop(name: String): Unit = metas.remove(name).foreach { m =>
@@ -223,7 +308,7 @@ object GraftParquetStore {
       rs.grouped(per).zipWithIndex.map { case (chunk, ci) =>
         val f = new java.io.File(vdir, f"f$seq%04d-c$ci%02d.parquet")
         val h = new GraftFileHandle(m.schema, width,
-          f.getAbsolutePath, key)
+          f.getAbsolutePath, key, m.bloomOrds)
         chunk.foreach(h.add)
         h.close()
       }
@@ -234,7 +319,8 @@ object GraftParquetStore {
     * task-side append writer feeds straight from the DataWriter, no
     * buffering), zone-map statistics accumulate as they pass. */
   private[sources] final class GraftFileHandle(schema: StructType,
-      width: Int, path: String, key: InternalRow) {
+      width: Int, path: String, key: InternalRow,
+      bloomOrds: Array[Int] = Array.empty) {
     private val mt = messageType(schema, width)
     private val w = ExampleParquetWriter.builder(new HPath(path))
       .withConf(new Configuration(false)).withType(mt)
@@ -244,6 +330,12 @@ object GraftParquetStore {
     private val mins = new Array[Any](width)
     private val maxs = new Array[Any](width)
     private val nulls = new Array[Int](width)
+    // bloom index: distinct hashes per indexed slot, sized at close.
+    // (A real deployment streams into a fixed-size filter; per-file
+    // distinct counts here are chunk-bounded.)
+    private val bOrds = bloomOrds.filter(_ < width)
+    private val bSets = bOrds.map(_ =>
+      new scala.collection.mutable.HashSet[Long])
 
     def add(r: InternalRow): Unit = {
       val g = gf.newGroup()
@@ -256,6 +348,22 @@ object GraftParquetStore {
           trackStats(i, dt, r)
         }
         i += 1
+      }
+      var j = 0
+      while (j < bOrds.length) {
+        val o = bOrds(j)
+        if (!r.isNullAt(o)) {
+          val h = schema(o).dataType match {
+            case LongType => GraftBloom.hashOf(LongType, r.getLong(o))
+            case IntegerType =>
+              GraftBloom.hashOf(IntegerType, r.getInt(o))
+            case StringType =>
+              GraftBloom.hashOf(StringType, r.getUTF8String(o))
+            case _ => 0L // register() forbids other types
+          }
+          bSets(j).add(h)
+        }
+        j += 1
       }
       w.write(g)
       n += 1
@@ -286,8 +394,11 @@ object GraftParquetStore {
           case _ => None
         }
       }.toMap
+      val bf = bOrds.zip(bSets).map { case (o, hs) =>
+        o -> GraftBloom.build(hs)
+      }.toMap
       GraftFileInfo(path, key, n,
-        new java.io.File(path).length(), width, st)
+        new java.io.File(path).length(), width, st, bf)
     }
     def abort(): Unit = {
       try w.close() catch { case _: Throwable => () }
@@ -485,6 +596,8 @@ object GraftZoneMap {
     case DoubleType => Some(v.asInstanceOf[Number].doubleValue())
     case FloatType => Some(v.asInstanceOf[Number].floatValue())
     case StringType => Some(UTF8String.fromString(v.toString))
+    case TimestampType => GraftFilterEval.tsMicros(v)
+    case DateType => GraftFilterEval.dateDays(v)
     case _ => None
   }
 
@@ -510,15 +623,35 @@ object GraftZoneMap {
           }
       }
     }
+    // bloom second chance for a point probe the min/max range cannot
+    // exclude (high-cardinality key scattered across files): skip when
+    // the file's bloom filter PROVES the value absent. Never a false
+    // negative, so never a wrong skip.
+    def bloomSkips(attr: String, v: Any): Boolean = {
+      if (v == null) return false
+      val ord = schema.fieldNames.indexOf(attr)
+      if (ord < 0 || ord >= file.numCols) return false
+      file.blooms.get(ord) match {
+        case Some(bf) =>
+          val dt = schema(ord).dataType
+          statValue(dt, v) match {
+            case Some(sv) => !bf.mightContain(GraftBloom.hashOf(dt, sv))
+            case None => false
+          }
+        case None => false
+      }
+    }
     f match {
       case EqualTo(a, v) => bound(a, v)((s, sv, dt) =>
-        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0)
+        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0) ||
+        bloomSkips(a, v)
       case EqualNullSafe(a, null) =>
         val ord = schema.fieldNames.indexOf(a)
         ord >= 0 && ord < file.numCols &&
           file.stats.get(ord).exists(_.nulls == 0)
       case EqualNullSafe(a, v) => bound(a, v)((s, sv, dt) =>
-        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0)
+        cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0) ||
+        bloomSkips(a, v)
       case GreaterThan(a, v) =>
         bound(a, v)((s, sv, dt) => cmpStat(dt, s.max, sv) <= 0)
       case GreaterThanOrEqual(a, v) =>
@@ -529,7 +662,8 @@ object GraftZoneMap {
         bound(a, v)((s, sv, dt) => cmpStat(dt, s.min, sv) > 0)
       case In(a, vs) if vs.nonEmpty && vs.forall(_ != null) =>
         vs.forall(v => bound(a, v)((s, sv, dt) =>
-          cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0))
+          cmpStat(dt, sv, s.min) < 0 || cmpStat(dt, sv, s.max) > 0) ||
+          bloomSkips(a, v))
       case IsNull(a) =>
         val ord = schema.fieldNames.indexOf(a)
         ord >= 0 && ord < file.numCols &&
@@ -587,7 +721,7 @@ case class GraftParquetAppendWriterFactory(
         new GraftParquetStore.GraftFileHandle(meta.schema, width,
           new java.io.File(stageDir,
             f"p$partitionId%05d-k${open.size}%03d.parquet")
-            .getAbsolutePath, key))
+            .getAbsolutePath, key, meta.bloomOrds))
       h.add(phys)
     }
     override def commit(): WriterCommitMessage =

@@ -399,6 +399,148 @@ class ParquetStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.memz_t")
   }
 
+  test("bloom-filter file index gives MEASURED point-probe skipping " +
+      "where zone maps cannot: scattered key, equality opens fewer " +
+      "files; the no-bloom control reads them all") {
+    freshCatalog()
+    SparkEntry.queries("store_parquet_bloom")(spark, sf).collect()
+    // the id's table: bloom-indexed o_orderkey, scattered by the
+    // custkey-ordered insert. Probe an INTERIOR key (the approx median
+    // is an observed value): an extreme key would let plain zone maps
+    // skip too — interior keys are inside every file's min/max range.
+    val aKey = spark.table("graft.pqb_orders")
+      .agg(org.apache.spark.sql.functions
+        .expr("percentile_approx(o_orderkey, 0.5)"))
+      .collect()(0).getLong(0)
+    spark.table("graft.pqb_orders")
+      .where(col("o_orderkey") === aKey).collect()
+    val m = GraftScanMetrics.lastScan("graft.pqb_orders")
+    assert(m.filesTotal > 1, s"need multiple files: ${m.filesTotal}")
+    assert(m.filesRead < m.filesTotal,
+      s"bloom probe read all files: ${m.filesRead}/${m.filesTotal}")
+    // control: identical data and layout, NO bloom index — the
+    // scattered key's min/max spans every file, zone maps skip nothing
+    spark.sql("DROP TABLE IF EXISTS graft.pqb_ctrl")
+    spark.sql("CREATE TABLE graft.pqb_ctrl (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.table("pqb_orders_src")
+      .repartitionByRange(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .writeTo("graft.pqb_ctrl").append()
+    spark.table("graft.pqb_ctrl")
+      .where(col("o_orderkey") === aKey).collect()
+    val c = GraftScanMetrics.lastScan("graft.pqb_ctrl")
+    assert(c.filesRead == c.filesTotal && c.filesTotal > 1,
+      s"control should read every file: ${c.filesRead}/${c.filesTotal}")
+    // correctness of the skip: the probe found the row
+    assert(spark.table("graft.pqb_orders")
+      .where(col("o_orderkey") === aKey).count() == 1)
+    // bloom on the in-memory store refuses at CREATE
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.memb_t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.bloom.columns'='k')")
+    }
+    assert(ex.getMessage.contains("graft.store=parquet"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pqb_orders")
+    spark.sql("DROP TABLE graft.pqb_ctrl")
+  }
+
+  test("hidden partitioning days(ts): a raw timestamp range predicate " +
+      "skips day-files on the parquet store, prunes day-GROUPS on the " +
+      "in-memory store (no zone maps there — the transform lift does " +
+      "it), and stays row-exact at mid-day boundaries") {
+    freshCatalog()
+    SparkEntry.queries("scan_hidden_days")(spark, sf).collect()
+    spark.table("graft.hpd_events")
+      .where(col("ts") >= org.apache.spark.sql.functions
+        .lit("2024-01-25 00:00:00").cast("timestamp")).collect()
+    val m = GraftScanMetrics.lastScan("graft.hpd_events")
+    assert(m.filesTotal >= 25,
+      s"expected ~30 day-files: ${m.filesTotal}")
+    assert(m.filesRead < m.filesTotal / 2,
+      s"raw ts predicate should skip most day-files: " +
+        s"${m.filesRead}/${m.filesTotal}")
+    // in-memory days table: no files, no zone maps — group pruning
+    // must come from the hidden-partition transform lift alone
+    spark.sql("DROP TABLE IF EXISTS graft.hpd_mem")
+    spark.sql("CREATE TABLE graft.hpd_mem (event_id BIGINT, " +
+      "ts TIMESTAMP, user_id BIGINT, value DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO graft.hpd_mem SELECT * FROM hpd_events_src")
+    spark.table("graft.hpd_mem")
+      .where(col("ts") >= org.apache.spark.sql.functions
+        .lit("2024-01-25 00:00:00").cast("timestamp")).collect()
+    val mm = GraftScanMetrics.lastScan("graft.hpd_mem")
+    assert(mm.totalPartitions >= 25,
+      s"expected ~30 day groups: ${mm.totalPartitions}")
+    assert(mm.keptPartitions < mm.totalPartitions / 2,
+      s"hidden prune should drop most day groups: " +
+        s"${mm.keptPartitions}/${mm.totalPartitions}")
+    // exactness: mid-day boundary — pruning keeps the whole day, the
+    // residual row filter trims inside it
+    val cut = "2024-01-28 12:00:00"
+    val got = spark.table("graft.hpd_events")
+      .where(col("ts") >= org.apache.spark.sql.functions.lit(cut)
+        .cast("timestamp")).count()
+    val want = spark.table("hpd_events_src")
+      .where(col("ts") >= org.apache.spark.sql.functions.lit(cut)
+        .cast("timestamp")).count()
+    assert(got == want, s"mid-day boundary: $got != $want")
+    assert(got > 0, "the boundary cut should keep rows at every sf")
+    // .partitions metadata serves the transform key
+    val pcols = spark.table("graft.hpd_events.partitions").columns
+    assert(pcols.contains("ts_day"), pcols.mkString(","))
+    spark.sql("DROP TABLE graft.hpd_events")
+    spark.sql("DROP TABLE graft.hpd_mem")
+  }
+
+  test("hidden partitioning truncate(w, k): raw key ranges prune " +
+      "ordered truncation-range partitions; equality keeps exactly " +
+      "its range") {
+    freshCatalog()
+    SparkEntry.queries("scan_hidden_trunc")(spark, sf).collect()
+    // parquet store: the raw range probe opens only its ranges' files
+    spark.table("graft.hpt_orders")
+      .where(col("o_orderkey") < 200L).collect()
+    val m = GraftScanMetrics.lastScan("graft.hpt_orders")
+    assert(m.filesTotal > 2,
+      s"need several range files: ${m.filesTotal}")
+    assert(m.filesRead < m.filesTotal,
+      s"range predicate should skip files: " +
+        s"${m.filesRead}/${m.filesTotal}")
+    // in-memory truncate table: no zone maps — group pruning is the
+    // hidden-partition transform lift alone
+    spark.sql("DROP TABLE IF EXISTS graft.hpt_mem")
+    spark.sql("CREATE TABLE graft.hpt_mem (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (truncate(256, o_orderkey))")
+    spark.sql("INSERT INTO graft.hpt_mem SELECT * FROM hpt_orders_src")
+    spark.table("graft.hpt_mem")
+      .where(col("o_orderkey") < 200L).collect()
+    val mm = GraftScanMetrics.lastScan("graft.hpt_mem")
+    assert(mm.totalPartitions > 2,
+      s"need several truncation ranges: ${mm.totalPartitions}")
+    assert(mm.keptPartitions == 1,
+      s"sub-width range must keep ONE range group: " +
+        s"${mm.keptPartitions}/${mm.totalPartitions}")
+    // equality probes exactly one truncation range
+    spark.table("graft.hpt_mem")
+      .where(col("o_orderkey") === 1200L).collect()
+    val me = GraftScanMetrics.lastScan("graft.hpt_mem")
+    assert(me.keptPartitions <= 1,
+      s"equality must keep at most one range: ${me.keptPartitions}")
+    spark.sql("DROP TABLE graft.hpt_mem")
+    // exactness across a range boundary
+    val got = spark.table("graft.hpt_orders")
+      .where(col("o_orderkey").between(200L, 1300L)).count()
+    val want = spark.table("hpt_orders_src")
+      .where(col("o_orderkey").between(200L, 1300L)).count()
+    assert(got == want, s"boundary range: $got != $want")
+    assert(got > 0, "the boundary range should keep rows at every sf")
+    spark.sql("DROP TABLE graft.hpt_orders")
+  }
+
   test("guards: unsupported column types and unknown store modes " +
       "refuse at CREATE") {
     freshCatalog()
