@@ -209,6 +209,33 @@ object GraftApi {
       table: String, keep: Int): Int =
     graft.sources.GraftTableStore.expireSnapshots(table, keep)
 
+  /** COPY INTO: incremental, IDEMPOTENT file ingest (Delta's COPY
+    * INTO / Auto Loader shape). Lists parquet files under `srcDir`,
+    * loads ONLY those not already recorded in the table's ingest
+    * ledger (one distributed read+append over the new files' paths —
+    * rows never touch the driver), and records them. Re-running after
+    * new files land loads just the delta; re-running unchanged is a
+    * no-op. Returns (filesLoaded, rowsLoaded). */
+  def copyInto(spark: org.apache.spark.sql.SparkSession,
+      table: String, srcDir: String): (Int, Long) = {
+    import graft.sources.GraftTableStore
+    def listParquet(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isDirectory).flatMap(listParquet) ++
+        kids.filter(k => k.isFile && k.getName.endsWith(".parquet"))
+    }
+    val all = listParquet(new java.io.File(srcDir))
+      .map(_.getAbsolutePath).sorted
+    val done = GraftTableStore.ingestedFor(table)
+    val fresh = all.filterNot(done)
+    if (fresh.isEmpty) return (0, 0L)
+    val df = spark.read.parquet(fresh: _*)
+    val n = df.count()
+    df.writeTo(table).append()
+    GraftTableStore.recordIngested(table, fresh)
+    (fresh.length, n)
+  }
+
   /** RESTORE the table to version `v` (rollback): appends a commit
     * that REFERENCES the old content — history preserved, and on a
     * parquet-backed table the restore is METADATA-ONLY (the new

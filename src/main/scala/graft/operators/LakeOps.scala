@@ -298,7 +298,7 @@ object LakeOps extends QueryModule {
       s.sql("DROP TABLE IF EXISTS graft.hpt_orders")
       s.sql("CREATE TABLE graft.hpt_orders (o_orderkey BIGINT, " +
         "o_orderstatus STRING, o_totalprice DOUBLE) " +
-        "PARTITIONED BY (truncate(256, o_orderkey)) " +
+        "PARTITIONED BY (truncate(4096, o_orderkey)) " +
         "TBLPROPERTIES ('graft.store'='parquet')")
       s.sql("INSERT INTO graft.hpt_orders SELECT * FROM hpt_orders_src")
       s.table("graft.hpt_orders")
@@ -306,6 +306,45 @@ object LakeOps extends QueryModule {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // COPY INTO (Delta's COPY INTO / Auto Loader): incremental,
+    // IDEMPOTENT file ingest into the governed table — each run lists
+    // the landing dir, loads ONLY files the table's ingest ledger has
+    // not seen (one distributed read+append over the new paths), and
+    // records them. The id stages two batches, runs the ingest three
+    // times (after batch 1; unchanged — must load 0 files; after
+    // batch 2) and proves the table holds each row exactly once plus
+    // the no-op flag. At 100 TB this is how files land continuously
+    // without ever double-loading or full-rescanning the lake.
+    "pipeline_copy_into" -> ((s, d) => {
+      useCatalog(s)
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-copyinto-").toFile.getAbsolutePath
+      val src = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      src.where(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$stage/batch1")
+      s.sql("DROP TABLE IF EXISTS graft.ci_orders")
+      s.sql("CREATE TABLE graft.ci_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      val (f1, _) = graft.api.GraftApi.copyInto(s,
+        "graft.ci_orders", stage)
+      val (f2, r2) = graft.api.GraftApi.copyInto(s,
+        "graft.ci_orders", stage) // unchanged dir: must be a no-op
+      src.where(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$stage/batch2")
+      val (f3, _) = graft.api.GraftApi.copyInto(s,
+        "graft.ci_orders", stage) // loads ONLY batch2
+      s.table("graft.ci_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("ingest_ok",
+          lit(f1 > 0 && f2 == 0 && r2 == 0L && f3 > 0))
         .orderBy("o_orderstatus")
     }),
 
@@ -660,6 +699,12 @@ object LakeOps extends QueryModule {
         |WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
         |                     (SELECT MAX(o_orderkey) FROM orders))"""
         .stripMargin,
+    "pipeline_copy_into" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  TRUE AS ingest_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "table_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)

@@ -179,6 +179,46 @@ object MergeOps extends QueryModule {
     // mergeInto above; oracle = upsert_snapshot's, carried verbatim
     "merge_into" -> ((s, d) => mergeInto(s, d)),
 
+    // MERGE WITH SCHEMA EVOLUTION (Spark 4's native clause; Delta's
+    // mergeSchema): the source carries a column the target lacks —
+    // the analyzer computes the schema delta and ALTERs the target
+    // (our AddColumn path: metadata-only, stored rows untouched, old
+    // rows read the new column as NULL) before planning the merge, so
+    // UPDATE SET * / INSERT * include the new column. The readout
+    // groups by the evolved column: matched-updated rows carry their
+    // source segment, untouched rows NULL, inserted rows 'new'.
+    "merge_into_evolve" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("evo_base")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                   AS segment
+               FROM evo_base WHERE c_custkey % 3 = 0
+               UNION ALL
+               SELECT c_custkey + 9000000, c_name, 123.0, 'new'
+               FROM evo_base WHERE c_custkey % 17 = 0""")
+        .createOrReplaceTempView("evo_src")
+      s.sql("DROP TABLE IF EXISTS graft.evolve_target")
+      s.sql("CREATE TABLE graft.evolve_target (c_custkey BIGINT, " +
+        "c_name STRING, c_acctbal DOUBLE)")
+      s.sql("INSERT INTO graft.evolve_target SELECT * FROM evo_base")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.evolve_target t
+              |USING evo_src s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |""".stripMargin)
+      s.table("graft.evolve_target")
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(graft.Det.dec2(col("c_acctbal"))) * 100).cast("long")
+            .as("bal_cents"))
+        .orderBy("segment")
+    }),
+
     // the merge-on-read twin (SupportsDelta → WriteDelta plan shape);
     // identical final snapshot, delta-based write — see mergeIntoMor
     "merge_into_mor" -> ((s, d) => mergeIntoMor(s, d)),
@@ -568,6 +608,28 @@ object MergeOps extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "merge_into" -> upsertSnapshotSql,
+    "merge_into_evolve" ->
+      """WITH src AS (
+        |  SELECT c_custkey, c_name, c_acctbal + 50.0 AS c_acctbal,
+        |    CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END
+        |      AS segment
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, c_name, 123.0, 'new'
+        |  FROM customer WHERE c_custkey % 17 = 0
+        |), merged AS (
+        |  SELECT t.c_custkey,
+        |    COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+        |    s.segment
+        |  FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.c_acctbal, s.segment FROM src s
+        |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)
+        |)
+        |SELECT segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     // the MoR path must land on the identical snapshot + action audit
     "merge_into_mor" -> upsertSnapshotSql,
     "sql_delete" -> deleteSql,

@@ -137,6 +137,25 @@ object GraftTableStore {
     // consulted again (its store is gone) — evict them, so create/drop
     // churn cannot grow the ledger without bound
     lastEpochs.keySet().removeIf(_._1 == name)
+    ingestedFiles.remove(name)
+    ()
+  }
+
+  /** COPY INTO file ledger: source paths already loaded into each
+    * table — what makes re-running an ingest IDEMPOTENT (Delta's COPY
+    * INTO / Auto Loader file tracking). O(ingested files) driver
+    * memory, the same ledger a real format persists in commit
+    * metadata; dies with the table. NOTE (test vehicle): the ledger
+    * update follows the append commit rather than riding inside it,
+    * so a crash between the two re-loads those files on retry —
+    * at-least-once, where a provider storing loaded-file names in the
+    * commit itself gets exactly-once. */
+  private val ingestedFiles = new TrieMap[String, Set[String]]()
+  private[graft] def ingestedFor(name: String): Set[String] =
+    ingestedFiles.getOrElse(name, Set.empty)
+  private[graft] def recordIngested(name: String,
+      paths: Seq[String]): Unit = lock.synchronized {
+    ingestedFiles.put(name, ingestedFor(name) ++ paths)
     ()
   }
 
@@ -807,13 +826,20 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   // catalog does). Resolution is namespace-free: `bucket` only.
   override def listFunctions(namespace: Array[String])
       : Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "truncate").map(
+        Identifier.of(Array.empty, _))
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name() == "bucket")
-      GraftBucketFunction
+    if (ident.namespace().isEmpty) ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case "days" => GraftDaysFunction
+      case "truncate" => GraftTruncateFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 
@@ -1199,6 +1225,128 @@ object GraftBucketFunction
   }
 }
 
+/** `days(ts)`: the catalog-published form of [[GraftDaysPart]]'s key
+  * expression — identical VALUES (day-start epoch seconds for
+  * timestamps, the date itself for dates), so Spark's evaluation of
+  * the transform (write clustering, SPJ alignment) and the store-side
+  * grouping can never disagree. */
+object GraftDaysFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "days"
+  override def description(): String =
+    "days(ts): day-start epoch seconds (timestamps) / the date (dates)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"days takes one argument, got ${inputType.length}")
+    inputType(0).dataType match {
+      case TimestampType => BoundTs
+      case DateType => BoundDate
+      case dt => throw new UnsupportedOperationException(
+        s"days argument must be TIMESTAMP or DATE, got $dt")
+    }
+  }
+
+  private[sources] def dayStartSeconds(micros: Long): Long = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    secs - Math.floorMod(secs, GraftPartField.SecondsPerDay)
+  }
+
+  object BoundTs extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days(timestamp)"
+    override def inputTypes(): Array[DataType] = Array(TimestampType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(0)) null else dayStartSeconds(input.getLong(0))
+    def invoke(micros: Long): Long = dayStartSeconds(micros)
+  }
+
+  object BoundDate extends ScalarFunction[Integer] {
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days(date)"
+    override def inputTypes(): Array[DataType] = Array(DateType)
+    override def resultType(): DataType = DateType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null else input.getInt(0)
+    def invoke(days: Int): Int = days
+  }
+}
+
+/** `truncate(w, v)`: the catalog-published form of
+  * [[GraftTruncatePart]]'s key expression — v − floorMod(v, w) for
+  * integrals, the w-char prefix for strings. */
+object GraftTruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(width, v): ordered range id — v - floorMod(v, width) " +
+      "(integrals) / the width-char prefix (strings)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate takes (width, v), got ${inputType.length} args")
+    inputType(1).dataType match {
+      case LongType => BoundLong
+      case IntegerType => BoundInt
+      case StringType => BoundString
+      case dt => throw new UnsupportedOperationException(
+        s"truncate value must be BIGINT, INT or STRING, got $dt")
+    }
+  }
+
+  object BoundLong extends ScalarFunction[java.lang.Long] {
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate(long)"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): java.lang.Long =
+      if (input.isNullAt(1)) null
+      else invoke(input.getInt(0), input.getLong(1))
+    def invoke(w: Int, v: Long): Long = v - Math.floorMod(v, w.toLong)
+  }
+
+  object BoundInt extends ScalarFunction[Integer] {
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate(int)"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, IntegerType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else invoke(input.getInt(0), input.getInt(1))
+    def invoke(w: Int, v: Int): Int = v - Math.floorMod(v, w)
+  }
+
+  object BoundString extends ScalarFunction[UTF8String] {
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate(string)"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): UTF8String =
+      if (input.isNullAt(1)) null
+      else invoke(input.getInt(0), input.getUTF8String(1))
+    def invoke(w: Int, v: UTF8String): UTF8String =
+      if (v.numChars() <= w) v else v.substring(0, w)
+  }
+}
+
 /** COLUMN MAPPING — the field-id indirection that makes DROP COLUMN
   * (and RENAME) safe on positional storage, the round-9 verdict's
   * missing ALTER: the table keeps a PHYSICAL schema in which every
@@ -1486,9 +1634,14 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
   // stream (nothing ever arrives); only the live table advertises
   // MICRO_BATCH_READ
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into MERGE WITH SCHEMA
+    // EVOLUTION: the analyzer computes the source-vs-target schema
+    // delta and routes it through alterTable (our metadata-only
+    // AddColumn) before planning the merge
     (Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC) ++
+      TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION) ++
       (if (pinnedVersion.isEmpty)
         Set(TableCapability.MICRO_BATCH_READ,
           TableCapability.STREAMING_WRITE)
@@ -3332,20 +3485,13 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     else new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       override def requiredDistribution(): Distribution =
-        Distributions.clustered(clusterFields.map {
-          // days/truncate cluster by their SOURCE column: the raw
-          // value determines the transform value, so the clustering
-          // is finer-but-correct — and always resolvable (Spark
-          // evaluates identity without a FunctionCatalog handshake)
-          case GraftDaysPart(c) => org.apache.spark.sql.connector
-            .expressions.Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression
-          case GraftTruncatePart(c, _) => org.apache.spark.sql.connector
-            .expressions.Expressions.identity(c)
-            : org.apache.spark.sql.connector.expressions.Expression
-          case p => GraftPartField.toTransform(p)
-            : org.apache.spark.sql.connector.expressions.Expression
-        })
+        // days/truncate resolve through the catalog-published
+        // functions (GraftDaysFunction / GraftTruncateFunction), so
+        // each write task holds WHOLE hidden partitions — one file
+        // per partition, not one per (task × partition)
+        Distributions.clustered(clusterFields.map(
+          GraftPartField.toTransform(_)
+            : org.apache.spark.sql.connector.expressions.Expression))
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty

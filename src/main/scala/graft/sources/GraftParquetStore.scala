@@ -133,6 +133,10 @@ object GraftBloom {
   * that carries to 1000 executors. */
 object GraftParquetStore {
 
+  /** one immutable Configuration for every file handle — building a
+    * fresh Hadoop Configuration per file is measurable init cost. */
+  private[sources] val sharedConf = new Configuration(false)
+
   /** registration of a parquet-backed table: its directory plus the
     * CURRENT physical schema / partition fields (updated on ALTER) —
     * what the commit-time writer needs to lay out files. */
@@ -322,9 +326,15 @@ object GraftParquetStore {
       width: Int, path: String, key: InternalRow,
       bloomOrds: Array[Int] = Array.empty) {
     private val mt = messageType(schema, width)
+    // shared conf + small initial buffers: a partitioned commit opens
+    // one writer per partition key, and writer INIT cost (not data
+    // volume) dominates a many-partition small-batch write — the same
+    // reason real lake writers pool or tune their file handles
     private val w = ExampleParquetWriter.builder(new HPath(path))
-      .withConf(new Configuration(false)).withType(mt)
-      .withCompressionCodec(CompressionCodecName.SNAPPY).build()
+      .withConf(GraftParquetStore.sharedConf).withType(mt)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(8L << 20).withPageSize(64 << 10)
+      .build()
     private val gf = new SimpleGroupFactory(mt)
     private var n = 0
     private val mins = new Array[Any](width)

@@ -1042,6 +1042,54 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.wapfeed_t")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds the source-only column " +
+      "before planning: untouched rows read NULL, matched/inserted " +
+      "rows carry their source values, plain MERGE still refuses") {
+    freshCatalog()
+    SparkEntry.queries("merge_into_evolve")(spark, sf).collect()
+    val sch = spark.table("graft.evolve_target").schema
+    assert(sch.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "c_acctbal", "segment"))
+    // untouched rows (matched by nothing) must read NULL segment
+    val untouched = spark.table("graft.evolve_target")
+      .where(org.apache.spark.sql.functions.expr(
+        "c_custkey % 3 != 0 AND c_custkey < 9000000"))
+    assert(untouched.where(col("segment").isNotNull).count() == 0)
+    // inserted rows carry 'new'
+    assert(spark.table("graft.evolve_target")
+      .where(col("c_custkey") >= 9000000L)
+      .where(col("segment") =!= "new").count() == 0)
+    // WITHOUT the clause, the same statement must fail to resolve
+    val ex = intercept[Exception] {
+      spark.sql("""MERGE INTO graft.evolve_target t
+                  |USING evo_src s ON t.c_custkey = s.c_custkey
+                  |WHEN NOT MATCHED THEN
+                  |  INSERT (c_custkey, c_name, c_acctbal, segment,
+                  |    missing_col)
+                  |  VALUES (s.c_custkey, s.c_name, s.c_acctbal,
+                  |    s.segment, 1)""".stripMargin)
+    }
+    assert(ex.getMessage.toLowerCase.contains("missing_col"),
+      ex.getMessage)
+    spark.sql("DROP TABLE graft.evolve_target")
+  }
+
+  test("COPY INTO ledger: unchanged dir is a no-op, DROP clears the " +
+      "ledger, and the ledger is per-table") {
+    freshCatalog()
+    SparkEntry.queries("pipeline_copy_into")(spark, sf).collect()
+    val total = spark.table("graft.ci_orders").count()
+    // table holds each source row exactly once
+    assert(spark.table("graft.ci_orders")
+      .groupBy("o_orderkey").count()
+      .where(col("count") > 1).count() == 0, "double-loaded rows")
+    assert(total > 0)
+    // DROP clears the ledger: recreating reloads from scratch
+    spark.sql("DROP TABLE graft.ci_orders")
+    assert(GraftTableStore.ingestedFor("graft.ci_orders").isEmpty,
+      "DROP must clear the ingest ledger")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)

@@ -500,15 +500,24 @@ class ParquetStoreSpec extends AnyFunSuite {
       "its range") {
     freshCatalog()
     SparkEntry.queries("scan_hidden_trunc")(spark, sf).collect()
-    // parquet store: the raw range probe opens only its ranges' files
-    spark.table("graft.hpt_orders")
+    // parquet store with a spec-sized width (the id itself uses 4096,
+    // partition-count-appropriate for bench data): the raw range
+    // probe opens only its ranges' files
+    spark.sql("DROP TABLE IF EXISTS graft.hpt_pq")
+    spark.sql("CREATE TABLE graft.hpt_pq (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (truncate(256, o_orderkey)) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.hpt_pq SELECT * FROM hpt_orders_src")
+    spark.table("graft.hpt_pq")
       .where(col("o_orderkey") < 200L).collect()
-    val m = GraftScanMetrics.lastScan("graft.hpt_orders")
+    val m = GraftScanMetrics.lastScan("graft.hpt_pq")
     assert(m.filesTotal > 2,
       s"need several range files: ${m.filesTotal}")
     assert(m.filesRead < m.filesTotal,
       s"range predicate should skip files: " +
         s"${m.filesRead}/${m.filesTotal}")
+    spark.sql("DROP TABLE graft.hpt_pq")
     // in-memory truncate table: no zone maps — group pruning is the
     // hidden-partition transform lift alone
     spark.sql("DROP TABLE IF EXISTS graft.hpt_mem")
