@@ -31,7 +31,7 @@ object Bench {
   // join_governed_broadcast 0.32, table_history 0.30, plus
   // sink_partition_overwrite ~0.7 est — each seeds its own governed
   // orders/customer copy, which is the bulk of its cost)
-  private val BaselineWarmSec = 190.0
+  private val BaselineWarmSec = 196.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
