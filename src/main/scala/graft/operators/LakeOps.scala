@@ -309,6 +309,45 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // STORAGE-PARTITIONED JOIN OVER HIDDEN PARTITIONS: orders and
+    // lineitem both partitioned by truncate(4096, <orderkey>) — the
+    // SAME catalog-published transform over their join key — so the
+    // scans report compatible KeyGroupedPartitioning and the PK-FK
+    // join plans with ZERO join-side shuffles (PlanSpec pins it):
+    // the single biggest exchange in a fact-fact join disappears,
+    // and nobody had to materialize a bucket column to get it.
+    "join_hidden_spj" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("hsj_orders_src")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .createOrReplaceTempView("hsj_lineitem_src")
+      s.sql("DROP TABLE IF EXISTS graft.hsj_orders")
+      s.sql("DROP TABLE IF EXISTS graft.hsj_lineitem")
+      s.sql("CREATE TABLE graft.hsj_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING) " +
+        "PARTITIONED BY (truncate(4096, o_orderkey)) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("CREATE TABLE graft.hsj_lineitem (l_orderkey BIGINT, " +
+        "l_quantity DOUBLE, l_extendedprice DOUBLE) " +
+        "PARTITIONED BY (truncate(4096, l_orderkey)) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.hsj_orders SELECT * FROM hsj_orders_src")
+      s.sql("INSERT INTO graft.hsj_lineitem " +
+        "SELECT * FROM hsj_lineitem_src")
+      s.table("graft.hsj_orders").hint("merge")
+        .join(s.table("graft.hsj_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // COPY INTO (Delta's COPY INTO / Auto Loader): incremental,
     // IDEMPOTENT file ingest into the governed table — each run lists
     // the landing dir, loads ONLY files the table's ingest ledger has
@@ -699,6 +738,13 @@ object LakeOps extends QueryModule {
         |WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
         |                     (SELECT MAX(o_orderkey) FROM orders))"""
         .stripMargin,
+    "join_hidden_spj" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS price_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_copy_into" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)

@@ -837,6 +837,14 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       case "bucket" => GraftBucketFunction
       case "days" => GraftDaysFunction
       case "truncate" => GraftTruncateFunction
+      // SPJ alias: Spark's KeyGroupedPartitioning only supports
+      // SINGLE-ARGUMENT transform expressions (bucket's count rides a
+      // dedicated field), so the scan reports truncate as
+      // `truncate_<w>(col)` — the width baked into the function (and
+      // its canonicalName, so different widths can never co-partition)
+      case n if n.startsWith("truncate_") &&
+          n.drop(9).forall(_.isDigit) && n.length > 9 =>
+        GraftTruncateWidthFunction(n.drop(9).toInt)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -1347,6 +1355,68 @@ object GraftTruncateFunction
   }
 }
 
+/** `truncate_<w>(v)`: the SINGLE-ARGUMENT form of [[
+  * GraftTruncateFunction]] the scan reports for storage-partitioned
+  * joins — Spark's KeyGroupedPartitioning rejects transform
+  * expressions with more than one child, so the width lives in the
+  * function (and its canonicalName: two sides co-partition ONLY when
+  * their widths match). Values identical to truncate(w, v). */
+case class GraftTruncateWidthFunction(w: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(v): v - floorMod(v, $w) (integrals) / " +
+      s"the $w-char prefix (strings)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"truncate_$w takes one argument, got ${inputType.length}")
+    inputType(0).dataType match {
+      case LongType => new ScalarFunction[java.lang.Long] {
+        override def name(): String = s"truncate_$w"
+        override def canonicalName(): String = s"graft.truncate(long,$w)"
+        override def inputTypes(): Array[DataType] = Array(LongType)
+        override def resultType(): DataType = LongType
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): java.lang.Long =
+          if (input.isNullAt(0)) null
+          else input.getLong(0) - Math.floorMod(input.getLong(0), w.toLong)
+      }
+      case IntegerType => new ScalarFunction[Integer] {
+        override def name(): String = s"truncate_$w"
+        override def canonicalName(): String = s"graft.truncate(int,$w)"
+        override def inputTypes(): Array[DataType] = Array(IntegerType)
+        override def resultType(): DataType = IntegerType
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): Integer =
+          if (input.isNullAt(0)) null
+          else input.getInt(0) - Math.floorMod(input.getInt(0), w)
+      }
+      case StringType => new ScalarFunction[UTF8String] {
+        override def name(): String = s"truncate_$w"
+        override def canonicalName(): String =
+          s"graft.truncate(string,$w)"
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = StringType
+        override def isResultNullable: Boolean = true
+        override def produceResult(input: InternalRow): UTF8String =
+          if (input.isNullAt(0)) null
+          else {
+            val v = input.getUTF8String(0)
+            if (v.numChars() <= w) v else v.substring(0, w)
+          }
+      }
+      case dt => throw new UnsupportedOperationException(
+        s"truncate_$w value must be BIGINT, INT or STRING, got $dt")
+    }
+  }
+}
+
 /** COLUMN MAPPING — the field-id indirection that makes DROP COLUMN
   * (and RENAME) safe on positional storage, the round-9 verdict's
   * missing ALTER: the table keeps a PHYSICAL schema in which every
@@ -1424,6 +1494,17 @@ object GraftPartField {
     case GraftDaysPart(c) => Expressions.days(c)
     case GraftTruncatePart(c, w) => Expressions.apply("truncate",
       Expressions.literal(w), Expressions.column(c))
+  }
+
+  /** the transform form the SCAN reports for storage-partitioned
+    * joins: Spark's KeyGroupedPartitioning accepts only SINGLE-child
+    * transform expressions, so truncate(w, col) becomes the
+    * width-baked `truncate_<w>(col)` ([[GraftTruncateWidthFunction]]);
+    * everything else already is single-arg. */
+  def toSpjTransform(p: GraftPartField): Transform = p match {
+    case GraftTruncatePart(c, w) =>
+      Expressions.apply(s"truncate_$w", Expressions.column(c))
+    case other => toTransform(other)
   }
 
   /** this field's slot type in the HasPartitionKey row. */
@@ -2427,16 +2508,16 @@ class GraftScan(tableName: String, tableSchema: StructType,
     case None => grouped._2.length
   }
   override def outputPartitioning(): Partitioning =
-    // days/truncate keys live in OUR transform domain (day-start
-    // micros; truncated values) — Spark's native days() yields day
-    // NUMBERS, so reporting KeyGroupedPartitioning would let SPJ
-    // compare incompatible domains. Identity/bucket only.
+    // every transform kind reports: identity compares raw values,
+    // and bucket/days/truncate resolve through the catalog-published
+    // functions (GraftBucketFunction / GraftDaysFunction /
+    // GraftTruncateFunction), so both SPJ sides evaluate the SAME
+    // function over the SAME key domain — the handshake that lets a
+    // hidden-partitioned join skip its shuffles
     if (partFields.nonEmpty &&
-        partFields.forall(p => p.isInstanceOf[GraftIdentityPart] ||
-          p.isInstanceOf[GraftBucketPart]) &&
         partitionCols.forall(outSchema.fieldNames.contains))
       new KeyGroupedPartitioning(
-        partFields.map(GraftPartField.toTransform(_)
+        partFields.map(GraftPartField.toSpjTransform(_)
           : org.apache.spark.sql.connector.expressions.Expression),
         numPlannedPartitions)
     else new UnknownPartitioning(numPlannedPartitions)

@@ -733,6 +733,25 @@ class PlanSpec extends AnyFunSuite {
       s"a side was broadcast — SPJ not exercised:\n$p")
   }
 
+  test("join_hidden_spj: truncate-transform hidden partitioning " +
+      "joins with no join-side shuffle (the width-baked single-arg " +
+      "function both sides resolve)") {
+    val df = SparkEntry.queries("join_hidden_spj")(spark, sf)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"expected the (hinted) sort-merge join:\n$p")
+    // the ONLY hash exchange allowed is the post-join status
+    // aggregate; a second one would mean a join side shuffled
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1,
+      s"hidden-partition SPJ still shuffled a join side ($exchanges " +
+        s"hash exchanges):\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"a side was broadcast — SPJ not exercised:\n$p")
+  }
+
   test("join_bucketed_spj: bucket-transform co-partitioning joins " +
       "with no join-side shuffle") {
     val df = SparkEntry.queries("join_bucketed_spj")(spark, sf)
