@@ -236,6 +236,32 @@ object GraftApi {
     (fresh.length, n)
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
+    * create `dst` as a new governed table whose v0 commit REFERENCES
+    * `src`'s current published content — on a parquet-backed source
+    * the clone re-lists the source's file manifest verbatim (zero
+    * rows read, zero bytes copied: at 100 TB a clone is one manifest
+    * write), in memory the snapshot array is shared by reference.
+    * The clone copies the source's full definition (physical schema
+    * with column-mapping slots, partition spec, row-level mode,
+    * parquet backing) and the two tables evolve independently from
+    * that instant: the clone's own commits write under its own
+    * directory. Shared files are GC-safe — every file-delete sweep
+    * (retention trim, VACUUM, DROP TABLE) consults every registered
+    * table's retained manifests and never deletes a still-referenced
+    * file, so dropping or vacuuming the source cannot corrupt the
+    * clone (the documented shallow-clone hazard in real lake formats;
+    * removed here by the global manifest sweep). Returns the source
+    * version the clone captured. Both names catalog-qualified
+    * ("graft.src", "graft.dst"). */
+  def cloneTable(spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String): Int = {
+    graft.sources.GraftMergeCatalog.cloneDef(src, dst)
+    if (graft.sources.GraftParquetStore.isBacked(src))
+      graft.sources.GraftParquetStore.registerLike(src, dst)
+    graft.sources.GraftTableStore.cloneTable(src, dst)
+  }
+
   /** RESTORE the table to version `v` (rollback): appends a commit
     * that REFERENCES the old content — history preserved, and on a
     * parquet-backed table the restore is METADATA-ONLY (the new

@@ -441,6 +441,48 @@ object LakeOps extends QueryModule {
           cents(col("o_totalprice")).as("total_cents"))
     }),
 
+    // SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): the
+    // clone's v0 commit re-references the source's file manifest —
+    // zero rows read, zero bytes copied (ParquetStoreSpec pins
+    // manifest identity and GC safety) — then the two tables evolve
+    // independently: the source gains a batch the clone must not see,
+    // the clone deletes a slice the source must keep. The readout
+    // serves both sides; the oracle derives each from the same base.
+    "table_clone" -> ((s, d) => {
+      seedOrders(s, d, "cln_src", partitioned = false,
+        parquetStore = true)
+      s.sql("DROP TABLE IF EXISTS graft.cln_copy")
+      graft.api.GraftApi.cloneTable(s, "graft.cln_src", "graft.cln_copy")
+      s.sql("INSERT INTO graft.cln_src SELECT o_orderkey + 90000000, " +
+        "o_orderpriority, o_orderstatus, o_totalprice FROM cln_src_src " +
+        "WHERE o_orderstatus = 'P'")
+      s.sql("DELETE FROM graft.cln_copy WHERE o_orderstatus = 'F'")
+      def side(t: String, label: String) =
+        s.table(t).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            cents(col("o_totalprice")).as("total_cents"))
+          .withColumn("side", lit(label))
+      side("graft.cln_src", "src")
+        .unionByName(side("graft.cln_copy", "clone"))
+        .select(col("side"), col("o_orderstatus"), col("n_orders"),
+          col("total_cents"))
+        .orderBy("side", "o_orderstatus")
+    }),
+
+    // the `.refs` METADATA TABLE (Iceberg's `.refs`): every named ref
+    // — branches (main included) and tags — with the absolute version
+    // it pins, served O(refs) from the transaction log. The id builds
+    // a two-commit history, tags v1 and cuts a dev branch, then reads
+    // the ref listing back; the WAP guards behind the refs are pinned
+    // in CatalogSpec (sql_branch_wap).
+    "table_refs" -> ((s, d) => {
+      seedOrders(s, d, "refs_t", partitioned = false) // v0
+      s.sql("INSERT INTO graft.refs_t SELECT * FROM refs_t_src") // v1
+      graft.api.GraftApi.createTag(s, "graft.refs_t", "v1-audit")
+      graft.api.GraftApi.createBranch(s, "graft.refs_t", "dev")
+      s.table("graft.refs_t.refs").orderBy("ref_type", "ref_name")
+    }),
+
     // REPORTED STATISTICS → AUTO-BROADCAST: the governed dimension
     // (25 nations) reports its true post-pushdown size through
     // SupportsReportStatistics, so Catalyst broadcasts it under the
@@ -738,6 +780,30 @@ object LakeOps extends QueryModule {
         |WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
         |                     (SELECT MAX(o_orderkey) FROM orders))"""
         .stripMargin,
+    "table_clone" ->
+      """WITH base AS (SELECT o_orderstatus, o_totalprice FROM orders)
+        |SELECT 'src' AS side, o_orderstatus,
+        |  CAST(COUNT(*) *
+        |    (CASE WHEN o_orderstatus = 'P' THEN 2 ELSE 1 END)
+        |    AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) *
+        |    (CASE WHEN o_orderstatus = 'P' THEN 2 ELSE 1 END) * 100
+        |    AS BIGINT) AS total_cents
+        |FROM base GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'clone' AS side, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS total_cents
+        |FROM base WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
+    // two commits → main at v1; the tag and branch both cut at v1
+    "table_refs" ->
+      """SELECT 'dev' AS ref_name, 'branch' AS ref_type,
+        |  CAST(1 AS BIGINT) AS version
+        |UNION ALL SELECT 'main', 'branch', CAST(1 AS BIGINT)
+        |UNION ALL SELECT 'v1-audit', 'tag', CAST(1 AS BIGINT)
+        |ORDER BY ref_type, ref_name""".stripMargin,
     "join_hidden_spj" ->
       """SELECT o_orderstatus, COUNT(*) AS n_items,
         |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,

@@ -440,6 +440,48 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // COLUMN DEFAULT VALUES (Delta's allowColumnDefaults; Iceberg's
+    // initial-default): ADD COLUMN ... DEFAULT is metadata-only —
+    // rows stored BEFORE the column read the EXISTS default at scan
+    // time (not NULL), an INSERT that OMITS the column gets the
+    // CURRENT default injected by the analyzer, and explicit values —
+    // including explicit NULL — win. The id seeds narrow rows, adds
+    // `region STRING DEFAULT 'emea'`, inserts one batch without the
+    // column and one with explicit values, and reads the grouped
+    // readout back. File-backend interplay (zone maps must not skip
+    // narrow files on the defaulted column; manifest aggregates
+    // decline) pinned in ParquetStoreSpec; scan/time-travel semantics
+    // in CatalogSpec.
+    "sql_alter_default" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_rowlevel_base")
+      s.sql("DROP TABLE IF EXISTS graft.defaults_t")
+      s.sql("CREATE TABLE graft.defaults_t (c_custkey BIGINT, " +
+        "c_acctbal DOUBLE)")
+      s.sql("INSERT INTO graft.defaults_t " +
+        "SELECT c_custkey, c_acctbal FROM graft_rowlevel_base") // v0
+      s.sql("ALTER TABLE graft.defaults_t " +
+        "ADD COLUMN region STRING DEFAULT 'emea'")
+      // omitted column → CURRENT default injected by the analyzer
+      s.sql("INSERT INTO graft.defaults_t (c_custkey, c_acctbal) " +
+        "SELECT c_custkey + 1000000, c_acctbal " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 13 = 0")
+      // explicit values — an explicit NULL must stay NULL
+      s.sql("INSERT INTO graft.defaults_t " +
+        "SELECT c_custkey + 2000000, c_acctbal, " +
+        "CASE WHEN c_custkey % 2 = 0 THEN 'apac' ELSE NULL END " +
+        "FROM graft_rowlevel_base WHERE c_custkey % 17 = 0")
+      s.table("graft.defaults_t")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(graft.Det.dec2(col("c_acctbal"))) * 100).cast("long")
+            .as("bal_cents"))
+        .orderBy("region")
+    }),
+
     // DROP COLUMN through COLUMN MAPPING (the last unsupported ALTER,
     // closed): the dropped column's physical slot is tombstoned —
     // position reserved forever, no stored row touched — so rows
@@ -704,6 +746,22 @@ object MergeOps extends QueryModule {
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // pre-ADD rows read the EXISTS default, the omitted-column batch
+    // the CURRENT default, explicit values (incl. NULL) win
+    "sql_alter_default" ->
+      """WITH t AS (
+        |  SELECT 'emea' AS region, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT 'emea', c_acctbal FROM customer
+        |  WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN 'apac' ELSE NULL END,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 17 = 0)
+        |SELECT region, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents
+        |FROM t GROUP BY region ORDER BY region""".stripMargin,
     // pre-drop rows keep their balances under the renamed column (a
     // positional drop would have shifted names into it), post-drop
     // rows carry the fresh c_tier slot

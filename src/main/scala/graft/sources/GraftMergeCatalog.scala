@@ -128,9 +128,45 @@ object GraftTableStore {
   private val resolvedCache =
     new TrieMap[(String, Int), Array[InternalRow]]()
 
+  /** file paths referenced by the retained manifests of every table
+    * EXCEPT `except` — the set a file-delete sweep must never touch.
+    * Normally empty for another table's directory (each table writes
+    * under its own dir); a SHALLOW CLONE's manifest is the case where
+    * it isn't: the clone's v0 references the source's files in place,
+    * and both retention GC and DROP of the source must keep them.
+    * MUST run under [[lock]]. O(tables × retained × files) manifest
+    * entries — metadata, no file touched. */
+  private def fileRefsExcept(except: String): Set[String] =
+    versions.iterator.filter(_._1 != except)
+      .flatMap(_._2.commits.iterator).flatMap {
+        case p: GraftParquetData => p.files.iterator.map(_.path)
+        case _ => Iterator.empty
+      }.toSet
+
   def reset(name: String): Unit = lock.synchronized {
-    versions.remove(name)
-    GraftParquetStore.drop(name) // file-backed tables drop their dir
+    val dropped = versions.remove(name)
+    val live = fileRefsExcept(name)
+    // delete every file the dropped table referenced that no OTHER
+    // table still does — wherever it lives: a shallow clone's
+    // manifest references files under its SOURCE's directory, so
+    // dropping the last referencing table must reach across dirs or
+    // those files leak (their owning dir may already be unregistered)
+    dropped.foreach(_.commits.foreach {
+      case p: GraftParquetData => p.files.foreach { f =>
+        if (!live.contains(f.path)) {
+          val file = new java.io.File(f.path)
+          file.delete()
+          // tidy the version dir if this emptied it (no-op otherwise:
+          // File.delete refuses non-empty directories)
+          Option(file.getParentFile).foreach(_.delete())
+        }
+      }
+      case _ => ()
+    })
+    // file-backed tables drop their dir — except files a shallow
+    // clone's retained manifest still references (computed AFTER this
+    // table left `versions`, so only live references count)
+    GraftParquetStore.drop(name, live)
     resolvedCache.keysIterator.filter(_._1 == name)
       .foreach(resolvedCache.remove)
     // a dropped/reset table's epoch ledger entries can never be
@@ -422,12 +458,14 @@ object GraftTableStore {
         appended.branches, appended.tags)
       // retention GC (VACUUM): files no RETAINED manifest references
       // are deleted; append-shared files survive as long as any
-      // retained commit still lists them
+      // retained commit still lists them — including a SHALLOW
+      // CLONE's manifest (another table referencing files under THIS
+      // table's dir), so a source-side trim can never corrupt a clone
       if (GraftParquetStore.isBacked(name)) {
         val referenced = trimmed.commits.iterator.flatMap {
           case p: GraftParquetData => p.files.iterator.map(_.path)
           case _ => Iterator.empty
-        }.toSet
+        }.toSet ++ fileRefsExcept(name)
         GraftParquetStore.gcUnreferenced(name, referenced)
       }
       trimmed
@@ -531,7 +569,8 @@ object GraftTableStore {
     * materializing commit only when the chain head is a delta op log
     * (the new content must append AFTER the merged state). */
   private[sources] def commitParquetAppend(name: String,
-      staged: Vector[GraftFileInfo], branch: Option[String]): Unit =
+      staged: Vector[GraftFileInfo], branch: Option[String],
+      op: String = "append"): Unit =
     lock.synchronized {
       val m = GraftParquetStore.meta(name).getOrElse(
         throw new IllegalStateException(
@@ -541,11 +580,11 @@ object GraftTableStore {
       h.commits.lastOption match {
         case None =>
           val files = GraftParquetStore.adoptStaged(m, newV, staged)
-          appendLocked(name, "append",
+          appendLocked(name, op,
             GraftParquetData(files, files.map(_.rows).sum), branch)
         case Some(p: GraftParquetData) =>
           val files = GraftParquetStore.adoptStaged(m, newV, staged)
-          appendLocked(name, "append",
+          appendLocked(name, op,
             GraftParquetData(p.files ++ files,
               p.count + files.map(_.rows).sum), branch)
         case Some(_) =>
@@ -554,7 +593,7 @@ object GraftTableStore {
           val base = resolveRel(name, h, h.commits.size - 1)
           val incoming = GraftParquetStore.readAll(staged, m.schema)
           staged.foreach(f => new java.io.File(f.path).delete())
-          appendLocked(name, "append",
+          appendLocked(name, op,
             GraftFullData(base ++ incoming), branch)
       }
     }
@@ -614,6 +653,42 @@ object GraftTableStore {
       }
       appendLocked(name, "restore", data)
       h.commitCount
+    }
+
+  /** SHALLOW CLONE (Delta's CLONE / the Iceberg snapshot-ref export):
+    * make `dst` a brand-new table whose v0 commit REFERENCES `src`'s
+    * current published content. On a parquet-backed source this is
+    * METADATA-ONLY — the clone commit re-lists the source's file
+    * manifest verbatim (zero rows read, zero bytes copied; at 100 TB
+    * a clone costs one manifest write); in memory the row array is
+    * shared by reference. From that instant the two tables evolve
+    * independently: the clone's own commits land under its OWN
+    * directory (copy-on-write at file granularity). Shared files are
+    * GC-safe by construction — every delete sweep ([[trimLocked]],
+    * [[reset]]) consults EVERY table's retained manifests via
+    * [[fileRefsExcept]] and never deletes a still-referenced file, so
+    * source-side VACUUM/retention/DROP cannot corrupt the clone (the
+    * hazard a real lake format documents on shallow clones; the
+    * global manifest sweep is what removes it here). A delta (MoR)
+    * head materializes once — the clone commit must denote a resolved
+    * snapshot. Caller must have registered `dst`'s catalog definition
+    * (and parquet meta via `registerLike`) first. Returns the source
+    * version the clone captured. */
+  private[graft] def cloneTable(src: String, dst: String): Int =
+    lock.synchronized {
+      val h = versions.getOrElse(src, History(0, Vector.empty))
+      require(h.commits.nonEmpty, s"cannot clone $src: it has no commits")
+      require(!versions.contains(dst),
+        s"clone target $dst already has commits")
+      val headRel = h.mainHead - h.firstRetained
+      val data: GraftCommitData = h.commits(headRel) match {
+        case p: GraftParquetData => p // manifest re-reference: zero copy
+        case f: GraftFullData => f // shared row references: zero copy
+        case _: GraftDeltaData =>
+          GraftFullData(resolveRel(src, h, headRel))
+      }
+      appendLocked(dst, "clone", data)
+      h.mainHead
     }
 
   /** OPTIMIZE ZORDER BY (colA, colB): rewrite the current snapshot
@@ -707,6 +782,19 @@ object GraftTableStore {
         h.commits(i).count,
         if (i < h.times.length) h.times(i) else 0L)
     }
+  }
+
+  /** The named-ref listing (Iceberg's `.refs` metadata shape): every
+    * branch and tag with its pinned absolute version, "main" included
+    * (explicit or implicit head). O(refs) metadata, nothing resolved. */
+  private[graft] def refs(name: String): Vector[(String, String, Int)] = {
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    val branches =
+      if (h.branches.contains("main") || h.commits.isEmpty) h.branches
+      else h.branches + ("main" -> h.mainHead)
+    (branches.toVector.map { case (n, v) => (n, "branch", v) } ++
+      h.tags.toVector.map { case (n, v) => (n, "tag", v) })
+      .sortBy(r => (r._2, r._1))
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest RETAINED version whose
@@ -803,6 +891,29 @@ object GraftMergeCatalog {
     * pins it). */
   private val registry =
     new TrieMap[(String, Identifier), GraftMergeTable]()
+
+  /** register `dst` as a SHALLOW CLONE's catalog definition: the
+    * source's physical schema (column-mapping tombstones included —
+    * the clone reads the source's files, so it must share their slot
+    * layout), row-level mode and partition spec, under a fresh
+    * identifier in the SAME catalog. Store-side content is cloned
+    * separately ([[GraftTableStore.cloneTable]]); [[GraftApi]] wires
+    * the two. */
+  private[graft] def cloneDef(src: String, dst: String): Unit = {
+    val (srcKey, srcT) = registry.find(_._2.name() == src).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such governed table to clone: $src"))
+    val parts = dst.split("\\.")
+    require(parts.length >= 2 && parts.head == srcKey._1,
+      s"clone target must be a ${srcKey._1}-catalog name " +
+        s"(${srcKey._1}.<table>), got: $dst")
+    val dstKey = (srcKey._1,
+      Identifier.of(parts.drop(1).dropRight(1), parts.last))
+    require(!registry.contains(dstKey), s"table $dst already exists")
+    registry.put(dstKey, new GraftMergeTable(dst, srcT.physicalSchema,
+      None, srcT.morRowId, srcT.partFields))
+    ()
+  }
 }
 
 class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
@@ -813,6 +924,19 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
   override def name(): String = catalogName
+
+  // COLUMN DEFAULT VALUES (Delta's allowColumnDefaults / Iceberg's
+  // initial-default): the analyzer gates `DEFAULT` clauses on this
+  // capability, stores them as CURRENT_DEFAULT / EXISTS_DEFAULT
+  // StructField metadata, and injects the CURRENT default into
+  // INSERTs that omit the column — the STORE's only obligation is the
+  // EXISTS default: rows written before the column existed read it at
+  // scan time ([[GraftDefaults]]; stored rows untouched, metadata-only
+  // like every other evolution here)
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
@@ -864,11 +988,14 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   //   .files      — the CURRENT manifest of a parquet-backed table
   //                 (Iceberg's `.files` shape): one row per data file
   //                 with partition key, rows, bytes, width, stats.
+  //   .refs       — named refs (Iceberg's `.refs`): every branch and
+  //                 tag with its pinned version, main included.
   override def loadTable(ident: Identifier): Table =
     registry.get(key(ident)) match {
       case Some(t) => t
       case None if ident.namespace().nonEmpty &&
-          Set("changes", "history", "partitions", "files")(ident.name()) =>
+          Set("changes", "history", "partitions", "files",
+            "refs")(ident.name()) =>
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
         val base = registry.getOrElse(key(baseIdent),
@@ -878,6 +1005,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
           case "history" => new GraftHistoryTable(base)
           case "partitions" => new GraftPartitionsTable(base)
           case "files" => new GraftFilesTable(base)
+          case "refs" => new GraftRefsTable(base)
         }
       case None => throw new NoSuchTableException(ident)
     }
@@ -1100,9 +1228,36 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
               "append at the end (slot position is the field id)")
           require(add.isNullable,
             "added columns must be nullable: existing rows read as NULL")
+          // ADD COLUMN ... DEFAULT <lit>: record BOTH defaults in the
+          // field metadata (Spark's own convention) — CURRENT_DEFAULT
+          // drives the analyzer's INSERT injection; EXISTS_DEFAULT is
+          // what rows written BEFORE this column read at scan time
+          // (metadata-only: no stored row is touched, exactly like the
+          // null-padding ADD). Only foldable literals are accepted —
+          // a non-literal existence default would make old rows'
+          // values depend on read time.
+          val md = Option(add.defaultValue()) match {
+            case Some(dv) =>
+              val lit = dv.getValue()
+              require(lit != null,
+                s"ADD COLUMN ${add.fieldNames()(0)}: DEFAULT must " +
+                  "fold to a literal")
+              val sql = Option(dv.getSql).getOrElse(
+                org.apache.spark.sql.catalyst.expressions
+                  .Literal(lit.value(), lit.dataType()).sql)
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(org.apache.spark.sql.catalyst.util
+                  .ResolveDefaultColumns
+                  .CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .putString(org.apache.spark.sql.catalyst.util
+                  .ResolveDefaultColumns
+                  .EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+                .build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
           StructType(sch.fields :+ org.apache.spark.sql.types
             .StructField(add.fieldNames()(0), add.dataType(),
-              nullable = true))
+              nullable = true, metadata = md))
         case rn: TableChange.RenameColumn =>
           require(rn.fieldNames().length == 1,
             "nested RENAME COLUMN not supported")
@@ -1767,8 +1922,18 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
 class GraftRowLevelOperation(table: GraftMergeTable,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
+  // the row-level scan REFUSES every pushdown (rowLevelReplace):
+  // Spark pushes the DELETE/UPDATE/MERGE condition here as a GROUP
+  // filter, but our replace commit swaps the WHOLE snapshot for the
+  // written rows — a scan that dropped non-matching rows (or pruned
+  // partitions/files) would silently delete them. Found by the
+  // table_clone oracle: `DELETE WHERE status = 'F'` (a PUSHABLE
+  // predicate, unlike the `% k` predicates the earlier row-level ids
+  // used) emptied the table.
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = table.newScanBuilder(options)
+      : ScanBuilder = new GraftScanBuilder(table.name(),
+    table.physicalSchema, None, table.partFields, options,
+    rowLevelReplace = true)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(table.name(), info.schema(), replace = true,
       physicalSchema = table.physicalSchema)
@@ -1791,7 +1956,8 @@ class GraftRowLevelOperation(table: GraftMergeTable,
 class GraftScanBuilder(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int],
     partFields: Array[GraftPartField] = Array.empty,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    rowLevelReplace: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
     with SupportsPushDownTopN with SupportsPushDownAggregates {
@@ -1814,8 +1980,18 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
         requiredSchema.fieldNames.contains(f.name)))
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f =>
-      GraftFilterEval.compile(f, tableSchema).isDefined)
+    // a GROUP-BASED ROW-LEVEL (copy-on-write) scan must return EVERY
+    // row the replace commit swaps out: Spark pushes the operation's
+    // condition here as a GROUP filter (prune groups that cannot
+    // match, return kept groups WHOLE), but the replace commit
+    // replaces the entire snapshot with the written rows — so any
+    // row this scan drops (row filtering, partition pruning, zone
+    // maps) would be silently DELETED by an unrelated DELETE/UPDATE/
+    // MERGE predicate. Decline every pushdown instead: rows the
+    // operation does not touch must flow through to the write-back.
+    if (!rowLevelReplace)
+      pushed = filters.filter(f =>
+        GraftFilterEval.compile(f, tableSchema).isDefined)
     filters // ALL filters stay residual — the conservative contract
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -1826,7 +2002,8 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   // the global limit/sort above, the pushdown only bounds what ships
   // out of the scan.
   override def pushLimit(n: Int): Boolean =
-    if (agg.isDefined) false else { limit = Some(n); true }
+    if (agg.isDefined || rowLevelReplace) false
+    else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   // ORDER BY ... LIMIT n pushdown (top-N): the store sorts surviving
@@ -1841,7 +2018,7 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
       n: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    if (agg.isDefined) return false
+    if (agg.isDefined || rowLevelReplace) return false
     // a file-backed scan would have to sort inside the reader to honor
     // this — decline and let TakeOrdered do its job (filters, column
     // projection and the per-partition LIMIT bound still push)
@@ -1906,7 +2083,7 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
   // OURS, so a future planner change could only cost the pushdown,
   // never correctness
   private def aggCompatible: Boolean =
-    pushed.isEmpty && limit.isEmpty && topN.isEmpty
+    pushed.isEmpty && limit.isEmpty && topN.isEmpty && !rowLevelReplace
 
   /** On a PARQUET-BACKED table an aggregate only pushes when the
     * MANIFEST alone can answer it exactly — zero files opened, zero
@@ -1931,6 +2108,10 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
       case _ => false
     }
     val identCols = partFields.collect { case GraftIdentityPart(c) => c }
+    // EXISTS_DEFAULTs make "slot absent from file" ≠ "all null", so
+    // manifest stats alone can no longer answer COUNT(col)/MIN/MAX
+    // exactly — decline and take the exact file-scan path
+    if (GraftDefaults.hasAny(tableSchema)) return false
     GraftTableStore.fileView(tableName, pinnedVersion).exists { fv =>
       fv.deletedIds.isEmpty && fv.extras.isEmpty &&
         a.groupByExpressions().forall(flatOrd(_).exists(i =>
@@ -2214,7 +2395,7 @@ class GraftScan(tableName: String, tableSchema: StructType,
     val raw = pinnedVersion
       .map(GraftTableStore.getVersion(tableName, _))
       .getOrElse(GraftTableStore.get(tableName))
-    val padded = GraftChangeFeed.padTo(raw, tableSchema.length)
+    val padded = GraftChangeFeed.padTo(raw, tableSchema)
     val partOnly = pushedFilters.filter(
       _.references.forall(identityCols.contains))
     val partPreds = partOnly.flatMap(
@@ -2274,7 +2455,7 @@ class GraftScan(tableName: String, tableSchema: StructType,
       val rowPreds = rowFilters.flatMap(
         GraftFilterEval.compile(_, tableSchema))
       val paddedExtras = GraftChangeFeed.padTo(fv.extras,
-        tableSchema.length).filter(r => rowPreds.forall(_(r)))
+        tableSchema).filter(r => rowPreds.forall(_(r)))
       // ZONE-MAP FILE SKIPPING: a pushed row predicate that the
       // manifest's per-file min/max/nulls PROVE unsatisfiable drops
       // the file before any partition forms — data skipping beyond
@@ -2669,7 +2850,7 @@ class GraftAggScan(tableName: String, tableSchema: StructType,
     val raw = pinnedVersion
       .map(GraftTableStore.getVersion(tableName, _))
       .getOrElse(GraftTableStore.get(tableName))
-    val rows = GraftChangeFeed.padTo(raw, tableSchema.length)
+    val rows = GraftChangeFeed.padTo(raw, tableSchema)
     val groupTypes = groupOrds.map(tableSchema(_).dataType)
     def ordering(dt: DataType): Ordering[Any] = (dt match {
       case LongType => Ordering.Long.on[Any](_.asInstanceOf[Long])
@@ -3007,6 +3188,31 @@ object GraftRowsReaderFactory extends PartitionReaderFactory {
   * Equality is exact: untouched rows share the same UnsafeRow object
   * across commits (the store's mutate reuses references) and rewritten
   * rows compare by bytes under the shared projection layout. */
+/** EXISTS_DEFAULT resolution (ADD COLUMN ... DEFAULT): the per-slot
+  * catalyst values a stored row NARROWER than the physical schema
+  * reads for its missing trailing slots — Spark's own
+  * ResolveDefaultColumns evaluates the metadata SQL (null where no
+  * default was declared, i.e. every pre-defaults column keeps reading
+  * NULL). Memoized per schema: the evaluation parses SQL, and scans
+  * resolve it once per plan, not per row. Runs wherever padding runs
+  * (driver for the in-memory store, tasks for the file reader). */
+object GraftDefaults {
+  private val cache =
+    new TrieMap[StructType, Array[Any]]()
+  def existsDefaults(schema: StructType): Array[Any] =
+    cache.getOrElseUpdate(schema,
+      org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .getExistenceDefaultValues(schema))
+  /** does ANY field declare an existence default? (gates manifest-only
+    * aggregate answers: a narrow file's absent slot is NOT all-null
+    * once a default exists) */
+  def hasAny(schema: StructType): Boolean =
+    existsDefaults(schema).exists(_ != null)
+  /** does this field ordinal declare one? (zone-map guard) */
+  def has(schema: StructType, ord: Int): Boolean =
+    existsDefaults(schema)(ord) != null
+}
+
 object GraftChangeFeed {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
@@ -3019,16 +3225,25 @@ object GraftChangeFeed {
 
   /** Schema-evolution-on-read padding: rows narrower than `arity`
     * (written before an ADD COLUMN) read their missing trailing fields
-    * as NULL via a JoinedRow with an all-null tail — full-width rows
-    * pass through untouched (same objects, so the streaming prefix
-    * identity check is unaffected for unevolved tables). */
+    * as NULL — or as the column's EXISTS_DEFAULT when one was declared
+    * (`ADD COLUMN ... DEFAULT`) — via a JoinedRow with a shared tail;
+    * full-width rows pass through untouched (same objects, so the
+    * streaming prefix identity check is unaffected for unevolved
+    * tables). */
   private[sources] def padTo(rows: Array[InternalRow],
-      arity: Int): Array[InternalRow] =
+      schema: StructType): Array[InternalRow] = {
+    val arity = schema.length
+    // tails are IMMUTABLE (never written) — share one per width
+    val tails = scala.collection.mutable.HashMap.empty[Int, InternalRow]
+    def tail(from: Int): InternalRow = tails.getOrElseUpdate(from,
+      new GenericInternalRow(
+        GraftDefaults.existsDefaults(schema).slice(from, arity)))
     rows.map { r =>
       if (r.numFields >= arity) r
       else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-        r, new GenericInternalRow(arity - r.numFields))
+        r, tail(r.numFields))
     }
+  }
 
   /** change rows of commit indexes [fromCommit, toCommit). `schema` is
     * the PHYSICAL schema; feed rows carry the VISIBLE columns (+ the
@@ -3244,6 +3459,42 @@ class GraftHistoryTable(base: GraftMergeTable)
   }
 }
 
+/** The `graft.<table>.refs` metadata relation (Iceberg's `.refs`
+  * shape): every named ref — branches (mutable pointers, "main"
+  * included) and tags (immutable) — with the absolute version it
+  * pins. O(refs) metadata served from the transaction log; the
+  * readout an operator checks before a WAP publish or a branch
+  * cleanup. */
+class GraftRefsTable(base: GraftMergeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+  override def name(): String = s"${base.name()}.refs"
+  override def schema(): StructType = StructType(Seq(
+    StructField("ref_name", StringType, nullable = false),
+    StructField("ref_type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new Scan with Batch {
+    override def readSchema(): StructType = GraftRefsTable.this.schema()
+    override def toBatch: Batch = this
+    override def description(): String = s"GraftRefsScan[${base.name()}]"
+    override def planInputPartitions(): Array[InputPartition] = {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val rows = GraftTableStore.refs(base.name()).map {
+        case (n, kind, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+            UTF8String.fromString(kind), v.toLong)): InternalRow
+      }
+      Array(GraftInputPartition(rows.toArray))
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      GraftRowsReaderFactory
+  }
+}
+
 /** The `graft.<table>.partitions` metadata relation (Iceberg's
   * `.partitions` shape): per-partition row counts of the CURRENT
   * snapshot — the readout that drives partition-layout decisions
@@ -3285,7 +3536,7 @@ class GraftPartitionsTable(base: GraftMergeTable)
           .UnsafeProjection.create(base.partFields.map(
             GraftPartField.keyExpr(_, sch)).toIndexedSeq)
         val padded = GraftChangeFeed.padTo(
-          GraftTableStore.get(base.name()), sch.length)
+          GraftTableStore.get(base.name()), sch)
         val rows = padded
           .groupBy(r => keyProj(r).copy())
           .toArray.sortBy(_._1.toString)
@@ -3490,7 +3741,7 @@ class GraftMicroBatchStream(tableName: String,
     // (Catalyst prunes streaming relations too — delivering full rows
     // under a pruned readSchema would misread columns)
     Array(GraftProjectedPartition(GraftChangeFeed.padTo(
-      cur.drop(base.length), tableSchema.length),
+      cur.drop(base.length), tableSchema),
       outSchema.fieldNames.map(tableSchema.fieldIndex),
       outSchema.fields.map(_.dataType)))
   }
@@ -3628,7 +3879,7 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           // pre-evolution rows are narrower than the current schema —
           // overwrite predicates and partition keys evaluate against
           // the padded full-schema view, originals are what survive
-          val padded = GraftChangeFeed.padTo(base, physSchema.length)
+          val padded = GraftChangeFeed.padTo(base, physSchema)
           val kept: Array[InternalRow] =
             if (replace || doTruncate) Array.empty[InternalRow]
             else if (dynamicOverwrite) {
@@ -3674,10 +3925,37 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
       new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
         override def createStreamingWriterFactory(info: PhysicalWriteInfo)
             : org.apache.spark.sql.connector.write.streaming
-              .StreamingDataWriterFactory =
-          GraftStreamingWriterFactory(writeSchema, physSchema)
+              .StreamingDataWriterFactory = taskFileAppend match {
+          // append-mode streaming into a parquet-backed table takes
+          // the SAME task-side file path as a batch append: each
+          // epoch's tasks stage parquet files, the epoch commit
+          // adopts them manifest-only — the driver never sees a row
+          // and never re-materializes the base (the streaming-ingest
+          // shape a lake format runs at scale). Complete mode keeps
+          // the row path (its commit truncates against base state).
+          case Some(m) =>
+            GraftParquetStreamingAppendWriterFactory(m,
+              writeSchema.length)
+          case None =>
+            GraftStreamingWriterFactory(writeSchema, physSchema)
+        }
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
+          if (taskFileAppend.isDefined) {
+            val staged = messages.flatMap(
+              _.asInstanceOf[GraftFilesMessage].files)
+              .sortBy(_.path).toVector
+            if (!GraftTableStore.markEpoch(tableName, queryId,
+                epochId)) {
+              // WAL replay of an already-committed epoch: its rows
+              // are in the table — drop the re-staged files
+              staged.foreach(f => new java.io.File(f.path).delete())
+              return
+            }
+            GraftTableStore.commitParquetAppend(tableName, staged,
+              None, op = "stream-append")
+            return
+          }
           if (!GraftTableStore.markEpoch(tableName, queryId, epochId))
             return // WAL replay of an already-committed epoch
           val incoming = messages
@@ -3689,7 +3967,12 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           }
         }
         override def abort(epochId: Long,
-            messages: Array[WriterCommitMessage]): Unit = ()
+            messages: Array[WriterCommitMessage]): Unit =
+          messages.foreach {
+            case GraftFilesMessage(files) =>
+              files.foreach(f => new java.io.File(f.path).delete())
+            case _ => ()
+          }
       }
   }
 }

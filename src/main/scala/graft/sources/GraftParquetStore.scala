@@ -180,6 +180,18 @@ object GraftParquetStore {
   def isBacked(name: String): Boolean = metas.contains(name)
   def meta(name: String): Option[Meta] = metas.get(name)
 
+  /** register `dst` with `src`'s CURRENT registration but its OWN
+    * directory — the shallow-clone shape: the clone's v0 manifest
+    * references the source's files in place (zero bytes copied), and
+    * only the clone's FUTURE commits write under its own dir. */
+  def registerLike(src: String, dst: String): Unit =
+    metas.get(src).foreach { m =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
+        .toFile.getAbsolutePath
+      metas.put(dst, m.copy(dir = dir))
+      ()
+    }
+
   /** ALTER keeps the registration current (the physical schema grows
     * slots / tombstones them; files already written never change). */
   def updateSchema(name: String, schema: StructType): Unit =
@@ -190,10 +202,27 @@ object GraftParquetStore {
       metas.put(name, m.copy(schema = schema, bloomOrds = keep))
     }
 
-  /** drop the table's directory with it (DROP TABLE / reset). */
-  def drop(name: String): Unit = metas.remove(name).foreach { m =>
-    deleteRecursively(new java.io.File(m.dir))
-  }
+  /** drop the table's directory with it (DROP TABLE / reset).
+    * `shared` = file paths some OTHER registered table's retained
+    * manifest still references (a shallow clone of this table): those
+    * files survive the drop — deleting them would corrupt the clone —
+    * and their version dirs stay as long as a shared file remains. */
+  def drop(name: String, shared: Set[String] = Set.empty): Unit =
+    metas.remove(name).foreach { m =>
+      if (shared.isEmpty) deleteRecursively(new java.io.File(m.dir))
+      else {
+        val root = new java.io.File(m.dir)
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).foreach { vdir =>
+            Option(vdir.listFiles()).getOrElse(Array.empty).foreach { f =>
+              if (!shared.contains(f.getAbsolutePath)) { f.delete(); () }
+            }
+            if (Option(vdir.listFiles()).forall(_.isEmpty)) vdir.delete()
+          }
+        if (Option(root.listFiles()).forall(_.isEmpty)) root.delete()
+        ()
+      }
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -446,11 +475,26 @@ object GraftParquetStore {
       readOrds: Array[Int]): Iterator[InternalRow] = {
     val present = readOrds.filter(_ < file.numCols).sorted
     val width = schema.length
+    // slots REQUESTED but absent from this file (written before their
+    // ADD COLUMN) read the column's EXISTS_DEFAULT — null unless an
+    // `ADD COLUMN ... DEFAULT` declared one (GraftDefaults); genuine
+    // NULLs in present slots are untouched
+    val absent = readOrds.filter(_ >= file.numCols)
+    lazy val defaults = GraftDefaults.existsDefaults(schema)
+    def fillAbsent(vals: Array[Any]): Array[Any] = {
+      var i = 0
+      while (i < absent.length) {
+        vals(absent(i)) = defaults(absent(i)); i += 1
+      }
+      vals
+    }
     if (present.isEmpty) {
       // no requested column exists in this file (COUNT over a
-      // pre-evolution projection): emit bare null rows, one per row —
-      // still must read the row count from the file
-      return Iterator.fill(file.rows)(new GenericInternalRow(width))
+      // pre-evolution projection): emit default-filled rows, one per
+      // row — still must read the row count from the file. One shared
+      // row: scan consumers treat reader output as reusable buffers
+      val row = new GenericInternalRow(fillAbsent(new Array[Any](width)))
+      return Iterator.fill(file.rows)(row: InternalRow)
     }
     val requested = {
       import scala.jdk.CollectionConverters._
@@ -482,7 +526,7 @@ object GraftParquetStore {
             vals(ord) = getValue(g, j, schema(ord).dataType)
           j += 1
         }
-        new GenericInternalRow(vals)
+        new GenericInternalRow(fillAbsent(vals))
       }
     }
   }
@@ -620,9 +664,12 @@ object GraftZoneMap {
       if (v == null) return false
       val ord = schema.fieldNames.indexOf(attr)
       if (ord < 0) return false
-      // a slot beyond the file's width reads NULL everywhere: no
-      // comparison can match
-      if (ord >= file.numCols) return true
+      // a slot beyond the file's width reads NULL everywhere — no
+      // comparison can match — UNLESS the column declares an
+      // EXISTS_DEFAULT (ADD COLUMN ... DEFAULT): then every absent
+      // slot reads the default and the stats prove nothing
+      if (ord >= file.numCols)
+        return !GraftDefaults.has(schema, ord)
       file.stats.get(ord) match {
         case None => false
         case Some(s) =>
@@ -680,9 +727,11 @@ object GraftZoneMap {
           file.stats.get(ord).exists(_.nulls == 0)
       case IsNotNull(a) =>
         val ord = schema.fieldNames.indexOf(a)
-        ord >= 0 && (ord >= file.numCols ||
-          file.stats.get(ord).exists(s =>
-            s.nulls == file.rows && file.rows > 0))
+        // an absent slot is all-null ONLY without an exists-default
+        ord >= 0 && ((ord >= file.numCols &&
+          !GraftDefaults.has(schema, ord)) ||
+          (ord < file.numCols && file.stats.get(ord).exists(s =>
+            s.nulls == file.rows && file.rows > 0)))
       case And(l, r) => skips(l, file, schema) || skips(r, file, schema)
       case Or(l, r) => skips(l, file, schema) && skips(r, file, schema)
       case _ => false
@@ -699,6 +748,22 @@ object GraftZoneMap {
   * lake-format write path). Rewriting writes (overwrite / truncate /
   * replace) keep the row-message path: their commit must evaluate
   * predicates against the BASE rows anyway. */
+/** Streaming form of the task-side append: each EPOCH's tasks stage
+  * parquet files with exactly the batch append writer (same handles,
+  * same in-flight stats/bloom collection), and the epoch commit
+  * adopts them manifest-only — streaming ingest into the lake table
+  * without a driver row funnel. */
+case class GraftParquetStreamingAppendWriterFactory(
+    meta: GraftParquetStore.Meta, visibleWidth: Int)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    GraftParquetAppendWriterFactory(meta, visibleWidth)
+      .createWriter(partitionId, taskId)
+}
+
 case class GraftParquetAppendWriterFactory(
     meta: GraftParquetStore.Meta, visibleWidth: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {

@@ -311,6 +311,41 @@ object StreamOps extends QueryModule {
     // the test vehicle (purchase-slice-sized); against a real lake
     // table the same readStream.table call streams snapshot diffs, and
     // the windowed agg below is the standard watermarked shape.
+    // STREAMING SINK INTO THE LAKE TABLE: append-mode writeStream
+    // .toTable against a PARQUET-backed governed table stages parquet
+    // files TASK-SIDE per epoch and commits manifests only — the
+    // driver never sees a row and never re-materializes the base, the
+    // streaming-ingest shape a lake format runs at 100 TB
+    // (StreamingSpec pins the genuine stream: per-epoch manifest
+    // commits with prefix reuse, exactly-once across a checkpointed
+    // restart, replayed epochs deleting their re-staged files). This
+    // closed-input form seeds the same PARTITIONED parquet-backed
+    // table through three epoch-shaped commits — each clustered by
+    // the partition column exactly as the streaming writer's tasks
+    // are — and reads the converged content back through the catalog.
+    "stream_parquet_sink" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .createOrReplaceTempView("pqsink_base")
+      s.sql("DROP TABLE IF EXISTS graft.pqsink_t")
+      s.sql("CREATE TABLE graft.pqsink_t (event_id BIGINT, " +
+        "user_id BIGINT, event_type STRING, value DOUBLE) " +
+        "PARTITIONED BY (event_type) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      (0 until 3).foreach { i =>
+        s.sql("INSERT INTO graft.pqsink_t SELECT event_id, user_id, " +
+          s"event_type, value FROM pqsink_base WHERE event_id % 3 = $i")
+      }
+      s.table("graft.pqsink_t")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "stream_table_read" -> ((s, d) => {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.GraftMergeCatalog].getName)
@@ -463,6 +498,13 @@ object StreamOps extends QueryModule {
         |SELECT w_start, tw AS n_events,
         |  CAST(SUM(iterm) AS DOUBLE) / 1e6 AS psi
         |FROM t GROUP BY 1, 2 ORDER BY w_start""".stripMargin,
+    // three epoch-shaped commits are content-neutral: the sink
+    // converges to the full events slice per type
+    "stream_parquet_sink" ->
+      """SELECT event_type, COUNT(1) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // seeding across three commits is content-neutral: the final table
     // holds exactly the purchase slice, whatever the commit split
     "stream_table_read" ->

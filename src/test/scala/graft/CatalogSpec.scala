@@ -21,6 +21,91 @@ class CatalogSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[GraftMergeCatalog].getName)
 
+  test("row-level CoW ops with PUSHABLE predicates keep untouched " +
+      "rows on both backends: the operation condition is a GROUP " +
+      "filter, never a row filter on the write-back scan") {
+    freshCatalog()
+    for (props <- Seq("", " TBLPROPERTIES ('graft.store'='parquet')")) {
+      spark.sql("DROP TABLE IF EXISTS graft.push_cow")
+      spark.sql(s"CREATE TABLE graft.push_cow (k BIGINT, s STRING)$props")
+      spark.sql("INSERT INTO graft.push_cow SELECT id, " +
+        "CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END FROM range(30)")
+      // DELETE with a pushable EqualTo predicate: before the
+      // rowLevelReplace guard this pushed into the scan, the scan
+      // dropped the non-matching rows, and the replace commit wiped
+      // the table (every prior row-level id used a non-pushable
+      // `% k` predicate, which hid it)
+      spark.sql("DELETE FROM graft.push_cow WHERE s = 'F'")
+      assert(spark.table("graft.push_cow").count() == 20,
+        s"DELETE with pushable predicate lost untouched rows ($props)")
+      // UPDATE through the same group-based replace path
+      spark.sql("UPDATE graft.push_cow SET s = 'X' WHERE k < 10")
+      assert(spark.table("graft.push_cow").count() == 20,
+        s"UPDATE with pushable predicate lost untouched rows ($props)")
+      assert(spark.table("graft.push_cow")
+        .where(col("s") === "X").count() > 0)
+      assert(spark.table("graft.push_cow")
+        .where(col("s") === "O").count() > 0,
+        s"UPDATE rewrote rows outside its predicate ($props)")
+      spark.sql("DROP TABLE graft.push_cow")
+    }
+    // the merge-on-read twin keeps its pushdown (row filtering IS
+    // correct for WriteDelta: untouched rows stay in the base; only
+    // matched rows produce ops) — exactness check with the same
+    // pushable predicate
+    spark.sql("DROP TABLE IF EXISTS graft.push_mor")
+    spark.sql("CREATE TABLE graft.push_mor (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+      "'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.push_mor SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'F' ELSE 'O' END FROM range(30)")
+    spark.sql("DELETE FROM graft.push_mor WHERE s = 'F'")
+    assert(spark.table("graft.push_mor").count() == 20,
+      "MoR DELETE with pushable predicate is inexact")
+    spark.sql("DROP TABLE graft.push_mor")
+  }
+
+  test("column defaults: pre-ADD rows read the EXISTS default, " +
+      "omitted inserts the CURRENT default, explicit NULL wins, " +
+      "renames keep the default, time travel serves old rows " +
+      "through the evolved schema") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.def_t")
+    spark.sql("CREATE TABLE graft.def_t (k BIGINT)")
+    spark.sql("INSERT INTO graft.def_t SELECT id FROM range(5)") // v0
+    spark.sql("ALTER TABLE graft.def_t ADD COLUMN r STRING DEFAULT 'x'")
+    // pre-ADD rows read the default, not NULL — metadata-only
+    assert(spark.table("graft.def_t")
+      .where(col("r") === "x").count() == 5)
+    // INSERT omitting the column: the analyzer injects the CURRENT
+    // default (gated on the catalog capability)
+    spark.sql("INSERT INTO graft.def_t (k) VALUES (100)")
+    assert(spark.table("graft.def_t").where(col("k") === 100)
+      .collect()(0).getString(1) == "x")
+    // explicit NULL stays NULL (the default is for ABSENT values)
+    spark.sql("INSERT INTO graft.def_t VALUES (200, NULL)")
+    assert(spark.table("graft.def_t")
+      .where(col("k") === 200 && col("r").isNull).count() == 1)
+    spark.sql("INSERT INTO graft.def_t VALUES (300, 'y')")
+    // pushed filters evaluate the default store-side
+    assert(spark.table("graft.def_t")
+      .where(col("r") === "x").count() == 6)
+    assert(spark.table("graft.def_t")
+      .where(col("r").isNotNull).count() == 7)
+    // time travel reads v0 rows through the evolved schema: the
+    // existence default applies to them exactly like the live read
+    assert(spark.sql("SELECT * FROM graft.def_t VERSION AS OF 0")
+      .where(col("r") === "x").count() == 5)
+    // RENAME keeps the default riding on the field metadata
+    spark.sql("ALTER TABLE graft.def_t RENAME COLUMN r TO reg")
+    assert(spark.table("graft.def_t")
+      .where(col("reg") === "x").count() == 6)
+    spark.sql("INSERT INTO graft.def_t (k) VALUES (400)")
+    assert(spark.table("graft.def_t").where(col("k") === 400)
+      .collect()(0).getString(1) == "x")
+    spark.sql("DROP TABLE graft.def_t")
+  }
+
   test("version history is retention-capped with stable absolute numbers") {
     val name = "graft.cap_test_store"
     GraftTableStore.reset(name)

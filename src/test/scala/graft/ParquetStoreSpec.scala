@@ -191,6 +191,89 @@ class ParquetStoreSpec extends AnyFunSuite {
       "DROP TABLE must unregister and remove the table directory")
   }
 
+  test("SHALLOW CLONE is metadata-only and GC-safe: the clone's v0 " +
+      "re-references the source manifest verbatim; source VACUUM and " +
+      "DROP keep every clone-shared file; dropping the last reference " +
+      "finally deletes them") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cl_src")
+    spark.sql("DROP TABLE IF EXISTS graft.cl_dst")
+    spark.sql("CREATE TABLE graft.cl_src (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.cl_src " +
+      "SELECT id, concat('v', id) FROM range(50)")
+    graft.api.GraftApi.cloneTable(spark, "graft.cl_src", "graft.cl_dst")
+    // 1. zero copy: the clone's v0 manifest IS the source manifest
+    val srcFiles = GraftTableStore.commitFiles("graft.cl_src", 0)
+    val cloneV0 = GraftTableStore.commitFiles("graft.cl_dst", 0)
+    assert(srcFiles.nonEmpty &&
+      cloneV0.map(_.path) == srcFiles.map(_.path),
+      "clone v0 must re-reference the source's files verbatim")
+    assert(GraftTableStore.history("graft.cl_dst").head._2 == "clone")
+    // 2. divergence isolation: the clone's own commits write under
+    // the CLONE's directory and never touch the source
+    spark.sql("INSERT INTO graft.cl_dst SELECT id + 100, 'w' " +
+      "FROM range(7)")
+    assert(spark.table("graft.cl_src").count() == 50)
+    assert(spark.table("graft.cl_dst").count() == 57)
+    val srcDir = GraftParquetStore.meta("graft.cl_src").get.dir
+    val newFiles = GraftTableStore.commitFiles("graft.cl_dst", 1)
+      .drop(cloneV0.length)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(!_.path.startsWith(srcDir)),
+      "clone commits must not write into the source's directory")
+    // 3. source-side VACUUM keeps clone-shared files (the global
+    // manifest sweep): overwrite the source, expire its old versions
+    spark.sql("INSERT OVERWRITE graft.cl_src SELECT id, 'z' " +
+      "FROM range(3)")
+    assert(graft.api.GraftApi.expireSnapshots(spark,
+      "graft.cl_src", 1) == 1)
+    srcFiles.foreach(f => assert(new java.io.File(f.path).exists(),
+      s"source VACUUM deleted a clone-shared file: ${f.path}"))
+    assert(spark.table("graft.cl_dst").count() == 57)
+    // 4. DROP the source: shared files survive, the clone still reads
+    spark.sql("DROP TABLE graft.cl_src")
+    srcFiles.foreach(f => assert(new java.io.File(f.path).exists(),
+      s"DROP of the source deleted a clone-shared file: ${f.path}"))
+    assert(spark.table("graft.cl_dst").count() == 57)
+    // 5. DROP the clone — the LAST reference — finally deletes them
+    spark.sql("DROP TABLE graft.cl_dst")
+    srcFiles.foreach(f => assert(!new java.io.File(f.path).exists(),
+      s"file leaked after the last referencing table dropped: ${f.path}"))
+  }
+
+  test("column defaults on the parquet store: files written before " +
+      "the ADD read the EXISTS default through the file scan; zone " +
+      "maps must not skip them; manifest aggregates decline and stay " +
+      "exact") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqdef_t")
+    spark.sql("CREATE TABLE graft.pqdef_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqdef_t SELECT id FROM range(40)")
+    spark.sql("ALTER TABLE graft.pqdef_t " +
+      "ADD COLUMN r STRING DEFAULT 'x'")
+    spark.sql("INSERT INTO graft.pqdef_t SELECT id + 100, 'y' " +
+      "FROM range(10)")
+    // the narrow files' rows read the default executor-side (readFile
+    // fills absent slots) — and the pushed EqualTo must NOT zone-skip
+    // the narrow files (pre-guard, slot-beyond-width proved "skip")
+    assert(spark.table("graft.pqdef_t")
+      .where(col("r") === "x").count() == 40)
+    assert(spark.table("graft.pqdef_t")
+      .where(col("r").isNotNull).count() == 50)
+    // a pushed COUNT(col) must DECLINE the manifest-only answer (the
+    // manifest would count the 10 stored values, not the 40 defaults)
+    val df = spark.table("graft.pqdef_t")
+      .agg(org.apache.spark.sql.functions.count(col("r")).as("n"))
+    assert(df.collect()(0).getLong(0) == 50,
+      "COUNT(col) over an existence default served a manifest answer")
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("manifest-only"),
+      "manifest agg scan must decline when existence defaults exist")
+    spark.sql("DROP TABLE graft.pqdef_t")
+  }
+
   test("plain appends are TASK-written and manifest-committed: a " +
       "multi-partition insert lands one staged file per task, adopted " +
       "under the version directory — the driver never buffers a row") {

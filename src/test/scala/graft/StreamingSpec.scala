@@ -1223,6 +1223,62 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.stream_sink")
   }
 
+  test("writeStream.toTable into a PARQUET-backed table stages files " +
+      "task-side: per-epoch manifest-only commits with prefix reuse, " +
+      "exactly-once across a checkpointed restart") {
+    import graft.sources.GraftTableStore
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.pqsink")
+    spark.sql("CREATE TABLE graft.pqsink (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_pqsink_ckpt").toString
+    val in = MemoryStream[(Long, Double)]
+    def start() = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append)
+      .toTable("graft.pqsink")
+    val q1 = start()
+    try {
+      in.addData((1L, 1.0), (2L, 2.0))
+      q1.processAllAvailable()
+      in.addData((3L, 3.0))
+      q1.processAllAvailable()
+      val got = spark.table("graft.pqsink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+        s"sink content wrong: $got")
+      // every epoch commit is a MANIFEST commit of task-staged files
+      // (op stream-append, kind parquet) — no driver row funnel, and
+      // each epoch's manifest extends the previous one (prefix reuse:
+      // an epoch writes only its own files)
+      val hist = GraftTableStore.history("graft.pqsink")
+      assert(hist.nonEmpty &&
+        hist.forall(_._2 == "stream-append"), hist.toString)
+      assert(GraftTableStore.commitKind("graft.pqsink", 0) == "parquet")
+      val v0 = GraftTableStore.commitFiles("graft.pqsink", 0)
+      val v1 = GraftTableStore.commitFiles("graft.pqsink", 1)
+      assert(v0.nonEmpty && v1.startsWith(v0) && v1.length > v0.length,
+        "epoch commit must extend the previous manifest")
+      assert(spark.sql(
+        "SELECT * FROM graft.pqsink VERSION AS OF 0").count() == 2)
+    } finally q1.stop()
+    // restart on the same checkpoint: the WAL's last epoch re-commits;
+    // markEpoch swallows the replay and deletes the re-staged files
+    val q2 = start()
+    try {
+      in.addData((4L, 4.0))
+      q2.processAllAvailable()
+      val got = spark.table("graft.pqsink").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(got == Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)),
+        s"restart duplicated or lost rows: $got")
+    } finally q2.stop()
+    spark.sql("DROP TABLE graft.pqsink")
+  }
+
   test("table-to-table streaming pipeline: readStream one governed " +
       "table into another") {
     // the full warehouse loop with NO files and NO foreachBatch:
