@@ -236,6 +236,46 @@ object GraftApi {
     (fresh.length, n)
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg's headline ALTER — the one
+    * partitioning change a 100 TB table can actually afford): make
+    * `spec` the table's CURRENT partition spec WITHOUT rewriting a
+    * single stored file. Metadata-only: files already written keep
+    * their own spec id and keep pruning by THEIR spec at scan
+    * (per-spec manifest evaluation); only commits from now on lay out
+    * — and prune — under the new spec. While a live version still
+    * mixes specs the scan reports UnknownPartitioning (no
+    * storage-partitioned join across two key domains); a rewrite
+    * (INSERT OVERWRITE, OPTIMIZE ZORDER) retires the legacy files and
+    * the SPJ claim returns. `spec` is a comma-separated transform
+    * list: `"status"` / `"identity(status)"`, `"bucket(16, k)"`,
+    * `"days(ts)"`, `"truncate(1024, k)"`. */
+  def evolvePartitioning(spark: org.apache.spark.sql.SparkSession,
+      table: String, spec: String): Unit = {
+    import graft.sources.{GraftBucketPart, GraftDaysPart, GraftIdentityPart, GraftPartField, GraftTruncatePart}
+    val Bucket = """bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    val Trunc = """truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)""".r
+    val Days = """days\(\s*(\w+)\s*\)""".r
+    val Ident = """identity\(\s*(\w+)\s*\)""".r
+    val Bare = """(\w+)""".r
+    // split on commas OUTSIDE parentheses: `bucket(16, k), days(ts)`
+    // has both kinds
+    val fields: Array[GraftPartField] = spec
+      .split(""",(?![^(]*\))""").map(_.trim)
+      .filter(_.nonEmpty).map {
+        case Bucket(n, c) => GraftBucketPart(c, n.toInt)
+        case Trunc(w, c) => GraftTruncatePart(c, w.toInt)
+        case Days(c) => GraftDaysPart(c)
+        case Ident(c) => GraftIdentityPart(c)
+        case Bare(c) => GraftIdentityPart(c)
+        case other => throw new IllegalArgumentException(
+          s"unparseable partition transform: '$other' (supported: " +
+            "identity(c)/c, bucket(n, c), days(c), truncate(w, c))")
+      }
+    require(fields.nonEmpty, "partition spec must name at least one " +
+      "transform (dropping all partitioning is not supported)")
+    graft.sources.GraftMergeCatalog.evolvePartitioning(table, fields)
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
     * create `dst` as a new governed table whose v0 commit REFERENCES
     * `src`'s current published content — on a parquet-backed source

@@ -469,6 +469,40 @@ object LakeOps extends QueryModule {
         .orderBy("side", "o_orderstatus")
     }),
 
+    // PARTITION SPEC EVOLUTION (Iceberg's headline ALTER — the one
+    // partitioning change a 100 TB table can afford): switch the
+    // table from identity(o_orderpriority) to
+    // truncate(32768, o_orderkey) WITHOUT rewriting a file — the
+    // first batch's files keep pruning by the OLD spec, the second
+    // batch lays out (and prunes) under the new one, and the readout
+    // proves content exactness across the mixed-spec manifest.
+    // ParquetStoreSpec MEASURES both prune paths (legacy files by
+    // their own spec, new files by the new spec's hidden lift) and
+    // pins per-file spec ids + the SPJ claim returning after a
+    // rewrite retires the legacy files.
+    "sql_partition_evolve" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("pevo_src")
+      s.sql("DROP TABLE IF EXISTS graft.pevo_t")
+      s.sql("CREATE TABLE graft.pevo_t (o_orderkey BIGINT, " +
+        "o_orderpriority STRING, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE) PARTITIONED BY (o_orderpriority) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.pevo_t SELECT * FROM pevo_src")
+      graft.api.GraftApi.evolvePartitioning(s, "graft.pevo_t",
+        "truncate(32768, o_orderkey)")
+      s.sql("INSERT INTO graft.pevo_t SELECT o_orderkey + 90000000, " +
+        "o_orderpriority, o_orderstatus, o_totalprice FROM pevo_src")
+      s.table("graft.pevo_t")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // the `.refs` METADATA TABLE (Iceberg's `.refs`): every named ref
     // — branches (main included) and tags — with the absolute version
     // it pins, served O(refs) from the transaction log. The id builds
@@ -797,6 +831,14 @@ object LakeOps extends QueryModule {
         |    AS BIGINT) AS total_cents
         |FROM base WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
+    // both batches hold the full orders slice — the mixed-spec table
+    // must serve exactly double the base per priority
+    "sql_partition_evolve" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(*) * 2 AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 2 * 100
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // two commits → main at v1; the tag and branch both cut at v1
     "table_refs" ->
       """SELECT 'dev' AS ref_name, 'branch' AS ref_type,

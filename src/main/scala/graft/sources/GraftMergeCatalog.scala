@@ -899,6 +899,44 @@ object GraftMergeCatalog {
     * identifier in the SAME catalog. Store-side content is cloned
     * separately ([[GraftTableStore.cloneTable]]); [[GraftApi]] wires
     * the two. */
+  /** PARTITION SPEC EVOLUTION, registry side: swap the table's
+    * current spec (validated against its visible schema). The write
+    * path clusters and keys by the NEW spec from the next commit on;
+    * the parquet store records the spec history so files written
+    * under the old spec keep pruning by it ([[GraftParquetStore
+    * .evolveSpec]]). In-memory tables key rows at SCAN time, so for
+    * them the swap re-partitions retroactively (documented — a file
+    * format physically cannot). */
+  private[graft] def evolvePartitioning(table: String,
+      fields: Array[GraftPartField]): Unit = {
+    import org.apache.spark.sql.types._
+    val (k, t) = registry.find(_._2.name() == table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no such governed table: $table"))
+    val sch = GraftColumnMap.visible(t.physicalSchema)
+    fields.foreach { p =>
+      require(sch.fieldNames.contains(p.col),
+        s"partition column '${p.col}' is not in the table schema " +
+          s"(${sch.fieldNames.mkString(", ")})")
+      val dt = sch(p.col).dataType
+      val ok = p match {
+        case _: GraftIdentityPart => Seq[DataType](LongType,
+          IntegerType, StringType, DateType).contains(dt)
+        case _: GraftBucketPart =>
+          dt == LongType || dt == IntegerType
+        case _: GraftDaysPart =>
+          dt == TimestampType || dt == DateType
+        case _: GraftTruncatePart => Seq[DataType](LongType,
+          IntegerType, StringType).contains(dt)
+      }
+      require(ok, s"partition column '${p.col}' has unsupported " +
+        s"type ${dt.sql} for this transform")
+    }
+    registry.put(k, new GraftMergeTable(table, t.physicalSchema,
+      None, t.morRowId, fields))
+    GraftParquetStore.evolveSpec(table, fields)
+  }
+
   private[graft] def cloneDef(src: String, dst: String): Unit = {
     val (srcKey, srcT) = registry.find(_._2.name() == src).getOrElse(
       throw new IllegalArgumentException(
@@ -1283,6 +1321,35 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
               f.copy(name = s"${GraftColumnMap.DroppedPrefix}$i",
                 nullable = true)
             else f
+          })
+        // ALTER COLUMN ... SET/DROP DEFAULT: rewrites the CURRENT
+        // default only — future inserts that omit the column get the
+        // new value (or NULL again after DROP); the EXISTS default is
+        // deliberately untouched, so rows stored before the column
+        // keep reading what was promised when it was added (the
+        // Delta/Iceberg split between current and initial default).
+        case ud: TableChange.UpdateColumnDefaultValue =>
+          require(ud.fieldNames().length == 1,
+            "nested ALTER COLUMN not supported")
+          val c = ud.fieldNames()(0)
+          require(sch.fieldNames.contains(c), s"no such column: $c")
+          val curKey = org.apache.spark.sql.catalyst.util
+            .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+          StructType(sch.fields.map { f =>
+            if (f.name != c) f
+            else {
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+              val sqlStr = Option(ud.newCurrentDefault())
+                .map(_.getSql).filter(s => s != null && s.nonEmpty)
+              sqlStr match {
+                case Some(sqlS) =>
+                  f.copy(metadata =
+                    mb.putString(curKey, sqlS).build())
+                case None => // DROP DEFAULT
+                  f.copy(metadata = mb.remove(curKey).build())
+              }
+            }
           })
         case other => throw new UnsupportedOperationException(
           s"ALTER change not supported: $other")
@@ -2473,6 +2540,19 @@ class GraftScan(tableName: String, tableSchema: StructType,
             GraftFileGroup(null, Vector.empty, paddedExtras)
         (math.max(groups.length, 1), groups.toArray, fv)
       } else {
+        // PARTITION SPEC EVOLUTION (Iceberg's spec-id indirection):
+        // files written under an OLDER spec keep their own key domain
+        // — they prune by THEIR spec (legacyKeeps) and never join the
+        // current spec's key-grouped alignment; only current-spec
+        // files key-group, and outputPartitioning reports Unknown
+        // while any legacy file is live (SPJ needs one domain).
+        val specs = GraftParquetStore.meta(tableName).map(_.specs)
+          .getOrElse(Vector(partFields))
+        val curSpecId = specs.length - 1
+        val (curFiles, legacyFiles) =
+          liveFiles.partition(_.specId == curSpecId)
+        val legacyGroups = legacyFiles.filter(legacyKeeps(specs, _))
+          .map(f => GraftFileGroup(null, Vector(f), Array.empty))
         // one input partition per partition VALUE (key-grouped, SPJ-
         // aligned); identity-only predicates evaluate against a
         // synthetic row carrying the manifest key — no file opened
@@ -2482,7 +2562,7 @@ class GraftScan(tableName: String, tableSchema: StructType,
               GraftPartField.keyExpr(_, tableSchema)).toIndexedSeq)
           paddedExtras.groupBy(r => keyProj(r).copy(): InternalRow)
         }
-        val filesByKey = liveFiles.groupBy(_.key)
+        val filesByKey = curFiles.groupBy(_.key)
         val allKeys = (filesByKey.keySet ++ extrasByKey.keySet).toArray
           .sortBy(_.toString)
         def keyRow(key: InternalRow): InternalRow = {
@@ -2503,9 +2583,41 @@ class GraftScan(tableName: String, tableSchema: StructType,
             filesByKey.getOrElse(k, Vector.empty),
             extrasByKey.getOrElse(k, Array.empty))
         }
-        (allKeys.length, kept, fv)
+        (allKeys.length + legacyGroups.length,
+          kept ++ legacyGroups, fv)
       }
     }
+
+  /** may a file written under an older partition spec survive the
+    * pushed predicates? Evaluated in ITS OWN spec's key domain:
+    * identity predicates over that spec's columns check the synthetic
+    * key row, hidden-partitioning lifts of that spec's transforms
+    * check the raw key — the per-spec manifest evaluation Iceberg
+    * performs after a spec evolution. Conservative: anything the old
+    * spec cannot prove keeps the file (Spark re-applies every pushed
+    * filter above the scan). */
+  private def legacyKeeps(specs: Vector[Array[GraftPartField]],
+      f: GraftFileInfo): Boolean = {
+    val spec = specs(f.specId)
+    val hidden = pushedFilters.flatMap(
+      GraftPartField.hiddenPrune(spec, tableSchema, _))
+    if (!hidden.forall(_(f.key))) return false
+    val specIdent = spec.collect {
+      case GraftIdentityPart(c) => c
+    }.toSet
+    if (specIdent.isEmpty) return true
+    val synth = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(tableSchema.length)
+    spec.zipWithIndex.foreach {
+      case (GraftIdentityPart(c), i) =>
+        synth.update(tableSchema.fieldIndex(c),
+          f.key.get(i, GraftPartField.keyType(spec(i), tableSchema)))
+      case _ => ()
+    }
+    pushedFilters.filter(_.references.forall(specIdent.contains))
+      .flatMap(GraftFilterEval.compile(_, tableSchema))
+      .forall(_(synth))
+  }
 
   private def planFileModePartitions(total: Int,
       groups: Array[GraftFileGroup],
@@ -2696,12 +2808,25 @@ class GraftScan(tableName: String, tableSchema: StructType,
     // function over the SAME key domain — the handshake that lets a
     // hidden-partitioned join skip its shuffles
     if (partFields.nonEmpty &&
-        partitionCols.forall(outSchema.fieldNames.contains))
+        partitionCols.forall(outSchema.fieldNames.contains) &&
+        !hasLegacySpecFiles)
       new KeyGroupedPartitioning(
         partFields.map(GraftPartField.toSpjTransform(_)
           : org.apache.spark.sql.connector.expressions.Expression),
         numPlannedPartitions)
     else new UnknownPartitioning(numPlannedPartitions)
+
+  /** does the scanned version still hold files written under an older
+    * partition spec? Their keys live in a DIFFERENT domain, so the
+    * scan must not claim KeyGroupedPartitioning (an SPJ alignment
+    * over mixed domains would mis-join); the claim returns as soon as
+    * a rewrite (OPTIMIZE / overwrite) retires the legacy files. */
+  private lazy val hasLegacySpecFiles: Boolean =
+    GraftTableStore.fileView(tableName, pinnedVersion).exists { fv =>
+      val cur = GraftParquetStore.meta(tableName)
+        .map(_.curSpecId).getOrElse(0)
+      fv.files.exists(_.specId != cur)
+    }
 
   // ---- runtime filtering (SupportsRuntimeV2Filtering) ---------------
   //
@@ -3599,10 +3724,18 @@ class GraftFilesTable(base: GraftMergeTable)
               "a non-parquet path?"))
         val keyTypes = base.partFields.map(
           GraftPartField.keyType(_, base.physicalSchema))
+        val curSpecId = GraftParquetStore.meta(base.name())
+          .map(_.curSpecId).getOrElse(0)
         val rows = fv.files.sortBy(_.path).map { f =>
           val vals = new Array[Any](keyTypes.length + 5)
+          // a file written under an OLDER partition spec has its key
+          // in a different domain — its current-spec key columns read
+          // NULL (the honest answer; Iceberg's .files carries the
+          // per-spec tuple for the same reason)
           keyTypes.indices.foreach(i =>
-            vals(i) = f.key.get(i, keyTypes(i)))
+            vals(i) =
+              if (f.specId == curSpecId) f.key.get(i, keyTypes(i))
+              else null)
           vals(keyTypes.length) = UTF8String.fromString(f.path)
           vals(keyTypes.length + 1) = f.rows.toLong
           vals(keyTypes.length + 2) = f.bytes

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class GraftFileInfo(path: String, key: InternalRow,
     rows: Int, bytes: Long, numCols: Int,
     stats: Map[Int, GraftColStats] = Map.empty,
-    blooms: Map[Int, GraftBloom] = Map.empty)
+    blooms: Map[Int, GraftBloom] = Map.empty,
+    specId: Int = 0)
 
 /** Zone-map statistics of one column of one file (physical ordinal →
   * stats in the manifest): min/max over non-null values in the
@@ -142,7 +143,16 @@ object GraftParquetStore {
     * what the commit-time writer needs to lay out files. */
   final case class Meta(dir: String, schema: StructType,
       partFields: Array[GraftPartField],
-      bloomOrds: Array[Int] = Array.empty)
+      bloomOrds: Array[Int] = Array.empty,
+      specHistory: Vector[Array[GraftPartField]] = Vector.empty) {
+    /** every partition spec this table has ever had, oldest first —
+      * the CURRENT spec is last; a file's `specId` indexes here
+      * (Iceberg's spec-id indirection). Tables that never evolved
+      * have the one-spec history. */
+    def specs: Vector[Array[GraftPartField]] =
+      if (specHistory.isEmpty) Vector(partFields) else specHistory
+    def curSpecId: Int = specs.length - 1
+  }
 
   private val metas = new TrieMap[String, Meta]()
 
@@ -179,6 +189,18 @@ object GraftParquetStore {
 
   def isBacked(name: String): Boolean = metas.contains(name)
   def meta(name: String): Option[Meta] = metas.get(name)
+
+  /** PARTITION SPEC EVOLUTION (Iceberg's headline ALTER): make
+    * `newFields` the table's CURRENT spec. Metadata-only — zero files
+    * touched: files already written keep their own spec id and prune
+    * by it at scan; only FUTURE commits lay out under the new spec. */
+  def evolveSpec(name: String,
+      newFields: Array[GraftPartField]): Unit =
+    metas.get(name).foreach { m =>
+      metas.put(name, m.copy(partFields = newFields,
+        specHistory = m.specs :+ newFields))
+      ()
+    }
 
   /** register `dst` with `src`'s CURRENT registration but its OWN
     * directory — the shallow-clone shape: the clone's v0 manifest
@@ -341,7 +363,7 @@ object GraftParquetStore {
       rs.grouped(per).zipWithIndex.map { case (chunk, ci) =>
         val f = new java.io.File(vdir, f"f$seq%04d-c$ci%02d.parquet")
         val h = new GraftFileHandle(m.schema, width,
-          f.getAbsolutePath, key, m.bloomOrds)
+          f.getAbsolutePath, key, m.bloomOrds, m.curSpecId)
         chunk.foreach(h.add)
         h.close()
       }
@@ -353,7 +375,7 @@ object GraftParquetStore {
     * buffering), zone-map statistics accumulate as they pass. */
   private[sources] final class GraftFileHandle(schema: StructType,
       width: Int, path: String, key: InternalRow,
-      bloomOrds: Array[Int] = Array.empty) {
+      bloomOrds: Array[Int] = Array.empty, specId: Int = 0) {
     private val mt = messageType(schema, width)
     // shared conf + small initial buffers: a partitioned commit opens
     // one writer per partition key, and writer INIT cost (not data
@@ -437,7 +459,7 @@ object GraftParquetStore {
         o -> GraftBloom.build(hs)
       }.toMap
       GraftFileInfo(path, key, n,
-        new java.io.File(path).length(), width, st, bf)
+        new java.io.File(path).length(), width, st, bf, specId)
     }
     def abort(): Unit = {
       try w.close() catch { case _: Throwable => () }
@@ -796,7 +818,7 @@ case class GraftParquetAppendWriterFactory(
         new GraftParquetStore.GraftFileHandle(meta.schema, width,
           new java.io.File(stageDir,
             f"p$partitionId%05d-k${open.size}%03d.parquet")
-            .getAbsolutePath, key, meta.bloomOrds))
+            .getAbsolutePath, key, meta.bloomOrds, meta.curSpecId))
       h.add(phys)
     }
     override def commit(): WriterCommitMessage =

@@ -103,6 +103,24 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.def_t (k) VALUES (400)")
     assert(spark.table("graft.def_t").where(col("k") === 400)
       .collect()(0).getString(1) == "x")
+    // SET DEFAULT rewrites the CURRENT default only: new omitted
+    // inserts get 'z', rows already reading the EXISTS default keep
+    // the original 'x' (the current-vs-initial split)
+    spark.sql("ALTER TABLE graft.def_t ALTER COLUMN reg SET DEFAULT 'z'")
+    spark.sql("INSERT INTO graft.def_t (k) VALUES (500)")
+    assert(spark.table("graft.def_t").where(col("k") === 500)
+      .collect()(0).getString(1) == "z")
+    assert(spark.table("graft.def_t")
+      .where(col("reg") === "x").count() == 7,
+      "SET DEFAULT must not rewrite the existence default")
+    // DROP DEFAULT: future omitted inserts go back to NULL
+    spark.sql("ALTER TABLE graft.def_t ALTER COLUMN reg DROP DEFAULT")
+    spark.sql("INSERT INTO graft.def_t (k) VALUES (600)")
+    assert(spark.table("graft.def_t")
+      .where(col("k") === 600 && col("reg").isNull).count() == 1)
+    assert(spark.table("graft.def_t")
+      .where(col("reg") === "x").count() == 7,
+      "DROP DEFAULT must not rewrite the existence default")
     spark.sql("DROP TABLE graft.def_t")
   }
 

@@ -274,6 +274,71 @@ class ParquetStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pqdef_t")
   }
 
+  test("PARTITION SPEC EVOLUTION: legacy files prune by THEIR spec, " +
+      "new files by the new spec, content stays exact across the " +
+      "mixed manifest, and a rewrite retires the legacy spec") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pse_t")
+    spark.sql("CREATE TABLE graft.pse_t (k BIGINT, p STRING, " +
+      "v DOUBLE) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    // batch 1 under identity(p): 3 partitions, k in [0, 90)
+    spark.sql("INSERT INTO graft.pse_t SELECT id, " +
+      "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B' " +
+      "ELSE 'C' END, CAST(id AS DOUBLE) FROM range(90)")
+    val v0 = GraftTableStore.commitFiles("graft.pse_t", 0)
+    assert(v0.nonEmpty && v0.forall(_.specId == 0))
+    graft.api.GraftApi.evolvePartitioning(spark, "graft.pse_t",
+      "truncate(1000, k)")
+    // batch 2 under truncate(1000, k): k in [100000, 104000) → 4 ranges
+    spark.sql("INSERT INTO graft.pse_t SELECT id + 100000, " +
+      "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'A' WHEN 1 THEN 'B' " +
+      "ELSE 'C' END, CAST(id AS DOUBLE) FROM range(4000)")
+    val v1 = GraftTableStore.commitFiles("graft.pse_t", 1)
+    val newFiles = v1.drop(v0.length)
+    assert(newFiles.nonEmpty && newFiles.forall(_.specId == 1),
+      "files written after the evolution must carry the new spec id")
+    // content exactness across the mixed-spec manifest
+    assert(spark.table("graft.pse_t").count() == 4090)
+    // MEASURED legacy prune: p = 'B' drops the other identity
+    // partitions' LEGACY files by their own spec; every new-spec file
+    // holds all three p values (no zone skip), so filesRead =
+    // legacy(B) + all new files
+    val legacyB = v0.count(f =>
+      f.key.getUTF8String(0).toString == "B")
+    assert(spark.table("graft.pse_t")
+      .where(col("p") === "B").count() == 30 + 1333)
+    val m1 = GraftScanMetrics.lastScan.get("graft.pse_t").get
+    assert(m1.filesRead == legacyB + newFiles.length,
+      s"legacy per-spec pruning off: read ${m1.filesRead}, " +
+        s"expected ${legacyB + newFiles.length} of ${m1.filesTotal}")
+    // MEASURED new-spec prune: a k range inside ONE truncate range
+    // keeps only that range's new files; every legacy file dies by
+    // zone maps (their k max < 100000)
+    assert(spark.table("graft.pse_t")
+      .where(col("k") >= 101000L && col("k") < 101500L)
+      .count() == 500)
+    val m2 = GraftScanMetrics.lastScan.get("graft.pse_t").get
+    assert(m2.filesRead < m2.filesTotal &&
+      m2.filesRead <= newFiles.length,
+      s"new-spec hidden pruning off: ${m2.filesRead}/${m2.filesTotal}")
+    // a REWRITE under the current spec retires the legacy files:
+    // INSERT OVERWRITE rewrites everything with new-spec keys
+    // (staged through a scratch parquet — a table cannot be
+    // overwritten from its own live scan)
+    val tmp = java.nio.file.Files.createTempDirectory("pse_rw").toString
+    spark.table("graft.pse_t").write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).createOrReplaceTempView("pse_staged")
+    spark.sql("INSERT OVERWRITE graft.pse_t " +
+      "SELECT k, p, v FROM pse_staged")
+    val v3 = GraftTableStore.commitFiles("graft.pse_t",
+      GraftTableStore.commitCount("graft.pse_t") - 1)
+    assert(v3.nonEmpty && v3.forall(_.specId == 1),
+      "the overwrite must lay every file out under the current spec")
+    assert(spark.table("graft.pse_t").count() == 4090)
+    spark.sql("DROP TABLE graft.pse_t")
+  }
+
   test("plain appends are TASK-written and manifest-committed: a " +
       "multi-partition insert lands one staged file per task, adopted " +
       "under the version directory — the driver never buffers a row") {
