@@ -440,6 +440,41 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // CHECK CONSTRAINTS (Delta's CHECK constraints; ANSI table
+    // constraints through Spark 4's SUPPORT_TABLE_CONSTRAINT): the
+    // catalog stores enforced CHECK constraints in table metadata and
+    // Spark does the heavy lifting engine-side — existing rows are
+    // VALIDATED when the constraint is added (a backfill-violating
+    // ADD CONSTRAINT refuses with NEW_CHECK_CONSTRAINT_VIOLATION),
+    // and every later write rejects violating rows WHOLE
+    // (CHECK_CONSTRAINT_VIOLATION) — the write-side data-quality gate
+    // a governed lake table runs, vs validate_constraints' read-side
+    // audit. The readout carries both refusal flags; DROP CONSTRAINT
+    // and clone inheritance are pinned in CatalogSpec.
+    "sql_check_constraint" -> ((s, d) => {
+      seedSnapshotTable(s, d, "cons_target")
+      s.sql("ALTER TABLE graft.cons_target ADD CONSTRAINT bal_floor " +
+        "CHECK (c_acctbal > -2000.0)")
+      val writeRejected = try {
+        s.sql("INSERT INTO graft.cons_target VALUES " +
+          "(9999999, 'bad', -99999.0)")
+        false
+      } catch { case _: Throwable => true }
+      val backfillRefused = try {
+        // existing customers carry negative balances — this MUST fail
+        s.sql("ALTER TABLE graft.cons_target ADD CONSTRAINT " +
+          "impossible CHECK (c_acctbal > 0)")
+        false
+      } catch { case _: Throwable => true }
+      s.table("graft.cons_target")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(graft.Det.dec2(col("c_acctbal"))) * 100).cast("long")
+            .as("bal_cents"))
+        .withColumn("write_rejected", lit(writeRejected))
+        .withColumn("backfill_refused", lit(backfillRefused))
+    }),
+
     // COLUMN DEFAULT VALUES (Delta's allowColumnDefaults; Iceberg's
     // initial-default): ADD COLUMN ... DEFAULT is metadata-only —
     // rows stored BEFORE the column read the EXISTS default at scan
@@ -746,6 +781,14 @@ object MergeOps extends QueryModule {
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // both refusals fire: the violating insert never lands, the
+    // backfill-violating constraint never attaches
+    "sql_check_constraint" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents,
+        |  TRUE AS write_rejected, TRUE AS backfill_refused
+        |FROM customer""".stripMargin,
     // pre-ADD rows read the EXISTS default, the omitted-column batch
     // the CURRENT default, explicit values (incl. NULL) win
     "sql_alter_default" ->

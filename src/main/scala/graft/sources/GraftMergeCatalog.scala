@@ -933,7 +933,7 @@ object GraftMergeCatalog {
         s"type ${dt.sql} for this transform")
     }
     registry.put(k, new GraftMergeTable(table, t.physicalSchema,
-      None, t.morRowId, fields))
+      None, t.morRowId, fields, t.tableConstraints))
     GraftParquetStore.evolveSpec(table, fields)
   }
 
@@ -949,7 +949,7 @@ object GraftMergeCatalog {
       Identifier.of(parts.drop(1).dropRight(1), parts.last))
     require(!registry.contains(dstKey), s"table $dst already exists")
     registry.put(dstKey, new GraftMergeTable(dst, srcT.physicalSchema,
-      None, srcT.morRowId, srcT.partFields))
+      None, srcT.morRowId, srcT.partFields, srcT.tableConstraints))
     ()
   }
 }
@@ -971,10 +971,18 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
   // EXISTS default: rows written before the column existed read it at
   // scan time ([[GraftDefaults]]; stored rows untouched, metadata-only
   // like every other evolution here)
+  // SUPPORT_TABLE_CONSTRAINT: CHECK constraints (Delta's CHECK; the
+  // ANSI information-schema surface) — the analyzer validates
+  // EXISTING rows when an enforced constraint is added and rejects
+  // violating writes afterwards; the catalog's job is to store and
+  // serve them ([[GraftMergeTable.constraints]]).
   override def capabilities(): util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
@@ -1256,7 +1264,37 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       changes: TableChange*): Table = {
     val t = registry.getOrElse(key(ident),
       throw new NoSuchTableException(ident))
-    val newSchema = changes.foldLeft(t.physicalSchema) { (sch, ch) =>
+    // CHECK constraints (ADD/DROP CONSTRAINT): a parallel fold —
+    // Spark has already VALIDATED existing rows by the time an
+    // enforced AddConstraint reaches the catalog, and enforces the
+    // stored constraints on every later write; storing them is the
+    // catalog's whole job (the lake-format metadata shape).
+    val (consChanges, schemaChanges) = changes.partition {
+      case _: TableChange.AddConstraint |
+          _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    val newCons = consChanges.foldLeft(t.tableConstraints) {
+      (cs, ch) => ch match {
+        case ac: TableChange.AddConstraint =>
+          val c = ac.constraint()
+          require(c.isInstanceOf[
+            org.apache.spark.sql.connector.catalog.constraints.Check],
+            s"only CHECK constraints are supported, got: ${c.toDDL}")
+          require(!cs.exists(_.name() == c.name()),
+            s"constraint '${c.name()}' already exists on ${t.name()}")
+          cs :+ c
+        case dc: TableChange.DropConstraint =>
+          if (!cs.exists(_.name() == dc.name())) {
+            require(dc.ifExists(),
+              s"no such constraint '${dc.name()}' on ${t.name()}")
+            cs
+          } else cs.filterNot(_.name() == dc.name())
+        case other => throw new IllegalStateException(
+          s"not a constraint change: $other")
+      }
+    }
+    val newSchema = schemaChanges.foldLeft(t.physicalSchema) { (sch, ch) =>
       ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1,
@@ -1367,7 +1405,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
         case GraftBucketPart(c, n) => GraftBucketPart(renamed(c), n)
         case GraftDaysPart(c) => GraftDaysPart(renamed(c))
         case GraftTruncatePart(c, w) => GraftTruncatePart(renamed(c), w)
-      })
+      }, newCons)
     // a file-backed table's writer registration follows the evolution;
     // files already on disk never change (position-named columns make
     // them rename- and drop-proof)
@@ -1907,10 +1945,22 @@ object GraftPartField {
 class GraftMergeTable(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int] = None,
     private[sources] val morRowId: Option[String] = None,
-    private[sources] val partFields: Array[GraftPartField] = Array.empty)
+    private[sources] val partFields: Array[GraftPartField] = Array.empty,
+    private[sources] val tableConstraints: Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** CHECK constraints (SUPPORT_TABLE_CONSTRAINT): stored here as a
+    * lake format stores them in table metadata; Spark's analyzer
+    * VALIDATES existing rows when an enforced constraint is added and
+    * rejects violating writes from then on — the catalog only has to
+    * serve them faithfully. */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableConstraints
 
   /** `tableSchema` is the PHYSICAL schema (column mapping — tombstoned
     * slots included); everything row-layout-facing (scans, filter
@@ -2179,8 +2229,15 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
     // manifest stats alone can no longer answer COUNT(col)/MIN/MAX
     // exactly — decline and take the exact file-scan path
     if (GraftDefaults.hasAny(tableSchema)) return false
+    // after a PARTITION SPEC EVOLUTION, legacy files' manifest keys
+    // live in a different domain — grouping them by the current
+    // spec's key slots would serve WRONG grouped answers; decline
+    // until a rewrite retires them
+    val curSpec = GraftParquetStore.meta(tableName)
+      .map(_.curSpecId).getOrElse(0)
     GraftTableStore.fileView(tableName, pinnedVersion).exists { fv =>
       fv.deletedIds.isEmpty && fv.extras.isEmpty &&
+        fv.files.forall(_.specId == curSpec) &&
         a.groupByExpressions().forall(flatOrd(_).exists(i =>
           identCols.contains(tableSchema.fieldNames(i)))) &&
         a.aggregateExpressions().forall {
@@ -3085,11 +3142,16 @@ class GraftManifestAggScan(tableName: String, tableSchema: StructType,
       s"${agg.groupByExpressions().mkString(",")}], manifest-only]"
 
   override def planInputPartitions(): Array[InputPartition] = {
+    val curSpec = GraftParquetStore.meta(tableName)
+      .map(_.curSpecId).getOrElse(0)
     val fv = GraftTableStore.fileView(tableName, pinnedVersion)
-      .filter(v => v.deletedIds.isEmpty && v.extras.isEmpty)
+      .filter(v => v.deletedIds.isEmpty && v.extras.isEmpty &&
+        // a spec evolution between push and plan would misgroup
+        // legacy keys — same re-check as the push gate
+        v.files.forall(_.specId == curSpec))
     fv match {
       case None =>
-        // a delta landed after push — compute exactly instead
+        // a delta (or spec change) landed after push — compute exactly
         new GraftAggScan(tableName, tableSchema, pinnedVersion, agg)
           .planInputPartitions()
       case Some(v) => planFromManifest(v.files)

@@ -124,6 +124,45 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.def_t")
   }
 
+  test("CHECK constraints: violating writes reject whole, a backfill-" +
+      "violating ADD refuses, DROP restores, clones inherit") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.ck_t")
+    spark.sql("DROP TABLE IF EXISTS graft.ck_clone")
+    spark.sql("CREATE TABLE graft.ck_t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.ck_t VALUES (1, 5.0), (2, 7.0)")
+    spark.sql("ALTER TABLE graft.ck_t ADD CONSTRAINT v_pos " +
+      "CHECK (v > 0)")
+    // violating write rejected WHOLE — nothing lands
+    intercept[Throwable] {
+      spark.sql("INSERT INTO graft.ck_t VALUES (3, -1.0)")
+    }
+    assert(spark.table("graft.ck_t").count() == 2)
+    spark.sql("INSERT INTO graft.ck_t VALUES (4, 9.0)") // valid passes
+    assert(spark.table("graft.ck_t").count() == 3)
+    // a constraint EXISTING rows violate must refuse to attach
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ck_t ADD CONSTRAINT k_small " +
+        "CHECK (k < 2)")
+    }
+    // a shallow clone inherits the constraint
+    graft.api.GraftApi.cloneTable(spark, "graft.ck_t", "graft.ck_clone")
+    intercept[Throwable] {
+      spark.sql("INSERT INTO graft.ck_clone VALUES (9, -3.0)")
+    }
+    assert(spark.table("graft.ck_clone").count() == 3)
+    // DROP CONSTRAINT: the same write now lands
+    spark.sql("ALTER TABLE graft.ck_t DROP CONSTRAINT v_pos")
+    spark.sql("INSERT INTO graft.ck_t VALUES (5, -2.0)")
+    assert(spark.table("graft.ck_t").count() == 4)
+    // dropping an unknown constraint without IF EXISTS is loud
+    intercept[Throwable] {
+      spark.sql("ALTER TABLE graft.ck_t DROP CONSTRAINT nope")
+    }
+    spark.sql("DROP TABLE graft.ck_t")
+    spark.sql("DROP TABLE graft.ck_clone")
+  }
+
   test("version history is retention-capped with stable absolute numbers") {
     val name = "graft.cap_test_store"
     GraftTableStore.reset(name)

@@ -339,6 +339,34 @@ class ParquetStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pse_t")
   }
 
+  test("manifest aggregates DECLINE while partition specs mix: legacy " +
+      "keys live in another domain, the grouped answer must come from " +
+      "the exact file scan") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.psagg_t")
+    spark.sql("CREATE TABLE graft.psagg_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (truncate(1000, k)) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.psagg_t SELECT id, " +
+      "CASE CAST(id % 2 AS INT) WHEN 0 THEN 'A' ELSE 'B' END " +
+      "FROM range(2000)")
+    graft.api.GraftApi.evolvePartitioning(spark, "graft.psagg_t",
+      "identity(p)")
+    spark.sql("INSERT INTO graft.psagg_t SELECT id + 10000, 'A' " +
+      "FROM range(10)")
+    // p IS an identity partition column of the CURRENT spec — without
+    // the spec gate the manifest scan would group the legacy files'
+    // truncate keys as if they were p values
+    val df = spark.table("graft.psagg_t").groupBy("p")
+      .agg(org.apache.spark.sql.functions.count(col("k")).as("n"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("A" -> 1010L, "B" -> 1000L), got.toString)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("manifest-only"),
+      "manifest agg must decline while specs mix")
+    spark.sql("DROP TABLE graft.psagg_t")
+  }
+
   test("plain appends are TASK-written and manifest-committed: a " +
       "multi-partition insert lands one staged file per task, adopted " +
       "under the version directory — the driver never buffers a row") {
