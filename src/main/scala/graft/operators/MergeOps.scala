@@ -475,6 +475,73 @@ object MergeOps extends QueryModule {
         .withColumn("backfill_refused", lit(backfillRefused))
     }),
 
+    // GENERATED COLUMNS (Delta's generated columns; Spark 4's
+    // SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS — the capability
+    // gates the DDL, the SOURCE computes): `price_cents BIGINT
+    // GENERATED ALWAYS AS (...)` is analyzed ONCE at CREATE (loud
+    // failure on a bad formula), bound to physical ordinals, and
+    // RECOMPUTED for every written row on both write paths (row
+    // commit and task-side parquet files) — ALWAYS semantics: the
+    // stored value can never drift from the formula, UPDATEs included
+    // (CatalogSpec pins recompute-on-update and the formula-type
+    // guard). The floor form keeps the double→BIGINT boundary
+    // engine-exact.
+    "sql_generated_col" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("gen_src")
+      s.sql("DROP TABLE IF EXISTS graft.gen_orders")
+      s.sql("CREATE TABLE graft.gen_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE, " +
+        "price_cents BIGINT GENERATED ALWAYS AS " +
+        "(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.gen_orders " +
+        "(o_orderkey, o_orderstatus, o_totalprice) " +
+        "SELECT * FROM gen_src")
+      s.table("graft.gen_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price_cents")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // IDENTITY COLUMNS (Delta identity; Spark 4's
+    // SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS): `row_id BIGINT
+    // GENERATED ALWAYS AS IDENTITY` draws values from a table-level
+    // high-water mark at COMMIT time — sequential 1..N for a single
+    // commit, so the readout is fully deterministic; an EXPLICIT
+    // value on a plain append refuses under ALWAYS (the flag), and
+    // identity tables keep the row-commit path (identity is a
+    // coordination point — a real format reserves per-transaction
+    // ranges from its log).
+    "sql_identity_col" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("idc_src")
+      s.sql("DROP TABLE IF EXISTS graft.idc_orders")
+      s.sql("CREATE TABLE graft.idc_orders (row_id BIGINT " +
+        "GENERATED ALWAYS AS IDENTITY, o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE)")
+      s.sql("INSERT INTO graft.idc_orders (o_orderkey, o_totalprice) " +
+        "SELECT * FROM idc_src")
+      val explicitRefused = try {
+        s.sql("INSERT INTO graft.idc_orders VALUES (0, 1, 1.0)")
+        false
+      } catch { case _: Throwable => true }
+      s.table("graft.idc_orders")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min(col("row_id")).as("min_id"),
+          max(col("row_id")).as("max_id"))
+        .withColumn("explicit_refused", lit(explicitRefused))
+    }),
+
     // COLUMN DEFAULT VALUES (Delta's allowColumnDefaults; Iceberg's
     // initial-default): ADD COLUMN ... DEFAULT is metadata-only —
     // rows stored BEFORE the column read the EXISTS default at scan
@@ -781,6 +848,19 @@ object MergeOps extends QueryModule {
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // the stored generated value IS the formula over the source rows
+    "sql_generated_col" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one commit assigns 1..N whatever the task order; the explicit
+    // insert refuses under GENERATED ALWAYS
+    "sql_identity_col" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id,
+        |  COUNT(*) AS max_id, TRUE AS explicit_refused
+        |FROM orders""".stripMargin,
     // both refusals fire: the violating insert never lands, the
     // backfill-violating constraint never attaches
     "sql_check_constraint" ->

@@ -174,8 +174,22 @@ object GraftTableStore {
     // churn cannot grow the ledger without bound
     lastEpochs.keySet().removeIf(_._1 == name)
     ingestedFiles.remove(name)
+    identityHwm.remove(name)
     ()
   }
+
+  /** IDENTITY COLUMN high-water marks (GENERATED ... AS IDENTITY):
+    * one atomic counter per table, seeded from the declared START at
+    * first use — the commit path reserves values from it under no
+    * additional lock (AtomicLong). In-JVM like the rest of the store;
+    * a real format reserves per-transaction ranges from its log. */
+  private val identityHwm =
+    new TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private[sources] def reserveIdentity(name: String, start: Long,
+      step: Long): Long =
+    identityHwm.getOrElseUpdate(name,
+      new java.util.concurrent.atomic.AtomicLong(start))
+      .getAndAdd(step)
 
   /** COPY INTO file ledger: source paths already loaded into each
     * table — what makes re-running an ingest IDEMPOTENT (Delta's COPY
@@ -982,7 +996,11 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORT_TABLE_CONSTRAINT)
+        .SUPPORT_TABLE_CONSTRAINT,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
@@ -1095,13 +1113,50 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       partFields = t.partFields)
   }
 
-  override def createTable(ident: Identifier, info: TableInfo): Table =
-    createTable(ident, info.schema(), info.partitions(),
-      info.properties())
+  // the TableInfo entry is the one that carries what the deprecated
+  // schema path cannot: CREATE-time CHECK constraints, GENERATED
+  // ALWAYS AS (expr) expressions and IDENTITY specs — harvest them
+  // into field metadata / the table's constraint set
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    val cols = info.columns()
+    val enriched = StructType(info.schema().fields.zipWithIndex.map {
+      case (f, i) =>
+        val c = cols(i)
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        var touched = false
+        if (c.generationExpression() != null) {
+          mb.putString(GraftGenerated.GenKey, c.generationExpression())
+          touched = true
+        }
+        Option(c.identityColumnSpec()).foreach { s =>
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column '${f.name}' must be BIGINT, got " +
+              f.dataType.sql)
+          mb.putLong(GraftGenerated.IdStartKey, s.getStart)
+          mb.putLong(GraftGenerated.IdStepKey, s.getStep)
+          mb.putBoolean(GraftGenerated.IdExplicitKey,
+            s.isAllowExplicitInsert)
+          touched = true
+        }
+        if (touched) f.copy(metadata = mb.build()) else f
+    })
+    createTableWith(ident, enriched, info.partitions(),
+      info.properties(), info.constraints())
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+      properties: util.Map[String, String]): Table =
+    createTableWith(ident, schema, partitions, properties,
+      Array.empty)
+
+  private def createTableWith(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      consArr: Array[
+        org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Table = {
     if (registry.contains(key(ident)))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
@@ -1242,8 +1297,23 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft.store mode '$other' (supported: parquet, memory)")
     }
+    // generated/identity guards: the formulas must analyze NOW (loud
+    // CREATE failure beats a broken first INSERT), constraints must
+    // be CHECK, and the MoR delta writers do not recompute formulas —
+    // refuse the combination rather than let UPDATEs drift
+    if (GraftGenerated.hasGenerated(tblSchema) ||
+        GraftGenerated.identityOf(tblSchema).isDefined) {
+      require(morRowId.isEmpty,
+        "generated/identity columns are not supported on " +
+          "merge-on-read tables (the delta write path does not " +
+          "recompute formulas)")
+      GraftGenerated.boundGenerators(tblSchema)
+    }
+    consArr.foreach(c => require(c.isInstanceOf[
+      org.apache.spark.sql.connector.catalog.constraints.Check],
+      s"only CHECK constraints are supported, got: ${c.toDDL}"))
     val t = new GraftMergeTable(storeName, tblSchema, None, morRowId,
-      partFields)
+      partFields, consArr)
     registry.put(key(ident), t)
     t
   }
@@ -3400,6 +3470,91 @@ object GraftDefaults {
     existsDefaults(schema)(ord) != null
 }
 
+/** GENERATED COLUMNS + IDENTITY COLUMNS (Spark 4's
+  * SUPPORTS_CREATE_TABLE_WITH_{GENERATED,IDENTITY}_COLUMNS — the
+  * capabilities gate the DDL, the SOURCE computes the values):
+  *  - `c T GENERATED ALWAYS AS (expr)` rides as field metadata; the
+  *    WRITE projects the analyzed, ordinal-bound expression over each
+  *    incoming row, so the stored value can never drift from the
+  *    formula (whatever the writer supplied is recomputed — ALWAYS
+  *    semantics; the row-level replace path recomputes too, keeping
+  *    UPDATEs consistent).
+  *  - `id BIGINT GENERATED ALWAYS AS IDENTITY` reserves values from a
+  *    table-level high-water mark at COMMIT time — identity is a
+  *    coordination point by nature, so identity tables keep the
+  *    row-message commit path (a real format reserves per-transaction
+  *    ranges from its log; same shape, simplest form).
+  * Expressions are analyzed ONCE driver-side with the session
+  * analyzer (type coercion included) and bound to physical ordinals —
+  * tasks just run an UnsafeProjection. */
+object GraftGenerated {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference, Expression}
+  import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+  import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+
+  val GenKey = "graft.generated"
+  val IdStartKey = "graft.identity.start"
+  val IdStepKey = "graft.identity.step"
+  val IdExplicitKey = "graft.identity.explicit"
+
+  final case class IdentitySpec(ord: Int, start: Long, step: Long,
+      allowExplicit: Boolean)
+
+  def identityOf(schema: StructType): Option[IdentitySpec] =
+    schema.fields.zipWithIndex.collectFirst {
+      case (f, i) if f.metadata.contains(IdStartKey) =>
+        IdentitySpec(i, f.metadata.getLong(IdStartKey),
+          f.metadata.getLong(IdStepKey),
+          f.metadata.getBoolean(IdExplicitKey))
+    }
+
+  def hasGenerated(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(GenKey))
+
+  /** analyzed generation expressions bound to PHYSICAL ordinals —
+    * driver-side (needs the session analyzer); the result is
+    * serializable Catalyst expressions tasks project directly.
+    * Validates at CREATE: the expression must analyze against the
+    * table's columns, produce EXACTLY the declared type, and must not
+    * read another generated column. */
+  def boundGenerators(schema: StructType): Array[(Int, Expression)] = {
+    val genOrds = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.metadata.contains(GenKey) => i
+    }.toSet
+    if (genOrds.isEmpty) return Array.empty
+    val spark = org.apache.spark.sql.SparkSession.active
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val byId = attrs.map(_.exprId).zipWithIndex.toMap
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.metadata.contains(GenKey) =>
+        val sql = f.metadata.getString(GenKey)
+        val plan = Project(Seq(Alias(
+          CatalystSqlParser.parseExpression(sql), f.name)()),
+          LocalRelation(attrs))
+        val analyzed = spark.sessionState.analyzer.execute(plan)
+        val expr = analyzed.asInstanceOf[Project].projectList.head
+          .asInstanceOf[Alias].child
+        require(expr.dataType == f.dataType,
+          s"generation expression of '${f.name}' produces " +
+            s"${expr.dataType.sql}, column is ${f.dataType.sql} — " +
+            "add an explicit CAST in the expression")
+        val bound = expr.transformUp {
+          case a: AttributeReference =>
+            val ord = byId.getOrElse(a.exprId,
+              throw new IllegalArgumentException(
+                s"generation expression of '${f.name}' references " +
+                  s"an unresolvable column: ${a.name}"))
+            require(!genOrds.contains(ord),
+              s"generation expression of '${f.name}' reads another " +
+                s"generated column ('${schema(ord).name}')")
+            BoundReference(ord, a.dataType, a.nullable)
+        }
+        i -> bound
+    }
+  }
+}
+
 object GraftChangeFeed {
   import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
@@ -4036,14 +4191,49 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
       * commit must evaluate predicates against base rows anyway. */
     private def taskFileAppend: Option[GraftParquetStore.Meta] =
       if (replace || doTruncate || dynamicOverwrite ||
-          overwriteFilters.isDefined) None
+          overwriteFilters.isDefined ||
+          // IDENTITY columns assign from the table's high-water mark
+          // at COMMIT time (a coordination point by nature) — keep
+          // the row-message path; generated columns stay on the task
+          // file path (pure row functions)
+          GraftGenerated.identityOf(physSchema).isDefined) None
       else GraftParquetStore.meta(tableName)
+    // analyzed ONCE driver-side (needs the session analyzer); the
+    // bound expressions serialize to the write tasks
+    private lazy val genExprs = GraftGenerated.boundGenerators(physSchema)
+
+    /** IDENTITY assignment at COMMIT time (driver-side, sequential —
+      * the reserved values are 1..N-deterministic for a single
+      * commit): NULL slots draw from the table's high-water mark;
+      * an explicit value on a PLAIN APPEND refuses under GENERATED
+      * ALWAYS (allowExplicit=false) — rewrite shapes keep existing
+      * ids by construction. */
+    private def assignIdentity(rows: Array[InternalRow],
+        spec: GraftGenerated.IdentitySpec,
+        plainAppend: Boolean): Unit = rows.foreach { r =>
+      if (r.isNullAt(spec.ord)) {
+        val v = GraftTableStore.reserveIdentity(tableName, spec.start,
+          spec.step)
+        r match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            u.setNotNullAt(spec.ord); u.setLong(spec.ord, v)
+          case o => o.update(spec.ord, v)
+        }
+      } else if (plainAppend && !spec.allowExplicit)
+        throw new IllegalArgumentException(
+          s"$tableName: cannot INSERT an explicit value into the " +
+            "GENERATED ALWAYS AS IDENTITY column " +
+            s"'${physSchema(spec.ord).name}' (use GENERATED BY " +
+            "DEFAULT to allow explicit inserts)")
+    }
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
           : DataWriterFactory = taskFileAppend match {
         case Some(m) =>
-          GraftParquetAppendWriterFactory(m, writeSchema.length)
-        case None => GraftWriterFactory(writeSchema, physSchema, replace)
+          GraftParquetAppendWriterFactory(m, writeSchema.length,
+            genExprs)
+        case None =>
+          GraftWriterFactory(writeSchema, physSchema, replace, genExprs)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
         if (taskFileAppend.isDefined) {
@@ -4059,6 +4249,10 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
         // write task — every row below is physical
         val incoming = messages
           .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
+        GraftGenerated.identityOf(physSchema)
+          .foreach(assignIdentity(incoming, _, plainAppend = !replace &&
+            !doTruncate && !dynamicOverwrite &&
+            overwriteFilters.isEmpty))
         val op =
           if (replace) "replace"
           else if (doTruncate) "truncate"
@@ -4130,9 +4324,10 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           // the row path (its commit truncates against base state).
           case Some(m) =>
             GraftParquetStreamingAppendWriterFactory(m,
-              writeSchema.length)
+              writeSchema.length, genExprs)
           case None =>
-            GraftStreamingWriterFactory(writeSchema, physSchema)
+            GraftStreamingWriterFactory(writeSchema, physSchema,
+              genExprs)
         }
         override def commit(epochId: Long,
             messages: Array[WriterCommitMessage]): Unit = {
@@ -4155,6 +4350,9 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
             return // WAL replay of an already-committed epoch
           val incoming = messages
             .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
+          GraftGenerated.identityOf(physSchema)
+            .foreach(assignIdentity(incoming, _,
+              plainAppend = !doTruncate))
           GraftTableStore.mutate(tableName,
             if (doTruncate) "stream-complete" else "stream-append") { base =>
             (if (doTruncate) Array.empty[InternalRow] else base) ++
@@ -4176,12 +4374,15 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
   * materialization discipline (append shape — replace never appears on
   * the streaming path). */
 case class GraftStreamingWriterFactory(schema: StructType,
-    physical: StructType)
+    physical: StructType,
+    gens: Array[(Int,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    GraftWriterFactory(schema, physical, replace = false)
+    GraftWriterFactory(schema, physical, replace = false, gens)
       .createWriter(partitionId, taskId)
 }
 
@@ -4307,7 +4508,10 @@ case class GraftDeltaWriterFactory(rowSchema: StructType,
 }
 
 case class GraftWriterFactory(schema: StructType,
-    physical: StructType, replace: Boolean)
+    physical: StructType, replace: Boolean,
+    gens: Array[(Int,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
@@ -4339,6 +4543,17 @@ case class GraftWriterFactory(schema: StructType,
     // column was ever dropped
     private var proj: UnsafeProjection = _
     private val buf = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    // GENERATED COLUMNS: recompute every generated slot from the
+    // physical row (ALWAYS semantics — stored values can never drift
+    // from the formula; the replace path recomputes UPDATEs too)
+    private lazy val genProj: UnsafeProjection = {
+      val m = gens.toMap
+      UnsafeProjection.create(physical.indices.map(i =>
+        m.getOrElse(i, org.apache.spark.sql.catalyst.expressions
+          .BoundReference(i, physical(i).dataType,
+            physical(i).nullable))
+        : org.apache.spark.sql.catalyst.expressions.Expression))
+    }
     override def write(row: InternalRow): Unit = {
       if (proj == null) {
         proj =
@@ -4352,7 +4567,8 @@ case class GraftWriterFactory(schema: StructType,
               s"${schema.length} (replace=$replace) — unknown " +
               "row-level write layout")
       }
-      buf += proj(row).copy()
+      buf += (if (gens.isEmpty) proj(row).copy()
+        else genProj(proj(row)).copy())
     }
     override def commit(): WriterCommitMessage =
       GraftRowsMessage(buf.toArray)

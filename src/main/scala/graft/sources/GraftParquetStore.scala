@@ -776,18 +776,24 @@ object GraftZoneMap {
   * adopts them manifest-only — streaming ingest into the lake table
   * without a driver row funnel. */
 case class GraftParquetStreamingAppendWriterFactory(
-    meta: GraftParquetStore.Meta, visibleWidth: Int)
+    meta: GraftParquetStore.Meta, visibleWidth: Int,
+    gens: Array[(Int,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    GraftParquetAppendWriterFactory(meta, visibleWidth)
+    GraftParquetAppendWriterFactory(meta, visibleWidth, gens)
       .createWriter(partitionId, taskId)
 }
 
 case class GraftParquetAppendWriterFactory(
-    meta: GraftParquetStore.Meta, visibleWidth: Int)
+    meta: GraftParquetStore.Meta, visibleWidth: Int,
+    gens: Array[(Int,
+      org.apache.spark.sql.catalyst.expressions.Expression)] =
+      Array.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 
@@ -795,6 +801,19 @@ case class GraftParquetAppendWriterFactory(
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private val physProj = UnsafeProjection.create(
       GraftColumnMap.toPhysical(meta.schema))
+    // GENERATED COLUMNS recompute on the physical row BEFORE the
+    // partition key projection (a generated column may be the
+    // partition source) — same ALWAYS semantics as the row path
+    private val genProj: UnsafeProjection =
+      if (gens.isEmpty) null
+      else {
+        val m = gens.toMap
+        UnsafeProjection.create(meta.schema.indices.map(i =>
+          m.getOrElse(i, org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, meta.schema(i).dataType,
+              meta.schema(i).nullable))
+          : org.apache.spark.sql.catalyst.expressions.Expression))
+      }
     private val keyProj = UnsafeProjection.create(meta.partFields.map(
       GraftPartField.keyExpr(_, meta.schema)).toIndexedSeq)
     private val width = meta.schema.length
@@ -812,7 +831,8 @@ case class GraftParquetAppendWriterFactory(
         throw new IllegalStateException(
           s"append row has ${row.numFields} fields, write schema has " +
             s"$visibleWidth — unknown layout, refusing to write")
-      val phys = physProj(row)
+      val phys0 = physProj(row)
+      val phys = if (genProj == null) phys0 else genProj(phys0)
       val key = keyProj(phys).copy(): InternalRow
       val h = open.getOrElseUpdate(key,
         new GraftParquetStore.GraftFileHandle(meta.schema, width,

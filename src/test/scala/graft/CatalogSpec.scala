@@ -163,6 +163,93 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ck_clone")
   }
 
+  test("generated columns: recomputed on every write path (ALWAYS " +
+      "semantics), usable as a partition source, bad formulas refuse " +
+      "at CREATE") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.gc_t")
+    spark.sql("CREATE TABLE graft.gc_t (k BIGINT, v DOUBLE, " +
+      "cat STRING GENERATED ALWAYS AS " +
+      "(CASE WHEN v < 0 THEN 'neg' ELSE 'pos' END))")
+    spark.sql("INSERT INTO graft.gc_t (k, v) VALUES (1, 2.0), (2, -3.0)")
+    assert(spark.table("graft.gc_t").where(col("cat") === "neg")
+      .count() == 1)
+    // an explicit value for the generated column is RECOMPUTED — the
+    // stored value can never drift from the formula
+    spark.sql("INSERT INTO graft.gc_t VALUES (3, 4.0, 'neg')")
+    assert(spark.table("graft.gc_t")
+      .where(col("k") === 3 && col("cat") === "pos").count() == 1,
+      "ALWAYS semantics must recompute an explicitly supplied value")
+    // the CoW UPDATE rewrites through the same writer: recomputed
+    spark.sql("UPDATE graft.gc_t SET v = -9.0 WHERE k = 1")
+    assert(spark.table("graft.gc_t")
+      .where(col("k") === 1 && col("cat") === "neg").count() == 1,
+      "UPDATE must recompute the generated column")
+    // generated column as the PARTITION source on the parquet store
+    // (task-side file writes compute before the key projection)
+    spark.sql("DROP TABLE IF EXISTS graft.gc_part")
+    spark.sql("CREATE TABLE graft.gc_part (k BIGINT, v DOUBLE, " +
+      "cat STRING GENERATED ALWAYS AS " +
+      "(CASE WHEN v < 0 THEN 'neg' ELSE 'pos' END)) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.gc_part (k, v) SELECT id, " +
+      "CAST(id AS DOUBLE) - 5.0 FROM range(10)")
+    assert(spark.table("graft.gc_part.partitions").count() == 2)
+    assert(spark.table("graft.gc_part")
+      .where(col("cat") === "neg").count() == 5)
+    // a formula that does not produce the declared type refuses NOW
+    intercept[Throwable] {
+      spark.sql("CREATE TABLE graft.gc_bad (k BIGINT, " +
+        "s BIGINT GENERATED ALWAYS AS (k || 'x'))")
+    }
+    spark.sql("DROP TABLE graft.gc_t")
+    spark.sql("DROP TABLE graft.gc_part")
+  }
+
+  test("identity columns: sequential commit-time assignment, ALWAYS " +
+      "refuses explicit appends, BY DEFAULT accepts them, rewrites " +
+      "keep existing ids") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.idt_t")
+    spark.sql("CREATE TABLE graft.idt_t (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, v DOUBLE)")
+    spark.sql("INSERT INTO graft.idt_t (v) VALUES (1.0), (2.0), (3.0)")
+    val ids = spark.table("graft.idt_t").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"expected 1..3, got $ids")
+    // second commit continues from the high-water mark
+    spark.sql("INSERT INTO graft.idt_t (v) VALUES (4.0)")
+    assert(spark.table("graft.idt_t").agg(
+      org.apache.spark.sql.functions.max(col("id"))).collect()(0)
+      .getLong(0) == 4L)
+    // explicit insert refuses under ALWAYS
+    intercept[Throwable] {
+      spark.sql("INSERT INTO graft.idt_t VALUES (99, 9.0)")
+    }
+    // the CoW UPDATE keeps existing ids (rewrite, not append)
+    spark.sql("UPDATE graft.idt_t SET v = 10.0 WHERE id = 2")
+    assert(spark.table("graft.idt_t")
+      .where(col("id") === 2 && col("v") === 10.0).count() == 1)
+    assert(spark.table("graft.idt_t").count() == 4)
+    // BY DEFAULT variant accepts explicit values AND fills nulls
+    spark.sql("DROP TABLE IF EXISTS graft.idt_d")
+    spark.sql("CREATE TABLE graft.idt_d (id BIGINT GENERATED " +
+      "BY DEFAULT AS IDENTITY (START WITH 100), v DOUBLE)")
+    spark.sql("INSERT INTO graft.idt_d VALUES (7, 1.0)")
+    spark.sql("INSERT INTO graft.idt_d (v) VALUES (2.0)")
+    val dvals = spark.table("graft.idt_d").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(dvals == Seq(7L, 100L), s"got $dvals")
+    // identity restarts at the declared START after drop+recreate
+    spark.sql("DROP TABLE graft.idt_t")
+    spark.sql("CREATE TABLE graft.idt_t (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, v DOUBLE)")
+    spark.sql("INSERT INTO graft.idt_t (v) VALUES (5.0)")
+    assert(spark.table("graft.idt_t").collect()(0).getLong(0) == 1L)
+    spark.sql("DROP TABLE graft.idt_t")
+    spark.sql("DROP TABLE graft.idt_d")
+  }
+
   test("version history is retention-capped with stable absolute numbers") {
     val name = "graft.cap_test_store"
     GraftTableStore.reset(name)
