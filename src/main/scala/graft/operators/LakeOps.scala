@@ -503,6 +503,32 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // INSERT INTO ... REPLACE WHERE (Delta's replaceWhere): an
+    // ARBITRARY-predicate overwrite — rows matching the condition are
+    // replaced by the incoming batch in ONE atomic commit, no
+    // partition spec required (the static INSERT OVERWRITE twin only
+    // replaces whole partitions). Plans as OverwriteByExpression with
+    // the pushed predicate; the store's canOverwrite gate already
+    // rejects predicates it cannot evaluate exactly, so a REPLACE
+    // WHERE can never silently delete the wrong rows. Here the F
+    // slice is re-keyed and double-priced while O/P rows are
+    // untouched (doubling keeps the 2-decimal money domain exact —
+    // no cross-engine rounding boundary).
+    "sink_replace_where" -> ((s, d) => {
+      seedOrders(s, d, "rw_orders", partitioned = false,
+        parquetStore = true)
+      s.sql("INSERT INTO graft.rw_orders " +
+        "REPLACE WHERE o_orderstatus = 'F' " +
+        "SELECT o_orderkey + 90000000, o_orderpriority, 'F', " +
+        "o_totalprice * 2.0 FROM rw_orders_src " +
+        "WHERE o_orderstatus = 'F'")
+      s.table("graft.rw_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderstatus")
+    }),
+
     // the `.refs` METADATA TABLE (Iceberg's `.refs`): every named ref
     // — branches (main included) and tags — with the absolute version
     // it pins, served O(refs) from the transaction log. The id builds
@@ -831,6 +857,14 @@ object LakeOps extends QueryModule {
         |    AS BIGINT) AS total_cents
         |FROM base WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
         |ORDER BY side, o_orderstatus""".stripMargin,
+    // the F slice is replaced double-priced (same row count,
+    // re-keyed); O and P ride through untouched
+    "sink_replace_where" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |      THEN o_totalprice * 2.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // both batches hold the full orders slice — the mixed-spec table
     // must serve exactly double the base per priority
     "sql_partition_evolve" ->

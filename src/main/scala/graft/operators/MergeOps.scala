@@ -475,6 +475,31 @@ object MergeOps extends QueryModule {
         .withColumn("backfill_refused", lit(backfillRefused))
     }),
 
+    // the FULL three-branch MERGE (Spark 4 / Delta's complete form):
+    // WHEN MATCHED / WHEN NOT MATCHED / WHEN NOT MATCHED BY SOURCE —
+    // the third branch is what turns MERGE into a true snapshot
+    // reconciliation (rows the source no longer carries can be
+    // deleted or flagged in the SAME statement, no separate anti-join
+    // pass). Runs through the same group-based ReplaceData plan as
+    // the two-branch ids; the conditional BY-SOURCE delete proves the
+    // branch predicate reaches the rewrite.
+    "merge_three_branch" -> ((s, d) => {
+      seedSnapshotTable(s, d, "mnbs_target")
+      s.sql("""SELECT c_custkey, c_name, c_acctbal
+              |FROM graft_rowlevel_base WHERE c_custkey % 3 = 0"""
+        .stripMargin).createOrReplaceTempView("mnbs_src")
+      s.sql("""MERGE INTO graft.mnbs_target t
+              |USING mnbs_src s
+              |ON t.c_custkey = s.c_custkey
+              |WHEN MATCHED THEN
+              |  UPDATE SET c_acctbal = s.c_acctbal + 100.0
+              |WHEN NOT MATCHED THEN INSERT *
+              |WHEN NOT MATCHED BY SOURCE AND c_custkey % 5 = 0 THEN
+              |  DELETE
+              |""".stripMargin)
+      s.table("graft.mnbs_target").orderBy("c_custkey")
+    }),
+
     // GENERATED COLUMNS (Delta's generated columns; Spark 4's
     // SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS — the capability
     // gates the DDL, the SOURCE computes): `price_cents BIGINT
@@ -847,6 +872,16 @@ object MergeOps extends QueryModule {
         |UNION ALL
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
+        |ORDER BY c_custkey""".stripMargin,
+    // matched rows (%3=0) read +100; unmatched rows divisible by 5
+    // are deleted by the BY SOURCE branch; everything else unchanged
+    "merge_three_branch" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+        |       ELSE c_acctbal END AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 3 = 0
+        |   OR c_custkey % 5 <> 0
         |ORDER BY c_custkey""".stripMargin,
     // the stored generated value IS the formula over the source rows
     "sql_generated_col" ->
