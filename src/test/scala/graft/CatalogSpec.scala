@@ -250,6 +250,45 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.idt_d")
   }
 
+  test("three-branch MERGE (NOT MATCHED BY SOURCE) on merge-on-read " +
+      "equals the copy-on-write result: the BY-SOURCE deletes arrive " +
+      "as delta ops") {
+    freshCatalog()
+    def seed(t: String, mor: Boolean): Unit = {
+      val props =
+        if (mor) " TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+          "'graft.row-id'='k')"
+        else ""
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, v DOUBLE)$props")
+      spark.sql(s"INSERT INTO graft.$t SELECT id, CAST(id AS DOUBLE) " +
+        "FROM range(30)")
+    }
+    spark.sql("SELECT id AS k, CAST(id * 10 AS DOUBLE) AS v " +
+      "FROM range(0, 30, 3)").createOrReplaceTempView("m3_src")
+    def mergeInto(t: String): Unit =
+      spark.sql(s"""MERGE INTO graft.$t t USING m3_src s
+                   |ON t.k = s.k
+                   |WHEN MATCHED THEN UPDATE SET v = s.v
+                   |WHEN NOT MATCHED THEN INSERT *
+                   |WHEN NOT MATCHED BY SOURCE AND k % 5 = 0 THEN DELETE
+                   |""".stripMargin)
+    seed("m3_cow", mor = false); mergeInto("m3_cow")
+    seed("m3_mor", mor = true); mergeInto("m3_mor")
+    val cow = spark.table("graft.m3_cow").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val mor = spark.table("graft.m3_mor").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(cow == mor, s"MoR diverges: cow=${cow.take(5)} " +
+      s"mor=${mor.take(5)}")
+    // spot the semantics: k=3 matched → 30.0; k=5 unmatched %5 → gone;
+    // k=7 unmatched not-%5 → unchanged
+    assert(cow.contains((3L, 30.0)) && cow.contains((7L, 7.0)) &&
+      !cow.exists(_._1 == 5L), cow.toString)
+    spark.sql("DROP TABLE graft.m3_cow")
+    spark.sql("DROP TABLE graft.m3_mor")
+  }
+
   test("version history is retention-capped with stable absolute numbers") {
     val name = "graft.cap_test_store"
     GraftTableStore.reset(name)

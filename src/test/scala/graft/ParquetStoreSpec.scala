@@ -30,7 +30,14 @@ class ParquetStoreSpec extends AnyFunSuite {
       "sink_partition_overwrite", "merge_into", "sql_delete",
       "sql_update", "merge_into_mor", "sql_delete_mor",
       "sql_time_travel", "sql_alter_evolve", "sql_alter_drop",
-      "sql_branch_wap", "cdc_feed_scan", "cdc_table_changes")
+      "sql_branch_wap", "cdc_feed_scan", "cdc_table_changes",
+      // round-10 waves F-I: defaults, constraints, identity, refs,
+      // the three-branch MERGE (the parquet-forcing ids — clone,
+      // spec evolution, replace-where, generated — run the same
+      // backend twice here, a harmless identity check)
+      "sql_alter_default", "sql_check_constraint", "sql_identity_col",
+      "table_refs", "merge_three_branch", "sink_replace_where",
+      "table_clone", "sql_partition_evolve", "sql_generated_col")
     battery.foreach { id =>
       assert(SparkEntry.queries.contains(id), s"unknown battery id: $id")
       freshCatalog()
