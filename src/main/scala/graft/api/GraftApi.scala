@@ -276,6 +276,33 @@ object GraftApi {
     graft.sources.GraftMergeCatalog.evolvePartitioning(table, fields)
   }
 
+  /** DESCRIBE DETAIL (Delta's `DESCRIBE DETAIL` one-row table
+    * summary): storage format, current row count, retained version
+    * count, distinct partition count of the current manifest and a
+    * has-files flag — O(metadata) from the transaction log and
+    * manifest, no data row touched. The operational readout a
+    * maintenance job checks before choosing compaction/VACUUM
+    * targets. `table` catalog-qualified ("graft.t"). */
+  def tableDetail(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import graft.sources.{GraftParquetStore, GraftTableStore}
+    val hist = GraftTableStore.history(table)
+    require(hist.nonEmpty, s"no such governed table (or no commits): " +
+      s"$table")
+    val backed = GraftParquetStore.isBacked(table)
+    val files =
+      if (backed) GraftTableStore.commitFiles(table, hist.last._1)
+      else Vector.empty
+    val nParts =
+      if (backed) files.map(_.key).distinct.length.toLong else 0L
+    import spark.implicits._
+    Seq((if (backed) "parquet" else "memory",
+      hist.last._3.toLong, hist.size.toLong, nParts,
+      files.nonEmpty && files.forall(_.bytes > 0)))
+      .toDF("format", "num_rows", "n_versions", "n_partitions",
+        "has_files")
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
     * create `dst` as a new governed table whose v0 commit REFERENCES
     * `src`'s current published content — on a parquet-backed source

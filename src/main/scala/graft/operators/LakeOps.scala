@@ -529,6 +529,21 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // DESCRIBE DETAIL (Delta's one-row table summary): format, row
+    // count, retained versions, distinct manifest partitions and the
+    // has-files flag — O(metadata) from the log/manifest, the readout
+    // a maintenance job checks before choosing compaction targets.
+    // Two commits over a priority-partitioned parquet table give a
+    // fully deterministic panel (5 priorities, 2 versions).
+    "table_detail" -> ((s, d) => {
+      seedOrders(s, d, "dtl_orders", partitioned = true,
+        parquetStore = true)
+      s.sql("INSERT INTO graft.dtl_orders SELECT o_orderkey + " +
+        "90000000, o_orderpriority, o_orderstatus, o_totalprice " +
+        "FROM dtl_orders_src")
+      graft.api.GraftApi.tableDetail(s, "graft.dtl_orders")
+    }),
+
     // the `.refs` METADATA TABLE (Iceberg's `.refs`): every named ref
     // — branches (main included) and tags — with the absolute version
     // it pins, served O(refs) from the transaction log. The id builds
@@ -873,6 +888,14 @@ object LakeOps extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 2 * 100
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // parquet store, doubled rows, two versions, the five priorities
+    "table_detail" ->
+      """SELECT 'parquet' AS format,
+        |  CAST(COUNT(*) * 2 AS BIGINT) AS num_rows,
+        |  CAST(2 AS BIGINT) AS n_versions,
+        |  CAST(5 AS BIGINT) AS n_partitions,
+        |  TRUE AS has_files
+        |FROM orders""".stripMargin,
     // two commits → main at v1; the tag and branch both cut at v1
     "table_refs" ->
       """SELECT 'dev' AS ref_name, 'branch' AS ref_type,

@@ -752,6 +752,38 @@ class PlanSpec extends AnyFunSuite {
       s"a side was broadcast — SPJ not exercised:\n$p")
   }
 
+  test("days-transform hidden partitioning is SPJ-capable too: two " +
+      "days(ts)-partitioned tables join on the raw timestamp with " +
+      "no join-side shuffle (the single-arg function needs no alias)") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    for (t <- Seq("dspj_a", "dspj_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.sql(s"CREATE TABLE graft.$t (ts TIMESTAMP, v BIGINT) " +
+        "PARTITIONED BY (days(ts)) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql(s"INSERT INTO graft.$t SELECT " +
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0," +
+        "CAST(id AS INT),0,0), id FROM range(96)")
+    }
+    val df = spark.table("graft.dspj_a").hint("merge")
+      .join(spark.table("graft.dspj_b"), Seq("ts"))
+      .groupBy().count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"days-partition SPJ shuffled ($exchanges hash exchanges):\n$p")
+    assert(!p.contains("BroadcastExchange"), p)
+    spark.sql("DROP TABLE graft.dspj_a")
+    spark.sql("DROP TABLE graft.dspj_b")
+  }
+
   test("join_bucketed_spj: bucket-transform co-partitioning joins " +
       "with no join-side shuffle") {
     val df = SparkEntry.queries("join_bucketed_spj")(spark, sf)
