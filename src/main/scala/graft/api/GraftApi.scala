@@ -303,6 +303,22 @@ object GraftApi {
         "has_files")
   }
 
+  /** The stored CONSTRAINT LISTING of a governed table (the
+    * information-schema readout): one row per constraint with its
+    * name, kind (Check / PrimaryKey / Unique / ForeignKey), whether
+    * it is ENFORCED (only CHECK can be) and whether RELY lets an
+    * optimizer trust it. PK/UNIQUE/FK are INFORMATIONAL — declared
+    * NOT ENFORCED, stored and served, never validated (the ANSI
+    * RELY contract real warehouses use for join elimination). */
+  def tableConstraints(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.GraftMergeCatalog.constraintsOf(table).toSeq
+      .map(c => (c.name(), c.getClass.getSimpleName, c.enforced(),
+        c.rely()))
+      .toDF("c_name", "c_type", "enforced", "rely")
+  }
+
   /** SHALLOW CLONE (Delta's `CREATE TABLE dst SHALLOW CLONE src`):
     * create `dst` as a new governed table whose v0 commit REFERENCES
     * `src`'s current published content — on a parquet-backed source

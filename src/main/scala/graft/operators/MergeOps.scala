@@ -440,6 +440,29 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // INFORMATIONAL CONSTRAINTS (ANSI RELY — what real warehouses
+    // use for join elimination and optimizer trust): PRIMARY KEY /
+    // UNIQUE / FOREIGN KEY attach NOT ENFORCED, are stored and served
+    // through the same constraint surface as CHECK, and an ENFORCED
+    // non-CHECK refuses loudly rather than silently not enforcing.
+    // The readout is the information-schema listing plus the refusal
+    // flag; sql_check_constraint covers the enforced family.
+    "sql_rely_constraints" -> ((s, d) => {
+      seedSnapshotTable(s, d, "rely_target")
+      s.sql("ALTER TABLE graft.rely_target ADD CONSTRAINT pk_cust " +
+        "PRIMARY KEY (c_custkey) NOT ENFORCED RELY")
+      s.sql("ALTER TABLE graft.rely_target ADD CONSTRAINT uq_name " +
+        "UNIQUE (c_name) NOT ENFORCED")
+      val enforcedRefused = try {
+        s.sql("ALTER TABLE graft.rely_target ADD CONSTRAINT pk_bad " +
+          "PRIMARY KEY (c_custkey) ENFORCED")
+        false
+      } catch { case _: Throwable => true }
+      graft.api.GraftApi.tableConstraints(s, "graft.rely_target")
+        .withColumn("enforced_refused", lit(enforcedRefused))
+        .orderBy("c_name")
+    }),
+
     // CHECK CONSTRAINTS (Delta's CHECK constraints; ANSI table
     // constraints through Spark 4's SUPPORT_TABLE_CONSTRAINT): the
     // catalog stores enforced CHECK constraints in table metadata and
@@ -873,6 +896,14 @@ object MergeOps extends QueryModule {
         |SELECT c_custkey + 1000000, c_name || ' (new)', c_acctbal
         |FROM customer WHERE c_custkey % 13 = 0
         |ORDER BY c_custkey""".stripMargin,
+    // the two informational constraints stored; the ENFORCED PK
+    // refused
+    "sql_rely_constraints" ->
+      """SELECT 'pk_cust' AS c_name, 'PrimaryKey' AS c_type,
+        |  FALSE AS enforced, TRUE AS rely, TRUE AS enforced_refused
+        |UNION ALL
+        |SELECT 'uq_name', 'Unique', FALSE, FALSE, TRUE
+        |ORDER BY c_name""".stripMargin,
     // matched rows (%3=0) read +100; unmatched rows divisible by 5
     // are deleted by the BY SOURCE branch; everything else unchanged
     "merge_three_branch" ->

@@ -951,6 +951,14 @@ object GraftMergeCatalog {
     GraftParquetStore.evolveSpec(table, fields)
   }
 
+  /** the stored constraint set of a governed table — what DESCRIBE
+    * and an optimizer trusting RELY read. */
+  private[graft] def constraintsOf(table: String): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    registry.find(_._2.name() == table).map(_._2.tableConstraints)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no such governed table: $table"))
+
   private[graft] def cloneDef(src: String, dst: String): Unit = {
     val (srcKey, srcT) = registry.find(_._2.name() == src).getOrElse(
       throw new IllegalArgumentException(
@@ -1310,8 +1318,10 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       GraftGenerated.boundGenerators(tblSchema)
     }
     consArr.foreach(c => require(c.isInstanceOf[
-      org.apache.spark.sql.connector.catalog.constraints.Check],
-      s"only CHECK constraints are supported, got: ${c.toDDL}"))
+      org.apache.spark.sql.connector.catalog.constraints.Check] ||
+      !c.enforced(),
+      s"only CHECK constraints can be ENFORCED — declare " +
+        s"'${c.name()}' NOT ENFORCED (informational): ${c.toDDL}"))
     val t = new GraftMergeTable(storeName, tblSchema, None, morRowId,
       partFields, consArr)
     registry.put(key(ident), t)
@@ -1348,9 +1358,16 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
       (cs, ch) => ch match {
         case ac: TableChange.AddConstraint =>
           val c = ac.constraint()
+          // CHECK constraints enforce (Spark validates + rejects);
+          // PRIMARY KEY / UNIQUE / FOREIGN KEY are INFORMATIONAL —
+          // stored and served (RELY lets an optimizer trust them),
+          // never enforced, so an ENFORCED non-CHECK must refuse
+          // rather than silently not enforce
           require(c.isInstanceOf[
-            org.apache.spark.sql.connector.catalog.constraints.Check],
-            s"only CHECK constraints are supported, got: ${c.toDDL}")
+            org.apache.spark.sql.connector.catalog.constraints.Check] ||
+            !c.enforced(),
+            s"only CHECK constraints can be ENFORCED — declare " +
+              s"'${c.name()}' NOT ENFORCED (informational): ${c.toDDL}")
           require(!cs.exists(_.name() == c.name()),
             s"constraint '${c.name()}' already exists on ${t.name()}")
           cs :+ c

@@ -37,7 +37,8 @@ class ParquetStoreSpec extends AnyFunSuite {
       // backend twice here, a harmless identity check)
       "sql_alter_default", "sql_check_constraint", "sql_identity_col",
       "table_refs", "merge_three_branch", "sink_replace_where",
-      "table_clone", "sql_partition_evolve", "sql_generated_col")
+      "table_clone", "sql_partition_evolve", "sql_generated_col",
+      "sql_rely_constraints", "table_detail")
     battery.foreach { id =>
       assert(SparkEntry.queries.contains(id), s"unknown battery id: $id")
       freshCatalog()
