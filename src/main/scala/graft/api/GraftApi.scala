@@ -196,6 +196,17 @@ object GraftApi {
       table: String): Int =
     graft.sources.GraftTableStore.compact(table)
 
+  /** OPTIMIZE's deletion-vector PURGE: rewrite only the files whose
+    * manifest entries carry a DV bitmap (each as a fresh file of its
+    * live rows — same partition key, spec and width); DV-free files
+    * survive by reference. Reads are unchanged; subsequent scans stop
+    * paying the per-record bit test and manifest MIN/MAX/COUNT(col)
+    * pushdown becomes answerable again. Returns files rewritten
+    * (0 = no DVs, idempotent no-op). */
+  def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    graft.sources.GraftTableStore.purgeDvs(table)
+
   /** VACUUM / expire_snapshots — explicit retention: drop all but the
     * newest `keep` retained versions NOW (the store's rolling 64-
     * version cap keeps applying on top). Version numbers stay ABSOLUTE

@@ -529,6 +529,83 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // DELETION VECTORS (Delta's DVs / Iceberg v3 position deletes):
+    // on a TBLPROPERTIES ('graft.delete.mode'='dv') parquet table, a
+    // pushable DELETE takes Spark's METADATA path
+    // (OptimizeMetadataOnlyDeleteFromTable → SupportsDeleteV2) instead
+    // of the copy-on-write snapshot rewrite: per-file position bitmaps
+    // commit into the manifest, ZERO data bytes are rewritten, and
+    // untouched manifest entries survive by reference. The table is
+    // laid out sorted by o_totalprice so the range delete exercises
+    // all three per-file outcomes at once — files wholly above the
+    // bound LEAVE the manifest (no DV needed), the boundary file gets
+    // a bitmap, files wholly below are zone-map-prescreened and never
+    // opened; the second DELETE lands scattered bits and pins bitmap
+    // UNION. At 100 TB this is the difference between a point delete
+    // rewriting terabytes and committing kilobytes of bitmap.
+    // ParquetStoreSpec pins the mechanics (op kind 'delete-dv',
+    // reference-identical untouched entries, zero new files on disk,
+    // DV metrics, COUNT(*)-from-manifest with DV subtraction).
+    "sql_delete_dv" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("dv_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.dv_orders")
+      s.sql("CREATE TABLE graft.dv_orders (o_orderkey BIGINT, " +
+        "o_orderpriority STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.delete.mode'='dv')")
+      s.table("dv_orders_src")
+        .repartitionByRange(4, col("o_totalprice"))
+        .sortWithinPartitions("o_totalprice")
+        .writeTo("graft.dv_orders").append()
+      s.sql("DELETE FROM graft.dv_orders WHERE o_totalprice > 250000.0")
+      s.sql("DELETE FROM graft.dv_orders WHERE " +
+        "o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0")
+      s.table("graft.dv_orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // DV PURGE — the OPTIMIZE flavor a deletion-vector table needs:
+    // rewrite ONLY the bitmap-carrying files as fresh live-row files
+    // (DV-free entries survive by reference), so scans stop paying the
+    // per-record bit test and manifest MIN/MAX/COUNT(col) pushdown
+    // becomes answerable again. The table is laid out by o_orderkey so
+    // the price-band delete lands a PARTIAL bitmap on every file (no
+    // file drops, nothing prescreens — the pure-DV case), then the
+    // purge rewrites exactly those files; the readout runs after the
+    // purge, so the oracle proves rewrite-neutrality.
+    "table_purge_dv" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("pdv_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.pdv_orders")
+      s.sql("CREATE TABLE graft.pdv_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.delete.mode'='dv')")
+      s.table("pdv_orders_src")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .writeTo("graft.pdv_orders").append()
+      s.sql("DELETE FROM graft.pdv_orders WHERE " +
+        "o_totalprice BETWEEN 100000.0 AND 150000.0")
+      val purged = graft.api.GraftApi.purgeDeletes(s, "graft.pdv_orders")
+      s.table("graft.pdv_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("purged", lit(purged > 0))
+        .orderBy("o_orderstatus")
+    }),
+
     // DESCRIBE DETAIL (Delta's one-row table summary): format, row
     // count, retained versions, distinct manifest partitions and the
     // has-files flag — O(metadata) from the log/manifest, the readout
@@ -888,6 +965,27 @@ object LakeOps extends QueryModule {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 2 * 100
         |    AS BIGINT) AS total_cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the two DV deletes compose: rows above 250k are gone, and
+    // 1-URGENT rows above 150k are gone — everything else survives
+    "sql_delete_dv" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents
+        |FROM orders
+        |WHERE NOT (o_totalprice > 250000.0)
+        |  AND NOT (o_orderpriority = '1-URGENT'
+        |           AND o_totalprice > 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the purge rewrites files but never a row: post-purge reads equal
+    // the post-delete state
+    "table_purge_dv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  TRUE AS purged
+        |FROM orders
+        |WHERE NOT (o_totalprice BETWEEN 100000.0 AND 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // parquet store, doubled rows, two versions, the five priorities
     "table_detail" ->
       """SELECT 'parquet' AS format,

@@ -612,6 +612,56 @@ object GraftTableStore {
       }
     }
 
+  /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same
+    * paths, some entries re-swapped with bitmaps, some dropped) under
+    * optimistic concurrency: the caller computed the manifest OUTSIDE
+    * the lock against `expectedHead` (the DV job reads files without
+    * blocking other commits), so the swap must re-verify the head is
+    * still that version — a concurrent commit in the window would
+    * make the manifest stale, and silently basing on it would lose
+    * the concurrent writer's rows. Loud refusal; the statement can be
+    * retried against the new head. */
+  private[graft] def commitParquetManifest(name: String,
+      files: Vector[GraftFileInfo], count: Int, op: String,
+      branch: Option[String], expectedHead: Int): Unit =
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val head = h.commitCount - 1
+      if (head != expectedHead)
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this DELETE resolved " +
+            s"version $expectedHead but the head is now $head; retry " +
+            "the statement")
+      appendLocked(name, op, GraftParquetData(files, count), branch)
+    }
+
+  /** PURGE deletion vectors (the OPTIMIZE flavor a DV delete calls
+    * for): rewrite ONLY the bitmap-carrying files as fresh live-row
+    * files and commit the swapped manifest — DV-free entries survive
+    * by reference, reads are unchanged, and the per-record bit test
+    * leaves the scan path. Returns the number of files rewritten (0 =
+    * nothing carried a DV; idempotent, no commit). */
+  private[graft] def purgeDvs(name: String): Int = lock.synchronized {
+    val h = versions.getOrElse(name, return 0)
+    h.commits.lastOption match {
+      case Some(p: GraftParquetData) if p.files.exists(_.dv.isDefined) =>
+        val m = GraftParquetStore.meta(name).getOrElse(return 0)
+        val newV = h.commitCount
+        var seq = 0
+        val files = p.files.map { f =>
+          if (f.dv.isEmpty) f
+          else {
+            val nf = GraftParquetStore.rewriteDvFile(m, newV, f, seq)
+            seq += 1
+            nf
+          }
+        }
+        appendLocked(name, "purge-dv", GraftParquetData(files, p.count))
+        seq
+      case _ => 0
+    }
+  }
+
   /** the WAP target branch of the active session, if any — the
     * `graft.wap.branch` session conf (the spark.wap.branch pattern):
     * while set, batch commits land on that branch and main stays
@@ -1294,14 +1344,27 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
     val bloomCols = Option(properties.get("graft.bloom.columns"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty))
       .getOrElse(Array.empty[String])
+    // TBLPROPERTIES ('graft.delete.mode'='dv'): pushable DELETEs take
+    // the metadata path (SupportsDeleteV2) and commit per-file
+    // DELETION VECTORS instead of a copy-on-write snapshot rewrite —
+    // file-backed only (a DV addresses physical record positions).
+    val dvMode = Option(properties.get("graft.delete.mode")) match {
+      case Some("dv") => true
+      case Some("cow") | None => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.delete.mode '$other' (supported: dv, cow)")
+    }
     storeMode match {
       case Some("parquet") =>
         GraftParquetStore.register(storeName, tblSchema, partFields,
-          bloomCols)
+          bloomCols, dvMode)
       case Some("memory") | None =>
         require(bloomCols.isEmpty,
           "graft.bloom.columns requires graft.store=parquet " +
             "(the in-memory store has no files to skip)")
+        require(!dvMode,
+          "graft.delete.mode=dv requires graft.store=parquet " +
+            "(deletion vectors address file record positions)")
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft.store mode '$other' (supported: parquet, memory)")
     }
@@ -2038,6 +2101,7 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       Array.empty)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** CHECK constraints (SUPPORT_TABLE_CONSTRAINT): stored here as a
@@ -2102,6 +2166,64 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     new GraftWriteBuilder(tableName, info.schema(), replace = false,
       queryId = info.queryId(), clusterFields = partFields,
       physicalSchema = tableSchema)
+  }
+
+  // ---- DELETION-VECTOR deletes (SupportsDeleteV2, metadata path) ----
+  //
+  // On a `graft.delete.mode=dv` table, a DELETE whose condition fully
+  // translates skips the row-level rewrite entirely: Spark's
+  // OptimizeMetadataOnlyDeleteFromTable swaps the ReplaceData plan for
+  // this metadata call, which commits per-file position bitmaps —
+  // zero data bytes rewritten, untouched manifest entries kept BY
+  // REFERENCE, cost O(matched files). Declines (→ the normal CoW/MoR
+  // row-level path) whenever the head isn't a clean file view or any
+  // filter fails to compile — a dropped filter here would delete a
+  // SUPERSET, so it's all-or-nothing.
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      GraftParquetStore.meta(tableName).exists(_.dvMode) &&
+      GraftTableStore.fileView(tableName, None).exists(fv =>
+        fv.extras.isEmpty && fv.deletedIds.isEmpty) &&
+      filters.forall(f =>
+        GraftFilterEval.compile(f, tableSchema).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(canDeleteWhere(filters),
+      s"$tableName: deleteWhere called outside the canDeleteWhere " +
+        "contract (state changed between planning and execution)")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val h0 = GraftTableStore.versions.get(tableName)
+      .map(_.commitCount - 1).getOrElse(-1)
+    val fv = GraftTableStore.fileView(tableName, None).get
+    // zone-map prescreen: a file the manifest PROVES holds no matching
+    // row is never opened — its entry survives reference-identical
+    val candidates = fv.files.filter(f =>
+      !filters.exists(GraftZoneMap.skips(_, f, tableSchema)))
+    val dvs = GraftParquetStore.computeDvs(spark, tableSchema,
+      candidates, filters)
+    var removedRows = 0L
+    var dropped = 0
+    var rewritten = 0
+    val files = fv.files.flatMap { f =>
+      dvs.get(f.path) match {
+        case None => Some(f) // untouched — same manifest object
+        case Some(d) if d.card == f.rows => // every live row matched
+          removedRows += f.liveRows; dropped += 1; None
+        case Some(d) =>
+          removedRows += d.card - f.dv.map(_.card).getOrElse(0)
+          rewritten += 1
+          Some(f.copy(dv = Some(d)))
+      }
+    }
+    val count = (fv.files.map(_.liveRows.toLong).sum - removedRows).toInt
+    GraftDvMetrics.last.put(tableName, GraftDvMetrics.Report(
+      filesTotal = fv.files.length, filesOpened = candidates.length,
+      filesDropped = dropped, filesDvd = rewritten,
+      rowsDeleted = removedRows))
+    GraftTableStore.commitParquetManifest(tableName, files, count,
+      "delete-dv", GraftTableStore.sessionWapBranch, expectedHead = h0)
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
@@ -2323,15 +2445,20 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
     val curSpec = GraftParquetStore.meta(tableName)
       .map(_.curSpecId).getOrElse(0)
     GraftTableStore.fileView(tableName, pinnedVersion).exists { fv =>
+      // DELETION VECTORS: zone-map stats stay PHYSICAL (a superset of
+      // the live rows), so a DV'd file can answer COUNT(*) exactly
+      // (rows − dv.card) but NOT COUNT(col)/MIN/MAX — the deleted rows'
+      // null counts and extremes are unknown without opening the file
+      val dvFree = fv.files.forall(_.dv.isEmpty)
       fv.deletedIds.isEmpty && fv.extras.isEmpty &&
         fv.files.forall(_.specId == curSpec) &&
         a.groupByExpressions().forall(flatOrd(_).exists(i =>
           identCols.contains(tableSchema.fieldNames(i)))) &&
         a.aggregateExpressions().forall {
           case _: CountStar => true
-          case c: Count => flatOrd(c.column()).exists(statTyped)
-          case m: Min => flatOrd(m.column()).exists(statTyped)
-          case m: Max => flatOrd(m.column()).exists(statTyped)
+          case c: Count => dvFree && flatOrd(c.column()).exists(statTyped)
+          case m: Min => dvFree && flatOrd(m.column()).exists(statTyped)
+          case m: Max => dvFree && flatOrd(m.column()).exists(statTyped)
           case _ => true // shape already gated by aggSupported
         }
     }
@@ -2490,6 +2617,18 @@ object GraftFilterEval {
   * partition-column predicates), and how many were emptied by a
   * RUNTIME filter (join-key pruning at execution). Overwritten per
   * planInputPartitions call — a test reads it right after an action. */
+object GraftDvMetrics {
+  /** readout of the last deletion-vector DELETE against a table: of
+    * the manifest's files, how many the DV job OPENED (zone-map
+    * prescreen survivors), how many left the manifest entirely (every
+    * live row matched) and how many swapped to a bitmap-carrying
+    * entry. `filesTotal - filesOpened` files were proven clean without
+    * a byte of I/O. */
+  final case class Report(filesTotal: Int, filesOpened: Int,
+      filesDropped: Int, filesDvd: Int, rowsDeleted: Long)
+  private[graft] val last = new TrieMap[String, Report]()
+}
+
 object GraftScanMetrics {
   /** `files*`/`bytes*` are MEASURED I/O consequences on a
     * parquet-backed table (zero on the in-memory store): of the
@@ -2831,7 +2970,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
     // format serves from its manifests. Post-pushdown row filters are
     // not discounted (estimates, conservatively high).
     filePlan.foreach { case (_, groups, fv) =>
-      val fileRows = groups.iterator.flatMap(_.files).map(_.rows.toLong).sum
+      val fileRows =
+        groups.iterator.flatMap(_.files).map(_.liveRows.toLong).sum
       val extras = groups.iterator.map(_.extras.length.toLong).sum
       val rows = math.max(0L, fileRows - fv.deletedIds.length + extras)
       val limited = limit.map(n => math.min(rows,
@@ -3234,8 +3374,11 @@ class GraftManifestAggScan(tableName: String, tableSchema: StructType,
     val fv = GraftTableStore.fileView(tableName, pinnedVersion)
       .filter(v => v.deletedIds.isEmpty && v.extras.isEmpty &&
         // a spec evolution between push and plan would misgroup
-        // legacy keys — same re-check as the push gate
-        v.files.forall(_.specId == curSpec))
+        // legacy keys — same re-check as the push gate; a DV landing
+        // after push falsifies COUNT(col)/MIN/MAX the same way
+        v.files.forall(_.specId == curSpec) &&
+        (v.files.forall(_.dv.isEmpty) ||
+          agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])))
     fv match {
       case None =>
         // a delta (or spec change) landed after push — compute exactly
@@ -3269,7 +3412,7 @@ class GraftManifestAggScan(tableName: String, tableSchema: StructType,
       agg.aggregateExpressions().zipWithIndex.foreach { case (fn, i) =>
         val slot = groupOrds.length + i
         vals(slot) = fn match {
-          case _: CountStar => fs.iterator.map(_.rows.toLong).sum
+          case _: CountStar => fs.iterator.map(_.liveRows.toLong).sum
           case c: Count =>
             val o = ordOf(c.column())
             fs.iterator.map { f =>

@@ -30,7 +30,29 @@ final case class GraftFileInfo(path: String, key: InternalRow,
     rows: Int, bytes: Long, numCols: Int,
     stats: Map[Int, GraftColStats] = Map.empty,
     blooms: Map[Int, GraftBloom] = Map.empty,
-    specId: Int = 0)
+    specId: Int = 0,
+    dv: Option[GraftDeleteVector] = None) {
+  /** rows a reader actually emits: physical records minus the
+    * deletion vector's cardinality. `rows` stays PHYSICAL (what the
+    * file holds; what `.files` reports); counts derived from the
+    * manifest must use this instead. */
+  def liveRows: Int = rows - dv.map(_.card).getOrElse(0)
+}
+
+/** DELETION VECTOR of one file (Delta's DVs / Iceberg v3 position
+  * deletes): a bitmap over the file's PHYSICAL record positions — bit
+  * set = row deleted. A DV delete rewrites ZERO data bytes: the
+  * affected file's manifest entry swaps to one carrying the (merged)
+  * bitmap, untouched files keep their manifest objects BY REFERENCE,
+  * and readers drop marked positions as they decode — so DELETE cost
+  * is O(matched files), not O(table), and a point delete in a 100 TB
+  * table touches exactly the files that hold matching rows. Rides in
+  * the manifest like the per-file blooms; at real scale it would
+  * persist as a puffin/DV sidecar next to the data file. */
+final case class GraftDeleteVector(words: Array[Long], card: Int) {
+  def deleted(pos: Int): Boolean =
+    (words(pos >> 6) & (1L << (pos & 63))) != 0L
+}
 
 /** Zone-map statistics of one column of one file (physical ordinal →
   * stats in the manifest): min/max over non-null values in the
@@ -144,7 +166,8 @@ object GraftParquetStore {
   final case class Meta(dir: String, schema: StructType,
       partFields: Array[GraftPartField],
       bloomOrds: Array[Int] = Array.empty,
-      specHistory: Vector[Array[GraftPartField]] = Vector.empty) {
+      specHistory: Vector[Array[GraftPartField]] = Vector.empty,
+      dvMode: Boolean = false) {
     /** every partition spec this table has ever had, oldest first —
       * the CURRENT spec is last; a file's `specId` indexes here
       * (Iceberg's spec-id indirection). Tables that never evolved
@@ -167,7 +190,8 @@ object GraftParquetStore {
 
   def register(name: String, schema: StructType,
       partFields: Array[GraftPartField],
-      bloomCols: Array[String] = Array.empty): Unit = {
+      bloomCols: Array[String] = Array.empty,
+      dvMode: Boolean = false): Unit = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft.store=parquet table $name: column '${f.name}' has " +
         s"unsupported type ${f.dataType.sql} (flat atomic types only)"))
@@ -184,7 +208,8 @@ object GraftParquetStore {
     }
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
       .toFile.getAbsolutePath
-    metas.put(name, Meta(dir, schema, partFields, bloomOrds))
+    metas.put(name, Meta(dir, schema, partFields, bloomOrds,
+      dvMode = dvMode))
   }
 
   def isBacked(name: String): Boolean = metas.contains(name)
@@ -493,8 +518,23 @@ object GraftParquetStore {
     * slots outside the file's width or the projection read as NULL.
     * Runs wherever the caller runs — executor-side under the file
     * scan, driver-side only for the row-level-operation merge paths. */
+  /** read one file, applying its DELETION VECTOR: marked positions are
+    * dropped as the raw stream decodes, so a DV-free file pays exactly
+    * one branch and a DV'd file pays one bit test per record — no id
+    * lookups, no extra I/O. Position = physical record index, which is
+    * projection-independent (the raw reader emits every record). */
   private[sources] def readFile(file: GraftFileInfo, schema: StructType,
-      readOrds: Array[Int]): Iterator[InternalRow] = {
+      readOrds: Array[Int]): Iterator[InternalRow] = file.dv match {
+    case None => readFileRaw(file, schema, readOrds)
+    case Some(d) => readFileRaw(file, schema, readOrds).zipWithIndex
+      .collect { case (r, i) if !d.deleted(i) => r }
+  }
+
+  /** read one file's PHYSICAL records — DV ignored (DV maintenance and
+    * position-addressed work only; everything row-serving goes through
+    * [[readFile]]). */
+  private[sources] def readFileRaw(file: GraftFileInfo,
+      schema: StructType, readOrds: Array[Int]): Iterator[InternalRow] = {
     val present = readOrds.filter(_ < file.numCols).sorted
     val width = schema.length
     // slots REQUESTED but absent from this file (written before their
@@ -590,6 +630,78 @@ object GraftParquetStore {
         }
       }
     }.toArray
+
+  /** Compute per-file DELETION VECTORS for a pushed DELETE predicate,
+    * TASK-SIDE: one Spark task per candidate file evaluates the
+    * conjunction over the file's physical records and ships back only
+    * (path → merged bitmap) — O(matched files) driver metadata, zero
+    * data bytes moved or rewritten. Already-deleted positions stay set
+    * (bitmap union across DELETEs); a file where no NEW row matched is
+    * absent from the result, so its manifest entry survives BY
+    * REFERENCE. The filters were vetted by canDeleteWhere: every one
+    * compiles, and the compiled conjunction is EXACT Spark semantics
+    * (the same evaluator that drives INSERT OVERWRITE delete sets). */
+  private[sources] def computeDvs(
+      spark: org.apache.spark.sql.SparkSession, schema: StructType,
+      candidates: Vector[GraftFileInfo],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Map[String, GraftDeleteVector] = {
+    if (candidates.isEmpty) return Map.empty
+    val readOrds = filters.flatMap(_.references).distinct
+      .map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0).sorted
+    spark.sparkContext
+      .parallelize(candidates, candidates.length)
+      .flatMap { f =>
+        val preds = filters.flatMap(GraftFilterEval.compile(_, schema))
+        require(preds.length == filters.length,
+          s"DV delete: ${filters.length - preds.length} filter(s) " +
+            "stopped compiling between canDeleteWhere and the task — " +
+            "refusing a partial (superset-deleting) predicate")
+        val words = f.dv.map(_.words.clone())
+          .getOrElse(new Array[Long]((f.rows + 63) >> 6))
+        var card = f.dv.map(_.card).getOrElse(0)
+        var grew = false
+        var pos = 0
+        readFileRaw(f, schema, readOrds).foreach { r =>
+          if ((words(pos >> 6) & (1L << (pos & 63))) == 0L &&
+              preds.forall(_(r))) {
+            words(pos >> 6) |= 1L << (pos & 63)
+            card += 1; grew = true
+          }
+          pos += 1
+        }
+        if (grew) Iterator.single(f.path -> GraftDeleteVector(words, card))
+        else Iterator.empty
+      }
+      .collect().toMap
+  }
+
+  /** Rewrite ONE deletion-vector-carrying file as a fresh file holding
+    * only its live rows (OPTIMIZE's DV purge): the new file keeps the
+    * old one's partition key, spec id and write-time width, so pruning
+    * and evolution-on-read semantics are unchanged — only the bitmap
+    * is gone. The old file stays owned by older versions until
+    * retention GC. */
+  private[sources] def rewriteDvFile(m: Meta, version: Int,
+      f: GraftFileInfo, seq: Int): GraftFileInfo = {
+    val vdir = new java.io.File(m.dir, f"v$version%05d")
+    vdir.mkdirs()
+    val target = new java.io.File(vdir, f"purge$seq%04d.parquet")
+    val h = new GraftFileHandle(m.schema, f.numCols,
+      target.getAbsolutePath, f.key, m.bloomOrds, f.specId)
+    readFile(f, m.schema, Array.range(0, f.numCols)).foreach { r =>
+      if (r.numFields == f.numCols) h.add(r)
+      else {
+        val vals = new Array[Any](f.numCols)
+        var i = 0
+        while (i < f.numCols) {
+          vals(i) = r.get(i, m.schema(i).dataType); i += 1
+        }
+        h.add(new GenericInternalRow(vals))
+      }
+    }
+    h.close()
+  }
 
   /** MOVE task-staged files under the committed version's directory —
     * runs driver-side under the store lock when the version number is

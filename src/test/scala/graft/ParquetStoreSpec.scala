@@ -752,6 +752,251 @@ class ParquetStoreSpec extends AnyFunSuite {
       exMode.getMessage)
   }
 
+  // ---- DELETION VECTORS (round 11) ----------------------------------
+
+  /** seed a dv-mode table with `n` keys range-laid-out over 4 task
+    * files sorted by k — contiguous disjoint key ranges, the layout
+    * that gives the zone-map prescreen its power. */
+  private def seedDv(table: String, n: Int): Unit = {
+    freshCatalog()
+    spark.sql(s"DROP TABLE IF EXISTS graft.$table")
+    spark.sql(s"CREATE TABLE graft.$table (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv')")
+    spark.range(n).selectExpr("id AS k", "id * 1.5 AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .writeTo(s"graft.$table").append()
+  }
+
+  private def listDataFiles(table: String): Map[String, Long] = {
+    val dir = GraftParquetStore.meta(table).get.dir
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isDirectory).flatMap(walk) ++ kids.filter(_.isFile)
+    }
+    walk(new java.io.File(dir)).map(f =>
+      f.getAbsolutePath -> f.length()).toMap
+  }
+
+  test("DV delete is metadata-only and MEASURED: files wholly matched " +
+      "leave the manifest, the boundary file gets a bitmap, files the " +
+      "zone maps prove clean are never opened, and ZERO bytes land on " +
+      "disk") {
+    seedDv("pqdv_t", 200)
+    val v0 = GraftTableStore.commitFiles("graft.pqdv_t", 0)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    assert(v0.length == 4, s"expected 4 task files, got ${v0.length}")
+    val disk0 = listDataFiles("graft.pqdv_t")
+    // bound inside file 1's range: file 0 prescreens (max < bound),
+    // file 1 partially matches (DV), files 2..3 wholly match (drop)
+    val f1min = v0(1).stats(0).min.asInstanceOf[Long]
+    val f1max = v0(1).stats(0).max.asInstanceOf[Long]
+    val bound = (f1min + f1max) / 2 + 1 // strictly inside the range
+    spark.sql(s"DELETE FROM graft.pqdv_t WHERE k >= $bound")
+    // the commit is a manifest swap, operation 'delete-dv'
+    val ops = spark.table("graft.pqdv_t.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(1L) == "delete-dv", s"history: $ops")
+    // ZERO bytes written or rewritten: identical file set and sizes
+    assert(listDataFiles("graft.pqdv_t") == disk0,
+      "a DV delete must not create, delete or rewrite any data file")
+    val v1 = GraftTableStore.commitFiles("graft.pqdv_t", 1)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    // files 2..3 left the manifest; file 0 survives BY REFERENCE
+    assert(v1.length == 2, s"manifest: ${v1.map(_.path)}")
+    assert(v1(0) eq v0(0), "the prescreened file must keep its " +
+      "manifest object (reference identity)")
+    // the boundary file carries the bitmap
+    val dvd = v1(1)
+    assert(dvd.path == v0(1).path && dvd.dv.isDefined)
+    assert(dvd.dv.get.card == (f1max - bound + 1).toInt)
+    assert(dvd.liveRows == dvd.rows - dvd.dv.get.card)
+    // measured: 4 files total, 1 prescreened (never opened)
+    val m = graft.sources.GraftDvMetrics.last("graft.pqdv_t")
+    assert(m.filesTotal == 4 && m.filesOpened == 3 &&
+      m.filesDropped == 2 && m.filesDvd == 1,
+      s"dv metrics: $m")
+    assert(m.rowsDeleted == 200L - bound)
+    // reads: live rows only; time travel to the pre-delete snapshot
+    assert(spark.table("graft.pqdv_t").count() == bound)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.pqdv_t VERSION AS OF 0")
+      .collect()(0).getLong(0) == 200L)
+    assert(spark.table("graft.pqdv_t")
+      .agg(org.apache.spark.sql.functions.max("k"))
+      .collect()(0).getLong(0) == bound - 1)
+    spark.sql("DROP TABLE graft.pqdv_t")
+  }
+
+  test("DV bitmaps UNION across deletes, and a second DELETE can add " +
+      "a bitmap to a previously untouched file") {
+    seedDv("pqdv_u", 200)
+    val v0 = GraftTableStore.commitFiles("graft.pqdv_u", 0)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    val f0min = v0(0).stats(0).min.asInstanceOf[Long]
+    val f1min = v0(1).stats(0).min.asInstanceOf[Long]
+    spark.sql(s"DELETE FROM graft.pqdv_u WHERE k = $f1min")
+    spark.sql(s"DELETE FROM graft.pqdv_u WHERE k IN ($f0min, " +
+      s"${f1min + 1})")
+    val head = GraftTableStore.commitFiles("graft.pqdv_u", 2)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    assert(head(0).dv.exists(_.card == 1), "file 0 gains a DV on the " +
+      "second delete")
+    assert(head(1).dv.exists(_.card == 2), "file 1's bitmaps must " +
+      s"union (got ${head(1).dv})")
+    assert(spark.table("graft.pqdv_u").count() == 197)
+    // idempotent re-delete: nothing new matches, but the commit is
+    // still a delete-dv with zero rows (manifest unchanged by value)
+    spark.sql(s"DELETE FROM graft.pqdv_u WHERE k = $f0min")
+    assert(spark.table("graft.pqdv_u").count() == 197)
+    spark.sql("DROP TABLE graft.pqdv_u")
+  }
+
+  test("the DELETE plan itself takes the metadata path on a dv table " +
+      "(no ReplaceData), while the CoW table keeps the row-level " +
+      "rewrite for the same pushable predicate") {
+    seedDv("pqdv_p", 100)
+    val dvPlan = spark.sql(
+      "DELETE FROM graft.pqdv_p WHERE k >= 90")
+      .queryExecution.executedPlan.toString
+    assert(!dvPlan.contains("ReplaceData"),
+      s"dv delete must not plan a row-level rewrite:\n$dvPlan")
+    assert(dvPlan.contains("DeleteFromTable"), dvPlan)
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqcow_p")
+    spark.sql("CREATE TABLE graft.pqcow_p (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqcow_p SELECT id, id * 1.5 " +
+      "FROM range(100)")
+    val cowPlan = spark.sql(
+      "DELETE FROM graft.pqcow_p WHERE k >= 90")
+      .queryExecution.executedPlan.toString
+    assert(cowPlan.contains("ReplaceData"),
+      s"without dv mode the delete must stay copy-on-write:\n$cowPlan")
+    assert(spark.table("graft.pqdv_p").count() == 90)
+    assert(spark.table("graft.pqcow_p").count() == 90)
+    spark.sql("DROP TABLE graft.pqdv_p")
+    spark.sql("DROP TABLE graft.pqcow_p")
+  }
+
+  test("manifest aggregates with DVs: COUNT(*) still answers from the " +
+      "manifest (rows minus dv cardinality, zero files opened); " +
+      "MIN/MAX decline and compute exactly") {
+    seedDv("pqdv_a", 200)
+    val v0 = GraftTableStore.commitFiles("graft.pqdv_a", 0)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    // bound STRICTLY INSIDE file 2's key range, so a DV is guaranteed
+    // (a boundary-aligned bound would only drop files — no bitmap, and
+    // the manifest could legitimately keep answering MIN/MAX)
+    val f2min = v0(2).stats(0).min.asInstanceOf[Long]
+    val f2max = v0(2).stats(0).max.asInstanceOf[Long]
+    val bound = (f2min + f2max) / 2 + 1
+    spark.sql(s"DELETE FROM graft.pqdv_a WHERE k >= $bound")
+    assert(GraftTableStore.commitFiles("graft.pqdv_a", 1)
+      .exists(_.dv.isDefined), "test setup: a DV must exist")
+    val cnt = spark.table("graft.pqdv_a").groupBy()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(cnt.collect()(0).getLong(0) == bound)
+    val mCnt = GraftScanMetrics.lastScan("graft.pqdv_a")
+    assert(mCnt.filesRead == 0,
+      s"COUNT(*) must stay manifest-answered under DVs: $mCnt")
+    // MIN/MAX can no longer trust physical zone maps (the extreme row
+    // may be deleted) — the scan opens files and computes exactly
+    val mx = spark.table("graft.pqdv_a").groupBy()
+      .agg(org.apache.spark.sql.functions.max("k").as("mx"))
+      .collect()(0).getLong(0)
+    assert(mx == bound - 1, s"MAX must reflect the DV: $mx")
+    val mMax = GraftScanMetrics.lastScan("graft.pqdv_a")
+    assert(mMax.filesRead > 0,
+      s"MAX on a DV'd table must not be manifest-answered: $mMax")
+    spark.sql("DROP TABLE graft.pqdv_a")
+  }
+
+  test("DV PURGE rewrites ONLY the bitmap-carrying files; DV-free " +
+      "entries survive by reference, reads are unchanged, and the " +
+      "purge is idempotent") {
+    seedDv("pqdv_g", 200)
+    val v0 = GraftTableStore.commitFiles("graft.pqdv_g", 0)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    val f1min = v0(1).stats(0).min.asInstanceOf[Long]
+    // one scattered-bit delete inside file 1 only
+    spark.sql(s"DELETE FROM graft.pqdv_g WHERE k IN ($f1min, " +
+      s"${f1min + 3})")
+    val pre = spark.table("graft.pqdv_g").orderBy("k")
+      .collect().map(_.toString).toSeq
+    val n = graft.api.GraftApi.purgeDeletes(spark, "graft.pqdv_g")
+    assert(n == 1, s"exactly the one DV'd file rewrites, got $n")
+    val ops = spark.table("graft.pqdv_g.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "purge-dv", s"history: $ops")
+    val head = GraftTableStore.commitFiles("graft.pqdv_g", 2)
+    assert(head.forall(_.dv.isEmpty), "purge must clear every DV")
+    // the three untouched files keep their manifest objects
+    val headPaths = head.map(_.path).toSet
+    val kept = GraftTableStore.commitFiles("graft.pqdv_g", 1)
+      .filter(f => headPaths.contains(f.path))
+    assert(kept.length == 3 &&
+      kept.forall(f => head.exists(_ eq f)),
+      "DV-free entries must survive the purge by reference")
+    val post = spark.table("graft.pqdv_g").orderBy("k")
+      .collect().map(_.toString).toSeq
+    assert(post == pre, "purge must never change a read")
+    assert(graft.api.GraftApi.purgeDeletes(spark, "graft.pqdv_g") == 0,
+      "a DV-free table purges as a no-op")
+    spark.sql("DROP TABLE graft.pqdv_g")
+  }
+
+  test("a non-pushable predicate on a dv table falls back to the " +
+      "row-level CoW path and still deletes exactly its rows") {
+    seedDv("pqdv_f", 90)
+    spark.sql("DELETE FROM graft.pqdv_f WHERE k % 3 = 0")
+    val ops = spark.table("graft.pqdv_f.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(1L) != "delete-dv",
+      s"modulo cannot push — the delete must not claim the DV path: " +
+        s"$ops")
+    assert(spark.table("graft.pqdv_f").count() == 60)
+    spark.sql("DROP TABLE graft.pqdv_f")
+  }
+
+  test("optimistic concurrency: a manifest commit computed against a " +
+      "stale head refuses loudly instead of losing the interleaved " +
+      "writer's commit") {
+    seedDv("pqdv_o", 40)
+    val files = GraftTableStore.commitFiles("graft.pqdv_o", 0)
+    // an interleaved append moves the head from 0 to 1
+    spark.sql("INSERT INTO graft.pqdv_o SELECT id + 100, 0.0 " +
+      "FROM range(5)")
+    val ex = intercept[IllegalStateException] {
+      GraftTableStore.commitParquetManifest("graft.pqdv_o", files,
+        files.map(_.rows).sum, "delete-dv", None, expectedHead = 0)
+    }
+    assert(ex.getMessage.contains("concurrent commit detected"),
+      ex.getMessage)
+    assert(spark.table("graft.pqdv_o").count() == 45)
+    spark.sql("DROP TABLE graft.pqdv_o")
+  }
+
+  test("guards: graft.delete.mode validates at CREATE (dv requires " +
+      "the parquet store; unknown modes refuse)") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqdvbad_t")
+    val exMem = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pqdvbad_t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.delete.mode'='dv')")
+    }
+    assert(exMem.getMessage.contains("requires graft.store=parquet"),
+      exMem.getMessage)
+    val exMode = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.pqdvbad_t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.delete.mode'='sidecar')")
+    }
+    assert(exMode.getMessage.contains("unknown graft.delete.mode"),
+      exMode.getMessage)
+  }
+
   test("streaming reads a parquet-backed table per commit: the " +
       "append-only prefix identity survives the file round-trip") {
     freshCatalog()
