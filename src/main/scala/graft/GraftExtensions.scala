@@ -16,8 +16,20 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   *   dot_f(array<float>, array<float>) -> double  (codegen'd dot product)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotF)
+    // SQL views on the governed ViewCatalog — Spark 4.1 ships the
+    // connector interface with no engine wiring, so the extension
+    // supplies it: CREATE/DROP/SHOW VIEW intercept at parse (the
+    // analyzer hard-refuses them for non-session catalogs before any
+    // injected rule could run), reads resolve by re-parsing the
+    // stored text (org.apache.spark.sql.graftbridge.GraftViews).
+    ext.injectParser((session, delegate) =>
+      new org.apache.spark.sql.graftbridge.GraftViewParser(
+        session, delegate))
+    ext.injectResolutionRule(session =>
+      org.apache.spark.sql.graftbridge.ResolveGraftViews(session))
+  }
 }
 
 object GraftExtensions {
@@ -42,4 +54,16 @@ object GraftExtensions {
     spark.udf.register("topk_tokens",
       org.apache.spark.sql.functions.udaf(graft.functions.TopKTokens))
   }
+
+  /** The full-extension surface for an ALREADY-RUNNING session (the
+    * parser/rule injections that SQL views need cannot attach to a
+    * built session): a memoized SIBLING session sharing the parent's
+    * SparkContext, SharedState and runtime confs, constructed WITH
+    * `graft.GraftExtensions`. Tables are JVM-shared registries, so
+    * both sessions see the same catalog content; only temp views
+    * stay session-local. Production sessions configured with
+    * `spark.sql.extensions=graft.GraftExtensions` never need this. */
+  def sessionWithViews(spark: SparkSession): SparkSession =
+    org.apache.spark.sql.graftbridge.GraftViews
+      .sessionWithExtensions(spark, new GraftExtensions()(_))
 }

@@ -196,6 +196,103 @@ object GraftApi {
       table: String): Int =
     graft.sources.GraftTableStore.compact(table)
 
+  // ---- incremental materialized views --------------------------------
+
+  /** registered MV definitions: target table → (source, group columns,
+    * summed column, output aliases, last commit folded in). In-JVM —
+    * the structure a lake format persists in the MV's own metadata. */
+  private final case class MvDef(source: String, groupCols: Seq[String],
+      sumCol: String, countAlias: String, sumAlias: String,
+      lastVersion: Int)
+  private val mvDefs =
+    new scala.collection.concurrent.TrieMap[String, MvDef]()
+
+  /** CREATE MATERIALIZED VIEW (the incrementally-maintainable shape:
+    * COUNT(*) + SUM over group keys — the self-maintainable aggregate
+    * class; MIN/MAX are not retractable and are refused by
+    * construction since the API offers no slot for them). Materializes
+    * `mv` as a governed table holding
+    * `SELECT groupCols, COUNT(*) countAlias, SUM(sumCol) sumAlias FROM
+    * source GROUP BY groupCols` and records the source version it
+    * reflects. `source` must be a merge-on-read governed table (the
+    * change feed keys the refresh) and `sumCol` a BIGINT (incremental
+    * ± arithmetic stays exact; quantize money to cents first). At
+    * 100 TB the point is [[refreshMaterializedView]]: maintenance cost
+    * is O(changes + touched groups), never a source rescan. */
+  def createMaterializedView(spark: org.apache.spark.sql.SparkSession,
+      mv: String, source: String, groupCols: Seq[String],
+      countAlias: String, sumCol: String, sumAlias: String): Unit = {
+    val srcSchema = spark.table(source).schema
+    require(srcSchema(sumCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"materialized view $mv: SUM column '$sumCol' must be BIGINT " +
+        "(exact incremental arithmetic — quantize to cents first); " +
+        s"got ${srcSchema(sumCol).dataType.sql}")
+    // fail at CREATE, not first refresh, if the source cannot serve a
+    // change feed (planning the feed scan fires the MoR requirement)
+    spark.read.option("startingVersion", Int.MaxValue)
+      .table(s"$source.changes").queryExecution.executedPlan
+    val head = graft.sources.GraftTableStore.commitCount(source) - 1
+    val ddlCols = groupCols.map(c =>
+      s"$c ${srcSchema(c).dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $mv ($ddlCols, " +
+      s"$countAlias BIGINT, $sumAlias BIGINT)")
+    spark.table(source)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(countAlias), sum(sumCol).as(sumAlias))
+      .writeTo(mv).append()
+    mvDefs.put(mv, MvDef(source, groupCols, sumCol, countAlias,
+      sumAlias, head))
+    ()
+  }
+
+  /** REFRESH MATERIALIZED VIEW, incrementally: fold the source's
+    * CHANGE FEED since the last refresh into the MV — inserts and
+    * update postimages add, deletes and update preimages retract — as
+    * per-group deltas MERGEd into the MV table (groups reaching
+    * count 0 DELETE; new groups INSERT). The source table is never
+    * rescanned: cost is O(change rows + touched groups), the
+    * incremental-view-maintenance contract, vs the full
+    * recompute-the-world refresh. Returns (change rows folded, source
+    * version now reflected); a no-change refresh is a no-op. */
+  def refreshMaterializedView(spark: org.apache.spark.sql.SparkSession,
+      mv: String): (Long, Int) = {
+    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view — " +
+        "createMaterializedView first"))
+    val head = graft.sources.GraftTableStore.commitCount(d.source) - 1
+    if (head <= d.lastVersion) return (0L, head)
+    val feed = spark.read
+      .option("startingVersion", (d.lastVersion + 1).toString)
+      .table(s"${d.source}.changes")
+    val nChanges = feed.count()
+    val sign = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val viewName = s"__mv_delta_${mv.replace('.', '_')}"
+    feed.select(d.groupCols.map(col) :+ sign.as("__sign") :+
+        col(d.sumCol): _*)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"),
+        sum(col("__sign") * col(d.sumCol)).as("__ds"))
+      .where(col("__dn") =!= 0L || col("__ds") =!= 0L)
+      .createOrReplaceTempView(viewName)
+    val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
+    val gList = d.groupCols.mkString(", ")
+    val sList = d.groupCols.map(c => s"s.$c").mkString(", ")
+    spark.sql(
+      s"""MERGE INTO $mv t USING $viewName s ON $on
+         |WHEN MATCHED AND t.${d.countAlias} + s.__dn = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  ${d.countAlias} = t.${d.countAlias} + s.__dn,
+         |  ${d.sumAlias} = t.${d.sumAlias} + s.__ds
+         |WHEN NOT MATCHED AND s.__dn > 0 THEN
+         |  INSERT ($gList, ${d.countAlias}, ${d.sumAlias})
+         |  VALUES ($sList, s.__dn, s.__ds)""".stripMargin)
+    mvDefs.put(mv, d.copy(lastVersion = head))
+    (nChanges, head)
+  }
+
   /** OPTIMIZE's deletion-vector PURGE: rewrite only the files whose
     * manifest entries carry a DV bitmap (each as a fresh file of its
     * live rows — same partition key, spec and width); DV-free files

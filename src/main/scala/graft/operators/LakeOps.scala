@@ -606,6 +606,43 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // CATALOG SQL VIEWS (Spark 4's ViewCatalog — the V2 view surface):
+    // CREATE VIEW stores SQL TEXT plus the writing session's
+    // catalog/namespace context in the catalog; every read re-analyzes
+    // the text under that stored context, so the view tracks its base
+    // table's data for free and costs O(text) metadata — the stable
+    // query interface a warehouse publishes over evolving tables. The
+    // id creates a filtered view over a governed table, reads through
+    // it, APPENDS to the base (the view must see the new rows without
+    // any refresh), and reads again; CatalogSpec pins the rest of the
+    // lifecycle (SHOW VIEWS, ALTER VIEW properties, RENAME, DROP,
+    // duplicate/shadowing refusals).
+    "sql_catalog_view" -> ((s0, d) => {
+      // the view DDL needs the extension-wired sibling session (the
+      // driver session is built without spark.sql.extensions); tables
+      // are JVM-shared, so everything seeded here is one catalog
+      val s = graft.GraftExtensions.sessionWithViews(s0)
+        .asInstanceOf[org.apache.spark.sql.SparkSession]
+      seedOrders(s, d, "vw_orders", partitioned = false)
+      s.sql("DROP VIEW IF EXISTS graft.vw_panel")
+      s.sql("CREATE VIEW graft.vw_panel AS " +
+        "SELECT o_orderstatus, o_totalprice FROM graft.vw_orders " +
+        "WHERE o_totalprice > 100000.0")
+      val pre = s.table("graft.vw_panel").count()
+      // append lands in the base AFTER the view exists — a view is a
+      // stored query, so it must see the new rows with no refresh
+      s.sql("INSERT INTO graft.vw_orders SELECT o_orderkey + " +
+        "90000000, o_orderpriority, 'Z', o_totalprice + 200000.0 " +
+        "FROM vw_orders_src")
+      s.table("graft.vw_panel")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("saw_appends",
+          lit(s.table("graft.vw_panel").count() > pre))
+        .orderBy("o_orderstatus")
+    }),
+
     // DESCRIBE DETAIL (Delta's one-row table summary): format, row
     // count, retained versions, distinct manifest partitions and the
     // has-files flag — O(metadata) from the log/manifest, the readout
@@ -985,6 +1022,19 @@ object LakeOps extends QueryModule {
         |  TRUE AS purged
         |FROM orders
         |WHERE NOT (o_totalprice BETWEEN 100000.0 AND 150000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the view is price > 100k over base ∪ the +200k-shifted appends
+    "sql_catalog_view" ->
+      """WITH v AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT 'Z' AS o_orderstatus, o_totalprice + 200000.0
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  TRUE AS saw_appends
+        |FROM v WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // parquet store, doubled rows, two versions, the five priorities
     "table_detail" ->

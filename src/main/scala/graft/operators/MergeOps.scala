@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, QueryModule, Tables}
+import graft.{Det, Q, QueryModule, Tables}
 import org.apache.spark.sql.functions._
 
 /** Incremental upsert / SCD1 merge — the bread-and-butter ETL operator:
@@ -768,6 +768,48 @@ object MergeOps extends QueryModule {
         .unionAll(upd.select(col("akey"), col("b_name"), col("b_bal"),
           lit("update_postimage")))
         .orderBy("c_custkey", "change_type")
+    }),
+
+    // INCREMENTAL MATERIALIZED VIEW (Delta/Databricks MVs, Materialize,
+    // Iceberg MVs — the incremental-view-maintenance contract): the MV
+    // is a governed table holding COUNT(*)+SUM per group; REFRESH folds
+    // the source's CHANGE FEED since the last refresh — inserts/update
+    // postimages add, deletes/update preimages retract — as per-group
+    // deltas MERGEd into the MV (emptied groups DELETE, new groups
+    // INSERT). The SOURCE IS NEVER RESCANNED: refresh cost is
+    // O(change rows + touched groups), which at 100 TB is the
+    // difference between a maintenance tick and recomputing the world.
+    // Three DML commits (delete / in-place update / new-group insert)
+    // land between create and refresh, so one refresh folds a mixed
+    // multi-commit window; ApiSpec pins round-by-round equality with
+    // full recompute, the no-op refresh, group vanish/appear, and the
+    // CoW-source refusal. Sums ride a BIGINT cents column — incremental
+    // ± arithmetic must be exact, so the API refuses non-integral SUM
+    // columns by contract.
+    "mv_incremental" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Det.dec2(col("o_totalprice")) * 100).cast("long")
+            .as("price_cents"))
+        .createOrReplaceTempView("mv_src_base")
+      s.sql("DROP TABLE IF EXISTS graft.mv_src")
+      s.sql("CREATE TABLE graft.mv_src (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, price_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+        "'graft.row-id'='o_orderkey')")
+      s.sql("INSERT INTO graft.mv_src SELECT * FROM mv_src_base") // v0
+      graft.api.GraftApi.createMaterializedView(s, "graft.mv_orders",
+        "graft.mv_src", Seq("o_orderstatus"), "n_orders",
+        "price_cents", "total_cents")
+      s.sql("DELETE FROM graft.mv_src WHERE o_orderkey % 10 = 3") // v1
+      s.sql("UPDATE graft.mv_src SET price_cents = price_cents + 500 " +
+        "WHERE o_orderkey % 10 = 4") // v2
+      s.sql("INSERT INTO graft.mv_src SELECT o_orderkey + 900000000, " +
+        "'Z', 1000 FROM mv_src_base WHERE o_orderkey % 10 = 5") // v3
+      graft.api.GraftApi.refreshMaterializedView(s, "graft.mv_orders")
+      s.table("graft.mv_orders").orderBy("o_orderstatus")
     })
   )
 
@@ -983,7 +1025,26 @@ object MergeOps extends QueryModule {
          |    WHEN 'insert' THEN 3 ELSE 2 END AS BIGINT)
          |    AS commit_version
          |FROM ($cdcSql) t
-         |ORDER BY c_custkey, change_type""".stripMargin
+         |ORDER BY c_custkey, change_type""".stripMargin,
+    // full recompute of the MV's final state: base minus the %10=3
+    // deletes, %10=4 rows repriced +500, plus the %10=5 'Z' inserts
+    "mv_incremental" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |final AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN cents + 500
+        |         ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 <> 3
+        |  UNION ALL
+        |  SELECT 'Z' AS o_orderstatus, CAST(1000 AS BIGINT) AS cents
+        |  FROM base WHERE o_orderkey % 10 = 5)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** the post-change state the cdc delta statements land on (delete

@@ -6,7 +6,7 @@ import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, ViewAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
@@ -956,6 +956,16 @@ object GraftMergeCatalog {
   private val registry =
     new TrieMap[(String, Identifier), GraftMergeTable]()
 
+  /** SQL VIEW registry (ViewCatalog): the stored definition is the raw
+    * SQL text plus the session context it was written in (current
+    * catalog/namespace) and the CREATE-time schema — exactly what
+    * Spark's view resolution re-analyzes the query under, so a view
+    * over `graft.t` keeps resolving after the session's current
+    * catalog moves elsewhere. JVM-shared for the same reason as the
+    * table registry. */
+  private val viewRegistry =
+    new TrieMap[(String, Identifier), (ViewInfo, Map[String, String])]()
+
   /** register `dst` as a SHALLOW CLONE's catalog definition: the
     * source's physical schema (column-mapping tombstones included —
     * the clone reads the source's files, so it must share their slot
@@ -1026,8 +1036,9 @@ object GraftMergeCatalog {
   }
 }
 
-class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
-  import GraftMergeCatalog.registry
+class GraftMergeCatalog extends TableCatalog with FunctionCatalog
+    with ViewCatalog {
+  import GraftMergeCatalog.{registry, viewRegistry}
   private var catalogName: String = _
   private def key(ident: Identifier) = (catalogName, ident)
 
@@ -1578,6 +1589,86 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog {
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
+
+  // ---- SQL VIEWS (ViewCatalog — Spark 4's V2 view surface) -----------
+  //
+  // A catalog view stores SQL TEXT, not data: CREATE VIEW captures the
+  // query string, the writing session's catalog/namespace context and
+  // the analyzed schema (ViewInfo); every read re-analyzes the text
+  // under that stored context, so views track their base tables' data
+  // AND schema-compatible evolution for free — O(text) metadata, the
+  // governance surface (stable query interfaces, column renames behind
+  // a contract) a warehouse expects from its catalog.
+
+  private final case class GraftView(ident: Identifier, info: ViewInfo,
+      props: Map[String, String]) extends View {
+    override def name(): String = ident.toString
+    override def query(): String = info.sql()
+    override def currentCatalog(): String = info.currentCatalog()
+    override def currentNamespace(): Array[String] =
+      info.currentNamespace()
+    override def schema(): StructType = info.schema()
+    override def queryColumnNames(): Array[String] =
+      info.queryColumnNames()
+    override def columnAliases(): Array[String] = info.columnAliases()
+    override def columnComments(): Array[String] = info.columnComments()
+    override def properties(): util.Map[String, String] = props.asJava
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    viewRegistry.keysIterator
+      .filter(k => k._1 == catalogName &&
+        k._2.namespace.sameElements(namespace))
+      .map(_._2).toArray.sortBy(_.toString)
+
+  override def loadView(ident: Identifier): View =
+    viewRegistry.get(key(ident)) match {
+      case Some((info, props)) => GraftView(ident, info, props)
+      case None => throw new NoSuchViewException(ident)
+    }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    // one namespace of names: a view shadowing a governed table would
+    // make `SELECT FROM graft.x` ambiguous — refuse loudly
+    require(!registry.contains(key(ident)),
+      s"cannot CREATE VIEW $ident: a table with that name exists " +
+        s"in $catalogName")
+    val stored = (info,
+      Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty))
+    if (viewRegistry.putIfAbsent(key(ident), stored).isDefined)
+      throw new ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = {
+    val (info, props) = viewRegistry.getOrElse(key(ident),
+      throw new NoSuchViewException(ident))
+    val next = changes.foldLeft(props) {
+      case (p, s: ViewChange.SetProperty) => p + (s.property() -> s.value())
+      case (p, r: ViewChange.RemoveProperty) => p - r.property()
+      case (_, other) => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    viewRegistry.put(key(ident), (info, next))
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewRegistry.remove(key(ident)).isDefined
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val v = viewRegistry.getOrElse(key(from),
+      throw new NoSuchViewException(from))
+    require(!registry.contains(key(to)),
+      s"cannot rename view to $to: a table with that name exists")
+    if (viewRegistry.contains(key(to)))
+      throw new ViewAlreadyExistsException(to)
+    viewRegistry.put(key(to), v)
+    viewRegistry.remove(key(from))
+    ()
+  }
 }
 
 /** The catalog's published `bucket(numBuckets, key)` function —

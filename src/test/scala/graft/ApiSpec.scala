@@ -463,4 +463,86 @@ class ApiSpec extends AnyFunSuite {
     // the statistic peaks inside the shifted regime
     assert(got.max == direct.max && direct.max > 0)
   }
+
+  // ---- incremental materialized views (round 11) --------------------
+
+  private def mvCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+
+  private def mvFullRecompute(): Seq[String] =
+    spark.table("graft.mvspec_src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .orderBy("g").collect().map(_.toString).toSeq
+
+  private def mvState(): Seq[String] =
+    spark.table("graft.mvspec_mv").orderBy("g")
+      .collect().map(_.toString).toSeq
+
+  test("incremental MV refresh equals full recompute after every DML " +
+      "round, a no-change refresh is a no-op, and groups vanish and " +
+      "appear with their rows") {
+    mvCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mvspec_src")
+    spark.sql("CREATE TABLE graft.mvspec_src (k BIGINT, g STRING, " +
+      "cents BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.mvspec_src SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+      "ELSE 'c' END, id * 10 FROM range(60)")
+    GraftApi.createMaterializedView(spark, "graft.mvspec_mv",
+      "graft.mvspec_src", Seq("g"), "n", "cents", "s")
+    assert(mvState() == mvFullRecompute(), "initial materialization")
+    // no changes yet: refresh is a 0-row no-op
+    assert(GraftApi.refreshMaterializedView(spark, "graft.mvspec_mv")
+      ._1 == 0L)
+    // round 1: in-place update (same group, sum moves, count doesn't)
+    spark.sql("UPDATE graft.mvspec_src SET cents = cents + 7 " +
+      "WHERE k % 5 = 0")
+    val (n1, _) = GraftApi.refreshMaterializedView(spark,
+      "graft.mvspec_mv")
+    assert(n1 == 24L, s"12 updates = 12 pre + 12 post images, got $n1")
+    assert(mvState() == mvFullRecompute(), "after update round")
+    // round 2: delete EVERY 'c' row — the group must vanish
+    spark.sql("DELETE FROM graft.mvspec_src WHERE g = 'c'")
+    GraftApi.refreshMaterializedView(spark, "graft.mvspec_mv")
+    assert(mvState() == mvFullRecompute(), "after group-kill round")
+    assert(!mvState().exists(_.contains("[c,")), mvState().toString)
+    // round 3: two commits in one refresh window — a brand-new group
+    // and more deletes fold together
+    spark.sql("INSERT INTO graft.mvspec_src SELECT id + 1000, 'z', " +
+      "5 FROM range(4)")
+    spark.sql("DELETE FROM graft.mvspec_src WHERE k % 2 = 1")
+    GraftApi.refreshMaterializedView(spark, "graft.mvspec_mv")
+    assert(mvState() == mvFullRecompute(), "after multi-commit window")
+    assert(mvState().exists(_.startsWith("[z,")), mvState().toString)
+    spark.sql("DROP TABLE graft.mvspec_src")
+    spark.sql("DROP TABLE graft.mvspec_mv")
+  }
+
+  test("MV guards: a copy-on-write source refuses at CREATE (no change " +
+      "feed to fold) and a non-BIGINT sum column refuses by contract") {
+    mvCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mvspec_cow")
+    spark.sql("CREATE TABLE graft.mvspec_cow (k BIGINT, g STRING, " +
+      "cents BIGINT)")
+    spark.sql("INSERT INTO graft.mvspec_cow SELECT id, 'a', id " +
+      "FROM range(5)")
+    val exCow = intercept[Exception] {
+      GraftApi.createMaterializedView(spark, "graft.mvspec_bad",
+        "graft.mvspec_cow", Seq("g"), "n", "cents", "s")
+    }
+    assert(exCow.getMessage.contains("change feed"), exCow.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft.mvspec_dbl")
+    spark.sql("CREATE TABLE graft.mvspec_dbl (k BIGINT, g STRING, " +
+      "v DOUBLE) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    val exDbl = intercept[Exception] {
+      GraftApi.createMaterializedView(spark, "graft.mvspec_bad",
+        "graft.mvspec_dbl", Seq("g"), "n", "v", "s")
+    }
+    assert(exDbl.getMessage.contains("must be BIGINT"), exDbl.getMessage)
+    spark.sql("DROP TABLE graft.mvspec_cow")
+    spark.sql("DROP TABLE graft.mvspec_dbl")
+  }
 }

@@ -1358,6 +1358,87 @@ class CatalogSpec extends AnyFunSuite {
       "DROP must clear the ingest ledger")
   }
 
+  // ---- SQL views on the governed catalog (round 11) -----------------
+
+  test("catalog views: full SQL lifecycle through the extension-wired " +
+      "sibling session — create, read, replace, IF NOT EXISTS, " +
+      "duplicate and table-shadow refusals, drop") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    s.sql("DROP TABLE IF EXISTS graft.cvw_t")
+    s.sql("CREATE TABLE graft.cvw_t (k BIGINT, v DOUBLE)")
+    s.sql("INSERT INTO graft.cvw_t SELECT id, id * 0.5 FROM range(20)")
+    s.sql("DROP VIEW IF EXISTS graft.cvw_v")
+    s.sql("CREATE VIEW graft.cvw_v AS " +
+      "SELECT k, v FROM graft.cvw_t WHERE k >= 10")
+    assert(s.table("graft.cvw_v").count() == 10)
+    // a view is stored TEXT: replace swaps the definition atomically
+    s.sql("CREATE OR REPLACE VIEW graft.cvw_v AS " +
+      "SELECT k FROM graft.cvw_t WHERE k >= 15")
+    assert(s.table("graft.cvw_v").columns.toSeq == Seq("k"))
+    assert(s.table("graft.cvw_v").count() == 5)
+    // duplicate refusals: plain CREATE refuses, IF NOT EXISTS no-ops
+    val exDup = intercept[Exception] {
+      s.sql("CREATE VIEW graft.cvw_v AS SELECT 1 AS one")
+    }
+    assert(exDup.getMessage.toLowerCase.contains("already exists"),
+      exDup.getMessage)
+    s.sql("CREATE VIEW IF NOT EXISTS graft.cvw_v AS SELECT 1 AS one")
+    assert(s.table("graft.cvw_v").count() == 5,
+      "IF NOT EXISTS must keep the existing definition")
+    // a view may not shadow a governed table — one namespace of names
+    val exShadow = intercept[Exception] {
+      s.sql("CREATE VIEW graft.cvw_t AS SELECT 1 AS one")
+    }
+    assert(exShadow.getMessage.contains("a table with that name"),
+      exShadow.getMessage)
+    // SHOW VIEWS lists it; DROP removes it; re-DROP refuses without
+    // IF EXISTS
+    val listed = s.sql("SHOW VIEWS IN graft")
+      .collect().map(_.getString(1)).toSet
+    assert(listed.contains("cvw_v"), listed.toString)
+    s.sql("DROP VIEW graft.cvw_v")
+    val exGone = intercept[Exception] { s.sql("DROP VIEW graft.cvw_v") }
+    assert(exGone.getMessage.contains("cvw_v"), exGone.getMessage)
+    s.sql("DROP VIEW IF EXISTS graft.cvw_v") // no-op, no throw
+    s.sql("DROP TABLE graft.cvw_t")
+  }
+
+  test("catalog views: ALTER VIEW properties and RENAME through the " +
+      "connector API; rename refuses an occupied name") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    s.sql("DROP TABLE IF EXISTS graft.cvw2_t")
+    s.sql("CREATE TABLE graft.cvw2_t (k BIGINT)")
+    s.sql("INSERT INTO graft.cvw2_t SELECT id FROM range(5)")
+    s.sql("DROP VIEW IF EXISTS graft.cvw2_v")
+    s.sql("DROP VIEW IF EXISTS graft.cvw2_w")
+    s.sql("CREATE VIEW graft.cvw2_v AS SELECT k FROM graft.cvw2_t")
+    val vc = org.apache.spark.sql.graftbridge.GraftViews
+      .viewCatalogOf(s, Seq("graft", "x")).get
+    val ident = Identifier.of(Array.empty, "cvw2_v")
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    vc.alterView(ident, ViewChange.setProperty("owner", "graft"),
+      ViewChange.setProperty("comment", "test view"))
+    assert(vc.loadView(ident).properties().get("owner") == "graft")
+    vc.alterView(ident, ViewChange.removeProperty("comment"))
+    assert(!vc.loadView(ident).properties().containsKey("comment"))
+    // rename moves the definition; reading the old name fails loudly
+    vc.renameView(ident, Identifier.of(Array.empty, "cvw2_w"))
+    assert(s.table("graft.cvw2_w").count() == 5)
+    val exOld = intercept[Exception] { s.table("graft.cvw2_v").count() }
+    assert(exOld.getMessage.contains("cvw2_v"), exOld.getMessage)
+    // rename onto a TABLE name refuses
+    val exOnto = intercept[Exception] {
+      vc.renameView(Identifier.of(Array.empty, "cvw2_w"),
+        Identifier.of(Array.empty, "cvw2_t"))
+    }
+    assert(exOnto.getMessage.contains("a table with that name"),
+      exOnto.getMessage)
+    s.sql("DROP VIEW graft.cvw2_w")
+    s.sql("DROP TABLE graft.cvw2_t")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
