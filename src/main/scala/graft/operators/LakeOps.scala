@@ -643,6 +643,35 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // SYSTEM PROCEDURES (Spark 4's DSv2 ProcedureCatalog — the CALL
+    // statement, wired in-engine since 4.0; Iceberg's maintenance
+    // surface): the catalog publishes its maintenance verbs under
+    // `graft.system.*`, so a pure-SQL operator runs compaction,
+    // snapshot expiry, tags and restores with CALL — no Scala API.
+    // Bodies are the same GraftApi entry points (one semantics); each
+    // CALL returns a one-row readout; a bare table argument resolves
+    // inside the catalog. The id drives a real maintenance sequence —
+    // MoR delete (delta commit) → CALL optimize (compacts it) → CALL
+    // create_tag → CALL expire_snapshots — and reads the table plus
+    // the procedures' own readouts back.
+    "sql_call_procedure" -> ((s, d) => {
+      MergeOps.seedSnapshotTable(s, d, "proc_t", mor = true) // v0
+      s.sql("DELETE FROM graft.proc_t WHERE c_custkey % 11 = 0") // v1
+      val compacted = s.sql("CALL graft.system.optimize('proc_t')")
+        .collect()(0).getInt(0) // v2: compacts the delta chain
+      s.sql("CALL graft.system.create_tag(table => 'proc_t', " +
+        "tag => 'audited')")
+      val expired = s.sql(
+        "CALL graft.system.expire_snapshots('proc_t', 2)")
+        .collect()(0).getInt(0) // drops v0; the tag at v2 survives
+      s.table("graft.proc_t")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          cents(col("c_acctbal")).as("bal_cents"))
+        .withColumn("compacted", lit(compacted).cast("long"))
+        .withColumn("expired", lit(expired).cast("long"))
+    }),
+
     // DESCRIBE DETAIL (Delta's one-row table summary): format, row
     // count, retained versions, distinct manifest partitions and the
     // has-files flag — O(metadata) from the log/manifest, the readout
@@ -1036,6 +1065,13 @@ object LakeOps extends QueryModule {
         |  TRUE AS saw_appends
         |FROM v WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // one compacted delta, one expired snapshot, the %11 slice deleted
+    "sql_call_procedure" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(1 AS BIGINT) AS compacted, CAST(1 AS BIGINT) AS expired
+        |FROM customer WHERE c_custkey % 11 <> 0""".stripMargin,
     // parquet store, doubled rows, two versions, the five priorities
     "table_detail" ->
       """SELECT 'parquet' AS format,

@@ -1037,7 +1037,7 @@ object GraftMergeCatalog {
 }
 
 class GraftMergeCatalog extends TableCatalog with FunctionCatalog
-    with ViewCatalog {
+    with ViewCatalog with ProcedureCatalog {
   import GraftMergeCatalog.{registry, viewRegistry}
   private var catalogName: String = _
   private def key(ident: Identifier) = (catalogName, ident)
@@ -1589,6 +1589,31 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
+
+  // ---- SYSTEM PROCEDURES (ProcedureCatalog — `CALL graft.system.*`) --
+  //
+  // Maintenance verbs as SQL procedures, Iceberg's surface: the table
+  // argument resolves inside THIS catalog, the bodies are the same
+  // GraftApi entry points the Scala surface uses (one semantics), and
+  // each CALL returns a one-row readout.
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"procedures live in the 'system' namespace: " +
+        s"CALL $catalogName.system.<name>(...), got $ident")
+    GraftProcedures.load(ident.name, catalogName).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure $catalogName.system.${ident.name} — " +
+          s"available: ${GraftProcedures.names.mkString(", ")}"))
+  }
 
   // ---- SQL VIEWS (ViewCatalog — Spark 4's V2 view surface) -----------
   //

@@ -1439,6 +1439,60 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.cvw2_t")
   }
 
+  // ---- system procedures (round 11) ----------------------------------
+
+  test("CALL procedures: purge_deletes drives the DV rewrite, restore " +
+      "rolls back, fast_forward publishes a WAP branch — same " +
+      "semantics as the API verbs; unknown names and namespaces " +
+      "refuse loudly") {
+    freshCatalog()
+    // purge_deletes over a dv table — the SQL route to the DV rewrite
+    spark.sql("DROP TABLE IF EXISTS graft.proc_dv")
+    spark.sql("CREATE TABLE graft.proc_dv (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv')")
+    spark.range(100).selectExpr("id AS k", "id * 1.0 AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .writeTo("graft.proc_dv").append()
+    spark.sql("DELETE FROM graft.proc_dv WHERE k >= 37 AND k <= 41")
+    val purged = spark.sql(
+      "CALL graft.system.purge_deletes('proc_dv')")
+      .collect()(0).getInt(0)
+    assert(purged >= 1, s"the DV'd file(s) must rewrite, got $purged")
+    assert(spark.table("graft.proc_dv").count() == 95)
+    // restore: CALL rolls the table back; history preserved
+    spark.sql("INSERT INTO graft.proc_dv SELECT id + 1000, -1.0 " +
+      "FROM range(10)")
+    val head = spark.sql("CALL graft.system.restore('proc_dv', " +
+      s"${GraftTableStore.commitCount("graft.proc_dv") - 2})")
+      .collect()(0).getInt(0)
+    assert(head == GraftTableStore.commitCount("graft.proc_dv") - 1)
+    assert(spark.table("graft.proc_dv").count() == 95,
+      "restore must serve the pre-append content")
+    // WAP via procedures: branch, staged write, publish
+    spark.sql("CALL graft.system.create_branch('proc_dv', 'stage')")
+    spark.conf.set("graft.wap.branch", "stage")
+    try spark.sql("INSERT INTO graft.proc_dv SELECT id + 5000, 2.0 " +
+      "FROM range(7)")
+    finally spark.conf.unset("graft.wap.branch")
+    assert(spark.table("graft.proc_dv").count() == 95,
+      "staged commits must stay invisible until publish")
+    spark.sql("CALL graft.system.fast_forward('proc_dv', 'stage')")
+    assert(spark.table("graft.proc_dv").count() == 102)
+    // guards
+    val exName = intercept[Exception] {
+      spark.sql("CALL graft.system.no_such_proc('x')")
+    }
+    // Spark wraps loadProcedure failures as FAILED_TO_LOAD_ROUTINE
+    assert(exName.getMessage.contains("no_such_proc"),
+      exName.getMessage)
+    val exNs = intercept[Exception] {
+      spark.sql("CALL graft.maintenance.optimize('proc_dv')")
+    }
+    assert(exNs.getMessage.contains("maintenance"), exNs.getMessage)
+    spark.sql("DROP TABLE graft.proc_dv")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
