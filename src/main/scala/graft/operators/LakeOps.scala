@@ -643,6 +643,40 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // METADATA COLUMNS `_file` / `_pos` (SupportsMetadataColumns —
+    // Iceberg/Delta's file provenance + physical record position):
+    // requested columns append to the scan's output and the file
+    // reader stamps each row with its file path and PHYSICAL position
+    // — the address deletion vectors bit by, so (_file, _pos) is a
+    // row identity that SURVIVES a DV delete (live rows keep their
+    // positions; deleted positions stop appearing). The id writes one
+    // sorted file (position = orderkey rank, exactly derivable in
+    // SQL), DV-deletes a price band, and proves the surviving rows'
+    // positions are still their PRE-delete physical ranks. MoR
+    // op-log extras and row-path scans read NULL; the in-memory
+    // store advertises no metadata at all (nothing lives in a file).
+    "scan_metadata_cols" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView("mc_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.mc_orders")
+      s.sql("CREATE TABLE graft.mc_orders (o_orderkey BIGINT, " +
+        "o_totalprice DOUBLE) TBLPROPERTIES " +
+        "('graft.store'='parquet', 'graft.delete.mode'='dv')")
+      s.table("mc_orders_src")
+        .repartition(1).sortWithinPartitions("o_orderkey")
+        .writeTo("graft.mc_orders").append()
+      s.sql("DELETE FROM graft.mc_orders WHERE " +
+        "o_totalprice BETWEEN 150000.0 AND 200000.0")
+      s.table("graft.mc_orders")
+        .groupBy()
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("_pos")).as("sum_pos"),
+          countDistinct(col("_file")).as("n_files"),
+          (count(lit(1)) - count(col("_pos"))).as("null_pos"))
+    }),
+
     // SYSTEM PROCEDURES (Spark 4's DSv2 ProcedureCatalog — the CALL
     // statement, wired in-engine since 4.0; Iceberg's maintenance
     // surface): the catalog publishes its maintenance verbs under
@@ -1065,6 +1099,19 @@ object LakeOps extends QueryModule {
         |  TRUE AS saw_appends
         |FROM v WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // surviving rows keep their PRE-delete physical positions: _pos of
+    // a row in the single sorted file = its orderkey rank over the
+    // FULL table, deletes notwithstanding
+    "scan_metadata_cols" ->
+      """WITH pos AS (
+        |  SELECT o_totalprice,
+        |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS p
+        |  FROM orders)
+        |SELECT COUNT(*) AS n_rows, CAST(SUM(p) AS BIGINT) AS sum_pos,
+        |  CAST(1 AS BIGINT) AS n_files, CAST(0 AS BIGINT) AS null_pos
+        |FROM pos
+        |WHERE NOT (o_totalprice BETWEEN 150000.0 AND 200000.0)"""
+        .stripMargin,
     // one compacted delta, one expired snapshot, the %11 slice deleted
     "sql_call_procedure" ->
       """SELECT COUNT(*) AS n_rows,

@@ -2208,6 +2208,34 @@ object GraftPartField {
   }
 }
 
+/** METADATA COLUMNS of file-backed scans (Iceberg/Delta's `_file` /
+  * `_pos`): per-row file provenance and the PHYSICAL record position —
+  * the address a deletion vector bits by, so `(_file, _pos)` is a
+  * stable row identity that survives DV deletes (a live row keeps its
+  * position; deleted positions simply stop appearing). NULL for rows
+  * not living in a file (MoR op-log extras, row-path fallbacks). */
+object GraftMetaCols {
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+  import org.apache.spark.sql.types.{DataType, LongType, StringType}
+  val File = "_file"
+  val Pos = "_pos"
+  /** canonical order — readSchema appends requested meta cols in it */
+  val Names: Seq[String] = Seq(File, Pos)
+  def dtOf(n: String): DataType =
+    if (n == File) StringType else LongType
+  private def mk(n: String, c: String): MetadataColumn =
+    new MetadataColumn {
+      override def name(): String = n
+      override def dataType(): DataType = dtOf(n)
+      override def isNullable: Boolean = true
+      override def comment(): String = c
+    }
+  val columns: Array[MetadataColumn] = Array(
+    mk(File, "data file holding the row (parquet-backed scans)"),
+    mk(Pos, "physical record position inside _file — the address " +
+      "deletion vectors bit by"))
+}
+
 class GraftMergeTable(tableName: String, tableSchema: StructType,
     pinnedVersion: Option[Int] = None,
     private[sources] val morRowId: Option[String] = None,
@@ -2218,7 +2246,15 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `_file`/`_pos` — advertised only where rows actually live in
+    * files; the in-memory store has no file addresses to serve. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (GraftParquetStore.isBacked(tableName)) GraftMetaCols.columns
+    else Array.empty
 
   /** CHECK constraints (SUPPORT_TABLE_CONSTRAINT): stored here as a
     * lake format stores them in table metadata; Spark's analyzer
@@ -2417,10 +2453,16 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
     // positional row projection must not). After an aggregate pushdown
     // the required schema names the AGGREGATED columns, not table
     // columns — the agg scan's output is already minimal, skip.
-    if (agg.isEmpty)
+    // Requested METADATA columns (_file/_pos) split off in canonical
+    // order; the scan appends them after the data columns.
+    if (agg.isEmpty) {
       required = StructType(tableSchema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
+      metaCols = GraftMetaCols.Names.filter(
+        requiredSchema.fieldNames.contains)
+    }
   }
+  private var metaCols: Seq[String] = Nil
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // a GROUP-BASED ROW-LEVEL (copy-on-write) scan must return EVERY
     // row the replace commit swaps out: Spark pushes the operation's
@@ -2601,7 +2643,7 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
       new GraftAggScan(tableName, tableSchema, pinnedVersion, a)
     case None =>
       new GraftScan(tableName, tableSchema, pinnedVersion, required,
-        pushed, partFields, limit, topN, options)
+        pushed, partFields, limit, topN, options, metaCols)
   }
 }
 
@@ -2764,7 +2806,8 @@ class GraftScan(tableName: String, tableSchema: StructType,
     partFields: Array[GraftPartField] = Array.empty,
     limit: Option[Int] = None,
     topN: Option[(Array[GraftSortKey], Int)] = None,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    metaCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
@@ -2782,7 +2825,11 @@ class GraftScan(tableName: String, tableSchema: StructType,
   private val identityCols = partFields.collect {
     case GraftIdentityPart(c) => c
   }
-  override def readSchema(): StructType = outSchema
+  override def readSchema(): StructType =
+    if (metaCols.isEmpty) outSchema
+    else StructType(outSchema.fields ++ metaCols.map(n =>
+      org.apache.spark.sql.types.StructField(n, GraftMetaCols.dtOf(n),
+        nullable = true)))
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -3052,11 +3099,12 @@ class GraftScan(tableName: String, tableSchema: StructType,
         else Array.empty[InternalRow]
       if (g.key == null)
         GraftFileScanPartition(files, extras, tableSchema, readOrds,
-          outOrds, shipFilters, fv.deletedIds, fv.idOrd, fv.idType, lim)
+          outOrds, shipFilters, fv.deletedIds, fv.idOrd, fv.idType,
+          lim, metaCols)
       else
         GraftKeyedFileScanPartition(files, extras, tableSchema,
           readOrds, outOrds, shipFilters, fv.deletedIds, fv.idOrd,
-          fv.idType, lim, g.key)
+          fv.idType, lim, g.key, metaCols)
     }
     val readFiles = parts.collect {
       case p: GraftFileScanPartition => p.files
@@ -3301,8 +3349,12 @@ class GraftScan(tableName: String, tableSchema: StructType,
       return planFileModePartitions(total, groups, fv)
     }
     val (total, kept) = grouped
-    val ordinals = outSchema.fieldNames.map(tableSchema.fieldIndex)
-    val types = outSchema.fields.map(_.dataType)
+    // requested metadata columns on the ROW path read NULL (no file
+    // address exists): sentinel ordinal → Literal(null) in the reader
+    val ordinals = outSchema.fieldNames.map(tableSchema.fieldIndex) ++
+      metaCols.map(_ => Int.MinValue)
+    val types = outSchema.fields.map(_.dataType) ++
+      metaCols.map(GraftMetaCols.dtOf)
     var emptied = 0
     val parts: Array[InputPartition] = kept.map { case (key, rows) =>
       val keepRows = runtimeKeep match {
@@ -3619,13 +3671,15 @@ sealed trait GraftFileScanPart {
   def idOrd: Int
   def idType: org.apache.spark.sql.types.DataType
   def limitPerPart: Int
+  def metaCols: Seq[String]
 }
 case class GraftFileScanPartition(files: Vector[GraftFileInfo],
     extras: Array[InternalRow], physSchema: StructType,
     readOrds: Array[Int], outOrds: Array[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
     deletedIds: Array[Any], idOrd: Int,
-    idType: org.apache.spark.sql.types.DataType, limitPerPart: Int)
+    idType: org.apache.spark.sql.types.DataType, limitPerPart: Int,
+    metaCols: Seq[String] = Nil)
     extends InputPartition with GraftFileScanPart
 case class GraftKeyedFileScanPartition(files: Vector[GraftFileInfo],
     extras: Array[InternalRow], physSchema: StructType,
@@ -3633,7 +3687,7 @@ case class GraftKeyedFileScanPartition(files: Vector[GraftFileInfo],
     filters: Array[org.apache.spark.sql.sources.Filter],
     deletedIds: Array[Any], idOrd: Int,
     idType: org.apache.spark.sql.types.DataType, limitPerPart: Int,
-    key: InternalRow)
+    key: InternalRow, metaCols: Seq[String] = Nil)
     extends InputPartition with GraftFileScanPart with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -3654,13 +3708,64 @@ object GraftFileReaderFactory extends PartitionReaderFactory {
           : org.apache.spark.sql.catalyst.expressions.Expression)
           .toIndexedSeq)
       private val it: Iterator[InternalRow] = {
-        val fileRows = part.files.iterator.flatMap { f =>
-          GraftParquetStore.readFile(f, part.physSchema, part.readOrds)
-            .filter(r => (deleted.isEmpty ||
-              !deleted.contains(r.get(part.idOrd, part.idType))) &&
-              preds.forall(_(r)))
-            .map(proj(_): InternalRow) // reused buffer — DSv2 contract
-        } ++ part.extras.iterator
+        val fileRows =
+          if (part.metaCols.isEmpty)
+            part.files.iterator.flatMap { f =>
+              GraftParquetStore
+                .readFile(f, part.physSchema, part.readOrds)
+                .filter(r => (deleted.isEmpty ||
+                  !deleted.contains(r.get(part.idOrd, part.idType))) &&
+                  preds.forall(_(r)))
+                .map(proj(_): InternalRow) // reused buffer, per contract
+            } ++ part.extras.iterator
+          else {
+            // METADATA PATH (_file/_pos requested): positions are
+            // PHYSICAL record indexes — the raw stream counts them and
+            // DV-deleted positions are skipped by bit test, so a live
+            // row keeps its address across DV deletes
+            import org.apache.spark.sql.catalyst.expressions.{BoundReference, JoinedRow, Literal, UnsafeProjection}
+            val width = part.physSchema.length
+            val metaProj = UnsafeProjection.create(
+              (part.outOrds.map(o => BoundReference(o,
+                part.physSchema(o).dataType, nullable = true)
+                : org.apache.spark.sql.catalyst.expressions.Expression)
+                ++ part.metaCols.zipWithIndex.map { case (n, i) =>
+                  BoundReference(width + i, GraftMetaCols.dtOf(n),
+                    nullable = true)
+                    : org.apache.spark.sql.catalyst.expressions
+                      .Expression
+                }).toIndexedSeq)
+            val joined = new JoinedRow
+            val fileStream = part.files.iterator.flatMap { f =>
+              val metaVals = new Array[Any](part.metaCols.length)
+              part.metaCols.indices.foreach { i =>
+                if (part.metaCols(i) == GraftMetaCols.File)
+                  metaVals(i) = org.apache.spark.unsafe.types
+                    .UTF8String.fromString(f.path)
+              }
+              val metaRow = new org.apache.spark.sql.catalyst
+                .expressions.GenericInternalRow(metaVals)
+              val posSlot = part.metaCols.indexOf(GraftMetaCols.Pos)
+              GraftParquetStore
+                .readFileRaw(f, part.physSchema, part.readOrds)
+                .zipWithIndex
+                .collect { case (r, pos)
+                    if f.dv.forall(!_.deleted(pos)) &&
+                      (deleted.isEmpty ||
+                        !deleted.contains(
+                          r.get(part.idOrd, part.idType))) &&
+                      preds.forall(_(r)) =>
+                  if (posSlot >= 0) metaVals(posSlot) = pos.toLong
+                  metaProj(joined(r, metaRow)): InternalRow
+                }
+            }
+            // op-log extras live in no file: NULL metadata
+            val nullMeta = new org.apache.spark.sql.catalyst
+              .expressions.GenericInternalRow(part.metaCols.length)
+            val extraJoin = new JoinedRow
+            fileStream ++ part.extras.iterator.map(e =>
+              extraJoin(e, nullMeta): InternalRow)
+          }
         if (part.limitPerPart >= 0) fileRows.take(part.limitPerPart)
         else fileRows
       }
@@ -3681,7 +3786,10 @@ object GraftProjectedReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private val proj = UnsafeProjection.create(
         part.ordinals.zip(part.types).map { case (ord, dt) =>
-          BoundReference(ord, dt, nullable = true)
+          if (ord < 0) // metadata slot with no file address → NULL
+            org.apache.spark.sql.catalyst.expressions.Literal(null, dt)
+              : org.apache.spark.sql.catalyst.expressions.Expression
+          else BoundReference(ord, dt, nullable = true)
             : org.apache.spark.sql.catalyst.expressions.Expression
         }.toSeq)
       private var i = -1

@@ -997,6 +997,58 @@ class ParquetStoreSpec extends AnyFunSuite {
       exMode.getMessage)
   }
 
+  test("metadata columns _file/_pos: per-file physical addresses, " +
+      "stable across DV deletes; MoR op-log extras read NULL; the " +
+      "in-memory store advertises none") {
+    seedDv("pqmeta_t", 40)
+    // four files, each internally dense from position 0
+    val perFile = spark.sql("SELECT _file, COUNT(*) AS n, " +
+      "MIN(_pos) AS p0, MAX(_pos) AS p1 FROM graft.pqmeta_t " +
+      "GROUP BY 1").collect()
+    assert(perFile.length == 4)
+    perFile.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == r.getLong(1) - 1,
+        s"pre-delete positions must be dense: $r")
+    }
+    // DV delete: survivors keep their PHYSICAL addresses (gaps appear)
+    val before = spark.sql("SELECT k, _file, _pos FROM graft.pqmeta_t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    spark.sql("DELETE FROM graft.pqmeta_t WHERE k IN (3, 17, 31)")
+    val after = spark.sql("SELECT k, _file, _pos FROM graft.pqmeta_t")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(after.size == 37 && !after.contains(3L))
+    after.foreach { case (k, addr) =>
+      assert(before(k) == addr,
+        s"row $k moved from ${before(k)} to $addr across a DV delete")
+    }
+    // a MoR table's op-log extras live in no file → NULL metadata
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqmeta_m")
+    spark.sql("CREATE TABLE graft.pqmeta_m (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pqmeta_m SELECT id, 1.0 FROM range(5)")
+    spark.sql("UPDATE graft.pqmeta_m SET v = 2.0 WHERE k = 2")
+    val meta = spark.sql(
+      "SELECT k, _file IS NULL AS nf FROM graft.pqmeta_m")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(meta(2L), "the op-log post-image lives in no file")
+    assert(!meta(0L), "file-resident rows keep their address")
+    // in-memory tables advertise no metadata columns at all
+    spark.sql("DROP TABLE IF EXISTS graft.pqmeta_mem")
+    spark.sql("CREATE TABLE graft.pqmeta_mem (k BIGINT)")
+    spark.sql("INSERT INTO graft.pqmeta_mem SELECT id FROM range(3)")
+    val ex = intercept[Exception] {
+      spark.sql("SELECT _file FROM graft.pqmeta_mem").collect()
+    }
+    assert(ex.getMessage.contains("_file"), ex.getMessage)
+    spark.sql("DROP TABLE graft.pqmeta_t")
+    spark.sql("DROP TABLE graft.pqmeta_m")
+    spark.sql("DROP TABLE graft.pqmeta_mem")
+  }
+
   test("streaming reads a parquet-backed table per commit: the " +
       "append-only prefix identity survives the file round-trip") {
     freshCatalog()
