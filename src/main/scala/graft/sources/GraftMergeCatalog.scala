@@ -635,6 +635,12 @@ object GraftTableStore {
       appendLocked(name, op, GraftParquetData(files, count), branch)
     }
 
+  /** is the published (main) pointer at the chain head? False while a
+    * WAP branch holds staged commits above main — states where a
+    * manifest computed from main must not commit. */
+  private[sources] def mainAtChainHead(name: String): Boolean =
+    versions.get(name).forall(h => h.mainHead == h.commitCount - 1)
+
   /** PURGE deletion vectors (the OPTIMIZE flavor a DV delete calls
     * for): rewrite ONLY the bitmap-carrying files as fresh live-row
     * files and commit the swapped manifest — DV-free entries survive
@@ -2335,6 +2341,13 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     pinnedVersion.isEmpty &&
       GraftParquetStore.meta(tableName).exists(_.dvMode) &&
+      // WAP safety: deleteWhere resolves the file view at MAIN's head
+      // but the commit extends the CHAIN head — under an active WAP
+      // branch (or a dangling staged branch) those differ, and a DV
+      // manifest built from main would silently drop the staged
+      // commits. Decline; the row-level path owns that case.
+      GraftTableStore.sessionWapBranch.isEmpty &&
+      GraftTableStore.mainAtChainHead(tableName) &&
       GraftTableStore.fileView(tableName, None).exists(fv =>
         fv.extras.isEmpty && fv.deletedIds.isEmpty) &&
       filters.forall(f =>
@@ -2374,8 +2387,10 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
       filesTotal = fv.files.length, filesOpened = candidates.length,
       filesDropped = dropped, filesDvd = rewritten,
       rowsDeleted = removedRows))
+    // no branch: canDeleteWhere already declined any WAP state, so
+    // main == chain head and the OCC expectedHead is the view's base
     GraftTableStore.commitParquetManifest(tableName, files, count,
-      "delete-dv", GraftTableStore.sessionWapBranch, expectedHead = h0)
+      "delete-dv", branch = None, expectedHead = h0)
   }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
@@ -4637,6 +4652,19 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           .foreach(assignIdentity(incoming, _, plainAppend = !replace &&
             !doTruncate && !dynamicOverwrite &&
             overwriteFilters.isEmpty))
+        // a copy-on-write ROW-LEVEL rewrite replaces the snapshot with
+        // content derived from a scan of MAIN — committing that onto a
+        // WAP branch would silently drop the branch's staged commits
+        // (appends/overwrites base on the CHAIN head inside mutate and
+        // WriteDelta op logs apply at read, so those stay branch-safe)
+        if (replace)
+          GraftTableStore.sessionWapBranch.foreach(b =>
+            throw new IllegalStateException(
+              s"$tableName: copy-on-write DELETE/UPDATE/MERGE is not " +
+                s"supported while graft.wap.branch='$b' is set — the " +
+                "rewrite's scan reads MAIN, so its snapshot would drop " +
+                "the staged commits; publish the branch first or use a " +
+                "merge-on-read table"))
         val op =
           if (replace) "replace"
           else if (doTruncate) "truncate"

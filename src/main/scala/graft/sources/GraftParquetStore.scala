@@ -650,7 +650,8 @@ object GraftParquetStore {
     val readOrds = filters.flatMap(_.references).distinct
       .map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0).sorted
     spark.sparkContext
-      .parallelize(candidates, candidates.length)
+      .parallelize(candidates, math.min(candidates.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
       .flatMap { f =>
         val preds = filters.flatMap(GraftFilterEval.compile(_, schema))
         require(preds.length == filters.length,

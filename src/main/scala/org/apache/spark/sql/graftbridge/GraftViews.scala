@@ -91,7 +91,19 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
   import GraftViews._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(sqlText) match {
+    rewrite(delegate.parsePlan(sqlText))
+
+  /** the interface DEFAULT drops the ParameterContext on the floor
+    * (it just calls parsePlan) — delegate properly, then rewrite, so
+    * `spark.sql(text, args)` keeps its parameters through the
+    * wrapper. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    rewrite(delegate.parsePlanWithParameters(sqlText, ctx))
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan =
+    plan match {
       case cv: CreateView => cv.child match {
         case UnresolvedIdentifier(parts, _)
             if viewCatalogOf(session, parts).isDefined =>
@@ -112,11 +124,13 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
         case UnresolvedNamespace(parts, _)
             if parts.nonEmpty &&
               viewCatalogOf(session, parts :+ "x").isDefined =>
-          GraftShowViewsCommand(parts.head, parts.drop(1), sv.output)
+          GraftShowViewsCommand(parts.head, parts.drop(1), sv.pattern,
+            sv.output)
         case _ => sv
       }
       case other => other
     }
+
 
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)
@@ -182,14 +196,22 @@ case class GraftDropViewCommand(catalogName: String, ident: Identifier,
   * parsed statement's output attributes so the readout schema matches
   * the session-catalog form (namespace, viewName, isTemporary). */
 case class GraftShowViewsCommand(catalogName: String, ns: Seq[String],
-    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+    pattern: Option[String], override val output: Seq[Attribute])
+    extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val cs =
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val vc = cs.sessionState.catalogManager.catalog(catalogName)
       .asInstanceOf[ViewCatalog]
-    vc.listViews(ns: _*).toSeq.map(i =>
-      Row(i.namespace().mkString("."), i.name(), false))
+    val names = vc.listViews(ns: _*).toSeq
+    // same LIKE-glob semantics as the session-catalog SHOW VIEWS
+    val kept = pattern match {
+      case Some(p) => names.filter(i =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(i.name()), p).nonEmpty)
+      case None => names
+    }
+    kept.map(i => Row(i.namespace().mkString("."), i.name(), false))
   }
 }
 

@@ -1493,6 +1493,47 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.proc_dv")
   }
 
+  test("WAP safety for snapshot-rewriting deletes: the DV metadata " +
+      "path declines while a branch is staged (staged rows survive), " +
+      "and a copy-on-write rewrite refuses loudly instead of " +
+      "committing a MAIN-derived snapshot onto the branch") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.wapdv_t")
+    spark.sql("CREATE TABLE graft.wapdv_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv')")
+    spark.range(20).selectExpr("id AS k", "id * 1.0 AS v")
+      .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+      .writeTo("graft.wapdv_t").append()
+    graft.api.GraftApi.createBranch(spark, "graft.wapdv_t", "stage")
+    spark.conf.set("graft.wap.branch", "stage")
+    try {
+      spark.sql("INSERT INTO graft.wapdv_t SELECT id + 100, 9.0 " +
+        "FROM range(3)") // staged on the branch
+      // pushable DELETE: the DV path must NOT claim it here — a DV
+      // manifest computed from main would drop the staged rows. The
+      // CoW fallback refuses loudly (its scan reads main).
+      val ex = intercept[Exception] {
+        spark.sql("DELETE FROM graft.wapdv_t WHERE k >= 15")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("graft.wap.branch")), s"$ex")
+    } finally spark.conf.unset("graft.wap.branch")
+    // nothing was lost: the staged rows publish intact, main's rows
+    // untouched by the refused delete
+    graft.api.GraftApi.publishBranch(spark, "graft.wapdv_t", "stage")
+    assert(spark.table("graft.wapdv_t").count() == 23)
+    // with the branch published, the DV path works again
+    spark.sql("DELETE FROM graft.wapdv_t WHERE k >= 15 AND k <= 19")
+    val ops = spark.table("graft.wapdv_t.history")
+      .collect().map(r => r.getString(1))
+    assert(ops.contains("delete-dv"), ops.mkString(","))
+    assert(spark.table("graft.wapdv_t").count() == 18)
+    spark.sql("DROP TABLE graft.wapdv_t")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
