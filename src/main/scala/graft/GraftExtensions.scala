@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         session, delegate))
     ext.injectResolutionRule(session =>
       org.apache.spark.sql.graftbridge.ResolveGraftViews(session))
+    // RELY-constraint join elimination: spend the stored informational
+    // PK/FK constraints — an inner FK→PK join with no PK-side columns
+    // used above collapses to an IS NOT NULL filter on the FK
+    ext.injectOptimizerRule(session =>
+      graft.plans.EliminateRelyJoins(session))
   }
 }
 

@@ -463,6 +463,54 @@ object MergeOps extends QueryModule {
         .orderBy("c_name")
     }),
 
+    // RELY JOIN ELIMINATION — the optimization informational
+    // constraints exist FOR: with FOREIGN KEY ... RELY on the fact and
+    // PRIMARY KEY ... RELY on the dimension, an inner FK→PK join that
+    // uses no dimension columns is provably a no-op (every non-null FK
+    // matches exactly one PK row) and the injected optimizer rule
+    // (graft.plans.EliminateRelyJoins, via GraftExtensions) replaces
+    // it with IS NOT NULL on the FK — at 100 TB an entire dimension
+    // shuffle+build gone from every "join just in case" query. The id
+    // runs the joined query through the extension-wired session,
+    // asserts the optimized plan really lost the Join, and the oracle
+    // RUNS THE JOIN — proving elimination preserved semantics on a
+    // corpus where the declared integrity actually holds. CatalogSpec
+    // pins the refusal controls (dimension column used, filtered
+    // dimension, constraint without RELY).
+    "join_elim_rely" -> ((s0, d) => {
+      val s = graft.GraftExtensions.sessionWithViews(s0)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .createOrReplaceTempView("jer_cust_src")
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+        .createOrReplaceTempView("jer_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.jer_fact")
+      s.sql("DROP TABLE IF EXISTS graft.jer_dim")
+      s.sql("CREATE TABLE graft.jer_dim (c_custkey BIGINT, " +
+        "c_name STRING)")
+      s.sql("INSERT INTO graft.jer_dim SELECT * FROM jer_cust_src")
+      s.sql("ALTER TABLE graft.jer_dim ADD CONSTRAINT jer_pk " +
+        "PRIMARY KEY (c_custkey) NOT ENFORCED RELY")
+      s.sql("CREATE TABLE graft.jer_fact (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql("INSERT INTO graft.jer_fact SELECT * FROM jer_orders_src")
+      s.sql("ALTER TABLE graft.jer_fact ADD CONSTRAINT jer_fk " +
+        "FOREIGN KEY (o_custkey) REFERENCES graft.jer_dim " +
+        "(c_custkey) NOT ENFORCED RELY")
+      val q = s.sql("SELECT f.o_orderstatus, COUNT(*) AS n_orders, " +
+        "CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2))) * 100 " +
+        "AS BIGINT) AS total_cents " +
+        "FROM graft.jer_fact f JOIN graft.jer_dim c " +
+        "ON f.o_custkey = c.c_custkey " +
+        "GROUP BY f.o_orderstatus")
+      val eliminated =
+        !q.queryExecution.optimizedPlan.toString.contains("Join")
+      q.withColumn("join_eliminated", lit(eliminated))
+        .orderBy("o_orderstatus")
+    }),
+
     // CHECK CONSTRAINTS (Delta's CHECK constraints; ANSI table
     // constraints through Spark 4's SUPPORT_TABLE_CONSTRAINT): the
     // catalog stores enforced CHECK constraints in table metadata and
@@ -1026,6 +1074,16 @@ object MergeOps extends QueryModule {
          |    AS commit_version
          |FROM ($cdcSql) t
          |ORDER BY c_custkey, change_type""".stripMargin,
+    // the oracle RUNS the join the engine eliminated — the results
+    // must coincide because orders.o_custkey really references
+    // customer (TPC-H referential integrity, what RELY vouches for)
+    "join_elim_rely" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS total_cents,
+        |  TRUE AS join_eliminated
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full recompute of the MV's final state: base minus the %10=3
     // deletes, %10=4 rows repriced +500, plus the %10=5 'Z' inserts
     "mv_incremental" ->

@@ -1534,6 +1534,72 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.wapdv_t")
   }
 
+  test("RELY join elimination: fires only under the full contract — " +
+      "dimension column used, filtered dimension, or a constraint " +
+      "WITHOUT RELY all keep the join; results match the real join") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMergeCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft.jes_fact")
+    s.sql("DROP TABLE IF EXISTS graft.jes_dim")
+    s.sql("DROP TABLE IF EXISTS graft.jes_dim_norely")
+    s.sql("CREATE TABLE graft.jes_dim (k BIGINT, nm STRING)")
+    s.sql("INSERT INTO graft.jes_dim SELECT id, concat('d', id) " +
+      "FROM range(10)")
+    s.sql("ALTER TABLE graft.jes_dim ADD CONSTRAINT pk " +
+      "PRIMARY KEY (k) NOT ENFORCED RELY")
+    s.sql("CREATE TABLE graft.jes_dim_norely (k BIGINT, nm STRING)")
+    s.sql("INSERT INTO graft.jes_dim_norely SELECT id, 'x' " +
+      "FROM range(10)")
+    s.sql("ALTER TABLE graft.jes_dim_norely ADD CONSTRAINT pk2 " +
+      "PRIMARY KEY (k) NOT ENFORCED") // stored, NOT relied upon
+    s.sql("CREATE TABLE graft.jes_fact (ok BIGINT, k BIGINT, " +
+      "v DOUBLE)")
+    s.sql("INSERT INTO graft.jes_fact SELECT id, id % 10, id * 1.0 " +
+      "FROM range(200)")
+    s.sql("ALTER TABLE graft.jes_fact ADD CONSTRAINT fk " +
+      "FOREIGN KEY (k) REFERENCES graft.jes_dim (k) " +
+      "NOT ENFORCED RELY")
+    s.sql("ALTER TABLE graft.jes_fact ADD CONSTRAINT fk2 " +
+      "FOREIGN KEY (k) REFERENCES graft.jes_dim_norely (k) " +
+      "NOT ENFORCED RELY")
+    def joinPlan(sql: String): (Boolean, Long) = {
+      val q = s.sql(sql)
+      (q.queryExecution.optimizedPlan.toString.contains("Join"),
+        q.count())
+    }
+    // the eliminable shape: no dimension column used
+    val (j1, n1) = joinPlan("SELECT f.k, COUNT(*) AS n FROM " +
+      "graft.jes_fact f JOIN graft.jes_dim d ON f.k = d.k GROUP BY f.k")
+    assert(!j1 && n1 == 10, s"eliminable join survived: join=$j1 n=$n1")
+    // control 1: a dimension column in the output keeps the join
+    val (j2, _) = joinPlan("SELECT f.k, d.nm FROM graft.jes_fact f " +
+      "JOIN graft.jes_dim d ON f.k = d.k")
+    assert(j2, "dimension column used — the join must stay")
+    // control 2: a filtered dimension keeps the join (it may drop rows)
+    val (j3, n3) = joinPlan("SELECT f.k, COUNT(*) AS n FROM " +
+      "graft.jes_fact f JOIN (SELECT k FROM graft.jes_dim " +
+      "WHERE k >= 5) d ON f.k = d.k GROUP BY f.k")
+    assert(j3 && n3 == 5, s"filtered dimension: join=$j3 n=$n3")
+    // control 3: PRIMARY KEY without RELY is stored but never spent
+    val (j4, _) = joinPlan("SELECT f.k, COUNT(*) AS n FROM " +
+      "graft.jes_fact f JOIN graft.jes_dim_norely d ON f.k = d.k " +
+      "GROUP BY f.k")
+    assert(j4, "constraint without RELY must not eliminate")
+    // elimination result == real-join result, row for row
+    val a = s.sql("SELECT f.k, COUNT(*) AS n, SUM(f.v) AS sv FROM " +
+      "graft.jes_fact f JOIN graft.jes_dim d ON f.k = d.k " +
+      "GROUP BY f.k ORDER BY f.k").collect().map(_.toString).toSeq
+    val b = s.sql("SELECT f.k, COUNT(*) AS n, SUM(f.v) AS sv FROM " +
+      "graft.jes_fact f JOIN graft.jes_dim_norely d ON f.k = d.k " +
+      "GROUP BY f.k ORDER BY f.k").collect().map(_.toString).toSeq
+    assert(a == b, "eliminated and real join must agree")
+    s.sql("DROP TABLE graft.jes_fact")
+    s.sql("DROP TABLE graft.jes_dim")
+    s.sql("DROP TABLE graft.jes_dim_norely")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
