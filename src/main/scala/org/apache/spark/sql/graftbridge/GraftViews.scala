@@ -3,10 +3,10 @@ package org.apache.spark.sql.graftbridge
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{AlterViewAs, CreateView, DropView, LogicalPlan, ShowViews, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewCatalog, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -120,6 +120,13 @@ class GraftViewParser(session: SparkSession, delegate: ParserInterface)
           GraftDropViewCommand(parts.head, identOf(parts), dv.ifExists)
         case _ => dv
       }
+      case av: AlterViewAs => av.child match {
+        case UnresolvedView(parts, _, _, _)
+            if viewCatalogOf(session, parts).isDefined =>
+          GraftAlterViewAsCommand(parts.head, identOf(parts),
+            av.originalText)
+        case _ => av
+      }
       case sv: ShowViews => sv.namespace match {
         case UnresolvedNamespace(parts, _)
             if parts.nonEmpty &&
@@ -174,6 +181,30 @@ case class GraftCreateViewCommand(catalogName: String,
       schema.fieldNames, new Array[String](schema.length),
       java.util.Collections.emptyMap[String, String]())
     if (replace) vc.replaceView(info, true) else vc.createView(info)
+    Seq.empty
+  }
+}
+
+/** ALTER VIEW ... AS <query>: swap the stored definition in place —
+  * the view must already exist (CREATE OR REPLACE is the upsert
+  * form). Text re-analyzes here, same loud-at-DDL contract as
+  * CREATE. */
+case class GraftAlterViewAsCommand(catalogName: String,
+    ident: Identifier, viewSql: String) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val cs =
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val vc = cs.sessionState.catalogManager.catalog(catalogName)
+      .asInstanceOf[ViewCatalog]
+    if (!vc.viewExists(ident)) throw new NoSuchViewException(ident)
+    val parsed = cs.sessionState.sqlParser.parsePlan(viewSql)
+    val schema = cs.sessionState.executePlan(parsed).analyzed.schema
+    val cm = cs.sessionState.catalogManager
+    val info = new ViewInfo(ident, viewSql, cm.currentCatalog.name(),
+      cm.currentNamespace, schema, schema.fieldNames,
+      schema.fieldNames, new Array[String](schema.length),
+      java.util.Collections.emptyMap[String, String]())
+    vc.replaceView(info, false)
     Seq.empty
   }
 }

@@ -1435,6 +1435,18 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(exOnto.getMessage.contains("a table with that name"),
       exOnto.getMessage)
+    // ALTER VIEW ... AS swaps the stored text; an unknown view refuses
+    s.sql("ALTER VIEW graft.cvw2_w AS SELECT k FROM graft.cvw2_t " +
+      "WHERE k >= 3")
+    assert(s.table("graft.cvw2_w").count() == 2)
+    val exAlter = intercept[Exception] {
+      s.sql("ALTER VIEW graft.cvw2_nope AS SELECT 1 AS one")
+    }
+    assert(exAlter.getMessage.contains("cvw2_nope"), exAlter.getMessage)
+    // DESCRIBE PROCEDURE rides Spark's own command over loadProcedure
+    val desc = s.sql("DESCRIBE PROCEDURE graft.system.optimize")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("optimize"), desc)
     s.sql("DROP VIEW graft.cvw2_w")
     s.sql("DROP TABLE graft.cvw2_t")
   }

@@ -38,7 +38,11 @@ class ParquetStoreSpec extends AnyFunSuite {
       "sql_alter_default", "sql_check_constraint", "sql_identity_col",
       "table_refs", "merge_three_branch", "sink_replace_where",
       "table_clone", "sql_partition_evolve", "sql_generated_col",
-      "sql_rely_constraints", "table_detail")
+      "sql_rely_constraints", "table_detail",
+      // round 11: the backend-agnostic additions (the DV/metadata ids
+      // are parquet-only by nature and force the backend themselves)
+      "mv_incremental", "sql_call_procedure", "join_elim_rely",
+      "sql_catalog_view")
     battery.foreach { id =>
       assert(SparkEntry.queries.contains(id), s"unknown battery id: $id")
       freshCatalog()
