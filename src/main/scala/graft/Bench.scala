@@ -37,7 +37,12 @@ object Bench {
   // sf0.1) → 196 re-anchored additively to 202
   // round-10 DDL-surface wave: +3 sub-second ids (generated/identity/
   // check-constraint, summed 1.3 s warm) → 202 → 203
-  private val BaselineWarmSec = 203.0
+  // round-11: +7 ids (sql_delete_dv 0.7, table_purge_dv 0.8,
+  // mv_incremental 1.5, sql_catalog_view 3.1 incl. the one-time
+  // extension-sibling session, sql_call_procedure 0.3,
+  // scan_metadata_cols 0.6, join_elim_rely 0.8 — summed 7.9 s in the
+  // round's sf0.1 drive) → 203 re-anchored additively to 211
+  private val BaselineWarmSec = 211.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -45,6 +50,13 @@ object Bench {
     * sub-second in every recorded run and get [[DefaultExpectedSec]].
     * Keep in sync with BASELINE.md after perf changes. */
   private[graft] val ExpectedSec: Map[String, Double] = Map(
+    // round-11: the MV id runs 3 row-level DML commits over full
+    // orders plus a change-feed refresh (driver-side CDC diffs, the
+    // documented cost class — feed now cached so count+MERGE pay
+    // once); the view id spins the extension sibling session on
+    // first use and drives 3 actions through the stored view
+    "mv_incremental" -> 3.0,
+    "sql_catalog_view" -> 2.0,
     "dedup_embedding_scaled" -> 14.0,
     "dedup_embedding" -> 13.0,
     "dedup_clusters" -> 6.0,

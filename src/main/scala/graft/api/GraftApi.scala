@@ -263,9 +263,12 @@ object GraftApi {
         "createMaterializedView first"))
     val head = graft.sources.GraftTableStore.commitCount(d.source) - 1
     if (head <= d.lastVersion) return (0L, head)
+    // cache: the feed materializes snapshot DIFFS driver-side (the
+    // documented CDC cost) — count and the MERGE below must not pay
+    // for it twice
     val feed = spark.read
       .option("startingVersion", (d.lastVersion + 1).toString)
-      .table(s"${d.source}.changes")
+      .table(s"${d.source}.changes").cache()
     val nChanges = feed.count()
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
@@ -289,6 +292,7 @@ object GraftApi {
          |WHEN NOT MATCHED AND s.__dn > 0 THEN
          |  INSERT ($gList, ${d.countAlias}, ${d.sumAlias})
          |  VALUES ($sList, s.__dn, s.__ds)""".stripMargin)
+    feed.unpersist()
     mvDefs.put(mv, d.copy(lastVersion = head))
     (nChanges, head)
   }

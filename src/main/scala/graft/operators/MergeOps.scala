@@ -837,7 +837,10 @@ object MergeOps extends QueryModule {
     "mv_incremental" -> ((s, d) => {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.GraftMergeCatalog].getName)
+      // deterministic 1-in-5 slice: the id's point is refresh
+      // semantics, not DML throughput over the full fact table
       Tables.orders(s, d)
+        .where(col("o_orderkey") % 5 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           (Det.dec2(col("o_totalprice")) * 100).cast("long")
             .as("price_cents"))
@@ -1091,7 +1094,7 @@ object MergeOps extends QueryModule {
         |  SELECT o_orderkey, o_orderstatus,
         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
         |      AS cents
-        |  FROM orders),
+        |  FROM orders WHERE o_orderkey % 5 = 0),
         |final AS (
         |  SELECT o_orderstatus,
         |    CASE WHEN o_orderkey % 10 = 4 THEN cents + 500
