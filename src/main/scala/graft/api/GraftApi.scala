@@ -263,38 +263,82 @@ object GraftApi {
         "createMaterializedView first"))
     val head = graft.sources.GraftTableStore.commitCount(d.source) - 1
     if (head <= d.lastVersion) return (0L, head)
-    // cache: the feed materializes snapshot DIFFS driver-side (the
-    // documented CDC cost) — count and the MERGE below must not pay
-    // for it twice
     val feed = spark.read
       .option("startingVersion", (d.lastVersion + 1).toString)
-      .table(s"${d.source}.changes").cache()
-    val nChanges = feed.count()
-    val sign = when(col("_change_type")
-      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
-    val viewName = s"__mv_delta_${mv.replace('.', '_')}"
-    feed.select(d.groupCols.map(col) :+ sign.as("__sign") :+
-        col(d.sumCol): _*)
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(sum(col("__sign")).as("__dn"),
-        sum(col("__sign") * col(d.sumCol)).as("__ds"))
-      .where(col("__dn") =!= 0L || col("__ds") =!= 0L)
-      .createOrReplaceTempView(viewName)
-    val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
-    val gList = d.groupCols.mkString(", ")
-    val sList = d.groupCols.map(c => s"s.$c").mkString(", ")
-    spark.sql(
-      s"""MERGE INTO $mv t USING $viewName s ON $on
-         |WHEN MATCHED AND t.${d.countAlias} + s.__dn = 0 THEN DELETE
-         |WHEN MATCHED THEN UPDATE SET
-         |  ${d.countAlias} = t.${d.countAlias} + s.__dn,
-         |  ${d.sumAlias} = t.${d.sumAlias} + s.__ds
-         |WHEN NOT MATCHED AND s.__dn > 0 THEN
-         |  INSERT ($gList, ${d.countAlias}, ${d.sumAlias})
-         |  VALUES ($sList, s.__dn, s.__ds)""".stripMargin)
-    feed.unpersist()
-    mvDefs.put(mv, d.copy(lastVersion = head))
-    (nChanges, head)
+      .table(s"${d.source}.changes")
+    (foldMvChanges(spark, mv, feed), head)
+  }
+
+  /** fold a frame of change-feed rows into the MV — the shared core
+    * of batch refresh and streaming maintenance. Commit-granular
+    * idempotence: rows at or below the MV's recorded version are
+    * dropped first, so a replayed micro-batch (or a refresh racing
+    * the stream) applies each commit EXACTLY once. Returns the number
+    * of change rows folded. */
+  private def foldMvChanges(spark: org.apache.spark.sql.SparkSession,
+      mv: String, changes: DataFrame): Long = {
+    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view"))
+    // cache: the feed materializes snapshot DIFFS driver-side (the
+    // documented CDC cost) — the count, max-version readout and the
+    // MERGE below must not pay for it three times
+    val fresh = changes
+      .where(col("_commit_version") > d.lastVersion.toLong).cache()
+    try {
+      val nChanges = fresh.count()
+      if (nChanges == 0L) return 0L
+      val newLast = fresh
+        .agg(max(col("_commit_version"))).collect()(0).getLong(0).toInt
+      val sign = when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val viewName = s"__mv_delta_${mv.replace('.', '_')}"
+      fresh.select(d.groupCols.map(col) :+ sign.as("__sign") :+
+          col(d.sumCol): _*)
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(sum(col("__sign")).as("__dn"),
+          sum(col("__sign") * col(d.sumCol)).as("__ds"))
+        .where(col("__dn") =!= 0L || col("__ds") =!= 0L)
+        .createOrReplaceTempView(viewName)
+      val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
+      val gList = d.groupCols.mkString(", ")
+      val sList = d.groupCols.map(c => s"s.$c").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $mv t USING $viewName s ON $on
+           |WHEN MATCHED AND t.${d.countAlias} + s.__dn = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  ${d.countAlias} = t.${d.countAlias} + s.__dn,
+           |  ${d.sumAlias} = t.${d.sumAlias} + s.__ds
+           |WHEN NOT MATCHED AND s.__dn > 0 THEN
+           |  INSERT ($gList, ${d.countAlias}, ${d.sumAlias})
+           |  VALUES ($sList, s.__dn, s.__ds)""".stripMargin)
+      mvDefs.put(mv, d.copy(lastVersion = newLast))
+      nChanges
+    } finally { fresh.unpersist(); () }
+  }
+
+  /** CONTINUOUS MV MAINTENANCE: a streaming query tailing the
+    * source's change feed, folding every micro-batch into the MV
+    * through the same commit-granular fold as the batch refresh — the
+    * MV keeps itself fresh as commits land, no refresh calls. The
+    * returned query runs Trigger.AvailableNow (catch up, then stop —
+    * call again after more commits, or run it on a schedule the way a
+    * warehouse schedules MV maintenance); batch refresh and the
+    * stream can interleave safely (each commit folds exactly once). */
+  def maintainMaterializedView(
+      spark: org.apache.spark.sql.SparkSession, mv: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+      s"$mv is not a registered materialized view — " +
+        "createMaterializedView first"))
+    spark.readStream.table(s"${d.source}.changes")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        foldMvChanges(batch.sparkSession, mv, batch); ()
+      }
+      .start()
   }
 
   /** OPTIMIZE's deletion-vector PURGE: rewrite only the files whose

@@ -1507,4 +1507,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, s"state mismatch: $got")
     } finally q.stop()
   }
+
+  test("maintainMaterializedView tails the change feed: the MV keeps " +
+      "itself equal to a full recompute across DML waves, a replayed " +
+      "batch refresh folds nothing twice, and a checkpointed restart " +
+      "resumes cleanly") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.mvm_src")
+    spark.sql("CREATE TABLE graft.mvm_src (k BIGINT, g STRING, " +
+      "cents BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.mvm_src SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 10 " +
+      "FROM range(40)")
+    graft.api.GraftApi.createMaterializedView(spark, "graft.mvm_mv",
+      "graft.mvm_src", Seq("g"), "n", "cents", "s")
+    def recompute(): Seq[String] =
+      spark.table("graft.mvm_src").groupBy("g")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum("cents").as("s"))
+        .orderBy("g").collect().map(_.toString).toSeq
+    def mv(): Seq[String] =
+      spark.table("graft.mvm_mv").orderBy("g")
+        .collect().map(_.toString).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("mvm-ckpt-").toString
+    // wave 1: two commits, then one AvailableNow catch-up
+    spark.sql("UPDATE graft.mvm_src SET cents = cents + 3 " +
+      "WHERE k % 4 = 0")
+    spark.sql("DELETE FROM graft.mvm_src WHERE k % 5 = 0")
+    val q1 = graft.api.GraftApi.maintainMaterializedView(spark,
+      "graft.mvm_mv", ckpt)
+    q1.awaitTermination(60000)
+    assert(mv() == recompute(), "after wave 1 catch-up")
+    // a batch refresh RIGHT AFTER the stream folds nothing twice
+    assert(graft.api.GraftApi.refreshMaterializedView(spark,
+      "graft.mvm_mv")._1 == 0L, "stream already folded everything")
+    // wave 2: more commits, RESTART the maintenance from the same
+    // checkpoint — exactly-once across the restart
+    spark.sql("INSERT INTO graft.mvm_src SELECT id + 100, 'z', 7 " +
+      "FROM range(5)")
+    spark.sql("DELETE FROM graft.mvm_src WHERE g = 'a' AND k < 10")
+    val q2 = graft.api.GraftApi.maintainMaterializedView(spark,
+      "graft.mvm_mv", ckpt)
+    q2.awaitTermination(60000)
+    assert(mv() == recompute(), "after the checkpointed restart")
+    assert(mv().exists(_.startsWith("[z,")), mv().toString)
+    spark.sql("DROP TABLE graft.mvm_src")
+    spark.sql("DROP TABLE graft.mvm_mv")
+  }
 }
