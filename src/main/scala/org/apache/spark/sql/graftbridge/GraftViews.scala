@@ -253,8 +253,38 @@ case class GraftShowViewsCommand(catalogName: String, ns: Seq[String],
 case class ResolveGraftViews(session: SparkSession)
     extends Rule[LogicalPlan] {
   import GraftViews._
+
+  private def isCatalogView(p: LogicalPlan): Boolean = p match {
+    case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+      viewCatalogOf(session, u.multipartIdentifier)
+        .exists(_.viewExists(identOf(u.multipartIdentifier)))
+    case _ => false
+  }
+
+  private def refuseWrite(u: UnresolvedRelation, what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"${u.multipartIdentifier.mkString(".")} is a VIEW — $what " +
+        "must target a table (a view is a stored query, not storage)")
+
+  // TOP-DOWN so write commands refuse BEFORE their target relation
+  // rewrites into a subquery (bottom-up would turn `INSERT INTO v`
+  // into an insert-into-subquery and fail with an internal shape
+  // error instead of a real message)
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    plan.resolveOperatorsDown {
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement if isCatalogView(i.table) =>
+        refuseWrite(i.table.asInstanceOf[UnresolvedRelation], "INSERT")
+      case d: org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable if isCatalogView(d.table) =>
+        refuseWrite(d.table.asInstanceOf[UnresolvedRelation], "DELETE")
+      case up: org.apache.spark.sql.catalyst.plans.logical
+          .UpdateTable if isCatalogView(up.table) =>
+        refuseWrite(up.table.asInstanceOf[UnresolvedRelation], "UPDATE")
+      case m: org.apache.spark.sql.catalyst.plans.logical
+          .MergeIntoTable if isCatalogView(m.targetTable) =>
+        refuseWrite(m.targetTable.asInstanceOf[UnresolvedRelation],
+          "MERGE INTO")
       case u: UnresolvedRelation
           if u.multipartIdentifier.length >= 2 &&
             viewCatalogOf(session, u.multipartIdentifier).isDefined =>

@@ -516,6 +516,12 @@ class ApiSpec extends AnyFunSuite {
     GraftApi.refreshMaterializedView(spark, "graft.mvspec_mv")
     assert(mvState() == mvFullRecompute(), "after multi-commit window")
     assert(mvState().exists(_.startsWith("[z,")), mvState().toString)
+    // round 4: an UPDATE that MOVES rows across groups — the preimage
+    // retracts from 'a', the postimage lands in 'b'
+    spark.sql("UPDATE graft.mvspec_src SET g = 'b' " +
+      "WHERE g = 'a' AND k % 4 = 0")
+    GraftApi.refreshMaterializedView(spark, "graft.mvspec_mv")
+    assert(mvState() == mvFullRecompute(), "after group-moving update")
     spark.sql("DROP TABLE graft.mvspec_src")
     spark.sql("DROP TABLE graft.mvspec_mv")
   }

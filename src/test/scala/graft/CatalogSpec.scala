@@ -1435,6 +1435,15 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(exOnto.getMessage.contains("a table with that name"),
       exOnto.getMessage)
+    // writes must target tables: a view is a stored query, not storage
+    val exIns = intercept[Exception] {
+      s.sql("INSERT INTO graft.cvw2_w VALUES (99)")
+    }
+    assert(exIns.getMessage.contains("is a VIEW"), exIns.getMessage)
+    val exDel = intercept[Exception] {
+      s.sql("DELETE FROM graft.cvw2_w WHERE k = 1")
+    }
+    assert(exDel.getMessage.contains("is a VIEW"), exDel.getMessage)
     // ALTER VIEW ... AS swaps the stored text; an unknown view refuses
     s.sql("ALTER VIEW graft.cvw2_w AS SELECT k FROM graft.cvw2_t " +
       "WHERE k >= 3")
