@@ -352,6 +352,17 @@ object GraftApi {
       table: String): Int =
     graft.sources.GraftTableStore.purgeDvs(table)
 
+  /** BIN-PACKING compaction (OPTIMIZE's small-file rewrite): merge
+    * files under `targetRows` live rows into files of up to that
+    * size, within (partition key, spec, width) groups — semantics
+    * unchanged, large and DV-carrying files survive by reference.
+    * Returns the net file-count reduction (0 = idempotent no-op).
+    * The streaming-ingest small-file problem at 100 TB, solved the
+    * way every lake format solves it. */
+  def rewriteSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      table: String, targetRows: Int): Int =
+    graft.sources.GraftTableStore.binPack(table, targetRows)
+
   /** VACUUM / expire_snapshots — explicit retention: drop all but the
     * newest `keep` retained versions NOW (the store's rolling 64-
     * version cap keeps applying on top). Version numbers stay ABSOLUTE

@@ -643,6 +643,47 @@ object LakeOps extends QueryModule {
         .orderBy("o_orderstatus")
     }),
 
+    // BIN-PACKING COMPACTION (Delta's OPTIMIZE binpack / Iceberg's
+    // rewrite_data_files): six small append commits simulate streaming
+    // ingest — the manifest accumulates one-or-more small files per
+    // commit — then CALL graft.system.rewrite_small_files merges them
+    // into target-sized files within (partition key, spec, width)
+    // groups; big and DV-carrying files survive by reference, content
+    // is unchanged by construction (the oracle proves it), and every
+    // later scan plans O(files) less work — the operational cost of
+    // streaming ingest at 100 TB, solved the lake-format way.
+    // ParquetStoreSpec pins reference identity, group discipline and
+    // idempotence.
+    "table_binpack" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("bp_orders_src")
+      s.sql("DROP TABLE IF EXISTS graft.bp_orders")
+      s.sql("CREATE TABLE graft.bp_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      (0 until 6).foreach(i =>
+        s.sql("INSERT INTO graft.bp_orders SELECT * FROM " +
+          s"bp_orders_src WHERE o_orderkey % 6 = $i"))
+      val before = graft.sources.GraftTableStore
+        .commitFiles("graft.bp_orders", 5).length
+      val merged = s.sql("CALL graft.system.rewrite_small_files(" +
+        "'bp_orders', 100000)").collect()(0).getInt(0)
+      val after = graft.sources.GraftTableStore.commitFiles(
+        "graft.bp_orders",
+        graft.sources.GraftTableStore.commitCount("graft.bp_orders") - 1
+      ).length
+      s.table("graft.bp_orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("packed", lit(merged > 0))
+        .withColumn("fewer_files", lit(after < before))
+        .orderBy("o_orderstatus")
+    }),
+
     // METADATA COLUMNS `_file` / `_pos` (SupportsMetadataColumns —
     // Iceberg/Delta's file provenance + physical record position):
     // requested columns append to the scan's output and the file
@@ -1099,6 +1140,14 @@ object LakeOps extends QueryModule {
         |  TRUE AS saw_appends
         |FROM v WHERE o_totalprice > 100000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction is content-neutral: the six modulo slices reassemble
+    // the full orders table, whatever the file layout
+    "table_binpack" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS total_cents,
+        |  TRUE AS packed, TRUE AS fewer_files
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // surviving rows keep their PRE-delete physical positions: _pos of
     // a row in the single sorted file = its orderkey rank over the
     // FULL table, deletes notwithstanding

@@ -668,6 +668,57 @@ object GraftTableStore {
     }
   }
 
+  /** BIN-PACKING compaction (OPTIMIZE's small-file rewrite — Delta's
+    * OPTIMIZE binpack, Iceberg's rewrite_data_files): merge files
+    * holding fewer than `targetRows` live rows into files of up to
+    * `targetRows`, within (partition key, spec, write-time width)
+    * groups so pruning and evolution-on-read semantics are unchanged;
+    * files at or above the target — and DV-carrying files (purge
+    * first) — survive BY REFERENCE. Content-neutral by construction;
+    * old files stay owned by older versions until retention GC.
+    * Returns the net file-count reduction (0 = nothing to merge, no
+    * commit — idempotent). The small-file problem this solves is THE
+    * operational cost of streaming ingest at 100 TB: a thousand
+    * per-epoch files become a handful, and every later scan plans
+    * O(files) less work. */
+  private[graft] def binPack(name: String, targetRows: Int): Int =
+    lock.synchronized {
+      require(targetRows > 0, s"targetRows must be positive: $targetRows")
+      val h = versions.getOrElse(name, return 0)
+      h.commits.lastOption match {
+        case Some(p: GraftParquetData) =>
+          val m = GraftParquetStore.meta(name).getOrElse(return 0)
+          val newV = h.commitCount
+          val mergeable = p.files.filter(f =>
+            f.dv.isEmpty && f.rows < targetRows)
+          val groups = mergeable
+            .groupBy(f => (f.key, f.specId, f.numCols))
+            .filter(_._2.length >= 2)
+          if (groups.isEmpty) return 0
+          val mergedAway = scala.collection.mutable.HashSet[String]()
+          var seq = 0
+          val newFiles = groups.toVector
+            .sortBy(_._2.head.path).flatMap {
+              case ((key, specId, width), fs) =>
+                fs.foreach(f => mergedAway += f.path)
+                fs.iterator.flatMap(f => GraftParquetStore
+                    .readFile(f, m.schema, Array.range(0, width)))
+                  .grouped(targetRows).map { chunk =>
+                    val nf = GraftParquetStore.writeMergedFile(m, newV,
+                      chunk.iterator, key, width, specId, seq)
+                    seq += 1
+                    nf
+                  }
+            }
+          val files =
+            p.files.filterNot(f => mergedAway.contains(f.path)) ++
+              newFiles
+          appendLocked(name, "binpack", GraftParquetData(files, p.count))
+          mergedAway.size - newFiles.length
+        case _ => 0
+      }
+    }
+
   /** the WAP target branch of the active session, if any — the
     * `graft.wap.branch` session conf (the spark.wap.branch pattern):
     * while set, batch commits land on that branch and main stays
@@ -2362,17 +2413,51 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     val h0 = GraftTableStore.versions.get(tableName)
       .map(_.commitCount - 1).getOrElse(-1)
     val fv = GraftTableStore.fileView(tableName, None).get
+    // PARTITION-LEVEL fast path (Iceberg's metadata partition delete):
+    // when every filter references only IDENTITY partition columns of
+    // the current spec, a file whose manifest key satisfies the
+    // conjunction provably matches EVERY live row — it leaves the
+    // manifest without being opened. `DELETE WHERE part = 'x'` on a
+    // partitioned table is then a pure metadata operation: zero files
+    // opened, zero bitmaps computed.
+    val compiled = filters.flatMap(GraftFilterEval.compile(_, tableSchema))
+    val identCols = partFields.collect {
+      case GraftIdentityPart(c) => c
+    }.toSet
+    val partOnly = filters.nonEmpty &&
+      compiled.length == filters.length &&
+      filters.forall(_.references.forall(identCols.contains))
+    val curSpec = GraftParquetStore.meta(tableName)
+      .map(_.curSpecId).getOrElse(0)
+    val partTypes = partFields.map(GraftPartField.keyType(_, tableSchema))
+    def wholeFileMatches(f: GraftFileInfo): Boolean = partOnly &&
+      f.specId == curSpec && {
+        val synth = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(tableSchema.length)
+        partFields.zipWithIndex.foreach {
+          case (GraftIdentityPart(c), i) =>
+            synth.update(tableSchema.fieldIndex(c),
+              f.key.get(i, partTypes(i)))
+          case _ => ()
+        }
+        compiled.forall(_(synth))
+      }
+    val whollyMatched = fv.files.filter(wholeFileMatches)
+      .map(_.path).toSet
     // zone-map prescreen: a file the manifest PROVES holds no matching
     // row is never opened — its entry survives reference-identical
     val candidates = fv.files.filter(f =>
-      !filters.exists(GraftZoneMap.skips(_, f, tableSchema)))
+      !whollyMatched.contains(f.path) &&
+        !filters.exists(GraftZoneMap.skips(_, f, tableSchema)))
     val dvs = GraftParquetStore.computeDvs(spark, tableSchema,
       candidates, filters)
     var removedRows = 0L
     var dropped = 0
     var rewritten = 0
     val files = fv.files.flatMap { f =>
-      dvs.get(f.path) match {
+      if (whollyMatched.contains(f.path)) { // partition-proven drop
+        removedRows += f.liveRows; dropped += 1; None
+      } else dvs.get(f.path) match {
         case None => Some(f) // untouched — same manifest object
         case Some(d) if d.card == f.rows => // every live row matched
           removedRows += f.liveRows; dropped += 1; None

@@ -704,6 +704,30 @@ object GraftParquetStore {
     h.close()
   }
 
+  /** write ONE merged file from already-read rows (bin-packing
+    * compaction): same partition key, spec id and write-time width as
+    * the small files it replaces, so pruning and evolution-on-read
+    * semantics are unchanged. */
+  private[sources] def writeMergedFile(m: Meta, version: Int,
+      rows: Iterator[InternalRow], key: InternalRow, width: Int,
+      specId: Int, seq: Int): GraftFileInfo = {
+    val vdir = new java.io.File(m.dir, f"v$version%05d")
+    vdir.mkdirs()
+    val target = new java.io.File(vdir, f"merge$seq%04d.parquet")
+    val h = new GraftFileHandle(m.schema, width,
+      target.getAbsolutePath, key, m.bloomOrds, specId)
+    rows.foreach { r =>
+      if (r.numFields == width) h.add(r)
+      else {
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < width) { vals(i) = r.get(i, m.schema(i).dataType); i += 1 }
+        h.add(new GenericInternalRow(vals))
+      }
+    }
+    h.close()
+  }
+
   /** MOVE task-staged files under the committed version's directory —
     * runs driver-side under the store lock when the version number is
     * known; rename on the same filesystem, no data copied. Keeps the

@@ -80,6 +80,11 @@ private[graft] object GraftProcedures {
       GraftProcedure("purge_deletes",
         Array(inParam("table", StringType)), "files_rewritten",
         r => graft.api.GraftApi.purgeDeletes(spark, qualify(str(r, 0)))),
+      GraftProcedure("rewrite_small_files",
+        Array(inParam("table", StringType),
+          inParam("target_rows", IntegerType)), "files_merged_away",
+        r => graft.api.GraftApi.rewriteSmallFiles(spark,
+          qualify(str(r, 0)), r.getInt(1))),
       GraftProcedure("expire_snapshots",
         Array(inParam("table", StringType), inParam("keep", IntegerType)),
         "expired",

@@ -1001,6 +1001,92 @@ class ParquetStoreSpec extends AnyFunSuite {
       exMode.getMessage)
   }
 
+  test("partition-level DV delete is PURE metadata: an identity-" +
+      "partition predicate drops whole files by manifest key — ZERO " +
+      "files opened, zero bitmaps computed") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqdv_part")
+    spark.sql("CREATE TABLE graft.pqdv_part (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('graft.store'='parquet', 'graft.delete.mode'='dv')")
+    spark.sql("INSERT INTO graft.pqdv_part SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+      "ELSE 'c' END FROM range(90)")
+    val filesBefore =
+      GraftTableStore.commitFiles("graft.pqdv_part", 0).length
+    spark.sql("DELETE FROM graft.pqdv_part WHERE p = 'b'")
+    val m = graft.sources.GraftDvMetrics.last("graft.pqdv_part")
+    assert(m.filesOpened == 0,
+      s"a partition delete must not open a file: $m")
+    assert(m.filesDropped > 0 && m.filesDvd == 0, s"$m")
+    assert(m.rowsDeleted == 30L, s"$m")
+    val ops = spark.table("graft.pqdv_part.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(1L) == "delete-dv", s"history: $ops")
+    assert(spark.table("graft.pqdv_part").count() == 60)
+    assert(spark.table("graft.pqdv_part")
+      .where(col("p") === "b").count() == 0)
+    // files of the surviving partitions are untouched by reference
+    val after = GraftTableStore.commitFiles("graft.pqdv_part", 1)
+    val before = GraftTableStore.commitFiles("graft.pqdv_part", 0)
+    assert(after.forall(f => before.exists(_ eq f)),
+      "surviving entries must be the same manifest objects")
+    assert(after.length < filesBefore)
+    // a MIXED predicate (partition + row) still computes bitmaps
+    spark.sql("DELETE FROM graft.pqdv_part WHERE p = 'a' AND k < 9")
+    val m2 = graft.sources.GraftDvMetrics.last("graft.pqdv_part")
+    assert(m2.filesOpened > 0 && m2.rowsDeleted == 3L, s"$m2")
+    assert(spark.table("graft.pqdv_part").count() == 57)
+    spark.sql("DROP TABLE graft.pqdv_part")
+  }
+
+  test("bin-packing compaction: small files merge within (key, spec, " +
+      "width) groups, big and DV'd files survive by reference, reads " +
+      "are unchanged, re-run is a no-op") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqbp_t")
+    spark.sql("CREATE TABLE graft.pqbp_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('graft.store'='parquet', 'graft.delete.mode'='dv')")
+    // 4 small commits × 2 partitions = ≥8 small files
+    (0 until 4).foreach(i =>
+      spark.sql(s"INSERT INTO graft.pqbp_t SELECT id + ${i * 20}, " +
+        "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(20)"))
+    // a DV'd file must survive the pack BY REFERENCE (purge first is
+    // the contract for merging it)
+    spark.sql("DELETE FROM graft.pqbp_t WHERE k = 1")
+    val head0 = GraftTableStore.commitCount("graft.pqbp_t") - 1
+    val files0 = GraftTableStore.commitFiles("graft.pqbp_t", head0)
+    val dvd = files0.filter(_.dv.isDefined)
+    assert(dvd.length == 1, s"setup: one DV'd file, got ${dvd.length}")
+    val pre = spark.table("graft.pqbp_t").orderBy("k")
+      .collect().map(_.toString).toSeq
+    val mergedAway = graft.api.GraftApi.rewriteSmallFiles(spark,
+      "graft.pqbp_t", 1000)
+    assert(mergedAway > 0, "small files must merge")
+    val head1 = GraftTableStore.commitCount("graft.pqbp_t") - 1
+    val files1 = GraftTableStore.commitFiles("graft.pqbp_t", head1)
+    assert(files1.length == files0.length - mergedAway)
+    // the DV'd entry is the same manifest OBJECT
+    assert(files1.exists(_ eq dvd.head),
+      "the DV'd file must survive by reference")
+    // merged files keep the partition-key grouping: pruning still works
+    spark.table("graft.pqbp_t").where(col("p") === "x").count()
+    val m = GraftScanMetrics.lastScan("graft.pqbp_t")
+    assert(m.filesRead < m.filesTotal,
+      s"partition pruning must survive the pack: $m")
+    val post = spark.table("graft.pqbp_t").orderBy("k")
+      .collect().map(_.toString).toSeq
+    assert(post == pre, "compaction must never change a read")
+    assert(graft.api.GraftApi.rewriteSmallFiles(spark,
+      "graft.pqbp_t", 1000) == 0, "re-run must be a no-op")
+    // time travel to the pre-pack version still serves the old layout
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM graft.pqbp_t VERSION AS OF $head0")
+      .collect()(0).getLong(0) == 79)
+    spark.sql("DROP TABLE graft.pqbp_t")
+  }
+
   test("metadata columns _file/_pos: per-file physical addresses, " +
       "stable across DV deletes; MoR op-log extras read NULL; the " +
       "in-memory store advertises none") {
