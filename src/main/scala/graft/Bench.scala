@@ -41,8 +41,9 @@ object Bench {
   // mv_incremental 1.5, sql_catalog_view 3.1 incl. the one-time
   // extension-sibling session, sql_call_procedure 0.3,
   // scan_metadata_cols 0.6, join_elim_rely 0.8 — summed 7.9 s in the
-  // round's sf0.1 drive) → 203 re-anchored additively to 211
-  private val BaselineWarmSec = 211.0
+  // round's sf0.1 drive) → 203 re-anchored additively to 211;
+  // +table_binpack (1.4-1.6 s warm) → 212
+  private val BaselineWarmSec = 212.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -57,6 +58,8 @@ object Bench {
     // first use and drives 3 actions through the stored view
     "mv_incremental" -> 3.0,
     "sql_catalog_view" -> 2.0,
+    // 6 ingest commits + the merge pass itself; warm 1.4-1.6 s
+    "table_binpack" -> 2.0,
     "dedup_embedding_scaled" -> 14.0,
     "dedup_embedding" -> 13.0,
     "dedup_clusters" -> 6.0,
