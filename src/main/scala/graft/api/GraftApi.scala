@@ -206,6 +206,15 @@ object GraftApi {
       lastVersion: Int)
   private val mvDefs =
     new scala.collection.concurrent.TrieMap[String, MvDef]()
+  /** per-MV fold serialization: the lastVersion check and the
+    * MERGE + version bump must be one atomic step, or a batch refresh
+    * racing a maintenance micro-batch could both pass the
+    * `_commit_version > lastVersion` filter and double-apply the same
+    * commits' deltas. One lock object per MV, created with the def. */
+  private val mvLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+  private def mvLock(mv: String): Object =
+    mvLocks.getOrElseUpdate(mv, new Object)
 
   /** CREATE MATERIALIZED VIEW (the incrementally-maintainable shape:
     * COUNT(*) + SUM over group keys — the self-maintainable aggregate
@@ -232,13 +241,22 @@ object GraftApi {
     // change feed (planning the feed scan fires the MoR requirement)
     spark.read.option("startingVersion", Int.MaxValue)
       .table(s"$source.changes").queryExecution.executedPlan
-    val head = graft.sources.GraftTableStore.commitCount(source) - 1
+    // the recorded watermark must be the PUBLISHED head — what both
+    // the baseline read below and the change feed serve. Recording
+    // the chain head would skip staged WAP commits forever (their
+    // versions <= lastVersion once published); and the baseline read
+    // is PINNED to that exact version so a commit landing between the
+    // head read and the snapshot read cannot diverge the MV.
+    val head = graft.sources.GraftTableStore.publishedCount(source) - 1
     val ddlCols = groupCols.map(c =>
       s"$c ${srcSchema(c).dataType.sql}").mkString(", ")
     spark.sql(s"DROP TABLE IF EXISTS $mv")
     spark.sql(s"CREATE TABLE $mv ($ddlCols, " +
       s"$countAlias BIGINT, $sumAlias BIGINT)")
-    spark.table(source)
+    val baseline = // a source with no commits yet has no version to pin
+      if (head < 0) spark.table(source)
+      else spark.sql(s"SELECT * FROM $source VERSION AS OF $head")
+    baseline
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as(countAlias), sum(sumCol).as(sumAlias))
       .writeTo(mv).append()
@@ -261,7 +279,9 @@ object GraftApi {
     val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
       s"$mv is not a registered materialized view — " +
         "createMaterializedView first"))
-    val head = graft.sources.GraftTableStore.commitCount(d.source) - 1
+    // the feed serves PUBLISHED commits only — staged WAP commits
+    // fold after their publish, not before
+    val head = graft.sources.GraftTableStore.publishedCount(d.source) - 1
     if (head <= d.lastVersion) return (0L, head)
     val feed = spark.read
       .option("startingVersion", (d.lastVersion + 1).toString)
@@ -276,7 +296,7 @@ object GraftApi {
     * the stream) applies each commit EXACTLY once. Returns the number
     * of change rows folded. */
   private def foldMvChanges(spark: org.apache.spark.sql.SparkSession,
-      mv: String, changes: DataFrame): Long = {
+      mv: String, changes: DataFrame): Long = mvLock(mv).synchronized {
     val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
       s"$mv is not a registered materialized view"))
     // cache: the feed materializes snapshot DIFFS driver-side (the

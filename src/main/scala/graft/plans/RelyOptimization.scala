@@ -105,10 +105,21 @@ case class EliminateRelyJoins(spark: SparkSession)
     }.exists(fr => graftConstraints(fr).exists {
       case fk: ForeignKey => fk.rely() &&
         singleCol(fk.columns(), lk.name) &&
-        singleCol(fk.referencedColumns(), rightCol) &&
-        // the stored ref identifier is catalog-relative; the table's
-        // name() is catalog-qualified — compare the identifier part
-        rightTable.split('.').last == fk.referencedTable().name()
+        singleCol(fk.referencedColumns(), rightCol) && {
+          // compare the FULL identifier, not just the trailing
+          // segment: ns1.dim and ns2.dim are different tables, and
+          // eliminating a join against the wrong one silently keeps
+          // rows the real join would drop. The constraint stores the
+          // identifier AS WRITTEN (`REFERENCES graft.ns.dim` keeps
+          // the catalog; `REFERENCES ns.dim` is catalog-relative),
+          // so accept either form against the PK table's
+          // catalog-qualified name().
+          val refParts = fk.referencedTable().namespace() :+
+            fk.referencedTable().name()
+          val allParts = rightTable.split('.')
+          refParts.sameElements(allParts) ||
+            refParts.sameElements(allParts.drop(1))
+        }
       case _ => false
     })
 

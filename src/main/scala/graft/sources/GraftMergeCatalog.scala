@@ -296,7 +296,7 @@ object GraftTableStore {
   /** commits visible to unqualified/streaming/CDF readers: up to and
     * including MAIN — a WAP branch's staged commits don't stream or
     * feed until published. */
-  private[sources] def publishedCount(name: String): Int =
+  private[graft] def publishedCount(name: String): Int =
     versions.get(name).map(_.mainHead + 1).getOrElse(0)
   def getVersion(name: String, v: Int): Array[InternalRow] = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
@@ -2307,10 +2307,15 @@ class GraftMergeTable(tableName: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** `_file`/`_pos` — advertised only where rows actually live in
-    * files; the in-memory store has no file addresses to serve. */
+    * files; the in-memory store has no file addresses to serve. A
+    * DATA column of the same name SHADOWS the metadata column
+    * (Spark's SupportsMetadataColumns contract) — don't even
+    * advertise the shadowed one. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (GraftParquetStore.isBacked(tableName)) GraftMetaCols.columns
+    if (GraftParquetStore.isBacked(tableName))
+      GraftMetaCols.columns.filterNot(m =>
+        tableSchema.fieldNames.contains(m.name()))
     else Array.empty
 
   /** CHECK constraints (SUPPORT_TABLE_CONSTRAINT): stored here as a
@@ -2558,8 +2563,12 @@ class GraftScanBuilder(tableName: String, tableSchema: StructType,
     if (agg.isEmpty) {
       required = StructType(tableSchema.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)))
-      metaCols = GraftMetaCols.Names.filter(
-        requiredSchema.fieldNames.contains)
+      // data columns SHADOW same-named metadata columns (Spark's
+      // SupportsMetadataColumns contract): a table with a real _file
+      // column must not get the name duplicated in readSchema
+      metaCols = GraftMetaCols.Names.filter(n =>
+        requiredSchema.fieldNames.contains(n) &&
+          !tableSchema.fieldNames.contains(n))
     }
   }
   private var metaCols: Seq[String] = Nil

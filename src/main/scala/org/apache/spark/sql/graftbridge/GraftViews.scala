@@ -296,8 +296,48 @@ case class ResolveGraftViews(session: SparkSession)
           val cs = session
             .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
           val v: View = vc.loadView(ident)
+          val parsed = cs.sessionState.sqlParser.parsePlan(v.query())
+          val qualified = qualifyUnder(parsed,
+            v.currentCatalog(), v.currentNamespace())
+          // the analyzer's Substitution batch (where CTESubstitution
+          // lives) already ran before this resolution rule injected
+          // the body — a WITH clause inside the view text would
+          // otherwise survive as an unplannable UnresolvedWith.
+          // Substitute here; the produced CTE refs resolve in the
+          // main fixed point like any other subtree.
           SubqueryAlias(ident.name(),
-            cs.sessionState.sqlParser.parsePlan(v.query()))
+            org.apache.spark.sql.catalyst.analysis.CTESubstitution
+              .apply(qualified))
         }
     }
+
+  /** Resolve the parsed view body under the view's STORED resolution
+    * context (ViewInfo's currentCatalog/currentNamespace — what
+    * Spark's own View resolution pins via AnalysisContext): an
+    * UNQUALIFIED relation name in the body qualifies with the context
+    * the view was DEFINED in, not whatever catalog the reader
+    * currently uses — a reader with a different current catalog must
+    * see the definer's data, not its own same-named tables. CTE names
+    * defined anywhere in the body are exempt (they are not catalog
+    * relations); the collection is deliberately over-approximate —
+    * a base table shadowed by a same-named CTE elsewhere in the body
+    * stays unqualified, which falls back to the old reader-context
+    * behavior for that corner instead of mis-qualifying a CTE ref. */
+  private def qualifyUnder(plan: LogicalPlan, cat: String,
+      ns: Array[String]): LogicalPlan = {
+    if (cat == null || cat.isEmpty) return plan
+    val prefix = (cat +: ns.toSeq)
+    val cteNames = scala.collection.mutable.HashSet.empty[String]
+    plan.foreachWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach(d => cteNames += d._1.toLowerCase)
+      case _ => ()
+    }
+    plan.transformDownWithSubqueries {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          !cteNames.contains(r.multipartIdentifier.head.toLowerCase) =>
+        r.copy(multipartIdentifier =
+          prefix ++ r.multipartIdentifier)
+    }
+  }
 }

@@ -1621,6 +1621,103 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.jes_dim_norely")
   }
 
+  test("RELY FK elimination matches the FULL referenced identifier: " +
+      "a same-named dimension in ANOTHER namespace never eliminates") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMergeCatalog].getName)
+    Seq("graft.nsa.dim", "graft.nsb.dim", "graft.nsfk_fact")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    // two dims with the SAME trailing name, both PK RELY
+    for (ns <- Seq("nsa", "nsb")) {
+      s.sql(s"CREATE TABLE graft.$ns.dim (k BIGINT, nm STRING)")
+      s.sql(s"INSERT INTO graft.$ns.dim SELECT id, 'd' FROM range(10)")
+      s.sql(s"ALTER TABLE graft.$ns.dim ADD CONSTRAINT pk_$ns " +
+        "PRIMARY KEY (k) NOT ENFORCED RELY")
+    }
+    s.sql("CREATE TABLE graft.nsfk_fact (k BIGINT)")
+    s.sql("INSERT INTO graft.nsfk_fact SELECT id % 10 FROM range(50)")
+    // the FK references nsb.dim ONLY
+    s.sql("ALTER TABLE graft.nsfk_fact ADD CONSTRAINT fk_ns " +
+      "FOREIGN KEY (k) REFERENCES graft.nsb.dim (k) " +
+      "NOT ENFORCED RELY")
+    def hasJoin(dim: String): Boolean =
+      s.sql("SELECT f.k, COUNT(*) AS n FROM graft.nsfk_fact f " +
+        s"JOIN $dim d ON f.k = d.k GROUP BY f.k")
+        .queryExecution.optimizedPlan.toString.contains("Join")
+    // joining the WRONG same-named dim must keep the join (the FK
+    // guarantees membership in nsb.dim, not nsa.dim)
+    assert(hasJoin("graft.nsa.dim"),
+      "FK to nsb.dim must not eliminate a join against nsa.dim")
+    // the real referenced dim eliminates
+    assert(!hasJoin("graft.nsb.dim"),
+      "FK to nsb.dim should eliminate the join against nsb.dim")
+    Seq("graft.nsa.dim", "graft.nsb.dim", "graft.nsfk_fact")
+      .foreach(t => s.sql(s"DROP TABLE $t"))
+  }
+
+  test("catalog views resolve under their STORED definition context: " +
+      "an unqualified base table binds to the definer's catalog, " +
+      "not the reader's") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[GraftMergeCatalog].getName)
+    s.sql("DROP TABLE IF EXISTS graft.vctx_t")
+    s.sql("CREATE TABLE graft.vctx_t (k BIGINT)")
+    s.sql("INSERT INTO graft.vctx_t VALUES (100), (200)")
+    try {
+      // define the view with the GRAFT catalog current and an
+      // UNQUALIFIED base-table name — the stored context is graft
+      s.sql("USE graft")
+      s.sql("CREATE OR REPLACE VIEW graft.vctx_v AS " +
+        "SELECT sum(k) AS sk FROM vctx_t")
+    } finally s.sql("USE spark_catalog")
+    // the reader's context now has a SAME-NAMED table with different
+    // data — the view must NOT see it
+    s.sql("DROP TABLE IF EXISTS vctx_t")
+    s.sql("CREATE TABLE vctx_t (k BIGINT) USING parquet")
+    s.sql("INSERT INTO vctx_t VALUES (1), (2)")
+    try {
+      val got = s.sql("SELECT sk FROM graft.vctx_v")
+        .collect()(0).getLong(0)
+      assert(got == 300L,
+        s"view must read the definer's graft.vctx_t (300), got $got")
+      // a CTE name inside the body must NOT be qualified away
+      s.sql("USE graft")
+      s.sql("CREATE OR REPLACE VIEW graft.vctx_cte AS " +
+        "WITH vctx_t AS (SELECT 7 AS k) SELECT sum(k) AS sk FROM vctx_t")
+      s.sql("USE spark_catalog")
+      assert(s.sql("SELECT sk FROM graft.vctx_cte")
+        .collect()(0).getLong(0) == 7L,
+        "a CTE shadowing a table name must stay a CTE reference")
+    } finally {
+      s.sql("USE spark_catalog")
+      s.sql("DROP TABLE IF EXISTS vctx_t")
+      s.sql("DROP VIEW IF EXISTS graft.vctx_v")
+      s.sql("DROP VIEW IF EXISTS graft.vctx_cte")
+      s.sql("DROP TABLE graft.vctx_t")
+    }
+  }
+
+  test("a data column named _file SHADOWS the metadata column: no " +
+      "duplicate field in readSchema, data values served") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.shadow_t")
+    spark.sql("CREATE TABLE graft.shadow_t (k BIGINT, _file STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.shadow_t VALUES (1, 'a'), (2, 'b')")
+    val rows = spark.sql(
+      "SELECT _file FROM graft.shadow_t ORDER BY _file")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("a", "b"),
+      s"_file must resolve to the DATA column, got $rows")
+    // _pos (no conflict) still serves as a metadata column
+    assert(spark.sql("SELECT _pos FROM graft.shadow_t").count() == 2)
+    spark.sql("DROP TABLE graft.shadow_t")
+  }
+
   test("epoch ledger stays bounded: reset evicts a table's entries") {
     val name = "graft.epoch_evict_t"
     GraftTableStore.reset(name)
