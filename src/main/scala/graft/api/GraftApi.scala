@@ -370,7 +370,7 @@ object GraftApi {
     * (0 = no DVs, idempotent no-op). */
   def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
       table: String): Int =
-    graft.sources.GraftTableStore.purgeDvs(table)
+    graft.sources.GraftTableStore.purgeDvs(table, spark)
 
   /** BIN-PACKING compaction (OPTIMIZE's small-file rewrite): merge
     * files under `targetRows` live rows into files of up to that
@@ -381,7 +381,7 @@ object GraftApi {
     * way every lake format solves it. */
   def rewriteSmallFiles(spark: org.apache.spark.sql.SparkSession,
       table: String, targetRows: Int): Int =
-    graft.sources.GraftTableStore.binPack(table, targetRows)
+    graft.sources.GraftTableStore.binPack(table, targetRows, spark)
 
   /** VACUUM / expire_snapshots — explicit retention: drop all but the
     * newest `keep` retained versions NOW (the store's rolling 64-
@@ -413,13 +413,24 @@ object GraftApi {
     }
     val all = listParquet(new java.io.File(srcDir))
       .map(_.getAbsolutePath).sorted
+    // resolve the table THROUGH the catalog first: a fresh process
+    // must lazily replay the transaction log (which carries the
+    // ingest ledger) before the ledger is consulted — reading the
+    // store directly would see an empty ledger and double-load
+    spark.table(table)
     val done = GraftTableStore.ingestedFor(table)
     val fresh = all.filterNot(done)
     if (fresh.isEmpty) return (0, 0L)
     val df = spark.read.parquet(fresh: _*)
     val n = df.count()
-    df.writeTo(table).append()
-    GraftTableStore.recordIngested(table, fresh)
+    // EXACTLY-ONCE: the ledger update rides INSIDE the append commit
+    // (one locked step, one transaction-log entry on a file-backed
+    // table) — a crash either commits rows AND ledger or neither, so
+    // a retry can never double-load. beginIngest stages the paths;
+    // the commit consumes them; a failed append clears the staging.
+    GraftTableStore.beginIngest(table, fresh)
+    try df.writeTo(table).append()
+    finally GraftTableStore.abortIngest(table) // no-op after a commit
     (fresh.length, n)
   }
 
@@ -552,7 +563,7 @@ object GraftApi {
       throw new IllegalArgumentException(
         s"OPTIMIZE ZORDER requires a parquet-backed table: $table"))
     graft.sources.GraftTableStore.zorder(table, m.schema,
-      m.schema.fieldIndex(colA), m.schema.fieldIndex(colB))
+      m.schema.fieldIndex(colA), m.schema.fieldIndex(colB), Some(spark))
   }
 
   /** Create a BRANCH — a writable named ref over the version chain —

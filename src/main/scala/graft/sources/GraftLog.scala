@@ -1,0 +1,858 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.collection.concurrent.TrieMap
+
+import org.json4s._
+import org.json4s.JsonDSL._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint, ForeignKey, PrimaryKey, Unique}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The WAREHOUSE ROOT: the one stable directory governed tables and
+  * catalog sidecars live under — what makes a table findable again
+  * after the process that created it is gone. `-Dgraft.warehouse=<dir>`
+  * pins it across real process restarts (a deployment would point it
+  * at object storage); the default is a per-JVM temp root, which is
+  * exactly what the test vehicle needs (restart is simulated by
+  * evicting all in-memory state while the root — the "disk" — stays). */
+object GraftWarehouse {
+  lazy val root: File = {
+    val f = sys.props.get("graft.warehouse").map(new File(_)).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-warehouse-").toFile)
+    f.mkdirs()
+    f
+  }
+
+  /** one flat path segment per table: the full store name (catalog +
+    * namespace + table), URL-encoded so namespace separators and
+    * unicode can never escape the segment. */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  /** the table's directory under the warehouse — data version dirs and
+    * `_graft_log` both live here, so one directory IS the table. */
+  def tableDir(storeName: String): File =
+    new File(new File(root, "tables"), enc(storeName))
+
+  /** catalog-level sidecar directory for SQL view definitions. */
+  def viewsDir: File = {
+    val d = new File(root, "views")
+    d.mkdirs()
+    d
+  }
+
+  def viewFile(catalogName: String, ident: Identifier): File =
+    new File(viewsDir,
+      enc((catalogName +: (ident.namespace() :+ ident.name()))
+        .mkString(".")) + ".json")
+}
+
+/** The DURABLE TRANSACTION LOG of the file-backed store (the
+  * `_delta_log` shape): every state change of a parquet-backed
+  * governed table appends one JSON entry under
+  * `<table dir>/_graft_log/NNNNNNNN.json`, written atomically
+  * (tmp + rename), and a process that never heard of the table can
+  * rebuild its ENTIRE governed state — commit history with file
+  * manifests (stats, blooms, deletion vectors, spec ids), MoR op
+  * logs, branches/tags, schema + partition-spec evolution,
+  * constraints, the COPY INTO ingest ledger and the identity-column
+  * high-water mark — by replaying the log on first catalog touch.
+  *
+  * Entry kinds:
+  *   - `checkpoint` — the complete table state. Written at CREATE
+  *     (seq 0) and whenever retention trims the history (the
+  *     checkpoint a lake format writes before expiring snapshots);
+  *     entries older than the newest checkpoint are garbage-collected
+  *     (the checkpoint subsumes them), which bounds replay at
+  *     O(retained versions + entries since the last trim).
+  *   - `commit` — one committed version: for a parquet commit the
+  *     manifest DIFF against the previous version (added file entries,
+  *     removed paths — an append logs O(appended files), never the
+  *     table); for a MoR delta commit the op log itself (O(changed
+  *     rows)). Carries the post-commit branch/tag map, the commit's
+  *     newly-ingested source paths (COPY INTO's ledger rides INSIDE
+  *     the commit — exactly-once across a crash, there is no
+  *     commit-then-ledger window) and the identity high-water mark.
+  *   - `ref` — a branch/tag change that committed no version
+  *     (CREATE BRANCH/TAG, fast-forward publish).
+  *   - `meta` — a metadata-only evolution: schema (ADD/RENAME/DROP
+  *     COLUMN, defaults), partition-spec evolution, constraint
+  *     ADD/DROP.
+  *
+  * Only parquet-backed tables log — they are the ones whose DATA
+  * survives the process; an in-memory table's rows die with the JVM
+  * regardless of any log. All writes happen under the store commit
+  * lock (the callers hold it), so entries are totally ordered per
+  * table. At 100 TB the same design holds: the log is O(metadata)
+  * (file paths + stats, never rows except MoR deltas, which are
+  * O(changed rows) by definition), and replay is bounded by the
+  * checkpoint. */
+object GraftLog {
+  import GraftParquetStore.Meta
+  import GraftTableStore.{GraftCommitData, GraftDeltaData, GraftFullData, GraftParquetData, History}
+
+  private def logDir(dir: String): File = new File(dir, "_graft_log")
+
+  /** next entry sequence number per table — seeded from the directory
+    * listing on attach/create, monotonic afterwards. Guarded by the
+    * callers' store lock. */
+  private val nextSeq = new TrieMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  // ---- value codec ----------------------------------------------------
+  //
+  // Type-directed: the schema (or key/stat slot type) says how a value
+  // serializes, so nothing is guessed at replay. Doubles/floats go
+  // through their exact java toString/parse round-trip (preserves
+  // -0.0, NaN, infinities — JSON numbers cannot); binary is base64;
+  // decimals print plain and rebuild with their declared
+  // precision/scale.
+  private[sources] def jval(dt: DataType, v: Any): JValue =
+    if (v == null) JNull
+    else dt match {
+      case LongType | TimestampType => JLong(v.asInstanceOf[Long])
+      case IntegerType | DateType => JInt(v.asInstanceOf[Int])
+      case BooleanType => JBool(v.asInstanceOf[Boolean])
+      case DoubleType => JString(java.lang.Double.toString(v.asInstanceOf[Double]))
+      case FloatType => JString(java.lang.Float.toString(v.asInstanceOf[Float]))
+      case StringType => JString(v.asInstanceOf[UTF8String].toString)
+      case BinaryType =>
+        JString(Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+      case d: DecimalType =>
+        JString(v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString)
+      case other => throw new IllegalStateException(
+        s"graft log: no value codec for $other")
+    }
+
+  private[sources] def unjval(dt: DataType, j: JValue): Any = j match {
+    case JNull | JNothing => null
+    case _ => dt match {
+      case LongType | TimestampType => asLong(j)
+      case IntegerType | DateType => asInt(j)
+      case BooleanType => j.asInstanceOf[JBool].value
+      case DoubleType => java.lang.Double.parseDouble(j.asInstanceOf[JString].s)
+      case FloatType => java.lang.Float.parseFloat(j.asInstanceOf[JString].s)
+      case StringType => UTF8String.fromString(j.asInstanceOf[JString].s)
+      case BinaryType => Base64.getDecoder.decode(j.asInstanceOf[JString].s)
+      case d: DecimalType => Decimal(
+        new java.math.BigDecimal(j.asInstanceOf[JString].s), d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"graft log: no value codec for $other")
+    }
+  }
+
+  /** json4s parses every JSON integer as JInt (BigInt) while the DSL
+    * writes Scala Longs as JLong — coerce both shapes on read. */
+  private def asLong(j: JValue): Long = j match {
+    case JInt(n) => n.toLong
+    case JLong(n) => n
+    case other => throw new IllegalStateException(s"not an int: $other")
+  }
+  private def asInt(j: JValue): Int = asLong(j).toInt
+
+  private def longsToB64(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    Base64.getEncoder.encodeToString(bb.array())
+  }
+  private def b64ToLongs(s: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(Base64.getDecoder.decode(s))
+    Array.fill(bb.remaining() / 8)(bb.getLong)
+  }
+
+  // ---- part-field / constraint / file codecs --------------------------
+
+  private def jPart(p: GraftPartField): JValue = p match {
+    case GraftIdentityPart(c) => ("t" -> "identity") ~ ("col" -> c)
+    case GraftBucketPart(c, n) => ("t" -> "bucket") ~ ("col" -> c) ~ ("n" -> n)
+    case GraftDaysPart(c) => ("t" -> "days") ~ ("col" -> c)
+    case GraftTruncatePart(c, w) => ("t" -> "truncate") ~ ("col" -> c) ~ ("n" -> w)
+  }
+  private def unjPart(j: JValue): GraftPartField = {
+    val JString(t) = j \ "t"
+    val JString(c) = j \ "col"
+    t match {
+      case "identity" => GraftIdentityPart(c)
+      case "bucket" => GraftBucketPart(c, asInt(j \ "n"))
+      case "days" => GraftDaysPart(c)
+      case "truncate" => GraftTruncatePart(c, asInt(j \ "n"))
+    }
+  }
+
+  private def jIdent(i: Identifier): JValue =
+    ("ns" -> i.namespace().toList) ~ ("name" -> i.name())
+  private def unjIdent(j: JValue): Identifier = {
+    val ns = (j \ "ns").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s).toArray
+    Identifier.of(ns, (j \ "name").asInstanceOf[JString].s)
+  }
+
+  private def jConstraint(c: Constraint): JValue = {
+    val base = ("name" -> c.name()) ~ ("enforced" -> c.enforced()) ~
+      ("rely" -> c.rely()) ~ ("valid" -> c.validationStatus().name())
+    c match {
+      case ch: Check =>
+        base ~ ("kind" -> "check") ~ ("sql" -> ch.predicateSql())
+      case pk: PrimaryKey =>
+        base ~ ("kind" -> "pk") ~
+          ("cols" -> pk.columns().map(_.toString).toList)
+      case u: Unique =>
+        base ~ ("kind" -> "unique") ~
+          ("cols" -> u.columns().map(_.toString).toList)
+      case fk: ForeignKey =>
+        base ~ ("kind" -> "fk") ~
+          ("cols" -> fk.columns().map(_.toString).toList) ~
+          ("refTable" -> jIdent(fk.referencedTable())) ~
+          ("refCols" -> fk.referencedColumns().map(_.toString).toList)
+      case other => throw new IllegalStateException(
+        s"graft log: unknown constraint kind: $other")
+    }
+  }
+  private def unjConstraint(j: JValue): Constraint = {
+    val JString(name) = j \ "name"
+    val enforced = (j \ "enforced").asInstanceOf[JBool].value
+    val rely = (j \ "rely").asInstanceOf[JBool].value
+    val valid = Constraint.ValidationStatus.valueOf(
+      (j \ "valid").asInstanceOf[JString].s)
+    def cols(f: String): Array[NamedReference] =
+      (j \ f).asInstanceOf[JArray].arr
+        .map(s => Expressions.column(s.asInstanceOf[JString].s)).toArray
+    // the shared builder superclass is package-private — finish each
+    // builder at its concrete type
+    (j \ "kind").asInstanceOf[JString].s match {
+      case "check" => Constraint.check(name)
+        .predicateSql((j \ "sql").asInstanceOf[JString].s)
+        .enforced(enforced).rely(rely).validationStatus(valid).build()
+      case "pk" => Constraint.primaryKey(name, cols("cols"))
+        .enforced(enforced).rely(rely).validationStatus(valid).build()
+      case "unique" => Constraint.unique(name, cols("cols"))
+        .enforced(enforced).rely(rely).validationStatus(valid).build()
+      case "fk" => Constraint.foreignKey(name, cols("cols"),
+        unjIdent(j \ "refTable"), cols("refCols"))
+        .enforced(enforced).rely(rely).validationStatus(valid).build()
+    }
+  }
+
+  /** the typed slot layout of a file's partition-key row under spec
+    * `specId` of `m` — what the key values (de)serialize by. */
+  private def keyTypes(m: Meta, specId: Int): Array[DataType] = {
+    val spec =
+      if (specId < m.specs.length) m.specs(specId)
+      else m.partFields
+    spec.map(GraftPartField.keyType(_, m.schema))
+  }
+
+  private def jFile(m: Meta, f: GraftFileInfo): JValue = {
+    val kts = keyTypes(m, f.specId)
+    ("path" -> f.path) ~ ("rows" -> f.rows) ~ ("bytes" -> f.bytes) ~
+      ("numCols" -> f.numCols) ~ ("specId" -> f.specId) ~
+      ("key" -> JArray(kts.zipWithIndex.map { case (dt, i) =>
+        jval(dt, if (f.key.isNullAt(i)) null else f.key.get(i, dt))
+      }.toList)) ~
+      ("stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (o, s) =>
+        val dt = m.schema(o).dataType
+        o.toString -> (("min" -> jval(dt, s.min)) ~
+          ("max" -> jval(dt, s.max)) ~ ("nulls" -> s.nulls)): JField
+      })) ~
+      ("blooms" -> JObject(f.blooms.toList.sortBy(_._1).map { case (o, b) =>
+        o.toString -> (("k" -> b.k) ~
+          ("bits" -> longsToB64(b.bits))): JField
+      })) ~
+      ("dv" -> f.dv.map(d => ("card" -> d.card) ~
+        ("words" -> longsToB64(d.words)): JValue).getOrElse(JNull))
+  }
+
+  private def unjFile(m: Meta, j: JValue): GraftFileInfo = {
+    val specId = asInt(j \ "specId")
+    val kts = keyTypes(m, specId)
+    val keyVals = (j \ "key").asInstanceOf[JArray].arr.zipWithIndex
+      .map { case (v, i) => unjval(kts(i), v) }.toArray
+    val stats = (j \ "stats").asInstanceOf[JObject].obj.map {
+      case (o, s) =>
+        val ord = o.toInt
+        val dt = m.schema(ord).dataType
+        ord -> GraftColStats(unjval(dt, s \ "min"), unjval(dt, s \ "max"),
+          asInt(s \ "nulls"))
+    }.toMap
+    val blooms = (j \ "blooms").asInstanceOf[JObject].obj.map {
+      case (o, b) => o.toInt -> GraftBloom(
+        b64ToLongs((b \ "bits").asInstanceOf[JString].s),
+        asInt(b \ "k"))
+    }.toMap
+    val dv = j \ "dv" match {
+      case JNull | JNothing => None
+      case d => Some(GraftDeleteVector(
+        b64ToLongs((d \ "words").asInstanceOf[JString].s),
+        asInt(d \ "card")))
+    }
+    // keys re-project to UnsafeRow: manifest keys group rewrites
+    // (bin-packing, zorder) and align SPJ by CONTENT equality, which
+    // GenericInternalRow does not implement
+    val keyRow: InternalRow =
+      if (keyVals.isEmpty) InternalRow.empty
+      else org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(kts).apply(new GenericInternalRow(keyVals)).copy()
+    GraftFileInfo((j \ "path").asInstanceOf[JString].s,
+      keyRow,
+      asInt(j \ "rows"),
+      (j \ "bytes") match {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case _ => 0L
+      },
+      asInt(j \ "numCols"),
+      stats, blooms, specId, dv)
+  }
+
+  /** one MoR delta op: (kind, single-slot id row, full row). Rows
+    * serialize prefix-typed by the physical schema — a row written
+    * before an ADD COLUMN is narrower and stays narrower at replay
+    * (evolution-on-read depends on the width). */
+  private def jDeltaOps(schema: StructType, d: GraftDeltaData): JValue = {
+    def jRow(r: InternalRow): JValue =
+      if (r == null) JNull
+      else JArray(Seq.tabulate(r.numFields) { i =>
+        val dt = schema(i).dataType
+        jval(dt, if (r.isNullAt(i)) null else r.get(i, dt))
+      }.toList)
+    JArray(d.ops.toList.map { o =>
+      ("o" -> o.op.toChar.toString) ~
+        ("id" -> jval(d.idType,
+          if (o.id == null || o.id.isNullAt(0)) null
+          else o.id.get(0, d.idType))) ~
+        ("row" -> jRow(o.row))
+    })
+  }
+  private def unjDeltaOps(schema: StructType, idType: DataType,
+      j: JValue): Array[GraftDeltaOp] = {
+    def unjRow(v: JValue): InternalRow = v match {
+      case JNull | JNothing => null
+      case JArray(vals) => new GenericInternalRow(
+        vals.zipWithIndex.map { case (x, i) =>
+          unjval(schema(i).dataType, x)
+        }.toArray)
+      case other => throw new IllegalStateException(s"bad row: $other")
+    }
+    j.asInstanceOf[JArray].arr.map { o =>
+      GraftDeltaOp((o \ "o").asInstanceOf[JString].s.charAt(0).toByte,
+        new GenericInternalRow(Array[Any](unjval(idType, o \ "id"))),
+        unjRow(o \ "row"))
+    }.toArray
+  }
+
+  private def jCommitData(m: Meta, c: GraftCommitData): JValue = c match {
+    case p: GraftParquetData =>
+      ("kind" -> "parquet") ~ ("count" -> p.count) ~
+        ("files" -> JArray(p.files.toList.map(jFile(m, _))))
+    case d: GraftDeltaData =>
+      ("kind" -> "delta") ~ ("count" -> d.count) ~
+        ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
+    case _: GraftFullData => throw new IllegalStateException(
+      "a parquet-backed table cannot hold in-memory full commits — " +
+        "the commit path persists them as files before logging")
+  }
+  private def unjCommitData(m: Meta, j: JValue): GraftCommitData =
+    (j \ "kind").asInstanceOf[JString].s match {
+      case "parquet" => GraftParquetData(
+        (j \ "files").asInstanceOf[JArray].arr.map(unjFile(m, _)).toVector,
+        asInt(j \ "count"))
+      case "delta" =>
+        val idOrd = asInt(j \ "idOrd")
+        val idType = m.schema(idOrd).dataType
+        GraftDeltaData(unjDeltaOps(m.schema, idType, j \ "ops"),
+          idOrd, idType, asInt(j \ "count"))
+    }
+
+  // ---- entry writing ---------------------------------------------------
+
+  private def writeEntry(dir: String, seq: Long, isCheckpoint: Boolean,
+      body: JValue): Unit = {
+    val d = logDir(dir)
+    d.mkdirs()
+    val name = f"$seq%08d" + (if (isCheckpoint) ".cp.json" else ".json")
+    val tmp = new File(d, name + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(JsonMethods.compact(JsonMethods.render(body))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(new File(d, name)))
+      throw new IllegalStateException(
+        s"graft log: could not commit entry $name under $d")
+  }
+
+  private def seqCounter(storeName: String, dir: String)
+      : java.util.concurrent.atomic.AtomicLong =
+    nextSeq.getOrElseUpdate(storeName, {
+      // seed past anything already on disk (an attach, or a re-created
+      // table whose directory survived)
+      val existing = Option(logDir(dir).listFiles())
+        .getOrElse(Array.empty[File])
+        .flatMap(f => parseSeq(f.getName)).sorted
+      new java.util.concurrent.atomic.AtomicLong(
+        existing.lastOption.map(_ + 1).getOrElse(0L))
+    })
+
+  private def parseSeq(name: String): Option[Long] =
+    if (name.endsWith(".cp.json"))
+      name.stripSuffix(".cp.json").toLongOption
+    else if (name.endsWith(".json")) name.stripSuffix(".json").toLongOption
+    else None
+
+  /** the COMPLETE state of one table as one JSON object — the
+    * checkpoint body (and the CREATE entry). Captures the catalog
+    * definition (identifier, row-level mode, constraints), the store
+    * registration (schema, partition specs, bloom index, DV mode) and
+    * the full retained History. */
+  private def stateJson(storeName: String, m: Meta, h: History,
+      ident: Option[(String, Identifier)], morRowId: Option[String],
+      constraints: Array[Constraint]): JValue = {
+    ("a" -> "checkpoint") ~
+      ("table" -> storeName) ~
+      ("catalog" -> ident.map(_._1)) ~
+      ("ident" -> ident.map(i => jIdent(i._2)).getOrElse(JNull)) ~
+      ("morRowId" -> morRowId) ~
+      ("constraints" -> JArray(constraints.toList.map(jConstraint))) ~
+      ("schema" -> m.schema.json) ~
+      ("partFields" -> JArray(m.partFields.toList.map(jPart))) ~
+      ("specHistory" -> JArray(m.specs.toList.map(s =>
+        JArray(s.toList.map(jPart))))) ~
+      ("bloomOrds" -> m.bloomOrds.toList) ~
+      ("dvMode" -> m.dvMode) ~
+      ("firstRetained" -> h.firstRetained) ~
+      ("commits" -> JArray(h.commits.toList.map(jCommitData(m, _)))) ~
+      ("times" -> h.times.toList) ~
+      ("ops" -> h.ops.toList) ~
+      ("branches" -> JObject(h.branches.toList.sortBy(_._1)
+        .map { case (k, v) => k -> JInt(v): JField })) ~
+      ("tags" -> JObject(h.tags.toList.sortBy(_._1)
+        .map { case (k, v) => k -> JInt(v): JField })) ~
+      ("ingested" -> GraftTableStore.ingestedFor(storeName).toList.sorted) ~
+      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
+  }
+
+  /** write a full-state checkpoint and GC the entries it subsumes.
+    * Called at CREATE (seq 0) and after every retention trim — replay
+    * cost stays bounded no matter how long the commit stream runs. */
+  private[sources] def checkpoint(storeName: String): Unit = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return)
+    val h = GraftTableStore.historyOf(storeName).getOrElse(return)
+    val ident = GraftMergeCatalog.defSnapshot(storeName)
+    val seq = seqCounter(storeName, m.dir).getAndIncrement()
+    writeEntry(m.dir, seq, isCheckpoint = true,
+      stateJson(storeName, m, h,
+        ident.map(d => (d._1, d._2)), ident.flatMap(_._3.morRowId),
+        ident.map(_._3.tableConstraints).getOrElse(Array.empty)))
+    // the checkpoint subsumes everything before it
+    Option(logDir(m.dir).listFiles()).getOrElse(Array.empty[File])
+      .foreach { f =>
+        parseSeq(f.getName).filter(_ < seq).foreach(_ => f.delete())
+      }
+  }
+
+  /** log one committed version. `prev` is the previous head's commit
+    * data (None for v0): a parquet commit logs the manifest DIFF
+    * against it — O(changed files), the scale contract. Runs under the
+    * store lock (the caller is [[GraftTableStore.appendLocked]]). */
+  private[sources] def logCommit(storeName: String, v: Int, op: String,
+      time: Long, data: GraftCommitData, prev: Option[GraftCommitData],
+      branches: Map[String, Int], tags: Map[String, Int],
+      ingest: Seq[String]): Unit = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return)
+    // lazy CREATE: the first entry of a table's log is always a full
+    // checkpoint (covers CREATE TABLE, CTAS and shallow clones in one
+    // place — whatever path produced the first commit)
+    val ctr = seqCounter(storeName, m.dir)
+    if (ctr.get() == 0L) checkpoint(storeName)
+    val body0: JObject = data match {
+      case p: GraftParquetData =>
+        val prevFiles = prev match {
+          case Some(pp: GraftParquetData) => pp.files
+          case _ => Vector.empty[GraftFileInfo]
+        }
+        val prevByPath = prevFiles.map(f => f.path -> f).toMap
+        // add = entries not present BY REFERENCE in the previous
+        // manifest (covers fresh files AND in-place swaps like a DV
+        // commit re-bitmapping a path); remove = paths gone entirely
+        val add = p.files.filter(f => !prevByPath.get(f.path).exists(_ eq f))
+        val newPaths = p.files.map(_.path).toSet
+        val remove = prevFiles.map(_.path).filterNot(newPaths)
+        // replay folds remove → in-place swap → append; when that fold
+        // cannot reproduce the exact manifest ORDER (a restore can
+        // reorder), ship the path order explicitly
+        val folded = foldManifest(prevFiles, add, remove)
+        val order: JValue =
+          if (folded.map(_.path) == p.files.map(_.path)) JNull
+          else JArray(p.files.toList.map(f => JString(f.path)))
+        ("kind" -> "parquet") ~ ("count" -> p.count) ~
+          ("add" -> JArray(add.toList.map(jFile(m, _)))) ~
+          ("remove" -> remove.toList) ~ ("order" -> order)
+      case d: GraftDeltaData =>
+        ("kind" -> "delta") ~ ("count" -> d.count) ~
+          ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
+      case _: GraftFullData => throw new IllegalStateException(
+        "unreachable: full commits persist as parquet before logging")
+    }
+    val body = body0 ~ ("a" -> "commit") ~ ("v" -> v) ~ ("op" -> op) ~
+      ("time" -> time) ~
+      ("branches" -> JObject(branches.toList.sortBy(_._1)
+        .map { case (k, x) => k -> JInt(x): JField })) ~
+      ("tags" -> JObject(tags.toList.sortBy(_._1)
+        .map { case (k, x) => k -> JInt(x): JField })) ~
+      ("ingest" -> ingest.toList) ~
+      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
+    writeEntry(m.dir, ctr.getAndIncrement(), isCheckpoint = false, body)
+  }
+
+  private def foldManifest(prev: Vector[GraftFileInfo],
+      add: Vector[GraftFileInfo], remove: Seq[String])
+      : Vector[GraftFileInfo] = {
+    val removed = remove.toSet
+    val addByPath = add.map(f => f.path -> f).toMap
+    val kept = prev.filterNot(f => removed.contains(f.path))
+      .map(f => addByPath.getOrElse(f.path, f))
+    val keptPaths = kept.map(_.path).toSet
+    kept ++ add.filterNot(f => keptPaths.contains(f.path))
+  }
+
+  /** log a ref-only change (branch/tag create, fast-forward). */
+  private[sources] def logRef(storeName: String,
+      branches: Map[String, Int], tags: Map[String, Int]): Unit = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return)
+    val ctr = seqCounter(storeName, m.dir)
+    if (ctr.get() == 0L) { checkpoint(storeName); return }
+    writeEntry(m.dir, ctr.getAndIncrement(), isCheckpoint = false,
+      ("a" -> "ref") ~
+        ("branches" -> JObject(branches.toList.sortBy(_._1)
+          .map { case (k, x) => k -> JInt(x): JField })) ~
+        ("tags" -> JObject(tags.toList.sortBy(_._1)
+          .map { case (k, x) => k -> JInt(x): JField })))
+  }
+
+  /** log a metadata-only evolution (ALTER schema / spec / constraints):
+    * the entry re-snapshots the registration and constraint set —
+    * small, and replay just applies the latest. */
+  private[sources] def logMeta(storeName: String): Unit = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return)
+    val ctr = seqCounter(storeName, m.dir)
+    if (ctr.get() == 0L) { checkpoint(storeName); return }
+    val d = GraftMergeCatalog.defSnapshot(storeName)
+    writeEntry(m.dir, ctr.getAndIncrement(), isCheckpoint = false,
+      ("a" -> "meta") ~ ("schema" -> m.schema.json) ~
+        ("partFields" -> JArray(m.partFields.toList.map(jPart))) ~
+        ("specHistory" -> JArray(m.specs.toList.map(s =>
+          JArray(s.toList.map(jPart))))) ~
+        ("bloomOrds" -> m.bloomOrds.toList) ~
+        ("morRowId" -> d.flatMap(_._3.morRowId)) ~
+        ("constraints" -> JArray(d.map(_._3.tableConstraints)
+          .getOrElse(Array.empty[Constraint]).toList.map(jConstraint))))
+  }
+
+  /** forget a table's log counter (DROP / reset — the directory is
+    * going away with it). */
+  private[sources] def forget(storeName: String): Unit = {
+    nextSeq.remove(storeName)
+    ()
+  }
+
+  // ---- replay ----------------------------------------------------------
+
+  /** Rebuild a table's ENTIRE governed state from its on-disk log —
+    * the lazy load on first catalog touch of a table this process
+    * never registered. Returns the restored catalog definition, or
+    * None when no log exists under the warehouse for this name.
+    * Replay = newest checkpoint + entries after it, applied in
+    * sequence order. */
+  private[sources] def attach(catalogName: String, ident: Identifier)
+      : Option[GraftMergeTable] = {
+    val storeName =
+      (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+    val dir = GraftWarehouse.tableDir(storeName)
+    val ld = logDir(dir.getAbsolutePath)
+    val entries = Option(ld.listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => parseSeq(f.getName).map(s =>
+        (s, f.getName.endsWith(".cp.json"), f)))
+      .sortBy(_._1)
+    if (entries.isEmpty) return None
+    val lastCp = entries.filter(_._2).lastOption.getOrElse(
+      throw new IllegalStateException(
+        s"graft log of $storeName has entries but no checkpoint — " +
+          "the log is corrupt (the first entry is always a checkpoint)"))
+    val cp = parse(lastCp._3)
+    // registration first — manifest/key/stat decoding needs the schema
+    val schema = DataType.fromJson(
+      (cp \ "schema").asInstanceOf[JString].s).asInstanceOf[StructType]
+    val partFields = (cp \ "partFields").asInstanceOf[JArray].arr
+      .map(unjPart).toArray
+    val specHistory = (cp \ "specHistory").asInstanceOf[JArray].arr
+      .map(s => s.asInstanceOf[JArray].arr.map(unjPart).toArray).toVector
+    val bloomOrds = (cp \ "bloomOrds").asInstanceOf[JArray].arr
+      .map(asInt).toArray
+    val dvMode = (cp \ "dvMode").asInstanceOf[JBool].value
+    var m = Meta(dir.getAbsolutePath, schema, partFields, bloomOrds,
+      specHistory, dvMode)
+    var morRowId = cp \ "morRowId" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    var constraints = (cp \ "constraints").asInstanceOf[JArray].arr
+      .map(unjConstraint).toArray
+    var h = History(
+      asInt(cp \ "firstRetained"),
+      (cp \ "commits").asInstanceOf[JArray].arr
+        .map(unjCommitData(m, _)).toVector,
+      (cp \ "times").asInstanceOf[JArray].arr.map {
+        case JInt(n) => n.toLong
+        case JLong(n) => n
+        case other => throw new IllegalStateException(s"bad time: $other")
+      }.toVector,
+      (cp \ "ops").asInstanceOf[JArray].arr
+        .map(_.asInstanceOf[JString].s).toVector,
+      unjRefMap(cp \ "branches"), unjRefMap(cp \ "tags"))
+    var ingested = (cp \ "ingested").asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s).toSet
+    var hwm: Option[Long] = cp \ "hwm" match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
+    // fold post-checkpoint entries
+    entries.filter(e => !e._2 && e._1 > lastCp._1).foreach { case (_, _, f) =>
+      val e = parse(f)
+      (e \ "a").asInstanceOf[JString].s match {
+        case "commit" =>
+          val data: GraftCommitData =
+            (e \ "kind").asInstanceOf[JString].s match {
+              case "parquet" =>
+                val prevFiles = h.commits.lastOption match {
+                  case Some(p: GraftParquetData) => p.files
+                  case _ => Vector.empty[GraftFileInfo]
+                }
+                val add = (e \ "add").asInstanceOf[JArray].arr
+                  .map(unjFile(m, _)).toVector
+                val remove = (e \ "remove").asInstanceOf[JArray].arr
+                  .map(_.asInstanceOf[JString].s)
+                val folded = foldManifest(prevFiles, add, remove)
+                val files = e \ "order" match {
+                  case JArray(paths) =>
+                    val byPath = folded.map(x => x.path -> x).toMap
+                    paths.map(p =>
+                      byPath(p.asInstanceOf[JString].s)).toVector
+                  case _ => folded
+                }
+                GraftParquetData(files,
+                  asInt(e \ "count"))
+              case "delta" =>
+                val idOrd = asInt(e \ "idOrd")
+                GraftDeltaData(
+                  unjDeltaOps(m.schema, m.schema(idOrd).dataType,
+                    e \ "ops"),
+                  idOrd, m.schema(idOrd).dataType,
+                  asInt(e \ "count"))
+            }
+          h = History(h.firstRetained, h.commits :+ data,
+            h.times :+ ((e \ "time") match {
+              case JInt(n) => n.toLong
+              case JLong(n) => n
+              case _ => 0L
+            }),
+            h.ops :+ (e \ "op").asInstanceOf[JString].s,
+            unjRefMap(e \ "branches"), unjRefMap(e \ "tags"))
+          ingested ++= (e \ "ingest").asInstanceOf[JArray].arr
+            .map(_.asInstanceOf[JString].s)
+          e \ "hwm" match {
+            case JInt(n) => hwm = Some(n.toLong)
+            case JLong(n) => hwm = Some(n)
+            case _ =>
+          }
+        case "ref" =>
+          h = h.copy(branches = unjRefMap(e \ "branches"),
+            tags = unjRefMap(e \ "tags"))
+        case "meta" =>
+          val sch = DataType.fromJson(
+            (e \ "schema").asInstanceOf[JString].s)
+            .asInstanceOf[StructType]
+          m = m.copy(schema = sch,
+            partFields = (e \ "partFields").asInstanceOf[JArray].arr
+              .map(unjPart).toArray,
+            specHistory = (e \ "specHistory").asInstanceOf[JArray].arr
+              .map(s => s.asInstanceOf[JArray].arr.map(unjPart).toArray)
+              .toVector,
+            bloomOrds = (e \ "bloomOrds").asInstanceOf[JArray].arr
+              .map(asInt).toArray)
+          morRowId = e \ "morRowId" match {
+            case JString(s) => Some(s)
+            case _ => None
+          }
+          constraints = (e \ "constraints").asInstanceOf[JArray].arr
+            .map(unjConstraint).toArray
+        case other => throw new IllegalStateException(
+          s"graft log of $storeName: unknown entry kind '$other'")
+      }
+    }
+    // install: store registration, history, ledgers, catalog def
+    GraftParquetStore.restoreMeta(storeName, m)
+    GraftTableStore.restoreState(storeName, h, ingested, hwm)
+    seqCounter(storeName, m.dir) // seed past existing entries
+    val t = new GraftMergeTable(storeName, m.schema, None, morRowId,
+      m.partFields, constraints)
+    Some(t)
+  }
+
+  private def unjRefMap(j: JValue): Map[String, Int] = j match {
+    case JObject(fields) => fields.map {
+      case (k, JInt(v)) => k -> v.toInt
+      case (k, JLong(v)) => k -> v.toInt
+      case (k, other) => throw new IllegalStateException(
+        s"bad ref version for '$k': $other")
+    }.toMap
+    case _ => Map.empty
+  }
+
+  private def parse(f: File): JValue = {
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  /** file paths referenced by the retained manifests of warehouse
+    * tables NOT currently loaded in memory — what a GC sweep must also
+    * treat as live: a shallow clone that has never been touched this
+    * process still references its source's files from disk. O(unloaded
+    * tables × log size) metadata; sweeps are rare (trims, drops). */
+  private[sources] def unloadedFileRefs(loaded: String => Boolean)
+      : Set[String] = {
+    val tablesDir = new File(GraftWarehouse.root, "tables")
+    Option(tablesDir.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.isDirectory)
+      .flatMap { d =>
+        val storeName = java.net.URLDecoder.decode(d.getName,
+          StandardCharsets.UTF_8)
+        if (loaded(storeName)) Iterator.empty
+        else {
+          // cheap textual sweep: every "path" field in the log names a
+          // live file of SOME retained version (superset is safe — GC
+          // keeps more, never less)
+          Option(logDir(d.getAbsolutePath).listFiles())
+            .getOrElse(Array.empty[File]).iterator
+            .filter(f => f.getName.endsWith(".json"))
+            .flatMap { f =>
+              val j = parse(f)
+              (j filterField {
+                case ("path", JString(_)) => true
+                case _ => false
+              }).collect { case (_, JString(p)) => p }
+            }
+        }
+      }.toSet
+  }
+
+  // ---- views -----------------------------------------------------------
+
+  /** persist one SQL view definition as a catalog sidecar (text +
+    * definition context + schema — O(text) metadata). */
+  private[sources] def persistView(catalogName: String,
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      props: Map[String, String]): Unit = {
+    val f = GraftWarehouse.viewFile(catalogName, ident)
+    val body: JValue =
+      ("catalog" -> catalogName) ~ ("ident" -> jIdent(ident)) ~
+        ("sql" -> info.sql()) ~
+        ("currentCatalog" -> info.currentCatalog()) ~
+        ("currentNamespace" -> info.currentNamespace().toList) ~
+        ("schema" -> info.schema().json) ~
+        ("queryColumnNames" -> info.queryColumnNames().toList) ~
+        ("columnAliases" -> info.columnAliases().toList) ~
+        ("columnComments" -> info.columnComments().toList
+          .map(c => Option(c))) ~
+        ("props" -> JObject(props.toList.sortBy(_._1)
+          .map { case (k, v) => k -> JString(v): JField }))
+    val tmp = new File(f.getAbsolutePath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(JsonMethods.compact(JsonMethods.render(body))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(f)) throw new IllegalStateException(
+      s"could not persist view sidecar $f")
+  }
+
+  private[sources] def dropViewSidecar(catalogName: String,
+      ident: Identifier): Unit = {
+    GraftWarehouse.viewFile(catalogName, ident).delete()
+    ()
+  }
+
+  /** load every persisted view of `catalogName` from the warehouse —
+    * the first-view-touch lazy load of a fresh process. */
+  private[sources] def loadViews(catalogName: String)
+      : Seq[(Identifier,
+        org.apache.spark.sql.connector.catalog.ViewInfo,
+        Map[String, String])] = {
+    Option(GraftWarehouse.viewsDir.listFiles())
+      .getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".json")).toSeq
+      .flatMap { f =>
+        val j = parse(f)
+        if ((j \ "catalog").asInstanceOf[JString].s != catalogName) None
+        else {
+          val ident = unjIdent(j \ "ident")
+          val schema = DataType.fromJson(
+            (j \ "schema").asInstanceOf[JString].s)
+            .asInstanceOf[StructType]
+          val props = (j \ "props").asInstanceOf[JObject].obj.map {
+            case (k, JString(v)) => k -> v
+            case (k, other) => throw new IllegalStateException(
+              s"bad view prop '$k': $other")
+          }.toMap
+          val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+            ident, (j \ "sql").asInstanceOf[JString].s,
+            (j \ "currentCatalog").asInstanceOf[JString].s,
+            (j \ "currentNamespace").asInstanceOf[JArray].arr
+              .map(_.asInstanceOf[JString].s).toArray,
+            schema,
+            (j \ "queryColumnNames").asInstanceOf[JArray].arr
+              .map(_.asInstanceOf[JString].s).toArray,
+            (j \ "columnAliases").asInstanceOf[JArray].arr
+              .map(_.asInstanceOf[JString].s).toArray,
+            (j \ "columnComments").asInstanceOf[JArray].arr.map {
+              case JString(s) => s
+              case _ => null
+            }.toArray,
+            {
+              val mm = new java.util.HashMap[String, String]()
+              props.foreach { case (k, v) => mm.put(k, v) }
+              mm
+            })
+          Some((ident, info, props))
+        }
+      }
+  }
+
+  // ---- restart simulation (test hook) ----------------------------------
+
+  /** Simulate a PROCESS RESTART for the named tables: evict every
+    * piece of their in-memory state — store history, resolution
+    * caches, parquet registration, catalog definition, ledgers,
+    * counters — while the warehouse directory (the "disk") stays
+    * untouched. The next catalog touch must rebuild them from the
+    * transaction log alone; that is the durability contract this
+    * hook exists to pin. Views evict with `alsoViews`. */
+  private[graft] def simulateProcessRestart(storeNames: Seq[String],
+      alsoViews: Boolean = false): Unit = {
+    storeNames.foreach { n =>
+      GraftTableStore.evictInMemory(n)
+      GraftParquetStore.evictMeta(n)
+      GraftMergeCatalog.evictDef(n)
+      forget(n)
+    }
+    if (alsoViews) GraftMergeCatalog.evictViewsFromMemory()
+  }
+}

@@ -141,7 +141,12 @@ object GraftTableStore {
       .flatMap(_._2.commits.iterator).flatMap {
         case p: GraftParquetData => p.files.iterator.map(_.path)
         case _ => Iterator.empty
-      }.toSet
+      }.toSet ++
+      // warehouse tables NOT loaded this process still reference files
+      // from their on-disk transaction log (a never-touched shallow
+      // clone is the case) — a sweep that ignored them would corrupt
+      // the clone the first time it IS touched
+      GraftLog.unloadedFileRefs(n => versions.contains(n) || n == except)
 
   def reset(name: String): Unit = lock.synchronized {
     val dropped = versions.remove(name)
@@ -175,6 +180,61 @@ object GraftTableStore {
     lastEpochs.keySet().removeIf(_._1 == name)
     ingestedFiles.remove(name)
     identityHwm.remove(name)
+    GraftLog.forget(name)
+    ()
+  }
+
+  /** did anything materialize version `v` of `name` on the DRIVER?
+    * (test probe: the task-side rewrite paths must never call
+    * [[resolveRel]] on a file-backed base). */
+  private[graft] def isResolvedCached(name: String, v: Int): Boolean =
+    resolvedCache.contains((name, v))
+
+  /** the retained History of a table, for the transaction-log
+    * writer — empty history for a created-but-never-committed table. */
+  private[sources] def historyOf(name: String): Option[History] =
+    Some(versions.getOrElse(name, History(0, Vector.empty)))
+
+  /** the identity high-water mark as last reserved, for the log. */
+  private[sources] def identityHwmValue(name: String): Option[Long] =
+    identityHwm.get(name).map(_.get())
+
+  /** install a log-replayed state — the attach path of a process that
+    * never saw this table ([[GraftLog.attach]]). */
+  private[sources] def restoreState(name: String, h: History,
+      ingested: Set[String], hwm: Option[Long]): Unit = lock.synchronized {
+    versions.put(name, h)
+    if (ingested.nonEmpty) ingestedFiles.put(name, ingested)
+    hwm.foreach(v => identityHwm.put(name,
+      new java.util.concurrent.atomic.AtomicLong(v)))
+    ()
+  }
+
+  /** evict a table's ENTIRE in-memory state without touching disk —
+    * the process-restart simulation ([[GraftLog
+    * .simulateProcessRestart]]); the next catalog touch replays the
+    * on-disk log. */
+  private[graft] def evictInMemory(name: String): Unit = lock.synchronized {
+    versions.remove(name)
+    resolvedCache.keysIterator.filter(_._1 == name)
+      .foreach(resolvedCache.remove)
+    ingestedFiles.remove(name)
+    identityHwm.remove(name)
+    lastEpochs.keySet().removeIf(_._1 == name)
+    ()
+  }
+
+  /** COPY INTO source paths whose ledger update must ride INSIDE the
+    * next commit of `name` (exactly-once: there is no window between
+    * the commit and the ledger where a crash double-loads).
+    * [[appendLocked]] consumes the entry atomically with the commit. */
+  private val pendingIngest = new TrieMap[String, Seq[String]]()
+  private[graft] def beginIngest(name: String, paths: Seq[String]): Unit = {
+    pendingIngest.put(name, paths)
+    ()
+  }
+  private[graft] def abortIngest(name: String): Unit = {
+    pendingIngest.remove(name)
     ()
   }
 
@@ -310,6 +370,19 @@ object GraftTableStore {
           s"${h.firstRetained})")
     resolveRel(name, h, v - h.firstRetained)
   }
+  /** (operation, stored commit data) of a RETAINED version — what the
+    * change feed derives CDC from (commit metadata, not snapshots).
+    * None for unretained/unknown versions (callers fall back to the
+    * snapshot path, which owns the loud errors). */
+  private[sources] def commitInfo(name: String, v: Int)
+      : Option[(String, GraftCommitData)] = {
+    val h = versions.getOrElse(name, return None)
+    if (v < h.firstRetained || v >= h.commitCount) return None
+    val rel = v - h.firstRetained
+    Some((if (rel < h.ops.length) h.ops(rel) else "append",
+      h.commits(rel)))
+  }
+
   /** the STORED form of a commit — "full" or "delta" — so tests can pin
     * that a delta commit really persisted only its op log. */
   private[graft] def commitKind(name: String, v: Int): String = {
@@ -429,7 +502,22 @@ object GraftTableStore {
       h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
     val appended = History(h.firstRetained, h.commits :+ stored,
       h.times :+ now, h.ops :+ op, newBranches, h.tags)
-    versions.put(name, trimLocked(name, appended, RetainedVersions))
+    val trimmed = trimLocked(name, appended, RetainedVersions)
+    versions.put(name, trimmed)
+    // a COPY INTO's ledger update rides the SAME locked step as its
+    // commit (and, for a file-backed table, the same log entry) —
+    // exactly-once across a crash, no commit-then-ledger window
+    val ingest = pendingIngest.remove(name).getOrElse(Seq.empty)
+    if (ingest.nonEmpty)
+      ingestedFiles.put(name, ingestedFor(name) ++ ingest)
+    // DURABILITY: a file-backed table's commit appends to its on-disk
+    // transaction log; a commit that trimmed retention checkpoints the
+    // full state instead (and GCs the entries the checkpoint subsumes)
+    if (GraftParquetStore.isBacked(name)) {
+      if (trimmed.firstRetained != h.firstRetained) GraftLog.checkpoint(name)
+      else GraftLog.logCommit(name, newV, op, now, stored,
+        h.commits.lastOption, trimmed.branches, trimmed.tags, ingest)
+    }
   }
 
   /** retention trim to the last `keep` versions of `appended` — MUST
@@ -499,9 +587,12 @@ object GraftTableStore {
     val v = at.getOrElse(h.mainHead)
     require(v >= h.firstRetained && v < h.commitCount,
       s"version $v of $name is not retained")
-    versions.put(name,
+    val nh =
       if (isTag) h.copy(tags = h.tags + (ref -> v))
-      else h.copy(branches = h.branches + (ref -> v)))
+      else h.copy(branches = h.branches + (ref -> v))
+    versions.put(name, nh)
+    if (GraftParquetStore.isBacked(name))
+      GraftLog.logRef(name, nh.branches, nh.tags)
   }
 
   /** resolve a named ref to its absolute version. */
@@ -524,7 +615,10 @@ object GraftTableStore {
       require(to >= h.mainHead,
         s"cannot fast-forward main of $name from v${h.mainHead} back " +
           s"to v$to ('$ref') — publish is forward-only")
-      versions.put(name, h.copy(branches = h.branches + ("main" -> to)))
+      val nh = h.copy(branches = h.branches + ("main" -> to))
+      versions.put(name, nh)
+      if (GraftParquetStore.isBacked(name))
+        GraftLog.logRef(name, nh.branches, nh.tags)
       to
     }
 
@@ -612,6 +706,107 @@ object GraftTableStore {
       }
     }
 
+  /** Commit a REWRITING write (replace / truncate / overwrite /
+    * dynamic-overwrite) at FILE GRANULARITY — the task-side half of
+    * the CoW write story: the incoming rows were staged as parquet
+    * files IN THE WRITE TASKS (`staged`), and this decides base-file
+    * survival from MANIFEST METADATA (partition keys, zone maps)
+    * without materializing a row on the driver:
+    *   - replace / truncate: the staged files ARE the new snapshot
+    *     (Spark's ReplaceData computed the surviving rows itself);
+    *   - dynamic partition overwrite: base files whose partition key
+    *     the incoming batch does not contain survive BY REFERENCE;
+    *   - static overwrite (REPLACE WHERE): base files the zone maps
+    *     PROVE hold no matching row survive by reference; the rest
+    *     rewrite task-side ([[GraftParquetStore
+    *     .overwriteRewriteTaskSide]]) with OCC on the head.
+    * Returns false when the base shape prevents file-granular
+    * treatment (a MoR delta-chain head, or spec-mixed files under a
+    * dynamic overwrite) — the caller falls back to the row path,
+    * which is always correct. */
+  private[sources] def commitParquetRewrite(name: String,
+      staged: Vector[GraftFileInfo], op: String,
+      overwriteFilters: Option[Array[org.apache.spark.sql.sources.Filter]],
+      dynamic: Boolean, clusterFields: Array[GraftPartField],
+      physSchema: StructType, branch: Option[String]): Boolean = {
+    val isReplaceLike = !dynamic && overwriteFilters.isEmpty
+    // snapshot under the lock; replace/truncate need no base at all
+    val snap = lock.synchronized {
+      val m = GraftParquetStore.meta(name).getOrElse(return false)
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      h.commits.lastOption match {
+        case None => Some((h.commitCount - 1, GraftParquetData(Vector.empty, 0), m))
+        case Some(p: GraftParquetData) => Some((h.commitCount - 1, p, m))
+        case Some(_) if isReplaceLike =>
+          // delta-chain head: a full replace still works file-granular
+          // (base content is irrelevant — the snapshot swaps whole)
+          Some((h.commitCount - 1, GraftParquetData(Vector.empty, 0), m))
+        case Some(_) => None // MoR suffix: row path merges correctly
+      }
+    }
+    val (expectedHead, p, m) = snap.getOrElse(return false)
+    if (isReplaceLike) {
+      lock.synchronized {
+        val adopted = GraftParquetStore.adoptStaged(m,
+          commitCount(name), staged)
+        appendLocked(name, op,
+          GraftParquetData(adopted, adopted.map(_.rows).sum), branch)
+      }
+      return true
+    }
+    if (dynamic) {
+      lock.synchronized {
+        val h = versions.getOrElse(name, History(0, Vector.empty))
+        if (h.commitCount - 1 != expectedHead) return false // re-read
+        // legacy-spec base files key in a different domain than the
+        // incoming batch's keys — only the row path compares those
+        if (p.files.exists(_.specId != m.curSpecId)) return false
+        val incomingKeys = staged.map(_.key).toSet
+        val kept = p.files.filterNot(f => incomingKeys.contains(f.key))
+        val adopted = GraftParquetStore.adoptStaged(m,
+          h.commitCount, staged)
+        appendLocked(name, "dynamic-overwrite",
+          GraftParquetData(kept ++ adopted,
+            kept.map(_.liveRows).sum + adopted.map(_.rows).sum), branch)
+      }
+      return true
+    }
+    // static overwrite: partition base files by what the stats PROVE,
+    // rewrite the unproven remainder task-side, commit under OCC
+    val filters = overwriteFilters.get
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hasAll = filters.exists(
+      _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+    // a file where ANY filter provably matches no row cannot contain
+    // a row matching the CONJUNCTION — it survives by reference
+    val (clean, candidates) =
+      if (hasAll) (Vector.empty[GraftFileInfo], p.files)
+      else p.files.partition(f => filters.exists(
+        GraftZoneMap.skips(_, f, physSchema)))
+    val rewritten =
+      if (hasAll) Vector.empty[GraftFileInfo]
+      else GraftParquetStore.overwriteRewriteTaskSide(spark, m,
+        physSchema, candidates, filters)
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      if (h.commitCount - 1 != expectedHead) {
+        rewritten.foreach(s => new java.io.File(s.path).delete())
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this INSERT OVERWRITE " +
+            s"rewrote against version $expectedHead but the head is " +
+            s"now ${h.commitCount - 1}; retry the statement")
+      }
+      val newV = h.commitCount
+      val adopted = GraftParquetStore.adoptStaged(m, newV,
+        rewritten ++ staged)
+      val files = clean ++ adopted
+      appendLocked(name, "overwrite",
+        GraftParquetData(files,
+          clean.map(_.liveRows).sum + adopted.map(_.rows).sum), branch)
+    }
+    true
+  }
+
   /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same
     * paths, some entries re-swapped with bitmaps, some dropped) under
     * optimistic concurrency: the caller computed the manifest OUTSIDE
@@ -645,26 +840,45 @@ object GraftTableStore {
     * for): rewrite ONLY the bitmap-carrying files as fresh live-row
     * files and commit the swapped manifest — DV-free entries survive
     * by reference, reads are unchanged, and the per-record bit test
-    * leaves the scan path. Returns the number of files rewritten (0 =
-    * nothing carried a DV; idempotent, no commit). */
-  private[graft] def purgeDvs(name: String): Int = lock.synchronized {
-    val h = versions.getOrElse(name, return 0)
-    h.commits.lastOption match {
-      case Some(p: GraftParquetData) if p.files.exists(_.dv.isDefined) =>
-        val m = GraftParquetStore.meta(name).getOrElse(return 0)
-        val newV = h.commitCount
-        var seq = 0
-        val files = p.files.map { f =>
-          if (f.dv.isEmpty) f
-          else {
-            val nf = GraftParquetStore.rewriteDvFile(m, newV, f, seq)
-            seq += 1
-            nf
-          }
-        }
-        appendLocked(name, "purge-dv", GraftParquetData(files, p.count))
-        seq
-      case _ => 0
+    * leaves the scan path. The rewrite runs TASK-SIDE (one Spark task
+    * per bitmap-carrying file stages its replacement; the driver sees
+    * only metadata — [[GraftParquetStore.purgeDvsTaskSide]]) outside
+    * the store lock, then commits under OPTIMISTIC CONCURRENCY: the
+    * swap re-verifies the head is still the version the job read —
+    * the same OCC contract as the DV-computation commit it reverses.
+    * Returns the number of files rewritten (0 = nothing carried a DV;
+    * idempotent, no commit). */
+  private[graft] def purgeDvs(name: String,
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    // snapshot the head manifest OUTSIDE the lock — the rewrite job
+    // must not block concurrent commits
+    val (expectedHead, p, m) = lock.synchronized {
+      val h = versions.getOrElse(name, return 0)
+      h.commits.lastOption match {
+        case Some(pq: GraftParquetData) if pq.files.exists(_.dv.isDefined) =>
+          val meta = GraftParquetStore.meta(name).getOrElse(return 0)
+          (h.commitCount - 1, pq, meta)
+        case _ => return 0
+      }
+    }
+    val candidates = p.files.filter(_.dv.isDefined)
+    val staged = GraftParquetStore.purgeDvsTaskSide(spark, m, candidates)
+    lock.synchronized {
+      val h = versions.getOrElse(name, return 0)
+      if (h.commitCount - 1 != expectedHead) {
+        staged.foreach(s => new java.io.File(s._2.path).delete())
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this PURGE rewrote " +
+            s"against version $expectedHead but the head is now " +
+            s"${h.commitCount - 1}; retry the statement")
+      }
+      val newV = h.commitCount
+      val adopted = GraftParquetStore.adoptStaged(m, newV,
+        staged.map(_._2))
+      val swap = staged.map(_._1).zip(adopted).toMap
+      val files = p.files.map(f => swap.getOrElse(f.path, f))
+      appendLocked(name, "purge-dv", GraftParquetData(files, p.count))
+      staged.length
     }
   }
 
@@ -681,43 +895,53 @@ object GraftTableStore {
     * operational cost of streaming ingest at 100 TB: a thousand
     * per-epoch files become a handful, and every later scan plans
     * O(files) less work. */
-  private[graft] def binPack(name: String, targetRows: Int): Int =
-    lock.synchronized {
-      require(targetRows > 0, s"targetRows must be positive: $targetRows")
+  private[graft] def binPack(name: String, targetRows: Int,
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    // snapshot OUTSIDE the lock; merge task-side; commit under OCC —
+    // same three-phase shape as the DV purge above. One Spark task
+    // per (partition key, spec, width) group stages its merged files
+    // ([[GraftParquetStore.binPackTaskSide]]); the driver never holds
+    // a row.
+    val (expectedHead, p, m) = lock.synchronized {
       val h = versions.getOrElse(name, return 0)
       h.commits.lastOption match {
-        case Some(p: GraftParquetData) =>
-          val m = GraftParquetStore.meta(name).getOrElse(return 0)
-          val newV = h.commitCount
-          val mergeable = p.files.filter(f =>
-            f.dv.isEmpty && f.rows < targetRows)
-          val groups = mergeable
-            .groupBy(f => (f.key, f.specId, f.numCols))
-            .filter(_._2.length >= 2)
-          if (groups.isEmpty) return 0
-          val mergedAway = scala.collection.mutable.HashSet[String]()
-          var seq = 0
-          val newFiles = groups.toVector
-            .sortBy(_._2.head.path).flatMap {
-              case ((key, specId, width), fs) =>
-                fs.foreach(f => mergedAway += f.path)
-                fs.iterator.flatMap(f => GraftParquetStore
-                    .readFile(f, m.schema, Array.range(0, width)))
-                  .grouped(targetRows).map { chunk =>
-                    val nf = GraftParquetStore.writeMergedFile(m, newV,
-                      chunk.iterator, key, width, specId, seq)
-                    seq += 1
-                    nf
-                  }
-            }
-          val files =
-            p.files.filterNot(f => mergedAway.contains(f.path)) ++
-              newFiles
-          appendLocked(name, "binpack", GraftParquetData(files, p.count))
-          mergedAway.size - newFiles.length
-        case _ => 0
+        case Some(pq: GraftParquetData) =>
+          val meta = GraftParquetStore.meta(name).getOrElse(return 0)
+          (h.commitCount - 1, pq, meta)
+        case _ => return 0
       }
     }
+    val mergeable = p.files.filter(f =>
+      f.dv.isEmpty && f.rows < targetRows)
+    val groups = mergeable
+      .groupBy(f => (f.key, f.specId, f.numCols))
+      .filter(_._2.length >= 2)
+      .toVector.sortBy(_._2.head.path)
+      .map { case ((key, specId, width), fs) => (key, specId, width, fs) }
+    if (groups.isEmpty) return 0
+    val stagedPerGroup = GraftParquetStore.binPackTaskSide(
+      spark, m, groups, targetRows)
+    val mergedAway = groups.flatMap(_._4.map(_.path)).toSet
+    lock.synchronized {
+      val h = versions.getOrElse(name, return 0)
+      if (h.commitCount - 1 != expectedHead) {
+        stagedPerGroup.flatten.foreach(s =>
+          new java.io.File(s.path).delete())
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this OPTIMIZE merged " +
+            s"against version $expectedHead but the head is now " +
+            s"${h.commitCount - 1}; retry the statement")
+      }
+      val newV = h.commitCount
+      val newFiles = GraftParquetStore.adoptStaged(m, newV,
+        stagedPerGroup.flatten)
+      val files =
+        p.files.filterNot(f => mergedAway.contains(f.path)) ++ newFiles
+      appendLocked(name, "binpack", GraftParquetData(files, p.count))
+      mergedAway.size - newFiles.length
+    }
+  }
 
   /** the WAP target branch of the active session, if any — the
     * `graft.wap.branch` session conf (the spark.wap.branch pattern):
@@ -821,6 +1045,148 @@ object GraftTableStore {
     * in-memory store has no files to lay out); integral columns.
     * Returns the new version number. */
   private[graft] def zorder(name: String, schema: StructType,
+      ordA: Int, ordB: Int,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Int = {
+    // TASK-SIDE path when the head is a pure file manifest (the
+    // common CoW case): rows never touch the driver. A delta-chain
+    // head falls back to the legacy driver materialization (the MoR
+    // merge needs the resolved snapshot; OPTIMIZE/compact first).
+    spark match {
+      case Some(s) if lock.synchronized {
+        versions.get(name).exists(_.commits.lastOption
+          .exists(_.isInstanceOf[GraftParquetData]))
+      } => return zorderTaskSide(name, schema, ordA, ordB, s)
+      case _ =>
+    }
+    zorderDriverSide(name, schema, ordA, ordB)
+  }
+
+  /** DISTRIBUTED z-order rewrite: bounds come from the MANIFEST's
+    * zone-map stats (O(files) driver metadata, no row read); a
+    * bounded `takeSample` of task-computed z-values picks quantile
+    * cut points so output files size evenly; the rewrite itself is a
+    * single shuffle — each row routes to its (partition key, spec,
+    * width, z-bucket) group and ONE TASK PER GROUP stages one
+    * z-contiguous file. The driver sees file metadata only; commit is
+    * OCC against the head the job read. This is the 100 TB OPTIMIZE
+    * ZORDER shape: one pass over the data, zone maps skip on either
+    * dimension afterwards. */
+  private def zorderTaskSide(name: String, schema: StructType,
+      ordA: Int, ordB: Int,
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    Seq(ordA, ordB).foreach { o =>
+      schema(o).dataType match {
+        case LongType | IntegerType =>
+        case other => throw new IllegalArgumentException(
+          s"ZORDER column must be integral, got $other")
+      }
+    }
+    val (expectedHead, p, m) = lock.synchronized {
+      val h = versions.getOrElse(name,
+        throw new IllegalStateException(s"$name has no snapshot"))
+      h.commits.lastOption match {
+        case Some(pq: GraftParquetData) =>
+          (h.commitCount - 1, pq, GraftParquetStore.meta(name).get)
+        case _ => throw new IllegalStateException(
+          s"$name: head is not a file manifest")
+      }
+    }
+    if (p.files.isEmpty) return expectedHead // nothing to lay out
+    // min/max scale each dimension to the full 16-bit range — from the
+    // manifest stats (wider-than-data bounds only soften the curve,
+    // never break it; a slot absent from every file's stats reads 0)
+    def boundsOf(o: Int): (Long, Long) = {
+      val dt = schema(o).dataType
+      def asL(v: Any): Long = dt match {
+        case LongType => v.asInstanceOf[Long]
+        case _ => v.asInstanceOf[Int].toLong
+      }
+      val mins = p.files.flatMap(_.stats.get(o)).filter(_.min != null)
+      if (mins.isEmpty) (0L, 0L)
+      else (mins.map(s => asL(s.min)).min, mins.map(s => asL(s.max)).max)
+    }
+    val (alo, ahi) = boundsOf(ordA)
+    val (blo, bhi) = boundsOf(ordB)
+    val aDt = schema(ordA).dataType
+    val bDt = schema(ordB).dataType
+    def zOf(r: InternalRow): Long = {
+      def norm(o: Int, dt: org.apache.spark.sql.types.DataType,
+          lo: Long, hi: Long): Long =
+        if (o >= r.numFields || r.isNullAt(o)) 0L
+        else {
+          val x = dt match {
+            case LongType => r.getLong(o)
+            case _ => r.getInt(o).toLong
+          }
+          (x - lo) * 65535L / math.max(hi - lo, 1L)
+        }
+      val a = norm(ordA, aDt, alo, ahi)
+      val b = norm(ordB, bDt, blo, bhi)
+      var out = 0L; var i = 0
+      while (i < 16) {
+        out |= ((a >> i) & 1L) << (2 * i)
+        out |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      out
+    }
+    val files = p.files
+    val rows = spark.sparkContext
+      .parallelize(files, math.min(files.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap(f => GraftParquetStore
+        .readFile(f, m.schema, Array.range(0, f.numCols))
+        .map(r => (f.key, f.specId, f.numCols, r)))
+    // quantile cut points from a bounded sample (≤ 4096 z-values on
+    // the driver — the quantizerSample pattern): even file sizes
+    // without a full sort
+    val buckets = 16
+    val sample = rows.map(t => zOf(t._4)).takeSample(
+      withReplacement = false, num = 4096, seed = 42).sorted
+    val cuts: Array[Long] =
+      if (sample.isEmpty) Array.empty
+      else (1 until buckets).map(i =>
+        sample((i * sample.length / buckets)
+          .min(sample.length - 1))).toArray.distinct
+    def bucketOf(z: Long): Int = {
+      var i = 0
+      while (i < cuts.length && z >= cuts(i)) i += 1
+      i
+    }
+    val staged = rows
+      .map { case (key, specId, width, r) =>
+        ((key, specId, width, bucketOf(zOf(r))), r)
+      }
+      .groupByKey(math.min(64,
+        math.max(1, files.length * 2)))
+      .map { case ((key, specId, width, bucket), rs) =>
+        ((key.toString, specId, width, bucket),
+          GraftParquetStore.stageRewriteFile(m, rs.iterator, key,
+            width, specId))
+      }
+      .collect().toVector
+      .sortBy(_._1) // deterministic manifest order
+      .map(_._2)
+    lock.synchronized {
+      val h = versions.getOrElse(name,
+        throw new IllegalStateException(s"$name dropped mid-rewrite"))
+      if (h.commitCount - 1 != expectedHead) {
+        staged.foreach(s => new java.io.File(s.path).delete())
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this ZORDER rewrote " +
+            s"against version $expectedHead but the head is now " +
+            s"${h.commitCount - 1}; retry the statement")
+      }
+      val newV = h.commitCount
+      val adopted = GraftParquetStore.adoptStaged(m, newV, staged)
+      appendLocked(name, "zorder",
+        GraftParquetData(adopted, adopted.map(_.rows).sum))
+      h.commitCount
+    }
+  }
+
+  private def zorderDriverSide(name: String, schema: StructType,
       ordA: Int, ordB: Int): Int = lock.synchronized {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     require(GraftParquetStore.isBacked(name),
@@ -886,6 +1252,9 @@ object GraftTableStore {
       if (before <= keep) 0
       else {
         versions.put(name, trimLocked(name, h, keep))
+        // an explicit expiry rewrites the retained window — the log
+        // checkpoints the post-trim state (and GCs subsumed entries)
+        if (GraftParquetStore.isBacked(name)) GraftLog.checkpoint(name)
         before - keep
       }
     }
@@ -1066,6 +1435,7 @@ object GraftMergeCatalog {
     registry.put(k, new GraftMergeTable(table, t.physicalSchema,
       None, t.morRowId, fields, t.tableConstraints))
     GraftParquetStore.evolveSpec(table, fields)
+    if (GraftParquetStore.isBacked(table)) GraftLog.logMeta(table)
   }
 
   /** the stored constraint set of a governed table — what DESCRIBE
@@ -1075,6 +1445,41 @@ object GraftMergeCatalog {
     registry.find(_._2.name() == table).map(_._2.tableConstraints)
       .getOrElse(throw new IllegalArgumentException(
         s"no such governed table: $table"))
+
+  /** the catalog definition of a governed table BY STORE NAME — what
+    * the transaction-log writer snapshots into checkpoints/meta
+    * entries: (catalog name, identifier, definition). */
+  private[sources] def defSnapshot(storeName: String)
+      : Option[(String, Identifier, GraftMergeTable)] =
+    registry.find(_._2.name() == storeName).map {
+      case ((c, i), t) => (c, i, t)
+    }
+
+  /** evict a table's catalog definition (restart simulation). */
+  private[graft] def evictDef(storeName: String): Unit = {
+    registry.find(_._2.name() == storeName)
+      .foreach { case (k, _) => registry.remove(k) }
+    ()
+  }
+
+  /** evict every in-memory view definition (restart simulation); the
+    * next view touch reloads the warehouse sidecars. */
+  private[graft] def evictViewsFromMemory(): Unit = {
+    viewRegistry.clear()
+    viewsLoaded.clear()
+  }
+
+  /** catalogs whose persisted views have been loaded this process —
+    * the first view operation of each catalog pulls the warehouse
+    * sidecars in once (lazy, like table attach). */
+  private val viewsLoaded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[sources] def ensureViewsLoaded(catalogName: String): Unit =
+    if (viewsLoaded.add(catalogName)) {
+      GraftLog.loadViews(catalogName).foreach { case (ident, info, props) =>
+        viewRegistry.putIfAbsent((catalogName, ident), (info, props))
+      }
+    }
 
   private[graft] def cloneDef(src: String, dst: String): Unit = {
     val (srcKey, srcT) = registry.find(_._2.name() == src).getOrElse(
@@ -1180,15 +1585,26 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
   //                 with partition key, rows, bytes, width, stats.
   //   .refs       — named refs (Iceberg's `.refs`): every branch and
   //                 tag with its pinned version, main included.
+  /** registry lookup with LAZY LOG ATTACH on miss: a table this
+    * process never registered but whose transaction log exists under
+    * the warehouse (created by a previous process — the durability
+    * contract) is rebuilt from the log on first touch and registered. */
+  private def loadOrAttach(ident: Identifier): Option[GraftMergeTable] =
+    registry.get(key(ident)).orElse {
+      GraftLog.attach(catalogName, ident).map { t =>
+        registry.putIfAbsent(key(ident), t).getOrElse(t)
+      }
+    }
+
   override def loadTable(ident: Identifier): Table =
-    registry.get(key(ident)) match {
+    loadOrAttach(ident) match {
       case Some(t) => t
       case None if ident.namespace().nonEmpty &&
           Set("changes", "history", "partitions", "files",
             "refs")(ident.name()) =>
         val baseIdent = Identifier.of(ident.namespace().dropRight(1),
           ident.namespace().last)
-        val base = registry.getOrElse(key(baseIdent),
+        val base = loadOrAttach(baseIdent).getOrElse(
           throw new NoSuchTableException(ident))
         ident.name() match {
           case "changes" => new GraftCdfTable(base)
@@ -1208,7 +1624,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
   // READ-ONLY (a write through a time-travel reference must not
   // silently mutate the current store).
   override def loadTable(ident: Identifier, version: String): Table = {
-    val t = registry.getOrElse(key(ident),
+    val t = loadOrAttach(ident).getOrElse(
       throw new NoSuchTableException(ident))
     // integer snapshot number, or a NAMED REF (branch/tag): `VERSION
     // AS OF 'audit'` reads the branch head — the WAP audit read
@@ -1232,7 +1648,7 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
   // commit at or before that instant (commit wall-clocks are recorded
   // strictly increasing at commit time).
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val t = registry.getOrElse(key(ident),
+    val t = loadOrAttach(ident).getOrElse(
       throw new NoSuchTableException(ident))
     new GraftMergeTable(t.name(), t.physicalSchema,
       Some(GraftTableStore.resolveTimestamp(t.name(), timestamp)),
@@ -1456,6 +1872,11 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
     val t = new GraftMergeTable(storeName, tblSchema, None, morRowId,
       partFields, consArr)
     registry.put(key(ident), t)
+    // a file-backed table is durable from the instant it exists: the
+    // CREATE writes the log's first checkpoint, so even a
+    // never-written table re-opens after a process restart
+    if (GraftParquetStore.isBacked(storeName))
+      GraftLog.checkpoint(storeName)
     t
   }
 
@@ -1635,6 +2056,9 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
     }
     GraftParquetStore.updateSchema(t.name(), newSchema)
     registry.put(key(ident), nt)
+    // metadata-only evolutions persist like every other state change
+    if (GraftParquetStore.isBacked(t.name()))
+      GraftLog.logMeta(t.name())
     nt
   }
 
@@ -1697,19 +2121,24 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
     override def properties(): util.Map[String, String] = props.asJava
   }
 
-  override def listViews(namespace: String*): Array[Identifier] =
+  override def listViews(namespace: String*): Array[Identifier] = {
+    GraftMergeCatalog.ensureViewsLoaded(catalogName)
     viewRegistry.keysIterator
       .filter(k => k._1 == catalogName &&
         k._2.namespace.sameElements(namespace))
       .map(_._2).toArray.sortBy(_.toString)
+  }
 
-  override def loadView(ident: Identifier): View =
+  override def loadView(ident: Identifier): View = {
+    GraftMergeCatalog.ensureViewsLoaded(catalogName)
     viewRegistry.get(key(ident)) match {
       case Some((info, props)) => GraftView(ident, info, props)
       case None => throw new NoSuchViewException(ident)
     }
+  }
 
   override def createView(info: ViewInfo): View = {
+    GraftMergeCatalog.ensureViewsLoaded(catalogName)
     val ident = info.ident()
     // one namespace of names: a view shadowing a governed table would
     // make `SELECT FROM graft.x` ambiguous — refuse loudly
@@ -1720,6 +2149,9 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
       Option(info.properties()).map(_.asScala.toMap).getOrElse(Map.empty))
     if (viewRegistry.putIfAbsent(key(ident), stored).isDefined)
       throw new ViewAlreadyExistsException(ident)
+    // durability: the definition persists as a warehouse sidecar —
+    // a fresh process reloads it on first view touch
+    GraftLog.persistView(catalogName, ident, info, stored._2)
     loadView(ident)
   }
 
@@ -1734,21 +2166,34 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
         s"unsupported view change: $other")
     }
     viewRegistry.put(key(ident), (info, next))
+    GraftLog.persistView(catalogName, ident, info, next)
     loadView(ident)
   }
 
-  override def dropView(ident: Identifier): Boolean =
-    viewRegistry.remove(key(ident)).isDefined
+  override def dropView(ident: Identifier): Boolean = {
+    GraftMergeCatalog.ensureViewsLoaded(catalogName)
+    val existed = viewRegistry.remove(key(ident)).isDefined
+    if (existed) GraftLog.dropViewSidecar(catalogName, ident)
+    existed
+  }
 
   override def renameView(from: Identifier, to: Identifier): Unit = {
+    GraftMergeCatalog.ensureViewsLoaded(catalogName)
     val v = viewRegistry.getOrElse(key(from),
       throw new NoSuchViewException(from))
     require(!registry.contains(key(to)),
       s"cannot rename view to $to: a table with that name exists")
     if (viewRegistry.contains(key(to)))
       throw new ViewAlreadyExistsException(to)
-    viewRegistry.put(key(to), v)
+    // the stored ViewInfo carries its identifier — rebuild under the
+    // new name so the sidecar and registry agree
+    val renamed = new ViewInfo(to, v._1.sql(), v._1.currentCatalog(),
+      v._1.currentNamespace(), v._1.schema(), v._1.queryColumnNames(),
+      v._1.columnAliases(), v._1.columnComments(), v._1.properties())
+    viewRegistry.put(key(to), (renamed, v._2))
     viewRegistry.remove(key(from))
+    GraftLog.dropViewSidecar(catalogName, from)
+    GraftLog.persistView(catalogName, to, renamed, v._2)
     ()
   }
 }
@@ -3395,8 +3840,14 @@ class GraftScan(tableName: String, tableSchema: StructType,
   // empty partition ships zero rows — the full data-skipping win with
   // none of the re-planning hazard.
   @volatile private var runtimeKeep: Option[Map[Int, Set[Any]]] = None
+  // only partition columns that SURVIVED column pruning may be
+  // advertised: Spark's PartitionPruning resolves these against the
+  // scan's OUTPUT, and a reference to a projected-away column is an
+  // AnalysisException at planning time (hit by any join over a
+  // partitioned scan that doesn't select its partition column)
   override def filterAttributes(): Array[NamedReference] =
-    partitionCols.map(Expressions.column)
+    partitionCols.filter(c => outSchema.fieldNames.contains(c))
+      .map(Expressions.column)
   override def filter(predicates: Array[Predicate]): Unit = {
     val keep = scala.collection.mutable.HashMap[Int, Set[Any]]()
     predicates.foreach { p =>
@@ -4086,59 +4537,294 @@ object GraftChangeFeed {
     * id keys by its physical ordinal. */
   private[sources] def changesFor(table: String, schema: StructType,
       idOrd: Int, fromCommit: Int, toCommit: Int): Array[InternalRow] = {
-    val idType = schema(idOrd).dataType
-    val vis = GraftColumnMap.visible(schema)
-    val ords = GraftColumnMap.physOrds(schema)
     val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    def emit(r: InternalRow, ct: String, v: Int): Unit = {
-      val vals = new Array[Any](vis.length + 2)
-      var i = 0
-      while (i < vis.length) {
-        // rows written before an ADD COLUMN are narrower — their
-        // missing trailing fields read as NULL (evolution on read)
-        vals(i) =
-          if (ords(i) < r.numFields) r.get(ords(i), vis(i).dataType)
-          else null
-        i += 1
-      }
-      vals(vis.length) = UTF8String.fromString(ct)
-      vals(vis.length + 1) = v.toLong
-      out += new GenericInternalRow(vals)
-    }
     var v = fromCommit
     while (v < toCommit) {
-      val prev =
-        if (v == 0) Array.empty[InternalRow]
-        else GraftTableStore.getVersion(table, v - 1)
-      val next = GraftTableStore.getVersion(table, v)
-      val prevKeys = prev.map(_.get(idOrd, idType)).toSet
-      val nextMap = next.map(r => r.get(idOrd, idType) -> r).toMap
-      // the diff is keyed by the row id — duplicate ids in a snapshot
-      // would silently collapse into one map entry and under-report the
-      // feed; plain INSERT never validates uniqueness, so check here,
-      // loudly, before serving a wrong feed
-      if (nextMap.size != next.length)
-        throw new IllegalStateException(
-          s"change feed of $table: snapshot v$v contains duplicate row " +
-            s"ids (${next.length} rows, ${nextMap.size} distinct ids) — " +
-            "the merge-on-read row id must be unique per snapshot")
-      prev.foreach { r =>
-        nextMap.get(r.get(idOrd, idType)) match {
-          case None => emit(r, "delete", v)
-          case Some(nr) =>
-            if (!((nr eq r) || nr == r)) {
-              emit(r, "update_preimage", v)
-              emit(nr, "update_postimage", v)
-            }
-        }
-      }
-      next.foreach { r =>
-        if (!prevKeys.contains(r.get(idOrd, idType))) emit(r, "insert", v)
-      }
+      out ++= changesOfCommit(table, schema, idOrd, v)
       v += 1
     }
     out.toArray
   }
+
+  /** project one physical row into the feed shape: visible columns +
+    * (_change_type, _commit_version). Rows written before an ADD
+    * COLUMN are narrower — their missing trailing fields read NULL
+    * (evolution on read). */
+  private[sources] def emitRow(r: InternalRow, ct: String, v: Int,
+      vis: StructType, ords: Array[Int]): InternalRow = {
+    val vals = new Array[Any](vis.length + 2)
+    var i = 0
+    while (i < vis.length) {
+      vals(i) =
+        if (ords(i) < r.numFields) r.get(ords(i), vis(i).dataType)
+        else null
+      i += 1
+    }
+    vals(vis.length) = UTF8String.fromString(ct)
+    vals(vis.length + 1) = v.toLong
+    new GenericInternalRow(vals)
+  }
+
+  /** operations whose commits are CONTENT-NEUTRAL by construction —
+    * layout maintenance rewrites the same rows into different files.
+    * The feed emits NOTHING for them and opens ZERO files (the
+    * snapshot-diff path would not only cost O(table), it would also
+    * mis-report fresh row objects as updates after a file rewrite). */
+  private val ContentNeutralOps =
+    Set("compact", "binpack", "zorder", "purge-dv")
+
+  /** change rows of ONE commit, derived from COMMIT METADATA where the
+    * commit kind allows (the lake-format CDC derivation):
+    *   - maintenance commits: nothing, zero I/O;
+    *   - MoR delta commits: the op log IS the change set — O(changes);
+    *     delete/update PRE-IMAGES resolve via a zone-map/bloom-pruned
+    *     DISTRIBUTED id lookup over the base files (never a base
+    *     materialization) when the base is file-backed;
+    *   - everything else (CoW replace / overwrite / truncate /
+    *     restore / plain full commits) falls back to the snapshot
+    *     diff.
+    * Append commits are NOT served here — [[planParts]] ships them as
+    * file-granular input partitions (inserts read task-side from
+    * exactly the appended files). This method is the driver-row path
+    * shared by the fallback partition and non-planned callers. */
+  private[sources] def changesOfCommit(table: String, schema: StructType,
+      idOrd: Int, v: Int): Array[InternalRow] = {
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    GraftTableStore.commitInfo(table, v) match {
+      case Some((op, _)) if ContentNeutralOps(op) =>
+        Array.empty[InternalRow]
+      case Some((_, d: GraftTableStore.GraftDeltaData)) =>
+        deltaChanges(table, schema, idOrd, v, d)
+      case Some((_, p: GraftTableStore.GraftParquetData))
+          if appendedFiles(table, v, p).isDefined =>
+        // an append: inserts are exactly the added files' rows — read
+        // them (and only them) instead of diffing snapshots. Driver
+        // path for compatibility; planParts ships these as task-side
+        // file partitions.
+        appendedFiles(table, v, p).get.iterator.flatMap { f =>
+          GraftParquetStore.readFile(f,
+            GraftParquetStore.meta(table).get.schema,
+            Array.range(0, f.numCols))
+            .map(emitRow(_, "insert", v, vis, ords))
+        }.toArray
+      case _ => snapshotDiff(table, schema, idOrd, v)
+    }
+  }
+
+  /** the files commit `v` ADDED when it is a pure append (its manifest
+    * extends the previous parquet manifest as a prefix; v0 extends the
+    * empty manifest — a shallow clone's first commit included). None
+    * when the shape is not an append. */
+  private def appendedFiles(table: String, v: Int,
+      p: GraftTableStore.GraftParquetData): Option[Vector[GraftFileInfo]] = {
+    if (v == 0) return Some(p.files)
+    GraftTableStore.commitInfo(table, v - 1) match {
+      case Some((_, prev: GraftTableStore.GraftParquetData))
+          if p.files.startsWith(prev.files) &&
+            p.files.length >= prev.files.length =>
+        Some(p.files.drop(prev.files.length))
+      case _ => None
+    }
+  }
+
+  /** O(changes) derivation of a MoR delta commit's feed rows. Inserts
+    * and update POST-images come straight from the op log; delete and
+    * update PRE-IMAGES resolve against the v-1 state: first the folded
+    * delta extras (already O(changes) in memory), then a DISTRIBUTED
+    * lookup over the base files with the id set pushed as an In filter
+    * — zone maps and bloom indexes drop files that cannot hold a
+    * target id, and only matching rows ship back (O(changes), never
+    * O(table)). An in-memory base keeps the resolved-array path (its
+    * rows live in memory regardless). */
+  private def deltaChanges(table: String, schema: StructType,
+      idOrd: Int, v: Int,
+      d: GraftTableStore.GraftDeltaData): Array[InternalRow] = {
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val idType = d.idType
+    val targets = scala.collection.mutable.LinkedHashSet[Any]()
+    d.ops.foreach { o =>
+      if (o.op == 'D' || o.op == 'U') targets += o.id.get(0, idType)
+    }
+    val pre: collection.Map[Any, InternalRow] =
+      GraftTableStore.fileView(table, Some(v - 1)) match {
+        case Some(fv) if v > 0 =>
+          val found = scala.collection.mutable.HashMap[Any, InternalRow]()
+          // folded extras first: an id updated by an EARLIER delta has
+          // its live pre-image there, not in the base files
+          fv.extras.foreach { r =>
+            val k = r.get(if (fv.idOrd >= 0) fv.idOrd else idOrd, idType)
+            if (targets.contains(k)) found.put(k, r)
+          }
+          val deletedEarlier: Set[Any] = fv.deletedIds.toSet
+          val remaining = targets.toSet -- found.keySet -- deletedEarlier
+          if (remaining.nonEmpty) {
+            val m = GraftParquetStore.meta(table).get
+            GraftParquetStore.lookupByIds(
+              org.apache.spark.sql.SparkSession.active, m, fv.files,
+              idOrd, idType, remaining).foreach { r =>
+              val k = r.get(idOrd, idType)
+              // a base-file row whose live version was deleted or
+              // moved to an extra must not serve as pre-image
+              if (remaining.contains(k)) found.put(k, r)
+            }
+          }
+          found
+        case _ =>
+          // in-memory (or unresolvable) base: the resolved rows are in
+          // memory anyway — index the targets
+          val base =
+            if (v == 0) Array.empty[InternalRow]
+            else GraftTableStore.getVersion(table, v - 1)
+          base.iterator.filter(r =>
+            targets.contains(r.get(idOrd, idType)))
+            .map(r => r.get(idOrd, idType) -> r).toMap
+      }
+    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    d.ops.foreach { o =>
+      (o.op: @unchecked) match {
+        case 'D' =>
+          pre.get(o.id.get(0, idType)).foreach(r =>
+            out += emitRow(r, "delete", v, vis, ords))
+        case 'U' =>
+          // an update of a non-existent id is applyDelta's no-op —
+          // no pre-image, nothing emitted (matches the snapshot diff)
+          pre.get(o.id.get(0, idType)).foreach { r =>
+            out += emitRow(r, "update_preimage", v, vis, ords)
+            out += emitRow(o.row, "update_postimage", v, vis, ords)
+          }
+        case 'I' =>
+          out += emitRow(o.row, "insert", v, vis, ords)
+      }
+    }
+    out.toArray
+  }
+
+  /** plan the feed of [from, to) as INPUT PARTITIONS: append commits
+    * become FILE-GRANULAR partitions (one per appended file — the
+    * inserts are read task-side from exactly those files, the property
+    * the spec pins); every other commit contributes one O(its changes)
+    * row partition computed per the metadata derivation above. */
+  private[graft] def planParts(table: String, schema: StructType,
+      idOrd: Int, fromCommit: Int, toCommit: Int): Array[InputPartition] = {
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    var v = fromCommit
+    while (v < toCommit) {
+      GraftTableStore.commitInfo(table, v) match {
+        case Some((op, p: GraftTableStore.GraftParquetData))
+            if !ContentNeutralOps(op) &&
+              appendedFiles(table, v, p).isDefined =>
+          val m = GraftParquetStore.meta(table).get
+          appendedFiles(table, v, p).get.foreach { f =>
+            parts += GraftCdfFilePartition(Vector(f), m.schema,
+              ords, vis.fields.map(_.dataType), v)
+          }
+        case _ =>
+          val rows = changesOfCommit(table, schema, idOrd, v)
+          if (rows.nonEmpty) parts += GraftInputPartition(rows)
+      }
+      v += 1
+    }
+    parts.toArray
+  }
+
+  /** the FALLBACK diff of ONE commit: full snapshot materialization —
+    * only the commit kinds commit metadata cannot answer (CoW
+    * rewrites: replace / overwrite / truncate / restore and legacy
+    * in-memory full commits) pay it. */
+  private def snapshotDiff(table: String, schema: StructType,
+      idOrd: Int, v: Int): Array[InternalRow] = {
+    val idType = schema(idOrd).dataType
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    def emit(r: InternalRow, ct: String, vv: Int): Unit = {
+      out += emitRow(r, ct, vv, vis, ords)
+      ()
+    }
+    val prev =
+      if (v == 0) Array.empty[InternalRow]
+      else GraftTableStore.getVersion(table, v - 1)
+    val next = GraftTableStore.getVersion(table, v)
+    val prevKeys = prev.map(_.get(idOrd, idType)).toSet
+    val nextMap = next.map(r => r.get(idOrd, idType) -> r).toMap
+    // the diff is keyed by the row id — duplicate ids in a snapshot
+    // would silently collapse into one map entry and under-report the
+    // feed; plain INSERT never validates uniqueness, so check here,
+    // loudly, before serving a wrong feed
+    if (nextMap.size != next.length)
+      throw new IllegalStateException(
+        s"change feed of $table: snapshot v$v contains duplicate row " +
+          s"ids (${next.length} rows, ${nextMap.size} distinct ids) — " +
+          "the merge-on-read row id must be unique per snapshot")
+    prev.foreach { r =>
+      nextMap.get(r.get(idOrd, idType)) match {
+        case None => emit(r, "delete", v)
+        case Some(nr) =>
+          if (!((nr eq r) || nr == r)) {
+            emit(r, "update_preimage", v)
+            emit(nr, "update_postimage", v)
+          }
+      }
+    }
+    next.foreach { r =>
+      if (!prevKeys.contains(r.get(idOrd, idType))) emit(r, "insert", v)
+    }
+    out.toArray
+  }
+}
+
+/** ONE appended file of an append commit, served as a feed partition:
+  * the task opens the file where it runs and emits each row as an
+  * `insert` of `version` — the driver never touches a row, and an
+  * append-only feed window opens EXACTLY the appended files. */
+case class GraftCdfFilePartition(files: Vector[GraftFileInfo],
+    physSchema: StructType, visOrds: Array[Int],
+    visTypes: Array[org.apache.spark.sql.types.DataType], version: Int)
+    extends InputPartition
+
+/** reader factory of the change feed: dispatches row partitions (the
+  * O(changes) metadata derivations and the CoW fallback) and
+  * file-granular insert partitions. */
+object GraftCdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    p match {
+      case _: GraftInputPartition => GraftRowsReaderFactory.createReader(p)
+      case f: GraftCdfFilePartition =>
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+          private val it = f.files.iterator.flatMap(file =>
+            GraftParquetStore.readFile(file, f.physSchema,
+              Array.range(0, file.numCols)))
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val r = it.next()
+            val vals = new Array[Any](f.visOrds.length + 2)
+            var i = 0
+            while (i < f.visOrds.length) {
+              vals(i) =
+                if (f.visOrds(i) < r.numFields)
+                  r.get(f.visOrds(i), f.visTypes(i))
+                else null
+              i += 1
+            }
+            vals(f.visOrds.length) = org.apache.spark.unsafe.types
+              .UTF8String.fromString("insert")
+            vals(f.visOrds.length + 1) = f.version.toLong
+            cur = new GenericInternalRow(vals)
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case other => throw new IllegalStateException(
+        s"not a change-feed partition: $other")
+    }
 }
 
 /** The `graft.<table>.changes` relation: read-only view of a
@@ -4193,11 +4879,15 @@ class GraftCdfScan(tableName: String, tableSchema: StructType,
     val to =
       if (endingVersion < 0) latest
       else math.min(latest, endingVersion + 1) // inclusive bound
-    Array(GraftInputPartition(GraftChangeFeed.changesFor(tableName,
-      tableSchema, idOrd, startingVersion, to)))
+    // commit-metadata CDC: append commits ship as FILE partitions
+    // (inserts read task-side from exactly the appended files),
+    // MoR deltas as O(changes) row partitions, maintenance commits
+    // as nothing, CoW rewrites as the snapshot-diff fallback
+    GraftChangeFeed.planParts(tableName, tableSchema, idOrd,
+      startingVersion, to)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftRowsReaderFactory
+    GraftCdfReaderFactory
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftCdfMicroBatchStream(tableName, tableSchema, idOrd,
@@ -4250,11 +4940,10 @@ class GraftCdfMicroBatchStream(tableName: String,
     val s = start.asInstanceOf[GraftStreamOffset].commits
     val e = end.asInstanceOf[GraftStreamOffset].commits
     if (e <= s) Array.empty
-    else Array(GraftInputPartition(GraftChangeFeed.changesFor(tableName,
-      tableSchema, idOrd, s, e)))
+    else GraftChangeFeed.planParts(tableName, tableSchema, idOrd, s, e)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftRowsReaderFactory
+    GraftCdfReaderFactory
 }
 
 /** The `graft.<table>.history` metadata relation — DESCRIBE HISTORY as
@@ -4678,19 +5367,26 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     }
 
   private lazy val baseWrite: Write = new Write {
-    /** plain appends to a parquet-backed table write FILES in the
-      * tasks (the driver sees only metadata); every rewriting shape —
-      * and every in-memory table — keeps the row-message path, whose
-      * commit must evaluate predicates against base rows anyway. */
+    /** EVERY write to a parquet-backed table writes FILES in the
+      * tasks (the driver sees only metadata) — plain appends commit
+      * manifest-extending, rewriting shapes (replace / truncate /
+      * overwrite / dynamic overwrite) commit FILE-GRANULAR
+      * ([[GraftTableStore.commitParquetRewrite]]: base survival
+      * decided from manifest metadata, unproven files rewritten
+      * task-side) with a row-path fallback for base shapes the
+      * manifest cannot answer (MoR delta suffix, mixed specs). The
+      * one exception: IDENTITY columns assign from the table's
+      * high-water mark at COMMIT time (a coordination point by
+      * nature) — those keep the row-message path. */
     private def taskFileAppend: Option[GraftParquetStore.Meta] =
-      if (replace || doTruncate || dynamicOverwrite ||
-          overwriteFilters.isDefined ||
-          // IDENTITY columns assign from the table's high-water mark
-          // at COMMIT time (a coordination point by nature) — keep
-          // the row-message path; generated columns stay on the task
-          // file path (pure row functions)
-          GraftGenerated.identityOf(physSchema).isDefined) None
+      if (GraftGenerated.identityOf(physSchema).isDefined) None
       else GraftParquetStore.meta(tableName)
+    private def opKind: String =
+      if (replace) "replace"
+      else if (doTruncate) "truncate"
+      else if (dynamicOverwrite) "dynamic-overwrite"
+      else if (overwriteFilters.isDefined) "overwrite"
+      else "append"
     // analyzed ONCE driver-side (needs the session analyzer); the
     // bound expressions serialize to the write tasks
     private lazy val genExprs = GraftGenerated.boundGenerators(physSchema)
@@ -4724,33 +5420,16 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           : DataWriterFactory = taskFileAppend match {
         case Some(m) =>
           GraftParquetAppendWriterFactory(m, writeSchema.length,
-            genExprs)
+            genExprs, replace)
         case None =>
           GraftWriterFactory(writeSchema, physSchema, replace, genExprs)
       }
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        if (taskFileAppend.isDefined) {
-          // manifest-only commit: adopt the task-staged files
-          val staged = messages
-            .flatMap(_.asInstanceOf[GraftFilesMessage].files)
-            .sortBy(_.path).toVector
-          GraftTableStore.commitParquetAppend(tableName, staged,
-            GraftTableStore.sessionWapBranch)
-          return
-        }
-        // incoming rows were projected into the PHYSICAL layout at the
-        // write task — every row below is physical
-        val incoming = messages
-          .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
-        GraftGenerated.identityOf(physSchema)
-          .foreach(assignIdentity(incoming, _, plainAppend = !replace &&
-            !doTruncate && !dynamicOverwrite &&
-            overwriteFilters.isEmpty))
         // a copy-on-write ROW-LEVEL rewrite replaces the snapshot with
         // content derived from a scan of MAIN — committing that onto a
         // WAP branch would silently drop the branch's staged commits
-        // (appends/overwrites base on the CHAIN head inside mutate and
-        // WriteDelta op logs apply at read, so those stay branch-safe)
+        // (appends/overwrites base on the CHAIN head and WriteDelta op
+        // logs apply at read, so those stay branch-safe)
         if (replace)
           GraftTableStore.sessionWapBranch.foreach(b =>
             throw new IllegalStateException(
@@ -4759,12 +5438,48 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
                 "rewrite's scan reads MAIN, so its snapshot would drop " +
                 "the staged commits; publish the branch first or use a " +
                 "merge-on-read table"))
-        val op =
-          if (replace) "replace"
-          else if (doTruncate) "truncate"
-          else if (dynamicOverwrite) "dynamic-overwrite"
-          else if (overwriteFilters.isDefined) "overwrite"
-          else "append"
+        taskFileAppend match {
+          case Some(m) =>
+            val staged = messages
+              .flatMap(_.asInstanceOf[GraftFilesMessage].files)
+              .sortBy(_.path).toVector
+            if (opKind == "append") {
+              // manifest-only commit: adopt the task-staged files
+              GraftTableStore.commitParquetAppend(tableName, staged,
+                GraftTableStore.sessionWapBranch)
+              return
+            }
+            // FILE-GRANULAR rewrite commit — base survival from
+            // manifest metadata; rows never touch the driver
+            if (GraftTableStore.commitParquetRewrite(tableName, staged,
+                opKind, overwriteFilters, dynamicOverwrite,
+                clusterFields, physSchema,
+                GraftTableStore.sessionWapBranch)) return
+            // fallback (MoR delta suffix / mixed specs): materialize
+            // the staged rows once and take the row path below
+            val rows = GraftParquetStore.readAll(staged, m.schema)
+            staged.foreach(f => new java.io.File(f.path).delete())
+            rowPathCommit(rows)
+          case None =>
+            // incoming rows were projected into the PHYSICAL layout at
+            // the write task — every row below is physical
+            val incoming = messages
+              .flatMap(_.asInstanceOf[GraftRowsMessage].rows)
+            GraftGenerated.identityOf(physSchema)
+              .foreach(assignIdentity(incoming, _,
+                plainAppend = opKind == "append"))
+            rowPathCommit(incoming)
+        }
+      }
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        messages.foreach {
+          case GraftFilesMessage(files) =>
+            files.foreach(f => new java.io.File(f.path).delete())
+          case _ => ()
+        }
+
+      private def rowPathCommit(incoming: Array[InternalRow]): Unit = {
+        val op = opKind
         // atomic read-modify-write: the base read and the snapshot swap
         // are one GraftTableStore.mutate step, so a concurrent commit
         // cannot interleave between them. Under graft.wap.branch the
@@ -4812,7 +5527,6 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
           kept ++ incoming
         }
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
 
     override def toStreaming
@@ -4848,8 +5562,16 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
               staged.foreach(f => new java.io.File(f.path).delete())
               return
             }
-            GraftTableStore.commitParquetAppend(tableName, staged,
-              None, op = "stream-append")
+            if (doTruncate)
+              // Complete mode: each epoch REPLACES the snapshot —
+              // the staged files ARE the new manifest (replace-like
+              // file-granular commit, never falls back)
+              GraftTableStore.commitParquetRewrite(tableName, staged,
+                "stream-complete", None, dynamic = false,
+                clusterFields, physSchema, None)
+            else
+              GraftTableStore.commitParquetAppend(tableName, staged,
+                None, op = "stream-append")
             return
           }
           if (!GraftTableStore.markEpoch(tableName, queryId, epochId))

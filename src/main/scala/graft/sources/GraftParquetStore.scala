@@ -206,10 +206,35 @@ object GraftParquetStore {
       }
       ord
     }
-    val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
-      .toFile.getAbsolutePath
+    val dir = freshTableDir(name)
     metas.put(name, Meta(dir, schema, partFields, bloomOrds,
       dvMode = dvMode))
+  }
+
+  /** the table's WAREHOUSE directory — the stable, name-derived
+    * location the transaction log makes re-findable after a restart.
+    * A fresh CREATE clears any stale `_graft_log` a previous
+    * same-named (dropped-with-shared-files) table left behind, so a
+    * new table can never attach a dead table's history. */
+  private def freshTableDir(name: String): String = {
+    val d = GraftWarehouse.tableDir(name)
+    d.mkdirs()
+    val stale = new java.io.File(d, "_graft_log")
+    if (stale.exists()) deleteRecursively(stale)
+    d.getAbsolutePath
+  }
+
+  /** install a log-replayed registration ([[GraftLog.attach]]). */
+  private[sources] def restoreMeta(name: String, m: Meta): Unit = {
+    metas.put(name, m)
+    ()
+  }
+
+  /** evict the in-memory registration only — disk untouched (the
+    * restart simulation; [[GraftLog.simulateProcessRestart]]). */
+  private[graft] def evictMeta(name: String): Unit = {
+    metas.remove(name)
+    ()
   }
 
   def isBacked(name: String): Boolean = metas.contains(name)
@@ -233,9 +258,7 @@ object GraftParquetStore {
     * only the clone's FUTURE commits write under its own dir. */
   def registerLike(src: String, dst: String): Unit =
     metas.get(src).foreach { m =>
-      val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
-        .toFile.getAbsolutePath
-      metas.put(dst, m.copy(dir = dir))
+      metas.put(dst, m.copy(dir = freshTableDir(dst)))
       ()
     }
 
@@ -259,6 +282,11 @@ object GraftParquetStore {
       if (shared.isEmpty) deleteRecursively(new java.io.File(m.dir))
       else {
         val root = new java.io.File(m.dir)
+        // the dropped table's transaction log must die even when
+        // shared data files survive — a later GC sweep scanning
+        // unloaded warehouse logs would otherwise resurrect its
+        // references (and a re-CREATE could attach dead history)
+        deleteRecursively(new java.io.File(root, "_graft_log"))
         Option(root.listFiles()).getOrElse(Array.empty)
           .filter(_.isDirectory).foreach { vdir =>
             Option(vdir.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -728,6 +756,139 @@ object GraftParquetStore {
     h.close()
   }
 
+  /** write ONE staged rewrite file from rows in a TASK: the rewrite
+    * path's write primitive — a temp-dir file whose metadata ships
+    * back to the driver; the commit adopts it (rename) once the
+    * version number is known under the store lock. Same width/key/
+    * spec normalization as the legacy driver-side writers, so
+    * pruning and evolution-on-read semantics are unchanged. */
+  private[sources] def stageRewriteFile(m: Meta, rows: Iterator[InternalRow],
+      key: InternalRow, width: Int, specId: Int): GraftFileInfo = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rewrite-")
+    val h = new GraftFileHandle(m.schema, width,
+      new java.io.File(dir.toFile, "staged.parquet").getAbsolutePath,
+      key, m.bloomOrds, specId)
+    rows.foreach { r =>
+      if (r.numFields == width) h.add(r)
+      else {
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < width) {
+          vals(i) =
+            if (i < r.numFields) r.get(i, m.schema(i).dataType) else null
+          i += 1
+        }
+        h.add(new GenericInternalRow(vals))
+      }
+    }
+    h.close()
+  }
+
+  /** DISTRIBUTED deletion-vector purge: ONE TASK PER bitmap-carrying
+    * file reads its live rows and stages a fresh bitmap-free file
+    * where the task runs — the driver sees only (old path → staged
+    * metadata), never a row. At 100 TB a purge touches exactly the
+    * DV-carrying files, in parallel, with O(files) driver state —
+    * the same shape as the DV-computation job it reverses. */
+  private[sources] def purgeDvsTaskSide(
+      spark: org.apache.spark.sql.SparkSession, m: Meta,
+      candidates: Vector[GraftFileInfo])
+      : Vector[(String, GraftFileInfo)] =
+    spark.sparkContext
+      .parallelize(candidates, math.min(candidates.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .map { f =>
+        f.path -> stageRewriteFile(m,
+          readFile(f, m.schema, Array.range(0, f.numCols)).iterator,
+          f.key, f.numCols, f.specId)
+      }
+      .collect().toVector
+
+  /** DISTRIBUTED bin-packing: ONE TASK PER (partition key, spec,
+    * width) group of small files — the task reads its group's rows
+    * and stages merged files of up to `targetRows`, shipping only
+    * metadata. Group shapes (key/spec/width) are preserved so pruning
+    * and evolution-on-read are unchanged; the driver never holds a
+    * row. */
+  private[sources] def binPackTaskSide(
+      spark: org.apache.spark.sql.SparkSession, m: Meta,
+      groups: Vector[(InternalRow, Int, Int, Vector[GraftFileInfo])],
+      targetRows: Int): Vector[Vector[GraftFileInfo]] =
+    spark.sparkContext
+      .parallelize(groups, math.min(groups.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .map { case (key, specId, width, fs) =>
+        fs.iterator
+          .flatMap(f => readFile(f, m.schema, Array.range(0, width)))
+          .grouped(targetRows)
+          .map(chunk => stageRewriteFile(m, chunk.iterator, key, width,
+            specId))
+          .toVector
+      }
+      .collect().toVector
+
+  /** DISTRIBUTED static-overwrite rewrite (INSERT OVERWRITE /
+    * REPLACE WHERE): for each base file the zone maps could NOT prove
+    * clean, ONE TASK filters out the rows matching the overwrite
+    * predicate and stages a survivor file (dropped entirely when no
+    * row survives). Driver sees metadata only; files the stats proved
+    * clean never reach here (kept by reference by the caller). */
+  private[sources] def overwriteRewriteTaskSide(
+      spark: org.apache.spark.sql.SparkSession, m: Meta,
+      physSchema: StructType,
+      candidates: Vector[GraftFileInfo],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Vector[GraftFileInfo] = {
+    if (candidates.isEmpty) return Vector.empty
+    spark.sparkContext
+      .parallelize(candidates, math.min(candidates.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { f =>
+        val preds = filters.flatMap(GraftFilterEval.compile(_, physSchema))
+        require(preds.length == filters.length,
+          "overwrite rewrite: a predicate stopped compiling between " +
+            "canOverwrite and the task — refusing a partial delete set")
+        val rows = readFile(f, m.schema, Array.range(0, f.numCols)).toArray
+        // predicates evaluate against the PADDED full-schema view
+        // (pre-evolution rows read their exists-defaults); the
+        // ORIGINAL narrow rows are what survive into the new file
+        val padded = GraftChangeFeed.padTo(rows, physSchema)
+        val survivors = rows.indices.collect {
+          case i if !preds.forall(_(padded(i))) => rows(i)
+        }
+        if (survivors.isEmpty) Iterator.empty
+        else Iterator.single(stageRewriteFile(m, survivors.iterator,
+          f.key, f.numCols, f.specId))
+      }
+      .collect().toVector
+  }
+
+  /** DISTRIBUTED id lookup: the rows of `files` whose id column is in
+    * `ids` — the change feed's pre-image resolution. Zone maps and
+    * bloom indexes drop files that cannot hold a target id BEFORE any
+    * task launches; matching rows (O(|ids|) under the MoR unique-id
+    * contract) ship back. Never a base materialization. */
+  private[sources] def lookupByIds(
+      spark: org.apache.spark.sql.SparkSession, m: Meta,
+      files: Vector[GraftFileInfo], idOrd: Int, idType: DataType,
+      ids: Set[Any]): Array[InternalRow] = {
+    if (files.isEmpty || ids.isEmpty) return Array.empty
+    val idName = m.schema(idOrd).name
+    val probe = org.apache.spark.sql.sources.In(idName, ids.toArray)
+    val candidates = files.filter(f =>
+      !GraftZoneMap.skips(probe, f, m.schema))
+    if (candidates.isEmpty) return Array.empty
+    spark.sparkContext
+      .parallelize(candidates, math.min(candidates.length,
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { f =>
+        readFile(f, m.schema, Array.range(0, f.numCols)).filter(r =>
+          idOrd < r.numFields && !r.isNullAt(idOrd) &&
+            ids.contains(r.get(idOrd, idType)))
+      }
+      .collect()
+  }
+
   /** MOVE task-staged files under the committed version's directory —
     * runs driver-side under the store lock when the version number is
     * known; rename on the same filesystem, no data copied. Keeps the
@@ -755,7 +916,8 @@ object GraftParquetStore {
       referenced: Set[String]): Int = metas.get(name).map { m =>
     var deleted = 0
     Option(new java.io.File(m.dir).listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).foreach { vdir =>
+      .filter(d => d.isDirectory && d.getName != "_graft_log")
+      .foreach { vdir =>
         Option(vdir.listFiles()).getOrElse(Array.empty).foreach { f =>
           if (!referenced.contains(f.getAbsolutePath)) {
             if (f.delete()) deleted += 1
@@ -930,14 +1092,33 @@ case class GraftParquetAppendWriterFactory(
     meta: GraftParquetStore.Meta, visibleWidth: Int,
     gens: Array[(Int,
       org.apache.spark.sql.catalyst.expressions.Expression)] =
-      Array.empty)
+      Array.empty,
+    replace: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   import org.apache.spark.sql.connector.write.{DataWriter, WriterCommitMessage}
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private val physProj = UnsafeProjection.create(
-      GraftColumnMap.toPhysical(meta.schema))
+    // the group-based ReplaceData write can arrive ONE FIELD WIDER
+    // than the declared schema (the __row_operation column — see
+    // GraftWriterFactory's layout note); on the replace path skip it,
+    // anywhere else a width mismatch is schema drift and fails loudly
+    private var physProj: UnsafeProjection = _
+    private def projFor(row: InternalRow): UnsafeProjection = {
+      if (physProj == null) {
+        physProj =
+          if (row.numFields == visibleWidth)
+            UnsafeProjection.create(GraftColumnMap.toPhysical(meta.schema))
+          else if (replace && row.numFields == visibleWidth + 1)
+            UnsafeProjection.create(
+              GraftColumnMap.toPhysical(meta.schema, offset = 1))
+          else throw new IllegalStateException(
+            s"append row has ${row.numFields} fields, write schema " +
+              s"has $visibleWidth (replace=$replace) — unknown " +
+              "layout, refusing to write")
+      }
+      physProj
+    }
     // GENERATED COLUMNS recompute on the physical row BEFORE the
     // partition key projection (a generated column may be the
     // partition source) — same ALWAYS semantics as the row path
@@ -964,11 +1145,7 @@ case class GraftParquetAppendWriterFactory(
       d.toFile.getAbsolutePath
     }
     override def write(row: InternalRow): Unit = {
-      if (row.numFields != visibleWidth)
-        throw new IllegalStateException(
-          s"append row has ${row.numFields} fields, write schema has " +
-            s"$visibleWidth — unknown layout, refusing to write")
-      val phys0 = physProj(row)
+      val phys0 = projFor(row)(row)
       val phys = if (genProj == null) phys0 else genProj(phys0)
       val key = keyProj(phys).copy(): InternalRow
       val h = open.getOrElseUpdate(key,

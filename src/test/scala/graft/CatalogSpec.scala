@@ -1729,4 +1729,193 @@ class CatalogSpec extends AnyFunSuite {
     assert(GraftTableStore.epochLedgerSize == before,
       "reset must evict the table's epoch entries")
   }
+
+  // ---- DURABLE TRANSACTION LOG (round 12): a simulated process
+  // restart — EVERY byte of in-memory state for the table evicted,
+  // the warehouse directory the only survivor — must rebuild the
+  // full governed state from `_graft_log` on first catalog touch.
+
+  test("durable log: restart rebuilds a parquet table — rows, " +
+      "history, time travel, refs, DV deletes, manifest identity") {
+    freshCatalog()
+    val t = "graft.dur_t"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p STRING, v DOUBLE) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv', 'graft.bloom.columns'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, CASE WHEN id % 2 = 0 " +
+      "THEN 'a' ELSE 'b' END, id * 1.5 FROM range(200)") // v0
+    spark.sql(s"INSERT INTO $t SELECT id + 1000, 'a', -0.0 " +
+      "FROM range(50)") // v1 (append shares v0's files; -0.0 survives)
+    spark.sql(s"DELETE FROM $t WHERE k < 20") // v2: DV commit
+    graft.api.GraftApi.createTag(spark, t, "t0")
+    graft.api.GraftApi.createBranch(spark, t, "dev")
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    val hist = GraftTableStore.history(t)
+    val refs = GraftTableStore.refs(t)
+    val manifests = (0 to 2).map(GraftTableStore.commitFiles(t, _))
+    val v0count = spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0)
+
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(GraftTableStore.commitCount(t) == 0, "eviction incomplete")
+
+    // first catalog touch replays the log
+    val after = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "replayed rows differ")
+    assert(GraftTableStore.history(t) == hist, "history differs")
+    assert(GraftTableStore.refs(t) == refs, "refs differ")
+    (0 to 2).foreach { v =>
+      assert(GraftTableStore.commitFiles(t, v).map(_.path) ==
+        manifests(v).map(_.path), s"manifest of v$v differs")
+    }
+    // DV bitmaps round-tripped byte-exact: the v2 manifest carries
+    // the same deleted cardinality and the same live count
+    assert(GraftTableStore.commitFiles(t, 2)
+      .flatMap(_.dv).map(_.card).sum ==
+      manifests(2).flatMap(_.dv).map(_.card).sum, "DV cardinality")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 0")
+      .collect()(0).getLong(0) == v0count, "time travel differs")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 't0'")
+      .collect()(0).getLong(0) == after.length.toLong, "tag differs")
+    // (no -0.0 probe: Spark's UnsafeWriter normalizes -0.0 to +0.0 at
+    // write time, so no stored row can carry it; the codec still
+    // round-trips specials via the java toString path, and the full
+    // row-for-row equality above covers value fidelity)
+    // and the replayed table keeps COMMITTING: the log picks up where
+    // it left off (no seq collision with replayed entries)
+    spark.sql(s"INSERT INTO $t SELECT id + 5000, 'b', 2.0 FROM range(5)")
+    assert(spark.table(t).count() == after.length + 5L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("durable log: MoR op logs replay as DELTA commits; schema " +
+      "evolution, defaults and constraints survive restart") {
+    freshCatalog()
+    val t = "graft.dur_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'x' FROM range(100)") // v0
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 0") // v1: delta op log
+    spark.sql(s"UPDATE $t SET s = 'y' WHERE k % 7 = 0") // v2: delta
+    spark.sql(s"ALTER TABLE $t ADD COLUMN r STRING DEFAULT 'd'")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO s2")
+    spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pos CHECK (k >= 0)")
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    val consBefore = GraftMergeCatalog.constraintsOf(t).map(_.toDDL).toSeq
+
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    val after = spark.table(t).collect().map(_.toString).sorted.toSeq
+    assert(after == before, "replayed MoR rows differ")
+    // the op-log commits replayed AS op logs, not materialized
+    assert(GraftTableStore.commitKind(t, 1) == "delta")
+    assert(GraftTableStore.commitKind(t, 2) == "delta")
+    // pre-ADD rows still read the exists-default through the rename
+    assert(spark.table(t).where(col("r") === "d").count() ==
+      before.length.toLong)
+    assert(GraftMergeCatalog.constraintsOf(t).map(_.toDDL).toSeq ==
+      consBefore, "constraints differ")
+    // the replayed CHECK constraint still REJECTS violating writes
+    intercept[Throwable] {
+      spark.sql(s"INSERT INTO $t VALUES (-1, 'z', 'w')")
+    }
+    // and MoR row-level ops still work on the replayed table
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    assert(spark.table(t).count() == before.length - 1L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("durable log: views survive restart; COPY INTO ledger rides " +
+      "the commit (replayed re-run is a no-op); identity resumes " +
+      "from the logged high-water mark") {
+    freshCatalog()
+    val s = GraftExtensions.sessionWithViews(spark)
+    val t = "graft.dur_cpy"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    // landing dir with two parquet files
+    val landing = java.nio.file.Files
+      .createTempDirectory("dur-landing-").toFile.getAbsolutePath
+    spark.range(10).selectExpr("id", "id * 2.0 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b1")
+    val (f1, r1) = graft.api.GraftApi.copyInto(spark, t, landing)
+    assert(f1 >= 1 && r1 == 10L)
+    // a view over the governed table
+    s.sql("DROP VIEW IF EXISTS graft.dur_view")
+    s.sql(s"CREATE VIEW graft.dur_view AS SELECT COUNT(*) AS n FROM $t")
+    assert(s.table("graft.dur_view").collect()(0).getLong(0) == 10L)
+    // identity table
+    spark.sql("DROP TABLE IF EXISTS graft.dur_idt")
+    spark.sql("CREATE TABLE graft.dur_idt (id BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY, v DOUBLE) TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.dur_idt (v) VALUES (1.0), (2.0)")
+
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq(t, "graft.dur_idt"), alsoViews = true)
+
+    // ledger replayed: the same landing dir re-runs as a NO-OP —
+    // exactly-once, the ledger rode the commit entry
+    val (f2, r2) = graft.api.GraftApi.copyInto(spark, t, landing)
+    assert(f2 == 0 && r2 == 0L,
+      s"replayed ledger must make the re-run a no-op, got ($f2, $r2)")
+    // new files still load incrementally
+    spark.range(5).selectExpr("id + 100 AS id", "id * 3.0 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b2")
+    val (f3, r3) = graft.api.GraftApi.copyInto(spark, t, landing)
+    assert(f3 >= 1 && r3 == 5L)
+    assert(spark.table(t).count() == 15L)
+    // the view replays from its sidecar
+    assert(s.table("graft.dur_view").collect()(0).getLong(0) == 15L)
+    // identity: next insert continues ABOVE the logged high-water
+    // mark — no id collision after restart
+    spark.sql("INSERT INTO graft.dur_idt (v) VALUES (3.0)")
+    val ids = spark.table("graft.dur_idt").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == ids.distinct && ids.max > 2L,
+      s"identity collided after restart: $ids")
+    s.sql("DROP VIEW graft.dur_view")
+    spark.sql(s"DROP TABLE $t")
+    spark.sql("DROP TABLE graft.dur_idt")
+  }
+
+  test("durable log: retention trim writes a CHECKPOINT and GCs the " +
+      "entries it subsumes — replay from the checkpoint is exact and " +
+      "expired versions still refuse loudly") {
+    freshCatalog()
+    val t = "graft.dur_cp"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    (0 until 5).foreach { i =>
+      spark.sql(s"INSERT INTO $t SELECT id + ${i * 10} FROM range(10)")
+    }
+    graft.api.GraftApi.expireSnapshots(spark, t, keep = 2)
+    val logDir = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir(t), "_graft_log")
+    val names = logDir.listFiles().map(_.getName).sorted.toSeq
+    assert(names.exists(_.endsWith(".cp.json")),
+      s"expected a checkpoint after the trim, got $names")
+    val cpSeq = names.filter(_.endsWith(".cp.json"))
+      .map(_.stripSuffix(".cp.json").toLong).max
+    assert(!names.exists(n => n.endsWith(".json") &&
+      !n.endsWith(".cp.json") &&
+      n.stripSuffix(".json").toLong < cpSeq),
+      s"entries below the checkpoint must be GC'd: $names")
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    val hist = GraftTableStore.history(t)
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq ==
+      before, "checkpoint replay differs")
+    assert(GraftTableStore.history(t) == hist)
+    // versions the trim expired stay loudly expired after replay
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 0").collect()
+    }
+    assert(err.getMessage.contains("expired") ||
+      err.getMessage.contains("not retained"), err.getMessage)
+    spark.sql(s"DROP TABLE $t")
+  }
 }

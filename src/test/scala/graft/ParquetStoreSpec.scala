@@ -776,7 +776,11 @@ class ParquetStoreSpec extends AnyFunSuite {
     val dir = GraftParquetStore.meta(table).get.dir
     def walk(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      kids.filter(_.isDirectory).flatMap(walk) ++ kids.filter(_.isFile)
+      // `_graft_log` is the durable TRANSACTION LOG, not data — a
+      // metadata-only commit legitimately appends a log entry; the
+      // zero-bytes pin is about DATA files
+      kids.filter(d => d.isDirectory && d.getName != "_graft_log")
+        .flatMap(walk) ++ kids.filter(_.isFile)
     }
     walk(new java.io.File(dir)).map(f =>
       f.getAbsolutePath -> f.length()).toMap
@@ -1159,5 +1163,216 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(out.get() == 15,
       s"streamed ${out.get()} rows from the parquet-backed table")
     spark.sql("DROP TABLE graft.pqstream_t")
+  }
+
+  // ---- TASK-SIDE REWRITES (round 12): every maintenance/rewrite
+  // shape stages its output files IN SPARK TASKS and commits
+  // manifests — the driver never materializes a base row.
+
+  /** count tasks completed while `op` runs — evidence the rewrite ran
+    * as a distributed job, not a driver loop. The listener bus is
+    * async: spin briefly until the expected floor arrives. */
+  private def tasksDuring(op: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try op finally ()
+    val deadline = System.nanoTime() + 5000000000L
+    while (n.get() == 0 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("DV purge and bin-packing run TASK-SIDE: Spark tasks stage the " +
+      "rewritten files, untouched entries survive by reference, rows " +
+      "are unchanged") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqtsr_t")
+    spark.sql("CREATE TABLE graft.pqtsr_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv')")
+    spark.range(400).selectExpr("id AS k", "id * 1.5 AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .writeTo("graft.pqtsr_t").append()
+    spark.sql("DELETE FROM graft.pqtsr_t WHERE k >= 120 AND k < 130")
+    val before = spark.table("graft.pqtsr_t").collect()
+      .map(_.toString).sorted.toSeq
+    val v1 = GraftTableStore.commitFiles("graft.pqtsr_t", 1)
+    val dvCount = v1.count(_.dv.isDefined)
+    assert(dvCount == 1, s"expected one bitmapped file: $v1")
+    // PURGE: a Spark job ran; only the bitmapped file was rewritten;
+    // clean files keep their manifest OBJECTS (reference identity)
+    val t1 = tasksDuring {
+      assert(graft.api.GraftApi.purgeDeletes(spark, "graft.pqtsr_t")
+        == 1)
+    }
+    assert(t1 >= 1, "DV purge launched no Spark task — driver loop?")
+    val v2 = GraftTableStore.commitFiles("graft.pqtsr_t", 2)
+    assert(v2.forall(_.dv.isEmpty))
+    val keptRefs = v1.filter(_.dv.isEmpty)
+    assert(keptRefs.forall(f => v2.exists(_ eq f)),
+      "DV-free entries must survive BY REFERENCE through the purge")
+    assert(spark.table("graft.pqtsr_t").collect()
+      .map(_.toString).sorted.toSeq == before)
+    // BIN-PACK: many small appends, then one task-side merge pass
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO graft.pqtsr_t VALUES (${1000 + i}, 0.5)"))
+    val all = spark.table("graft.pqtsr_t").collect()
+      .map(_.toString).sorted.toSeq
+    val t2 = tasksDuring {
+      assert(graft.api.GraftApi.rewriteSmallFiles(spark,
+        "graft.pqtsr_t", targetRows = 50) > 0)
+    }
+    assert(t2 >= 1, "bin-packing launched no Spark task — driver loop?")
+    assert(spark.table("graft.pqtsr_t").collect()
+      .map(_.toString).sorted.toSeq == all)
+    spark.sql("DROP TABLE graft.pqtsr_t")
+  }
+
+  test("INSERT OVERWRITE (REPLACE WHERE) commits FILE-GRANULAR: files " +
+      "the zone maps prove clean survive BY REFERENCE, only unproven " +
+      "files rewrite task-side, and no base version materializes on " +
+      "the driver") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqovw_t")
+    spark.sql("CREATE TABLE graft.pqovw_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.range(400).selectExpr("id AS k", "id * 2.0 AS v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .writeTo("graft.pqovw_t").append()
+    val v0 = GraftTableStore.commitFiles("graft.pqovw_t", 0)
+      .sortBy(_.stats(0).min.asInstanceOf[Long])
+    assert(v0.length == 4)
+    // boundary strictly inside file 2's range: files 0..1 provably
+    // clean (zone maps), file 2 partially matches (task rewrite),
+    // file 3 wholly matches (all rows rewritten away)
+    val f2min = v0(2).stats(0).min.asInstanceOf[Long]
+    val f2max = v0(2).stats(0).max.asInstanceOf[Long]
+    val bound = (f2min + f2max) / 2 + 1
+    spark.sql("INSERT INTO graft.pqovw_t REPLACE WHERE k >= " + bound +
+      " SELECT id + 10000 AS k, 1.0 AS v FROM range(10)")
+    val expectKept = spark.range(400)
+      .selectExpr("id AS k", "id * 2.0 AS v")
+      .where(col("k") < bound).count()
+    assert(spark.table("graft.pqovw_t").count() == expectKept + 10)
+    val v1 = GraftTableStore.commitFiles("graft.pqovw_t", 1)
+    // clean files kept their manifest OBJECTS
+    assert(v1.exists(_ eq v0(0)) && v1.exists(_ eq v0(1)),
+      "zone-map-proven files must survive by reference")
+    // the wholly-matched file is gone; the boundary file was
+    // rewritten (fresh path, fewer rows)
+    assert(!v1.exists(_.path == v0(3).path))
+    assert(!v1.exists(_.path == v0(2).path))
+    val rewritten = v1.filter(f => !v0.exists(_ eq f) &&
+      f.stats.get(0).exists(_.min.asInstanceOf[Long] < 10000))
+    assert(rewritten.map(_.rows).sum ==
+      (expectKept - v0(0).rows - v0(1).rows),
+      s"boundary rewrite row count off: ${v1.map(_.rows)}")
+    // the base version was NEVER materialized on the driver
+    assert(!GraftTableStore.isResolvedCached("graft.pqovw_t", 0),
+      "overwrite resolved the base snapshot driver-side")
+    assert(!GraftTableStore.isResolvedCached("graft.pqovw_t", 1))
+    // history op + oracle-style content check
+    val ops = spark.table("graft.pqovw_t.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(1L) == "overwrite", s"history: $ops")
+    spark.sql("DROP TABLE graft.pqovw_t")
+  }
+
+  test("dynamic partition overwrite is FILE-GRANULAR on a partitioned " +
+      "parquet table: untouched partitions keep their files by " +
+      "reference; CoW DELETE (ReplaceData) stages its snapshot in " +
+      "tasks") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqdyn_t")
+    spark.sql("CREATE TABLE graft.pqdyn_t (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqdyn_t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100)")
+    val v0 = GraftTableStore.commitFiles("graft.pqdyn_t", 0)
+    val prevMode =
+      spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE graft.pqdyn_t " +
+        "SELECT id + 1000, 'a' FROM range(7)")
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      prevMode)
+    val v1 = GraftTableStore.commitFiles("graft.pqdyn_t", 1)
+    // partition 'b' untouched — same manifest objects
+    val bFiles = v0.filter(_.key.getUTF8String(0).toString == "b")
+    assert(bFiles.nonEmpty && bFiles.forall(f => v1.exists(_ eq f)),
+      "untouched partition must survive by reference")
+    assert(spark.table("graft.pqdyn_t")
+      .where(col("p") === "a").count() == 7)
+    assert(spark.table("graft.pqdyn_t")
+      .where(col("p") === "b").count() == 50)
+    // CoW row-level DELETE: the replace snapshot stages in tasks and
+    // the base version is never driver-materialized... the rewrite
+    // SCAN reads files task-side, ReplaceData recomputes survivors,
+    // and the commit adopts staged files only
+    spark.sql("DELETE FROM graft.pqdyn_t WHERE k % 10 = 3")
+    // deleted: k=1003 from partition 'a' (1) + odd ids ending in 3
+    // from partition 'b' (3,13,...,93 → 10) = 11 of 57
+    assert(spark.table("graft.pqdyn_t").count() == 46)
+    val ops = spark.table("graft.pqdyn_t.history")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(2L) == "replace", s"history: $ops")
+    assert(!GraftTableStore.isResolvedCached("graft.pqdyn_t", 1),
+      "CoW DELETE materialized the base snapshot driver-side")
+    spark.sql("DROP TABLE graft.pqdyn_t")
+  }
+
+  test("manifest-diff CHANGE FEED: an append-only window plans FILE " +
+      "partitions over exactly the appended files (zero snapshot " +
+      "materialization), MoR deltas serve O(changes) rows, " +
+      "maintenance commits emit nothing") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqcdf_t")
+    spark.sql("CREATE TABLE graft.pqcdf_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pqcdf_t SELECT id, id * 1.0 " +
+      "FROM range(100)") // v0 append
+    spark.sql("INSERT INTO graft.pqcdf_t SELECT id + 100, 2.0 " +
+      "FROM range(20)") // v1 append (shares v0 files)
+    spark.sql("DELETE FROM graft.pqcdf_t WHERE k % 25 = 3") // v2 delta
+    val physSchema = GraftParquetStore.meta("graft.pqcdf_t").get.schema
+    val parts = graft.sources.GraftChangeFeed.planParts(
+      "graft.pqcdf_t", physSchema, 0, 0, 3)
+    // v0 + v1: file partitions over exactly the appended files
+    val fileParts = parts.collect {
+      case f: graft.sources.GraftCdfFilePartition => f
+    }
+    val v0Files = GraftTableStore.commitFiles("graft.pqcdf_t", 0)
+    val v1Files = GraftTableStore.commitFiles("graft.pqcdf_t", 1)
+    val appended = (v0Files ++ v1Files.drop(v0Files.length)).map(_.path)
+    assert(fileParts.flatMap(_.files).map(_.path).sorted.toSeq ==
+      appended.sorted.toSeq,
+      "append feed must plan exactly the appended files")
+    // neither base version was materialized on the driver by planning
+    assert(!GraftTableStore.isResolvedCached("graft.pqcdf_t", 0))
+    assert(!GraftTableStore.isResolvedCached("graft.pqcdf_t", 1))
+    // the whole feed still reads EXACTLY the Delta-CDF content —
+    // checked against expected counts (order-free)
+    val feed = spark.read.option("startingVersion", 0)
+      .table("graft.pqcdf_t.changes")
+    val byType = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") == 120, s"$byType")
+    assert(byType("delete") == 5, s"$byType") // k in {3,28,53,78,103}
+    // a maintenance commit is SILENT in the feed: compact + binpack
+    graft.api.GraftApi.optimizeTable(spark, "graft.pqcdf_t") // v3
+    val feed3 = spark.read.option("startingVersion", 3)
+      .table("graft.pqcdf_t.changes")
+    assert(feed3.count() == 0,
+      "a content-neutral maintenance commit must not appear in the feed")
+    spark.sql("DROP TABLE graft.pqcdf_t")
   }
 }
