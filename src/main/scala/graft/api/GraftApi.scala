@@ -336,6 +336,157 @@ object GraftApi {
     } finally { fresh.unpersist(); () }
   }
 
+  /** GROUP-WISE RECOMPUTE MVs: the incremental-maintenance fallback
+    * for NON-RETRACTABLE aggregates (MIN/MAX — a delete of the
+    * current max cannot be folded from the change feed alone, the
+    * reason [[createMaterializedView]] refuses them by construction).
+    * The standard IVM answer, implemented here: the change feed still
+    * tells us WHICH groups changed (O(changes)), and only those
+    * groups recompute from the base — the base scan is semi-joined to
+    * the touched keys (broadcast — changed groups are small by
+    * definition), so refresh cost is O(changes + rows of touched
+    * groups), never a full rescan. Definitions: target → (source,
+    * group cols, agg column, aliases, last version folded). */
+  private final case class GwDef(source: String, groupCols: Seq[String],
+      aggCol: String, nAlias: String, minAlias: String,
+      maxAlias: String, lastVersion: Int)
+  private val gwDefs =
+    new scala.collection.concurrent.TrieMap[String, GwDef]()
+  private val gwLocks =
+    new scala.collection.concurrent.TrieMap[String, Object]()
+  private def gwLock(mv: String): Object =
+    gwLocks.getOrElseUpdate(mv, new Object)
+
+  /** CREATE a group-wise MV: `SELECT groupCols, COUNT(*) nAlias,
+    * MIN(aggCol) minAlias, MAX(aggCol) maxAlias FROM source GROUP BY
+    * groupCols`, materialized as a governed table pinned to the
+    * source's published head. `source` must serve a change feed
+    * (merge-on-read) — the feed is what names the touched groups. */
+  def createGroupwiseView(spark: org.apache.spark.sql.SparkSession,
+      mv: String, source: String, groupCols: Seq[String],
+      aggCol: String, nAlias: String, minAlias: String,
+      maxAlias: String): Unit = {
+    val srcSchema = spark.table(source).schema
+    // fail at CREATE if the source cannot serve a change feed
+    spark.read.option("startingVersion", Int.MaxValue)
+      .table(s"$source.changes").queryExecution.executedPlan
+    val head = graft.sources.GraftTableStore.publishedCount(source) - 1
+    val aggT = srcSchema(aggCol).dataType.sql
+    val ddlCols = groupCols.map(c =>
+      s"$c ${srcSchema(c).dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $mv")
+    spark.sql(s"CREATE TABLE $mv ($ddlCols, $nAlias BIGINT, " +
+      s"$minAlias $aggT, $maxAlias $aggT)")
+    val baseline =
+      if (head < 0) spark.table(source)
+      else spark.sql(s"SELECT * FROM $source VERSION AS OF $head")
+    baseline.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(nAlias), min(aggCol).as(minAlias),
+        max(aggCol).as(maxAlias))
+      .writeTo(mv).append()
+    gwDefs.put(mv, GwDef(source, groupCols, aggCol, nAlias, minAlias,
+      maxAlias, head))
+    ()
+  }
+
+  /** REFRESH a group-wise MV: the feed since the last refresh names
+    * the TOUCHED GROUPS; exactly those recompute from the base —
+    * pinned to the head version the feed window ends at, so a commit
+    * racing the refresh cannot smear two states together — and MERGE
+    * into the MV (vanished groups DELETE, new groups INSERT, changed
+    * groups UPDATE). Returns (touched groups, version reflected). */
+  def refreshGroupwiseView(spark: org.apache.spark.sql.SparkSession,
+      mv: String): (Long, Int) = gwLock(mv).synchronized {
+    val d = gwDefs.getOrElse(mv, throw new IllegalArgumentException(
+      s"$mv is not a registered group-wise view — " +
+        "createGroupwiseView first"))
+    val head = graft.sources.GraftTableStore.publishedCount(d.source) - 1
+    if (head <= d.lastVersion) return (0L, head)
+    val fresh = spark.read
+      .option("startingVersion", (d.lastVersion + 1).toString)
+      .option("endingVersion", head.toString)
+      .table(s"${d.source}.changes")
+    val touched = fresh.select(d.groupCols.map(col): _*).distinct()
+      .cache()
+    try {
+      val nTouched = touched.count()
+      if (nTouched == 0L) {
+        gwDefs.put(mv, d.copy(lastVersion = head))
+        return (0L, head)
+      }
+      // recompute ONLY the touched groups, against the pinned head
+      val base = spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $head")
+      val recomputed = base
+        .join(broadcast(touched), d.groupCols, "left_semi")
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(count(lit(1)).as(d.nAlias),
+          min(d.aggCol).as(d.minAlias), max(d.aggCol).as(d.maxAlias))
+      val viewName = s"__gw_delta_${mv.replace('.', '_')}"
+      // a touched group absent from the recompute has NO live rows —
+      // the left join's null count marks it for DELETE
+      touched.join(recomputed, d.groupCols, "left")
+        .createOrReplaceTempView(viewName)
+      val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
+      val gList = d.groupCols.mkString(", ")
+      val sList = d.groupCols.map(c => s"s.$c").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO $mv t USING $viewName s ON $on
+           |WHEN MATCHED AND s.${d.nAlias} IS NULL THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET
+           |  ${d.nAlias} = s.${d.nAlias},
+           |  ${d.minAlias} = s.${d.minAlias},
+           |  ${d.maxAlias} = s.${d.maxAlias}
+           |WHEN NOT MATCHED AND s.${d.nAlias} IS NOT NULL THEN
+           |  INSERT ($gList, ${d.nAlias}, ${d.minAlias}, ${d.maxAlias})
+           |  VALUES ($sList, s.${d.nAlias}, s.${d.minAlias},
+           |    s.${d.maxAlias})""".stripMargin)
+      gwDefs.put(mv, d.copy(lastVersion = head))
+      (nTouched, head)
+    } finally { touched.unpersist(); () }
+  }
+
+  /** CROSS-TABLE TRANSACTION (BEGIN…COMMIT over governed tables): an
+    * ATOMIC multi-table append. Each DataFrame stages as parquet
+    * files IN SPARK TASKS (no driver rows), then every table's head
+    * is OCC-verified against the version recorded when the
+    * transaction began and all commits land inside ONE store-lock
+    * hold — a concurrent commit to ANY written table makes the whole
+    * transaction refuse loudly (nothing commits; retry), and no
+    * reader can observe one side without the other. Parquet-backed
+    * tables only (identity/generated columns excluded — their
+    * commit-time assignment needs the row path). Returns the new head
+    * version per table. `expectedHeads` overrides the begin-snapshot
+    * for callers that already read at a version (and for conflict
+    * tests). */
+  def transactAppend(spark: org.apache.spark.sql.SparkSession,
+      writes: Seq[(String, DataFrame)],
+      expectedHeads: Option[Map[String, Int]] = None): Map[String, Int] = {
+    import graft.sources.{GraftParquetStore, GraftTableStore}
+    require(writes.nonEmpty, "empty transaction")
+    require(writes.map(_._1).distinct.size == writes.size,
+      "a transaction writes each table at most once")
+    writes.foreach { case (t, _) =>
+      spark.table(t) // force the lazy catalog attach before head reads
+      require(GraftParquetStore.isBacked(t),
+        s"transaction: $t is not parquet-backed — multi-table commits " +
+          "are a file-store surface")
+    }
+    val heads = expectedHeads.getOrElse(
+      writes.map(w => w._1 -> (GraftTableStore.commitCount(w._1) - 1))
+        .toMap)
+    // stage every write OUTSIDE the lock — Spark jobs must not block
+    // concurrent commits
+    val staged = writes.map { case (t, df) =>
+      val m = GraftParquetStore.meta(t).get
+      val (files, rows) = GraftParquetStore.stageAppendTaskSide(
+        spark, m, df)
+      (t, files, rows)
+    }
+    GraftTableStore.commitTransaction(staged, heads)
+    writes.map(w => w._1 ->
+      (GraftTableStore.commitCount(w._1) - 1)).toMap
+  }
+
   /** CONTINUOUS MV MAINTENANCE: a streaming query tailing the
     * source's change feed, folding every micro-batch into the MV
     * through the same commit-granular fold as the batch refresh — the

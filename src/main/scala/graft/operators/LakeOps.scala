@@ -1069,6 +1069,47 @@ object LakeOps extends QueryModule {
         "FROM graft.logr_orders VERSION AS OF 'audit' GROUP BY 1")
       cur.join(v0, "o_orderstatus").join(tag, "o_orderstatus")
         .orderBy("o_orderstatus")
+    }),
+
+    // CROSS-TABLE ATOMIC TRANSACTION (the warehouse BEGIN…COMMIT —
+    // round-11 verdict #6): a fact append and its audit-table rollup
+    // commit TOGETHER — both DataFrames stage as task-written parquet
+    // files, every head is OCC-verified against the begin snapshot,
+    // and both commits land inside one store-lock hold, so a reader
+    // can never see the fact rows without their audit row (or vice
+    // versa) and a concurrent commit to either table refuses the whole
+    // transaction loudly. The readout JOINS the two tables so the
+    // oracle arithmetic only holds if both sides committed; CatalogSpec
+    // pins the conflict path (stale head → loud refusal, NEITHER side
+    // commits) and in-process atomicity.
+    "txn_multi_table" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Det.dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+        .createOrReplaceTempView("txn_src")
+      s.sql("DROP TABLE IF EXISTS graft.txn_orders")
+      s.sql("DROP TABLE IF EXISTS graft.txn_audit")
+      s.sql("CREATE TABLE graft.txn_orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("CREATE TABLE graft.txn_audit (o_orderstatus STRING, " +
+        "n_rows BIGINT, sum_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.txn_orders " +
+        "SELECT * FROM txn_src WHERE o_orderkey % 3 = 0")
+      val delta = s.sql("SELECT o_orderkey + 20000000 AS o_orderkey, " +
+        "o_orderstatus, cents FROM txn_src WHERE o_orderkey % 7 = 0")
+      val audit = delta.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      graft.api.GraftApi.transactAppend(s,
+        Seq("graft.txn_orders" -> delta, "graft.txn_audit" -> audit))
+      s.table("graft.txn_orders").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_total"),
+          sum("cents").cast("long").as("cents_total"))
+        .join(s.table("graft.txn_audit"), Seq("o_orderstatus"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1354,6 +1395,27 @@ object LakeOps extends QueryModule {
         |SELECT c.o_orderstatus, c.n_now, c.cents_now, v.n_v0,
         |  c.n_now AS n_tag
         |FROM cur_agg c JOIN v0_agg v USING (o_orderstatus)
+        |ORDER BY 1""".stripMargin,
+    "txn_multi_table" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |fact AS (
+        |  SELECT * FROM src WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, o_orderstatus, cents
+        |  FROM src WHERE o_orderkey % 7 = 0),
+        |audit AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |    CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM src WHERE o_orderkey % 7 = 0 GROUP BY 1)
+        |SELECT f.o_orderstatus, COUNT(*) AS n_total,
+        |  CAST(SUM(f.cents) AS BIGINT) AS cents_total,
+        |  a.n_rows, a.sum_cents
+        |FROM fact f JOIN audit a USING (o_orderstatus)
+        |GROUP BY f.o_orderstatus, a.n_rows, a.sum_cents
         |ORDER BY 1""".stripMargin
   )
 }

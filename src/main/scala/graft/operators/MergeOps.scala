@@ -861,6 +861,53 @@ object MergeOps extends QueryModule {
         "'Z', 1000 FROM mv_src_base WHERE o_orderkey % 10 = 5") // v3
       graft.api.GraftApi.refreshMaterializedView(s, "graft.mv_orders")
       s.table("graft.mv_orders").orderBy("o_orderstatus")
+    }),
+
+    // GROUP-WISE RECOMPUTE MV (the standard IVM fallback for
+    // NON-RETRACTABLE aggregates — the class mv_incremental refuses by
+    // construction): COUNT+MIN+MAX per group are maintained by letting
+    // the change feed NAME the touched groups (O(changes)) and
+    // recomputing ONLY those groups from the base — semi-joined to the
+    // broadcast touched-key set, pinned to the feed window's head
+    // version. At 100 TB refresh cost is O(changes + rows of touched
+    // groups), never a source rescan — exactly how a warehouse
+    // maintains a MIN/MAX MV it cannot fold. The commit window is
+    // chosen to exercise every hard case: a DELETE that kills group
+    // maxima (the non-retractable case), a whole group vanishing (MV
+    // DELETE), an in-place UPDATE, and a brand-new group (MV INSERT).
+    // ApiSpec pins round-by-round equality with full recompute and
+    // the no-op refresh.
+    "mv_groupwise" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.orders(s, d)
+        .where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Det.dec2(col("o_totalprice")) * 100).cast("long")
+            .as("price_cents"))
+        .createOrReplaceTempView("mvg_src_base")
+      s.sql("DROP TABLE IF EXISTS graft.mvg_src")
+      s.sql("CREATE TABLE graft.mvg_src (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, price_cents BIGINT) " +
+        "TBLPROPERTIES ('graft.row-level'='merge-on-read', " +
+        "'graft.row-id'='o_orderkey')")
+      s.sql("INSERT INTO graft.mvg_src SELECT * FROM mvg_src_base") // v0
+      graft.api.GraftApi.createGroupwiseView(s, "graft.mvg_orders",
+        "graft.mvg_src", Seq("o_orderstatus"), "price_cents",
+        "n_orders", "min_cents", "max_cents")
+      // v1: kills the top of every group holding rows above the bar —
+      // the delete a fold cannot retract
+      s.sql("DELETE FROM graft.mvg_src WHERE price_cents > 40000000")
+      // v2: in-place update shifts mins/maxes of its groups
+      s.sql("UPDATE graft.mvg_src SET price_cents = price_cents + 500 " +
+        "WHERE o_orderkey % 10 = 4")
+      // v3: a WHOLE group vanishes (the MV row must DELETE)
+      s.sql("DELETE FROM graft.mvg_src WHERE o_orderstatus = 'P'")
+      // v4: a brand-new group appears (the MV row must INSERT)
+      s.sql("INSERT INTO graft.mvg_src SELECT o_orderkey + 900000000, " +
+        "'Z', price_cents FROM mvg_src_base WHERE o_orderkey % 10 = 5")
+      graft.api.GraftApi.refreshGroupwiseView(s, "graft.mvg_orders")
+      s.table("graft.mvg_orders").orderBy("o_orderstatus")
     })
   )
 
@@ -1105,6 +1152,30 @@ object MergeOps extends QueryModule {
         |  FROM base WHERE o_orderkey % 10 = 5)
         |SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(cents) AS BIGINT) AS total_cents
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full recompute of the group-wise MV's final state: base minus
+    // the >400k deletes, %10=4 repriced +500, minus group 'P', plus
+    // the 'Z' inserts (which carry ORIGINAL base prices)
+    "mv_groupwise" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |v1 AS (SELECT * FROM base WHERE cents <= 40000000),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN cents + 500
+        |         ELSE cents END AS cents
+        |  FROM v1),
+        |v3 AS (SELECT * FROM v2 WHERE o_orderstatus <> 'P'),
+        |final AS (
+        |  SELECT o_orderstatus, cents FROM v3
+        |  UNION ALL
+        |  SELECT 'Z' AS o_orderstatus, cents
+        |  FROM base WHERE o_orderkey % 10 = 5)
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

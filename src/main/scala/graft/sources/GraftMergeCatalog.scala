@@ -807,6 +807,57 @@ object GraftTableStore {
     true
   }
 
+  /** CROSS-TABLE ATOMIC COMMIT (the warehouse BEGIN…COMMIT over
+    * governed tables): commit one staged append per table as ONE
+    * locked step — every table's head is OCC-verified against the
+    * version the transaction read BEFORE anything commits, so a
+    * concurrent single-table commit forces the WHOLE transaction to
+    * refuse loudly (retry) and a failure commits NEITHER side; on
+    * success both commits happen inside the same lock hold, so no
+    * reader (every read also takes the lock) can observe one side
+    * without the other. Known gap, documented: the per-table
+    * transaction-log entries append sequentially, so IN-PROCESS
+    * atomicity is complete but a crash between the two log writes
+    * leaves the first table's commit durable and the second's not — a
+    * real format closes that with a catalog-level shared log. */
+  private[graft] def commitTransaction(
+      staged: Seq[(String, Vector[GraftFileInfo], Long)],
+      expectedHeads: Map[String, Int]): Unit = lock.synchronized {
+    def cleanup(): Unit = staged.foreach(_._2.foreach(f =>
+      new java.io.File(f.path).delete()))
+    // verify EVERY head first — nothing commits unless all pass
+    staged.foreach { case (name, _, _) =>
+      val head = commitCount(name) - 1
+      if (expectedHeads.getOrElse(name, -2) != head) {
+        cleanup()
+        throw new IllegalStateException(
+          s"transaction conflict: $name is at v$head, the " +
+            s"transaction read v${expectedHeads.getOrElse(name, -2)} " +
+            "— retry the transaction")
+      }
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      if (!h.commits.lastOption.forall(_.isInstanceOf[GraftParquetData])) {
+        cleanup()
+        throw new IllegalStateException(
+          s"transaction: $name has a merge-on-read delta head — " +
+            "OPTIMIZE (compact) it before a transactional append")
+      }
+    }
+    staged.foreach { case (name, files, rows) =>
+      val m = GraftParquetStore.meta(name).get
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val adopted = GraftParquetStore.adoptStaged(m, h.commitCount, files)
+      h.commits.lastOption match {
+        case Some(p: GraftParquetData) =>
+          appendLocked(name, "txn-append",
+            GraftParquetData(p.files ++ adopted, p.count + rows.toInt))
+        case _ =>
+          appendLocked(name, "txn-append",
+            GraftParquetData(adopted, rows.toInt))
+      }
+    }
+  }
+
   /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same
     * paths, some entries re-swapped with bitmaps, some dropped) under
     * optimistic concurrency: the caller computed the manifest OUTSIDE

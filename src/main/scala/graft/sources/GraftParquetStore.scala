@@ -889,6 +889,44 @@ object GraftParquetStore {
       .collect()
   }
 
+  /** stage a DataFrame's rows as append files IN SPARK TASKS — the
+    * write half of a multi-table transaction (the normal V2 write
+    * path cannot be used: it would commit each table independently).
+    * Rows salt into up to 8 groups for write parallelism, each group
+    * task projects visible→physical once, splits by partition key and
+    * stages one file per key; only metadata returns. */
+  private[graft] def stageAppendTaskSide(
+      spark: org.apache.spark.sql.SparkSession, m: Meta,
+      df: org.apache.spark.sql.DataFrame)
+      : (Vector[GraftFileInfo], Long) = {
+    val visible = GraftColumnMap.visible(m.schema)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      visible.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"transaction write schema ${df.schema.simpleString} does not " +
+        s"match the table's ${visible.simpleString}")
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    val salted = rdd.map(r =>
+      (org.apache.spark.TaskContext.getPartitionId() % 8, r))
+    val staged = salted
+      .groupByKey(math.max(1, math.min(8, rdd.getNumPartitions)))
+      .flatMap { case (_, rows) =>
+        val physProj = UnsafeProjection.create(
+          GraftColumnMap.toPhysical(m.schema))
+        val keyProj = UnsafeProjection.create(m.partFields.map(
+          GraftPartField.keyExpr(_, m.schema)).toIndexedSeq)
+        rows.iterator.map(r => physProj(r).copy(): InternalRow).toVector
+          .groupBy(r =>
+            if (m.partFields.isEmpty) InternalRow.empty
+            else keyProj(r).copy(): InternalRow)
+          .map { case (key, rs) =>
+            stageRewriteFile(m, rs.iterator, key, m.schema.length,
+              m.curSpecId)
+          }
+      }
+      .collect().toVector
+    (staged, staged.map(_.rows.toLong).sum)
+  }
+
   /** MOVE task-staged files under the committed version's directory —
     * runs driver-side under the store lock when the version number is
     * known; rename on the same filesystem, no data copied. Keeps the

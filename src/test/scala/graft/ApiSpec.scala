@@ -551,4 +551,58 @@ class ApiSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvspec_cow")
     spark.sql("DROP TABLE graft.mvspec_dbl")
   }
+
+  // ---- group-wise recompute MVs (round 12) ---------------------------
+
+  private def gwFullRecompute(): Seq[String] =
+    spark.table("graft.gwspec_src").groupBy("g")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+        max("cents").as("hi"))
+      .orderBy("g").collect().map(_.toString).toSeq
+
+  private def gwState(): Seq[String] =
+    spark.table("graft.gwspec_mv").orderBy("g")
+      .collect().map(_.toString).toSeq
+
+  test("group-wise MV (MIN/MAX): a delete that KILLS a group's max " +
+      "recomputes only the touched groups and equals full recompute; " +
+      "groups vanish and appear; a no-change refresh is a no-op") {
+    mvCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.gwspec_src")
+    spark.sql("CREATE TABLE graft.gwspec_src (k BIGINT, g STRING, " +
+      "cents BIGINT) TBLPROPERTIES " +
+      "('graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.gwspec_src SELECT id, " +
+      "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+      "ELSE 'c' END, id * 10 FROM range(60)")
+    GraftApi.createGroupwiseView(spark, "graft.gwspec_mv",
+      "graft.gwspec_src", Seq("g"), "cents", "n", "lo", "hi")
+    assert(gwState() == gwFullRecompute(), "initial materialization")
+    assert(GraftApi.refreshGroupwiseView(spark, "graft.gwspec_mv")
+      ._1 == 0L, "no-change refresh must be a no-op")
+    // THE non-retractable case: delete the current MAX of group 'a'
+    // (k=57, cents=570) — a fold could never lower the max; the
+    // group-wise recompute must
+    spark.sql("DELETE FROM graft.gwspec_src WHERE k = 57")
+    val (t1, _) = GraftApi.refreshGroupwiseView(spark, "graft.gwspec_mv")
+    assert(t1 == 1L, s"exactly ONE group touched, got $t1")
+    assert(gwState() == gwFullRecompute(), "after max-kill delete")
+    assert(spark.table("graft.gwspec_mv").where(col("g") === "a")
+      .collect()(0).getAs[Long]("hi") == 540L,
+      "the max must drop to the next survivor")
+    // untouched groups b/c were not named: the touched count above
+    // already pinned the O(changed groups) property
+    // group-kill + new group + min-shifting update in ONE window
+    spark.sql("DELETE FROM graft.gwspec_src WHERE g = 'c'")
+    spark.sql("INSERT INTO graft.gwspec_src SELECT id + 1000, 'z', " +
+      "7 - id FROM range(3)")
+    spark.sql("UPDATE graft.gwspec_src SET cents = cents - 1000 " +
+      "WHERE g = 'b' AND k = 1")
+    GraftApi.refreshGroupwiseView(spark, "graft.gwspec_mv")
+    assert(gwState() == gwFullRecompute(), "after multi-commit window")
+    assert(!gwState().exists(_.startsWith("[c,")), gwState().toString)
+    assert(gwState().exists(_.startsWith("[z,")), gwState().toString)
+    spark.sql("DROP TABLE graft.gwspec_src")
+    spark.sql("DROP TABLE graft.gwspec_mv")
+  }
 }

@@ -1918,4 +1918,54 @@ class CatalogSpec extends AnyFunSuite {
       err.getMessage.contains("not retained"), err.getMessage)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("cross-table transaction: a stale head refuses LOUDLY and " +
+      "commits NEITHER side; a clean retry commits BOTH atomically") {
+    freshCatalog()
+    for (t <- Seq("graft.txs_a", "graft.txs_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(10)")
+    }
+    val headsAtBegin = Map(
+      "graft.txs_a" -> (GraftTableStore.commitCount("graft.txs_a") - 1),
+      "graft.txs_b" -> (GraftTableStore.commitCount("graft.txs_b") - 1))
+    // a CONCURRENT writer lands on table B between begin and commit
+    spark.sql("INSERT INTO graft.txs_b SELECT id + 100, 2.0 " +
+      "FROM range(3)")
+    val dfA = spark.range(5).selectExpr("id + 1000 AS k",
+      "CAST(3.0 AS DOUBLE) AS v")
+    val dfB = spark.range(5).selectExpr("id + 2000 AS k",
+      "CAST(4.0 AS DOUBLE) AS v")
+    val ex = intercept[IllegalStateException] {
+      graft.api.GraftApi.transactAppend(spark,
+        Seq("graft.txs_a" -> dfA, "graft.txs_b" -> dfB),
+        expectedHeads = Some(headsAtBegin))
+    }
+    assert(ex.getMessage.contains("transaction conflict"), ex.getMessage)
+    // NEITHER side committed: counts and heads are untouched
+    assert(spark.table("graft.txs_a").count() == 10,
+      "a failed transaction must not commit its first table either")
+    assert(spark.table("graft.txs_b").count() == 13)
+    assert(GraftTableStore.commitCount("graft.txs_a") ==
+      headsAtBegin("graft.txs_a") + 1)
+    // retry with fresh heads: BOTH commit, one locked step, op pinned
+    graft.api.GraftApi.transactAppend(spark,
+      Seq("graft.txs_a" -> dfA, "graft.txs_b" -> dfB))
+    assert(spark.table("graft.txs_a").count() == 15)
+    assert(spark.table("graft.txs_b").count() == 18)
+    for (t <- Seq("graft.txs_a", "graft.txs_b")) {
+      val ops = spark.table(s"$t.history").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(ops.values.toSeq.contains("txn-append"), s"$t: $ops")
+    }
+    // durability: both transactional commits replay from the log
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.txs_a", "graft.txs_b"))
+    assert(spark.table("graft.txs_a").count() == 15)
+    assert(spark.table("graft.txs_b").count() == 18)
+    spark.sql("DROP TABLE graft.txs_a")
+    spark.sql("DROP TABLE graft.txs_b")
+  }
 }

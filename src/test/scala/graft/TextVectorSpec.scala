@@ -152,23 +152,34 @@ class TextVectorSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"ANN recall $recall; missed ${exact -- got}")
   }
 
-  test("dedup_embedding_scaled keepers match exact keepers at >=0.95") {
-    // the LSH-fed scale path vs the exact O(n²)-fed resolution: missed
-    // candidate edges can only SPLIT components (the exact keeper set is
-    // always a subset of the scaled one), so the symmetric overlap is the
-    // honest metric — >= 0.95 means at most 5% spurious extra keepers.
+  test("LSH-fed dedup keepers match the exact resolution at >=0.95 " +
+      "(dedup_embedding is the sub-quadratic DEFAULT since round 12 — " +
+      "the exact reference computes here from the truth-set pair op)") {
+    // missed candidate edges can only SPLIT components (the exact
+    // keeper set is always a subset of the LSH-fed one), so the
+    // symmetric overlap is the honest metric — >= 0.95 means at most
+    // 5% spurious extra keepers.
     def keepers(id: String): Set[Long] =
       SparkEntry.queries(id)(spark, sf)
         .where(col("is_keeper") === 1).select("vec_id")
         .as[Long].collect().toSet
-    val exact = keepers("dedup_embedding")
-    val scaled = keepers("dedup_embedding_scaled")
-    assert((exact subsetOf scaled),
-      s"scaled dedup dropped exact keepers: ${exact -- scaled}")
-    val overlap = (exact intersect scaled).size.toDouble /
-      math.max(exact.size, scaled.size)
-    assert(overlap >= 0.95,
-      s"keeper overlap $overlap; spurious keepers: ${scaled -- exact}")
+    // exact reference: the O(n²) truth-set pair op (kept exactly for
+    // evaluations like this) closed by the same component resolution
+    val exact = graft.operators.GraphOps.connectedComponents(
+        graft.Tables.embeddings(spark, sf)
+          .select(col("vec_id").as("doc_id")),
+        SparkEntry.queries("sim_cosine_pairs")(spark, sf))
+      .where(col("doc_id") === col("rep")).select("doc_id")
+      .as[Long].collect().toSet
+    for (id <- Seq("dedup_embedding", "dedup_embedding_scaled")) {
+      val scaled = keepers(id)
+      assert((exact subsetOf scaled),
+        s"$id dropped exact keepers: ${exact -- scaled}")
+      val overlap = (exact intersect scaled).size.toDouble /
+        math.max(exact.size, scaled.size)
+      assert(overlap >= 0.95,
+        s"$id keeper overlap $overlap; spurious: ${scaled -- exact}")
+    }
   }
 
   test("quantizer sample is a pure function of ids — layout-independent") {
