@@ -512,6 +512,119 @@ object GraftLog {
     writeEntry(m.dir, ctr.getAndIncrement(), isCheckpoint = false, body)
   }
 
+  /** RENDER a commit entry without writing it — the two-phase form the
+    * cross-table transaction needs: the rendered (target file, body)
+    * pairs ride the transaction's INTENT MARKER first, so a crash
+    * between the per-table writes can always roll FORWARD. Allocates
+    * the sequence number (caller holds the store lock). */
+  private[sources] def renderCommit(storeName: String, v: Int,
+      op: String, time: Long, data: GraftCommitData,
+      prev: Option[GraftCommitData], branches: Map[String, Int],
+      tags: Map[String, Int]): Option[(File, String)] = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return None)
+    val ctr = seqCounter(storeName, m.dir)
+    if (ctr.get() == 0L) checkpoint(storeName)
+    val body0: JObject = data match {
+      case p: GraftParquetData =>
+        val prevFiles = prev match {
+          case Some(pp: GraftParquetData) => pp.files
+          case _ => Vector.empty[GraftFileInfo]
+        }
+        val prevByPath = prevFiles.map(f => f.path -> f).toMap
+        val add = p.files.filter(f => !prevByPath.get(f.path).exists(_ eq f))
+        val newPaths = p.files.map(_.path).toSet
+        val remove = prevFiles.map(_.path).filterNot(newPaths)
+        val folded = foldManifest(prevFiles, add, remove)
+        val order: JValue =
+          if (folded.map(_.path) == p.files.map(_.path)) JNull
+          else JArray(p.files.toList.map(f => JString(f.path)))
+        ("kind" -> "parquet") ~ ("count" -> p.count) ~
+          ("add" -> JArray(add.toList.map(jFile(m, _)))) ~
+          ("remove" -> remove.toList) ~ ("order" -> order)
+      case d: GraftDeltaData =>
+        ("kind" -> "delta") ~ ("count" -> d.count) ~
+          ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
+      case _: GraftFullData => throw new IllegalStateException(
+        "unreachable: full commits persist as parquet before logging")
+    }
+    val body = body0 ~ ("a" -> "commit") ~ ("v" -> v) ~ ("op" -> op) ~
+      ("time" -> time) ~
+      ("branches" -> JObject(branches.toList.sortBy(_._1)
+        .map { case (k, x) => k -> JInt(x): JField })) ~
+      ("tags" -> JObject(tags.toList.sortBy(_._1)
+        .map { case (k, x) => k -> JInt(x): JField })) ~
+      ("ingest" -> JArray(Nil)) ~
+      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
+    val seq = ctr.getAndIncrement()
+    val d = logDir(m.dir)
+    d.mkdirs()
+    Some((new File(d, f"$seq%08d.json"),
+      JsonMethods.compact(JsonMethods.render(body))))
+  }
+
+  /** atomically write a pre-rendered entry (tmp + rename); no-op when
+    * the target already exists (roll-forward idempotence). */
+  private[sources] def writeRendered(target: File, body: String): Unit = {
+    if (target.exists()) return
+    val tmp = new File(target.getAbsolutePath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(target) && !target.exists())
+      throw new IllegalStateException(
+        s"graft log: could not write rendered entry $target")
+  }
+
+  // ---- cross-table transaction markers ---------------------------------
+
+  private def txnsDir: File = {
+    val d = new File(GraftWarehouse.root, "txns")
+    d.mkdirs()
+    d
+  }
+
+  /** write the transaction INTENT MARKER: every participant's rendered
+    * log entry (target path + body). Once this file exists, the
+    * transaction is DURABLY DECIDED — a crash at any later point rolls
+    * forward (the data files were adopted before the marker). */
+  private[sources] def writeTxnMarker(txnId: String,
+      entries: Seq[(File, String)]): File = {
+    val body: JValue = ("a" -> "txn") ~
+      ("entries" -> JArray(entries.toList.map { case (f, b) =>
+        ("path" -> f.getAbsolutePath) ~ ("body" -> b): JValue
+      }))
+    val target = new File(txnsDir, s"$txnId.json")
+    val tmp = new File(target.getAbsolutePath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(JsonMethods.compact(JsonMethods.render(body))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(target))
+      throw new IllegalStateException(
+        s"could not write transaction marker $target")
+    target
+  }
+
+  /** ROLL FORWARD any pending transaction markers: write every
+    * participant entry that is missing, then retire the marker.
+    * Idempotent; called before any log replay, so a table attached
+    * after a mid-transaction crash always sees the COMPLETE
+    * transaction (or, had the marker never been written, none of it —
+    * the atomic-decide point is the marker rename). */
+  private[sources] def recoverPendingTxns(): Unit = {
+    val d = new File(GraftWarehouse.root, "txns")
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .filter(_.getName.endsWith(".json")).foreach { marker =>
+        val j = parse(marker)
+        (j \ "entries").asInstanceOf[JArray].arr.foreach { e =>
+          writeRendered(new File((e \ "path").asInstanceOf[JString].s),
+            (e \ "body").asInstanceOf[JString].s)
+        }
+        marker.delete()
+        ()
+      }
+  }
+
   private def foldManifest(prev: Vector[GraftFileInfo],
       add: Vector[GraftFileInfo], remove: Seq[String])
       : Vector[GraftFileInfo] = {
@@ -573,6 +686,9 @@ object GraftLog {
     * sequence order. */
   private[sources] def attach(catalogName: String, ident: Identifier)
       : Option[GraftMergeTable] = {
+    // a mid-transaction crash rolls FORWARD before anything replays —
+    // the marker carries every participant's rendered entry
+    recoverPendingTxns()
     val storeName =
       (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
     val dir = GraftWarehouse.tableDir(storeName)

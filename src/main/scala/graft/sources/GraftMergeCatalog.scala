@@ -445,7 +445,8 @@ object GraftTableStore {
     * format writes before expiring snapshots; dropped versions' cached
     * resolutions are evicted with them. */
   private def appendLocked(name: String, op: String,
-      data: GraftCommitData, branch: Option[String] = None): Unit = {
+      data: GraftCommitData, branch: Option[String] = None,
+      logIt: Boolean = true, atTime: Option[Long] = None): Unit = {
     val h = versions.getOrElse(name, History(0, Vector.empty))
     val head = h.commitCount - 1
     // linear-chain discipline: every commit extends the chain head.
@@ -498,8 +499,8 @@ object GraftTableStore {
       case Some(b) =>
         h.branches + ("main" -> h.mainHead) + (b -> newV)
     }
-    val now = math.max(System.currentTimeMillis(),
-      h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
+    val now = atTime.getOrElse(math.max(System.currentTimeMillis(),
+      h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue)))
     val appended = History(h.firstRetained, h.commits :+ stored,
       h.times :+ now, h.ops :+ op, newBranches, h.tags)
     val trimmed = trimLocked(name, appended, RetainedVersions)
@@ -512,8 +513,10 @@ object GraftTableStore {
       ingestedFiles.put(name, ingestedFor(name) ++ ingest)
     // DURABILITY: a file-backed table's commit appends to its on-disk
     // transaction log; a commit that trimmed retention checkpoints the
-    // full state instead (and GCs the entries the checkpoint subsumes)
-    if (GraftParquetStore.isBacked(name)) {
+    // full state instead (and GCs the entries the checkpoint subsumes).
+    // The cross-table transaction path writes its (marker-protected)
+    // entries itself — logIt=false.
+    if (GraftParquetStore.isBacked(name) && logIt) {
       if (trimmed.firstRetained != h.firstRetained) GraftLog.checkpoint(name)
       else GraftLog.logCommit(name, newV, op, now, stored,
         h.commits.lastOption, trimmed.branches, trimmed.tags, ingest)
@@ -815,11 +818,17 @@ object GraftTableStore {
     * refuse loudly (retry) and a failure commits NEITHER side; on
     * success both commits happen inside the same lock hold, so no
     * reader (every read also takes the lock) can observe one side
-    * without the other. Known gap, documented: the per-table
-    * transaction-log entries append sequentially, so IN-PROCESS
-    * atomicity is complete but a crash between the two log writes
-    * leaves the first table's commit durable and the second's not — a
-    * real format closes that with a catalog-level shared log. */
+    * without the other. CRASH ATOMICITY comes from a warehouse-level
+    * INTENT MARKER: once every participant's log entry is rendered,
+    * the marker (carrying all of them) writes atomically BEFORE any
+    * per-table entry — the marker rename is the transaction's single
+    * durable decide point. A crash after it rolls FORWARD on the next
+    * attach ([[GraftLog.recoverPendingTxns]] re-writes the missing
+    * entries — the data files were adopted before the marker); a
+    * crash before it leaves nothing but unreferenced staged files. */
+  /** test seam: crash the process (throw) after the FIRST per-table
+    * log entry lands — the window the marker protocol exists for. */
+  private[graft] var failTxnAfterFirstLogWrite = false
   private[graft] def commitTransaction(
       staged: Seq[(String, Vector[GraftFileInfo], Long)],
       expectedHeads: Map[String, Int]): Unit = lock.synchronized {
@@ -843,19 +852,52 @@ object GraftTableStore {
             "OPTIMIZE (compact) it before a transactional append")
       }
     }
-    staged.foreach { case (name, files, rows) =>
+    // adopt + compute every table's post-state and RENDER its log
+    // entry; nothing is visible yet
+    val planned = staged.map { case (name, files, rows) =>
       val m = GraftParquetStore.meta(name).get
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val adopted = GraftParquetStore.adoptStaged(m, h.commitCount, files)
-      h.commits.lastOption match {
+      val data = h.commits.lastOption match {
         case Some(p: GraftParquetData) =>
-          appendLocked(name, "txn-append",
-            GraftParquetData(p.files ++ adopted, p.count + rows.toInt))
-        case _ =>
-          appendLocked(name, "txn-append",
-            GraftParquetData(adopted, rows.toInt))
+          GraftParquetData(p.files ++ adopted, p.count + rows.toInt)
+        case _ => GraftParquetData(adopted, rows.toInt)
       }
+      val now = math.max(System.currentTimeMillis(),
+        h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
+      val newV = h.commitCount
+      val rendered = GraftLog.renderCommit(name, newV, "txn-append",
+        now, data, h.commits.lastOption,
+        h.branches + ("main" -> newV), h.tags)
+      (name, data, now, rendered)
     }
+    // the DECIDE POINT: one atomic marker rename carrying every
+    // rendered entry — from here the transaction always completes
+    val marker = GraftLog.writeTxnMarker(
+      java.util.UUID.randomUUID().toString,
+      planned.flatMap(_._4))
+    // apply in-memory + write the per-table entries (roll-forward
+    // recovers any subset a crash leaves unwritten)
+    var wrote = 0
+    planned.foreach { case (name, data, now, rendered) =>
+      val firstBefore = versions.get(name).map(_.firstRetained)
+      appendLocked(name, "txn-append", data, logIt = false,
+        atTime = Some(now))
+      rendered.foreach { case (target, body) =>
+        GraftLog.writeRendered(target, body)
+        wrote += 1
+        if (failTxnAfterFirstLogWrite && wrote == 1)
+          throw new IllegalStateException(
+            "injected crash after first transaction log write")
+      }
+      // a txn commit that crossed the retention cap checkpoints like
+      // any other trimming commit (the entry alone would replay an
+      // untrimmed window)
+      if (versions.get(name).map(_.firstRetained) != firstBefore)
+        GraftLog.checkpoint(name)
+    }
+    marker.delete()
+    ()
   }
 
   /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same
@@ -4586,17 +4628,6 @@ object GraftChangeFeed {
     * the PHYSICAL schema; feed rows carry the VISIBLE columns (+ the
     * two CDF columns) — dropped slots never leave the store, the row
     * id keys by its physical ordinal. */
-  private[sources] def changesFor(table: String, schema: StructType,
-      idOrd: Int, fromCommit: Int, toCommit: Int): Array[InternalRow] = {
-    val out = scala.collection.mutable.ArrayBuffer[InternalRow]()
-    var v = fromCommit
-    while (v < toCommit) {
-      out ++= changesOfCommit(table, schema, idOrd, v)
-      v += 1
-    }
-    out.toArray
-  }
-
   /** project one physical row into the feed shape: visible columns +
     * (_change_type, _commit_version). Rows written before an ADD
     * COLUMN are narrower — their missing trailing fields read NULL
@@ -4621,7 +4652,7 @@ object GraftChangeFeed {
     * The feed emits NOTHING for them and opens ZERO files (the
     * snapshot-diff path would not only cost O(table), it would also
     * mis-report fresh row objects as updates after a file rewrite). */
-  private val ContentNeutralOps =
+  private[sources] val ContentNeutralOps =
     Set("compact", "binpack", "zorder", "purge-dv")
 
   /** change rows of ONE commit, derived from COMMIT METADATA where the
@@ -4667,7 +4698,7 @@ object GraftChangeFeed {
     * extends the previous parquet manifest as a prefix; v0 extends the
     * empty manifest — a shallow clone's first commit included). None
     * when the shape is not an append. */
-  private def appendedFiles(table: String, v: Int,
+  private[sources] def appendedFiles(table: String, v: Int,
       p: GraftTableStore.GraftParquetData): Option[Vector[GraftFileInfo]] = {
     if (v == 0) return Some(p.files)
     GraftTableStore.commitInfo(table, v - 1) match {
@@ -5304,6 +5335,18 @@ class GraftMicroBatchStream(tableName: String,
     val s = start.asInstanceOf[GraftStreamOffset].commits
     val e = end.asInstanceOf[GraftStreamOffset].commits
     if (e <= s) return Array.empty
+    // FILE-GRANULAR micro-batches on a parquet-backed table: commit
+    // METADATA decides — an append commit ships one partition per
+    // appended file (rows read task-side, nothing driver-resolved),
+    // an insert-only MoR delta ships its O(changes) op rows,
+    // maintenance commits (compact/binpack/zorder/purge-dv) are
+    // content-neutral and contribute NOTHING (the row path would
+    // mis-read their fresh row objects as a rewrite), and a genuine
+    // rewrite raises the same loud append-only error WITHOUT
+    // materializing a snapshot. The row path below remains for
+    // in-memory tables and expired-window edges (it owns those
+    // errors).
+    planFileGranular(s, e).foreach(parts => return parts)
     val base = snapAt(s)
     val cur = snapAt(e)
     // FULL prefix identity, not endpoint sampling: append commits share
@@ -5329,8 +5372,74 @@ class GraftMicroBatchStream(tableName: String,
       outSchema.fields.map(_.dataType)))
   }
 
+  /** commit-metadata planning of the window [s, e) — None when any
+    * commit's shape cannot be answered from metadata (in-memory
+    * tables, expired versions): the caller falls back to the row
+    * path. Throws the SAME loud append-only error as the row path
+    * when metadata PROVES a rewrite — no snapshot materializes either
+    * way. */
+  private def planFileGranular(s: Int, e: Int)
+      : Option[Array[InputPartition]] = {
+    if (!GraftParquetStore.isBacked(tableName)) return None
+    import GraftTableStore.{GraftDeltaData, GraftParquetData}
+    val ords = outSchema.fieldNames.map(tableSchema.fieldIndex)
+    val types = outSchema.fields.map(_.dataType)
+    def notAppendOnly(): Nothing =
+      throw new IllegalStateException(
+        s"streaming read of $tableName: commits ${s + 1}..$e are not " +
+          "append-only (a MERGE/DELETE/UPDATE rewrote earlier rows) — " +
+          "stream the change feed instead")
+    val parts =
+      scala.collection.mutable.ArrayBuffer[InputPartition]()
+    var v = s
+    while (v < e) {
+      GraftTableStore.commitInfo(tableName, v) match {
+        case None => return None // expired/unknown: row path owns it
+        case Some((op, _)) if GraftChangeFeed.ContentNeutralOps(op) =>
+          () // layout maintenance: same rows, nothing to deliver
+        case Some((_, p: GraftParquetData)) =>
+          GraftChangeFeed.appendedFiles(tableName, v, p) match {
+            case Some(files) => files.foreach { f =>
+              parts += GraftFileScanPartition(Vector(f), Array.empty,
+                tableSchema, ords, ords,
+                Array.empty, Array.empty, -1,
+                org.apache.spark.sql.types.NullType, -1)
+            }
+            case None =>
+              // only a PARQUET predecessor whose manifest is not a
+              // prefix PROVES a rewrite (appendedFiles is always
+              // defined at v0); a delta/expired predecessor is the
+              // row path's call — it owns those errors
+              GraftTableStore.commitInfo(tableName, v - 1) match {
+                case Some((_, _: GraftParquetData)) => notAppendOnly()
+                case _ => return None
+              }
+          }
+        case Some((_, d: GraftDeltaData)) =>
+          if (d.ops.exists(_.op != 'I')) notAppendOnly()
+          parts += GraftProjectedPartition(
+            GraftChangeFeed.padTo(d.ops.map(_.row), tableSchema),
+            ords, types)
+        case Some(_) => return None // legacy in-memory full commit
+      }
+      v += 1
+    }
+    Some(parts.toArray)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftProjectedReaderFactory
+    GraftStreamReaderFactory
+}
+
+/** reader factory of the content stream: file partitions (task-side
+  * reads of appended files) and projected row partitions (op-log
+  * inserts, in-memory fallback) share one stream. */
+object GraftStreamReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case f: GraftFileScanPart => GraftFileReaderFactory.createReader(f)
+    case _ => GraftProjectedReaderFactory.createReader(p)
+  }
 }
 
 /** `replace = false`: append (INSERT INTO). `replace = true`: the

@@ -1968,4 +1968,44 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txs_a")
     spark.sql("DROP TABLE graft.txs_b")
   }
+
+  test("cross-table transaction CRASH ATOMICITY: a crash after the " +
+      "first per-table log write rolls FORWARD on the next attach — " +
+      "the marker is the single durable decide point") {
+    freshCatalog()
+    for (t <- Seq("graft.txc_a", "graft.txc_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 FROM range(10)")
+    }
+    val dfA = spark.range(4).selectExpr("id + 1000 AS k",
+      "CAST(3.0 AS DOUBLE) AS v")
+    val dfB = spark.range(6).selectExpr("id + 2000 AS k",
+      "CAST(4.0 AS DOUBLE) AS v")
+    GraftTableStore.failTxnAfterFirstLogWrite = true
+    try {
+      val ex = intercept[IllegalStateException] {
+        graft.api.GraftApi.transactAppend(spark,
+          Seq("graft.txc_a" -> dfA, "graft.txc_b" -> dfB))
+      }
+      assert(ex.getMessage.contains("injected crash"), ex.getMessage)
+    } finally GraftTableStore.failTxnAfterFirstLogWrite = false
+    // the "crash": every byte of in-memory state gone; on disk, table
+    // A's log entry landed, table B's did NOT — but the intent marker
+    // did, so recovery must roll the transaction FORWARD
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.txc_a", "graft.txc_b"))
+    assert(spark.table("graft.txc_a").count() == 14,
+      "crashed transaction must roll forward on table A")
+    assert(spark.table("graft.txc_b").count() == 16,
+      "crashed transaction must roll forward on table B")
+    // the marker retired: a second restart replays identically
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.txc_a", "graft.txc_b"))
+    assert(spark.table("graft.txc_a").count() == 14)
+    assert(spark.table("graft.txc_b").count() == 16)
+    spark.sql("DROP TABLE graft.txc_a")
+    spark.sql("DROP TABLE graft.txc_b")
+  }
 }
