@@ -206,6 +206,79 @@ object GraftApi {
       lastVersion: Int)
   private val mvDefs =
     new scala.collection.concurrent.TrieMap[String, MvDef]()
+
+  // ---- MV DEFINITION DURABILITY (round 12) ---------------------------
+  //
+  // The definition + refresh watermark persist as warehouse sidecars
+  // (the metadata a real format stores in the MV's own table
+  // properties), written atomically on create and after every fold —
+  // so a fresh process can keep maintaining an MV it never created:
+  // the target table replays from its transaction log, the definition
+  // loads here, and the watermark says exactly which commits are
+  // already folded (no double-apply, no gap). In-memory caches clear
+  // with the restart simulation via a registered hook.
+  private lazy val mvRestartHook: Unit =
+    graft.sources.GraftLog.registerRestartHook { () =>
+      mvDefs.clear(); gwDefs.clear()
+    }
+  private def mvSidecar(mv: String): java.io.File = {
+    val d = new java.io.File(graft.sources.GraftWarehouse.root, "mvs")
+    d.mkdirs()
+    new java.io.File(d, java.net.URLEncoder.encode(mv,
+      java.nio.charset.StandardCharsets.UTF_8) + ".json")
+  }
+  private def persistMv(mv: String, kind: String, source: String,
+      groupCols: Seq[String], aggCol: String, aliases: Seq[String],
+      lastVersion: Int): Unit = {
+    import org.json4s.JsonDSL._
+    val body = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("kind" -> kind) ~ ("source" -> source) ~
+          ("groupCols" -> groupCols.toList) ~ ("aggCol" -> aggCol) ~
+          ("aliases" -> aliases.toList) ~
+          ("lastVersion" -> lastVersion)))
+    val f = mvSidecar(mv)
+    val tmp = new java.io.File(f.getAbsolutePath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(body.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(f)) throw new IllegalStateException(
+      s"could not persist MV definition $f")
+  }
+  private def loadMv(mv: String): Option[(String, String, Seq[String],
+      String, Seq[String], Int)] = {
+    val f = mvSidecar(mv)
+    if (!f.isFile) return None
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    def str(n: String) = (j \ n).asInstanceOf[JString].s
+    def strs(n: String) = (j \ n).asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s)
+    val last = j \ "lastVersion" match {
+      case JInt(n) => n.toInt
+      case JLong(n) => n.toInt
+      case other => throw new IllegalStateException(s"bad mv def: $other")
+    }
+    Some((str("kind"), str("source"), strs("groupCols"), str("aggCol"),
+      strs("aliases"), last))
+  }
+  private def sumDefOf(mv: String): Option[MvDef] =
+    mvDefs.get(mv).orElse(loadMv(mv).collect {
+      case ("sum", source, gcols, aggCol, Seq(n, sa), last) =>
+        val d = MvDef(source, gcols, aggCol, n, sa, last)
+        mvDefs.putIfAbsent(mv, d)
+        mvDefs(mv)
+    })
+  private def gwDefOf(mv: String): Option[GwDef] =
+    gwDefs.get(mv).orElse(loadMv(mv).collect {
+      case ("gw", source, gcols, aggCol, Seq(n, lo, hi), last) =>
+        val d = GwDef(source, gcols, aggCol, n, lo, hi, last)
+        gwDefs.putIfAbsent(mv, d)
+        gwDefs(mv)
+    })
   /** per-MV fold serialization: the lastVersion check and the
     * MERGE + version bump must be one atomic step, or a batch refresh
     * racing a maintenance micro-batch could both pass the
@@ -250,9 +323,13 @@ object GraftApi {
     val head = graft.sources.GraftTableStore.publishedCount(source) - 1
     val ddlCols = groupCols.map(c =>
       s"$c ${srcSchema(c).dataType.sql}").mkString(", ")
+    mvRestartHook // evict-on-restart registration (once)
     spark.sql(s"DROP TABLE IF EXISTS $mv")
+    // the MV TABLE is file-backed so the materialized state itself
+    // survives a restart alongside the definition sidecar
     spark.sql(s"CREATE TABLE $mv ($ddlCols, " +
-      s"$countAlias BIGINT, $sumAlias BIGINT)")
+      s"$countAlias BIGINT, $sumAlias BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
     val baseline = // a source with no commits yet has no version to pin
       if (head < 0) spark.table(source)
       else spark.sql(s"SELECT * FROM $source VERSION AS OF $head")
@@ -262,6 +339,8 @@ object GraftApi {
       .writeTo(mv).append()
     mvDefs.put(mv, MvDef(source, groupCols, sumCol, countAlias,
       sumAlias, head))
+    persistMv(mv, "sum", source, groupCols, sumCol,
+      Seq(countAlias, sumAlias), head)
     ()
   }
 
@@ -276,9 +355,13 @@ object GraftApi {
     * version now reflected); a no-change refresh is a no-op. */
   def refreshMaterializedView(spark: org.apache.spark.sql.SparkSession,
       mv: String): (Long, Int) = {
-    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+    val d = sumDefOf(mv).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view — " +
         "createMaterializedView first"))
+    // resolve the source THROUGH the catalog first: a fresh process
+    // must lazily replay its transaction log before the published
+    // head is read, or the refresh would silently no-op on head = -1
+    spark.table(d.source)
     // the feed serves PUBLISHED commits only — staged WAP commits
     // fold after their publish, not before
     val head = graft.sources.GraftTableStore.publishedCount(d.source) - 1
@@ -297,7 +380,7 @@ object GraftApi {
     * of change rows folded. */
   private def foldMvChanges(spark: org.apache.spark.sql.SparkSession,
       mv: String, changes: DataFrame): Long = mvLock(mv).synchronized {
-    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+    val d = sumDefOf(mv).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view"))
     // cache: the feed materializes snapshot DIFFS driver-side (the
     // documented CDC cost) — the count, max-version readout and the
@@ -332,6 +415,8 @@ object GraftApi {
            |  INSERT ($gList, ${d.countAlias}, ${d.sumAlias})
            |  VALUES ($sList, s.__dn, s.__ds)""".stripMargin)
       mvDefs.put(mv, d.copy(lastVersion = newLast))
+      persistMv(mv, "sum", d.source, d.groupCols, d.sumCol,
+        Seq(d.countAlias, d.sumAlias), newLast)
       nChanges
     } finally { fresh.unpersist(); () }
   }
@@ -374,9 +459,11 @@ object GraftApi {
     val aggT = srcSchema(aggCol).dataType.sql
     val ddlCols = groupCols.map(c =>
       s"$c ${srcSchema(c).dataType.sql}").mkString(", ")
+    mvRestartHook
     spark.sql(s"DROP TABLE IF EXISTS $mv")
     spark.sql(s"CREATE TABLE $mv ($ddlCols, $nAlias BIGINT, " +
-      s"$minAlias $aggT, $maxAlias $aggT)")
+      s"$minAlias $aggT, $maxAlias $aggT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
     val baseline =
       if (head < 0) spark.table(source)
       else spark.sql(s"SELECT * FROM $source VERSION AS OF $head")
@@ -386,6 +473,8 @@ object GraftApi {
       .writeTo(mv).append()
     gwDefs.put(mv, GwDef(source, groupCols, aggCol, nAlias, minAlias,
       maxAlias, head))
+    persistMv(mv, "gw", source, groupCols, aggCol,
+      Seq(nAlias, minAlias, maxAlias), head)
     ()
   }
 
@@ -397,9 +486,11 @@ object GraftApi {
     * groups UPDATE). Returns (touched groups, version reflected). */
   def refreshGroupwiseView(spark: org.apache.spark.sql.SparkSession,
       mv: String): (Long, Int) = gwLock(mv).synchronized {
-    val d = gwDefs.getOrElse(mv, throw new IllegalArgumentException(
+    val d = gwDefOf(mv).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered group-wise view — " +
         "createGroupwiseView first"))
+    // lazy catalog attach before the head read (see the sum MV twin)
+    spark.table(d.source)
     val head = graft.sources.GraftTableStore.publishedCount(d.source) - 1
     if (head <= d.lastVersion) return (0L, head)
     val fresh = spark.read
@@ -412,6 +503,8 @@ object GraftApi {
       val nTouched = touched.count()
       if (nTouched == 0L) {
         gwDefs.put(mv, d.copy(lastVersion = head))
+        persistMv(mv, "gw", d.source, d.groupCols, d.aggCol,
+          Seq(d.nAlias, d.minAlias, d.maxAlias), head)
         return (0L, head)
       }
       // recompute ONLY the touched groups, against the pinned head
@@ -441,6 +534,8 @@ object GraftApi {
            |  VALUES ($sList, s.${d.nAlias}, s.${d.minAlias},
            |    s.${d.maxAlias})""".stripMargin)
       gwDefs.put(mv, d.copy(lastVersion = head))
+      persistMv(mv, "gw", d.source, d.groupCols, d.aggCol,
+        Seq(d.nAlias, d.minAlias, d.maxAlias), head)
       (nTouched, head)
     } finally { touched.unpersist(); () }
   }
@@ -499,7 +594,7 @@ object GraftApi {
       spark: org.apache.spark.sql.SparkSession, mv: String,
       checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val d = mvDefs.getOrElse(mv, throw new IllegalArgumentException(
+    val d = sumDefOf(mv).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view — " +
         "createMaterializedView first"))
     spark.readStream.table(s"${d.source}.changes")

@@ -961,6 +961,16 @@ object GraftLog {
     * untouched. The next catalog touch must rebuild them from the
     * transaction log alone; that is the durability contract this
     * hook exists to pin. Views evict with `alsoViews`. */
+  /** extra in-memory state the restart simulation must evict —
+    * registered by higher layers (the MV definition cache in
+    * GraftApi) so "restart" means ALL of it, not just the store. */
+  private val restartHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  private[graft] def registerRestartHook(f: () => Unit): Unit = {
+    restartHooks.add(f)
+    ()
+  }
+
   private[graft] def simulateProcessRestart(storeNames: Seq[String],
       alsoViews: Boolean = false): Unit = {
     storeNames.foreach { n =>
@@ -970,5 +980,6 @@ object GraftLog {
       forget(n)
     }
     if (alsoViews) GraftMergeCatalog.evictViewsFromMemory()
+    restartHooks.forEach(f => f())
   }
 }

@@ -605,4 +605,62 @@ class ApiSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.gwspec_src")
     spark.sql("DROP TABLE graft.gwspec_mv")
   }
+
+  test("MV definitions are DURABLE: a simulated restart evicts the " +
+      "def cache, the MV table replays from its log, the sidecar " +
+      "restores the definition AND the refresh watermark — " +
+      "maintenance continues with no double-apply and no gap") {
+    mvCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mvdur_src")
+    spark.sql("CREATE TABLE graft.mvdur_src (k BIGINT, g STRING, " +
+      "cents BIGINT) TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.mvdur_src SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 10 " +
+      "FROM range(40)")
+    GraftApi.createMaterializedView(spark, "graft.mvdur_mv",
+      "graft.mvdur_src", Seq("g"), "n", "cents", "s")
+    spark.sql("DELETE FROM graft.mvdur_src WHERE k % 4 = 1")
+    GraftApi.refreshMaterializedView(spark, "graft.mvdur_mv") // folds v1
+    val afterFold = spark.table("graft.mvdur_mv").orderBy("g")
+      .collect().map(_.toString).toSeq
+
+    // ---- restart: source, MV table AND def caches all evicted
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.mvdur_src", "graft.mvdur_mv"))
+
+    // the MV table replays; its content is exactly the folded state
+    assert(spark.table("graft.mvdur_mv").orderBy("g")
+      .collect().map(_.toString).toSeq == afterFold)
+    // the WATERMARK replayed too: nothing new → refresh is a no-op
+    // (a lost watermark would re-fold v1 and double-apply)
+    assert(GraftApi.refreshMaterializedView(spark, "graft.mvdur_mv")
+      ._1 == 0L, "replayed watermark must make the refresh a no-op")
+    // new DML after the restart folds normally and equals recompute
+    spark.sql("UPDATE graft.mvdur_src SET cents = cents + 3 " +
+      "WHERE k % 5 = 0")
+    GraftApi.refreshMaterializedView(spark, "graft.mvdur_mv")
+    val expect = spark.table("graft.mvdur_src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(spark.table("graft.mvdur_mv").orderBy("g")
+      .collect().map(_.toString).toSeq == expect)
+    // group-wise MVs restore through the same sidecar path
+    GraftApi.createGroupwiseView(spark, "graft.mvdur_gw",
+      "graft.mvdur_src", Seq("g"), "cents", "n", "lo", "hi")
+    spark.sql("DELETE FROM graft.mvdur_src WHERE k = 38") // a max
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.mvdur_src", "graft.mvdur_gw"))
+    GraftApi.refreshGroupwiseView(spark, "graft.mvdur_gw")
+    val gwExpect = spark.table("graft.mvdur_src").groupBy("g")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"),
+        max("cents").as("hi"))
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(spark.table("graft.mvdur_gw").orderBy("g")
+      .collect().map(_.toString).toSeq == gwExpect,
+      "group-wise MV must keep maintaining across a restart")
+    spark.sql("DROP TABLE graft.mvdur_src")
+    spark.sql("DROP TABLE graft.mvdur_mv")
+    spark.sql("DROP TABLE graft.mvdur_gw")
+  }
 }
