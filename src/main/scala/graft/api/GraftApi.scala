@@ -507,17 +507,29 @@ object GraftApi {
           Seq(d.nAlias, d.minAlias, d.maxAlias), head)
         return (0L, head)
       }
-      // recompute ONLY the touched groups, against the pinned head
+      // recompute ONLY the touched groups, against the pinned head.
+      // Joins must be NULL-SAFE like the MERGE ON below: a NULL group
+      // key is a real group (groupBy treats it as one) — a null-unsafe
+      // semi join would drop its base rows and wrongly DELETE its row
       val base = spark.sql(s"SELECT * FROM ${d.source} VERSION AS OF $head")
+        .alias("b")
+      val tAlias = touched.alias("t")
+      val semiCond = d.groupCols.map(c =>
+        col(s"b.$c") <=> col(s"t.$c")).reduce(_ && _)
       val recomputed = base
-        .join(broadcast(touched), d.groupCols, "left_semi")
+        .join(broadcast(tAlias), semiCond, "left_semi")
         .groupBy(d.groupCols.map(col): _*)
         .agg(count(lit(1)).as(d.nAlias),
           min(d.aggCol).as(d.minAlias), max(d.aggCol).as(d.maxAlias))
+        .alias("r")
       val viewName = s"__gw_delta_${mv.replace('.', '_')}"
       // a touched group absent from the recompute has NO live rows —
       // the left join's null count marks it for DELETE
-      touched.join(recomputed, d.groupCols, "left")
+      val outCond = d.groupCols.map(c =>
+        col(s"t.$c") <=> col(s"r.$c")).reduce(_ && _)
+      touched.alias("t").join(recomputed, outCond, "left")
+        .select(d.groupCols.map(c => col(s"t.$c")) ++
+          Seq(col(d.nAlias), col(d.minAlias), col(d.maxAlias)): _*)
         .createOrReplaceTempView(viewName)
       val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
       val gList = d.groupCols.mkString(", ")

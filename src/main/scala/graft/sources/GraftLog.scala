@@ -461,15 +461,42 @@ object GraftLog {
   /** log one committed version. `prev` is the previous head's commit
     * data (None for v0): a parquet commit logs the manifest DIFF
     * against it — O(changed files), the scale contract. Runs under the
-    * store lock (the caller is [[GraftTableStore.appendLocked]]). */
+    * store lock AFTER the commit applied in memory. */
   private[sources] def logCommit(storeName: String, v: Int, op: String,
       time: Long, data: GraftCommitData, prev: Option[GraftCommitData],
       branches: Map[String, Int], tags: Map[String, Int],
       ingest: Seq[String]): Unit = {
     val m = GraftParquetStore.meta(storeName).getOrElse(return)
     // lazy CREATE: the first entry of a table's log is always a full
-    // checkpoint (covers CREATE TABLE, CTAS and shallow clones in one
-    // place — whatever path produced the first commit)
+    // checkpoint (covers shallow clones and CTAS reaching here before
+    // any CREATE entry exists). logCommit runs AFTER the commit was
+    // applied, so that checkpoint already CONTAINS it — checkpoint and
+    // RETURN, or the commit would be logged twice and replay would
+    // duplicate it (a clone's first commit was the reachable case).
+    if (seqCounter(storeName, m.dir).get() == 0L) {
+      checkpoint(storeName)
+      return
+    }
+    renderCommit(storeName, v, op, time, data, prev, branches, tags,
+      ingest).foreach { case (target, body) =>
+      writeRendered(target, body)
+    }
+  }
+
+  /** RENDER a commit entry without writing it — the shared body of
+    * [[logCommit]] and the two-phase form the cross-table transaction
+    * needs (rendered (target, body) pairs ride the transaction's
+    * INTENT MARKER first, so a crash between the per-table writes can
+    * always roll FORWARD). Allocates the sequence number; caller holds
+    * the store lock. Transactional callers render BEFORE applying, so
+    * a first-entry checkpoint here captures the PRE-commit state and
+    * the entry applies on top. */
+  private[sources] def renderCommit(storeName: String, v: Int,
+      op: String, time: Long, data: GraftCommitData,
+      prev: Option[GraftCommitData], branches: Map[String, Int],
+      tags: Map[String, Int], ingest: Seq[String] = Seq.empty)
+      : Option[(File, String)] = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return None)
     val ctr = seqCounter(storeName, m.dir)
     if (ctr.get() == 0L) checkpoint(storeName)
     val body0: JObject = data match {
@@ -508,52 +535,6 @@ object GraftLog {
       ("tags" -> JObject(tags.toList.sortBy(_._1)
         .map { case (k, x) => k -> JInt(x): JField })) ~
       ("ingest" -> ingest.toList) ~
-      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
-    writeEntry(m.dir, ctr.getAndIncrement(), isCheckpoint = false, body)
-  }
-
-  /** RENDER a commit entry without writing it — the two-phase form the
-    * cross-table transaction needs: the rendered (target file, body)
-    * pairs ride the transaction's INTENT MARKER first, so a crash
-    * between the per-table writes can always roll FORWARD. Allocates
-    * the sequence number (caller holds the store lock). */
-  private[sources] def renderCommit(storeName: String, v: Int,
-      op: String, time: Long, data: GraftCommitData,
-      prev: Option[GraftCommitData], branches: Map[String, Int],
-      tags: Map[String, Int]): Option[(File, String)] = {
-    val m = GraftParquetStore.meta(storeName).getOrElse(return None)
-    val ctr = seqCounter(storeName, m.dir)
-    if (ctr.get() == 0L) checkpoint(storeName)
-    val body0: JObject = data match {
-      case p: GraftParquetData =>
-        val prevFiles = prev match {
-          case Some(pp: GraftParquetData) => pp.files
-          case _ => Vector.empty[GraftFileInfo]
-        }
-        val prevByPath = prevFiles.map(f => f.path -> f).toMap
-        val add = p.files.filter(f => !prevByPath.get(f.path).exists(_ eq f))
-        val newPaths = p.files.map(_.path).toSet
-        val remove = prevFiles.map(_.path).filterNot(newPaths)
-        val folded = foldManifest(prevFiles, add, remove)
-        val order: JValue =
-          if (folded.map(_.path) == p.files.map(_.path)) JNull
-          else JArray(p.files.toList.map(f => JString(f.path)))
-        ("kind" -> "parquet") ~ ("count" -> p.count) ~
-          ("add" -> JArray(add.toList.map(jFile(m, _)))) ~
-          ("remove" -> remove.toList) ~ ("order" -> order)
-      case d: GraftDeltaData =>
-        ("kind" -> "delta") ~ ("count" -> d.count) ~
-          ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
-      case _: GraftFullData => throw new IllegalStateException(
-        "unreachable: full commits persist as parquet before logging")
-    }
-    val body = body0 ~ ("a" -> "commit") ~ ("v" -> v) ~ ("op" -> op) ~
-      ("time" -> time) ~
-      ("branches" -> JObject(branches.toList.sortBy(_._1)
-        .map { case (k, x) => k -> JInt(x): JField })) ~
-      ("tags" -> JObject(tags.toList.sortBy(_._1)
-        .map { case (k, x) => k -> JInt(x): JField })) ~
-      ("ingest" -> JArray(Nil)) ~
       ("hwm" -> GraftTableStore.identityHwmValue(storeName))
     val seq = ctr.getAndIncrement()
     val d = logDir(m.dir)
@@ -843,6 +824,14 @@ object GraftLog {
     * treat as live: a shallow clone that has never been touched this
     * process still references its source's files from disk. O(unloaded
     * tables × log size) metadata; sweeps are rare (trims, drops). */
+  /** per-directory memo of the scan below: an UNLOADED table's log is
+    * immutable (only loaded tables commit; the rare txn roll-forward
+    * bumps the dir mtime, which invalidates), so each log parses once
+    * per (entry set, mtime) — without this, every retention trim of a
+    * busy table would re-parse every evicted table's whole log. */
+  private val unloadedRefCache =
+    new TrieMap[String, ((Long, Int), Set[String])]()
+
   private[sources] def unloadedFileRefs(loaded: String => Boolean)
       : Set[String] = {
     val tablesDir = new File(GraftWarehouse.root, "tables")
@@ -851,21 +840,31 @@ object GraftLog {
       .flatMap { d =>
         val storeName = java.net.URLDecoder.decode(d.getName,
           StandardCharsets.UTF_8)
-        if (loaded(storeName)) Iterator.empty
-        else {
-          // cheap textual sweep: every "path" field in the log names a
-          // live file of SOME retained version (superset is safe — GC
-          // keeps more, never less)
-          Option(logDir(d.getAbsolutePath).listFiles())
-            .getOrElse(Array.empty[File]).iterator
-            .filter(f => f.getName.endsWith(".json"))
-            .flatMap { f =>
-              val j = parse(f)
-              (j filterField {
-                case ("path", JString(_)) => true
-                case _ => false
-              }).collect { case (_, JString(p)) => p }
-            }
+        if (loaded(storeName)) {
+          unloadedRefCache.remove(d.getAbsolutePath)
+          Iterator.empty
+        } else {
+          val ld = logDir(d.getAbsolutePath)
+          val entries = Option(ld.listFiles())
+            .getOrElse(Array.empty[File])
+            .filter(_.getName.endsWith(".json"))
+          val key = (ld.lastModified(), entries.length)
+          unloadedRefCache.get(d.getAbsolutePath) match {
+            case Some((k, refs)) if k == key => refs
+            case _ =>
+              // cheap textual sweep: every "path" field in the log
+              // names a live file of SOME retained version (superset
+              // is safe — GC keeps more, never less)
+              val refs = entries.iterator.flatMap { f =>
+                val j = parse(f)
+                (j filterField {
+                  case ("path", JString(_)) => true
+                  case _ => false
+                }).collect { case (_, JString(p)) => p }
+              }.toSet
+              unloadedRefCache.put(d.getAbsolutePath, (key, refs))
+              refs
+          }
         }
       }.toSet
   }

@@ -225,18 +225,22 @@ object GraftTableStore {
   }
 
   /** COPY INTO source paths whose ledger update must ride INSIDE the
-    * next commit of `name` (exactly-once: there is no window between
-    * the commit and the ledger where a crash double-loads).
-    * [[appendLocked]] consumes the entry atomically with the commit. */
-  private val pendingIngest = new TrieMap[String, Seq[String]]()
-  private[graft] def beginIngest(name: String, paths: Seq[String]): Unit = {
-    pendingIngest.put(name, paths)
-    ()
-  }
-  private[graft] def abortIngest(name: String): Unit = {
-    pendingIngest.remove(name)
-    ()
-  }
+    * ingest's OWN commit (exactly-once: there is no window between
+    * the commit and the ledger where a crash double-loads). THREAD-
+    * LOCAL on purpose: a V2 batch commit executes on the same driver
+    * thread as the `writeTo(...).append()` action that staged the
+    * paths, so only the COPY's own commit can consume them — a
+    * concurrent commit to the same table from another thread (a
+    * streaming epoch, an OPTIMIZE) can neither steal the ledger
+    * update nor attach it to the wrong commit. */
+  private val pendingIngest =
+    new ThreadLocal[Option[(String, Seq[String])]] {
+      override def initialValue(): Option[(String, Seq[String])] = None
+    }
+  private[graft] def beginIngest(name: String, paths: Seq[String]): Unit =
+    pendingIngest.set(Some((name, paths)))
+  private[graft] def abortIngest(name: String): Unit =
+    pendingIngest.remove()
 
   /** IDENTITY COLUMN high-water marks (GENERATED ... AS IDENTITY):
     * one atomic counter per table, seeded from the declared START at
@@ -254,20 +258,14 @@ object GraftTableStore {
   /** COPY INTO file ledger: source paths already loaded into each
     * table — what makes re-running an ingest IDEMPOTENT (Delta's COPY
     * INTO / Auto Loader file tracking). O(ingested files) driver
-    * memory, the same ledger a real format persists in commit
-    * metadata; dies with the table. NOTE (test vehicle): the ledger
-    * update follows the append commit rather than riding inside it,
-    * so a crash between the two re-loads those files on retry —
-    * at-least-once, where a provider storing loaded-file names in the
-    * commit itself gets exactly-once. */
+    * memory. Since round 12 the ledger update rides INSIDE the
+    * ingest's own commit ([[beginIngest]] → [[appendLocked]], one
+    * locked step, one transaction-log entry on a file-backed table) —
+    * exactly-once across a crash, and a fresh process replays it from
+    * the log. */
   private val ingestedFiles = new TrieMap[String, Set[String]]()
   private[graft] def ingestedFor(name: String): Set[String] =
     ingestedFiles.getOrElse(name, Set.empty)
-  private[graft] def recordIngested(name: String,
-      paths: Seq[String]): Unit = lock.synchronized {
-    ingestedFiles.put(name, ingestedFor(name) ++ paths)
-    ()
-  }
 
   /** apply one op log to its base snapshot — the scan-side MoR merge.
     * Deletes/updates key by the stable row id; untouched rows pass
@@ -325,7 +323,7 @@ object GraftTableStore {
             if (rel == 0) None
             else h.commits(rel - 1) match {
               case pp: GraftParquetData
-                if p.files.startsWith(pp.files) =>
+                if GraftChangeFeed.extendsAsPrefix(p.files, pp.files) =>
                 Some((pp.files.length, resolveRel(name, h, rel - 1)))
               case _ => None
             }
@@ -507,8 +505,14 @@ object GraftTableStore {
     versions.put(name, trimmed)
     // a COPY INTO's ledger update rides the SAME locked step as its
     // commit (and, for a file-backed table, the same log entry) —
-    // exactly-once across a crash, no commit-then-ledger window
-    val ingest = pendingIngest.remove(name).getOrElse(Seq.empty)
+    // exactly-once across a crash, no commit-then-ledger window;
+    // thread-locality binds it to the COPY's OWN commit
+    val ingest = pendingIngest.get() match {
+      case Some((n, paths)) if n == name =>
+        pendingIngest.remove()
+        paths
+      case _ => Seq.empty
+    }
     if (ingest.nonEmpty)
       ingestedFiles.put(name, ingestedFor(name) ++ ingest)
     // DURABILITY: a file-backed table's commit appends to its on-disk
@@ -876,28 +880,47 @@ object GraftTableStore {
     val marker = GraftLog.writeTxnMarker(
       java.util.UUID.randomUUID().toString,
       planned.flatMap(_._4))
-    // apply in-memory + write the per-table entries (roll-forward
-    // recovers any subset a crash leaves unwritten)
-    var wrote = 0
-    planned.foreach { case (name, data, now, rendered) =>
+    // apply EVERY table in memory FIRST (pure data-structure work —
+    // readers never see a half-applied transaction), THEN write the
+    // per-table entries. An IO failure mid-writes leaves the process
+    // CONSISTENT (all tables applied) and the MARKER in place, so the
+    // next attach — or the next process — rolls the missing entries
+    // forward; the marker is only retired after every entry landed.
+    planned.foreach { case (name, data, now, _) =>
       val firstBefore = versions.get(name).map(_.firstRetained)
       appendLocked(name, "txn-append", data, logIt = false,
         atTime = Some(now))
+      // a txn commit that crossed the retention cap checkpoints like
+      // any other trimming commit (the entry alone would replay an
+      // untrimmed window; the checkpoint subsumes the pending entry)
+      if (versions.get(name).map(_.firstRetained) != firstBefore)
+        GraftLog.checkpoint(name)
+    }
+    var wrote = 0
+    var failure: Option[Throwable] = None
+    planned.foreach { case (_, _, _, rendered) =>
       rendered.foreach { case (target, body) =>
-        GraftLog.writeRendered(target, body)
-        wrote += 1
+        try {
+          GraftLog.writeRendered(target, body)
+          wrote += 1
+        } catch {
+          case t: Throwable if failure.isEmpty => failure = Some(t)
+          case _: Throwable => ()
+        }
+        // the test seam models a PROCESS DEATH, not an IO error —
+        // abort the loop outright (the marker stays; recovery must
+        // roll the remaining entries forward)
         if (failTxnAfterFirstLogWrite && wrote == 1)
           throw new IllegalStateException(
             "injected crash after first transaction log write")
       }
-      // a txn commit that crossed the retention cap checkpoints like
-      // any other trimming commit (the entry alone would replay an
-      // untrimmed window)
-      if (versions.get(name).map(_.firstRetained) != firstBefore)
-        GraftLog.checkpoint(name)
     }
-    marker.delete()
-    ()
+    failure match {
+      case Some(t) => throw t // marker stays — roll-forward finishes it
+      case None =>
+        marker.delete()
+        ()
+    }
   }
 
   /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same
@@ -1225,18 +1248,24 @@ object GraftTableStore {
       out
     }
     val files = p.files
-    val rows = spark.sparkContext
-      .parallelize(files, math.min(files.length,
-        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+    val nPar = math.min(files.length,
+      math.max(1, spark.sparkContext.defaultParallelism * 2))
+    val rows = spark.sparkContext.parallelize(files, nPar)
       .flatMap(f => GraftParquetStore
         .readFile(f, m.schema, Array.range(0, f.numCols))
         .map(r => (f.key, f.specId, f.numCols, r)))
     // quantile cut points from a bounded sample (≤ 4096 z-values on
     // the driver — the quantizerSample pattern): even file sizes
-    // without a full sort
+    // without a full sort. The sampling pass reads ONLY the two
+    // z columns (column projection into the parquet reader), so the
+    // full-width decode happens once, in the rewrite shuffle below.
     val buckets = 16
-    val sample = rows.map(t => zOf(t._4)).takeSample(
-      withReplacement = false, num = 4096, seed = 42).sorted
+    val sampleOrds = Array(ordA, ordB).distinct.sorted
+    val sample = spark.sparkContext.parallelize(files, nPar)
+      .flatMap(f => GraftParquetStore
+        .readFile(f, m.schema, sampleOrds.filter(_ < f.numCols))
+        .map(zOf))
+      .takeSample(withReplacement = false, num = 4096, seed = 42).sorted
     val cuts: Array[Long] =
       if (sample.isEmpty) Array.empty
       else (1 until buckets).map(i =>
@@ -4678,33 +4707,52 @@ object GraftChangeFeed {
         Array.empty[InternalRow]
       case Some((_, d: GraftTableStore.GraftDeltaData)) =>
         deltaChanges(table, schema, idOrd, v, d)
-      case Some((_, p: GraftTableStore.GraftParquetData))
-          if appendedFiles(table, v, p).isDefined =>
+      case Some((_, p: GraftTableStore.GraftParquetData)) =>
         // an append: inserts are exactly the added files' rows — read
         // them (and only them) instead of diffing snapshots. Driver
         // path for compatibility; planParts ships these as task-side
         // file partitions.
-        appendedFiles(table, v, p).get.iterator.flatMap { f =>
-          GraftParquetStore.readFile(f,
-            GraftParquetStore.meta(table).get.schema,
-            Array.range(0, f.numCols))
-            .map(emitRow(_, "insert", v, vis, ords))
-        }.toArray
+        appendedFiles(table, v, p) match {
+          case Some(files) => files.iterator.flatMap { f =>
+            GraftParquetStore.readFile(f,
+              GraftParquetStore.meta(table).get.schema,
+              Array.range(0, f.numCols))
+              .map(emitRow(_, "insert", v, vis, ords))
+          }.toArray
+          case None => snapshotDiff(table, schema, idOrd, v)
+        }
       case _ => snapshotDiff(table, schema, idOrd, v)
     }
   }
 
+  /** are two manifest entries the SAME file state? Reference identity
+    * in-memory; after a LOG REPLAY consecutive commits no longer share
+    * objects (and bloom/DV arrays compare by reference under case-class
+    * equality), so fall back to the identifying fields — path names the
+    * immutable bytes, and a deletion-vector swap (same path, new
+    * bitmap) changes the DV cardinality, which is exactly the in-place
+    * mutation the append check must NOT see through. */
+  private[sources] def sameEntry(a: GraftFileInfo,
+      b: GraftFileInfo): Boolean =
+    (a eq b) || (a.path == b.path && a.rows == b.rows &&
+      a.dv.map(_.card) == b.dv.map(_.card))
+
+  private[sources] def extendsAsPrefix(cur: Vector[GraftFileInfo],
+      prev: Vector[GraftFileInfo]): Boolean =
+    cur.length >= prev.length &&
+      prev.indices.forall(i => sameEntry(cur(i), prev(i)))
+
   /** the files commit `v` ADDED when it is a pure append (its manifest
     * extends the previous parquet manifest as a prefix; v0 extends the
     * empty manifest — a shallow clone's first commit included). None
-    * when the shape is not an append. */
+    * when the shape is not an append. Prefix identity is
+    * [[sameEntry]]-based so it survives a log replay. */
   private[sources] def appendedFiles(table: String, v: Int,
       p: GraftTableStore.GraftParquetData): Option[Vector[GraftFileInfo]] = {
     if (v == 0) return Some(p.files)
     GraftTableStore.commitInfo(table, v - 1) match {
       case Some((_, prev: GraftTableStore.GraftParquetData))
-          if p.files.startsWith(prev.files) &&
-            p.files.length >= prev.files.length =>
+          if extendsAsPrefix(p.files, prev.files) =>
         Some(p.files.drop(prev.files.length))
       case _ => None
     }
@@ -4797,12 +4845,17 @@ object GraftChangeFeed {
     while (v < toCommit) {
       GraftTableStore.commitInfo(table, v) match {
         case Some((op, p: GraftTableStore.GraftParquetData))
-            if !ContentNeutralOps(op) &&
-              appendedFiles(table, v, p).isDefined =>
-          val m = GraftParquetStore.meta(table).get
-          appendedFiles(table, v, p).get.foreach { f =>
-            parts += GraftCdfFilePartition(Vector(f), m.schema,
-              ords, vis.fields.map(_.dataType), v)
+            if !ContentNeutralOps(op) =>
+          appendedFiles(table, v, p) match {
+            case Some(files) =>
+              val m = GraftParquetStore.meta(table).get
+              files.foreach { f =>
+                parts += GraftCdfFilePartition(Vector(f), m.schema,
+                  ords, vis.fields.map(_.dataType), v)
+              }
+            case None =>
+              val rows = changesOfCommit(table, schema, idOrd, v)
+              if (rows.nonEmpty) parts += GraftInputPartition(rows)
           }
         case _ =>
           val rows = changesOfCommit(table, schema, idOrd, v)

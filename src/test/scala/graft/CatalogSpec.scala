@@ -2008,4 +2008,57 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txc_a")
     spark.sql("DROP TABLE graft.txc_b")
   }
+
+  test("replayed manifests keep APPEND identity: bloom/DV-carrying " +
+      "entries compare by content after a restart, so the feed stays " +
+      "file-granular and the stream does not false-flag a rewrite; a " +
+      "clone's first commit replays exactly once") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.rply_t")
+    spark.sql("CREATE TABLE graft.rply_t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.bloom.columns'='k', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.rply_t SELECT id, 'x' FROM range(50)")
+    spark.sql("INSERT INTO graft.rply_t SELECT id + 100, 'y' " +
+      "FROM range(20)")
+    graft.sources.GraftLog.simulateProcessRestart(Seq("graft.rply_t"))
+    spark.table("graft.rply_t").count() // attach
+    val physSchema = graft.sources.GraftParquetStore
+      .meta("graft.rply_t").get.schema
+    val parts = graft.sources.GraftChangeFeed.planParts(
+      "graft.rply_t", physSchema, 0, 0, 2)
+    // bloom arrays compare by reference under case-class equality —
+    // the replayed manifests must STILL read as appends (sameEntry),
+    // or every feed/stream window would degrade to snapshot diffs
+    assert(parts.forall(
+      _.isInstanceOf[graft.sources.GraftCdfFilePartition]),
+      s"replayed append window must plan file partitions: " +
+        s"${parts.map(_.getClass.getSimpleName).toSeq}")
+    // and the CONTENT STREAM replays the same window without the
+    // false not-append-only error
+    val out = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.table("graft.rply_t").writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.addAndGet(df.count()); ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(out.get() == 70, s"streamed ${out.get()} of 70 rows")
+
+    // SHALLOW CLONE first-commit replay: the clone's log starts with
+    // a lazy checkpoint that already CONTAINS the commit — replay
+    // must not duplicate it, and the replayed clone stays writable
+    spark.sql("DROP TABLE IF EXISTS graft.rply_c")
+    graft.api.GraftApi.cloneTable(spark, "graft.rply_t", "graft.rply_c")
+    graft.sources.GraftLog.simulateProcessRestart(Seq("graft.rply_c"))
+    assert(spark.table("graft.rply_c").count() == 70)
+    assert(GraftTableStore.commitCount("graft.rply_c") == 1,
+      "a clone's first commit must replay exactly once")
+    spark.sql("INSERT INTO graft.rply_c SELECT id + 1000, 'z' " +
+      "FROM range(3)") // a duplicated replay would refuse this write
+    assert(spark.table("graft.rply_c").count() == 73)
+    spark.sql("DROP TABLE graft.rply_t")
+    spark.sql("DROP TABLE graft.rply_c")
+  }
 }
