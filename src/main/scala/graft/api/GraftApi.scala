@@ -194,7 +194,7 @@ object GraftApi {
     * operator surface. `table` is catalog-qualified ("graft.t"). */
   def optimizeTable(spark: org.apache.spark.sql.SparkSession,
       table: String): Int =
-    graft.sources.GraftTableStore.compact(table)
+    graft.sources.GraftTableStore.compact(table, Some(spark))
 
   // ---- incremental materialized views --------------------------------
 

@@ -1077,18 +1077,101 @@ object GraftTableStore {
     * compaction subsumed — 0 means there was nothing to compact and NO
     * commit is made (idempotent, like OPTIMIZE on an already-compacted
     * table). */
-  private[graft] def compact(name: String): Int = lock.synchronized {
-    val h = versions.getOrElse(name, History(0, Vector.empty))
+  private[graft] def compact(name: String,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Int = {
     // what the CURRENT read path walks: the delta suffix after the
     // last full commit (earlier deltas sit under a full snapshot
     // already and cost nothing at read) — zero suffix = nothing to
     // compact, and a just-compacted table reports exactly that
-    val lastFull =
-      h.commits.lastIndexWhere(!_.isInstanceOf[GraftDeltaData])
-    val deltas = h.commits.size - 1 - lastFull
-    if (deltas == 0) return 0
-    val current = resolveRel(name, h, h.commits.size - 1)
-    appendLocked(name, "compact", GraftFullData(current))
+    val (expectedHead, deltas) = lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val lastFull =
+        h.commits.lastIndexWhere(!_.isInstanceOf[GraftDeltaData])
+      val d = h.commits.size - 1 - lastFull
+      if (d == 0) return 0
+      (h.commitCount - 1, d)
+    }
+    // TASK-SIDE path for a file-backed base: each base file's live
+    // rows (the folded delta deletes applied as the file decodes —
+    // exactly what the MoR scan does) re-stage where the task runs;
+    // only the O(changes) op-log extras pass through the driver. The
+    // resolveRel materialization below remains for in-memory tables
+    // (their rows live in the JVM regardless).
+    spark match {
+      case Some(s) if GraftParquetStore.isBacked(name) =>
+        fileView(name, None) match {
+          case Some(fv) =>
+            return compactTaskSide(name, s, fv, expectedHead, deltas)
+          case None => // unfoldable chain: row path owns it
+        }
+      case _ =>
+    }
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      if (h.commitCount - 1 != expectedHead)
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected during OPTIMIZE — retry")
+      val current = resolveRel(name, h, h.commits.size - 1)
+      appendLocked(name, "compact", GraftFullData(current))
+      deltas
+    }
+  }
+
+  private def compactTaskSide(name: String,
+      spark: org.apache.spark.sql.SparkSession,
+      fv: GraftFileView, expectedHead: Int, deltas: Int): Int = {
+    val m = GraftParquetStore.meta(name).get
+    val deleted: Set[Any] = fv.deletedIds.toSet
+    val idOrd = fv.idOrd
+    val idType = fv.idType
+    val staged = spark.sparkContext
+      .parallelize(fv.files, math.min(math.max(1, fv.files.length),
+        math.max(1, spark.sparkContext.defaultParallelism * 2)))
+      .flatMap { f =>
+        val rows = GraftParquetStore
+          .readFile(f, m.schema, Array.range(0, f.numCols))
+          .filter(r => deleted.isEmpty || idOrd < 0 ||
+            idOrd >= r.numFields ||
+            !deleted.contains(r.get(idOrd, idType)))
+          .toArray
+        if (rows.isEmpty) Iterator.empty
+        else Iterator.single(GraftParquetStore.stageRewriteFile(
+          m, rows.iterator, f.key, f.numCols, f.specId))
+      }
+      .collect().toVector
+    // op-log extras are O(changes) driver rows by definition — stage
+    // them grouped by partition key so pruning semantics hold
+    val extraFiles =
+      if (fv.extras.isEmpty) Vector.empty[GraftFileInfo]
+      else {
+        val keyProj = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(m.partFields.map(
+            GraftPartField.keyExpr(_, m.schema)).toIndexedSeq)
+        fv.extras.toVector
+          .groupBy(r =>
+            if (m.partFields.isEmpty) InternalRow.empty
+            else keyProj(r).copy(): InternalRow)
+          .toVector.sortBy(_._1.toString)
+          .map { case (key, rs) =>
+            GraftParquetStore.stageRewriteFile(m, rs.iterator, key,
+              m.schema.length, m.curSpecId)
+          }
+      }
+    lock.synchronized {
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      if (h.commitCount - 1 != expectedHead) {
+        (staged ++ extraFiles).foreach(f =>
+          new java.io.File(f.path).delete())
+        throw new IllegalStateException(
+          s"$name: concurrent commit detected — this OPTIMIZE " +
+            s"compacted version $expectedHead but the head is now " +
+            s"${h.commitCount - 1}; retry the statement")
+      }
+      val adopted = GraftParquetStore.adoptStaged(m, h.commitCount,
+        staged ++ extraFiles)
+      appendLocked(name, "compact",
+        GraftParquetData(adopted, adopted.map(_.rows).sum))
+    }
     deltas
   }
 

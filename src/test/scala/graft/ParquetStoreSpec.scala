@@ -1375,4 +1375,42 @@ class ParquetStoreSpec extends AnyFunSuite {
       "a content-neutral maintenance commit must not appear in the feed")
     spark.sql("DROP TABLE graft.pqcdf_t")
   }
+
+  test("OPTIMIZE (compact) of a MoR delta chain runs TASK-SIDE on a " +
+      "file-backed table: base files restage in tasks, only op-log " +
+      "extras pass the driver, no base version materializes " +
+      "driver-side, and reads are unchanged") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqcmp_t")
+    spark.sql("CREATE TABLE graft.pqcmp_t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.pqcmp_t SELECT id, 'x' FROM range(200)")
+    spark.sql("DELETE FROM graft.pqcmp_t WHERE k % 9 = 0") // v1 delta
+    // v2 delta: the UPDATE post-images are the folded extras the
+    // compact must carry through the driver (O(changes) by contract).
+    // NOTE: no plain INSERT lands mid-chain — an append onto a delta
+    // head takes the round-10 materializing fallback by design, which
+    // would populate the resolution cache this pin asserts empty.
+    spark.sql("UPDATE graft.pqcmp_t SET s = 'y' WHERE k % 7 = 0") // v2
+    val before = spark.table("graft.pqcmp_t").collect()
+      .map(_.toString).sorted.toSeq
+    val t = tasksDuring {
+      assert(graft.api.GraftApi.optimizeTable(spark,
+        "graft.pqcmp_t") > 0)
+    }
+    assert(t >= 1, "compact launched no Spark task — driver loop?")
+    val v5 = GraftTableStore.commitCount("graft.pqcmp_t") - 1
+    assert(GraftTableStore.commitKind("graft.pqcmp_t", v5) == "parquet",
+      "the compacted head must be a file manifest")
+    // no version of the table was materialized on the driver
+    (0 to v5).foreach(v =>
+      assert(!GraftTableStore.isResolvedCached("graft.pqcmp_t", v),
+        s"compact resolved v$v driver-side"))
+    assert(spark.table("graft.pqcmp_t").collect()
+      .map(_.toString).sorted.toSeq == before, "compact changed reads")
+    // idempotent: nothing left to compact
+    assert(graft.api.GraftApi.optimizeTable(spark, "graft.pqcmp_t") == 0)
+    spark.sql("DROP TABLE graft.pqcmp_t")
+  }
 }
