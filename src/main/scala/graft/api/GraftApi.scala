@@ -560,11 +560,13 @@ object GraftApi {
     * hold — a concurrent commit to ANY written table makes the whole
     * transaction refuse loudly (nothing commits; retry), and no
     * reader can observe one side without the other. Parquet-backed
-    * tables only (identity/generated columns excluded — their
-    * commit-time assignment needs the row path). Returns the new head
-    * version per table. `expectedHeads` overrides the begin-snapshot
-    * for callers that already read at a version (and for conflict
-    * tests). */
+    * tables only; identity columns are refused (their commit-time
+    * value assignment needs the single-table path), while enforced
+    * CHECK constraints and generated columns get full INSERT
+    * semantics task-side. Returns the committed head version per
+    * table, read under the commit lock. `expectedHeads` overrides the
+    * begin-snapshot for callers that already read at a version (and
+    * for conflict tests). */
   def transactAppend(spark: org.apache.spark.sql.SparkSession,
       writes: Seq[(String, DataFrame)],
       expectedHeads: Option[Map[String, Int]] = None): Map[String, Int] = {
@@ -582,16 +584,26 @@ object GraftApi {
       writes.map(w => w._1 -> (GraftTableStore.commitCount(w._1) - 1))
         .toMap)
     // stage every write OUTSIDE the lock — Spark jobs must not block
-    // concurrent commits
+    // concurrent commits. Enforced CHECK constraints evaluate per row
+    // inside the staging pass and generated columns recompute in the
+    // writers (ALWAYS semantics) — a transactional append admits
+    // exactly what a plain INSERT admits; identity assignment needs
+    // the commit-time high-water mark, so identity tables refuse.
     val staged = writes.map { case (t, df) =>
       val m = GraftParquetStore.meta(t).get
+      require(graft.sources.GraftGenerated.identityOf(m.schema).isEmpty,
+        s"transaction: $t has an IDENTITY column — its commit-time " +
+          "value assignment needs the single-table write path")
+      val checks = graft.sources.GraftMergeCatalog.constraintsOf(t)
+        .collect {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check
+            if c.enforced() => (c.name(), c.predicateSql())
+        }.toSeq
       val (files, rows) = GraftParquetStore.stageAppendTaskSide(
-        spark, m, df)
+        spark, m, df, checks)
       (t, files, rows)
     }
     GraftTableStore.commitTransaction(staged, heads)
-    writes.map(w => w._1 ->
-      (GraftTableStore.commitCount(w._1) - 1)).toMap
   }
 
   /** CONTINUOUS MV MAINTENANCE: a streaming query tailing the

@@ -835,7 +835,7 @@ object GraftTableStore {
   private[graft] var failTxnAfterFirstLogWrite = false
   private[graft] def commitTransaction(
       staged: Seq[(String, Vector[GraftFileInfo], Long)],
-      expectedHeads: Map[String, Int]): Unit = lock.synchronized {
+      expectedHeads: Map[String, Int]): Map[String, Int] = lock.synchronized {
     def cleanup(): Unit = staged.foreach(_._2.foreach(f =>
       new java.io.File(f.path).delete()))
     // verify EVERY head first — nothing commits unless all pass
@@ -921,6 +921,11 @@ object GraftTableStore {
         marker.delete()
         ()
     }
+    // the committed head per table, read UNDER the lock — a racing
+    // commit after release must not be reported as this transaction's
+    planned.map { case (name, _, _, _) =>
+      name -> (commitCount(name) - 1)
+    }.toMap
   }
 
   /** Commit a PRE-BUILT file manifest (a deletion-vector DELETE: same

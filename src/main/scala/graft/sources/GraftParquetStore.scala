@@ -892,39 +892,78 @@ object GraftParquetStore {
   /** stage a DataFrame's rows as append files IN SPARK TASKS — the
     * write half of a multi-table transaction (the normal V2 write
     * path cannot be used: it would commit each table independently).
-    * Rows salt into up to 8 groups for write parallelism, each group
-    * task projects visible→physical once, splits by partition key and
-    * stages one file per key; only metadata returns. */
+    * One staging task per INPUT PARTITION, each streaming its rows
+    * straight into [[GraftParquetAppendWriterFactory]]'s incremental
+    * per-partition-key writers — the exact machinery of a plain
+    * INSERT INTO: no parallelism ceiling, no task ever buffers its
+    * rows, only file metadata returns to the driver. Generated
+    * columns recompute task-side with ALWAYS semantics (the factory's
+    * `gens` projection, same as the V2 path), and `checks` —
+    * (name, analyzed boolean flag ordinal past the visible width) —
+    * refuse violating rows loudly, so a transactional append enforces
+    * exactly what a plain INSERT would. */
   private[graft] def stageAppendTaskSide(
       spark: org.apache.spark.sql.SparkSession, m: Meta,
-      df: org.apache.spark.sql.DataFrame)
+      df: org.apache.spark.sql.DataFrame,
+      checks: Seq[(String, String)] = Seq.empty)
       : (Vector[GraftFileInfo], Long) = {
     val visible = GraftColumnMap.visible(m.schema)
     require(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       visible.fields.map(f => (f.name, f.dataType)).toSeq,
       s"transaction write schema ${df.schema.simpleString} does not " +
         s"match the table's ${visible.simpleString}")
-    val rdd = df.queryExecution.toRdd.map(_.copy())
-    val salted = rdd.map(r =>
-      (org.apache.spark.TaskContext.getPartitionId() % 8, r))
-    val staged = salted
-      .groupByKey(math.max(1, math.min(8, rdd.getNumPartitions)))
-      .flatMap { case (_, rows) =>
-        val physProj = UnsafeProjection.create(
-          GraftColumnMap.toPhysical(m.schema))
-        val keyProj = UnsafeProjection.create(m.partFields.map(
-          GraftPartField.keyExpr(_, m.schema)).toIndexedSeq)
-        rows.iterator.map(r => physProj(r).copy(): InternalRow).toVector
-          .groupBy(r =>
-            if (m.partFields.isEmpty) InternalRow.empty
-            else keyProj(r).copy(): InternalRow)
-          .map { case (key, rs) =>
-            stageRewriteFile(m, rs.iterator, key, m.schema.length,
-              m.curSpecId)
+    val width = visible.length
+    val nChecks = checks.length
+    // CHECK predicates evaluate as analyzed boolean columns appended
+    // past the visible width — codegen'd in the staging pass itself,
+    // one job, no extra scan; NULL passes, FALSE refuses (SQL CHECK)
+    val augmented =
+      if (nChecks == 0) df
+      else df.select(df.columns.map(org.apache.spark.sql.functions.col)
+        ++ checks.zipWithIndex.map { case ((_, sql), i) =>
+          org.apache.spark.sql.functions.expr(sql).as(s"__graft_chk_$i")
+        }: _*)
+    val rdd = augmented.queryExecution.toRdd
+    val gens = GraftGenerated.boundGenerators(m.schema)
+    val factory = GraftParquetAppendWriterFactory(m, width, gens)
+    val checkNames = checks.map(_._1).toArray
+    val results: Array[(Vector[GraftFileInfo], Long)] =
+      spark.sparkContext.runJob(rdd,
+        (ctx: org.apache.spark.TaskContext, it: Iterator[InternalRow]) => {
+          val writer = factory.createWriter(ctx.partitionId(),
+            ctx.taskAttemptId())
+          // strip the check flags back off before the write (the
+          // factory expects exactly the visible width)
+          val strip =
+            if (nChecks == 0) null
+            else UnsafeProjection.create(
+              visible.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+                org.apache.spark.sql.catalyst.expressions
+                  .BoundReference(i, f.dataType, nullable = true)
+                : org.apache.spark.sql.catalyst.expressions.Expression
+              })
+          var n = 0L
+          try {
+            while (it.hasNext) {
+              val r = it.next()
+              var c = 0
+              while (c < nChecks) {
+                if (!r.isNullAt(width + c) && !r.getBoolean(width + c))
+                  throw new IllegalStateException(
+                    "transactional append violates enforced CHECK " +
+                      s"constraint ${checkNames(c)} — nothing committed")
+                c += 1
+              }
+              writer.write(if (strip == null) r else strip(r))
+              n += 1
+            }
+            (writer.commit()
+              .asInstanceOf[GraftFilesMessage].files, n)
+          } catch {
+            case t: Throwable => writer.abort(); throw t
           }
-      }
-      .collect().toVector
-    (staged, staged.map(_.rows.toLong).sum)
+        })
+    (results.toVector.flatMap(_._1), results.iterator.map(_._2).sum)
   }
 
   /** MOVE task-staged files under the committed version's directory —

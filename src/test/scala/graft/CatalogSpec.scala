@@ -2009,6 +2009,76 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txc_b")
   }
 
+  test("cross-table transaction gets full INSERT semantics: enforced " +
+      "CHECK constraints refuse violating rows (nothing commits), " +
+      "generated columns recompute ALWAYS task-side, identity tables " +
+      "refuse, and the returned heads are the transaction's own " +
+      "commit versions") {
+    freshCatalog()
+    // --- enforced CHECK: a violating transactional append refuses
+    spark.sql("DROP TABLE IF EXISTS graft.txi_c")
+    spark.sql("CREATE TABLE graft.txi_c (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.txi_c SELECT id, 1.0 FROM range(5)")
+    spark.sql("ALTER TABLE graft.txi_c ADD CONSTRAINT v_pos " +
+      "CHECK (v > 0)")
+    val bad = spark.range(4).selectExpr("id AS k",
+      "CAST(id - 2.0 AS DOUBLE) AS v") // holds v = -2, -1
+    val ex = intercept[Exception] {
+      graft.api.GraftApi.transactAppend(spark,
+        Seq("graft.txi_c" -> bad))
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(ex).contains("v_pos"), rootMsg(ex))
+    assert(spark.table("graft.txi_c").count() == 5,
+      "a constraint-violating transaction must commit NOTHING")
+    // a clean append passes the same gate
+    val ok = spark.range(4).selectExpr("id AS k",
+      "CAST(id + 1.0 AS DOUBLE) AS v")
+    graft.api.GraftApi.transactAppend(spark, Seq("graft.txi_c" -> ok))
+    assert(spark.table("graft.txi_c").count() == 9)
+
+    // --- generated columns: ALWAYS semantics — the supplied value is
+    // recomputed task-side, exactly as a plain INSERT would
+    spark.sql("DROP TABLE IF EXISTS graft.txi_g")
+    spark.sql("CREATE TABLE graft.txi_g (k BIGINT, cents BIGINT " +
+      "GENERATED ALWAYS AS (k * 100)) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    val wrongGen = spark.range(6).selectExpr("id AS k",
+      "CAST(-1 AS BIGINT) AS cents") // wrong on purpose
+    graft.api.GraftApi.transactAppend(spark, Seq("graft.txi_g" -> wrongGen))
+    val gens = spark.table("graft.txi_g").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gens == (0L until 6L).map(k => k -> k * 100).toMap,
+      s"generated column must recompute ALWAYS: $gens")
+
+    // --- identity tables refuse (commit-time value assignment)
+    spark.sql("DROP TABLE IF EXISTS graft.txi_i")
+    spark.sql("CREATE TABLE graft.txi_i (row_id BIGINT " +
+      "GENERATED ALWAYS AS IDENTITY, k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    val exI = intercept[Exception] {
+      graft.api.GraftApi.transactAppend(spark, Seq("graft.txi_i" ->
+        spark.range(3).selectExpr("id AS row_id", "id AS k")))
+    }
+    assert(rootMsg(exI).toLowerCase.contains("identity"), rootMsg(exI))
+
+    // --- returned heads are the transaction's OWN commits, read
+    // under the lock — equal to the pre-commit head + 1 here
+    val headBefore = GraftTableStore.commitCount("graft.txi_c") - 1
+    val ret = graft.api.GraftApi.transactAppend(spark,
+      Seq("graft.txi_c" -> ok))
+    assert(ret == Map("graft.txi_c" -> (headBefore + 1)),
+      s"returned $ret, expected v${headBefore + 1}")
+    Seq("graft.txi_c", "graft.txi_g", "graft.txi_i")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("replayed manifests keep APPEND identity: bloom/DV-carrying " +
       "entries compare by content after a restart, so the feed stays " +
       "file-granular and the stream does not false-flag a rewrite; a " +

@@ -1413,4 +1413,34 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(graft.api.GraftApi.optimizeTable(spark, "graft.pqcmp_t") == 0)
     spark.sql("DROP TABLE graft.pqcmp_t")
   }
+
+  test("transactional staging runs ONE writer task per input " +
+      "partition and streams rows through the incremental append " +
+      "writers — no 8-task groupByKey funnel, no task buffers its " +
+      "group") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqtxs_t")
+    spark.sql("CREATE TABLE graft.pqtxs_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.table("graft.pqtxs_t")
+    val m = GraftParquetStore.meta("graft.pqtxs_t").get
+    // 13 input partitions — above the old path's hard cap of 8
+    val df = spark.range(1300)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").repartition(13)
+    var staged: (Vector[graft.sources.GraftFileInfo], Long) = null
+    val tasks = tasksDuring {
+      staged = GraftParquetStore.stageAppendTaskSide(spark, m, df)
+    }
+    assert(staged._2 == 1300L, s"staged ${staged._2} of 1300 rows")
+    // one staging task per input partition, each with exactly one
+    // open file (unpartitioned table, one key) — 13 staged files
+    // proves the parallelism FOLLOWS the input, not a fixed cap
+    assert(staged._1.size == 13,
+      s"expected 13 staged files (one per input partition), got " +
+        s"${staged._1.size}")
+    assert(tasks >= 13, s"only $tasks tasks ran for 13 partitions")
+    assert(staged._1.map(_.rows).sum == 1300)
+    staged._1.foreach(f => new java.io.File(f.path).delete())
+    spark.sql("DROP TABLE graft.pqtxs_t")
+  }
 }
