@@ -379,14 +379,54 @@ object GraftLog {
     val d = logDir(dir)
     d.mkdirs()
     val name = f"$seq%08d" + (if (isCheckpoint) ".cp.json" else ".json")
-    val tmp = new File(d, name + ".tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try out.write(JsonMethods.compact(JsonMethods.render(body))
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!tmp.renameTo(new File(d, name)))
+    claimAndWrite(new File(d, name),
+      JsonMethods.compact(JsonMethods.render(body)))
+  }
+
+  /** PUT-IF-ABSENT write of one log entry — the cross-process commit
+    * gate. `createNewFile` is an atomic O_EXCL create on the FINAL
+    * name: of two processes sharing a warehouse racing the same
+    * sequence slot, exactly one claims it; the loser gets a loud
+    * conflict instead of the silent last-write-wins a plain
+    * tmp+rename gives on POSIX (rename(2) overwrites an existing
+    * target). The content then lands by renaming a fully-written tmp
+    * over our own zero-byte claim — readers racing the tiny claim
+    * window are handled by [[parse]]'s empty-file retry. This is the
+    * same primitive real formats build on: Delta's
+    * create-if-not-exists log store, Iceberg's catalog CAS. */
+  private def claimAndWrite(target: File, body: String): Unit = {
+    if (!target.createNewFile())
       throw new IllegalStateException(
-        s"graft log: could not commit entry $name under $d")
+        s"graft log: concurrent writer conflict — ${target.getName} " +
+          s"already exists under ${target.getParent} (another process " +
+          "committed this sequence slot); re-read the table and retry")
+    val tmp = new File(target.getAbsolutePath + ".tmp")
+    val out = new java.io.FileOutputStream(tmp)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!tmp.renameTo(target))
+      throw new IllegalStateException(
+        s"graft log: could not commit entry ${target.getName}")
+  }
+
+  /** cross-process OCC probe, run at commit time BEFORE the in-memory
+    * apply: refuse when the on-disk log tail advanced past this
+    * process's sequence counter — another process sharing the
+    * warehouse committed since we last replayed, and committing over
+    * it would fork the table. O(log-dir entries), bounded by
+    * checkpoint GC; the atomic claim in [[claimAndWrite]] remains the
+    * race-proof backstop for the window after this check. */
+  private[sources] def verifyTail(storeName: String): Unit = {
+    val m = GraftParquetStore.meta(storeName).getOrElse(return)
+    val ctr = nextSeq.get(storeName).getOrElse(return)
+    val diskMax = Option(logDir(m.dir).listFiles())
+      .getOrElse(Array.empty[File])
+      .flatMap(f => parseSeq(f.getName)).foldLeft(-1L)(math.max)
+    if (diskMax >= ctr.get())
+      throw new IllegalStateException(
+        s"graft log: concurrent writer detected on $storeName — the " +
+          s"on-disk log is at entry $diskMax, this process expected " +
+          s"${ctr.get() - 1}; re-read the table and retry the commit")
   }
 
   private def seqCounter(storeName: String, dir: String)
@@ -497,6 +537,10 @@ object GraftLog {
       tags: Map[String, Int], ingest: Seq[String] = Seq.empty)
       : Option[(File, String)] = {
     val m = GraftParquetStore.meta(storeName).getOrElse(return None)
+    // the transactional path renders BEFORE applying — this is its
+    // pre-apply cross-process OCC gate (single-table commits run it
+    // in appendLocked instead, also pre-apply)
+    verifyTail(storeName)
     val ctr = seqCounter(storeName, m.dir)
     if (ctr.get() == 0L) checkpoint(storeName)
     val body0: JObject = data match {
@@ -543,17 +587,37 @@ object GraftLog {
       JsonMethods.compact(JsonMethods.render(body))))
   }
 
-  /** atomically write a pre-rendered entry (tmp + rename); no-op when
-    * the target already exists (roll-forward idempotence). */
+  /** atomically write a pre-rendered entry, put-if-absent. A
+    * pre-existing target with the SAME body is the roll-forward
+    * no-op (the entry landed before a crash; recovery re-writes it
+    * idempotently); a pre-existing target with DIFFERENT content is
+    * a concurrent writer that took this sequence slot — refuse
+    * loudly instead of silently clobbering or silently dropping our
+    * entry. */
   private[sources] def writeRendered(target: File, body: String): Unit = {
-    if (target.exists()) return
-    val tmp = new File(target.getAbsolutePath + ".tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!tmp.renameTo(target) && !target.exists())
-      throw new IllegalStateException(
-        s"graft log: could not write rendered entry $target")
+    if (target.exists()) {
+      val existing = new String(
+        java.nio.file.Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8)
+      if (existing == body) return
+      if (existing.nonEmpty)
+        throw new IllegalStateException(
+          s"graft log: concurrent writer conflict — ${target.getName} " +
+            "exists with different content (another process committed " +
+            "this sequence slot); re-read the table and retry")
+      // a ZERO-BYTE target is a crashed writer's bare claim (died
+      // between claim and content rename) — roll-forward owns the
+      // authoritative body, complete the entry in place
+      val tmp = new File(target.getAbsolutePath + ".tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(body.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!tmp.renameTo(target))
+        throw new IllegalStateException(
+          s"graft log: could not complete claimed entry $target")
+      return
+    }
+    claimAndWrite(target, body)
   }
 
   // ---- cross-table transaction markers ---------------------------------
@@ -575,14 +639,11 @@ object GraftLog {
         ("path" -> f.getAbsolutePath) ~ ("body" -> b): JValue
       }))
     val target = new File(txnsDir, s"$txnId.json")
-    val tmp = new File(target.getAbsolutePath + ".tmp")
-    val out = new java.io.FileOutputStream(tmp)
-    try out.write(JsonMethods.compact(JsonMethods.render(body))
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!tmp.renameTo(target))
-      throw new IllegalStateException(
-        s"could not write transaction marker $target")
+    // same put-if-absent discipline as log entries: transaction ids
+    // are UUIDs, so a collision here can only be a foreign process
+    // reusing our id — refuse rather than clobber its decide record
+    claimAndWrite(target,
+      JsonMethods.compact(JsonMethods.render(body)))
     target
   }
 
@@ -674,10 +735,19 @@ object GraftLog {
       (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
     val dir = GraftWarehouse.tableDir(storeName)
     val ld = logDir(dir.getAbsolutePath)
-    val entries = Option(ld.listFiles()).getOrElse(Array.empty[File])
+    var entries = Option(ld.listFiles()).getOrElse(Array.empty[File])
       .flatMap(f => parseSeq(f.getName).map(s =>
         (s, f.getName.endsWith(".cp.json"), f)))
       .sortBy(_._1)
+    // a ZERO-BYTE TAIL entry is a crashed writer's bare claim whose
+    // content never landed: the commit was not durable, so it never
+    // happened — drop the claim and replay the durable prefix. (A
+    // zero-byte entry BELOW the tail would mean later commits built
+    // on a hole; [[parse]] fails loudly on it.)
+    while (entries.nonEmpty && entries.last._3.length() == 0L) {
+      entries.last._3.delete()
+      entries = entries.init
+    }
     if (entries.isEmpty) return None
     val lastCp = entries.filter(_._2).lastOption.getOrElse(
       throw new IllegalStateException(
@@ -815,7 +885,20 @@ object GraftLog {
   }
 
   private def parse(f: File): JValue = {
-    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // a zero-byte file is a LIVE writer's bare claim (content renames
+    // in right behind it) — give it a beat before declaring the log
+    // corrupt; crashed claims at the tail are discarded by attach
+    var bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    var waited = 0
+    while (bytes.isEmpty && waited < 50) {
+      Thread.sleep(20)
+      waited += 1
+      bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    }
+    if (bytes.isEmpty)
+      throw new IllegalStateException(
+        s"graft log: entry $f is empty — a writer crashed between " +
+          "claim and content mid-log; the log is corrupt past this seq")
     JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
   }
 

@@ -445,6 +445,12 @@ object GraftTableStore {
   private def appendLocked(name: String, op: String,
       data: GraftCommitData, branch: Option[String] = None,
       logIt: Boolean = true, atTime: Option[Long] = None): Unit = {
+    // cross-process OCC, BEFORE the in-memory apply: a foreign
+    // process's entries on disk past our counter mean this process's
+    // view of the table is stale — refuse while state is still
+    // consistent (the atomic entry claim backstops the residual race)
+    if (logIt && GraftParquetStore.isBacked(name))
+      GraftLog.verifyTail(name)
     val h = versions.getOrElse(name, History(0, Vector.empty))
     val head = h.commitCount - 1
     // linear-chain discipline: every commit extends the chain head.

@@ -2009,6 +2009,79 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txc_b")
   }
 
+  test("cross-PROCESS commit safety: a foreign log entry at the " +
+      "expected sequence slot makes the next commit refuse LOUDLY — " +
+      "for single-table commits AND cross-table transactions — and " +
+      "the foreign entry is never clobbered") {
+    freshCatalog()
+    def logDirOf(t: String) = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir(t), "_graft_log")
+    def maxSeq(t: String): Long = logDirOf(t).listFiles()
+      .map(_.getName).flatMap(n =>
+        n.stripSuffix(".cp.json").stripSuffix(".json").toLongOption).max
+    def seedForeign(t: String): java.io.File = {
+      val f = new java.io.File(logDirOf(t), f"${maxSeq(t) + 1}%08d.json")
+      java.nio.file.Files.write(f.toPath,
+        """{"a":"commit","v":99,"op":"foreign-writer"}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      f
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    // --- single-table commit
+    spark.sql("DROP TABLE IF EXISTS graft.xp_t")
+    spark.sql("CREATE TABLE graft.xp_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.xp_t SELECT id FROM range(10)")
+    val foreign = seedForeign("graft.xp_t")
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO graft.xp_t SELECT id + 10 FROM range(5)")
+    }
+    assert(rootMsg(ex).contains("concurrent"), rootMsg(ex))
+    // refused BEFORE the in-memory apply: reads are unchanged, and
+    // the foreign writer's entry survives byte-for-byte
+    assert(spark.table("graft.xp_t").count() == 10,
+      "a conflicted commit must not be visible")
+    assert(new String(java.nio.file.Files.readAllBytes(foreign.toPath))
+      .contains("foreign-writer"), "the foreign entry was clobbered")
+    // conflict resolution (here: the foreign entry retracts) unblocks
+    foreign.delete()
+    spark.sql("INSERT INTO graft.xp_t SELECT id + 10 FROM range(5)")
+    assert(spark.table("graft.xp_t").count() == 15)
+
+    // --- cross-table transaction: a foreign entry on EITHER
+    // participant refuses the WHOLE transaction, nothing commits
+    for (t <- Seq("graft.xp_a", "graft.xp_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql(s"INSERT INTO $t SELECT id FROM range(10)")
+    }
+    val foreignB = seedForeign("graft.xp_b")
+    val exT = intercept[Exception] {
+      graft.api.GraftApi.transactAppend(spark, Seq(
+        "graft.xp_a" -> spark.range(5).selectExpr("id + 100 AS k"),
+        "graft.xp_b" -> spark.range(5).selectExpr("id + 200 AS k")))
+    }
+    assert(rootMsg(exT).contains("concurrent"), rootMsg(exT))
+    assert(spark.table("graft.xp_a").count() == 10,
+      "a conflicted transaction must commit NEITHER side")
+    assert(spark.table("graft.xp_b").count() == 10)
+    assert(new String(java.nio.file.Files.readAllBytes(foreignB.toPath))
+      .contains("foreign-writer"))
+    foreignB.delete()
+    graft.api.GraftApi.transactAppend(spark, Seq(
+      "graft.xp_a" -> spark.range(5).selectExpr("id + 100 AS k"),
+      "graft.xp_b" -> spark.range(5).selectExpr("id + 200 AS k")))
+    assert(spark.table("graft.xp_a").count() == 15)
+    assert(spark.table("graft.xp_b").count() == 15)
+    Seq("graft.xp_t", "graft.xp_a", "graft.xp_b")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("cross-table transaction gets full INSERT semantics: enforced " +
       "CHECK constraints refuse violating rows (nothing commits), " +
       "generated columns recompute ALWAYS task-side, identity tables " +
