@@ -217,10 +217,20 @@ object GraftApi {
   // loads here, and the watermark says exactly which commits are
   // already folded (no double-apply, no gap). In-memory caches clear
   // with the restart simulation via a registered hook.
-  private lazy val mvRestartHook: Unit =
+  private lazy val mvRestartHook: Unit = {
     graft.sources.GraftLog.registerRestartHook { () =>
       mvDefs.clear(); gwDefs.clear()
     }
+    // DROP TABLE on an MV retires its definition sidecar and caches —
+    // otherwise sumDefOf/gwDefOf resurrect the stale definition after
+    // a restart and sidecars accumulate forever
+    graft.sources.GraftMergeCatalog.registerDropHook { name =>
+      mvDefs.remove(name); gwDefs.remove(name)
+      mvLocks.remove(name); gwLocks.remove(name)
+      val f = mvSidecar(name)
+      if (f.isFile) { f.delete(); () }
+    }
+  }
   private def mvSidecar(mv: String): java.io.File = {
     val d = new java.io.File(graft.sources.GraftWarehouse.root, "mvs")
     d.mkdirs()
@@ -380,8 +390,22 @@ object GraftApi {
     * of change rows folded. */
   private def foldMvChanges(spark: org.apache.spark.sql.SparkSession,
       mv: String, changes: DataFrame): Long = mvLock(mv).synchronized {
-    val d = sumDefOf(mv).getOrElse(throw new IllegalArgumentException(
+    val d0 = sumDefOf(mv).getOrElse(throw new IllegalArgumentException(
       s"$mv is not a registered materialized view"))
+    // force the MV TABLE's lazy log attach before the watermark read —
+    // a fresh process restores the commit-carried watermark during
+    // replay, and reading the map first would see a hole
+    spark.table(mv)
+    // the AUTHORITATIVE watermark is the one that rode the MV's own
+    // MERGE commit (durable atomically with the fold — no crash
+    // window); the sidecar value backstops a pre-first-fold MV. Take
+    // the max: a crash between the MERGE commit and the sidecar write
+    // leaves the sidecar one window behind, and re-folding that
+    // window would double-apply the sum deltas.
+    val effectiveLast = graft.sources.GraftTableStore.mvWatermarkOf(mv)
+      .map(_.toInt).map(math.max(_, d0.lastVersion))
+      .getOrElse(d0.lastVersion)
+    val d = d0.copy(lastVersion = effectiveLast)
     // cache: the feed materializes snapshot DIFFS driver-side (the
     // documented CDC cost) — the count, max-version readout and the
     // MERGE below must not pay for it three times
@@ -405,6 +429,10 @@ object GraftApi {
       val on = d.groupCols.map(c => s"t.$c <=> s.$c").mkString(" AND ")
       val gList = d.groupCols.mkString(", ")
       val sList = d.groupCols.map(c => s"s.$c").mkString(", ")
+      // the new watermark rides INSIDE the MERGE's commit (consumed by
+      // the commit path on this thread) — durable atomically with the
+      // fold itself, the no-double-apply guarantee
+      graft.sources.GraftTableStore.beginMvFold(mv, newLast.toLong)
       spark.sql(
         s"""MERGE INTO $mv t USING $viewName s ON $on
            |WHEN MATCHED AND t.${d.countAlias} + s.__dn = 0 THEN DELETE
@@ -418,7 +446,13 @@ object GraftApi {
       persistMv(mv, "sum", d.source, d.groupCols, d.sumCol,
         Seq(d.countAlias, d.sumAlias), newLast)
       nChanges
-    } finally { fresh.unpersist(); () }
+    } finally {
+      // a MERGE whose delta view net-cancelled commits nothing — the
+      // armed watermark must not leak onto this thread's next commit
+      graft.sources.GraftTableStore.abortMvFold()
+      fresh.unpersist()
+      ()
+    }
   }
 
   /** GROUP-WISE RECOMPUTE MVs: the incremental-maintenance fallback

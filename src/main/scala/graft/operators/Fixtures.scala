@@ -288,9 +288,11 @@ object Fixtures {
     }
 
   /** Embedding-space twin of keepList: materialized cosine-cluster map
-    * keyed on the embeddings fingerprint. */
+    * keyed on the embeddings fingerprint. The dir name is versioned to
+    * the LSH-fed builder (round 13) so a stale fixture from the exact
+    * O(n²) miner era can never satisfy the new oracle. */
   def embKeepList(s: SparkSession, sfDir: String)(build: => org.apache.spark.sql.DataFrame): String =
-    writeOnce(dirFor(sfDir, "embeddings", "emb_keep_list")) { dir =>
+    writeOnce(dirFor(sfDir, "embeddings", "emb_keep_list_lsh")) { dir =>
       build.write.mode(SaveMode.Overwrite).parquet(dir)
     }
 

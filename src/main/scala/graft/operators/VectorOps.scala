@@ -1482,11 +1482,16 @@ object VectorOps extends QueryModule {
     // each cluster map once per corpus snapshot; dedup_clusters /
     // dedup_embedding price the live computation), so this query is
     // three keyed joins + a narrow filter: every shuffle is by doc_id.
+    // The embedding keep-list builds from the SAME sub-quadratic LSH
+    // candidate feed as dedup_embedding (round 13 — the last cosinePairs
+    // caller outside sim_cosine_pairs): at 100 TB even a once-per-corpus
+    // fixture must not be quadratic. Oracle stays exact via the
+    // deterministic duckLshKeyed candidate replay.
     "pipeline_multimodal_set" -> ((s, d) => {
       val embKeepDir = Fixtures.embKeepList(s, d)(
         GraphOps.connectedComponents(
           Tables.embeddings(s, d).select(col("vec_id").as("doc_id")),
-          cosinePairs(s, d)))
+          scaledPairs(s, d)))
       val textKeep = s.read.schema(Fixtures.keepListSchema)
         .parquet(TextOps.keepListDir(s, d))
         .where(col("doc_id") === col("rep")).select(col("doc_id"))
@@ -2118,7 +2123,9 @@ object VectorOps extends QueryModule {
         |ORDER BY vec_id""".stripMargin,
     // both cluster closures + the quality gate, composed — the naive
     // definition of the whole pipeline (lambda vars renamed z to avoid
-    // shadowing the CTE names)
+    // shadowing the CTE names). The embedding closure replays the
+    // seed-42 LSH candidate relation (duckLshKeyed) + exact-dot verify,
+    // matching the Spark side's sub-quadratic scaledPairs feed.
     "pipeline_multimodal_set" ->
       s"""WITH RECURSIVE t AS (${TextOps.duckShingles}),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
@@ -2129,11 +2136,12 @@ object VectorOps extends QueryModule {
         |reach(a, b) AS (SELECT a, b FROM e
         |                UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
         |m AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a),
-        |cj AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |        round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
-        |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4) AS sim
-        |      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
-        |cp AS (SELECT id1, id2 FROM cj WHERE sim >= 0.4),
+        |$duckLshKeyed,
+        |cp AS (SELECT c.id1, c.id2 FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.id1
+        |  JOIN embeddings b ON b.vec_id = c.id2
+        |  WHERE round(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+        |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum'), 4) >= 0.4),
         |ce AS (SELECT id1 AS a, id2 AS b FROM cp UNION SELECT id2, id1 FROM cp),
         |creach(a, b) AS (SELECT a, b FROM ce
         |                 UNION SELECT r.a, ce.b FROM creach r JOIN ce ON r.b = ce.a),

@@ -476,7 +476,8 @@ object GraftLog {
       ("tags" -> JObject(h.tags.toList.sortBy(_._1)
         .map { case (k, v) => k -> JInt(v): JField })) ~
       ("ingested" -> GraftTableStore.ingestedFor(storeName).toList.sorted) ~
-      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
+      ("hwm" -> GraftTableStore.identityHwmValue(storeName)) ~
+      ("mvwm" -> GraftTableStore.mvWatermarkValue(storeName))
   }
 
   /** write a full-state checkpoint and GC the entries it subsumes.
@@ -579,7 +580,8 @@ object GraftLog {
       ("tags" -> JObject(tags.toList.sortBy(_._1)
         .map { case (k, x) => k -> JInt(x): JField })) ~
       ("ingest" -> ingest.toList) ~
-      ("hwm" -> GraftTableStore.identityHwmValue(storeName))
+      ("hwm" -> GraftTableStore.identityHwmValue(storeName)) ~
+      ("mvwm" -> GraftTableStore.mvWatermarkValue(storeName))
     val seq = ctr.getAndIncrement()
     val d = logDir(m.dir)
     d.mkdirs()
@@ -791,6 +793,11 @@ object GraftLog {
       case JLong(n) => Some(n)
       case _ => None
     }
+    var mvWm: Option[Long] = cp \ "mvwm" match {
+      case JInt(n) => Some(n.toLong)
+      case JLong(n) => Some(n)
+      case _ => None
+    }
     // fold post-checkpoint entries
     entries.filter(e => !e._2 && e._1 > lastCp._1).foreach { case (_, _, f) =>
       val e = parse(f)
@@ -840,6 +847,11 @@ object GraftLog {
             case JLong(n) => hwm = Some(n)
             case _ =>
           }
+          e \ "mvwm" match {
+            case JInt(n) => mvWm = Some(n.toLong)
+            case JLong(n) => mvWm = Some(n)
+            case _ =>
+          }
         case "ref" =>
           h = h.copy(branches = unjRefMap(e \ "branches"),
             tags = unjRefMap(e \ "tags"))
@@ -867,7 +879,7 @@ object GraftLog {
     }
     // install: store registration, history, ledgers, catalog def
     GraftParquetStore.restoreMeta(storeName, m)
-    GraftTableStore.restoreState(storeName, h, ingested, hwm)
+    GraftTableStore.restoreState(storeName, h, ingested, hwm, mvWm)
     seqCounter(storeName, m.dir) // seed past existing entries
     val t = new GraftMergeTable(storeName, m.schema, None, morRowId,
       m.partFields, constraints)

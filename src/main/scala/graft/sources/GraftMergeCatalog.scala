@@ -180,6 +180,8 @@ object GraftTableStore {
     lastEpochs.keySet().removeIf(_._1 == name)
     ingestedFiles.remove(name)
     identityHwm.remove(name)
+    mvWatermarks.remove(name)
+    GraftChangeFeed.evictStaged(name)
     GraftLog.forget(name)
     ()
   }
@@ -202,11 +204,13 @@ object GraftTableStore {
   /** install a log-replayed state — the attach path of a process that
     * never saw this table ([[GraftLog.attach]]). */
   private[sources] def restoreState(name: String, h: History,
-      ingested: Set[String], hwm: Option[Long]): Unit = lock.synchronized {
+      ingested: Set[String], hwm: Option[Long],
+      mvWm: Option[Long] = None): Unit = lock.synchronized {
     versions.put(name, h)
     if (ingested.nonEmpty) ingestedFiles.put(name, ingested)
     hwm.foreach(v => identityHwm.put(name,
       new java.util.concurrent.atomic.AtomicLong(v)))
+    mvWm.foreach(v => mvWatermarks.put(name, v))
     ()
   }
 
@@ -220,7 +224,9 @@ object GraftTableStore {
       .foreach(resolvedCache.remove)
     ingestedFiles.remove(name)
     identityHwm.remove(name)
+    mvWatermarks.remove(name)
     lastEpochs.keySet().removeIf(_._1 == name)
+    GraftChangeFeed.evictStaged(name)
     ()
   }
 
@@ -241,6 +247,29 @@ object GraftTableStore {
     pendingIngest.set(Some((name, paths)))
   private[graft] def abortIngest(name: String): Unit =
     pendingIngest.remove()
+
+  /** MATERIALIZED-VIEW REFRESH WATERMARKS riding commits (round 13):
+    * the source version an MV's state reflects must become durable IN
+    * the refresh MERGE's own commit — a sidecar written after the
+    * MERGE leaves a crash window where the deltas applied but the
+    * watermark says they did not, and the next refresh double-applies
+    * the same commit range. Same thread-local discipline as the COPY
+    * INTO ledger: the fold arms the pending value on its own driver
+    * thread, the MERGE's commit to that table consumes it under the
+    * lock, the log entry carries it (`mvwm`), and replay restores it —
+    * exactly-once across a crash. */
+  private val mvWatermarks = new TrieMap[String, Long]()
+  private val pendingMvWatermark =
+    new ThreadLocal[Option[(String, Long)]] {
+      override def initialValue(): Option[(String, Long)] = None
+    }
+  private[graft] def beginMvFold(name: String, version: Long): Unit =
+    pendingMvWatermark.set(Some((name, version)))
+  private[graft] def abortMvFold(): Unit = pendingMvWatermark.remove()
+  private[graft] def mvWatermarkOf(name: String): Option[Long] =
+    mvWatermarks.get(name)
+  private[sources] def mvWatermarkValue(name: String): Option[Long] =
+    mvWatermarks.get(name)
 
   /** IDENTITY COLUMN high-water marks (GENERATED ... AS IDENTITY):
     * one atomic counter per table, seeded from the declared START at
@@ -521,6 +550,15 @@ object GraftTableStore {
     }
     if (ingest.nonEmpty)
       ingestedFiles.put(name, ingestedFor(name) ++ ingest)
+    // an MV refresh's watermark rides ITS commit the same way — the
+    // fold armed it on this thread, the MERGE's commit consumes it
+    pendingMvWatermark.get() match {
+      case Some((n, v)) if n == name =>
+        pendingMvWatermark.remove()
+        mvWatermarks.put(name, v)
+        ()
+      case _ => ()
+    }
     // DURABILITY: a file-backed table's commit appends to its on-disk
     // transaction log; a commit that trimmed retention checkpoints the
     // full state instead (and GCs the entries the checkpoint subsumes).
@@ -1598,6 +1636,19 @@ object GraftMergeCatalog {
   private val registry =
     new TrieMap[(String, Identifier), GraftMergeTable]()
 
+  /** DROP TABLE hooks — higher layers (the MV machinery in GraftApi)
+    * register cleanup keyed by store name, so dropping a materialized
+    * view's table also retires its definition sidecar and caches
+    * instead of letting a stale definition resurrect after restart. */
+  private val dropHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  private[graft] def registerDropHook(f: String => Unit): Unit = {
+    dropHooks.add(f)
+    ()
+  }
+  private[sources] def runDropHooks(storeName: String): Unit =
+    dropHooks.forEach(f => f(storeName))
+
   /** SQL VIEW registry (ViewCatalog): the stored definition is the raw
     * SQL text plus the session context it was written in (current
     * catalog/namespace) and the CREATE-time schema — exactly what
@@ -2280,7 +2331,10 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
 
   override def dropTable(ident: Identifier): Boolean =
     registry.remove(key(ident)) match {
-      case Some(t) => GraftTableStore.reset(t.name()); true
+      case Some(t) =>
+        GraftTableStore.reset(t.name())
+        GraftMergeCatalog.runDropHooks(t.name())
+        true
       case None => false
     }
 
@@ -4824,12 +4878,21 @@ object GraftChangeFeed {
     * objects (and bloom/DV arrays compare by reference under case-class
     * equality), so fall back to the identifying fields — path names the
     * immutable bytes, and a deletion-vector swap (same path, new
-    * bitmap) changes the DV cardinality, which is exactly the in-place
-    * mutation the append check must NOT see through. */
+    * bitmap) is exactly the in-place mutation the append check must
+    * NOT see through. DV bitmaps compare by CONTENT, not cardinality:
+    * a restore-then-different-delete sequence can produce two distinct
+    * bitmaps of equal cardinality on the same path, and calling those
+    * "unchanged" would make the change feed serve wrong rows. */
   private[sources] def sameEntry(a: GraftFileInfo,
       b: GraftFileInfo): Boolean =
     (a eq b) || (a.path == b.path && a.rows == b.rows &&
-      a.dv.map(_.card) == b.dv.map(_.card))
+      ((a.dv, b.dv) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) =>
+          x.card == y.card &&
+            ((x.words eq y.words) || x.words.sameElements(y.words))
+        case _ => false
+      }))
 
   private[sources] def extendsAsPrefix(cur: Vector[GraftFileInfo],
       prev: Vector[GraftFileInfo]): Boolean =
@@ -4930,11 +4993,21 @@ object GraftChangeFeed {
     * inserts are read task-side from exactly those files, the property
     * the spec pins); every other commit contributes one O(its changes)
     * row partition computed per the metadata derivation above. */
+  /** driver-resident feed rows chunk into bounded partitions instead
+    * of one funnel: a 100 GB MERGE's op log is O(changes) by design,
+    * but serving it as a single InputPartition made every downstream
+    * stage single-task — split so consumers parallelize. */
+  private val FeedChunkRows = 4096
+
   private[graft] def planParts(table: String, schema: StructType,
       idOrd: Int, fromCommit: Int, toCommit: Int): Array[InputPartition] = {
     val vis = GraftColumnMap.visible(schema)
     val ords = GraftColumnMap.physOrds(schema)
     val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    def rowParts(rows: Array[InternalRow]): Unit =
+      rows.grouped(FeedChunkRows).foreach { chunk =>
+        parts += GraftInputPartition(chunk)
+      }
     var v = fromCommit
     while (v < toCommit) {
       GraftTableStore.commitInfo(table, v) match {
@@ -4948,22 +5021,183 @@ object GraftChangeFeed {
                   ords, vis.fields.map(_.dataType), v)
               }
             case None =>
-              val rows = changesOfCommit(table, schema, idOrd, v)
-              if (rows.nonEmpty) parts += GraftInputPartition(rows)
+              // CoW rewrite: serve the manifest diff task-side
+              cowDiffParts(table, schema, idOrd, v) match {
+                case Some(ps) => parts ++= ps
+                case None =>
+                  rowParts(changesOfCommit(table, schema, idOrd, v))
+              }
           }
         case _ =>
-          val rows = changesOfCommit(table, schema, idOrd, v)
-          if (rows.nonEmpty) parts += GraftInputPartition(rows)
+          rowParts(changesOfCommit(table, schema, idOrd, v))
       }
       v += 1
     }
     parts.toArray
   }
 
+  // ---- DISTRIBUTED CoW CHANGE DATA (round 13) ------------------------
+
+  /** staged `_change_data` files, memoized per (table, version): the
+    * Delta-CDF shape, computed LAZILY at first feed read over a CoW
+    * rewrite commit instead of at commit time. The manifest diff names
+    * the removed and added files; their live rows key-diff in one
+    * distributed cogroup (shuffle payload: id + visible row, never the
+    * snapshots); the change rows stage as parquet under `_graft_cdf/`
+    * (excluded from retention GC; swept with unretained versions by
+    * VACUUM). The driver sees only file metadata — replacing the
+    * snapshotDiff fallback that materialized BOTH adjacent versions
+    * driver-side, O(table) per REPLACE WHERE / INSERT OVERWRITE /
+    * truncate / restore commit. */
+  private val changeDataCache =
+    new TrieMap[(String, Int), Vector[GraftFileInfo]]()
+  private[sources] def evictStaged(table: String): Unit =
+    changeDataCache.keysIterator.filter(_._1 == table)
+      .foreach(changeDataCache.remove)
+  /** test probe: was commit `v`'s feed served from staged change-data
+    * files (the distributed path), not a driver snapshot diff? */
+  private[graft] def isChangeDataStaged(table: String, v: Int): Boolean =
+    changeDataCache.contains((table, v))
+
+  /** plan a CoW rewrite commit's feed from its MANIFEST DIFF: DV
+    * swaps become position-diff partitions (the changed bits name the
+    * rows — zero bytes rewritten, zero bytes diffed beyond the one
+    * file), removed∖added files key-diff distributed and serve as
+    * staged change-data file partitions. None when the adjacent
+    * manifest is unavailable (expired / legacy in-memory shapes keep
+    * the snapshot-diff fallback). */
+  private def cowDiffParts(table: String, schema: StructType,
+      idOrd: Int, v: Int): Option[Array[InputPartition]] = {
+    if (v == 0) return None
+    val m = GraftParquetStore.meta(table).getOrElse(return None)
+    val cur = GraftTableStore.commitInfo(table, v) match {
+      case Some((_, p: GraftTableStore.GraftParquetData)) => p
+      case _ => return None
+    }
+    val prev = GraftTableStore.commitInfo(table, v - 1) match {
+      case Some((_, p: GraftTableStore.GraftParquetData)) => p
+      case _ => return None
+    }
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val visTypes = vis.fields.map(_.dataType)
+    val prevByPath = prev.files.map(f => f.path -> f).toMap
+    val curByPath = cur.files.map(f => f.path -> f).toMap
+    // a path on both sides with different ROW counts would be an
+    // in-place byte rewrite — this store never produces one; leave
+    // the shape to the fallback rather than serve a wrong diff
+    if (cur.files.exists(nf => prevByPath.get(nf.path)
+        .exists(pf => !sameEntry(nf, pf) && pf.rows != nf.rows)))
+      return None
+    val parts = scala.collection.mutable.ArrayBuffer[InputPartition]()
+    // in-place DV swaps: the changed bitmap positions ARE the changes
+    cur.files.foreach { nf =>
+      prevByPath.get(nf.path) match {
+        case Some(pf) if !sameEntry(nf, pf) =>
+          parts += GraftCdfDvDiffPartition(pf, nf, m.schema, ords,
+            visTypes, v)
+        case _ => ()
+      }
+    }
+    val removed = prev.files.filterNot(f => curByPath.contains(f.path))
+    val added = cur.files.filterNot(f => prevByPath.contains(f.path))
+    if (removed.nonEmpty || added.nonEmpty) {
+      // memoized staging; the lock only serializes rare first-reads
+      val staged = changeDataCache.synchronized {
+        changeDataCache.getOrElseUpdate((table, v),
+          stageCowDiff(table, m, removed, added, schema, idOrd, v))
+      }
+      staged.foreach { f =>
+        parts += GraftCdfStagedPartition(Vector(f), cdfSchema(vis))
+      }
+    }
+    Some(parts.toArray)
+  }
+
+  /** distributed key-diff of a rewrite commit's removed vs added
+    * files, staged as change-data parquet. One read task per file,
+    * one cogroup shuffle keyed by row id (payload: visible row), one
+    * writer task per shuffle partition; only file metadata returns. */
+  private def stageCowDiff(table: String, m: GraftParquetStore.Meta,
+      removed: Vector[GraftFileInfo], added: Vector[GraftFileInfo],
+      schema: StructType, idOrd: Int, v: Int): Vector[GraftFileInfo] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val visTypes = vis.fields.map(_.dataType)
+    val idType = schema(idOrd).dataType
+    val outSchema = cdfSchema(vis)
+    def keyedRows(files: Vector[GraftFileInfo]) =
+      sc.parallelize(files, math.max(1, files.length)).flatMap { f =>
+        GraftParquetStore.readFile(f, schema, Array.range(0, f.numCols))
+          .map { r =>
+            val vals = new Array[Any](visTypes.length)
+            var i = 0
+            while (i < visTypes.length) {
+              vals(i) =
+                if (ords(i) < r.numFields) r.get(ords(i), visTypes(i))
+                else null
+              i += 1
+            }
+            val k = if (idOrd < r.numFields) r.get(idOrd, idType) else null
+            (k, new GenericInternalRow(vals): InternalRow)
+          }
+      }
+    val nParts = math.max(1, math.min(sc.defaultParallelism * 2,
+      removed.length + added.length))
+    val diffed = keyedRows(removed).cogroup(keyedRows(added), nParts)
+      .flatMap { case (_, (rs, as)) =>
+        if (rs.size > 1 || as.size > 1)
+          throw new IllegalStateException(
+            s"change feed of $table: duplicate row ids inside one " +
+              "rewrite commit — the merge-on-read row id must be " +
+              "unique per snapshot")
+        def out(r: InternalRow, ct: String): InternalRow = {
+          val vals = new Array[Any](visTypes.length + 2)
+          var i = 0
+          while (i < visTypes.length) {
+            vals(i) = r.get(i, visTypes(i))
+            i += 1
+          }
+          vals(visTypes.length) = UTF8String.fromString(ct)
+          vals(visTypes.length + 1) = v.toLong
+          new GenericInternalRow(vals): InternalRow
+        }
+        (rs.headOption, as.headOption) match {
+          case (Some(r), None) => Iterator.single(out(r, "delete"))
+          case (None, Some(a)) => Iterator.single(out(a, "insert"))
+          case (Some(r), Some(a)) =>
+            if (r == a) Iterator.empty // rewritten unchanged
+            else Iterator(out(r, "update_preimage"),
+              out(a, "update_postimage"))
+          case (None, None) => Iterator.empty
+        }
+      }
+    val dir = new java.io.File(m.dir, f"_graft_cdf/v$v%05d")
+    if (dir.exists()) {
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.delete())
+    }
+    dir.mkdirs()
+    val staged = sc.runJob(diffed,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[InternalRow]) => {
+        if (!it.hasNext) Vector.empty[GraftFileInfo]
+        else {
+          val h = new GraftParquetStore.GraftFileHandle(outSchema,
+            outSchema.length,
+            new java.io.File(dir, f"c${ctx.partitionId()}%05d.parquet")
+              .getAbsolutePath,
+            InternalRow.empty)
+          it.foreach(h.add)
+          Vector(h.close())
+        }
+      })
+    staged.toVector.flatten
+  }
+
   /** the FALLBACK diff of ONE commit: full snapshot materialization —
-    * only the commit kinds commit metadata cannot answer (CoW
-    * rewrites: replace / overwrite / truncate / restore and legacy
-    * in-memory full commits) pay it. */
+    * only the commit kinds commit metadata cannot answer (legacy
+    * in-memory full commits; expired adjacent manifests) pay it. */
   private def snapshotDiff(table: String, schema: StructType,
       idOrd: Int, v: Int): Array[InternalRow] = {
     val idType = schema(idOrd).dataType
@@ -5015,6 +5249,22 @@ case class GraftCdfFilePartition(files: Vector[GraftFileInfo],
     visTypes: Array[org.apache.spark.sql.types.DataType], version: Int)
     extends InputPartition
 
+/** staged change-data files (the distributed CoW diff): rows already
+  * carry the full CDF shape (visible cols + _change_type +
+  * _commit_version) — the task reads them verbatim. */
+case class GraftCdfStagedPartition(files: Vector[GraftFileInfo],
+    cdfSchema: StructType) extends InputPartition
+
+/** an in-place deletion-vector swap served position-wise: the task
+  * reads the ONE affected file's physical records and emits rows whose
+  * deleted-bit flipped — set in new but not old → `delete`; cleared
+  * (a restore direction) → `insert`. Zero other bytes touched. */
+case class GraftCdfDvDiffPartition(prevEntry: GraftFileInfo,
+    curEntry: GraftFileInfo, physSchema: StructType,
+    visOrds: Array[Int],
+    visTypes: Array[org.apache.spark.sql.types.DataType], version: Int)
+    extends InputPartition
+
 /** reader factory of the change feed: dispatches row partitions (the
   * O(changes) metadata derivations and the CoW fallback) and
   * file-granular insert partitions. */
@@ -5048,6 +5298,54 @@ object GraftCdfReaderFactory extends PartitionReaderFactory {
             cur = new GenericInternalRow(vals)
             true
           }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case sp: GraftCdfStagedPartition =>
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val it = sp.files.iterator.flatMap(file =>
+            GraftParquetStore.readFile(file, sp.cdfSchema,
+              Array.range(0, file.numCols)))
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!it.hasNext) false
+            else { cur = it.next(); true }
+          override def get(): InternalRow = cur
+          override def close(): Unit = ()
+        }
+      case dp: GraftCdfDvDiffPartition =>
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+          private def del(e: GraftFileInfo, pos: Int): Boolean =
+            e.dv.exists(_.deleted(pos))
+          private val it = GraftParquetStore
+            .readFileRaw(dp.curEntry, dp.physSchema,
+              Array.range(0, dp.curEntry.numCols))
+            .zipWithIndex.flatMap { case (r, pos) =>
+              val was = del(dp.prevEntry, pos)
+              val is = del(dp.curEntry, pos)
+              if (was == is) Iterator.empty
+              else {
+                val vals = new Array[Any](dp.visOrds.length + 2)
+                var i = 0
+                while (i < dp.visOrds.length) {
+                  vals(i) =
+                    if (dp.visOrds(i) < r.numFields)
+                      r.get(dp.visOrds(i), dp.visTypes(i))
+                    else null
+                  i += 1
+                }
+                vals(dp.visOrds.length) = org.apache.spark.unsafe.types
+                  .UTF8String.fromString(if (is) "delete" else "insert")
+                vals(dp.visOrds.length + 1) = dp.version.toLong
+                Iterator.single(
+                  new GenericInternalRow(vals): InternalRow)
+              }
+            }
+          private var cur: InternalRow = _
+          override def next(): Boolean =
+            if (!it.hasNext) false
+            else { cur = it.next(); true }
           override def get(): InternalRow = cur
           override def close(): Unit = ()
         }

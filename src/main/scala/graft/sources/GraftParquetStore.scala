@@ -993,7 +993,8 @@ object GraftParquetStore {
       referenced: Set[String]): Int = metas.get(name).map { m =>
     var deleted = 0
     Option(new java.io.File(m.dir).listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName != "_graft_log")
+      .filter(d => d.isDirectory && d.getName != "_graft_log" &&
+        d.getName != "_graft_cdf") // staged change-data has its own sweep
       .foreach { vdir =>
         Option(vdir.listFiles()).getOrElse(Array.empty).foreach { f =>
           if (!referenced.contains(f.getAbsolutePath)) {

@@ -663,4 +663,63 @@ class ApiSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvdur_mv")
     spark.sql("DROP TABLE graft.mvdur_gw")
   }
+
+  test("MV watermark rides the fold's OWN commit: a crash between the " +
+      "MERGE and the sidecar write (stale sidecar) cannot double-apply " +
+      "sum deltas, and DROP TABLE retires the definition sidecar") {
+    mvCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.mvwm_src")
+    spark.sql("CREATE TABLE graft.mvwm_src (k BIGINT, g STRING, " +
+      "cents BIGINT) TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.mvwm_src SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id * 10 " +
+      "FROM range(40)")
+    GraftApi.createMaterializedView(spark, "graft.mvwm_mv",
+      "graft.mvwm_src", Seq("g"), "n", "cents", "s")
+    val sidecar = new java.io.File(
+      new java.io.File(graft.sources.GraftWarehouse.root, "mvs"),
+      java.net.URLEncoder.encode("graft.mvwm_mv",
+        java.nio.charset.StandardCharsets.UTF_8) + ".json")
+    assert(sidecar.isFile, s"expected MV sidecar at $sidecar")
+    val preFoldSidecar = java.nio.file.Files.readAllBytes(sidecar.toPath)
+    spark.sql("UPDATE graft.mvwm_src SET cents = cents + 7 " +
+      "WHERE k % 3 = 0")
+    GraftApi.refreshMaterializedView(spark, "graft.mvwm_mv") // folds v1
+    val folded = spark.table("graft.mvwm_mv").orderBy("g")
+      .collect().map(_.toString).toSeq
+    // CRASH WINDOW SIMULATION: the MERGE committed (durable in the MV
+    // table's log, watermark riding inside it) but the process died
+    // before the sidecar write — the sidecar reverts to its pre-fold
+    // content, then the process restarts
+    java.nio.file.Files.write(sidecar.toPath, preFoldSidecar)
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.mvwm_src", "graft.mvwm_mv"))
+    // the commit-carried watermark is authoritative: the already-
+    // folded window re-folds ZERO rows (a lost watermark would
+    // double-apply 7-cent deltas here) and the state is unchanged
+    assert(GraftApi.refreshMaterializedView(spark, "graft.mvwm_mv")
+      ._1 == 0L, "stale sidecar must not re-fold the committed window")
+    assert(spark.table("graft.mvwm_mv").orderBy("g")
+      .collect().map(_.toString).toSeq == folded,
+      "double-applied deltas after the crash window")
+    // maintenance continues: new DML folds and equals full recompute
+    spark.sql("DELETE FROM graft.mvwm_src WHERE k % 4 = 2")
+    GraftApi.refreshMaterializedView(spark, "graft.mvwm_mv")
+    val expect = spark.table("graft.mvwm_src").groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .orderBy("g").collect().map(_.toString).toSeq
+    assert(spark.table("graft.mvwm_mv").orderBy("g")
+      .collect().map(_.toString).toSeq == expect)
+    // DROP TABLE on the MV retires the sidecar and the cached def —
+    // no resurrection after a restart, no sidecar accumulation
+    spark.sql("DROP TABLE graft.mvwm_mv")
+    assert(!sidecar.exists(),
+      "DROP TABLE must delete the MV definition sidecar")
+    val ex = intercept[IllegalArgumentException] {
+      GraftApi.refreshMaterializedView(spark, "graft.mvwm_mv")
+    }
+    assert(ex.getMessage.contains("not a registered materialized view"))
+    spark.sql("DROP TABLE graft.mvwm_src")
+  }
 }

@@ -774,6 +774,102 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cmapl_t")
   }
 
+  test("CoW rewrite feeds serve the MANIFEST DIFF task-side: a " +
+      "REPLACE WHERE window stages change-data files and materializes " +
+      "ZERO driver rows, a DV delete serves a position diff, and a " +
+      "large MoR op log chunks into multiple partitions") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.cowcdf_t")
+    spark.sql("CREATE TABLE graft.cowcdf_t (k BIGINT, g STRING, " +
+      "v DOUBLE) TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.cowcdf_t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, " +
+      "CAST(id AS DOUBLE) FROM range(100)") // v0
+    spark.sql("INSERT INTO graft.cowcdf_t REPLACE WHERE g = 'a' " +
+      "SELECT id, 'a', CAST(id + 1000 AS DOUBLE) " +
+      "FROM range(0, 60, 2)") // v1: 30 keys update, 20 keys die
+    val feed = spark.read.option("startingVersion", "1")
+      .option("endingVersion", "1").table("graft.cowcdf_t.changes")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    val expect =
+      (0L until 60L by 2).flatMap(k => Seq(
+        (k, "a", k.toDouble, "update_preimage"),
+        (k, "a", k + 1000.0, "update_postimage"))).toSet ++
+      (60L until 100L by 2).map(k => (k, "a", k.toDouble, "delete"))
+    assert(feed == expect,
+      s"missing: ${expect -- feed}; extra: ${feed -- expect}")
+    // the distributed path served it: change-data staged, neither
+    // adjacent snapshot materialized on the driver
+    assert(graft.sources.GraftChangeFeed
+      .isChangeDataStaged("graft.cowcdf_t", 1),
+      "REPLACE WHERE feed must stage change-data files")
+    for (v <- 0 to 1)
+      assert(!GraftTableStore.isResolvedCached("graft.cowcdf_t", v),
+        s"CoW feed resolved v$v driver-side")
+    // and the plan carries no driver-row partition for the window
+    val physSchema = graft.sources.GraftParquetStore
+      .meta("graft.cowcdf_t").get.schema
+    val cowParts = graft.sources.GraftChangeFeed.planParts(
+      "graft.cowcdf_t", physSchema, 0, 1, 2)
+    assert(cowParts.nonEmpty && cowParts.forall(p =>
+      !p.isInstanceOf[graft.sources.GraftInputPartition]),
+      s"expected only staged/file partitions: " +
+        s"${cowParts.map(_.getClass.getSimpleName).toSeq}")
+
+    // ---- DV delete: the swapped bitmap serves a position diff
+    spark.sql("DROP TABLE IF EXISTS graft.dvcdf_t")
+    spark.sql("CREATE TABLE graft.dvcdf_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.delete.mode'='dv', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.dvcdf_t SELECT id, " +
+      "CAST(id AS DOUBLE) FROM range(50)") // v0
+    spark.sql("DELETE FROM graft.dvcdf_t WHERE k >= 10 AND k < 15") // v1
+    val dvFeed = spark.read.option("startingVersion", "1")
+      .table("graft.dvcdf_t.changes").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(dvFeed == (10L until 15L).map(k => (k, "delete")).toSet,
+      dvFeed.toString)
+    val dvSchema = graft.sources.GraftParquetStore
+      .meta("graft.dvcdf_t").get.schema
+    val dvParts = graft.sources.GraftChangeFeed.planParts(
+      "graft.dvcdf_t", dvSchema, 0, 1, 2)
+    assert(dvParts.exists(
+      _.isInstanceOf[graft.sources.GraftCdfDvDiffPartition]) &&
+      dvParts.forall(p =>
+        !p.isInstanceOf[graft.sources.GraftInputPartition]),
+      s"DV delete must plan position-diff partitions: " +
+        s"${dvParts.map(_.getClass.getSimpleName).toSeq}")
+    for (v <- 0 to 1)
+      assert(!GraftTableStore.isResolvedCached("graft.dvcdf_t", v),
+        s"DV feed resolved v$v driver-side")
+
+    // ---- MoR op-log chunking: > 4096 change rows → > 1 partition
+    spark.sql("DROP TABLE IF EXISTS graft.morchunk_t")
+    spark.sql("CREATE TABLE graft.morchunk_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.morchunk_t SELECT id, " +
+      "CAST(id AS DOUBLE) FROM range(3000)") // v0
+    spark.sql("UPDATE graft.morchunk_t SET v = v + 1") // v1: 6000 images
+    val mcSchema = graft.sources.GraftParquetStore
+      .meta("graft.morchunk_t").get.schema
+    val mcParts = graft.sources.GraftChangeFeed.planParts(
+      "graft.morchunk_t", mcSchema, 0, 1, 2)
+    val rowParts = mcParts.count(
+      _.isInstanceOf[graft.sources.GraftInputPartition])
+    assert(rowParts >= 2,
+      s"6000 op-log rows must chunk into multiple partitions, " +
+        s"got $rowParts")
+    assert(spark.read.option("startingVersion", "1")
+      .table("graft.morchunk_t.changes").count() == 6000L)
+    Seq("graft.cowcdf_t", "graft.dvcdf_t", "graft.morchunk_t")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("change feed endingVersion bounds the batch read inclusively") {
     freshCatalog()
     spark.sql("DROP TABLE IF EXISTS graft.cdfrange_t")

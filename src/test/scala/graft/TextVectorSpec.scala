@@ -180,6 +180,25 @@ class TextVectorSpec extends AnyFunSuite {
       assert(overlap >= 0.95,
         s"$id keeper overlap $overlap; spurious: ${scaled -- exact}")
     }
+    // the FIXTURE path too (round 13): pipeline_multimodal_set's
+    // embedding keep-list builds from the same LSH feed — the last
+    // cosinePairs caller outside sim_cosine_pairs is gone. Run the
+    // query once (builds the fixture), then pin the materialized
+    // keep-list against the exact resolution.
+    SparkEntry.queries("pipeline_multimodal_set")(spark, sf).collect()
+    val fixDir = graft.operators.Fixtures.embKeepList(spark, sf)(
+      sys.error("fixture must already exist — the query builds it"))
+    val fixKeepers = spark.read
+      .schema(graft.operators.Fixtures.keepListSchema).parquet(fixDir)
+      .where(col("doc_id") === col("rep")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(exact subsetOf fixKeepers,
+      s"fixture dropped exact keepers: ${exact -- fixKeepers}")
+    val fixOverlap = (exact intersect fixKeepers).size.toDouble /
+      math.max(exact.size, fixKeepers.size)
+    assert(fixOverlap >= 0.95,
+      s"fixture keeper overlap $fixOverlap; " +
+        s"spurious: ${fixKeepers -- exact}")
   }
 
   test("quantizer sample is a pure function of ids — layout-independent") {
