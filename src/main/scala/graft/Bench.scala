@@ -49,7 +49,13 @@ object Bench {
   // txn_multi_table ~1.1 — two table seeds + the staged two-table
   // commit; summed ≈4.6 s across two drives whose ambient spikes
   // moved between runs) → 212 re-anchored additively to 217
-  private val BaselineWarmSec = 217.0
+  // round-13: the first-thing idle re-drive of the 346-id set read
+  // 277.5 s fixture-cold / vs_baseline 1.28 / ZERO tripwires /
+  // flag=false (replacing the contended 975.7 s r12 artifact); +2 ids
+  // (cdc_replace_feed ~1.2 — REPLACE WHERE + the distributed
+  // manifest-diff feed; table_gc_orphans ~0.8 — seed + orphan sweep)
+  // → 217 re-anchored additively to 219
+  private val BaselineWarmSec = 219.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -72,8 +78,16 @@ object Bench {
     "sql_catalog_view" -> 2.0,
     // 6 ingest commits + the merge pass itself; warm 1.4-1.6 s
     "table_binpack" -> 2.0,
-    "dedup_embedding_scaled" -> 14.0,
-    "dedup_embedding" -> 13.0,
+    // round-13 re-price (the r12 judge's ask): idle fixture-cold
+    // drives read 14.9 / 14.1 s — the CC pointer-jump job-scheduling
+    // floor — so the old 13.0/14.0 left a loaded run one ambient
+    // spike from a false 3× tripwire
+    "dedup_embedding_scaled" -> 15.0,
+    "dedup_embedding" -> 15.0,
+    // round-13 ids: REPLACE WHERE + the staged distributed diff read;
+    // seed + plant-orphan + sweep — both ~1 s warm
+    "cdc_replace_feed" -> 1.5,
+    "table_gc_orphans" -> 1.5,
     "dedup_clusters" -> 6.0,
     "dedup_near" -> 1.0, // round-5: codegen kernels, 8.7 → 0.8 s
     "join_bucketed" -> 5.0,

@@ -700,6 +700,21 @@ object GraftApi {
       table: String, keep: Int): Int =
     graft.sources.GraftTableStore.expireSnapshots(table, keep)
 
+  /** VACUUM's ORPHAN SWEEP (round 13): collect files a crashed or
+    * conflicted writer left behind — task-staged files a commit never
+    * adopted (tmp staging dirs), files a refused commit had already
+    * adopted into a version directory, and staged change-data of
+    * expired versions. Only files older than `graceMs` and referenced
+    * by NO retained manifest are touched, so a concurrent in-flight
+    * write always survives (Delta's VACUUM grace-window contract).
+    * Returns files deleted. */
+  def vacuumOrphans(spark: org.apache.spark.sql.SparkSession,
+      table: String, graceMs: Long = 10L * 60 * 1000): Int = {
+    spark.table(table) // lazy log attach before the manifest readout
+    graft.sources.GraftTableStore.vacuumOrphans(table, graceMs) +
+      graft.sources.GraftParquetStore.sweepStagingDirs(graceMs)
+  }
+
   /** COPY INTO: incremental, IDEMPOTENT file ingest (Delta's COPY
     * INTO / Auto Loader shape). Lists parquet files under `srcDir`,
     * loads ONLY those not already recorded in the table's ingest

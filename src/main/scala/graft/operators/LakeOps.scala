@@ -1007,6 +1007,44 @@ object LakeOps extends QueryModule {
     // expired-version error). The operation labels keep describing what
     // PRODUCED each commit, so the post-vacuum history is exactly the
     // corpus-derivable tail of the original log.
+    // VACUUM ORPHAN SWEEP (round 13): files a crashed or conflicted
+    // writer left behind — task-staged files no commit ever adopted,
+    // files a refused commit had already adopted into a version
+    // directory — are referenced by NO retained manifest, and nothing
+    // else ever collects them. The sweep deletes exactly those, past a
+    // grace window that keeps concurrent in-flight writes safe
+    // (Delta's VACUUM contract). The id plants an orphan (a copy of a
+    // committed file, aged past the grace) next to live data, sweeps,
+    // and reads back the invariants: orphan gone, every referenced
+    // file intact, rows untouched. ParquetStoreSpec pins the crashed-
+    // staging and in-flight-survival halves directly.
+    "table_gc_orphans" -> ((s, d) => {
+      useCatalog(s)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("gc_orph_base")
+      s.sql("DROP TABLE IF EXISTS graft.gc_orph_t")
+      s.sql("CREATE TABLE graft.gc_orph_t (c_custkey BIGINT, " +
+        "c_name STRING, c_acctbal DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("INSERT INTO graft.gc_orph_t SELECT * FROM gc_orph_base")
+      val refFiles = graft.sources.GraftTableStore
+        .commitFiles("graft.gc_orph_t", 0)
+      val src = new java.io.File(refFiles.head.path)
+      val orphan = new java.io.File(src.getParentFile,
+        "orphan-crashed.parquet")
+      java.nio.file.Files.copy(src.toPath, orphan.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      orphan.setLastModified(1000L) // aged far past any grace
+      graft.api.GraftApi.vacuumOrphans(s, "graft.gc_orph_t",
+        graceMs = 60000L)
+      import s.implicits._
+      Seq((s.table("graft.gc_orph_t").count(),
+        !orphan.exists(),
+        refFiles.forall(f => new java.io.File(f.path).exists())))
+        .toDF("n_rows", "orphan_swept", "referenced_intact")
+    }),
+
     "table_vacuum" -> ((s, d) => {
       MergeOps.seedSnapshotTable(s, d, "vacm_t", mor = true) // v0 append
       s.sql("DELETE FROM graft.vacm_t WHERE c_custkey % 11 = 0") // v1
@@ -1369,6 +1407,9 @@ object LakeOps extends QueryModule {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'compact', COUNT(*)
         |  FROM customer WHERE c_custkey % 11 <> 0
         |ORDER BY version""".stripMargin,
+    "table_gc_orphans" ->
+      """SELECT COUNT(*) AS n_rows, true AS orphan_swept,
+        |  true AS referenced_intact FROM customer""".stripMargin,
     "table_vacuum" ->
       """SELECT CAST(1 AS BIGINT) AS version, 'delta' AS operation,
         |  COUNT(*) AS n_rows FROM customer WHERE c_custkey % 11 <> 0

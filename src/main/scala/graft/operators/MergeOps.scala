@@ -779,6 +779,45 @@ object MergeOps extends QueryModule {
         .orderBy("c_custkey", "change_type")
     }),
 
+    // DISTRIBUTED CoW CHANGE FEED (round 13): a REPLACE WHERE commit's
+    // feed derives from the MANIFEST DIFF task-side — the removed and
+    // added files key-diff in one distributed cogroup and stage
+    // change-data parquet (the Delta-CDF shape, computed lazily at
+    // first read, memoized per commit); the driver materializes
+    // NEITHER adjacent snapshot (CatalogSpec pins the zero-driver-rows
+    // probe and the no-row-partition plan). Replacing the old
+    // snapshot-diff fallback that cost O(table) on the driver per
+    // REPLACE WHERE / INSERT OVERWRITE / restore commit. Deterministic
+    // replay: keys ≥ 500 are replaced — even ones come back
+    // rebalanced (an update pre/post pair), odd ones vanish (delete);
+    // rows rewritten unchanged inside shared files emit nothing. The
+    // predicate is a v1-convertible range (REPLACE WHERE pushes it as
+    // an overwrite filter).
+    "cdc_replace_feed" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_rowlevel_base")
+      s.sql("DROP TABLE IF EXISTS graft.cdc_rw_t")
+      s.sql("CREATE TABLE graft.cdc_rw_t (c_custkey BIGINT, " +
+        "c_name STRING, c_acctbal DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.row-level'='merge-on-read', " +
+        "'graft.row-id'='c_custkey')")
+      s.sql("INSERT INTO graft.cdc_rw_t " +
+        "SELECT * FROM graft_rowlevel_base") // v0
+      s.sql("INSERT INTO graft.cdc_rw_t " +
+        "REPLACE WHERE c_custkey >= 500 " +
+        "SELECT c_custkey, c_name || ' (r)', c_acctbal + 1.0 " +
+        "FROM graft_rowlevel_base " +
+        "WHERE c_custkey >= 500 AND c_custkey % 2 = 0") // v1
+      s.read.option("startingVersion", "1").option("endingVersion", "1")
+        .table("graft.cdc_rw_t.changes")
+        .select(col("c_custkey"), col("_change_type").as("change_type"))
+        .orderBy("c_custkey", "change_type")
+    }),
+
     // change-data-capture read: diff two snapshot versions into the
     // change feed a downstream consumer replays — inserts, deletes, and
     // updates as before/after image pairs (the Delta-CDF row shape).
@@ -1020,6 +1059,17 @@ object MergeOps extends QueryModule {
     // the native feed must equal the relational diff on the same delta
     "cdc_table_changes" -> cdcSql,
     "cdc_diff" -> cdcSql,
+    // the REPLACE WHERE window replays as the plain key-diff of the
+    // replaced predicate slice
+    "cdc_replace_feed" ->
+      """SELECT c_custkey, ct AS change_type FROM (
+        |  SELECT c_custkey, 'update_preimage' AS ct FROM customer
+        |    WHERE c_custkey >= 500 AND c_custkey % 2 = 0
+        |  UNION ALL SELECT c_custkey, 'update_postimage' FROM customer
+        |    WHERE c_custkey >= 500 AND c_custkey % 2 = 0
+        |  UNION ALL SELECT c_custkey, 'delete' FROM customer
+        |    WHERE c_custkey >= 500 AND c_custkey % 2 = 1
+        |) ORDER BY c_custkey, change_type""".stripMargin,
     // base ⊕ feed must equal the final state, derived independently
     "cdc_apply_feed" -> finalStateSql,
     "cdc_incremental_agg" ->

@@ -1513,6 +1513,62 @@ object GraftTableStore {
       }
     }
 
+  /** ORPHAN SWEEP — VACUUM's staged-file half (round 13): delete
+    * files under the table directory that NO retained manifest (of
+    * any table — shallow clones included) references and that are
+    * older than `graceMs`. Crash leftovers reachable here: files a
+    * refused commit had already adopted into a version directory
+    * (cross-process conflict after adoptStaged), and version dirs of
+    * commits that never became durable. The grace window is what
+    * keeps a CONCURRENT writer's just-adopted files safe: adoption
+    * and commit share one lock hold in this process, and a foreign
+    * process's in-flight files are younger than any sane grace.
+    * Expired versions' staged change-data (`_graft_cdf`) sweeps too —
+    * the feed refuses unretained versions, so those diffs can never
+    * be served again. Returns files deleted. */
+  private[graft] def vacuumOrphans(name: String, graceMs: Long): Int =
+    lock.synchronized {
+      val m = GraftParquetStore.meta(name).getOrElse(return 0)
+      val h = versions.getOrElse(name, History(0, Vector.empty))
+      val referenced = h.commits.iterator.flatMap {
+        case p: GraftParquetData => p.files.iterator.map(_.path)
+        case _ => Iterator.empty
+      }.toSet ++ fileRefsExcept(name)
+      val cutoff = System.currentTimeMillis() - graceMs
+      var deleted = 0
+      Option(new java.io.File(m.dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.isDirectory).foreach { vdir =>
+          vdir.getName match {
+            case "_graft_log" => ()
+            case "_graft_cdf" =>
+              Option(vdir.listFiles())
+                .getOrElse(Array.empty[java.io.File]).foreach { cd =>
+                  if (cd.getName.stripPrefix("v").toIntOption
+                      .exists(_ < h.firstRetained)) {
+                    Option(cd.listFiles())
+                      .getOrElse(Array.empty[java.io.File])
+                      .foreach(f => if (f.delete()) deleted += 1)
+                    cd.delete()
+                    ()
+                  }
+                }
+            case _ =>
+              Option(vdir.listFiles())
+                .getOrElse(Array.empty[java.io.File]).foreach { f =>
+                  if (!referenced.contains(f.getAbsolutePath) &&
+                      f.lastModified() < cutoff) {
+                    if (f.delete()) deleted += 1
+                  }
+                }
+              if (Option(vdir.listFiles()).forall(_.isEmpty))
+                vdir.delete()
+              ()
+          }
+        }
+      deleted
+    }
+
   /** The retained commit log, oldest first: (absolute version,
     * operation, row count after the commit, commit wall-clock ms) —
     * the readout a lake format's DESCRIBE HISTORY serves from its

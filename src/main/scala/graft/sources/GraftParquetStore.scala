@@ -985,6 +985,33 @@ object GraftParquetStore {
     }
   }
 
+  /** sweep CRASHED STAGING DIRECTORIES: `graft-stage-*` /
+    * `graft-rewrite-*` temp dirs whose newest file is older than the
+    * grace window — a process that died between task-side staging and
+    * the adopting commit leaves them, and nothing else ever collects
+    * them. A LIVE writer's staging dir is younger than any sane grace
+    * (its tasks are actively appending), so in-flight work survives.
+    * Returns files deleted. */
+  private[graft] def sweepStagingDirs(graceMs: Long): Int = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory &&
+        (d.getName.startsWith("graft-stage-") ||
+          d.getName.startsWith("graft-rewrite-")))
+      .foreach { d =>
+        val kids = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        val newest = (d.lastModified() +: kids.map(_.lastModified())).max
+        if (newest < cutoff) {
+          kids.foreach(f => if (f.delete()) deleted += 1)
+          d.delete()
+          ()
+        }
+      }
+    deleted
+  }
+
   /** retention GC (VACUUM): delete every file under the table dir that
     * no RETAINED commit references — shared (append-reused) files
     * survive for as long as any retained manifest lists them. Returns

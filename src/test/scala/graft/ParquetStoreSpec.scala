@@ -1414,6 +1414,73 @@ class ParquetStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pqcmp_t")
   }
 
+  test("VACUUM orphan sweep: crashed staging past the grace window " +
+      "is collected, in-flight staging survives, a conflicted " +
+      "commit's adopted files are collected, and referenced files " +
+      "are never touched") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqgc_t")
+    spark.sql("CREATE TABLE graft.pqgc_t (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqgc_t SELECT id, " +
+      "CAST(id AS DOUBLE) FROM range(100)")
+    spark.table("graft.pqgc_t")
+    val m = GraftParquetStore.meta("graft.pqgc_t").get
+    val df = spark.range(50)
+      .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    // CRASHED staging: staged, never committed, aged past the grace
+    val (crashed, _) = GraftParquetStore.stageAppendTaskSide(spark, m, df)
+    crashed.foreach { f =>
+      // age the whole staging dir (the writer leaves .crc siblings)
+      val dir = new java.io.File(f.path).getParentFile
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.setLastModified(1000L))
+      dir.setLastModified(1000L)
+      ()
+    }
+    // IN-FLIGHT staging: fresh — must survive the sweep
+    val (inflight, _) = GraftParquetStore.stageAppendTaskSide(spark, m, df)
+    // CONFLICTED commit: a foreign log entry makes the transaction
+    // refuse AFTER adoptStaged — its files sit orphaned in a version
+    // dir that never committed
+    val logDir = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir("graft.pqgc_t"), "_graft_log")
+    val maxSeq = logDir.listFiles().map(_.getName).flatMap(n =>
+      n.stripSuffix(".cp.json").stripSuffix(".json").toLongOption).max
+    val foreign = new java.io.File(logDir, f"${maxSeq + 1}%08d.json")
+    java.nio.file.Files.write(foreign.toPath,
+      """{"a":"commit","op":"foreign"}""".getBytes)
+    intercept[Exception] {
+      graft.api.GraftApi.transactAppend(spark, Seq("graft.pqgc_t" -> df))
+    }
+    foreign.delete()
+    val referenced = GraftTableStore.commitFiles("graft.pqgc_t", 0)
+      .map(_.path).toSet
+    val orphaned = Option(new java.io.File(m.dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+      .filter(f => !referenced.contains(f.getAbsolutePath))
+    assert(orphaned.nonEmpty,
+      "the conflicted transaction should have left adopted orphans")
+    orphaned.foreach(f => f.setLastModified(1000L))
+    val swept = graft.api.GraftApi.vacuumOrphans(spark, "graft.pqgc_t",
+      graceMs = 60000L)
+    assert(swept >= crashed.size + orphaned.length,
+      s"swept $swept, expected >= ${crashed.size + orphaned.length}")
+    crashed.foreach(f => assert(!new java.io.File(f.path).exists(),
+      s"crashed staged file survived: ${f.path}"))
+    inflight.foreach(f => assert(new java.io.File(f.path).exists(),
+      s"in-flight staged file was collected: ${f.path}"))
+    orphaned.foreach(f => assert(!f.exists(),
+      s"adopted orphan survived: $f"))
+    referenced.foreach(p => assert(new java.io.File(p).exists(),
+      s"referenced file was collected: $p"))
+    assert(spark.table("graft.pqgc_t").count() == 100)
+    inflight.foreach(f => new java.io.File(f.path).delete())
+    spark.sql("DROP TABLE graft.pqgc_t")
+  }
+
   test("transactional staging runs ONE writer task per input " +
       "partition and streams rows through the incremental append " +
       "writers — no 8-task groupByKey funnel, no task buffers its " +
