@@ -1030,17 +1030,22 @@ object LakeOps extends QueryModule {
       s.sql("INSERT INTO graft.gc_orph_t SELECT * FROM gc_orph_base")
       val refFiles = graft.sources.GraftTableStore
         .commitFiles("graft.gc_orph_t", 0)
-      val src = new java.io.File(refFiles.head.path)
-      val orphan = new java.io.File(src.getParentFile,
-        "orphan-crashed.parquet")
-      java.nio.file.Files.copy(src.toPath, orphan.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      orphan.setLastModified(1000L) // aged far past any grace
+      // an EMPTY seed commits zero files — nothing to clone an orphan
+      // from; the sweep still runs and the invariants hold trivially
+      val orphan = refFiles.headOption.map { rf =>
+        val src = new java.io.File(rf.path)
+        val o = new java.io.File(src.getParentFile,
+          "orphan-crashed.parquet")
+        java.nio.file.Files.copy(src.toPath, o.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        o.setLastModified(1000L) // aged far past any grace
+        o
+      }
       graft.api.GraftApi.vacuumOrphans(s, "graft.gc_orph_t",
         graceMs = 60000L)
       import s.implicits._
       Seq((s.table("graft.gc_orph_t").count(),
-        !orphan.exists(),
+        orphan.forall(o => !o.exists()),
         refFiles.forall(f => new java.io.File(f.path).exists())))
         .toDF("n_rows", "orphan_swept", "referenced_intact")
     }),

@@ -110,12 +110,50 @@ object GraftTableStore {
   }
 
   /** table name -> retained history. All mutation goes through
-    * [[put]]/[[mutate]] under [[lock]], so `current snapshot` and
-    * `version history` can never disagree (two concurrent commits — two
-    * streaming queries merging into one table — serialize; each commit
-    * is last-write-wins over the PREVIOUS committed state, atomically). */
+    * [[put]]/[[mutate]] under the table's lock, so `current snapshot`
+    * and `version history` can never disagree (two concurrent commits —
+    * two streaming queries merging into one table — serialize; each
+    * commit is last-write-wins over the PREVIOUS committed state,
+    * atomically). */
   private[sources] val versions = new TrieMap[String, History]()
-  private val lock = new Object
+
+  /** PER-TABLE commit locks (round 13 — the store-global mutex is
+    * gone): a commit or metadata mutation takes ITS table's monitor
+    * plus the warehouse READ lock, so commits to different tables
+    * never contend — a long commit on table A cannot stall table B.
+    * CROSS-TABLE operations (reset/DROP with its reference-aware file
+    * sweep, shallow clones that make one table reference another's
+    * files, multi-table transactions) take the warehouse WRITE lock,
+    * excluding all table-local work while references move between
+    * tables. Reads of another table's History under the read lock are
+    * safe without its monitor: History values are immutable and
+    * cross-table reference edges only change under the write lock.
+    * Readers of table STATE (get/resolveRel) stay lock-free as before
+    * — they see some committed immutable History. */
+  private val globalRw =
+    new java.util.concurrent.locks.ReentrantReadWriteLock()
+  private val tableLocks = new TrieMap[String, Object]()
+  private def tableLock(name: String): Object =
+    tableLocks.getOrElseUpdate(name, new Object)
+  private def withTableLock[T](name: String)(f: => T): T = {
+    globalRw.readLock().lock()
+    try tableLock(name).synchronized(f)
+    finally globalRw.readLock().unlock()
+  }
+  private def withGlobalLock[T](f: => T): T = {
+    globalRw.writeLock().lock()
+    try f
+    finally globalRw.writeLock().unlock()
+  }
+  /** the streaming-epoch ledger's own tiny lock — independent of any
+    * table's commit path (markEpoch is itself the atomic check). */
+  private val epochLock = new Object
+  /** test seam: run `f` while HOLDING `name`'s table lock (plus the
+    * warehouse read lock, exactly like a commit) — lets specs prove
+    * the isolation boundary deterministically: another table's commit
+    * proceeds, this table's blocks. */
+  private[graft] def holdingTableLock[T](name: String)(f: => T): T =
+    withTableLock(name)(f)
 
   /** Memoized read-time resolutions of DELTA commits, keyed by
     * (table, absolute version): a committed version's content never
@@ -148,7 +186,7 @@ object GraftTableStore {
       // the clone the first time it IS touched
       GraftLog.unloadedFileRefs(n => versions.contains(n) || n == except)
 
-  def reset(name: String): Unit = lock.synchronized {
+  def reset(name: String): Unit = withGlobalLock {
     val dropped = versions.remove(name)
     val live = fileRefsExcept(name)
     // delete every file the dropped table referenced that no OTHER
@@ -205,7 +243,7 @@ object GraftTableStore {
     * never saw this table ([[GraftLog.attach]]). */
   private[sources] def restoreState(name: String, h: History,
       ingested: Set[String], hwm: Option[Long],
-      mvWm: Option[Long] = None): Unit = lock.synchronized {
+      mvWm: Option[Long] = None): Unit = withTableLock(name) {
     versions.put(name, h)
     if (ingested.nonEmpty) ingestedFiles.put(name, ingested)
     hwm.foreach(v => identityHwm.put(name,
@@ -218,7 +256,7 @@ object GraftTableStore {
     * the process-restart simulation ([[GraftLog
     * .simulateProcessRestart]]); the next catalog touch replays the
     * on-disk log. */
-  private[graft] def evictInMemory(name: String): Unit = lock.synchronized {
+  private[graft] def evictInMemory(name: String): Unit = withTableLock(name) {
     versions.remove(name)
     resolvedCache.keysIterator.filter(_._1 == name)
       .foreach(resolvedCache.remove)
@@ -456,14 +494,14 @@ object GraftTableStore {
         : Boolean = size() > MaxEpochEntries
   }
   private[graft] def markEpoch(name: String, queryId: String,
-      epochId: Long): Boolean = lock.synchronized {
+      epochId: Long): Boolean = epochLock.synchronized {
     val k = (name, queryId)
     val prev = lastEpochs.get(k) // null when absent — never unbox blindly
     if (prev != null && prev.longValue() >= epochId) false
     else { lastEpochs.put(k, epochId); true }
   }
   private[graft] def epochLedgerSize: Int =
-    lock.synchronized(lastEpochs.size())
+    epochLock.synchronized(lastEpochs.size())
 
   /** Append one commit and apply retention — MUST run under [[lock]].
     * When the trim drops versions, the commit that becomes the new
@@ -629,7 +667,7 @@ object GraftTableStore {
     * targets one via the `graft.wap.branch` session conf), tags are
     * immutable. */
   private[graft] def createRef(name: String, ref: String,
-      isTag: Boolean, at: Option[Int] = None): Unit = lock.synchronized {
+      isTag: Boolean, at: Option[Int] = None): Unit = withTableLock(name) {
     val h = versions.getOrElse(name, History(0, Vector.empty))
     require(h.commits.nonEmpty, s"$name has no commits to ref")
     require(ref != "main", "'main' is the implicit published branch")
@@ -658,7 +696,7 @@ object GraftTableStore {
     * only: a ref behind main refuses (publishing it would silently
     * roll the table back). */
   private[graft] def fastForward(name: String, ref: String): Int =
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val to = h.branches.get(ref).orElse(h.tags.get(ref)).getOrElse(
         throw new IllegalArgumentException(
@@ -681,7 +719,7 @@ object GraftTableStore {
   private[graft] def mutate(name: String, op: String = "append",
       branch: Option[String] = None)(
       f: Array[InternalRow] => Array[InternalRow]): Unit =
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       // base = the chain head; appendLocked enforces that the write
       // target (main or the branch) IS the head, so this is always the
@@ -702,7 +740,7 @@ object GraftTableStore {
   private[sources] def commitDelta(name: String, ops: Array[GraftDeltaOp],
       idOrd: Int, idType: org.apache.spark.sql.types.DataType,
       branch: Option[String] = None): Unit =
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val prevCount = h.commits.lastOption.map(_.count).getOrElse(0)
       val deleteIds = scala.collection.mutable.HashSet[Any]()
@@ -730,7 +768,7 @@ object GraftTableStore {
   private[sources] def commitParquetAppend(name: String,
       staged: Vector[GraftFileInfo], branch: Option[String],
       op: String = "append"): Unit =
-    lock.synchronized {
+    withTableLock(name) {
       val m = GraftParquetStore.meta(name).getOrElse(
         throw new IllegalStateException(
           s"$name is not parquet-backed — no staged commit possible"))
@@ -782,7 +820,7 @@ object GraftTableStore {
       physSchema: StructType, branch: Option[String]): Boolean = {
     val isReplaceLike = !dynamic && overwriteFilters.isEmpty
     // snapshot under the lock; replace/truncate need no base at all
-    val snap = lock.synchronized {
+    val snap = withTableLock(name) {
       val m = GraftParquetStore.meta(name).getOrElse(return false)
       val h = versions.getOrElse(name, History(0, Vector.empty))
       h.commits.lastOption match {
@@ -797,7 +835,7 @@ object GraftTableStore {
     }
     val (expectedHead, p, m) = snap.getOrElse(return false)
     if (isReplaceLike) {
-      lock.synchronized {
+      withTableLock(name) {
         val adopted = GraftParquetStore.adoptStaged(m,
           commitCount(name), staged)
         appendLocked(name, op,
@@ -806,7 +844,7 @@ object GraftTableStore {
       return true
     }
     if (dynamic) {
-      lock.synchronized {
+      withTableLock(name) {
         val h = versions.getOrElse(name, History(0, Vector.empty))
         if (h.commitCount - 1 != expectedHead) return false // re-read
         // legacy-spec base files key in a different domain than the
@@ -838,7 +876,7 @@ object GraftTableStore {
       if (hasAll) Vector.empty[GraftFileInfo]
       else GraftParquetStore.overwriteRewriteTaskSide(spark, m,
         physSchema, candidates, filters)
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       if (h.commitCount - 1 != expectedHead) {
         rewritten.foreach(s => new java.io.File(s.path).delete())
@@ -879,7 +917,7 @@ object GraftTableStore {
   private[graft] var failTxnAfterFirstLogWrite = false
   private[graft] def commitTransaction(
       staged: Seq[(String, Vector[GraftFileInfo], Long)],
-      expectedHeads: Map[String, Int]): Map[String, Int] = lock.synchronized {
+      expectedHeads: Map[String, Int]): Map[String, Int] = withGlobalLock {
     def cleanup(): Unit = staged.foreach(_._2.foreach(f =>
       new java.io.File(f.path).delete()))
     // verify EVERY head first — nothing commits unless all pass
@@ -899,25 +937,39 @@ object GraftTableStore {
           s"transaction: $name has a merge-on-read delta head — " +
             "OPTIMIZE (compact) it before a transactional append")
       }
+      // cross-process tails verify BEFORE any adoption or sequence
+      // allocation — a conflict here costs nothing
+      try GraftLog.verifyTail(name)
+      catch { case t: Throwable => cleanup(); throw t }
     }
     // adopt + compute every table's post-state and RENDER its log
-    // entry; nothing is visible yet
-    val planned = staged.map { case (name, files, rows) =>
-      val m = GraftParquetStore.meta(name).get
-      val h = versions.getOrElse(name, History(0, Vector.empty))
-      val adopted = GraftParquetStore.adoptStaged(m, h.commitCount, files)
-      val data = h.commits.lastOption match {
-        case Some(p: GraftParquetData) =>
-          GraftParquetData(p.files ++ adopted, p.count + rows.toInt)
-        case _ => GraftParquetData(adopted, rows.toInt)
+    // entry; nothing is visible yet. A failure mid-render (a foreign
+    // process won a sequence slot in the residual race window)
+    // re-seeds every participant's sequence counter from disk —
+    // already-allocated slots would otherwise stay as permanent log
+    // GAPS a foreign writer could silently fill with a forked version.
+    val planned = try {
+      staged.map { case (name, files, rows) =>
+        val m = GraftParquetStore.meta(name).get
+        val h = versions.getOrElse(name, History(0, Vector.empty))
+        val adopted = GraftParquetStore.adoptStaged(m, h.commitCount, files)
+        val data = h.commits.lastOption match {
+          case Some(p: GraftParquetData) =>
+            GraftParquetData(p.files ++ adopted, p.count + rows.toInt)
+          case _ => GraftParquetData(adopted, rows.toInt)
+        }
+        val now = math.max(System.currentTimeMillis(),
+          h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
+        val newV = h.commitCount
+        val rendered = GraftLog.renderCommit(name, newV, "txn-append",
+          now, data, h.commits.lastOption,
+          h.branches + ("main" -> newV), h.tags)
+        (name, data, now, rendered)
       }
-      val now = math.max(System.currentTimeMillis(),
-        h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
-      val newV = h.commitCount
-      val rendered = GraftLog.renderCommit(name, newV, "txn-append",
-        now, data, h.commits.lastOption,
-        h.branches + ("main" -> newV), h.tags)
-      (name, data, now, rendered)
+    } catch {
+      case t: Throwable =>
+        staged.foreach(s => GraftLog.forget(s._1))
+        throw t
     }
     // the DECIDE POINT: one atomic marker rename carrying every
     // rendered entry — from here the transaction always completes
@@ -984,7 +1036,7 @@ object GraftTableStore {
   private[graft] def commitParquetManifest(name: String,
       files: Vector[GraftFileInfo], count: Int, op: String,
       branch: Option[String], expectedHead: Int): Unit =
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val head = h.commitCount - 1
       if (head != expectedHead)
@@ -1017,7 +1069,7 @@ object GraftTableStore {
       spark: org.apache.spark.sql.SparkSession): Int = {
     // snapshot the head manifest OUTSIDE the lock — the rewrite job
     // must not block concurrent commits
-    val (expectedHead, p, m) = lock.synchronized {
+    val (expectedHead, p, m) = withTableLock(name) {
       val h = versions.getOrElse(name, return 0)
       h.commits.lastOption match {
         case Some(pq: GraftParquetData) if pq.files.exists(_.dv.isDefined) =>
@@ -1028,7 +1080,7 @@ object GraftTableStore {
     }
     val candidates = p.files.filter(_.dv.isDefined)
     val staged = GraftParquetStore.purgeDvsTaskSide(spark, m, candidates)
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, return 0)
       if (h.commitCount - 1 != expectedHead) {
         staged.foreach(s => new java.io.File(s._2.path).delete())
@@ -1068,7 +1120,7 @@ object GraftTableStore {
     // per (partition key, spec, width) group stages its merged files
     // ([[GraftParquetStore.binPackTaskSide]]); the driver never holds
     // a row.
-    val (expectedHead, p, m) = lock.synchronized {
+    val (expectedHead, p, m) = withTableLock(name) {
       val h = versions.getOrElse(name, return 0)
       h.commits.lastOption match {
         case Some(pq: GraftParquetData) =>
@@ -1088,7 +1140,7 @@ object GraftTableStore {
     val stagedPerGroup = GraftParquetStore.binPackTaskSide(
       spark, m, groups, targetRows)
     val mergedAway = groups.flatMap(_._4.map(_.path)).toSet
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, return 0)
       if (h.commitCount - 1 != expectedHead) {
         stagedPerGroup.flatten.foreach(s =>
@@ -1132,7 +1184,7 @@ object GraftTableStore {
     // last full commit (earlier deltas sit under a full snapshot
     // already and cost nothing at read) — zero suffix = nothing to
     // compact, and a just-compacted table reports exactly that
-    val (expectedHead, deltas) = lock.synchronized {
+    val (expectedHead, deltas) = withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val lastFull =
         h.commits.lastIndexWhere(!_.isInstanceOf[GraftDeltaData])
@@ -1155,7 +1207,7 @@ object GraftTableStore {
         }
       case _ =>
     }
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       if (h.commitCount - 1 != expectedHead)
         throw new IllegalStateException(
@@ -1206,7 +1258,7 @@ object GraftTableStore {
               m.schema.length, m.curSpecId)
           }
       }
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       if (h.commitCount - 1 != expectedHead) {
         (staged ++ extraFiles).foreach(f =>
@@ -1232,7 +1284,7 @@ object GraftTableStore {
     * moves (Delta's RESTORE TABLE ... TO VERSION shape). Returns the
     * new version number. */
   private[graft] def restore(name: String, v: Int): Int =
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
       require(v >= 0 && v < h.commitCount,
         s"version $v of $name does not exist (${h.commitCount} commits)")
@@ -1268,7 +1320,7 @@ object GraftTableStore {
     * (and parquet meta via `registerLike`) first. Returns the source
     * version the clone captured. */
   private[graft] def cloneTable(src: String, dst: String): Int =
-    lock.synchronized {
+    withGlobalLock {
       val h = versions.getOrElse(src, History(0, Vector.empty))
       require(h.commits.nonEmpty, s"cannot clone $src: it has no commits")
       require(!versions.contains(dst),
@@ -1300,7 +1352,7 @@ object GraftTableStore {
     // head falls back to the legacy driver materialization (the MoR
     // merge needs the resolved snapshot; OPTIMIZE/compact first).
     spark match {
-      case Some(s) if lock.synchronized {
+      case Some(s) if withTableLock(name) {
         versions.get(name).exists(_.commits.lastOption
           .exists(_.isInstanceOf[GraftParquetData]))
       } => return zorderTaskSide(name, schema, ordA, ordB, s)
@@ -1330,7 +1382,7 @@ object GraftTableStore {
           s"ZORDER column must be integral, got $other")
       }
     }
-    val (expectedHead, p, m) = lock.synchronized {
+    val (expectedHead, p, m) = withTableLock(name) {
       val h = versions.getOrElse(name,
         throw new IllegalStateException(s"$name has no snapshot"))
       h.commits.lastOption match {
@@ -1422,7 +1474,7 @@ object GraftTableStore {
       .collect().toVector
       .sortBy(_._1) // deterministic manifest order
       .map(_._2)
-    lock.synchronized {
+    withTableLock(name) {
       val h = versions.getOrElse(name,
         throw new IllegalStateException(s"$name dropped mid-rewrite"))
       if (h.commitCount - 1 != expectedHead) {
@@ -1441,7 +1493,7 @@ object GraftTableStore {
   }
 
   private def zorderDriverSide(name: String, schema: StructType,
-      ordA: Int, ordB: Int): Int = lock.synchronized {
+      ordA: Int, ordB: Int): Int = withTableLock(name) {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     require(GraftParquetStore.isBacked(name),
       s"OPTIMIZE ZORDER requires a parquet-backed table: $name")
@@ -1499,7 +1551,7 @@ object GraftTableStore {
     * expired versions fail loudly on time travel (same contract as the
     * cap). Returns the number of versions expired. */
   private[graft] def expireSnapshots(name: String, keep: Int): Int =
-    lock.synchronized {
+    withTableLock(name) {
       require(keep >= 1, s"expireSnapshots: keep must be >= 1, got $keep")
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val before = h.commits.size
@@ -1527,7 +1579,7 @@ object GraftTableStore {
     * the feed refuses unretained versions, so those diffs can never
     * be served again. Returns files deleted. */
   private[graft] def vacuumOrphans(name: String, graceMs: Long): Int =
-    lock.synchronized {
+    withTableLock(name) {
       val m = GraftParquetStore.meta(name).getOrElse(return 0)
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val referenced = h.commits.iterator.flatMap {

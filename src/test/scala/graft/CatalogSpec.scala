@@ -2105,6 +2105,49 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txc_b")
   }
 
+  test("PER-TABLE locking: a held commit lock on table A never stalls " +
+      "a commit to table B, while same-table commits still serialize " +
+      "behind it") {
+    freshCatalog()
+    for (t <- Seq("graft.ptl_a", "graft.ptl_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql(s"INSERT INTO $t SELECT id FROM range(10)")
+    }
+    val bDone = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    var tA: Thread = null
+    GraftTableStore.holdingTableLock("graft.ptl_a") {
+      // another table's commit proceeds while A's lock is held — the
+      // no-cross-table-stall contract (the old store-global mutex
+      // would deadlock this await)
+      val tB = new Thread(() => {
+        spark.sql("INSERT INTO graft.ptl_b SELECT id + 100 FROM range(5)")
+        bDone.countDown()
+      })
+      tB.start()
+      assert(bDone.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "a commit to table B stalled behind table A's held lock")
+      tB.join(60000)
+      // a commit to A itself must WAIT for the lock
+      tA = new Thread(() => {
+        spark.sql("INSERT INTO graft.ptl_a SELECT id + 100 FROM range(5)")
+        aDone.set(true)
+      })
+      tA.start()
+      tA.join(1500)
+      assert(!aDone.get(),
+        "a commit to table A completed while A's lock was held")
+    }
+    tA.join(60000)
+    assert(aDone.get(), "A's commit must complete once the lock frees")
+    assert(spark.table("graft.ptl_a").count() == 15)
+    assert(spark.table("graft.ptl_b").count() == 15)
+    Seq("graft.ptl_a", "graft.ptl_b")
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("cross-PROCESS commit safety: a foreign log entry at the " +
       "expected sequence slot makes the next commit refuse LOUDLY — " +
       "for single-table commits AND cross-table transactions — and " +

@@ -1440,29 +1440,18 @@ class ParquetStoreSpec extends AnyFunSuite {
     }
     // IN-FLIGHT staging: fresh — must survive the sweep
     val (inflight, _) = GraftParquetStore.stageAppendTaskSide(spark, m, df)
-    // CONFLICTED commit: a foreign log entry makes the transaction
-    // refuse AFTER adoptStaged — its files sit orphaned in a version
-    // dir that never committed
-    val logDir = new java.io.File(
-      graft.sources.GraftWarehouse.tableDir("graft.pqgc_t"), "_graft_log")
-    val maxSeq = logDir.listFiles().map(_.getName).flatMap(n =>
-      n.stripSuffix(".cp.json").stripSuffix(".json").toLongOption).max
-    val foreign = new java.io.File(logDir, f"${maxSeq + 1}%08d.json")
-    java.nio.file.Files.write(foreign.toPath,
-      """{"a":"commit","op":"foreign"}""".getBytes)
-    intercept[Exception] {
-      graft.api.GraftApi.transactAppend(spark, Seq("graft.pqgc_t" -> df))
-    }
-    foreign.delete()
+    // CRASHED ADOPTION: a file adopted into a version dir by a commit
+    // that never became durable (commits verify cross-process tails
+    // BEFORE adoption now, so only a process death can leave this —
+    // simulated directly)
     val referenced = GraftTableStore.commitFiles("graft.pqgc_t", 0)
       .map(_.path).toSet
-    val orphaned = Option(new java.io.File(m.dir).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(d => d.isDirectory && d.getName.startsWith("v"))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
-      .filter(f => !referenced.contains(f.getAbsolutePath))
-    assert(orphaned.nonEmpty,
-      "the conflicted transaction should have left adopted orphans")
+    val refFile = new java.io.File(referenced.head)
+    val adoptedOrphan = new java.io.File(refFile.getParentFile,
+      "t9999.parquet")
+    java.nio.file.Files.copy(refFile.toPath, adoptedOrphan.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val orphaned = Array(adoptedOrphan)
     orphaned.foreach(f => f.setLastModified(1000L))
     val swept = graft.api.GraftApi.vacuumOrphans(spark, "graft.pqgc_t",
       graceMs = 60000L)
