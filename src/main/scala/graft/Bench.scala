@@ -133,7 +133,11 @@ object Bench {
     "agg_copurchase" -> 3.0,
     "text_approx_topk" -> 2.5,
     "sink_compacted" -> 2.5,
-    "pipeline_multimodal_set" -> 4.0,
+    // round-13: the embedding keep-list fixture now builds from the
+    // LSH candidate feed + CC fixpoint (dedup_embedding's cost class)
+    // — 13.6 s fixture-cold, ~0.4-1.2 s warm; price the cold build in
+    // so a fresh-machine drive cannot false-tripwire a one-time cost
+    "pipeline_multimodal_set" -> 6.0,
     "pipeline_curation" -> 2.5,
     // round-8 (VERDICT r7 #3): every id measured >1 s in an idle sf0.1
     // drive gets its own price so a moderately loaded run (~2×) cannot

@@ -231,12 +231,8 @@ object GraftApi {
       if (f.isFile) { f.delete(); () }
     }
   }
-  private def mvSidecar(mv: String): java.io.File = {
-    val d = new java.io.File(graft.sources.GraftWarehouse.root, "mvs")
-    d.mkdirs()
-    new java.io.File(d, java.net.URLEncoder.encode(mv,
-      java.nio.charset.StandardCharsets.UTF_8) + ".json")
-  }
+  private def mvSidecar(mv: String): java.io.File =
+    graft.sources.GraftWarehouse.mvSidecar(mv)
   private def persistMv(mv: String, kind: String, source: String,
       groupCols: Seq[String], aggCol: String, aliases: Seq[String],
       lastVersion: Int): Unit = {
@@ -637,6 +633,16 @@ object GraftApi {
         spark, m, df, checks)
       (t, files, rows)
     }
+    // refresh every staged file's mtime at the commit point: an early
+    // participant's staging dir goes idle while later (possibly huge)
+    // participants stage, and a concurrent orphan sweep keys liveness
+    // on mtime — the touch shrinks its exposure to the commit itself
+    val now = System.currentTimeMillis()
+    staged.foreach(_._2.foreach { f =>
+      val file = new java.io.File(f.path)
+      file.setLastModified(now)
+      Option(file.getParentFile).foreach(_.setLastModified(now))
+    })
     GraftTableStore.commitTransaction(staged, heads)
   }
 

@@ -55,6 +55,17 @@ object GraftWarehouse {
     new File(viewsDir,
       enc((catalogName +: (ident.namespace() :+ ident.name()))
         .mkString(".")) + ".json")
+
+  /** materialized-view definition sidecar of a governed table. The
+    * path convention lives HERE (not in the MV layer) so DROP TABLE
+    * can retire the sidecar even in a process that never touched the
+    * MV machinery — otherwise a stale definition would resurrect on
+    * the next refresh and sidecars would accumulate forever. */
+  def mvSidecar(storeName: String): File = {
+    val d = new File(root, "mvs")
+    d.mkdirs()
+    new File(d, enc(storeName) + ".json")
+  }
 }
 
 /** The DURABLE TRANSACTION LOG of the file-backed store (the
@@ -477,7 +488,7 @@ object GraftLog {
         .map { case (k, v) => k -> JInt(v): JField })) ~
       ("ingested" -> GraftTableStore.ingestedFor(storeName).toList.sorted) ~
       ("hwm" -> GraftTableStore.identityHwmValue(storeName)) ~
-      ("mvwm" -> GraftTableStore.mvWatermarkValue(storeName))
+      ("mvwm" -> GraftTableStore.mvWatermarkOf(storeName))
   }
 
   /** write a full-state checkpoint and GC the entries it subsumes.
@@ -581,7 +592,7 @@ object GraftLog {
         .map { case (k, x) => k -> JInt(x): JField })) ~
       ("ingest" -> ingest.toList) ~
       ("hwm" -> GraftTableStore.identityHwmValue(storeName)) ~
-      ("mvwm" -> GraftTableStore.mvWatermarkValue(storeName))
+      ("mvwm" -> GraftTableStore.mvWatermarkOf(storeName))
     val seq = ctr.getAndIncrement()
     val d = logDir(m.dir)
     d.mkdirs()
@@ -598,18 +609,36 @@ object GraftLog {
     * entry. */
   private[sources] def writeRendered(target: File, body: String): Unit = {
     if (target.exists()) {
-      val existing = new String(
+      var existing = new String(
         java.nio.file.Files.readAllBytes(target.toPath),
         StandardCharsets.UTF_8)
+      // a ZERO-BYTE target could be OUR crashed claim (roll-forward
+      // completes it — it owns the authoritative body) or a LIVE
+      // foreign writer's claim whose content rename is in flight —
+      // overwriting the latter would hand the slot to two winners.
+      // Disambiguate by age: wait the same beat [[parse]] gives live
+      // claims, then only a claim old enough that its writer is dead
+      // completes in place; a young one is a conflict.
+      if (existing.isEmpty) {
+        val deadline = System.nanoTime() + 1000000000L
+        while (existing.isEmpty && target.exists() &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(20)
+          existing = new String(
+            java.nio.file.Files.readAllBytes(target.toPath),
+            StandardCharsets.UTF_8)
+        }
+      }
       if (existing == body) return
       if (existing.nonEmpty)
         throw new IllegalStateException(
           s"graft log: concurrent writer conflict — ${target.getName} " +
             "exists with different content (another process committed " +
             "this sequence slot); re-read the table and retry")
-      // a ZERO-BYTE target is a crashed writer's bare claim (died
-      // between claim and content rename) — roll-forward owns the
-      // authoritative body, complete the entry in place
+      if (System.currentTimeMillis() - target.lastModified() <= 60000L)
+        throw new IllegalStateException(
+          s"graft log: concurrent writer conflict — ${target.getName} " +
+            "is another writer's in-flight claim; retry")
       val tmp = new File(target.getAbsolutePath + ".tmp")
       val out = new java.io.FileOutputStream(tmp)
       try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -741,14 +770,32 @@ object GraftLog {
       .flatMap(f => parseSeq(f.getName).map(s =>
         (s, f.getName.endsWith(".cp.json"), f)))
       .sortBy(_._1)
-    // a ZERO-BYTE TAIL entry is a crashed writer's bare claim whose
-    // content never landed: the commit was not durable, so it never
-    // happened — drop the claim and replay the durable prefix. (A
+    // a ZERO-BYTE TAIL entry is a bare claim whose content never
+    // landed. A LIVE foreign writer's claim looks identical for the
+    // instant before its content rename — deleting it would re-open
+    // the double-claim race (our delete + its rename = two winners) —
+    // so give young claims the same beat [[parse]] gives them and
+    // refuse the attach while one is in flight; only a claim old
+    // enough that its writer must be dead is a crashed commit that
+    // never became durable, dropped so the durable prefix replays. (A
     // zero-byte entry BELOW the tail would mean later commits built
     // on a hole; [[parse]] fails loudly on it.)
-    while (entries.nonEmpty && entries.last._3.length() == 0L) {
-      entries.last._3.delete()
-      entries = entries.init
+    var tailSettled = false
+    while (!tailSettled && entries.nonEmpty &&
+        entries.last._3.length() == 0L) {
+      val claim = entries.last._3
+      val deadline = System.nanoTime() + 1000000000L
+      while (claim.length() == 0L && claim.exists() &&
+          System.nanoTime() < deadline)
+        Thread.sleep(20)
+      if (claim.length() > 0L) tailSettled = true // content landed
+      else if (System.currentTimeMillis() - claim.lastModified() >
+          60000L) {
+        claim.delete()
+        entries = entries.init
+      } else throw new IllegalStateException(
+        s"graft log of $storeName: a concurrent writer's entry claim " +
+          s"is in flight (${claim.getName}) — retry the read")
     }
     if (entries.isEmpty) return None
     val lastCp = entries.filter(_._2).lastOption.getOrElse(

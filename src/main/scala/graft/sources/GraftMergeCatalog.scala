@@ -306,8 +306,6 @@ object GraftTableStore {
   private[graft] def abortMvFold(): Unit = pendingMvWatermark.remove()
   private[graft] def mvWatermarkOf(name: String): Option[Long] =
     mvWatermarks.get(name)
-  private[sources] def mvWatermarkValue(name: String): Option[Long] =
-    mvWatermarks.get(name)
 
   /** IDENTITY COLUMN high-water marks (GENERATED ... AS IDENTITY):
     * one atomic counter per table, seeded from the declared START at
@@ -603,9 +601,24 @@ object GraftTableStore {
     // The cross-table transaction path writes its (marker-protected)
     // entries itself — logIt=false.
     if (GraftParquetStore.isBacked(name) && logIt) {
-      if (trimmed.firstRetained != h.firstRetained) GraftLog.checkpoint(name)
-      else GraftLog.logCommit(name, newV, op, now, stored,
-        h.commits.lastOption, trimmed.branches, trimmed.tags, ingest)
+      try {
+        if (trimmed.firstRetained != h.firstRetained)
+          GraftLog.checkpoint(name)
+        else GraftLog.logCommit(name, newV, op, now, stored,
+          h.commits.lastOption, trimmed.branches, trimmed.tags, ingest)
+      } catch {
+        case t: Throwable =>
+          // the commit never became durable (a foreign process won the
+          // entry claim in the residual window) — serving the applied
+          // in-memory state would be a PHANTOM commit that forks the
+          // table on the next write. Evict to the disk truth: the next
+          // catalog touch replays the log, foreign entries included.
+          evictInMemory(name)
+          GraftParquetStore.evictMeta(name)
+          GraftMergeCatalog.evictDef(name)
+          GraftLog.forget(name)
+          throw t
+      }
     }
   }
 
@@ -944,10 +957,14 @@ object GraftTableStore {
     }
     // adopt + compute every table's post-state and RENDER its log
     // entry; nothing is visible yet. A failure mid-render (a foreign
-    // process won a sequence slot in the residual race window)
-    // re-seeds every participant's sequence counter from disk —
-    // already-allocated slots would otherwise stay as permanent log
-    // GAPS a foreign writer could silently fill with a forked version.
+    // process won a sequence slot in the residual race window) EVICTS
+    // every participant's in-memory state AND counter: a bare counter
+    // re-seed would leave the stale History in place and let a retry
+    // silently commit a fork on top of the foreign entry — the evict
+    // forces the next touch to replay the disk truth, so the retry's
+    // begin-snapshot sees the foreign commit and the normal OCC
+    // head-check refuses or proceeds correctly. (Already-allocated
+    // sequence slots would otherwise also stay as permanent log gaps.)
     val planned = try {
       staged.map { case (name, files, rows) =>
         val m = GraftParquetStore.meta(name).get
@@ -968,7 +985,16 @@ object GraftTableStore {
       }
     } catch {
       case t: Throwable =>
-        staged.foreach(s => GraftLog.forget(s._1))
+        cleanup() // not-yet-adopted staged files (no-op for adopted)
+        staged.foreach { s =>
+          // the full restart-eviction quartet — anything less leaves a
+          // registry entry that makes the table read as EMPTY instead
+          // of lazily replaying the disk truth
+          evictInMemory(s._1)
+          GraftParquetStore.evictMeta(s._1)
+          GraftMergeCatalog.evictDef(s._1)
+          GraftLog.forget(s._1)
+        }
         throw t
     }
     // the DECIDE POINT: one atomic marker rename carrying every
@@ -1581,6 +1607,12 @@ object GraftTableStore {
   private[graft] def vacuumOrphans(name: String, graceMs: Long): Int =
     withTableLock(name) {
       val m = GraftParquetStore.meta(name).getOrElse(return 0)
+      // STALENESS GATE: the referenced-file set below comes from THIS
+      // process's in-memory History — if a foreign process sharing the
+      // warehouse has committed past our replay point, that set is
+      // missing their files and the sweep would DELETE committed data.
+      // Same cross-process probe as the commit path: refuse loudly.
+      GraftLog.verifyTail(name)
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val referenced = h.commits.iterator.flatMap {
         case p: GraftParquetData => p.files.iterator.map(_.path)
@@ -2441,6 +2473,13 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
     registry.remove(key(ident)) match {
       case Some(t) =>
         GraftTableStore.reset(t.name())
+        // the MV definition sidecar retires with its table even when
+        // this process never loaded the MV layer (the drop hooks below
+        // only exist once GraftApi's machinery has been touched)
+        GraftWarehouse.mvSidecar(t.name()) match {
+          case f if f.isFile => f.delete(); ()
+          case _ => ()
+        }
         GraftMergeCatalog.runDropHooks(t.name())
         true
       case None => false
@@ -5159,9 +5198,13 @@ object GraftChangeFeed {
     * truncate / restore commit. */
   private val changeDataCache =
     new TrieMap[(String, Int), Vector[GraftFileInfo]]()
-  private[sources] def evictStaged(table: String): Unit =
+  private val changeDataLocks = new TrieMap[(String, Int), Object]()
+  private[sources] def evictStaged(table: String): Unit = {
     changeDataCache.keysIterator.filter(_._1 == table)
       .foreach(changeDataCache.remove)
+    changeDataLocks.keysIterator.filter(_._1 == table)
+      .foreach(changeDataLocks.remove)
+  }
   /** test probe: was commit `v`'s feed served from staged change-data
     * files (the distributed path), not a driver snapshot diff? */
   private[graft] def isChangeDataStaged(table: String, v: Int): Boolean =
@@ -5210,11 +5253,15 @@ object GraftChangeFeed {
     val removed = prev.files.filterNot(f => curByPath.contains(f.path))
     val added = cur.files.filterNot(f => prevByPath.contains(f.path))
     if (removed.nonEmpty || added.nonEmpty) {
-      // memoized staging; the lock only serializes rare first-reads
-      val staged = changeDataCache.synchronized {
-        changeDataCache.getOrElseUpdate((table, v),
-          stageCowDiff(table, m, removed, added, schema, idOrd, v))
-      }
+      // memoized staging under a PER-(table,version) latch — the
+      // staging runs a whole Spark job, and one commit's first read
+      // must not serialize another table's feed behind it
+      val key = (table, v)
+      val staged = changeDataCache.get(key).getOrElse(
+        changeDataLocks.getOrElseUpdate(key, new Object).synchronized {
+          changeDataCache.getOrElseUpdate(key,
+            stageCowDiff(table, m, removed, added, schema, idOrd, v))
+        })
       staged.foreach { f =>
         parts += GraftCdfStagedPartition(Vector(f), cdfSchema(vis))
       }
