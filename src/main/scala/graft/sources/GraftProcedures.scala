@@ -115,7 +115,14 @@ private[graft] object GraftProcedures {
           val t = qualify(str(r, 0))
           graft.api.GraftApi.publishBranch(spark, t, str(r, 1))
           GraftTableStore.commitCount(t) - 1
-        })
+        }),
+      // VACUUM's orphan half (round 13): crashed-writer leftovers past
+      // the grace window — Iceberg's remove_orphan_files
+      GraftProcedure("remove_orphan_files",
+        Array(inParam("table", StringType),
+          inParam("grace_ms", IntegerType)), "files_deleted",
+        r => graft.api.GraftApi.vacuumOrphans(spark,
+          qualify(str(r, 0)), r.getInt(1).toLong))
     ).map(p => p.procName -> p).toMap
   }
 
