@@ -226,7 +226,11 @@ object GraftApi {
     // a restart and sidecars accumulate forever
     graft.sources.GraftMergeCatalog.registerDropHook { name =>
       mvDefs.remove(name); gwDefs.remove(name)
-      mvLocks.remove(name); gwLocks.remove(name)
+      // the lock OBJECTS stay resident (as tableLocks deliberately
+      // does): removing one while a concurrent refresh holds it would
+      // hand a re-created same-named MV a FRESH object, letting two
+      // folds interleave inside foldMvChanges. Bounded by distinct MV
+      // names seen in-process.
       val f = mvSidecar(name)
       if (f.isFile) { f.delete(); () }
     }
@@ -715,7 +719,21 @@ object GraftApi {
     * write always survives (Delta's VACUUM grace-window contract).
     * Returns files deleted. */
   def vacuumOrphans(spark: org.apache.spark.sql.SparkSession,
-      table: String, graceMs: Long = 10L * 60 * 1000): Int = {
+      table: String, graceMs: Long = 10L * 60 * 1000,
+      force: Boolean = false): Int = {
+    // the staging-dir half scans the SHARED java.io.tmpdir across all
+    // tables and sessions — a tiny grace would delete live concurrent
+    // writers' staging work warehouse-wide. Enforce a floor (Iceberg's
+    // remove_orphan_files guards older_than the same way); tests that
+    // genuinely need a short grace opt in with `force`.
+    val floor = 60000L
+    if (!force && graceMs < floor)
+      throw new IllegalArgumentException(
+        s"remove_orphan_files: grace_ms=$graceMs is below the " +
+          s"$floor ms safety floor — a short grace can delete live " +
+          "concurrent writers' staging directories across the whole " +
+          "warehouse; pass force=true only if you are certain no " +
+          "other writer is active")
     spark.table(table) // lazy log attach before the manifest readout
     graft.sources.GraftTableStore.vacuumOrphans(table, graceMs) +
       graft.sources.GraftParquetStore.sweepStagingDirs(graceMs)

@@ -18,6 +18,16 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** A commit refused because a CONCURRENT WRITER touched the table's
+  * log between this process's last replay and its claim — the typed
+  * signal the conflict-aware retry keys on ([[GraftMergeCatalog]]'s
+  * blind-append rebase). Subtypes IllegalStateException so callers
+  * (and pins) that match the broad type keep working; the retry layer
+  * alone discriminates. Delta models the same split with
+  * ConcurrentModificationException subclasses. */
+final class GraftConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 /** The WAREHOUSE ROOT: the one stable directory governed tables and
   * catalog sidecars live under — what makes a table findable again
   * after the process that created it is gone. `-Dgraft.warehouse=<dir>`
@@ -405,19 +415,54 @@ object GraftLog {
     * window are handled by [[parse]]'s empty-file retry. This is the
     * same primitive real formats build on: Delta's
     * create-if-not-exists log store, Iceberg's catalog CAS. */
+  /** HARD writer-side deadline between claiming a slot and landing its
+    * content: a zero-byte claim older than 60 s is adjudicated dead by
+    * foreign writers ([[writeRendered]], attach) and may be completed
+    * or deleted under us. Renaming past the deadline would silently
+    * fork the log, so a writer that stalls longer (full GC, suspend)
+    * must refuse its own commit instead. 50 s leaves a 10 s margin
+    * under the 60 s adjudication threshold. */
+  private val ClaimDeadlineMs = 50000L
+
   private def claimAndWrite(target: File, body: String): Unit = {
     if (!target.createNewFile())
-      throw new IllegalStateException(
+      throw new GraftConcurrentCommitException(
         s"graft log: concurrent writer conflict — ${target.getName} " +
           s"already exists under ${target.getParent} (another process " +
           "committed this sequence slot); re-read the table and retry")
+    val claimedAt = System.currentTimeMillis()
     val tmp = new File(target.getAbsolutePath + ".tmp")
     val out = new java.io.FileOutputStream(tmp)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (System.currentTimeMillis() - claimedAt > ClaimDeadlineMs) {
+      // past the liveness deadline our claim may already have been
+      // adjudicated dead and completed/deleted by a foreign writer —
+      // renaming now could clobber THEIR entry. Refuse our own commit;
+      // the claim file (ours or theirs) is left for adjudication.
+      tmp.delete()
+      throw new GraftConcurrentCommitException(
+        s"graft log: writer stalled past the ${ClaimDeadlineMs / 1000} s " +
+          s"claim-liveness deadline before landing ${target.getName}; " +
+          "refusing to commit (the claim may have been adjudicated " +
+          "dead by a concurrent writer) — re-read the table and retry")
+    }
     if (!tmp.renameTo(target))
       throw new IllegalStateException(
         s"graft log: could not commit entry ${target.getName}")
+    // belt-and-braces fork detector: if a foreign writer completed our
+    // claim in the window above (or raced the rename), the slot now
+    // holds someone's content — verify it is OURS, loudly.
+    val landed = new String(
+      java.nio.file.Files.readAllBytes(target.toPath),
+      StandardCharsets.UTF_8)
+    if (landed != body)
+      throw new GraftConcurrentCommitException(
+        s"graft log: entry ${target.getName} holds another writer's " +
+          "content after our rename — the slot was adjudicated dead and " +
+          "completed concurrently; this commit did NOT land, re-read " +
+          "the table and retry")
+    recordTail(target.getParentFile)
   }
 
   /** cross-process OCC probe, run at commit time BEFORE the in-memory
@@ -427,17 +472,41 @@ object GraftLog {
     * it would fork the table. O(log-dir entries), bounded by
     * checkpoint GC; the atomic claim in [[claimAndWrite]] remains the
     * race-proof backstop for the window after this check. */
+  /** log-dir mtime observed at our last durable write / clean verify,
+    * keyed by log-dir path: any foreign entry create/delete/rename
+    * bumps the directory mtime, so an UNCHANGED mtime proves nothing
+    * landed since — verifyTail skips the O(retained entries) listing
+    * on that fast path, keeping per-commit OCC O(1) at streaming
+    * commit rates. Millisecond mtime ties (a foreign write in the
+    * same ms as ours) fall through to [[claimAndWrite]]'s atomic
+    * claim, which stays the authoritative backstop. */
+  private val tailMtime = new TrieMap[String, Long]()
+
+  private def recordTail(parent: File): Unit = {
+    tailMtime.put(parent.getAbsolutePath, parent.lastModified())
+    ()
+  }
+
   private[sources] def verifyTail(storeName: String): Unit = {
     val m = GraftParquetStore.meta(storeName).getOrElse(return)
     val ctr = nextSeq.get(storeName).getOrElse(return)
-    val diskMax = Option(logDir(m.dir).listFiles())
+    val ld = logDir(m.dir)
+    val mtimeBefore = ld.lastModified()
+    if (tailMtime.get(ld.getAbsolutePath).contains(mtimeBefore) &&
+        mtimeBefore != 0L)
+      return // nothing touched the log since our last write
+    val diskMax = Option(ld.listFiles())
       .getOrElse(Array.empty[File])
       .flatMap(f => parseSeq(f.getName)).foldLeft(-1L)(math.max)
     if (diskMax >= ctr.get())
-      throw new IllegalStateException(
+      throw new GraftConcurrentCommitException(
         s"graft log: concurrent writer detected on $storeName — the " +
           s"on-disk log is at entry $diskMax, this process expected " +
           s"${ctr.get() - 1}; re-read the table and retry the commit")
+    // clean: cache the mtime read BEFORE the listing (an entry landing
+    // mid-listing keeps the next verify on the slow path)
+    tailMtime.put(ld.getAbsolutePath, mtimeBefore)
+    ()
   }
 
   private def seqCounter(storeName: String, dir: String)
@@ -631,12 +700,12 @@ object GraftLog {
       }
       if (existing == body) return
       if (existing.nonEmpty)
-        throw new IllegalStateException(
+        throw new GraftConcurrentCommitException(
           s"graft log: concurrent writer conflict — ${target.getName} " +
             "exists with different content (another process committed " +
             "this sequence slot); re-read the table and retry")
       if (System.currentTimeMillis() - target.lastModified() <= 60000L)
-        throw new IllegalStateException(
+        throw new GraftConcurrentCommitException(
           s"graft log: concurrent writer conflict — ${target.getName} " +
             "is another writer's in-flight claim; retry")
       val tmp = new File(target.getAbsolutePath + ".tmp")
@@ -646,6 +715,19 @@ object GraftLog {
       if (!tmp.renameTo(target))
         throw new IllegalStateException(
           s"graft log: could not complete claimed entry $target")
+      // the claim's original writer could resume past its liveness
+      // deadline and rename over us ([[ClaimDeadlineMs]] makes that a
+      // writer-side error, but an OLD binary or clock skew could still
+      // slip through) — verify the slot holds OUR completion.
+      val landed = new String(
+        java.nio.file.Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8)
+      if (landed != body)
+        throw new GraftConcurrentCommitException(
+          s"graft log: entry ${target.getName} was overwritten by a " +
+            "resumed writer after dead-claim completion; re-read the " +
+            "table and retry")
+      recordTail(target.getParentFile)
       return
     }
     claimAndWrite(target, body)
@@ -762,8 +844,45 @@ object GraftLog {
     // a mid-transaction crash rolls FORWARD before anything replays —
     // the marker carries every participant's rendered entry
     recoverPendingTxns()
-    val storeName =
-      (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+    attachByName(
+      (catalogName +: (ident.namespace() :+ ident.name())).mkString("."))
+  }
+
+  /** one table's complete log-replayed state, NOT yet installed — the
+    * conflict-aware retry PEEKS the disk truth with this (classifying
+    * the interleaved commits before destroying any in-memory state),
+    * then installs only if the rebase is viable. */
+  private[sources] final case class Replayed(m: Meta, h: History,
+      ingested: Set[String], hwm: Option[Long], mvWm: Option[Long],
+      morRowId: Option[String], constraints: Array[Constraint])
+
+  /** install a replayed state: evict every stale in-memory trace (a
+    * stale seq counter or resolution cache would poison the rebase),
+    * register, and re-seed the sequence counter past the replayed
+    * entries. */
+  private[sources] def install(storeName: String, r: Replayed)
+      : GraftMergeTable = {
+    GraftTableStore.evictInMemory(storeName)
+    GraftParquetStore.evictMeta(storeName)
+    GraftMergeCatalog.evictDef(storeName)
+    forget(storeName)
+    GraftParquetStore.restoreMeta(storeName, r.m)
+    GraftTableStore.restoreState(storeName, r.h, r.ingested, r.hwm,
+      r.mvWm)
+    seqCounter(storeName, r.m.dir) // seed past existing entries
+    new GraftMergeTable(storeName, r.m.schema, None, r.morRowId,
+      r.m.partFields, r.constraints)
+  }
+
+  private[sources] def attachByName(storeName: String)
+      : Option[GraftMergeTable] =
+    replayByName(storeName).map(install(storeName, _))
+
+  /** parse a table's on-disk log into a [[Replayed]] state WITHOUT
+    * installing anything — pure read (it may only collect a crashed
+    * zero-byte tail claim, exactly as attach does). */
+  private[sources] def replayByName(storeName: String)
+      : Option[Replayed] = {
     val dir = GraftWarehouse.tableDir(storeName)
     val ld = logDir(dir.getAbsolutePath)
     var entries = Option(ld.listFiles()).getOrElse(Array.empty[File])
@@ -924,13 +1043,7 @@ object GraftLog {
           s"graft log of $storeName: unknown entry kind '$other'")
       }
     }
-    // install: store registration, history, ledgers, catalog def
-    GraftParquetStore.restoreMeta(storeName, m)
-    GraftTableStore.restoreState(storeName, h, ingested, hwm, mvWm)
-    seqCounter(storeName, m.dir) // seed past existing entries
-    val t = new GraftMergeTable(storeName, m.schema, None, morRowId,
-      m.partFields, constraints)
-    Some(t)
+    Some(Replayed(m, h, ingested, hwm, mvWm, morRowId, constraints))
   }
 
   private def unjRefMap(j: JValue): Map[String, Int] = j match {

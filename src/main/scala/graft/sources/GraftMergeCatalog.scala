@@ -214,8 +214,11 @@ object GraftTableStore {
       .foreach(resolvedCache.remove)
     // a dropped/reset table's epoch ledger entries can never be
     // consulted again (its store is gone) — evict them, so create/drop
-    // churn cannot grow the ledger without bound
-    lastEpochs.keySet().removeIf(_._1 == name)
+    // churn cannot grow the ledger without bound. epochLock guards the
+    // access-ordered map (even get() structurally mutates it): markEpoch
+    // runs under epochLock alone, so removal from another lock scope
+    // would race. epochLock is a leaf lock — no ordering hazard.
+    epochLock.synchronized { lastEpochs.keySet().removeIf(_._1 == name); () }
     ingestedFiles.remove(name)
     identityHwm.remove(name)
     mvWatermarks.remove(name)
@@ -263,7 +266,7 @@ object GraftTableStore {
     ingestedFiles.remove(name)
     identityHwm.remove(name)
     mvWatermarks.remove(name)
-    lastEpochs.keySet().removeIf(_._1 == name)
+    epochLock.synchronized { lastEpochs.keySet().removeIf(_._1 == name); () }
     GraftChangeFeed.evictStaged(name)
     ()
   }
@@ -500,6 +503,32 @@ object GraftTableStore {
   }
   private[graft] def epochLedgerSize: Int =
     epochLock.synchronized(lastEpochs.size())
+
+  /** snapshot / restore one table's epoch-ledger entries across the
+    * conflict-retry's log refresh: the refresh evicts the table's
+    * in-memory state (ledger included), but the epoch being committed
+    * was already marked on this thread — losing it would let a later
+    * WAL replay double-commit the epoch. */
+  private[sources] def epochSnapshot(name: String)
+      : Vector[((String, String), Long)] = epochLock.synchronized {
+    val it = lastEpochs.entrySet().iterator()
+    val out = Vector.newBuilder[((String, String), Long)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == name) out += (e.getKey -> e.getValue.longValue())
+    }
+    out.result()
+  }
+  private[sources] def restoreEpochs(
+      entries: Vector[((String, String), Long)]): Unit =
+    epochLock.synchronized {
+      entries.foreach { case (k, v) =>
+        val prev = lastEpochs.get(k)
+        if (prev == null || prev.longValue() < v)
+          lastEpochs.put(k, java.lang.Long.valueOf(v))
+        ()
+      }
+    }
 
   /** Append one commit and apply retention — MUST run under [[lock]].
     * When the trim drops versions, the commit that becomes the new
@@ -778,35 +807,146 @@ object GraftTableStore {
     * a manifest-only commit, the lake-format append. Falls back to a
     * materializing commit only when the chain head is a delta op log
     * (the new content must append AFTER the merged state). */
+  /** what a blind append BASED on, for conflict classification: the
+    * head manifest as path → content signature, plus the metadata
+    * surfaces a foreign commit could have evolved. headSig is None
+    * when the head is a MoR delta chain (never rebased). */
+  private final case class AppendBaseSig(schemaJson: String,
+      specSig: String, dvMode: Boolean, commitCount: Int,
+      headSig: Option[Map[String, String]])
+
+  private def fileSig(f: GraftFileInfo): String =
+    s"${f.rows}|${f.bytes}|${f.numCols}|${f.specId}|" +
+      f.dv.map(d =>
+        s"${d.card}:${java.util.Arrays.hashCode(d.words)}").getOrElse("-")
+
+  private def appendSigOf(m: GraftParquetStore.Meta,
+      h: History): AppendBaseSig = {
+    val headSig = h.commits.lastOption match {
+      case Some(p: GraftParquetData) =>
+        Some(p.files.map(f => f.path -> fileSig(f)).toMap)
+      case None => Some(Map.empty[String, String])
+      case Some(_) => None
+    }
+    AppendBaseSig(m.schema.json,
+      m.specs.map(_.map(_.toString).mkString(",")).mkString(";") +
+        "|" + m.partFields.map(_.toString).mkString(","),
+      m.dvMode, h.commitCount, headSig)
+  }
+
+  private def appendBaseSig(name: String): Option[AppendBaseSig] =
+    GraftParquetStore.meta(name).map { m =>
+      appendSigOf(m, versions.getOrElse(name, History(0, Vector.empty)))
+    }
+
+  /** Delta-style LOGICAL conflict classification for a blind append
+    * whose commit lost the log race: the interleaved foreign commits
+    * are COMPATIBLE iff they only ADDED data — every file this append
+    * based on is still in the head manifest with identical content
+    * (rows, bytes, width, spec, DV bitmap), the head is still a
+    * parquet manifest, and no schema / partition-spec / DV-mode
+    * evolution landed. A foreign DELETE, compaction, overwrite,
+    * truncate, MoR delta or ALTER all fail this test and keep the
+    * loud refusal — a blind append read nothing, so appends racing
+    * appends are the one class that can always rebase. */
+  private def appendCompatible(base: AppendBaseSig,
+      now: AppendBaseSig): Boolean =
+    (base.headSig, now.headSig) match {
+      case (Some(baseFiles), Some(nowFiles)) =>
+        now.schemaJson == base.schemaJson &&
+          now.specSig == base.specSig &&
+          now.dvMode == base.dvMode &&
+          now.commitCount >= base.commitCount &&
+          baseFiles.forall { case (p, sig) =>
+            nowFiles.get(p).contains(sig)
+          }
+      case _ => false
+    }
+
+  /** bounded rebase attempts for a conflicted blind append — enough
+    * to ride out a burst of concurrent appenders, small enough that a
+    * genuinely hot table fails over to the caller's own policy. */
+  private val MaxAppendRetries = 4
+
   private[sources] def commitParquetAppend(name: String,
       staged: Vector[GraftFileInfo], branch: Option[String],
-      op: String = "append"): Unit =
-    withTableLock(name) {
-      val m = GraftParquetStore.meta(name).getOrElse(
-        throw new IllegalStateException(
-          s"$name is not parquet-backed — no staged commit possible"))
-      val h = versions.getOrElse(name, History(0, Vector.empty))
-      val newV = h.commitCount
-      h.commits.lastOption match {
-        case None =>
-          val files = GraftParquetStore.adoptStaged(m, newV, staged)
-          appendLocked(name, op,
-            GraftParquetData(files, files.map(_.rows).sum), branch)
-        case Some(p: GraftParquetData) =>
-          val files = GraftParquetStore.adoptStaged(m, newV, staged)
-          appendLocked(name, op,
-            GraftParquetData(p.files ++ files,
-              p.count + files.map(_.rows).sum), branch)
-        case Some(_) =>
-          // delta (or legacy in-memory) head: materialize base + the
-          // staged rows and let the full-persist path lay out files
-          val base = resolveRel(name, h, h.commits.size - 1)
-          val incoming = GraftParquetStore.readAll(staged, m.schema)
-          staged.foreach(f => new java.io.File(f.path).delete())
-          appendLocked(name, op,
-            GraftFullData(base ++ incoming), branch)
+      op: String = "append"): Unit = {
+    // blind appends to MAIN are the retryable class; branch writes
+    // (WAP staging) keep the strict refusal — their publish semantics
+    // depend on the exact base
+    val retryable = branch.isEmpty &&
+      (op == "append" || op == "stream-append")
+    // thread-local riders appendLocked consumes on its FIRST attempt
+    // (COPY INTO ledger, MV watermark) must re-arm on retry, or the
+    // rebased commit would drop them
+    val ingestArmed = pendingIngest.get()
+    val mvArmed = pendingMvWatermark.get()
+    var cur = staged
+    var attempts = 0
+    while (true) {
+      // capture what this attempt bases on (conflict classification
+      // compares against the post-refresh state)
+      val baseSig = withTableLock(name)(appendBaseSig(name))
+      val epochs = epochSnapshot(name)
+      try {
+        withTableLock(name) {
+          val m = GraftParquetStore.meta(name).getOrElse(
+            throw new IllegalStateException(
+              s"$name is not parquet-backed — no staged commit possible"))
+          val h = versions.getOrElse(name, History(0, Vector.empty))
+          val newV = h.commitCount
+          h.commits.lastOption match {
+            case None =>
+              val files = GraftParquetStore.adoptStaged(m, newV, cur)
+              cur = files
+              appendLocked(name, op,
+                GraftParquetData(files, files.map(_.rows).sum), branch)
+            case Some(p: GraftParquetData) =>
+              val files = GraftParquetStore.adoptStaged(m, newV, cur)
+              cur = files
+              appendLocked(name, op,
+                GraftParquetData(p.files ++ files,
+                  p.count + files.map(_.rows).sum), branch)
+            case Some(_) =>
+              // delta (or legacy in-memory) head: materialize base +
+              // the staged rows and let the full-persist path lay out
+              // files. Staged inputs are consumed — no rebase after.
+              val base = resolveRel(name, h, h.commits.size - 1)
+              val incoming = GraftParquetStore.readAll(cur, m.schema)
+              cur.foreach(f => new java.io.File(f.path).delete())
+              cur = Vector.empty
+              appendLocked(name, op,
+                GraftFullData(base ++ incoming), branch)
+          }
+        }
+        return
+      } catch {
+        case e: GraftConcurrentCommitException =>
+          attempts += 1
+          if (!retryable || attempts > MaxAppendRetries ||
+              cur.isEmpty || baseSig.forall(_.headSig.isEmpty))
+            throw e
+          // PEEK the disk truth first — classification must run
+          // before any in-memory state is destroyed, and a foreign
+          // entry this process cannot even parse keeps the original
+          // loud refusal with the table still readable
+          val peeked =
+            try GraftLog.replayByName(name)
+            catch { case _: Throwable => throw e }
+          val peek = peeked.getOrElse(throw e)
+          if (!appendCompatible(baseSig.get,
+              appendSigOf(peek.m, peek.h))) throw e
+          // compatible: install the rebased state. The install evicts
+          // this table's epoch ledger — restore it, the epoch being
+          // committed is already marked on this thread.
+          GraftLog.install(name, peek)
+          restoreEpochs(epochs)
+          ingestArmed.foreach(v => pendingIngest.set(Some(v)))
+          mvArmed.foreach(v => pendingMvWatermark.set(Some(v)))
+        // loop: re-adopt `cur` onto the rebased head and re-claim
       }
     }
+  }
 
   /** Commit a REWRITING write (replace / truncate / overwrite /
     * dynamic-overwrite) at FILE GRANULARITY — the task-side half of

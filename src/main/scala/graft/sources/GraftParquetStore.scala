@@ -975,14 +975,30 @@ object GraftParquetStore {
       staged: Vector[GraftFileInfo]): Vector[GraftFileInfo] = {
     val vdir = new java.io.File(m.dir, f"v$version%05d")
     vdir.mkdirs()
-    staged.zipWithIndex.map { case (f, i) =>
-      val target = new java.io.File(vdir, f"t$i%04d.parquet")
+    val now = System.currentTimeMillis()
+    // writer-unique name component: two PROCESSES racing the same
+    // version number adopt into the SAME directory before the log
+    // claim adjudicates the slot — deterministic names would let the
+    // loser's rename silently overwrite the winner's committed bytes.
+    // Manifests reference absolute paths, so names carry no meaning.
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    val adopted = staged.zipWithIndex.map { case (f, i) =>
+      val target = new java.io.File(vdir, f"t$i%04d-$tok.parquet")
       val src = new java.io.File(f.path)
       if (!src.renameTo(target))
         throw new IllegalStateException(
           s"could not adopt staged file ${f.path} into $target")
+      // rename preserves the STAGING-time mtime; a foreign process's
+      // orphan sweep between this adoption and the log entry landing
+      // would see a past-grace unreferenced file and delete committed
+      // data. Touch every adopted file (and the version dir) to `now`
+      // so the grace window restarts at commit time — the same reason
+      // transactAppend touches mtimes at commit.
+      target.setLastModified(now)
       f.copy(path = target.getAbsolutePath)
     }
+    vdir.setLastModified(now)
+    adopted
   }
 
   /** sweep CRASHED STAGING DIRECTORIES: `graft-stage-*` /

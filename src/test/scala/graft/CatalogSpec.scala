@@ -2388,4 +2388,103 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.rply_t")
     spark.sql("DROP TABLE graft.rply_c")
   }
+
+  test("CONFLICT-AWARE COMMIT RETRY: a blind append racing a foreign " +
+      "APPEND rebases onto the new head and lands WITHOUT application " +
+      "retry; racing a foreign REWRITE it still refuses loudly") {
+    freshCatalog()
+    val t = "graft.ccr_t"
+    def logDirOf(n: String) = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir(n), "_graft_log")
+    /** run `foreignCommit` and return (entryFile, bytes) of the log
+      * entry it appended — a GENUINE engine-rendered entry, exactly
+      * what a second process would have written. */
+    def captureForeign(n: String)(foreignCommit: => Unit)
+        : (java.io.File, Array[Byte]) = {
+      val before = logDirOf(n).listFiles().map(_.getName).toSet
+      foreignCommit
+      val fresh = logDirOf(n).listFiles()
+        .filter(f => !before(f.getName)).sortBy(_.getName)
+      assert(fresh.length == 1,
+        s"expected exactly one new entry, got ${fresh.toSeq}")
+      val f = fresh.last
+      (f, java.nio.file.Files.readAllBytes(f.toPath))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(10)")
+
+    // --- compatible race: foreign APPEND vs our blind append.
+    // Commit the "foreign" append for real, capture its entry, remove
+    // it, roll this process back to the pre-append state (restart
+    // replay), then re-seed the entry — this process is now exactly a
+    // writer whose view is one commit stale.
+    val (fA, bytesA) = captureForeign(t) {
+      spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(5)")
+    }
+    assert(fA.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 10, "rollback sim failed")
+    java.nio.file.Files.write(fA.toPath, bytesA)
+    // the stale writer's blind append: previously refused with
+    // "re-read the table and retry" — now classifies append-vs-append
+    // as compatible, rebases, and BOTH land
+    spark.sql(s"INSERT INTO $t SELECT id + 200, 'c' FROM range(3)")
+    assert(spark.table(t).count() == 18,
+      "append + foreign append must BOTH land after the rebase")
+    import scala.jdk.CollectionConverters._
+    val bySrc = spark.table(t).groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 10L, "b" -> 5L, "c" -> 3L), bySrc)
+    // the log replays to the same state in a fresh process
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 18, "rebased commit not durable")
+
+    // --- incompatible race: foreign REWRITE (CoW DELETE swaps base
+    // files) vs our blind append — refuses as before
+    val (fB, bytesB) = captureForeign(t) {
+      spark.sql(s"DELETE FROM $t WHERE s = 'b'")
+    }
+    assert(fB.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 18)
+    java.nio.file.Files.write(fB.toPath, bytesB)
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t SELECT id + 300, 'd' FROM range(2)")
+    }
+    def rootMsg(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(ex).contains("concurrent"), rootMsg(ex))
+    // the user-level retry (re-read) then lands on the rewritten base
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 13, "foreign rewrite must win")
+    spark.sql(s"INSERT INTO $t SELECT id + 300, 'd' FROM range(2)")
+    assert(spark.table(t).count() == 15)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("remove_orphan_files enforces a grace floor: a sub-minute " +
+      "grace_ms refuses (it would sweep live writers' staging dirs " +
+      "warehouse-wide) unless force-overridden") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.gfl_t")
+    spark.sql("CREATE TABLE graft.gfl_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.gfl_t SELECT id FROM range(5)")
+    val ex = intercept[IllegalArgumentException] {
+      graft.api.GraftApi.vacuumOrphans(spark, "graft.gfl_t", 1000L)
+    }
+    assert(ex.getMessage.contains("floor"), ex.getMessage)
+    // the floor value itself passes, and force bypasses
+    assert(graft.api.GraftApi.vacuumOrphans(spark, "graft.gfl_t",
+      60000L) >= 0)
+    assert(graft.api.GraftApi.vacuumOrphans(spark, "graft.gfl_t",
+      1000L, force = true) >= 0)
+    assert(spark.table("graft.gfl_t").count() == 5)
+    spark.sql("DROP TABLE graft.gfl_t")
+  }
 }
