@@ -854,7 +854,8 @@ object GraftLog {
     * then installs only if the rebase is viable. */
   private[sources] final case class Replayed(m: Meta, h: History,
       ingested: Set[String], hwm: Option[Long], mvWm: Option[Long],
-      morRowId: Option[String], constraints: Array[Constraint])
+      morRowId: Option[String], constraints: Array[Constraint],
+      maxSeq: Long)
 
   /** install a replayed state: evict every stale in-memory trace (a
     * stale seq counter or resolution cache would poison the rebase),
@@ -869,7 +870,16 @@ object GraftLog {
     GraftParquetStore.restoreMeta(storeName, r.m)
     GraftTableStore.restoreState(storeName, r.h, r.ingested, r.hwm,
       r.mvWm)
-    seqCounter(storeName, r.m.dir) // seed past existing entries
+    // seed the sequence counter from the REPLAY'S OWN snapshot, never
+    // a fresh directory listing: a foreign entry landing between the
+    // replay's listing and this install would otherwise advance the
+    // counter past an entry the replay never folded — the next commit
+    // would then claim a fresh slot with STALE content and fork the
+    // version chain (two entries both claiming the same version).
+    // Seeding at maxSeq+1 makes that foreign entry a verifyTail /
+    // claim conflict instead, which re-replays and converges.
+    nextSeq.put(storeName,
+      new java.util.concurrent.atomic.AtomicLong(r.maxSeq + 1))
     new GraftMergeTable(storeName, r.m.schema, None, r.morRowId,
       r.m.partFields, r.constraints)
   }
@@ -1043,7 +1053,8 @@ object GraftLog {
           s"graft log of $storeName: unknown entry kind '$other'")
       }
     }
-    Some(Replayed(m, h, ingested, hwm, mvWm, morRowId, constraints))
+    Some(Replayed(m, h, ingested, hwm, mvWm, morRowId, constraints,
+      entries.last._1))
   }
 
   private def unjRefMap(j: JValue): Map[String, Int] = j match {
