@@ -75,6 +75,9 @@ object Bench {
     "table_log_replay" -> 2.0,
     // two parquet seeds + task-side staging + the two-table commit
     "txn_multi_table" -> 1.5,
+    // round-14: fact+dim seeds + task-side DV bitmap pass + the
+    // two-table read-write commit
+    "txn_multi_rw" -> 2.0,
     "sql_catalog_view" -> 2.0,
     // 6 ingest commits + the merge pass itself; warm 1.4-1.6 s
     "table_binpack" -> 2.0,

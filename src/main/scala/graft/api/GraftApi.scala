@@ -603,6 +603,36 @@ object GraftApi {
     * for conflict tests). */
   def transactAppend(spark: org.apache.spark.sql.SparkSession,
       writes: Seq[(String, DataFrame)],
+      expectedHeads: Option[Map[String, Int]] = None): Map[String, Int] =
+    transact(spark, writes.map { case (t, df) => t -> TxnOp.Append(df) },
+      expectedHeads)
+
+  /** One table's operation inside [[transact]]. */
+  sealed trait TxnOp
+  object TxnOp {
+    /** append the DataFrame's rows (full INSERT semantics: enforced
+      * CHECKs, generated columns; identity tables refuse). */
+    final case class Append(df: DataFrame) extends TxnOp
+    /** delete the rows matching a SQL predicate, via per-file
+      * deletion-vector bitmaps — zero data bytes rewritten. The
+      * predicate must translate exactly (all-or-nothing); a shape
+      * that doesn't belongs in a single-table DELETE statement. */
+    final case class Delete(condition: String) extends TxnOp
+  }
+
+  /** READ-WRITE cross-table transaction (round 14): appends and
+    * row-level DELETEs commit atomically under ONE intent marker —
+    * the fact-plus-rollup reconciliation shape (append the corrected
+    * facts, delete the stale dimension rows, readers see both or
+    * neither). Every participant's head is OCC-verified against the
+    * begin snapshot; a concurrent commit to ANY participant refuses
+    * the whole transaction loudly, and a crash after the marker rolls
+    * FORWARD on the next attach — both sides, in any process. Appends
+    * stage task-side (no driver rows); deletes compute zone-map-
+    * prescreened per-file DV bitmaps task-side (O(matched files)
+    * metadata). */
+  def transact(spark: org.apache.spark.sql.SparkSession,
+      writes: Seq[(String, TxnOp)],
       expectedHeads: Option[Map[String, Int]] = None): Map[String, Int] = {
     import graft.sources.{GraftParquetStore, GraftTableStore}
     require(writes.nonEmpty, "empty transaction")
@@ -617,37 +647,52 @@ object GraftApi {
     val heads = expectedHeads.getOrElse(
       writes.map(w => w._1 -> (GraftTableStore.commitCount(w._1) - 1))
         .toMap)
-    // stage every write OUTSIDE the lock — Spark jobs must not block
-    // concurrent commits. Enforced CHECK constraints evaluate per row
-    // inside the staging pass and generated columns recompute in the
-    // writers (ALWAYS semantics) — a transactional append admits
-    // exactly what a plain INSERT admits; identity assignment needs
-    // the commit-time high-water mark, so identity tables refuse.
-    val staged = writes.map { case (t, df) =>
-      val m = GraftParquetStore.meta(t).get
-      require(graft.sources.GraftGenerated.identityOf(m.schema).isEmpty,
-        s"transaction: $t has an IDENTITY column — its commit-time " +
-          "value assignment needs the single-table write path")
-      val checks = graft.sources.GraftMergeCatalog.constraintsOf(t)
-        .collect {
-          case c: org.apache.spark.sql.connector.catalog.constraints.Check
-            if c.enforced() => (c.name(), c.predicateSql())
-        }.toSeq
-      val (files, rows) = GraftParquetStore.stageAppendTaskSide(
-        spark, m, df, checks)
-      (t, files, rows)
+    val parts = writes.map {
+      case (t, TxnOp.Append(df)) =>
+        val (files, rows) = stageTxnAppend(spark, t, df)
+        GraftTableStore.TxnStagedAppend(t, files, rows)
+      case (t, TxnOp.Delete(cond)) =>
+        GraftTableStore.stageTxnDelete(spark, t, cond)
     }
     // refresh every staged file's mtime at the commit point: an early
     // participant's staging dir goes idle while later (possibly huge)
     // participants stage, and a concurrent orphan sweep keys liveness
     // on mtime — the touch shrinks its exposure to the commit itself
     val now = System.currentTimeMillis()
-    staged.foreach(_._2.foreach { f =>
-      val file = new java.io.File(f.path)
-      file.setLastModified(now)
-      Option(file.getParentFile).foreach(_.setLastModified(now))
-    })
-    GraftTableStore.commitTransaction(staged, heads)
+    parts.foreach {
+      case GraftTableStore.TxnStagedAppend(_, files, _) =>
+        files.foreach { f =>
+          val file = new java.io.File(f.path)
+          file.setLastModified(now)
+          Option(file.getParentFile).foreach(_.setLastModified(now))
+        }
+      case _ => ()
+    }
+    GraftTableStore.commitTxn(parts, heads)
+  }
+
+  /** the append side of a transaction: task-side staging with full
+    * INSERT semantics (the body [[transactAppend]] always had). */
+  private def stageTxnAppend(spark: org.apache.spark.sql.SparkSession,
+      t: String, df: DataFrame)
+      : (Vector[graft.sources.GraftFileInfo], Long) = {
+    import graft.sources.GraftParquetStore
+    // stage OUTSIDE the lock — Spark jobs must not block concurrent
+    // commits. Enforced CHECK constraints evaluate per row inside the
+    // staging pass and generated columns recompute in the writers
+    // (ALWAYS semantics) — a transactional append admits exactly what
+    // a plain INSERT admits; identity assignment needs the
+    // commit-time high-water mark, so identity tables refuse.
+    val m = GraftParquetStore.meta(t).get
+    require(graft.sources.GraftGenerated.identityOf(m.schema).isEmpty,
+      s"transaction: $t has an IDENTITY column — its commit-time " +
+        "value assignment needs the single-table write path")
+    val checks = graft.sources.GraftMergeCatalog.constraintsOf(t)
+      .collect {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check
+          if c.enforced() => (c.name(), c.predicateSql())
+      }.toSeq
+    GraftParquetStore.stageAppendTaskSide(spark, m, df, checks)
   }
 
   /** CONTINUOUS MV MAINTENANCE: a streaming query tailing the

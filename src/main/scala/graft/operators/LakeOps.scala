@@ -1153,6 +1153,53 @@ object LakeOps extends QueryModule {
           sum("cents").cast("long").as("cents_total"))
         .join(s.table("graft.txn_audit"), Seq("o_orderstatus"))
         .orderBy("o_orderstatus")
+    }),
+
+    // READ-WRITE CROSS-TABLE TRANSACTION (round-13 verdict #3): the
+    // fact-plus-dimension reconciliation — a fact APPEND and a
+    // dimension DELETE commit atomically under ONE intent marker. The
+    // delete side computes per-file deletion-vector bitmaps task-side
+    // (zero data bytes rewritten, zone-map-prescreened candidates);
+    // the append stages task-written parquet; both heads OCC-verify
+    // against the begin snapshot and a crash after the marker rolls
+    // BOTH forward in any process (CatalogSpec pins the crash window
+    // and the conflict refusal). The readout reads the fact totals
+    // NEXT TO the post-delete dimension census, so the oracle
+    // arithmetic only holds if both sides landed.
+    "txn_multi_rw" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Det.dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+        .createOrReplaceTempView("txr_src")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("txr_dim_src")
+      s.sql("DROP TABLE IF EXISTS graft.txr_fact")
+      s.sql("DROP TABLE IF EXISTS graft.txr_dim")
+      s.sql("CREATE TABLE graft.txr_fact (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("CREATE TABLE graft.txr_dim (c_custkey BIGINT, " +
+        "c_mktsegment STRING) TBLPROPERTIES " +
+        "('graft.store'='parquet', 'graft.delete.mode'='dv')")
+      s.sql("INSERT INTO graft.txr_fact " +
+        "SELECT * FROM txr_src WHERE o_orderkey % 3 = 0")
+      s.sql("INSERT INTO graft.txr_dim SELECT * FROM txr_dim_src")
+      val delta = s.sql("SELECT o_orderkey + 30000000 AS o_orderkey, " +
+        "o_orderstatus, cents FROM txr_src WHERE o_orderkey % 5 = 0")
+      graft.api.GraftApi.transact(s, Seq(
+        "graft.txr_fact" -> graft.api.GraftApi.TxnOp.Append(delta),
+        "graft.txr_dim" -> graft.api.GraftApi.TxnOp.Delete(
+          "c_mktsegment = 'BUILDING'")))
+      val dim = s.table("graft.txr_dim").agg(
+        count(lit(1)).as("n_dim_live"),
+        sum("c_custkey").cast("long").as("dim_key_sum"))
+      s.table("graft.txr_fact").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_fact"),
+          sum("cents").cast("long").as("cents_total"))
+        .crossJoin(dim)
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -1462,6 +1509,26 @@ object LakeOps extends QueryModule {
         |  a.n_rows, a.sum_cents
         |FROM fact f JOIN audit a USING (o_orderstatus)
         |GROUP BY f.o_orderstatus, a.n_rows, a.sum_cents
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "txn_multi_rw" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |fact AS (
+        |  SELECT * FROM src WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, cents
+        |  FROM src WHERE o_orderkey % 5 = 0),
+        |dim AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment <> 'BUILDING')
+        |SELECT o_orderstatus, COUNT(*) AS n_fact,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_total,
+        |  (SELECT COUNT(*) FROM dim) AS n_dim_live,
+        |  (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM dim)
+        |    AS dim_key_sum
+        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

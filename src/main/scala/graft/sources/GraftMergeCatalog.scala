@@ -1068,13 +1068,171 @@ object GraftTableStore {
   /** test seam: crash the process (throw) after the FIRST per-table
     * log entry lands — the window the marker protocol exists for. */
   private[graft] var failTxnAfterFirstLogWrite = false
+
+  /** One table's write inside a cross-table transaction. */
+  private[graft] sealed trait TxnWrite { def name: String }
+  /** task-staged parquet files appended onto the table's head. */
+  private[graft] final case class TxnStagedAppend(name: String,
+      files: Vector[GraftFileInfo], rows: Long) extends TxnWrite
+  /** a PRE-COMPUTED post-state manifest (a DV DELETE's swap): built
+    * outside the lock against the begin snapshot; the head OCC check
+    * makes basing on it safe. */
+  private[graft] final case class TxnManifest(name: String,
+      files: Vector[GraftFileInfo], count: Int, op: String)
+    extends TxnWrite
+
   private[graft] def commitTransaction(
       staged: Seq[(String, Vector[GraftFileInfo], Long)],
+      expectedHeads: Map[String, Int]): Map[String, Int] =
+    commitTxn(staged.map(s => TxnStagedAppend(s._1, s._2, s._3)),
+      expectedHeads)
+
+  /** Stage the DELETE side of a READ-WRITE cross-table transaction:
+    * compute the post-delete manifest (zone-map prescreen + task-side
+    * DV bitmaps — the exact machinery of the metadata DELETE path)
+    * against the CURRENT head, outside any lock. The returned
+    * [[TxnManifest]] participates in [[commitTxn]] under the same
+    * intent marker as the appends; the head OCC check refuses the
+    * whole transaction if anything committed since. All-or-nothing on
+    * the predicate: a filter that fails to translate refuses loudly
+    * (a dropped conjunct would delete a SUPERSET). */
+  private[graft] def stageTxnDelete(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      condition: String): TxnWrite = {
+    val m = GraftParquetStore.meta(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"transaction: $name is not parquet-backed"))
+    require(sessionWapBranch.isEmpty && mainAtChainHead(name),
+      s"transaction: $name has staged branch commits — publish first")
+    val fv = fileView(name, None).getOrElse(
+      GraftFileView(Vector.empty, Array.empty, Array.empty, -1,
+        org.apache.spark.sql.types.NullType))
+    require(fv.extras.isEmpty && fv.deletedIds.isEmpty,
+      s"transaction: $name has a merge-on-read delta head — " +
+        "OPTIMIZE (compact) it before a transactional DELETE")
+    // resolve the SQL predicate against the table and translate every
+    // conjunct to a source filter — Spark's own analyzer does the
+    // name resolution, so the predicate means exactly what a DELETE
+    // statement's WHERE would mean
+    val analyzed = spark.table(name).where(condition)
+      .queryExecution.analyzed
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transaction: could not resolve DELETE predicate '$condition'"))
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      conjuncts(cond).map { c =>
+        toSourceFilter(c)
+          .filter(f => GraftFilterEval.compile(f, m.schema).isDefined)
+          .getOrElse(throw new IllegalArgumentException(
+            s"transaction: DELETE predicate conjunct '${c.sql}' does " +
+              "not translate to an exact file-level filter — use the " +
+              "single-table DELETE statement for this shape"))
+      }.toArray
+    // zone-map prescreen, then task-side bitmaps over the remainder
+    val candidates = fv.files.filter(f =>
+      !filters.exists(GraftZoneMap.skips(_, f, m.schema)))
+    val dvs = GraftParquetStore.computeDvs(spark, m.schema,
+      candidates, filters)
+    var removedRows = 0L
+    val files = fv.files.flatMap { f =>
+      dvs.get(f.path) match {
+        case None => Some(f)
+        case Some(d) if d.card == f.rows =>
+          removedRows += f.liveRows; None
+        case Some(d) =>
+          removedRows += d.card - f.dv.map(_.card).getOrElse(0)
+          Some(f.copy(dv = Some(d)))
+      }
+    }
+    val count =
+      (fv.files.map(_.liveRows.toLong).sum - removedRows).toInt
+    TxnManifest(name, files, count, "txn-delete")
+  }
+
+  /** EXACT catalyst → source-filter translation for the transactional
+    * DELETE's predicate conjuncts — only shapes whose file-level
+    * semantics are identical to row-level Spark semantics translate
+    * (attribute-vs-literal comparisons, IN, NULL tests, NOT/OR
+    * compositions, string prefix/suffix/contains). Anything else
+    * returns None and the transaction refuses loudly — a partial
+    * translation would delete a SUPERSET. */
+  private def toSourceFilter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToScala
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.{sources => f}
+    e match {
+      case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.EqualTo(a.name, convertToScala(v, dt)))
+      case EqualTo(Literal(v, dt), a: AttributeReference) =>
+        Some(f.EqualTo(a.name, convertToScala(v, dt)))
+      case EqualNullSafe(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.EqualNullSafe(a.name, convertToScala(v, dt)))
+      case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.GreaterThan(a.name, convertToScala(v, dt)))
+      case GreaterThan(Literal(v, dt), a: AttributeReference) =>
+        Some(f.LessThan(a.name, convertToScala(v, dt)))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
+      case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        Some(f.LessThanOrEqual(a.name, convertToScala(v, dt)))
+      case LessThan(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.LessThan(a.name, convertToScala(v, dt)))
+      case LessThan(Literal(v, dt), a: AttributeReference) =>
+        Some(f.GreaterThan(a.name, convertToScala(v, dt)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.LessThanOrEqual(a.name, convertToScala(v, dt)))
+      case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
+        Some(f.GreaterThanOrEqual(a.name, convertToScala(v, dt)))
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        Some(f.In(a.name, vs.map { case Literal(v, dt) =>
+          convertToScala(v, dt) }.toArray))
+      case InSet(a: AttributeReference, hset) =>
+        Some(f.In(a.name,
+          hset.map(convertToScala(_, a.dataType)).toArray))
+      case IsNull(a: AttributeReference) => Some(f.IsNull(a.name))
+      case IsNotNull(a: AttributeReference) => Some(f.IsNotNull(a.name))
+      case StartsWith(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.StringStartsWith(a.name,
+          convertToScala(v, dt).asInstanceOf[String]))
+      case EndsWith(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.StringEndsWith(a.name,
+          convertToScala(v, dt).asInstanceOf[String]))
+      case Contains(a: AttributeReference, Literal(v, dt)) =>
+        Some(f.StringContains(a.name,
+          convertToScala(v, dt).asInstanceOf[String]))
+      case Not(inner) => toSourceFilter(inner).map(f.Not)
+      case Or(l, r) =>
+        for (lf <- toSourceFilter(l); rf <- toSourceFilter(r))
+          yield f.Or(lf, rf)
+      case And(l, r) =>
+        for (lf <- toSourceFilter(l); rf <- toSourceFilter(r))
+          yield f.And(lf, rf)
+      case _ => None
+    }
+  }
+
+  private[graft] def commitTxn(parts: Seq[TxnWrite],
       expectedHeads: Map[String, Int]): Map[String, Int] = withGlobalLock {
-    def cleanup(): Unit = staged.foreach(_._2.foreach(f =>
-      new java.io.File(f.path).delete()))
+    def cleanup(): Unit = parts.foreach {
+      case TxnStagedAppend(_, files, _) =>
+        files.foreach(f => new java.io.File(f.path).delete())
+      case _: TxnManifest => () // references live table files only
+    }
     // verify EVERY head first — nothing commits unless all pass
-    staged.foreach { case (name, _, _) =>
+    parts.foreach { part =>
+      val name = part.name
       val head = commitCount(name) - 1
       if (expectedHeads.getOrElse(name, -2) != head) {
         cleanup()
@@ -1088,7 +1246,7 @@ object GraftTableStore {
         cleanup()
         throw new IllegalStateException(
           s"transaction: $name has a merge-on-read delta head — " +
-            "OPTIMIZE (compact) it before a transactional append")
+            "OPTIMIZE (compact) it before a transactional write")
       }
       // cross-process tails verify BEFORE any adoption or sequence
       // allocation — a conflict here costs nothing
@@ -1106,34 +1264,42 @@ object GraftTableStore {
     // head-check refuses or proceeds correctly. (Already-allocated
     // sequence slots would otherwise also stay as permanent log gaps.)
     val planned = try {
-      staged.map { case (name, files, rows) =>
+      parts.map { part =>
+        val name = part.name
         val m = GraftParquetStore.meta(name).get
         val h = versions.getOrElse(name, History(0, Vector.empty))
-        val adopted = GraftParquetStore.adoptStaged(m, h.commitCount, files)
-        val data = h.commits.lastOption match {
-          case Some(p: GraftParquetData) =>
-            GraftParquetData(p.files ++ adopted, p.count + rows.toInt)
-          case _ => GraftParquetData(adopted, rows.toInt)
+        val (op, data) = part match {
+          case TxnStagedAppend(_, files, rows) =>
+            val adopted =
+              GraftParquetStore.adoptStaged(m, h.commitCount, files)
+            ("txn-append", h.commits.lastOption match {
+              case Some(p: GraftParquetData) =>
+                GraftParquetData(p.files ++ adopted,
+                  p.count + rows.toInt)
+              case _ => GraftParquetData(adopted, rows.toInt)
+            })
+          case TxnManifest(_, files, count, o) =>
+            (o, GraftParquetData(files, count))
         }
         val now = math.max(System.currentTimeMillis(),
           h.times.lastOption.map(_ + 1).getOrElse(Long.MinValue))
         val newV = h.commitCount
-        val rendered = GraftLog.renderCommit(name, newV, "txn-append",
+        val rendered = GraftLog.renderCommit(name, newV, op,
           now, data, h.commits.lastOption,
           h.branches + ("main" -> newV), h.tags)
-        (name, data, now, rendered)
+        (name, op, data, now, rendered)
       }
     } catch {
       case t: Throwable =>
         cleanup() // not-yet-adopted staged files (no-op for adopted)
-        staged.foreach { s =>
+        parts.foreach { s =>
           // the full restart-eviction quartet — anything less leaves a
           // registry entry that makes the table read as EMPTY instead
           // of lazily replaying the disk truth
-          evictInMemory(s._1)
-          GraftParquetStore.evictMeta(s._1)
-          GraftMergeCatalog.evictDef(s._1)
-          GraftLog.forget(s._1)
+          evictInMemory(s.name)
+          GraftParquetStore.evictMeta(s.name)
+          GraftMergeCatalog.evictDef(s.name)
+          GraftLog.forget(s.name)
         }
         throw t
     }
@@ -1141,16 +1307,16 @@ object GraftTableStore {
     // rendered entry — from here the transaction always completes
     val marker = GraftLog.writeTxnMarker(
       java.util.UUID.randomUUID().toString,
-      planned.flatMap(_._4))
+      planned.flatMap(_._5))
     // apply EVERY table in memory FIRST (pure data-structure work —
     // readers never see a half-applied transaction), THEN write the
     // per-table entries. An IO failure mid-writes leaves the process
     // CONSISTENT (all tables applied) and the MARKER in place, so the
     // next attach — or the next process — rolls the missing entries
     // forward; the marker is only retired after every entry landed.
-    planned.foreach { case (name, data, now, _) =>
+    planned.foreach { case (name, op, data, now, _) =>
       val firstBefore = versions.get(name).map(_.firstRetained)
-      appendLocked(name, "txn-append", data, logIt = false,
+      appendLocked(name, op, data, logIt = false,
         atTime = Some(now))
       // a txn commit that crossed the retention cap checkpoints like
       // any other trimming commit (the entry alone would replay an
@@ -1160,7 +1326,7 @@ object GraftTableStore {
     }
     var wrote = 0
     var failure: Option[Throwable] = None
-    planned.foreach { case (_, _, _, rendered) =>
+    planned.foreach { case (_, _, _, _, rendered) =>
       rendered.foreach { case (target, body) =>
         try {
           GraftLog.writeRendered(target, body)
@@ -1185,7 +1351,7 @@ object GraftTableStore {
     }
     // the committed head per table, read UNDER the lock — a racing
     // commit after release must not be reported as this transaction's
-    planned.map { case (name, _, _, _) =>
+    planned.map { case (name, _, _, _, _) =>
       name -> (commitCount(name) - 1)
     }.toMap
   }

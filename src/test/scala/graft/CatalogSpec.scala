@@ -2105,6 +2105,98 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txc_b")
   }
 
+  test("READ-WRITE cross-table transaction: fact append + dimension " +
+      "DV DELETE commit atomically — crash after the first log write " +
+      "rolls BOTH forward, a concurrent commit refuses NEITHER side, " +
+      "and an untranslatable predicate refuses up front") {
+    freshCatalog()
+    import graft.api.GraftApi
+    def seed(): Unit = {
+      spark.sql("DROP TABLE IF EXISTS graft.txrw_f")
+      spark.sql("DROP TABLE IF EXISTS graft.txrw_d")
+      spark.sql("CREATE TABLE graft.txrw_f (k BIGINT, v DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      spark.sql("CREATE TABLE graft.txrw_d (id BIGINT, seg STRING) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.delete.mode'='dv')")
+      spark.sql("INSERT INTO graft.txrw_f SELECT id, id * 1.0 " +
+        "FROM range(10)")
+      spark.sql("INSERT INTO graft.txrw_d SELECT id, " +
+        "CASE WHEN id % 3 = 0 THEN 'drop' ELSE 'keep' END " +
+        "FROM range(30)")
+    }
+    val delta = spark.range(5).selectExpr("id + 1000 AS k",
+      "CAST(2.0 AS DOUBLE) AS v")
+    // --- happy path: append + delete land together
+    seed()
+    GraftApi.transact(spark, Seq(
+      "graft.txrw_f" -> GraftApi.TxnOp.Append(delta),
+      "graft.txrw_d" -> GraftApi.TxnOp.Delete("seg = 'drop'")))
+    assert(spark.table("graft.txrw_f").count() == 15)
+    assert(spark.table("graft.txrw_d").count() == 20)
+    assert(spark.table("graft.txrw_d")
+      .where("seg = 'drop'").count() == 0)
+    // ops recorded distinctly: the delete side is a txn-delete
+    val dimOps = spark.table("graft.txrw_d.history").collect()
+      .map(_.getString(1)).toSeq
+    assert(dimOps.contains("txn-delete"), dimOps)
+    // durability: both replay from the log
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.txrw_f", "graft.txrw_d"))
+    assert(spark.table("graft.txrw_f").count() == 15)
+    assert(spark.table("graft.txrw_d").count() == 20)
+
+    // --- crash window: first per-table entry lands, then "death" —
+    // the marker rolls BOTH the append and the delete forward
+    seed()
+    GraftTableStore.failTxnAfterFirstLogWrite = true
+    try {
+      val ex = intercept[IllegalStateException] {
+        GraftApi.transact(spark, Seq(
+          "graft.txrw_f" -> GraftApi.TxnOp.Append(delta),
+          "graft.txrw_d" -> GraftApi.TxnOp.Delete("seg = 'drop'")))
+      }
+      assert(ex.getMessage.contains("injected crash"), ex.getMessage)
+    } finally GraftTableStore.failTxnAfterFirstLogWrite = false
+    graft.sources.GraftLog.simulateProcessRestart(
+      Seq("graft.txrw_f", "graft.txrw_d"))
+    assert(spark.table("graft.txrw_f").count() == 15,
+      "crashed RW transaction must roll the append forward")
+    assert(spark.table("graft.txrw_d").count() == 20,
+      "crashed RW transaction must roll the delete forward")
+
+    // --- conflict: a commit between begin and commit refuses BOTH
+    seed()
+    val heads = Map(
+      "graft.txrw_f" -> (GraftTableStore.commitCount("graft.txrw_f") - 1),
+      "graft.txrw_d" -> (GraftTableStore.commitCount("graft.txrw_d") - 1))
+    spark.sql("INSERT INTO graft.txrw_d VALUES (9999, 'keep')")
+    val exC = intercept[IllegalStateException] {
+      GraftApi.transact(spark, Seq(
+        "graft.txrw_f" -> GraftApi.TxnOp.Append(delta),
+        "graft.txrw_d" -> GraftApi.TxnOp.Delete("seg = 'drop'")),
+        expectedHeads = Some(heads))
+    }
+    assert(exC.getMessage.contains("transaction conflict"),
+      exC.getMessage)
+    assert(spark.table("graft.txrw_f").count() == 10,
+      "conflicted RW transaction must not append")
+    assert(spark.table("graft.txrw_d")
+      .where("seg = 'drop'").count() == 10,
+      "conflicted RW transaction must not delete")
+
+    // --- an untranslatable predicate refuses before anything stages
+    val exP = intercept[IllegalArgumentException] {
+      GraftApi.transact(spark, Seq(
+        "graft.txrw_f" -> GraftApi.TxnOp.Append(delta),
+        "graft.txrw_d" -> GraftApi.TxnOp.Delete("id % 7 = 1")))
+    }
+    assert(exP.getMessage.contains("does not translate"),
+      exP.getMessage)
+    spark.sql("DROP TABLE graft.txrw_f")
+    spark.sql("DROP TABLE graft.txrw_d")
+  }
+
   test("CONCURRENT commits under per-table locks: 4 writer threads x " +
       "3 tables — every commit lands exactly once, histories stay " +
       "linear, the log replays identically, and CALL " +
