@@ -1385,6 +1385,50 @@ object GraftTableStore {
   private[sources] def mainAtChainHead(name: String): Boolean =
     versions.get(name).forall(h => h.mainHead == h.commitCount - 1)
 
+  /** every retained commit is a plain parquet manifest — the
+    * precondition for type widening (MoR delta op rows were decoded
+    * under the narrow type and merge at read). */
+  private[sources] def retainedAllParquet(name: String): Boolean =
+    versions.get(name)
+      .forall(_.commits.forall(_.isInstanceOf[GraftParquetData]))
+
+  /** apply a TYPE WIDENING to the retained in-memory state: lift
+    * every retained manifest's zone-map stats for `ord` into the
+    * widened domain (Int→Long / Float→Double are lossless) and drop
+    * caches holding rows decoded under the narrow type. Runs under
+    * the table lock; the caller checkpoints right after, so the
+    * on-disk log is post-widen-only too. */
+  private[sources] def applyWiden(name: String, ord: Int,
+      to: org.apache.spark.sql.types.DataType): Unit =
+    withTableLock(name) {
+      def up(v: Any): Any = (to, v) match {
+        case (_, null) => null
+        case (org.apache.spark.sql.types.LongType,
+          i: java.lang.Integer) => i.longValue()
+        case (org.apache.spark.sql.types.DoubleType,
+          f: java.lang.Float) => f.doubleValue()
+        case _ => v
+      }
+      versions.get(name).foreach { h =>
+        val commits2 = h.commits.map {
+          case p: GraftParquetData =>
+            GraftParquetData(p.files.map { f =>
+              f.stats.get(ord) match {
+                case Some(s) => f.copy(stats = f.stats.updated(ord,
+                  GraftColStats(up(s.min), up(s.max), s.nulls)))
+                case None => f
+              }
+            }, p.count)
+          case other => other
+        }
+        versions.put(name, h.copy(commits = commits2))
+        ()
+      }
+      resolvedCache.keysIterator.filter(_._1 == name)
+        .foreach(resolvedCache.remove)
+      GraftChangeFeed.evictStaged(name)
+    }
+
   /** PURGE deletion vectors (the OPTIMIZE flavor a DV delete calls
     * for): rewrite ONLY the bitmap-carrying files as fresh live-row
     * files and commit the swapped manifest — DV-free entries survive
@@ -2741,6 +2785,60 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
               }
             }
           })
+        // ALTER COLUMN ... TYPE — TYPE WIDENING (Iceberg v3 / Delta
+        // type widening): metadata-only. Files already on disk keep
+        // their stored narrow type and upcast at decode (the reader
+        // projects by ordinal against each file's own footer schema);
+        // new writes land widened; zone maps normalize into the
+        // widened domain and the widen commits a CHECKPOINT so replay
+        // never mixes decode domains. At 100 TB this is what saves an
+        // under-provisioned key type from a full table rewrite.
+        case ut: TableChange.UpdateColumnType =>
+          require(ut.fieldNames().length == 1,
+            "nested ALTER COLUMN not supported")
+          val c = ut.fieldNames()(0)
+          val ord = sch.fieldNames.indexOf(c)
+          require(ord >= 0, s"no such column: $c")
+          val from = sch(ord).dataType
+          val to = ut.newDataType()
+          val widens = (from, to) match {
+            case (org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.LongType) => true
+            case (org.apache.spark.sql.types.FloatType,
+              org.apache.spark.sql.types.DoubleType) => true
+            case _ => false
+          }
+          require(widens,
+            s"ALTER COLUMN $c TYPE: only widening conversions are " +
+              s"supported (INT→BIGINT, FLOAT→DOUBLE), not " +
+              s"${from.sql} → ${to.sql}")
+          val m = GraftParquetStore.meta(t.name()).getOrElse(
+            throw new UnsupportedOperationException(
+              s"ALTER COLUMN $c TYPE: type widening is a file-store " +
+                "surface — in-memory tables hold typed rows"))
+          // a partition key (ANY spec, legacy included) prunes by
+          // typed key values; widening it would split the key domain
+          require(!m.specs.exists(_.exists(_.col == c)),
+            s"cannot widen '$c': it is a partition column " +
+              "(current or legacy spec) — rewrite the table instead")
+          require(!t.morRowId.contains(c),
+            s"cannot widen '$c': it is the merge-on-read row id")
+          require(!m.bloomOrds.contains(ord),
+            s"cannot widen '$c': it carries a bloom index whose " +
+              "hashes are typed — drop the index first")
+          require(GraftGenerated.identityOf(sch)
+            .forall(_.ord != ord),
+            s"cannot widen '$c': it is an IDENTITY column")
+          require(!GraftGenerated.hasGenerated(sch),
+            s"cannot widen '$c': the table declares generated " +
+              "columns whose expressions were analyzed against the " +
+              "current types — drop them first")
+          require(GraftTableStore.retainedAllParquet(t.name()),
+            s"cannot widen '$c' while merge-on-read delta commits " +
+              "are retained — OPTIMIZE (compact) first")
+          StructType(sch.fields.zipWithIndex.map { case (f, i) =>
+            if (i == ord) f.copy(dataType = to) else f
+          })
         case other => throw new UnsupportedOperationException(
           s"ALTER change not supported: $other")
       }
@@ -2769,9 +2867,24 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
     }
     GraftParquetStore.updateSchema(t.name(), newSchema)
     registry.put(key(ident), nt)
+    // a WIDENING normalizes retained zone-map stats into the widened
+    // domain and drops row caches decoded under the narrow type
+    val widenedOrds = schemaChanges.collect {
+      case ut: TableChange.UpdateColumnType =>
+        t.physicalSchema.fieldNames.indexOf(ut.fieldNames()(0))
+    }
+    widenedOrds.foreach(o =>
+      GraftTableStore.applyWiden(t.name(), o,
+        newSchema(o).dataType))
     // metadata-only evolutions persist like every other state change
-    if (GraftParquetStore.isBacked(t.name()))
+    if (GraftParquetStore.isBacked(t.name())) {
       GraftLog.logMeta(t.name())
+      // a widen additionally CHECKPOINTS: the checkpoint serializes
+      // the normalized stats under the widened schema and subsumes
+      // every pre-widen entry, so replay never decodes stats in a
+      // mixed type domain
+      if (widenedOrds.nonEmpty) GraftLog.checkpoint(t.name())
+    }
     nt
   }
 

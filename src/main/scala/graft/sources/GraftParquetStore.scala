@@ -586,17 +586,17 @@ object GraftParquetStore {
       val row = new GenericInternalRow(fillAbsent(new Array[Any](width)))
       return Iterator.fill(file.rows)(row: InternalRow)
     }
-    val requested = {
-      import scala.jdk.CollectionConverters._
-      new MessageType("graft_row",
-        messageType(schema, file.numCols).getFields.asScala.zipWithIndex
-          .collect { case (t, i) if present.contains(i) => t }
-          .toList.asJava)
-    }
+    // projection by ORDINAL against the FILE'S OWN schema (resolved in
+    // the read support's init, which receives the footer schema): a
+    // file written before an `ALTER COLUMN ... TYPE` widening stores
+    // the NARROW physical type, so deriving the requested fields from
+    // the current table schema would make parquet-mr refuse the read
+    // (INT64 requested over an INT32 column). Columns are
+    // position-named (`c<i>`), so ordinals are the stable identity.
     val conf = new Configuration(false)
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, requested.toString)
+    conf.set(GraftOrdReadSupport.OrdsKey, present.mkString(","))
     val reader = ParquetReader
-      .builder(new GroupReadSupport(), new HPath(file.path))
+      .builder(new GraftOrdReadSupport(), new HPath(file.path))
       .withConf(conf).build()
     new Iterator[InternalRow] {
       private var nextGroup: Group = reader.read()
@@ -622,9 +622,19 @@ object GraftParquetStore {
   }
 
   private def getValue(g: Group, j: Int, dt: DataType): Any = dt match {
-    case LongType => g.getLong(j, 0)
+    // widened slots (ALTER COLUMN ... TYPE): files written before the
+    // widening store the narrow physical type — upcast at decode, the
+    // metadata-only widening contract (Iceberg v3 / Delta type
+    // widening). The group's own type says what the file stores.
+    case LongType =>
+      if (g.getType.getType(j).asPrimitiveType().getPrimitiveTypeName ==
+          PrimitiveTypeName.INT32) g.getInteger(j, 0).toLong
+      else g.getLong(j, 0)
     case IntegerType => g.getInteger(j, 0)
-    case DoubleType => g.getDouble(j, 0)
+    case DoubleType =>
+      if (g.getType.getType(j).asPrimitiveType().getPrimitiveTypeName ==
+          PrimitiveTypeName.FLOAT) g.getFloat(j, 0).toDouble
+      else g.getDouble(j, 0)
     case FloatType => g.getFloat(j, 0)
     case BooleanType => g.getBoolean(j, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(j, 0).getBytes)
@@ -1057,13 +1067,60 @@ object GraftParquetStore {
   * scan anyway (the residual contract), so a mistake here could only
   * cost I/O, never correctness. Strings compare in UTF8String binary
   * order (Spark's collation), mirroring GraftFilterEval. */
+/** [[GroupReadSupport]] variant that projects by ORDINAL: the
+  * requested fields resolve against the FILE's footer schema inside
+  * init, so each file is read with its OWN stored types — what makes
+  * `ALTER COLUMN ... TYPE` widening metadata-only (pre-widen files
+  * keep INT32/FLOAT slots; [[GraftParquetStore.readFileRaw]] upcasts
+  * the decoded values). Columns are position-named, so ordinals are
+  * the stable column identity. */
+private[sources] class GraftOrdReadSupport extends GroupReadSupport {
+  private def project(ordsSpec: String, fileSchema: MessageType)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+    import scala.jdk.CollectionConverters._
+    val ords = ordsSpec.split(",").filter(_.nonEmpty).map(_.toInt)
+    val fields = ords.filter(_ < fileSchema.getFieldCount)
+      .map(fileSchema.getFields.get(_)).toList
+    new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(
+      new MessageType(fileSchema.getName, fields.asJava))
+  }
+  // parquet 1.14+ routes ParquetReader through the
+  // ParquetConfiguration overload — BOTH must project, or the
+  // hadoop-Configuration one silently never runs and the read
+  // degrades to the full file schema (misaligned columns)
+  override def init(configuration: Configuration,
+      keyValueMetaData: java.util.Map[String, String],
+      fileSchema: MessageType)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+    project(configuration.get(GraftOrdReadSupport.OrdsKey, ""),
+      fileSchema)
+  override def init(
+      configuration: org.apache.parquet.conf.ParquetConfiguration,
+      keyValueMetaData: java.util.Map[String, String],
+      fileSchema: MessageType)
+      : org.apache.parquet.hadoop.api.ReadSupport.ReadContext =
+    project(
+      Option(configuration.get(GraftOrdReadSupport.OrdsKey))
+        .getOrElse(""),
+      fileSchema)
+}
+private[sources] object GraftOrdReadSupport {
+  val OrdsKey = "graft.read.ords"
+}
+
 object GraftZoneMap {
   import org.apache.spark.sql.sources._
 
   private[sources] def cmpStat(dt: DataType, a: Any, b: Any): Int =
     dt match {
+      // Number-based for the WIDENABLE domains: a pre-widen file's
+      // stat can still hold the narrow representation on paths the
+      // widen-time normalization hasn't touched — comparing in the
+      // widened domain is always exact (Int→Long, Float→Double are
+      // lossless)
       case LongType | TimestampType => java.lang.Long.compare(
-        a.asInstanceOf[Long], b.asInstanceOf[Long])
+        a.asInstanceOf[Number].longValue(),
+        b.asInstanceOf[Number].longValue())
       case IntegerType | DateType => Integer.compare(
         a.asInstanceOf[Int], b.asInstanceOf[Int])
       // ±0.0 normalized on both sides: SQL equality says -0.0 = 0.0,
@@ -1071,7 +1128,8 @@ object GraftZoneMap {
       // holding -0.0 for an EqualTo(0.0) probe (or vice versa)
       case DoubleType =>
         def n(x: Any): Double = {
-          val d = x.asInstanceOf[Double]; if (d == 0.0d) 0.0d else d
+          val d = x.asInstanceOf[Number].doubleValue()
+          if (d == 0.0d) 0.0d else d
         }
         java.lang.Double.compare(n(a), n(b))
       case FloatType =>

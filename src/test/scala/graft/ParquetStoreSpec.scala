@@ -1499,4 +1499,93 @@ class ParquetStoreSpec extends AnyFunSuite {
     staged._1.foreach(f => new java.io.File(f.path).delete())
     spark.sql("DROP TABLE graft.pqtxs_t")
   }
+
+  test("TYPE WIDENING is metadata-only: pre-widen files read upcast " +
+      "through the widened schema, post-widen writes land wide, zone " +
+      "maps PRUNE in the widened domain over pre-widen files, the " +
+      "widen survives a restart replay, and the refusal matrix holds") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.widp_t")
+    spark.sql("CREATE TABLE graft.widp_t (k INT, seg STRING, f FLOAT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    // two pre-widen commits with DISJOINT key ranges — distinct files
+    // whose zone maps a post-widen predicate must still prune
+    spark.sql("INSERT INTO graft.widp_t SELECT id, 'lo', " +
+      "CAST(id % 100 AS FLOAT) FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.widp_t SELECT id, 'hi', " +
+      "CAST(id % 100 AS FLOAT) FROM range(100000, 101000)")
+    spark.sql("ALTER TABLE graft.widp_t ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.widp_t ALTER COLUMN f TYPE DOUBLE")
+    // post-widen rows beyond the INT range — only representable wide
+    spark.sql("INSERT INTO graft.widp_t SELECT id + 10000000000, " +
+      "'wide', CAST(0.25 AS DOUBLE) FROM range(100)")
+    // pre-widen values read upcast and exact
+    assert(spark.table("graft.widp_t").count() == 2100)
+    val sums = spark.sql("SELECT CAST(SUM(k) AS BIGINT) ks, " +
+      "MIN(f) fmin, MAX(f) fmax FROM graft.widp_t").collect()(0)
+    assert(sums.getLong(0) ==
+      (0L until 1000).sum + (100000L until 101000).sum +
+        (0L until 100).map(_ + 10000000000L).sum, sums)
+    assert(sums.getDouble(1) == 0.0 && sums.getDouble(2) == 99.0)
+    // zone maps prune pre-widen files through the BIGINT predicate
+    spark.table("graft.widp_t").where("k < 500").collect()
+    val m = GraftScanMetrics.lastScan("graft.widp_t")
+    assert(m.filesTotal >= 3 && m.filesRead < m.filesTotal,
+      s"widened-domain pruning opened every file: $m")
+    // the equality probe beyond INT range prunes the narrow files
+    assert(spark.table("graft.widp_t")
+      .where("k = 10000000042").count() == 1)
+    // durability: a fresh process replays the widened state (the
+    // widen checkpointed, so replay decodes one type domain)
+    graft.sources.GraftLog.simulateProcessRestart(Seq("graft.widp_t"))
+    assert(spark.table("graft.widp_t").count() == 2100)
+    assert(spark.table("graft.widp_t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.table("graft.widp_t").where("k < 500").collect()
+    val m2 = GraftScanMetrics.lastScan("graft.widp_t")
+    assert(m2.filesRead < m2.filesTotal,
+      s"pruning lost after replay: $m2")
+    // ---- refusal matrix
+    def refuses(sql: String, frag: String): Unit = {
+      val ex = org.scalatest.Assertions.withClue(sql)(
+        intercept[Exception](spark.sql(sql)))
+      def rootMsg(t: Throwable): String = {
+        var c: Throwable = t; val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+        sb.toString
+      }
+      assert(rootMsg(ex).contains(frag), s"$sql → ${rootMsg(ex)}")
+    }
+    // non-widening conversions — Spark's analyzer pre-gates these
+    // (Cast.canUpCast), so only genuine widenings ever reach the
+    // catalog; the catalog's own `widens` check is the backstop for
+    // programmatic TableChange callers
+    refuses("ALTER TABLE graft.widp_t ALTER COLUMN seg TYPE BIGINT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    refuses("ALTER TABLE graft.widp_t ALTER COLUMN k TYPE INT",
+      "NOT_SUPPORTED_CHANGE_COLUMN")
+    // partition column
+    spark.sql("DROP TABLE IF EXISTS graft.widp_part")
+    spark.sql("CREATE TABLE graft.widp_part (k INT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    refuses("ALTER TABLE graft.widp_part ALTER COLUMN k TYPE BIGINT",
+      "partition column")
+    // bloom-indexed column (typed hashes)
+    spark.sql("DROP TABLE IF EXISTS graft.widp_bloom")
+    spark.sql("CREATE TABLE graft.widp_bloom (k INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.bloom.columns'='k')")
+    refuses("ALTER TABLE graft.widp_bloom ALTER COLUMN k TYPE BIGINT",
+      "bloom")
+    // merge-on-read row id
+    spark.sql("DROP TABLE IF EXISTS graft.widp_mor")
+    spark.sql("CREATE TABLE graft.widp_mor (k INT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    refuses("ALTER TABLE graft.widp_mor ALTER COLUMN k TYPE BIGINT",
+      "row id")
+    Seq("graft.widp_t", "graft.widp_part", "graft.widp_bloom",
+      "graft.widp_mor").foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
 }
