@@ -80,6 +80,8 @@ object Bench {
     "txn_multi_rw" -> 2.0,
     // round-14: seed + two widens (each checkpoints) + wide append
     "sql_alter_widen" -> 1.5,
+    // round-14: three range-sorted appends + the bin-pack merge
+    "table_sort_order" -> 1.5,
     "sql_catalog_view" -> 2.0,
     // 6 ingest commits + the merge pass itself; warm 1.4-1.6 s
     "table_binpack" -> 2.0,

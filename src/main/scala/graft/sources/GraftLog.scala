@@ -546,6 +546,7 @@ object GraftLog {
       ("specHistory" -> JArray(m.specs.toList.map(s =>
         JArray(s.toList.map(jPart))))) ~
       ("bloomOrds" -> m.bloomOrds.toList) ~
+      ("sortOrds" -> m.sortOrds.toList) ~
       ("dvMode" -> m.dvMode) ~
       ("firstRetained" -> h.firstRetained) ~
       ("commits" -> JArray(h.commits.toList.map(jCommitData(m, _)))) ~
@@ -819,6 +820,7 @@ object GraftLog {
         ("specHistory" -> JArray(m.specs.toList.map(s =>
           JArray(s.toList.map(jPart))))) ~
         ("bloomOrds" -> m.bloomOrds.toList) ~
+        ("sortOrds" -> m.sortOrds.toList) ~
         ("morRowId" -> d.flatMap(_._3.morRowId)) ~
         ("constraints" -> JArray(d.map(_._3.tableConstraints)
           .getOrElse(Array.empty[Constraint]).toList.map(jConstraint))))
@@ -942,8 +944,13 @@ object GraftLog {
     val bloomOrds = (cp \ "bloomOrds").asInstanceOf[JArray].arr
       .map(asInt).toArray
     val dvMode = (cp \ "dvMode").asInstanceOf[JBool].value
+    // absent in pre-round-14 checkpoints — default to no sort order
+    val sortOrds = cp \ "sortOrds" match {
+      case JArray(xs) => xs.map(asInt).toArray
+      case _ => Array.empty[Int]
+    }
     var m = Meta(dir.getAbsolutePath, schema, partFields, bloomOrds,
-      specHistory, dvMode)
+      specHistory, dvMode, sortOrds)
     var morRowId = cp \ "morRowId" match {
       case JString(s) => Some(s)
       case _ => None
@@ -1042,7 +1049,11 @@ object GraftLog {
               .map(s => s.asInstanceOf[JArray].arr.map(unjPart).toArray)
               .toVector,
             bloomOrds = (e \ "bloomOrds").asInstanceOf[JArray].arr
-              .map(asInt).toArray)
+              .map(asInt).toArray,
+            sortOrds = e \ "sortOrds" match {
+              case JArray(xs) => xs.map(asInt).toArray
+              case _ => Array.empty[Int]
+            })
           morRowId = e \ "morRowId" match {
             case JString(s) => Some(s)
             case _ => None

@@ -2595,11 +2595,20 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
       case Some(other) => throw new IllegalArgumentException(
         s"unknown graft.delete.mode '$other' (supported: dv, cow)")
     }
+    // TBLPROPERTIES ('graft.sort-order'='k1, k2'): the declared
+    // table sort order — appends range-distribute + sort on it and
+    // OPTIMIZE preserves it (Iceberg sort orders / Delta clustering)
+    val sortCols = Option(properties.get("graft.sort-order"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Array.empty[String])
     storeMode match {
       case Some("parquet") =>
         GraftParquetStore.register(storeName, tblSchema, partFields,
-          bloomCols, dvMode)
+          bloomCols, dvMode, sortCols)
       case Some("memory") | None =>
+        require(sortCols.isEmpty,
+          "graft.sort-order requires graft.store=parquet " +
+            "(the in-memory store has no file layout to sort)")
         require(bloomCols.isEmpty,
           "graft.bloom.columns requires graft.store=parquet " +
             "(the in-memory store has no files to skip)")
@@ -2748,6 +2757,10 @@ class GraftMergeCatalog extends TableCatalog with FunctionCatalog
             s"cannot drop '$c': it is the merge-on-read row id")
           require(!t.partFields.exists(_.col == c),
             s"cannot drop '$c': it is a partition column")
+          require(!GraftParquetStore.meta(t.name())
+            .exists(_.sortOrds.contains(ord)),
+            s"cannot drop '$c': it is in the declared sort order " +
+              "(graft.sort-order)")
           require(GraftColumnMap.visible(sch).length > 1,
             s"cannot drop '$c': it is the table's last visible column")
           StructType(sch.fields.zipWithIndex.map { case (f, i) =>
@@ -6523,27 +6536,50 @@ class GraftWriteBuilder(tableName: String, writeSchema: StructType,
     * small file per (task × partition). Not strictly required: tiny
     * inserts may skip the shuffle (AQE's call), which is also the
     * production behavior. */
-  override def build(): Write =
-    if (clusterFields.isEmpty) baseWrite
+  override def build(): Write = {
+    // the DECLARED TABLE SORT ORDER ('graft.sort-order'): appends and
+    // CoW rewrites RANGE-DISTRIBUTE + sort on it, so each written
+    // file holds a contiguous key range and zone maps skip on the
+    // sort key without any explicit ZORDER call — Iceberg sort
+    // orders / Delta clustered tables. Spark's own sort machinery
+    // (spill-aware) does the work; the writer never buffers.
+    val sortOrders: Array[org.apache.spark.sql.connector.expressions
+      .SortOrder] =
+      GraftParquetStore.meta(tableName).map(_.sortOrds)
+        .getOrElse(Array.empty[Int])
+        .filter(o => !GraftColumnMap.isDropped(physSchema(o)))
+        .map { o =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .column(physSchema(o).name),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)
+        }
+    if (clusterFields.isEmpty && sortOrders.isEmpty) baseWrite
     else new Write with RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       override def requiredDistribution(): Distribution =
         // days/truncate resolve through the catalog-published
         // functions (GraftDaysFunction / GraftTruncateFunction), so
         // each write task holds WHOLE hidden partitions — one file
-        // per partition, not one per (task × partition)
-        Distributions.clustered(clusterFields.map(
-          GraftPartField.toTransform(_)
-            : org.apache.spark.sql.connector.expressions.Expression))
+        // per partition, not one per (task × partition). An
+        // unpartitioned sorted table range-distributes on the sort
+        // key instead (contiguous ranges per task → per file).
+        if (clusterFields.nonEmpty)
+          Distributions.clustered(clusterFields.map(
+            GraftPartField.toTransform(_)
+              : org.apache.spark.sql.connector.expressions.Expression))
+        else Distributions.ordered(sortOrders)
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        sortOrders
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite = baseWrite.toBatch
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         baseWrite.toStreaming
     }
+  }
 
   private lazy val baseWrite: Write = new Write {
     /** EVERY write to a parquet-backed table writes FILES in the

@@ -167,7 +167,8 @@ object GraftParquetStore {
       partFields: Array[GraftPartField],
       bloomOrds: Array[Int] = Array.empty,
       specHistory: Vector[Array[GraftPartField]] = Vector.empty,
-      dvMode: Boolean = false) {
+      dvMode: Boolean = false,
+      sortOrds: Array[Int] = Array.empty) {
     /** every partition spec this table has ever had, oldest first —
       * the CURRENT spec is last; a file's `specId` indexes here
       * (Iceberg's spec-id indirection). Tables that never evolved
@@ -191,7 +192,8 @@ object GraftParquetStore {
   def register(name: String, schema: StructType,
       partFields: Array[GraftPartField],
       bloomCols: Array[String] = Array.empty,
-      dvMode: Boolean = false): Unit = {
+      dvMode: Boolean = false,
+      sortCols: Array[String] = Array.empty): Unit = {
     schema.fields.foreach(f => require(supported(f.dataType),
       s"graft.store=parquet table $name: column '${f.name}' has " +
         s"unsupported type ${f.dataType.sql} (flat atomic types only)"))
@@ -206,9 +208,26 @@ object GraftParquetStore {
       }
       ord
     }
+    // TBLPROPERTIES ('graft.sort-order'='k1, k2'): the table-level
+    // DECLARED SORT ORDER (Iceberg sort orders / Delta clustered
+    // tables) — appends range-distribute + sort on it and compaction
+    // preserves it, so zone-map skipping on the sort key stays alive
+    // without any explicit ZORDER/sort maintenance call.
+    val sortOrds = sortCols.map { c =>
+      val ord = schema.fieldNames.indexOf(c)
+      require(ord >= 0, s"graft.sort-order: no such column '$c'")
+      schema(ord).dataType match {
+        case LongType | IntegerType | DoubleType | FloatType |
+            StringType | DateType | TimestampType => ()
+        case dt => throw new IllegalArgumentException(
+          s"graft.sort-order: column '$c' has type ${dt.sql} " +
+            "(zone-map-orderable types only)")
+      }
+      ord
+    }
     val dir = freshTableDir(name)
     metas.put(name, Meta(dir, schema, partFields, bloomOrds,
-      dvMode = dvMode))
+      dvMode = dvMode, sortOrds = sortOrds))
   }
 
   /** the table's WAREHOUSE directory — the stable, name-derived
@@ -828,8 +847,32 @@ object GraftParquetStore {
       .parallelize(groups, math.min(groups.length,
         math.max(1, spark.sparkContext.defaultParallelism * 2)))
       .map { case (key, specId, width, fs) =>
-        fs.iterator
+        val rows = fs.iterator
           .flatMap(f => readFile(f, m.schema, Array.range(0, width)))
+        // a DECLARED SORT ORDER survives compaction: the group's rows
+        // merge SORTED, so the packed output files keep contiguous
+        // key ranges and zone-map skipping on the sort key stays
+        // alive without a manual ZORDER call (Iceberg sort orders)
+        val ordered =
+          if (m.sortOrds.isEmpty) rows
+          else {
+            val ords = m.sortOrds
+            val dts = ords.map(m.schema(_).dataType)
+            rows.toArray.sortWith { (a, b) =>
+              var i = 0
+              var c = 0
+              while (c == 0 && i < ords.length) {
+                val o = ords(i)
+                val an = a.isNullAt(o); val bn = b.isNullAt(o)
+                c = if (an && bn) 0 else if (an) -1 else if (bn) 1
+                  else GraftZoneMap.cmpStat(dts(i),
+                    a.get(o, dts(i)), b.get(o, dts(i)))
+                i += 1
+              }
+              c < 0
+            }.iterator
+          }
+        ordered
           .grouped(targetRows)
           .map(chunk => stageRewriteFile(m, chunk.iterator, key, width,
             specId))

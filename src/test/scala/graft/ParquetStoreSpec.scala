@@ -1588,4 +1588,65 @@ class ParquetStoreSpec extends AnyFunSuite {
     Seq("graft.widp_t", "graft.widp_part", "graft.widp_bloom",
       "graft.widp_mor").foreach(t => spark.sql(s"DROP TABLE $t"))
   }
+
+  test("DECLARED SORT ORDER keeps zone-map skipping alive without " +
+      "ZORDER: appends range-sort through Spark's required ordering, " +
+      "bin-pack compaction merges SORTED, pruning is measured before " +
+      "and after, and the order survives a restart replay") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.tso_p")
+    spark.sql("CREATE TABLE graft.tso_p (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.sort-order'='k')")
+    // three appends of SCRAMBLED keys over the same wide range — an
+    // unsorted write would give every file the full [0, 90000) span.
+    // AQE would coalesce this tiny shuffle to ONE range partition (at
+    // real scale it keeps ~64 MB ranges); pin >1 partition so the
+    // per-file contiguity is observable at test size.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalesceWas = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      for (i <- 0 until 3)
+        spark.sql("INSERT INTO graft.tso_p " +
+          s"SELECT ((id * 7919 + $i) % 90000), id * 1.0 " +
+          "FROM range(30000)")
+    } finally spark.conf.set(coalesceKey, coalesceWas)
+    def prunes(tag: String): Unit = {
+      assert(spark.table("graft.tso_p").where("k < 1000").count() > 0)
+      val m = GraftScanMetrics.lastScan("graft.tso_p")
+      assert(m.filesTotal >= 3 && m.filesRead < m.filesTotal,
+        s"$tag: sort-order pruning opened every file: $m")
+    }
+    val total = spark.table("graft.tso_p").count()
+    prunes("after appends")
+    // compaction MERGES SORTED — skipping must survive it
+    val reduced = graft.api.GraftApi.rewriteSmallFiles(spark,
+      "graft.tso_p", 40000)
+    assert(reduced > 0, "bin-pack merged nothing — test is vacuous")
+    assert(spark.table("graft.tso_p").count() == total)
+    prunes("after bin-pack")
+    // the declared order is durable state: a fresh process keeps
+    // sorting appends and pruning
+    graft.sources.GraftLog.simulateProcessRestart(Seq("graft.tso_p"))
+    spark.sql("INSERT INTO graft.tso_p " +
+      "SELECT ((id * 104729 + 3) % 90000), id * 1.0 FROM range(30000)")
+    assert(spark.table("graft.tso_p").count() == total + 30000)
+    prunes("after replay + append")
+    // dropping a sort column refuses
+    val ex = intercept[Exception](
+      spark.sql("ALTER TABLE graft.tso_p DROP COLUMN k"))
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(rootMsg(ex).contains("sort order"), rootMsg(ex))
+    // the in-memory store has no file layout to sort — refuse at CREATE
+    val exM = intercept[Exception](
+      spark.sql("CREATE TABLE graft.tso_mem (k BIGINT) " +
+        "TBLPROPERTIES ('graft.sort-order'='k')"))
+    assert(rootMsg(exM).contains("graft.store=parquet"), rootMsg(exM))
+    spark.sql("DROP TABLE graft.tso_p")
+  }
 }
