@@ -740,6 +740,79 @@ object TextOps extends QueryModule {
        |  WHERE rem = '')""".stripMargin
   }
 
+  /** LANGUAGE-ID marker profiles: weighted character n-grams per
+    * language, authored from public frequency knowledge (space-padded
+    * function words dominate — the Cavnar-Trenkle top-of-profile
+    * shape). Literals by design: profiles are MODEL PARAMETERS, the
+    * same way the PQ codebooks are, and both engines replay them
+    * exactly. */
+  private[graft] val LangIdProfiles: Seq[(String, Seq[(String, Int)])] =
+    Seq(
+      "en" -> Seq(" the " -> 6, " and " -> 5, " of " -> 5, " to " -> 4,
+        " in " -> 3, " is " -> 3, " that " -> 3, " it " -> 3,
+        " was " -> 2, " for " -> 2, "ing " -> 2, "tion" -> 1),
+      "de" -> Seq(" der " -> 6, " die " -> 6, " und " -> 5, " das " -> 4,
+        " ist " -> 4, " ein " -> 3, " nicht " -> 3, " mit " -> 3,
+        " den " -> 3, " sie " -> 2, " zu " -> 2, "sch" -> 1, "ung " -> 1),
+      "es" -> Seq(" el " -> 5, " la " -> 4, " que " -> 4, " los " -> 4,
+        " las " -> 3, " es " -> 3, " una " -> 3, " por " -> 3,
+        " con " -> 3, " se " -> 2, " del " -> 2, "ción" -> 2),
+      "fr" -> Seq(" le " -> 5, " les " -> 5, " des " -> 4, " est " -> 4,
+        " une " -> 4, " dans " -> 4, " pour " -> 3, " qui " -> 3,
+        " pas " -> 3, " et " -> 2, " ne " -> 2, " ce " -> 2),
+      "zh" -> Seq("的" -> 6, "是" -> 5, "了" -> 4, "在" -> 4, "我" -> 3,
+        "有" -> 3, "和" -> 3, "不" -> 3, "人" -> 2, "这" -> 2))
+
+  /** one language's profile score as SQL TEXT — the same string feeds
+    * Spark's expr() and the DuckDB oracle, so the classification
+    * replays bit-exactly. Occurrences count by the replace-length
+    * idiom: exact integer arithmetic on both engines. */
+  private def langScoreSql(entries: Seq[(String, Int)]): String =
+    entries.map { case (g, w) =>
+      s"$w * ((length(__lp) - length(replace(__lp, '$g', ''))) / " +
+        s"${g.length})"
+    }.mkString(" + ")
+
+  /** deterministic argmax over the score columns, highest-priority
+    * language first on ties — generated once for both engines. */
+  private def langPredSql: String = {
+    val langs = LangIdProfiles.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} " +
+        s"THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
+  }
+
+  /** classify (doc_id, lang, text) → (doc_id, actual_lang,
+    * pred_lang); shared by the text_langid query and the
+    * real-language accuracy pin. */
+  private[graft] def langIdPred(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang").as("actual_lang"),
+      concat(lit(" "), col("text"), lit(" ")).as("__lp"))
+    val scored = LangIdProfiles.foldLeft(base) { case (df, (l, es)) =>
+      df.withColumn(s"s_$l", expr(langScoreSql(es)))
+    }
+    scored.select(col("doc_id"), col("actual_lang"),
+      expr(langPredSql).as("pred_lang"))
+  }
+
+  /** the oracle half of [[langIdPred]] — the SAME generated score and
+    * argmax SQL over the raw documents table. */
+  private[graft] def langIdOracleSql: String = {
+    val scores = LangIdProfiles.map { case (l, es) =>
+      s"    ${langScoreSql(es)} AS s_$l"
+    }.mkString(",\n")
+    s"""WITH p AS (SELECT doc_id, lang AS actual_lang,
+       |    ' ' || text || ' ' AS __lp FROM documents),
+       |c AS (SELECT doc_id, actual_lang,
+       |$scores
+       |  FROM p)
+       |SELECT doc_id, actual_lang, $langPredSql AS pred_lang
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Map[String, Q.Fn] = Map(
     // exact dedup: 32-byte hash shuffle key; survivor = min(doc_id) for
     // determinism (SURVEY §5.3.4 — never "first row wins")
@@ -1273,28 +1346,23 @@ object TextOps extends QueryModule {
           max("n_chars").as("max_chars"))
         .orderBy("lang", "source")),
 
-    // language-ID mechanism: score fixed marker-token frequencies and take
-    // a deterministic argmax. (The synthetic corpus shares one vocabulary
-    // across langs — FIXTURES.md — so accuracy is meaningless here; the
-    // operator demonstrates the n-gram-profile scoring shape.)
-    "text_langid" -> ((s, d) => {
-      def cnt(t: String) = size(filter(split(col("text"), " "), x => x === t))
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang").as("actual_lang"),
-          cnt("the").as("c_en"), cnt("data").as("c_de"),
-          cnt("a").as("c_es"), cnt("row").as("c_fr"),
-          cnt("value").as("c_zh"))
-        .select(col("doc_id"), col("actual_lang"),
-          when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es") &&
-            col("c_en") >= col("c_fr") && col("c_en") >= col("c_zh"), "en")
-            .when(col("c_de") >= col("c_es") && col("c_de") >= col("c_fr") &&
-              col("c_de") >= col("c_zh"), "de")
-            .when(col("c_es") >= col("c_fr") && col("c_es") >= col("c_zh"),
-              "es")
-            .when(col("c_fr") >= col("c_zh"), "fr")
-            .otherwise("zh").as("pred_lang"))
-        .orderBy("doc_id")
-    }),
+    // LANGUAGE IDENTIFICATION (round-13 verdict #7): a weighted
+    // character-n-gram PROFILE classifier (Cavnar & Trenkle 1994
+    // simplified to a profile dot product) — per language, a literal
+    // marker-n-gram profile; per doc, score = Σ weight × substring
+    // occurrences over the space-padded text (exact integer
+    // arithmetic, one codegen'd pass, no shuffle — at 100 TB this is
+    // a projection). One generator emits BOTH the Spark expressions
+    // and the DuckDB oracle SQL (the vec_kmeans discipline), so the
+    // classification replays exactly. TextVectorSpec pins ≥0.9
+    // accuracy on an embedded REAL-language corpus; the synthetic
+    // corpus's lang column is label-only (one shared vocabulary
+    // across langs — a held-out word NB scores BELOW the majority
+    // baseline), so corpus accuracy is definitionally meaningless.
+    "text_langid" -> ((s, d) =>
+      langIdPred(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text")))
+        .orderBy("doc_id")),
 
     // quality score from exact ratios — pure double arithmetic with
     // identical op order on both engines, so no rounding is needed
@@ -2124,21 +2192,7 @@ object TextOps extends QueryModule {
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-    "text_langid" ->
-      """WITH c AS (SELECT doc_id, lang AS actual_lang,
-        |  len(list_filter(string_split(text, ' '), x -> x = 'the')) AS c_en,
-        |  len(list_filter(string_split(text, ' '), x -> x = 'data')) AS c_de,
-        |  len(list_filter(string_split(text, ' '), x -> x = 'a')) AS c_es,
-        |  len(list_filter(string_split(text, ' '), x -> x = 'row')) AS c_fr,
-        |  len(list_filter(string_split(text, ' '), x -> x = 'value')) AS c_zh
-        |FROM documents)
-        |SELECT doc_id, actual_lang,
-        |  CASE WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-        |       WHEN c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-        |       WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
-        |       WHEN c_fr >= c_zh THEN 'fr'
-        |       ELSE 'zh' END AS pred_lang
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langIdOracleSql,
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -400,17 +400,54 @@ object VectorOps extends QueryModule {
     * never ride the candidate shuffle (asserted in PlanSpec). Shared by
     * sim_lsh (distance verify) and dedup_embedding_scaled (cosine verify
     * + component resolution). */
-  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val keyed = e.select(col("vec_id"),
-      explode(array((0 until 4).map(t =>
-        struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("h"))
-      ): _*)).as("k"))
-    keyed.select(col("k"), col("vec_id").as("id1"))
-      .join(keyed.select(col("k"), col("vec_id").as("id2")), Seq("k"))
+  /** PER-BUCKET CANDIDATE BUDGET for the LSH band joins: a bucket of
+    * B members proposes B²/2 pairs, so one pathological bucket (a
+    * near-constant hash region, an adversarial near-dup cluster)
+    * turns the sub-quadratic feed quadratic. Buckets at or under the
+    * budget keep EVERY pair — healthy corpora are bit-identical to
+    * the uncapped feed; an oversized bucket degrades to a
+    * HASH-DETERMINISTIC member subsample (row_number over
+    * xxhash64(id, bucket) — stable under any partition layout) and
+    * the drop is LOGGED eagerly, never silent. The dedup_substring
+    * maxDf precedent, applied to the banding joins. */
+  private val BucketCandidateCap = 2048
+
+  private[graft] def cappedBucketPairs(keyed: DataFrame,
+      keyCol: String, idCol: String, tag: String,
+      cap: Int = BucketCandidateCap): DataFrame = {
+    val over = keyed.groupBy(col(keyCol)).count()
+      .where(col("count") > cap)
+      .agg(count(lit(1)).as("nb"),
+        sum(col("count") - cap).as("dropped"))
+      .collect()(0)
+    if (over.getLong(0) > 0)
+      System.err.println(s"[graft] $tag: ${over.getLong(0)} bucket(s) " +
+        s"past the $cap-member candidate budget — ${over.getLong(1)} " +
+        "member slot(s) degraded to hash-deterministic sampling " +
+        "(recall within those buckets is sampled, never silently so)")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(xxhash64(col(idCol), col(keyCol)))
+    val capped = keyed
+      .withColumn("__hr", row_number().over(w))
+      .where(col("__hr") <= cap)
+    capped.select(col(keyCol), col(idCol).as("id1"))
+      .join(capped.select(col(keyCol), col(idCol).as("id2")),
+        Seq(keyCol))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  private[graft] def lshKeyed(s: SparkSession, d: String)
+      : DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.select(col("vec_id"),
+      explode(array((0 until 4).map(t =>
+        struct(lit(t).as("t"), lshBucket(t, col("embedding")).as("h"))
+      ): _*)).as("k"))
+  }
+
+  private[graft] def lshCandidates(s: SparkSession, d: String): DataFrame =
+    cappedBucketPairs(lshKeyed(s, d), "k", "vec_id", "lshCandidates")
 
   /** Product quantization (Jégou, Douze & Schmid 2011, TPAMI): M=8
     * subspaces × K=16 centroids → a 32-bit code per 64-float vector, an
@@ -594,10 +631,7 @@ object VectorOps extends QueryModule {
     val banded = docs
       .select(col("doc_id"), explode(array(bandKeyCols(col("mh")): _*))
         .as("band"))
-    banded.select(col("band"), col("doc_id").as("id1"))
-      .join(banded.select(col("band"), col("doc_id").as("id2")), Seq("band"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    cappedBucketPairs(banded, "band", "doc_id", "minhash banding")
   }
 
   private[graft] def minhashPairs(docsIn: DataFrame,

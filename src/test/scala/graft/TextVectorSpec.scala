@@ -201,6 +201,79 @@ class TextVectorSpec extends AnyFunSuite {
         s"spurious: ${fixKeepers -- exact}")
   }
 
+  test("text_langid ACCURACY on real language samples >= 0.9: the " +
+      "profile classifier must actually identify languages, not just " +
+      "be oracle-replayable. (The synthetic corpus's lang column is " +
+      "LABEL-ONLY — one shared vocabulary across langs; a held-out " +
+      "word naive-Bayes scores 0.37 vs the 0.44 majority baseline — " +
+      "so corpus accuracy is definitionally meaningless and the pin " +
+      "runs on an embedded real-language corpus instead)") {
+    val samples = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and it was " +
+        "the best of times for all of the people that were there"),
+      ("en", "it is a truth universally acknowledged that a single " +
+        "man in possession of a good fortune must be in want of a wife"),
+      ("en", "we are such stuff as dreams are made on and our little " +
+        "life is rounded with a sleep for the rest of it"),
+      ("de", "der hund und die katze sind nicht in dem haus weil sie " +
+        "mit den kindern zu dem garten gegangen sind"),
+      ("de", "die schule ist ein ort an dem die kinder lesen und " +
+        "schreiben lernen und das ist nicht immer einfach"),
+      ("de", "ich habe der frau das buch gegeben und sie hat es mit " +
+        "einem lächeln genommen denn es war ein geschenk"),
+      ("es", "el perro y el gato no estan en la casa porque se " +
+        "fueron con los niños que juegan por la mañana"),
+      ("es", "la educación es el arma más poderosa que puedes usar " +
+        "para cambiar el mundo y por eso los libros importan"),
+      ("es", "una golondrina no hace verano pero las personas del " +
+        "pueblo saben que el tiempo cambia con las estaciones"),
+      ("fr", "le chien et le chat ne sont pas dans la maison parce " +
+        "que les enfants sont dans le jardin pour la journée"),
+      ("fr", "les livres sont une fenêtre sur le monde et ceux qui " +
+        "lisent ne sont jamais seuls dans la vie"),
+      ("fr", "il ne faut pas vendre la peau de l ours avant de l " +
+        "avoir tué disent les gens qui savent attendre"),
+      ("zh", "我们的孩子在家里和他们的朋友一起看书因为今天是不上学的日子这是很好的事情"),
+      ("zh", "这个人有很多书他说读书是了解世界的最好方法我们都同意他的看法"),
+      ("zh", "在中国的北方冬天是很冷的人们不喜欢出门他们在家里喝茶"))
+    import spark.implicits._
+    val df = samples.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val rows = graft.operators.TextOps.langIdPred(df)
+      .select("actual_lang", "pred_lang").collect()
+    val correct = rows.count(r => r.getString(0) == r.getString(1))
+    val acc = correct.toDouble / rows.length
+    assert(acc >= 0.9,
+      s"langid accuracy $acc on real samples (" +
+        rows.filter(r => r.getString(0) != r.getString(1))
+          .map(r => s"${r.getString(0)}→${r.getString(1)}")
+          .mkString(", ") + ")")
+  }
+
+  test("the LSH candidate budget caps a pathological bucket " +
+      "DETERMINISTICALLY and leaves healthy buckets bit-identical") {
+    import org.apache.spark.sql.functions._
+    // a degenerate frame: 60 ids share ONE bucket key, 5 share
+    // another — with cap 8, the big bucket degrades to C(8,2)=28
+    // pairs (hash-deterministic member sample) and the small one
+    // keeps all C(5,2)=10
+    val keyed = spark.range(60).selectExpr("CAST('hot' AS STRING) AS b",
+        "id AS doc_id")
+      .union(spark.range(100, 105).selectExpr(
+        "CAST('cold' AS STRING) AS b", "id AS doc_id"))
+    def pairs() = graft.operators.VectorOps
+      .cappedBucketPairs(keyed, "b", "doc_id", "budget-pin", cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs()
+    val p2 = pairs() // layout-independent determinism
+    assert(p1 == p2, "capped sample is not deterministic")
+    val hot = p1.filter(_._1 < 100)
+    val cold = p1.filter(_._1 >= 100)
+    assert(hot.size == 28, s"hot bucket proposed ${hot.size} pairs")
+    assert(cold.size == 10, s"cold bucket lost pairs: ${cold.size}")
+  }
+
   test("quantizer sample is a pure function of ids — layout-independent") {
     // round-2 judge item: a bare limit(n) picks partition-order-dependent
     // rows, so the k-means quantizer (and IVF recall) shifted under
