@@ -415,6 +415,12 @@ object VectorOps extends QueryModule {
   private[graft] def cappedBucketPairs(keyed: DataFrame,
       keyCol: String, idCol: String, tag: String,
       cap: Int = BucketCandidateCap): DataFrame = {
+    // the diagnostic is an EAGER extra pass over the keyed projection
+    // by design: the never-silent-drop contract needs an exact count
+    // at build time, and the pass is map-side-combined (shuffle
+    // payload = distinct buckets, not members) over ids+hashes — at
+    // 100 TB one would persist `keyed` so this pass and the pair join
+    // share one materialization
     val over = keyed.groupBy(col(keyCol)).count()
       .where(col("count") > cap)
       .agg(count(lit(1)).as("nb"),

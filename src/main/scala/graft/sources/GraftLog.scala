@@ -140,10 +140,17 @@ object GraftLog {
   private[sources] def jval(dt: DataType, v: Any): JValue =
     if (v == null) JNull
     else dt match {
-      case LongType | TimestampType => JLong(v.asInstanceOf[Long])
+      // Number-based for the WIDENABLE domains: a stat of a pre-widen
+      // file can still hold the narrow boxed type on a path the
+      // widen-time normalization missed — serializing it in the
+      // widened domain is lossless, and a blind cast would brick
+      // every subsequent checkpoint of the table
+      case LongType | TimestampType =>
+        JLong(v.asInstanceOf[Number].longValue())
       case IntegerType | DateType => JInt(v.asInstanceOf[Int])
       case BooleanType => JBool(v.asInstanceOf[Boolean])
-      case DoubleType => JString(java.lang.Double.toString(v.asInstanceOf[Double]))
+      case DoubleType => JString(java.lang.Double.toString(
+        v.asInstanceOf[Number].doubleValue()))
       case FloatType => JString(java.lang.Float.toString(v.asInstanceOf[Float]))
       case StringType => JString(v.asInstanceOf[UTF8String].toString)
       case BinaryType =>
@@ -430,6 +437,23 @@ object GraftLog {
         s"graft log: concurrent writer conflict — ${target.getName} " +
           s"already exists under ${target.getParent} (another process " +
           "committed this sequence slot); re-read the table and retry")
+    // a sequence slot has TWO possible file names (NNN.json and
+    // NNN.cp.json) — O_EXCL on ours cannot see a foreign claim under
+    // the OTHER name (a commit racing a foreign checkpoint of the
+    // same slot). Check the sibling after our claim: both racers may
+    // abort in the symmetric window, which is safe (each deletes its
+    // own claim and retries); neither can silently fork the slot.
+    val sib = new File(target.getParentFile,
+      if (target.getName.endsWith(".cp.json"))
+        target.getName.stripSuffix(".cp.json") + ".json"
+      else target.getName.stripSuffix(".json") + ".cp.json")
+    if (sib.exists()) {
+      target.delete()
+      throw new GraftConcurrentCommitException(
+        s"graft log: concurrent writer conflict — sequence slot of " +
+          s"${target.getName} is already taken under its sibling name " +
+          s"${sib.getName}; re-read the table and retry")
+    }
     val claimedAt = System.currentTimeMillis()
     val tmp = new File(target.getAbsolutePath + ".tmp")
     val out = new java.io.FileOutputStream(tmp)
@@ -473,26 +497,37 @@ object GraftLog {
     * checkpoint GC; the atomic claim in [[claimAndWrite]] remains the
     * race-proof backstop for the window after this check. */
   /** log-dir mtime observed at our last durable write / clean verify,
-    * keyed by log-dir path: any foreign entry create/delete/rename
-    * bumps the directory mtime, so an UNCHANGED mtime proves nothing
-    * landed since — verifyTail skips the O(retained entries) listing
-    * on that fast path, keeping per-commit OCC O(1) at streaming
-    * commit rates. Millisecond mtime ties (a foreign write in the
-    * same ms as ours) fall through to [[claimAndWrite]]'s atomic
-    * claim, which stays the authoritative backstop. */
+    * keyed by log-dir path and held at NANOSECOND precision
+    * (Files.getLastModifiedTime — File.lastModified()'s millisecond
+    * rounding makes same-ms foreign writes a PERSISTENT tie): any
+    * foreign entry create/delete/rename bumps the directory mtime, so
+    * an UNCHANGED mtime proves nothing landed since — verifyTail
+    * skips the O(retained entries) listing on that fast path, keeping
+    * per-commit OCC O(1) at streaming commit rates. The residual
+    * same-nanosecond tie falls through to [[claimAndWrite]]'s atomic
+    * claim for single-table commits; paths whose conflict handling
+    * must fire BEFORE any durable step (the cross-table transaction's
+    * pre-marker verify) use `strict = true`, which always lists. */
   private val tailMtime = new TrieMap[String, Long]()
 
+  private def dirMtimeNanos(d: File): Long =
+    try java.nio.file.Files.getLastModifiedTime(d.toPath)
+      .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+    catch { case _: java.io.IOException => 0L }
+
   private def recordTail(parent: File): Unit = {
-    tailMtime.put(parent.getAbsolutePath, parent.lastModified())
+    tailMtime.put(parent.getAbsolutePath, dirMtimeNanos(parent))
     ()
   }
 
-  private[sources] def verifyTail(storeName: String): Unit = {
+  private[sources] def verifyTail(storeName: String,
+      strict: Boolean = false): Unit = {
     val m = GraftParquetStore.meta(storeName).getOrElse(return)
     val ctr = nextSeq.get(storeName).getOrElse(return)
     val ld = logDir(m.dir)
-    val mtimeBefore = ld.lastModified()
-    if (tailMtime.get(ld.getAbsolutePath).contains(mtimeBefore) &&
+    val mtimeBefore = dirMtimeNanos(ld)
+    if (!strict &&
+        tailMtime.get(ld.getAbsolutePath).contains(mtimeBefore) &&
         mtimeBefore != 0L)
       return // nothing touched the log since our last write
     val diskMax = Option(ld.listFiles())
@@ -616,13 +651,17 @@ object GraftLog {
   private[sources] def renderCommit(storeName: String, v: Int,
       op: String, time: Long, data: GraftCommitData,
       prev: Option[GraftCommitData], branches: Map[String, Int],
-      tags: Map[String, Int], ingest: Seq[String] = Seq.empty)
+      tags: Map[String, Int], ingest: Seq[String] = Seq.empty,
+      strictVerify: Boolean = false)
       : Option[(File, String)] = {
     val m = GraftParquetStore.meta(storeName).getOrElse(return None)
     // the transactional path renders BEFORE applying — this is its
     // pre-apply cross-process OCC gate (single-table commits run it
-    // in appendLocked instead, also pre-apply)
-    verifyTail(storeName)
+    // in appendLocked instead, also pre-apply). STRICT when the
+    // caller's conflict handling must fire before any durable step
+    // (the cross-table transaction: a conflict surfacing after its
+    // intent marker would strand a half-completable roll-forward).
+    verifyTail(storeName, strict = strictVerify)
     val ctr = seqCounter(storeName, m.dir)
     if (ctr.get() == 0L) checkpoint(storeName)
     val body0: JObject = data match {
@@ -865,7 +904,11 @@ object GraftLog {
     * entries. */
   private[sources] def install(storeName: String, r: Replayed)
       : GraftMergeTable = {
-    GraftTableStore.evictInMemory(storeName)
+    // keepEpochs: install re-reads the DISK truth; the streaming
+    // epoch ledger is memory-only anti-double-commit state and must
+    // survive the rebase (a concurrent query's just-marked epoch
+    // would otherwise re-commit on WAL replay)
+    GraftTableStore.evictInMemory(storeName, keepEpochs = true)
     GraftParquetStore.evictMeta(storeName)
     GraftMergeCatalog.evictDef(storeName)
     forget(storeName)
@@ -1064,7 +1107,57 @@ object GraftLog {
           s"graft log of $storeName: unknown entry kind '$other'")
       }
     }
-    Some(Replayed(m, h, ingested, hwm, mvWm, morRowId, constraints,
+    // WIDENING SELF-HEAL: entries written before a widen's meta entry
+    // decoded their stats under the NARROW schema of that moment; the
+    // widen normally checkpoints right after (so replay sees one type
+    // domain), but a crash between the meta entry and the checkpoint
+    // leaves a mixed log — normalize here so the replayed state is
+    // always in the FINAL schema's domain (Int→Long / Float→Double
+    // are lossless).
+    val wideOrds = m.schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType ||
+        f.dataType == DoubleType => i
+    }
+    def statMismatch(o: Int, st: GraftColStats): Boolean =
+      m.schema(o).dataType match {
+        case LongType => st.min.isInstanceOf[java.lang.Integer] ||
+          st.max.isInstanceOf[java.lang.Integer]
+        case DoubleType => st.min.isInstanceOf[java.lang.Float] ||
+          st.max.isInstanceOf[java.lang.Float]
+        case _ => false
+      }
+    val needsFix = wideOrds.nonEmpty && h.commits.exists {
+      case p: GraftParquetData => p.files.exists(f =>
+        wideOrds.exists(o => f.stats.get(o).exists(statMismatch(o, _))))
+      case _ => false
+    }
+    val hN = if (!needsFix) h else {
+      def up(dt: DataType, v: Any): Any = (dt, v) match {
+        case (LongType, x: java.lang.Integer) => x.longValue()
+        case (DoubleType, x: java.lang.Float) => x.doubleValue()
+        case _ => v
+      }
+      h.copy(commits = h.commits.map {
+        case p: GraftParquetData =>
+          GraftParquetData(p.files.map { f =>
+            val fixed = wideOrds.flatMap { o =>
+              f.stats.get(o).flatMap { st =>
+                val dt = m.schema(o).dataType
+                val (nmin, nmax) = (up(dt, st.min), up(dt, st.max))
+                if ((nmin.asInstanceOf[AnyRef] eq
+                    st.min.asInstanceOf[AnyRef]) &&
+                    (nmax.asInstanceOf[AnyRef] eq
+                      st.max.asInstanceOf[AnyRef])) None
+                else Some(o -> GraftColStats(nmin, nmax, st.nulls))
+              }
+            }
+            if (fixed.isEmpty) f
+            else f.copy(stats = f.stats ++ fixed)
+          }, p.count)
+        case other => other
+      })
+    }
+    Some(Replayed(m, hN, ingested, hwm, mvWm, morRowId, constraints,
       entries.last._1))
   }
 

@@ -259,14 +259,26 @@ object GraftTableStore {
     * the process-restart simulation ([[GraftLog
     * .simulateProcessRestart]]); the next catalog touch replays the
     * on-disk log. */
-  private[graft] def evictInMemory(name: String): Unit = withTableLock(name) {
+  /** `keepEpochs`: the streaming epoch LEDGER is memory-only state
+    * that exists to refuse WAL double-commits — it is NOT derived
+    * from the log, so evictions that merely force a disk re-replay
+    * (the conflict-retry rebase, a failed logCommit) must PRESERVE
+    * it: wiping it would let a concurrent query's just-marked epoch
+    * re-commit on WAL replay (duplicate rows). Only genuine
+    * end-of-life evictions (DROP/reset, the restart simulation) wipe
+    * it. */
+  private[graft] def evictInMemory(name: String,
+      keepEpochs: Boolean = false): Unit = withTableLock(name) {
     versions.remove(name)
     resolvedCache.keysIterator.filter(_._1 == name)
       .foreach(resolvedCache.remove)
     ingestedFiles.remove(name)
     identityHwm.remove(name)
     mvWatermarks.remove(name)
-    epochLock.synchronized { lastEpochs.keySet().removeIf(_._1 == name); () }
+    if (!keepEpochs)
+      epochLock.synchronized {
+        lastEpochs.keySet().removeIf(_._1 == name); ()
+      }
     GraftChangeFeed.evictStaged(name)
     ()
   }
@@ -504,31 +516,6 @@ object GraftTableStore {
   private[graft] def epochLedgerSize: Int =
     epochLock.synchronized(lastEpochs.size())
 
-  /** snapshot / restore one table's epoch-ledger entries across the
-    * conflict-retry's log refresh: the refresh evicts the table's
-    * in-memory state (ledger included), but the epoch being committed
-    * was already marked on this thread — losing it would let a later
-    * WAL replay double-commit the epoch. */
-  private[sources] def epochSnapshot(name: String)
-      : Vector[((String, String), Long)] = epochLock.synchronized {
-    val it = lastEpochs.entrySet().iterator()
-    val out = Vector.newBuilder[((String, String), Long)]
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 == name) out += (e.getKey -> e.getValue.longValue())
-    }
-    out.result()
-  }
-  private[sources] def restoreEpochs(
-      entries: Vector[((String, String), Long)]): Unit =
-    epochLock.synchronized {
-      entries.foreach { case (k, v) =>
-        val prev = lastEpochs.get(k)
-        if (prev == null || prev.longValue() < v)
-          lastEpochs.put(k, java.lang.Long.valueOf(v))
-        ()
-      }
-    }
 
   /** Append one commit and apply retention — MUST run under [[lock]].
     * When the trim drops versions, the commit that becomes the new
@@ -642,7 +629,9 @@ object GraftTableStore {
           // in-memory state would be a PHANTOM commit that forks the
           // table on the next write. Evict to the disk truth: the next
           // catalog touch replays the log, foreign entries included.
-          evictInMemory(name)
+          // (keepEpochs: this is a re-replay eviction, not end-of-life
+          // — wiping the epoch ledger would invite WAL double-commits)
+          evictInMemory(name, keepEpochs = true)
           GraftParquetStore.evictMeta(name)
           GraftMergeCatalog.evictDef(name)
           GraftLog.forget(name)
@@ -821,23 +810,22 @@ object GraftTableStore {
         s"${d.card}:${java.util.Arrays.hashCode(d.words)}").getOrElse("-")
 
   private def appendSigOf(m: GraftParquetStore.Meta,
-      h: History): AppendBaseSig = {
-    val headSig = h.commits.lastOption match {
-      case Some(p: GraftParquetData) =>
-        Some(p.files.map(f => f.path -> fileSig(f)).toMap)
-      case None => Some(Map.empty[String, String])
-      case Some(_) => None
-    }
+      head: Option[GraftParquetData], commitCount: Int)
+      : AppendBaseSig =
     AppendBaseSig(m.schema.json,
       m.specs.map(_.map(_.toString).mkString(",")).mkString(";") +
         "|" + m.partFields.map(_.toString).mkString(","),
-      m.dvMode, h.commitCount, headSig)
-  }
+      m.dvMode, commitCount,
+      Some(head.map(_.files.map(f => f.path -> fileSig(f)).toMap)
+        .getOrElse(Map.empty[String, String])))
 
-  private def appendBaseSig(name: String): Option[AppendBaseSig] =
-    GraftParquetStore.meta(name).map { m =>
-      appendSigOf(m, versions.getOrElse(name, History(0, Vector.empty)))
-    }
+  private def appendSigOf(m: GraftParquetStore.Meta,
+      h: History): AppendBaseSig = h.commits.lastOption match {
+    case Some(p: GraftParquetData) => appendSigOf(m, Some(p), h.commitCount)
+    case None => appendSigOf(m, None, h.commitCount)
+    case Some(_) => // delta head: never a rebase target
+      appendSigOf(m, None, h.commitCount).copy(headSig = None)
+  }
 
   /** Delta-style LOGICAL conflict classification for a blind append
     * whose commit lost the log race: the interleaved foreign commits
@@ -883,13 +871,27 @@ object GraftTableStore {
     val mvArmed = pendingMvWatermark.get()
     var cur = staged
     var attempts = 0
-    while (true) {
-      // capture what this attempt bases on (conflict classification
-      // compares against the post-refresh state)
-      val baseSig = withTableLock(name)(appendBaseSig(name))
-      val epochs = epochSnapshot(name)
-      try {
-        withTableLock(name) {
+    var done = false
+    while (!done) {
+      // ONE table-lock hold covers the attempt AND its conflict
+      // recovery: a concurrent local committer can never observe the
+      // evicted-but-not-yet-rebased intermediate state (it would fail
+      // with a misleading "not parquet-backed" otherwise) — it simply
+      // serializes behind the rebase and lands on the fresh head.
+      done = withTableLock(name) {
+        // O(1) capture of what this attempt bases on — the immutable
+        // head manifest reference; the signature map is built lazily
+        // only when a conflict actually needs classification
+        val baseMeta = GraftParquetStore.meta(name)
+        val baseHead = versions.get(name).map(_.commitCount)
+          .getOrElse(0)
+        val baseFiles = versions.get(name)
+          .flatMap(_.commits.lastOption) match {
+          case Some(p: GraftParquetData) => Some(Some(p))
+          case None => Some(None) // empty table: a valid append base
+          case Some(_) => None // delta head: never rebased
+        }
+        try {
           val m = GraftParquetStore.meta(name).getOrElse(
             throw new IllegalStateException(
               s"$name is not parquet-backed — no staged commit possible"))
@@ -918,32 +920,32 @@ object GraftTableStore {
               appendLocked(name, op,
                 GraftFullData(base ++ incoming), branch)
           }
+          true
+        } catch {
+          case e: GraftConcurrentCommitException =>
+            attempts += 1
+            if (!retryable || attempts > MaxAppendRetries ||
+                cur.isEmpty || baseMeta.isEmpty || baseFiles.isEmpty)
+              throw e
+            // PEEK the disk truth first — classification must run
+            // before any in-memory state is destroyed, and a foreign
+            // entry this process cannot even parse keeps the original
+            // loud refusal with the table still readable
+            val peeked =
+              try GraftLog.replayByName(name)
+              catch { case _: Throwable => throw e }
+            val peek = peeked.getOrElse(throw e)
+            val baseSig =
+              appendSigOf(baseMeta.get, baseFiles.get, baseHead)
+            if (!appendCompatible(baseSig,
+                appendSigOf(peek.m, peek.h))) throw e
+            // compatible: install the rebased state (epoch ledger
+            // survives — install preserves it by contract)
+            GraftLog.install(name, peek)
+            ingestArmed.foreach(v => pendingIngest.set(Some(v)))
+            mvArmed.foreach(v => pendingMvWatermark.set(Some(v)))
+            false // loop: re-adopt `cur` onto the rebased head
         }
-        return
-      } catch {
-        case e: GraftConcurrentCommitException =>
-          attempts += 1
-          if (!retryable || attempts > MaxAppendRetries ||
-              cur.isEmpty || baseSig.forall(_.headSig.isEmpty))
-            throw e
-          // PEEK the disk truth first — classification must run
-          // before any in-memory state is destroyed, and a foreign
-          // entry this process cannot even parse keeps the original
-          // loud refusal with the table still readable
-          val peeked =
-            try GraftLog.replayByName(name)
-            catch { case _: Throwable => throw e }
-          val peek = peeked.getOrElse(throw e)
-          if (!appendCompatible(baseSig.get,
-              appendSigOf(peek.m, peek.h))) throw e
-          // compatible: install the rebased state. The install evicts
-          // this table's epoch ledger — restore it, the epoch being
-          // committed is already marked on this thread.
-          GraftLog.install(name, peek)
-          restoreEpochs(epochs)
-          ingestArmed.foreach(v => pendingIngest.set(Some(v)))
-          mvArmed.foreach(v => pendingMvWatermark.set(Some(v)))
-        // loop: re-adopt `cur` onto the rebased head and re-claim
       }
     }
   }
@@ -1164,7 +1166,12 @@ object GraftTableStore {
     * (attribute-vs-literal comparisons, IN, NULL tests, NOT/OR
     * compositions, string prefix/suffix/contains). Anything else
     * returns None and the transaction refuses loudly — a partial
-    * translation would delete a SUPERSET. */
+    * translation would delete a SUPERSET. Hand-rolled DELIBERATELY:
+    * Spark's own DataSourceStrategy.translateFilter is
+    * protected[sql] (inaccessible outside Spark's namespace), and
+    * every accepted shape is re-vetted by GraftFilterEval.compile at
+    * the call site, so a divergence can only REFUSE a valid
+    * predicate, never accept a wrong one. */
   private def toSourceFilter(
       e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[org.apache.spark.sql.sources.Filter] = {
@@ -1249,8 +1256,11 @@ object GraftTableStore {
             "OPTIMIZE (compact) it before a transactional write")
       }
       // cross-process tails verify BEFORE any adoption or sequence
-      // allocation — a conflict here costs nothing
-      try GraftLog.verifyTail(name)
+      // allocation — a conflict here costs nothing. STRICT (no mtime
+      // fast path): a transaction conflict surfacing after the intent
+      // marker would strand a roll-forward against a foreign-owned
+      // slot, so this pre-verify is load-bearing.
+      try GraftLog.verifyTail(name, strict = true)
       catch { case t: Throwable => cleanup(); throw t }
     }
     // adopt + compute every table's post-state and RENDER its log
@@ -1286,7 +1296,8 @@ object GraftTableStore {
         val newV = h.commitCount
         val rendered = GraftLog.renderCommit(name, newV, op,
           now, data, h.commits.lastOption,
-          h.branches + ("main" -> newV), h.tags)
+          h.branches + ("main" -> newV), h.tags,
+          strictVerify = true)
         (name, op, data, now, rendered)
       }
     } catch {
@@ -1295,8 +1306,9 @@ object GraftTableStore {
         parts.foreach { s =>
           // the full restart-eviction quartet — anything less leaves a
           // registry entry that makes the table read as EMPTY instead
-          // of lazily replaying the disk truth
-          evictInMemory(s.name)
+          // of lazily replaying the disk truth (keepEpochs: re-replay
+          // eviction, the ledger is not log-derived state)
+          evictInMemory(s.name, keepEpochs = true)
           GraftParquetStore.evictMeta(s.name)
           GraftMergeCatalog.evictDef(s.name)
           GraftLog.forget(s.name)
@@ -1962,7 +1974,8 @@ object GraftTableStore {
       // warehouse has committed past our replay point, that set is
       // missing their files and the sweep would DELETE committed data.
       // Same cross-process probe as the commit path: refuse loudly.
-      GraftLog.verifyTail(name)
+      // STRICT: deletion decisions never ride the mtime cache.
+      GraftLog.verifyTail(name, strict = true)
       val h = versions.getOrElse(name, History(0, Vector.empty))
       val referenced = h.commits.iterator.flatMap {
         case p: GraftParquetData => p.files.iterator.map(_.path)
