@@ -55,7 +55,13 @@ object Bench {
   // (cdc_replace_feed ~1.2 — REPLACE WHERE + the distributed
   // manifest-diff feed; table_gc_orphans ~0.8 — seed + orphan sweep)
   // → 217 re-anchored additively to 219
-  private val BaselineWarmSec = 219.0
+  // round-14: +3 ids (txn_multi_rw 1.25 — fact+dim seeds + the DV
+  // bitmap pass + the two-table RW commit; table_sort_order 1.98 —
+  // three range-sorted appends + the bin-pack merge; sql_alter_widen
+  // 0.86 — seed + two checkpointing widens + wide append; measured in
+  // the 351.4 s close drive) + text_langid's profile rebuild
+  // (0.17 → 0.45) → 219 re-anchored additively to 223
+  private val BaselineWarmSec = 223.0
   private val ContentionRatio = 1.5
 
   /** BASELINE.md's per-query warm prices for the known cost centers
@@ -81,7 +87,8 @@ object Bench {
     // round-14: seed + two widens (each checkpoints) + wide append
     "sql_alter_widen" -> 1.5,
     // round-14: three range-sorted appends + the bin-pack merge
-    "table_sort_order" -> 1.5,
+    // (1.98 s in the close drive under mild ambient)
+    "table_sort_order" -> 2.0,
     "sql_catalog_view" -> 2.0,
     // 6 ingest commits + the merge pass itself; warm 1.4-1.6 s
     "table_binpack" -> 2.0,

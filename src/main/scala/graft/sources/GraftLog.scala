@@ -475,17 +475,22 @@ object GraftLog {
       throw new IllegalStateException(
         s"graft log: could not commit entry ${target.getName}")
     // belt-and-braces fork detector: if a foreign writer completed our
-    // claim in the window above (or raced the rename), the slot now
-    // holds someone's content — verify it is OURS, loudly.
-    val landed = new String(
-      java.nio.file.Files.readAllBytes(target.toPath),
-      StandardCharsets.UTF_8)
-    if (landed != body)
-      throw new GraftConcurrentCommitException(
-        s"graft log: entry ${target.getName} holds another writer's " +
-          "content after our rename — the slot was adjudicated dead and " +
-          "completed concurrently; this commit did NOT land, re-read " +
-          "the table and retry")
+    // claim (or raced the rename), the slot now holds someone's
+    // content — verify it is OURS, loudly. Only possible when the
+    // claim aged toward the 60 s dead-claim adjudication threshold,
+    // so a rename landing promptly (the hot path, ~ms) skips the
+    // re-read entirely — no per-commit read-back tax.
+    if (System.currentTimeMillis() - claimedAt > 10000L) {
+      val landed = new String(
+        java.nio.file.Files.readAllBytes(target.toPath),
+        StandardCharsets.UTF_8)
+      if (landed != body)
+        throw new GraftConcurrentCommitException(
+          s"graft log: entry ${target.getName} holds another writer's " +
+            "content after our rename — the slot was adjudicated dead " +
+            "and completed concurrently; this commit did NOT land, " +
+            "re-read the table and retry")
+    }
     recordTail(target.getParentFile)
   }
 
