@@ -415,27 +415,31 @@ object VectorOps extends QueryModule {
   private[graft] def cappedBucketPairs(keyed: DataFrame,
       keyCol: String, idCol: String, tag: String,
       cap: Int = BucketCandidateCap): DataFrame = {
-    // the diagnostic is an EAGER extra pass over the keyed projection
-    // by design: the never-silent-drop contract needs an exact count
-    // at build time, and the pass is map-side-combined (shuffle
-    // payload = distinct buckets, not members) over ids+hashes — at
-    // 100 TB one would persist `keyed` so this pass and the pair join
-    // share one materialization
-    val over = keyed.groupBy(col(keyCol)).count()
-      .where(col("count") > cap)
-      .agg(count(lit(1)).as("nb"),
-        sum(col("count") - cap).as("dropped"))
+    // ONE scan of `keyed`: the ranked projection (ids + bucket keys +
+    // per-bucket rank — no payload columns) is localCheckpoint'ed
+    // eagerly, then BOTH the never-silent-drop diagnostic and the
+    // pair self-join read the snapshot. The window shuffle — the
+    // expensive part — runs exactly once; the snapshot's RDD blocks
+    // are released by the ContextCleaner when the result is dropped
+    // (no cacheManager entry to leak across the 350-query drive).
+    val ranked = keyed
+      .withColumn("__hr", row_number().over(Window.partitionBy(keyCol)
+        .orderBy(xxhash64(col(idCol), col(keyCol)))))
+      .localCheckpoint()
+    // the diagnostic stays EAGER by contract (the drop count must be
+    // exact at build time, logged before anyone consumes the feed) —
+    // over the snapshot it is a cheap cached-block scan, not a second
+    // pass over the inputs
+    val over = ranked.where(col("__hr") > cap)
+      .agg(countDistinct(col(keyCol)).as("nb"),
+        count(lit(1)).as("dropped"))
       .collect()(0)
     if (over.getLong(0) > 0)
       System.err.println(s"[graft] $tag: ${over.getLong(0)} bucket(s) " +
         s"past the $cap-member candidate budget — ${over.getLong(1)} " +
         "member slot(s) degraded to hash-deterministic sampling " +
         "(recall within those buckets is sampled, never silently so)")
-    val w = Window.partitionBy(keyCol)
-      .orderBy(xxhash64(col(idCol), col(keyCol)))
-    val capped = keyed
-      .withColumn("__hr", row_number().over(w))
-      .where(col("__hr") <= cap)
+    val capped = ranked.where(col("__hr") <= cap)
     capped.select(col(keyCol), col(idCol).as("id1"))
       .join(capped.select(col(keyCol), col(idCol).as("id2")),
         Seq(keyCol))
