@@ -728,8 +728,34 @@ object GraftApi {
     * pushdown becomes answerable again. Returns files rewritten
     * (0 = no DVs, idempotent no-op). */
   def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
-      table: String): Int =
+      table: String): Int = {
+    // an EQUALITY-DELETE suffix purges by task-side compaction first
+    // (each file's live rows re-stage where the task runs, the key
+    // test resolves exactly once, and the read path stops walking the
+    // chain) — then bitmap-carrying files rewrite as usual
+    if (graft.sources.GraftTableStore.hasEqDeleteSuffix(table))
+      graft.sources.GraftTableStore.compact(table, Some(spark))
     graft.sources.GraftTableStore.purgeDvs(table, spark)
+  }
+
+  /** EQUALITY DELETE (Iceberg v2's second delete form): commit
+    * "DELETE WHERE `keyCol` IN (`keys`)" as an O(|keys|) transaction-
+    * log entry — ZERO data files opened, zero bytes rewritten at
+    * commit time (measurable: [[graft.sources.GraftDvMetrics]]
+    * records filesOpened=0). This is the streaming-upsert-friendly
+    * delete: a CDC writer retires keys it KNOWS without scanning for
+    * them; keys matching no live row are no-ops. Readers resolve the
+    * key test at scan (the same task-side id test a merge-on-read
+    * delta ships); [[purgeDeletes]] / OPTIMIZE compacts the chain
+    * away. Returns the committed version. */
+  def deleteWhereKeyIn(spark: org.apache.spark.sql.SparkSession,
+      table: String, keyCol: String, keys: Seq[Any]): Int = {
+    spark.table(table) // force the lazy catalog attach
+    val internal = keys.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst).toArray
+    graft.sources.GraftTableStore.commitEqDelete(table, keyCol, internal)
+  }
 
   /** BIN-PACKING compaction (OPTIMIZE's small-file rewrite): merge
     * files under `targetRows` live rows into files of up to that

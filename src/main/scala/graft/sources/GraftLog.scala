@@ -120,7 +120,7 @@ object GraftWarehouse {
   * checkpoint. */
 object GraftLog {
   import GraftParquetStore.Meta
-  import GraftTableStore.{GraftCommitData, GraftDeltaData, GraftFullData, GraftParquetData, History}
+  import GraftTableStore.{GraftCommitData, GraftDeltaData, GraftEqDeleteData, GraftFullData, GraftParquetData, History}
 
   private def logDir(dir: String): File = new File(dir, "_graft_log")
 
@@ -384,11 +384,18 @@ object GraftLog {
     case d: GraftDeltaData =>
       ("kind" -> "delta") ~ ("count" -> d.count) ~
         ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
+    case e: GraftEqDeleteData =>
+      // no count field: an eq-delete's post-commit count is lazy by
+      // contract (forcing it here would open data files at
+      // checkpoint/commit time — the O(1) promise is the point)
+      ("kind" -> "eqdelete") ~ ("keyOrd" -> e.keyOrd) ~
+        ("keys" -> JArray(e.keys.toList.map(jval(e.keyType, _))))
     case _: GraftFullData => throw new IllegalStateException(
       "a parquet-backed table cannot hold in-memory full commits — " +
         "the commit path persists them as files before logging")
   }
-  private def unjCommitData(m: Meta, j: JValue): GraftCommitData =
+  private def unjCommitData(m: Meta, j: JValue, storeName: String,
+      version: Int): GraftCommitData =
     (j \ "kind").asInstanceOf[JString].s match {
       case "parquet" => GraftParquetData(
         (j \ "files").asInstanceOf[JArray].arr.map(unjFile(m, _)).toVector,
@@ -398,6 +405,13 @@ object GraftLog {
         val idType = m.schema(idOrd).dataType
         GraftDeltaData(unjDeltaOps(m.schema, idType, j \ "ops"),
           idOrd, idType, asInt(j \ "count"))
+      case "eqdelete" =>
+        val keyOrd = asInt(j \ "keyOrd")
+        val keyType = m.schema(keyOrd).dataType
+        GraftEqDeleteData(keyOrd, keyType,
+          (j \ "keys").asInstanceOf[JArray].arr
+            .map(unjval(keyType, _)).toArray,
+          storeName, version)
     }
 
   // ---- entry writing ---------------------------------------------------
@@ -695,6 +709,10 @@ object GraftLog {
       case d: GraftDeltaData =>
         ("kind" -> "delta") ~ ("count" -> d.count) ~
           ("idOrd" -> d.idOrd) ~ ("ops" -> jDeltaOps(m.schema, d))
+      case e: GraftEqDeleteData =>
+        // count deliberately absent — see [[jCommitData]]
+        ("kind" -> "eqdelete") ~ ("keyOrd" -> e.keyOrd) ~
+          ("keys" -> JArray(e.keys.toList.map(jval(e.keyType, _))))
       case _: GraftFullData => throw new IllegalStateException(
         "unreachable: full commits persist as parquet before logging")
     }
@@ -1007,8 +1025,10 @@ object GraftLog {
       .map(unjConstraint).toArray
     var h = History(
       asInt(cp \ "firstRetained"),
-      (cp \ "commits").asInstanceOf[JArray].arr
-        .map(unjCommitData(m, _)).toVector,
+      (cp \ "commits").asInstanceOf[JArray].arr.zipWithIndex
+        .map { case (c, i) =>
+          unjCommitData(m, c, storeName, asInt(cp \ "firstRetained") + i)
+        }.toVector,
       (cp \ "times").asInstanceOf[JArray].arr.map {
         case JInt(n) => n.toLong
         case JLong(n) => n
@@ -1062,6 +1082,13 @@ object GraftLog {
                     e \ "ops"),
                   idOrd, m.schema(idOrd).dataType,
                   asInt(e \ "count"))
+              case "eqdelete" =>
+                val keyOrd = asInt(e \ "keyOrd")
+                val keyType = m.schema(keyOrd).dataType
+                GraftEqDeleteData(keyOrd, keyType,
+                  (e \ "keys").asInstanceOf[JArray].arr
+                    .map(unjval(keyType, _)).toArray,
+                  storeName, h.commitCount)
             }
           h = History(h.firstRetained, h.commits :+ data,
             h.times :+ ((e \ "time") match {

@@ -82,6 +82,25 @@ object GraftTableStore {
     * every prior file and adds only the new rows' files. */
   private[sources] final case class GraftParquetData(
       files: Vector[GraftFileInfo], count: Int) extends GraftCommitData
+  /** an EQUALITY DELETE commit (Iceberg v2's second delete form): the
+    * O(1) manifest entry "DELETE WHERE <key> IN (<keys>)", committed
+    * WITHOUT opening a single data file — the streaming-upsert-
+    * friendly delete. Resolution happens AT READ: [[fileView]] folds
+    * the keys into the scan's deletion-id set (the same task-side
+    * id-test a MoR delta delete ships), [[GraftTableStore.resolveRel]]
+    * filters the driver-side materialization, and OPTIMIZE /
+    * purge_deletes compacts the chain away. Keys that match NO live
+    * row are no-ops by construction (unlike a WriteDelta 'D', whose
+    * scan proved existence), which is exactly why `count` cannot be
+    * derived arithmetically at commit time: it resolves LAZILY on
+    * first metadata readout (DESCRIBE HISTORY / a downstream
+    * WriteDelta's prevCount) and is never touched by the commit or
+    * scan paths. */
+  private[sources] final case class GraftEqDeleteData(keyOrd: Int,
+      keyType: org.apache.spark.sql.types.DataType, keys: Array[Any],
+      table: String, version: Int) extends GraftCommitData {
+    lazy val count: Int = getVersion(table, version).length
+  }
 
   /** Retained history of one table: `firstRetained` = absolute version
     * number of `commits.head`; `times(i)` = commit wall-clock of
@@ -385,6 +404,19 @@ object GraftTableStore {
             else resolveRel(name, h, rel - 1)
           applyDelta(base, d)
         })
+      case e: GraftEqDeleteData =>
+        resolvedCache.getOrElseUpdate((name, h.firstRetained + rel), {
+          val base =
+            if (rel == 0) Array.empty[InternalRow]
+            else resolveRel(name, h, rel - 1)
+          val dead = e.keys.toSet
+          // rows narrower than keyOrd predate the key column (ADD
+          // COLUMN evolution) — their key reads NULL, and NULL never
+          // matches an IN list (SQL semantics): they survive
+          base.filter(r => e.keyOrd >= r.numFields ||
+            r.isNullAt(e.keyOrd) ||
+            !dead.contains(r.get(e.keyOrd, e.keyType)))
+        })
       case p: GraftParquetData =>
         // driver-side materialization of a file-backed commit (the
         // base of a row-level op, the change feed, CBO stats — the
@@ -470,6 +502,7 @@ object GraftTableStore {
     h.commits(v - h.firstRetained) match {
       case _: GraftFullData => "full"
       case _: GraftDeltaData => "delta"
+      case _: GraftEqDeleteData => "eqdelete"
       case _: GraftParquetData => "parquet"
     }
   }
@@ -652,7 +685,7 @@ object GraftTableStore {
       val headData: GraftCommitData = appended.commits(headRel) match {
         case f: GraftFullData => f
         case p: GraftParquetData => p
-        case _: GraftDeltaData =>
+        case _ => // delta / eq-delete head: checkpoint-before-expire
           val rows = resolveRel(name, appended, headRel)
           // a parquet-backed delta head checkpoints AS FILES, so the
           // table never silently degrades to in-memory snapshots
@@ -787,6 +820,55 @@ object GraftTableStore {
         GraftDeltaData(ops, idOrd, idType,
           prevCount - deleteIds.size + inserts), branch)
     }
+
+  /** Commit an EQUALITY DELETE: "DELETE WHERE <keyCol> IN (<keys>)"
+    * as an O(|keys|) log entry — ZERO data files opened, zero bytes
+    * rewritten (the CDC-upsert-stream delete: the writer knows the
+    * keys it retires without scanning for them). Keys arrive in
+    * Catalyst internal representation (UTF8String for strings).
+    * Resolution is deferred to read time ([[fileView]] /
+    * [[resolveRel]]); OPTIMIZE / purge_deletes compacts the chain
+    * away. Records a [[GraftDvMetrics]] report with filesOpened=0 so
+    * specs can MEASURE the zero-I/O commit. Returns the committed
+    * version. */
+  private[graft] def commitEqDelete(name: String, keyCol: String,
+      keys: Array[Any]): Int = withTableLock(name) {
+    val m = GraftParquetStore.meta(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"$name is not parquet-backed — equality deletes are a " +
+          "file-store surface"))
+    val vis = GraftColumnMap.visible(m.schema)
+    val vi = vis.fieldNames.indexOf(keyCol)
+    require(vi >= 0, s"$name has no column '$keyCol' " +
+      s"(${vis.fieldNames.mkString(", ")})")
+    val keyOrd = GraftColumnMap.physOrds(m.schema)(vi)
+    val keyType = m.schema(keyOrd).dataType
+    require(keys.nonEmpty, "equality delete with an empty key set")
+    require(keys.forall(_ != null),
+      "equality-delete keys must be non-null (NULL never equals)")
+    val h = versions.getOrElse(name, History(0, Vector.empty))
+    val newV = h.commitCount
+    val filesTotal = h.commits.lastOption match {
+      case Some(p: GraftParquetData) => p.files.length
+      case _ => 0
+    }
+    appendLocked(name, "eqdelete",
+      GraftEqDeleteData(keyOrd, keyType, keys, name, newV))
+    GraftDvMetrics.last.put(name, GraftDvMetrics.Report(
+      filesTotal, 0, 0, 0, -1L))
+    newV
+  }
+
+  /** does the table's CURRENT read suffix (past the last full commit)
+    * contain an equality-delete entry? — the purge_deletes trigger. */
+  private[graft] def hasEqDeleteSuffix(name: String): Boolean = {
+    val h = versions.getOrElse(name, return false)
+    val lastFull = h.commits.lastIndexWhere(c =>
+      !c.isInstanceOf[GraftDeltaData] &&
+        !c.isInstanceOf[GraftEqDeleteData])
+    h.commits.drop(lastFull max 0)
+      .exists(_.isInstanceOf[GraftEqDeleteData])
+  }
 
   /** Commit a TASK-WRITTEN parquet append: the write tasks streamed
     * rows straight into staged files and shipped only metadata — this
@@ -1574,8 +1656,9 @@ object GraftTableStore {
     // compact, and a just-compacted table reports exactly that
     val (expectedHead, deltas) = withTableLock(name) {
       val h = versions.getOrElse(name, History(0, Vector.empty))
-      val lastFull =
-        h.commits.lastIndexWhere(!_.isInstanceOf[GraftDeltaData])
+      val lastFull = h.commits.lastIndexWhere(c =>
+        !c.isInstanceOf[GraftDeltaData] &&
+          !c.isInstanceOf[GraftEqDeleteData])
       val d = h.commits.size - 1 - lastFull
       if (d == 0) return 0
       (h.commitCount - 1, d)
@@ -1681,7 +1764,7 @@ object GraftTableStore {
       val data: GraftCommitData = h.commits(v - h.firstRetained) match {
         case p: GraftParquetData => p // manifest re-reference, no I/O
         case f: GraftFullData => f // shared row references, no copy
-          case _: GraftDeltaData => // materialize the merged state once
+        case _ => // delta / eq-delete: materialize the merged state once
           GraftFullData(resolveRel(name, h, v - h.firstRetained))
       }
       appendLocked(name, "restore", data)
@@ -1717,7 +1800,7 @@ object GraftTableStore {
       val data: GraftCommitData = h.commits(headRel) match {
         case p: GraftParquetData => p // manifest re-reference: zero copy
         case f: GraftFullData => f // shared row references: zero copy
-        case _: GraftDeltaData =>
+        case _ => // delta / eq-delete head materializes once
           GraftFullData(resolveRel(src, h, headRel))
       }
       appendLocked(dst, "clone", data)
@@ -2085,8 +2168,9 @@ object GraftTableStore {
     val v = pinned.getOrElse(h.mainHead)
     if (v < h.firstRetained || v >= h.commitCount) return None
     val rel = v - h.firstRetained
-    val lastFull = h.commits.lastIndexWhere(
-      !_.isInstanceOf[GraftDeltaData], rel)
+    val lastFull = h.commits.lastIndexWhere(c =>
+      !c.isInstanceOf[GraftDeltaData] &&
+        !c.isInstanceOf[GraftEqDeleteData], rel)
     val base = if (lastFull < 0) {
       // delta chain on an empty table: file-backed iff registered
       if (!GraftParquetStore.isBacked(name)) return None
@@ -2096,32 +2180,45 @@ object GraftTableStore {
       case _ => return None
     }
     val deltas = ((lastFull max 0) + (if (lastFull < 0) 0 else 1) to rel)
-      .map(h.commits(_).asInstanceOf[GraftDeltaData])
+      .map(h.commits(_))
     if (deltas.isEmpty)
       return Some(GraftFileView(base.files, Array.empty, Array.empty,
         -1, org.apache.spark.sql.types.NullType))
-    val idOrd = deltas.head.idOrd
-    val idType = deltas.head.idType
-    if (!deltas.forall(d => d.idOrd == idOrd && d.idType == idType))
+    // delta ops key on the MoR row id, eq-deletes on their declared
+    // key column: the fold below is only sound when the whole suffix
+    // shares ONE id domain (the CDC-upsert shape, where the upsert
+    // key IS the row id); a mixed-domain chain takes the row path
+    val ordTypes = deltas.map {
+      case d: GraftDeltaData => (d.idOrd, d.idType)
+      case e: GraftEqDeleteData => (e.keyOrd, e.keyType)
+      case _ => return None
+    }
+    val (idOrd, idType) = ordTypes.head
+    if (!ordTypes.forall(_ == ((idOrd, idType))))
       return None // row-id moved across the chain — let the row path merge
     val deleted = scala.collection.mutable.LinkedHashSet[Any]()
     val extras = scala.collection.mutable.LinkedHashMap[Any, InternalRow]()
-    deltas.iterator.flatMap(_.ops.iterator).foreach { o =>
-      (o.op: @unchecked) match {
-        case 'D' =>
-          val k = o.id.get(0, idType)
-          extras.remove(k)
-          deleted += k // no-op against files that never held k
-        case 'U' =>
-          val k = o.id.get(0, idType)
-          if (extras.contains(k)) extras.put(k, o.row)
-          else if (!deleted.contains(k)) {
-            deleted += k // the pre-image leaves its file…
-            extras.put(k, o.row) // …and the post-image re-enters
-          } // else: update of a non-existent row — applyDelta's no-op
-        case 'I' => // inserts carry no op id — key by the row's id slot
-          extras.put(o.row.get(idOrd, idType), o.row)
+    def foldDelete(k: Any): Unit = {
+      extras.remove(k)
+      deleted += k // no-op against files that never held k
+    }
+    deltas.foreach {
+      case eq: GraftEqDeleteData => eq.keys.foreach(foldDelete)
+      case d: GraftDeltaData => d.ops.foreach { o =>
+        (o.op: @unchecked) match {
+          case 'D' => foldDelete(o.id.get(0, idType))
+          case 'U' =>
+            val k = o.id.get(0, idType)
+            if (extras.contains(k)) extras.put(k, o.row)
+            else if (!deleted.contains(k)) {
+              deleted += k // the pre-image leaves its file…
+              extras.put(k, o.row) // …and the post-image re-enters
+            } // else: update of a non-existent row — applyDelta's no-op
+          case 'I' => // inserts carry no op id — key by the row's id slot
+            extras.put(o.row.get(idOrd, idType), o.row)
+        }
       }
+      case _ => ()
     }
     Some(GraftFileView(base.files, extras.values.toArray,
       deleted.toArray, idOrd, idType))
@@ -5447,6 +5544,8 @@ object GraftChangeFeed {
         Array.empty[InternalRow]
       case Some((_, d: GraftTableStore.GraftDeltaData)) =>
         deltaChanges(table, schema, idOrd, v, d)
+      case Some((_, e: GraftTableStore.GraftEqDeleteData)) =>
+        eqDeleteChanges(table, schema, v, e)
       case Some((_, p: GraftTableStore.GraftParquetData)) =>
         // an append: inserts are exactly the added files' rows — read
         // them (and only them) instead of diffing snapshots. Driver
@@ -5578,6 +5677,60 @@ object GraftChangeFeed {
       }
     }
     out.toArray
+  }
+
+  /** O(matched) derivation of an EQUALITY DELETE commit's feed rows:
+    * the commit names only KEYS — which of them actually matched a
+    * live row is discovered here, at feed-read time, by the same
+    * zone-map/bloom-pruned distributed id lookup a MoR delta's
+    * pre-images use (never a base materialization on a file-backed
+    * table). Keys that matched nothing emit nothing — exactly the
+    * snapshot-diff answer. */
+  private def eqDeleteChanges(table: String, schema: StructType,
+      v: Int, e: GraftTableStore.GraftEqDeleteData): Array[InternalRow] = {
+    val vis = GraftColumnMap.visible(schema)
+    val ords = GraftColumnMap.physOrds(schema)
+    val targets: Set[Any] = e.keys.toSet
+    val matched = scala.collection.mutable.ArrayBuffer[InternalRow]()
+    // the distributed lookup is only sound when the folded suffix's
+    // deletion-id domain is the eq-delete's own key domain (or there
+    // is no suffix at all) — a mismatched chain falls back to the
+    // driver-resident base, which is in memory for exactly those
+    // unfoldable shapes
+    GraftTableStore.fileView(table, Some(v - 1)) match {
+      case Some(fv) if v > 0 && (fv.idOrd < 0 || fv.idOrd == e.keyOrd ||
+          (fv.deletedIds.isEmpty && fv.extras.isEmpty)) =>
+        val deletedEarlier: Set[Any] =
+          if (fv.idOrd == e.keyOrd) fv.deletedIds.toSet else Set.empty
+        fv.extras.foreach { r =>
+          if (e.keyOrd < r.numFields && !r.isNullAt(e.keyOrd) &&
+              targets.contains(r.get(e.keyOrd, e.keyType)))
+            matched += r
+        }
+        val remaining = targets -- deletedEarlier --
+          matched.map(_.get(e.keyOrd, e.keyType))
+        if (remaining.nonEmpty) {
+          val m = GraftParquetStore.meta(table).get
+          GraftParquetStore.lookupByIds(
+            org.apache.spark.sql.SparkSession.active, m, fv.files,
+            e.keyOrd, e.keyType, remaining).foreach { r =>
+            val k = r.get(e.keyOrd, e.keyType)
+            // a base row whose live version was deleted earlier in
+            // the chain (or superseded by an extra) must not re-emit
+            if (remaining.contains(k)) matched += r
+          }
+        }
+      case _ =>
+        val base =
+          if (v == 0) Array.empty[InternalRow]
+          else GraftTableStore.getVersion(table, v - 1)
+        base.foreach { r =>
+          if (e.keyOrd < r.numFields && !r.isNullAt(e.keyOrd) &&
+              targets.contains(r.get(e.keyOrd, e.keyType)))
+            matched += r
+        }
+    }
+    matched.map(emitRow(_, "delete", v, vis, ords)).toArray
   }
 
   /** plan the feed of [from, to) as INPUT PARTITIONS: append commits
@@ -6465,6 +6618,8 @@ class GraftMicroBatchStream(tableName: String,
           parts += GraftProjectedPartition(
             GraftChangeFeed.padTo(d.ops.map(_.row), tableSchema),
             ords, types)
+        case Some((_, _: GraftTableStore.GraftEqDeleteData)) =>
+          notAppendOnly() // an equality delete retires earlier rows
         case Some(_) => return None // legacy in-memory full commit
       }
       v += 1

@@ -1649,4 +1649,65 @@ class ParquetStoreSpec extends AnyFunSuite {
     assert(rootMsg(exM).contains("graft.store=parquet"), rootMsg(exM))
     spark.sql("DROP TABLE graft.tso_p")
   }
+
+  test("equality delete: O(1) commit with ZERO files opened, " +
+      "read-time resolution, CDC derivation of matched keys only, " +
+      "restart replay, and purge_deletes compacting the chain away") {
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.eqdel_t")
+    // the CDC-upsert shape: the table declares its upsert key as the
+    // MoR row id, so the change feed can diff eq-deletes by key
+    spark.sql("CREATE TABLE graft.eqdel_t (k BIGINT, seg STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql("INSERT INTO graft.eqdel_t " +
+      "SELECT id, concat('s', id % 3) FROM range(100)")
+    spark.sql("INSERT INTO graft.eqdel_t " +
+      "SELECT id + 100, concat('s', id % 3) FROM range(100)")
+    // delete keys 10,20,...,90 (all live) and 500,510 (absent: no-ops)
+    val keys = (1L to 9L).map(_ * 10L) ++ Seq(500L, 510L)
+    val v = graft.api.GraftApi.deleteWhereKeyIn(spark, "graft.eqdel_t",
+      "k", keys)
+    // the commit opened NO data file — the O(1) promise, measured
+    val m = graft.sources.GraftDvMetrics.last("graft.eqdel_t")
+    assert(m.filesOpened == 0, s"eq-delete opened files: $m")
+    assert(GraftTableStore.commitKind("graft.eqdel_t", v) == "eqdelete")
+    // read-time resolution: exactly the 9 matched rows are gone
+    assert(spark.table("graft.eqdel_t").count() == 191)
+    assert(spark.table("graft.eqdel_t")
+      .where(col("k").isin(keys: _*)).count() == 0)
+    // pre-delete version is untouched (time travel over the chain)
+    assert(spark.sql(
+      s"SELECT * FROM graft.eqdel_t VERSION AS OF ${v - 1}")
+      .count() == 200)
+    // DESCRIBE HISTORY's n_rows resolves LAZILY and lands exact
+    val hist = spark.table("graft.eqdel_t.history")
+      .where(col("version") === v).collect()
+    assert(hist.length == 1 && hist(0).getLong(2) == 191L,
+      s"history row: ${hist.mkString}")
+    // CDC: the eq-delete version's feed = one delete per MATCHED key
+    val feed = spark.read.option("startingVersion", v)
+      .option("endingVersion", v).table("graft.eqdel_t.changes")
+      .where(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSet
+    assert(feed == (1L to 9L).map(_ * 10L).toSet, s"feed: $feed")
+    // restart: the log entry replays and the readout is unchanged
+    graft.sources.GraftLog.simulateProcessRestart(Seq("graft.eqdel_t"))
+    assert(spark.table("graft.eqdel_t").count() == 191)
+    assert(spark.table("graft.eqdel_t")
+      .where(col("k") === 500L || col("k") === 20L).count() == 0)
+    // an append lands on top of the eq-delete chain; both resolve
+    spark.sql("INSERT INTO graft.eqdel_t VALUES (20, 'back')")
+    assert(spark.table("graft.eqdel_t").count() == 192)
+    // purge_deletes compacts the chain: the head is a plain manifest,
+    // the content identical, the pinned eq-delete version still walks
+    // the deferred resolution
+    graft.api.GraftApi.purgeDeletes(spark, "graft.eqdel_t")
+    val head = GraftTableStore.commitCount("graft.eqdel_t") - 1
+    assert(GraftTableStore.commitKind("graft.eqdel_t", head) == "parquet")
+    assert(spark.table("graft.eqdel_t").count() == 192)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.eqdel_t " +
+      s"VERSION AS OF $v").collect()(0).getLong(0) == 191L)
+    spark.sql("DROP TABLE graft.eqdel_t")
+  }
 }

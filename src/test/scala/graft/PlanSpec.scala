@@ -440,10 +440,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("dedup_near")
     assert(p.contains("shingle_hash_set"),
       s"shingle build not on the codegen kernel:\n$p")
-    assert(p.contains("min_hash_sig"),
-      s"minhash signature not on the one-pass kernel:\n$p")
     assert(!p.toLowerCase.contains("lambdafunction"),
       s"an interpreted higher-order lambda survives in the plan:\n$p")
+    // the banded candidate feed is snapshotted by the per-bucket
+    // candidate budget (cappedBucketPairs localCheckpoints the ranked
+    // projection, so the final plan shows an ExistingRDD there) — the
+    // signature kernel is asserted on the plan that FEEDS the
+    // snapshot, where it actually executes
+    val banded = graft.operators.VectorOps.minhashDocFrame(
+      graft.Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(banded.contains("min_hash_sig"),
+      s"minhash signature not on the one-pass kernel:\n$banded")
+    assert(!banded.toLowerCase.contains("lambdafunction"),
+      s"an interpreted lambda survives in the signature path:\n$banded")
   }
 
   test("text_subword tokenizes on the codegen kernel; only the doc agg " +
