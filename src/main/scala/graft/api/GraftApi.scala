@@ -695,6 +695,30 @@ object GraftApi {
     GraftParquetStore.stageAppendTaskSide(spark, m, df, checks)
   }
 
+  /** SNAPSHOT-ISOLATED MULTI-TABLE READ — the read twin of
+    * [[transact]]: capture ONE version vector for `tables`,
+    * linearized against every commit path (single-table commits,
+    * multi-table transactions), so a fact-joins-dim query racing a
+    * transact reads EITHER the full pre-state or the full post-state
+    * of both tables, never the fact rows without their dimension
+    * update. Returns table -> pinned version; read each participant
+    * with `VERSION AS OF <version>` (or [[tableAt]]) — version
+    * pinning is exact inside the retention window, so the pinned
+    * reads stay stable however many commits land after the capture.
+    * Capture is O(tables) under the commit lock, zero I/O. */
+  def readTransaction(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[String]): Map[String, Int] = {
+    require(tables.nonEmpty, "empty read transaction")
+    tables.foreach(spark.table(_)) // force the lazy catalog attach
+    graft.sources.GraftTableStore.snapshotHeads(tables)
+  }
+
+  /** `table` pinned at `version` — the reader side of a
+    * [[readTransaction]] vector. */
+  def tableAt(spark: org.apache.spark.sql.SparkSession,
+      table: String, version: Int): DataFrame =
+    spark.sql(s"SELECT * FROM $table VERSION AS OF $version")
+
   /** CONTINUOUS MV MAINTENANCE: a streaming query tailing the
     * source's change feed, folding every micro-batch into the MV
     * through the same commit-granular fold as the batch refresh — the

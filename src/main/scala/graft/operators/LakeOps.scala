@@ -1249,6 +1249,64 @@ object LakeOps extends QueryModule {
     // MoR-resolved state NEXT TO the post-purge state, so the oracle
     // only holds if both the deferred and the compacted resolution
     // drop exactly the matched rows.
+    // SNAPSHOT-ISOLATED MULTI-TABLE READ (round-14 verdict #3 — the
+    // read twin of the cross-table transaction): readTransaction
+    // captures ONE version vector under the commit lock, so a reader
+    // racing a transact sees either the full pre-state or the full
+    // post-state of fact+dim, never a mix. Here the interleave is
+    // deterministic: the vector is captured, THEN a transact lands a
+    // fact append + dim delete — the pinned reads still serve the
+    // complete pre-state while unpinned reads serve the complete
+    // post-state, and the readout joins both so the oracle arithmetic
+    // only holds if the vector isolated the pair. CatalogSpec pins the
+    // racing-writer variant (an invariant-checked reader thread
+    // against a committing transact loop).
+    "txn_read_snapshot" -> ((s, d) => {
+      useCatalog(s)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (Det.dec2(col("o_totalprice")) * 100).cast("long")
+            .as("cents"))
+        .createOrReplaceTempView("trs_src")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView("trs_dim_src")
+      s.sql("DROP TABLE IF EXISTS graft.trs_fact")
+      s.sql("DROP TABLE IF EXISTS graft.trs_dim")
+      s.sql("CREATE TABLE graft.trs_fact (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+      s.sql("CREATE TABLE graft.trs_dim (c_custkey BIGINT, " +
+        "c_mktsegment STRING) TBLPROPERTIES " +
+        "('graft.store'='parquet', 'graft.delete.mode'='dv')")
+      s.sql("INSERT INTO graft.trs_fact " +
+        "SELECT * FROM trs_src WHERE o_orderkey % 3 = 0")
+      s.sql("INSERT INTO graft.trs_dim SELECT * FROM trs_dim_src")
+      val pins = graft.api.GraftApi.readTransaction(s,
+        Seq("graft.trs_fact", "graft.trs_dim"))
+      // the transact lands AFTER the capture: pinned reads must not
+      // see either side of it
+      val delta = s.sql("SELECT o_orderkey + 40000000 AS o_orderkey, " +
+        "o_orderstatus, cents FROM trs_src WHERE o_orderkey % 5 = 0")
+      graft.api.GraftApi.transact(s, Seq(
+        "graft.trs_fact" -> graft.api.GraftApi.TxnOp.Append(delta),
+        "graft.trs_dim" -> graft.api.GraftApi.TxnOp.Delete(
+          "c_mktsegment = 'MACHINERY'")))
+      val preFact = graft.api.GraftApi.tableAt(s, "graft.trs_fact",
+        pins("graft.trs_fact"))
+        .agg(count(lit(1)).as("n_fact_pre"),
+          sum("cents").cast("long").as("cents_pre"))
+      val preDim = graft.api.GraftApi.tableAt(s, "graft.trs_dim",
+        pins("graft.trs_dim"))
+        .agg(count(lit(1)).as("n_dim_pre"))
+      val post = s.table("graft.trs_fact").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_fact_post"),
+          sum("cents").cast("long").as("cents_post"))
+      val postDim = s.table("graft.trs_dim")
+        .agg(count(lit(1)).as("n_dim_post"))
+      post.crossJoin(preFact).crossJoin(preDim).crossJoin(postDim)
+        .orderBy("o_orderstatus")
+    }),
+
     "sql_delete_eq" -> ((s, d) => {
       useCatalog(s)
       Tables.customer(s, d)
@@ -1615,6 +1673,26 @@ object LakeOps extends QueryModule {
         |  (SELECT COUNT(*) FROM dim) AS n_dim_live,
         |  (SELECT CAST(SUM(c_custkey) AS BIGINT) FROM dim)
         |    AS dim_key_sum
+        |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txn_read_snapshot" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |pre AS (SELECT * FROM src WHERE o_orderkey % 3 = 0),
+        |fact AS (
+        |  SELECT * FROM pre
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000, o_orderstatus, cents
+        |  FROM src WHERE o_orderkey % 5 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n_fact_post,
+        |  CAST(SUM(cents) AS BIGINT) AS cents_post,
+        |  (SELECT COUNT(*) FROM pre) AS n_fact_pre,
+        |  (SELECT CAST(SUM(cents) AS BIGINT) FROM pre) AS cents_pre,
+        |  (SELECT COUNT(*) FROM customer) AS n_dim_pre,
+        |  (SELECT COUNT(*) FROM customer
+        |   WHERE c_mktsegment <> 'MACHINERY') AS n_dim_post
         |FROM fact GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_delete_eq" ->
       """WITH live AS (

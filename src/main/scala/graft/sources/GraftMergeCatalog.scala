@@ -1312,6 +1312,26 @@ object GraftTableStore {
     }
   }
 
+  /** Atomically capture the PUBLISHED head version of each table —
+    * the version vector a snapshot-isolated multi-table READ pins.
+    * Runs under the warehouse WRITE lock: single-table commits hold
+    * the read lock and [[commitTxn]] holds this same write lock, so
+    * the captured vector can never interleave any commit — a
+    * concurrent multi-table transaction is either entirely before the
+    * capture (every participant shows its post-state) or entirely
+    * after (every participant shows its pre-state), never a mix. The
+    * read twin of the transaction's intent marker. O(tables) map
+    * lookups, zero I/O, held for microseconds. */
+  private[graft] def snapshotHeads(tables: Seq[String]): Map[String, Int] =
+    withGlobalLock {
+      tables.map { t =>
+        val h = versions.getOrElse(t, History(0, Vector.empty))
+        require(h.commits.nonEmpty,
+          s"readTransaction: $t has no commits to pin")
+        t -> h.mainHead
+      }.toMap
+    }
+
   private[graft] def commitTxn(parts: Seq[TxnWrite],
       expectedHeads: Map[String, Int]): Map[String, Int] = withGlobalLock {
     def cleanup(): Unit = parts.foreach {

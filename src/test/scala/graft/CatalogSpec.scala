@@ -2065,6 +2065,66 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.txs_b")
   }
 
+  test("readTransaction: a snapshot-isolated reader racing a " +
+      "transact loop NEVER observes a fact/audit mix — the version " +
+      "vector is linearized against the multi-table commit") {
+    freshCatalog()
+    for (t <- Seq("graft.trr_f", "graft.trr_a")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+        "TBLPROPERTIES ('graft.store'='parquet')")
+    }
+    // every transact round i appends 5 fact rows AND one audit row
+    // whose v records those 5 — so at EVERY committed state
+    // fact.count == audit.sum(v), and any fact/audit version mix
+    // breaks the equality. Round 0 seeds both (snapshotHeads requires
+    // a commit to pin).
+    def round(i: Int): Unit = graft.api.GraftApi.transact(spark, Seq(
+      "graft.trr_f" -> graft.api.GraftApi.TxnOp.Append(
+        spark.range(5).selectExpr(s"id + ${i * 100} AS k",
+          "CAST(1 AS BIGINT) AS v")),
+      "graft.trr_a" -> graft.api.GraftApi.TxnOp.Append(
+        spark.range(1).selectExpr(s"CAST($i AS BIGINT) AS k",
+          "CAST(5 AS BIGINT) AS v"))))
+    round(0)
+    val rounds = 8
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (1 until rounds).foreach(round)
+      catch { case t: Throwable => writerErr = Some(t) }
+    })
+    writer.start()
+    var checks = 0
+    try {
+      while (writer.isAlive || checks == 0) {
+        val pins = graft.api.GraftApi.readTransaction(spark,
+          Seq("graft.trr_f", "graft.trr_a"))
+        val nFact = graft.api.GraftApi.tableAt(spark, "graft.trr_f",
+          pins("graft.trr_f")).count()
+        val audit = graft.api.GraftApi.tableAt(spark, "graft.trr_a",
+          pins("graft.trr_a")).agg(org.apache.spark.sql.functions
+            .sum("v")).collect()(0).getLong(0)
+        assert(nFact == audit,
+          s"MIXED multi-table read: fact=$nFact audit-sum=$audit " +
+            s"at vector $pins")
+        checks += 1
+      }
+    } finally writer.join()
+    writerErr.foreach(throw _)
+    assert(checks > 0)
+    // final state: all rounds landed, the invariant closes at 5*rounds
+    assert(spark.table("graft.trr_f").count() == 5L * rounds)
+    // a pinned vector stays exact after LATER commits land on top
+    val pins = graft.api.GraftApi.readTransaction(spark,
+      Seq("graft.trr_f", "graft.trr_a"))
+    round(99)
+    assert(graft.api.GraftApi.tableAt(spark, "graft.trr_f",
+      pins("graft.trr_f")).count() == 5L * rounds,
+      "a pinned read must not see commits after the capture")
+    spark.sql("DROP TABLE graft.trr_f")
+    spark.sql("DROP TABLE graft.trr_a")
+  }
+
   test("cross-table transaction CRASH ATOMICITY: a crash after the " +
       "first per-table log write rolls FORWARD on the next attach — " +
       "the marker is the single durable decide point") {
