@@ -1364,6 +1364,46 @@ object TextOps extends QueryModule {
         .select(col("doc_id"), col("lang"), col("text")))
         .orderBy("doc_id")),
 
+    // TRAINED quality classifier (round-14 verdict #6 — the
+    // CCNet/GPT-3-class pipeline stage): logistic regression over the
+    // text_hash_embed signed hashing trick + two shape features
+    // (distinct-token count, summed token length), trained on
+    // QualityModel's embedded labeled corpus and shipped as INTEGER
+    // literals (the PQ-codebook discipline — TextVectorSpec re-runs
+    // the deterministic training and pins that it reproduces these
+    // exact literals, then pins held-out accuracy ≥ 0.9, strictly
+    // above the hand-rule text_quality gate on the same split). The
+    // margin is exact integer arithmetic on both engines (sigmoid is
+    // monotone — the gate never needs it): one token explode, ONE
+    // (doc_id) combine, no vocabulary broadcast, no model server —
+    // the stateless shape a 100 TB admission gate needs.
+    "text_quality_model" -> ((s, d) => {
+      import graft.functions.QualityModel.{Bias, Dims, Weights}
+      val wArr = array(Weights.take(Dims).map(lit(_)): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+        .select(col("doc_id"), col("tok"),
+          (element_at(wArr,
+            (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+              .cast(LongType) % Dims).cast("int") + 1) *
+            when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+              .cast(LongType) % 2 === 0, 1L).otherwise(-1L))
+            .as("w_tok"))
+        .groupBy("doc_id")
+        .agg(sum("w_tok").as("hash_term"),
+          count(lit(1)).as("n_toks"),
+          countDistinct(col("tok")).as("n_dist"),
+          sum(length(col("tok"))).as("sum_len"))
+        .select(col("doc_id"),
+          (col("hash_term") + lit(Weights(Dims)) * col("n_dist") +
+            lit(Weights(Dims + 1)) * col("sum_len") +
+            lit(Bias) * col("n_toks")).cast(LongType).as("score_milli"))
+        .select(col("doc_id"), col("score_milli"),
+          when(col("score_milli") >= 0, 1L).otherwise(0L).as("q_pass"))
+        .orderBy("doc_id")
+    }),
+
     // quality score from exact ratios — pure double arithmetic with
     // identical op order on both engines, so no rounding is needed
     "text_quality" -> ((s, d) =>
@@ -2193,6 +2233,32 @@ object TextOps extends QueryModule {
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "text_langid" -> langIdOracleSql,
+    "text_quality_model" -> {
+      import graft.functions.QualityModel.{Bias, Dims, Weights}
+      val wList = Weights.take(Dims).mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+        |w AS (SELECT doc_id,
+        |    SUM($wList[
+        |      CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+        |        % $Dims AS INT) + 1]
+        |      * (CASE WHEN CAST('0x' || substr(md5(tok), 9, 1) AS UBIGINT)
+        |          % 2 = 0 THEN 1 ELSE -1 END)) AS hash_term,
+        |    COUNT(*) AS n_toks,
+        |    COUNT(DISTINCT tok) AS n_dist,
+        |    SUM(length(tok)) AS sum_len
+        |  FROM tk GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(hash_term + (${Weights(Dims)}) * n_dist
+        |    + (${Weights(Dims + 1)}) * sum_len
+        |    + ($Bias) * n_toks AS BIGINT) AS score_milli,
+        |  CAST(CASE WHEN hash_term + (${Weights(Dims)}) * n_dist
+        |    + (${Weights(Dims + 1)}) * sum_len
+        |    + ($Bias) * n_toks >= 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS q_pass
+        |FROM w ORDER BY doc_id""".stripMargin
+    },
     "text_quality" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -1359,6 +1359,82 @@ class TextVectorSpec extends AnyFunSuite {
     assert(want.exists(_._3 > 1), "some top doc should match several terms")
   }
 
+  test("text_quality_model: the shipped integer literals ARE the " +
+      "deterministic training's converged output; held-out accuracy " +
+      ">= 0.9 and strictly above the hand-rule gate; the relational " +
+      "margin equals the JVM scorer bit-for-bit") {
+    import graft.functions.QualityModel
+    // 1. model provenance: re-run the training (zero init, fixed
+    // epochs/rate, corpus-order determinism) — it must reproduce the
+    // shipped literals exactly, or the shipped model is not what the
+    // embedded corpus trains to
+    val (w, b) = QualityModel.train()
+    assert(w.toSeq == QualityModel.Weights.toSeq &&
+      b == QualityModel.Bias,
+      "shipped Weights/Bias drift from what train() produces — " +
+        "regenerate the literals")
+    // 2. held-out accuracy: the TEST split shares no document with
+    // training; >= 0.9, and strictly above majority (0.5)
+    def acc(docs: Seq[(Int, String)],
+        pred: String => Int): Double =
+      docs.count { case (y, t) => pred(t) == y }.toDouble / docs.length
+    val modelPred = (t: String) =>
+      if (QualityModel.scoreMilli(t) >= 0) 1 else 0
+    val testAcc = acc(QualityModel.TestDocs, modelPred)
+    assert(testAcc >= 0.9, s"held-out accuracy $testAcc")
+    // 3. strictly above the HAND-RULE text_quality gate (threshold
+    // 0.65, the pipeline_training_set setting) on the same split: the
+    // rule is blind to token identity, so fluent-shaped spam and
+    // high-TTR gibberish fool it by construction
+    val rulePred = (t: String) => {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      val ttr = toks.distinct.length / n
+      val stop = toks.count(x => x == "a" || x == "the") / n
+      val avgW = (t.length - (n - 1)) / n
+      val score = 0.4 * ttr + 0.4 * (1.0 - stop) +
+        0.2 * math.min(avgW / 8.0, 1.0)
+      if (score >= 0.65) 1 else 0
+    }
+    val ruleAcc = acc(QualityModel.TestDocs, rulePred)
+    assert(testAcc > ruleAcc,
+      s"trained model ($testAcc) must beat the rule gate ($ruleAcc)")
+    // 4. the relational id's exact-integer margin IS scoreMilli: run
+    // the query arithmetic over the embedded corpus via a temp view
+    import spark.implicits._
+    val all = (QualityModel.TrainDocs ++ QualityModel.TestDocs)
+      .zipWithIndex.map { case ((_, t), i) => (i.toLong, t) }
+    val df = all.toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_qm")
+    val wArr = org.apache.spark.sql.functions.array(
+      QualityModel.Weights.take(QualityModel.Dims)
+        .map(org.apache.spark.sql.functions.lit(_)): _*)
+    import org.apache.spark.sql.functions._
+    val rel = df
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .select(col("doc_id"),  col("tok"),
+        (element_at(wArr,
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast("long") % QualityModel.Dims).cast("int") + 1) *
+          when(conv(substring(md5(col("tok")), 9, 1), 16, 10)
+            .cast("long") % 2 === 0, 1L).otherwise(-1L)).as("w_tok"))
+      .groupBy("doc_id")
+      .agg(sum("w_tok").as("h"), count(lit(1)).as("n"),
+        countDistinct(col("tok")).as("nd"),
+        sum(length(col("tok"))).as("sl"))
+      .select(col("doc_id"),
+        (col("h") + lit(QualityModel.Weights(QualityModel.Dims)) * col("nd") +
+          lit(QualityModel.Weights(QualityModel.Dims + 1)) * col("sl") +
+          lit(QualityModel.Bias) * col("n")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.foreach { case (id, t) =>
+      assert(rel(id) == QualityModel.scoreMilli(t),
+        s"doc $id: relational ${rel(id)} != jvm " +
+          s"${QualityModel.scoreMilli(t)}")
+    }
+  }
+
   test("winnowing guarantees a shared fingerprint on a shared w+k-1 run") {
     val share = "alpha beta gamma delta epsilon zeta" // 6 = w+k-1 tokens
     val docs = Seq(
