@@ -445,12 +445,63 @@ object GraftLog {
     * under the 60 s adjudication threshold. */
   private val ClaimDeadlineMs = 50000L
 
+  /** test seam: runs between the claim create and the content rename —
+    * lets a spec simulate the stalled writer whose claim gets
+    * adjudicated dead (and completed) by a foreign process while this
+    * writer is suspended. */
+  private[graft] var claimStallHook: Option[File => Unit] = None
+
+  /** FENCING: the claim is established as a HARD LINK from a
+    * writer-unique sidecar (`NNN.json.claim-<uuid>`), so while the
+    * sidecar exists the claim's filesystem identity CANNOT be
+    * recycled — `isSameFile(slot, sidecar)` right before the content
+    * rename is then an exact "is the slot still literally my claim"
+    * test. A foreign dead-claim adjudication (delete + complete, or
+    * delete + re-claim) necessarily puts a DIFFERENT file at the
+    * slot path, and because our sidecar still pins the old inode the
+    * filesystem cannot hand the adjudicator the same identity — the
+    * fence refuses even when this host's wall clock lied about the
+    * stall (suspend, GC pause, NTP step), the case the 50 s
+    * writer-side deadline cannot rule out on its own. Sidecars never
+    * parse as log entries ([[parseSeq]] ignores the suffix) and are
+    * deleted on every exit path; a crash's orphan sidecar is inert.
+    * A filesystem without hard links degrades to the O_EXCL claim +
+    * the still-zero-byte pre-rename test. */
   private def claimAndWrite(target: File, body: String): Unit = {
-    if (!target.createNewFile())
-      throw new GraftConcurrentCommitException(
-        s"graft log: concurrent writer conflict — ${target.getName} " +
-          s"already exists under ${target.getParent} (another process " +
-          "committed this sequence slot); re-read the table and retry")
+    val sidecar = new File(target.getParentFile,
+      target.getName + ".claim-" + java.util.UUID.randomUUID().toString)
+    var linked = false
+    try {
+      if (!sidecar.createNewFile())
+        throw new IllegalStateException(
+          s"graft log: could not stage claim sidecar $sidecar")
+      try {
+        java.nio.file.Files.createLink(target.toPath, sidecar.toPath)
+        linked = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new GraftConcurrentCommitException(
+            s"graft log: concurrent writer conflict — ${target.getName} " +
+              s"already exists under ${target.getParent} (another " +
+              "process committed this sequence slot); re-read the " +
+              "table and retry")
+        case _: UnsupportedOperationException =>
+          if (!target.createNewFile())
+            throw new GraftConcurrentCommitException(
+              s"graft log: concurrent writer conflict — " +
+                s"${target.getName} already exists under " +
+                s"${target.getParent} (another process committed this " +
+                "sequence slot); re-read the table and retry")
+      }
+      claimAndWriteLinked(target, body, sidecar, linked)
+    } finally {
+      sidecar.delete()
+      ()
+    }
+  }
+
+  private def claimAndWriteLinked(target: File, body: String,
+      sidecar: File, linked: Boolean): Unit = {
     // a sequence slot has TWO possible file names (NNN.json and
     // NNN.cp.json) — O_EXCL on ours cannot see a foreign claim under
     // the OTHER name (a commit racing a foreign checkpoint of the
@@ -473,6 +524,7 @@ object GraftLog {
     val out = new java.io.FileOutputStream(tmp)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    claimStallHook.foreach(_(target))
     if (System.currentTimeMillis() - claimedAt > ClaimDeadlineMs) {
       // past the liveness deadline our claim may already have been
       // adjudicated dead and completed/deleted by a foreign writer —
@@ -484,6 +536,27 @@ object GraftLog {
           s"claim-liveness deadline before landing ${target.getName}; " +
           "refusing to commit (the claim may have been adjudicated " +
           "dead by a concurrent writer) — re-read the table and retry")
+    }
+    // FENCE before the rename: the slot must still be LITERALLY our
+    // claim — the same file the sidecar hard-links (any IOException
+    // means one of the two is gone: refuse). A missing/different/
+    // non-empty file means a foreign writer adjudicated our claim
+    // dead and took the slot — renaming over it would destroy THEIR
+    // committed entry and fork the log, the exact failure the
+    // writer-side deadline cannot rule out when this host's clock
+    // stalled with the process.
+    val stillOurs =
+      try (!linked || java.nio.file.Files.isSameFile(target.toPath,
+        sidecar.toPath)) && target.exists() && target.length() == 0L
+      catch { case _: java.io.IOException => false }
+    if (!stillOurs) {
+      tmp.delete()
+      throw new GraftConcurrentCommitException(
+        s"graft log: claim fencing — ${target.getName} is no longer " +
+          "this writer's claim (it was adjudicated dead and " +
+          "completed/re-claimed by a concurrent writer while this " +
+          "process stalled); this commit did NOT land, re-read the " +
+          "table and retry")
     }
     if (!tmp.renameTo(target))
       throw new IllegalStateException(

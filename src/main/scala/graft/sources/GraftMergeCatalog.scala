@@ -801,25 +801,100 @@ object GraftTableStore {
     * count is derived arithmetically from the op log (see
     * [[GraftDeltaData]] for the uniqueness contract that makes it
     * exact). */
+  /** foreign commit OPS that can never have touched a pre-existing
+    * row — the blind-add class a row-level (WriteDelta) commit can
+    * always rebase across (Delta's WriteSerializable semantics: rows
+    * appended concurrently are treated as committed after the delta,
+    * which never read them). */
+  private val AppendClassOps = Set("append", "stream-append", "txn-append")
+
+  /** Can this process's WriteDelta op log land on a head that moved
+    * past its base? Classifies every interleaved foreign commit:
+    * layout maintenance (content-neutral) and blind appends always
+    * compose with an id-keyed delta; a foreign delta/eq-delete
+    * composes iff it shares the id domain and its id set is DISJOINT
+    * from ours (two writers touching the same row is the genuine
+    * conflict every format refuses); anything else (CoW rewrites,
+    * overwrites, restores, evolution) refuses. */
+  private def deltaRebaseOk(peek: GraftLog.Replayed, baseHead: Int,
+      baseMeta: Option[GraftParquetStore.Meta],
+      ourIds: Set[Any], idOrd: Int,
+      idType: org.apache.spark.sql.types.DataType): Boolean = {
+    if (!baseMeta.map(metaSig).contains(metaSig(peek.m))) return false
+    val h = peek.h
+    if (h.firstRetained > baseHead + 1) return false // expired interleave
+    ((baseHead + 1) until h.commitCount).forall { v =>
+      val rel = v - h.firstRetained
+      val op = if (rel < h.ops.length) h.ops(rel) else "append"
+      h.commits(rel) match {
+        case _ if GraftChangeFeed.ContentNeutralOps(op) => true
+        case _: GraftParquetData => AppendClassOps(op)
+        case d: GraftDeltaData =>
+          d.idOrd == idOrd && d.idType == idType &&
+            d.ops.forall { o =>
+              val k =
+                if (o.op == 'I') o.row.get(idOrd, idType)
+                else o.id.get(0, idType)
+              !ourIds.contains(k)
+            }
+        case e: GraftEqDeleteData =>
+          e.keyOrd == idOrd && e.keyType == idType &&
+            e.keys.forall(k => !ourIds.contains(k))
+        case _ => false
+      }
+    }
+  }
+
   private[sources] def commitDelta(name: String, ops: Array[GraftDeltaOp],
       idOrd: Int, idType: org.apache.spark.sql.types.DataType,
-      branch: Option[String] = None): Unit =
-    withTableLock(name) {
-      val h = versions.getOrElse(name, History(0, Vector.empty))
-      val prevCount = h.commits.lastOption.map(_.count).getOrElse(0)
-      val deleteIds = scala.collection.mutable.HashSet[Any]()
-      var inserts = 0
-      ops.foreach { o =>
-        (o.op: @unchecked) match {
-          case 'D' => deleteIds += o.id.get(0, idType)
-          case 'U' =>
-          case 'I' => inserts += 1
+      branch: Option[String] = None): Unit = {
+    val deleteIds = scala.collection.mutable.HashSet[Any]()
+    var inserts = 0
+    val ourIds = scala.collection.mutable.HashSet[Any]()
+    ops.foreach { o =>
+      (o.op: @unchecked) match {
+        case 'D' =>
+          deleteIds += o.id.get(0, idType)
+          ourIds += o.id.get(0, idType)
+        case 'U' => ourIds += o.id.get(0, idType)
+        case 'I' =>
+          inserts += 1
+          ourIds += o.row.get(idOrd, idType)
+      }
+    }
+    // branch (WAP) deltas keep the strict refusal — publish semantics
+    // depend on the exact base; main-branch deltas rebase across the
+    // compatible interleave classes (the streaming-upsert vs
+    // scheduled-OPTIMIZE pair)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      done = withTableLock(name) {
+        val baseMeta = GraftParquetStore.meta(name)
+        val baseHead = versions.get(name).map(_.commitCount - 1)
+          .getOrElse(-1)
+        val h = versions.getOrElse(name, History(0, Vector.empty))
+        val prevCount = h.commits.lastOption.map(_.count).getOrElse(0)
+        try {
+          appendLocked(name, "delta",
+            GraftDeltaData(ops, idOrd, idType,
+              prevCount - deleteIds.size + inserts), branch)
+          true
+        } catch {
+          case e: GraftConcurrentCommitException =>
+            attempts += 1
+            if (branch.isDefined || attempts > MaxAppendRetries) throw e
+            val peek =
+              (try GraftLog.replayByName(name)
+              catch { case _: Throwable => throw e }).getOrElse(throw e)
+            if (!deltaRebaseOk(peek, baseHead, baseMeta,
+                ourIds.toSet, idOrd, idType)) throw e
+            GraftLog.install(name, peek)
+            false // loop: recompute the count on the foreign head
         }
       }
-      appendLocked(name, "delta",
-        GraftDeltaData(ops, idOrd, idType,
-          prevCount - deleteIds.size + inserts), branch)
     }
+  }
 
   /** Commit an EQUALITY DELETE: "DELETE WHERE <keyCol> IN (<keys>)"
     * as an O(|keys|) log entry — ZERO data files opened, zero bytes
@@ -938,6 +1013,33 @@ object GraftTableStore {
     * genuinely hot table fails over to the caller's own policy. */
   private val MaxAppendRetries = 4
 
+  /** the OP-CLASS half of the blind-append classifier (round 15): a
+    * blind append read NOTHING, so beyond the append-vs-append
+    * manifest-superset test it also composes with any interleave made
+    * of content-neutral maintenance (binpack / compact / zorder /
+    * purge-dv — the files moved but the content did not),
+    * further blind adds, and row-level (delta / eq-delete) commits —
+    * the append serializes after them, exactly Iceberg's fast-append
+    * semantics. Overwrites / truncates / CoW rewrites stay refusals
+    * (deliberately stricter than Iceberg: a replace-then-append race
+    * is usually an application bug worth surfacing). Metadata
+    * evolution always refuses (the staged files were written under
+    * the old schema/spec). */
+  private def appendInterleaveOk(peek: GraftLog.Replayed,
+      baseHead: Int,
+      baseMeta: Option[GraftParquetStore.Meta]): Boolean = {
+    if (!baseMeta.map(metaSig).contains(metaSig(peek.m))) return false
+    val h = peek.h
+    if (h.firstRetained > baseHead + 1) return false
+    ((baseHead + 1) until h.commitCount).forall { v =>
+      val rel = v - h.firstRetained
+      val op = if (rel < h.ops.length) h.ops(rel) else "append"
+      GraftChangeFeed.ContentNeutralOps(op) || AppendClassOps(op) ||
+        h.commits(rel).isInstanceOf[GraftDeltaData] ||
+        h.commits(rel).isInstanceOf[GraftEqDeleteData]
+    }
+  }
+
   private[sources] def commitParquetAppend(name: String,
       staged: Vector[GraftFileInfo], branch: Option[String],
       op: String = "append"): Unit = {
@@ -1019,8 +1121,11 @@ object GraftTableStore {
             val peek = peeked.getOrElse(throw e)
             val baseSig =
               appendSigOf(baseMeta.get, baseFiles.get, baseHead)
+            // (baseHead here is the base COMMIT COUNT — the op-class
+            // classifier wants the base head INDEX)
             if (!appendCompatible(baseSig,
-                appendSigOf(peek.m, peek.h))) throw e
+                appendSigOf(peek.m, peek.h)) &&
+                !appendInterleaveOk(peek, baseHead - 1, baseMeta)) throw e
             // compatible: install the rebased state (epoch ledger
             // survives — install preserves it by contract)
             GraftLog.install(name, peek)
@@ -1543,6 +1648,102 @@ object GraftTableStore {
       GraftChangeFeed.evictStaged(name)
     }
 
+  /** test seam: runs between a maintenance job's task-side staging
+    * and its commit attempt — lets a spec land a deterministic
+    * interleaved commit inside the OCC window. */
+  private[graft] var maintenanceStallHook: Option[() => Unit] = None
+
+  /** (schema, partition-spec history, dv mode) — the metadata surface
+    * a foreign commit could have evolved under a rewrite job. */
+  private def metaSig(m: GraftParquetStore.Meta): (String, String, Boolean) =
+    (m.schema.json,
+      m.specs.map(_.map(_.toString).mkString(",")).mkString(";") +
+        "|" + m.partFields.map(_.toString).mkString(","),
+      m.dvMode)
+
+  /** Commit a MAINTENANCE REWRITE (binpack / purge-dv / zorder) under
+    * Iceberg `rewrite_data_files` conflict semantics: the rewrite
+    * LANDS as long as every file it rewrote is still live — with
+    * identical content signature — in the head it commits onto, and
+    * no schema/spec/dv-mode evolution interleaved. A foreign APPEND
+    * racing the rewrite is then compatible by construction (it only
+    * added files the rewrite never read); a foreign DELETE, DV swap,
+    * competing compaction or ALTER breaks a signature and keeps the
+    * loud refusal. Covers BOTH conflict surfaces: an in-memory head
+    * that moved past the job's snapshot re-classifies against the
+    * current head, and a cross-process foreign log entry
+    * (GraftConcurrentCommitException out of the commit) peeks the
+    * disk truth, classifies, installs and re-attempts — the
+    * streaming-ingest-plus-scheduled-OPTIMIZE pair, the standard
+    * production shape, no longer refuses continuously.
+    *
+    * `rewritten`: path → [[fileSig]] of every file the job read and
+    * replaced, captured at snapshot time. `build(head, adopted)`:
+    * the manifest to commit given the head it lands on and the
+    * adopted output files (called per attempt — adoption re-runs per
+    * attempt because the version number moves). */
+  private def commitMaintenance(name: String, op: String,
+      baseSig: (String, String, Boolean),
+      rewritten: Map[String, String], expectedHead: Int,
+      staged0: Vector[GraftFileInfo],
+      build: (GraftParquetData, Vector[GraftFileInfo]) => GraftParquetData)
+      : Unit = {
+    var staged = staged0
+    var attempts = 0
+    def cleanup(): Unit =
+      staged.foreach(f => new java.io.File(f.path).delete())
+    def refuse(head: Int): Nothing = {
+      cleanup()
+      throw new IllegalStateException(
+        s"$name: concurrent commit detected — this ${op.toUpperCase} " +
+          s"rewrote against version $expectedHead but the head " +
+          s"(now v$head) no longer carries every rewritten file " +
+          "unchanged (a delete/rewrite/evolution interleaved); " +
+          "retry the statement")
+    }
+    def liveOk(m: GraftParquetStore.Meta, pq: GraftParquetData): Boolean = {
+      val live = pq.files.iterator.map(f => f.path -> fileSig(f)).toMap
+      metaSig(m) == baseSig &&
+        rewritten.forall { case (p, s) => live.get(p).contains(s) }
+    }
+    var done = false
+    while (!done) {
+      done = withTableLock(name) {
+        val h = versions.getOrElse(name, refuse(-1))
+        val m = GraftParquetStore.meta(name).getOrElse(refuse(-1))
+        val head: GraftParquetData = h.commits.lastOption match {
+          case Some(pq: GraftParquetData)
+            if h.commitCount - 1 == expectedHead || liveOk(m, pq) => pq
+          case _ => refuse(h.commitCount - 1)
+        }
+        val adopted = GraftParquetStore.adoptStaged(m, h.commitCount,
+          staged)
+        staged = adopted
+        try {
+          appendLocked(name, op, build(head, adopted))
+          true
+        } catch {
+          case e: GraftConcurrentCommitException =>
+            attempts += 1
+            if (attempts > MaxAppendRetries) { cleanup(); throw e }
+            // PEEK the disk truth and classify BEFORE destroying any
+            // in-memory state (the commitParquetAppend discipline)
+            val peek =
+              (try GraftLog.replayByName(name)
+              catch { case _: Throwable => cleanup(); throw e })
+                .getOrElse { cleanup(); throw e }
+            val ok = peek.h.commits.lastOption match {
+              case Some(pq: GraftParquetData) => liveOk(peek.m, pq)
+              case _ => false
+            }
+            if (!ok) { cleanup(); throw e }
+            GraftLog.install(name, peek)
+            false // loop: re-attempt on the installed foreign head
+        }
+      }
+    }
+  }
+
   /** PURGE deletion vectors (the OPTIMIZE flavor a DV delete calls
     * for): rewrite ONLY the bitmap-carrying files as fresh live-row
     * files and commit the swapped manifest — DV-free entries survive
@@ -1570,23 +1771,17 @@ object GraftTableStore {
     }
     val candidates = p.files.filter(_.dv.isDefined)
     val staged = GraftParquetStore.purgeDvsTaskSide(spark, m, candidates)
-    withTableLock(name) {
-      val h = versions.getOrElse(name, return 0)
-      if (h.commitCount - 1 != expectedHead) {
-        staged.foreach(s => new java.io.File(s._2.path).delete())
-        throw new IllegalStateException(
-          s"$name: concurrent commit detected — this PURGE rewrote " +
-            s"against version $expectedHead but the head is now " +
-            s"${h.commitCount - 1}; retry the statement")
-      }
-      val newV = h.commitCount
-      val adopted = GraftParquetStore.adoptStaged(m, newV,
-        staged.map(_._2))
-      val swap = staged.map(_._1).zip(adopted).toMap
-      val files = p.files.map(f => swap.getOrElse(f.path, f))
-      appendLocked(name, "purge-dv", GraftParquetData(files, p.count))
-      staged.length
-    }
+    maintenanceStallHook.foreach(_())
+    val origPaths = staged.map(_._1)
+    commitMaintenance(name, "purge-dv", metaSig(m),
+      candidates.iterator.map(f => f.path -> fileSig(f)).toMap,
+      expectedHead, staged.map(_._2),
+      (head, adopted) => {
+        val swap = origPaths.zip(adopted).toMap
+        GraftParquetData(head.files.map(f => swap.getOrElse(f.path, f)),
+          head.count)
+      })
+    staged.length
   }
 
   /** BIN-PACKING compaction (OPTIMIZE's small-file rewrite — Delta's
@@ -1629,25 +1824,17 @@ object GraftTableStore {
     if (groups.isEmpty) return 0
     val stagedPerGroup = GraftParquetStore.binPackTaskSide(
       spark, m, groups, targetRows)
-    val mergedAway = groups.flatMap(_._4.map(_.path)).toSet
-    withTableLock(name) {
-      val h = versions.getOrElse(name, return 0)
-      if (h.commitCount - 1 != expectedHead) {
-        stagedPerGroup.flatten.foreach(s =>
-          new java.io.File(s.path).delete())
-        throw new IllegalStateException(
-          s"$name: concurrent commit detected — this OPTIMIZE merged " +
-            s"against version $expectedHead but the head is now " +
-            s"${h.commitCount - 1}; retry the statement")
-      }
-      val newV = h.commitCount
-      val newFiles = GraftParquetStore.adoptStaged(m, newV,
-        stagedPerGroup.flatten)
-      val files =
-        p.files.filterNot(f => mergedAway.contains(f.path)) ++ newFiles
-      appendLocked(name, "binpack", GraftParquetData(files, p.count))
-      mergedAway.size - newFiles.length
-    }
+    maintenanceStallHook.foreach(_())
+    val mergedFiles = groups.flatMap(_._4)
+    val mergedAway = mergedFiles.map(_.path).toSet
+    val staged = stagedPerGroup.flatten.toVector
+    commitMaintenance(name, "binpack", metaSig(m),
+      mergedFiles.iterator.map(f => f.path -> fileSig(f)).toMap,
+      expectedHead, staged,
+      (head, adopted) => GraftParquetData(
+        head.files.filterNot(f => mergedAway.contains(f.path)) ++ adopted,
+        head.count))
+    mergedAway.size - staged.length
   }
 
   /** the WAP target branch of the active session, if any — the
@@ -1965,22 +2152,19 @@ object GraftTableStore {
       .collect().toVector
       .sortBy(_._1) // deterministic manifest order
       .map(_._2)
-    withTableLock(name) {
-      val h = versions.getOrElse(name,
-        throw new IllegalStateException(s"$name dropped mid-rewrite"))
-      if (h.commitCount - 1 != expectedHead) {
-        staged.foreach(s => new java.io.File(s.path).delete())
-        throw new IllegalStateException(
-          s"$name: concurrent commit detected — this ZORDER rewrote " +
-            s"against version $expectedHead but the head is now " +
-            s"${h.commitCount - 1}; retry the statement")
-      }
-      val newV = h.commitCount
-      val adopted = GraftParquetStore.adoptStaged(m, newV, staged)
-      appendLocked(name, "zorder",
-        GraftParquetData(adopted, adopted.map(_.rows).sum))
-      h.commitCount
-    }
+    maintenanceStallHook.foreach(_())
+    val rewrittenPaths = p.files.map(_.path).toSet
+    commitMaintenance(name, "zorder", metaSig(m),
+      p.files.iterator.map(f => f.path -> fileSig(f)).toMap,
+      expectedHead, staged,
+      // a rebased head may carry files appended AFTER the snapshot —
+      // they survive by reference (un-z-ordered; the next OPTIMIZE
+      // gets them), and the count moves by exactly what this rewrite
+      // changed on its own base
+      (head, adopted) => GraftParquetData(
+        adopted ++ head.files.filterNot(f => rewrittenPaths.contains(f.path)),
+        head.count - p.count + adopted.map(_.rows).sum))
+    commitCount(name) - 1
   }
 
   private def zorderDriverSide(name: String, schema: StructType,

@@ -2418,6 +2418,67 @@ class CatalogSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("claim FENCING: a writer resuming after its claim was " +
+      "adjudicated dead refuses LOUDLY instead of renaming over the " +
+      "slot — both when the foreign writer completed the slot and " +
+      "when it re-claimed it (zero-byte, new identity)") {
+    freshCatalog()
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.fence_t")
+    spark.sql("CREATE TABLE graft.fence_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.fence_t SELECT id FROM range(10)")
+    // --- variant 1: the adjudicator DELETED our dead claim and
+    // COMPLETED the slot with its own entry (the roll-forward shape)
+    var slot: Option[java.io.File] = None
+    graft.sources.GraftLog.claimStallHook = Some { claim =>
+      claim.delete()
+      java.nio.file.Files.write(claim.toPath,
+        """{"a":"commit","v":88,"op":"foreign-completion"}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      slot = Some(claim)
+    }
+    val ex1 =
+      try intercept[Exception] {
+        spark.sql("INSERT INTO graft.fence_t SELECT id + 10 FROM range(5)")
+      } finally graft.sources.GraftLog.claimStallHook = None
+    assert(rootMsg(ex1).contains("fencing") ||
+      rootMsg(ex1).contains("concurrent"), rootMsg(ex1))
+    // the foreign entry survives byte-for-byte — NO fork
+    assert(new String(java.nio.file.Files.readAllBytes(
+      slot.get.toPath)).contains("foreign-completion"),
+      "the resumed writer clobbered the foreign completion")
+    slot.get.delete() // foreign entry retracts; disk truth replays
+    assert(spark.table("graft.fence_t").count() == 10,
+      "the refused commit must not be visible")
+    // --- variant 2: the adjudicator deleted our claim and RE-CLAIMED
+    // the slot (still zero-byte — only the file-identity fence can
+    // tell the difference)
+    graft.sources.GraftLog.claimStallHook = Some { claim =>
+      claim.delete()
+      claim.createNewFile() // a DIFFERENT file at the same path
+      slot = Some(claim)
+      ()
+    }
+    val ex2 =
+      try intercept[Exception] {
+        spark.sql("INSERT INTO graft.fence_t SELECT id + 10 FROM range(5)")
+      } finally graft.sources.GraftLog.claimStallHook = None
+    assert(rootMsg(ex2).contains("fencing"), rootMsg(ex2))
+    assert(slot.get.exists() && slot.get.length() == 0L,
+      "the foreign claim must survive untouched")
+    slot.get.delete()
+    assert(spark.table("graft.fence_t").count() == 10)
+    // a clean retry (no adjudication) commits normally
+    spark.sql("INSERT INTO graft.fence_t SELECT id + 10 FROM range(5)")
+    assert(spark.table("graft.fence_t").count() == 15)
+    spark.sql("DROP TABLE graft.fence_t")
+  }
+
   test("cross-table transaction gets full INSERT semantics: enforced " +
       "CHECK constraints refuse violating rows (nothing commits), " +
       "generated columns recompute ALWAYS task-side, identity tables " +
@@ -2616,6 +2677,169 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table(t).count() == 13, "foreign rewrite must win")
     spark.sql(s"INSERT INTO $t SELECT id + 300, 'd' FROM range(2)")
     assert(spark.table(t).count() == 15)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("MAINTENANCE REBASE (conflict liveness phase 2): OPTIMIZE " +
+      "bin-pack racing a foreign append rebases and BOTH land " +
+      "(Iceberg rewrite_data_files semantics); racing a foreign CoW " +
+      "DELETE that rewrote a merged file it still refuses loudly; an " +
+      "IN-PROCESS interleaved append rebases through the stall hook") {
+    freshCatalog()
+    val t = "graft.mnt_t"
+    def logDirOf(n: String) = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir(n), "_graft_log")
+    def captureForeign(n: String)(foreignCommit: => Unit)
+        : (java.io.File, Array[Byte]) = {
+      val before = logDirOf(n).listFiles().map(_.getName).toSet
+      foreignCommit
+      val fresh = logDirOf(n).listFiles()
+        .filter(f => !before(f.getName)).sortBy(_.getName)
+      assert(fresh.length == 1, s"expected one new entry: ${fresh.toSeq}")
+      (fresh.last, java.nio.file.Files.readAllBytes(fresh.last.toPath))
+    }
+    def rootMsg(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    // small files for the bin-pack to merge
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO $t SELECT id + ${i * 100}, 'a' FROM range(20)")
+
+    // --- cross-process compatible race: foreign APPEND vs OPTIMIZE.
+    // Commit the foreign append for real, roll this process back to a
+    // stale view, re-seed the entry — then OPTIMIZE from the stale
+    // view: it must classify the interleave as additive and rebase.
+    val (fA, bytesA) = captureForeign(t) {
+      spark.sql(s"INSERT INTO $t SELECT id + 900, 'b' FROM range(7)")
+    }
+    assert(fA.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 80, "rollback sim failed")
+    java.nio.file.Files.write(fA.toPath, bytesA)
+    val reduced = graft.api.GraftApi.rewriteSmallFiles(spark, t, 1000)
+    assert(reduced > 0, "bin-pack merged nothing — test is vacuous")
+    assert(spark.table(t).count() == 87,
+      "OPTIMIZE must rebase across the foreign append: BOTH land")
+    val head = GraftTableStore.commitCount(t) - 1
+    assert(spark.table(s"$t.history").where(col("version") === head)
+      .collect()(0).getString(1) == "binpack")
+    // durable: a fresh replay agrees
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 87)
+
+    // --- in-process interleave: an append lands between the bin-pack
+    // job's staging and its commit (the stall hook) — rebases, both
+    // land, no exception
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO $t SELECT id + ${2000 + i * 100}, 'c' " +
+        "FROM range(10)")
+    graft.sources.GraftTableStore.maintenanceStallHook = Some { () =>
+      spark.sql(s"INSERT INTO $t SELECT id + 5000, 'd' FROM range(4)")
+    }
+    val reduced2 =
+      try graft.api.GraftApi.rewriteSmallFiles(spark, t, 1000)
+      finally graft.sources.GraftTableStore.maintenanceStallHook = None
+    assert(reduced2 > 0)
+    assert(spark.table(t).count() == 87 + 30 + 4,
+      "in-process interleaved append + OPTIMIZE must both land")
+
+    // --- incompatible race: a foreign CoW DELETE rewrote small files
+    // the bin-pack is about to merge — refuse loudly, foreign wins
+    for (i <- 0 until 3)
+      spark.sql(s"INSERT INTO $t SELECT id + ${8000 + i * 100}, 'e' " +
+        "FROM range(10)")
+    val nBefore = spark.table(t).count()
+    val (fB, bytesB) = captureForeign(t) {
+      spark.sql(s"DELETE FROM $t WHERE s = 'e'")
+    }
+    assert(fB.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == nBefore)
+    java.nio.file.Files.write(fB.toPath, bytesB)
+    val ex = intercept[Exception] {
+      graft.api.GraftApi.rewriteSmallFiles(spark, t, 1000)
+    }
+    assert(rootMsg(ex).contains("concurrent"), rootMsg(ex))
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == nBefore - 30,
+      "the foreign rewrite must win; the refused OPTIMIZE must not land")
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("WRITE-DELTA REBASE: a merge-on-read DELETE racing a foreign " +
+      "append lands (the delta serializes after the blind add); two " +
+      "deltas on DISJOINT id sets both land; overlapping ids refuse") {
+    freshCatalog()
+    val t = "graft.wdr_t"
+    def logDirOf(n: String) = new java.io.File(
+      graft.sources.GraftWarehouse.tableDir(n), "_graft_log")
+    def captureForeign(n: String)(foreignCommit: => Unit)
+        : (java.io.File, Array[Byte]) = {
+      val before = logDirOf(n).listFiles().map(_.getName).toSet
+      foreignCommit
+      val fresh = logDirOf(n).listFiles()
+        .filter(f => !before(f.getName)).sortBy(_.getName)
+      assert(fresh.length == 1, s"expected one new entry: ${fresh.toSeq}")
+      (fresh.last, java.nio.file.Files.readAllBytes(fresh.last.toPath))
+    }
+    def rootMsg(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet', " +
+      "'graft.row-level'='merge-on-read', 'graft.row-id'='k')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'a' FROM range(30)")
+
+    // --- WriteDelta vs foreign APPEND: both land
+    val (fA, bytesA) = captureForeign(t) {
+      spark.sql(s"INSERT INTO $t SELECT id + 100, 'b' FROM range(5)")
+    }
+    assert(fA.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 30)
+    java.nio.file.Files.write(fA.toPath, bytesA)
+    spark.sql(s"DELETE FROM $t WHERE k < 10") // MoR delta, stale view
+    assert(spark.table(t).count() == 25,
+      "delta (-10) and foreign append (+5) must BOTH land")
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 25, "rebased delta not durable")
+
+    // --- two deltas on DISJOINT ids: both land
+    val (fB, bytesB) = captureForeign(t) {
+      spark.sql(s"DELETE FROM $t WHERE k = 15")
+    }
+    assert(fB.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 25)
+    java.nio.file.Files.write(fB.toPath, bytesB)
+    spark.sql(s"DELETE FROM $t WHERE k = 16") // disjoint id
+    assert(spark.table(t).count() == 23,
+      "disjoint MoR deletes must BOTH land")
+
+    // --- overlapping ids: refuse loudly, foreign wins
+    val (fC, bytesC) = captureForeign(t) {
+      spark.sql(s"UPDATE $t SET s = 'x' WHERE k = 20")
+    }
+    assert(fC.delete())
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).count() == 23) // force the STALE replay first
+    java.nio.file.Files.write(fC.toPath, bytesC)
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE k = 20") // same row
+    }
+    assert(rootMsg(ex).contains("concurrent"), rootMsg(ex))
+    graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+    assert(spark.table(t).where(col("k") === 20)
+      .collect()(0).getString(1) == "x",
+      "the foreign update must win; the refused delete must not land")
     spark.sql(s"DROP TABLE $t")
   }
 

@@ -135,4 +135,83 @@ class CrossJvmSpec extends AnyFunSuite {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("streaming-append CHILD JVM racing scheduled OPTIMIZE in the " +
+      "parent: both land continuously without refusal (maintenance " +
+      "rebase + append-across-maintenance classification), content " +
+      "is exact, and a fresh replay agrees") {
+    assume(forkable, "no forkable JVM available")
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftMergeCatalog].getName)
+    val t = "graft.xjvm_opt"
+    val rounds = 5
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql(s"INSERT INTO $t SELECT id, 'seed' FROM range(10)")
+
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val childLog = java.io.File.createTempFile("graft-xjvm-opt-", ".log")
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Dgraft.warehouse=${
+        graft.sources.GraftWarehouse.root.getAbsolutePath}",
+      "-Dspark.ui.enabled=false", "-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrossJvmChildAppender", t, "child", rounds.toString))
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(childLog)
+    val proc = pb.start()
+    try {
+      // the parent runs the standard production maintenance loop —
+      // compaction over and over WHILE the ingest stream commits.
+      // Pre-phase-2 this refused continuously; now every OPTIMIZE
+      // either rebases across the child's appends or no-ops, and the
+      // child's appends rebase across the binpack rewrites.
+      var optRuns = 0
+      var i = 0
+      while (i < rounds || proc.isAlive) {
+        graft.api.GraftApi.rewriteSmallFiles(spark, t, 1000)
+        optRuns += 1
+        // keep some parent-side small files arriving too
+        spark.sql(s"INSERT INTO $t " +
+          s"SELECT id + ${i * 1000}, 'parent' FROM range(5)")
+        Thread.sleep(150)
+        i += 1
+        if (i > 800) fail("child JVM did not exit within ~2 minutes")
+      }
+      // one final compaction over everything the child left behind
+      graft.api.GraftApi.rewriteSmallFiles(spark, t, 1000)
+      assert(proc.waitFor() == 0, {
+        val log = new String(java.nio.file.Files.readAllBytes(
+          childLog.toPath))
+        s"child JVM failed (its appends must rebase across binpack " +
+          s"rewrites):\n${log.takeRight(4000)}"
+      })
+      assert(optRuns > 0)
+      val parentRows = i * 5L
+      graft.sources.GraftLog.simulateProcessRestart(Seq(t))
+      val byTag = spark.table(t).groupBy("s").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byTag == Map("seed" -> 10L, "parent" -> parentRows,
+        "child" -> rounds * 10L),
+        s"lost or doubled commits under OPTIMIZE: $byTag " +
+          s"(parent wrote $parentRows, optimize ran $optRuns times)")
+      assert(spark.table(t).distinct().count() ==
+        10L + parentRows + rounds * 10L, "duplicated rows")
+    } finally {
+      if (proc.isAlive) proc.destroyForcibly()
+      childLog.delete()
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
