@@ -97,6 +97,16 @@ object Bench {
     "txn_multi_rw" -> 2.0,
     // round-14: seed + two widens (each checkpoints) + wide append
     "sql_alter_widen" -> 1.5,
+    // round-15: fact+dim seeds + a transact landing after the pinned
+    // capture (warm 0.63 — priced like its txn siblings, the commit
+    // tax dominates under load)
+    "txn_read_snapshot" -> 2.0,
+    // round-15: customer seed + eq-delete + purge-via-compact
+    // (warm 0.59)
+    "sql_delete_eq" -> 1.5,
+    // round-15: 3 upsert epochs (eq-delete + append each) + the
+    // closing purge compaction — 7 commits
+    "stream_upsert_eqdelete" -> 2.0,
     // round-14: three range-sorted appends + the bin-pack merge
     // (1.98 s in the close drive under mild ambient)
     "table_sort_order" -> 2.0,

@@ -168,7 +168,10 @@ object QualityModel {
         var z = b
         var i = 0
         while (i < NumFeatures) { z += w(i) * x(i); i += 1 }
-        val p = 1.0 / (1.0 + math.exp(-z))
+        // StrictMath: Math.exp may use platform intrinsics that vary
+        // across CPUs — the literal-replay pin needs the SAME
+        // converged weights on any JVM
+        val p = 1.0 / (1.0 + StrictMath.exp(-z))
         val e = p - y
         i = 0
         while (i < NumFeatures) { gw(i) += e * x(i); i += 1 }

@@ -700,10 +700,17 @@ object GraftLog {
       stateJson(storeName, m, h,
         ident.map(d => (d._1, d._2)), ident.flatMap(_._3.morRowId),
         ident.map(_._3.tableConstraints).getOrElse(Array.empty)))
-    // the checkpoint subsumes everything before it
+    // the checkpoint subsumes everything before it. Orphan claim
+    // SIDECARS (a crashed writer's `NNN.json.claim-<uuid>` — inert,
+    // never parsed) sweep here too once old enough that their writer
+    // is past every liveness deadline; a LIVE sidecar must survive
+    // (deleting it would un-pin a concurrent claim's identity fence).
     Option(logDir(m.dir).listFiles()).getOrElse(Array.empty[File])
       .foreach { f =>
         parseSeq(f.getName).filter(_ < seq).foreach(_ => f.delete())
+        if (f.getName.contains(".claim-") &&
+            System.currentTimeMillis() - f.lastModified() > 120000L)
+          f.delete()
       }
   }
 

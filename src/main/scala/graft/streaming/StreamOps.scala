@@ -385,6 +385,60 @@ object StreamOps extends QueryModule {
               col("max_prior") - expr("INTERVAL 10 MINUTE"),
             lit(false)).cast(IntegerType).as("is_late"))
         .orderBy("event_id")
+    }),
+
+    // CDC-UPSERT STREAM VIA EQUALITY DELETES (the round-15 composition
+    // the eq-delete commit exists for): each micro-batch folds its
+    // per-user LATEST state into a merge-on-read lake table by
+    // committing "DELETE WHERE user_id IN (batch keys)" — an O(|keys|)
+    // log entry, ZERO files opened, no scan-for-matches — followed by
+    // the batch append. Pre-round-15 this shape paid a DV compute (a
+    // zone-map-prescreened file scan) per batch; now the per-batch
+    // write cost is O(batch). Keys the state table has never seen are
+    // no-ops by design (batch 0 seeds through the same code path).
+    // The closing purge_deletes compacts the delete chain task-side —
+    // the scheduled-OPTIMIZE half of the production pair. The key
+    // list is the CDC writer's OWN batch key set (O(distinct users
+    // per batch) driver metadata — the eq-delete API's contract, not
+    // a data funnel: rows stage task-side as every append does).
+    // Batches slice by event_id % 3; the final state is each user's
+    // latest row within their HIGHEST batch — exactly replayable in
+    // SQL, so the oracle only matches if every delete retired exactly
+    // the re-keyed rows and none of the absent-key no-ops misfired.
+    "stream_upsert_eqdelete" -> ((s, d) => {
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftMergeCatalog].getName)
+      Tables.events(s, d).createOrReplaceTempView("ueq_src")
+      s.sql("DROP TABLE IF EXISTS graft.ueq_state")
+      s.sql("CREATE TABLE graft.ueq_state (user_id BIGINT, " +
+        "last_event_id BIGINT, last_type STRING, last_value DOUBLE) " +
+        "TBLPROPERTIES ('graft.store'='parquet', " +
+        "'graft.row-level'='merge-on-read', 'graft.row-id'='user_id')")
+      for (b <- 0 until 3) {
+        val latest = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        s.sql("SELECT user_id, event_id, event_type, value, ts " +
+            s"FROM ueq_src WHERE event_id % 3 = $b")
+          .withColumn("rn", row_number().over(latest))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("event_type").as("last_type"),
+            col("value").as("last_value"))
+          .createOrReplaceTempView("ueq_batch")
+        val keys = s.table("ueq_batch").select("user_id")
+          .collect().map(_.getLong(0)).toSeq
+        if (b > 0)
+          graft.api.GraftApi.deleteWhereKeyIn(s, "graft.ueq_state",
+            "user_id", keys)
+        s.sql("INSERT INTO graft.ueq_state SELECT * FROM ueq_batch")
+      }
+      graft.api.GraftApi.purgeDeletes(s, "graft.ueq_state")
+      s.table("graft.ueq_state").groupBy("last_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum("last_event_id").cast(LongType).as("id_sum"),
+          (sum(Det.dec2(col("last_value"))) * 100).cast(LongType)
+            .as("cents"))
+        .orderBy("last_type")
     })
   )
 
@@ -556,6 +610,22 @@ object StreamOps extends QueryModule {
         |          ORDER BY md5(CAST(event_id AS VARCHAR))
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prior
         |      FROM events) t
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "stream_upsert_eqdelete" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, ts,
+        |    event_id % 3 AS b
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY b DESC, ts DESC, event_id DESC) AS rk
+        |  FROM e),
+        |f AS (SELECT * FROM r WHERE rk = 1)
+        |SELECT event_type AS last_type, COUNT(*) AS n_users,
+        |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
