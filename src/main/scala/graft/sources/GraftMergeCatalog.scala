@@ -1010,8 +1010,15 @@ object GraftTableStore {
 
   /** bounded rebase attempts for a conflicted blind append — enough
     * to ride out a burst of concurrent appenders, small enough that a
-    * genuinely hot table fails over to the caller's own policy. */
-  private val MaxAppendRetries = 4
+    * genuinely hot table fails over to the caller's own policy. Each
+    * attempt is metadata-only (log replay + classify + install, no data
+    * rewrite), so the bound prices loudness, not work: 12 rides out a
+    * CPU-starved ingest loop racing a tight maintenance loop (the
+    * cross-JVM pin under a fully loaded test host saw >4 foreign
+    * commits land inside one slow attempt window), while a same-row
+    * writer still refuses on the FIRST attempt — the classifier, not
+    * the bound, is the correctness gate. */
+  private val MaxAppendRetries = 12
 
   /** the OP-CLASS half of the blind-append classifier (round 15): a
     * blind append read NOTHING, so beyond the append-vs-append

@@ -427,7 +427,9 @@ object StreamOps extends QueryModule {
           .createOrReplaceTempView("ueq_batch")
         val keys = s.table("ueq_batch").select("user_id")
           .collect().map(_.getLong(0)).toSeq
-        if (b > 0)
+        // an empty batch (empty source slice) has no keys to retire —
+        // skip the eq-delete entirely, exactly as a CDC writer would
+        if (b > 0 && keys.nonEmpty)
           graft.api.GraftApi.deleteWhereKeyIn(s, "graft.ueq_state",
             "user_id", keys)
         s.sql("INSERT INTO graft.ueq_state SELECT * FROM ueq_batch")
