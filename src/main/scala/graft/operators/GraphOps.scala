@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Distributed connected components for dup-cluster resolution.
   *
+  * Two regimes, gated on the MATERIALIZED edge count (round 15):
+  * a residual graph that fits one task (≤ [[LocalSolveMaxEdgesDefault]]
+  * directed rows) is solved exactly by a single-task union-find — one
+  * job instead of a multi-round fixpoint whose cost is almost pure
+  * job-scheduling latency at that size; anything larger runs the
+  * distributed fixpoint below, which is the only shape that survives
+  * a 100 TB pair graph.
+  *
   * Alternating min-label propagation: each round RELAXES (every node takes
   * the minimum representative among itself and its neighbors — one shuffle
   * keyed by node id) then COMPRESSES (pointer jumping, rep := rep(rep) —
@@ -102,6 +110,82 @@ object GraphOps {
       .agg(count(lit(1)).as("n_components"))
       .orderBy(col("n_members").desc)
 
+  /** Directed-row ceiling for the single-task exact solve (the doubled
+    * edge frame, so ÷2 for undirected pairs). The residual similarity
+    * graph after LSH banding + candidate capping is a tiny fraction of
+    * the corpus; when it fits ONE task — ≤8M directed rows is 128 MB of
+    * two long-arrays plus a 4 B/node union-find forest — an exact
+    * union-find pass in that task replaces the whole O(log diameter)
+    * relax/compress fixpoint: ~2 jobs instead of ~11 rounds × ~5 stages
+    * of pure job-scheduling latency (the measured r14 floor: 12-15 s per
+    * CC-fed query at sf0.1 for a graph of a few thousand edges). This is
+    * executor-side work, not a driver collect, and it is the same
+    * derive-from-materialized-size policy as `loopParts` below; above
+    * the ceiling the distributed fixpoint runs unchanged — the 100 TB
+    * path. Tunable per session (`spark.graft.cc.localSolveMaxEdges`);
+    * 0 disables the local path (used by the equivalence test to force
+    * the loop). */
+  private val LocalSolveMaxEdgesDefault = 8000000L
+
+  /** Single-task exact CC over a materialized doubled-edge frame that
+    * passed the size gate: sorted-id index + union-find with full path
+    * compression, roots united toward the SMALLER index, so every set's
+    * root IS its min doc_id — bit-identical labels to the fixpoint by
+    * construction, independent of edge order. */
+  private def localSolve(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        // flat long buffers, not a tuple array: 16 B/row transient
+        var cap = 1 << 12
+        var size = 0
+        var as = new Array[Long](cap)
+        var bs = new Array[Long](cap)
+        while (it.hasNext) {
+          val e = it.next()
+          if (size == cap) {
+            cap *= 2
+            as = java.util.Arrays.copyOf(as, cap)
+            bs = java.util.Arrays.copyOf(bs, cap)
+          }
+          as(size) = e._1; bs(size) = e._2; size += 1
+        }
+        val all = new Array[Long](2 * size)
+        System.arraycopy(as, 0, all, 0, size)
+        System.arraycopy(bs, 0, all, size, size)
+        java.util.Arrays.sort(all)
+        // dedup in place → ids sorted ascending, index order = id order
+        var n = 0
+        var i = 0
+        while (i < 2 * size) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(all, n)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        i = 0
+        while (i < size) {
+          val ra = find(java.util.Arrays.binarySearch(ids, as(i)))
+          val rb = find(java.util.Arrays.binarySearch(ids, bs(i)))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+          i += 1
+        }
+        Iterator.range(0, n).map(j => (ids(j), ids(find(j))))
+      }
+      .toDF("doc_id", "rep")
+  }
+
   /** @param nodes single column `doc_id` — every node, including isolated
     * @param pairs  undirected edges as columns `id1`, `id2`
     * @param rounds max relax+compress rounds (reach grows ~2^round, so 16
@@ -120,9 +204,23 @@ object GraphOps {
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint(true)
     val spark = outerEdges.sparkSession
+    val edgeCount = outerEdges.count()
+    val localMax = spark.conf.getOption("spark.graft.cc.localSolveMaxEdges")
+      .map(_.toLong).getOrElse(LocalSolveMaxEdgesDefault)
+    if (edgeCount <= localMax && edgeCount > 0) {
+      val labels = localSolve(outerEdges).localCheckpoint(true)
+      outerEdges.unpersist()
+      System.err.println(s"[graft] connectedComponents: solved exactly " +
+        s"in one task ($edgeCount directed edges <= $localMax)")
+      return nodes.select(col("doc_id"))
+        .join(labels.withColumnRenamed("doc_id", "pid"),
+          col("doc_id") === col("pid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep"))
+    }
     val outerParts = spark.conf.get("spark.sql.shuffle.partitions")
     val loopParts = math.max(1L, math.min(outerParts.toLong,
-      outerEdges.count() / 50000L + 1L))
+      edgeCount / 50000L + 1L))
     val loop = spark.newSession()
     loop.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
     // AQE's per-stage re-planning buys nothing on the loop's right-sized
