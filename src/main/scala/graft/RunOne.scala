@@ -16,13 +16,17 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
     val reps = if (args.contains("x3")) 3 else 1
-    for (_ <- 1 to reps) {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[runone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    // comma-separated ids share one JVM/session — isolating each
+    // query's warm cost without paying sbt+Spark startup per id
+    name.split(",").foreach { id =>
+      val df = SparkEntry.queries(id)(spark, sfDir)
+      if (args.contains("explain")) df.explain("formatted")
+      for (_ <- 1 to reps) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(id)(spark, sfDir).count()
+        println(f"[runone] $id ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
     }
     spark.stop()
   }

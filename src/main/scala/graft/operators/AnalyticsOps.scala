@@ -1135,11 +1135,15 @@ object AnalyticsOps extends QueryModule {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node")
         .localCheckpoint(true)
-      val nAgg = deg.agg(count(lit(1)).as("nn"))
-      // ranks: (node, outdeg, p, nn) — p0 = 1/N uniformly
-      var ranks = deg.crossJoin(broadcast(nAgg))
-        .select(col("node"), col("outdeg"),
-          (lit(1.0) / col("nn").cast(DoubleType)).as("p"), col("nn"))
+      // node count from the MATERIALIZED degree table — the CC edge-count
+      // pattern. The old crossJoin(broadcast(nAgg)) re-executed the count
+      // aggregate as a fresh broadcast exchange 4× through the unrolled
+      // rounds; a literal over the checkpointed frame is the same double
+      // (1.0 / N in IEEE either way) with zero per-round plan weight.
+      val nn = deg.count().toDouble
+      // ranks: (node, outdeg, p) — p0 = 1/N uniformly
+      var ranks = deg
+        .select(col("node"), col("outdeg"), (lit(1.0) / lit(nn)).as("p"))
       for (_ <- 1 to 3) {
         val contrib = edges
           .join(ranks, col("src") === col("node"))
@@ -1147,11 +1151,11 @@ object AnalyticsOps extends QueryModule {
             floor(lit(0.85) * col("p") / col("outdeg").cast(DoubleType) * 1e9
               + 0.5).cast(LongType).as("iv"))
           .groupBy("dst").agg(sum("iv").as("isum"))
-        ranks = deg.crossJoin(broadcast(nAgg))
+        ranks = deg
           .join(contrib, col("node") === col("dst"))
           .select(col("node"), col("outdeg"),
-            (lit(0.15) / col("nn").cast(DoubleType) +
-              col("isum").cast(DoubleType) / 1e9).as("p"), col("nn"))
+            (lit(0.15) / lit(nn) +
+              col("isum").cast(DoubleType) / 1e9).as("p"))
       }
       ranks.select(col("node"), col("p").as("pagerank"))
         .orderBy(col("pagerank").desc, col("node")).limit(20)

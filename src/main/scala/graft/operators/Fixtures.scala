@@ -329,9 +329,18 @@ object Fixtures {
           rm(dir)
         }
       }
-      Tables.orders(s, sfDir).write.mode("overwrite")
+      // project to the bucketed join's columns before the write (guide
+      // §2.3: shuffle/write fewer bytes) — the fixture exists to pin the
+      // zero-exchange bucketed join, and its one consumer reads exactly
+      // (o_orderkey, o_orderstatus) ⋈ (l_orderkey, l_quantity); writing
+      // lineitem's other 14 columns was pure build cost, paid per JVM
+      Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
-      Tables.lineitem(s, sfDir).write.mode("overwrite")
+      Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
     }
     (to, tl)
@@ -354,9 +363,20 @@ object Fixtures {
         val dir = new java.io.File(wh, t)
         if (dir.exists()) rmTree(dir)
       }
-      Tables.customer(s, sfDir).write.mode("overwrite").saveAsTable(tc)
-      Tables.orders(s, sfDir).write.mode("overwrite").saveAsTable(to)
-      Tables.lineitem(s, sfDir).write.mode("overwrite").saveAsTable(tl)
+      // project to the reorder query's columns before write + ANALYZE
+      // (guide §2.3): CBO needs stats for the JOIN/FILTER/AGG columns it
+      // reorders on, and the one consumer touches 8 columns across the
+      // three tables — ANALYZE FOR ALL COLUMNS over lineitem's full 16
+      // was the fixture's dominant cost, paid per JVM
+      Tables.customer(s, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").saveAsTable(tc)
+      Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .write.mode("overwrite").saveAsTable(to)
+      Tables.lineitem(s, sfDir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").saveAsTable(tl)
       for (t <- Seq(tc, to, tl))
         s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
     }

@@ -95,6 +95,58 @@ object VectorOps extends QueryModule {
         .select(col("q_id"), col("c1"), col("c2"),
           dot(col("e1"), col("e2")).as("cs"))
         .localCheckpoint()
+      // Size-gated exact greedy (round 15, the GraphOps local-solve
+      // pattern): the pool is O(queries · poolSize) BY CONSTRUCTION and
+      // both frames are already materialized with every double (qs, cs)
+      // computed by the same codegen dot the relational steps would
+      // read, so when the pool fits the gate the k-step argmax loop runs
+      // driver-side over those exact doubles — λ·qs − λC·max(cs) with
+      // identical IEEE arithmetic, ties on vec_id — instead of paying
+      // k × (2 joins + window + checkpoint) of job latency. Above the
+      // gate (a million-query batch rerank) the unrolled relational
+      // chain below runs unchanged.
+      val localMaxPool = e.sparkSession.conf
+        .getOption("spark.graft.mmr.localSolveMaxPool").map(_.toLong)
+        .getOrElse(50000L)
+      if (pool.count() <= localMaxPool) {
+        val ps = pool.select(col("q_id"), col("vec_id"), col("qs"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val sims = pairs.select(col("q_id"), col("c1"), col("c2"), col("cs"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+            r.getDouble(3))).toMap
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        ps.groupBy(_._1).toSeq.foreach { case (qid, cands) =>
+          // step 1 = max qs, ties min vec_id (the rn=1 row)
+          val ordered = cands.sortBy(c => (-c._3, c._2))
+          var selectedIds = Vector(ordered.head._2)
+          out += ((qid, ordered.head._2, 1L))
+          var remaining = ordered.tail
+          var step = 2
+          while (step <= k && remaining.nonEmpty) {
+            var bestId = -1L
+            var bestScore = Double.NegativeInfinity
+            remaining.foreach { case (_, cid, qs) =>
+              var ms = Double.NegativeInfinity
+              selectedIds.foreach { sid =>
+                val cs = sims((qid, cid, sid))
+                if (cs > ms) ms = cs
+              }
+              val score = lambda * qs - lambdaC * ms
+              if (score > bestScore ||
+                  (score == bestScore && cid < bestId)) {
+                bestScore = score; bestId = cid
+              }
+            }
+            out += ((qid, bestId, step.toLong))
+            selectedIds :+= bestId
+            remaining = remaining.filter(_._2 != bestId)
+            step += 1
+          }
+        }
+        import e.sparkSession.implicits._
+        return out.toSeq.toDF("q_id", "vec_id", "rank")
+      }
       var selected = pool
         .withColumn("rn", row_number().over(wq))
         .where(col("rn") === 1)

@@ -276,6 +276,31 @@ class ApiSpec extends AnyFunSuite {
     assert(got(3L) == 11L, s"redundant twin comes last: $got")
   }
 
+  test("mmrRerank size-gated local greedy and relational chain agree") {
+    // the round-15 gate: pools under the budget run the exact greedy
+    // driver-side over the same materialized doubles; this pins the two
+    // regimes pick-for-pick on a multi-query pool with redundancy
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (10L, v(0.99, 0, 0, 0)), (11L, v(0.98, 0.01, 0, 0)),
+      (12L, v(0, 1.0, 0, 0)), (13L, v(0.5, 0.5, 0.1, 0)),
+      (14L, v(0, 0, 1.0, 0)), (15L, v(0.1, 0, 0.9, 0.2))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, v(0.8, 0.6, 0, 0)), (2L, v(0, 0.2, 0.98, 0)))
+      .toDF("q_id", "q_emb")
+    def run(): Map[(Long, Long), Long] =
+      GraftApi.mmrRerank(corpus, queries).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+    val local = run()
+    spark.conf.set("spark.graft.mmr.localSolveMaxPool", "0")
+    val relational = try run()
+      finally spark.conf.unset("spark.graft.mmr.localSolveMaxPool")
+    assert(local == relational,
+      s"gated regimes disagree: $local vs $relational")
+    assert(local.keySet.map(_._1) == Set(1L, 2L))
+  }
+
   test("subwordTokens splits, marks continuations, and UNKs out-of-vocab") {
     val docs = Seq((1L, "customer window a"), (2L, "Zebra!"))
       .toDF("doc_id", "text")

@@ -414,10 +414,17 @@ class PlanSpec extends AnyFunSuite {
       s"top-20 should plan incrementally:\n$p")
   }
 
-  test("graph_pagerank broadcasts the scalar N, shuffles only edge joins") {
+  test("graph_pagerank folds the scalar N to a literal — no per-round " +
+      "cross-join, shuffles only edge joins") {
+    // round-15: N comes from the materialized degree table once (the CC
+    // edge-count pattern) instead of a crossJoin(broadcast(countAgg))
+    // re-executed every unrolled round — the plan must carry no
+    // nested-loop/cartesian node and still join contributions per round
     val p = plan("graph_pagerank")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
-      s"node-count aggregate not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"scalar N still rides a per-round cross-join:\n$p")
+    assert(p.contains("isum"), s"contribution join missing:\n$p")
   }
 
   test("dedup_exact shuffles hashes, not document bodies") {
