@@ -532,9 +532,15 @@ object AnalyticsOps extends QueryModule {
     // two-hop join — O(edges^1.5)-ish work on a support-thresholded
     // (hence bounded) edge set, never the raw pair explosion.
     "graph_triangles" -> ((s, d) => {
+      // li feeds both self-join sides and e feeds THREE join legs
+      // (wedge build ×2 + closure); un-materialized, the whole
+      // scan→distinct→pair-agg subtree re-evaluates per leg (round-15
+      // measurement: ~3× the one-pass cost). Checkpoint each once —
+      // the agg_copurchase stage-materialization note applies.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val e = li
         .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
         .where(col("pk") < col("pk2"))
@@ -542,6 +548,7 @@ object AnalyticsOps extends QueryModule {
         .agg(count(lit(1)).as("sup"))
         .where(col("sup") >= 2)
         .select("a", "b")
+        .localCheckpoint(true)
       val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
         .select("a", "b", "c")
       wedges.join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
@@ -837,6 +844,8 @@ object AnalyticsOps extends QueryModule {
     // TakeOrderedAndProject; item supports join the pair frame
     // broadcast (items ≪ pairs).
     "agg_basket_lift" -> ((s, d) => {
+      // measured round 15: a checkpoint of li is a wash here (the two
+      // non-self-join legs are cheap aggregates) — left un-materialized
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1036,6 +1045,10 @@ object AnalyticsOps extends QueryModule {
     // then partial-aggregate before one (part_a, part_b) shuffle. This
     // is the a-priori candidate step every recommender ETL runs.
     "agg_copurchase" -> ((s, d) => {
+      // two-leg reuse only: measured round 15, a checkpoint here is a
+      // wash (materialization ≈ the one saved scan+distinct) — left
+      // un-materialized; graph_triangles' 5-leg reuse is the one that
+      // pays for a checkpoint
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1055,8 +1068,11 @@ object AnalyticsOps extends QueryModule {
     // audience sizes broadcast back in. Output is O(types²); every
     // shuffled row is a (user_id, type) pair.
     "agg_audience_overlap" -> ((s, d) => {
+      // ut feeds the size table + both membership self-join sides —
+      // checkpoint once, the agg_copurchase note applies
       val ut = Tables.events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
+        .localCheckpoint(true)
       val sizes = ut.groupBy("event_type")
         .agg(count(lit(1)).as("n"))
       val both = ut.select(col("user_id"), col("event_type").as("type_a"))

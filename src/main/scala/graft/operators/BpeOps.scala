@@ -103,9 +103,98 @@ object BpeOps extends QueryModule {
   private def trainChainFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     chainCache.getOrElseUpdate(d, trainChain(Tables.documents(s, d)))
 
-  /** run the unrolled training chain: (merge table frame, final pieces) */
+  /** Spark's UTF8String order (unsigned UTF-8 byte compare) — the
+    * tiebreak the relational `orderBy(pc desc, p1, p2)` applies; the
+    * local fit must break ties identically. */
+  private def sLess(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Exact local BPE fit over a collected (word, cnt) vocabulary — the
+    * size-gated twin of the relational round chain (round 15, the
+    * GraphOps local-solve pattern). Heaps' law keeps the DISTINCT-word
+    * frame O(vocabulary): when it fits the gate, the 8 rounds run
+    * driver-side — the published sequential algorithm with the exact
+    * same semantics (frequency-weighted integer pair counts, max with
+    * (p1, p2) byte-lexicographic tiebreak, greedy left-to-right
+    * non-overlapping resegmentation) — instead of 8 × (window + count
+    * shuffle + two joins + checkpoint) of job latency. Above the gate
+    * (a 100 TB corpus's multi-million-word vocabulary) the relational
+    * chain runs unchanged. */
+  private def localFit(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[(String, Long)]): (DataFrame, DataFrame) = {
+    var pieces: Array[(String, Long, Array[String])] = rows.map {
+      case (w, cnt) => (w, cnt, w.map(_.toString).toArray :+ "</w>")
+    }
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to Rounds) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      pieces.foreach { case (_, cnt, ps) =>
+        var i = 0
+        while (i < ps.length - 1) {
+          val k = (ps(i), ps(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + cnt
+          i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        var bp: (String, String) = null
+        var bc = -1L
+        pc.foreach { case (k, c) =>
+          if (c > bc || (c == bc && (bp == null ||
+              (if (k._1 != bp._1) sLess(k._1, bp._1)
+               else sLess(k._2, bp._2)))))
+            { bc = c; bp = k }
+        }
+        merges += ((r.toLong, bp._1, bp._2, bc))
+        pieces = pieces.map { case (w, cnt, ps) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ps.length) {
+            if (i < ps.length - 1 && ps(i) == bp._1 && ps(i + 1) == bp._2) {
+              out += ps(i) + ps(i + 1); i += 2
+            } else { out += ps(i); i += 1 }
+          }
+          (w, cnt, out.toArray)
+        }
+      }
+      // pc empty → the corpus ran out of pairs: the relational round is
+      // a provable no-op (best EMPTY, left join NULL, is_m false) and
+      // stays one for every later round — emit no merge row, keep pieces
+    }
+    import spark.implicits._
+    val table = merges.toSeq.toDF("rnd", "p1", "p2", "pair_count")
+    val finalPieces = pieces.toSeq.flatMap { case (w, cnt, ps) =>
+      ps.iterator.zipWithIndex.map { case (p, i) => (w, cnt, i, p) }
+    }.toDF("w", "cnt", "pos", "piece")
+    (table, finalPieces)
+  }
+
+  /** run the training chain: (merge table frame, final pieces).
+    * Size-gated: vocabularies at or under
+    * `spark.graft.bpe.localFitMaxWords` fit the exact local fit above;
+    * larger ones run the unrolled relational rounds. */
   private[graft] def trainChain(docs: DataFrame): (DataFrame, DataFrame) = {
-    var pieces = pieces0(wordCounts(docs)).localCheckpoint()
+    val spark = docs.sparkSession
+    val words = wordCounts(docs).localCheckpoint()
+    val localMax = spark.conf
+      .getOption("spark.graft.bpe.localFitMaxWords").map(_.toLong)
+      .getOrElse(1000000L)
+    if (words.count() <= localMax) {
+      val rows = words.collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      return localFit(spark, rows)
+    }
+    var pieces = pieces0(words).localCheckpoint()
     val merges = (1 to Rounds).map { r =>
       val (next, best) = bpeRound(pieces)
       pieces = next.localCheckpoint()

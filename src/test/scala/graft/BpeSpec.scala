@@ -107,4 +107,28 @@ class BpeSpec extends AnyFunSuite {
       "exhausted rounds must leave the final single piece intact")
     assert(fin2.select("piece").as[String].collect().head == "ab</w>")
   }
+
+  test("trainChain size-gated local fit and relational rounds agree") {
+    // round-15 gate: small vocabularies fit the exact driver-side BPE;
+    // this pins the two regimes merge-for-merge and piece-for-piece,
+    // including a tie round (both "th" and "e&" patterns collide) and
+    // an identical-symbol run
+    val docs = Seq((1L, "the cat sat aaaa"), (2L, "the cat the"),
+      (3L, "sat aaaa zz")).toDF("doc_id", "text")
+    def collectBoth(t: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame) = (
+      t.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toVector,
+      f.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getString(3))).sorted.toVector,
+      t.dtypes.toVector, f.dtypes.toVector)
+    val (t1, f1) = operators.BpeOps.trainChain(docs)
+    val local = collectBoth(t1, f1)
+    spark.conf.set("spark.graft.bpe.localFitMaxWords", "0")
+    val relational = try {
+      val (t2, f2) = operators.BpeOps.trainChain(docs)
+      collectBoth(t2, f2)
+    } finally spark.conf.unset("spark.graft.bpe.localFitMaxWords")
+    assert(local == relational, s"gated regimes disagree:\n$local\nvs\n$relational")
+  }
 }
