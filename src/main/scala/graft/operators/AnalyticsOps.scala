@@ -1145,8 +1145,16 @@ object AnalyticsOps extends QueryModule {
       // GraphOps): the edge list feeds every one of the 3 unrolled rounds
       // plus the degree table — checkpoint it once instead of recomputing
       // the join+distinct subtree ~8x through the unrolled plan
+      // hash-partition the edge list by the join key BEFORE the one-time
+      // checkpoint (checkpoint preserves outputPartitioning): every
+      // unrolled round's relax join then shuffles only the rank table,
+      // never the edge list — the canonical iterate-over-static-graph
+      // layout (guide §2.4: two operations keyed the same way share one
+      // exchange). At 100 TB this is the difference between shuffling
+      // the billion-edge list once vs once per iteration.
       val edges = e0
         .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
         .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
         .withColumnRenamed("src", "node")

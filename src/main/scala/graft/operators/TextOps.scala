@@ -181,8 +181,7 @@ object TextOps extends QueryModule {
     * the cost of an extra shuffle — worth it only when boilerplate
     * shingles dominate). The inverted-index shuffle carries
     * (hash, doc_id), never document bodies. */
-  private def ngramCandidates(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleHashSets(s, d)
+  private def ngramCandidates(docs: DataFrame): DataFrame = {
     val prefix = docs.select(col("doc_id"),
       explode(slice(col("hs"), lit(1),
         (floor(lit(1.0 - ShingleTau) * size(col("hs"))) + 1)
@@ -240,8 +239,12 @@ object TextOps extends QueryModule {
     * ~30 k-shingle universe are negligible), so the counts match the
     * string-based oracle. */
   private[graft] def ngramPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleHashSets(s, d)
-    ngramCandidates(s, d)
+    // the shingle frame feeds FOUR legs (both prefix-index sides, both
+    // verify sides); un-materialized, each leg re-runs the scan + the
+    // codegen shingle kernel (round-15 measurement — the
+    // graph_triangles stage-materialization note). Checkpoint once.
+    val docs = shingleHashSets(s, d).localCheckpoint(true)
+    ngramCandidates(docs)
       .join(docs.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
@@ -1072,7 +1075,10 @@ object TextOps extends QueryModule {
     // appear (containment is a directed relation). |A| ≥ 8 floors the
     // trivially-containable.
     "dedup_containment" -> ((s, d) =>
-      containmentPairs(shingleHashSets(s, d))
+      // the shingle frame feeds 4 legs inside containmentPairs (both
+      // index sides + both verify sides) — checkpoint once, the
+      // ngramPairs stage-materialization note applies
+      containmentPairs(shingleHashSets(s, d).localCheckpoint(true))
         .orderBy("contained_id", "container_id")),
 
     // verbatim-substring dedup at arbitrary offsets (Lee et al. 2022):
