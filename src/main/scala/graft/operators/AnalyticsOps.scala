@@ -1164,7 +1164,12 @@ object AnalyticsOps extends QueryModule {
       // aggregate as a fresh broadcast exchange 4× through the unrolled
       // rounds; a literal over the checkpointed frame is the same double
       // (1.0 / N in IEEE either way) with zero per-round plan weight.
-      val nn = deg.count().toDouble
+      // max(count, 1): an empty graph folds 1/N at PLAN time, where
+      // ANSI division-by-zero throws — the per-row form never evaluated
+      // on an empty frame. deg is empty whenever nn would be 0, so the
+      // clamp can never reach a produced row; every nonempty graph is
+      // bit-identical.
+      val nn = math.max(deg.count(), 1L).toDouble
       // ranks: (node, outdeg, p) — p0 = 1/N uniformly
       var ranks = deg
         .select(col("node"), col("outdeg"), (lit(1.0) / lit(nn)).as("p"))
