@@ -609,22 +609,64 @@ object AnalyticsOps extends QueryModule {
     // hops"), which is what makes the DuckDB recursive replay finite.
     "graph_bfs" -> ((s, d) => {
       val e = copurchaseEdges(s, d)
-      val n = e.select(col("a").as("x"), col("b").as("y"))
-        .unionByName(e.select(col("b").as("x"), col("a").as("y")))
-      // source = the max-degree hub (ties → min id): the support-filtered
-      // graph is sparse at larger SF and an arbitrary minimum node sits
-      // in a 2-node component — the hub's ball is the informative one
-      var dist = n.groupBy("x").agg(count(lit(1)).as("deg"))
-        .orderBy(col("deg").desc, col("x")).limit(1)
-        .select(col("x").as("node"), lit(0L).as("dist")).localCheckpoint()
-      for (_ <- 1 to 6) {
-        val next = dist.join(n, col("node") === col("x"))
-          .select(col("y").as("node"), (col("dist") + 1).as("dist"))
-        dist = dist.unionByName(next)
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
+      // size-gated exact local solve (the GraphOps/CC pattern): the
+      // support-filtered co-purchase graph is a tiny residual at test
+      // SF — 6 relax rounds of join+union+agg+checkpoint are pure job
+      // latency there. At or under the gate, one collected pass runs
+      // the identical BFS (source = max-degree hub, ties min id; dist
+      // = min over ≤6 hops) driver-side; above it the distributed
+      // frontier loop is the parts-scale path.
+      val bfsGate = s.conf
+        .getOption("spark.graft.bfs.localSolveMaxEdges").map(_.toLong)
+        .getOrElse(4000000L)
+      if (e.count() <= bfsGate) {
+        val pairs = e.select(col("a"), col("b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val adj = scala.collection.mutable
+          .HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        pairs.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable
+            .ArrayBuffer.empty[Long]) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable
+            .ArrayBuffer.empty[Long]) += a
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        import s.implicits._
+        val out =
+          if (deg.isEmpty) Seq.empty[(Long, Long)]
+          else {
+            val hub = deg.toSeq.minBy { case (x, dg) => (-dg, x) }._1
+            val dist = scala.collection.mutable.HashMap(hub -> 0L)
+            var frontier = Seq(hub)
+            for (lvl <- 1L to 6L) {
+              frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+                .filter(y => !dist.contains(y)).distinct
+              frontier.foreach(y => dist(y) = lvl)
+            }
+            dist.toSeq
+          }
+        out.toDF("node", "dist").orderBy("node")
+      } else {
+        val n = e.select(col("a").as("x"), col("b").as("y"))
+          .unionByName(e.select(col("b").as("x"), col("a").as("y")))
+        // source = the max-degree hub (ties → min id): the
+        // support-filtered graph is sparse at larger SF and an arbitrary
+        // minimum node sits in a 2-node component — the hub's ball is
+        // the informative one
+        var dist = n.groupBy("x").agg(count(lit(1)).as("deg"))
+          .orderBy(col("deg").desc, col("x")).limit(1)
+          .select(col("x").as("node"), lit(0L).as("dist")).localCheckpoint()
+        for (_ <- 1 to 6) {
+          val next = dist.join(n, col("node") === col("x"))
+            .select(col("y").as("node"), (col("dist") + 1).as("dist"))
+          dist = dist.unionByName(next)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy("node")
       }
-      dist.orderBy("node")
     }),
 
     // Shannon entropy of the event-type mix per user bucket — the
