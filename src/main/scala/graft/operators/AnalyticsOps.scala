@@ -608,46 +608,55 @@ object AnalyticsOps extends QueryModule {
     // round cap is part of the op's CONTRACT (dist ≤ 6 — "within six
     // hops"), which is what makes the DuckDB recursive replay finite.
     "graph_bfs" -> ((s, d) => {
-      val e = copurchaseEdges(s, d)
+      // materialized ONCE: the copurchase subtree (scan + distinct +
+      // self-join + support agg) used to re-evaluate for the gate count
+      // AND again per consumer leg — the exact multi-leg re-evaluation
+      // the r15 round fixed elsewhere with localCheckpoint (r15 ADVICE)
+      val e = copurchaseEdges(s, d).localCheckpoint(true)
       // size-gated exact local solve (the GraphOps/CC pattern): the
       // support-filtered co-purchase graph is a tiny residual at test
       // SF — 6 relax rounds of join+union+agg+checkpoint are pure job
-      // latency there. At or under the gate, one collected pass runs
+      // latency there. At or under the gate, one EXECUTOR-SIDE task
+      // (coalesce(1).mapPartitions — no driver collect, guide §5) runs
       // the identical BFS (source = max-degree hub, ties min id; dist
-      // = min over ≤6 hops) driver-side; above it the distributed
-      // frontier loop is the parts-scale path.
+      // = min over ≤6 hops); above it the distributed frontier loop is
+      // the parts-scale path.
       val bfsGate = s.conf
         .getOption("spark.graft.bfs.localSolveMaxEdges").map(_.toLong)
         .getOrElse(4000000L)
       if (e.count() <= bfsGate) {
-        val pairs = e.select(col("a"), col("b")).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val adj = scala.collection.mutable
-          .HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
-        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
-        pairs.foreach { case (a, b) =>
-          adj.getOrElseUpdate(a, scala.collection.mutable
-            .ArrayBuffer.empty[Long]) += b
-          adj.getOrElseUpdate(b, scala.collection.mutable
-            .ArrayBuffer.empty[Long]) += a
-          deg(a) = deg.getOrElse(a, 0L) + 1L
-          deg(b) = deg.getOrElse(b, 0L) + 1L
-        }
         import s.implicits._
-        val out =
-          if (deg.isEmpty) Seq.empty[(Long, Long)]
-          else {
-            val hub = deg.toSeq.minBy { case (x, dg) => (-dg, x) }._1
-            val dist = scala.collection.mutable.HashMap(hub -> 0L)
-            var frontier = Seq(hub)
-            for (lvl <- 1L to 6L) {
-              frontier = frontier.flatMap(adj.getOrElse(_, Nil))
-                .filter(y => !dist.contains(y)).distinct
-              frontier.foreach(y => dist(y) = lvl)
+        val out = e.select(col("a"), col("b")).as[(Long, Long)]
+          .coalesce(1)
+          .mapPartitions { it =>
+            val adj = scala.collection.mutable.HashMap
+              .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+            val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+            it.foreach { case (a, b) =>
+              adj.getOrElseUpdate(a, scala.collection.mutable
+                .ArrayBuffer.empty[Long]) += b
+              adj.getOrElseUpdate(b, scala.collection.mutable
+                .ArrayBuffer.empty[Long]) += a
+              deg(a) = deg.getOrElse(a, 0L) + 1L
+              deg(b) = deg.getOrElse(b, 0L) + 1L
             }
-            dist.toSeq
+            if (deg.isEmpty) Iterator.empty
+            else {
+              val hub = deg.toSeq.minBy { case (x, dg) => (-dg, x) }._1
+              val dist = scala.collection.mutable.HashMap(hub -> 0L)
+              var frontier = Seq(hub)
+              for (lvl <- 1L to 6L) {
+                frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+                  .filter(y => !dist.contains(y)).distinct
+                frontier.foreach(y => dist(y) = lvl)
+              }
+              dist.iterator
+            }
           }
-        out.toDF("node", "dist").orderBy("node")
+          .toDF("node", "dist")
+          .localCheckpoint(true)
+        e.unpersist()
+        out.orderBy("node")
       } else {
         val n = e.select(col("a").as("x"), col("b").as("y"))
           .unionByName(e.select(col("b").as("x"), col("a").as("y")))

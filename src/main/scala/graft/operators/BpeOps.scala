@@ -132,7 +132,14 @@ object BpeOps extends QueryModule {
   private def localFit(spark: org.apache.spark.sql.SparkSession,
       rows: Array[(String, Long)]): (DataFrame, DataFrame) = {
     var pieces: Array[(String, Long, Array[String])] = rows.map {
-      case (w, cnt) => (w, cnt, w.map(_.toString).toArray :+ "</w>")
+      // seed by CODEPOINT, not UTF-16 char: the relational pieces0 (and
+      // the oracle) segment via substr/length, which count codepoints —
+      // a char split would shear non-BMP characters (emoji,
+      // supplementary-plane CJK) into lone surrogates and diverge the
+      // two regimes' pair counts (r15 ADVICE)
+      case (w, cnt) => (w, cnt,
+        w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))) :+ "</w>")
     }
     val merges = scala.collection.mutable
       .ArrayBuffer.empty[(Long, String, String, Long)]

@@ -108,7 +108,17 @@ object VectorOps extends QueryModule {
       val localMaxPool = e.sparkSession.conf
         .getOption("spark.graft.mmr.localSolveMaxPool").map(_.toLong)
         .getOrElse(50000L)
-      if (pool.count() <= localMaxPool) {
+      // gate on the COLLECTED volume, not pool rows alone: the pairs
+      // frame is O(pool_rows × poolSize), so a parametric caller passing
+      // a large poolSize could pass a rows-only gate while pairs holds
+      // hundreds of millions of entries (r15 ADVICE). The budget is
+      // expressed in default-shape units — localSolveMaxPool rows at the
+      // default pool of MmrPool — so default callers see the identical
+      // gate while wide-pool callers are bounded by what is actually
+      // pulled to the driver.
+      val poolRows = pool.count()
+      if (poolRows * math.max(poolSize.toLong, 1L)
+          <= localMaxPool * MmrPool) {
         val ps = pool.select(col("q_id"), col("vec_id"), col("qs"))
           .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         val sims = pairs.select(col("q_id"), col("c1"), col("c2"), col("cs"))
@@ -116,9 +126,22 @@ object VectorOps extends QueryModule {
           .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
             r.getDouble(3))).toMap
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        // Spark's window ordering treats NaN as GREATER than every other
+        // double (and all NaNs equal, −0.0 equal to 0.0); every local
+        // comparison must mirror that — a plain `>`/sortBy would order
+        // NaN (and the −1 sentinel below) differently from the
+        // relational regime (r15 ADVICE)
+        def scoreCmp(a: Double, b: Double): Int =
+          if (a.isNaN && b.isNaN) 0
+          else if (a.isNaN) 1
+          else if (b.isNaN) -1
+          else if (a > b) 1 else if (a < b) -1 else 0
         ps.groupBy(_._1).toSeq.foreach { case (qid, cands) =>
-          // step 1 = max qs, ties min vec_id (the rn=1 row)
-          val ordered = cands.sortBy(c => (-c._3, c._2))
+          // step 1 = max qs (NaN greatest), ties min vec_id (the rn=1 row)
+          val ordered = cands.sortWith { (x, y) =>
+            val c = scoreCmp(x._3, y._3)
+            if (c != 0) c > 0 else x._2 < y._2
+          }
           var selectedIds = Vector(ordered.head._2)
           out += ((qid, ordered.head._2, 1L))
           var remaining = ordered.tail
@@ -129,12 +152,14 @@ object VectorOps extends QueryModule {
             remaining.foreach { case (_, cid, qs) =>
               var ms = Double.NegativeInfinity
               selectedIds.foreach { sid =>
+                // scoreCmp also mirrors the relational max("cs"):
+                // Spark's max puts NaN above every other double
                 val cs = sims((qid, cid, sid))
-                if (cs > ms) ms = cs
+                if (scoreCmp(cs, ms) > 0) ms = cs
               }
               val score = lambda * qs - lambdaC * ms
-              if (score > bestScore ||
-                  (score == bestScore && cid < bestId)) {
+              val c = if (bestId == -1L) 1 else scoreCmp(score, bestScore)
+              if (c > 0 || (c == 0 && cid < bestId)) {
                 bestScore = score; bestId = cid
               }
             }

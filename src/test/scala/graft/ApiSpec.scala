@@ -301,6 +301,30 @@ class ApiSpec extends AnyFunSuite {
     assert(local.keySet.map(_._1) == Set(1L, 2L))
   }
 
+  test("mmrRerank regimes agree on NaN-scored candidates") {
+    // r16 (r15 ADVICE): NaN embeddings propagate NaN through every dot;
+    // Spark's window ordering ranks NaN as the GREATEST double, so the
+    // local greedy must too — a plain `>` loop would skip NaN scores,
+    // keep its −1 sentinel, and emit a bogus (q_id, −1, rank) row
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (10L, v(0.9, 0.1, 0, 0)), (11L, v(Double.NaN, 0, 0, 0)),
+      (12L, v(0, 1.0, 0, 0)), (13L, v(0.4, 0.4, 0.2, 0))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((1L, v(0.7, 0.7, 0, 0))).toDF("q_id", "q_emb")
+    def run(): Vector[(Long, Long, Long)] =
+      GraftApi.mmrRerank(corpus, queries).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("vec_id"))).sorted.toVector
+    val local = run()
+    spark.conf.set("spark.graft.mmr.localSolveMaxPool", "0")
+    val relational = try run()
+      finally spark.conf.unset("spark.graft.mmr.localSolveMaxPool")
+    assert(local == relational,
+      s"NaN regimes disagree: $local vs $relational")
+    assert(!local.exists(_._3 == -1L), s"sentinel id leaked: $local")
+  }
+
   test("subwordTokens splits, marks continuations, and UNKs out-of-vocab") {
     val docs = Seq((1L, "customer window a"), (2L, "Zebra!"))
       .toDF("doc_id", "text")

@@ -131,4 +131,33 @@ class BpeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.bpe.localFitMaxWords")
     assert(local == relational, s"gated regimes disagree:\n$local\nvs\n$relational")
   }
+
+  test("gated local fit segments non-BMP text by codepoint like the chain") {
+    // r16 (r15 ADVICE): the relational pieces0 segments via substr/length,
+    // which count CODEPOINTS; a UTF-16 char split would shear
+    // supplementary-plane characters (emoji) into lone surrogates and
+    // diverge the regimes' pair counts. 😀 = U+1F600 (two chars, one
+    // codepoint); the repeated 😀x bigram forces a merge through it.
+    val docs = Seq((1L, "😀x😀x a"), (2L, "😀x b"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    def collectBoth(t: org.apache.spark.sql.DataFrame,
+        f: org.apache.spark.sql.DataFrame) = (
+      t.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toVector,
+      f.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getInt(2), r.getString(3))).sorted.toVector)
+    val (t1, f1) = operators.BpeOps.trainChain(docs)
+    val local = collectBoth(t1, f1)
+    spark.conf.set("spark.graft.bpe.localFitMaxWords", "0")
+    val relational = try {
+      val (t2, f2) = operators.BpeOps.trainChain(docs)
+      collectBoth(t2, f2)
+    } finally spark.conf.unset("spark.graft.bpe.localFitMaxWords")
+    assert(local == relational,
+      s"non-BMP regimes disagree:\n$local\nvs\n$relational")
+    // and no piece may be a lone surrogate
+    val pieces = f1.select("piece").collect().map(_.getString(0))
+    assert(!pieces.exists(p => p.length == 1 && p.charAt(0).isSurrogate),
+      s"lone surrogate piece leaked: ${pieces.mkString(",")}")
+  }
 }
