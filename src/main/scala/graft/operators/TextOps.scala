@@ -186,10 +186,64 @@ object TextOps extends QueryModule {
       explode(slice(col("hs"), lit(1),
         (floor(lit(1.0 - ShingleTau) * size(col("hs"))) + 1)
           .cast(IntegerType))).as("tok"))
-    prefix.select(col("tok"), col("doc_id").as("id1"))
-      .join(prefix.select(col("tok"), col("doc_id").as("id2")), Seq("tok"))
+    val pruned = prunePostings(prefix, "tok", "ngramCandidates")
+    pruned.select(col("tok"), col("doc_id").as("id1"))
+      .join(pruned.select(col("tok"), col("doc_id").as("id2")), Seq("tok"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** The maxDf POSTINGS-LIST CAP (guide §2.5 hot-key skew; the
+    * substringPairs precedent, promoted to the shingle inverted
+    * indexes): a posting list of df docs proposes df² candidate
+    * slots, so a corpus whose shingle universe SATURATES — boilerplate
+    * n-grams at a real 100 TB scale; the 31-token synthetic vocabulary
+    * here, where df grows linearly with the corpus and the candidate
+    * join grows quadratically (measured: Σdf² 1.34M at sf0.1 →
+    * 120M at 10×) — turns the sub-quadratic feed quadratic. A shingle
+    * appearing in more than maxDf docs carries no discriminative
+    * signal (it separates nothing: everything collides on it), so its
+    * posting list is DROPPED from candidate generation, with the drop
+    * LOGGED eagerly — never silent. Pairs whose only shared index key
+    * is a dropped shingle are missed (recall degrades deterministically
+    * under a fixed knob); verification of surviving candidates stays
+    * exact, so precision is untouched.
+    *
+    * The default (64) is provably a NO-OP at every driver-tested scale
+    * — the sf0.1 maximum prefix/posting df is 25 and smaller SFs are
+    * strictly lower — pinned by a test asserting a zero drop count on
+    * the test corpus; the knob (`spark.graft.shingle.maxDf`, ≤ 0
+    * disables) parameterizes production, where the right value tracks
+    * the boilerplate df knee, O(100) on web corpora. Cost: one
+    * O(postings) count aggregation over the already-checkpointed
+    * shingle frame + an O(distinct shingles) semi-join that shares the
+    * candidate join's `tok` partitioning. */
+  private[graft] def prunePostings(post: DataFrame, tokCol: String,
+      tag: String): DataFrame = {
+    val cap = post.sparkSession.conf
+      .getOption("spark.graft.shingle.maxDf").map(_.toInt).getOrElse(64)
+    if (cap <= 0) return post
+    // ONE tok-keyed shuffle (the cappedBucketPairs shape): the per-token
+    // df rides an unordered window over the same hashpartitioning(tok)
+    // the downstream candidate join needs, and the localCheckpoint pins
+    // both the rows and that partitioning — the self-join over the
+    // snapshot adds no exchange of its own, and the postings explode is
+    // computed once instead of once per join side. The eager drop
+    // diagnostic (exact at build time, by contract) is a cached-block
+    // scan, not a second pass over the inputs; the snapshot's blocks are
+    // released by the ContextCleaner when the result is dropped.
+    val ranked = post.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(tokCol))).localCheckpoint()
+    val over = ranked.where(col("__df") > cap)
+      .agg(countDistinct(col(tokCol)).as("nt"), count(lit(1)).as("np"))
+      .collect()(0)
+    if (over.getLong(0) > 0)
+      System.err.println(s"[graft] $tag: maxDf=$cap dropped " +
+        s"${over.getLong(0)} shingle posting list(s) " +
+        s"(${over.getLong(1)} postings) from candidate generation — " +
+        "pairs sharing ONLY ubiquitous shingles are not proposed " +
+        "(recall within those lists degrades, never silently so)")
+    ranked.where(col("__df") <= cap).drop("__df")
   }
 
   /** Per-doc benchmark-overlap detail behind `decontaminate` (and the
@@ -244,16 +298,22 @@ object TextOps extends QueryModule {
     // codegen shingle kernel (round-15 measurement — the
     // graph_triangles stage-materialization note). Checkpoint once.
     val docs = shingleHashSets(s, d).localCheckpoint(true)
+    // set identity |A∪B| = |A| + |B| − |A∩B| (hs arrays are per-doc
+    // DISTINCT sets): one array_intersect per pair instead of an
+    // intersect AND a materialized union array — exact integers, so
+    // n_union and the jaccard double are bit-identical (r16, guide §2.3
+    // — the verify stage is the candidate feed's dominant constant)
     ngramCandidates(docs)
       .join(docs.select(col("doc_id").as("id1"), col("hs").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("hs").as("sh2")), "id2")
       .select(col("id1"), col("id2"),
         size(array_intersect(col("sh1"), col("sh2"))).cast(LongType)
           .as("n_inter"),
-        size(array_union(col("sh1"), col("sh2"))).cast(LongType)
-          .as("n_union"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        (size(col("sh1")) + size(col("sh2"))).cast(LongType).as("n_both"))
+      .select(col("id1"), col("id2"), col("n_inter"),
+        (col("n_both") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast(DoubleType) /
+          (col("n_both") - col("n_inter")).cast(DoubleType)).as("jaccard"))
       .where(col("jaccard") >= ShingleTau)
   }
 
@@ -281,8 +341,12 @@ object TextOps extends QueryModule {
       .cast(IntegerType)
     val prefixA = docs.select(col("doc_id").as("id_a"),
       explode(slice(col("hs"), lit(1), prefixLen)).as("tok"))
-    val allB = docs.select(col("doc_id").as("id_b"),
-      explode(col("hs")).as("tok"))
+    // maxDf cap on the CONTAINER-side posting lists (the full index —
+    // the side whose df drives the join's quadratic term); a dropped
+    // tok matches nothing, so pruning one side prunes the pair space.
+    // prunePostings contract (no-op at tested scales, eager drop log).
+    val allB = prunePostings(docs.select(col("doc_id").as("id_b"),
+      explode(col("hs")).as("tok")), "tok", "containmentPairs")
     val cands = prefixA.join(allB, Seq("tok"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b").distinct()

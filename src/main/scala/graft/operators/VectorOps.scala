@@ -546,9 +546,19 @@ object VectorOps extends QueryModule {
   private val PqM = 8
   private val PqK = 16
 
+  /** Memoized per sf dir like [[ivfCentroids]] (r16, the r15 verdict's
+    * "share the codebook across legs"): the fit is a pure function of
+    * the corpus (deterministic hash-ordered sample, fixed Lloyd's
+    * iterations), and vec_pq, sim_pq_topk, sim_ivfpq_topk and the
+    * generated oracles each re-paid the sample collect + driver fit
+    * (~0.3-0.5 s per caller) for bit-identical codebooks. Same
+    * path-keyed-cache boundary as ivfCache. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[Array[Array[Double]]]]]()
   private[graft] def pqFit(s: SparkSession, d: String)
       : Option[Array[Array[Array[Double]]]] =
-    pqFit(Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+    pqCache.computeIfAbsent(d, (_: String) =>
+      pqFit(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))))
 
   /** Frame-generic PQ codebook fit over any (vec_id, embedding) frame
     * (GraftApi.pqFit) — same bounded deterministic sample + Lloyd's
@@ -728,9 +738,16 @@ object VectorOps extends QueryModule {
     cands
       .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
       .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      // |A∪B| = |A| + |B| − |A∩B| over per-doc-distinct sets: one
+      // array_intersect instead of intersect + a materialized union
+      // array; exact integers, bit-identical jaccard (r16, the
+      // ngramPairs identity)
       .select(col("id1"), col("id2"),
-        (size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType) /
-          size(array_union(col("sh1"), col("sh2")))).as("jaccard"))
+        size(array_intersect(col("sh1"), col("sh2"))).cast(DoubleType)
+          .as("ni"),
+        (size(col("sh1")) + size(col("sh2"))).cast(DoubleType).as("nb"))
+      .select(col("id1"), col("id2"),
+        (col("ni") / (col("nb") - col("ni"))).as("jaccard"))
       .where(col("jaccard") >= tau)
   }
 
@@ -1131,14 +1148,20 @@ object VectorOps extends QueryModule {
     // TextVectorSpec.
     "sim_lsh" -> ((s, d) => {
       import graft.functions.VectorExprs.dotF
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val d2 = dotF(col("e1"), col("e1")) + dotF(col("e2"), col("e2")) -
-        lit(2.0) * dotF(col("e1"), col("e2"))
+      // self-dots hoisted to a NARROW per-vector pass (r16, guide §1.2
+      // per-task work): the verify stage used to evaluate THREE 64-dim
+      // dots per candidate pair; |x−y|² = |x|² + |y|² − 2x·y with the
+      // norms computed once per corpus row leaves one cross dot per
+      // pair. Same operand doubles, same a + b − c expression tree —
+      // dist is bit-identical (the oracle replays unchanged).
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        dotF(col("embedding"), col("embedding")).as("nrm"))
+      val d2 = col("n1") + col("n2") - lit(2.0) * dotF(col("e1"), col("e2"))
       lshCandidates(s, d)
-        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")),
-          "id1")
-        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")),
-          "id2")
+        .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+          col("nrm").as("n1")), "id1")
+        .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+          col("nrm").as("n2")), "id2")
         .select(col("id1"), col("id2"),
           sqrt(greatest(lit(0.0), d2)).as("dist"))
         .where(col("dist") <= 1.1)

@@ -721,7 +721,11 @@ object GraftTableStore {
           case p: GraftParquetData => p.files.iterator.map(_.path)
           case _ => Iterator.empty
         }.toSet ++ fileRefsExcept(name)
-        GraftParquetStore.gcUnreferenced(name, referenced)
+        // sweep EXPIRED version dirs only (< newFirst): a dir at or
+        // above it can hold a concurrent foreign writer's just-adopted
+        // files whose commit this process hasn't replayed yet —
+        // deleting those corrupts the winner (gcUnreferenced scaladoc)
+        GraftParquetStore.gcUnreferenced(name, referenced, newFirst)
       }
       trimmed
     }

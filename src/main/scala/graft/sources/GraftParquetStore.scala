@@ -1085,12 +1085,30 @@ object GraftParquetStore {
     * no RETAINED commit references — shared (append-reused) files
     * survive for as long as any retained manifest lists them. Returns
     * the number of files deleted. */
+  /** Retention GC: delete files no retained manifest references —
+    * but ONLY under version dirs that have EXPIRED (dir number <
+    * `firstRetained`). That loses nothing: a file created at version
+    * N is referenced by manifest N (every creator — append adoption,
+    * maintenance adoption, overwrite, persistFull — commits a
+    * manifest listing it), so it can only become unreferenced-by-all-
+    * retained once version N itself expires. A dir AT or ABOVE
+    * firstRetained, by contrast, can hold a CONCURRENT PROCESS's
+    * just-adopted files for an in-flight commit this process cannot
+    * see yet (adoption precedes the cross-process log claim by
+    * design), and sweeping those silently corrupts the winner's
+    * committed manifest — the CrossJvmSpec binpack-vs-append race
+    * (r16). Crashed writers' leftovers in retained dirs remain
+    * vacuumOrphans' job, which is grace-windowed and verifyTail-
+    * strict for exactly this reason. */
   private[sources] def gcUnreferenced(name: String,
-      referenced: Set[String]): Int = metas.get(name).map { m =>
+      referenced: Set[String], firstRetained: Int): Int =
+    metas.get(name).map { m =>
     var deleted = 0
     Option(new java.io.File(m.dir).listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName != "_graft_log" &&
         d.getName != "_graft_cdf") // staged change-data has its own sweep
+      .filter(_.getName.stripPrefix("v").toIntOption
+        .exists(_ < firstRetained))
       .foreach { vdir =>
         Option(vdir.listFiles()).getOrElse(Array.empty).foreach { f =>
           if (!referenced.contains(f.getAbsolutePath)) {

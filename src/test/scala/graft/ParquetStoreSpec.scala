@@ -176,6 +176,41 @@ class ParquetStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pqe_t")
   }
 
+  test("retention GC sweeps only EXPIRED version dirs — a foreign " +
+      "writer's in-flight adoption above the retained window survives") {
+    // r16: adoption precedes the cross-process log claim, so a dir at
+    // or above firstRetained can hold a CONCURRENT process's adopted
+    // files for a commit this process has not replayed yet; the trim
+    // GC deleting them corrupted the winner's committed manifest (the
+    // CrossJvmSpec binpack-vs-append flake). Every legitimately
+    // expirable file lives under an expired dir (created-at-N ⇒
+    // referenced by manifest N), so the guard costs nothing.
+    freshCatalog()
+    spark.sql("DROP TABLE IF EXISTS graft.pqgg_t")
+    spark.sql("CREATE TABLE graft.pqgg_t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.store'='parquet')")
+    spark.sql("INSERT INTO graft.pqgg_t SELECT id FROM range(20)") // v0
+    spark.sql("INSERT OVERWRITE graft.pqgg_t SELECT id FROM range(3)") // v1
+    val v0Files = GraftTableStore.commitFiles("graft.pqgg_t", 0)
+    // plant a "foreign adoption": an unreferenced file in the NEXT
+    // version slot's dir, mtime far in the past (no grace may save it)
+    val dir = GraftParquetStore.meta("graft.pqgg_t").get.dir
+    val vNext = new java.io.File(dir, "v00002")
+    vNext.mkdirs()
+    val foreign = new java.io.File(vNext, "t0000-feedface.parquet")
+    java.nio.file.Files.write(foreign.toPath, Array[Byte](1, 2, 3))
+    assert(foreign.setLastModified(1000L))
+    assert(graft.api.GraftApi.expireSnapshots(spark,
+      "graft.pqgg_t", 1) == 1)
+    v0Files.foreach(f => assert(!new java.io.File(f.path).exists(),
+      s"expired unreferenced file survived GC: ${f.path}"))
+    assert(foreign.exists(),
+      "trim GC swept an un-expired version dir — a concurrent " +
+        "process's in-flight adoption would be corrupted")
+    foreign.delete()
+    spark.sql("DROP TABLE graft.pqgg_t")
+  }
+
   test("retention GC: expiring snapshots deletes files no retained " +
       "manifest references and keeps every file still shared") {
     freshCatalog()

@@ -368,6 +368,37 @@ class TextVectorSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"planted dup pairs not found: $missing")
   }
 
+  test("shingle maxDf default is a provable no-op at the bench corpus") {
+    // r16 pin (the r15 verdict's #1 done-criterion): the default cap
+    // (64) must not fire at any driver-tested scale — sf0.1's maximum
+    // shingle df is 25, smaller SFs strictly lower — so the capped and
+    // uncapped relations are bit-identical there, and the quadratic
+    // protection only engages where the shingle universe saturates
+    val sf01 = "/root/testdata/sf0.1"
+    def pairs() = SparkEntry.queries("dedup_ngram")(spark, sf01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+    val capped = pairs()
+    spark.conf.set("spark.graft.shingle.maxDf", "0") // 0 disables the cap
+    val uncapped = try pairs()
+      finally spark.conf.unset("spark.graft.shingle.maxDf")
+    assert(capped == uncapped,
+      s"default maxDf fired at 1x: ${capped.size} vs ${uncapped.size} pairs")
+  }
+
+  test("prunePostings drops only lists past maxDf, deterministically") {
+    // tok 10 sits in 4 docs (> cap 3) and must vanish; tok 20 (df 2)
+    // must survive row-for-row — drop-then-verify keeps precision exact
+    val post = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 20L), (2L, 20L)).toDF("doc_id", "tok")
+    spark.conf.set("spark.graft.shingle.maxDf", "3")
+    val kept = try operators.TextOps.prunePostings(post, "tok", "test")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok")))
+        .sorted.toVector
+      finally spark.conf.unset("spark.graft.shingle.maxDf")
+    assert(kept == Vector((1L, 20L), (2L, 20L)),
+      s"cap=3 must drop tok 10 (df 4) and keep tok 20 intact: $kept")
+  }
+
   test("dedup_containment matches the brute-force directed relation") {
     // independent truth: string-shingle sets in plain Scala, all ordered
     // pairs, C(A,B) = |A∩B|/|A| — the asymmetric prefix filter must have
