@@ -44,13 +44,27 @@ object Tables {
     * range frames) and Verify's written schemas stay identical across
     * generations. Value-preserving: every session pins
     * spark.sql.session.timeZone=UTC. */
-  private[graft] def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.collect {
-      case f if f.dataType == TimestampNTZType => f.name
-    }.foldLeft(df)((acc, c) =>
-      acc.withColumn(c, col(c).cast(TimestampType)))
-  }
+  /** Resolved-relation memo, keyed by (session, dir, table): every
+    * `spark.read.parquet` re-lists the path and re-reads footers (a
+    * small driver job per call), and a 355-query drive resolves the
+    * same ten files hundreds of times. Reusing the ANALYZED plan is
+    * metadata reuse only (guide §6 file-listing caching) — no rows are
+    * cached and every action still computes from the parquet bytes.
+    * Boundary: same per-JVM path-keyed contract as the model-fit
+    * caches (ivfCache) — the harness regenerates testdata only between
+    * JVMs; tests use fresh temp dirs. Sessions are few and long-lived
+    * (driver + the extension sibling), so the strong key cannot leak
+    * meaningfully. */
+  private val relCache = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, String), DataFrame]()
+  private[graft] def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    relCache.getOrElseUpdate((spark, sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema.fields.collect {
+        case f if f.dataType == TimestampNTZType => f.name
+      }.foldLeft(df)((acc, c) =>
+        acc.withColumn(c, col(c).cast(TimestampType)))
+    })
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")

@@ -17,10 +17,24 @@ object ProfilePhases {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val s = spark
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          ()
+        }
+      })
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
+      val j0 = jobs.get(); val s0 = stages.get()
       val r = f
-      println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      Thread.sleep(30) // let listener events drain
+      println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3fs" +
+        f" jobs=${jobs.get() - j0} stages=${stages.get() - s0}")
       r
     }
     // warm up session machinery so phase 1 isn't charged JVM startup

@@ -164,10 +164,15 @@ object AnalyticsOps extends QueryModule {
     * agree). Iterations chain lazily — no driver fixpoint, no collect. */
   private[graft] def kmeansAssign(emb: org.apache.spark.sql.DataFrame,
       k: Int = KmK, iters: Int = KmIters): org.apache.spark.sql.DataFrame = {
+    // the quantized exploded frame feeds SIX legs through the lazy
+    // iteration chain (init, each round's assignment join AND its
+    // centroid update) — materialize once (r15 multi-leg playbook,
+    // guide §2.4); at scale this is one corpus pass instead of six.
     val q = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"),
         floor(col("v").cast(DoubleType) * 1e6 + 0.5).cast(LongType).as("iv"))
+      .localCheckpoint(true)
     def assign(cent: org.apache.spark.sql.DataFrame) =
       q.join(broadcast(cent), Seq("dim"))
         .groupBy(col("vec_id"), col("cluster"))
@@ -895,11 +900,19 @@ object AnalyticsOps extends QueryModule {
     // TakeOrderedAndProject; item supports join the pair frame
     // broadcast (items ≪ pairs).
     "agg_basket_lift" -> ((s, d) => {
-      // measured round 15: a checkpoint of li is a wash here (the two
-      // non-self-join legs are cheap aggregates) — left un-materialized
+      // measured round 15 AND re-measured round 16: a checkpoint of li
+      // is a LOSS here (+0.5-1.0 s warm — the eager materialization
+      // blocks, and the (ok, pk)-partitioned snapshot satisfies
+      // neither the ok-keyed self-join nor the agg legs, so every
+      // consumer reshuffles anyway) — left un-materialized
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        // r16: pin the self-join's input partitioning to ok — the
+        // pk->pk2 rename sits ABOVE this exchange, so canonicalized
+        // exchange reuse serves BOTH join sides from one shuffle and
+        // the join itself adds no exchange (guide §2.4)
+        .repartition(col("ok"))
       val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n"))
       val item = li.groupBy(col("pk")).agg(count(lit(1)).as("ci"))
       val pair = li
@@ -1076,9 +1089,18 @@ object AnalyticsOps extends QueryModule {
           coalesce(col("first_ch"), lit("direct")).as("first_ch"),
           coalesce(col("last_ch"), lit("direct")).as("last_ch"))
       val dv = col("value").cast(DecimalType(18, 2))
-      p.select(col("first_ch").as("channel"), lit("f").as("m"), dv.as("v"))
-        .unionAll(p.select(col("last_ch").as("channel"),
-          lit("l").as("m"), dv.as("v")))
+      // one window pass, not two: the union's two legs re-evaluated
+      // the whole events window subtree (exchange reuse covers only
+      // the Exchange, not the Window above it) — a 2-element
+      // struct-array explode emits the same (channel, m, v) rows from
+      // a single pass (r16; guide §2.4). Values and schema identical.
+      p.select(explode(array(
+          struct(col("first_ch").as("channel"), lit("f").as("m"),
+            dv.as("v")),
+          struct(col("last_ch").as("channel"), lit("l").as("m"),
+            dv.as("v")))).as("x"))
+        .select(col("x.channel").as("channel"), col("x.m").as("m"),
+          col("x.v").as("v"))
         .groupBy("channel")
         .agg(
           sum(when(col("m") === "f", col("v"))).cast(DoubleType)
@@ -1103,6 +1125,8 @@ object AnalyticsOps extends QueryModule {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        // r16: same ok-pinned exchange-reuse shape as agg_basket_lift
+        .repartition(col("ok"))
       val pairs = li
         .join(li.select(col("ok"), col("pk").as("pk2")), "ok")
         .where(col("pk") < col("pk2"))
