@@ -41,6 +41,33 @@ object ProfilePhases {
     s.read.parquet(s"$sfDir/orders.parquet").limit(1000).count()
 
     for (rep <- 1 to 2) {
+      println(s"== dedup_embedding stages rep $rep ==")
+      val cands = t("lshCandidates") {
+        val c = graft.operators.VectorOps.lshCandidates(s, sfDir)
+          .localCheckpoint(true)
+        println(s"  candidates=${c.count()}")
+        c
+      }
+      t("verify (scaledPairs)") {
+        val e = Tables.embeddings(s, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        import graft.functions.VectorExprs.dotF
+        val n = cands
+          .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")),
+            "id1")
+          .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+            "id2")
+          .select(col("id1"), col("id2"),
+            round(dotF(col("e1"), col("e2")), 4).as("sim"))
+          .where(col("sim") >= 0.4).count()
+        println(s"  verified=$n")
+      }
+      t("full dedup_embedding") {
+        SparkEntry.queries("dedup_embedding")(s, sfDir).count()
+      }
+    }
+
+    for (rep <- 1 to 2) {
       println(s"== table_log_replay rep $rep ==")
       t("catalog conf") {
         s.conf.set("spark.sql.catalog.graft",

@@ -489,9 +489,17 @@ object VectorOps extends QueryModule {
     * maxDf precedent, applied to the banding joins. */
   private val BucketCandidateCap = 2048
 
+  /** @param dedup false skips the terminal DISTINCT: sound ONLY for
+    *   consumers insensitive to pair multiplicity (the CC resolution —
+    *   union-find over a multiset of edges yields identical labels);
+    *   row-emitting consumers (sim_lsh, dedup_near) keep the default.
+    *   At sf0.1 the distinct is a 1.9M-row hash aggregate that exists
+    *   only to collapse multi-table collisions the verify would
+    *   re-collapse for free (r16, guide §1.2 — don't compute what you
+    *   throw away). */
   private[graft] def cappedBucketPairs(keyed: DataFrame,
       keyCol: String, idCol: String, tag: String,
-      cap: Int = BucketCandidateCap): DataFrame = {
+      cap: Int = BucketCandidateCap, dedup: Boolean = true): DataFrame = {
     // ONE scan of `keyed`: the ranked projection (ids + bucket keys +
     // per-bucket rank — no payload columns) is localCheckpoint'ed
     // eagerly, then BOTH the never-silent-drop diagnostic and the
@@ -517,11 +525,12 @@ object VectorOps extends QueryModule {
         "member slot(s) degraded to hash-deterministic sampling " +
         "(recall within those buckets is sampled, never silently so)")
     val capped = ranked.where(col("__hr") <= cap)
-    capped.select(col(keyCol), col(idCol).as("id1"))
+    val raw = capped.select(col(keyCol), col(idCol).as("id1"))
       .join(capped.select(col(keyCol), col(idCol).as("id2")),
         Seq(keyCol))
       .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
+    if (dedup) raw.distinct() else raw
   }
 
   private[graft] def lshKeyed(s: SparkSession, d: String)
@@ -823,7 +832,13 @@ object VectorOps extends QueryModule {
     * executedPlan). */
   private[graft] def scaledPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    lshCandidates(s, d)
+    // dedup=false: this feed terminates in the CC resolution, where a
+    // pair's multiplicity cannot change a label — the 1.9M-row
+    // DISTINCT existed only for row-emitting consumers (sim_lsh keeps
+    // it). Verified-edge duplicates cost the union-find a few extra
+    // finds, orders less than the skipped hash aggregate.
+    cappedBucketPairs(lshKeyed(s, d), "k", "vec_id",
+        "scaledPairs candidates", dedup = false)
       .join(e.select(col("vec_id").as("id1"), col("embedding").as("e1")),
         "id1")
       .join(e.select(col("vec_id").as("id2"), col("embedding").as("e2")),
